@@ -1,0 +1,19 @@
+"""riot_graphs_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of bergzand/RIOT-graphs.
+
+Layout (see SURVEY.md for the operator inventory these modules implement):
+
+- :mod:`riot_graphs_spark.session`    — SparkSession factory with scale-ready defaults.
+- :mod:`riot_graphs_spark.schemas`    — explicit StructTypes for every table (schema-on-write).
+- :mod:`riot_graphs_spark.sources`    — batch/streaming readers for the parquet tables,
+  JSON landing zones, and git-log text parsing (SURVEY §2.1).
+- :mod:`riot_graphs_spark.functions`  — scalar/array function library (SURVEY §2.2).
+- :mod:`riot_graphs_spark.operators`  — relational operator library: time-series aggs,
+  windows, as-of joins, gap fill, dedup, similarity search (SURVEY §2.2-§2.4, §7).
+- :mod:`riot_graphs_spark.plans`      — composed end-to-end query plans (flagship query,
+  RIOT ingestion pipeline re-expressed as one declarative plan).
+- :mod:`riot_graphs_spark.streaming`  — Structured Streaming incremental ingestion
+  (SURVEY §2.6): availableNow triggers, checkpointed offsets, idempotent merge.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,84 @@
+"""Scalar function library (SURVEY §2.2).
+
+Everything here except :func:`wrap_text` is a pure Catalyst expression —
+JVM-side, codegen-friendly, no Python in the hot path. :func:`wrap_text` is
+the reference's single genuinely UDF-shaped scalar (greedy word wrap,
+reference ``riot_graphs/rg.py:364-366``) and is implemented as an
+Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def pr_number(msg: Column | str) -> Column:
+    """P5 — first integer in a merge-commit subject → PR number.
+
+    The reference does ``re.findall(r'\\d+', msg)[0]`` (``rg.py:78, 146``)
+    which raises IndexError when the subject has no digits; this version is
+    total — NULL instead (SURVEY §7 step 5 hardening).
+    """
+    extracted = F.regexp_extract(msg, r"(\d+)", 1)
+    return F.nullif(extracted, F.lit("")).cast("long").alias("pr_num")
+
+
+def html_pr_anchor(pr: Column | str, repo: str = "RIOT-OS/RIOT") -> Column:
+    """P12 — Grafana annotation HTML anchor (reference ``rg.py:338-344``)."""
+    pr = F.col(pr) if isinstance(pr, str) else pr
+    return F.format_string(
+        '<a target="_blank" href="https://github.com/%s/pull/%d">#%d</a>',
+        F.lit(repo),
+        pr,
+        pr,
+    )
+
+
+@pandas_udf(StringType())
+def _wrap32(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda text: None if text is None else "<br>".join(textwrap.wrap(text, 32))
+    )
+
+
+def wrap_text(col: Column | str) -> Column:
+    """P13 — greedy word wrap at width 32, joined with ``<br>``
+    (reference ``rg.py:364-366``). Arrow-batched pandas UDF: the only place
+    the core engine leaves the JVM.
+    """
+    return _wrap32(F.col(col) if isinstance(col, str) else col)
+
+
+def parse_iso_offset(col: Column | str) -> Column:
+    """P6 — parse ``%Y-%m-%d %H:%M:%S %z`` git-log dates (reference ``rg.py:220``)."""
+    return F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss Z")
+
+
+def parse_rfc2822(col: Column | str) -> Column:
+    """P7 — parse RFC-2822 ``Last-Modified`` headers.
+
+    The reference builds ``datetime(*eut.parsedate(h)[:7])`` (``rg.py:101``),
+    which stuffs the weekday into the microsecond argument and drops the
+    timezone; this is correct by construction instead (SURVEY §2.2 P7).
+    """
+    return F.to_timestamp(col, "EEE, dd MMM yyyy HH:mm:ss zzz")
+
+
+def anchored_day(ts: Column | str, anchor_hours: int = 3) -> Column:
+    """P8/O3 — bucket a timestamp into its 03:00-UTC-anchored day.
+
+    The reference anchors nightly windows at 03:00 UTC (``rg.py:61-68``).
+    Returns the bucket *start* timestamp: ``date_trunc(day, ts - anchor) + anchor``.
+    Equivalent to ``window(ts, '1 day', startTime='3 hours').start`` but a plain
+    scalar expression, so it is usable as a join/group key and stays portable
+    to the SQL oracle.
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    shifted = F.date_trunc("DAY", ts - F.expr(f"INTERVAL {anchor_hours} HOURS"))
+    return shifted + F.expr(f"INTERVAL {anchor_hours} HOURS")

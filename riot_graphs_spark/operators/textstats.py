@@ -1,0 +1,116 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §7 step 7):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst expressions — regex + array functions, no UDFs — so they
+run inside whole-stage codegen and scale linearly. Patterns are kept in the
+common subset of Java regex (Spark) and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic. Deterministic and oracle-portable; a real deployment would load
+#: a proper profile table and broadcast-join it.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "y", "de", "que"),
+    "fr": ("le", "la", "les", "et", "de", "est"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def tokens(text: Column | str, lower: bool = True) -> Column:
+    """Word tokens: maximal ``[a-z0-9]+`` runs (BPE-ish regex tokenizer's
+    word-boundary pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lower:
+        c = F.lower(c)
+    return F.regexp_extract_all(c, F.lit("[a-z0-9]+"), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def add_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: token count, average token length,
+    punctuation ratio, stopword ratio, and a composite quality score.
+    Per-row double arithmetic only — bit-deterministic."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.,!?;:]"), 0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    avg_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_tok,
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    return docs.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite [0,1] quality score from the stats columns — the standard
+    pretraining-corpus filter shape (length band + stopword presence −
+    punctuation noise)."""
+    with_stats = add_text_stats(docs)
+    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.least(F.col("stopword_ratio") * 2, F.lit(0.3))
+        - F.least(F.col("punct_ratio") * 5, F.lit(0.2))
+    )
+    return with_stats.withColumn("quality_score", F.greatest(score, F.lit(0.0)))
+
+
+def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: count profile-word hits per language,
+    pick the argmax (ties broken by language code order — deterministic)."""
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t, ws=words: t.isin(*[F.lit(w) for w in ws]))
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = None
+    best_lang = F.lit(sorted(LANG_PROFILES)[0])
+    for lang, score in scores.items():
+        if best is None:
+            best = score
+        else:
+            gt = score > best
+            best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
+            best = F.when(gt, score).otherwise(best)
+    out = docs.select(
+        "*", *[scores[lang].alias(f"score_{lang}") for lang in scores]
+    )
+    return out.withColumn("predicted_lang", best_lang)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Collision-safe enough for exact dedup at corpus scale; stable
+    across engines (oracle uses the same md5)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))

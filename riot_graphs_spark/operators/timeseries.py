@@ -1,0 +1,162 @@
+"""Time-series operator library — the InfluxDB/Grafana-delegated query surface
+(SURVEY §2.4 A1-A4, G1-G7) as composable DataFrame transformations.
+
+Scale design (SURVEY §4 "100 TB posture"):
+
+- Every aggregation admits map-side partial aggregation (plain ``groupBy`` +
+  algebraic aggs, ``max_by``/``min_by`` instead of rank-then-filter where a
+  single row per group is wanted — one shuffle, partial-aggregable).
+- Time predicates are plain column comparisons so they push down to parquet
+  row groups and prune date partitions.
+- Window functions are used only where semantics require them (gap fill,
+  lag deltas) and always partitioned by the series dimensions, so state per
+  partition is one series — no global sorts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    ts: str,
+    unit: str,
+    dims: Sequence[str],
+    aggs: Sequence[Column],
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """G1 — ``GROUP BY time($interval), tags`` with aggregate fields.
+
+    ``unit`` is a ``date_trunc`` unit (``hour``, ``day``, ``week`` …). One
+    shuffle on (bucket, dims); all listed aggs get map-side combine.
+    InfluxQL ``last()``/``first()`` per bucket → pass ``F.max_by``/``F.min_by``.
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).alias(bucket_name)
+    return df.groupBy(bucket, *_cols(dims)).agg(*aggs)
+
+
+def time_range(
+    df: DataFrame, ts: str, start: datetime | str, end: datetime | str
+) -> DataFrame:
+    """G2 — dashboard ``$timeFilter``: inclusive-start exclusive-end scan.
+    A plain comparison → parquet row-group skip + date-partition pruning.
+    """
+    return df.filter((F.col(ts) >= F.lit(start)) & (F.col(ts) < F.lit(end)))
+
+
+def last_per_bucket(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    payload: Sequence[str],
+    bucket: Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """A1 — top-1-per-time-bucket ("last build of the day",
+    reference ``riot_graphs/rg.py:52-84``).
+
+    Uses ``max_by(struct(payload), (ts, tiebreak))`` rather than a ranked
+    window: partial-aggregable, single shuffle, no per-partition sort of the
+    whole fact table (SURVEY §4 item 3). ``bucket`` defaults to the calendar
+    day; pass :func:`..functions.scalars.anchored_day` for the reference's
+    03:00-UTC anchor. ``tiebreak`` makes the pick deterministic under equal
+    timestamps (unique id column).
+    """
+    bucket = bucket if bucket is not None else F.date_trunc("DAY", F.col(ts))
+    order = (
+        F.struct(F.col(ts), F.col(tiebreak)) if tiebreak else F.col(ts)
+    )
+    picked = F.max_by(F.struct(*[F.col(c) for c in payload]), order).alias("_last")
+    out = df.groupBy(bucket.alias("bucket"), *_cols(dims)).agg(picked)
+    return out.select(
+        "bucket", *dims, *[F.col(f"_last.{c}").alias(c) for c in payload]
+    )
+
+
+def top1_by_time(df: DataFrame, ts: str, tiebreak: str | None = None) -> DataFrame:
+    """A2 — global newest row (``SELECT … ORDER BY time DESC LIMIT 1``,
+    reference ``rg.py:130-131``). Plans as TakeOrderedAndProject: each
+    partition keeps 1 row, driver merges — no full sort, no full shuffle.
+    """
+    order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    return df.orderBy(*order).limit(1)
+
+
+def delta_vs_prev(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    out: str = "delta",
+) -> DataFrame:
+    """G5 — difference vs the previous point of the same series (the size
+    regression signal, the product's whole point). ``lag`` over a window
+    partitioned by the series key: one shuffle on dims, per-series sort only.
+    """
+    w = Window.partitionBy(*_cols(dims)).orderBy(F.col(ts))
+    return df.withColumn(out, F.col(value) - F.lag(value, 1).over(w))
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    values: Sequence[str],
+    step: str = "INTERVAL 1 DAY",
+) -> DataFrame:
+    """G3 — Grafana ``fill(previous)``: regular time spine per series,
+    forward-filling missing buckets from the last observed value.
+
+    ``df`` must already be bucketed (one row per (ts, dims) at most). The
+    spine is generated distributively: global min/max via an aggregate
+    (map-side partial, two values total), ``sequence`` + ``explode`` for the
+    grid — no driver-side ``collect``. The fill itself is
+    ``last(value, ignoreNulls=True)`` over an unbounded-preceding window per
+    series; buckets before a series' first observation stay NULL (matches
+    Grafana ``fill(previous)`` edge semantics).
+
+    Scale note: the cross join is (buckets × distinct series) — the *output*
+    grid, which any gap-fill must materialize; both sides are tiny relative
+    to the fact table and the dims side is broadcast.
+    """
+    bounds = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(step))).alias(ts)
+    )
+    series = df.select(*dims).distinct()
+    grid = spine.crossJoin(F.broadcast(series))
+    joined = grid.join(df, on=[ts, *dims], how="left")
+    w = (
+        Window.partitionBy(*_cols(dims))
+        .orderBy(F.col(ts))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [F.last(v, ignorenulls=True).over(w).alias(v) for v in values]
+    return joined.select(ts, *dims, *filled)
+
+
+def distinct_tags(df: DataFrame, *cols: str) -> DataFrame:
+    """G7 — Grafana template-variable values. Partial-aggregable distinct."""
+    return df.select(*cols).distinct()
+
+
+def annotations(
+    df: DataFrame,
+    ts: str,
+    start: datetime | str,
+    end: datetime | str,
+    projection: Sequence[Column] | None = None,
+) -> DataFrame:
+    """G6 — events-in-range with formatted title/text columns
+    (reference ``rg.py:331-348`` feeds Grafana annotation tooltips)."""
+    out = time_range(df, ts, start, end)
+    return out.select(*projection) if projection is not None else out
