@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full execution, no
+driver-side collection overhead in the measurement). A short warmup query
+amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from riot_graphs_spark.plans.driver_queries import queries  # noqa: E402
+from riot_graphs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the flagship plus one representative per operator family
+#: (SURVEY §2.2-§2.6 + extension surface when present).
+HEADLINE = [
+    "flagship_daily_delta",
+    "p1_json_props",
+    "p2_derived_revenue",
+    "p5_regex_extract",
+    "a1_last_of_day",
+    "g1_hourly_agg",
+    "g3_gap_fill",
+    "g4_percentiles",
+    "g5_daily_delta",
+    "j1_lineitem_orders",
+    "j2_orders_by_region",
+    "j3_delta_new_orders",
+    "j4_asof_purchase_signup",
+    "o2_dedup_latest",
+    "o3_anchored_day",
+    # extension surface (present from the dedup/similarity/text modules)
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_scores",
+    "ann_cosine_topk",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="riot-graphs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warmup: spin the JVM, codegen, and parquet footers once.
+    registry["flagship_daily_delta"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
