@@ -1,0 +1,127 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata structs, processed by Arrow-batched ``mapInPandas`` stages
+(SURVEY §7 step 7 extension surface).
+
+The decode kernels themselves are STUBBED — the image/audio libraries are not
+in this container — behind :func:`_decode_image_stub`, which is a
+deterministic fake so the Spark-side plumbing (schema, batch shape,
+partitioning) is real and testable. Swap the stub for Pillow/torchaudio/
+PyAV in production; nothing else changes.
+
+Scale notes: media payloads dominate row size, so these stages
+
+- keep the payload in one column and never shuffle it (all derivations are
+  narrow mapInPandas over the scan),
+- emit small fixed-width feature columns that downstream joins/aggs use, so
+  the heavy binary column can be pruned immediately after this stage,
+- size partitions by bytes not rows (``spark.sql.files.maxPartitionBytes``),
+  since row counts say nothing about media partition weight.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: A multimodal document: opaque payload + typed metadata. The metadata
+#: struct is what queries touch; the payload is only read inside decode.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> list[float]:
+    """Deterministic fake decoder: 8 'pixels' derived from payload bytes.
+
+    Production: ``PIL.Image.open(io.BytesIO(payload))`` → resize → normalize.
+    Raises on None to mirror a real decoder's behavior on corrupt input.
+    """
+    if payload is None:
+        raise NotImplementedError("corrupt/missing payload")
+    return [float(b) / 255.0 for b in payload[:8]] or [0.0]
+
+
+def extract_image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Decode + featurize images via mapInPandas (Arrow batches, connection/
+    model state initialized once per partition — the pattern that replaces
+    the reference's per-row HTTP anti-pattern, SURVEY §2.1 S5)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-partition init goes here (model load, codec handles, …).
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: None if p is None else _decode_image_stub(p)
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame offset.
+
+    The frame decode is stubbed (no PyAV here); the row explosion — the part
+    Spark owns — is real: ``sequence(0, duration_ms, every_ms)`` + explode,
+    a narrow op whose output inherits the scan's partitioning.
+    """
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_offset_ms"),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-memory media table for tests (payload = repeatable
+    bytes derived from the id)."""
+    rows = [
+        (
+            i,
+            bytes([(i * 7 + k) % 256 for k in range(16)]),
+            ["image", "audio", "video"][i % 3],
+            64 + i % 32,
+            64 + i % 16,
+            1000 * (1 + i % 10),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

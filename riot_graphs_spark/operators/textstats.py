@@ -87,11 +87,13 @@ def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: count profile-word hits per language,
     pick the argmax (ties broken by language code order — deterministic)."""
     toks = tokens(text_col)
+
+    def profile_hits(ws: tuple[str, ...]) -> Column:
+        # single-arg lambda: higher-order filter dispatches on lambda arity
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
     scores = {
-        lang: F.size(
-            F.filter(toks, lambda t, ws=words: t.isin(*[F.lit(w) for w in ws]))
-        )
-        for lang, words in sorted(LANG_PROFILES.items())
+        lang: profile_hits(words) for lang, words in sorted(LANG_PROFILES.items())
     }
     best = None
     best_lang = F.lit(sorted(LANG_PROFILES)[0])

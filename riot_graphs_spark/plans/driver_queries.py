@@ -521,6 +521,338 @@ def o3_anchored_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Extension surface (SURVEY §7 step 7): dedup, similarity, text analysis
+# ==========================================================================
+
+#: Shared DuckDB CTE fragments so oracle SQL stays in lockstep with the
+#: Spark operators (same tokenizer regex, same md5-prefix hashing).
+_DUCK_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(words[i:i+2], ' ') "
+    "for i in range(1, len(words) - 1)])"
+)
+_DUCK_MINHASH = f"""
+    docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM docs),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 14))::BIGINT % 1000000007 AS h2
+           FROM sh),
+    ex AS (SELECT doc_id, j, ((2*j+3)*h2 + 7919*j + 13) % 1000000007 AS hv
+           FROM hs, (SELECT unnest(range(0, 16)) AS j)),
+    sig AS (SELECT doc_id, j, min(hv) AS minhash FROM ex GROUP BY doc_id, j)
+"""
+
+
+@_q(
+    "dedup_exact_groups",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ), groups AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size
+    FROM fp JOIN groups g USING (fingerprint)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_minhash_signatures",
+    f"WITH {_DUCK_MINHASH} SELECT doc_id, j, minhash FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("j").cast("long").alias("j"), "minhash"
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM docs),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b, (1::BIGINT << b) AS pow,
+             CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS sign
+      FROM hs, (SELECT unnest(range(0, 32)) AS b)
+    ), sums AS (
+      SELECT doc_id, b, pow, sum(sign) AS s FROM bits GROUP BY doc_id, b, pow
+    )
+    SELECT doc_id,
+           (sum(CASE WHEN s > 0 THEN pow ELSE 0 END))::BIGINT AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis (language ID, quality, token counts)
+# --------------------------------------------------------------------------
+def _duck_stoplist(wordlist) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in wordlist) + "]"
+
+
+def _langid_oracle() -> str:
+    from ..operators.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n           ".join(
+        f"len(list_filter(toks, t -> list_contains({_duck_stoplist(LANG_PROFILES[lang])}, t)))"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    # Fold replicating textstats.predict_lang: argmax, earliest lang wins ties.
+    best_lang, best_score = f"'{langs[0]}'", f"score_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang = (
+            f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        )
+        best_score = (
+            f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} ELSE {best_score} END"
+        )
+    return f"""
+    WITH toks_t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM toks_t
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+           {best_lang} AS predicted_lang
+    FROM scored
+    """
+
+
+@_q("text_lang_id", _langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return predict_lang(docs).drop("text")
+
+
+@_q(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WORDS.replace("text", "text")} AS toks
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN (list_sum(list_transform(toks, t -> len(t))))::DOUBLE / len(toks)
+             END AS avg_token_len,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / len(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> list_contains(
+                       {_duck_stoplist(("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))}, t)))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           greatest(
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+             + least(stopword_ratio * 2, 0.3)
+             - least(punct_ratio * 5, 0.2),
+             0.0) AS quality_score
+    FROM stats
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@_q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+             AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_pieces"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+_DUCK_COSINE = (
+    "round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+    "(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.query_id, c.vec_id, {_DUCK_COSINE} AS score
+      FROM embeddings c, q WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, vec_id AS neighbor_id, score, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (list_sum(list_transform(range(0, 8),
+                i -> CASE WHEN embedding[i+1] >= 0 THEN (1 << i) ELSE 0 END)))::BIGINT
+               AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id, {_DUCK_COSINE} AS score
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, vec_id AS neighbor_id, score, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_DUCK_COSINE_EMB = _DUCK_COSINE.replace("q.qv", "q.embedding")
+
+
+@_q(
+    "embed_neardup_pairs",
+    f"""
+    SELECT c.vec_id AS vec_a, q.vec_id AS vec_b, {_DUCK_COSINE_EMB} AS score
+    FROM embeddings c JOIN embeddings q
+      ON c.label = q.label AND c.vec_id < q.vec_id
+    WHERE {_DUCK_COSINE_EMB} >= 0.9
+    """,
+)
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
