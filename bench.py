@@ -42,6 +42,11 @@ HEADLINE = [
     "j4_asof_purchase_signup",
     "o2_dedup_latest",
     "o3_anchored_day",
+    "o6_session_windows",
+    "o6_sliding_window",
+    "g1_first_last",
+    "p13_wrap",
+    "mm_image_features",
     # extension surface (present from the dedup/similarity/text modules)
     "dedup_exact_groups",
     "dedup_minhash_lsh",

@@ -55,6 +55,33 @@ def wrap_text(col: Column | str) -> Column:
     return _wrap32(F.col(col) if isinstance(col, str) else col)
 
 
+def greedy_wrap(col: Column | str, width: int = 32, sep: str = "<br>") -> Column:
+    """P13 (Catalyst form) — greedy word wrap as a pure ``aggregate`` fold
+    over the token array: no Python, whole-stage codegen, oracle-portable
+    (DuckDB ``list_reduce`` folds identically left-to-right).
+
+    Matches ``textwrap.wrap(s, width)`` for inputs whose words are all
+    ≤ width chars (the reference's PR-title case, ``rg.py:364-366``);
+    over-long words stay unbroken on their own line instead of being split.
+    Use :func:`wrap_text` (pandas UDF) when exact textwrap semantics for
+    pathological words matter.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(c), r"\s+")
+    last_line = lambda acc: F.element_at(F.split(acc, "\n"), -1)  # noqa: E731
+    folded = F.aggregate(
+        tokens,
+        F.lit(""),
+        lambda acc, w: F.when(acc == "", w)
+        .when(
+            F.length(last_line(acc)) + F.length(w) + 1 <= width,
+            F.concat(acc, F.lit(" "), w),
+        )
+        .otherwise(F.concat(acc, F.lit("\n"), w)),
+    )
+    return F.regexp_replace(folded, "\n", sep)
+
+
 def parse_iso_offset(col: Column | str) -> Column:
     """P6 — parse ``%Y-%m-%d %H:%M:%S %z`` git-log dates (reference ``rg.py:220``)."""
     return F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss Z")

@@ -77,14 +77,41 @@ def exact_dedup_groups(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc, shingle-hash h2) rows, h2 already reduced mod MINHASH_P."""
-    return docs.select(
+def _minhash_wide(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Per-doc wide signature (id, mh_0 … mh_{k-1}) computed **row-locally**:
+    a doc's shingles already live in one array, so each minhash is
+    ``array_min(transform(hashes, perm_j))`` — a narrow projection with ZERO
+    shuffles. At 100 TB this is the difference between a 16× row-exploded
+    shuffle and none at all; signatures inherit the scan's partitioning.
+
+    Permutation family ``h_j(x) = ((2j+3)·x + 7919j + 13) mod P`` — small
+    coefficients so products stay < 2^63 (no overflow on any engine).
+    Docs with no shingles (< n words) are dropped, matching the exploded
+    relational form.
+    """
+    with_h = docs.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    ).select(
-        id_col, (hash56(F.col("shingle")) % MINHASH_P).alias("h2")
-    )
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: hash56(s) % MINHASH_P,
+        ).alias("_h2s"),
+    ).filter(F.size("_h2s") > 0)
+    def perm(j: int):
+        # closure, NOT a default arg: pyspark dispatches higher-order lambdas
+        # on arity, and a 2-param lambda would be called as (element, index)
+        return lambda x: ((2 * j + 3) * x + 7919 * j + 13) % MINHASH_P
+
+    mins = [
+        F.array_min(F.transform(F.col("_h2s"), perm(j))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return with_h.select(id_col, *mins)
 
 
 def minhash_signatures(
@@ -94,44 +121,41 @@ def minhash_signatures(
     num_hashes: int = MINHASH_K,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature rows (doc, j, minhash) for j in [0, num_hashes).
-
-    Permutation family ``h_j(x) = ((2j+3)·x + 7919j + 13) mod P`` — small
-    coefficients so products stay < 2^63 (no overflow on any engine). The
-    ``min`` per (doc, j) is partial-aggregable: map-side combine collapses
-    each input split to num_hashes values per doc before the shuffle.
-    """
-    hs = _shingle_hashes(docs, id_col, text_col, shingle_n)
-    js = F.explode(F.array(*[F.lit(j) for j in range(num_hashes)])).alias("j")
-    perm = (
-        (F.lit(2) * F.col("j") + 3) * F.col("h2")
-        + F.lit(7919) * F.col("j")
-        + 13
-    ) % MINHASH_P
-    expanded = hs.select(id_col, "h2", js).select(
-        id_col, "j", perm.alias("hv")
+    """MinHash signature rows (doc, j, minhash) for j in [0, num_hashes) —
+    the narrow wide-form signature posexploded to relational shape."""
+    wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
+    return wide.select(
+        id_col, F.posexplode(sig).alias("j", "minhash")
     )
-    return expanded.groupBy(id_col, "j").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_band_buckets(
-    signatures: DataFrame,
+    docs: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_K,
     band_rows: int = MINHASH_BAND_ROWS,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: (doc, band, band_key) where band_key concatenates the
-    band's minhashes in j-order (deterministic via array_sort on (j, mh))."""
-    banded = signatures.withColumn(
-        "band", F.floor(F.col("j") / F.lit(band_rows)).cast("int")
+    """LSH banding: (doc, band, band_key), band_key = '-'-joined minhashes of
+    the band in j-order. Pure projection over the wide signature (one
+    concat_ws per band + a k/band_rows-row posexplode) — no groupBy, no
+    collect_list, no shuffle."""
+    wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh_{b * band_rows + r}").cast("string")
+                    for r in range(band_rows)
+                ],
+            )
+            for b in range(num_hashes // band_rows)
+        ]
     )
-    key = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-            lambda x: x["minhash"].cast("string"),
-        ),
-        "-",
-    )
-    return banded.groupBy(id_col, "band").agg(key.alias("band_key"))
+    return wide.select(id_col, F.posexplode(keys).alias("band", "band_key"))
 
 
 def minhash_lsh_pairs(
@@ -143,25 +167,35 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pairs (doc_a < doc_b), deduplicated
-    across bands. The self-join is keyed on (band, band_key) — work is
-    quadratic only within a bucket, the property that makes LSH the scale
-    path where all-pairs Jaccard is not.
+    across bands. Signature + banding are shuffle-free (see _minhash_wide);
+    pair generation groups ids per (band, band_key) and expands i<j pairs
+    with an array expression — ONE corpus scan + one shuffle, where a
+    bucket self-join would scan (and re-hash) the corpus twice. Work stays
+    quadratic only within a bucket — the property that makes LSH the scale
+    path. Caveat: a pathological bucket (mass-duplicated boilerplate)
+    concentrates its C(n,2) pairs in one task; run exact dedup first, which
+    collapses identical docs and bounds bucket sizes.
     """
     buckets = minhash_band_buckets(
-        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n),
-        id_col,
-        band_rows,
+        docs, id_col, text_col, num_hashes, band_rows, shingle_n
     )
-    a = buckets.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("doc_a")
+    grouped = buckets.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
     )
-    b = buckets.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("doc_b")
+    # For 0-based element i, pair with 1-based positions i+2 … end: i<j pairs.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        a.join(b, on=["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.doc_a"), F.col("_p.doc_b"))
         .distinct()
     )
 
@@ -221,32 +255,30 @@ def simhash_signatures(
     bits: int = 32,
 ) -> DataFrame:
     """Per-doc SimHash over the token multiset: bit b of the signature is set
-    iff Σ_tokens (±1 by token-hash bit b) > 0. Computed relationally —
-    (doc × token × bit) rows, two partial-aggregable sums — all JVM-side.
+    iff Σ_tokens (±1 by token-hash bit b) > 0.
+
+    Computed **row-locally**: the doc's token hashes live in one array, and
+    each bit's sign-sum is ``2·|{h: bit set}| − |tokens|`` — a ``filter`` +
+    ``size`` per bit, all narrow projection, zero shuffles. The exploded
+    (doc × token × bit) relational form (the oracle's shape) would shuffle
+    32× the token count; this form shuffles nothing.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(words(text_col)).alias("tok")
-    ).select(F.col(id_col), hash32(F.col("tok")).alias("h"))
-    bit_lits = F.array(
-        *[F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("pow")) for b in range(bits)]
+    hs = docs.select(
+        F.col(id_col),
+        F.transform(words(text_col), lambda t: hash32(t)).alias("_hs"),
     )
-    per_bit = toks.select(
-        id_col, "h", F.explode(bit_lits).alias("bp")
-    ).select(
-        id_col,
-        F.col("bp.b").alias("b"),
-        F.col("bp.pow").alias("pow"),
-        F.when((F.col("h") / F.col("bp.pow")).cast("long") % 2 == 1, 1)
-        .otherwise(-1)
-        .alias("sign"),
-    )
-    # NB (h div pow) via cast after exact integer division-by-power-of-two:
-    # pow ≤ 2^31 and h < 2^32 → h/pow exact in double; floor via cast.
-    bit_sums = per_bit.groupBy(id_col, "b", "pow").agg(
-        F.sum("sign").alias("s")
-    )
-    return bit_sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.col("pow").cast("long")).otherwise(0)
-        ).alias("simhash")
-    )
+    n_tok = F.size("_hs")
+
+    def bit_term(b: int) -> Column:
+        n_set = F.size(
+            F.filter(F.col("_hs"), lambda h: F.shiftright(h, b) % 2 == 1)
+        )
+        return F.when(
+            2 * n_set - n_tok > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    sig = sum((bit_term(b) for b in range(bits)), F.lit(0).cast("long"))
+    # Empty token list → every sign-sum is 0 → simhash 0, same as the
+    # relational form's absent-row… except that form drops the doc; keep
+    # parity by dropping docs with no tokens here too.
+    return hs.filter(n_tok > 0).select(id_col, sig.alias("simhash"))

@@ -110,6 +110,24 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic MEDIA_SCHEMA table from the driver's
+    ``documents`` fixture (payload = UTF-8 bytes of the first 16 chars),
+    so multimodal stages are exercised against driver data and remain
+    oracle-checkable on the metadata columns."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 16), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic in-memory media table for tests (payload = repeatable
     bytes derived from the id)."""

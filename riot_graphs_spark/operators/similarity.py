@@ -22,19 +22,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot, l2_norm
+
+#: Cosine from a precomputed-norm pair: one zip_with+fold per pair instead of
+#: three (norms are per-*vector*, so they are computed once per side before
+#: the join, not once per pair — at |corpus|×|queries| pairs that is the
+#: dominant cost).
+def _pair_score() -> F.Column:
+    return F.round(
+        dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")), 6
+    )
 
 
 def _scored(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
     )
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    return pairs.withColumn(
-        "score", F.round(cosine_similarity(vec_col, "_qvec"), 6)
-    )
+    return pairs.withColumn("score", _pair_score())
 
 
 def cosine_topk(
@@ -93,16 +107,20 @@ def lsh_bucketed_topk(
     all-pairs product. Recall < 1 by construction; raise ``bucket_dims``
     ↓bucket size ↑precision, or probe neighboring buckets for recall.
     """
-    cb = corpus.withColumn("_bucket", sign_bucket(vec_col, bucket_dims))
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+        sign_bucket(vec_col, bucket_dims).alias("_bucket"),
+    )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
         sign_bucket(vec_col, bucket_dims).alias("_bucket"),
     )
     pairs = cb.join(qb, on="_bucket").filter(F.col(id_col) != F.col("query_id"))
-    scored = pairs.withColumn(
-        "score", F.round(cosine_similarity(vec_col, "_qvec"), 6)
-    )
+    scored = pairs.withColumn("score", _pair_score())
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -129,19 +147,19 @@ def embedding_neardup_pairs(
     a = embeddings.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
     )
     b = embeddings.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
     )
     pairs = (
         a.join(b, on=block_col) if block_col else a.crossJoin(b)
     ).filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.withColumn(
-        "score", F.round(cosine_similarity("_va", "_vb"), 6)
-    )
+    scored = pairs.withColumn("score", _pair_score())
     return scored.filter(F.col("score") >= threshold).select(
         "vec_a", "vec_b", "score"
     )

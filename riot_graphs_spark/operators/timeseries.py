@@ -160,3 +160,51 @@ def annotations(
     (reference ``rg.py:331-348`` feeds Grafana annotation tooltips)."""
     out = time_range(df, ts, start, end)
     return out.select(*projection) if projection is not None else out
+
+
+def session_windows(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    gap: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """O6 — session windows: rows within ``gap`` of each other merge into one
+    session per dims; a new session starts when the inter-event gap is ≥ gap
+    (``session_window`` end is exclusive: ``last_ts + gap``).
+
+    Built-in ``F.session_window`` → Spark's streaming-capable session
+    aggregation; in batch it plans as a single shuffle on dims + per-series
+    merge, and the same call works under ``withWatermark`` for streams.
+    """
+    sw = F.session_window(F.col(ts), gap)
+    out = df.groupBy(sw, *_cols(dims)).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *dims,
+        *[c for c in out.columns if c not in ("session_window", *dims)],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    dims: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """O6/G1 — sliding (hopping) windows: each row lands in
+    duration/slide overlapping windows. ``F.window`` expands rows window-wise
+    *before* the aggregation, so partial aggregation still applies — the
+    shuffle carries (window, dims) keys, duration/slide × input rows.
+    """
+    w = F.window(F.col(ts), duration, slide)
+    out = df.groupBy(w, *_cols(dims)).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *dims,
+        *[c for c in out.columns if c not in ("window", *dims)],
+    )

@@ -853,6 +853,205 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# O6 — session & sliding windows (SURVEY §2.6 O6 extension surface)
+# --------------------------------------------------------------------------
+@_q(
+    "o6_session_windows",
+    f"""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def o6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(
+        ev,
+        ts="ts",
+        dims=["user_id"],
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        ],
+    )
+
+
+@_q(
+    "o6_sliding_window",
+    f"""
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)])::TIMESTAMP AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2, 3
+    """,
+)
+def o6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        ts="ts",
+        duration="2 hours",
+        slide="1 hour",
+        dims=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# G1 first/last per bucket — InfluxQL first()/last(), via max_by/min_by
+# (partial-aggregable: one shuffle, no ranked window; SURVEY §4 item 3)
+# --------------------------------------------------------------------------
+@_q(
+    "g1_first_last",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts ASC,  event_id ASC)  AS rn_first,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT bucket, event_type,
+           max(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+           max(CASE WHEN rn_last  = 1 THEN value END) AS last_value
+    FROM ranked GROUP BY bucket, event_type
+    """,
+)
+def g1_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return time_bucket_agg(
+        ev,
+        ts="ts",
+        unit="hour",
+        dims=["event_type"],
+        aggs=[
+            F.min_by("value", order).alias("first_value"),
+            F.max_by("value", order).alias("last_value"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# P13 — greedy word wrap (reference rg.py:364-366), Catalyst fold form
+# --------------------------------------------------------------------------
+@_q(
+    "p13_wrap",
+    """
+    SELECT p_partkey,
+           replace(
+             list_reduce(
+               list_concat([''], regexp_split_to_array(trim(p_name), '\\s+')),
+               (acc, w) -> CASE
+                 WHEN acc = '' THEN w
+                 WHEN length(str_split(acc, chr(10))[-1]) + length(w) + 1 <= 12
+                   THEN acc || ' ' || w
+                 ELSE acc || chr(10) || w END),
+             chr(10), '<br>') AS wrapped
+    FROM part
+    """,
+)
+def p13_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import greedy_wrap
+
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", greedy_wrap("p_name", width=12).alias("wrapped")
+    )
+
+
+# --------------------------------------------------------------------------
+# P6 — ISO-8601+offset timestamp parse (reference rg.py:220): round-trip
+# through a formatted string with a non-UTC offset; compared as epoch-micros
+# (tz-independent on both engines).
+# --------------------------------------------------------------------------
+@_q(
+    "p6_parse_offset",
+    """
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') || ' +0200',
+                             '%Y-%m-%d %H:%M:%S %z')) AS parsed_us
+    FROM events
+    """,
+)
+def p6_parse_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import parse_iso_offset
+
+    ev = _t(spark, sf_dir, "events")
+    formatted = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" +0200")
+    )
+    return ev.select(
+        "event_id", F.unix_micros(parse_iso_offset(formatted)).alias("parsed_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal (SURVEY §7 step 7): binary payload + metadata, mapInPandas
+# decode plumbing; metadata columns stay oracle-checkable.
+# --------------------------------------------------------------------------
+@_q(
+    "mm_image_features",
+    """
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+           octet_length(encode(substr(text, 1, 16)))::BIGINT AS n_bytes
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_image_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media).select("media_id", "media_type", "n_bytes")
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, n_chars + 1, 1000)) AS frame_offset_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
