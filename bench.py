@@ -52,7 +52,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality_scores",
+    "text_top_terms",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -93,8 +93,14 @@ def parse_rfc2822(col: Column | str) -> Column:
     The reference builds ``datetime(*eut.parsedate(h)[:7])`` (``rg.py:101``),
     which stuffs the weekday into the microsecond argument and drops the
     timezone; this is correct by construction instead (SURVEY §2.2 P7).
+
+    The redundant weekday prefix is stripped before parsing: Spark ≥3's
+    datetime parser rejects ``EEE`` as a *parse* pattern (day-of-week is
+    derived, not consumed), and RFC 2822 marks it optional anyway.
     """
-    return F.to_timestamp(col, "EEE, dd MMM yyyy HH:mm:ss zzz")
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
+    return F.to_timestamp(stripped, "dd MMM yyyy HH:mm:ss zzz")
 
 
 def anchored_day(ts: Column | str, anchor_hours: int = 3) -> Column:

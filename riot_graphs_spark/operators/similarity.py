@@ -163,3 +163,99 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("score") >= threshold).select(
         "vec_a", "vec_b", "score"
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid, relational form (cell, pos, centroid).
+
+    ``posexplode`` + groupBy(cell, pos): fully partial-aggregable — each
+    input split pre-sums to (cells × dims) rows before the shuffle, so the
+    shuffle is tiny no matter the corpus size. Components are rounded to 6
+    decimals and summed in DECIMAL so the mean is exact and order-independent
+    (FP sums would hash differently run to run).
+    """
+    per_dim = embeddings.select(
+        F.col(cell_col), F.posexplode(vec_col).alias("pos0", "x")
+    ).select(
+        cell_col,
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matches SQL subscripts
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    # The decimal SUM is exact/order-free; convert to double *before* the
+    # divide so both engines do one IEEE division (decimal division rounds
+    # at engine-specific scales and would hash-mismatch).
+    return per_dim.groupBy(cell_col, "pos").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest cell centroid, then
+    search only that cell's members — the classic inverted-file index as a
+    DataFrame plan.
+
+    Scale shape: centroids are (cells × dims) — always broadcastable; the
+    probe is a broadcast join of queries onto a *cell-pruned* slice of the
+    corpus (on a cell-partitioned/bucketed table the non-probed cells are
+    never read). Recall < 1 with 1 probe; probe the top-p cells for more.
+    Routing scores round to 6 decimals before the argmax (tiebreak: cell
+    asc) so the route — and therefore the result set — is deterministic.
+    """
+    cents = label_centroids(corpus, cell_col, vec_col)
+    cent_vecs = cents.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("_cent")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cent_vecs))
+        .withColumn(
+            "_route_score",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cent"))
+                / (F.col("_qnorm") * l2_norm(F.col("_cent"))),
+                6,
+            ),
+        )
+        .groupBy("query_id", "_qvec", "_qnorm")
+        .agg(
+            F.min_by(
+                F.col(cell_col), F.struct((-F.col("_route_score")).alias("s"), F.col(cell_col))
+            ).alias(cell_col)
+        )
+    )
+    cb = corpus.select(
+        F.col(cell_col),
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    pairs = cb.join(F.broadcast(routed), on=cell_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.withColumn("score", _pair_score())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
+    )

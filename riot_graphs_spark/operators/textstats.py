@@ -110,6 +110,51 @@ def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", best_lang)
 
 
+def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the token-hash sequence:
+    ``h = fold(tokens, 0, (h, t) -> (h·base + md5_32(t)) mod P)``.
+
+    Order-sensitive (unlike the md5 :func:`fingerprint`, which normalizes
+    whitespace): token insertions/reorders change it. A pure left-fold
+    ``aggregate`` — row-local, codegen'd, and identical to the oracle's
+    ``list_reduce``. Accumulator stays < 2^35 (base·P + 2^32), no overflow.
+    """
+    from .dedup import hash32
+
+    hashes = F.transform(tokens(text), lambda t: hash32(t))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+def top_terms_per_group(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent tokens per group (corpus vocabulary profile).
+
+    Token counts aggregate first (partial-aggregable groupBy), the window
+    ranks only the (group × distinct-token) counts — the fact-table-sized
+    explode never reaches the window sort. Ties break lexicographically.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Collision-safe enough for exact dedup at corpus scale; stable

@@ -1052,6 +1052,185 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000)
 
 
+# --------------------------------------------------------------------------
+# G6 — Grafana annotations query: events-in-range + formatted title/text
+# (reference rg.py:331-348; combines G2 range filter + P12 anchor + P13 wrap)
+# --------------------------------------------------------------------------
+@_q(
+    "g6_annotations",
+    """
+    SELECT event_id, ts::TIMESTAMP AS ts,
+           printf('<a target="_blank" href="https://github.com/%s/pull/%d">#%d</a>',
+                  'RIOT-OS/RIOT', event_id, event_id) AS title,
+           replace(
+             list_reduce(
+               list_concat([''], regexp_split_to_array(trim(event_type || ' by user ' || user_id), '\\s+')),
+               (acc, w) -> CASE
+                 WHEN acc = '' THEN w
+                 WHEN length(str_split(acc, chr(10))[-1]) + length(w) + 1 <= 12
+                   THEN acc || ' ' || w
+                 ELSE acc || chr(10) || w END),
+             chr(10), '<br>') AS description
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type = 'error'
+    """,
+)
+def g6_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import greedy_wrap
+    from ..operators.timeseries import annotations
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return annotations(
+        ev,
+        ts="ts",
+        start="2024-01-10 00:00:00",
+        end="2024-01-20 00:00:00",
+        projection=[
+            F.col("event_id"),
+            F.col("ts"),
+            html_pr_anchor(F.col("event_id")).alias("title"),
+            greedy_wrap(
+                F.concat(F.col("event_type"), F.lit(" by user "), F.col("user_id")),
+                width=12,
+            ).alias("description"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — RFC-2822 Last-Modified parse (reference rg.py:101, bug-corrected):
+# round-trip through a formatted header string, compared as epoch-micros.
+# --------------------------------------------------------------------------
+@_q(
+    "p7_parse_rfc2822",
+    """
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts::TIMESTAMP, '%a, %d %b %Y %H:%M:%S') || ' GMT',
+                             '%a, %d %b %Y %H:%M:%S %Z')) AS parsed_us
+    FROM events
+    """,
+)
+def p7_parse_rfc2822(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import parse_rfc2822
+
+    ev = _t(spark, sf_dir, "events")
+    header = F.concat(
+        F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT")
+    )
+    return ev.select(
+        "event_id", F.unix_micros(parse_rfc2822(header)).alias("parsed_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: rolling-hash fingerprint + corpus vocabulary profile
+# --------------------------------------------------------------------------
+@_q(
+    "text_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_concat([0::BIGINT],
+               list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import rolling_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+@_q(
+    "text_top_terms",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT lang, tok, n, rank FROM (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
+      FROM cnt
+    ) WHERE rank <= 5
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import top_terms_per_group
+
+    return top_terms_per_group(_t(spark, sf_dir, "documents"), "lang", "text", k=5)
+
+
+# --------------------------------------------------------------------------
+# IVF similarity: per-cell centroids + route-then-search ANN
+# --------------------------------------------------------------------------
+_DUCK_CENTROIDS = """
+    cents AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(embedding[pos]::DOUBLE, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*) AS centroid
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+      GROUP BY label, pos
+    )
+"""
+
+
+@_q(
+    "emb_label_centroids",
+    f"WITH {_DUCK_CENTROIDS} SELECT label, pos::BIGINT AS pos, centroid FROM cents",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings")).select(
+        "label", F.col("pos").cast("long").alias("pos"), "centroid"
+    )
+
+
+@_q(
+    "ann_ivf_topk",
+    f"""
+    WITH {_DUCK_CENTROIDS},
+    cent_arr AS (
+      SELECT label, list(centroid ORDER BY pos) AS cvec FROM cents GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv::DOUBLE[], c.cvec) /
+                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                 c.label ASC) AS rn
+        FROM q CROSS JOIN cent_arr c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT r.query_id, e.vec_id, {_DUCK_COSINE.replace("q.qv", "r.qv").replace("c.embedding", "e.embedding")} AS score
+      FROM embeddings e JOIN routed r ON e.label = r.label AND e.vec_id != r.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, score, rank::INTEGER AS rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
