@@ -49,8 +49,21 @@ def time_range(
 ) -> DataFrame:
     """G2 — dashboard ``$timeFilter``: inclusive-start exclusive-end scan.
     A plain comparison → parquet row-group skip + date-partition pruning.
+
+    When the frame carries a raw-nanos shadow column (``_ts_ns``, see
+    ``sources.tables.load_table``), an equivalent predicate is added on it:
+    the derived ``ts`` comparison cannot be pushed past the
+    ``timestamp_micros`` projection, but the long-space one reaches the scan
+    (``PushedFilters: [GreaterThanOrEqual(_ts_ns, …)]``) and skips row
+    groups — the difference between scanning a day and scanning a year.
     """
-    return df.filter((F.col(ts) >= F.lit(start)) & (F.col(ts) < F.lit(end)))
+    pred = (F.col(ts) >= F.lit(start)) & (F.col(ts) < F.lit(end))
+    if ts == "ts" and "_ts_ns" in df.columns:
+        import pandas as pd
+
+        lo, hi = pd.Timestamp(start).value, pd.Timestamp(end).value
+        pred = pred & (F.col("_ts_ns") >= lo) & (F.col("_ts_ns") < hi)
+    return df.filter(pred)
 
 
 def last_per_bucket(

@@ -45,7 +45,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Keep the raw nanos column (`_ts_ns`): predicates on the *derived*
+        # ts can't reach the parquet scan (Catalyst won't invert
+        # timestamp_micros), but an equivalent long-space predicate on
+        # `_ts_ns` does — operators.timeseries.time_range adds it, restoring
+        # row-group skipping on time scans.
+        df = df.withColumnRenamed("ts", "_ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("_ts_ns div 1000"))
+        )
     return df
 
 
