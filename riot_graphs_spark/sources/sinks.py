@@ -1,0 +1,81 @@
+"""Batch sinks — the InfluxDB write path (reference ``rg.py:33-41`` S7,
+``rg.py:30-36`` S8 dry-run, O2 point-overwrite idempotency) as partitioned
+parquet writes.
+
+Layout/scale design (SURVEY §4 "100 TB posture"):
+
+- Facts are partitioned by event date (``partitionBy("date")``): time-range
+  queries prune whole directories before any I/O, and a re-ingest of one day
+  touches exactly one partition.
+- InfluxDB's (measurement, tags, time) point-overwrite becomes
+  **dynamic partition overwrite**: replaying a day's ingest replaces that
+  day's partition atomically and leaves every other partition untouched —
+  idempotent without a transactional table format. (On Delta/Iceberg the
+  same function body would be a keyed MERGE INTO; the call sites would not
+  change.)
+- Batching (reference ``batch_size=20``) is the file-sizing concern Spark
+  already owns; writers emit one file per task — control size with
+  ``spark.sql.files.maxRecordsPerFile`` / repartition before write.
+- ``noop=True`` (reference ``--noop``) routes to the built-in noop sink:
+  full plan execution, zero writes — also what ``bench.py`` measures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_date_partition(df: DataFrame, ts: str = "ts", col: str = "date") -> DataFrame:
+    """Derive the partition column from event time (ISO date string —
+    readable paths, lexicographic order == time order)."""
+    return df.withColumn(col, F.date_format(F.col(ts), "yyyy-MM-dd"))
+
+
+def append_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("date",),
+    noop: bool = False,
+) -> None:
+    """S7 — plain partitioned append (the non-replay fast path)."""
+    if noop:
+        write_noop(df)
+        return
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    key: Sequence[str],
+    partition_cols: Sequence[str] = ("date",),
+    noop: bool = False,
+) -> None:
+    """O2 — idempotent re-ingest: dedupe the batch on the upsert key, then
+    dynamically overwrite exactly the partitions present in the batch.
+
+    Replay-safe the same way InfluxDB point writes are: running the same
+    day twice converges to one copy of each (key) row. Requires the batch to
+    carry *complete* partitions (true for day-scoped ingest jobs like the
+    reference's ``push_last_of_day``, ``rg.py:106-117``).
+    """
+    deduped = df.dropDuplicates(list(key))
+    if noop:
+        write_noop(deduped)
+        return
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_noop(df: DataFrame) -> None:
+    """S8 — dry-run sink (reference ``--noop``): executes the full plan,
+    writes nothing."""
+    df.write.format("noop").mode("overwrite").save()

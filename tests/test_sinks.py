@@ -1,0 +1,91 @@
+"""Sink-layer tests (SURVEY §2.1 S7/S8, §2.6 O2): partitioned layout,
+idempotent day replay via dynamic partition overwrite, untouched-partition
+preservation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from riot_graphs_spark.sources.sinks import (
+    append_partitioned,
+    upsert_partitions,
+    with_date_partition,
+)
+
+UTC = dt.timezone.utc
+
+
+def rows(day: int, val: int):
+    return [
+        Row(
+            ts=dt.datetime(2024, 1, day, 4, tzinfo=UTC),
+            test="t1",
+            board="b1",
+            text=val,
+        ),
+        Row(
+            ts=dt.datetime(2024, 1, day, 4, tzinfo=UTC),
+            test="t1",
+            board="b2",
+            text=val,
+        ),
+    ]
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return str(tmp_path / "build_sizes")
+
+
+def test_partitioned_layout_and_pruning(spark, sink):
+    df = with_date_partition(spark.createDataFrame(rows(1, 10) + rows(2, 20)))
+    append_partitioned(df, sink)
+    assert sorted(
+        d for d in os.listdir(sink) if d.startswith("date=")
+    ) == ["date=2024-01-01", "date=2024-01-02"]
+    # date filter prunes to one partition directory
+    out = spark.read.parquet(sink).filter("date = '2024-01-01'")
+    assert out.count() == 2
+
+
+def test_upsert_replay_is_idempotent(spark, sink):
+    day1 = with_date_partition(spark.createDataFrame(rows(1, 10)))
+    upsert_partitions(day1, sink, key=["test", "board", "ts"])
+    upsert_partitions(day1, sink, key=["test", "board", "ts"])  # replay
+    assert spark.read.parquet(sink).count() == 2  # not 4
+
+
+def test_upsert_overwrites_only_its_partition(spark, sink):
+    upsert_partitions(
+        with_date_partition(spark.createDataFrame(rows(1, 10))),
+        sink,
+        key=["test", "board", "ts"],
+    )
+    upsert_partitions(
+        with_date_partition(spark.createDataFrame(rows(2, 20))),
+        sink,
+        key=["test", "board", "ts"],
+    )
+    # re-run day 2 with corrected values; day 1 must be untouched
+    upsert_partitions(
+        with_date_partition(spark.createDataFrame(rows(2, 99))),
+        sink,
+        key=["test", "board", "ts"],
+    )
+    # partition-column type inference reads date=2024-01-01 back as DateType
+    got = {
+        (str(r.date), r.board): r.text for r in spark.read.parquet(sink).collect()
+    }
+    assert got[("2024-01-01", "b1")] == 10
+    assert got[("2024-01-02", "b1")] == 99
+    assert len(got) == 4
+
+
+def test_upsert_dedupes_batch_on_key(spark, sink):
+    dup = spark.createDataFrame(rows(1, 10) + rows(1, 10))
+    upsert_partitions(with_date_partition(dup), sink, key=["test", "board", "ts"])
+    assert spark.read.parquet(sink).count() == 2
