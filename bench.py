@@ -36,8 +36,10 @@ HEADLINE = [
     "g3_gap_fill",
     "g4_percentiles",
     "g5_daily_delta",
+    "q1_pricing_summary",
     "j1_lineitem_orders",
     "j2_orders_by_region",
+    "j_salted_skew",
     "j3_delta_new_orders",
     "j4_asof_purchase_signup",
     "o2_dedup_latest",

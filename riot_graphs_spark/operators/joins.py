@@ -48,3 +48,35 @@ def delta_new_rows(
     """
     keys = [key] if isinstance(key, str) else list(key)
     return incoming.join(stored.select(*keys), on=keys, how="left_anti")
+
+
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the other.
+
+    A hot key (one board, one mega-customer) concentrates its rows in one
+    shuffle partition and serializes the stage. Salting splits each fact key
+    across ``salt_buckets`` random partitions and replicates the other side
+    ``salt_buckets``× so every (key, salt) pair still meets — restoring
+    parallelism at the cost of |other|·buckets replication, so use it when
+    ``other`` is dimension-sized but too big (or too hot) to broadcast.
+
+    AQE's skew-join handles *sort-merge* skew automatically; explicit salting
+    remains the tool when the skewed side must hash-partition (e.g. to feed a
+    downstream aggregation on the same key). Result equals the plain join
+    (oracle-checked by ``j_salted_skew``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
+    replicated = other.withColumn("_salt", salts)
+    return (
+        salted_fact.join(replicated, on=[*keys, "_salt"], how=how).drop("_salt")
+    )

@@ -1231,6 +1231,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# --------------------------------------------------------------------------
+# Skew-resistant join (salting) — result must equal the plain join
+# --------------------------------------------------------------------------
+@_q(
+    "j_salted_skew",
+    f"""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           l.l_extendedprice * (1 - l.l_discount) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    return salted_join(li, orders, on="l_orderkey", salt_buckets=8).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing rollup — the canonical partial-aggregable scan-agg
+# --------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+             AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00")
+    )
+    # All money math in the decimal domain: the raw doubles are 2-decimal
+    # values, so the casts are unambiguous and every product/sum is EXACT —
+    # per-row double rounding (even round-then-cast) diverges between
+    # engines at the last ulp and fails the value-hash gate.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(3,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

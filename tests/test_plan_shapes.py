@@ -1,0 +1,79 @@
+"""Physical-plan regression tests (SURVEY §4): the scale properties —
+broadcast dimension joins, pushed-down time predicates, single-shuffle
+partial aggregation, shuffle-free signature computation — are asserted on
+``.explain`` output so a refactor that silently degrades the plan fails CI,
+not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from riot_graphs_spark.plans.driver_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def shuffle_count(plan: str) -> int:
+    # "(N) Exchange" = shuffle; BroadcastExchange is not a shuffle.
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_j2_broadcasts_every_dimension(spark):
+    plan = formatted_plan(spark, "j2_orders_by_region")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_p9_range_predicate_reaches_scan(spark):
+    plan = formatted_plan(spark, "p9_time_range")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(ts", plan)
+
+
+def test_a1_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "a1_last_of_day")
+    assert "partial_max_by" in plan  # map-side combine, not rank-then-filter
+    assert shuffle_count(plan) == 1
+
+
+def test_q1_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    plan = formatted_plan(spark, "dedup_minhash_signatures")
+    assert shuffle_count(plan) == 0  # row-local transform + array_min
+
+
+def test_simhash_is_shuffle_free(spark):
+    plan = formatted_plan(spark, "dedup_simhash")
+    assert shuffle_count(plan) == 0
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = formatted_plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side must not shuffle before scoring: the only Exchange is the
+    # final per-query window cut over (queries × k)-sized data
+    assert shuffle_count(plan) <= 1
+
+
+def test_scan_prunes_columns(spark):
+    plan = formatted_plan(spark, "text_token_count")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols  # pruned
