@@ -1,0 +1,174 @@
+"""Property-based tests (SURVEY §5 item 5, hypothesis): invariants that must
+hold for generated inputs, not just fixtures. Example counts are kept small —
+every example is a Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+import textwrap
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # series id
+        st.integers(min_value=0, max_value=96),  # hour offset
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def to_df(spark, events):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            Row(
+                series=f"s{s}",
+                ts=base + dt.timedelta(hours=h),
+                event_id=i,
+                value=v,
+            )
+            for i, (s, h, v) in enumerate(events)
+        ]
+    )
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_last_per_bucket_picks_unique_max(spark, events):
+    """A1: exactly one row per (day, series), and it is the argmax of
+    (ts, event_id) among that bucket's inputs."""
+    from riot_graphs_spark.operators.timeseries import last_per_bucket
+
+    df = to_df(spark, events)
+    out = last_per_bucket(
+        df, ts="ts", dims=["series"], payload=["event_id", "value"], tiebreak="event_id"
+    ).collect()
+
+    expected: dict = {}
+    for i, (s, h, v) in enumerate(events):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        key = (ts.date().isoformat(), f"s{s}")
+        if key not in expected or (ts, i) > expected[key][0]:
+            expected[key] = ((ts, i), v)
+    got = {(r.bucket.date().isoformat(), r.series): (r.event_id, r.value) for r in out}
+    assert len(out) == len(expected)
+    for key, ((_, i), v) in expected.items():
+        assert got[key] == (i, v)
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_bucketed_sums_total_to_global_sum(spark, events):
+    """G1: integer window sums partition the global sum, and counts total
+    the input size (partial aggregation loses nothing)."""
+    from riot_graphs_spark.operators.timeseries import time_bucket_agg
+
+    df = to_df(spark, events)
+    out = time_bucket_agg(
+        df,
+        ts="ts",
+        unit="hour",
+        dims=["series"],
+        aggs=[F.sum("value").alias("s"), F.count("*").alias("n")],
+    ).collect()
+    assert sum(r.s for r in out) == sum(v for _, _, v in events)
+    assert sum(r.n for r in out) == len(events)
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_gap_fill_forward_fills_exactly(spark, events):
+    """G3: full grid, NULL before a series' first bucket, and thereafter
+    every slot equals the latest bucketed value at or before it."""
+    from riot_graphs_spark.operators.timeseries import gap_fill_forward, time_bucket_agg
+
+    df = to_df(spark, events)
+    hourly = time_bucket_agg(
+        df,
+        ts="ts",
+        unit="hour",
+        dims=["series"],
+        aggs=[F.sum("value").alias("s")],
+    )
+    rows = hourly.collect()
+    out = gap_fill_forward(
+        hourly, ts="bucket", dims=["series"], values=["s"], step="INTERVAL 1 HOUR"
+    ).collect()
+
+    lo = min(r.bucket for r in rows)
+    hi = max(r.bucket for r in rows)
+    n_slots = int((hi - lo).total_seconds() // 3600) + 1
+    series = {r.series for r in rows}
+    assert len(out) == n_slots * len(series)
+
+    observed = {(r.series, r.bucket): r.s for r in rows}
+    for r in out:
+        at_or_before = [
+            v for (s, b), v in observed.items() if s == r.series and b <= r.bucket
+        ]
+        if not at_or_before:
+            assert r.s is None
+        else:
+            latest = max(
+                b for (s, b) in observed if s == r.series and b <= r.bucket
+            )
+            assert r.s == observed[(r.series, latest)]
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=12),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_greedy_wrap_matches_textwrap(spark, words):
+    """P13: the Catalyst fold equals textwrap.wrap for inputs whose words
+    fit the width (the reference's PR-title case)."""
+    from riot_graphs_spark.functions.scalars import greedy_wrap
+
+    text = " ".join(words)
+    out = (
+        spark.createDataFrame([Row(t=text)])
+        .select(greedy_wrap("t", width=12).alias("w"))
+        .collect()[0]
+        .w
+    )
+    assert out == "<br>".join(textwrap.wrap(text, 12))
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=60), min_size=1, max_size=10
+    )
+)
+def test_minhash_signature_depends_only_on_shingle_set(spark, texts):
+    """Dedup: an exact duplicate doc gets an identical signature row set
+    (the property LSH bucketing relies on)."""
+    from riot_graphs_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        + [Row(doc_id=1000 + i, text=t) for i, t in enumerate(texts)]
+    )
+    sig = minhash_signatures(docs).collect()
+    by_doc: dict = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.j] = r.minhash
+    for i in range(len(texts)):
+        assert by_doc.get(i) == by_doc.get(1000 + i)
