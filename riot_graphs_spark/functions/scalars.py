@@ -83,8 +83,12 @@ def greedy_wrap(col: Column | str, width: int = 32, sep: str = "<br>") -> Column
 
 
 def parse_iso_offset(col: Column | str) -> Column:
-    """P6 — parse ``%Y-%m-%d %H:%M:%S %z`` git-log dates (reference ``rg.py:220``)."""
-    return F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss Z")
+    """P6 — parse ``%Y-%m-%d %H:%M:%S %z`` git-log dates (reference ``rg.py:220``).
+
+    ``try_to_timestamp``: total under ANSI mode — malformed dates yield NULL
+    (the reference's strptime raises; SURVEY §7 step 5 hardening)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss Z"))
 
 
 def parse_rfc2822(col: Column | str) -> Column:
@@ -100,7 +104,7 @@ def parse_rfc2822(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
-    return F.to_timestamp(stripped, "dd MMM yyyy HH:mm:ss zzz")
+    return F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss zzz"))
 
 
 def anchored_day(ts: Column | str, anchor_hours: int = 3) -> Column:

@@ -151,3 +151,25 @@ def test_build_sizes_idempotent_rerun(spark, sizes_raw):
     once = build_sizes_from_raw(sizes_raw)
     twice = build_sizes_from_raw(sizes_raw.unionByName(sizes_raw))
     assert once.count() == twice.count()  # O2: replay-safe on (test, board, ts)
+
+
+def test_parse_commit_log_total(spark):
+    """S4: unit-separator split + %z date parse; malformed lines dropped
+    instead of raising (reference rg.py:211-223 splits in Python and
+    strptime raises on bad dates)."""
+    from riot_graphs_spark.sources.commits import parse_commit_log
+
+    lines = spark.createDataFrame(
+        [
+            Row(value="abc123\x1f2024-01-05 12:30:00 +0100\x1fMerge pull request #7 from x"),
+            Row(value="short-line-no-separators"),
+            Row(value="def456\x1fnot-a-date\x1fsubject"),
+            Row(value="ghi789\x1f2024-01-06 00:15:00 +0000\x1fsubject \x1f with extra sep"),
+        ]
+    )
+    out = {r.hash: r for r in parse_commit_log(lines).collect()}
+    assert set(out) == {"abc123", "ghi789"}
+    # +0100 offset normalized to UTC (session tz)
+    assert out["abc123"].date == dt.datetime(2024, 1, 5, 11, 30)
+    # limit=3 keeps extra separators inside the subject
+    assert out["ghi789"].msg == "subject \x1f with extra sep"
