@@ -60,17 +60,23 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """Exact near-normalized dedup: md5 fingerprint of whitespace-normalized
     lowercase text → per-doc canonical id (min id in group) + group size.
-    One hash-keyed shuffle; at 100 TB this is the cheapest first pass and
-    removes the bulk of crawl duplication before any fuzzy stage.
+
+    Window-over-fingerprint form: ONE scan (the md5 is computed once) and
+    ONE hash shuffle — the groupBy+join-back form scans and re-hashes the
+    corpus twice. At 100 TB this is the cheapest first pass and removes the
+    bulk of crawl duplication before any fuzzy stage.
     """
+    from pyspark.sql import Window
+
     from .textstats import fingerprint
 
     fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
-    groups = fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
-    )
-    return fp.join(groups, on="fingerprint").select(
-        id_col, "fingerprint", "canonical_id", "group_size"
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        id_col,
+        "fingerprint",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
     )
 
 
