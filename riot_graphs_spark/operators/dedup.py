@@ -31,20 +31,76 @@ def words(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    w = words(text)
-    count = F.size(w) - (n - 1)
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-    )
+    """Distinct word n-gram shingles of a document (string form — used where
+    the actual shingle text matters, e.g. Jaccard verification). The token
+    array is bound once via :func:`bind_array`; referencing it per-position
+    through projection collapse would re-tokenize per shingle (quadratic).
+    """
+
+    def make(w: Column) -> Column:
+        count = F.size(w) - (n - 1)
+        idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+        )
+
+    return bind_array(words(text), make)
 
 
 def hash56(s: Column) -> Column:
     """First 56 bits of md5 as a BIGINT — portable to the SQL oracle."""
     return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
+
+
+#: Shingle-hash composition base (prime; B² < 2^31 keeps h·B² < 2^63).
+SHINGLE_B = 40009
+SHINGLE_B2 = SHINGLE_B * SHINGLE_B
+
+
+def bind_array(arr: Column, fn) -> Column:
+    """Evaluate ``arr`` exactly once and hand it to ``fn`` as a higher-order
+    lambda variable.
+
+    Catalyst's projection collapse INLINES a referenced expression at every
+    use site — an expression referenced per element of a ``transform``
+    lambda is re-evaluated per element, turning linear array ops quadratic
+    (measured 35 s vs 2 s on the MinHash path at sf0.1). Wrapping the array
+    as the sole element of ``transform(array(arr), fn)`` makes every inner
+    reference a lambda-variable lookup instead.
+    """
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
+def composed_shingle_hashes(word_hashes: Column, n: int = 3) -> Column:
+    """Distinct hashes of the word n-gram shingles, WITHOUT materializing
+    shingle strings: compose ``(h_i·B² + h_{i+1}·B + h_{i+2}) mod P`` per
+    position over the per-word hash array.
+
+    Building ~L shingle *strings* per doc (slice + join, ≈3× the text
+    volume in allocations) dominates MinHash cost; hash composition is pure
+    integer math. Each product stays < 2^63 (h < 2^32, B² < 2^31) and the
+    identical arithmetic runs in the DuckDB oracle. The hash array is bound
+    once via :func:`bind_array` — see its docstring for why that matters.
+    """
+
+    def make(hw: Column) -> Column:
+        count = F.size(hw) - (n - 1)
+        idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def combine(i: Column) -> Column:
+            acc = F.lit(0).cast("long")
+            for k in range(n):
+                weight = SHINGLE_B ** (n - 1 - k)
+                acc = acc + (F.element_at(hw, i + k) * F.lit(weight)) % MINHASH_P
+            return acc % MINHASH_P
+
+        return F.array_distinct(F.transform(idx, combine))
+
+    return bind_array(word_hashes, make)
 
 
 def hash32(s: Column) -> Column:
@@ -101,12 +157,10 @@ def _minhash_wide(
     Docs with no shingles (< n words) are dropped, matching the exploded
     relational form.
     """
+    word_hashes = F.transform(words(text_col), lambda t: hash32(t))
     with_h = docs.select(
         F.col(id_col),
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: hash56(s) % MINHASH_P,
-        ).alias("_h2s"),
+        composed_shingle_hashes(word_hashes, shingle_n).alias("_h2s"),
     ).filter(F.size("_h2s") > 0)
     def perm(j: int):
         # closure, NOT a default arg: pyspark dispatches higher-order lambdas

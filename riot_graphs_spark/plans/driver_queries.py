@@ -532,14 +532,24 @@ _DUCK_SHINGLES = (
     "list_distinct([array_to_string(words[i:i+2], ' ') "
     "for i in range(1, len(words) - 1)])"
 )
+#: Shingle hash = composition of per-word md5-32 hashes
+#: (h_i·B² + h_{i+1}·B + h_{i+2}) mod P with B=40009 — identical arithmetic
+#: to operators.dedup.composed_shingle_hashes (no shingle strings built).
 _DUCK_MINHASH = f"""
     docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
-    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM docs),
-    hs AS (SELECT doc_id,
-                  ('0x' || substr(md5(shingle), 1, 14))::BIGINT % 1000000007 AS h2
-           FROM sh),
+    wh AS (SELECT doc_id,
+                  list_transform(words,
+                    w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hw
+           FROM docs),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([
+                    (hw[i]*1600720081 % 1000000007
+                     + hw[i+1]*40009 % 1000000007
+                     + hw[i+2]) % 1000000007
+                    for i in range(1, len(hw) - 1)])) AS h2
+           FROM wh),
     ex AS (SELECT doc_id, j, ((2*j+3)*h2 + 7919*j + 13) % 1000000007 AS hv
-           FROM hs, (SELECT unnest(range(0, 16)) AS j)),
+           FROM sh, (SELECT unnest(range(0, 16)) AS j)),
     sig AS (SELECT doc_id, j, min(hv) AS minhash FROM ex GROUP BY doc_id, j)
 """
 
