@@ -323,6 +323,9 @@ def simhash_signatures(
     (doc × token × bit) relational form (the oracle's shape) would shuffle
     32× the token count; this form shuffles nothing.
     """
+    # The 32 bit terms all reference _hs in one projection — runtime
+    # subexpression elimination evaluates the tokenize+hash once (wrapping
+    # in bind_array would defeat CSE: HOFs are CodegenFallback).
     hs = docs.select(
         F.col(id_col),
         F.transform(words(text_col), lambda t: hash32(t)).alias("_hs"),
@@ -338,7 +341,6 @@ def simhash_signatures(
         ).otherwise(F.lit(0).cast("long"))
 
     sig = sum((bit_term(b) for b in range(bits)), F.lit(0).cast("long"))
-    # Empty token list → every sign-sum is 0 → simhash 0, same as the
-    # relational form's absent-row… except that form drops the doc; keep
-    # parity by dropping docs with no tokens here too.
+    # Empty token list → simhash 0, but the exploded relational form drops
+    # the doc (unnest of empty) — keep parity by dropping here too.
     return hs.filter(n_tok > 0).select(id_col, sig.alias("simhash"))

