@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality_scores",
     "text_top_terms",
+    "corpus_select",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]

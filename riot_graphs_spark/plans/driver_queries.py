@@ -667,7 +667,10 @@ def _duck_stoplist(wordlist) -> str:
     return "[" + ", ".join(f"'{w}'" for w in wordlist) + "]"
 
 
-def _langid_oracle() -> str:
+def _langid_fold() -> tuple[str, str]:
+    """(score_cols, best_lang) SQL fragments replicating
+    textstats.predict_lang: per-language profile-hit counts over a ``toks``
+    column, then the argmax fold (earliest lang wins ties)."""
     from ..operators.textstats import LANG_PROFILES
 
     langs = sorted(LANG_PROFILES)
@@ -676,7 +679,6 @@ def _langid_oracle() -> str:
         f" AS score_{lang}"
         for lang in langs
     )
-    # Fold replicating textstats.predict_lang: argmax, earliest lang wins ties.
     best_lang, best_score = f"'{langs[0]}'", f"score_{langs[0]}"
     for lang in langs[1:]:
         best_lang = (
@@ -685,6 +687,11 @@ def _langid_oracle() -> str:
         best_score = (
             f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} ELSE {best_score} END"
         )
+    return score_cols, best_lang
+
+
+def _langid_oracle() -> str:
+    score_cols, best_lang = _langid_fold()
     return f"""
     WITH toks_t AS (
       SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -1306,6 +1313,62 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(disc_price).cast("double").alias("sum_disc_price"),
         F.sum(charge).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composite: training-corpus selection (quality + lang-ID + exact dedup in
+# ONE plan — the end-to-end curation pipeline, plans/corpus.py)
+# --------------------------------------------------------------------------
+def _corpus_oracle() -> str:
+    score_cols, best_lang = _langid_fold()
+    stoplist = _duck_stoplist(
+        ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text, toks,
+           {score_cols}
+      FROM base
+    ), stats AS (
+      SELECT *,
+             len(toks)::BIGINT AS n_tokens,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / len(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, tk -> list_contains({stoplist}, tk)))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM scored
+    ), qq AS (
+      SELECT *,
+             greatest(
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+               + least(stopword_ratio * 2, 0.3)
+               - least(punct_ratio * 5, 0.2), 0.0) AS quality_score,
+             {best_lang} AS predicted_lang,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM stats
+    ), canon AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id FROM qq
+    )
+    SELECT doc_id, lang, predicted_lang, n_tokens, quality_score
+    FROM canon
+    WHERE quality_score >= 0.5 AND predicted_lang = 'en' AND doc_id = canonical_id
+    """
+
+
+@_q("corpus_select", _corpus_oracle())
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import select_training_corpus
+
+    return select_training_corpus(
+        _t(spark, sf_dir, "documents"), lang="en", min_quality=0.5
     )
 
 

@@ -99,3 +99,50 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     # emitted must agree with batch, and most windows should have closed.
     assert diff.count() == 0
     assert got.count() >= expected.count() - 25  # open tail windows may be held back
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """O6 in streaming: the same session_windows operator body runs under a
+    watermark with availableNow — batch/stream operator sharing (SURVEY §7
+    step 4)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.timeseries import session_windows
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 10, 0), value=1.0),
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 10, 10), value=2.0),
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1, 12, 0), value=3.0),  # new session
+        Row(user_id=2, ts=dt.datetime(2024, 1, 1, 10, 5), value=4.0),
+    ]
+    src = str(tmp_path / "sessions_src")
+    df = spark.createDataFrame(rows)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        session_windows(
+            stream.withWatermark("ts", "1 hour"),
+            ts="ts",
+            dims=["user_id"],
+            gap="30 minutes",
+            aggs=[F.count("*").alias("n_events")],
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.hour): r.n_events
+        for r in spark.table("sessions_out").collect()
+    }
+    # The watermark has passed the first two sessions; the 12:00 one may be
+    # withheld as open. Closed sessions must be exact.
+    assert got[(1, 10)] == 2
+    assert got[(2, 10)] == 1
