@@ -1372,6 +1372,34 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Grouping sets / rollup — multi-level dashboard totals in one pass
+# --------------------------------------------------------------------------
+@_q(
+    "g1_rollup_totals",
+    f"""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 10)
+    """,
+)
+def g1_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, user-bucket), per-type, and grand totals in ONE pass —
+    ``rollup`` plans as a single expand+aggregate (partial-aggregable), not
+    three queries; the Grafana multi-panel totals idiom."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
