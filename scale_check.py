@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scale-linearity check: run representative operators on 1× and 10× the
+sf0.1 input (10× = union of ten scans — 10× scan rows and 10× shuffle
+volume) and report the wall-time ratio.
+
+A ratio ≲ 10 on every operator is evidence the plan scales linearly in
+input size (no quadratic blowup, no driver-side collection); ratios well
+under 10 mean the 1× run was overhead-dominated and cores were idle.
+Prints one JSON line. Not part of bench.py — run ad hoc.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.operators.timeseries import (
+    last_per_bucket,
+    time_bucket_agg,
+)
+from riot_graphs_spark.plans.flagship import daily_last_value_delta
+from riot_graphs_spark.session import get_spark
+from riot_graphs_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+
+def scaled(df, copies):
+    out = df
+    for _ in range(copies - 1):
+        out = out.unionByName(df)
+    return out
+
+
+def run(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="riot-graphs-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    events = load_table(spark, SF_DIR, "events")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+
+    cases = {
+        "flagship_daily_delta": lambda ev, li: daily_last_value_delta(ev),
+        "a1_last_of_day": lambda ev, li: last_per_bucket(
+            ev, ts="ts", dims=["user_id"],
+            payload=["event_id", "event_type", "value"], tiebreak="event_id",
+        ),
+        "g1_hourly_agg": lambda ev, li: time_bucket_agg(
+            ev, ts="ts", unit="hour", dims=["event_type"],
+            aggs=[F.count("*").alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)")).alias("s")],
+        ),
+        "q1_pricing": lambda ev, li: li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        ),
+    }
+
+    report = {}
+    for name, fn in cases.items():
+        fn(events, lineitem).write.format("noop").mode("overwrite").save()  # warm
+        t1 = run(fn(events, lineitem))
+        tn = run(fn(scaled(events, COPIES), scaled(lineitem, COPIES)))
+        report[name] = {"t1x": t1, f"t{COPIES}x": tn, "ratio": round(tn / t1, 1)}
+
+    print(json.dumps({"copies": COPIES, "sf_dir": SF_DIR, "cases": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

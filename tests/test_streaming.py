@@ -146,3 +146,30 @@ def test_streaming_session_windows(spark, tmp_path):
     # withheld as open. Closed sessions must be exact.
     assert got[(1, 10)] == 2
     assert got[(2, 10)] == 1
+
+
+def test_corrupt_json_lands_in_corrupt_record(spark, tmp_path):
+    """P11: PERMISSIVE JSON parsing — malformed CI documents survive the
+    scan with NULL fields + populated _corrupt_record instead of failing
+    the job (the batch analogue of the reference's non-200 tolerance,
+    rg.py:100-104)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from riot_graphs_spark.schemas import SIZES_RAW
+
+    path = tmp_path / "landing"
+    path.mkdir()
+    good = '{"ts": "2024-01-01 04:00:00", "sha": "aaa", "sizes": {"t": {"b": {"bss": 1, "text": 2, "data": 3}}}}'
+    bad = '{"ts": "2024-01-01 04:00:00", "sha": "bbb", "sizes": {TRUNCATED'
+    (path / "docs.json").write_text(good + "\n" + bad + "\n")
+
+    schema = StructType(
+        [*SIZES_RAW.fields, StructField("_corrupt_record", StringType())]
+    )
+    # cache first: Spark disallows querying only _corrupt_record from the
+    # raw file scan
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(path)).cache()
+    ok = df.filter(F.col("_corrupt_record").isNull())
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    assert ok.count() == 1 and ok.collect()[0].sha == "aaa"
+    assert corrupt.count() == 1  # quarantined, job not failed
