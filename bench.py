@@ -77,11 +77,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Best of 2 runs per query: a single pass is hostage to host contention
+    # spikes (observed up to ~1.7× run-to-run variance); min-of-2 reports
+    # what the plan costs rather than what the neighbors were doing.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

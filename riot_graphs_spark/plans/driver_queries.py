@@ -1400,6 +1400,34 @@ def g1_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Data profiling — per-column stats in one pass (pipeline health checks)
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS "column", count({c}) AS n,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c})::VARCHAR AS min_value,
+               max({c})::VARCHAR AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@_q("profile_orders", _profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
