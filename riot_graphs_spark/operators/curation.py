@@ -1,0 +1,214 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/similarity (SURVEY §7 step 7 extension surface): PII
+redaction, benchmark-contamination checks, stratified deterministic
+sampling, mixture reweighting, and token-budget sequence packing.
+
+All pure Catalyst expressions (regex, windows, joins) — no UDFs — so every
+operator runs inside whole-stage codegen and admits partial aggregation.
+Patterns stay in the Java-regex ∩ RE2 common subset so the DuckDB oracles
+can run the identical regexes.
+
+Scale posture: redaction/packing are per-row or per-partition-window ops
+(no shuffle beyond the window key); contamination broadcasts the small
+eval side; sampling is a deterministic hash filter that pushes to the
+scan. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash56, word_shingles
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+#: (pattern, replacement) in application order. Patterns are anchored with
+#: \b (ASCII word boundary — same meaning in Java regex and RE2). SSN
+#: (3-2-4) is disjoint from phone (3-3-4), and IPv4 needs three dots, so
+#: order only matters for emails (redacted first so the local part's
+#: digits can't be half-eaten by later rules).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> tuple[Column, Column]:
+    """Returns ``(clean_text, n_redacted)``: the text with every PII match
+    replaced by its typed tag, and the total number of redactions.
+
+    Counting happens against the *running* text (after the previous rules
+    fired), matching what actually got replaced — so an email whose digits
+    also look phone-ish is counted exactly once.
+    """
+    clean = F.col(text) if isinstance(text, str) else text
+    counts: list[Column] = []
+    for pat, tag in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(clean, F.lit(pat), 0)))
+        clean = F.regexp_replace(clean, pat, tag)
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    return clean, n.cast("long")
+
+
+def redact_pii_df(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    clean, n = redact_pii(text_col)
+    return df.withColumn(out_col, clean).withColumn("n_redacted", n)
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check
+# --------------------------------------------------------------------------
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: int = 1,
+) -> DataFrame:
+    """Per training doc: how many distinct word ``n``-grams it shares with
+    ANY doc of the (small) eval/benchmark set, plus a ``contaminated``
+    flag at ``threshold`` shared n-grams.
+
+    Plan shape for 100 TB: the eval side is exploded and distinct-ed
+    (tiny), then **broadcast** into the train-side explode — one scan of
+    the training corpus, no shuffle on the big side until the final
+    per-doc count (keyed on ``id_col``, partial-aggregable). Joining on
+    the shingle *string* keeps the check exact; at petabyte scale swap in
+    :func:`~riot_graphs_spark.operators.dedup.hash56` of the shingle to
+    shrink the broadcast.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(text_col, n=n)).alias("_gram")
+        ).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("_gram")
+    )
+    shared = (
+        train_grams.join(F.broadcast(eval_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+def stratified_hash_sample(
+    df: DataFrame,
+    rates_per_mille: Mapping[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction: row survives iff
+    ``hash56(key) % 1000 < rate[stratum]``. Same key → same verdict on
+    every run and every engine (md5-based hash, no RNG), which is what
+    makes a 100 TB sampling job re-runnable and auditable. The filter is
+    a pure row predicate — no shuffle, evaluated at the scan.
+    """
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates_per_mille.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    bucket = hash56(F.col(key_col).cast("string")) % 1000
+    return df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture reweighting
+# --------------------------------------------------------------------------
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str = "lang",
+    target_shares: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Per-stratum resampling weights to morph the corpus mixture into a
+    target distribution: ``weight = target_share / actual_share``. With no
+    target given, uniform across observed strata.
+
+    One partial-aggregable groupBy; the total comes from a window over the
+    (tiny, #strata-row) aggregate — no second scan of the corpus.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    if target_shares is None:
+        n_strata = F.count(F.lit(1)).over(Window.partitionBy())
+        target = F.lit(1.0) / n_strata
+    else:
+        target = F.lit(None).cast("double")
+        for stratum, share in sorted(target_shares.items()):
+            target = F.when(
+                F.col(strata_col) == stratum, F.lit(float(share))
+            ).otherwise(target)
+    actual = F.col("n") / total
+    return counts.select(
+        strata_col,
+        "n",
+        actual.alias("actual_share"),
+        target.alias("target_share"),
+        (target / actual).alias("weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget sequence packing
+# --------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc to a fixed-token-budget pack: docs are laid out in
+    ``order_col`` order within ``part_col``, and a doc belongs to the pack
+    where its first token lands (``floor(tokens_before / budget)``), with
+    ``pack_offset`` its start position inside that pack.
+
+    This is the streaming-concat packing used to build fixed-length
+    training sequences (docs may straddle a boundary; the tokenizer's
+    chunker handles the split downstream). Integer window arithmetic —
+    bit-exact on every engine, ONE shuffle on ``part_col``, state O(1)
+    per partition. Greedy first-fit packing (no straddling) is
+    deliberately not used: it needs sequential bin state that doesn't
+    parallelize, and at 100 TB the ~1 doc-per-pack boundary waste of this
+    form is noise.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.select(
+        part_col,
+        order_col,
+        F.col(token_col),
+        F.floor(before / budget).alias("pack_id"),
+        (before % budget).alias("pack_offset"),
+    )

@@ -1428,6 +1428,156 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(_t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
 
 
+# --------------------------------------------------------------------------
+# Corpus curation: PII redaction, contamination, sampling, mixing, packing
+# --------------------------------------------------------------------------
+#: Deterministic PII injected into the synthetic docs so the redaction
+#: regexes are genuinely exercised (the fixture text contains none).
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' reach u', cast(doc_id as string), "
+    "'@mail.example.com ip 10.0.', cast(doc_id % 256 as string), "
+    "'.7 ssn 123-45-6789 tel 555-867-5309')"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' reach u' || doc_id::VARCHAR || "
+    "'@mail.example.com ip 10.0.' || (doc_id % 256)::VARCHAR || "
+    "'.7 ssn 123-45-6789 tel 555-867-5309'"
+)
+
+
+def _pii_oracle() -> str:
+    from ..operators.curation import PII_PATTERNS
+
+    # Sequential semantics: each rule counts matches in (and rewrites) the
+    # output of the previous rule — identical to operators.curation.redact_pii.
+    sql = f"WITH s0 AS (SELECT doc_id, {_PII_SUFFIX_DUCK} AS t0 FROM documents)"
+    for i, (pat, tag) in enumerate(PII_PATTERNS):
+        # DuckDB single-quoted strings are backslash-literal — pass the
+        # regex through untouched, only SQL-escape quotes.
+        esc = pat.replace("'", "''")
+        carry = "".join(f"c{j}, " for j in range(i))
+        sql += f""",
+    s{i + 1} AS (
+      SELECT doc_id, {carry}
+             regexp_replace(t{i}, '{esc}', '{tag}', 'g') AS t{i + 1},
+             len(regexp_extract_all(t{i}, '{esc}', 0)) AS c{i}
+      FROM s{i})"""
+    n = len(PII_PATTERNS)
+    total = " + ".join(f"c{i}" for i in range(n))
+    return (
+        sql
+        + f" SELECT doc_id, t{n} AS clean_text, ({total})::BIGINT AS n_redacted"
+        f" FROM s{n}"
+    )
+
+
+@_q("pii_redact", _pii_oracle())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("dirty")
+    )
+    clean, n = redact_pii("dirty")
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), n.alias("n_redacted")
+    )
+
+
+@_q(
+    "contamination_check",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    grams AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM docs),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0),
+    shared AS (
+      SELECT tr.doc_id, count(*) AS n_shared_ngrams
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_shared_ngrams, 0) AS n_shared_ngrams,
+           coalesce(s.n_shared_ngrams, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN shared s USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import contamination_check as check
+
+    docs = _t(spark, sf_dir, "documents")
+    return check(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        threshold=5,
+    )
+
+
+_SAMPLE_RATES = {"en": 150, "de": 400, "es": 400, "fr": 400, "zh": 400}
+
+
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000
+             AS sample_bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000
+          < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items()))} ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(docs, _SAMPLE_RATES)
+
+
+@_q(
+    "mixture_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT lang, n,
+           n::DOUBLE / sum(n) OVER () AS actual_share,
+           1.0 / count(*) OVER () AS target_share,
+           (1.0 / count(*) OVER ()) / (n::DOUBLE / sum(n) OVER ()) AS weight
+    FROM c
+    """,
+)
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           before // 512 AS pack_id, before % 512 AS pack_offset
+    FROM w
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, token_col="n_tokens")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

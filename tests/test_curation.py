@@ -1,0 +1,92 @@
+"""Curation operators: PII redaction, contamination, sampling, packing.
+Edge cases the sf-scale oracle sweep can't isolate: overlap between PII
+rules, boundary-straddling docs, empty strata."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.operators.curation import (
+    contamination_check,
+    pack_sequences,
+    redact_pii_df,
+    stratified_hash_sample,
+)
+
+
+def test_redact_pii_all_types_counted_once(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text=(
+                    "mail bob.smith+x@corp.example.org host 192.168.1.1 "
+                    "ssn 123-45-6789 call 555-867-5309 ok"
+                ),
+            ),
+            Row(doc_id=2, text="nothing sensitive here 42"),
+        ]
+    )
+    out = {r.doc_id: r for r in redact_pii_df(df).collect()}
+    assert (
+        out[1].clean_text
+        == "mail <EMAIL> host <IP> ssn <SSN> call <PHONE> ok"
+    )
+    assert out[1].n_redacted == 4
+    assert out[2].clean_text == out[2].text and out[2].n_redacted == 0
+
+
+def test_redact_pii_email_digits_not_double_counted(spark):
+    # the email's local part looks phone-ish; the email rule must consume
+    # it first so later rules see only the <EMAIL> tag
+    df = spark.createDataFrame([Row(doc_id=1, text="x 555-867-5309@example.com y")])
+    row = redact_pii_df(df).collect()[0]
+    assert row.clean_text == "x <EMAIL> y"
+    assert row.n_redacted == 1
+
+
+def test_pack_sequences_straddles_boundary(spark):
+    rows = [Row(lang="en", doc_id=i, n=300) for i in range(1, 5)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, budget=512, token_col="n").collect()
+    }
+    # cumulative-before: 0, 300, 600, 900 → packs 0,0,1,1
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (1, 388)}
+
+
+def test_pack_sequences_partitions_independent(spark):
+    df = spark.createDataFrame(
+        [Row(lang="en", doc_id=1, n=600), Row(lang="de", doc_id=2, n=600)]
+    )
+    got = pack_sequences(df, budget=512, token_col="n").collect()
+    assert all(r.pack_id == 0 and r.pack_offset == 0 for r in got)
+
+
+def test_stratified_sample_deterministic_and_rate_zero(spark, sf_dir):
+    from riot_graphs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 500, "de": 0}
+    a = stratified_hash_sample(docs, rates).orderBy("doc_id").collect()
+    b = stratified_hash_sample(docs, rates).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
+    assert all(r.lang == "en" for r in a)  # de rate 0, others default 0
+
+
+def test_contamination_exact_and_clean(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),  # shares with eval
+            Row(doc_id=2, text="zip zap zop quux nope"),  # disjoint
+        ]
+    )
+    ev = spark.createDataFrame([Row(doc_id=9, text="alpha beta gamma epsilon")])
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.contaminated)
+        for r in contamination_check(train, ev, threshold=1).collect()
+    }
+    assert got[1] == (1, True)  # 'alpha beta gamma' is the shared 3-gram
+    assert got[2] == (0, False)
