@@ -58,6 +58,12 @@ HEADLINE = [
     "corpus_select",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "q3_shipping_priority",
+    "pii_redact",
+    "contamination_check",
+    "sample_stratified",
+    "pack_sequences",
+    "profile_orders",
 ]
 
 

@@ -1578,6 +1578,56 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=512, token_col="n_tokens")
 
 
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + agg + deterministic top-k.
+# Exercises Catalyst join reordering + AQE broadcast of the filtered
+# customer dim; revenue sums in the decimal domain (see q1 note).
+# --------------------------------------------------------------------------
+_Q3_CUT = "1998-06-01 00:00:00"
+
+
+@_q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           (sum((l_extendedprice::DECIMAL(12,2)) *
+                (1 - l_discount::DECIMAL(3,2))))::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUT)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUT)
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
