@@ -44,3 +44,45 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             "(column, n, n_null, n_distinct, min_value, max_value)"
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Row-level diff between two snapshots of a table: one row per key
+    that was ``added``, ``removed``, or ``changed`` (same key, any non-key
+    column differs). Unchanged rows are dropped — at 100 TB the diff is
+    the small output, so emitting only it keeps the shuffle write bounded
+    by churn, not table size.
+
+    One full-outer sort-merge join on the key; non-key comparison goes
+    through a per-side md5 of the canonicalized remaining columns, computed
+    before the join so the comparison is a cheap string equality.
+    """
+    value_cols = [c for c in old.columns if c not in key_cols]
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        # coalesce to a sentinel: concat_ws silently drops nulls, which
+        # would make ('a', NULL, 'b') collide with ('a', 'b', NULL)
+        row_hash = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in value_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, row_hash.alias(f"_h_{side}"))
+
+    joined = hashed(old, "old").join(hashed(new, "new"), list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

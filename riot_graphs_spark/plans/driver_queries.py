@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import anchored_day, html_pr_anchor
@@ -1625,6 +1625,110 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff, pivot, decile binning — table-health / reshaping surface
+# --------------------------------------------------------------------------
+#: Deterministic synthetic churn over orders: %11 keys exist only in the
+#: new snapshot (added), %13 only in the old (removed), %17 get a value
+#: edit (changed). Non-multiples of all three are unchanged and dropped.
+_OLD_ORDERS_SPARK = lambda df: df.filter(F.col("o_orderkey") % 11 != 0)  # noqa: E731
+_NEW_ORDERS_SPARK = lambda df: df.filter(F.col("o_orderkey") % 13 != 0).withColumn(  # noqa: E731
+    "o_orderpriority",
+    F.when(F.col("o_orderkey") % 17 == 0, F.lit("X-CHANGED")).otherwise(
+        F.col("o_orderpriority")
+    ),
+)
+
+
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (SELECT * FROM orders WHERE o_orderkey % 11 != 0),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'X-CHANGED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT * FROM (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                    OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                  THEN 'changed' END AS status
+      FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) WHERE status IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    return snapshot_diff(
+        _OLD_ORDERS_SPARK(orders), _NEW_ORDERS_SPARK(orders), ["o_orderkey"]
+    )
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@_q(
+    "pivot_source_lang",
+    f"""
+    SELECT source,
+           {", ".join(f"count(*) FILTER (lang = '{l}') AS {l}" for l in _PIVOT_LANGS)}
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent (source, lang) combos; counts mean 0
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in _PIVOT_LANGS],
+    )
+
+
+def _deciles_oracle() -> str:
+    quality = ORACLES["text_quality_scores"]
+    return f"""
+    WITH q AS ({quality})
+    SELECT d.lang, q.doc_id,
+           ntile(10) OVER (
+             PARTITION BY d.lang ORDER BY q.quality_score, q.doc_id
+           ) AS decile
+    FROM q JOIN documents d USING (doc_id)
+    """
+
+
+@_q("quality_deciles", _deciles_oracle())
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = quality_score(docs)
+    return scored.select(
+        "lang",
+        "doc_id",
+        F.ntile(10)
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("quality_score"), F.col("doc_id")
+            )
+        )
+        .alias("decile"),
     )
 
 

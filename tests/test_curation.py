@@ -90,3 +90,18 @@ def test_contamination_exact_and_clean(spark):
     }
     assert got[1] == (1, True)  # 'alpha beta gamma' is the shared 3-gram
     assert got[2] == (0, False)
+
+
+def test_snapshot_diff_null_shift_detected(spark):
+    from riot_graphs_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, a="a", b=None), Row(k=2, a="x", b="y"), Row(k=3, a="q", b="r")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, a=None, b="a"), Row(k=2, a="x", b="y"), Row(k=4, a="n", b="m")]
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1: same values in shifted positions with nulls — must read as changed,
+    # not unchanged (concat_ws would silently drop the nulls and collide)
+    assert got == {1: "changed", 3: "removed", 4: "added"}
