@@ -64,6 +64,9 @@ HEADLINE = [
     "sample_stratified",
     "pack_sequences",
     "profile_orders",
+    "snapshot_diff_orders",
+    "pivot_source_lang",
+    "quality_deciles",
 ]
 
 
