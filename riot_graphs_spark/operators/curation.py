@@ -139,6 +139,32 @@ def stratified_hash_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by hash order — the
+    per-domain cap rule (no domain may contribute more than k docs),
+    applied so the survivors are a deterministic uniform-ish sample rather
+    than whatever order the scan produced.
+
+    One window shuffle on ``group_col``; ties cannot happen (``key_col``
+    breaks them), so the result is stable across runs and engines. Skewed
+    giant domains are exactly the rows this drops, so the post-cap table
+    is also the skew fix for downstream joins on ``group_col``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash56(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Mixture reweighting
 # --------------------------------------------------------------------------

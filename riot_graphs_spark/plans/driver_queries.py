@@ -1513,6 +1513,27 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cap_per_source",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cap_per_group(docs, k=15)
+
+
 _SAMPLE_RATES = {"en": 150, "de": 400, "es": 400, "fr": 400, "zh": 400}
 
 

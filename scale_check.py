@@ -49,31 +49,56 @@ def run(df) -> float:
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
-    events = load_table(spark, SF_DIR, "events")
-    lineitem = load_table(spark, SF_DIR, "lineitem")
+    from riot_graphs_spark.operators.curation import (
+        contamination_check,
+        pack_sequences,
+    )
+    from riot_graphs_spark.operators.dedup import minhash_signatures
+    from riot_graphs_spark.operators.textstats import token_count
+
+    tables = {
+        t: load_table(spark, SF_DIR, t)
+        for t in ("events", "lineitem", "documents")
+    }
 
     cases = {
-        "flagship_daily_delta": lambda ev, li: daily_last_value_delta(ev),
-        "a1_last_of_day": lambda ev, li: last_per_bucket(
-            ev, ts="ts", dims=["user_id"],
+        "flagship_daily_delta": lambda t: daily_last_value_delta(t["events"]),
+        "a1_last_of_day": lambda t: last_per_bucket(
+            t["events"], ts="ts", dims=["user_id"],
             payload=["event_id", "event_type", "value"], tiebreak="event_id",
         ),
-        "g1_hourly_agg": lambda ev, li: time_bucket_agg(
-            ev, ts="ts", unit="hour", dims=["event_type"],
+        "g1_hourly_agg": lambda t: time_bucket_agg(
+            t["events"], ts="ts", unit="hour", dims=["event_type"],
             aggs=[F.count("*").alias("n"),
                   F.sum(F.col("value").cast("decimal(18,2)")).alias("s")],
         ),
-        "q1_pricing": lambda ev, li: li.groupBy("l_returnflag", "l_linestatus").agg(
+        "q1_pricing": lambda t: t["lineitem"].groupBy(
+            "l_returnflag", "l_linestatus"
+        ).agg(
             F.count("*").alias("n"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        ),
+        # curation family: row-local signature math, window packing, and a
+        # broadcast semi-join — the three plan shapes of the extension surface
+        "dedup_minhash_sigs": lambda t: minhash_signatures(t["documents"]),
+        "pack_sequences": lambda t: pack_sequences(
+            t["documents"].select(
+                "lang", "doc_id", token_count("text").alias("n_tokens")
+            ),
+            budget=512, token_col="n_tokens",
+        ),
+        "contamination_check": lambda t: contamination_check(
+            t["documents"].filter(F.col("doc_id") % 97 != 0),
+            t["documents"].filter(F.col("doc_id") % 97 == 0),
         ),
     }
 
     report = {}
     for name, fn in cases.items():
-        fn(events, lineitem).write.format("noop").mode("overwrite").save()  # warm
-        t1 = run(fn(events, lineitem))
-        tn = run(fn(scaled(events, COPIES), scaled(lineitem, COPIES)))
+        fn(tables).write.format("noop").mode("overwrite").save()  # warm
+        t1 = run(fn(tables))
+        big = {k: scaled(v, COPIES) for k, v in tables.items()}
+        tn = run(fn(big))
         report[name] = {"t1x": t1, f"t{COPIES}x": tn, "ratio": round(tn / t1, 1)}
 
     print(json.dumps({"copies": COPIES, "sf_dir": SF_DIR, "cases": report}))
