@@ -67,6 +67,8 @@ HEADLINE = [
     "snapshot_diff_orders",
     "pivot_source_lang",
     "quality_deciles",
+    "cap_per_source",
+    "sketch_stats",
 ]
 
 

@@ -1753,6 +1753,23 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered WITHOUT an oracle (rows-only driver check): sketches are
+# engine-specific approximations — Spark's HLL++ and DuckDB's approx_*
+# legitimately disagree. The exact twins (profile_orders, g4_percentiles,
+# g7_distinct_tags) carry the hash-checked semantics; this entry is the
+# 100 TB scale path where exact distinct/quantiles stop being affordable.
+@_q("sketch_stats")
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("nd_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("price_quantiles"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
