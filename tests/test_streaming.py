@@ -173,3 +173,46 @@ def test_corrupt_json_lands_in_corrupt_record(spark, tmp_path):
     corrupt = df.filter(F.col("_corrupt_record").isNotNull())
     assert ok.count() == 1 and ok.collect()[0].sha == "aaa"
     assert corrupt.count() == 1  # quarantined, job not failed
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """O2's pure-streaming form: dropDuplicatesWithinWatermark dedups
+    replayed (test, board, ts) points without a sink-side merge — state
+    stays bounded by the watermark horizon instead of growing forever."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        ("t", "native", "2024-01-01 04:00:00", 10),
+        ("t", "native", "2024-01-01 04:00:00", 10),  # exact replay
+        ("t", "esp32", "2024-01-01 04:00:00", 20),
+        ("t", "native", "2024-01-02 04:00:00", 11),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, ts, v) for a, b, ts, v in rows],
+        "test string, board string, ts_s string, text int",
+    ).select("test", "board", F.to_timestamp("ts_s").alias("ts"), "text")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "test string, board string, ts timestamp, text int"
+        )
+        .parquet(src)
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["test", "board", "ts"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.select("test", "board", "ts").distinct().count() == 3
