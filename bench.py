@@ -69,6 +69,7 @@ HEADLINE = [
     "quality_deciles",
     "cap_per_source",
     "sketch_stats",
+    "j5_range_join_ship_week",
 ]
 
 

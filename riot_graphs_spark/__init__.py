@@ -17,3 +17,30 @@ Layout (see SURVEY.md for the operator inventory these modules implement):
 """
 
 __version__ = "0.1.0"
+
+import sys as _sys
+
+
+def _register_pickle_by_value() -> None:
+    """Ship UDF closures by value, not by module reference.
+
+    Pandas-UDF kernels defined in this package (multimodal decode, text wrap,
+    stateful streaming) are serialized with cloudpickle. By default cloudpickle
+    pickles functions from an importable module *by reference*, which breaks on
+    executors whose Python workers don't have this repo on ``sys.path`` (an
+    external driver that ``sys.path.insert``s the repo only in its own process,
+    or a cluster without ``--py-files``). Registering the package for by-value
+    pickling makes every shipped closure self-contained, so no deploy-time
+    path configuration is required on the workers.
+    """
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        # Older cloudpickle without the API — fall back to requiring the
+        # package on the executor path (the pre-existing behavior).
+        pass
+
+
+_register_pickle_by_value()

@@ -1753,6 +1753,58 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# J5: banded range join — no equi-key, interval-overlap semantics
+# --------------------------------------------------------------------------
+@_q(
+    "j5_range_join_ship_week",
+    """
+    WITH iv AS (SELECT * FROM orders WHERE o_orderkey % 100 = 0),
+    m AS (
+      SELECT o.o_orderkey, count(*) AS n
+      FROM iv o JOIN lineitem l
+        ON l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      GROUP BY o.o_orderkey
+    )
+    SELECT o.o_orderkey, coalesce(m.n, 0) AS n_ship_in_week
+    FROM iv o LEFT JOIN m USING (o_orderkey)
+    """,
+)
+def j5_range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many lineitems (any order's) shipped inside each order's first
+    week — a pure interval×point join with no join key. The banded plan
+    hash-joins on the 7-day band instead of nested-loop comparing all
+    orders × all lineitems."""
+    from ..operators.rangejoin import interval_point_join
+
+    # sparse interval set: the matched-pair cardinality is
+    # |intervals| x (points per window), so the interval side of an
+    # interval-overlap report should be a dimension-sized selection
+    iv_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    orders = iv_orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("w_end"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate")
+    matched = interval_point_join(
+        orders, li, "w_start", "w_end", "l_shipdate", band_seconds=7 * 86400
+    )
+    counts = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        iv_orders.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey", F.coalesce("n", F.lit(0)).alias("n_ship_in_week")
+        )
+    )
+
+
 # Registered WITHOUT an oracle (rows-only driver check): sketches are
 # engine-specific approximations — Spark's HLL++ and DuckDB's approx_*
 # legitimately disagree. The exact twins (profile_orders, g4_percentiles,

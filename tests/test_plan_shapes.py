@@ -77,3 +77,12 @@ def test_scan_prunes_columns(spark):
     cols = m.group(1)
     assert "doc_id" in cols and "text" in cols
     assert "lang" not in cols and "source" not in cols  # pruned
+
+
+def test_j5_range_join_avoids_nested_loop(spark):
+    """The banded range join must plan as a hash/sort-merge join on the
+    band key — BroadcastNestedLoopJoin is the O(N*M) failure mode the
+    operator exists to avoid."""
+    plan = formatted_plan(spark, "j5_range_join_ship_week")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
