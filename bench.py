@@ -34,6 +34,7 @@ HEADLINE = [
     "a1_last_of_day",
     "g1_hourly_agg",
     "g3_gap_fill",
+    "g3_gap_fill_linear",
     "g4_percentiles",
     "g5_daily_delta",
     "q1_pricing_summary",

@@ -157,6 +157,63 @@ def gap_fill_forward(
     return joined.select(ts, *dims, *filled)
 
 
+def gap_fill_linear(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    values: Sequence[str],
+    step: str = "INTERVAL 1 DAY",
+) -> DataFrame:
+    """G3 variant — Grafana ``fill(linear)``: missing buckets between two
+    observed points are linearly interpolated; buckets before a series'
+    first observation or after its last stay NULL (Grafana edge semantics).
+
+    Same distributive spine/grid construction as :func:`gap_fill_forward`.
+    The interpolation needs the nearest observed value in *both* directions:
+    two mirrored unbounded windows over the same (dims, ts) partitioning and
+    ordering — Catalyst plans them over one shuffle + one sort, so the cost
+    is the same as the forward fill plus one extra window pass.
+    """
+    bounds = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(step))).alias(ts)
+    )
+    series = df.select(*dims).distinct()
+    grid = spine.crossJoin(F.broadcast(series))
+    joined = grid.join(df, on=[ts, *dims], how="left")
+    wb = (
+        Window.partitionBy(*_cols(dims))
+        .orderBy(F.col(ts))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*_cols(dims))
+        .orderBy(F.col(ts))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # NTZ-safe epoch seconds (hop through TIMESTAMP, identity under the
+    # engine's enforced UTC session timezone).
+    tssec = F.col(ts).cast("timestamp").cast("double")
+    out: list[Column] = []
+    for v in values:
+        obs_ts = F.when(F.col(v).isNotNull(), tssec)
+        prev_v = F.last(v, ignorenulls=True).over(wb)
+        prev_t = F.last(obs_ts, ignorenulls=True).over(wb)
+        next_v = F.first(v, ignorenulls=True).over(wf)
+        next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+        interp = prev_v + (next_v - prev_v) * (
+            (tssec - prev_t) / (next_t - prev_t)
+        )
+        out.append(
+            # Observed rows pass through first — on them prev_t == next_t
+            # and the interpolation fraction is 0/0.
+            F.when(F.col(v).isNotNull(), F.col(v))
+            .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+            .alias(v)
+        )
+    return joined.select(ts, *dims, *out)
+
+
 def distinct_tags(df: DataFrame, *cols: str) -> DataFrame:
     """G7 — Grafana template-variable values. Partial-aggregable distinct."""
     return df.select(*cols).distinct()

@@ -28,6 +28,7 @@ from ..operators.timeseries import (
     delta_vs_prev,
     distinct_tags,
     gap_fill_forward,
+    gap_fill_linear,
     last_per_bucket,
     time_bucket_agg,
     time_range,
@@ -297,6 +298,73 @@ def g3_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value")],
     )
     return gap_fill_forward(
+        hourly,
+        ts="bucket",
+        dims=["event_type"],
+        values=["sum_value"],
+        step="INTERVAL 1 HOUR",
+    )
+
+
+# --------------------------------------------------------------------------
+# G3 variant — fill(linear): interpolated gap fill (SURVEY §2.4 G3)
+# --------------------------------------------------------------------------
+@_q(
+    "g3_gap_fill_linear",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+             CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ), grid AS (
+      SELECT s.bucket, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+    ), j AS (
+      SELECT g.bucket, g.event_type, h.sum_value,
+             last_value(h.sum_value IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN h.sum_value IS NOT NULL
+                             THEN epoch(g.bucket) END IGNORE NULLS)
+               OVER wb AS prev_t,
+             first_value(h.sum_value IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN h.sum_value IS NOT NULL
+                              THEN epoch(g.bucket) END IGNORE NULLS)
+               OVER wf AS next_t
+      FROM grid g
+      LEFT JOIN hourly h ON g.bucket = h.bucket AND g.event_type = h.event_type
+      WINDOW
+        wb AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket, event_type,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * ((epoch(bucket) - prev_t) / (next_t - prev_t))
+           END AS sum_value
+    FROM j
+    """,
+)
+def g3_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana ``fill(linear)``: same hourly grid as ``g3_gap_fill`` but
+    missing buckets are linearly interpolated between the neighboring
+    observed points (edges stay NULL). The interpolation arithmetic is
+    written identically on both engines (same double expression tree), so
+    the hashes match bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_agg(
+        ev,
+        ts="ts",
+        unit="hour",
+        dims=["event_type"],
+        aggs=[F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value")],
+    )
+    return gap_fill_linear(
         hourly,
         ts="bucket",
         dims=["event_type"],

@@ -147,6 +147,25 @@ def test_gap_fill_leading_nulls_and_fill(spark):
     assert got[("y", 4)] == 5.0  # carried to the end of the spine
 
 
+def test_gap_fill_linear_interpolates(spark):
+    from riot_graphs_spark.operators.timeseries import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [
+            Row(bucket=dt.datetime(2024, 1, 2), s="x", v=1.0),
+            Row(bucket=dt.datetime(2024, 1, 5), s="x", v=4.0),
+            Row(bucket=dt.datetime(2024, 1, 1), s="y", v=5.0),
+        ]
+    )
+    out = gap_fill_linear(df, ts="bucket", dims=["s"], values=["v"])
+    got = {(r.s, r.bucket.day): r.v for r in out.collect()}
+    assert got[("x", 1)] is None  # before first observation stays NULL
+    assert got[("x", 2)] == 1.0 and got[("x", 5)] == 4.0  # observed pass through
+    assert got[("x", 3)] == 2.0 and got[("x", 4)] == 3.0  # linear between
+    assert got[("y", 1)] == 5.0
+    assert got[("y", 3)] is None  # after last observation stays NULL
+
+
 def test_build_sizes_idempotent_rerun(spark, sizes_raw):
     once = build_sizes_from_raw(sizes_raw)
     twice = build_sizes_from_raw(sizes_raw.unionByName(sizes_raw))
