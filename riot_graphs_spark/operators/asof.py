@@ -89,3 +89,154 @@ def asof_join(
         F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in payload
     ]
     return carried.filter(is_left).select(*left.columns, *out_payload)
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    right_side: int,
+) -> DataFrame:
+    """Shared as-of plumbing: tag and union both inputs on (key, _ts, _side).
+
+    ``right_side`` decides whether a right row at the same timestamp sorts
+    before (0) or after (1) the left row — i.e. whether it is visible to a
+    window frame anchored at the left row in each direction.
+    """
+    right_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_side).alias("_side"),
+        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+    )
+    left_tagged = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1 - right_side).alias("_side"),
+        F.lit(None).cast(right_tagged.schema["_payload"].dataType).alias("_payload"),
+    )
+    return left_tagged.unionByName(
+        right_tagged.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in keys
+            ],
+            *keys,
+            "_ts",
+            "_side",
+            "_payload",
+        )
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    suffix: str = "_asof",
+    strict: bool = False,
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row with ``right.ts >= left.ts``
+    (``>`` when strict) per key — the mirror of :func:`asof_join`, same
+    one-shuffle union + window plan with the frame flipped to
+    ``(current row, unbounded following)``.
+
+    ``right_tiebreak``: right-side columns ordering ties at equal ``_ts``
+    (pick the smallest) so the result is deterministic when multiple right
+    rows share a timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(right_payload) or [
+        c for c in right.columns if c not in (*keys, right_ts)
+    ]
+    tb = list(right_tiebreak)
+    # inclusive: right sorts AFTER left at equal ts (visible from the
+    # forward frame); strict: right sorts BEFORE left (invisible).
+    unioned = _tagged_union(
+        left, right, keys, left_ts, right_ts, payload, 1 if not strict else 0
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("_ts"),
+            F.col("_side"),
+            *[F.col("_payload")[c].asc_nulls_last() for c in tb],
+        )
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "_carried", F.first("_payload", ignorenulls=True).over(w)
+    )
+    is_left = F.col("_side") == (0 if not strict else 1)
+    out_payload = [
+        F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in payload
+    ]
+    return carried.filter(is_left).select(*left.columns, *out_payload)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Nearest as-of join: the right row (same key) whose timestamp is
+    CLOSEST to the left row's, in either direction; ties go to the backward
+    (earlier) candidate. ``tolerance_seconds`` nulls out matches farther
+    than the tolerance (pandas ``merge_asof(direction="nearest")``
+    semantics).
+
+    Both directional candidates come from two mirrored window passes over
+    ONE union and ONE shuffle — an equal-ts right row is captured by the
+    backward pass with distance 0, so the forward frame not seeing it is
+    irrelevant.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(right_payload) or [
+        c for c in right.columns if c not in (*keys, right_ts)
+    ]
+    unioned = _tagged_union(left, right, keys, left_ts, right_ts, payload, 0)
+    order = [F.col("_ts"), F.col("_side")]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs = F.when(F.col("_side") == 0, F.struct(F.col("_ts"), F.col("_payload")))
+    sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731  NTZ-safe
+    carried = (
+        unioned.withColumn("_b", F.last(obs, ignorenulls=True).over(wb))
+        .withColumn("_f", F.first(obs, ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    d_b = sec(F.col("_ts")) - sec(F.col("_b._ts"))
+    d_f = sec(F.col("_f._ts")) - sec(F.col("_ts"))
+    tol = F.lit(tolerance_seconds) if tolerance_seconds is not None else None
+    b_ok = F.col("_b").isNotNull() & ((d_b <= tol) if tol is not None else F.lit(True))
+    f_ok = F.col("_f").isNotNull() & ((d_f <= tol) if tol is not None else F.lit(True))
+    chosen = (
+        F.when(b_ok & (~f_ok | (d_b <= d_f)), F.col("_b._payload"))
+        .when(f_ok, F.col("_f._payload"))
+    )
+    picked = carried.withColumn("_chosen", chosen)
+    out_payload = [
+        F.col(f"_chosen.{c}").alias(f"{c}{suffix}") for c in payload
+    ]
+    return picked.select(*left.columns, *out_payload)

@@ -542,6 +542,43 @@ def j4_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J4 variant — forward as-of join (first purchase after each signup)
+# --------------------------------------------------------------------------
+@_q(
+    "j4_asof_next_purchase",
+    """
+    SELECT s.event_id, s.user_id, s.ts::TIMESTAMP AS ts,
+           p.ts::TIMESTAMP AS ts_asof, p.event_id AS event_id_asof
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+)
+def j4_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each signup paired with the user's EARLIEST purchase
+    at or after it (time-to-conversion building block). Mirror of
+    ``j4_asof_purchase_signup`` using ``asof_join_forward``."""
+    from ..operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_forward(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "event_id"],
+        right_tiebreak=["event_id"],
+    )
+
+
+# --------------------------------------------------------------------------
 # O2 — idempotent dedup on the upsert key (InfluxDB point-overwrite, SURVEY §2.6)
 # --------------------------------------------------------------------------
 @_q(

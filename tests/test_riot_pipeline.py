@@ -131,6 +131,53 @@ def test_asof_no_preceding_row_is_null(spark):
     assert out.v_asof is None  # total: left row kept with NULL
 
 
+def test_asof_forward_inclusive_and_strict(spark):
+    from riot_graphs_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([Row(k="a", ts=ts(5), id=1)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(5), v=50), Row(k="a", ts=ts(7), v=70)]
+    )
+    incl = asof_join_forward(left, right, on="k", right_payload=["v"]).collect()[0]
+    assert incl.v_asof == 50  # equal ts visible when inclusive
+    strict = asof_join_forward(
+        left, right, on="k", right_payload=["v"], strict=True
+    ).collect()[0]
+    assert strict.v_asof == 70  # equal ts excluded when strict
+
+
+def test_asof_forward_no_following_is_null(spark):
+    from riot_graphs_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([Row(k="a", ts=ts(9), id=1)])
+    right = spark.createDataFrame([Row(k="a", ts=ts(5), v=50)])
+    out = asof_join_forward(left, right, on="k", right_payload=["v"]).collect()[0]
+    assert out.v_asof is None  # total: left row kept with NULL
+
+
+def test_asof_nearest_direction_tie_and_tolerance(spark):
+    from riot_graphs_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([Row(k="a", ts=ts(10), id=1)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(7), v=1), Row(k="a", ts=ts(12), v=2)]
+    )
+    near = asof_join_nearest(left, right, on="k", right_payload=["v"]).collect()[0]
+    assert near.v_asof == 2  # forward candidate is closer (2 days vs 3)
+
+    tied = spark.createDataFrame(
+        [Row(k="a", ts=ts(8), v=1), Row(k="a", ts=ts(12), v=2)]
+    )
+    out = asof_join_nearest(left, tied, on="k", right_payload=["v"]).collect()[0]
+    assert out.v_asof == 1  # equidistant: backward wins
+
+    far = spark.createDataFrame([Row(k="a", ts=ts(2), v=1)])
+    out = asof_join_nearest(
+        left, far, on="k", right_payload=["v"], tolerance_seconds=86400.0
+    ).collect()[0]
+    assert out.v_asof is None  # beyond tolerance → NULL
+
+
 def test_gap_fill_leading_nulls_and_fill(spark):
     df = spark.createDataFrame(
         [
