@@ -71,6 +71,14 @@ HEADLINE = [
     "cap_per_source",
     "sketch_stats",
     "j5_range_join_ship_week",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "corr_max_acctbal_per_nation",
+    "setop_order_returns",
+    "hist_order_totalprice",
+    "dedup_cc_clusters",
+    "ann_recall_ivf",
 ]
 
 

@@ -344,3 +344,59 @@ def simhash_signatures(
     # Empty token list → simhash 0, but the exploded relational form drops
     # the doc (unnest of empty) — keep parity by dropping here too.
     return hs.filter(n_tok > 0).select(id_col, sig.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the near-dup
+    pair graph by iterative min-label propagation.
+
+    Output: (id, component_id) for every node that appears in ``pairs``,
+    where component_id is the minimum node id reachable from it — i.e. the
+    canonical representative LSH/Jaccard dedup keeps per cluster.
+
+    Iterative (O(graph diameter) rounds — near-dup clusters are shallow, so
+    this converges in a handful). Each round is one shuffle-join of labels
+    onto edges plus a min-agg; ``localCheckpoint`` truncates the lineage so
+    plan size stays constant across rounds. Convergence is detected with one
+    cheap action per round on the monotonically decreasing Σ(component_id)
+    — label sets only ever move down, so an unchanged sum means a fixpoint.
+    At billion-edge scale swap the propagation body for the large-star /
+    small-star contraction (same loop skeleton, fewer rounds).
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("_nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))

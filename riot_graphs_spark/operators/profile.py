@@ -86,3 +86,48 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int,
+) -> DataFrame:
+    """Fixed-bound equi-width histogram: one row per non-empty bucket with
+    its edges, count, and observed min/max.
+
+    The bucket index is plain ``floor((x - lo) / width)`` clamped to
+    ``[0, nbuckets-1]`` — explicit arithmetic rather than ``width_bucket``
+    so the expression is bit-identical across engines (oracle parity) and
+    stays inside whole-stage codegen. One scan, one partial-aggregable
+    shuffle on an at-most-``nbuckets``-ary key; out-of-range values land in
+    the edge buckets instead of a scan-side filter so totals reconcile with
+    ``count(*)``. Covers the Grafana histogram panel the reference delegates
+    (SURVEY §2.4 G1 family).
+    """
+    width = (hi - lo) / nbuckets
+    x = F.col(value_col)
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nbuckets - 1), F.floor((x - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .select(bucket.alias("bucket"), x.alias("_x"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("bucket_min"),
+            F.max("_x").alias("bucket_max"),
+        )
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("edge_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("edge_hi"),
+            "n",
+            "bucket_min",
+            "bucket_max",
+        )
+    )

@@ -1927,6 +1927,353 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H-family analytics: the delegated "Grafana dashboard over a star
+# schema" surface at its most join/agg-heavy. These are the scale-posture
+# showcases: dimension pruning before fact joins, pushed-down scans, and
+# partial aggregation everywhere.
+# --------------------------------------------------------------------------
+@_q(
+    "q5_regional_revenue",
+    """
+    SELECT n_name,
+           (sum((l_extendedprice::DECIMAL(12,2)) *
+                (1 - l_discount::DECIMAL(3,2))))::DOUBLE AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, restricted to one region and one order year.
+
+    Scale plan: the region filter is applied to the 25-row nation dim
+    FIRST and broadcast into customer and supplier, so both are pruned to
+    1/5 of their rows before touching the facts; the only big shuffles are
+    lineitem⋈orders and the custkey join. The final groupBy key is 5-ary —
+    pure partial aggregation."""
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asia.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT (sum((l_extendedprice::DECIMAL(12,2)) *
+                (l_discount::DECIMAL(3,2))))::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filtered aggregate. The entire query is
+    a scan — every predicate (shipdate range, discount band, quantity cap)
+    must reach the parquet reader as a pushed filter, and the aggregate is
+    one partial-aggregable reduce to a single row. At 100 TB this is the
+    pattern where pushdown + row-group statistics skip most of the I/O;
+    a plan-shape test asserts the filters land scan-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold. The HAVING subquery becomes a partial-aggregable pre-agg on
+    lineitem whose tiny survivor set (~0.1% of orders) is broadcast as a
+    semi-join filter into both facts — orders and lineitem are pruned
+    before the expensive joins, not after."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            F.broadcast(big.select(F.col("l_orderkey").alias("_bk"))),
+            F.col("l_orderkey") == F.col("_bk"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@_q(
+    "corr_max_acctbal_per_nation",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def corr_max_acctbal_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: the customer(s)
+    holding each nation's maximum balance. Catalyst's
+    ``RewriteCorrelatedScalarSubquery`` turns the per-row subquery into one
+    aggregate + join — no nested-loop re-execution — which is the rewrite
+    the reference leaned on InfluxQL/Grafana to never need. Exercises that
+    our engine's tables are reachable from ``spark.sql`` (SURVEY §7 step 1),
+    not just the DataFrame API."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("corr_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM corr_customer c
+        WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM corr_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 set operations — EXCEPT / INTERSECT (the reference has none; the
+# snapshot-diff operator covers keyed diffs, this covers set semantics)
+# --------------------------------------------------------------------------
+@_q(
+    "setop_order_returns",
+    """
+    WITH open_o AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+    ret AS (SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+            WHERE l_returnflag = 'R')
+    SELECT 'open_no_return' AS bucket, o_orderkey
+    FROM (SELECT * FROM open_o EXCEPT SELECT * FROM ret)
+    UNION ALL
+    SELECT 'open_returned' AS bucket, o_orderkey
+    FROM (SELECT * FROM open_o INTERSECT SELECT * FROM ret)
+    """,
+)
+def setop_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: open orders split into those with vs without
+    a returned lineitem, via EXCEPT / INTERSECT / UNION ALL. Both set ops
+    plan as a single hash aggregate over the shuffle key (no sort), and the
+    branches share the two scans via plan reuse."""
+    open_o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    ret = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    no_ret = open_o.subtract(ret)  # EXCEPT (distinct) semantics
+    with_ret = open_o.intersect(ret)
+    return no_ret.select(
+        F.lit("open_no_return").alias("bucket"), "o_orderkey"
+    ).unionAll(
+        with_ret.select(F.lit("open_returned").alias("bucket"), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bound histogram (Grafana histogram panel, delegated in reference)
+# --------------------------------------------------------------------------
+@_q(
+    "hist_order_totalprice",
+    """
+    WITH b AS (
+      SELECT greatest(0, least(19,
+               floor((o_totalprice - 0.0) / 25000.0)))::INTEGER AS bucket,
+             o_totalprice
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           0.0 + bucket * 25000.0 AS edge_lo,
+           0.0 + (bucket + 1) * 25000.0 AS edge_hi,
+           count(*) AS n,
+           min(o_totalprice) AS bucket_min,
+           max(o_totalprice) AS bucket_max
+    FROM b GROUP BY bucket
+    """,
+)
+def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totals on fixed [0, 500k)
+    bounds — one scan, one ≤20-ary partial-aggregable shuffle."""
+    from ..operators.profile import fixed_histogram
+
+    return fixed_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500_000.0, 20
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster assignment: connected components over near-dup pairs.
+# The oracle closes the same pair graph with a recursive CTE.
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM docs),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id, min(r) AS component_id FROM reach GROUP BY id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard-0.5 pairs → connected components by min-
+    label propagation (operators.dedup.connected_components). Keeping one
+    doc per component_id is the "collapse duplicate families" step after
+    pair generation — pairwise dedup alone under-removes chains (A~B, B~C
+    but not A~C). Iterative with a per-round action, which is why the
+    oracle is a recursive CTE rather than plain SQL."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return connected_components(pairs)
+
+
+# Rows-only (no SQL oracle): recall compares our own two ANN variants —
+# the brute-force side already carries the hash-checked semantics
+# (ann_cosine_topk); this entry reports how much the IVF approximation
+# gives up, which is the tuning loop a 100 TB deployment actually runs.
+@_q("ann_recall_ivf")
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF ANN vs exact brute force, per query vector: join the
+    two top-k sets on (query_id, neighbor_id) and count survivors. One
+    broadcastable join — both sides are (queries × k) rows."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -86,3 +86,31 @@ def test_j5_range_join_avoids_nested_loop(spark):
     plan = formatted_plan(spark, "j5_range_join_ship_week")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_scan(spark):
+    """Q6 is pure scan+agg: every predicate must be pushed to the parquet
+    reader and the single-row aggregate must be partial-aggregable."""
+    plan = formatted_plan(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_discount", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
+    assert "partial_sum" in plan
+
+
+def test_q5_broadcasts_pruned_dims(spark):
+    """Q5 must push the region filter through nation and broadcast the
+    pruned dim into customer and supplier — no sort-merge join against a
+    25-row table."""
+    plan = formatted_plan(spark, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+
+
+def test_q18_semi_join_prunes_facts(spark):
+    """The HAVING survivor set must arrive as a broadcast semi-join filter
+    on both fact scans, not as a post-join filter."""
+    plan = formatted_plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
