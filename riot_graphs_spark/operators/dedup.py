@@ -369,9 +369,14 @@ def connected_components(
     small-star contraction (same loop skeleton, fewer rounds).
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = fwd.union(
-        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    # Materialize the edge list once: every round joins against it, and
+    # without the checkpoint each round would re-run the (possibly
+    # expensive) pair-generation plan upstream of ``pairs``.
+    edges = (
+        fwd.union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -400,3 +405,41 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs — the
+    verify stage that follows LSH at scale.
+
+    Each side's distinct shingle ARRAY rides along the pair join, and the
+    intersection is a row-local ``array_intersect`` — no shingle explode, no
+    shingle-keyed shuffle, cost linear in |pairs|. Contrast
+    ``ngram_jaccard_pairs``, whose shingle self-join is quadratic in bucket
+    size and exists for direct/oracle use at small scale.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_sha", "_shb")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

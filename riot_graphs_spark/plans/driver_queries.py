@@ -2200,21 +2200,28 @@ def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_cc_clusters",
     f"""
-    WITH RECURSIVE docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
-    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM docs),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    WITH RECURSIVE {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
     ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
+    shin AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM docs),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.doc_a
+      JOIN shin sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.8),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -2228,18 +2235,25 @@ def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: Jaccard-0.5 pairs → connected components by min-
-    label propagation (operators.dedup.connected_components). Keeping one
-    doc per component_id is the "collapse duplicate families" step after
-    pair generation — pairwise dedup alone under-removes chains (A~B, B~C
-    but not A~C). Iterative with a per-round action, which is why the
-    oracle is a recursive CTE rather than plain SQL."""
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
-
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+    """Near-dup clusters via the full scale pipeline: MinHash-LSH candidate
+    pairs → row-local exact-Jaccard verification (≥0.8) → connected
+    components by min-label propagation. Keeping one doc per component_id
+    is the "collapse duplicate families" step — pairwise dedup alone
+    under-removes chains (A~B, B~C but not A~C). No stage is quadratic in
+    the corpus: candidates come from band-bucket joins, verification costs
+    |candidates|, and propagation shuffles only the (tiny) edge list.
+    Iterative with a per-round action, which is why the oracle is a
+    recursive CTE rather than plain SQL."""
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
     )
-    return connected_components(pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    verified = jaccard_verify_pairs(docs, cand, threshold=0.8)
+    return connected_components(verified)
 
 
 # Rows-only (no SQL oracle): recall compares our own two ANN variants —
