@@ -78,6 +78,8 @@ HEADLINE = [
     "setop_order_returns",
     "hist_order_totalprice",
     "dedup_cc_clusters",
+    "ts_moving_average",
+    "ts_integral_daily",
     "ann_recall_ivf",
 ]
 

@@ -214,6 +214,219 @@ def gap_fill_linear(
     return joined.select(ts, *dims, *out)
 
 
+def moving_average(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    n: int,
+    out: str = "moving_avg",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``moving_average(field, N)`` — average of the current and the
+    N-1 preceding points of the same series; emitted only once the window is
+    full (InfluxQL starts at the Nth point).
+
+    One shuffle on dims, per-series sort only — the frame is row-bounded so
+    window state is N rows regardless of series length. The windowed sum is
+    computed in DECIMAL so the result is identical whatever order/algorithm
+    the engine's sliding-frame accumulator uses (oracle determinism; see
+    module docstring in plans.driver_queries).
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    wn = w.rowsBetween(-(n - 1), 0)
+    avg = (
+        F.sum(F.col(value).cast("decimal(28,6)")).over(wn).cast("double") / n
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out, avg)
+        .filter(F.col("_rn") >= n)
+        .drop("_rn")
+    )
+
+
+def cumulative_sum(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    out: str = "cum_sum",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``cumulative_sum(field)`` — running total per series.
+    Unbounded-preceding row frame; DECIMAL accumulation for exactness, cast
+    to double at the edge."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*_cols(dims))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col(value).cast("decimal(28,6)")).over(w).cast("double")
+    return df.withColumn(out, run)
+
+
+def derivative(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit_seconds: float = 1.0,
+    non_negative: bool = False,
+    out: str = "rate",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``derivative(field, unit)`` / ``non_negative_derivative`` —
+    rate of change between consecutive points of a series, scaled to per-
+    ``unit_seconds``. The first point of each series has no predecessor and
+    is dropped (InfluxQL emits nothing for it); with ``non_negative``,
+    negative rates are dropped too (counter-reset semantics).
+
+    Per-row double arithmetic on exactly two rows — bit-deterministic IEEE,
+    no decimal hop needed.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    dv = F.col(value) - F.lag(value, 1).over(w)
+    dt = (
+        F.col(ts).cast("timestamp").cast("double")
+        - F.lag(F.col(ts).cast("timestamp").cast("double"), 1).over(w)
+    )
+    rate = dv / dt * F.lit(float(unit_seconds))
+    res = df.withColumn(out, rate).filter(F.col(out).isNotNull())
+    if non_negative:
+        res = res.filter(F.col(out) >= 0)
+    return res
+
+
+def elapsed(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    out: str = "elapsed_us",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``elapsed(field)`` — microseconds between consecutive points
+    of a series (integer arithmetic in epoch-micros space; exact). First
+    point of each series is dropped, as in InfluxQL."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    return (
+        df.withColumn(out, us - F.lag(us, 1).over(w))
+        .filter(F.col(out).isNotNull())
+    )
+
+
+def integral_per_bucket(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit: str = "day",
+    out: str = "integral",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``integral(field, 1s)`` under ``GROUP BY time(...)`` —
+    trapezoidal area under the series curve, per time bucket and series.
+
+    Each consecutive pair inside a bucket contributes
+    ``(t2-t1) * (v1+v2) / 2`` (seconds × value). The per-pair area is plain
+    double arithmetic (deterministic); the cross-row sum of areas goes
+    through DECIMAL. One full-data shuffle (the window's, on (dims, bucket));
+    the groupBy's exchange moves only map-side partial sums — one row per
+    (bucket, series) per task.
+    """
+    bucket = F.date_trunc(unit, F.col(ts))
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims), bucket).orderBy(*order)
+    tsec = F.col(ts).cast("timestamp").cast("double")
+    area = (
+        (tsec - F.lag(tsec, 1).over(w))
+        * (F.col(value) + F.lag(value, 1).over(w))
+        / 2.0
+    )
+    return (
+        df.withColumn("_area", area)
+        .groupBy(bucket.alias("bucket"), *_cols(dims))
+        .agg(
+            F.sum(F.col("_area").cast("decimal(28,6)"))
+            .cast("double")
+            .alias(out)
+        )
+    )
+
+
+def spread_stats(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit: str = "day",
+) -> DataFrame:
+    """InfluxQL ``spread`` / ``stddev`` / ``median`` per time bucket and
+    series. ``spread`` (max − min) and ``median`` (exact selection) are
+    order-insensitive already; the standard deviation is derived from exact
+    DECIMAL sums (Σx, Σx²) so the distributed merge order can't perturb low
+    bits — sample variance ``(Σx² − (Σx)²/n) / (n−1)``, the formula both
+    engines can reproduce bit-for-bit from the same exact sums.
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).alias("bucket")
+    # decimal(18,6): the square is decimal(37,12), inside Spark's 38-digit
+    # cap — a wider operand would force precision-losing downscaling.
+    xd = F.col(value).cast("decimal(18,6)")
+    n = F.count("*")
+    sx = F.sum(xd).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return df.groupBy(bucket, *_cols(dims)).agg(
+        (F.max(value) - F.min(value)).alias("spread"),
+        F.median(value).alias("median_value"),
+        F.when(n > 1, F.sqrt(var)).alias("stddev_value"),
+        n.alias("n"),
+    )
+
+
+def mode_per_series(
+    df: DataFrame, dims: Sequence[str], value: str, out: str = "mode_value"
+) -> DataFrame:
+    """InfluxQL ``mode(field)`` — most frequent value per series, ties broken
+    toward the largest value (InfluxQL's tie rule is "lowest"; either is
+    fine as long as it is *deterministic* — built-in ``F.mode`` makes no tie
+    promise, so the pick is spelled out as ``max_by(value, (count, value))``:
+    two partial-aggregable groupBys, no window, no sort).
+    """
+    counted = df.groupBy(*_cols(dims), F.col(value)).agg(
+        F.count("*").alias("_cnt")
+    )
+    return counted.groupBy(*_cols(dims)).agg(
+        F.max_by(value, F.struct(F.col("_cnt"), F.col(value))).alias(out)
+    )
+
+
+def top_n_per_series(
+    df: DataFrame,
+    dims: Sequence[str],
+    value: str,
+    n: int,
+    tiebreak: str,
+    bottom: bool = False,
+) -> DataFrame:
+    """InfluxQL ``top(field, N)`` / ``bottom(field, N)`` per tag — ranked
+    window with a unique-id tiebreak so equal values can't flip the pick.
+    One shuffle on dims; with AQE the per-series sort is a top-K heap when N
+    is small relative to series length."""
+    val = F.col(value).asc() if bottom else F.col(value).desc()
+    w = Window.partitionBy(*_cols(dims)).orderBy(val, F.col(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def distinct_tags(df: DataFrame, *cols: str) -> DataFrame:
     """G7 — Grafana template-variable values. Partial-aggregable distinct."""
     return df.select(*cols).distinct()

@@ -2288,6 +2288,440 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H shapes Q4/Q10/Q14/Q19/Q22 adapted to the driver tables — each picked
+# for a distinct physical-plan property at scale: existence semi-join,
+# top-k after multi-join agg, broadcast conditional-agg ratio, disjunctive
+# predicate pushdown, anti-join + scalar subquery.
+# --------------------------------------------------------------------------
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — priority counts of orders with at least one
+    late-shipping line. The EXISTS is a left-semi join: the lineitem side is
+    projected to (l_orderkey, l_shipdate) before the shuffle, and the semi
+    join short-circuits per key — no lineitem row survives past the match.
+    The date filter prunes orders before the join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q10_returned_customers",
+    """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           (sum((l_extendedprice::DECIMAL(12,2)) *
+                (1 - l_discount::DECIMAL(3,2))))::DOUBLE AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top returned-revenue customers for a half-year.
+    Join order: facts filtered first (date range on orders, returnflag on
+    lineitem), fact⋈fact on orderkey, then the customer and (broadcast)
+    nation dims. Top-20 via TakeOrderedAndProject with custkey tiebreak."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT 100.0
+      * (sum(CASE WHEN p_type = 'PROMO'
+                  THEN (l_extendedprice::DECIMAL(12,2)) *
+                       (1 - l_discount::DECIMAL(3,2))
+                  ELSE 0::DECIMAL(12,2) END))::DOUBLE
+      / (sum((l_extendedprice::DECIMAL(12,2)) *
+             (1 - l_discount::DECIMAL(3,2))))::DOUBLE AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo share of one month's revenue. part is the
+    broadcast side; the month filter reaches the lineitem scan; both
+    conditional and total sums ride one aggregation (single pass, map-side
+    partials, one row out)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive",
+    """
+    SELECT (sum((l_extendedprice::DECIMAL(12,2)) *
+                (1 - l_discount::DECIMAL(3,2))))::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive brand/size/quantity predicates. The
+    OR branches mix join-side columns, so the disjunction can only be
+    evaluated post-join — but Catalyst derives the implied single-side
+    prefilters (brand ∈ {...} on part, quantity ∈ [min,max] on lineitem)
+    and pushes those to the scans; part stays broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q22_idle_customers",
+    """
+    WITH threshold AS (
+      SELECT (sum(c_acctbal::DECIMAL(18,6)))::DOUBLE / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           (sum(c_acctbal::DECIMAL(18,6)))::DOUBLE AS totacctbal
+    FROM customer, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — well-funded customers who never ordered: scalar
+    subquery (global average, exact decimal sum / count so the threshold is
+    bit-identical across engines) + left-anti join against orders projected
+    to its key column. Both aggregates are partial-aggregable; the anti
+    join's build side carries one long per order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# InfluxQL transform/selector functions the reference delegates to InfluxDB
+# (SURVEY §2.4 "delegated Grafana/InfluxQL surface") — moving_average,
+# cumulative_sum, derivative, elapsed, integral, spread/stddev/median, mode,
+# top(N). Each is a library operator in operators.timeseries.
+# --------------------------------------------------------------------------
+@_q(
+    "ts_moving_average",
+    """
+    WITH ordered AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) / 4 AS moving_avg,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ts, event_id, value, moving_avg
+    FROM ordered WHERE rn >= 4
+    """,
+)
+def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL moving_average(value, 4) per event_type. DECIMAL windowed sum
+    so DuckDB's sliding-frame accumulator and Spark's agree exactly."""
+    from ..operators.timeseries import moving_average
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return moving_average(
+        ev, dims=["event_type"], ts="ts", value="value", n=4,
+        tiebreak="event_id",
+    )
+
+
+@_q(
+    "ts_cumulative_sum",
+    """
+    SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_sum
+    FROM events
+    """,
+)
+def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL cumulative_sum(value) per event_type — running DECIMAL total
+    cast to double at the edge."""
+    from ..operators.timeseries import cumulative_sum
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    return cumulative_sum(
+        ev, dims=["event_type"], ts="ts", value="value", tiebreak="event_id"
+    ).drop("value")
+
+
+@_q(
+    "ts_derivative_rate",
+    """
+    WITH d AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+             (value - lag(value) OVER w)
+               / (epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP)) OVER w)
+               * 3600.0 AS rate
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, ts, event_id, rate FROM d WHERE rate >= 0
+    """,
+)
+def ts_derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL non_negative_derivative(value, 1h) per event_type — per-hour
+    rate between consecutive points; counter resets (negative rates) and
+    each series' first point are dropped, as InfluxQL does."""
+    from ..operators.timeseries import derivative
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    return derivative(
+        ev, dims=["event_type"], ts="ts", value="value",
+        unit_seconds=3600.0, non_negative=True, tiebreak="event_id",
+    ).drop("value")
+
+
+@_q(
+    "ts_elapsed",
+    """
+    WITH d AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+             epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS elapsed_us
+      FROM events
+    )
+    SELECT event_type, ts, event_id, elapsed_us FROM d
+    WHERE elapsed_us IS NOT NULL
+    """,
+)
+def ts_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL elapsed(value) per event_type — integer microseconds between
+    consecutive points (exact epoch-micros arithmetic, no FP)."""
+    from ..operators.timeseries import elapsed
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    return elapsed(ev, dims=["event_type"], ts="ts", tiebreak="event_id")
+
+
+@_q(
+    "ts_integral_daily",
+    """
+    WITH a AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+             (epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP)) OVER w)
+               * (value + lag(value) OVER w) / 2.0 AS area
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT bucket, event_type,
+           CAST(sum(CAST(area AS DECIMAL(28,6))) AS DOUBLE) AS integral
+    FROM a GROUP BY bucket, event_type
+    """,
+)
+def ts_integral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL integral(value, 1s) GROUP BY time(1d), event_type —
+    trapezoidal area under each series per day. Per-pair area is plain
+    double arithmetic; the cross-row sum of areas rides DECIMAL."""
+    from ..operators.timeseries import integral_per_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return integral_per_bucket(
+        ev, dims=["event_type"], ts="ts", value="value", unit="day",
+        tiebreak="event_id",
+    )
+
+
+@_q(
+    "ts_spread_stats",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+           max(value) - min(value) AS spread,
+           median(value) AS median_value,
+           CASE WHEN count(*) > 1 THEN sqrt(
+             (CAST(sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+             / (count(*) - 1)) END AS stddev_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL spread / median / stddev per day bucket and event_type. The
+    stddev is reconstructed from exact DECIMAL Σx and Σx² so both engines
+    compute bit-identical doubles regardless of merge order."""
+    from ..operators.timeseries import spread_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return spread_stats(ev, dims=["event_type"], ts="ts", value="value", unit="day")
+
+
+@_q(
+    "ts_mode_value",
+    """
+    WITH counted AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, v DESC) AS rn
+      FROM counted
+    )
+    SELECT event_type, v AS mode_value FROM ranked WHERE rn = 1
+    """,
+)
+def ts_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL mode(field) per event_type over the floored value (doubles
+    are near-unique, so mode is computed over a discretized field, as a
+    dashboard would; floor, not cast — DuckDB rounds double→int casts while
+    Spark truncates). Deterministic tie-break toward the larger value via
+    max_by on (count, value) — built-in mode() promises no tie order."""
+    from ..operators.timeseries import mode_per_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").alias("v")
+    )
+    return mode_per_series(ev, dims=["event_type"], value="v")
+
+
+@_q(
+    "ts_top3_per_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, event_id, value FROM ranked WHERE rn <= 3
+    """,
+)
+def ts_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL top(value, 3) per event_type — ranked window with event_id
+    tiebreak so equal values cannot flip the driver's hash."""
+    from ..operators.timeseries import top_n_per_series
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return top_n_per_series(
+        ev, dims=["event_type"], value="value", n=3, tiebreak="event_id"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -114,3 +114,31 @@ def test_q18_semi_join_prunes_facts(spark):
     plan = formatted_plan(spark, "q18_large_orders")
     assert "LeftSemi" in plan
     assert "partial_sum" in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark):
+    """The EXISTS must plan as a semi join (no lineitem row survives past
+    its first match) and the order-date range must reach the orders scan."""
+    plan = formatted_plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+    assert "partial_count" in plan
+
+
+def test_q19_derives_single_side_prefilters(spark):
+    """Catalyst must extract the implied per-side filters from the OR-of-
+    ANDs (brand IN (...) on the part scan, quantity range on lineitem), not
+    evaluate the disjunction against the raw cross of both scans."""
+    plan = formatted_plan(spark, "q19_disjunctive")
+    assert re.search(r"PushedFilters:.*EqualTo\(p_brand,Brand#1\)", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_quantity", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_builds_on_key_only(spark):
+    """NOT EXISTS must be a left-anti join whose orders side is pruned to
+    the key column before the exchange."""
+    plan = formatted_plan(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(cols == "o_custkey:bigint" for cols in m), m
