@@ -160,6 +160,140 @@ def top_terms_per_group(
     )
 
 
+def ngram_list(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams of a document, duplicates preserved (counting form —
+    contrast :func:`..operators.dedup.word_shingles`, which dedupes for set
+    semantics). Token array bound once via bind_array so projection collapse
+    cannot re-tokenize per gram."""
+    from .dedup import bind_array
+
+    def make(w: Column) -> Column:
+        count = F.size(w) - (n - 1)
+        idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+    return bind_array(tokens(text), make)
+
+
+def clean_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines of a document (row-local)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda line: F.trim(line)),
+        lambda line: line != "",
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the share of repeated lines and the
+    token coverage of the single most frequent 2-gram — the two cheapest
+    predictors of boilerplate/spam in a pretraining corpus.
+
+    ``dup_line_frac`` is fully row-local (array_distinct on the line array).
+    The top-2-gram count needs per-(doc, gram) frequencies, which no
+    row-local expression provides without quadratic per-doc work — so the
+    grams explode into two partial-aggregable groupBys: (doc, gram) counts,
+    then per-doc max/total. Both shuffles carry counts, never text. Docs
+    with fewer than two tokens get 0.0 via the left join + coalesce.
+    """
+    lines = clean_lines(text_col)
+    n_lines = F.size(lines)
+    dup_frac = (
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines,
+        )
+        .otherwise(0.0)
+        .alias("dup_line_frac")
+    )
+    base = docs.select(F.col(id_col), dup_frac)
+    gram_counts = (
+        docs.select(
+            F.col(id_col), F.explode(ngram_list(text_col, 2)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.max("cnt").cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("_top_frac")
+        )
+    )
+    return base.join(gram_counts, id_col, "left").select(
+        id_col,
+        "dup_line_frac",
+        F.coalesce("_top_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rule document quality signals (Rae et al. 2021 §A1.1), all
+    row-local Catalyst expressions: mean word length, symbol-to-word ratio
+    (# and ellipsis), bullet-/ellipsis-line fractions, alphabetic-word
+    fraction, and the composite keep/drop flag. One projection — the token
+    and line arrays are each evaluated once under runtime CSE."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    lines = clean_lines(text_col)
+    n_lines = F.size(lines)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(0.0)
+    n_sym = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    sym_ratio = F.when(n_tok > 0, n_sym.cast("double") / n_tok).otherwise(0.0)
+    bullet = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast(
+            "double"
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    ellips = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines,
+    ).otherwise(0.0)
+    alpha = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_tok,
+    ).otherwise(0.0)
+    out = docs.select(
+        "*",
+        n_tok.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ellips.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Collision-safe enough for exact dedup at corpus scale; stable

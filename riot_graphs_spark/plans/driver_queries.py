@@ -2289,6 +2289,116 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gopher-style repetition & quality-rule signals (Rae et al. 2021 §A1.1) —
+# the standard pretraining-corpus filters beyond the length/punct/stopword
+# scores already in text_quality_scores.
+# --------------------------------------------------------------------------
+@_q(
+    "text_repetition",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS words FROM documents
+    ), ln AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS ls
+      FROM docs
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) > 0
+                  THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM ln
+    ), grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))]) AS gram
+      FROM docs
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+    ), tg AS (
+      SELECT doc_id, max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_frac
+      FROM gc GROUP BY 1
+    )
+    SELECT b.doc_id, b.dup_line_frac,
+           coalesce(tg.top_frac, 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN tg USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: duplicate-line fraction (row-local) and
+    top-2-gram token coverage (two partial-aggregable groupBys over counts,
+    never text). operators.textstats.repetition_stats."""
+    from ..operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_gopher_flags",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS words,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS ls
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                       / len(words)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0
+                  THEN len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+                       / len(words)
+                  ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls,
+                         l -> regexp_matches(l, '^[-*•]')))::DOUBLE / len(ls)
+                  ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls,
+                         l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
+                       / len(ls)
+                  ELSE 0.0 END AS ellipsis_line_frac,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words,
+                         w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                       / len(words)
+                  ELSE 0.0 END AS alpha_word_frac
+      FROM docs
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           (n_words >= 10 AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8)
+             AS gopher_keep
+    FROM m
+    """,
+)
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags — all row-local Catalyst expressions in one
+    projection (operators.textstats.gopher_quality_flags); the composite
+    keep/drop boolean is the filter a corpus build applies before dedup."""
+    from ..operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "gopher_keep",
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H shapes Q4/Q10/Q14/Q19/Q22 adapted to the driver tables — each picked
 # for a distinct physical-plan property at scale: existence semi-join,
 # top-k after multi-join agg, broadcast conditional-agg ratio, disjunctive

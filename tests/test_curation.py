@@ -105,3 +105,45 @@ def test_snapshot_diff_null_shift_detected(spark):
     # k=1: same values in shifted positions with nulls — must read as changed,
     # not unchanged (concat_ws would silently drop the nulls and collide)
     assert got == {1: "changed", 3: "removed", 4: "added"}
+
+
+def test_repetition_stats_crafted_docs(spark):
+    from riot_graphs_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 'same line' repeated twice -> 1/4 dup
+            Row(doc_id=1, text="same line\nother\nsame line\nunique\n"),
+            # 'a b' appears 3x among 4 bigrams: a b, b a, a b | a b
+            Row(doc_id=2, text="a b a b a b"),
+            Row(doc_id=3, text=""),  # degenerate: no lines, no bigrams
+            Row(doc_id=4, text="one"),  # single token: no bigrams
+        ]
+    )
+    got = {
+        r.doc_id: (round(r.dup_line_frac, 6), round(r.top_bigram_frac, 6))
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1][0] == 0.25
+    assert got[2] == (0.0, 0.6)  # 3 of 5 bigrams are 'a b'
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_gopher_flags_reject_symbol_soup_and_bullets(spark):
+    from riot_graphs_spark.operators.textstats import gopher_quality_flags
+
+    prose = " ".join(["the quick brown fox jumps over lazy dogs again"] * 3)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    soup = "# # # " + " ".join(f"w{i}" for i in range(20)) + " # # # # #"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=prose),
+            Row(doc_id=2, text=bullets),
+            Row(doc_id=3, text=soup),
+        ]
+    )
+    got = {r.doc_id: r.gopher_keep for r in gopher_quality_flags(docs).collect()}
+    assert got[1] is True  # plain prose passes every rule
+    assert got[2] is False  # 100% bullet lines
+    assert got[3] is False  # symbol:word ratio 8/23 > 0.1
