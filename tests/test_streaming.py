@@ -216,3 +216,47 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert got.select("test", "board", "ts").distinct().count() == 3
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """J1 with both sides streaming: builds pair with events on hash within
+    the tolerance; an event outside it must not match. Inner stream-stream
+    join with watermarks on both sides (state evictable)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    builds = [
+        Row(hash="aaa", ts=t0, text=100),
+        Row(hash="bbb", ts=t0 + dt.timedelta(hours=5), text=200),
+    ]
+    events = [
+        Row(hash="aaa", ts=t0 + dt.timedelta(minutes=30), pr_num=1),  # in
+        Row(hash="bbb", ts=t0 + dt.timedelta(hours=9), pr_num=2),  # out: 4h gap
+        Row(hash="ccc", ts=t0, pr_num=3),  # no build
+    ]
+    bsrc, esrc = str(tmp_path / "b"), str(tmp_path / "e")
+    bdf, edf = spark.createDataFrame(builds), spark.createDataFrame(events)
+    bdf.write.parquet(bsrc)
+    edf.write.parquet(esrc)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(bdf.schema).parquet(bsrc),
+        spark.readStream.schema(edf.schema).parquet(esrc),
+        key="hash",
+        tolerance="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.hash, r.pr_num) for r in spark.table("ssj_out").collect()]
+    assert got == [("aaa", 1)]
