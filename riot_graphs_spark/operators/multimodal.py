@@ -110,6 +110,69 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_start_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> list[int]:
+    """Deterministic fake PCM decoder: payload bytes recentered to
+    [-128, 127]. Production: ``torchaudio.load`` / ``soundfile.read``;
+    raises on None like a real codec would on corrupt input."""
+    if payload is None:
+        raise NotImplementedError("corrupt/missing payload")
+    return [b - 128 for b in payload] or [0]
+
+
+def audio_window_features(
+    media: DataFrame, hop_ms: int = 250
+) -> DataFrame:
+    """Windowed audio features (RMS energy per hop) via a row-EXPANDING
+    mapInPandas: each audio row decodes once and emits one output row per
+    window, so the heavy payload is read exactly once and never duplicated
+    across windows — the explode-then-decode alternative would shuffle one
+    payload copy per window.
+
+    Window offsets are ``range(0, duration_ms, hop_ms)`` inclusive (same
+    spine as :func:`frame_sample_plan`); each window covers the
+    proportional slice of the decoded sample array.
+    """
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, starts, rms, counts = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                pcm = _decode_audio_stub(payload)
+                dur = int(dur) if dur and dur > 0 else 0
+                n = len(pcm)
+                for start in range(0, dur + 1, hop_ms):
+                    lo = min(n - 1, start * n // max(dur, 1))
+                    hi = min(n, max(lo + 1, (start + hop_ms) * n // max(dur, 1)))
+                    seg = pcm[lo:hi]
+                    ids.append(mid)
+                    starts.append(start)
+                    rms.append(float((sum(s * s for s in seg) / len(seg)) ** 0.5))
+                    counts.append(len(seg))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_start_ms": pd.Series(starts, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    audio = media.filter(F.col("media_type") == "audio")
+    return audio.mapInPandas(window_batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic MEDIA_SCHEMA table from the driver's
     ``documents`` fixture (payload = UTF-8 bytes of the first 16 chars),

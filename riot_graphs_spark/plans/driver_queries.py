@@ -2288,6 +2288,25 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm_audio_windows",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, n_chars + 1, 250)) AS window_start_ms
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing, oracle-checked on the Spark-owned part
+    (which windows exist per media row); the RMS values from the stub
+    decoder are unit-tested, not oracled — a real codec would replace them
+    (operators.multimodal.audio_window_features)."""
+    from ..operators.multimodal import audio_window_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return audio_window_features(media).select("media_id", "window_start_ms")
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition & quality-rule signals (Rae et al. 2021 §A1.1) —
 # the standard pretraining-corpus filters beyond the length/punct/stopword
