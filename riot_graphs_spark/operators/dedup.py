@@ -225,6 +225,7 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_K,
     band_rows: int = MINHASH_BAND_ROWS,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pairs (doc_a < doc_b), deduplicated
     across bands. Signature + banding are shuffle-free (see _minhash_wide);
@@ -234,7 +235,11 @@ def minhash_lsh_pairs(
     quadratic only within a bucket — the property that makes LSH the scale
     path. Caveat: a pathological bucket (mass-duplicated boilerplate)
     concentrates its C(n,2) pairs in one task; run exact dedup first, which
-    collapses identical docs and bounds bucket sizes.
+    collapses identical docs and bounds bucket sizes, and/or set
+    ``max_bucket_size`` to drop oversized buckets outright — at corpus
+    scale a bucket of thousands is near-always template boilerplate whose
+    members every *other* band already pairs up, and the straggler task it
+    would create can stall the whole stage.
     """
     buckets = minhash_band_buckets(
         docs, id_col, text_col, num_hashes, band_rows, shingle_n
@@ -242,6 +247,8 @@ def minhash_lsh_pairs(
     grouped = buckets.groupBy("band", "band_key").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
     # For 0-based element i, pair with 1-based positions i+2 … end: i<j pairs.
     pair_structs = F.flatten(
         F.transform(

@@ -359,6 +359,48 @@ def integral_per_bucket(
     )
 
 
+def time_weighted_avg_per_bucket(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit: str = "day",
+    out: str = "twa",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per bucket and series — the honest mean for
+    irregularly sampled series (plain ``avg`` over-weights dense bursts).
+    Trapezoid areas divided by covered seconds: ``Σ area / Σ dt``, both
+    summed in DECIMAL; buckets with a single point fall back to that
+    point's value (zero covered time).
+    """
+    bucket = F.date_trunc(unit, F.col(ts))
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims), bucket).orderBy(*order)
+    tsec = F.col(ts).cast("timestamp").cast("double")
+    dt = tsec - F.lag(tsec, 1).over(w)
+    area = dt * (F.col(value) + F.lag(value, 1).over(w)) / 2.0
+    agg = (
+        df.withColumn("_area", area)
+        .withColumn("_dt", dt)
+        .groupBy(bucket.alias("bucket"), *_cols(dims))
+        .agg(
+            F.sum(F.col("_area").cast("decimal(28,6)")).cast("double").alias("_sa"),
+            F.sum(F.col("_dt").cast("decimal(28,6)")).cast("double").alias("_sd"),
+            F.max_by(
+                F.col(value), F.struct(*[F.col(ts)] + ([F.col(tiebreak)] if tiebreak else []))
+            ).alias("_lastv"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        *dims,
+        F.when(F.col("_sd") > 0, F.col("_sa") / F.col("_sd"))
+        .otherwise(F.col("_lastv"))
+        .alias(out),
+    )
+
+
 def spread_stats(
     df: DataFrame,
     dims: Sequence[str],

@@ -975,6 +975,41 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embed_neardup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT c.vec_id AS vec_a, q.vec_id AS vec_b
+      FROM embeddings c JOIN embeddings q
+        ON c.label = q.label AND c.vec_id < q.vec_id
+      WHERE {_DUCK_COSINE_EMB} >= 0.9
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ), lp(id, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, least(lp.comp, e.a)
+      FROM lp JOIN edges e ON lp.id = e.b
+    )
+    SELECT id, min(comp) AS component_id FROM lp GROUP BY id
+    """,
+)
+def embed_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup families: cosine-0.9 pairs (label-blocked) →
+    connected components — the same min-label propagation that collapses
+    text duplicate chains (dedup_cc_clusters) composed over the embedding
+    similarity operator instead of MinHash. Transitive closure matters:
+    A≈B, B≈C keeps only one of three even when A≉C directly."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
+    ).select("vec_a", "vec_b")
+    return connected_components(pairs, src="vec_a", dst="vec_b")
+
+
 # --------------------------------------------------------------------------
 # O6 — session & sliding windows (SURVEY §2.6 O6 extension surface)
 # --------------------------------------------------------------------------
@@ -2768,6 +2803,43 @@ def ts_integral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return integral_per_bucket(
+        ev, dims=["event_type"], ts="ts", value="value", unit="day",
+        tiebreak="event_id",
+    )
+
+
+@_q(
+    "ts_time_weighted_avg",
+    """
+    WITH a AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type, value,
+             epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP)) OVER w AS dt,
+             (epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP)) OVER w)
+               * (value + lag(value) OVER w) / 2.0 AS area,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT bucket, event_type,
+           CASE WHEN CAST(sum(CAST(dt AS DECIMAL(28,6))) AS DOUBLE) > 0
+                THEN CAST(sum(CAST(area AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(sum(CAST(dt AS DECIMAL(28,6))) AS DOUBLE)
+                ELSE max(CASE WHEN rn_last = 1 THEN value END) END AS twa
+    FROM a GROUP BY bucket, event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily average per event_type — the honest mean for
+    irregular sampling (plain avg over-weights bursts). Trapezoid integral
+    over covered seconds, DECIMAL sums; single-point buckets fall back to
+    the point's value."""
+    from ..operators.timeseries import time_weighted_avg_per_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg_per_bucket(
         ev, dims=["event_type"], ts="ts", value="value", unit="day",
         tiebreak="event_id",
     )

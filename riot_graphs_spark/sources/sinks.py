@@ -79,3 +79,31 @@ def write_noop(df: DataFrame) -> None:
     """S8 — dry-run sink (reference ``--noop``): executes the full plan,
     writes nothing."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str | None = None,
+    partition_cols: Sequence[str] = ("date",),
+    metrics: Sequence | None = None,
+) -> dict:
+    """A4 — ingest accounting (reference logs ``len(data)`` and the
+    measurement count, ``rg.py:156, 252``) via the ``observe`` API: metrics
+    ride the write job itself, so the answer to "how many rows landed?"
+    costs zero extra scans — where a ``df.count()`` after the write would
+    re-execute the whole plan.
+
+    Returns the observed metrics dict (default: row count). Pass extra
+    aggregate Columns via ``metrics`` (e.g. ``F.min("ts"), F.max("ts")``
+    for the ingested time range).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cols = [F.count(F.lit(1)).alias("n_rows"), *(metrics or [])]
+    observed = df.observe(obs, *cols)
+    if path is None:
+        write_noop(observed)
+    else:
+        observed.write.mode("append").partitionBy(*partition_cols).parquet(path)
+    return obs.get

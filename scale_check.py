@@ -46,6 +46,30 @@ def run(df) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _mv(events):
+    from riot_graphs_spark.operators.timeseries import moving_average
+
+    return moving_average(
+        events.select("event_type", "ts", "event_id", "value"),
+        dims=["event_type"], ts="ts", value="value", n=4, tiebreak="event_id",
+    )
+
+
+def _integral(events):
+    from riot_graphs_spark.operators.timeseries import integral_per_bucket
+
+    return integral_per_bucket(
+        events, dims=["event_type"], ts="ts", value="value", unit="day",
+        tiebreak="event_id",
+    )
+
+
+def _rep(documents):
+    from riot_graphs_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(documents)
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +115,12 @@ def main() -> None:
             t["documents"].filter(F.col("doc_id") % 97 != 0),
             t["documents"].filter(F.col("doc_id") % 97 == 0),
         ),
+        # InfluxQL transform family: per-series windows (shuffle on dims,
+        # per-series sort) and window+agg composition
+        "ts_moving_average": lambda t: _mv(t["events"]),
+        "ts_integral_daily": lambda t: _integral(t["events"]),
+        # Gopher repetition: row-local line stats + two count-only groupBys
+        "text_repetition": lambda t: _rep(t["documents"]),
     }
 
     report = {}

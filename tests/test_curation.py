@@ -147,3 +147,27 @@ def test_gopher_flags_reject_symbol_soup_and_bullets(spark):
     assert got[1] is True  # plain prose passes every rule
     assert got[2] is False  # 100% bullet lines
     assert got[3] is False  # symbol:word ratio 8/23 > 0.1
+
+
+def test_lsh_bucket_cap_drops_only_oversized_buckets(spark):
+    from riot_graphs_spark.operators.dedup import minhash_lsh_pairs
+
+    # 5 identical docs (one giant bucket in every band) + 2 near-identical
+    # docs that share buckets only with each other.
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "completely different text about spark shuffle partitions here"
+    near_b = "completely different text about spark shuffle partitions there"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(5)]
+        + [Row(doc_id=10, text=near_a), Row(doc_id=11, text=near_b)]
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=4).collect()
+    }
+    assert (10, 11) in uncapped and (10, 11) in capped  # small bucket kept
+    assert any(a < 5 and b < 5 for a, b in uncapped)  # boilerplate paired
+    assert not any(a < 5 and b < 5 for a, b in capped)  # cap dropped them

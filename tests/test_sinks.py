@@ -89,3 +89,32 @@ def test_upsert_dedupes_batch_on_key(spark, sink):
     dup = spark.createDataFrame(rows(1, 10) + rows(1, 10))
     upsert_partitions(with_date_partition(dup), sink, key=["test", "board", "ts"])
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_write_with_metrics_counts_without_rescan(spark, tmp_path):
+    """A4: the observation rides the write job — row count and time range
+    come back without re-executing the plan."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.sources.sinks import (
+        with_date_partition,
+        write_with_metrics,
+    )
+
+    rows = [
+        Row(ts=dt.datetime(2024, 1, 1, 4), v=1),
+        Row(ts=dt.datetime(2024, 1, 2, 4), v=2),
+        Row(ts=dt.datetime(2024, 1, 2, 5), v=3),
+    ]
+    df = with_date_partition(spark.createDataFrame(rows))
+    got = write_with_metrics(
+        df, str(tmp_path / "sink"),
+        metrics=[F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")],
+    )
+    assert got["n_rows"] == 3
+    assert got["min_ts"] == dt.datetime(2024, 1, 1, 4)
+    assert got["max_ts"] == dt.datetime(2024, 1, 2, 5)
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 3
