@@ -238,3 +238,57 @@ def pack_sequences(
         F.floor(before / budget).alias("pack_id"),
         (before % budget).alias("pack_offset"),
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style corpus-wide boilerplate removal: any (trimmed, non-empty)
+    line occurring in ≥ ``min_docs`` distinct documents is deleted from
+    every document; surviving lines are rejoined in original order.
+
+    Plan shape at scale: lines explode once; the per-line distinct-doc
+    count is a partial-aggregable groupBy on the line text; the frequent
+    set (tiny — boilerplate is by definition few distinct strings) comes
+    back as a **broadcast left-anti join**, so the big exploded side never
+    shuffles for the filter. The rebuild groups by doc and sorts each
+    doc's surviving (pos, line) structs row-locally — one shuffle keyed on
+    the doc id. Docs whose every line was boilerplate survive with empty
+    text (dropping them is the caller's policy decision).
+    """
+    from .textstats import clean_lines
+
+    base = docs.select(
+        F.col(id_col), F.size(clean_lines(text_col)).alias("_n_lines")
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(clean_lines(text_col)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

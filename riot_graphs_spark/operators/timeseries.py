@@ -431,6 +431,52 @@ def spread_stats(
     )
 
 
+def ewma(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    out: str = "ewma",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``exponential_moving_average`` — per-point recursive smooth
+    ``e_t = α·x_t + (1-α)·e_{t-1}`` seeded with the series' first value.
+
+    Genuinely sequential per series (each output depends on the previous),
+    so this is the one time-series operator that earns ``applyInPandas``:
+    one group per series, the recursion vectorized with numpy inside the
+    Arrow batch. Shuffle on dims only; state per task is one series. The
+    closed-form window-sum rewrite is deliberately avoided — it needs
+    ``(1-α)^(-t)`` terms that overflow float64 for series longer than a few
+    hundred points.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dims = list(dims)
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    schema_out = df.select(*dims, ts, value).schema.add(out, "double")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        x = pdf[value].to_numpy(dtype=float)
+        e = np.empty_like(x)
+        if len(x):
+            acc = x[0]
+            for i, xi in enumerate(x):
+                acc = alpha * xi + (1.0 - alpha) * acc if i else xi
+                e[i] = acc
+        pdf = pdf[[*dims, ts, value]].copy()
+        pdf[out] = e
+        return pdf
+
+    in_cols = list(dict.fromkeys([*dims, ts, value, *order]))
+    return (
+        df.select(*in_cols).groupBy(*dims).applyInPandas(smooth, schema=schema_out)
+    )
+
+
 def mode_per_series(
     df: DataFrame, dims: Sequence[str], value: str, out: str = "mode_value"
 ) -> DataFrame:

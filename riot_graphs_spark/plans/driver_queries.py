@@ -2291,6 +2291,24 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(verified)
 
 
+# Rows-only (no SQL oracle): EWMA is a genuinely sequential recursion
+# (e_t depends on e_{t-1}); the closed-form SQL rewrite overflows float64
+# on long series, so there is no faithful ANSI-SQL twin. Semantics are
+# unit-tested against the hand recursion (test_graph_and_hist).
+@_q("ts_ewma")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL exponential_moving_average(value, 0.3) per event_type via
+    grouped applyInPandas — the one sequential-per-series operator
+    (operators.timeseries.ewma)."""
+    from ..operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(
+        ev, dims=["event_type"], ts="ts", value="value", alpha=0.3,
+        tiebreak="event_id",
+    )
+
+
 # Rows-only (no SQL oracle): recall compares our own two ANN variants —
 # the brute-force side already carries the hash-checked semantics
 # (ann_cosine_topk); this entry reports how much the IVF approximation
@@ -2320,6 +2338,47 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
         )
+    )
+
+
+@_q(
+    "boilerplate_removal",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS ls
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+      FROM d
+    ), freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line
+      ) WHERE nd >= 2
+    ), k AS (
+      SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM freq)
+    ), r AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           len(d.ls) - coalesce(r.n_kept, 0) AS n_removed
+    FROM d LEFT JOIN r USING (doc_id)
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate line removal (min_docs=2). The
+    driver's documents are single-line so this sweep checks the pass-
+    through path end-to-end; the crafted multi-line fixtures in
+    test_curation exercise actual removal, ordering, and the all-removed
+    edge (operators.curation.remove_boilerplate_lines)."""
+    from ..operators.curation import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _t(spark, sf_dir, "documents"), min_docs=2
     )
 
 

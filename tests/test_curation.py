@@ -171,3 +171,28 @@ def test_lsh_bucket_cap_drops_only_oversized_buckets(spark):
     assert (10, 11) in uncapped and (10, 11) in capped  # small bucket kept
     assert any(a < 5 and b < 5 for a, b in uncapped)  # boilerplate paired
     assert not any(a < 5 and b < 5 for a, b in capped)  # cap dropped them
+
+
+def test_boilerplate_lines_removed_order_preserved(spark):
+    from riot_graphs_spark.operators.curation import remove_boilerplate_lines
+
+    footer = "subscribe to our newsletter"
+    cookie = "this site uses cookies"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"real content one\n{footer}\n{cookie}"),
+            Row(doc_id=2, text=f"{cookie}\nreal content two\n{footer}"),
+            Row(doc_id=3, text=f"{footer}\nother real text\n{cookie}\nmore text"),
+            Row(doc_id=4, text=f"{footer}\n{cookie}"),  # pure boilerplate
+            Row(doc_id=5, text="unique only"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert got[1] == ("real content one", 2)
+    assert got[2] == ("real content two", 2)
+    assert got[3] == ("other real text\nmore text", 2)  # order kept
+    assert got[4] == ("", 2)  # survives as empty, not dropped
+    assert got[5] == ("unique only", 0)

@@ -65,3 +65,33 @@ def test_histogram_clamps_and_reconciles(spark):
     assert sum(r.n for r in hist) == 7
     # Edges are lo + k*width.
     assert by_bucket[5].edge_lo == 50.0 and by_bucket[5].edge_hi == 60.0
+
+
+def test_ewma_matches_hand_recursion(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [10.0, 20.0, 0.0, 40.0, 40.0]
+    rows = [
+        Row(series="a", ts=base + dt.timedelta(hours=i), event_id=i, value=x)
+        for i, x in enumerate(xs)
+    ] + [Row(series="b", ts=base, event_id=99, value=7.0)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.series, r.ts): r.ewma
+        for r in ewma(
+            df, dims=["series"], ts="ts", value="value", alpha=0.5,
+            tiebreak="event_id",
+        ).collect()
+    }
+    acc, exp = None, []
+    for i, x in enumerate(xs):
+        acc = x if i == 0 else 0.5 * x + 0.5 * acc
+        exp.append(acc)
+    for i, e in enumerate(exp):
+        assert abs(got[("a", base + dt.timedelta(hours=i))] - e) < 1e-12
+    assert got[("b", base)] == 7.0  # single point: seed passes through

@@ -135,6 +135,14 @@ def test_q19_derives_single_side_prefilters(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_boilerplate_filter_is_broadcast_anti_join(spark):
+    """The frequent-line set must come back to the exploded side as a
+    broadcast left-anti join — shuffling the full exploded corpus to filter
+    against a tiny boilerplate set is the failure mode."""
+    plan = formatted_plan(spark, "boilerplate_removal")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight", plan)
+
+
 def test_q22_anti_join_builds_on_key_only(spark):
     """NOT EXISTS must be a left-anti join whose orders side is pruned to
     the key column before the exchange."""

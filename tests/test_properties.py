@@ -172,3 +172,89 @@ def test_minhash_signature_depends_only_on_shingle_set(spark, texts):
         by_doc.setdefault(r.doc_id, {})[r.j] = r.minhash
     for i in range(len(texts)):
         assert by_doc.get(i) == by_doc.get(1000 + i)
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_moving_average_matches_pandas_rolling(spark, events):
+    from riot_graphs_spark.operators.timeseries import moving_average
+
+    df = to_df(spark, events)
+    got = {
+        (r.series, r.event_id): r.moving_avg
+        for r in moving_average(
+            df, dims=["series"], ts="ts", value="value", n=3,
+            tiebreak="event_id",
+        ).collect()
+    }
+    pdf = df.toPandas().sort_values(["series", "ts", "event_id"])
+    for series, grp in pdf.groupby("series"):
+        roll = grp["value"].rolling(3).mean()
+        for (_, row), exp in zip(grp.iterrows(), roll):
+            key = (series, row["event_id"])
+            if exp != exp:  # NaN: window not full -> row must be absent
+                assert key not in got
+            else:
+                assert abs(got[key] - exp) < 1e-9
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_cumulative_sum_last_row_equals_series_total(spark, events):
+    from riot_graphs_spark.operators.timeseries import cumulative_sum
+
+    df = to_df(spark, events)
+    out = cumulative_sum(
+        df, dims=["series"], ts="ts", value="value", tiebreak="event_id"
+    )
+    # the largest (ts, event_id) row per series carries the series total
+    last = {
+        r.series: r.cum_sum
+        for r in out.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window
+                .partitionBy("series")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("_rn = 1")
+        .collect()
+    }
+    totals = {
+        r.series: float(r.total)
+        for r in df.groupBy("series").agg(F.sum("value").alias("total")).collect()
+    }
+    assert {k: round(v, 6) for k, v in last.items()} == {
+        k: round(v, 6) for k, v in totals.items()
+    }
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_integral_matches_numpy_trapezoid(spark, events):
+    import numpy as np
+
+    from riot_graphs_spark.operators.timeseries import integral_per_bucket
+
+    df = to_df(spark, events)
+    got = {
+        (r.series, r.bucket): r.integral
+        for r in integral_per_bucket(
+            df, dims=["series"], ts="ts", value="value", unit="day",
+            tiebreak="event_id",
+        ).collect()
+    }
+    pdf = df.toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("D")
+    for (series, bucket), grp in pdf.groupby(["series", "bucket"]):
+        grp = grp.sort_values(["ts", "event_id"])
+        t = grp["ts"].astype("int64").to_numpy() / 1e9
+        v = grp["value"].to_numpy(dtype=float)
+        trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy 2 / 1.x
+        exp = float(trapz(v, t)) if len(grp) > 1 else None
+        act = got[(series, bucket)]
+        if exp is None:
+            assert act is None  # single point: no trapezoid, NULL integral
+        else:
+            assert act is not None and abs(act - exp) < 1e-6
