@@ -80,6 +80,14 @@ HEADLINE = [
     "dedup_cc_clusters",
     "ts_moving_average",
     "ts_integral_daily",
+    "ts_ewma",
+    "q7_nation_volume",
+    "q10_returned_customers",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "text_repetition",
+    "boilerplate_removal",
+    "embed_neardup_clusters",
     "ann_recall_ivf",
 ]
 

@@ -107,3 +107,39 @@ def write_with_metrics(
     else:
         observed.write.mode("append").partitionBy(*partition_cols).parquet(path)
     return obs.get
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "date",
+    partitions: Sequence[str] | None = None,
+    files_per_partition: int = 1,
+) -> int:
+    """Compact the small files a streaming/incremental ingest accumulates
+    (every micro-batch appends at least one file per partition — after a
+    month of availableNow runs a day-partition holds hundreds of KB-sized
+    files, and scan planning cost grows with file count, not bytes).
+
+    Rewrites the selected partitions (default: all) to
+    ``files_per_partition`` files each via repartition on the partition
+    column + dynamic partition overwrite — untouched partitions are left
+    alone, and readers see the old files until the atomic directory swap.
+    Returns the number of partitions compacted.
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col(partition_col).isin(list(partitions)))
+        n_parts = len(set(partitions))
+    else:
+        n_parts = df.select(partition_col).distinct().count()
+    compacted = df.repartition(
+        max(1, n_parts * files_per_partition), partition_col
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_parts

@@ -135,6 +135,14 @@ def test_q19_derives_single_side_prefilters(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q7_broadcasts_all_dims(spark):
+    """Q7's supplier and both nation lookups must broadcast; only the
+    lineitem⋈orders fact join may shuffle."""
+    plan = formatted_plan(spark, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in plan
+
+
 def test_boilerplate_filter_is_broadcast_anti_join(spark):
     """The frequent-line set must come back to the exploded side as a
     broadcast left-anti join — shuffling the full exploded corpus to filter

@@ -118,3 +118,30 @@ def test_write_with_metrics_counts_without_rescan(spark, tmp_path):
     assert got["min_ts"] == dt.datetime(2024, 1, 1, 4)
     assert got["max_ts"] == dt.datetime(2024, 1, 2, 5)
     assert spark.read.parquet(str(tmp_path / "sink")).count() == 3
+
+
+def test_compact_partitions_reduces_files_keeps_data(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.sources.sinks import compact_partitions
+
+    path = str(tmp_path / "t")
+    rows = [Row(date=f"2024-01-0{d}", v=i) for d in (1, 2) for i in range(40)]
+    # simulate many micro-batch appends: 8 files per partition
+    spark.createDataFrame(rows).repartition(8).write.partitionBy(
+        "date"
+    ).parquet(path)
+    before = len(glob.glob(f"{path}/date=2024-01-01/*.parquet"))
+    assert before >= 8
+
+    n = compact_partitions(spark, path, partitions=["2024-01-01"])
+    assert n == 1
+    after = len(glob.glob(f"{path}/date=2024-01-01/*.parquet"))
+    untouched = len(glob.glob(f"{path}/date=2024-01-02/*.parquet"))
+    assert after < before and untouched >= 8  # only the named partition rewritten
+
+    got = spark.read.parquet(path)
+    assert got.count() == 80
+    assert got.groupBy("date").count().collect()[0][1] == 40
