@@ -85,6 +85,10 @@ HEADLINE = [
     "q10_returned_customers",
     "q19_disjunctive",
     "q22_idle_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "text_repetition",
     "boilerplate_removal",
     "embed_neardup_clusters",

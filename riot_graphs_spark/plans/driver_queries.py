@@ -2776,6 +2776,506 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal AS min_acctbal
+    FROM part
+    JOIN supply ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+      AND s_acctbal = (
+        SELECT min(s2.s_acctbal) FROM supply sp2
+        JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+        WHERE sp2.l_partkey = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — per part, the supplier with the minimum account
+    balance among the suppliers observed shipping it (the testdata has no
+    partsupp table, so the supply relation is derived as the distinct
+    (part, supplier) pairs of lineitem; SURVEY §2.3 J-family). The
+    correlated MIN subquery is decorrelated by hand: one distinct on the
+    pair key, a broadcast supplier enrich, then a per-part MIN window on
+    the already-shuffled pair partitioning — no self-join, no second
+    shuffle. The part filter prunes before the window via broadcast
+    semi-join so the window only ranks surviving parts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supply = li.distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        supply.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").alias("min_acctbal"),
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           ((sum(CASE WHEN sn.n_name = 'NATION_7'
+                      THEN (l_extendedprice::DECIMAL(12,2)) *
+                           (1 - l_discount::DECIMAL(3,2))
+                      ELSE 0 END))::DOUBLE
+            / (sum((l_extendedprice::DECIMAL(12,2)) *
+                   (1 - l_discount::DECIMAL(3,2))))::DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of a region's yearly revenue.
+    The region filter folds into the broadcast nation⋈region dim before it
+    touches a fact, so customers outside EUROPE are dropped at the first
+    join. Both sums share one aggregation (conditional numerator); the
+    ratio is computed on the exact DECIMAL sums cast to double, keeping the
+    division bit-identical across engines regardless of row order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sname")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("_sname") == "NATION_7", revenue).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+    SELECT sn.n_name AS nation, year(o_orderdate) AS order_year,
+           (sum((l_extendedprice::DECIMAL(12,2)) *
+                (1 - l_discount::DECIMAL(3,2))
+                - (p_retailprice::DECIMAL(12,2)) *
+                  (l_quantity::DECIMAL(12,2)) *
+                  (0.10::DECIMAL(3,2))))::DOUBLE AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY sn.n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per supplier nation and order year for a
+    part-name family. No partsupp in the testdata, so unit cost is proxied
+    as 10% of p_retailprice (shape-preserving: revenue minus a
+    part-dependent cost joined in from the part dim). The part name LIKE
+    prunes ~90% of lineitem through a broadcast join before the orders
+    shuffle; the whole cost expression stays in exact DECIMAL until the
+    final cast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)") * F.lit(0.10).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("_snk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "q11_part_value_share",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum((l_extendedprice::DECIMAL(12,2)) *
+                 (1 - l_discount::DECIMAL(3,2))) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value::DOUBLE AS part_value
+    FROM pv
+    WHERE value::DOUBLE > (SELECT (sum(value))::DOUBLE * (0.0008::DOUBLE)
+                           FROM pv)
+    """,
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds a fraction of total
+    revenue (derived from lineitem; the testdata has no partsupp). The
+    scalar subquery over the same aggregate becomes: aggregate once, reduce
+    the single-row total, broadcast it back as a cross join — the per-part
+    aggregate is computed exactly once, not once per comparison. Threshold
+    and operand are compared as doubles cast from the exact DECIMAL sums so
+    the boundary is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    value = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(value).alias("value"))
+    total = pv.agg(
+        (F.sum("value").cast("double") * F.lit(0.0008)).alias("_thresh")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("_thresh"))
+        .select(
+            "l_partkey", F.col("value").cast("double").alias("part_value")
+        )
+    )
+
+
+@_q(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority mix of late shipments (no
+    l_receiptdate/l_shipmode in the testdata, so lateness is ship-vs-order
+    date and the pivot class is l_linestatus). The join is a plain
+    co-partitioned equi-join on orderkey; the cross-table date predicate
+    cannot push below the join and correctly filters post-join. Conditional
+    counts are one pass, both partial-aggregable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    including zero-order customers (the left outer join's whole point).
+    The join-side filter moves onto the orders scan (equivalent for a
+    left-outer extra condition); the double aggregation shuffles once on
+    custkey and once on the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum((l_extendedprice::DECIMAL(12,2)) *
+                 (1 - l_discount::DECIMAL(3,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) with the maximum quarterly revenue.
+    The view-plus-scalar-max becomes: one partial-aggregable revenue
+    aggregate, a single-row max reduced from it, broadcast back as a cross
+    join, and an exact DECIMAL equality (ties all surface, as in the spec).
+    The date range pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q17_small_qty_revenue",
+    """
+    SELECT (sum(l_extendedprice::DECIMAL(12,2)))::DOUBLE / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from small-quantity orders of one brand,
+    with a per-part average-quantity correlated subquery. Decorrelation:
+    restrict lineitem to the brand's parts first (a part-attribute filter,
+    so the per-part average over the restricted set is identical to the
+    correlated average over all of lineitem), aggregate the per-part
+    half-averages (bounded by the brand's part count → broadcast), and
+    filter the same restricted set against them. The brand filter reaches
+    lineitem as a broadcast join ~100× smaller than a shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    bparts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    lib = li.join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = lib.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * F.lit(0.5)).alias("_half_avg")
+    )
+    return (
+        lib.join(F.broadcast(stats), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "q20_excess_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN qty ON l_suppkey = s_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%' AND sq > 50
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who shipped an excess quantity of a
+    part-name family in one year (availqty proxied by shipped quantity;
+    no partsupp in the testdata). Date range pushes to the scan; the
+    (part, supplier) aggregate is partial-aggregable; the name filter comes
+    in as a broadcast semi-join; the survivor supplier set is deduped on
+    the key alone before the broadcast name lookup."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    redparts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .join(
+            F.broadcast(redparts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the only late shipper on
+    multi-supplier finished orders (lateness is ship-vs-order date here).
+    The EXISTS / NOT EXISTS pair decorrelates into one per-order aggregate:
+    n_supp = distinct suppliers on the order, n_late = distinct suppliers
+    that shipped late; a late line l1 qualifies iff n_supp > 1 and
+    n_late = 1. Everything is keyed on l_orderkey — the orders join, the
+    per-order aggregate, and the join back all reuse one hash
+    partitioning, so the two correlated subqueries cost one extra
+    exchange, not two self-joins of lineitem."""
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    li_f = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+    stats = li_f.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li_f.filter(late)
+        .join(stats, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
     "q22_idle_customers",
     """
     WITH threshold AS (

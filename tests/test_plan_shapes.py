@@ -158,3 +158,38 @@ def test_q22_anti_join_builds_on_key_only(spark):
     assert "LeftAnti" in plan
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(cols == "o_custkey:bigint" for cols in m), m
+
+
+def test_q2_correlated_min_is_one_window_not_self_join(spark):
+    """The correlated MIN subquery must decorrelate into a per-part window
+    over the deduped supply pairs — a shuffled self-join of supply against
+    its own aggregate is the failure mode."""
+    plan = formatted_plan(spark, "q2_min_cost_supplier")
+    # 3 scans (lineitem, part, supplier), each named once in the tree and
+    # once in the detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert re.search(r"min\(s_acctbal#\d+\)", plan)  # window min
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q17_correlated_avg_joins_broadcast_both_ways(spark):
+    """Q17's brand filter and the per-part half-average stats must both
+    come back to lineitem as broadcast joins; the only shuffles are the
+    bounded per-part aggregate and the final single-row reduce."""
+    plan = formatted_plan(spark, "q17_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(plan) <= 2
+
+
+def test_q21_double_exists_is_single_expand_aggregate(spark):
+    """Q21's EXISTS + NOT EXISTS pair must decorrelate into one per-order
+    multi-distinct aggregate (Expand), not two self-joins of lineitem; no
+    nested-loop or cartesian fallback anywhere."""
+    plan = formatted_plan(spark, "q21_waiting_suppliers")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the Expand rewrite runs both distinct counts as partial aggregates
+    assert "partial_count" in plan
