@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (no-tz) parquet timestamps must land as TIMESTAMP (LTZ, session
+    # tz pinned to UTC above), not TIMESTAMP_NTZ: event-time watermarks and
+    # window() require TIMESTAMP, and batch/stream must see identical types.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 

@@ -53,6 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumnRenamed("ts", "_ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("_ts_ns div 1000"))
         )
+    # Belt-and-braces: if the session was built elsewhere with NTZ inference
+    # on (a static conf we could not flip at runtime), normalize to TIMESTAMP
+    # so watermarks/windows behave identically everywhere.
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 
