@@ -3571,6 +3571,75 @@ def ts_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# User-journey analytics: ordered funnel + cohort retention (delegated
+# dashboard surface, operators/funnel.py)
+# --------------------------------------------------------------------------
+@_q(
+    "funnel_signup_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+           (SELECT count(*) FROM s1) AS users
+    UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-step funnel (signup → view → click → purchase, each step
+    strictly after the previous, first-touch): users reaching each depth.
+    ONE shuffle regardless of step count — the per-user fold replaces the
+    oracle's k chained join+min passes (operators.funnel.funnel_counts)."""
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        steps=("signup", "view", "click", "purchase"),
+    )
+
+
+@_q(
+    "retention_weekly",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.activity_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS active_users
+    FROM activity a JOIN cohort c USING (user_id)
+    WHERE a.activity_week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: cohort = ISO week of first signup;
+    active = any event in the offset week. Two user-keyed aggregations plus
+    one join (AQE broadcasts the cohort map when small)
+    (operators.funnel.retention_cohorts)."""
+    from ..operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), cohort_step="signup")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,95 @@
+"""Crafted-fixture semantics tests for operators/funnel.py: ordering is
+enforced (out-of-order steps don't advance), each step is strictly after the
+previous, and the retention triangle drops pre-cohort activity."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.operators.funnel import funnel_counts, retention_cohorts
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, d, h), s) for (u, d, h, s) in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+STEPS = ("signup", "view", "purchase")
+
+
+def _depths(spark, rows):
+    out = funnel_counts(_events(spark, rows), STEPS).collect()
+    return {r["step_idx"]: r["users"] for r in out}
+
+
+def test_funnel_full_path_counts_every_depth(spark):
+    rows = [(1, 1, 0, "signup"), (1, 1, 1, "view"), (1, 2, 0, "purchase")]
+    assert _depths(spark, rows) == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_out_of_order_steps_do_not_advance(spark):
+    # view BEFORE signup: user reaches depth 1 only (signup), because the
+    # only view precedes it.
+    rows = [(1, 1, 0, "view"), (1, 1, 1, "signup"), (1, 1, 2, "purchase")]
+    # purchase after signup but without an intermediate view → still depth 1
+    assert _depths(spark, rows) == {1: 1, 2: 0, 3: 0}
+
+
+def test_funnel_same_timestamp_does_not_count_as_after(spark):
+    # view at exactly the signup timestamp is NOT strictly after it.
+    rows = [(1, 1, 0, "signup"), (1, 1, 0, "view")]
+    assert _depths(spark, rows) == {1: 1, 2: 0, 3: 0}
+
+
+def test_funnel_first_touch_picks_earliest_qualifying_step(spark):
+    # Two views after signup; the funnel anchors on the EARLIER one, so a
+    # purchase between them still qualifies (strictly after view #1).
+    rows = [
+        (1, 1, 0, "signup"),
+        (1, 1, 1, "view"),
+        (1, 1, 2, "purchase"),
+        (1, 1, 3, "view"),
+    ]
+    assert _depths(spark, rows) == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_counts_are_per_user_not_per_event(spark):
+    rows = [
+        (1, 1, 0, "signup"), (1, 1, 1, "signup"),  # repeats don't double-count
+        (2, 1, 0, "signup"), (2, 1, 1, "view"),
+        (3, 2, 0, "view"),  # never signs up → depth 0, appears nowhere
+    ]
+    assert _depths(spark, rows) == {1: 2, 2: 1, 3: 0}
+
+
+def test_retention_offsets_and_precohort_drop(spark):
+    # user 1: signup Mon Jan 1 week; active that week and 2 weeks later.
+    # user 2: activity BEFORE its Jan 15 signup is dropped.
+    rows = [
+        (1, 1, 0, "signup"),
+        (1, 2, 0, "view"),          # same week → offset 0 (dedup with signup)
+        (1, 15, 0, "click"),        # Jan 15 = +2 weeks
+        (2, 3, 0, "view"),          # pre-cohort activity → dropped
+        (2, 16, 0, "signup"),       # cohort week Jan 15
+    ]
+    out = retention_cohorts(_events(spark, rows), cohort_step="signup")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["active_users"]
+        for r in out.collect()
+    }
+    jan1 = datetime(2024, 1, 1)
+    jan15 = datetime(2024, 1, 15)
+    assert got == {(jan1, 0): 1, (jan1, 2): 1, (jan15, 0): 1}
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """The funnel must be one exchange on the user key before the final
+    single-partition reduce — no per-step join cascade."""
+    df = _events(spark, [(1, 1, 0, "signup")])
+    plan = funnel_counts(df, STEPS)._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("hashpartitioning(u")
+    assert n_user_exchanges == 1, plan
