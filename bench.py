@@ -93,6 +93,12 @@ HEADLINE = [
     "boilerplate_removal",
     "embed_neardup_clusters",
     "ann_recall_ivf",
+    "funnel_signup_purchase",
+    "retention_weekly",
+    "chunk_documents",
+    "ts_trend_fit",
+    "ts_zscore_anomalies",
+    "ts_holt_forecast",
 ]
 
 

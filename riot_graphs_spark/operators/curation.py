@@ -240,6 +240,51 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``overlap`` characters shared between consecutive chunks — the
+    context-window chunker that turns curated documents into
+    training-sequence candidates (pairs with ``pack_sequences``: chunk to
+    width, then pack the chunks).
+
+    Chunk ``k`` starts at 1-based position ``1 + k·(chunk_chars−overlap)``
+    and runs for ``chunk_chars``; starts are emitted while they land inside
+    the text, and an empty document still yields one empty chunk (so no doc
+    silently disappears from the corpus). Returns
+    ``(id_col, chunk_id: long, chunk_start: long, chunk_text: string)``.
+
+    Scale posture: a per-row ``sequence`` + ``explode`` + ``substring``
+    projection — zero shuffles, runs inside whole-stage codegen, and the
+    output row count is predictable (Σ ceil(len/stride)), which is what lets
+    a 100 TB chunking pass be sized in advance.
+    """
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(text_col)), F.lit(stride)
+    )
+    return (
+        df.select(id_col, F.col(text_col), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            ((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -477,6 +477,77 @@ def ewma(
     )
 
 
+def holt_forecast(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """InfluxQL ``holt_winters(N, 0)``-style forecast: Holt's double
+    exponential smoothing (level + trend, no seasonality) fitted per series,
+    emitting ``horizon`` future steps per series. The step size of the
+    forecast timestamps is the series' median inter-point gap, which is how
+    InfluxQL spaces its predicted points over a regular GROUP BY time grid.
+
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        forecast(h) = level_T + h·trend_T
+
+    seeded with ``level_0 = x_0`` and ``trend_0 = x_1 − x_0`` (0 for
+    single-point series). Sequential recursion like :func:`ewma` → grouped
+    ``applyInPandas``, one Arrow batch per series, shuffle on dims only.
+    Rows-only in the driver gate: there is no faithful ANSI-SQL twin; the
+    recursion is unit-tested against a hand rollout.
+
+    Returns ``(*dims, step: long, forecast_ts: timestamp, forecast: double)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dims = list(dims)
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    base = df.select(*dict.fromkeys([*dims, ts, value, *order]))
+    schema_out = (
+        base.select(*dims)
+        .schema.add("step", "long")
+        .add("forecast_ts", "timestamp")
+        .add("forecast", "double")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        x = pdf[value].to_numpy(dtype=float)
+        t = pdf[ts].to_numpy()
+        level = x[0]
+        trend = x[1] - x[0] if len(x) > 1 else 0.0
+        for xi in x[1:]:
+            prev_level = level
+            level = alpha * xi + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev_level) + (1.0 - beta) * trend
+        gap = (
+            np.median(np.diff(t)) if len(t) > 1 else np.timedelta64(1, "h")
+        )
+        steps = np.arange(1, horizon + 1)
+        # Median-gap arithmetic can land on sub-microsecond nanoseconds,
+        # which Arrow's safe ns→us cast rejects under a default session.
+        fts = pd.Series(t[-1] + steps * gap).dt.floor("us")
+        out = pd.DataFrame(
+            {d: [pdf[d].iloc[0]] * horizon for d in dims}
+            | {
+                "step": steps.astype("int64"),
+                "forecast_ts": fts,
+                "forecast": level + steps * trend,
+            }
+        )
+        return out
+
+    return base.groupBy(*dims).applyInPandas(fit, schema=schema_out)
+
+
 def mode_per_series(
     df: DataFrame, dims: Sequence[str], value: str, out: str = "mode_value"
 ) -> DataFrame:
@@ -512,6 +583,98 @@ def top_n_per_series(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_rn")
+    )
+
+
+def trend_fit(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    anchor_epoch_us: int,
+) -> DataFrame:
+    """Per-series least-squares trend: slope (value units per SECOND) and
+    intercept of ``value`` regressed on event time. The size-regression
+    detector a CI-metrics dashboard runs over every (test, board) series —
+    a drifting slope IS the regression.
+
+    Determinism: the five sufficient statistics (n, Σx, Σx², Σxy, Σy) are
+    computed exactly — x is integer seconds since ``anchor_epoch_us``
+    (small offsets keep Σx² inside int64), y a DECIMAL(18,2) — and only the
+    final closed-form combination runs in double, a fixed expression tree on
+    exact inputs that every engine reproduces bit-for-bit. The built-in
+    ``regr_slope`` accumulates doubles in merge order and is NOT
+    hash-stable across engines; that is why it is not used here.
+
+    One partial-aggregable shuffle on ``dims``; fixed-size state per series.
+    """
+    x = F.expr(f"(unix_micros({ts}) - {anchor_epoch_us}L) div 1000000L")
+    y = F.col(value).cast("decimal(18,2)")
+    agg = df.groupBy(*_cols(dims)).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x.cast("decimal(20,0)") * y).alias("_sxy"),
+        F.sum(y).alias("_sy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sy = F.col("_sy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return agg.select(
+        *_cols(dims),
+        F.col("n"),
+        slope.alias("slope_per_sec"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    trailing: int = 100,
+    threshold: float = 3.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming-style anomaly flag: z-score of each point against the mean
+    and sample stddev of the previous ``trailing`` points of its series
+    (exclusive window — the point never judges itself). Points without a
+    full trailing window are dropped, so every emitted z uses the same
+    sample size.
+
+    The trailing Σx and Σx² are DECIMAL (exact under any accumulation
+    order — engines disagree on sliding-window double-sum algorithms,
+    e.g. segment trees vs running sums); mean/std/z are then a fixed double
+    expression on those exact sums. One shuffle on ``dims``; the window
+    state is ``trailing`` rows per series.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*_cols(dims))
+        .orderBy(*order)
+        .rowsBetween(-trailing, -1)
+    )
+    y = F.col(value).cast("decimal(18,2)")
+    n_prev = F.count("*").over(w)
+    sx = F.sum(y).over(w).cast("double")
+    sxx = F.sum(y * y).over(w).cast("double")
+    nd = float(trailing)
+    mean = sx / nd
+    std = F.sqrt((sxx - sx * sx / nd) / (nd - 1.0))
+    z = (F.col(value) - mean) / std
+    # Window columns are materialized BEFORE the full-window filter: the
+    # trailing statistics of a kept row must still see the early rows the
+    # filter drops.
+    return (
+        df.withColumn("_np", n_prev)
+        .withColumn("zscore", z)
+        .filter(F.col("_np") == trailing)
+        .drop("_np")
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) > threshold)
     )
 
 

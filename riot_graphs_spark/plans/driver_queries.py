@@ -3640,6 +3640,128 @@ def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"), cohort_step="signup")
 
 
+# --------------------------------------------------------------------------
+# Context-window chunking (training-sequence candidates, curation surface)
+# --------------------------------------------------------------------------
+@_q(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           CAST((s - 1) // 40 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           substring(text, CAST(s AS INT), 64) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(1, len(text)) + 1, 40)) AS s
+      FROM documents
+    )
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width character chunking with overlap (64-char chunks, 24-char
+    overlap → stride 40): per-row sequence+explode+substring, zero shuffles
+    (operators.curation.chunk_documents)."""
+    from ..operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=64, overlap=24
+    )
+
+
+# --------------------------------------------------------------------------
+# Trend fit + anomaly detection (regression-drift surface, the product's
+# whole point generalized: a drifting slope IS a size regression)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_trend_fit",
+    """
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts::TIMESTAMP) - 1704067200000000) // 1000000 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(20,0)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(y) AS DOUBLE) AS sy
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_per_sec,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE) AS intercept
+    FROM sums
+    """,
+)
+def ts_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares slope/intercept of value vs time from exact
+    sufficient statistics (operators.timeseries.trend_fit). x is integer
+    seconds since 2024-01-01 so Σx² stays in int64; only the closed form
+    runs in double — bit-identical across engines, unlike regr_slope."""
+    from ..operators.timeseries import trend_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_fit(
+        ev, dims=["event_type"], ts="ts", value="value",
+        anchor_epoch_us=1_704_067_200_000_000,
+    )
+
+
+@_q(
+    "ts_zscore_anomalies",
+    """
+    WITH w AS (
+      SELECT event_type, event_id, ts::TIMESTAMP AS ts, value,
+             count(*) OVER win AS n_prev,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  OVER win AS DOUBLE) AS sxx
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, ts, value,
+           (value - sx / 100.0)
+             / sqrt((sxx - sx * sx / 100.0) / 99.0) AS zscore,
+           abs((value - sx / 100.0)
+             / sqrt((sxx - sx * sx / 100.0) / 99.0)) > 3.0 AS is_anomaly
+    FROM w WHERE n_prev = 100
+    """,
+)
+def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly z-score vs the trailing-100 window of the series (exclusive),
+    sample stddev from exact DECIMAL Σx/Σx² — sliding-window double sums
+    are engine-specific (segment trees vs running sums), exact sums are not
+    (operators.timeseries.zscore_anomalies)."""
+    from ..operators.timeseries import zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    return zscore_anomalies(
+        ev, dims=["event_type"], ts="ts", value="value",
+        trailing=100, threshold=3.0, tiebreak="event_id",
+    )
+
+
+# Rows-only (no SQL oracle): Holt's smoothing is a sequential two-state
+# recursion per series (level_t and trend_t each depend on t−1); like
+# ts_ewma there is no faithful ANSI-SQL twin. The recursion is unit-tested
+# against a hand rollout (test_graph_and_hist).
+@_q("ts_holt_forecast")
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL holt_winters(3, 0): 3-step-ahead Holt level+trend forecast
+    per event_type (operators.timeseries.holt_forecast)."""
+    from ..operators.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value", "event_id")
+    return holt_forecast(
+        ev, dims=["event_type"], ts="ts", value="value",
+        alpha=0.3, beta=0.1, horizon=3, tiebreak="event_id",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

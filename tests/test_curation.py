@@ -196,3 +196,36 @@ def test_boilerplate_lines_removed_order_preserved(spark):
     assert got[3] == ("other real text\nmore text", 2)  # order kept
     assert got[4] == ("", 2)  # survives as empty, not dropped
     assert got[5] == ("unique only", 0)
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    from riot_graphs_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "abc")],
+        "doc_id long, text string",
+    )
+    # chunk_chars=4, overlap=2 -> stride 2, starts 1,3,5,7,9 for len 10
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_chars=4, overlap=2).collect()
+    }
+    assert out[(1, 0)] == (1, "abcd")
+    assert out[(1, 1)] == (3, "cdef")
+    assert out[(1, 4)] == (9, "ij")  # tail chunk is short, not padded
+    assert (1, 5) not in out  # start 11 > len 10
+    assert out[(2, 0)] == (1, "")  # empty doc still yields one empty chunk
+    assert out[(3, 0)] == (1, "abc")
+    assert out[(3, 1)] == (3, "c")
+    assert len(out) == 5 + 1 + 2
+
+
+def test_chunk_documents_zero_overlap_covers_text_exactly_once(spark):
+    from riot_graphs_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "0123456789AB")], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_chars=5, overlap=0).collect()
+    rebuilt = "".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+    )
+    assert rebuilt == "0123456789AB"

@@ -95,3 +95,86 @@ def test_ewma_matches_hand_recursion(spark):
     for i, e in enumerate(exp):
         assert abs(got[("a", base + dt.timedelta(hours=i))] - e) < 1e-12
     assert got[("b", base)] == 7.0  # single point: seed passes through
+
+
+def test_trend_fit_recovers_exact_line(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import trend_fit
+
+    # value = 2*t_sec + 5 exactly, one point per second
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(seconds=s), float(2 * s + 5)) for s in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = trend_fit(
+        df, dims=["event_type"], ts="ts", value="value",
+        anchor_epoch_us=1_704_067_200_000_000,
+    ).collect()[0]
+    assert out["n"] == 10
+    assert abs(out["slope_per_sec"] - 2.0) < 1e-12
+    assert abs(out["intercept"] - 5.0) < 1e-9
+
+
+def test_zscore_flags_spike_and_drops_warmup(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import zscore_anomalies
+
+    t0 = datetime(2024, 1, 1)
+    # 5 steady points (values 1..5), then a huge spike
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 1000.0, 3.0]
+    rows = [("a", i, t0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = zscore_anomalies(
+        df, dims=["event_type"], ts="ts", value="value",
+        trailing=5, threshold=3.0, tiebreak="event_id",
+    ).collect()
+    got = {r["event_id"]: (r["zscore"], r["is_anomaly"]) for r in out}
+    # first 5 rows have no full trailing window -> dropped
+    assert set(got) == {5, 6}
+    assert got[5][1] is True and got[5][0] > 3.0
+    # the point after the spike: trailing window contains the spike, so the
+    # stddev explodes and the ordinary value is NOT anomalous
+    assert got[6][1] is False
+
+
+def test_holt_forecast_matches_hand_rollout(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import holt_forecast
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 13.0, 15.0, 14.0]
+    rows = [("a", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    alpha, beta = 0.3, 0.1
+    level, trend = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        prev = level
+        level = alpha * x + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+    out = holt_forecast(
+        df, dims=["event_type"], ts="ts", value="value",
+        alpha=alpha, beta=beta, horizon=3,
+    ).collect()
+    got = {r["step"]: (r["forecast"], r["forecast_ts"]) for r in out}
+    assert set(got) == {1, 2, 3}
+    for h in (1, 2, 3):
+        assert abs(got[h][0] - (level + h * trend)) < 1e-12
+        # hourly series -> forecasts continue on the hourly grid
+        assert got[h][1] == t0 + timedelta(hours=4 + h)
+
+
+def test_holt_forecast_single_point_series_is_flat(spark):
+    from datetime import datetime
+
+    from riot_graphs_spark.operators.timeseries import holt_forecast
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 7.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = holt_forecast(df, dims=["event_type"], ts="ts", value="value", horizon=2)
+    assert [r["forecast"] for r in out.collect()] == [7.0, 7.0]
