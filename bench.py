@@ -99,6 +99,9 @@ HEADLINE = [
     "ts_trend_fit",
     "ts_zscore_anomalies",
     "ts_holt_forecast",
+    "ts_m4_downsample",
+    "dq_orders_expectations",
+    "cdc_latest_state",
 ]
 
 

@@ -691,6 +691,56 @@ def zscore_anomalies(
     )
 
 
+def m4_downsample(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit: str = "day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and time
+    bucket keep only the first, last, min-value, and max-value *points* —
+    the ≤4 rows per pixel column that make a line chart render
+    pixel-identical to the full series. This is how a dashboard draws a
+    billion-point series: the reduction is data-volume-proportional while
+    the output is bounded by buckets × dims × 4.
+
+    Ties are broken deterministically (min roles by earliest
+    ``(ts, tiebreak)``, max roles by latest); a point holding several roles
+    is emitted once. Returns ``(*dims, bucket, ts, value)``.
+
+    Scale posture: one partial-aggregable ``groupBy`` shuffle on
+    (dims, bucket) — four ``min_by``/``max_by`` struct aggregates, constant
+    state per group, then a row-local ``array_distinct`` + ``explode``. No
+    windows, no second shuffle.
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).alias("bucket")
+    tb = [F.col(tiebreak)] if tiebreak else []
+    pt = F.struct(F.col(ts).alias(ts), F.col(value).alias(value))
+    time_key = F.struct(F.col(ts), *tb)
+    value_key = F.struct(F.col(value), F.col(ts), *tb)
+    return (
+        df.groupBy(*_cols(dims), bucket)
+        .agg(
+            F.min_by(pt, time_key).alias("_first"),
+            F.max_by(pt, time_key).alias("_last"),
+            F.min_by(pt, value_key).alias("_min"),
+            F.max_by(pt, value_key).alias("_max"),
+        )
+        .select(
+            *_cols(dims),
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array("_first", "_min", "_max", "_last")
+                )
+            ).alias("_pt"),
+        )
+        .select(*_cols(dims), "bucket", f"_pt.{ts}", f"_pt.{value}")
+    )
+
+
 def distinct_tags(df: DataFrame, *cols: str) -> DataFrame:
     """G7 — Grafana template-variable values. Partial-aggregable distinct."""
     return df.select(*cols).distinct()

@@ -3762,6 +3762,134 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# M4 downsampling (dashboard rendering at scale: ≤4 points per pixel column)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_m4_downsample",
+    """
+    WITH pts AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+             ts::TIMESTAMP AS ts, value, event_id
+      FROM events
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value, ts, event_id) AS rmin,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value DESC, ts DESC, event_id DESC) AS rmax
+      FROM pts
+    )
+    SELECT DISTINCT event_type, bucket, ts, value
+    FROM r WHERE 1 IN (rf, rl, rmin, rmax)
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 chart downsampling: first/last/min/max point per (event_type, day)
+    — one partial-aggregable shuffle, output bounded by buckets×dims×4
+    (operators.timeseries.m4_downsample)."""
+    from ..operators.timeseries import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return m4_downsample(
+        ev, dims=["event_type"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation gate (one-pass Deequ-style verdict report)
+# --------------------------------------------------------------------------
+@_q(
+    "dq_orders_expectations",
+    """
+    WITH m AS (
+      SELECT
+        CAST(avg(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          AS completeness,
+        CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS uniq_ratio,
+        CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        CAST(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+             AS DOUBLE) AS status_domain,
+        CAST(count(*) AS DOUBLE) AS n_rows
+      FROM orders
+    )
+    SELECT 'custkey_complete' AS check_name, completeness AS metric,
+           0.99 AS low, CAST(NULL AS DOUBLE) AS high,
+           completeness >= 0.99 AS passed FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', uniq_ratio, 1.0, 1.0,
+           uniq_ratio >= 1.0 AND uniq_ratio <= 1.0 FROM m
+    UNION ALL
+    SELECT 'totalprice_positive', min_price, 0.0, CAST(NULL AS DOUBLE),
+           min_price >= 0.0 FROM m
+    UNION ALL
+    SELECT 'status_in_domain', status_domain, 1.0, 1.0,
+           status_domain >= 1.0 AND status_domain <= 1.0 FROM m
+    UNION ALL
+    SELECT 'nonempty', n_rows, 1.0, CAST(NULL AS DOUBLE), n_rows >= 1.0 FROM m
+    """,
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-expectation quality gate over orders evaluated in ONE scan/agg
+    pass (operators.profile.expectation_report): completeness, key
+    uniqueness, value range, domain membership, non-emptiness."""
+    from ..operators.profile import expectation_report
+
+    o = _t(spark, sf_dir, "orders")
+    return expectation_report(
+        o,
+        [
+            ("custkey_complete",
+             F.avg(F.col("o_custkey").isNotNull().cast("int")), 0.99, None),
+            ("orderkey_unique",
+             F.count_distinct("o_orderkey").cast("double")
+             / F.count(F.lit(1)).cast("double"), 1.0, 1.0),
+            ("totalprice_positive", F.min("o_totalprice"), 0.0, None),
+            ("status_in_domain",
+             F.avg(F.col("o_orderstatus").isin("O", "F", "P").cast("int")),
+             1.0, 1.0),
+            ("nonempty", F.count(F.lit(1)), 1.0, None),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC change-log compaction (general form of the InfluxDB point-upsert O2)
+# --------------------------------------------------------------------------
+@_q(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins CDC compaction of the events stream keyed by user:
+    one max_by shuffle, tombstone keys (last op = 'error') dropped
+    (operators.cdc.apply_changelog)."""
+    from ..operators.cdc import apply_changelog
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return apply_changelog(
+        ev, keys=["user_id"], seq=["ts", "event_id"],
+        op_col="event_type", delete_op="error",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -229,3 +229,27 @@ def test_chunk_documents_zero_overlap_covers_text_exactly_once(spark):
         r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
     )
     assert rebuilt == "0123456789AB"
+
+
+def test_expectation_report_bounds_and_one_pass_shape(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.profile import expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (None, -5.0)], "k int, v double"
+    )
+    rep = expectation_report(
+        df,
+        [
+            ("k_complete", F.avg(F.col("k").isNotNull().cast("int")), 0.99, None),
+            ("v_min_nonneg", F.min("v"), 0.0, None),
+            ("rows_bounded", F.count(F.lit(1)), 1.0, 5.0),
+        ],
+    )
+    got = {r.check_name: r for r in rep.collect()}
+    assert got["k_complete"].passed is False  # 2/3 < 0.99
+    assert abs(got["k_complete"].metric - 2 / 3) < 1e-12
+    assert got["v_min_nonneg"].passed is False and got["v_min_nonneg"].metric == -5.0
+    assert got["rows_bounded"].passed is True and got["rows_bounded"].metric == 3.0
+    assert got["rows_bounded"].low == 1.0 and got["rows_bounded"].high == 5.0

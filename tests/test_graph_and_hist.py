@@ -178,3 +178,71 @@ def test_holt_forecast_single_point_series_is_flat(spark):
     )
     out = holt_forecast(df, dims=["event_type"], ts="ts", value="value", horizon=2)
     assert [r["forecast"] for r in out.collect()] == [7.0, 7.0]
+
+
+def test_m4_downsample_roles_and_dedup(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import m4_downsample
+
+    t0 = datetime(2024, 1, 1)
+    # one series, one day bucket: first(8am)=5, min(10am)=1, max(noon)=9,
+    # last(2pm)=5; plus a single-point day where one row holds all 4 roles
+    rows = [
+        ("a", 1, t0 + timedelta(hours=8), 5.0),
+        ("a", 2, t0 + timedelta(hours=10), 1.0),
+        ("a", 3, t0 + timedelta(hours=12), 9.0),
+        ("a", 4, t0 + timedelta(hours=14), 5.0),
+        ("a", 5, t0 + timedelta(days=1, hours=9), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = m4_downsample(
+        df, dims=["event_type"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    ).collect()
+    day1 = sorted(
+        (r["ts"], r["value"]) for r in out if r["bucket"] == t0
+    )
+    assert day1 == [
+        (t0 + timedelta(hours=8), 5.0),
+        (t0 + timedelta(hours=10), 1.0),
+        (t0 + timedelta(hours=12), 9.0),
+        (t0 + timedelta(hours=14), 5.0),
+    ]
+    day2 = [(r["ts"], r["value"]) for r in out if r["bucket"] == t0 + timedelta(days=1)]
+    assert day2 == [(t0 + timedelta(days=1, hours=9), 7.0)]  # deduped to 1 row
+
+
+def test_apply_changelog_last_writer_wins_and_tombstones(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.cdc import apply_changelog
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: insert then update -> survives with latest value
+        (1, 1, t0, "upsert", 10.0),
+        (2, 1, t0 + timedelta(hours=1), "upsert", 20.0),
+        # user 2: update then delete -> tombstoned, dropped entirely
+        (3, 2, t0, "upsert", 30.0),
+        (4, 2, t0 + timedelta(hours=1), "delete", 0.0),
+        # user 3: delete then a LATER re-insert -> resurrected
+        (5, 3, t0, "delete", 0.0),
+        (6, 3, t0 + timedelta(hours=1), "upsert", 40.0),
+        # user 4: same ts, seq tiebreak on event_id picks id 8
+        (7, 4, t0, "upsert", 1.0),
+        (8, 4, t0, "upsert", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, op string, value double"
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in apply_changelog(
+            df, keys=["user_id"], seq=["ts", "event_id"],
+            op_col="op", delete_op="delete",
+        ).collect()
+    }
+    assert got == {1: (2, 20.0), 3: (6, 40.0), 4: (8, 2.0)}
