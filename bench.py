@@ -102,6 +102,8 @@ HEADLINE = [
     "ts_m4_downsample",
     "dq_orders_expectations",
     "cdc_latest_state",
+    "scd2_user_history",
+    "g3_gap_fill_zero",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,4 +47,45 @@ def apply_changelog(
         .agg(F.max_by(row, order_key).alias("_last"))
         .where(F.col(f"_last.{op_col}") != F.lit(delete_op))
         .select(*[F.col(f"_last.{c}").alias(c) for c in cols])
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq: Sequence[str],
+    op_col: str,
+    attrs: Sequence[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the same change log:
+    one validity-interval row per change — ``valid_from`` is the change's
+    timestamp (``seq[0]``), ``valid_to`` the key's NEXT change (NULL while
+    current), ``is_current`` the open-interval flag.
+
+    A delete closes its predecessor's interval (its timestamp becomes that
+    row's ``valid_to`` via the lead over ALL changes) but contributes no
+    interval row itself — so a deleted-then-reinserted key has a gap in its
+    history, exactly the point-in-time semantics ``FOR SYSTEM_TIME AS OF``
+    queries need.
+
+    Returns ``(*keys, *attrs, valid_from, valid_to, is_current)``. One
+    window shuffle on ``keys`` ordered by ``seq``; unlike
+    :func:`apply_changelog` this op genuinely needs every change row in the
+    output, so a window (not ``max_by``) is the right plan.
+    """
+    ts_col = seq[0]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in seq]
+    )
+    return (
+        df.withColumn("valid_to", F.lead(ts_col).over(w))
+        .where(F.col(op_col) != F.lit(delete_op))
+        .select(
+            *keys,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
     )

@@ -157,6 +157,41 @@ def gap_fill_forward(
     return joined.select(ts, *dims, *filled)
 
 
+def gap_fill_value(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    values: Sequence[str],
+    step: str = "INTERVAL 1 DAY",
+    fill: float | int | None = None,
+) -> DataFrame:
+    """G3 variant — Grafana/InfluxQL ``fill(0)`` / ``fill(<const>)`` /
+    ``fill(null)``: every missing bucket appears on the regular grid with a
+    constant value (``fill=None`` leaves NULL — ``fill(null)``, which still
+    matters: the chart needs the empty bucket to break the line).
+
+    Same distributive spine/grid as :func:`gap_fill_forward` but no window
+    at all — just a ``coalesce`` projection after the grid join, so this is
+    the cheapest fill mode (no per-series sort).
+    """
+    bounds = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(step))).alias(ts)
+    )
+    series = df.select(*dims).distinct()
+    grid = spine.crossJoin(F.broadcast(series))
+    joined = grid.join(df, on=[ts, *dims], how="left")
+    out = [
+        (
+            F.coalesce(F.col(v), F.lit(fill)).alias(v)
+            if fill is not None
+            else F.col(v)
+        )
+        for v in values
+    ]
+    return joined.select(ts, *dims, *out)
+
+
 def gap_fill_linear(
     df: DataFrame,
     ts: str,

@@ -3890,6 +3890,88 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SCD2 validity-interval history (point-in-time form of the change log)
+# --------------------------------------------------------------------------
+@_q(
+    "scd2_user_history",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, event_type, value, ts::TIMESTAMP AS ts
+      FROM events
+    ), iv AS (
+      SELECT *,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM c
+    )
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM iv WHERE event_type <> 'error'
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history per user from the events change log: validity
+    intervals via one lead() window, deletes ('error') close intervals but
+    emit no row (operators.cdc.scd2_history)."""
+    from ..operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return scd2_history(
+        ev, keys=["user_id"], seq=["ts", "event_id"],
+        op_col="event_type", attrs=["event_id", "event_type", "value"],
+        delete_op="error",
+    )
+
+
+# --------------------------------------------------------------------------
+# G3 variant — fill(0): constant gap fill, the cheapest fill mode
+# --------------------------------------------------------------------------
+@_q(
+    "g3_gap_fill_zero",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+             CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ), grid AS (
+      SELECT s.bucket, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+    )
+    SELECT g.bucket, g.event_type, coalesce(h.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.bucket = h.bucket AND g.event_type = h.event_type
+    """,
+)
+def g3_gap_fill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana fill(0): regular grid with constant fill — no window, just a
+    coalesce after the spine join (operators.timeseries.gap_fill_value)."""
+    from ..operators.timeseries import gap_fill_value
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_agg(
+        ev,
+        ts="ts",
+        unit="hour",
+        dims=["event_type"],
+        aggs=[F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value")],
+    )
+    return gap_fill_value(
+        hourly,
+        ts="bucket",
+        dims=["event_type"],
+        values=["sum_value"],
+        step="INTERVAL 1 HOUR",
+        fill=0,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -246,3 +246,61 @@ def test_apply_changelog_last_writer_wins_and_tombstones(spark):
         ).collect()
     }
     assert got == {1: (2, 20.0), 3: (6, 40.0), 4: (8, 2.0)}
+
+
+def test_scd2_history_intervals_close_and_gap_on_delete(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.cdc import scd2_history
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "upsert", 10.0),
+        (2, 1, t0 + timedelta(hours=1), "upsert", 20.0),
+        (3, 1, t0 + timedelta(hours=2), "delete", 0.0),
+        (4, 1, t0 + timedelta(hours=3), "upsert", 30.0),  # re-insert after gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, op string, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in scd2_history(
+            df, keys=["user_id"], seq=["ts", "event_id"], op_col="op",
+            attrs=["event_id", "value"], delete_op="delete",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}  # the delete row emits no interval
+    assert out[1]["valid_to"] == t0 + timedelta(hours=1)
+    # the delete's timestamp closes its predecessor's interval
+    assert out[2]["valid_to"] == t0 + timedelta(hours=2)
+    assert not out[2]["is_current"]
+    # history has a gap [2h, 3h) with no valid row, then the re-insert is open
+    assert out[4]["valid_from"] == t0 + timedelta(hours=3)
+    assert out[4]["valid_to"] is None and out[4]["is_current"]
+
+
+def test_gap_fill_value_constant_and_null_modes(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import gap_fill_value
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + timedelta(days=2), 3.0)],
+        "event_type string, bucket timestamp, v double",
+    )
+    zero = {
+        r["bucket"]: r["v"]
+        for r in gap_fill_value(
+            df, ts="bucket", dims=["event_type"], values=["v"], fill=0
+        ).collect()
+    }
+    assert zero == {t0: 1.0, t0 + timedelta(days=1): 0.0, t0 + timedelta(days=2): 3.0}
+    nulls = {
+        r["bucket"]: r["v"]
+        for r in gap_fill_value(
+            df, ts="bucket", dims=["event_type"], values=["v"], fill=None
+        ).collect()
+    }
+    assert nulls[t0 + timedelta(days=1)] is None  # fill(null) keeps the bucket

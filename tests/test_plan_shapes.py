@@ -193,3 +193,31 @@ def test_q21_double_exists_is_single_expand_aggregate(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the Expand rewrite runs both distinct counts as partial aggregates
     assert "partial_count" in plan
+
+
+def test_cdc_compaction_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "cdc_latest_state")
+    # max_by(struct, seq) pre-reduces each key map-side; a rank-window plan
+    # would show Window + a full sort instead of a partial aggregate.
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_m4_downsample_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "ts_m4_downsample")
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    plan = formatted_plan(spark, "chunk_documents")
+    assert shuffle_count(plan) == 0  # sequence+explode+substring projection
+
+
+def test_expectation_report_is_one_pass(spark):
+    plan = formatted_plan(spark, "dq_orders_expectations")
+    # one scan of orders: the count_distinct rides the same read via a
+    # two-phase aggregate, never a second scan of the table
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
