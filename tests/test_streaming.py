@@ -260,3 +260,66 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     got = [(r.hash, r.pr_num) for r in spark.table("ssj_out").collect()]
     assert got == [("aaa", 1)]
+
+
+def test_streaming_cdc_materialization_matches_batch_compaction(spark, dirs):
+    import json as _json
+
+    from riot_graphs_spark.operators.cdc import apply_changelog
+    from riot_graphs_spark.streaming.cdc import materialize_changelog
+
+    landing, state, ckpt = dirs["landing"], dirs["sink"], dirs["ckpt"]
+    schema = "event_id long, user_id long, ts timestamp, op string, value double"
+
+    def write_changes(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    batch1 = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "op": "U", "value": 10.0},
+        {"event_id": 2, "user_id": 2, "ts": "2024-01-01 00:00:00", "op": "U", "value": 20.0},
+    ]
+    write_changes("b1", batch1)
+    n1 = materialize_changelog(
+        spark, landing, state, ckpt, schema,
+        keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
+    )
+    assert n1 == 2
+
+    # batch 2: update user 1, delete user 2, insert user 3
+    batch2 = [
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01 01:00:00", "op": "U", "value": 11.0},
+        {"event_id": 4, "user_id": 2, "ts": "2024-01-01 01:00:00", "op": "D", "value": 0.0},
+        {"event_id": 5, "user_id": 3, "ts": "2024-01-01 01:00:00", "op": "U", "value": 30.0},
+    ]
+    write_changes("b2", batch2)
+    n2 = materialize_changelog(
+        spark, landing, state, ckpt, schema,
+        keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
+    )
+    assert n2 == 2  # user 2 tombstoned
+
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # incremental materialization == one-shot batch compaction of the full log
+    full = spark.createDataFrame(
+        [tuple(r.values()) for r in batch1 + batch2],
+        "event_id long, user_id long, ts string, op string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in apply_changelog(
+            full, keys=["user_id"], seq=["ts", "event_id"], op_col="op"
+        ).collect()
+    }
+    assert got == expect == {1: (3, 11.0), 3: (5, 30.0)}
+
+    # replay: no new files -> checkpoint makes the run a no-op
+    n3 = materialize_changelog(
+        spark, landing, state, ckpt, schema,
+        keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
+    )
+    assert n3 == 2
