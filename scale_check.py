@@ -70,6 +70,35 @@ def _rep(documents):
     return repetition_stats(documents)
 
 
+def _zscore(events):
+    from riot_graphs_spark.operators.timeseries import zscore_anomalies
+
+    return zscore_anomalies(
+        events.select("event_type", "ts", "event_id", "value"),
+        dims=["event_type"], ts="ts", value="value",
+        trailing=100, tiebreak="event_id",
+    )
+
+
+def _cdc(events):
+    from riot_graphs_spark.operators.cdc import apply_changelog
+
+    return apply_changelog(
+        events.select("event_id", "user_id", "ts", "event_type", "value"),
+        keys=["user_id"], seq=["ts", "event_id"],
+        op_col="event_type", delete_op="error",
+    )
+
+
+def _m4(events):
+    from riot_graphs_spark.operators.timeseries import m4_downsample
+
+    return m4_downsample(
+        events, dims=["event_type"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,6 +150,12 @@ def main() -> None:
         "ts_integral_daily": lambda t: _integral(t["events"]),
         # Gopher repetition: row-local line stats + two count-only groupBys
         "text_repetition": lambda t: _rep(t["documents"]),
+        # O(n) trailing window (running-sum differences, not a bounded frame)
+        "ts_zscore_anomalies": lambda t: _zscore(t["events"]),
+        # keyed compaction: max_by partial agg — state one row per key
+        "cdc_compaction": lambda t: _cdc(t["events"]),
+        # M4: four partial min_by/max_by aggs, output bounded by buckets×4
+        "ts_m4_downsample": lambda t: _m4(t["events"]),
     }
 
     report = {}
