@@ -104,6 +104,7 @@ HEADLINE = [
     "cdc_latest_state",
     "scd2_user_history",
     "g3_gap_fill_zero",
+    "fuzzy_edit_pairs",
 ]
 
 

@@ -15,6 +15,8 @@ and DuckDB (``('0x' || ..)::BIGINT``), so every stage is oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -449,4 +451,69 @@ def jaccard_verify_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: Sequence[str] = ("lang",),
+    band: int = 30,
+    max_distance: int = 30,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs verified by exact Levenshtein edit distance —
+    the character-level dedup measure (MinHash/SimHash are token/bit-level;
+    edit distance catches small in-place mutations those can miss).
+
+    Candidate blocking is (block_cols, length bucket): two texts with edit
+    distance ≤ d differ in length by ≤ d, so with bucket width = ``band``
+    every qualifying pair lands in the same or adjacent buckets. The right
+    side explodes each row into (bucket−1, bucket, bucket+1), the left
+    keeps its own bucket — every within-band pair shares exactly ONE join
+    key (no pair-level dedup needed), and the join is a plain equi-join that
+    hash-partitions on (block, bucket), never a length range predicate a
+    join can't use.
+
+    Per-pair cost is capped by Spark's thresholded ``levenshtein(l, r, t)``
+    (returns −1 and stops early once the distance exceeds ``t`` — O(d·len),
+    not O(len²)). Output: ``(id_a, id_b, edit_distance)`` with
+    ``id_a < id_b``.
+
+    Scale posture: pair count is bounded by block×bucket co-occupancy, not
+    corpus size — the explode costs 3× on one side but makes the blocking
+    key exact. Hot blocks (one dominant language) should pre-split on an
+    extra blocking column (e.g. a source or shingle prefix) before widening
+    ``band``.
+    """
+    blocks = list(block_cols)
+    bucket = F.floor(F.col(length_col) / F.lit(band))
+    left = docs.select(
+        *blocks,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col(length_col).alias("_la"),
+        bucket.alias("_bk"),
+    )
+    right = docs.select(
+        *blocks,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.col(length_col).alias("_lb"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_bk"),
+    )
+    return (
+        left.join(right, on=[*blocks, "_bk"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= band)
+        )
+        .withColumn(
+            "edit_distance", F.levenshtein("_ta", "_tb", max_distance)
+        )
+        .where(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
     )

@@ -3972,6 +3972,32 @@ def g3_gap_fill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy pairs (character-level dedup measure)
+# --------------------------------------------------------------------------
+@_q(
+    "fuzzy_edit_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 30
+    WHERE levenshtein(a.text, b.text) <= 30
+    """,
+)
+def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-verified near-duplicate pairs under (lang, length-bucket)
+    blocking with thresholded early-exit distance
+    (operators.dedup.edit_distance_pairs)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang"], band=30, max_distance=30,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

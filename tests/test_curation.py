@@ -253,3 +253,30 @@ def test_expectation_report_bounds_and_one_pass_shape(spark):
     assert got["v_min_nonneg"].passed is False and got["v_min_nonneg"].metric == -5.0
     assert got["rows_bounded"].passed is True and got["rows_bounded"].metric == 3.0
     assert got["rows_bounded"].low == 1.0 and got["rows_bounded"].high == 5.0
+
+
+def test_edit_distance_pairs_banding_threshold_and_bucket_straddle(spark):
+    from riot_graphs_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair whose lengths straddle a bucket boundary
+            # (len 9 -> bucket 0, len 11 -> bucket 1 at band=10)
+            (1, "en", "aaaabbbbb", 9),
+            (2, "en", "aaaabbbbbcc", 11),
+            # identical text, different lang -> blocked apart
+            (3, "de", "aaaabbbbb", 9),
+            # same block but distance above threshold
+            (4, "en", "zzzzzzzzz", 9),
+            # same block, length outside the band
+            (5, "en", "aaaabbbbb" + "x" * 20, 29),
+        ],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(
+            docs, band=10, max_distance=5
+        ).collect()
+    }
+    assert got == {(1, 2): 2}  # found once (no dup from multi-bucket keys)
