@@ -105,6 +105,7 @@ HEADLINE = [
     "scd2_user_history",
     "g3_gap_fill_zero",
     "fuzzy_edit_pairs",
+    "repeated_spans",
 ]
 
 

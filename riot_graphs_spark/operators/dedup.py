@@ -517,3 +517,78 @@ def edit_distance_pairs(
         .where(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): hash every k-char gram, keep the minimum hash of each
+    sliding window of ``w`` consecutive grams, emit the distinct minima.
+    Guarantee: any shared substring of length ≥ ``w + k − 1`` between two
+    documents produces at least one shared fingerprint — the scalable
+    approximation of exact-substring training-data dedup (Lee et al. 2022).
+
+    Entirely row-local (shingle → hash → windowed min → distinct, all
+    higher-order array functions inside one projection): ZERO shuffles, and
+    the gram-hash array is bound once via ``bind_array`` so the windowed min
+    is O(grams·w) per row, not quadratic re-evaluation. Docs shorter than
+    ``k`` hash their whole text (one gram, one fingerprint) so nothing
+    silently drops out.
+
+    Returns ``(id_col, fingerprint: long)``, one row per distinct
+    fingerprint per doc.
+    """
+    text = F.col(text_col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(text) - k + 1)
+    )
+    gram_hashes = F.transform(
+        positions, lambda i: hash56(text.substr(i, F.lit(k)))
+    )
+
+    def windowed_min(hs: Column) -> Column:
+        n_windows = F.greatest(F.lit(1), F.size(hs) - w + 1)
+        return F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(bind_array(gram_hashes, windowed_min))
+        ).alias("fingerprint"),
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection: winnowing fingerprints that
+    occur in ≥ ``min_docs`` distinct documents, with the documents that
+    share them — the "this exact boilerplate paragraph appears in 40k pages"
+    detector that drives substring-level corpus cleaning.
+
+    One partial-aggregable shuffle on fingerprint (counts), then a
+    fingerprint-keyed join back to the (doc, fingerprint) pairs. Returns
+    ``(fingerprint, n_docs, id_col)`` — one row per sharing document.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+    rep = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return fps.join(rep, "fingerprint").select(
+        "fingerprint", "n_docs", id_col
+    )

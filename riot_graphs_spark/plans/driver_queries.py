@@ -3998,6 +3998,48 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Winnowing repeated-span detection (substring-level corpus dedup)
+# --------------------------------------------------------------------------
+@_q(
+    "repeated_spans",
+    """
+    WITH grams AS (
+      SELECT doc_id, text, greatest(1, len(text) - 20 + 1) AS ng,
+             unnest(range(1, greatest(1, len(text) - 20 + 1) + 1)) AS i
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, i, ng,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14))::BIGINT AS h
+      FROM grams
+    ), wins AS (
+      SELECT doc_id, i, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM hashed
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp AS fingerprint
+      FROM wins WHERE i <= greatest(1, ng - 8 + 1)
+    ), rep AS (
+      SELECT fingerprint, count(*) AS n_docs
+      FROM sel GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT s.fingerprint, r.n_docs, s.doc_id
+    FROM sel s JOIN rep r USING (fingerprint)
+    """,
+)
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (k=20, w=8) repeated-span detector: fingerprints shared by
+    ≥2 documents — any common substring of ≥27 chars is guaranteed caught
+    (operators.dedup.repeated_spans). Fingerprinting is row-local; the only
+    shuffle is the fingerprint count."""
+    from ..operators.dedup import repeated_spans
+
+    return repeated_spans(
+        _t(spark, sf_dir, "documents"), k=20, w=8, min_docs=2
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

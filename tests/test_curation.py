@@ -280,3 +280,34 @@ def test_edit_distance_pairs_banding_threshold_and_bucket_straddle(spark):
         ).collect()
     }
     assert got == {(1, 2): 2}  # found once (no dup from multi-bucket keys)
+
+
+def test_winnow_guarantee_and_short_doc_handling(spark):
+    from riot_graphs_spark.operators.dedup import (
+        repeated_spans,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB"),
+            (2, "CCCCC " + shared + " DDDD"),
+            (3, "completely different content with nothing in common here"),
+            (4, "tiny"),  # shorter than k -> whole-text gram, still present
+            (5, "tiny"),  # exact short dup -> shares that fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=20, w=8)
+    assert fps.filter("doc_id = 4").count() == 1  # no silent drop
+    spans = repeated_spans(docs, k=20, w=8).collect()
+    by_docs = {}
+    for r in spans:
+        by_docs.setdefault(r["fingerprint"], set()).add(r["doc_id"])
+    # guarantee: docs 1,2 share a >=27-char substring -> >=1 shared fp
+    assert any(v >= {1, 2} for v in by_docs.values())
+    # exact short dups share their whole-text fingerprint
+    assert any(v == {4, 5} for v in by_docs.values())
+    # doc 3 shares nothing
+    assert all(3 not in v for v in by_docs.values())
