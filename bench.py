@@ -106,6 +106,7 @@ HEADLINE = [
     "g3_gap_fill_zero",
     "fuzzy_edit_pairs",
     "repeated_spans",
+    "ts_sample_per_type",
 ]
 
 

@@ -726,6 +726,35 @@ def zscore_anomalies(
     )
 
 
+def sample_per_series(
+    df: DataFrame,
+    dims: Sequence[str],
+    n: int,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """InfluxQL ``sample(f, N)`` selector: N pseudo-random points per series,
+    **deterministic** — rows are ordered by the md5 hash of their key
+    columns (uniform, uncorrelated with time or value) and the first N win.
+    Re-running, re-partitioning, or re-ordering the input cannot change the
+    sample, which is what makes a 100 TB sampling job reproducible and
+    resumable (`rand()` is neither).
+
+    One shuffle on ``dims``; rank-then-filter is required here (the N
+    winners must be whole rows), but the sort key is a cheap scalar hash.
+    """
+    hash_key = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    )
+    w = Window.partitionBy(*_cols(dims)).orderBy(
+        hash_key, *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def m4_downsample(
     df: DataFrame,
     dims: Sequence[str],

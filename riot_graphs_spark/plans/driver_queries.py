@@ -4040,6 +4040,35 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# InfluxQL sample(f, N) selector — deterministic hash-ordered sampling
+# --------------------------------------------------------------------------
+@_q(
+    "ts_sample_per_type",
+    """
+    WITH ranked AS (
+      SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, ts, event_type, value FROM ranked WHERE rn <= 10
+    """,
+)
+def ts_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL sample(value, 10) per event_type: deterministic md5-ordered
+    sample (operators.timeseries.sample_per_series)."""
+    from ..operators.timeseries import sample_per_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return sample_per_series(
+        ev, dims=["event_type"], n=10, key_cols=["event_id"]
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -304,3 +304,26 @@ def test_gap_fill_value_constant_and_null_modes(spark):
         ).collect()
     }
     assert nulls[t0 + timedelta(days=1)] is None  # fill(null) keeps the bucket
+
+
+def test_sample_per_series_is_deterministic_and_sized(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import sample_per_series
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a" if i % 2 else "b", i, t0 + timedelta(minutes=i), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    s1 = sample_per_series(df, dims=["event_type"], n=5, key_cols=["event_id"])
+    s2 = sample_per_series(
+        df.repartition(7), dims=["event_type"], n=5, key_cols=["event_id"]
+    )
+    got1 = sorted((r["event_type"], r["event_id"]) for r in s1.collect())
+    got2 = sorted((r["event_type"], r["event_id"]) for r in s2.collect())
+    assert got1 == got2  # partitioning-invariant
+    assert len(got1) == 10 and len({t for t, _ in got1}) == 2  # 5 per series
