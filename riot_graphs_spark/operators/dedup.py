@@ -460,8 +460,8 @@ def edit_distance_pairs(
     text_col: str = "text",
     length_col: str = "n_chars",
     block_cols: Sequence[str] = ("lang",),
-    band: int = 30,
-    max_distance: int = 30,
+    band: int = 10,
+    max_distance: int = 10,
 ) -> DataFrame:
     """Fuzzy-duplicate pairs verified by exact Levenshtein edit distance —
     the character-level dedup measure (MinHash/SimHash are token/bit-level;

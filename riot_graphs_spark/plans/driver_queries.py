@@ -3982,8 +3982,8 @@ def g3_gap_fill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
     FROM documents a JOIN documents b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(a.n_chars - b.n_chars) <= 30
-    WHERE levenshtein(a.text, b.text) <= 30
+     AND abs(a.n_chars - b.n_chars) <= 10
+    WHERE levenshtein(a.text, b.text) <= 10
     """,
 )
 def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3994,7 +3994,7 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return edit_distance_pairs(
         _t(spark, sf_dir, "documents"),
-        block_cols=["lang"], band=30, max_distance=30,
+        block_cols=["lang"], band=10, max_distance=10,
     )
 
 
