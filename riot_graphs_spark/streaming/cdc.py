@@ -7,8 +7,12 @@ streaming share the transformation body, SURVEY §7 step 4). Incremental
 correctness falls out of last-writer-wins being associative: compacting
 (compacted-state ∪ new-changes) equals compacting the full log, so each
 micro-batch only touches the current state plus its own rows — never the
-historical log. The checkpoint replaces any "query the sink for the last
-applied change" readback (SURVEY §2.6 O5).
+historical log. Associativity requires TOMBSTONES TO STAY IN STATE
+(``keep_tombstones=True``): a dropped delete would let a late-arriving
+older change resurrect its key, silently diverging from full-log
+compaction. Deletes are filtered only when the state is read. The
+checkpoint replaces any "query the sink for the last applied change"
+readback (SURVEY §2.6 O5).
 
 Scale notes: state is one row per live key (bounded by key cardinality, not
 log length); the per-batch cost is one max_by shuffle over state + batch.
@@ -40,9 +44,11 @@ def materialize_changelog(
     delete_op: str = "D",
 ) -> int:
     """Process all new change files (availableNow), fold them into the
-    current-state parquet at ``state_path``, and return the number of live
-    keys after the run. Re-running with no new files is a no-op (checkpoint
-    offsets); replaying a batch converges to the same state (LWW).
+    state parquet at ``state_path`` (tombstones retained), and return the
+    number of LIVE keys after the run. Re-running with no new files is a
+    no-op (checkpoint offsets); replaying a batch converges to the same
+    state (LWW); late data older than a key's tombstone cannot resurrect it.
+    Read the live view with ``current_state``.
     """
     stream = spark.readStream.schema(schema).json(landing_dir)
 
@@ -54,7 +60,8 @@ def materialize_changelog(
         except Exception:  # first batch: no state yet
             merged = batch_df
         compacted = apply_changelog(
-            merged, keys=keys, seq=seq, op_col=op_col, delete_op=delete_op
+            merged, keys=keys, seq=seq, op_col=op_col, delete_op=delete_op,
+            keep_tombstones=True,
         ).localCheckpoint()  # break lineage: we overwrite what we read
         compacted.write.mode("overwrite").parquet(state_path)
 
@@ -66,6 +73,18 @@ def materialize_changelog(
         .awaitTermination()
     )
     try:
-        return spark.read.parquet(state_path).count()
+        return current_state(spark, state_path, op_col, delete_op).count()
     except Exception:
         return 0
+
+
+def current_state(
+    spark: SparkSession, state_path: str, op_col: str, delete_op: str = "D"
+):
+    """Live view of a materialized change-log state: tombstoned keys
+    filtered out (the state itself keeps them — see module docstring)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(state_path).where(
+        F.col(op_col) != F.lit(delete_op)
+    )

@@ -258,3 +258,59 @@ def test_integral_matches_numpy_trapezoid(spark, events):
             assert act is None  # single point: no trapezoid, NULL integral
         else:
             assert act is not None and abs(act - exp) < 1e-6
+
+
+@given(events=events_strategy)
+@settings(**SETTINGS)
+def test_m4_contains_extremes_and_is_subset(spark, events):
+    from riot_graphs_spark.operators.timeseries import m4_downsample
+
+    df = to_df(spark, events)
+    out = m4_downsample(
+        df, dims=["series"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    ).collect()
+    src = df.collect()
+    by_bucket = {}
+    for r in src:
+        key = (r["series"], r["ts"].date())
+        by_bucket.setdefault(key, []).append(r)
+    got = {}
+    for r in out:
+        got.setdefault((r["series"], r["bucket"].date()), []).append(r)
+    assert set(got) == set(by_bucket)
+    for key, pts in got.items():
+        rows = by_bucket[key]
+        in_pts = {(p["ts"], p["value"]) for p in pts}
+        # subset of the input points of that bucket
+        assert in_pts <= {(r["ts"], r["value"]) for r in rows}
+        assert 1 <= len(pts) <= 4
+        # extremes and endpoints are all represented
+        assert min(r["value"] for r in rows) in {p["value"] for p in pts}
+        assert max(r["value"] for r in rows) in {p["value"] for p in pts}
+        assert min(r["ts"] for r in rows) in {p["ts"] for p in pts}
+        assert max(r["ts"] for r in rows) in {p["ts"] for p in pts}
+
+
+@given(events=events_strategy, split=st.integers(min_value=0, max_value=40))
+@settings(**SETTINGS)
+def test_cdc_split_compaction_equals_full_compaction(spark, events, split):
+    """Associativity with tombstones retained: compact(compact(A) ∪ B) ==
+    compact(A ∪ B) for ANY split point — the invariant the streaming
+    materialization rests on (late data cannot resurrect deletes)."""
+    from riot_graphs_spark.operators.cdc import apply_changelog
+
+    df = to_df(spark, events).withColumn(
+        "op", F.when(F.col("value") % 5 == 0, "D").otherwise("U")
+    )
+    kw = dict(keys=["series"], seq=["ts", "event_id"], op_col="op")
+    a = df.filter(F.col("event_id") < split)
+    b = df.filter(F.col("event_id") >= split)
+    state_a = apply_changelog(a, keep_tombstones=True, **kw)
+    incremental = apply_changelog(
+        state_a.unionByName(b), keep_tombstones=True, **kw
+    )
+    full = apply_changelog(df, keep_tombstones=True, **kw)
+    inc_rows = sorted(map(tuple, incremental.collect()))
+    full_rows = sorted(map(tuple, full.collect()))
+    assert inc_rows == full_rows

@@ -300,9 +300,11 @@ def test_streaming_cdc_materialization_matches_batch_compaction(spark, dirs):
     )
     assert n2 == 2  # user 2 tombstoned
 
+    from riot_graphs_spark.streaming.cdc import current_state
+
     got = {
         r["user_id"]: (r["event_id"], r["value"])
-        for r in spark.read.parquet(state).collect()
+        for r in current_state(spark, state, "op").collect()
     }
     # incremental materialization == one-shot batch compaction of the full log
     full = spark.createDataFrame(
@@ -323,3 +325,64 @@ def test_streaming_cdc_materialization_matches_batch_compaction(spark, dirs):
         keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
     )
     assert n3 == 2
+
+    # batch 3: a LATE change for user 2, older than its tombstone — must NOT
+    # resurrect the key (the state keeps the delete as the LWW winner)
+    write_changes("b3", [
+        {"event_id": 6, "user_id": 2, "ts": "2024-01-01 00:30:00", "op": "U", "value": 21.0},
+    ])
+    n4 = materialize_changelog(
+        spark, landing, state, ckpt, schema,
+        keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
+    )
+    assert n4 == 2
+    assert 2 not in {
+        r["user_id"] for r in current_state(spark, state, "op").collect()
+    }
+
+
+def test_streaming_m4_downsample_complete_mode(spark, tmp_path):
+    """M4 as a continuous aggregate: the same operator body (min_by/max_by
+    per bucket + row-local explode) runs on a stream in complete mode — the
+    live-dashboard downsampler."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.timeseries import m4_downsample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_type="a", event_id=1, ts=t0 + dt.timedelta(hours=8), value=5.0),
+        Row(event_type="a", event_id=2, ts=t0 + dt.timedelta(hours=10), value=1.0),
+        Row(event_type="a", event_id=3, ts=t0 + dt.timedelta(hours=12), value=9.0),
+        Row(event_type="a", event_id=4, ts=t0 + dt.timedelta(hours=14), value=5.0),
+    ]
+    src = str(tmp_path / "m4_src")
+    df = spark.createDataFrame(rows)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        m4_downsample(
+            stream, dims=["event_type"], ts="ts", value="value",
+            unit="day", tiebreak="event_id",
+        )
+        .writeStream.format("memory")
+        .queryName("m4_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_m4"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["ts"], r["value"])
+        for r in spark.sql("SELECT * FROM m4_out").collect()
+    )
+    assert got == [
+        (t0 + dt.timedelta(hours=8), 5.0),
+        (t0 + dt.timedelta(hours=10), 1.0),
+        (t0 + dt.timedelta(hours=12), 9.0),
+        (t0 + dt.timedelta(hours=14), 5.0),
+    ]
