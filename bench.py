@@ -107,6 +107,8 @@ HEADLINE = [
     "fuzzy_edit_pairs",
     "repeated_spans",
     "ts_sample_per_type",
+    "text_token_drift",
+    "ts_mad_anomalies",
 ]
 
 

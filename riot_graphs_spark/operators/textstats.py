@@ -300,3 +300,63 @@ def fingerprint(text: Column | str) -> Column:
     across engines (oracle uses the same md5)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def token_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Distribution drift between two corpora at token level: per-token
+    Jensen-Shannon divergence contributions, top-``top_k`` drifted tokens.
+    The mixture-monitoring primitive — "which vocabulary moved between last
+    month's crawl and this month's" — run before retraining on a refreshed
+    corpus.
+
+    Per token: ``p``/``q`` are its relative frequencies in A/B (absent → 0;
+    JS is finite everywhere, unlike KL), ``m = (p+q)/2``, contribution
+    ``½·p·ln(p/m) + ½·q·ln(q/m)``; Σ contributions = JS(A‖B).
+
+    Determinism: counts are exact ints; each row's doubles are a fixed
+    expression on two exact counts and two exact totals — no cross-row FP
+    accumulation, so results are engine-stable (the total JS, a double sum,
+    is intentionally NOT emitted; sum the column if a tolerance-checked
+    scalar is wanted). Ties in the top-k break on token.
+
+    Shuffles: one token-count groupBy per corpus + the full-outer token
+    join; the two 1-row totals ride in as broadcasts.
+    """
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = counted(corpus_a, "n_a"), counted(corpus_b, "n_b")
+    tot_a = ca.agg(F.sum("n_a").alias("tot_a"))
+    tot_b = cb.agg(F.sum("n_b").alias("tot_b"))
+    j = (
+        ca.join(cb, "token", "full_outer")
+        .fillna(0, ["n_a", "n_b"])
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = lambda r: F.when(r > 0, r * F.log(r / m)).otherwise(F.lit(0.0))  # noqa: E731
+    scored = j.select(
+        "token",
+        F.col("n_a"),
+        F.col("n_b"),
+        (F.lit(0.5) * term(p) + F.lit(0.5) * term(q)).alias("js_contribution"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("js_contribution"), F.col("token"))
+    return (
+        scored.withColumn("drift_rank", F.row_number().over(w))
+        .filter(F.col("drift_rank") <= top_k)
+    )

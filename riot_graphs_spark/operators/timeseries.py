@@ -726,6 +726,43 @@ def zscore_anomalies(
     )
 
 
+def mad_anomalies(
+    df: DataFrame,
+    dims: Sequence[str],
+    value: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-series anomaly flag via the modified z-score
+    (Iglewicz–Hoaglin): ``0.6745·(x − median) / MAD`` with
+    ``MAD = median(|x − median|)``. Unlike the mean/stddev z-score
+    (:func:`zscore_anomalies`), a single extreme point cannot inflate the
+    spread estimate and mask itself — the robust complement for fat-tailed
+    series. Rows in series with ``MAD = 0`` get a NULL score (degenerate
+    spread), never a division blow-up.
+
+    Determinism: medians are order statistics (exact interpolation of two
+    sorted values — no FP accumulation), so both engines agree bitwise.
+    Two grouped median passes sharing the ``dims`` partitioning + two
+    joins back; per-series state is the sorted value sketchless list
+    (exact medians need the group's values — at dashboard tag
+    cardinalities that is the right trade; switch to
+    ``percentile_approx`` past that).
+    """
+    med = df.groupBy(*_cols(dims)).agg(F.median(value).alias("_med"))
+    with_med = df.join(med, list(dims))
+    mad = with_med.groupBy(*_cols(dims)).agg(
+        F.median(F.abs(F.col(value) - F.col("_med"))).alias("_mad")
+    )
+    z = F.lit(0.6745) * (F.col(value) - F.col("_med")) / F.col("_mad")
+    score = F.when(F.col("_mad") > 0, z)
+    return (
+        with_med.join(mad, list(dims))
+        .withColumn("robust_z", score)
+        .withColumn("is_anomaly", F.abs(F.col("robust_z")) > threshold)
+        .drop("_med", "_mad")
+    )
+
+
 def sample_per_series(
     df: DataFrame,
     dims: Sequence[str],

@@ -4069,6 +4069,99 @@ def ts_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Token-distribution drift between corpus halves (mixture monitoring)
+# --------------------------------------------------------------------------
+@_q(
+    "text_token_drift",
+    """
+    WITH ta AS (
+      SELECT t.tok AS token, count(*) AS n_a
+      FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ), tb AS (
+      SELECT t.tok AS token, count(*) AS n_b
+      FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+      WHERE doc_id % 2 = 1 GROUP BY 1
+    ), j AS (
+      SELECT coalesce(ta.token, tb.token) AS token,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ta FULL OUTER JOIN tb ON ta.token = tb.token
+    ), tot AS (
+      SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j
+    ), scored AS (
+      SELECT token, n_a, n_b,
+             0.5 * (CASE WHEN n_a > 0 THEN
+                 (CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE))
+                 * ln((CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE))
+                      / ((CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE)
+                          + CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE)) / 2.0))
+                 ELSE 0.0 END)
+             + 0.5 * (CASE WHEN n_b > 0 THEN
+                 (CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE))
+                 * ln((CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE))
+                      / ((CAST(n_a AS DOUBLE)/CAST(tot_a AS DOUBLE)
+                          + CAST(n_b AS DOUBLE)/CAST(tot_b AS DOUBLE)) / 2.0))
+                 ELSE 0.0 END) AS js_contribution
+      FROM j, tot
+    )
+    SELECT token, n_a, n_b, js_contribution,
+           CAST(row_number() OVER (ORDER BY js_contribution DESC, token)
+                AS INT) AS drift_rank
+    FROM scored
+    QUALIFY drift_rank <= 20
+    """,
+)
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by Jensen-Shannon divergence contribution between the
+    even- and odd-doc_id halves of the corpus — the vocabulary-drift monitor
+    (operators.textstats.token_drift). Per-row doubles on exact counts only;
+    no cross-row FP accumulation."""
+    from ..operators.textstats import token_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=20,
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD robust anomalies (complement of the mean/stddev z-score G19)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_mad_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY 1
+    ), wm AS (
+      SELECT e.event_id, e.ts::TIMESTAMP AS ts, e.event_type, e.value, med.m
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(abs(value - m)) AS d FROM wm GROUP BY 1
+    )
+    SELECT wm.event_id, wm.ts, wm.event_type, wm.value,
+           CASE WHEN mad.d > 0
+                THEN 0.6745 * (wm.value - wm.m) / mad.d END AS robust_z,
+           abs(CASE WHEN mad.d > 0
+                THEN 0.6745 * (wm.value - wm.m) / mad.d END) > 3.5 AS is_anomaly
+    FROM wm JOIN mad USING (event_type)
+    """,
+)
+def ts_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified z-score (median/MAD) anomaly flags per event_type — robust
+    to the fat tails that inflate a stddev
+    (operators.timeseries.mad_anomalies). Medians are order statistics, so
+    both engines agree bitwise."""
+    from ..operators.timeseries import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return mad_anomalies(ev, dims=["event_type"], value="value", threshold=3.5)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -311,3 +311,41 @@ def test_winnow_guarantee_and_short_doc_handling(spark):
     assert any(v == {4, 5} for v in by_docs.values())
     # doc 3 shares nothing
     assert all(3 not in v for v in by_docs.values())
+
+
+def test_token_drift_js_contributions(spark):
+    import math
+
+    from riot_graphs_spark.operators.textstats import token_drift
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y z z")], "doc_id long, text string")
+    got = {r["token"]: r for r in token_drift(a, b, top_k=10).collect()}
+    # balanced token y: p == q -> contribution exactly 0
+    assert got["y"].js_contribution == 0.0
+    # one-sided token x: p=2/3, q=0 -> 0.5*p*ln(2)
+    assert abs(got["x"].js_contribution - 0.5 * (2 / 3) * math.log(2)) < 1e-12
+    assert got["x"].n_a == 2 and got["x"].n_b == 0
+    # ranks: x and z tie by symmetry -> token order breaks the tie
+    assert got["x"].drift_rank == 1 and got["z"].drift_rank == 2
+    assert got["y"].drift_rank == 3
+
+
+def test_mad_anomalies_robust_to_outlier_and_degenerate_series(spark):
+    from riot_graphs_spark.operators.timeseries import mad_anomalies
+
+    rows = (
+        # series a: tight cluster + one wild point; the outlier cannot mask
+        # itself (contrast a stddev z-score, where it inflates sigma)
+        [("a", i, 10.0 + (i % 3)) for i in range(8)] + [("a", 8, 1000.0)]
+        # series b: constant -> MAD 0 -> NULL score, no division error
+        + [("b", i, 5.0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = {
+        (r["event_type"], r["event_id"]): r
+        for r in mad_anomalies(df, dims=["event_type"], value="value").collect()
+    }
+    assert got[("a", 8)].is_anomaly is True
+    assert all(not got[("a", i)].is_anomaly for i in range(8))
+    assert got[("b", 0)].robust_z is None
