@@ -109,6 +109,7 @@ HEADLINE = [
     "ts_sample_per_type",
     "text_token_drift",
     "ts_mad_anomalies",
+    "sample_weighted",
 ]
 
 

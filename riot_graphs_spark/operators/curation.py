@@ -16,7 +16,7 @@ scan. Nothing here collects to the driver.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -336,4 +336,53 @@ def remove_boilerplate_lines(
         (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
         .cast("long")
         .alias("n_removed"),
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Weighted sampling without replacement, per group, DETERMINISTIC —
+    Efraimidis–Spirakis A-ES: each row draws a uniform ``u`` from the md5
+    hash of its key columns and gets rank key ``ln(u)/w`` (monotone
+    equivalent of ``u^(1/w)``); the top-``n`` keys per group are a weighted
+    sample where inclusion probability scales with ``weight_col``. The
+    quality-weighted corpus picker: weight = quality score → better docs
+    more likely, every doc still possible, and the same input always yields
+    the same sample (resumable/reproducible at 100 TB, unlike ``rand()``).
+
+    Rows with weight ≤ 0 or NULL are excluded (zero mass). One shuffle on
+    ``group_cols``; the rank is a scalar hash + log, the sort per group.
+    Returns the sampled rows with ``sample_score`` attached.
+    """
+    hash_u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**56))  # u in (0, 1]: +1 keeps ln defined
+    score = F.log(hash_u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.desc("sample_score"), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
     )

@@ -4162,6 +4162,45 @@ def ts_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_anomalies(ev, dims=["event_type"], value="value", threshold=3.5)
 
 
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+@_q(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 + 1.0) / 72057594037927936.0)
+               / CAST(n_chars AS DOUBLE) AS sample_score
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_score DESC, doc_id) AS rn
+      FROM w
+    ) WHERE rn <= 30
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 docs per lang sampled with probability scaling with n_chars —
+    deterministic A-ES weighted sampling without replacement
+    (operators.curation.weighted_sample_per_group)."""
+    from ..operators.curation import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # sample_score is dropped from the compared projection: the selected
+    # ROWS are ulp-stable (ties break on doc_id) but Java's and libm's ln
+    # differ in the last bit on some inputs.
+    return weighted_sample_per_group(
+        docs, group_cols=["lang"], n=30,
+        weight_col="n_chars", key_cols=["doc_id"],
+    ).drop("sample_score")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -349,3 +349,27 @@ def test_mad_anomalies_robust_to_outlier_and_degenerate_series(spark):
     assert got[("a", 8)].is_anomaly is True
     assert all(not got[("a", i)].is_anomaly for i in range(8))
     assert got[("b", 0)].robust_z is None
+
+
+def test_weighted_sample_determinism_weight_bias_and_exclusions(spark):
+    from riot_graphs_spark.operators.curation import weighted_sample_per_group
+
+    rows = [("g", i, 1.0) for i in range(20)] + [
+        ("g", 100, 10000.0),  # overwhelming weight -> effectively certain
+        ("g", 101, 0.0),      # zero weight -> excluded
+        ("g", 102, None),     # null weight -> excluded
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, wt double")
+    s1 = weighted_sample_per_group(
+        df, group_cols=["grp"], n=5, weight_col="wt", key_cols=["id"]
+    )
+    ids1 = sorted(r["id"] for r in s1.collect())
+    assert len(ids1) == 5
+    assert 100 in ids1
+    assert 101 not in ids1 and 102 not in ids1
+    # partitioning-invariant determinism
+    s2 = weighted_sample_per_group(
+        df.repartition(9), group_cols=["grp"], n=5, weight_col="wt",
+        key_cols=["id"],
+    )
+    assert sorted(r["id"] for r in s2.collect()) == ids1
