@@ -110,6 +110,7 @@ HEADLINE = [
     "text_token_drift",
     "ts_mad_anomalies",
     "sample_weighted",
+    "ts_rsi",
 ]
 
 

@@ -726,6 +726,59 @@ def zscore_anomalies(
     )
 
 
+def rsi(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    n: int = 14,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Relative Strength Index, Cutler's simple-average form (the
+    InfluxQL/TA ``relative_strength_index`` transform):
+    ``RSI = 100 − 100/(1 + avgGain/avgLoss)`` over the trailing ``n``
+    point-to-point changes of the series; all-gain windows read 100. Only
+    rows with a full ``n``-change window are emitted. (Wilder's original
+    uses a recursive EMA of gains — that variant is :func:`ewma` territory;
+    Cutler's is order-statistic-free and oracle-checkable.)
+
+    Same O(n)-per-series shape as :func:`zscore_anomalies`: gains/losses
+    are cast to DECIMAL and the trailing sums are differences of an exact
+    running sum (two lags), never a re-summed bounded frame. One shuffle on
+    ``dims``.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    wp = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    change = F.col(value) - F.lag(value).over(wp)
+    gain = F.coalesce(
+        F.greatest(change, F.lit(0.0)).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    loss = F.coalesce(
+        F.greatest(-change, F.lit(0.0)).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    base = df.withColumn("_g", gain).withColumn("_l", loss)
+    w_cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("decimal(38,6)")
+    cg = F.sum("_g").over(w_cum).cast("decimal(38,6)")
+    cl = F.sum("_l").over(w_cum).cast("decimal(38,6)")
+    sg = (cg - F.coalesce(F.lag(cg, n).over(wp), zero)).cast("double")
+    sl = (cl - F.coalesce(F.lag(cl, n).over(wp), zero)).cast("double")
+    rsi_col = F.when(F.col("_sl") == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0)
+        - F.lit(100.0) / (F.lit(1.0) + F.col("_sg") / F.col("_sl"))
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(wp))
+        .withColumn("_sg", sg)
+        .withColumn("_sl", sl)
+        .filter(F.col("_rn") > n)  # n full changes require n+1 points
+        .withColumn("rsi", rsi_col)
+        .drop("_g", "_l", "_sg", "_sl", "_rn")
+    )
+
+
 def mad_anomalies(
     df: DataFrame,
     dims: Sequence[str],

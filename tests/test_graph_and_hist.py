@@ -327,3 +327,26 @@ def test_sample_per_series_is_deterministic_and_sized(spark):
     got2 = sorted((r["event_type"], r["event_id"]) for r in s2.collect())
     assert got1 == got2  # partitioning-invariant
     assert len(got1) == 10 and len({t for t, _ in got1}) == 2  # 5 per series
+
+
+def test_rsi_hand_computation_and_all_gain_window(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import rsi
+
+    t0 = datetime(2024, 1, 1)
+    # changes: +1, -2, +3, -1  (n=4 -> first emitted row is the 5th point)
+    vals = [10.0, 11.0, 9.0, 12.0, 11.0, 12.0, 13.0, 14.0, 15.0]
+    rows = [("a", i, t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r["rsi"] for r in rsi(
+        df, dims=["event_type"], ts="ts", value="value", n=4,
+        tiebreak="event_id",
+    ).collect()}
+    assert set(out) == {4, 5, 6, 7, 8}
+    # point 4: gains 1+3=4, losses 2+1=3 -> 100 - 100/(1+4/3)
+    assert abs(out[4] - (100 - 100 / (1 + 4 / 3))) < 1e-12
+    # point 8: trailing 4 changes all gains -> RSI 100 exactly
+    assert out[8] == 100.0
