@@ -111,6 +111,7 @@ HEADLINE = [
     "ts_mad_anomalies",
     "sample_weighted",
     "ts_rsi",
+    "emb_quantize_int8",
 ]
 
 

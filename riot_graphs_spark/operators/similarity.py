@@ -259,3 +259,51 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the memory side of ANN at
+    scale: a float32 embedding store shrinks 4× (codes + 2 floats of
+    per-vector range), which is what lets a 100 TB corpus' vectors stay
+    resident for bucketed search; distance math then runs on dequantized
+    codes with bounded error ≤ half a step.
+
+    Per vector (row-local): ``code_i = floor((x_i − min)·254/(max − min)
+    + 0.5) − 127`` ∈ [−127, 127]; constant vectors map to code 0. All
+    arithmetic is double on exact inputs (no cross-row accumulation), so
+    codes are engine-stable. Output is relational —
+    ``(id, i: int, code: int, vmin: double, vmax: double)`` with 1-based
+    ``i`` — one row per dimension via ``posexplode``; ZERO shuffles.
+    """
+    mn = F.array_min(vec_col).cast("double")
+    mx = F.array_max(vec_col).cast("double")
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        mn.alias("vmin"),
+        mx.alias("vmax"),
+        F.posexplode(vec_col).alias("i0", "_x"),
+    )
+    x = F.col("_x").cast("double")
+    code = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        (
+            F.floor(
+                (x - F.col("vmin"))
+                * F.lit(254.0)
+                / (F.col("vmax") - F.col("vmin"))
+                + F.lit(0.5)
+            )
+            - F.lit(127)
+        ).cast("int")
+    )
+    return base.select(
+        id_col,
+        (F.col("i0") + 1).cast("int").alias("i"),
+        code.alias("code"),
+        "vmin",
+        "vmax",
+    )

@@ -4251,6 +4251,35 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
                n=14, tiebreak="event_id")
 
 
+# --------------------------------------------------------------------------
+# Embedding int8 scalar quantization (memory path for vector search)
+# --------------------------------------------------------------------------
+@_q(
+    "emb_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             CAST(list_max(embedding) AS DOUBLE) AS vmax
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(CASE WHEN vmax = vmin THEN 0
+                ELSE floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) - vmin)
+                           * 254.0 / (vmax - vmin) + 0.5) - 127
+           END AS INT) AS code,
+           vmin, vmax
+    FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store, relational output
+    (operators.similarity.quantize_embeddings) — row-local, zero shuffles."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

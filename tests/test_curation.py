@@ -373,3 +373,26 @@ def test_weighted_sample_determinism_weight_bias_and_exclusions(spark):
         key_cols=["id"],
     )
     assert sorted(r["id"] for r in s2.collect()) == ids1
+
+
+def test_quantize_embeddings_range_error_bound_and_constant_vec(spark):
+    from riot_graphs_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5, 0.25]), (2, [3.0, 3.0, 3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = quantize_embeddings(df).collect()
+    by_key = {(r["vec_id"], r["i"]): r for r in out}
+    # endpoints hit the code range exactly
+    assert by_key[(1, 1)]["code"] == -127 and by_key[(1, 2)]["code"] == 127
+    # every code is in [-127, 127] and dequantizes within half a step
+    for r in out:
+        assert -127 <= r["code"] <= 127
+        if r["vmax"] > r["vmin"]:
+            step = (r["vmax"] - r["vmin"]) / 254.0
+            orig = df.collect()[r["vec_id"] - 1]["embedding"][r["i"] - 1]
+            deq = r["vmin"] + (r["code"] + 127) * step
+            assert abs(deq - orig) <= step / 2 + 1e-12
+    # constant vector -> all zero codes, no division blow-up
+    assert all(by_key[(2, i)]["code"] == 0 for i in range(1, 5))
