@@ -112,6 +112,7 @@ HEADLINE = [
     "sample_weighted",
     "ts_rsi",
     "emb_quantize_int8",
+    "corpus_chunks_packed",
 ]
 
 

@@ -4280,6 +4280,62 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+# --------------------------------------------------------------------------
+# End-to-end training-sequence manifest: chunk → tokenize → pack
+# --------------------------------------------------------------------------
+@_q(
+    "corpus_chunks_packed",
+    """
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) // 64 AS BIGINT) AS chunk_id,
+             substring(text, CAST(s AS INT), 64) AS chunk_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(1, len(text)) + 1, 64)) AS s
+        FROM documents
+      )
+    ), tok AS (
+      SELECT d.lang, c.doc_id * 100000 + c.chunk_id AS seq_key,
+             len(regexp_extract_all(lower(c.chunk_text), '[a-z0-9]+'))::BIGINT
+               AS n_tokens
+      FROM chunks c JOIN documents d USING (doc_id)
+    ), w AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY seq_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM tok
+    )
+    SELECT lang, seq_key, n_tokens,
+           before // 128 AS pack_id, before % 128 AS pack_offset
+    FROM w
+    """,
+)
+def corpus_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full documents→training-sequences path in one plan: 64-char
+    chunking (zero-shuffle explode), per-chunk token counts (row-local
+    regex), then 128-token pack assignment (one integer window shuffle per
+    lang) — curation.chunk_documents ∘ textstats.token_count ∘
+    curation.pack_sequences."""
+    from ..operators.curation import chunk_documents, pack_sequences
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_chars=64, overlap=0)
+    tok = (
+        chunks.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("seq_key"),
+            token_count("chunk_text").cast("long").alias("n_tokens"),
+        )
+    )
+    return pack_sequences(
+        tok, budget=128, token_col="n_tokens",
+        part_col="lang", order_col="seq_key",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

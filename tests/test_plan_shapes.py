@@ -221,3 +221,23 @@ def test_expectation_report_is_one_pass(spark):
     # one scan of orders: the count_distinct rides the same read via a
     # two-phase aggregate, never a second scan of the table
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_quantize_embeddings_is_shuffle_free(spark):
+    plan = formatted_plan(spark, "emb_quantize_int8")
+    assert shuffle_count(plan) == 0  # row-local posexplode projection
+
+
+def test_rsi_is_single_shuffle(spark):
+    plan = formatted_plan(spark, "ts_rsi")
+    assert shuffle_count(plan) == 1  # one hash partition on dims, per-series sort
+
+
+def test_weighted_sample_is_single_shuffle(spark):
+    plan = formatted_plan(spark, "sample_weighted")
+    assert shuffle_count(plan) == 1
+
+
+def test_repeated_spans_fingerprinting_has_no_window(spark):
+    plan = formatted_plan(spark, "repeated_spans")
+    assert "Window" not in plan  # winnowing is row-local; only count+join shuffles
