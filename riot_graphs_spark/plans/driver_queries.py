@@ -4336,6 +4336,66 @@ def corpus_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Recursive CTE through the SQL surface (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+@_q(
+    "cc_recursive_sql",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT c.vec_id AS vec_a, q.vec_id AS vec_b
+      FROM embeddings c JOIN embeddings q
+        ON c.label = q.label AND c.vec_id < q.vec_id
+      WHERE {_DUCK_COSINE_EMB} >= 0.9
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS id FROM edges
+    ), reach(id, r, d) AS (
+      SELECT id, id, 0 FROM nodes
+      UNION ALL
+      SELECT reach.id, e.b, reach.d + 1
+      FROM reach JOIN edges e ON reach.r = e.a
+      WHERE reach.d < 6
+    )
+    SELECT id AS vec_id, min(r) AS component_id FROM reach GROUP BY id
+    """,
+)
+def cc_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels via a depth-bounded WITH RECURSIVE reachability
+    closure in Spark SQL (Spark 4 recursive CTEs) over the oracle-matched
+    near-dup edge set — the SQL-surface twin of
+    operators.dedup.connected_components. UNION ALL recursion (Spark does
+    not support distinct-UNION recursion yet) with a depth guard; the final
+    min-label aggregate absorbs duplicate paths. Unbounded-diameter graphs
+    belong to the iterative operator; both sides here compute the identical
+    bounded semantics."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
+    ).select("vec_a", "vec_b")
+    pairs.createOrReplaceTempView("cc_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT vec_a AS a, vec_b AS b FROM cc_pairs
+          UNION ALL SELECT vec_b, vec_a FROM cc_pairs
+        ), nodes AS (
+          SELECT DISTINCT a AS id FROM edges
+        ), reach(id, r, d) AS (
+          SELECT id, id, 0 FROM nodes
+          UNION ALL
+          SELECT reach.id, e.b, reach.d + 1
+          FROM reach JOIN edges e ON reach.r = e.a
+          WHERE reach.d < 6
+        )
+        SELECT id AS vec_id, min(r) AS component_id FROM reach GROUP BY id
+        """
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

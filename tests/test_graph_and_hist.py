@@ -350,3 +350,20 @@ def test_rsi_hand_computation_and_all_gain_window(spark):
     assert abs(out[4] - (100 - 100 / (1 + 4 / 3))) < 1e-12
     # point 8: trailing 4 changes all gains -> RSI 100 exactly
     assert out[8] == 100.0
+
+
+def test_recursive_sql_cc_matches_iterative_operator(spark, sf_dir):
+    """The bounded-depth WITH RECURSIVE closure and the iterative
+    min-label-propagation operator assign identical components on the
+    fixture's near-dup graph (diameters are far below the depth guard)."""
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    sql_labels = {
+        r["vec_id"]: r["component_id"]
+        for r in QUERIES["cc_recursive_sql"](spark, sf_dir).collect()
+    }
+    iter_labels = {
+        r["vec_id"]: r["component_id"]
+        for r in QUERIES["embed_neardup_clusters"](spark, sf_dir).collect()
+    }
+    assert sql_labels == iter_labels
