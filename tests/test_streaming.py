@@ -386,3 +386,43 @@ def test_streaming_m4_downsample_complete_mode(spark, tmp_path):
         (t0 + dt.timedelta(hours=12), 9.0),
         (t0 + dt.timedelta(hours=14), 5.0),
     ]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """J2 in streaming: a live event stream enriched against a static
+    dimension with the same operators.joins.enrich body — stream-static
+    joins are stateless (each micro-batch probes the dim; broadcast at
+    dim sizes), unlike stream-stream joins."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.joins import enrich
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = [
+        Row(event_id=1, ts=t0, pr_num=7, value=1.0),
+        Row(event_id=2, ts=t0, pr_num=8, value=2.0),
+        Row(event_id=3, ts=t0, pr_num=99, value=3.0),  # no dim row
+    ]
+    dim = spark.createDataFrame(
+        [Row(pr_num=7, title="fix build"), Row(pr_num=8, title="add board")]
+    )
+    src = str(tmp_path / "ss_src")
+    df = spark.createDataFrame(events)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        enrich(stream, dim, on="pr_num")
+        .writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.title for r in spark.table("ss_out").collect()}
+    # left-outer tolerance (reference rg.py:361-362): missing PR -> NULL title
+    assert got == {1: "fix build", 2: "add board", 3: None}
