@@ -113,6 +113,8 @@ HEADLINE = [
     "ts_rsi",
     "emb_quantize_int8",
     "corpus_chunks_packed",
+    "cc_recursive_sql",
+    "j4_asof_interpolated",
 ]
 
 

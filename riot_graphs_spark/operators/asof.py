@@ -240,3 +240,53 @@ def asof_join_nearest(
         F.col(f"_chosen.{c}").alias(f"{c}{suffix}") for c in payload
     ]
     return picked.select(*left.columns, *out_payload)
+
+
+def asof_join_interpolated(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value: str = "value",
+    out: str = "interp_value",
+) -> DataFrame:
+    """Interpolated series alignment: for each left row, linearly
+    interpolate the right series' ``value`` at the left timestamp from the
+    bracketing right points — ``pandas.merge_asof`` + interpolate, the
+    standard way to align two sensors sampled on different clocks before
+    any arithmetic between them.
+
+    Composition of the backward and forward as-of joins (each the
+    one-shuffle union+window plan — two shuffles total on the key), then a
+    row-local blend: ``pv + (nv − pv)·(lt − pt)/(nt − pt)`` on exact
+    epoch-micros; timestamps at/outside the right series' edge take the
+    single bracketing value (NULL when the key has no right rows at all).
+    Right should be unique per (key, ts) — pre-aggregate ties — so both
+    brackets are well-defined.
+
+    Output: all left columns + ``{right_ts}_prev/_next`` + ``out``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = asof_join(
+        left, right, keys, left_ts, right_ts,
+        right_payload=[right_ts, value], suffix="_prev",
+    )
+    f = asof_join_forward(
+        b, right, keys, left_ts, right_ts,
+        right_payload=[right_ts, value], suffix="_next",
+    )
+    pt, pv = F.col(f"{right_ts}_prev"), F.col(f"{value}_prev")
+    nt, nv = F.col(f"{right_ts}_next"), F.col(f"{value}_next")
+    lt = F.col(left_ts)
+    frac = (
+        (F.unix_micros(lt) - F.unix_micros(pt)).cast("double")
+        / (F.unix_micros(nt) - F.unix_micros(pt)).cast("double")
+    )
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(F.unix_micros(nt) == F.unix_micros(pt), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return f.withColumn(out, interp).drop(f"{value}_prev", f"{value}_next")

@@ -4396,6 +4396,60 @@ def cc_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Interpolated as-of alignment (merge_asof + interpolate)
+# --------------------------------------------------------------------------
+@_q(
+    "j4_asof_interpolated",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts
+      FROM events WHERE event_type = 'signup'
+    ), r AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, avg(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), prev AS (
+      SELECT l.user_id, l.event_id, l.ts,
+             r.ts AS ts_prev, r.value AS v_prev
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ), nxt AS (
+      SELECT p.*, r.ts AS ts_next, r.value AS v_next
+      FROM prev p ASOF LEFT JOIN r
+        ON p.user_id = r.user_id AND p.ts <= r.ts
+    )
+    SELECT user_id, event_id, ts, ts_prev, ts_next,
+           CASE WHEN v_prev IS NULL THEN v_next
+                WHEN v_next IS NULL THEN v_prev
+                WHEN epoch_us(ts_next) = epoch_us(ts_prev) THEN v_prev
+                ELSE v_prev + (v_next - v_prev)
+                     * (CAST(epoch_us(ts) - epoch_us(ts_prev) AS DOUBLE)
+                        / CAST(epoch_us(ts_next) - epoch_us(ts_prev) AS DOUBLE))
+           END AS interp_value
+    FROM nxt
+    """,
+)
+def j4_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each signup aligned to the linearly-interpolated 'view' value of its
+    user at signup time (operators.asof.asof_join_interpolated); DuckDB's
+    native ASOF JOIN is the oracle for both brackets."""
+    from ..operators.asof import asof_join_interpolated
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    return asof_join_interpolated(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value="value", out="interp_value",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -367,3 +367,35 @@ def test_recursive_sql_cc_matches_iterative_operator(spark, sf_dir):
         for r in QUERIES["embed_neardup_clusters"](spark, sf_dir).collect()
     }
     assert sql_labels == iter_labels
+
+
+def test_asof_interpolated_brackets_edges_and_exact_hits(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.asof import asof_join_interpolated
+
+    t0 = datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [(1, t0, 10.0), (1, t0 + timedelta(hours=2), 30.0)],
+        "k long, ts timestamp, value double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 1, t0 + timedelta(minutes=30)),   # quarter of the way -> 15
+            (1, 2, t0),                            # exact hit -> 10
+            (1, 3, t0 - timedelta(hours=1)),       # before first -> next (10)
+            (1, 4, t0 + timedelta(hours=5)),       # after last -> prev (30)
+            (2, 5, t0),                            # key with no right rows
+        ],
+        "k long, event_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["interp_value"]
+        for r in asof_join_interpolated(
+            left, right, on="k", value="value"
+        ).collect()
+    }
+    assert abs(got[1] - 15.0) < 1e-12
+    assert got[2] == 10.0
+    assert got[3] == 10.0 and got[4] == 30.0
+    assert got[5] is None
