@@ -99,6 +99,12 @@ def _m4(events):
     )
 
 
+def _spans(documents):
+    from riot_graphs_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(documents, k=20, w=8)
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -156,6 +162,8 @@ def main() -> None:
         "cdc_compaction": lambda t: _cdc(t["events"]),
         # M4: four partial min_by/max_by aggs, output bounded by buckets×4
         "ts_m4_downsample": lambda t: _m4(t["events"]),
+        # winnowing: row-local fingerprinting, one count shuffle — linear
+        "repeated_spans": lambda t: _spans(t["documents"]),
     }
 
     report = {}
