@@ -115,6 +115,8 @@ HEADLINE = [
     "corpus_chunks_packed",
     "cc_recursive_sql",
     "j4_asof_interpolated",
+    "ts_day_over_day",
+    "ts_top2_with_other",
 ]
 
 

@@ -726,6 +726,75 @@ def zscore_anomalies(
     )
 
 
+def period_over_period(
+    df: DataFrame,
+    bucket: str,
+    dims: Sequence[str],
+    value: str,
+    period: str = "INTERVAL 7 DAYS",
+) -> DataFrame:
+    """Grafana timeshift comparison: each (series, bucket) value next to the
+    same series' value one ``period`` earlier, with absolute and relative
+    change — "this week vs last week" on any already-bucketed frame.
+
+    A self-equi-join on (dims, bucket == prev_bucket + period): both sides
+    hash-partition on the same keys (no spine required, missing prior
+    buckets give NULLs). Keep ``value`` DECIMAL until here for exact
+    deltas; ``pct_change`` is a fixed double expression on the pair.
+    """
+    prev = df.select(
+        *_cols(dims),
+        (F.col(bucket) + F.expr(period)).alias(bucket),
+        F.col(value).alias("_prev"),
+    )
+    cur = df.select(*_cols(dims), F.col(bucket), F.col(value))
+    pv = F.col("_prev").cast("double")
+    cv = F.col(value).cast("double")
+    return (
+        cur.join(prev, on=[*dims, bucket], how="left")
+        .select(
+            *_cols(dims),
+            bucket,
+            cv.alias(value),
+            pv.alias("prev_value"),
+            (cv - pv).alias("abs_change"),
+            F.when(pv != 0, (cv - pv) / pv).alias("pct_change"),
+        )
+    )
+
+
+def top_n_with_other(
+    df: DataFrame,
+    bucket: str,
+    series: str,
+    value: str,
+    n: int,
+    other_label: str = "Other",
+) -> DataFrame:
+    """Grafana "top N + Other": per bucket keep the N largest series by
+    ``value`` and collapse the rest into one ``Other`` row — the legend
+    stays readable while the total is preserved (Σ output = Σ input per
+    bucket, asserted in tests).
+
+    One rank window on (bucket) + one re-aggregate on (bucket, label);
+    ``value`` should be DECIMAL so the Other sum is exact under any
+    accumulation order. Ties at rank N break on the series name.
+    """
+    w = Window.partitionBy(F.col(bucket)).orderBy(
+        F.desc(value), F.col(series)
+    )
+    labeled = df.withColumn(
+        "_lbl",
+        F.when(
+            F.row_number().over(w) <= n, F.col(series)
+        ).otherwise(F.lit(other_label)),
+    )
+    return (
+        labeled.groupBy(F.col(bucket), F.col("_lbl").alias(series))
+        .agg(F.sum(value).alias(value))
+    )
+
+
 def rsi(
     df: DataFrame,
     dims: Sequence[str],

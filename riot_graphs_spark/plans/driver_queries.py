@@ -4450,6 +4450,80 @@ def j4_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Grafana timeshift compare + top-N-with-Other legend rollup
+# --------------------------------------------------------------------------
+@_q(
+    "ts_day_over_day",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+             sum(CAST(value AS {DEC})) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.bucket,
+           CAST(c.v AS DOUBLE) AS value,
+           CAST(p.v AS DOUBLE) AS prev_value,
+           CAST(c.v AS DOUBLE) - CAST(p.v AS DOUBLE) AS abs_change,
+           CASE WHEN CAST(p.v AS DOUBLE) <> 0
+                THEN (CAST(c.v AS DOUBLE) - CAST(p.v AS DOUBLE))
+                     / CAST(p.v AS DOUBLE) END AS pct_change
+    FROM daily c LEFT JOIN daily p
+      ON c.event_type = p.event_type
+     AND c.bucket = p.bucket + INTERVAL 1 DAY
+    """,
+)
+def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeshift comparison: daily sums per event_type vs the prior day
+    (operators.timeseries.period_over_period) — self-equi-join, exact
+    DECIMAL values until the final double projection."""
+    from ..operators.timeseries import period_over_period, time_bucket_agg
+
+    ev = _t(spark, sf_dir, "events")
+    daily = time_bucket_agg(
+        ev, ts="ts", unit="day", dims=["event_type"],
+        aggs=[F.sum(F.col("value").cast(DEC)).alias("v")],
+    )
+    return period_over_period(
+        daily, bucket="bucket", dims=["event_type"], value="v",
+        period="INTERVAL 1 DAY",
+    ).withColumnRenamed("v", "value")
+
+
+@_q(
+    "ts_top2_with_other",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+             sum(CAST(value AS {DEC})) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket
+                                   ORDER BY v DESC, event_type) AS rn
+      FROM daily
+    )
+    SELECT bucket,
+           CASE WHEN rn <= 2 THEN event_type ELSE 'Other' END AS event_type,
+           CAST(sum(v) AS DOUBLE) AS v
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def ts_top2_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-2 event types by summed value with the rest collapsed
+    into 'Other' (operators.timeseries.top_n_with_other); the Other sum
+    stays DECIMAL so it is exact under any accumulation order."""
+    from ..operators.timeseries import time_bucket_agg, top_n_with_other
+
+    ev = _t(spark, sf_dir, "events")
+    daily = time_bucket_agg(
+        ev, ts="ts", unit="day", dims=["event_type"],
+        aggs=[F.sum(F.col("value").cast(DEC)).alias("v")],
+    )
+    return top_n_with_other(
+        daily, bucket="bucket", series="event_type", value="v", n=2
+    ).withColumn("v", F.col("v").cast("double"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -399,3 +399,49 @@ def test_asof_interpolated_brackets_edges_and_exact_hits(spark):
     assert got[2] == 10.0
     assert got[3] == 10.0 and got[4] == 30.0
     assert got[5] is None
+
+
+def test_period_over_period_alignment_and_missing_prior(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import period_over_period
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 10.0), ("a", t0 + timedelta(days=1), 15.0),
+         ("a", t0 + timedelta(days=3), 8.0)],
+        "event_type string, bucket timestamp, v double",
+    )
+    got = {
+        r["bucket"]: (r["prev_value"], r["abs_change"], r["pct_change"])
+        for r in period_over_period(
+            df, bucket="bucket", dims=["event_type"], value="v",
+            period="INTERVAL 1 DAY",
+        ).collect()
+    }
+    assert got[t0] == (None, None, None)  # no prior day
+    assert got[t0 + timedelta(days=1)] == (10.0, 5.0, 0.5)
+    assert got[t0 + timedelta(days=3)] == (None, None, None)  # gap day before
+
+
+def test_top_n_with_other_preserves_totals_and_breaks_ties(spark):
+    from datetime import datetime
+
+    from riot_graphs_spark.operators.timeseries import top_n_with_other
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", 5.0), ("b", 3.0), ("c", 3.0), ("d", 1.0), ("e", 0.5)]
+    df = spark.createDataFrame(
+        [(t0, s, v) for s, v in rows],
+        "bucket timestamp, event_type string, v double",
+    )
+    got = {
+        r["event_type"]: r["v"]
+        for r in top_n_with_other(
+            df, bucket="bucket", series="event_type", value="v", n=2
+        ).collect()
+    }
+    # tie at rank 2 between b and c -> name order keeps b
+    assert set(got) == {"a", "b", "Other"}
+    assert got["Other"] == 3.0 + 1.0 + 0.5
+    assert sum(got.values()) == sum(v for _, v in rows)  # total preserved
