@@ -262,17 +262,24 @@ def moving_average(
     N-1 preceding points of the same series; emitted only once the window is
     full (InfluxQL starts at the Nth point).
 
-    One shuffle on dims, per-series sort only — the frame is row-bounded so
-    window state is N rows regardless of series length. The windowed sum is
-    computed in DECIMAL so the result is identical whatever order/algorithm
-    the engine's sliding-frame accumulator uses (oracle determinism; see
-    module docstring in plans.driver_queries).
+    One shuffle on dims, per-series sort only. The trailing sum is the
+    difference of an exact DECIMAL running sum (``cum(t) − cum(t−n)`` via
+    one lag over the same sort) — O(1) per row instead of Spark's O(n)
+    re-sum of a bounded ``rowsBetween`` frame, identical output (exact
+    decimals), and the gap widens with ``n``. Same shape as
+    :func:`zscore_anomalies`/:func:`rsi`.
     """
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*_cols(dims)).orderBy(*order)
-    wn = w.rowsBetween(-(n - 1), 0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        F.sum(F.col(value).cast("decimal(28,6)"))
+        .over(w_cum)
+        .cast("decimal(38,6)")
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
     avg = (
-        F.sum(F.col(value).cast("decimal(28,6)")).over(wn).cast("double") / n
+        (cum - F.coalesce(F.lag(cum, n).over(w), zero)).cast("double") / n
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
