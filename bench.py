@@ -117,6 +117,8 @@ HEADLINE = [
     "j4_asof_interpolated",
     "ts_day_over_day",
     "ts_top2_with_other",
+    "ts_daily_unique_users",
+    "dau_wau_sketch_rollup",
 ]
 
 

@@ -733,6 +733,45 @@ def zscore_anomalies(
     )
 
 
+def distinct_sketch_rollup(
+    df: DataFrame,
+    ts: str,
+    fine_unit: str,
+    coarse_unit: str,
+    dims: Sequence[str],
+    key: str,
+) -> DataFrame:
+    """The sketch-rollup scale path for distinct counts: build a
+    fine-grained (e.g. daily) Apache DataSketches HLL sketch per series,
+    then MERGE the sketches up to the coarse grain (e.g. weekly) instead of
+    re-scanning raw data — DAU→WAU over 100 TB touches each raw row exactly
+    once, and the persisted fine sketches answer any coarser window later.
+    Exact distinct counts cannot roll up (|A ∪ B| ≠ |A| + |B|); sketches
+    are the standard trade (±~2% at the default lgK).
+
+    Returns one row per (coarse bucket, dims):
+    ``(bucket, *dims, n_fine_buckets, distinct_estimate)``. Both
+    aggregations are partial-aggregable (sketch merge is associative).
+    Rows-only in the driver gate: estimates are engine-specific; the exact
+    twin query carries the hash-checked semantics.
+    """
+    fine = df.groupBy(
+        F.date_trunc(fine_unit, F.col(ts)).alias("_fine"), *_cols(dims)
+    ).agg(F.hll_sketch_agg(key).alias("_sk"))
+    return (
+        fine.groupBy(
+            F.date_trunc(coarse_unit, F.col("_fine")).alias("bucket"),
+            *_cols(dims),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fine_buckets"),
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+                "distinct_estimate"
+            ),
+        )
+    )
+
+
 def period_over_period(
     df: DataFrame,
     bucket: str,

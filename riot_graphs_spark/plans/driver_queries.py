@@ -4524,6 +4524,43 @@ def ts_top2_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("v", F.col("v").cast("double"))
 
 
+# --------------------------------------------------------------------------
+# Distinct users per day (exact, oracle) + HLL sketch rollup (scale path)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_daily_unique_users",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+           count(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU per event_type — the hash-checked twin of the sketch
+    rollup (count_distinct is partial-aggregable via two-phase expand)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("unique_users"))
+
+
+# Rows-only (no SQL oracle): DataSketches HLL estimates are engine-specific;
+# the exact twin ts_daily_unique_users carries the hash-checked semantics,
+# and a unit test bounds the estimate error against the exact count.
+@_q("dau_wau_sketch_rollup")
+def dau_wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly uniques from MERGED daily HLL sketches per event_type — the
+    pre-aggregated sketch path that answers any coarser window without
+    re-scanning raw rows (operators.timeseries.distinct_sketch_rollup)."""
+    from ..operators.timeseries import distinct_sketch_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_sketch_rollup(
+        ev, ts="ts", fine_unit="day", coarse_unit="week",
+        dims=["event_type"], key="user_id",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -445,3 +445,30 @@ def test_top_n_with_other_preserves_totals_and_breaks_ties(spark):
     assert set(got) == {"a", "b", "Other"}
     assert got["Other"] == 3.0 + 1.0 + 0.5
     assert sum(got.values()) == sum(v for _, v in rows)  # total preserved
+
+
+def test_sketch_rollup_tracks_exact_weekly_uniques(spark, sf_dir):
+    """Merged daily sketches must estimate weekly uniques within HLL error
+    (default lgK=12 -> ~2-3 sigma well under 5%) of the exact count."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.timeseries import distinct_sketch_rollup
+    from riot_graphs_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        (r["bucket"], r["event_type"]): r["distinct_estimate"]
+        for r in distinct_sketch_rollup(
+            ev, ts="ts", fine_unit="day", coarse_unit="week",
+            dims=["event_type"], key="user_id",
+        ).collect()
+    }
+    exact = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
