@@ -119,6 +119,7 @@ HEADLINE = [
     "ts_top2_with_other",
     "ts_daily_unique_users",
     "dau_wau_sketch_rollup",
+    "attribution_last_touch",
 ]
 
 

@@ -4561,6 +4561,64 @@ def dau_wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Last-touch attribution (as-of composition, product-analytics staple)
+# --------------------------------------------------------------------------
+@_q(
+    "attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts
+      FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT p.user_id, p.event_id, p.ts, p.value,
+             v.event_id AS touch_event_id, v.ts AS touch_ts
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_event_id END AS touch_event_id,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_ts END AS touch_ts,
+           touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 7 DAY
+             AS attributed
+    FROM j
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase attributed to the user's most recent 'view' within a
+    7-day lookback — backward as-of join + recency filter, the last-touch
+    attribution staple. Purchases with no qualifying touch stay (NULL touch,
+    attributed=false) — totals must reconcile. NOTE on ties: DuckDB's ASOF
+    picks an arbitrary row among equal touch_ts; our as-of breaks ties
+    deterministically — the fixture has no (user, ts) view ties, and the
+    tie rule is unit-tested on the operator instead."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event_id"), "ts"
+    )
+    j = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["v_event_id", "ts"], suffix="_t",
+    )
+    in_window = F.col("ts_t") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return j.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(in_window, F.col("v_event_id_t")).alias("touch_event_id"),
+        F.when(in_window, F.col("ts_t")).alias("touch_ts"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
