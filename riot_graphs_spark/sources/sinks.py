@@ -143,3 +143,35 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n_parts
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    cluster_cols: Sequence[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Layout-controlled write: within each output partition, rows are
+    sorted by ``cluster_cols`` before writing — parquet row-group min/max
+    statistics on those columns become tight, so point and range predicates
+    on them skip whole row groups at scan time (the CLUSTER BY / Z-ORDER
+    effect for the common 1-2 column case; true Z-order only wins when
+    filtering on many columns independently).
+
+    This is how the `build_sizes` table should be laid out at 100 TB:
+    partitioned by date, clustered by (test, board) — a dashboard query for
+    one board then reads ~1/|boards| of each day's bytes instead of all of
+    them. Repartitioning on the partition columns keeps one task per
+    partition (× ``files_per_partition``); the sort is per-task, no extra
+    shuffle.
+    """
+    (
+        df.repartition(
+            max(1, files_per_partition), *[F.col(c) for c in partition_cols]
+        )
+        .sortWithinPartitions(*[F.col(c) for c in cluster_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -145,3 +145,37 @@ def test_compact_partitions_reduces_files_keeps_data(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 80
     assert got.groupBy("date").count().collect()[0][1] == 40
+
+
+def test_write_clustered_tightens_row_group_stats(spark, tmp_path):
+    """Clustered layout must produce parquet files whose row groups are
+    sorted on the cluster column (tight, non-overlapping min/max stats =
+    row-group skipping for point/range predicates on it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.sources.sinks import write_clustered
+
+    rows = [("d1" if i % 2 else "d2", (i * 37) % 500, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "date string, user_id long, v double")
+    out = str(tmp_path / "clustered")
+    write_clustered(
+        df, out, partition_cols=["date"], cluster_cols=["user_id"]
+    )
+    files = glob.glob(f"{out}/date=*/*.parquet")
+    assert files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }["user_id"]
+        prev_max = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # sorted file: groups don't overlap
+            prev_max = st.max
+    # data round-trips completely
+    assert spark.read.parquet(out).count() == 2000
