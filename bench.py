@@ -120,6 +120,7 @@ HEADLINE = [
     "ts_daily_unique_users",
     "dau_wau_sketch_rollup",
     "attribution_last_touch",
+    "ts_ohlc_daily",
 ]
 
 

@@ -733,6 +733,35 @@ def zscore_anomalies(
     )
 
 
+def ohlc_candles(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    unit: str = "day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """OHLC candles: per (series, bucket) the opening (first), high (max),
+    low (min), and closing (last) value — the candlestick/stat-panel
+    reduction (:func:`m4_downsample` emits the same four roles as POINT
+    rows for line rendering; this emits them as COLUMNS of one row per
+    bucket). Open/close ties at equal timestamps break on ``tiebreak``.
+
+    One partial-aggregable shuffle: two ``min_by``/``max_by`` on the time
+    key plus plain min/max — constant state per group.
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).alias("bucket")
+    tb = [F.col(tiebreak)] if tiebreak else []
+    time_key = F.struct(F.col(ts), *tb)
+    return df.groupBy(*_cols(dims), bucket).agg(
+        F.min_by(value, time_key).alias("open"),
+        F.max(value).alias("high"),
+        F.min(value).alias("low"),
+        F.max_by(value, time_key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def distinct_sketch_rollup(
     df: DataFrame,
     ts: str,

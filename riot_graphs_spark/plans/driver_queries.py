@@ -4619,6 +4619,42 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# OHLC candles (first/max/min/last as columns; M4's roles, candle form)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_ohlc_daily",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rl = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event_type
+    (operators.timeseries.ohlc_candles) — single partial-aggregable
+    shuffle, first/last picked by min_by/max_by on (ts, event_id)."""
+    from ..operators.timeseries import ohlc_candles
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_candles(
+        ev, dims=["event_type"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -472,3 +472,28 @@ def test_sketch_rollup_tracks_exact_weekly_uniques(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+def test_ohlc_roles_and_tiebreaks(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import ohlc_candles
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", 1, t0 + timedelta(hours=8), 5.0),   # open
+        ("a", 2, t0 + timedelta(hours=10), 1.0),  # low
+        ("a", 3, t0 + timedelta(hours=12), 9.0),  # high
+        ("a", 4, t0 + timedelta(hours=14), 4.0),  # close (first of the tie)
+        ("a", 5, t0 + timedelta(hours=14), 6.0),  # tied ts, higher event_id -> close
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    r = ohlc_candles(
+        df, dims=["event_type"], ts="ts", value="value",
+        unit="day", tiebreak="event_id",
+    ).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        5.0, 9.0, 1.0, 6.0, 5
+    )
