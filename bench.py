@@ -121,6 +121,7 @@ HEADLINE = [
     "dau_wau_sketch_rollup",
     "attribution_last_touch",
     "ts_ohlc_daily",
+    "ts_cmo",
 ]
 
 

@@ -891,6 +891,48 @@ def rsi(
     running sum (two lags), never a re-summed bounded frame. One shuffle on
     ``dims``.
     """
+    base = _with_trailing_gain_loss(df, dims, ts, value, n, tiebreak)
+    rsi_col = F.when(F.col("_sl") == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0)
+        - F.lit(100.0) / (F.lit(1.0) + F.col("_sg") / F.col("_sl"))
+    )
+    return base.withColumn("rsi", rsi_col).drop("_sg", "_sl")
+
+
+def chande_momentum(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    n: int = 14,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Chande Momentum Oscillator (InfluxQL
+    ``chande_momentum_oscillator``): ``100·(ΣGain − ΣLoss)/(ΣGain + ΣLoss)``
+    over the trailing ``n`` changes — RSI's unbounded-smoothing sibling on
+    the same trailing gain/loss sums; flat windows (both sums zero) read 0.
+    Shares :func:`rsi`'s O(n)-per-series running-sum machinery.
+    """
+    base = _with_trailing_gain_loss(df, dims, ts, value, n, tiebreak)
+    sg, sl = F.col("_sg"), F.col("_sl")
+    cmo = F.when(sg + sl == 0.0, F.lit(0.0)).otherwise(
+        F.lit(100.0) * (sg - sl) / (sg + sl)
+    )
+    return base.withColumn("cmo", cmo).drop("_sg", "_sl")
+
+
+def _with_trailing_gain_loss(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    n: int,
+    tiebreak: str | None,
+) -> DataFrame:
+    """Shared TA core: attach ``_sg``/``_sl`` — the trailing-``n`` sums of
+    point-to-point gains and losses — as exact running-sum differences
+    (O(1) per row), dropping the first ``n`` rows of each series (no full
+    change window yet)."""
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     wp = Window.partitionBy(*_cols(dims)).orderBy(*order)
     change = F.col(value) - F.lag(value).over(wp)
@@ -909,17 +951,12 @@ def rsi(
     cl = F.sum("_l").over(w_cum).cast("decimal(38,6)")
     sg = (cg - F.coalesce(F.lag(cg, n).over(wp), zero)).cast("double")
     sl = (cl - F.coalesce(F.lag(cl, n).over(wp), zero)).cast("double")
-    rsi_col = F.when(F.col("_sl") == 0.0, F.lit(100.0)).otherwise(
-        F.lit(100.0)
-        - F.lit(100.0) / (F.lit(1.0) + F.col("_sg") / F.col("_sl"))
-    )
     return (
         base.withColumn("_rn", F.row_number().over(wp))
         .withColumn("_sg", sg)
         .withColumn("_sl", sl)
         .filter(F.col("_rn") > n)  # n full changes require n+1 points
-        .withColumn("rsi", rsi_col)
-        .drop("_g", "_l", "_sg", "_sl", "_rn")
+        .drop("_g", "_l", "_rn")
     )
 
 

@@ -4655,6 +4655,57 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Chande Momentum Oscillator (shares RSI's trailing gain/loss core)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_cmo",
+    """
+    WITH ch AS (
+      SELECT event_type, event_id, ts::TIMESTAMP AS ts, value,
+             CAST(coalesce(greatest(value - lag(value) OVER w, 0.0), 0.0)
+                  AS DECIMAL(18,6)) AS g,
+             CAST(coalesce(greatest(lag(value) OVER w - value, 0.0), 0.0)
+                  AS DECIMAL(18,6)) AS l,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), cum AS (
+      SELECT *,
+             CAST(sum(g) OVER wc AS DECIMAL(38,6)) AS cg,
+             CAST(sum(l) OVER wc AS DECIMAL(38,6)) AS cl
+      FROM ch
+      WINDOW wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), trail AS (
+      SELECT event_type, event_id, ts, value, rn,
+             CAST(cg - coalesce(lag(cg, 14) OVER wt, CAST(0 AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sg,
+             CAST(cl - coalesce(lag(cl, 14) OVER wt, CAST(0 AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sl
+      FROM cum
+      WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, event_id, ts, value,
+           CASE WHEN sg + sl = 0.0 THEN 0.0
+                ELSE 100.0 * (sg - sl) / (sg + sl) END AS cmo
+    FROM trail WHERE rn > 14
+    """,
+)
+def ts_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Chande Momentum Oscillator per event_type
+    (operators.timeseries.chande_momentum)."""
+    from ..operators.timeseries import chande_momentum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    return chande_momentum(
+        ev, dims=["event_type"], ts="ts", value="value",
+        n=14, tiebreak="event_id",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

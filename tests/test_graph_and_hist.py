@@ -497,3 +497,25 @@ def test_ohlc_roles_and_tiebreaks(spark):
     assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
         5.0, 9.0, 1.0, 6.0, 5
     )
+
+
+def test_cmo_hand_computation_and_flat_window(spark):
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import chande_momentum
+
+    t0 = datetime(2024, 1, 1)
+    # changes: +1, -2, +3, -1 -> sg=4, sl=3 -> cmo = 100*(1)/(7)
+    vals = [10.0, 11.0, 9.0, 12.0, 11.0]
+    rows = [("a", i, t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    # series b: constant -> all changes 0 -> flat window reads 0
+    rows += [("b", i, t0 + timedelta(hours=i), 5.0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = {(r["event_type"], r["event_id"]): r["cmo"] for r in chande_momentum(
+        df, dims=["event_type"], ts="ts", value="value", n=4,
+        tiebreak="event_id",
+    ).collect()}
+    assert abs(out[("a", 4)] - 100.0 * (4 - 3) / (4 + 3)) < 1e-12
+    assert out[("b", 4)] == 0.0 and out[("b", 5)] == 0.0
