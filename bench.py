@@ -122,6 +122,7 @@ HEADLINE = [
     "attribution_last_touch",
     "ts_ohlc_daily",
     "ts_cmo",
+    "ts_percentile_bands",
 ]
 
 

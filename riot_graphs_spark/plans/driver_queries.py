@@ -4706,6 +4706,33 @@ def ts_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Percentile bands per time bucket (G4 under GROUP BY time)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_percentile_bands",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+           round(quantile_cont(value, 0.10), 6) AS p10,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 bands per event_type — InfluxQL ``percentile``
+    under ``GROUP BY time``; exact interpolated percentiles (order
+    statistics → engine-stable), rounded to 6 places for the hash."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.round(F.percentile("value", F.lit(0.10)), 6).alias("p10"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -426,3 +426,44 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     got = {r.event_id: r.title for r in spark.table("ss_out").collect()}
     # left-outer tolerance (reference rg.py:361-362): missing PR -> NULL title
     assert got == {1: "fix build", 2: "add board", 3: None}
+
+
+def test_streaming_ohlc_complete_mode(spark, tmp_path):
+    """OHLC as a continuous aggregate: the same ohlc_candles body (min_by/
+    max_by per bucket) runs on a stream in complete mode — the live candle
+    panel."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.timeseries import ohlc_candles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_type="a", event_id=1, ts=t0 + dt.timedelta(hours=8), value=5.0),
+        Row(event_type="a", event_id=2, ts=t0 + dt.timedelta(hours=10), value=1.0),
+        Row(event_type="a", event_id=3, ts=t0 + dt.timedelta(hours=12), value=9.0),
+        Row(event_type="a", event_id=4, ts=t0 + dt.timedelta(hours=14), value=4.0),
+    ]
+    src = str(tmp_path / "ohlc_src")
+    df = spark.createDataFrame(rows)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        ohlc_candles(
+            stream, dims=["event_type"], ts="ts", value="value",
+            unit="day", tiebreak="event_id",
+        )
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.sql("SELECT * FROM ohlc_out").collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        5.0, 9.0, 1.0, 4.0, 4
+    )
