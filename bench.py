@@ -123,6 +123,7 @@ HEADLINE = [
     "ts_ohlc_daily",
     "ts_cmo",
     "ts_percentile_bands",
+    "dq_referential_integrity",
 ]
 
 

@@ -4733,6 +4733,61 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Referential-integrity audit (orphan foreign keys across the star schema)
+# --------------------------------------------------------------------------
+@_q(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS relationship,
+           count(*) AS n_child_rows,
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*),
+           sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit across three star-schema relationships: one row per
+    relationship with child-row and orphan counts; the gate is
+    n_orphans == 0. Each check is a left join on KEY COLUMNS ONLY (both
+    sides pruned to one column before the exchange) + conditional count.
+    Join strategy is left to AQE: dim parents (nation, customer) broadcast,
+    fact-sized parents (orders under lineitem) shuffle — an unconditional
+    broadcast hint would be wrong at scale for the fact case."""
+    def check(rel: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        j = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)),
+            on=child[ck] == parent[pk],
+            how="left",
+        )
+        return j.agg(
+            F.lit(rel).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        )
+        .unionByName(
+            check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
