@@ -124,6 +124,7 @@ HEADLINE = [
     "ts_cmo",
     "ts_percentile_bands",
     "dq_referential_integrity",
+    "ts_math_transforms",
 ]
 
 

@@ -4788,6 +4788,44 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# InfluxQL math transforms (IEEE-exact subset; libm-dependent ones excluded)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_math_transforms",
+    """
+    SELECT event_id,
+           abs(value) AS abs_v,
+           ceil(value) AS ceil_v,
+           floor(value) AS floor_v,
+           sqrt(abs(value)) AS sqrt_abs_v,
+           sign(value) AS sign_v,
+           greatest(value, 0.0) AS clamp_lo,
+           least(value, 100.0) AS clamp_hi
+    FROM events
+    """,
+)
+def ts_math_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL scalar math transforms as plain Catalyst expressions —
+    row-local, whole-stage-codegen, pushdown-transparent. Only the
+    IEEE-754-exact subset is oracle-hashed (abs/ceil/floor/sqrt/sign/
+    greatest/least are correctly-rounded by spec); ln/exp/pow/sin differ
+    between Java's and libm's last ulp and are exercised via token_drift's
+    ln instead."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v).alias("abs_v"),
+        F.ceil(v).alias("ceil_v"),
+        F.floor(v).alias("floor_v"),
+        F.sqrt(F.abs(v)).alias("sqrt_abs_v"),
+        F.signum(v).alias("sign_v"),
+        F.greatest(v, F.lit(0.0)).alias("clamp_lo"),
+        F.least(v, F.lit(100.0)).alias("clamp_hi"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
