@@ -125,6 +125,7 @@ HEADLINE = [
     "ts_percentile_bands",
     "dq_referential_integrity",
     "ts_math_transforms",
+    "ts_difference",
 ]
 
 

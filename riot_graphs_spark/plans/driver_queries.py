@@ -4826,6 +4826,41 @@ def ts_math_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# InfluxQL difference / non_negative_difference (named G5 variants)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_difference",
+    """
+    WITH d AS (
+      SELECT event_type, event_id, ts::TIMESTAMP AS ts, value,
+             value - lag(value) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS difference
+      FROM events
+    )
+    SELECT event_type, event_id, ts, value, difference,
+           CASE WHEN difference >= 0 THEN difference END
+             AS non_negative_difference
+    FROM d
+    """,
+)
+def ts_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL difference() and non_negative_difference() per event_type —
+    lag deltas (G5's named transform form); negative deltas are NULLed in
+    the non-negative column, first point of each series has no delta."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    diff = F.col("value") - F.lag("value").over(w)
+    return ev.withColumn("difference", diff).withColumn(
+        "non_negative_difference",
+        F.when(F.col("difference") >= 0, F.col("difference")),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
