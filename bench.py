@@ -126,6 +126,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "ts_math_transforms",
     "ts_difference",
+    "ts_heatmap",
 ]
 
 

@@ -4861,6 +4861,30 @@ def ts_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Heatmap panel: time bucket × value bin counts (Grafana heatmap)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_heatmap",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+           CAST(floor(value / 10.0) AS BIGINT) * 10 AS bin_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana heatmap panel: count of points per (day, 10-unit value bin)
+    — one partial-aggregable groupBy on the two derived keys; output is
+    bounded by buckets × bins regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+        (F.floor(F.col("value") / 10.0).cast("long") * 10).alias("bin_lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
