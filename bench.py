@@ -127,6 +127,7 @@ HEADLINE = [
     "ts_math_transforms",
     "ts_difference",
     "ts_heatmap",
+    "split_train_val_test",
 ]
 
 

@@ -386,3 +386,51 @@ def weighted_sample_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic corpus split: each row's md5-hash of its key columns
+    maps to a uniform u ∈ [0,1); u < 1−val−test → ``train``, then ``val``,
+    then ``test``. Membership is a pure function of the key — re-running,
+    repartitioning, or growing the corpus never moves an existing document
+    across splits (the property that prevents silent train/test
+    contamination as the corpus is re-curated; ``rand()`` splits leak on
+    every rerun).
+
+    Row-local projection (zero shuffles) — composes with
+    ``stratified_hash_sample`` (same hash family, different byte ranges)
+    without correlation because the split hashes a different salt.
+    """
+    if not 0 <= val_frac + test_frac < 1:
+        raise ValueError("val_frac + test_frac must be in [0, 1)")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("split"),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**56))
+    )
+    train_hi = 1.0 - val_frac - test_frac
+    return df.withColumn(
+        out,
+        F.when(u < train_hi, "train")
+        .when(u < train_hi + val_frac, "val")
+        .otherwise("test"),
+    )

@@ -4885,6 +4885,38 @@ def ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (contamination-safe corpus splitting)
+# --------------------------------------------------------------------------
+@_q(
+    "split_train_val_test",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split' || chr(31) || CAST(doc_id AS VARCHAR)),
+                             1, 14))::BIGINT / 72057594037927936.0 AS uu
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN uu < 0.8 THEN 'train'
+                WHEN uu < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic corpus split keyed on doc_id hash — membership
+    never moves across reruns or corpus growth, preventing silent train/test
+    contamination (operators.curation.train_val_test_split). Row-local,
+    zero shuffles."""
+    from ..operators.curation import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return train_val_test_split(
+        docs, key_cols=["doc_id"], val_frac=0.1, test_frac=0.1
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

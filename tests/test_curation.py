@@ -396,3 +396,27 @@ def test_quantize_embeddings_range_error_bound_and_constant_vec(spark):
             assert abs(deq - orig) <= step / 2 + 1e-12
     # constant vector -> all zero codes, no division blow-up
     assert all(by_key[(2, i)]["code"] == 0 for i in range(1, 5))
+
+
+def test_train_val_test_split_stable_and_proportional(spark):
+    from riot_graphs_spark.operators.curation import train_val_test_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    s1 = train_val_test_split(df, key_cols=["doc_id"])
+    got = {r["doc_id"]: r["split"] for r in s1.collect()}
+    # proportions roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
+    # growing the corpus never moves existing keys
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(bigger, key_cols=["doc_id"]).collect()
+    }
+    assert all(got2[k] == v for k, v in got.items())
