@@ -241,3 +241,27 @@ def test_weighted_sample_is_single_shuffle(spark):
 def test_repeated_spans_fingerprinting_has_no_window(spark):
     plan = formatted_plan(spark, "repeated_spans")
     assert "Window" not in plan  # winnowing is row-local; only count+join shuffles
+
+
+def test_split_assignment_is_shuffle_free(spark):
+    plan = formatted_plan(spark, "split_train_val_test")
+    assert shuffle_count(plan) == 0  # pure row-local hash projection
+
+
+def test_heatmap_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "ts_heatmap")
+    assert "partial_count" in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_referential_audit_scans_key_columns_only(spark):
+    plan = formatted_plan(spark, "dq_referential_integrity")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # every scan is pruned to exactly one key column
+    assert schemas and all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_ohlc_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "ts_ohlc_daily")
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert shuffle_count(plan) == 1
