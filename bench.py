@@ -128,6 +128,7 @@ HEADLINE = [
     "ts_difference",
     "ts_heatmap",
     "split_train_val_test",
+    "sessions_daily",
 ]
 
 

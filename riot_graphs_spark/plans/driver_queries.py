@@ -4917,6 +4917,71 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Daily session metrics (sessionize → rollup; gaps-and-islands oracle)
+# --------------------------------------------------------------------------
+@_q(
+    "sessions_daily",
+    """
+    WITH e AS (
+      SELECT user_id, ts::TIMESTAMP AS ts FROM events
+    ), f AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM f
+    ), s AS (
+      SELECT user_id, sid, min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM g GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', first_ts)::TIMESTAMP AS bucket,
+           count(*) AS n_sessions,
+           CAST(sum(epoch_us(last_ts) - epoch_us(first_ts)) AS DOUBLE)
+             / count(*) AS avg_duration_us,
+           CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events
+    FROM s GROUP BY 1
+    """,
+)
+def sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session metrics: sessionize per user at a 30-minute gap
+    (timeseries.session_windows — a new session starts when the inter-event
+    gap is ≥ gap, matching the oracle's gaps-and-islands form), then roll
+    up sessions per day of first event with exact-integer duration sums
+    divided once at the end."""
+    from ..operators.timeseries import session_windows
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = session_windows(
+        ev, ts="ts", dims=["user_id"], gap="30 minutes",
+        aggs=[
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+    return s.groupBy(
+        F.date_trunc("day", F.col("first_ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (
+            F.sum(
+                F.unix_micros("last_ts") - F.unix_micros("first_ts")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_duration_us"),
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("avg_events"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
