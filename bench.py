@@ -129,6 +129,7 @@ HEADLINE = [
     "ts_heatmap",
     "split_train_val_test",
     "sessions_daily",
+    "ts_missing_buckets",
 ]
 
 

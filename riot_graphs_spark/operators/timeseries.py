@@ -733,6 +733,32 @@ def zscore_anomalies(
     )
 
 
+def missing_buckets(
+    df: DataFrame,
+    ts: str,
+    dims: Sequence[str],
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Heartbeat/gap detector: the (bucket, series) grid cells where a
+    series reported NOTHING — the reference's "day with no successful
+    build → warn and skip" (O4, ``rg.py:83-84``) generalized into a
+    queryable monitor ("which boards went dark last night"). ``df`` must
+    already be bucketed (one row per (ts, dims) at most).
+
+    Same distributive spine/grid as the gap fills, but the LEFT ANTI join
+    emits only the absences — output is gap-sized, not grid-sized. Buckets
+    before a series' first report or after the global max are not flagged
+    (a never-seen series has no heartbeat contract).
+    """
+    bounds = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(step))).alias(ts)
+    )
+    series = df.select(*dims).distinct()
+    grid = spine.crossJoin(F.broadcast(series))
+    return grid.join(df, on=[ts, *dims], how="left_anti")
+
+
 def ohlc_candles(
     df: DataFrame,
     dims: Sequence[str],

@@ -4982,6 +4982,47 @@ def sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Missing-bucket heartbeat detector (O4 warn-and-skip, queryable form)
+# --------------------------------------------------------------------------
+@_q(
+    "ts_missing_buckets",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM h
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), grid AS (
+      SELECT s.bucket, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM h) t
+    )
+    SELECT g.bucket, g.event_type
+    FROM grid g LEFT JOIN h
+      ON g.bucket = h.bucket AND g.event_type = h.event_type
+    WHERE h.bucket IS NULL
+    """,
+)
+def ts_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours in which an event_type reported nothing — the reference's
+    missing-day warning (rg.py:83-84) as a query
+    (operators.timeseries.missing_buckets): spine × series grid LEFT ANTI
+    observed, output gap-sized."""
+    from ..operators.timeseries import missing_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return missing_buckets(
+        hourly.select("bucket", "event_type"),
+        ts="bucket", dims=["event_type"], step="INTERVAL 1 HOUR",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
