@@ -5024,7 +5024,13 @@ def ts_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    """All registered queries, ordered unverified-first so the driver's
+    ~50-query CORRECTNESS window covers a fresh slice each round (see
+    :mod:`riot_graphs_spark.plans.verified`)."""
+    from .verified import rotation_order
+
+    order = rotation_order(list(QUERIES), frozenset(ORACLES))
+    return {name: QUERIES[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:

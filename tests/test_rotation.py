@@ -1,0 +1,40 @@
+"""The driver checks only the first ~50 queries() entries per round; the
+rotation must surface unverified queries first without altering the set."""
+
+from riot_graphs_spark.plans import driver_queries as dq
+from riot_graphs_spark.plans.verified import DRIVER_VERIFIED, rotation_order
+
+
+def test_rotation_preserves_set():
+    ordered = list(dq.queries())
+    assert set(ordered) == set(dq.QUERIES)
+    assert len(ordered) == len(dq.QUERIES)
+
+
+def test_unverified_oracle_paired_come_first():
+    ordered = list(dq.queries())
+    oracles = set(dq.ORACLES)
+    pending = [n for n in ordered if n not in DRIVER_VERIFIED and n in oracles]
+    # Every pending oracle-paired query precedes every already-verified one.
+    first_done = next(
+        (i for i, n in enumerate(ordered) if n in DRIVER_VERIFIED), len(ordered)
+    )
+    last_pending = max(
+        (i for i, n in enumerate(ordered) if n in pending), default=-1
+    )
+    assert last_pending < first_done or not pending
+
+
+def test_driver_window_is_all_unverified():
+    # While >50 queries lack a driver row, the 50-row window must contain
+    # no already-verified names (they would waste a slot).
+    ordered = list(dq.queries())
+    unverified = [n for n in ordered if n not in DRIVER_VERIFIED]
+    if len(unverified) >= 50:
+        assert all(n not in DRIVER_VERIFIED for n in ordered[:50])
+
+
+def test_rotation_order_is_stable_partition():
+    names = ["a", "b", "c", "d"]
+    got = rotation_order(names, frozenset(["a", "b", "c", "d"]))
+    assert got == names  # none verified -> registration order kept
