@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import SparkSession
 
 from ..operators.cdc import apply_changelog
+from ..sources.fs import path_exists, replace_dir
 
 
 def materialize_changelog(
@@ -52,18 +53,26 @@ def materialize_changelog(
     """
     stream = spark.readStream.schema(schema).json(landing_dir)
 
-    def merge(batch_df, _batch_id: int) -> None:
+    def merge(batch_df, batch_id: int) -> None:
+        # Existence is probed explicitly: a corrupt/unreadable EXISTING
+        # state must fail the batch (streaming retry), never be silently
+        # treated as first-batch — that would discard all accumulated state.
         bspark = batch_df.sparkSession
-        try:
+        if path_exists(bspark, state_path):
             state = bspark.read.parquet(state_path)
             merged = state.unionByName(batch_df.select(*state.columns))
-        except Exception:  # first batch: no state yet
+        else:
             merged = batch_df
         compacted = apply_changelog(
             merged, keys=keys, seq=seq, op_col=op_col, delete_op=delete_op,
             keep_tombstones=True,
-        ).localCheckpoint()  # break lineage: we overwrite what we read
-        compacted.write.mode("overwrite").parquet(state_path)
+        )
+        # Write the new state beside the old one, then swap: the old state
+        # is only deleted after the replacement is fully durable, so an
+        # executor/driver loss mid-write can never destroy the only copy.
+        tmp_path = f"{state_path}__tmp_{batch_id}"
+        compacted.write.mode("overwrite").parquet(tmp_path)
+        replace_dir(bspark, tmp_path, state_path)
 
     (
         stream.writeStream.foreachBatch(merge)
@@ -72,10 +81,9 @@ def materialize_changelog(
         .start()
         .awaitTermination()
     )
-    try:
-        return current_state(spark, state_path, op_col, delete_op).count()
-    except Exception:
+    if not path_exists(spark, state_path):  # no change ever processed
         return 0
+    return current_state(spark, state_path, op_col, delete_op).count()
 
 
 def current_state(

@@ -41,20 +41,22 @@ def test_incremental_refresh_and_idempotency(spark, dirs):
     with open(f"{landing}/day1.json", "w") as f:
         f.write(_doc(1, "sha1", {"native": b, "samr21-xpro": b}))
 
-    # First /update: 2 (test, board) rows land.
+    # First /update: 2 (test, board) rows land; the return is the DELTA
+    # ingested by this call (reference rg.py:156), not the sink total.
     n1 = incremental_refresh(spark, landing, dirs["sink"], dirs["ckpt"])
     assert n1 == 2
 
-    # Second /update with no new files: checkpoint skips everything (O5).
+    # Second /update with no new files: checkpoint skips everything (O5),
+    # so the ingested delta is 0.
     n2 = incremental_refresh(spark, landing, dirs["sink"], dirs["ckpt"])
-    assert n2 == 2
+    assert n2 == 0
 
     # New file arrives with one NEW key and one REPLAYED key → only the new
-    # key lands (O2 idempotent merge).
+    # key lands (O2 idempotent merge), delta = 1.
     with open(f"{landing}/day1b.json", "w") as f:
         f.write(_doc(1, "sha1", {"native": b, "esp32": b}))
     n3 = incremental_refresh(spark, landing, dirs["sink"], dirs["ckpt"])
-    assert n3 == 3
+    assert n3 == 1
 
     sink = spark.read.parquet(dirs["sink"])
     assert sink.select("test", "board", "ts").distinct().count() == 3
@@ -63,6 +65,43 @@ def test_incremental_refresh_and_idempotency(spark, dirs):
         "samr21-xpro",
         "esp32",
     }
+
+
+def test_merge_sink_read_is_partition_pruned(spark, dirs, tmp_path):
+    """The anti-join's sink-side read must carry a partition filter on the
+    batch's dates — at a 100-TB sink the merge touches only the named date
+    partitions, never the whole table (VERDICT r01 'What's wrong' #1)."""
+    import datetime
+
+    from riot_graphs_spark.streaming.ingest import (
+        PARTITION_COL,
+        _existing_keys,
+    )
+
+    landing = dirs["landing"]
+    b = {"bss": 1, "text": 2, "data": 3, "count": 0}
+    for day in (1, 2, 3):
+        with open(f"{landing}/day{day}.json", "w") as f:
+            f.write(_doc(day, f"sha{day}", {"native": b}))
+    incremental_refresh(spark, landing, dirs["sink"], dirs["ckpt"])
+
+    # Sink is laid out one directory per date.
+    dirs_on_disk = {
+        p.name
+        for p in __import__("pathlib").Path(dirs["sink"]).iterdir()
+        if p.is_dir()
+    }
+    assert dirs_on_disk == {
+        f"{PARTITION_COL}=2024-01-0{d}" for d in (1, 2, 3)
+    }
+
+    existing = _existing_keys(
+        spark, dirs["sink"], ["test", "board", "ts"], [datetime.date(2024, 1, 2)]
+    )
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and PARTITION_COL in plan
+    # Only the named partition survives pruning.
+    assert existing.count() == 1
 
 
 def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
@@ -339,6 +378,51 @@ def test_streaming_cdc_materialization_matches_batch_compaction(spark, dirs):
     assert 2 not in {
         r["user_id"] for r in current_state(spark, state, "op").collect()
     }
+
+
+def test_cdc_corrupt_state_fails_batch_instead_of_resetting(spark, dirs):
+    """A corrupt EXISTING state must fail the micro-batch (streaming retry
+    semantics) — NOT be mistaken for first-batch and overwritten, which
+    would silently discard all accumulated CDC state (ADVICE r01)."""
+    import json as _json
+    import pathlib
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from riot_graphs_spark.streaming.cdc import materialize_changelog
+
+    landing, state, ckpt = dirs["landing"], dirs["sink"], dirs["ckpt"]
+    schema = "event_id long, user_id long, ts timestamp, op string, value double"
+
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write(_json.dumps(
+            {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00",
+             "op": "U", "value": 10.0}) + "\n")
+    n1 = materialize_changelog(
+        spark, landing, state, ckpt, schema,
+        keys=["user_id"], seq=["ts", "event_id"], op_col="op", delete_op="D",
+    )
+    assert n1 == 1
+
+    # Corrupt the state files in place.
+    corrupted = list(pathlib.Path(state).glob("*.parquet"))
+    assert corrupted
+    for p in corrupted:
+        p.write_bytes(b"this is not parquet")
+
+    with open(f"{landing}/b2.json", "w") as f:
+        f.write(_json.dumps(
+            {"event_id": 2, "user_id": 2, "ts": "2024-01-01 01:00:00",
+             "op": "U", "value": 20.0}) + "\n")
+    with pytest.raises(StreamingQueryException):
+        materialize_changelog(
+            spark, landing, state, ckpt, schema,
+            keys=["user_id"], seq=["ts", "event_id"], op_col="op",
+            delete_op="D",
+        )
+    # The (corrupt) state was left untouched — nothing reset/overwrote it.
+    for p in corrupted:
+        assert p.read_bytes() == b"this is not parquet"
 
 
 def test_streaming_m4_downsample_complete_mode(spark, tmp_path):
