@@ -134,30 +134,48 @@ def lsh_bucketed_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    block_col: str | None = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_dims: int = 8,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, score ≥ threshold).
 
-    ``block_col`` keys the self-join (blocking): pairwise work is quadratic
-    only within a block — the same containment trick as LSH buckets. Pass
-    ``None`` for exact all-pairs (small corpora only).
+    The self-join is always BLOCKED: pairwise work is quadratic only within
+    a block, never across the corpus. By default the block key is derived
+    from the data itself — the :func:`sign_bucket` sign-projection of the
+    vector (``bucket_dims`` bits) — so the operator needs no external
+    grouping column and the join is an equi-join Spark shuffle-partitions
+    (or bucket-co-locates) on the key. Recall < 1 by construction: a
+    near-dup pair straddling a sign boundary is missed; lower
+    ``bucket_dims`` for recall, raise it for smaller blocks.
+
+    ``block_col`` overrides the key with a caller-supplied column (e.g. an
+    IVF cell id, or a fixture label in tests). The unblocked cartesian path
+    is a deliberate scale-killer and only runs with an explicit
+    ``allow_all_pairs=True`` (small corpora / recall measurement).
     """
+    if allow_all_pairs:
+        block = None
+    elif block_col is not None:
+        block = F.col(block_col)
+    else:
+        block = sign_bucket(vec_col, bucket_dims)
     a = embeddings.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        *([] if block is None else [block.alias("_block")]),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("_cvec"),
         l2_norm(vec_col).alias("_cnorm"),
     )
     b = embeddings.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        *([] if block is None else [block.alias("_block")]),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("_qvec"),
         l2_norm(vec_col).alias("_qnorm"),
     )
     pairs = (
-        a.join(b, on=block_col) if block_col else a.crossJoin(b)
+        a.crossJoin(b) if block is None else a.join(b, on="_block")
     ).filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.withColumn("score", _pair_score())
     return scored.filter(F.col("score") >= threshold).select(

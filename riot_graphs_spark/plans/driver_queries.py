@@ -957,33 +957,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_COSINE_EMB = _DUCK_COSINE.replace("q.qv", "q.embedding")
 
+#: Data-derived blocking key for the embedding near-dup self-join — the
+#: DuckDB twin of operators.similarity.sign_bucket(vec, dims=4). 4 bits
+#: (not the operator's default 8) so the sf0.01 fixture yields a non-trivial
+#: in-bucket pair set for the hash gate.
+_DUCK_SIGN_BUCKET4 = (
+    "(list_sum(list_transform(range(0, 4), "
+    "i -> CASE WHEN embedding[i+1] >= 0 THEN (1 << i) ELSE 0 END)))::BIGINT"
+)
+
+#: Shared near-dup pair CTE body: sign-bucket-blocked self-join, cosine ≥ 0.3
+#: (the fixture's vectors are near-orthogonal random points — 0.3 marks the
+#: fat tail; real corpora use 0.9+ with the same plan shape).
+_DUCK_NEARDUP_PAIRS = f"""b AS (
+      SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET4} AS bucket FROM embeddings
+    ), pairs AS (
+      SELECT c.vec_id AS vec_a, q.vec_id AS vec_b, {_DUCK_COSINE_EMB} AS score
+      FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id < q.vec_id
+      WHERE {_DUCK_COSINE_EMB} >= 0.3
+    )"""
+
+#: Spark-side twin of _DUCK_NEARDUP_PAIRS.
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bucket_dims=4
+    )
+
 
 @_q(
     "embed_neardup_pairs",
     f"""
-    SELECT c.vec_id AS vec_a, q.vec_id AS vec_b, {_DUCK_COSINE_EMB} AS score
-    FROM embeddings c JOIN embeddings q
-      ON c.label = q.label AND c.vec_id < q.vec_id
-    WHERE {_DUCK_COSINE_EMB} >= 0.9
+    WITH {_DUCK_NEARDUP_PAIRS}
+    SELECT vec_a, vec_b, score FROM pairs
     """,
 )
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import embedding_neardup_pairs
-
-    return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
-    )
+    """Near-duplicate pairs blocked on the data-derived sign bucket (no
+    external label/grouping column needed): the self-join is an equi-join
+    on sign_bucket(embedding), never a cartesian product."""
+    return _neardup_pairs(spark, sf_dir)
 
 
 @_q(
     "embed_neardup_clusters",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT c.vec_id AS vec_a, q.vec_id AS vec_b
-      FROM embeddings c JOIN embeddings q
-        ON c.label = q.label AND c.vec_id < q.vec_id
-      WHERE {_DUCK_COSINE_EMB} >= 0.9
-    ), edges AS (
+    WITH RECURSIVE {_DUCK_NEARDUP_PAIRS}, edges AS (
       SELECT vec_a AS a, vec_b AS b FROM pairs
       UNION SELECT vec_b, vec_a FROM pairs
     ), lp(id, comp) AS (
@@ -996,17 +1016,14 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embed_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup families: cosine-0.9 pairs (label-blocked) →
+    """Embedding near-dup families: sign-bucket-blocked cosine pairs →
     connected components — the same min-label propagation that collapses
     text duplicate chains (dedup_cc_clusters) composed over the embedding
     similarity operator instead of MinHash. Transitive closure matters:
     A≈B, B≈C keeps only one of three even when A≉C directly."""
     from ..operators.dedup import connected_components
-    from ..operators.similarity import embedding_neardup_pairs
 
-    pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
-    ).select("vec_a", "vec_b")
+    pairs = _neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     return connected_components(pairs, src="vec_a", dst="vec_b")
 
 
@@ -4342,12 +4359,7 @@ def corpus_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "cc_recursive_sql",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT c.vec_id AS vec_a, q.vec_id AS vec_b
-      FROM embeddings c JOIN embeddings q
-        ON c.label = q.label AND c.vec_id < q.vec_id
-      WHERE {_DUCK_COSINE_EMB} >= 0.9
-    ), edges AS (
+    WITH RECURSIVE {_DUCK_NEARDUP_PAIRS}, edges AS (
       SELECT vec_a AS a, vec_b AS b FROM pairs
       UNION ALL SELECT vec_b, vec_a FROM pairs
     ), nodes AS (
@@ -4371,11 +4383,7 @@ def cc_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label aggregate absorbs duplicate paths. Unbounded-diameter graphs
     belong to the iterative operator; both sides here compute the identical
     bounded semantics."""
-    from ..operators.similarity import embedding_neardup_pairs
-
-    pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
-    ).select("vec_a", "vec_b")
+    pairs = _neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     pairs.createOrReplaceTempView("cc_pairs")
     return spark.sql(
         """
