@@ -255,9 +255,11 @@ def chunk_documents(
 
     Chunk ``k`` starts at 1-based position ``1 + k·(chunk_chars−overlap)``
     and runs for ``chunk_chars``; starts are emitted while they land inside
-    the text, and an empty document still yields one empty chunk (so no doc
-    silently disappears from the corpus). Returns
-    ``(id_col, chunk_id: long, chunk_start: long, chunk_text: string)``.
+    the text, and an empty or NULL-text document still yields one empty
+    chunk (so no doc silently disappears from the corpus — a NULL text
+    would otherwise make ``sequence`` NULL and ``explode`` drop the row).
+    Returns ``(id_col, chunk_id: long, chunk_start: long, chunk_text:
+    string)``.
 
     Scale posture: a per-row ``sequence`` + ``explode`` + ``substring``
     projection — zero shuffles, runs inside whole-stage codegen, and the
@@ -269,11 +271,10 @@ def chunk_documents(
     if not 0 <= overlap < chunk_chars:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_chars")
     stride = chunk_chars - overlap
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.length(text_col)), F.lit(stride)
-    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text)), F.lit(stride))
     return (
-        df.select(id_col, F.col(text_col), F.explode(starts).alias("chunk_start"))
+        df.select(id_col, text.alias(text_col), F.explode(starts).alias("chunk_start"))
         .select(
             id_col,
             ((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_id"),

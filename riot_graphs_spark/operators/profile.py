@@ -17,19 +17,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """One row per profiled column: non-null count, null count, exact
-    distinct count, min/max (as strings — uniform output schema).
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact: bool = False
+) -> DataFrame:
+    """One row per profiled column: non-null count, null count, distinct
+    count, min/max (as strings — uniform output schema).
+
+    ``n_distinct`` is ``approx_count_distinct`` (HLL++, ~2% relative error,
+    fixed-size partial state) by default — at 100 TB an exact per-column
+    distinct keeps every distinct value in the partial aggregate and a
+    high-cardinality column (ids, hashes) blows the aggregation state.
+    Pass ``exact=True`` for the exact count when the table is known-small
+    or the profile feeds an equality gate (the oracle-parity query does).
 
     Keep doubles out of ``cols`` when oracle parity matters: float→string
     formatting differs across engines.
     """
+    ndv = F.count_distinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__n_null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            ndv(F.col(c)).alias(f"{c}__n_distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]

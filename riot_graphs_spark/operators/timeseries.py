@@ -641,30 +641,43 @@ def trend_fit(
     a drifting slope IS the regression.
 
     Determinism: the five sufficient statistics (n, Σx, Σx², Σxy, Σy) are
-    computed exactly — x is integer seconds since ``anchor_epoch_us``
-    (small offsets keep Σx² inside int64), y a DECIMAL(18,2) — and only the
-    final closed-form combination runs in double, a fixed expression tree on
-    exact inputs that every engine reproduces bit-for-bit. The built-in
-    ``regr_slope`` accumulates doubles in merge order and is NOT
-    hash-stable across engines; that is why it is not used here.
+    computed exactly — x is integer seconds since ``anchor_epoch_us``, y a
+    DECIMAL(18,2) — and only the final closed-form combination runs in
+    double, a fixed expression tree on exact inputs that every engine
+    reproduces bit-for-bit. The built-in ``regr_slope`` accumulates doubles
+    in merge order and is NOT hash-stable across engines; that is why it is
+    not used here.
+
+    Σx and Σx² accumulate as DECIMAL(38,0), not int64: a year-long span has
+    x ≈ 3e7 s, so x² ≈ 1e15 and ~1e4 rows overflow an int64 sum — ANSI mode
+    (Spark 4 default) would throw ARITHMETIC_OVERFLOW mid-aggregation, and
+    with ANSI off it would wrap into silently wrong slopes. Decimal sums
+    stay exact and remain partial-aggregable.
 
     One partial-aggregable shuffle on ``dims``; fixed-size state per series.
     """
     x = F.expr(f"(unix_micros({ts}) - {anchor_epoch_us}L) div 1000000L")
+    xd = x.cast("decimal(20,0)")
     y = F.col(value).cast("decimal(18,2)")
     agg = df.groupBy(*_cols(dims)).agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("_sx"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(x.cast("decimal(20,0)") * y).alias("_sxy"),
+        F.sum(xd).alias("_sx"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum(xd * y).alias("_sxy"),
         F.sum(y).alias("_sy"),
     )
+    # The closed-form differences n·Σx² − (Σx)² and n·Σxy − Σx·Σy cancel
+    # catastrophically in double when x is large (at x ≈ 1e9 s the terms
+    # are ~1e20 and the true difference ~1e3 — below double's ulp there,
+    # reading as 0/0). Form both differences exactly in decimal; only the
+    # final ratio runs in double.
+    n_dec = F.col("n").cast("decimal(20,0)")
+    den = (n_dec * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    num = (n_dec * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    slope = num / den
     nd = F.col("n").cast("double")
     sx = F.col("_sx").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    sxy = F.col("_sxy").cast("double")
     sy = F.col("_sy").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     return agg.select(
         *_cols(dims),
         F.col("n"),
@@ -747,15 +760,22 @@ def missing_buckets(
 
     Same distributive spine/grid as the gap fills, but the LEFT ANTI join
     emits only the absences — output is gap-sized, not grid-sized. Buckets
-    before a series' first report or after the global max are not flagged
-    (a never-seen series has no heartbeat contract).
+    before a series' FIRST report are not flagged (a newly-onboarded series
+    has no heartbeat contract yet — per-series lower bound, not the global
+    min); buckets after its last report up to the global max ARE flagged
+    (that is the "went dark" signal this monitor exists for).
     """
     bounds = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr(step))).alias(ts)
     )
-    series = df.select(*dims).distinct()
-    grid = spine.crossJoin(F.broadcast(series))
+    # distinct + per-series onboarding time in the same small broadcast agg
+    series = df.groupBy(*dims).agg(F.min(ts).alias("_series_lo"))
+    grid = (
+        spine.crossJoin(F.broadcast(series))
+        .filter(F.col(ts) >= F.col("_series_lo"))
+        .drop("_series_lo")
+    )
     return grid.join(df, on=[ts, *dims], how="left_anti")
 
 

@@ -1582,7 +1582,9 @@ def _profile_oracle() -> str:
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_columns
 
-    return profile_columns(_t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+    # exact=True: the DuckDB oracle computes count(DISTINCT ...); the
+    # 100-TB default is the approx (HLL++) path, tested separately.
+    return profile_columns(_t(spark, sf_dir, "orders"), list(_PROFILE_COLS), exact=True)
 
 
 # --------------------------------------------------------------------------
@@ -3698,26 +3700,32 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value AS DECIMAL(18,2)) AS y
       FROM events
     ), sums AS (
+      -- exact (int128/decimal) sums; the closed-form DIFFERENCES are also
+      -- formed exactly before the double cast, mirroring trend_fit's
+      -- cancellation-safe decimal arithmetic
       SELECT event_type, count(*) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(x AS DECIMAL(20,0)) * y) AS DOUBLE) AS sxy,
-             CAST(sum(y) AS DOUBLE) AS sy
+             sum(x) AS sx, sum(x*x) AS sxx,
+             sum(CAST(x AS DECIMAL(20,0)) * y) AS sxy,
+             sum(y) AS sy
       FROM base GROUP BY event_type
+    ), cf AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM sums
     )
-    SELECT event_type, n,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_per_sec,
-           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-             / CAST(n AS DOUBLE) AS intercept
-    FROM sums
+    SELECT event_type, n, num / den AS slope_per_sec,
+           (syd - (num / den) * sxd) / CAST(n AS DOUBLE) AS intercept
+    FROM cf
     """,
 )
 def ts_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series least-squares slope/intercept of value vs time from exact
-    sufficient statistics (operators.timeseries.trend_fit). x is integer
-    seconds since 2024-01-01 so Σx² stays in int64; only the closed form
-    runs in double — bit-identical across engines, unlike regr_slope."""
+    sufficient statistics (operators.timeseries.trend_fit): DECIMAL Σx/Σx²
+    (no int64 overflow on long spans) and exact closed-form differences (no
+    catastrophic cancellation); only the final ratio runs in double —
+    bit-identical across engines, unlike regr_slope."""
     from ..operators.timeseries import trend_fit
 
     ev = _t(spark, sf_dir, "events")
@@ -5005,8 +5013,12 @@ def sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
       FROM bounds
     ), grid AS (
+      -- per-series lower bound: onboarding gap is not a missed heartbeat
       SELECT s.bucket, t.event_type
-      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM h) t
+      FROM spine s
+      CROSS JOIN (SELECT event_type, min(bucket) AS series_lo
+                  FROM h GROUP BY 1) t
+      WHERE s.bucket >= t.series_lo
     )
     SELECT g.bucket, g.event_type
     FROM grid g LEFT JOIN h

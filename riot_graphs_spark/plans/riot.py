@@ -41,6 +41,10 @@ def pr_events_from_commits(
     a digit are dropped instead of raising), J2 broadcast PR enrichment
     (left join keeps commits whose PR lookup missed, ``rg.py:361-362``),
     P12 HTML anchors, P13 wrapped description.
+
+    Field fidelity (reference ``rg.py:336-343``): ``title`` is the HTML
+    anchor and ``event`` is ``"Merged " + anchor`` — both byte-match the
+    reference's Grafana annotation payload.
     """
     with_pr = commits.withColumn("pr_num", pr_number(F.col("msg"))).filter(
         F.col("pr_num").isNotNull()
@@ -51,8 +55,8 @@ def pr_events_from_commits(
         F.col("date").alias("ts"),
         "pr_num",
         "hash",
-        F.col("pr_num").cast("string").alias("title"),
-        anchor.alias("event"),
+        anchor.alias("title"),
+        F.concat(F.lit("Merged "), anchor).alias("event"),
         wrap_text(F.coalesce(F.col("title"), F.lit(""))).alias("description"),
     )
 

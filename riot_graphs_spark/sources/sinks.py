@@ -162,15 +162,26 @@ def write_clustered(
     This is how the `build_sizes` table should be laid out at 100 TB:
     partitioned by date, clustered by (test, board) — a dashboard query for
     one board then reads ~1/|boards| of each day's bytes instead of all of
-    them. Repartitioning on the partition columns keeps one task per
-    partition (× ``files_per_partition``); the sort is per-task, no extra
-    shuffle.
+    them.
+
+    The repartition hashes on ``(partition_cols, salt)`` into the normal
+    ``spark.sql.shuffle.partitions`` task pool — NOT
+    ``repartition(files_per_partition, ...)``, which would set the TOTAL
+    shuffle-partition count and funnel the whole dataset through
+    ``files_per_partition`` tasks (one, by default) doing one giant sort.
+    Each ``(partition key, salt)`` group lands wholly in one task, so every
+    output partition directory gets at most ``files_per_partition`` files;
+    the salt is ``hash(cluster_cols)`` so rows with equal cluster keys
+    co-locate in the same file and the per-file sort yields tight
+    row-group stats. The sort is per-task; no extra shuffle.
     """
+    salt_src = [F.col(c) for c in (cluster_cols or df.columns)]
+    salt = F.pmod(F.hash(*salt_src), F.lit(max(1, files_per_partition)))
     (
-        df.repartition(
-            max(1, files_per_partition), *[F.col(c) for c in partition_cols]
-        )
+        df.withColumn("_salt", salt)
+        .repartition(*[F.col(c) for c in partition_cols], F.col("_salt"))
         .sortWithinPartitions(*[F.col(c) for c in cluster_cols])
+        .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path)

@@ -202,7 +202,7 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     from riot_graphs_spark.operators.curation import chunk_documents
 
     docs = spark.createDataFrame(
-        [(1, "abcdefghij"), (2, ""), (3, "abc")],
+        [(1, "abcdefghij"), (2, ""), (3, "abc"), (4, None)],
         "doc_id long, text string",
     )
     # chunk_chars=4, overlap=2 -> stride 2, starts 1,3,5,7,9 for len 10
@@ -217,7 +217,10 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     assert out[(2, 0)] == (1, "")  # empty doc still yields one empty chunk
     assert out[(3, 0)] == (1, "abc")
     assert out[(3, 1)] == (3, "c")
-    assert len(out) == 5 + 1 + 2
+    # ADVICE fix: NULL text must not vanish (explode over a NULL sequence
+    # used to drop the row) — it chunks like the empty document.
+    assert out[(4, 0)] == (1, "")
+    assert len(out) == 5 + 1 + 2 + 1
 
 
 def test_chunk_documents_zero_overlap_covers_text_exactly_once(spark):

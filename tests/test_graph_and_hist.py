@@ -521,3 +521,66 @@ def test_cmo_hand_computation_and_flat_window(spark):
     ).collect()}
     assert abs(out[("a", 4)] - 100.0 * (4 - 3) / (4 + 3)) < 1e-12
     assert out[("b", 4)] == 0.0 and out[("b", 5)] == 0.0
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from riot_graphs_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None)], "k long, v string"
+    )
+    exact = {r.column: r for r in profile_columns(df, ["k", "v"], exact=True).collect()}
+    assert exact["k"].n == 4 and exact["k"].n_null == 0 and exact["k"].n_distinct == 4
+    assert exact["v"].n == 3 and exact["v"].n_null == 1 and exact["v"].n_distinct == 2
+    assert exact["k"].min_value == "1" and exact["k"].max_value == "4"
+
+    # Default (100-TB) path: approx_count_distinct — identical schema, and
+    # at this cardinality HLL++ is exact too; everything else unchanged.
+    approx = {r.column: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert approx["k"].n_distinct == 4 and approx["v"].n_distinct == 2
+    assert [f.name for f in profile_columns(df, ["k"]).schema.fields] == [
+        "column", "n", "n_null", "n_distinct", "min_value", "max_value"
+    ]
+
+
+def test_missing_buckets_per_series_onboarding(spark):
+    """ADVICE fix: a series first seen mid-range must NOT be flagged for
+    buckets before its first report (no heartbeat contract yet), but a
+    series that stops reporting IS flagged up to the global max."""
+    from datetime import datetime
+
+    from riot_graphs_spark.operators.timeseries import missing_buckets
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # series "a": reports hours 0,1,3,4 of 0..4 → only hour 2 missing
+        ("a", t(0)), ("a", t(1)), ("a", t(3)), ("a", t(4)),
+        # series "b": onboards at hour 3 → hours 0-2 NOT flagged; reports 3
+        # then goes dark → hour 4 flagged ("went dark")
+        ("b", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, bucket timestamp")
+    got = {
+        (r.event_type, r.bucket.hour)
+        for r in missing_buckets(df, ts="bucket", dims=["event_type"]).collect()
+    }
+    assert got == {("a", 2), ("b", 4)}
+
+
+def test_trend_fit_no_overflow_on_long_spans(spark):
+    """ADVICE fix: with anchor = epoch 0, x ≈ 1.7e9 s in 2024 so each x² ≈
+    2.9e18 and a 10-row sum blows int64 (≈2.9e19 > 9.2e18) — an int64 Σx²
+    would throw ARITHMETIC_OVERFLOW under ANSI or wrap silently. The
+    DECIMAL(38,0) accumulators must recover the exact line regardless."""
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import trend_fit
+
+    t0 = datetime(2024, 1, 1)  # ~1.704e9 s after the epoch-0 anchor
+    rows = [("a", t0 + timedelta(seconds=s), float(3 * s + 7)) for s in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = trend_fit(
+        df, dims=["event_type"], ts="ts", value="value", anchor_epoch_us=0
+    ).collect()[0]
+    assert out["n"] == 10
+    assert abs(out["slope_per_sec"] - 3.0) < 1e-6

@@ -82,9 +82,13 @@ def test_pr_events_totality_and_wrap(spark):
     assert set(out) == {1234, 99}  # no-digit row dropped, missing PR kept (J2 left)
     assert out[1234].description == "<br>".join(textwrap.wrap(long_title, 32))
     assert out[99].description == ""  # GitHub miss tolerated (rg.py:361-362)
-    assert out[1234].event == (
+    # Byte-match the reference's annotation payload (rg.py:336-343):
+    # title = anchor, event = "Merged " + anchor.
+    anchor1234 = (
         '<a target="_blank" href="https://github.com/RIOT-OS/RIOT/pull/1234">#1234</a>'
     )
+    assert out[1234].title == anchor1234
+    assert out[1234].event == "Merged " + anchor1234
 
 
 def test_anchored_day_boundary(spark):

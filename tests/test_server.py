@@ -1,0 +1,86 @@
+"""HTTP ``/update`` wrapper test (reference ``server.py:19-29``): the
+endpoint runs one incremental refresh and reports the ingested delta;
+hitting it twice is idempotent (second call reports 0 updates)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from server import HELLO, serve
+from riot_graphs_spark.streaming.ingest import incremental_refresh
+
+
+def _doc(day: int, sha: str, boards: dict[str, dict]) -> str:
+    return json.dumps(
+        {
+            "ts": f"2024-01-{day:02d} 04:00:00",
+            "sha": sha,
+            "sizes": {"tests_shell": boards},
+        }
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return {
+        "landing": str(landing),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.read().decode()
+
+
+def test_update_endpoint_idempotent(spark, dirs):
+    b = {"bss": 1, "text": 2, "data": 3, "count": 0}
+    with open(f"{dirs['landing']}/day1.json", "w") as f:
+        f.write(_doc(1, "sha1", {"native": b, "samr21-xpro": b}))
+
+    def refresh() -> int:
+        return incremental_refresh(
+            spark, dirs["landing"], dirs["sink"], dirs["ckpt"]
+        )
+
+    httpd = serve(refresh, port=0)  # OS-assigned free port
+    port = httpd.server_address[1]
+    try:
+        status, body = _get(f"http://127.0.0.1:{port}/")
+        assert status == 200 and body == HELLO
+
+        # First /update ingests the 2 landed (test, board) rows.
+        status, body = _get(f"http://127.0.0.1:{port}/update")
+        assert status == 200
+        assert json.loads(body) == {"status": "ok", "updates": 2}
+
+        # Second /update: nothing new landed → delta 0, still status ok.
+        status, body = _get(f"http://127.0.0.1:{port}/update")
+        assert json.loads(body) == {"status": "ok", "updates": 0}
+    finally:
+        httpd.shutdown()
+
+
+def test_update_endpoint_error_status(spark):
+    def refresh() -> int:
+        raise RuntimeError("boom")
+
+    httpd = serve(refresh, port=0)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/update")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert json.loads(e.read().decode()) == {"status": "error"}
+    finally:
+        httpd.shutdown()

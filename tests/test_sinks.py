@@ -179,3 +179,51 @@ def test_write_clustered_tightens_row_group_stats(spark, tmp_path):
             prev_max = st.max
     # data round-trips completely
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_write_clustered_parallelism_and_file_fanout(spark, tmp_path):
+    """ADVICE fix: the pre-write repartition must hash into the normal
+    shuffle-partition pool (parallel tasks), never collapse the dataset to
+    ``files_per_partition`` total partitions; and each partition directory
+    gets at most ``files_per_partition`` files."""
+    import glob
+
+    from riot_graphs_spark.sources.sinks import write_clustered
+
+    rows = [(f"d{i % 4}", (i * 37) % 500, float(i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "date string, user_id long, v double")
+
+    # Mirror write_clustered's pre-write plan and check the task count: with
+    # 4 dates x 3 salts = 12 distinct hash keys, the exchange must spread
+    # across >1 task (the old repartition(files_per_partition, ...) put the
+    # ENTIRE dataset in exactly files_per_partition=1 task).
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.hash(F.col("user_id")), F.lit(3))
+    staged = df.withColumn("_salt", salt).repartition(F.col("date"), F.col("_salt"))
+    # The exchange must hash into the full shuffle-partition pool (AQE may
+    # coalesce tiny test data afterwards — that's adaptive and fine); the
+    # old repartition(files_per_partition, ...) pinned it to 1 partition
+    # unconditionally, serializing a 100-TB write through one task.
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    n_pool = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert "hashpartitioning" in plan
+    assert f", {n_pool})" in plan.split("hashpartitioning", 1)[1].split("\n", 1)[0]
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert staged.rdd.getNumPartitions() == n_pool
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+    out = str(tmp_path / "clustered_fanout")
+    write_clustered(
+        df, out, partition_cols=["date"], cluster_cols=["user_id"],
+        files_per_partition=3,
+    )
+    for d in range(4):
+        files = glob.glob(f"{out}/date=d{d}/*.parquet")
+        assert 1 <= len(files) <= 3
+    assert spark.read.parquet(out).count() == 4000
+    # _salt is a layout detail, not part of the table schema
+    assert "_salt" not in spark.read.parquet(out).columns
