@@ -2310,6 +2310,63 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(verified)
 
 
+@_q(
+    "dedup_cc_clusters_star",
+    # identical oracle body to dedup_cc_clusters: the two operators must
+    # agree with the recursive-CTE transitive closure, and with each other
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shin AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM docs),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.doc_a
+      JOIN shin sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id, min(r) AS component_id FROM reach GROUP BY id
+    """,
+)
+def dedup_cc_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline as dedup_cc_clusters with the billion-edge clustering
+    path: large-star/small-star contraction (dedup.connected_components_star)
+    instead of min-label propagation — O(log² n) rounds on deep components
+    vs O(diameter). Both operators are property-tested equal on random
+    graphs; this entry pins the star variant to the external oracle too."""
+    from ..operators.dedup import (
+        connected_components_star,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    verified = jaccard_verify_pairs(docs, cand, threshold=0.8)
+    return connected_components_star(verified)
+
+
 # Rows-only (no SQL oracle): EWMA is a genuinely sequential recursion
 # (e_t depends on e_{t-1}); the closed-form SQL rewrite overflows float64
 # on long series, so there is no faithful ANSI-SQL twin. Semantics are

@@ -584,3 +584,19 @@ def test_trend_fit_no_overflow_on_long_spans(spark):
     ).collect()[0]
     assert out["n"] == 10
     assert abs(out["slope_per_sec"] - 3.0) < 1e-6
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """The motivation for the star variant: a 64-node path has diameter 63,
+    so min-label propagation needs ~63 rounds — star contraction halves
+    tree heights per round and must finish the same chain within 8."""
+    from riot_graphs_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.id, r.component_id)
+        for r in connected_components_star(pairs, max_iter=8).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 65)}

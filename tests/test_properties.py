@@ -314,3 +314,42 @@ def test_cdc_split_compaction_equals_full_compaction(spark, events, split):
     inc_rows = sorted(map(tuple, incremental.collect()))
     full_rows = sorted(map(tuple, full.collect()))
     assert inc_rows == full_rows
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=1, max_value=25),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_star_cc_matches_iterative_cc(spark, edges):
+    """Large-star/small-star contraction must produce the identical
+    (id, component_id) labeling as iterative min-label propagation on any
+    graph — including self-loops, parallel/reversed edges, many islands."""
+    from riot_graphs_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        (r.id, r.component_id)
+        for r in connected_components_star(pairs).collect()
+    }
+    iterative = {
+        (r.id, r.component_id)
+        for r in connected_components(pairs, max_iter=30).collect()
+    }
+    # the iterative operator drops nodes seen only in self-loop pairs from
+    # its edge list; the star operator labels them (id, id) — align first
+    iter_ids = {i for i, _ in iterative}
+    star_aligned = {(i, c) for i, c in star if i in iter_ids}
+    assert star_aligned == iterative
+    # star additionally owes every self-loop-only node a self label
+    assert all(i == c for i, c in star - star_aligned)
