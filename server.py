@@ -67,9 +67,10 @@ def serve(refresh, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPSe
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--landing", required=True)
-    ap.add_argument("--sink", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--config", help="INI config (reference GraphConf layout)")
+    ap.add_argument("--landing")
+    ap.add_argument("--sink")
+    ap.add_argument("--checkpoint")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()
@@ -77,10 +78,26 @@ def main() -> None:
     from riot_graphs_spark.session import get_spark
     from riot_graphs_spark.streaming.ingest import incremental_refresh
 
-    spark = get_spark(app_name="riot-graphs-server")
+    landing, sink, ckpt = args.landing, args.sink, args.checkpoint
+    shuffle = None
+    if args.config:
+        from riot_graphs_spark.config import load_config
+
+        conf = load_config(args.config)
+        landing = landing or conf.landing_dir
+        sink = sink or conf.sink_path
+        ckpt = ckpt or conf.checkpoint_dir
+        shuffle = conf.shuffle_partitions
+    if not (landing and sink and ckpt):
+        ap.error("--landing/--sink/--checkpoint (or --config) are required")
+
+    spark = get_spark(
+        app_name="riot-graphs-server",
+        **({"shuffle_partitions": shuffle} if shuffle else {}),
+    )
 
     def refresh() -> int:
-        return incremental_refresh(spark, args.landing, args.sink, args.checkpoint)
+        return incremental_refresh(spark, landing, sink, ckpt)
 
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(refresh))
     try:
