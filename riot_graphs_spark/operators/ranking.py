@@ -1,0 +1,219 @@
+"""Corpus ranking & language-model scoring over the ``documents`` table:
+BM25 retrieval scoring, per-document TF-IDF keyword extraction, and
+CCNet-style unigram-LM cross-entropy (the perplexity quality filter used to
+select training data against a reference corpus).
+
+Shapes that survive 100 TB:
+
+- Query-term matching is a scan-side ``array_contains``-style filter on the
+  (tiny, literal) term set — never a join against an exploded corpus.
+- Corpus statistics (N, avgdl, per-term df, LM token counts) are
+  partial-aggregable one-pass aggregates; the per-term/per-token model
+  tables are vocabulary-sized, not corpus-sized.
+- Per-document scores are sums over that document's tokens ONLY; the sums
+  are DECIMAL-cast per-token doubles, so the total is independent of Spark
+  task merge order (cross-row double accumulation is engine- and
+  run-specific; decimal addition is exact — the invariant every
+  oracle-paired query in this repo maintains).
+- The scoring join is keyed on token. Stopword-class tokens make it skewed;
+  AQE skew-join splitting (on in session.py) handles the residue, and the
+  LM table can be broadcast outright while vocabularies fit (~millions of
+  terms) — documented rather than hard-coded so the optimizer keeps the
+  choice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+#: Exact-sum carrier for per-token double scores (see module docstring).
+_DEC = "decimal(28,12)"
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) — one row per token OCCURRENCE (duplicates kept)."""
+    return docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document against a bag of query
+    terms — the retrieval ranking behind "find the docs most about X" over
+    a curated corpus. Returns ``(id_col, n_matched_terms, score)`` for
+    documents matching ≥1 term, highest-score-first semantics left to the
+    caller (no global sort here — top-k at 100 TB is a later
+    ``orderBy(...).limit(k)`` that Spark executes as TakeOrdered, no full
+    sort).
+
+    IDF uses the Lucene/BM25+ form ``ln(1 + (N − df + 0.5)/(df + 0.5))``
+    (always positive, robust for df > N/2). Exact integer tf/df/dl feed
+    per-row double arithmetic; only the final per-doc sum crosses rows and
+    it is decimal-carried.
+
+    Stats are corpus-wide one-pass aggregates; the tf table holds only
+    (doc, query-term) hits — bounded by |matches|, not corpus tokens.
+    """
+    terms = [t.lower() for t in query_terms]
+    tok = _doc_tokens(docs, id_col, text_col)
+
+    # document lengths (all tokens) and corpus avgdl — one agg each
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    # per-(doc, term) tf over the tiny literal term set — scan-side filter
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd * (k1 + 1) / (
+        tfd + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (idf * norm).cast(_DEC).alias("_s"),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+        F.sum("_s").cast("double").alias("score"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` most distinctive
+    terms by TF-IDF (``tf · ln(N/df)``, df over distinct docs). The
+    "what is this document about" labeler — feeds topic-balanced sampling
+    and dedup triage. Ties break lexicographically so ranks are total.
+
+    One token-keyed shuffle for df, one doc-keyed window for the top-k;
+    both vocabulary/document-bounded. Returns
+    ``(id_col, term, tf, df, tfidf, term_rank)``. ``tfidf`` is carried at
+    12-dp decimal precision (``ln`` differs in the last ulp across libm
+    implementations; ranking on the quantized value keeps the ordering —
+    and the oracle row-hash — engine-portable).
+    """
+    tok = _doc_tokens(docs, id_col, text_col).filter(
+        F.length("token") >= min_token_len
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast(_DEC)
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= top_k)
+    )
+
+
+def unigram_lm_cross_entropy(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality signal: per-document cross-entropy (nats per
+    token) under an add-α-smoothed unigram model fit on ``train_docs``
+    (default: the corpus itself). Low = looks like the reference corpus;
+    high = gibberish/boilerplate/another register — filter or re-weight on
+    it exactly as CCNet buckets by perplexity. Cross-entropy rather than
+    ``exp`` of it is returned so the score stays in well-behaved range and
+    the oracle needs one fewer transcendental; ``perplexity = e^H``.
+
+    Model: ``p(t) = (c_t + α) / (T + α·V)`` with V = |observed vocab|;
+    unseen scoring tokens get the α-mass. The model is ONE aggregate over
+    the training tokens (vocabulary-sized result); scoring is one
+    token-keyed left join + one doc-keyed sum of decimal-carried
+    per-token ``ln p``. Empty docs are kept with NULL score (no silent
+    drops). Returns ``(id_col, n_tokens, cross_entropy)``.
+    """
+    train = train_docs if train_docs is not None else docs
+    train_tok = _doc_tokens(train, id_col, text_col)
+    model = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    consts = model.agg(
+        F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+
+    tok = _doc_tokens(docs, id_col, text_col)
+    denom = F.col("t_total").cast("double") + alpha * F.col("v_size")
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
+        / denom
+    )
+    scored = (
+        tok.join(model, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(F.col(id_col), lp.cast(_DEC).alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (-F.sum("_lp").cast("double") / F.count(F.lit(1))).alias(
+            "cross_entropy"
+        ),
+    )
+    # anti-join-free totality: left join from the doc list keeps empty docs
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "cross_entropy",
+        )
+    )

@@ -5100,6 +5100,116 @@ def ts_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus ranking & LM scoring (operators/ranking.py): BM25, TF-IDF
+# keywords, CCNet-style unigram-LM cross-entropy quality signal
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_DUCK_TOK = (
+    "SELECT doc_id, t.tok AS token FROM documents, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)"
+)
+
+
+@_q(
+    "rank_bm25",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                  AS DECIMAL(28,12)) AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_matched_terms,
+           CAST(sum(s) AS DOUBLE) AS score
+    FROM per GROUP BY 1
+    """,
+)
+def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed query-term bag
+    (operators.ranking.bm25_scores): exact tf/df/dl one-pass aggregates,
+    per-row double scoring, decimal-carried per-doc sum."""
+    from ..operators.ranking import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), list(_BM25_TERMS))
+
+
+@_q(
+    "text_tfidf_terms",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    tok3 AS (SELECT * FROM tok WHERE length(token) >= 3),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok3 GROUP BY 1, 2),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token AS term, tf.tf, dft.df,
+             CAST(CAST(CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(28,12))
+               AS DOUBLE) AS tfidf
+      FROM tf JOIN dft USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INT) AS term_rank
+    FROM scored QUALIFY term_rank <= 3
+    """,
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators.ranking.tfidf_top_terms)
+    — the topic labeler for balanced sampling; deterministic tie-break on
+    the term itself."""
+    from ..operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+@_q(
+    "text_lm_cross_entropy",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    consts AS (SELECT sum(c) AS t_total, count(*) AS v_size FROM model),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(ln((coalesce(model.c, 0)::DOUBLE + 0.5)
+                     / (CAST(t_total AS DOUBLE) + 0.5 * v_size))
+                  AS DECIMAL(28,12)) AS lp
+      FROM tok LEFT JOIN model USING (token) CROSS JOIN consts
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             -CAST(sum(lp) AS DOUBLE) / count(*) AS cross_entropy
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+           per.cross_entropy
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-doc cross-entropy (nats/token) under
+    an add-0.5-smoothed unigram model fit on the corpus itself
+    (operators.ranking.unigram_lm_cross_entropy). Filter/bucket on it the
+    way CCNet buckets by reference-LM perplexity."""
+    from ..operators.ranking import unigram_lm_cross_entropy
+
+    return unigram_lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

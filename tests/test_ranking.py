@@ -1,0 +1,98 @@
+"""Unit tests for corpus ranking & LM scoring (operators/ranking.py):
+hand-computed BM25/TF-IDF/cross-entropy on tiny corpora, totality for
+empty/NULL docs, determinism of rank tie-breaks."""
+
+from __future__ import annotations
+
+import math
+
+from riot_graphs_spark.operators.ranking import (
+    bm25_scores,
+    tfidf_top_terms,
+    unigram_lm_cross_entropy,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computation(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark join"),   # dl=3: tf(spark)=2, tf(join)=1
+            (2, "join filter scan"),   # dl=3: tf(join)=1
+            (3, "filter scan merge"),  # dl=3: no match
+        ],
+    )
+    out = {
+        r.doc_id: r for r in bm25_scores(docs, ["spark", "join"]).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 matches nothing → absent
+    assert out[1].n_matched_terms == 2 and out[2].n_matched_terms == 1
+
+    # Hand BM25 (k1=1.2, b=0.75, N=3, avgdl=3 → dl/avgdl=1, so the length
+    # norm collapses to tf*(k1+1)/(tf+k1)).
+    def idf(df):
+        return math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+
+    def norm(tf):
+        return tf * 2.2 / (tf + 1.2)
+
+    exp1 = idf(1) * norm(2) + idf(2) * norm(1)
+    exp2 = idf(2) * norm(1)
+    assert abs(out[1].score - exp1) < 1e-9
+    assert abs(out[2].score - exp2) < 1e-9
+    assert out[1].score > out[2].score  # two matches beat one
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common unique alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+    )
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.term_rank, r.term, r.tfidf))
+    # 'common' appears in all 3 docs → idf = ln(1) = 0 → never outranks a
+    # distinctive term; doc 1's top term is 'alpha' or 'unique' (tf=1 each,
+    # df=1 each → tie on tfidf, lexicographic break: alpha first).
+    assert sorted(by_doc[1])[0][1] == "alpha"
+    assert sorted(by_doc[1])[1][1] == "unique"
+    # doc 2: beta has tf=2, df=1 → clear top-1
+    assert sorted(by_doc[2])[0][1] == "beta"
+    # every common-only score is 0, distinctive ones positive
+    assert all(
+        t != "common" or s == 0.0 for d in by_doc.values() for _, t, s in d
+    )
+
+
+def test_unigram_lm_cross_entropy_hand_and_totality(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a b"),  # model (self-trained): c(a)=2, c(b)=1, T=3, V=2
+            (2, None),     # NULL doc must survive with 0 tokens
+        ],
+    )
+    out = {r.doc_id: r for r in unigram_lm_cross_entropy(docs).collect()}
+    # alpha=0.5: p(a) = 2.5/4, p(b) = 1.5/4
+    pa, pb = 2.5 / 4.0, 1.5 / 4.0
+    exp = -(2 * math.log(pa) + math.log(pb)) / 3.0
+    assert abs(out[1].cross_entropy - exp) < 1e-9
+    assert out[1].n_tokens == 3
+    assert out[2].n_tokens == 0 and out[2].cross_entropy is None
+
+
+def test_unigram_lm_unseen_tokens_get_alpha_mass(spark):
+    train = _docs(spark, [(10, "a a b")])
+    score = _docs(spark, [(1, "z z")])  # z unseen in the model
+    out = unigram_lm_cross_entropy(score, train_docs=train).collect()[0]
+    # p(unseen) = 0.5 / (3 + 0.5*2) = 0.125
+    assert abs(out.cross_entropy - (-math.log(0.125))) < 1e-9
