@@ -279,6 +279,148 @@ def ivf_topk(
     )
 
 
+def _nearest_cell(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Row-local nearest-centroid struct ``(dist2, cell)`` — squared-L2
+    argmin via ``array_min`` over per-centroid distance structs built from
+    broadcast literals. Distances round to 6 dp before the argmin (ties →
+    lower cell id) so the assignment is deterministic."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("dist2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2) —
+    ``(id_col, cell: int, dist2: double)`` with a ZERO-shuffle plan: the
+    centroids ride into the executors as broadcast literals and the argmin
+    is row-local, so assignment costs one corpus scan regardless of corpus
+    size."""
+    best = _nearest_cell(vec_col, centroids)
+    return embeddings.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column — the IVF centroid
+    TRAINER (``label_centroids`` needs ground-truth labels; real corpora
+    have none). Returns the k centroids as plain lists; feed
+    :func:`kmeans_assign`'s output (``cell``) into :func:`ivf_topk` as the
+    cell column to build the index.
+
+    Per iteration: assignment is the zero-shuffle broadcast-literal scan of
+    :func:`kmeans_assign`; the update is ``posexplode`` → ``groupBy(cell,
+    pos)`` ``avg`` — ONE partial-aggregable shuffle whose output is (k ×
+    dims) rows, collected to the driver (tiny — same footprint as the
+    convergence probes in ``connected_components``). Total: ``iters`` scans
+    + ``iters`` k×dims-sized shuffles; nothing is ever quadratic and no
+    per-node state exceeds the running sums.
+
+    Determinism: initialization is farthest-point traversal (the
+    deterministic core of k-means++) — seed 1 is the vector with the
+    smallest ``md5(id)`` (the hash-ordered pick used across this repo),
+    each next seed the vector farthest from its nearest existing seed
+    (ties → lower id). Farthest-point provably lands one seed per
+    well-separated cluster, avoiding the split/merged-blob local optima of
+    random or hash-ordered seeding, and every subsequent step is
+    deterministic arithmetic — the fit reproduces run-to-run and
+    cluster-to-cluster. Each init round is one zero-shuffle scan +
+    ``limit(1)`` (TakeOrdered — no global sort). Stops early when no
+    centroid component moves more than ``tol``.
+    """
+    first = (
+        embeddings.select(
+            F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("_h")
+        )
+        .orderBy("_h", F.col(vec_col).cast("string"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("need a non-empty embeddings input")
+    centroids = [[float(x) for x in first[0][0]]]
+    while len(centroids) < k:
+        best = _nearest_cell(vec_col, centroids)
+        far = (
+            embeddings.select(
+                F.col(id_col), F.col(vec_col), best["dist2"].alias("_d")
+            )
+            .orderBy(F.desc("_d"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far or far[0]["_d"] == 0.0:
+            raise ValueError(
+                f"only {len(centroids)} distinct vectors; cannot seed k={k}"
+            )
+        centroids.append([float(x) for x in far[0][1]])
+
+    for _ in range(max_iter):
+        # assignment + unpivot in ONE row-local projection (no self-join):
+        # the only shuffle per iteration is the (k × dims)-ary update agg
+        best = _nearest_cell(vec_col, centroids)
+        new_rows = (
+            # two selects: generator (posexplode) + struct-field access in
+            # one projection trips analyzer field-name resolution; the
+            # optimizer collapses them back into one row-local stage
+            embeddings.select(
+                best["cell"].alias("cell"), F.col(vec_col).alias("_v")
+            )
+            .select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]  # empty cells keep position
+        comps: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            comps.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        for cell, d in comps.items():
+            new_cents[cell] = [d[p] for p in sorted(d)]
+        moved = max(
+            abs(a - b)
+            for old, new in zip(centroids, new_cents)
+            for a, b in zip(old, new)
+        )
+        centroids = new_cents
+        if moved <= tol:
+            break
+    return centroids
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -5210,6 +5210,33 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+# Rows-only (no SQL oracle): Lloyd's k-means is an iterative driver-side
+# loop (like connected_components); there is no plain-SQL twin. The fit is
+# deterministic (farthest-point init) and unit-tested on separable blobs
+# (tests/test_kmeans.py); this entry runs the full train→assign→profile
+# pipeline the IVF index build uses on unlabeled corpora.
+@_q("emb_kmeans_cells")
+def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-trained IVF cells over the embeddings table
+    (operators.similarity.kmeans_fit/kmeans_assign): per-cell member count
+    and mean squared distance — the index-balance profile that decides
+    whether k/probe settings are right before building the inverted file."""
+    from ..operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=5)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("dist2").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_dist2"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -1,0 +1,87 @@
+"""K-means trainer tests (operators/similarity.kmeans_fit/kmeans_assign):
+recovers well-separated clusters, deterministic across runs, ties break to
+the lower cell id, and the trained cells drive ivf_topk."""
+
+from __future__ import annotations
+
+from riot_graphs_spark.operators.similarity import (
+    ivf_topk,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _blobs(spark):
+    # three tight, well-separated, directionally-distinct blobs in 4-D
+    # (no blob at the origin: ivf_topk routes by cosine, undefined for a
+    # zero-norm centroid)
+    pts = []
+    centers = {0: [10.0, 0.0, 0.0, 1.0], 1: [0.0, 10.0, 0.0, 1.0], 2: [0.0, 0.0, 10.0, 1.0]}
+    vid = 0
+    for b, c in centers.items():
+        for dx in (-0.5, 0.0, 0.5):
+            for dy in (-0.5, 0.5):
+                pts.append((vid, [c[0] + dx, c[1] + dy, c[2] + dx, c[3] + dy], b))
+                vid += 1
+    return (
+        spark.createDataFrame(
+            pts, "vec_id long, embedding array<float>, blob int"
+        ),
+        centers,
+    )
+
+
+def test_kmeans_recovers_separated_blobs_and_is_deterministic(spark):
+    df, centers = _blobs(spark)
+    c1 = kmeans_fit(df, k=3, max_iter=10)
+    c2 = kmeans_fit(df, k=3, max_iter=10)
+    assert c1 == c2  # hash-seeded init + exact argmin → reproducible
+
+    assigned = {
+        r.vec_id: r.cell for r in kmeans_assign(df, c1).collect()
+    }
+    # same-blob points must share a cell; different blobs must not
+    rows = df.select("vec_id", "blob").collect()
+    blob_of = {r.vec_id: r.blob for r in rows}
+    cells_by_blob = {}
+    for vid, cell in assigned.items():
+        cells_by_blob.setdefault(blob_of[vid], set()).add(cell)
+    assert all(len(cells) == 1 for cells in cells_by_blob.values())
+    assert len({c for s in cells_by_blob.values() for c in s}) == 3
+    # each converged centroid sits on a blob mean (tight blobs, mean≈center)
+    for cells in cells_by_blob.values():
+        (cell,) = cells
+        blob = [b for b, s in cells_by_blob.items() if s == {cell}][0]
+        assert all(
+            abs(a - b) < 1.0 for a, b in zip(c1[cell], centers[blob])
+        )
+
+
+def test_kmeans_assign_tie_breaks_to_lower_cell(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    # equidistant from both centroids → cell 0 wins
+    out = kmeans_assign(df, [[0.0, 0.0], [10.0, 0.0]]).collect()[0]
+    assert out.cell == 0 and abs(out.dist2 - 25.0) < 1e-9
+
+
+def test_kmeans_cells_drive_ivf_topk(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.similarity import _nearest_cell
+
+    df, _ = _blobs(spark)
+    cents = kmeans_fit(df, k=3, max_iter=10)
+    best = _nearest_cell("embedding", cents)
+    corpus = df.withColumn("cell", best["cell"])
+    queries = corpus.filter(F.col("vec_id").isin(0, 6, 12))
+    out = ivf_topk(corpus, queries, k=2, cell_col="cell")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    blob_of = {r.vec_id: r.blob for r in df.select("vec_id", "blob").collect()}
+    # neighbors come from the query's own blob (cell-pruned search)
+    for q, nbrs in got.items():
+        assert len(nbrs) == 2
+        assert all(blob_of[n] == blob_of[q] for n in nbrs)
