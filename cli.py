@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Command-line entry point — reference parity with ``riot-graph.py``
+(``riot-graph.py:41-106``): ``fetch`` for one-shot/backfill ingestion,
+``server`` for the HTTP ``/update`` micro-service, the same logging levels
+(``--cron`` mutes to warnings, ``--debug`` opens up), and ``--noop`` dry
+runs. argparse instead of docopt (stdlib-only container).
+
+Usage:
+  python cli.py fetch [--cron|--debug] [--history N | --days N] [--noop] CONFIG
+  python cli.py server [--quiet|--debug] [--host H] [--port P] CONFIG
+
+The engine work lives in the package (plans/fetch.py, streaming/ingest.py);
+this file only parses argv, loads the INI config, and dispatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="cli.py", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser("fetch", help="one-time fetch / backfill")
+    f.add_argument("config")
+    g = f.add_mutually_exclusive_group()
+    g.add_argument("--days", "-d", type=int, default=None,
+                   help="retrieve day N in the past (default: 0, today)")
+    g.add_argument("--history", "-H", type=int, default=None,
+                   help="backfill the last N days in ONE query")
+    f.add_argument("--noop", "-n", action="store_true",
+                   help="run the plan, write nothing")
+    lg = f.add_mutually_exclusive_group()
+    lg.add_argument("--cron", "-C", action="store_true")
+    lg.add_argument("--debug", "-D", action="store_true")
+
+    s = sub.add_parser("server", help="HTTP /update micro-service")
+    s.add_argument("config")
+    s.add_argument("--host", default="::1")
+    s.add_argument("--port", type=int, default=8080)
+    lg = s.add_mutually_exclusive_group()
+    lg.add_argument("--quiet", action="store_true")
+    lg.add_argument("--debug", "-D", action="store_true")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    level = logging.INFO
+    if getattr(args, "cron", False) or getattr(args, "quiet", False):
+        level = logging.WARNING
+    elif args.debug:
+        level = logging.DEBUG
+    logging.basicConfig(level=level)
+
+    from riot_graphs_spark.config import ConfigError, load_config
+
+    try:
+        conf = load_config(args.config)
+    except ConfigError as e:
+        raise SystemExit(str(e))  # reference exits on bad config (rg.py:413)
+
+    from riot_graphs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"riot-graphs-{args.command}",
+        **(
+            {"shuffle_partitions": conf.shuffle_partitions}
+            if conf.shuffle_partitions
+            else {}
+        ),
+    )
+
+    if args.command == "fetch":
+        from riot_graphs_spark.plans.fetch import batch_fetch
+
+        if args.history is not None:
+            logging.info("Backfilling %d days in one query", args.history)
+        else:
+            logging.info("Fetching day %d in the past", args.days or 0)
+        n = batch_fetch(
+            spark,
+            conf.landing_dir,
+            conf.sink_path,
+            days=args.days or 0,
+            history=args.history,
+            noop=args.noop,
+        )
+        logging.info("Ingested %d new rows%s", n, " (noop)" if args.noop else "")
+        print(n)
+        return 0
+
+    # server
+    from riot_graphs_spark.streaming.ingest import incremental_refresh
+    from server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    def refresh() -> int:
+        return incremental_refresh(
+            spark, conf.landing_dir, conf.sink_path, conf.checkpoint_dir
+        )
+
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(refresh))
+    logging.info("Serving /update on %s:%d", args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
