@@ -360,3 +360,49 @@ def token_drift(
         scored.withColumn("drift_rank", F.row_number().over(w))
         .filter(F.col("drift_rank") <= top_k)
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style text normalization pre-pass: strip HTML tags and comments,
+    decode the common entities, normalize unicode punctuation lookalikes to
+    ASCII, collapse runs of whitespace, and trim — the cleanup every
+    crawl-derived corpus runs before tokenization/dedup (tags and NBSPs
+    otherwise poison shingles and quality stats).
+
+    Entirely row-local ``regexp_replace``/``translate`` chains inside
+    whole-stage codegen — ZERO shuffles, linear scan, and every pattern is
+    in the Java-regex ∩ RE2 portable subset so the pass is oracle-checkable.
+    NULL text normalizes to NULL (callers decide drop-vs-keep; the chunker
+    coalesces separately). Adds ``out_col`` and ``n_removed_chars``.
+    """
+    c = F.col(text_col)
+    # 1. drop HTML comments (non-greedy across the comment body)
+    s = F.regexp_replace(c, "<!--.*?-->", " ")
+    # 2. drop tags: script/style WITH their contents, the rest tag-only
+    s = F.regexp_replace(s, "(?i)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    s = F.regexp_replace(s, "<[^>]{0,256}>", " ")
+    # 3. common entities → characters (the head of the distribution; a
+    #    production table would broadcast-join a full entity map)
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        s = F.regexp_replace(s, ent, rep)
+    # 4. unicode punctuation lookalikes → ASCII (translate: single pass)
+    s = F.translate(
+        s,
+        "‘’“”–— …",
+        "''\"\"--  ",
+    )
+    # 5. whitespace collapse + trim
+    s = F.trim(F.regexp_replace(s, "[ \\t\\r\\n\\f]+", " "))
+    return docs.withColumn(out_col, s).withColumn(
+        "n_removed_chars",
+        (F.coalesce(F.length(c), F.lit(0)) - F.coalesce(F.length(s), F.lit(0)))
+        .cast("int"),
+    )

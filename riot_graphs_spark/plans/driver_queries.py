@@ -5210,6 +5210,68 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Text normalization (C4-style pre-pass). The fixture text is already
+# clean, so deterministic HTML/entity noise is injected in BOTH engines
+# (the _PII_SUFFIX pattern) — the correctness row then verifies actual
+# stripping, not a pass-through.
+# --------------------------------------------------------------------------
+_HTML_NOISE_SPARK = (
+    "concat('<div class=\"x\"><!-- note -->', text, "
+    "' &amp; tail&nbsp;<script>var x=1;</script> “q”')"
+)
+
+
+@_q(
+    "text_normalize",
+    """
+    WITH noisy AS (
+      SELECT doc_id,
+             concat('<div class="x"><!-- note -->', text,
+                    ' &amp; tail&nbsp;<script>var x=1;</script> “q”')
+               AS text
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, text,
+        trim(regexp_replace(
+          translate(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '<!--.*?-->', ' ', 'g'),
+                  '(?i)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '<[^>]{0,256}>', ' ', 'g'),
+            '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+            '&apos;', '''', 'g'),
+            '‘’“”–— …',
+            '''''""--  '),
+          '[ \\t\\r\\n\\f]+', ' ', 'g')) AS text_clean
+      FROM noisy
+    )
+    SELECT doc_id, text_clean,
+           CAST(coalesce(length(text), 0)
+                - coalesce(length(text_clean), 0) AS INT) AS n_removed_chars
+    FROM cleaned
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalization (operators.textstats.normalize_text): strip
+    HTML tags/comments/script bodies, decode common entities, ASCII-fold
+    unicode punctuation, collapse whitespace — zero shuffles, portable
+    regex subset. Noise injected deterministically so the check is
+    non-vacuous."""
+    from ..operators.textstats import normalize_text
+
+    noisy = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_NOISE_SPARK).alias("text")
+    )
+    return normalize_text(noisy).select(
+        "doc_id", "text_clean", "n_removed_chars"
+    )
+
+
 # Rows-only (no SQL oracle): Lloyd's k-means is an iterative driver-side
 # loop (like connected_components); there is no plain-SQL twin. The fit is
 # deterministic (farthest-point init) and unit-tested on separable blobs

@@ -423,3 +423,27 @@ def test_train_val_test_split_stable_and_proportional(spark):
         for r in train_val_test_split(bigger, key_cols=["doc_id"]).collect()
     }
     assert all(got2[k] == v for k, v in got.items())
+
+
+def test_normalize_text_strips_html_and_folds_unicode(spark):
+    from riot_graphs_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<p>Hello <b>world</b></p><!-- hidden --> &amp; more'),
+            (2, '<script type="x">alert("evil")</script>keep me'),
+            (3, "“smart” ‘quotes’ – and — dashes \n\n  spaced"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert out[1].text_clean == "Hello world & more"
+    assert out[2].text_clean == "keep me"  # script CONTENTS removed too
+    assert out[3].text_clean == '"smart" \'quotes\' - and - dashes spaced'
+    assert out[4].text_clean is None and out[4].n_removed_chars == 0
+    assert out[5].text_clean == "" and out[5].n_removed_chars == 0
+    assert out[1].n_removed_chars == len(docs.collect()[0].text) - len(
+        out[1].text_clean
+    )

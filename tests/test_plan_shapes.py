@@ -289,3 +289,34 @@ def test_ohlc_is_single_shuffle_partial_agg(spark):
     plan = formatted_plan(spark, "ts_ohlc_daily")
     assert "partial_min_by" in plan and "partial_max_by" in plan
     assert shuffle_count(plan) == 1
+
+
+def test_text_normalize_is_shuffle_free(spark):
+    plan = formatted_plan(spark, "text_normalize")
+    assert shuffle_count(plan) == 0  # pure row-local regexp/translate chain
+
+
+def test_bm25_broadcasts_stats_and_filters_terms_at_scan(spark):
+    plan = formatted_plan(spark, "rank_bm25")
+    # the term-df table and 1-row corpus stats ride in as broadcasts (the
+    # doc-keyed tf⋈dl join may legitimately shuffle at scale)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the query-term restriction is applied at/near the scan: the exploded
+    # token stream is filtered by the literal IN list before any join
+    assert re.search(r"token.*IN \(|token#\d+ IN", plan) or "isin" in plan.lower() or "In(" in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.similarity import kmeans_assign
+    from riot_graphs_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = kmeans_assign(emb, [[0.0] * 8, [1.0] * 8])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert shuffle_count(plan) == 0  # broadcast-literal centroids, row-local argmin
