@@ -130,6 +130,12 @@ HEADLINE = [
     "split_train_val_test",
     "sessions_daily",
     "ts_missing_buckets",
+    "dedup_cc_clusters_star",
+    "rank_bm25",
+    "text_tfidf_terms",
+    "text_lm_cross_entropy",
+    "text_normalize",
+    "emb_kmeans_cells",
 ]
 
 

@@ -704,3 +704,55 @@ def repeated_spans(
     return fps.join(rep, "fingerprint").select(
         "fingerprint", "n_docs", id_col
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component_id",
+) -> DataFrame:
+    """Cluster canonicalization — the step that turns duplicate CLUSTERS
+    into a deduplicated CORPUS: per near-dup component keep exactly one
+    representative, the member with the highest ``score_col`` (quality
+    score, length, recency — caller's choice; ties → lowest id so the
+    choice is total). Docs in no cluster represent themselves.
+
+    Output: ``(id_col, cluster_id, n_members, kept: boolean)`` for every
+    input doc — callers filter ``kept`` for the surviving corpus, or audit
+    removal rates per cluster from the full table.
+
+    Shape: one left join of docs onto the (edge-sized, not corpus-sized)
+    cluster assignment, then ONE partial-aggregable ``max_by`` per cluster
+    — never a rank window over the corpus, so a pathological million-member
+    boilerplate cluster costs a hot aggregation key, not a single-task
+    sort.
+    """
+    labeled = (
+        docs.select(F.col(id_col), F.col(score_col).alias("_score"))
+        .join(
+            clusters.select(
+                F.col(id_col), F.col(cluster_col).alias("cluster_id")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "_score",
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_score"), (-F.col(id_col)))
+        ).alias("_best_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "n_members",
+        (F.col(id_col) == F.col("_best_id")).alias("kept"),
+    )

@@ -5211,6 +5211,78 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cluster canonicalization: the end-to-end dedup pipeline's last step —
+# LSH candidates → Jaccard verify → connected components → keep the best
+# doc per component (score = n_chars; ties → lowest id).
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shin AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM docs),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.doc_a
+      JOIN shin sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS kept
+    FROM labeled
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated-corpus selection (operators.dedup.keep_best_per_cluster):
+    every doc labeled with its near-dup cluster, member count, and whether
+    it is the kept representative (highest n_chars, ties → lowest id).
+    ``filter(kept)`` IS the deduplicated corpus; the full table is the
+    removal audit. max_by per cluster — no corpus-wide rank window."""
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify_pairs,
+        keep_best_per_cluster,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    verified = jaccard_verify_pairs(docs, cand, threshold=0.8)
+    clusters = connected_components(verified).withColumnRenamed("id", "doc_id")
+    return keep_best_per_cluster(docs, clusters, score_col="n_chars")
+
+
+# --------------------------------------------------------------------------
 # Text normalization (C4-style pre-pass). The fixture text is already
 # clean, so deterministic HTML/entity noise is injected in BOTH engines
 # (the _PII_SUFFIX pattern) — the correctness row then verifies actual

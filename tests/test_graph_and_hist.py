@@ -600,3 +600,25 @@ def test_star_cc_long_chain_converges_in_log_rounds(spark):
         for r in connected_components_star(pairs, max_iter=8).collect()
     }
     assert got == {(i, 1) for i in range(1, 65)}
+
+
+def test_keep_best_per_cluster_selects_one_winner(spark):
+    from riot_graphs_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7)],  # 4 unclustered
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, component_id long"
+    )
+    out = {r.doc_id: r for r in keep_best_per_cluster(
+        docs, clusters, score_col="quality"
+    ).collect()}
+    # cluster 1: scores 10,50,50 → tie between 2 and 3 → lowest id (2) kept
+    assert out[2].kept is True and out[3].kept is False and out[1].kept is False
+    assert all(out[i].n_members == 3 for i in (1, 2, 3))
+    # unclustered doc represents itself
+    assert out[4].kept is True and out[4].n_members == 1 and out[4].cluster_id == 4
+    # exactly one winner overall per cluster
+    assert sum(r.kept for r in out.values()) == 2
