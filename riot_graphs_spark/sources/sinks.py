@@ -186,3 +186,37 @@ def write_clustered(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Hash-bucketed table write (``bucketBy`` + ``saveAsTable``) — the
+    co-located-join layout for fact⋈fact at 100 TB: two tables bucketed on
+    the same key with the same bucket count join WITHOUT an Exchange on
+    either side (asserted in tests/test_sinks.py), because every bucket i
+    of one table joins only bucket i of the other. A daily lineitem⋈orders
+    reconciliation over 100 TB pays the shuffle ONCE at write time and
+    never again per query; bucketed scans also feed aggregations on the
+    bucket key shuffle-free.
+
+    ``sort_cols`` additionally sorts within buckets (sort-merge joins then
+    skip the per-task sort, and row-group stats on the sort key tighten).
+    Bucketing requires the session catalog (plain ``parquet(path)`` cannot
+    record bucket metadata); pass ``path`` to keep the data external.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -227,3 +227,31 @@ def test_write_clustered_parallelism_and_file_fanout(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4000
     # _salt is a layout detail, not part of the table schema
     assert "_salt" not in spark.read.parquet(out).columns
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located-join contract: two tables bucketed on the same key
+    and count must sort-merge join with ZERO Exchange operators — the
+    write-once-shuffle-never-again layout for 100 TB fact⋈fact."""
+    import re
+
+    from riot_graphs_spark.sources.sinks import write_bucketed_table
+
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(200)], "k long, va string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(0, 200, 2)], "k long, vb string"
+    )
+    write_bucketed_table(a, "t_bkt_a", ["k"], 4, sort_cols=["k"],
+                         path=str(tmp_path / "a"))
+    write_bucketed_table(b, "t_bkt_b", ["k"], 4, sort_cols=["k"],
+                         path=str(tmp_path / "b"))
+    try:
+        joined = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
