@@ -105,6 +105,24 @@ def _spans(documents):
     return repeated_spans(documents, k=20, w=8)
 
 
+def _bm25(documents):
+    from riot_graphs_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(documents, ["spark", "join", "window"])
+
+
+def _lm(documents):
+    from riot_graphs_spark.operators.ranking import unigram_lm_cross_entropy
+
+    return unigram_lm_cross_entropy(documents)
+
+
+def _norm(documents):
+    from riot_graphs_spark.operators.textstats import normalize_text
+
+    return normalize_text(documents)
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -164,6 +182,12 @@ def main() -> None:
         "ts_m4_downsample": lambda t: _m4(t["events"]),
         # winnowing: row-local fingerprinting, one count shuffle — linear
         "repeated_spans": lambda t: _spans(t["documents"]),
+        # ranking family: scan-side term filter + vocab-sized stats joins
+        "rank_bm25": lambda t: _bm25(t["documents"]),
+        # LM scoring: one-agg model + token-keyed scoring join
+        "text_lm_cross_entropy": lambda t: _lm(t["documents"]),
+        # normalization: pure row-local regex chain — must be ~flat
+        "text_normalize": lambda t: _norm(t["documents"]),
     }
 
     report = {}
