@@ -113,7 +113,11 @@ HEADLINE = [
     "ts_rsi",
     "emb_quantize_int8",
     "corpus_chunks_packed",
-    "cc_recursive_sql",
+    # cc_recursive_sql is deliberately NOT benched: it is the SQL-surface
+    # showcase of WITH RECURSIVE (UNION ALL path enumeration, depth-capped),
+    # correctness-checked at sf0.01; at sf0.1 the denser near-dup edge set
+    # exceeds Spark's 1M recursion row limit — exactly why production dedup
+    # routes through the iterative/star operators (benched above).
     "j4_asof_interpolated",
     "ts_day_over_day",
     "ts_top2_with_other",

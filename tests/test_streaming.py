@@ -551,3 +551,56 @@ def test_streaming_ohlc_complete_mode(spark, tmp_path):
     assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
         5.0, 9.0, 1.0, 4.0, 4
     )
+
+
+def test_streaming_corpus_ingest_normalizes_dedups_and_gates(spark, tmp_path):
+    """Streaming curation pipeline: landed JSONL docs are normalized,
+    markup-only variants collapse to one fingerprint, Gopher rejects are
+    dropped in-stream, and a replayed file ingests nothing new."""
+    from riot_graphs_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    prose = "the quick brown fox jumps over the lazy dogs again and again"
+
+    def doc(i, text):
+        return json.dumps(
+            {
+                "doc_id": i,
+                "ts": "2024-01-01 04:00:00",
+                "text": text,
+                "lang": "en",
+                "source": "web",
+            }
+        )
+
+    (landing / "a.jsonl").write_text(
+        "\n".join(
+            [
+                doc(1, prose),
+                doc(2, f"<p>{prose}</p><!-- c -->"),  # markup-only dup of 1
+                doc(3, "# # # w1 w2 # # #"),  # symbol soup → gopher reject
+                doc(4, prose + " but this one really is different text here"),
+            ]
+        )
+    )
+    counts: list[int] = []
+    q = stream_corpus_ingest(spark, str(landing), sink, ckpt, batch_counts=counts)
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert got.count() == 2  # docs 1+2 collapsed, 3 rejected, 4 kept
+    texts = {r.text for r in got.collect()}
+    assert prose in texts  # markup stripped before fingerprinting
+    assert sum(counts) == 2
+
+    # replay: same file again → checkpoint skips it; a NEW file with an
+    # already-seen fingerprint is caught by the sink merge
+    (landing / "b.jsonl").write_text(doc(9, f"<div>{prose}</div>"))
+    counts2: list[int] = []
+    q = stream_corpus_ingest(spark, str(landing), sink, ckpt, batch_counts=counts2)
+    q.awaitTermination()
+    assert sum(counts2) == 0
+    assert spark.read.parquet(sink).count() == 2
