@@ -446,14 +446,17 @@ def connected_components_star(
 
     The edge multiset only shrinks in Σ(parent); a full round that leaves
     the (count, Σa, Σb) signature unchanged is a fixpoint (the edge set is
-    then exactly the star forest). ``localCheckpoint`` truncates lineage
-    per phase as in the iterative operator (reliable ``checkpoint`` on a
-    real cluster — docs/SCALING.md).
+    then exactly the star forest). One ``localCheckpoint`` per round
+    truncates lineage as in the iterative operator (reliable
+    ``checkpoint`` on a real cluster — docs/SCALING.md).
     """
-    undirected = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Orientation invariant: edges are always stored big→small (a > b) —
+    # both star phases preserve it, so the per-round symmetrization is a
+    # duplicate-free union with the reversal (no distinct needed there).
     edges = (
-        undirected.union(
-            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -482,35 +485,30 @@ def connected_components_star(
 
     prev = _sig(edges)
     for _ in range(max_iter):
-        # large-star over UNDIRECTED neighborhoods (edges come back
-        # directed child→parent after a round, so re-symmetrize):
-        # (v, m(u)) for v ∈ Γ(u), v > u.
-        sym = (
-            edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
+        # large-star over UNDIRECTED neighborhoods — with the a>b invariant
+        # the reversal union is duplicate-free: (v, m(u)) for v ∈ Γ(u), v>u.
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         m = _mins(sym)
-        edges = (
+        large = (
             sym.filter(F.col("b") > F.col("a"))
             .join(m, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct()  # v>u≥m(u): output keeps a>b; no mid-round checkpoint
         )
-        # small-star on big→small orientation: (v, m(u)) for v ∈ Γ(u) ∪ {u}.
-        oriented = edges.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        ).filter(F.col("a") != F.col("b"))
-        m = _mins(oriented)
+        # small-star on the (already big→small) large-star output:
+        # (v, m(u)) for v ∈ Γ⁻(u) ∪ {u}.
+        m = _mins(large)
         edges = (
-            oriented.join(m, "a")
+            large.join(m, "a")
             .select(F.col("b").alias("a"), "m")
             .union(m.select(F.col("a"), F.col("m")))
             .select(F.col("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # one lineage cut per round
         )
         cur = _sig(edges)
         if cur == prev:

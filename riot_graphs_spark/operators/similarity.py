@@ -350,43 +350,53 @@ def kmeans_fit(
     per-node state exceeds the running sums.
 
     Determinism: initialization is farthest-point traversal (the
-    deterministic core of k-means++) — seed 1 is the vector with the
-    smallest ``md5(id)`` (the hash-ordered pick used across this repo),
-    each next seed the vector farthest from its nearest existing seed
-    (ties → lower id). Farthest-point provably lands one seed per
-    well-separated cluster, avoiding the split/merged-blob local optima of
-    random or hash-ordered seeding, and every subsequent step is
-    deterministic arithmetic — the fit reproduces run-to-run and
-    cluster-to-cluster. Each init round is one zero-shuffle scan +
-    ``limit(1)`` (TakeOrdered — no global sort). Stops early when no
-    centroid component moves more than ``tol``.
+    deterministic core of k-means++) over a hash-ordered SAMPLE — one
+    TakeOrdered job pulls the ``max(32·k, 512)`` vectors with the smallest
+    ``md5(id)`` (a deterministic uniform sample — the hash-ordered pick
+    used across this repo), then the greedy farthest-point walk runs
+    driver-locally on that sample (seed 1 = smallest hash; each next seed
+    the sample vector farthest from its nearest chosen seed, ties → hash
+    order). One Spark job regardless of k, versus k sequential
+    corpus scans for exact farthest-point — the standard scalable-k-means
+    trade, and on separated clusters the sample contains members of every
+    cluster with overwhelming probability, preserving the
+    one-seed-per-cluster property. Every subsequent step is deterministic
+    arithmetic — the fit reproduces run-to-run and cluster-to-cluster.
+    Stops early when no centroid component moves more than ``tol``.
     """
-    first = (
+    n_sample = max(32 * k, 512)
+    sample = (
         embeddings.select(
             F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("_h")
         )
         .orderBy("_h", F.col(vec_col).cast("string"))
-        .limit(1)
+        .limit(n_sample)
         .collect()
     )
-    if not first:
+    if not sample:
         raise ValueError("need a non-empty embeddings input")
-    centroids = [[float(x) for x in first[0][0]]]
+    pts = [[float(x) for x in r[0]] for r in sample]
+    centroids = [pts[0]]
+    # driver-local greedy farthest-point on the sample (tiny: n_sample×dims)
+    d2 = [
+        sum((a - b) * (a - b) for a, b in zip(p, centroids[0])) for p in pts
+    ]
     while len(centroids) < k:
-        best = _nearest_cell(vec_col, centroids)
-        far = (
-            embeddings.select(
-                F.col(id_col), F.col(vec_col), best["dist2"].alias("_d")
-            )
-            .orderBy(F.desc("_d"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not far or far[0]["_d"] == 0.0:
+        far_i = max(range(len(pts)), key=lambda i: (d2[i], -i))
+        if d2[far_i] == 0.0:
             raise ValueError(
-                f"only {len(centroids)} distinct vectors; cannot seed k={k}"
+                f"only {len(centroids)} distinct vectors in the init sample; "
+                f"cannot seed k={k}"
             )
-        centroids.append([float(x) for x in far[0][1]])
+        nxt = pts[far_i]
+        centroids.append(nxt)
+        d2 = [
+            min(
+                d2[i],
+                sum((a - b) * (a - b) for a, b in zip(pts[i], nxt)),
+            )
+            for i in range(len(pts))
+        ]
 
     for _ in range(max_iter):
         # assignment + unpivot in ONE row-local projection (no self-join):
