@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: Modulus for the MinHash permutation family (prime > 2^30 × small a).
@@ -392,13 +392,17 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("comp").alias("_nbr_comp"))
         )
+        # The Σ(comp) convergence probe rides the checkpoint job itself
+        # (``observe`` metrics are collected by the eager materialization),
+        # so each round is ONE action — no separate label-table re-scan.
+        obs = Observation()
         labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
@@ -407,9 +411,10 @@ def connected_components(
                     F.col("comp"), F.coalesce("_nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
+            .observe(obs, F.sum("comp").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -470,20 +475,13 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
-    def _sig(e: DataFrame):
-        return tuple(
-            e.agg(
-                F.count(F.lit(1)), F.sum("a"), F.sum("b")
-            ).first()
-        )
-
     def _mins(e: DataFrame) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u}) — one partial-aggregable shuffle.
         return e.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
 
-    prev = _sig(edges)
+    prev = None
     for _ in range(max_iter):
         # large-star over UNDIRECTED neighborhoods — with the a>b invariant
         # the reversal union is duplicate-free: (v, m(u)) for v ∈ Γ(u), v>u.
@@ -501,6 +499,9 @@ def connected_components_star(
         # small-star on the (already big→small) large-star output:
         # (v, m(u)) for v ∈ Γ⁻(u) ∪ {u}.
         m = _mins(large)
+        # The (count, Σa, Σb) fixpoint signature rides the checkpoint job
+        # via ``observe`` — one action per round, no separate edge re-scan.
+        obs = Observation()
         edges = (
             large.join(m, "a")
             .select(F.col("b").alias("a"), "m")
@@ -508,9 +509,16 @@ def connected_components_star(
             .select(F.col("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("a").alias("sa"),
+                F.sum("b").alias("sb"),
+            )
             .localCheckpoint(eager=True)  # one lineage cut per round
         )
-        cur = _sig(edges)
+        got = obs.get
+        cur = (got["n"], got["sa"], got["sb"])
         if cur == prev:
             break
         prev = cur
