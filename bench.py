@@ -178,22 +178,33 @@ def main() -> None:
         timings[name] = round(best, 2)
 
     total = round(sum(timings.values()), 2)
-    payload = json.dumps(
-        {
-            "metric": "headline_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_from_dir(SF_DIR),
-        },
-        separators=(",", ":"),
-    )
-    # Stdout capture of one long line has proven lossy (BENCH_r01 recorded
-    # only the tail); persist the same JSON to disk so the recorded-baseline
-    # comparison never depends on stdout.
+    sf = sf_from_dir(SF_DIR)
+
+    def render(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": qmap,
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
+        )
+
+    # The driver captures only the LAST 2000 chars of stdout and JSON-parses
+    # the result (BENCH_r01: the full 102-entry line survived only as a tail
+    # fragment, "parsed": null). The full per-query map always goes to disk
+    # (bench_out.json); the stdout line keeps the most EXPENSIVE entries that
+    # fit the capture window — those are what a performance audit reads first.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
-        f.write(payload + "\n")
-    print(payload)
+        f.write(render(timings) + "\n")
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    shown = dict(timings)
+    while len(render(shown)) > 1900 and by_cost:
+        shown.pop(by_cost.pop())  # drop the cheapest until the line fits
+    print(render(shown))
     spark.stop()
 
 

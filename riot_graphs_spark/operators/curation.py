@@ -435,3 +435,60 @@ def train_val_test_split(
         .when(u < train_hi + val_frac, "val")
         .otherwise("test"),
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export: the
+    step between a curated corpus and the data loader, which needs (a) each
+    document assigned to exactly one of ``n_shards`` output files, (b) a
+    pseudo-random document order DECOUPLED from ingest/curation order (docs
+    that arrived together must not train together), and (c) bit-identical
+    assignment across reruns and engines — md5-keyed like
+    :func:`train_val_test_split`, no RNG.
+
+    Adds ``shard`` = hash(salt, key) mod n_shards and ``shard_pos`` = the
+    document's 0-based rank within its shard by a SECOND hash (different
+    salt, so within-shard order is uncorrelated with shard assignment).
+    Writing ``partitionBy(shard)`` with shard_pos order then yields the
+    shuffled shards a sequential reader streams.
+
+    Scale: one hash-shuffle into ``n_shards`` groups plus a per-shard sort
+    (the ``row_number`` window partitions on ``shard`` — NEVER a global
+    ORDER BY, whose single-reducer rank would bottleneck at corpus scale).
+    Pick ``n_shards`` ≈ corpus_bytes / target_file_size so each sort fits an
+    executor; a 100 TB corpus at 1 GB shards is 100k well-balanced groups.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def _h(s: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(s),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    with_shard = df.withColumn(
+        "shard", F.pmod(_h(salt), F.lit(n_shards)).cast("int")
+    ).withColumn("_ord", _h(salt + ".pos"))
+    w = Window.partitionBy("shard").orderBy(
+        "_ord", *[F.col(c) for c in key_cols]
+    )
+    return with_shard.withColumn(
+        "shard_pos", F.row_number().over(w).cast("long") - 1
+    ).drop("_ord")

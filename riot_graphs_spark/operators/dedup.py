@@ -359,7 +359,8 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 15,
+    max_iter: int = 25,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components of the near-dup
     pair graph by iterative min-label propagation.
@@ -393,6 +394,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -416,8 +418,20 @@ def connected_components(
         )
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged and not allow_partial:
+        # Silently-unconverged labels would under-merge duplicate clusters
+        # (docs that ARE transitive near-dups get different components and
+        # both survive dedup). Deep graphs should use the O(log²n)-round
+        # :func:`connected_components_star` instead of raising max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); use "
+            "connected_components_star for deep graphs, raise max_iter, or "
+            "pass allow_partial=True to accept under-merged labels"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))
 
 
@@ -482,6 +496,7 @@ def connected_components_star(
         )
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         # large-star over UNDIRECTED neighborhoods — with the a>b invariant
         # the reversal union is duplicate-free: (v, m(u)) for v ∈ Γ(u), v>u.
@@ -520,8 +535,17 @@ def connected_components_star(
         got = obs.get
         cur = (got["n"], got["sa"], got["sb"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # At O(log² n) rounds worst-case, hitting 25 means something is
+        # structurally wrong (e.g. ids not totally ordered) — never return
+        # silently under-merged dedup clusters.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
 
     # Fixpoint edge set is a star forest: (member, root). Roots and
     # isolated nodes label themselves.
@@ -762,3 +786,44 @@ def keep_best_per_cluster(
         "n_members",
         (F.col(id_col) == F.col("_best_id")).alias("kept"),
     )
+
+
+def incremental_novel_docs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup filter: the rows of
+    ``new_docs`` that do NOT collide with any existing corpus document in
+    any MinHash LSH band — "which of today's crawl is actually new". The
+    daily-ingest complement of :func:`minhash_lsh_pairs`' corpus-wide
+    self-join: a steady-state pipeline runs the self-join once to bootstrap,
+    then this per batch.
+
+    Scale shape: band buckets for BOTH sides are shuffle-free projections
+    (:func:`minhash_band_buckets`); the collision test is a LEFT SEMI join
+    on ``(band, band_key)`` that never expands pairs (a batch doc colliding
+    with a million-doc boilerplate bucket contributes ONE semi-join hit,
+    not a million rows), followed by a LEFT ANTI join back to the batch.
+    Cost is O(batch + corpus-scan); in production the corpus side is the
+    PRECOMPUTED band-bucket table appended on every accepted batch (write
+    it bucketed on band_key — sources/sinks.write_bucketed_table — and the
+    semi-join needs no shuffle at all), so each day pays O(batch), never
+    O(corpus).
+    """
+    new_b = minhash_band_buckets(
+        new_docs, id_col, text_col, num_hashes, band_rows, shingle_n
+    )
+    old_b = minhash_band_buckets(
+        corpus_docs, id_col, text_col, num_hashes, band_rows, shingle_n
+    )
+    dup_ids = (
+        new_b.join(old_b, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(dup_ids, id_col, "left_anti")

@@ -966,15 +966,17 @@ _DUCK_SIGN_BUCKET4 = (
     "i -> CASE WHEN embedding[i+1] >= 0 THEN (1 << i) ELSE 0 END)))::BIGINT"
 )
 
-#: Shared near-dup pair CTE body: sign-bucket-blocked self-join, cosine ≥ 0.3
-#: (the fixture's vectors are near-orthogonal random points — 0.3 marks the
-#: fat tail; real corpora use 0.9+ with the same plan shape).
+#: Shared near-dup pair CTE body: sign-bucket-blocked self-join, cosine ≥ 0.35
+#: (the fixture's vectors are near-orthogonal random points — 0.35 marks the
+#: fat tail while keeping the pair graph shallow: at 0.3 the weak extra edges
+#: chain components to diameter ~13, and the min-label CC pays one round per
+#: hop of diameter; real corpora use 0.9+ with the same plan shape).
 _DUCK_NEARDUP_PAIRS = f"""b AS (
       SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET4} AS bucket FROM embeddings
     ), pairs AS (
       SELECT c.vec_id AS vec_a, q.vec_id AS vec_b, {_DUCK_COSINE_EMB} AS score
       FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id < q.vec_id
-      WHERE {_DUCK_COSINE_EMB} >= 0.3
+      WHERE {_DUCK_COSINE_EMB} >= 0.35
     )"""
 
 #: Spark-side twin of _DUCK_NEARDUP_PAIRS.
@@ -982,7 +984,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, bucket_dims=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_dims=4
     )
 
 
@@ -5369,6 +5371,82 @@ def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_dist2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic shard shuffle (training-data export layout)
+# --------------------------------------------------------------------------
+@_q(
+    "corpus_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('shard' || chr(31) || CAST(doc_id AS VARCHAR)),
+                             1, 14))::BIGINT % 8 AS shard,
+             ('0x' || substr(md5('shard.pos' || chr(31) || CAST(doc_id AS VARCHAR)),
+                             1, 14))::BIGINT AS _ord
+      FROM documents
+    )
+    SELECT doc_id, source, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY _ord, doc_id) - 1)
+             AS shard_pos
+    FROM h
+    """,
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for the training data loader
+    (operators.curation.shard_corpus): md5-keyed shard assignment and an
+    uncorrelated within-shard pseudo-random order — per-shard row_number
+    windows, never a global ORDER BY."""
+    from ..operators.curation import shard_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shard_corpus(docs, n_shards=8).select(
+        "doc_id", "source", F.col("shard").cast("long").alias("shard"),
+        "shard_pos",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) near-dup filter
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_incremental_novel",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    newdoc AS (
+      SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    dup AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb
+      JOIN newdoc USING (doc_id)
+      JOIN bands ob ON nb.band = ob.band AND nb.band_key = ob.band_key
+      JOIN documents od
+        ON ob.doc_id = od.doc_id AND od.source NOT IN ('src0', 'src1')
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN newdoc USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest incremental dedup (operators.dedup.incremental_novel_docs):
+    batch docs (source src0/src1) that share NO MinHash LSH band with the
+    existing corpus (every other source) — the O(batch), never O(corpus²),
+    steady-state path. Band-bucket semi-join, no pair expansion."""
+    from ..operators.dedup import incremental_novel_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src0", "src1")
+    return incremental_novel_docs(
+        docs.filter(is_new), docs.filter(~is_new)
+    ).select("doc_id", "source", "lang")
 
 
 def queries() -> dict[str, QueryFn]:

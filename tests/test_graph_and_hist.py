@@ -49,6 +49,22 @@ def test_cc_converges_before_max_iter(spark):
     assert a == b == [(1, 1), (2, 1), (3, 1)]
 
 
+def test_cc_raises_on_nonconvergence_unless_partial(spark):
+    # A 6-chain needs ~5 propagation rounds; max_iter=2 cannot converge —
+    # silently under-merged dedup clusters must be an error, not a result.
+    import pytest
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    got = {
+        (r.id, r.component_id)
+        for r in connected_components(pairs, max_iter=2, allow_partial=True)
+        .collect()
+    }
+    assert len(got) == 6  # partial labels are still one-per-node
+
+
 def test_histogram_clamps_and_reconciles(spark):
     df = spark.createDataFrame(
         [(-5.0,), (0.0,), (9.9,), (10.0,), (55.0,), (100.0,), (250.0,), (None,)],

@@ -1,0 +1,83 @@
+"""shard_corpus (deterministic training-shard shuffle) and
+incremental_novel_docs (batch-vs-corpus near-dup filter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.operators.curation import shard_corpus
+from riot_graphs_spark.operators.dedup import incremental_novel_docs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shard_corpus_partitions_and_positions(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = shard_corpus(df, n_shards=4).collect()
+    assert len(out) == 200
+    shards = {r.shard for r in out}
+    assert shards <= set(range(4)) and len(shards) == 4
+    # positions are exactly 0..n-1 within each shard (a total order, no gaps)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_shard_corpus_deterministic_and_decoupled_from_input_order(spark):
+    fwd = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    rev = fwd.orderBy(F.desc("doc_id"))
+    a = {(r.doc_id): (r.shard, r.shard_pos) for r in shard_corpus(fwd, 8).collect()}
+    b = {(r.doc_id): (r.shard, r.shard_pos) for r in shard_corpus(rev, 8).collect()}
+    assert a == b  # assignment is a pure function of the key
+    # shard order is decoupled from doc_id order: within some shard the
+    # hash-ordered positions must not be monotone in doc_id
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc, (s, p) in a.items():
+        by_shard.setdefault(s, []).append((p, doc))
+    assert any(
+        [d for _, d in sorted(v)] != sorted(d for _, d in v)
+        for v in by_shard.values()
+        if len(v) > 2
+    )
+
+
+def test_shard_corpus_rejects_bad_n():
+    try:
+        shard_corpus(None, 0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_incremental_novel_keeps_fresh_drops_near_dup(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "completely different text about spark shuffle partitions"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            # near-verbatim copy of corpus doc 1 → every band collides
+            (10, "the quick brown fox jumps over the lazy dog near the river"),
+            # fresh content → no band collision
+            (11, "fresh unrelated sentence with entirely novel vocabulary words"),
+        ],
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_novel_docs(batch, corpus).collect()
+    )
+    assert kept == [11]
+
+
+def test_incremental_novel_shingleless_docs_survive(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    batch = _docs(spark, [(10, "two words")])  # < 3 words: no shingles
+    kept = [r.doc_id for r in incremental_novel_docs(batch, corpus).collect()]
+    assert kept == [10]
