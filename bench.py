@@ -140,6 +140,8 @@ HEADLINE = [
     "text_lm_cross_entropy",
     "text_normalize",
     "emb_kmeans_cells",
+    "corpus_shards",
+    "dedup_incremental_novel",
 ]
 
 

@@ -320,3 +320,21 @@ def test_kmeans_assignment_is_shuffle_free(spark):
         )
     )
     assert shuffle_count(plan) == 0  # broadcast-literal centroids, row-local argmin
+
+
+def test_corpus_shards_has_no_global_sort(spark):
+    plan = formatted_plan(spark, "corpus_shards")
+    # The window must partition on shard (hash exchange) — a global ORDER BY
+    # rank would show a range-partitioned exchange into one total order.
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(shard#", plan)
+
+
+def test_incremental_novel_is_semi_join_no_pair_expansion(spark):
+    plan = formatted_plan(spark, "dedup_incremental_novel")
+    # collision probe must be LeftSemi (one hit per batch doc, never the
+    # in-bucket pair blowup) and the survivors a LeftAnti back to the batch
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
