@@ -123,6 +123,21 @@ def _norm(documents):
     return normalize_text(documents)
 
 
+def _shards(documents):
+    from riot_graphs_spark.operators.curation import shard_corpus
+
+    return shard_corpus(documents.select("doc_id", "source"), n_shards=64)
+
+
+def _incremental(documents):
+    from riot_graphs_spark.operators.dedup import incremental_novel_docs
+
+    is_new = F.col("source").isin("src0", "src1")
+    return incremental_novel_docs(
+        documents.filter(is_new), documents.filter(~is_new)
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,6 +203,10 @@ def main() -> None:
         "text_lm_cross_entropy": lambda t: _lm(t["documents"]),
         # normalization: pure row-local regex chain — must be ~flat
         "text_normalize": lambda t: _norm(t["documents"]),
+        # shard shuffle: one hash exchange + per-shard sort — linear
+        "corpus_shards": lambda t: _shards(t["documents"]),
+        # incremental dedup: band-bucket semi-join, no pair expansion
+        "dedup_incremental": lambda t: _incremental(t["documents"]),
     }
 
     report = {}
