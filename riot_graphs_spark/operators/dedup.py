@@ -721,18 +721,23 @@ def repeated_spans(
     share them — the "this exact boilerplate paragraph appears in 40k pages"
     detector that drives substring-level corpus cleaning.
 
-    One partial-aggregable shuffle on fingerprint (counts), then a
-    fingerprint-keyed join back to the (doc, fingerprint) pairs. Returns
-    ``(fingerprint, n_docs, id_col)`` — one row per sharing document.
+    Window-over-fingerprint form — ONE computation of the (expensive,
+    string-hashing) fingerprint projection and ONE shuffle on fingerprint.
+    The agg + join-back form runs the fingerprint plan on BOTH join sides
+    (no exchange to reuse: the aggregated side broadcasts) — at corpus
+    scale that doubles the dominant cost and broadcasts a corpus-sized
+    table. A fingerprint shared by millions of docs is a hot sort key
+    here, never a collected list. Returns ``(fingerprint, n_docs,
+    id_col)`` — one row per sharing document.
     """
+    from pyspark.sql import Window
+
     fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
-    rep = (
-        fps.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-    )
-    return fps.join(rep, "fingerprint").select(
-        "fingerprint", "n_docs", id_col
+    win = Window.partitionBy("fingerprint")
+    return (
+        fps.withColumn("n_docs", F.count(F.lit(1)).over(win))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fingerprint", "n_docs", id_col)
     )
 
 

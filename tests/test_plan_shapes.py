@@ -262,9 +262,13 @@ def test_weighted_sample_is_single_shuffle(spark):
     assert shuffle_count(plan) == 1
 
 
-def test_repeated_spans_fingerprinting_has_no_window(spark):
+def test_repeated_spans_single_scan_single_shuffle(spark):
     plan = formatted_plan(spark, "repeated_spans")
-    assert "Window" not in plan  # winnowing is row-local; only count+join shuffles
+    # The winnowing MIN itself is row-local array math (no per-gram SQL
+    # window); the count-per-fingerprint runs as ONE window over ONE
+    # exchange — the agg+join-back form would scan and fingerprint twice.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert shuffle_count(plan) == 1
 
 
 def test_split_assignment_is_shuffle_free(spark):
