@@ -795,12 +795,13 @@ def keep_best_per_cluster(
 
 def incremental_novel_docs(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = MINHASH_K,
     band_rows: int = MINHASH_BAND_ROWS,
     shingle_n: int = 3,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (batch-vs-corpus) near-dup filter: the rows of
     ``new_docs`` that do NOT collide with any existing corpus document in
@@ -820,11 +821,21 @@ def incremental_novel_docs(
     semi-join needs no shuffle at all), so each day pays O(batch), never
     O(corpus).
     """
+    if (corpus_docs is None) == (corpus_buckets is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs (raw text, buckets computed "
+            "here) or corpus_buckets (the precomputed (band, band_key) "
+            "side table the steady-state pipeline maintains)"
+        )
     new_b = minhash_band_buckets(
         new_docs, id_col, text_col, num_hashes, band_rows, shingle_n
     )
-    old_b = minhash_band_buckets(
-        corpus_docs, id_col, text_col, num_hashes, band_rows, shingle_n
+    old_b = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else minhash_band_buckets(
+            corpus_docs, id_col, text_col, num_hashes, band_rows, shingle_n
+        )
     )
     dup_ids = (
         new_b.join(old_b, ["band", "band_key"], "left_semi")

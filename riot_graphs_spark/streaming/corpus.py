@@ -34,11 +34,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..operators.dedup import incremental_novel_docs, minhash_band_buckets
 from ..operators.textstats import (
     gopher_quality_flags,
     normalize_text,
     quality_score,
 )
+from ..sources.fs import path_exists
 from .ingest import _merge_append
 
 #: Landing-zone document schema: JSONL with a crawl timestamp.
@@ -82,19 +84,58 @@ def stream_corpus_ingest(
     watermark: str = "2 days",
     available_now: bool = True,
     batch_counts: list[int] | None = None,
+    near_dedup_buckets_path: str | None = None,
 ):
     """Start the streaming corpus ingest; returns the StreamingQuery
     (``available_now`` → await termination for /update-style semantics).
     Each micro-batch's count of NEW docs written lands in ``batch_counts``.
+
+    ``near_dedup_buckets_path`` adds NEAR-dup filtering against the corpus
+    ingested so far: a MinHash band-bucket side table is maintained at that
+    path — each batch is anti-joined against it
+    (:func:`..operators.dedup.incremental_novel_docs` with
+    ``corpus_buckets``: a (band, band_key) semi-join, O(batch) per batch,
+    never a corpus text re-scan), and the surviving docs' buckets are
+    appended for the next batch. Caveats, by design:
+
+    - intra-batch near-dups both pass (buckets only reflect PRIOR batches);
+      verbatim intra-horizon dups are already dropped by the watermark
+      dedup, and a periodic batch LSH pass owns the residual;
+    - a batch replayed after a crash between the corpus write and the
+      bucket write re-appends its bucket rows — duplicate bucket rows are
+      harmless to the semi-join (same key), just dead weight; compact the
+      side table with the corpus' maintenance cycle.
     """
     raw = spark.readStream.schema(DOCS_RAW).json(landing_dir)
     curated = curate_docs_batch(raw.withWatermark("ts", watermark))
     deduped = curated.dropDuplicatesWithinWatermark(CORPUS_KEY)
-    writer = deduped.writeStream.foreachBatch(
-        lambda df, _epoch: _merge_append(
-            df, sink_path, CORPUS_KEY, counter=batch_counts
-        )
-    ).option("checkpointLocation", checkpoint_dir)
+
+    def _ingest(df, _epoch) -> None:
+        batch = df
+        if near_dedup_buckets_path is not None:
+            bspark = df.sparkSession
+            if path_exists(bspark, near_dedup_buckets_path):
+                batch = incremental_novel_docs(
+                    batch,
+                    None,
+                    corpus_buckets=bspark.read.parquet(
+                        near_dedup_buckets_path
+                    ),
+                )
+            batch = batch.persist()
+        try:
+            _merge_append(batch, sink_path, CORPUS_KEY, counter=batch_counts)
+            if near_dedup_buckets_path is not None:
+                minhash_band_buckets(batch).write.mode("append").parquet(
+                    near_dedup_buckets_path
+                )
+        finally:
+            if near_dedup_buckets_path is not None:
+                batch.unpersist()
+
+    writer = deduped.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -604,3 +604,58 @@ def test_streaming_corpus_ingest_normalizes_dedups_and_gates(spark, tmp_path):
     q.awaitTermination()
     assert sum(counts2) == 0
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_streaming_corpus_near_dedup_via_bucket_table(spark, tmp_path):
+    """Near-dup filtering against the already-ingested corpus: batch 2's
+    paraphrase-free near-copy (shares most shingles, different fingerprint)
+    is dropped via the maintained band-bucket table; fresh text passes."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    buckets = str(tmp_path / "corpus_buckets")
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    fresh = (
+        "umbrella vortex willow xylophone yonder zeppelin anchor bridge "
+        "castle dolphin ember forest garden harbor island jungle kettle"
+    )
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "ts": "2024-01-01 04:00:00", "text": text,
+             "lang": "en", "source": "web"}
+        )
+
+    (landing / "a.jsonl").write_text(doc(1, base))
+    counts: list[int] = []
+    q = stream_corpus_ingest(
+        spark, str(landing), sink, ckpt, batch_counts=counts,
+        near_dedup_buckets_path=buckets,
+    )
+    q.awaitTermination()
+    assert sum(counts) == 1
+    assert spark.read.parquet(buckets).count() > 0
+
+    # batch 2: a near-copy of doc 1 (one word changed → same minhash bands,
+    # different exact fingerprint) and genuinely fresh text
+    (landing / "b.jsonl").write_text(
+        "\n".join([doc(2, base.replace("tango", "waltz")), doc(3, fresh)])
+    )
+    counts2: list[int] = []
+    q = stream_corpus_ingest(
+        spark, str(landing), sink, ckpt, batch_counts=counts2,
+        near_dedup_buckets_path=buckets,
+    )
+    q.awaitTermination()
+    assert sum(counts2) == 1  # near-copy dropped, fresh kept
+    ids = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 3]
