@@ -142,6 +142,7 @@ HEADLINE = [
     "emb_kmeans_cells",
     "corpus_shards",
     "dedup_incremental_novel",
+    "dataset_card",
 ]
 
 

@@ -185,3 +185,45 @@ def fixed_histogram(
             "bucket_max",
         )
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    dims: Sequence[str] = ("lang", "source"),
+    chars_col: str = "n_chars",
+    token_count_col=None,
+) -> DataFrame:
+    """Release-manifest statistics ("dataset card"): per ``dims`` stratum,
+    document/char/token totals and the stratum's share of the corpus — the
+    table a training run publishes with a dataset so its mixture is
+    auditable and reproducible.
+
+    ``token_count_col`` is a Column expression counting tokens per row
+    (default: the whitespace-word tokenizer used across textstats).
+
+    One partial-aggregable shuffle to #strata rows; the shares come from an
+    unpartitioned window over THAT aggregate (strata-sized, not
+    corpus-sized). Integer totals are exact, so the per-row double division
+    is bit-deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    toks = token_count_col if token_count_col is not None else token_count("text")
+    agg = df.groupBy(*[F.col(d) for d in dims]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *dims,
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("pct_docs"),
+        (F.col("total_tokens") / F.sum("total_tokens").over(w)).alias(
+            "pct_tokens"
+        ),
+    )

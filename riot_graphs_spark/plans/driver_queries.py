@@ -5449,6 +5449,35 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+# --------------------------------------------------------------------------
+# Dataset card (release-manifest statistics)
+# --------------------------------------------------------------------------
+@_q(
+    "dataset_card",
+    """
+    WITH a AS (
+      SELECT lang, source, count(*)::BIGINT AS n_docs,
+             sum(n_chars)::BIGINT AS total_chars,
+             sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT
+               AS total_tokens
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_chars, total_tokens,
+           n_docs / (sum(n_docs) OVER ()) AS pct_docs,
+           total_tokens / (sum(total_tokens) OVER ()) AS pct_tokens
+    FROM a
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest (operators.profile.dataset_card): per
+    (lang, source) stratum the doc/char/token totals and corpus shares —
+    the mixture audit a training run publishes with its data. One
+    partial-aggregable shuffle; shares from a strata-sized window."""
+    from ..operators.profile import dataset_card as _card
+
+    return _card(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
