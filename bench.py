@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_shards",
     "dedup_incremental_novel",
     "dataset_card",
+    "influxql_hourly_mean",
 ]
 
 

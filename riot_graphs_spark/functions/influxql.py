@@ -1,0 +1,407 @@
+"""InfluxQL compatibility shim: translate the Grafana/InfluxQL subset the
+reference's dashboards and readback use (SURVEY §2.4 G1-G7; reference
+``rg.py:130-131`` runs ``SELECT hash FROM pr_events ORDER BY time DESC
+LIMIT 1``) into DataFrame plans — so a user of the reference can paste
+their dashboard queries at the Spark engine unchanged.
+
+Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
+``'string'`` single quotes)::
+
+    SELECT <item> [, <item> ...] FROM <measurement>
+      [WHERE <cond> [AND <cond>] ...]
+      [GROUP BY time(<dur>)[, <tag> ...] [fill(null|none|previous|<number>)]]
+      [ORDER BY time [ASC|DESC]] [LIMIT <n>]
+
+    item := func(<field>) [AS <alias>]
+          | percentile(<field>, <N>) [AS <alias>]
+          | <field> | *
+    func := mean | sum | count | min | max | first | last | median | spread
+    cond := time <op> <time-expr> | <tag> = '<v>' | <tag> != '<v>'
+          | $timeFilter
+    time-expr := '<timestamp literal>' | now() - <N><u>   (u ∈ s m h d w)
+
+Faithfulness notes:
+
+- ``GROUP BY time(d)`` buckets are EPOCH-ALIGNED floors for every unit
+  (InfluxDB aligns sub-day units to epoch; its calendar-week anchor is not
+  reproduced).
+- ``fill(...)`` emits the full bucket grid between the WHERE time bounds
+  (both bounds required — same requirement Grafana's ``$timeFilter``
+  satisfies); ``fill(none)``/no fill emits only buckets with data, and the
+  grid is per observed tag combination.
+- ``mean`` accumulates in DECIMAL and divides once (order-independent, so
+  results are reproducible across partitionings and engines); ``first`` /
+  ``last`` are ``min_by``/``max_by`` on event time.
+- ``now()`` requires an explicit ``now=`` argument (no hidden clock: plans
+  stay deterministic and testable); ``$timeFilter`` requires
+  ``time_range=(start, end)``.
+
+Scale shape: everything lowers to the engine's native plans — bucketed
+partial aggs (one shuffle), scan-pushed time predicates, output-sized fill
+grids — identical to the hand-written operators in
+:mod:`..operators.timeseries`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DUR_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+_AGG_FUNCS = {
+    "mean", "sum", "count", "min", "max", "first", "last", "median",
+    "spread", "percentile",
+}
+
+
+class InfluxQLError(ValueError):
+    """Raised for queries outside the supported subset."""
+
+
+@dataclass
+class _Item:
+    func: str | None  # None = bare field projection
+    field: str
+    arg: float | None = None  # percentile N
+    alias: str | None = None
+
+    @property
+    def out(self) -> str:
+        return self.alias or (self.func if self.func else self.field)
+
+
+@dataclass
+class _Query:
+    items: list[_Item]
+    measurement: str
+    time_lo: tuple[str, object] | None = None  # (op, value)
+    time_hi: tuple[str, object] | None = None
+    tag_conds: list[tuple[str, str, str]] = field(default_factory=list)
+    uses_time_filter: bool = False
+    group_interval_s: int | None = None
+    group_tags: list[str] = field(default_factory=list)
+    fill: str | None = None  # "null" | "none" | "previous" | numeric string
+    order_desc: bool | None = None
+    limit: int | None = None
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if len(ident) >= 2 and ident[0] == '"' and ident[-1] == '"':
+        return ident[1:-1]
+    return ident
+
+
+def _parse_duration(s: str) -> int:
+    m = re.fullmatch(r"(\d+)([smhdw])", s.strip(), re.I)
+    if not m:
+        raise InfluxQLError(f"unsupported duration: {s!r}")
+    return int(m.group(1)) * _DUR_SECONDS[m.group(2).lower()]
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside parens/quotes."""
+    parts, depth, start, q = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+_ITEM_RE = re.compile(
+    r"^\s*(?P<func>[a-zA-Z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*"
+    r"(?:\s+[aA][sS]\s+(?P<alias>\"[^\"]+\"|\w+)\s*)?$"
+)
+_BARE_RE = re.compile(
+    r"^\s*(?P<field>\"[^\"]+\"|\*|\w+)\s*"
+    r"(?:\s+[aA][sS]\s+(?P<alias>\"[^\"]+\"|\w+)\s*)?$"
+)
+
+
+def _parse_item(raw: str) -> _Item:
+    m = _ITEM_RE.match(raw)
+    if m:
+        func = m.group("func").lower()
+        if func not in _AGG_FUNCS:
+            raise InfluxQLError(f"unsupported function: {func}")
+        args = [a.strip() for a in m.group("args").split(",")]
+        fld = _unquote(args[0])
+        arg = None
+        if func == "percentile":
+            if len(args) != 2:
+                raise InfluxQLError("percentile(field, N) takes two args")
+            arg = float(args[1])
+        elif len(args) != 1:
+            raise InfluxQLError(f"{func}() takes one argument")
+        alias = _unquote(m.group("alias")) if m.group("alias") else None
+        return _Item(func, fld, arg, alias)
+    m = _BARE_RE.match(raw)
+    if m:
+        alias = _unquote(m.group("alias")) if m.group("alias") else None
+        return _Item(None, _unquote(m.group("field")), None, alias)
+    raise InfluxQLError(f"cannot parse select item: {raw!r}")
+
+
+_Q_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>\"[^\"]+\"|[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>time(?:\s+(?:ASC|DESC))?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+_TIME_COND_RE = re.compile(
+    r"^time\s*(?P<op>>=|<=|>|<|=)\s*(?P<expr>.+)$", re.I
+)
+_TAG_COND_RE = re.compile(
+    r"^(?P<tag>\"[^\"]+\"|\w+)\s*(?P<op>=|!=|<>)\s*'(?P<val>[^']*)'$"
+)
+_NOW_RE = re.compile(r"^now\(\)\s*(?:-\s*(?P<dur>\d+[smhdw]))?$", re.I)
+
+
+def parse_influxql(q: str) -> _Query:
+    m = _Q_RE.match(q)
+    if not m:
+        raise InfluxQLError(f"cannot parse query: {q!r}")
+    items = [_parse_item(p) for p in _split_top_level(m.group("select"), ",")]
+    out = _Query(items=items, measurement=_unquote(m.group("from")))
+
+    if m.group("where"):
+        for raw in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
+            raw = raw.strip()
+            if raw == "$timeFilter":
+                out.uses_time_filter = True
+                continue
+            tm = _TIME_COND_RE.match(raw)
+            if tm:
+                op, expr = tm.group("op"), tm.group("expr").strip()
+                if op in (">", ">="):
+                    out.time_lo = (op, expr)
+                elif op in ("<", "<="):
+                    out.time_hi = (op, expr)
+                else:
+                    raise InfluxQLError("time = <t> is not supported")
+                continue
+            gm = _TAG_COND_RE.match(raw)
+            if gm:
+                out.tag_conds.append(
+                    (_unquote(gm.group("tag")), gm.group("op"), gm.group("val"))
+                )
+                continue
+            raise InfluxQLError(f"unsupported WHERE clause: {raw!r}")
+
+    if m.group("group"):
+        group = m.group("group")
+        fm = re.search(r"fill\(\s*([\w.]+)\s*\)\s*$", group, re.I)
+        if fm:
+            out.fill = fm.group(1).lower()
+            group = group[: fm.start()]
+        for part in _split_top_level(group, ","):
+            part = part.strip().rstrip(",").strip()
+            if not part:
+                continue
+            tg = re.fullmatch(r"time\(\s*(\d+[smhdw])\s*\)", part, re.I)
+            if tg:
+                out.group_interval_s = _parse_duration(tg.group(1))
+            else:
+                out.group_tags.append(_unquote(part))
+
+    if m.group("order"):
+        out.order_desc = bool(re.search(r"DESC", m.group("order"), re.I))
+    if m.group("limit"):
+        out.limit = int(m.group("limit"))
+    return out
+
+
+def _time_value(expr: str, now) -> Column:
+    nm = _NOW_RE.match(expr)
+    if nm:
+        if now is None:
+            raise InfluxQLError(
+                "query uses now(); pass now=<datetime> for a deterministic plan"
+            )
+        col = F.lit(now).cast("timestamp")
+        if nm.group("dur"):
+            col = col - F.expr(
+                f"INTERVAL {_parse_duration(nm.group('dur'))} SECOND"
+            )
+        return col
+    lm = re.fullmatch(r"'([^']+)'", expr)
+    if lm:
+        return F.lit(lm.group(1)).cast("timestamp")
+    raise InfluxQLError(f"unsupported time expression: {expr!r}")
+
+
+def _agg_column(item: _Item, ts_col: str) -> Column:
+    f = F.col(item.field)
+    if item.func == "mean":
+        # decimal-accumulated (exact, order-independent), then ONE double
+        # division of identical operands on every engine — decimal division
+        # itself rounds at engine-specific result scales
+        return (
+            F.sum(f.cast("decimal(27,6)")).cast("double") / F.count(f)
+        ).alias(item.out)
+    if item.func == "sum":
+        return F.sum(f.cast("decimal(27,6)")).cast("double").alias(item.out)
+    if item.func == "count":
+        return F.count(f).alias(item.out)
+    if item.func == "min":
+        return F.min(f).alias(item.out)
+    if item.func == "max":
+        return F.max(f).alias(item.out)
+    if item.func == "first":
+        return F.min_by(f, F.col(ts_col)).alias(item.out)
+    if item.func == "last":
+        return F.max_by(f, F.col(ts_col)).alias(item.out)
+    if item.func == "median":
+        return F.percentile(f, F.lit(0.5)).alias(item.out)
+    if item.func == "percentile":
+        return F.percentile(f, F.lit(item.arg / 100.0)).alias(item.out)
+    if item.func == "spread":
+        return (F.max(f) - F.min(f)).alias(item.out)
+    raise InfluxQLError(f"unsupported aggregate: {item.func}")
+
+
+def influxql(
+    source,
+    query: str,
+    ts_col: str = "ts",
+    now=None,
+    time_range: tuple | None = None,
+) -> DataFrame:
+    """Run an InfluxQL query (supported subset — module docstring) against
+    ``source``: a DataFrame, a ``SparkSession`` (measurement = temp view),
+    or a callable ``measurement -> DataFrame``.
+
+    ``time_range=(start, end)`` substitutes Grafana's ``$timeFilter``;
+    ``now`` anchors ``now()`` arithmetic.
+    """
+    q = parse_influxql(query)
+
+    if callable(getattr(source, "table", None)):  # SparkSession
+        df = source.table(q.measurement)
+    elif callable(source) and not isinstance(source, DataFrame):
+        df = source(q.measurement)
+    else:
+        df = source
+
+    ts = F.col(ts_col)
+    lo = hi = None
+    if q.uses_time_filter:
+        if time_range is None:
+            raise InfluxQLError(
+                "query uses $timeFilter; pass time_range=(start, end)"
+            )
+        lo_c = F.lit(time_range[0]).cast("timestamp")
+        hi_c = F.lit(time_range[1]).cast("timestamp")
+        df = df.filter(ts >= lo_c).filter(ts <= hi_c)
+        lo, hi = time_range
+    if q.time_lo:
+        op, expr = q.time_lo
+        c = _time_value(expr, now)
+        df = df.filter(ts >= c if op == ">=" else ts > c)
+        lo = lo or expr
+    if q.time_hi:
+        op, expr = q.time_hi
+        c = _time_value(expr, now)
+        df = df.filter(ts <= c if op == "<=" else ts < c)
+        hi = hi or expr
+    for tag, op, val in q.tag_conds:
+        cond = F.col(tag) == F.lit(val)
+        df = df.filter(cond if op == "=" else ~cond)
+
+    has_agg = any(i.func for i in q.items)
+    if has_agg and any(not i.func for i in q.items):
+        raise InfluxQLError("cannot mix aggregated and bare select items")
+
+    if not has_agg:  # raw projection (the reference's readback shape)
+        cols = (
+            df.columns
+            if any(i.field == "*" for i in q.items)
+            else [F.col(i.field).alias(i.out) for i in q.items]
+        )
+        out = df.select(*cols)
+        if q.order_desc is not None:
+            out = df.select(ts.alias("time"), *cols).orderBy(
+                F.desc("time") if q.order_desc else F.asc("time")
+            )
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    aggs = [_agg_column(i, ts_col) for i in q.items]
+    keys: list[Column] = []
+    if q.group_interval_s:
+        sec = q.group_interval_s
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp(ts) - (F.unix_timestamp(ts) % sec))
+        ).alias("time")
+        keys.append(bucket)
+    keys += [F.col(t) for t in q.group_tags]
+
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    if q.fill not in (None, "none") and q.group_interval_s:
+        if not (lo and hi):
+            raise InfluxQLError(
+                "fill() needs both time bounds in WHERE (as Grafana's "
+                "$timeFilter provides)"
+            )
+        sec = q.group_interval_s
+        lo_c = _time_value(lo, now) if isinstance(lo, str) else F.lit(lo).cast("timestamp")
+        hi_c = _time_value(hi, now) if isinstance(hi, str) else F.lit(hi).cast("timestamp")
+        floor_ = lambda c: F.timestamp_seconds(  # noqa: E731
+            F.unix_timestamp(c) - (F.unix_timestamp(c) % sec)
+        )
+        spine = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        floor_(lo_c), floor_(hi_c), F.expr(f"INTERVAL {sec} SECOND")
+                    )
+                ).alias("time")
+            )
+        )
+        if q.group_tags:
+            tags = df.select(*q.group_tags).distinct()
+            spine = spine.crossJoin(F.broadcast(tags))
+        out = spine.join(out, ["time", *q.group_tags], "left")
+        value_cols = [i.out for i in q.items]
+        if q.fill == "previous":
+            w = (
+                Window.partitionBy(*q.group_tags)
+                .orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            for c in value_cols:
+                out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        elif q.fill != "null":
+            try:
+                const = float(q.fill)
+            except ValueError:
+                raise InfluxQLError(f"unsupported fill: {q.fill!r}") from None
+            for c in value_cols:
+                out = out.withColumn(c, F.coalesce(F.col(c), F.lit(const)))
+
+    if q.order_desc is not None and q.group_interval_s:
+        out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

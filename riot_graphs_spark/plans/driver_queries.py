@@ -5478,6 +5478,40 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _card(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# InfluxQL compatibility shim (SURVEY §2.4 G1-G7 delegated surface)
+# --------------------------------------------------------------------------
+@_q(
+    "influxql_hourly_mean",
+    """
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS time, event_type,
+           sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value)
+             AS mean_value,
+           count(value)::BIGINT AS n,
+           max(value) AS max_value
+    FROM events
+    WHERE ts::TIMESTAMP >= '2024-01-02 00:00:00'
+      AND ts::TIMESTAMP <  '2024-01-09 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def influxql_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Grafana dashboard panel query run VERBATIM through the InfluxQL
+    shim (functions.influxql): epoch-aligned time(1h) buckets per tag with
+    decimal-accumulated mean — the reference's dashboards keep working
+    word-for-word on the Spark engine."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT mean(value) AS mean_value, count(value) AS n, "
+        "max(value) AS max_value FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-09 00:00:00' "
+        "GROUP BY time(1h), event_type",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -1,0 +1,161 @@
+"""InfluxQL compatibility shim: the Grafana/readback subset translates to
+the same results as hand-written DataFrame plans (SURVEY §2.4 G1-G7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.functions.influxql import (
+    InfluxQLError,
+    influxql,
+    parse_influxql,
+)
+from riot_graphs_spark.sources.tables import load_table, register_tables
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_readback_shape_matches_reference_query(spark, sf_dir):
+    # the reference's exact readback (rg.py:130-131) modulo column names
+    register_tables(spark, sf_dir)
+    got = influxql(
+        spark, 'SELECT event_id FROM events ORDER BY time DESC LIMIT 1'
+    ).collect()
+    want = (
+        spark.table("events")
+        .orderBy(F.desc("ts"))
+        .select("event_id")
+        .limit(1)
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0].event_id == want[0].event_id
+
+
+def test_group_by_time_and_tag_matches_dataframe(spark, events):
+    q = (
+        "SELECT mean(value) AS m, count(value) AS n, last(value) AS l "
+        "FROM events GROUP BY time(1h), event_type"
+    )
+    got = influxql(lambda _m: events, q)
+    bucket = F.timestamp_seconds(
+        F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 3600)
+    ).alias("time")
+    want = events.groupBy(bucket, "event_type").agg(
+        (F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+         / F.count("value")).alias("m"),
+        F.count("value").alias("n"),
+        F.max_by("value", F.col("ts")).alias("l"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_where_time_and_tag_pushdown(spark, events):
+    q = (
+        "SELECT sum(value) AS s FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-05 00:00:00' "
+        "AND event_type = 'click' GROUP BY time(1d)"
+    )
+    got = influxql(lambda _m: events, q)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    want = (
+        events.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            & (F.col("event_type") == "click")
+        )
+        .groupBy(
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 86400)
+            ).alias("time")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_fill_previous_emits_full_grid(spark):
+    rows = [
+        (1, "a", "2024-01-01 00:30:00", 10.0),
+        (2, "a", "2024-01-01 03:30:00", 20.0),  # 01:xx and 02:xx missing
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    q = (
+        "SELECT mean(value) AS m FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 03:59:00' "
+        "GROUP BY time(1h), event_type fill(previous)"
+    )
+    got = {
+        (str(r.time), r.m)
+        for r in influxql(lambda _m: df, q).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 10.0),
+        ("2024-01-01 01:00:00", 10.0),  # filled forward
+        ("2024-01-01 02:00:00", 10.0),  # filled forward
+        ("2024-01-01 03:00:00", 20.0),
+    }
+
+
+def test_fill_zero_and_now_requires_anchor(spark, events):
+    import datetime as dt
+
+    q0 = (
+        "SELECT count(value) AS n FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 06:00:00'"
+        " GROUP BY time(1h) fill(0)"
+    )
+    out = influxql(lambda _m: events, q0)
+    assert out.filter(F.col("n").isNull()).count() == 0
+
+    with pytest.raises(InfluxQLError, match="now"):
+        influxql(lambda _m: events, "SELECT count(value) FROM e WHERE time > now() - 1d")
+    anchored = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events WHERE time > now() - 365d",
+        now=dt.datetime(2024, 6, 1),
+    )
+    assert anchored.collect()[0].n > 0
+
+
+def test_time_filter_macro_substitution(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events WHERE $timeFilter GROUP BY time(1d)",
+        time_range=("2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+    )
+    assert got.count() >= 1
+    with pytest.raises(InfluxQLError, match="timeFilter"):
+        influxql(lambda _m: events, "SELECT count(value) FROM e WHERE $timeFilter")
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SELECT nonsense(value) FROM t")
+    with pytest.raises(InfluxQLError):
+        parse_influxql("DELETE FROM t")
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SELECT mean(value) FROM t WHERE time = '2024-01-01'")
+
+
+def test_percentile_median_spread(spark, events):
+    q = (
+        "SELECT percentile(value, 95) AS p95, median(value) AS med, "
+        "spread(value) AS sp FROM events GROUP BY event_type"
+    )
+    got = influxql(lambda _m: events, q)
+    want = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (F.max("value") - F.min("value")).alias("sp"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
