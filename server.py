@@ -24,9 +24,41 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 HELLO = "RIOT CI graphing application"
 
 
-def make_handler(refresh):
+#: /query responses cap collected rows — the endpoint serves dashboards
+#: (bucket-sized aggregates), never bulk export; a runaway raw SELECT must
+#: not pull a fact table into the driver.
+QUERY_ROW_CAP = 10_000
+
+
+def _influx_payload(df, measurement: str) -> str:
+    """Format a DataFrame as the InfluxDB HTTP API response shape
+    (``{"results": [{"series": [{name, columns, values}]}]}``) — the wire
+    format Grafana's InfluxQL datasource consumes. Timestamps render as
+    RFC3339 UTC. GROUP BY tags stay as flat columns (one series), a
+    documented simplification of InfluxDB's per-tag series split."""
+    import datetime as _dt
+
+    rows = df.limit(QUERY_ROW_CAP).collect()
+    cols = df.columns
+
+    def cell(v):
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return v
+
+    series = {
+        "name": measurement,
+        "columns": cols,
+        "values": [[cell(r[c]) for c in cols] for r in rows],
+    }
+    return json.dumps({"results": [{"statement_id": 0, "series": [series]}]})
+
+
+def make_handler(refresh, query_runner=None):
     """Build a request handler bound to a zero-arg ``refresh() -> int``
-    callable (returns rows ingested, raises on failure)."""
+    callable (returns rows ingested, raises on failure) and an optional
+    ``query_runner(influxql_str) -> (DataFrame, measurement)`` enabling the
+    InfluxDB-compatible ``GET /query?q=...`` endpoint."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -39,15 +71,33 @@ def make_handler(refresh):
             self.wfile.write(data)
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            if self.path == "/":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/":
                 self._send(200, HELLO, ctype="text/plain")
-            elif self.path == "/update":
+            elif url.path == "/update":
                 try:
                     with lock:
                         n = refresh()
                     self._send(200, json.dumps({"status": "ok", "updates": n}))
                 except Exception:  # reference returns {'status': 'error'}
                     self._send(500, json.dumps({"status": "error"}))
+            elif url.path == "/query" and query_runner is not None:
+                q = parse_qs(url.query).get("q", [""])[0]
+                if not q:
+                    self._send(400, json.dumps({"error": "missing q parameter"}))
+                    return
+                try:
+                    df, measurement = query_runner(q)
+                    self._send(200, _influx_payload(df, measurement))
+                except Exception as exc:  # parse/plan errors → client error
+                    self._send(
+                        400,
+                        json.dumps(
+                            {"results": [{"statement_id": 0, "error": str(exc)}]}
+                        ),
+                    )
             else:
                 self._send(404, json.dumps({"status": "not found"}))
 
@@ -57,12 +107,29 @@ def make_handler(refresh):
     return Handler
 
 
-def serve(refresh, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+def serve(
+    refresh, host: str = "127.0.0.1", port: int = 8080, query_runner=None
+) -> ThreadingHTTPServer:
     """Start the server (non-blocking); caller owns shutdown()."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(refresh))
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(refresh, query_runner)
+    )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd
+
+
+def make_query_runner(spark):
+    """``query_runner`` over the session's temp views: parses the InfluxQL
+    string once for the measurement name, then translates via
+    :func:`riot_graphs_spark.functions.influxql.influxql`."""
+    from riot_graphs_spark.functions.influxql import influxql, parse_influxql
+
+    def run(q: str):
+        measurement = parse_influxql(q).measurement
+        return influxql(spark, q), measurement
+
+    return run
 
 
 def main() -> None:
@@ -73,6 +140,11 @@ def main() -> None:
     ap.add_argument("--checkpoint")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument(
+        "--tables",
+        help="directory of parquet tables to register and expose via the "
+        "InfluxDB-compatible GET /query endpoint",
+    )
     args = ap.parse_args()
 
     from riot_graphs_spark.session import get_spark
@@ -99,7 +171,16 @@ def main() -> None:
     def refresh() -> int:
         return incremental_refresh(spark, landing, sink, ckpt)
 
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(refresh))
+    query_runner = None
+    if args.tables:
+        from riot_graphs_spark.sources.tables import register_tables
+
+        register_tables(spark, args.tables)
+        query_runner = make_query_runner(spark)
+
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(refresh, query_runner)
+    )
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -84,3 +84,43 @@ def test_update_endpoint_error_status(spark):
             assert json.loads(e.read().decode()) == {"status": "error"}
     finally:
         httpd.shutdown()
+
+
+def test_query_endpoint_speaks_influxdb_wire_format(spark, sf_dir):
+    """GET /query?q=<InfluxQL> returns the InfluxDB HTTP API shape a
+    Grafana InfluxQL datasource consumes; bad queries get a 400 with the
+    error embedded in the results envelope."""
+    import urllib.parse
+
+    from server import make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    httpd = serve(lambda: 0, port=0, query_runner=make_query_runner(spark))
+    port = httpd.server_address[1]
+    try:
+        q = urllib.parse.quote(
+            "SELECT count(value) AS n, mean(value) AS m FROM events "
+            "GROUP BY time(1d) ORDER BY time ASC LIMIT 3"
+        )
+        status, body = _get(f"http://127.0.0.1:{port}/query?q={q}")
+        assert status == 200
+        payload = json.loads(body)
+        series = payload["results"][0]["series"][0]
+        assert series["name"] == "events"
+        assert series["columns"] == ["time", "n", "m"]
+        assert len(series["values"]) == 3
+        # RFC3339 timestamps; counts positive
+        assert series["values"][0][0].endswith("Z")
+        assert all(v[1] > 0 for v in series["values"])
+
+        bad = urllib.parse.quote("SELECT nonsense(value) FROM events")
+        try:
+            _get(f"http://127.0.0.1:{port}/query?q={bad}")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            err = json.loads(e.read().decode())
+            assert "error" in err["results"][0]
+    finally:
+        httpd.shutdown()
