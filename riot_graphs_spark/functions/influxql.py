@@ -278,6 +278,74 @@ def _agg_column(item: _Item, ts_col: str) -> Column:
     raise InfluxQLError(f"unsupported aggregate: {item.func}")
 
 
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS)"
+    r"(?:\s+FROM\s+(?P<from>\"[^\"]+\"|[\w.]+))?"
+    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>\"[^\"]+\"|\w+))?\s*;?\s*$",
+    re.I,
+)
+
+_NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+
+
+def parse_show(q: str):
+    """Parse a Grafana template-variable SHOW query; None if not one."""
+    m = _SHOW_RE.match(q)
+    if not m:
+        return None
+    what = re.sub(r"\s+", " ", m.group("what")).upper()
+    return (
+        what,
+        _unquote(m.group("from")) if m.group("from") else None,
+        _unquote(m.group("key")) if m.group("key") else None,
+    )
+
+
+def _show(source, query: str, ts_col: str) -> DataFrame:
+    """Grafana template-variable queries (SHOW MEASUREMENTS / TAG KEYS /
+    TAG VALUES FROM m WITH KEY = k / FIELD KEYS) over the session catalog:
+    tag keys = string columns, field keys = numeric columns, tag values =
+    ``SELECT DISTINCT`` (the G7 operator). Catalog-sized except TAG VALUES
+    (one distinct shuffle — exactly what a dashboard variable refresh
+    costs)."""
+    parsed = parse_show(query)
+    what, measurement, key = parsed
+    is_session = callable(getattr(source, "table", None))
+    if what == "MEASUREMENTS":
+        if not is_session:
+            raise InfluxQLError("SHOW MEASUREMENTS needs a SparkSession source")
+        names = sorted(t.name for t in source.catalog.listTables())
+        return source.createDataFrame([(n,) for n in names], "name string")
+    if measurement is None:
+        raise InfluxQLError(f"SHOW {what} requires FROM <measurement>")
+    df = source.table(measurement) if is_session else (
+        source(measurement) if callable(source) and not isinstance(source, DataFrame)
+        else source
+    )
+    spark = df.sparkSession
+    if what == "TAG KEYS":
+        tags = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "string" and f.name != ts_col
+        ]
+        return spark.createDataFrame([(t,) for t in tags], "tagKey string")
+    if what == "FIELD KEYS":
+        fields = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.dataType.simpleString() in _NUMERIC_TYPES
+        ]
+        return spark.createDataFrame(fields, "fieldKey string, fieldType string")
+    # TAG VALUES
+    if key is None:
+        raise InfluxQLError('SHOW TAG VALUES requires WITH KEY = "<tag>"')
+    return (
+        df.select(F.lit(key).alias("key"), F.col(key).cast("string").alias("value"))
+        .distinct()
+        .orderBy("value")
+    )
+
+
 def influxql(
     source,
     query: str,
@@ -290,8 +358,12 @@ def influxql(
     or a callable ``measurement -> DataFrame``.
 
     ``time_range=(start, end)`` substitutes Grafana's ``$timeFilter``;
-    ``now`` anchors ``now()`` arithmetic.
+    ``now`` anchors ``now()`` arithmetic. SHOW MEASUREMENTS / TAG KEYS /
+    TAG VALUES / FIELD KEYS (Grafana template variables) are dispatched to
+    the catalog/distinct forms.
     """
+    if parse_show(query) is not None:
+        return _show(source, query, ts_col)
     q = parse_influxql(query)
 
     if callable(getattr(source, "table", None)):  # SparkSession

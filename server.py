@@ -123,11 +123,19 @@ def make_query_runner(spark):
     """``query_runner`` over the session's temp views: parses the InfluxQL
     string once for the measurement name, then translates via
     :func:`riot_graphs_spark.functions.influxql.influxql`."""
-    from riot_graphs_spark.functions.influxql import influxql, parse_influxql
+    from riot_graphs_spark.functions.influxql import (
+        influxql,
+        parse_influxql,
+        parse_show,
+    )
 
     def run(q: str):
-        measurement = parse_influxql(q).measurement
-        return influxql(spark, q), measurement
+        shown = parse_show(q)
+        if shown is not None:
+            name = shown[1] or shown[0].lower().replace(" ", "_")
+        else:
+            name = parse_influxql(q).measurement
+        return influxql(spark, q), name
 
     return run
 

@@ -159,3 +159,31 @@ def test_percentile_median_spread(spark, events):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_show_queries_for_template_variables(spark, sf_dir):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    register_tables(spark, sf_dir)
+    names = {r.name for r in iq(spark, "SHOW MEASUREMENTS").collect()}
+    assert {"events", "documents", "lineitem"} <= names
+
+    keys = {r.tagKey for r in iq(spark, "SHOW TAG KEYS FROM events").collect()}
+    assert "event_type" in keys and "ts" not in keys
+
+    vals = [
+        r.value
+        for r in iq(
+            spark, 'SHOW TAG VALUES FROM events WITH KEY = "event_type"'
+        ).collect()
+    ]
+    assert vals == sorted(vals) and len(vals) >= 2
+
+    fields = {
+        r.fieldKey: r.fieldType
+        for r in iq(spark, "SHOW FIELD KEYS FROM events").collect()
+    }
+    assert fields.get("value") == "double"
+
+    with pytest.raises(InfluxQLError, match="WITH KEY"):
+        iq(spark, "SHOW TAG VALUES FROM events")
