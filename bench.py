@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_incremental_novel",
     "dataset_card",
     "influxql_hourly_mean",
+    "influxql_daily_derivative",
 ]
 
 

@@ -14,6 +14,9 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
 
     item := func(<field>) [AS <alias>]
           | percentile(<field>, <N>) [AS <alias>]
+          | derivative(func(<field>)[, <dur>]) [AS <alias>]
+          | non_negative_derivative(func(<field>)[, <dur>]) [AS <alias>]
+          | moving_average(func(<field>), <N>) [AS <alias>]
           | <field> | *
     func := mean | sum | count | min | max | first | last | median | spread
     cond := time <op> <time-expr> | <tag> = '<v>' | <tag> != '<v>'
@@ -57,6 +60,10 @@ _AGG_FUNCS = {
     "spread", "percentile",
 }
 
+#: Selector transforms over a GROUP BY time() series (InfluxQL nests the
+#: aggregate: ``derivative(mean(value), 1d)``).
+_WINDOW_FUNCS = {"derivative", "non_negative_derivative", "moving_average"}
+
 
 class InfluxQLError(ValueError):
     """Raised for queries outside the supported subset."""
@@ -66,8 +73,10 @@ class InfluxQLError(ValueError):
 class _Item:
     func: str | None  # None = bare field projection
     field: str
-    arg: float | None = None  # percentile N
+    arg: float | None = None  # percentile N / moving_average window
     alias: str | None = None
+    inner: "_Item | None" = None  # wrapped aggregate of a window transform
+    unit_s: int | None = None  # derivative unit (seconds)
 
     @property
     def out(self) -> str:
@@ -124,7 +133,7 @@ def _split_top_level(s: str, sep: str) -> list[str]:
 
 
 _ITEM_RE = re.compile(
-    r"^\s*(?P<func>[a-zA-Z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*"
+    r"^\s*(?P<func>[a-zA-Z_]+)\s*\(\s*(?P<args>.*)\)\s*"
     r"(?:\s+[aA][sS]\s+(?P<alias>\"[^\"]+\"|\w+)\s*)?$"
 )
 _BARE_RE = re.compile(
@@ -137,6 +146,26 @@ def _parse_item(raw: str) -> _Item:
     m = _ITEM_RE.match(raw)
     if m:
         func = m.group("func").lower()
+        if func in _WINDOW_FUNCS:
+            args = [a.strip() for a in _split_top_level(m.group("args"), ",")]
+            inner = _parse_item(args[0])
+            if inner.func not in _AGG_FUNCS:
+                raise InfluxQLError(
+                    f"{func}() wraps an aggregate, e.g. {func}(mean(value))"
+                )
+            alias = _unquote(m.group("alias")) if m.group("alias") else None
+            item = _Item(func, inner.field, None, alias, inner=inner)
+            if func == "moving_average":
+                if len(args) != 2:
+                    raise InfluxQLError("moving_average(agg(f), N) takes two args")
+                item.arg = float(args[1])
+                if item.arg < 1 or item.arg != int(item.arg):
+                    raise InfluxQLError("moving_average window must be a positive int")
+            elif len(args) == 2:
+                item.unit_s = _parse_duration(args[1])
+            elif len(args) != 1:
+                raise InfluxQLError(f"{func}() takes one or two args")
+            return item
         if func not in _AGG_FUNCS:
             raise InfluxQLError(f"unsupported function: {func}")
         args = [a.strip() for a in m.group("args").split(",")]
@@ -417,7 +446,18 @@ def influxql(
             out = out.limit(q.limit)
         return out
 
-    aggs = [_agg_column(i, ts_col) for i in q.items]
+    def _lower(i: _Item) -> Column:
+        if i.func in _WINDOW_FUNCS:
+            if not q.group_interval_s:
+                raise InfluxQLError(f"{i.func}() requires GROUP BY time(<d>)")
+            # aggregate the wrapped item under the transform's output name;
+            # the series transform rewrites the column in place below
+            return _agg_column(
+                _Item(i.inner.func, i.inner.field, i.inner.arg, i.out), ts_col
+            )
+        return _agg_column(i, ts_col)
+
+    aggs = [_lower(i) for i in q.items]
     keys: list[Column] = []
     if q.group_interval_s:
         sec = q.group_interval_s
@@ -471,6 +511,42 @@ def influxql(
                 raise InfluxQLError(f"unsupported fill: {q.fill!r}") from None
             for c in value_cols:
                 out = out.withColumn(c, F.coalesce(F.col(c), F.lit(const)))
+
+    window_items = [i for i in q.items if i.func in _WINDOW_FUNCS]
+    if window_items:
+        w = Window.partitionBy(*q.group_tags).orderBy("time")
+        tsec = F.unix_timestamp(F.col("time"))
+        for i in window_items:
+            c = F.col(i.out)
+            if i.func == "moving_average":
+                n = int(i.arg)
+                frame = w.rowsBetween(-(n - 1), 0)
+                out = out.withColumn(
+                    i.out,
+                    F.when(
+                        F.count(c).over(frame) >= n, F.avg(c).over(frame)
+                    ),
+                )
+            else:
+                # faithful InfluxDB derivative: value delta over the ACTUAL
+                # time delta (robust to fill(none) gaps), scaled to unit
+                unit = i.unit_s or q.group_interval_s
+                d = (
+                    (c - F.lag(c).over(w))
+                    * F.lit(unit)
+                    / (tsec - F.lag(tsec).over(w))
+                )
+                if i.func == "non_negative_derivative":
+                    d = F.when(d >= 0, d)
+                out = out.withColumn(i.out, d)
+        # InfluxDB emits rows once a transform is defined (from the 2nd
+        # bucket / Nth window); with several transforms keep a row when any
+        # is defined
+        keep = None
+        for i in window_items:
+            cnd = F.col(i.out).isNotNull()
+            keep = cnd if keep is None else (keep | cnd)
+        out = out.filter(keep)
 
     if q.order_desc is not None and q.group_interval_s:
         out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))

@@ -5512,6 +5512,36 @@ def influxql_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "influxql_daily_derivative",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+             sum(CAST(value AS DECIMAL(27,6)))::DOUBLE AS s
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT time, event_type,
+             ((s - lag(s) OVER w) * 86400.0)
+               / (epoch(time) - epoch(lag(time) OVER w)) AS deriv
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    )
+    SELECT time, event_type, deriv FROM d WHERE deriv IS NOT NULL
+    """,
+)
+def influxql_daily_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CI size-regression panel itself, through the InfluxQL shim:
+    derivative(sum(value), 1d) per tag — value delta over ACTUAL time delta
+    (gap-robust), scaled to per-day units, first bucket omitted."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT derivative(sum(value), 1d) AS deriv FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

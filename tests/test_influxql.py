@@ -187,3 +187,77 @@ def test_show_queries_for_template_variables(spark, sf_dir):
 
     with pytest.raises(InfluxQLError, match="WITH KEY"):
         iq(spark, "SHOW TAG VALUES FROM events")
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+
+def test_derivative_scales_by_actual_time_delta(spark):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 10:00:00", 100.0),
+            ("a", "2024-01-02 10:00:00", 130.0),
+            # Jan 3 missing entirely → next delta spans TWO days
+            ("a", "2024-01-04 10:00:00", 190.0),
+        ],
+    )
+    q = "SELECT derivative(sum(value), 1d) AS d FROM m GROUP BY time(1d), event_type"
+    got = {str(r.time): r.d for r in iq(lambda _m: df, q).collect()}
+    assert got == {
+        "2024-01-02 00:00:00": 30.0,
+        "2024-01-04 00:00:00": 30.0,  # 60 over 2 days, per-day rate
+    }
+
+
+def test_non_negative_derivative_drops_decreases(spark):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 10:00:00", 10.0),
+            ("a", "2024-01-02 10:00:00", 5.0),   # decrease → dropped
+            ("a", "2024-01-03 10:00:00", 25.0),
+        ],
+    )
+    q = (
+        "SELECT non_negative_derivative(max(value)) AS d FROM m "
+        "GROUP BY time(1d), event_type"
+    )
+    got = {str(r.time): r.d for r in iq(lambda _m: df, q).collect()}
+    assert got == {"2024-01-03 00:00:00": 20.0}
+
+
+def test_moving_average_emits_from_full_window(spark):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-02 10:00:00", 2.0),
+            ("a", "2024-01-03 10:00:00", 3.0),
+            ("a", "2024-01-04 10:00:00", 4.0),
+        ],
+    )
+    q = (
+        "SELECT moving_average(mean(value), 3) AS m FROM x "
+        "GROUP BY time(1d), event_type"
+    )
+    got = {str(r.time): r.m for r in iq(lambda _m: df, q).collect()}
+    assert got == {"2024-01-03 00:00:00": 2.0, "2024-01-04 00:00:00": 3.0}
+
+
+def test_window_funcs_require_time_grouping(spark, events):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        iq(lambda _m: events, "SELECT derivative(mean(value)) FROM e GROUP BY event_type")
+    with pytest.raises(InfluxQLError, match="wraps an aggregate"):
+        iq(lambda _m: events, "SELECT derivative(value) FROM e GROUP BY time(1d)")
