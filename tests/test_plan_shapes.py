@@ -342,3 +342,12 @@ def test_incremental_novel_is_semi_join_no_pair_expansion(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_influxql_time_filter_reaches_scan(spark):
+    # Dashboard time ranges MUST prune the scan — the shim's WHERE time
+    # bounds push to parquet like the hand-written time_range operator (P9).
+    plan = formatted_plan(spark, "influxql_hourly_mean")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(ts", plan)
+    assert shuffle_count(plan) == 1  # one bucketed partial agg
