@@ -49,3 +49,66 @@ def test_image_features_null_payload_yields_null_feature(spark):
            for r in extract_image_features(media).collect()}
     assert got[1][0] == 0 and got[1][1] is None  # tolerated, not crashed
     assert got[0][0] == 16 and len(got[0][1]) == 8
+
+
+def _png(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    # SOI, APP0 (JFIF stub), then SOF0 with dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(rate: int, channels: int) -> bytes:
+    import struct
+
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, channels)
+        + struct.pack("<I", rate)
+        + b"\x00" * 8  # byte rate + block align + bits: 16-byte fmt body
+    )
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt
+
+
+def test_sniff_media_headers_parses_real_containers(spark):
+    from riot_graphs_spark.operators.multimodal import sniff_media_headers
+
+    rows = [
+        (1, bytearray(_png(640, 480)), "image", None, None, None),
+        (2, bytearray(_jpeg(1920, 1080)), "image", None, None, None),
+        (3, bytearray(_wav(44100, 2)), "audio", None, None, None),
+        (4, bytearray(b"\x00garbage"), "image", None, None, None),
+        (5, None, "image", None, None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, "
+        "width int, height int, duration_ms long",
+    )
+    got = {r.media_id: r for r in sniff_media_headers(media).collect()}
+    assert (got[1].detected_format, got[1].detected_width, got[1].detected_height) == ("png", 640, 480)
+    assert (got[2].detected_format, got[2].detected_width, got[2].detected_height) == ("jpeg", 1920, 1080)
+    assert (got[3].detected_format, got[3].sample_rate, got[3].channels) == ("wav", 44100, 2)
+    assert got[4].detected_format == "unknown"
+    assert got[5].detected_format == "unknown"
