@@ -145,6 +145,7 @@ HEADLINE = [
     "dataset_card",
     "influxql_hourly_mean",
     "influxql_daily_derivative",
+    "bpe_pair_counts",
 ]
 
 

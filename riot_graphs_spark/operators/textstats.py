@@ -406,3 +406,41 @@ def normalize_text(
         (F.coalesce(F.length(c), F.lit(0)) - F.coalesce(F.length(s), F.lit(0)))
         .cast("int"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """The corpus-scale step of BPE tokenizer TRAINING: frequency of every
+    adjacent character pair, weighted by word frequency — the argmax of this
+    table is the next merge rule. Returns the ``top_n`` pairs as
+    ``(pair, n)`` with a total (count desc, pair asc) order so the cut is
+    deterministic.
+
+    Plan shape: the classic BPE-training reduction — aggregate the corpus to
+    its WORD-FREQUENCY table first (one shuffle, vocab-sized output), then
+    explode character pairs over the vocabulary and re-aggregate weighted by
+    frequency (second shuffle over ≤ |vocab|·max_len rows). Pair counting
+    never touches raw-corpus cardinality again, which is why training on
+    100 TB is tractable: the heavy shuffle is the word count every engine
+    already does, and iterating merge rules re-uses the small table.
+    """
+    word = F.explode(tokens(text_col)).alias("w")
+    wf = docs.select(word).groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)

@@ -5542,6 +5542,37 @@ def influxql_daily_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE tokenizer-training pair counts
+# --------------------------------------------------------------------------
+@_q(
+    "bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, count(*) AS f FROM toks GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i::INT, 2) AS pair, f
+      FROM wf, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, sum(f)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair statistics
+    (operators.textstats.bpe_pair_counts): adjacent-char-pair frequencies
+    weighted by the word-frequency table — corpus-scale tokenizer training's
+    inner reduction, vocab-sized after the first shuffle."""
+    from ..operators.textstats import bpe_pair_counts as _bpe
+
+    return _bpe(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -447,3 +447,14 @@ def test_normalize_text_strips_html_and_folds_unicode(spark):
     assert out[1].n_removed_chars == len(docs.collect()[0].text) - len(
         out[1].text_clean
     )
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from riot_graphs_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aba aba cd"), (2, "aba x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
+    # 'aba' occurs 3x -> pairs ab, ba each weighted 3; 'cd' 1x; 'x' too short
+    assert got == {"ab": 3, "ba": 3, "cd": 1}
