@@ -444,3 +444,118 @@ def bpe_pair_counts(
         .agg(F.sum("f").alias("n"))
     )
     return pairs.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
+
+
+def _merge_adjacent(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent symbols ``(a, b)`` into one —
+    standard BPE application semantics ('aaa' + merge(a,a) → ['aa','a']) —
+    as a pure Catalyst ``aggregate`` over the symbol array (state: output
+    array + one lookbehind symbol). No UDF: the merge runs inside
+    whole-stage codegen on every engine thread."""
+    return F.aggregate(
+        sym,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.when(
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(a))
+            & (x == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                x.alias("prev"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"]),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge rules
+    over the corpus. Returns the rules in learned order (greedy argmax of
+    the weighted pair-count table each round; ties → lexicographic pair, so
+    training is deterministic and engine-independent).
+
+    Scale shape — the reason BPE training is tractable at 100 TB: the corpus
+    is reduced ONCE to its word-frequency table (the only corpus-sized
+    shuffle); every merge round then runs on the vocab-sized symbol table —
+    one pair-count aggregation (vocab-sized) + one tiny (1-row) argmax
+    collect + a row-local merge rewrite, with ``localCheckpoint`` cutting
+    lineage per round exactly like the CC/k-means loops."""
+    word = F.explode(tokens(text_col)).alias("w")
+    vocab = (
+        docs.select(word)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select("f", F.split("w", "").alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_idx = F.expr("sequence(1, size(sym) - 1)")
+        pairs = (
+            vocab.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b = pairs[0].p.a, pairs[0].p.b
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "sym", _merge_adjacent(F.col("sym"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges to every document: words → char symbols →
+    merges in learned order → flat token array. Entirely row-local (zero
+    shuffles); merge count is fixed, so the expression tree is static and
+    codegen-compiled once."""
+    word_syms = F.transform(tokens(text_col), lambda w: F.split(w, ""))
+
+    def apply_all(ws: Column) -> Column:
+        out = ws
+        for a, b in merges:
+            out = F.transform(out, lambda s: _merge_adjacent(s, a, b))
+        return F.flatten(out)
+
+    return docs.withColumn(out_col, apply_all(word_syms))

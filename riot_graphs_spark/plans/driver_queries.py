@@ -5573,6 +5573,23 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe(_t(spark, sf_dir, "documents"))
 
 
+# Rows-only (no SQL oracle): BPE training is an iterative argmax loop like
+# k-means/CC; deterministic (lexicographic tie-break) and property-tested
+# against a reference Python BPE (tests/test_curation.py).
+@_q("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators.textstats.bpe_train): corpus → word-frequency table once,
+    then vocab-sized merge rounds; returns the learned rules in order."""
+    from ..operators.textstats import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left string, right string, merged string",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

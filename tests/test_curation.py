@@ -458,3 +458,68 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
     # 'aba' occurs 3x -> pairs ab, ba each weighted 3; 'cd' 1x; 'x' too short
     assert got == {"ab": 3, "ba": 3, "cd": 1}
+
+
+def _py_bpe_train(word_freqs: dict[str, int], n_merges: int):
+    """Reference BPE (Sennrich et al.) on a word-frequency dict."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = counts.get((sym[i], sym[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out, prev = [], None
+            for x in sym:
+                if prev is not None and (prev, x) == best:
+                    out.append(prev + x)
+                    prev = None
+                elif prev is not None:
+                    out.append(prev)
+                    prev = x
+                else:
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from riot_graphs_spark.operators.textstats import bpe_apply, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _py_bpe_train(freqs, 6)
+    got = bpe_train(docs, n_merges=6)
+    assert got == want
+
+    # application: greedy left-to-right with learned rules, flat token array
+    applied = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(docs, got).select("doc_id", "bpe_tokens").collect()
+    }
+    assert all(len(v) > 0 for v in applied.values())
+    # every output token is either a single char or a concatenation built
+    # from the learned merges
+    learned = {a + b for a, b in got}
+    for toks_ in applied.values():
+        for t in toks_:
+            assert len(t) == 1 or t in learned
