@@ -146,6 +146,7 @@ HEADLINE = [
     "influxql_hourly_mean",
     "influxql_daily_derivative",
     "bpe_pair_counts",
+    "dedup_graph_degrees",
 ]
 
 

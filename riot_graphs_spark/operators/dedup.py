@@ -843,3 +843,25 @@ def incremental_novel_docs(
         .distinct()
     )
     return new_docs.join(dup_ids, id_col, "left_anti")
+
+
+def dup_graph_degree_stats(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Near-dup graph health diagnostics: per-node degree over the pair
+    edge list — the early-warning profile for dedup-graph pathology. A fat
+    degree tail means boilerplate/templated content is chaining unrelated
+    docs into one mega-component (CC then over-merges and
+    ``keep_best_per_cluster`` deletes half the corpus); the fix knobs are
+    ``max_bucket_size`` and a tighter verify threshold, and THIS table is
+    how you see the problem before running them.
+
+    One union (column projection, no shuffle) + one partial-aggregable
+    count shuffle on node id — edge-list-sized, not corpus-sized.
+    """
+    nodes = pairs.select(F.col(src).alias("id")).union(
+        pairs.select(F.col(dst).alias("id"))
+    )
+    return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

@@ -5590,6 +5590,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_graph_degrees",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ), p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), nodes AS (
+      SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p
+    )
+    SELECT id, count(*)::BIGINT AS degree FROM nodes GROUP BY id
+    """,
+)
+def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree profile (operators.dedup.dup_graph_degree_stats
+    over the MinHash LSH pairs): the boilerplate-chaining early warning a
+    dedup run checks before trusting its connected components."""
+    from ..operators.dedup import dup_graph_degree_stats, minhash_lsh_pairs
+
+    return dup_graph_degree_stats(
+        minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
