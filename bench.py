@@ -147,6 +147,7 @@ HEADLINE = [
     "influxql_daily_derivative",
     "bpe_pair_counts",
     "dedup_graph_degrees",
+    "repeated_span_ranges",
 ]
 
 

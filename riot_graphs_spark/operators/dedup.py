@@ -865,3 +865,111 @@ def dup_graph_degree_stats(
         pairs.select(F.col(dst).alias("id"))
     )
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def winnow_fingerprint_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprints WITH their character positions: per sliding
+    window of ``w`` grams, the minimum gram hash and the 1-based char
+    position of that gram (first position on hash ties — the tie rule every
+    engine reproduces). Same guarantee as :func:`winnow_fingerprints`; the
+    position is what turns detection into span-level REMOVAL.
+
+    Row-local array math (zero shuffles); the gram-hash array is bound once
+    via ``bind_array`` so each window's min+argmin is O(w)."""
+    text = F.col(text_col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(text) - k + 1)
+    )
+    gram_hashes = F.transform(
+        positions, lambda i: hash56(text.substr(i, F.lit(k)))
+    )
+
+    def windowed_argmin(hs: Column) -> Column:
+        n_windows = F.greatest(F.lit(1), F.size(hs) - w + 1)
+
+        def one(j: Column) -> Column:
+            sl = F.slice(hs, j, w)
+            m = F.array_min(sl)
+            return F.struct(
+                m.alias("fingerprint"),
+                (j - 1 + F.array_position(sl, m)).cast("long").alias("pos"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), n_windows), one)
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(bind_array(gram_hashes, windowed_argmin))
+        ).alias("_fp"),
+    ).select(id_col, F.col("_fp.fingerprint"), F.col("_fp.pos"))
+
+
+def repeated_span_ranges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level dedup ranges (the actionable form of
+    :func:`repeated_spans`): for every document, the merged character
+    intervals ``[span_start, span_end)`` covered by winnowing grams whose
+    fingerprint appears in ≥ ``min_docs`` documents — the substring-cutting
+    pass of exact-substring training-data dedup. A long duplicated
+    paragraph tiles many shared window-minima, so its merged interval
+    approaches the full span; isolated hash coincidences stay k-char sized
+    and can be length-filtered by the caller.
+
+    Plan: positions are row-local; ``n_docs`` per fingerprint is the
+    dense_rank/max window pair over ONE (fingerprint)-keyed sort (never a
+    collect_set, never a join-back recompute); interval merging is the
+    gaps-and-islands window form over (doc, start) — every stage is a
+    window over one exchange, nothing is corpus²."""
+    from pyspark.sql import Window
+
+    fpp = winnow_fingerprint_positions(docs, id_col, text_col, k=k, w=w)
+    w_rank = Window.partitionBy("fingerprint").orderBy(id_col)
+    w_fp = Window.partitionBy("fingerprint")
+    rep = (
+        fpp.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("n_docs", F.max("_dr").over(w_fp))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            id_col,
+            F.col("pos").alias("start"),
+            (F.col("pos") + k).alias("end"),
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max("end").over(w_prev)
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        rep.withColumn("_island", F.sum(is_new).over(w_run))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_island")
+    )

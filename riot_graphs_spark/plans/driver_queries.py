@@ -5619,6 +5619,62 @@ def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "repeated_span_ranges",
+    """
+    WITH grams AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(1, len(text) - 20 + 1) + 1)) AS i
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14))::BIGINT AS h
+      FROM grams
+    ), docs_h AS (
+      SELECT doc_id, list(h ORDER BY i) AS hs FROM hashed GROUP BY doc_id
+    ), wins AS (
+      SELECT doc_id, unnest([
+               {'fp': list_min(hs[j:j+7]),
+                'pos': j - 1 + list_position(hs[j:j+7], list_min(hs[j:j+7]))}
+               for j in range(1, greatest(1, len(hs) - 8 + 1) + 1)]) AS s
+      FROM docs_h
+    ), fpp AS (
+      SELECT DISTINCT doc_id, s.fp AS fingerprint, s.pos AS pos FROM wins
+    ), ranked AS (
+      SELECT *, dense_rank() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS dr
+      FROM fpp
+    ), withn AS (
+      SELECT *, max(dr) OVER (PARTITION BY fingerprint) AS n_docs FROM ranked
+    ), rep AS (
+      SELECT DISTINCT doc_id, pos AS strt, pos + 20 AS en
+      FROM withn WHERE n_docs >= 2
+    ), isl AS (
+      SELECT doc_id, strt, en,
+             CASE WHEN max(en) OVER w IS NULL OR strt > max(en) OVER w
+                  THEN 1 ELSE 0 END AS f
+      FROM rep
+      WINDOW w AS (PARTITION BY doc_id ORDER BY strt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), grp AS (
+      SELECT *, sum(f) OVER (PARTITION BY doc_id ORDER BY strt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+      FROM isl
+    )
+    SELECT doc_id, min(strt)::BIGINT AS span_start, max(en)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_grams
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def repeated_span_ranges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup ranges (operators.dedup.repeated_span_ranges): the
+    merged character intervals of cross-document repeated spans — detection
+    (repeated_spans) turned into actionable substring removal."""
+    from ..operators.dedup import repeated_span_ranges
+
+    return repeated_span_ranges(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -638,3 +638,37 @@ def test_keep_best_per_cluster_selects_one_winner(spark):
     assert out[4].kept is True and out[4].n_members == 1 and out[4].cluster_id == 4
     # exactly one winner overall per cluster
     assert sum(r.kept for r in out.values()) == 2
+
+
+def test_repeated_span_ranges_merge_and_cover_duplicated_paragraph(spark):
+    from riot_graphs_spark.operators.dedup import repeated_span_ranges
+
+    boiler = "this exact boilerplate paragraph appears in many pages verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique preamble one. " + boiler + " unique tail alpha."),
+            (2, "different opening text! " + boiler + " other ending beta."),
+            (3, "totally unrelated document with no shared spans at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_span_ranges(docs, k=10, w=4, min_docs=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # no shared span → no removal range
+    texts = {1: "unique preamble one. " + boiler + " unique tail alpha.",
+             2: "different opening text! " + boiler + " other ending beta."}
+    for doc_id, rows in by_doc.items():
+        # ranges are disjoint and sorted after the island merge
+        spans = sorted((r.span_start, r.span_end) for r in rows)
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 < s2
+        # the widest merged span must lie inside the boilerplate region
+        # (1-based substring arithmetic) and cover most of it
+        text = texts[doc_id]
+        lo = text.index(boiler) + 1
+        hi = lo + len(boiler)
+        big = max(rows, key=lambda r: r.span_end - r.span_start)
+        assert big.span_start >= lo - 1 and big.span_end <= hi + 10
+        assert (big.span_end - big.span_start) >= len(boiler) * 0.5
