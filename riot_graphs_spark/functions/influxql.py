@@ -20,7 +20,7 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
           | <field> | *
     func := mean | sum | count | min | max | first | last | median | spread
     cond := time <op> <time-expr> | <tag> = '<v>' | <tag> != '<v>'
-          | $timeFilter
+          | <tag> =~ /re/ | <tag> !~ /re/ | $timeFilter
     time-expr := '<timestamp literal>' | now() - <N><u>   (u ∈ s m h d w)
 
 Faithfulness notes:
@@ -199,7 +199,8 @@ _TIME_COND_RE = re.compile(
     r"^time\s*(?P<op>>=|<=|>|<|=)\s*(?P<expr>.+)$", re.I
 )
 _TAG_COND_RE = re.compile(
-    r"^(?P<tag>\"[^\"]+\"|\w+)\s*(?P<op>=|!=|<>)\s*'(?P<val>[^']*)'$"
+    r"^(?P<tag>\"[^\"]+\"|\w+)\s*(?P<op>=~|!~|=|!=|<>)\s*"
+    r"(?:'(?P<val>[^']*)'|/(?P<re>[^/]*)/)$"
 )
 _NOW_RE = re.compile(r"^now\(\)\s*(?:-\s*(?P<dur>\d+[smhdw]))?$", re.I)
 
@@ -229,9 +230,13 @@ def parse_influxql(q: str) -> _Query:
                 continue
             gm = _TAG_COND_RE.match(raw)
             if gm:
-                out.tag_conds.append(
-                    (_unquote(gm.group("tag")), gm.group("op"), gm.group("val"))
-                )
+                op = gm.group("op")
+                val = gm.group("re") if op in ("=~", "!~") else gm.group("val")
+                if val is None:
+                    raise InfluxQLError(
+                        f"{op} expects {'/regex/' if op in ('=~', '!~') else 'a quoted string'}: {raw!r}"
+                    )
+                out.tag_conds.append((_unquote(gm.group("tag")), op, val))
                 continue
             raise InfluxQLError(f"unsupported WHERE clause: {raw!r}")
 
@@ -424,8 +429,13 @@ def influxql(
         df = df.filter(ts <= c if op == "<=" else ts < c)
         hi = hi or expr
     for tag, op, val in q.tag_conds:
-        cond = F.col(tag) == F.lit(val)
-        df = df.filter(cond if op == "=" else ~cond)
+        if op in ("=~", "!~"):
+            # Grafana template variables expand to =~ /^(a|b|c)$/ — Java
+            # regex ∩ RE2 subset, same family the curation regexes use
+            cond = F.col(tag).rlike(val)
+        else:
+            cond = F.col(tag) == F.lit(val)
+        df = df.filter(cond if op in ("=", "=~") else ~cond)
 
     has_agg = any(i.func for i in q.items)
     if has_agg and any(not i.func for i in q.items):

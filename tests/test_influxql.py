@@ -261,3 +261,23 @@ def test_window_funcs_require_time_grouping(spark, events):
         iq(lambda _m: events, "SELECT derivative(mean(value)) FROM e GROUP BY event_type")
     with pytest.raises(InfluxQLError, match="wraps an aggregate"):
         iq(lambda _m: events, "SELECT derivative(value) FROM e GROUP BY time(1d)")
+
+
+def test_regex_tag_matchers(spark, events):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    pick = sorted(types)[:2]
+    q = (
+        "SELECT count(value) AS n FROM events "
+        f"WHERE event_type =~ /^({pick[0]}|{pick[1]})$/ GROUP BY event_type"
+    )
+    got = {r.event_type: r.n for r in iq(lambda _m: events, q).collect()}
+    assert set(got) == set(pick)
+
+    neg = iq(
+        lambda _m: events,
+        f"SELECT count(value) AS n FROM events WHERE event_type !~ /^{pick[0]}$/ "
+        "GROUP BY event_type",
+    )
+    assert pick[0] not in {r.event_type for r in neg.collect()}
