@@ -44,7 +44,38 @@ def build_parser() -> argparse.ArgumentParser:
     lg = s.add_mutually_exclusive_group()
     lg.add_argument("--quiet", action="store_true")
     lg.add_argument("--debug", "-D", action="store_true")
+
+    q = sub.add_parser(
+        "query",
+        help="run an InfluxQL (dashboard subset) or Spark SQL query over a "
+        "directory of parquet tables; JSON lines to stdout",
+    )
+    q.add_argument("sql")
+    q.add_argument("--tables", "-t", required=True,
+                   help="directory of parquet tables to register as views")
+    q.add_argument("--limit", type=int, default=1000,
+                   help="max rows printed (default 1000)")
     return ap
+
+
+def _run_query(args) -> int:
+    """InfluxQL first (the dashboard surface), Spark SQL as the fallback —
+    one command covers both query languages the engine speaks."""
+    import json as _json
+
+    from riot_graphs_spark.functions.influxql import InfluxQLError, influxql
+    from riot_graphs_spark.session import get_spark
+    from riot_graphs_spark.sources.tables import register_tables
+
+    spark = get_spark(app_name="riot-graphs-query")
+    register_tables(spark, args.tables)
+    try:
+        df = influxql(spark, args.sql)
+    except InfluxQLError:
+        df = spark.sql(args.sql)
+    for row in df.limit(args.limit).collect():
+        print(_json.dumps(row.asDict(recursive=True), default=str))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -53,9 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     level = logging.INFO
     if getattr(args, "cron", False) or getattr(args, "quiet", False):
         level = logging.WARNING
-    elif args.debug:
+    elif getattr(args, "debug", False):
         level = logging.DEBUG
     logging.basicConfig(level=level)
+
+    if args.command == "query":
+        return _run_query(args)
 
     from riot_graphs_spark.config import ConfigError, load_config
 

@@ -81,3 +81,26 @@ def test_cli_rejects_bad_config(tmp_path):
 
     with pytest.raises(SystemExit, match="Config error"):
         cli.main(["fetch", str(tmp_path / "missing.ini")])
+
+
+def test_cli_query_runs_influxql_and_sql(spark, sf_dir, capsys):
+    import json as _json
+
+    import cli
+
+    rc = cli.main([
+        "query", "--tables", sf_dir, "--limit", "5",
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) ORDER BY time ASC",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert 1 <= len(lines) <= 5
+    assert all(_json.loads(l)["n"] > 0 for l in lines)
+
+    rc = cli.main([
+        "query", "--tables", sf_dir, "--limit", "3",
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert lines and all("event_type" in _json.loads(l) for l in lines)
