@@ -220,3 +220,48 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def expire_partitions(
+    spark,
+    path: str,
+    keep_days: int,
+    today,
+    partition_col: str = "p_date",
+) -> list[str]:
+    """Retention/TTL job: delete date partitions older than ``today −
+    keep_days`` from a date-partitioned parquet sink; returns the dropped
+    partition values. ``today`` is an explicit ``datetime.date`` — no hidden
+    clock, so retention runs are reproducible and testable.
+
+    The cutoff is evaluated against partition DIRECTORY names only (one
+    filesystem listing — no data read, no scan job): at a 100-TB sink,
+    retention must be a metadata operation. Directories whose value does not
+    parse as a date are left untouched (never guess-delete). Deletion is
+    per-partition-directory, the same unit the writers append — concurrent
+    readers of newer partitions are unaffected.
+    """
+    import datetime as _dt
+
+    from .fs import _fs_and_path
+
+    cutoff = today - _dt.timedelta(days=keep_days)
+    fs, root = _fs_and_path(spark, path)
+    if not fs.exists(root):
+        return []
+    dropped: list[str] = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue
+        value = name.split("=", 1)[1]
+        try:
+            part_date = _dt.date.fromisoformat(value)
+        except ValueError:
+            continue  # non-date partition value: never guess-delete
+        if part_date < cutoff:
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return sorted(dropped)

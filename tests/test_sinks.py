@@ -255,3 +255,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_expire_partitions_is_metadata_only_and_safe(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.sources.sinks import expire_partitions
+
+    sink = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-05", 2), ("2024-01-09", 3)],
+        "d string, v int",
+    ).withColumn("p_date", F.col("d").cast("date"))
+    df.write.partitionBy("p_date").parquet(sink)
+    # a non-date partition dir must never be guess-deleted
+    extra = tmp_path / "retained" / "p_date=__HIVE_DEFAULT_PARTITION__"
+    extra.mkdir()
+    (extra / "part-0.parquet").write_bytes(b"")
+
+    dropped = expire_partitions(
+        spark, sink, keep_days=5, today=dt.date(2024, 1, 10)
+    )
+    assert dropped == ["2024-01-01"]
+    assert extra.exists()
+    left = {
+        str(r.p_date)
+        for r in spark.read.option("basePath", sink).parquet(sink).select("p_date").distinct().collect()
+        if r.p_date is not None
+    }
+    assert left == {"2024-01-05", "2024-01-09"}
+    # idempotent: second run drops nothing
+    assert expire_partitions(spark, sink, 5, dt.date(2024, 1, 10)) == []
+    # missing sink: no-op
+    assert expire_partitions(spark, str(tmp_path / "nope"), 5, dt.date(2024, 1, 10)) == []
