@@ -148,6 +148,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "dedup_graph_degrees",
     "repeated_span_ranges",
+    "emb_assign_fixed_cells",
 ]
 
 

@@ -5675,6 +5675,42 @@ def repeated_span_ranges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_ranges(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "emb_assign_fixed_cells",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6) AS dist2
+      FROM embeddings e CROSS JOIN cents
+    )
+    SELECT vec_id, cell::BIGINT AS cell, dist2
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+    """,
+)
+def emb_assign_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell ASSIGNMENT oracle-paired in isolation (the trainer's
+    iterative loop is rows-only, but the assignment kernel — broadcast
+    centroid literals, row-local argmin with the (dist2, cell) tie rule —
+    is exactly checkable): four fixed axis-pattern centroids, every vector
+    to its nearest cell."""
+    from ..operators.similarity import kmeans_assign
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), cents).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "dist2"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
