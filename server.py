@@ -101,6 +101,32 @@ def make_handler(refresh, query_runner=None):
             else:
                 self._send(404, json.dumps({"status": "not found"}))
 
+        def do_POST(self):  # noqa: N802 — Grafana POSTs /query
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/query" or query_runner is None:
+                self._send(404, json.dumps({"status": "not found"}))
+                return
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(length).decode() if length else ""
+            params = parse_qs(body)
+            params.update(parse_qs(url.query))  # q may ride either way
+            q = params.get("q", [""])[0]
+            if not q:
+                self._send(400, json.dumps({"error": "missing q parameter"}))
+                return
+            try:
+                df, measurement = query_runner(q)
+                self._send(200, _influx_payload(df, measurement))
+            except Exception as exc:
+                self._send(
+                    400,
+                    json.dumps(
+                        {"results": [{"statement_id": 0, "error": str(exc)}]}
+                    ),
+                )
+
         def log_message(self, *args):  # quiet by default
             pass
 

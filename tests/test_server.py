@@ -124,3 +124,30 @@ def test_query_endpoint_speaks_influxdb_wire_format(spark, sf_dir):
             assert "error" in err["results"][0]
     finally:
         httpd.shutdown()
+
+
+def test_query_endpoint_accepts_post_form_body(spark, sf_dir):
+    import urllib.parse
+    import urllib.request
+
+    from server import make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    httpd = serve(lambda: 0, port=0, query_runner=make_query_runner(spark))
+    port = httpd.server_address[1]
+    try:
+        body = urllib.parse.urlencode(
+            {"q": "SELECT count(value) AS n FROM events GROUP BY time(1d) LIMIT 2"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            payload = json.loads(r.read().decode())
+        series = payload["results"][0]["series"][0]
+        assert series["name"] == "events" and len(series["values"]) == 2
+    finally:
+        httpd.shutdown()
