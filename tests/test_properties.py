@@ -353,3 +353,61 @@ def test_star_cc_matches_iterative_cc(spark, edges):
     assert star_aligned == iterative
     # star additionally owes every self-loop-only node a self label
     assert all(i == c for i, c in star - star_aligned)
+
+
+def test_influxql_parser_total_over_garbage():
+    """Any input either parses or raises InfluxQLError — never an
+    unhandled exception type (the /query endpoint maps InfluxQLError and
+    friends to a clean 400)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riot_graphs_spark.functions.influxql import (
+        InfluxQLError,
+        parse_influxql,
+        parse_show,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def check(q):
+        try:
+            parse_show(q)
+            parse_influxql(q)
+        except InfluxQLError:
+            pass
+
+    check()
+
+
+def test_influxql_parser_accepts_generated_valid_queries():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riot_graphs_spark.functions.influxql import parse_influxql
+
+    ident = st.sampled_from(["events", "build_sizes", "m1"])
+    field = st.sampled_from(["value", "text", "count"])
+    func = st.sampled_from(["mean", "sum", "count", "min", "max", "last"])
+    dur = st.sampled_from(["30s", "5m", "1h", "1d"])
+    tagc = st.sampled_from(
+        ["", " AND board = 'native'", " AND board != 'x'", " AND board =~ /^n.*/"]
+    )
+    fill = st.sampled_from(["", " fill(null)", " fill(previous)", " fill(0)"])
+    tail = st.sampled_from(["", " ORDER BY time DESC", " LIMIT 10",
+                            " ORDER BY time ASC LIMIT 3"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(f=func, fld=field, m=ident, d=dur, tc=tagc, fl=fill, tl=tail)
+    def check(f, fld, m, d, tc, fl, tl):
+        q = (
+            f"SELECT {f}({fld}) AS v FROM {m} "
+            f"WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00'{tc} "
+            f"GROUP BY time({d}), board{fl}{tl}"
+        )
+        parsed = parse_influxql(q)
+        assert parsed.measurement == m
+        assert parsed.group_interval_s > 0
+        assert parsed.items[0].out == "v"
+
+    check()
