@@ -106,3 +106,56 @@ def test_matches_batch_delta_operator(spark, tmp_path):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_heavy_hitters_bounded_state_and_guarantee(spark, tmp_path):
+    """Misra-Gries per bucket: a token with frequency > N/(k+1) must survive
+    every batch; state never exceeds k counters per bucket; counts carry
+    across micro-batches via the state store."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.stateful import stream_heavy_hitters
+
+    src = tmp_path / "tok_landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "hh_ckpt")
+    out = str(tmp_path / "hh_out")
+
+    def write_batch(name: str, tokens: list[str]) -> None:
+        (src / name).write_text(
+            "\n".join(_json.dumps({"token": t}) for t in tokens)
+        )
+
+    def run() -> None:
+        stream = spark.readStream.schema("token string").json(str(src))
+        q = (
+            stream_heavy_hitters(stream, k=3, n_buckets=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: 'hot' dominates; lots of singleton noise
+    write_batch("a.jsonl", ["hot"] * 30 + [f"n{i}" for i in range(20)])
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    latest1 = [r for r in rows1 if r.batch_id == max(r.batch_id for r in rows1)]
+    assert len(latest1) <= 3  # bounded state: k counters max
+    assert "hot" in {r.token for r in latest1}
+
+    # batch 2: new dominant token; 'hot' keeps riding the carried state
+    write_batch("b.jsonl", ["hot"] * 10 + ["warm"] * 25 + [f"m{i}" for i in range(10)])
+    run()
+    rows2 = spark.read.parquet(out).collect()
+    latest = [r for r in rows2 if r.batch_id == max(r.batch_id for r in rows2)]
+    assert len(latest) <= 3
+    toks = {r.token for r in latest}
+    assert {"hot", "warm"} <= toks
+    hot = next(r for r in latest if r.token == "hot")
+    # MG guarantee: understatement <= N/(k+1); N = 95 tokens total, true
+    # hot count = 40 -> min_count >= 40 - 95/4 = 16.25
+    assert hot.min_count >= 17
