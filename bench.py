@@ -149,6 +149,7 @@ HEADLINE = [
     "dedup_graph_degrees",
     "repeated_span_ranges",
     "emb_assign_fixed_cells",
+    "lsh_recall_vs_exact",
 ]
 
 

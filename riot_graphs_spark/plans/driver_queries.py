@@ -5711,6 +5711,64 @@ def emb_assign_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "lsh_recall_vs_exact",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shex AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents)
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM shex a JOIN shex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+    )
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::BIGINT
+             AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::DOUBLE
+                     / (SELECT count(*) FROM truth) END AS recall
+    """,
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall of the MinHash LSH candidate set against
+    exact n-gram Jaccard ≥ 0.8 ground truth — the banding-parameter
+    validation a dedup run performs on a sample before trusting LSH at
+    corpus scale (the exact side is sample-only; LSH is the scale path)."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.count()
+    return spark.createDataFrame(
+        [(n_truth, cand.count(), hit.count())],
+        "n_truth long, n_candidates long, n_hit long",
+    ).select(
+        "n_truth", "n_candidates", "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
