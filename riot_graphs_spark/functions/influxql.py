@@ -442,15 +442,20 @@ def influxql(
         raise InfluxQLError("cannot mix aggregated and bare select items")
 
     if not has_agg:  # raw projection (the reference's readback shape)
+        star = any(i.field == "*" for i in q.items)
         cols = (
             df.columns
-            if any(i.field == "*" for i in q.items)
+            if star
             else [F.col(i.field).alias(i.out) for i in q.items]
         )
         out = df.select(*cols)
         if q.order_desc is not None:
-            out = df.select(ts.alias("time"), *cols).orderBy(
-                F.desc("time") if q.order_desc else F.asc("time")
+            # InfluxDB always carries time in ordered raw results; with
+            # SELECT * the ts column is already present — don't duplicate it
+            lead = [] if star else [ts.alias("time")]
+            order_col = ts_col if star else "time"
+            out = df.select(*lead, *cols).orderBy(
+                F.desc(order_col) if q.order_desc else F.asc(order_col)
             )
         if q.limit is not None:
             out = out.limit(q.limit)
