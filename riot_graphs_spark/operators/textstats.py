@@ -545,17 +545,75 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    codegen_threshold: int = 64,
 ) -> DataFrame:
     """Apply learned BPE merges to every document: words → char symbols →
-    merges in learned order → flat token array. Entirely row-local (zero
-    shuffles); merge count is fixed, so the expression tree is static and
-    codegen-compiled once."""
-    word_syms = F.transform(tokens(text_col), lambda w: F.split(w, ""))
+    merges in learned order → flat token array. Both paths are row-local
+    (zero shuffles):
 
-    def apply_all(ws: Column) -> Column:
-        out = ws
-        for a, b in merges:
-            out = F.transform(out, lambda s: _merge_adjacent(s, a, b))
-        return F.flatten(out)
+    - ≤ ``codegen_threshold`` merges: one Catalyst expression per merge —
+      whole-stage-codegen, no Python. Right for small experimental vocabs.
+    - above it: a production tokenizer's merge table (30k+ rules) would
+      explode the expression tree, so the rules ship to an Arrow-batched
+      ``mapInPandas`` worker instead and apply per word with the standard
+      rank-priority loop. Identical output (parity-tested).
+    """
+    if len(merges) <= codegen_threshold:
+        # NULL text encodes to [] (matching the pandas path), not NULL
+        safe = F.coalesce(F.col(text_col), F.lit(""))
+        word_syms = F.transform(tokens(safe), lambda w: F.split(w, ""))
 
-    return docs.withColumn(out_col, apply_all(word_syms))
+        def apply_all(ws: Column) -> Column:
+            out = ws
+            for a, b in merges:
+                out = F.transform(out, lambda s: _merge_adjacent(s, a, b))
+            return F.flatten(out)
+
+        return docs.withColumn(out_col, apply_all(word_syms))
+
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word)
+        # standard BPE application: repeatedly merge the lowest-rank
+        # adjacent pair present (equivalent to replaying merges in order)
+        while len(sym) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return sym
+
+    out_schema = StructType(
+        [*docs.schema.fields, StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def encode_doc(text) -> list[str]:
+            out: list[str] = []
+            for w in token_re.findall((text or "").lower()):
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                out.extend(cache[w])
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(encode_doc)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)

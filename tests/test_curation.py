@@ -523,3 +523,27 @@ def test_bpe_train_matches_reference_implementation(spark):
     for toks_ in applied.values():
         for t in toks_:
             assert len(t) == 1 or t in learned
+
+
+def test_bpe_apply_pandas_path_matches_codegen_path(spark):
+    from riot_graphs_spark.operators.textstats import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low new newer"),
+            (2, "wide wider widest lowest newer new"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    a = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(docs, merges, codegen_threshold=64).collect()
+    }
+    b = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(docs, merges, codegen_threshold=0).collect()
+    }
+    assert a == b and len(a) == 3
+    assert b[3] == []  # NULL text encodes to an empty token list
