@@ -45,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     lg.add_argument("--quiet", action="store_true")
     lg.add_argument("--debug", "-D", action="store_true")
 
+    c = sub.add_parser(
+        "curate",
+        help="select the high-quality deduplicated training corpus from a "
+        "documents table and write it sharded for the data loader",
+    )
+    c.add_argument("--tables", "-t", required=True,
+                   help="directory containing documents.parquet")
+    c.add_argument("--out", "-o", required=True, help="output parquet dir")
+    c.add_argument("--lang", default="en")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--shards", type=int, default=8)
+
     q = sub.add_parser(
         "query",
         help="run an InfluxQL (dashboard subset) or Spark SQL query over a "
@@ -78,6 +90,38 @@ def _run_query(args) -> int:
     return 0
 
 
+def _run_curate(args) -> int:
+    """Batch curation export: quality/lang/dedup selection
+    (plans.corpus.select_training_corpus) joined back to text, shard-
+    shuffled (curation.shard_corpus) and written partitioned by shard —
+    the directory layout a training data loader streams."""
+    import json as _json
+
+    from riot_graphs_spark.operators.curation import shard_corpus
+    from riot_graphs_spark.plans.corpus import select_training_corpus
+    from riot_graphs_spark.session import get_spark
+    from riot_graphs_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="riot-graphs-curate")
+    docs = load_table(spark, args.tables, "documents")
+    selected = select_training_corpus(
+        docs, lang=args.lang, min_quality=args.min_quality
+    )
+    corpus = selected.join(docs.select("doc_id", "source", "text"), "doc_id")
+    sharded = shard_corpus(corpus, n_shards=args.shards)
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.out)
+    )
+    kept = spark.read.parquet(args.out).count()
+    print(_json.dumps({"docs_in": docs.count(), "docs_kept": kept,
+                       "shards": args.shards, "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -90,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "query":
         return _run_query(args)
+    if args.command == "curate":
+        return _run_curate(args)
 
     from riot_graphs_spark.config import ConfigError, load_config
 

@@ -104,3 +104,20 @@ def test_cli_query_runs_influxql_and_sql(spark, sf_dir, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     assert lines and all("event_type" in _json.loads(l) for l in lines)
+
+
+def test_cli_curate_writes_sharded_corpus(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    import cli
+
+    out = str(tmp_path / "curated")
+    rc = cli.main(["curate", "--tables", sf_dir, "--out", out, "--shards", "4"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["docs_kept"] <= stats["docs_in"]
+    written = spark.read.parquet(out)
+    assert {"doc_id", "text", "shard_pos"} <= set(written.columns)
+    shards = {r.shard for r in written.select("shard").distinct().collect()}
+    assert shards <= set(range(4))
+    assert written.count() == stats["docs_kept"]
