@@ -978,3 +978,40 @@ def repeated_span_ranges(
         )
         .drop("_island")
     )
+
+
+def lsh_tuning(
+    threshold: float,
+    num_hashes: int = MINHASH_K,
+) -> dict:
+    """Banding-parameter helper: for a target Jaccard ``threshold``, pick
+    the (bands, rows) factorization of ``num_hashes`` whose S-curve
+    threshold ``(1/b)^(1/r)`` sits closest to it, and report the collision
+    probability ``1 − (1 − s^r)^b`` at s = threshold ± 0.1 — the
+    false-negative/false-positive trade the banding choice encodes. Pure
+    arithmetic (use it to pick arguments for :func:`minhash_lsh_pairs`,
+    then MEASURE with the ``lsh_recall_vs_exact`` query)."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        s_curve_thr = (1.0 / bands) ** (1.0 / rows)
+        cand = (abs(s_curve_thr - threshold), rows, bands, s_curve_thr)
+        if best is None or cand < best:
+            best = cand
+
+    def p_collide(s: float, r: int, b: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    _, rows, bands, s_thr = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "s_curve_threshold": round(s_thr, 4),
+        "p_at_threshold": round(p_collide(threshold, rows, bands), 4),
+        "p_below": round(p_collide(max(threshold - 0.1, 0.0), rows, bands), 4),
+        "p_above": round(p_collide(min(threshold + 0.1, 1.0), rows, bands), 4),
+    }

@@ -81,3 +81,21 @@ def test_incremental_novel_shingleless_docs_survive(spark):
     batch = _docs(spark, [(10, "two words")])  # < 3 words: no shingles
     kept = [r.doc_id for r in incremental_novel_docs(batch, corpus).collect()]
     assert kept == [10]
+
+
+def test_lsh_tuning_picks_sane_banding():
+    from riot_graphs_spark.operators.dedup import lsh_tuning
+
+    t = lsh_tuning(0.8, num_hashes=16)
+    assert t["bands"] * t["rows"] == 16
+    # S-curve: likely above threshold, unlikely well below it
+    assert t["p_above"] > t["p_at_threshold"] > t["p_below"]
+    assert abs(t["s_curve_threshold"] - 0.8) < 0.25
+    # default 4x4 banding is what the tuner itself picks near 0.7
+    t7 = lsh_tuning(0.7)
+    assert (t7["bands"], t7["rows"]) == (4, 4)
+    try:
+        lsh_tuning(1.5)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
