@@ -150,6 +150,8 @@ HEADLINE = [
     "repeated_span_ranges",
     "emb_assign_fixed_cells",
     "lsh_recall_vs_exact",
+    "ann_quantized_rescore",
+    "ts_weekly_profile",
 ]
 
 

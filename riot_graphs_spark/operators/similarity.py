@@ -477,3 +477,79 @@ def quantize_embeddings(
         "vmin",
         "vmax",
     )
+
+
+def dequantized_vec(vec_col: str) -> F.Column:
+    """Quantize→dequantize a float vector through the int8 grid of
+    :func:`quantize_embeddings` in one row-local expression: ``x̂ = vmin +
+    (code + 127)·(vmax − vmin)/254``. This is what scoring against the
+    int8 STORE computes; emulating it on the float column keeps the
+    semantics oracle-checkable without a second table."""
+    c = F.col(vec_col)
+    mn = F.array_min(c).cast("double")
+    mx = F.array_max(c).cast("double")
+    step = (mx - mn) / F.lit(254.0)
+
+    def deq(x: F.Column) -> F.Column:
+        code = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.floor((x.cast("double") - mn) * F.lit(254.0) / (mx - mn) + F.lit(0.5))
+            - F.lit(127.0)
+        )
+        return mn + (code + F.lit(127.0)) * step
+
+    return F.transform(c, deq)
+
+
+def quantized_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: approximate cosine over the INT8-quantized corpus
+    keeps the top ``rescore_factor·k`` candidates per query, then exact
+    float cosine re-ranks just those — the memory-bandwidth pattern that
+    makes brute-force scanning viable at corpus scale (the first pass
+    streams a 4×-smaller store; the exact vectors are touched only for
+    ~3k·|queries| rows).
+
+    Output matches :func:`cosine_topk`: (query_id, neighbor_id, score,
+    rank) with exact scores; ties → lower neighbor id at both stages.
+    """
+    approx_corpus = corpus.select(
+        F.col(id_col), dequantized_vec(vec_col).alias(vec_col)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        _scored(approx_corpus, queries, id_col, vec_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rescore_factor * k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    # rescore ONLY the candidates: join their exact vectors back in (a
+    # candidate-sized equi-join), never score the full pair space twice
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score", _pair_score())
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1186,3 +1186,34 @@ def sliding_window_agg(
         *dims,
         *[c for c in out.columns if c not in ("window", *dims)],
     )
+
+
+def weekly_profile(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Seasonal fingerprint: per (series, day-of-week, hour-of-day) the mean
+    value and observation count — the weekly-rhythm baseline dashboards
+    overlay on live data ("is tonight's build unusually big *for a
+    Saturday*?") and anomaly detectors subtract before thresholding.
+
+    ``dow`` is 0=Sunday…6. One partial-aggregable shuffle to at most
+    |series|·168 rows; the mean divides a DECIMAL-exact sum once, so the
+    profile reproduces bit-for-bit across engines and partitionings.
+    """
+    return (
+        df.groupBy(
+            *_cols(dims),
+            (F.dayofweek(ts) - 1).alias("dow"),
+            F.hour(ts).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col(value).cast("decimal(27,6)")).cast("double")
+                / F.count(value)
+            ).alias("mean_value"),
+        )
+    )

@@ -5769,6 +5769,91 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ann_quantized_rescore",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), base AS (
+      SELECT vec_id, embedding, list_min(embedding)::DOUBLE AS vmin,
+             list_max(embedding)::DOUBLE AS vmax
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id, list_transform(embedding, x ->
+               CASE WHEN vmax = vmin THEN vmin
+                    ELSE vmin + (floor((x::DOUBLE - vmin) * 254.0
+                                       / (vmax - vmin) + 0.5) - 127 + 127)
+                         * ((vmax - vmin) / 254.0) END) AS dv
+      FROM base
+    ), approx AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             round(list_dot_product(d.dv, q.qv::DOUBLE[])
+                   / (sqrt(list_dot_product(d.dv, d.dv))
+                      * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+                   6) AS ascore
+      FROM deq d CROSS JOIN q WHERE d.vec_id != q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS rn
+        FROM approx)
+      WHERE rn <= 15
+    ), resc AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM resc)
+    WHERE rank <= 5
+    """,
+)
+def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (operators.similarity.quantized_rescore_topk): int8
+    approximate scan keeps 3k candidates per query, exact float cosine
+    re-ranks only those — the 4×-smaller-store memory-bandwidth pattern
+    that keeps brute-force viable at corpus scale."""
+    from ..operators.similarity import quantized_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_rescore_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rescore_factor=3
+    )
+
+
+@_q(
+    "ts_weekly_profile",
+    """
+    SELECT event_type, dayofweek(ts::TIMESTAMP) AS dow,
+           hour(ts::TIMESTAMP) AS hour,
+           count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value)
+             AS mean_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal profile (operators.timeseries.weekly_profile): the
+    per-(series, dow, hour) baseline a dashboard overlays and an anomaly
+    detector subtracts."""
+    from ..operators.timeseries import weekly_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return weekly_profile(ev, dims=["event_type"], ts="ts", value="value").select(
+        "event_type", F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"), "n", "mean_value",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
