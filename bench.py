@@ -152,6 +152,7 @@ HEADLINE = [
     "lsh_recall_vs_exact",
     "ann_quantized_rescore",
     "ts_weekly_profile",
+    "dedup_report_by_source",
 ]
 
 

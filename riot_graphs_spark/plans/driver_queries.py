@@ -5854,6 +5854,68 @@ def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_report_by_source",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ), lsh_docs AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+    ), fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, source,
+             min(doc_id) OVER (PARTITION BY f) AS canonical_id
+      FROM fp
+    )
+    SELECT c.source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (c.doc_id <> c.canonical_id)::BIGINT AS n_exact_dup,
+           count(l.doc_id)::BIGINT AS n_near_candidates
+    FROM canon c LEFT JOIN lsh_docs l ON l.doc_id = c.doc_id
+    GROUP BY c.source
+    """,
+)
+def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup governance report: per source, how many docs are exact
+    duplicates (non-canonical members of a fingerprint group) and how many
+    collide in any MinHash band — the per-domain duplication profile that
+    decides which crawl sources need cleaning first."""
+    from ..operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = exact_dedup_groups(docs).select("doc_id", "canonical_id")
+    pairs = minhash_lsh_pairs(docs)
+    lsh_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(canon, "doc_id")
+        .join(lsh_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical_id"), 1).otherwise(0)
+            ).alias("n_exact_dup"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_near_candidates"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
