@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_quantized_rescore",
     "ts_weekly_profile",
     "dedup_report_by_source",
+    "ts_seasonal_anomalies",
 ]
 
 

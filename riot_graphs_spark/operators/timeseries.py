@@ -1217,3 +1217,58 @@ def weekly_profile(
             ).alias("mean_value"),
         )
     )
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: subtract each observation's
+    weekly-profile baseline (:func:`weekly_profile` — same series, same
+    day-of-week, same hour), then flag residuals beyond ``threshold``
+    per-series residual standard deviations. The "unusually big FOR a
+    Saturday night" detector — a plain z-score flags every weekend as
+    anomalous when weekdays dominate the mean.
+
+    Two partial-aggregable shuffles (profile, residual moments) + one
+    profile join back; the profile side is |series|·168 rows — broadcast
+    it. Residual stddev is computed from DECIMAL-exact Σr/Σr² so the flag
+    reproduces across engines; rows from (series, dow, hour) cells with a
+    single observation have residual 0 by construction and never flag.
+    """
+    prof = weekly_profile(df, dims=dims, ts=ts, value=value)
+    keyed = df.select(
+        *_cols(dims),
+        F.col(ts),
+        F.col(value),
+        (F.dayofweek(ts) - 1).alias("dow"),
+        F.hour(ts).alias("hour"),
+    )
+    with_base = keyed.join(
+        F.broadcast(prof), [*list(dims), "dow", "hour"]
+    ).withColumn("residual", F.col(value) - F.col("mean_value"))
+    # DECIMAL(18,6): the squared product is (37,12) — still exact within
+    # every engine's 38-digit cap (a (27,6) square would overflow 38 and
+    # round engine-specifically)
+    r = F.col("residual").cast("decimal(18,6)")
+    moments = with_base.groupBy(*_cols(dims)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(r).cast("double").alias("_sr"),
+        F.sum(r * r).cast("double").alias("_srr"),
+    )
+    joined = with_base.join(F.broadcast(moments), list(dims))
+    var = (F.col("_srr") - F.col("_sr") * F.col("_sr") / F.col("_n")) / F.col("_n")
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return joined.select(
+        *_cols(dims),
+        ts,
+        value,
+        "residual",
+        sd.alias("residual_sd"),
+        ((F.abs(F.col("residual")) > F.lit(threshold) * sd) & (sd > 0)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -5916,6 +5916,61 @@ def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_seasonal_anomalies",
+    """
+    WITH k AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, value,
+             dayofweek(ts::TIMESTAMP) AS dow, hour(ts::TIMESTAMP) AS hour
+      FROM events
+    ), prof AS (
+      SELECT event_type, dow, hour,
+             sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value) AS m
+      FROM k GROUP BY 1, 2, 3
+    ), wb AS (
+      SELECT k.event_type, k.ts, k.value, k.value - prof.m AS residual
+      FROM k JOIN prof USING (event_type, dow, hour)
+    ), mom AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(residual AS DECIMAL(18,6)))::DOUBLE AS sr,
+             sum(CAST(residual AS DECIMAL(18,6))
+                 * CAST(residual AS DECIMAL(18,6)))::DOUBLE AS srr
+      FROM wb GROUP BY 1
+    )
+    SELECT event_type, ts, value, residual, residual_sd,
+           (abs(residual) > 3.0 * residual_sd AND residual_sd > 0)
+             AS is_anomaly
+    FROM (
+      SELECT wb.event_type, wb.ts, wb.value, wb.residual,
+             round(sqrt(greatest((srr - sr * sr / n) / n, 0.0)), 6)
+               AS residual_sd
+      FROM wb JOIN mom USING (event_type))
+    """,
+)
+def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomalies
+    (operators.timeseries.seasonal_residual_anomalies): residual vs the
+    weekly (dow, hour) baseline, flagged beyond 3 per-series residual
+    sigmas — the detector that does not cry wolf every weekend."""
+    from ..operators.timeseries import seasonal_residual_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_residual_anomalies(
+        ev, dims=["event_type"], ts="ts", value="value"
+    )
+    # hash-gate determinism: the raw sd's final double expression differs
+    # by 1 ulp across engines (re-association); round it and re-derive the
+    # flag from the rounded value on both sides
+    sd_r = F.round(F.col("residual_sd"), 6)
+    return out.select(
+        "event_type", "ts", "value", "residual",
+        sd_r.alias("residual_sd"),
+        ((F.abs(F.col("residual")) > 3.0 * sd_r) & (sd_r > 0)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
