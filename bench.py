@@ -154,6 +154,7 @@ HEADLINE = [
     "ts_weekly_profile",
     "dedup_report_by_source",
     "ts_seasonal_anomalies",
+    "event_transitions",
 ]
 
 

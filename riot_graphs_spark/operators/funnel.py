@@ -123,3 +123,39 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order behavior graph: counts of consecutive (event → next
+    event) transitions within each user's timeline, with each source
+    event's share of outgoing transitions — the Markov edge list behind
+    "what do users do after signup" product questions (the funnel's
+    free-form complement: funnels check a FIXED path, this surfaces the
+    paths that exist).
+
+    One per-user window (lead on the time-ordered stream; ``tiebreak``
+    totalizes equal timestamps) + one partial-aggregable pair count; the
+    share divides exact counts per source type — |types|² output rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        events.withColumn("next_type", F.lead(type_col).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        F.col("next_type").alias("to_type"),
+        "n",
+        (F.col("n") / F.sum("n").over(w_src)).alias("share_of_source"),
+    )

@@ -5971,6 +5971,33 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "event_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           n / (sum(n) OVER (PARTITION BY from_type)) AS share_of_source
+    FROM pairs
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-behavior transition graph
+    (operators.funnel.event_transitions): consecutive event-type pairs per
+    user with per-source shares — the free-form complement of the fixed
+    funnel."""
+    from ..operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
