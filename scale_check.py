@@ -129,6 +129,22 @@ def _shards(documents):
     return shard_corpus(documents.select("doc_id", "source"), n_shards=64)
 
 
+def _seasonal(events):
+    from riot_graphs_spark.operators.timeseries import (
+        seasonal_residual_anomalies,
+    )
+
+    return seasonal_residual_anomalies(
+        events, dims=["event_type"], ts="ts", value="value"
+    )
+
+
+def _transitions(events):
+    from riot_graphs_spark.operators.funnel import event_transitions
+
+    return event_transitions(events)
+
+
 def _incremental(documents):
     from riot_graphs_spark.operators.dedup import incremental_novel_docs
 
@@ -207,6 +223,10 @@ def main() -> None:
         "corpus_shards": lambda t: _shards(t["documents"]),
         # incremental dedup: band-bucket semi-join, no pair expansion
         "dedup_incremental": lambda t: _incremental(t["documents"]),
+        # seasonal anomalies: two partial aggs + broadcast profile join
+        "ts_seasonal_anomalies": lambda t: _seasonal(t["events"]),
+        # transition graph: one per-user lead window + pair count
+        "event_transitions": lambda t: _transitions(t["events"]),
     }
 
     report = {}
