@@ -155,6 +155,8 @@ HEADLINE = [
     "dedup_report_by_source",
     "ts_seasonal_anomalies",
     "event_transitions",
+    "customer_rfm",
+    "basket_part_pairs",
 ]
 
 

@@ -5998,6 +5998,92 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "customer_rfm",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), DATE '1998-12-31')::BIGINT
+               AS recency_days,
+             count(*)::BIGINT AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+    FROM cust
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency vs the dataset's
+    fixed anchor date (no hidden clock), frequency, decimal-exact monetary,
+    and ntile(5) scores with custkey tie-breaks so quintile edges are
+    deterministic. Higher score = better on every axis.
+
+    Scale note: the three ntile windows are GLOBAL sorts of the
+    customer-level aggregate (not the fact table) — fine to |customers|;
+    at extreme cardinality swap ntile for bucketing on approx quantiles.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max("o_orderdate")
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    return cust.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+
+
+@_q(
+    "basket_part_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*)::BIGINT AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM pairs WHERE n_orders >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥ 2
+    orders. The self-join is keyed on l_orderkey, so pair expansion is
+    bounded by the largest single order (≤ 7 lines in TPC-H — C(7,2)=21
+    pairs), never the corpus: the same in-bucket-only pair discipline as
+    LSH."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
