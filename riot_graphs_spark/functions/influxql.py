@@ -254,7 +254,7 @@ def parse_influxql(q: str) -> _Query:
             if tg:
                 out.group_interval_s = _parse_duration(tg.group(1))
             else:
-                out.group_tags.append(_unquote(part))
+                out.group_tags.append(_unquote(part))  # may be "*": all tags
 
     if m.group("order"):
         out.order_desc = bool(re.search(r"DESC", m.group("order"), re.I))
@@ -471,6 +471,17 @@ def influxql(
                 _Item(i.inner.func, i.inner.field, i.inner.arg, i.out), ts_col
             )
         return _agg_column(i, ts_col)
+
+    # Grafana's GROUP BY time($interval), * — expand * to every tag
+    # (string) column of the measurement
+    if "*" in q.group_tags:
+        all_tags = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "string" and f.name != ts_col
+        ]
+        q.group_tags = [t for t in q.group_tags if t != "*"] + [
+            t for t in all_tags if t not in q.group_tags
+        ]
 
     aggs = [_lower(i) for i in q.items]
     keys: list[Column] = []

@@ -281,3 +281,20 @@ def test_regex_tag_matchers(spark, events):
         "GROUP BY event_type",
     )
     assert pick[0] not in {r.event_type for r in neg.collect()}
+
+
+def test_group_by_star_expands_to_all_tags(spark, events):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    got = iq(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d), *",
+    )
+    # events string columns: event_type (+ any other tag-typed columns)
+    assert "event_type" in got.columns and "time" in got.columns
+    want = iq(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type",
+    )
+    if set(got.columns) == set(want.columns):
+        assert got.exceptAll(want).count() == 0
