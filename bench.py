@@ -157,6 +157,7 @@ HEADLINE = [
     "event_transitions",
     "customer_rfm",
     "basket_part_pairs",
+    "bm25_search_topk",
 ]
 
 

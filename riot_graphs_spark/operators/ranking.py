@@ -217,3 +217,84 @@ def unigram_lm_cross_entropy(
             "cross_entropy",
         )
     )
+
+
+def bm25_search_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-query BM25 retrieval: top-``k`` documents per query row — the
+    batch search operator behind RAG-style curation ("for each benchmark
+    prompt, which training docs score highest"). Same scoring math as
+    :func:`bm25_scores`, vectorized over a QUERY TABLE instead of one
+    literal term bag.
+
+    Scale shape: the query token table is tiny and broadcast twice (term
+    restriction + per-query scoring); the (doc, term) tf table is bounded
+    by matches against the union of query vocabularies, not corpus tokens;
+    df/dl/avgdl are computed once and shared by every query. The final
+    top-k is a per-query row_number window over the (queries × matched
+    docs) score table — never a global sort of the corpus.
+
+    Output: ``(query_id, doc_id, n_matched_terms, score, rank)``; ties →
+    lower doc id.
+    """
+    from pyspark.sql import Window
+
+    tok = _doc_tokens(docs, id_col, text_col)
+    qtok = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(query_text_col)).alias("token"),
+    ).distinct()
+    vocab = qtok.select("token").distinct()
+
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd * (k1 + 1) / (
+        tfd + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qtok), "token")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (idf * norm).cast(_DEC).alias("_s"),
+        )
+    )
+    scored = per_term.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+        F.sum("_s").cast("double").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -6084,6 +6084,69 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bm25_search_topk",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:5], ' ') AS qt
+      FROM documents WHERE doc_id < 3
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, t.tok AS token
+      FROM q, unnest(regexp_extract_all(lower(qt), '[a-z0-9]+')) AS t(tok)
+    ),
+    vocab AS (SELECT DISTINCT token FROM qtok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok JOIN vocab USING (token) GROUP BY 1, 2
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT qtok.query_id, tf.doc_id,
+             CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                  AS DECIMAL(28,12)) AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats JOIN qtok USING (token)
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_matched_terms,
+             CAST(sum(s) AS DOUBLE) AS score
+      FROM per GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_matched_terms, score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
+             AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 retrieval (operators.ranking.bm25_search_topk):
+    top-5 docs for each of three query rows (first five words of docs 0-2
+    — deterministic fixture queries). Shared df/dl/avgdl, broadcast query
+    vocabulary, per-query window cut."""
+    from ..operators.dedup import words
+    from ..operators.ranking import bm25_search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    return bm25_search_topk(docs, queries, k=5)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
