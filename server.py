@@ -30,19 +30,25 @@ HELLO = "RIOT CI graphing application"
 QUERY_ROW_CAP = 10_000
 
 
-def _influx_payload(df, measurement: str) -> str:
+def _influx_payload(df, measurement: str, epoch: str | None = None) -> str:
     """Format a DataFrame as the InfluxDB HTTP API response shape
     (``{"results": [{"series": [{name, columns, values}]}]}``) — the wire
     format Grafana's InfluxQL datasource consumes. Timestamps render as
-    RFC3339 UTC. GROUP BY tags stay as flat columns (one series), a
-    documented simplification of InfluxDB's per-tag series split."""
+    RFC3339 UTC, or as integer epochs when the request carries
+    ``epoch=s|ms|us`` (Grafana sends ``epoch=ms``). GROUP BY tags stay as
+    flat columns (one series), a documented simplification of InfluxDB's
+    per-tag series split."""
     import datetime as _dt
 
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000}.get(epoch or "")
     rows = df.limit(QUERY_ROW_CAP).collect()
     cols = df.columns
 
     def cell(v):
         if isinstance(v, _dt.datetime):
+            if scale:
+                ts = v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v
+                return int(ts.timestamp() * scale)
             return v.strftime("%Y-%m-%dT%H:%M:%SZ")
         return v
 
@@ -84,13 +90,19 @@ def make_handler(refresh, query_runner=None):
                 except Exception:  # reference returns {'status': 'error'}
                     self._send(500, json.dumps({"status": "error"}))
             elif url.path == "/query" and query_runner is not None:
-                q = parse_qs(url.query).get("q", [""])[0]
+                params = parse_qs(url.query)
+                q = params.get("q", [""])[0]
                 if not q:
                     self._send(400, json.dumps({"error": "missing q parameter"}))
                     return
                 try:
                     df, measurement = query_runner(q)
-                    self._send(200, _influx_payload(df, measurement))
+                    self._send(
+                        200,
+                        _influx_payload(
+                            df, measurement, params.get("epoch", [None])[0]
+                        ),
+                    )
                 except Exception as exc:  # parse/plan errors → client error
                     self._send(
                         400,
@@ -118,7 +130,12 @@ def make_handler(refresh, query_runner=None):
                 return
             try:
                 df, measurement = query_runner(q)
-                self._send(200, _influx_payload(df, measurement))
+                self._send(
+                    200,
+                    _influx_payload(
+                        df, measurement, params.get("epoch", [None])[0]
+                    ),
+                )
             except Exception as exc:
                 self._send(
                     400,

@@ -151,3 +151,25 @@ def test_query_endpoint_accepts_post_form_body(spark, sf_dir):
         assert series["name"] == "events" and len(series["values"]) == 2
     finally:
         httpd.shutdown()
+
+
+def test_query_endpoint_epoch_ms_timestamps(spark, sf_dir):
+    import urllib.parse
+
+    from server import make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    httpd = serve(lambda: 0, port=0, query_runner=make_query_runner(spark))
+    port = httpd.server_address[1]
+    try:
+        q = urllib.parse.quote(
+            "SELECT count(value) AS n FROM events GROUP BY time(1d) "
+            "ORDER BY time ASC LIMIT 2"
+        )
+        _, body = _get(f"http://127.0.0.1:{port}/query?q={q}&epoch=ms")
+        series = json.loads(body)["results"][0]["series"][0]
+        t0 = series["values"][0][0]
+        assert isinstance(t0, int) and t0 % 86_400_000 == 0  # day-aligned ms
+    finally:
+        httpd.shutdown()
