@@ -158,6 +158,7 @@ HEADLINE = [
     "customer_rfm",
     "basket_part_pairs",
     "bm25_search_topk",
+    "semdedup_keep_best",
 ]
 
 

@@ -6147,6 +6147,48 @@ def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_topk(docs, queries, k=5)
 
 
+@_q(
+    "semdedup_keep_best",
+    f"""
+    WITH RECURSIVE {_DUCK_NEARDUP_PAIRS}, edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS kept
+    FROM labeled
+    """,
+)
+def semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023's shape): SEMANTIC near-dup
+    clusters from the embedding space (sign-bucket-blocked cosine pairs →
+    connected components, vec_id ≡ doc_id in the fixture) canonicalized by
+    TEXT quality (keep the longest member) — embedding clusters decide WHO
+    is duplicated, document features decide WHO survives. Same
+    keep_best_per_cluster reduction as the MinHash path."""
+    from ..operators.dedup import connected_components, keep_best_per_cluster
+
+    pairs = _neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    clusters = connected_components(pairs, src="vec_a", dst="vec_b")
+    docs = _t(spark, sf_dir, "documents")
+    return keep_best_per_cluster(
+        docs, clusters.withColumnRenamed("id", "doc_id"), score_col="n_chars"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
