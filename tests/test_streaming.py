@@ -659,3 +659,51 @@ def test_streaming_corpus_near_dedup_via_bucket_table(spark, tmp_path):
     assert sum(counts2) == 1  # near-copy dropped, fresh kept
     ids = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
     assert ids == [1, 3]
+
+
+def test_streaming_near_dedup_bucket_table_tolerates_replay(spark, tmp_path):
+    """Crash-replay semantics: re-running the same landing file with a
+    FRESH checkpoint (simulating a lost checkpoint / replayed batch)
+    appends duplicate bucket rows but never corrupts semantics — the
+    semi-join is key-based, and the corpus merge stays idempotent."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "corpus")
+    buckets = str(tmp_path / "buckets")
+
+    text = (
+        "replay tolerance check sentence with enough distinct words to "
+        "shingle and band reliably across runs"
+    )
+    (landing / "a.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 1, "ts": "2024-01-01 04:00:00", "text": text,
+             "lang": "en", "source": "web"}
+        )
+    )
+
+    counts: list[int] = []
+    q = stream_corpus_ingest(
+        spark, str(landing), sink, str(tmp_path / "ck1"),
+        batch_counts=counts, near_dedup_buckets_path=buckets,
+    )
+    q.awaitTermination()
+    n_buckets_1 = spark.read.parquet(buckets).count()
+
+    # fresh checkpoint -> the same file replays end-to-end
+    counts2: list[int] = []
+    q = stream_corpus_ingest(
+        spark, str(landing), sink, str(tmp_path / "ck2"),
+        batch_counts=counts2, near_dedup_buckets_path=buckets,
+    )
+    q.awaitTermination()
+
+    assert sum(counts) == 1 and sum(counts2) == 0  # corpus merge idempotent
+    assert spark.read.parquet(sink).count() == 1
+    b = spark.read.parquet(buckets)
+    assert b.count() >= n_buckets_1  # dup rows allowed...
+    assert b.select("band", "band_key").distinct().count() == n_buckets_1
