@@ -428,6 +428,26 @@ def influxql(
         c = _time_value(expr, now)
         df = df.filter(ts <= c if op == "<=" else ts < c)
         hi = hi or expr
+    # Date-partitioned sinks (streaming ingest writes partitionBy(p_date)):
+    # derive partition-key bounds from the time predicates so the scan
+    # prunes whole date directories, not just row groups
+    if "p_date" in df.columns:
+        if q.uses_time_filter and time_range is not None:
+            df = df.filter(
+                F.col("p_date").between(
+                    F.to_date(F.lit(time_range[0])),
+                    F.to_date(F.lit(time_range[1])),
+                )
+            )
+        if q.time_lo:
+            df = df.filter(
+                F.col("p_date") >= F.to_date(_time_value(q.time_lo[1], now))
+            )
+        if q.time_hi:
+            df = df.filter(
+                F.col("p_date") <= F.to_date(_time_value(q.time_hi[1], now))
+            )
+
     for tag, op, val in q.tag_conds:
         if op in ("=~", "!~"):
             # Grafana template variables expand to =~ /^(a|b|c)$/ — Java

@@ -298,3 +298,37 @@ def test_group_by_star_expands_to_all_tags(spark, events):
     )
     if set(got.columns) == set(want.columns):
         assert got.exceptAll(want).count() == 0
+
+
+def test_time_filter_prunes_date_partitions(spark, tmp_path):
+    """Over a p_date-partitioned sink (the streaming ingest layout), the
+    shim's WHERE time bounds must become partition-key predicates — whole
+    date directories get pruned, not just parquet row groups."""
+    import re as _re
+
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    sink = str(tmp_path / "sized")
+    df = spark.createDataFrame(
+        [("2024-01-01 04:00:00", 1.0), ("2024-02-01 04:00:00", 2.0),
+         ("2024-03-01 04:00:00", 3.0)],
+        "ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).withColumn(
+        "p_date", F.to_date("ts")
+    ).drop("ts_s")
+    df.write.partitionBy("p_date").parquet(sink)
+
+    out = iq(
+        lambda _m: spark.read.parquet(sink),
+        "SELECT sum(value) AS s FROM sized "
+        "WHERE time >= '2024-01-15 00:00:00' AND time < '2024-02-15 00:00:00' "
+        "GROUP BY time(1d)",
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _re.search(r"PartitionFilters: \[.*p_date", plan)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].s == 2.0  # only the February row
