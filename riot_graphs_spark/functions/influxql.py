@@ -92,6 +92,7 @@ class _Query:
     tag_conds: list[tuple[str, str, str]] = field(default_factory=list)
     uses_time_filter: bool = False
     group_interval_s: int | None = None
+    group_offset_s: int = 0  # time(1d, 3h) — the reference's 03:00 anchor
     group_tags: list[str] = field(default_factory=list)
     fill: str | None = None  # "null" | "none" | "previous" | numeric string
     order_desc: bool | None = None
@@ -250,9 +251,14 @@ def parse_influxql(q: str) -> _Query:
             part = part.strip().rstrip(",").strip()
             if not part:
                 continue
-            tg = re.fullmatch(r"time\(\s*(\d+[smhdw])\s*\)", part, re.I)
+            tg = re.fullmatch(
+                r"time\(\s*(\d+[smhdw])\s*(?:,\s*(\d+[smhdw])\s*)?\)",
+                part, re.I,
+            )
             if tg:
                 out.group_interval_s = _parse_duration(tg.group(1))
+                if tg.group(2):
+                    out.group_offset_s = _parse_duration(tg.group(2))
             else:
                 out.group_tags.append(_unquote(part))  # may be "*": all tags
 
@@ -506,9 +512,12 @@ def influxql(
     aggs = [_lower(i) for i in q.items]
     keys: list[Column] = []
     if q.group_interval_s:
-        sec = q.group_interval_s
+        sec, off = q.group_interval_s, q.group_offset_s
+        # offset form: epoch-aligned floor shifted by the anchor —
+        # time(1d, 3h) is exactly the reference's 03:00-anchored day (O3)
+        shifted = F.unix_timestamp(ts) - off
         bucket = F.timestamp_seconds(
-            (F.unix_timestamp(ts) - (F.unix_timestamp(ts) % sec))
+            shifted - (shifted % sec) + off
         ).alias("time")
         keys.append(bucket)
     keys += [F.col(t) for t in q.group_tags]

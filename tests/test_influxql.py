@@ -332,3 +332,21 @@ def test_time_filter_prunes_date_partitions(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[.*p_date", plan)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].s == 2.0  # only the February row
+
+
+def test_group_by_time_offset_matches_anchored_day(spark, events):
+    """time(1d, 3h) buckets == the reference's 03:00-anchored days (O3,
+    functions.scalars.anchored_day maps to the bucket's DATE)."""
+    from riot_graphs_spark.functions.influxql import influxql as iq
+    from riot_graphs_spark.functions.scalars import anchored_day
+
+    got = iq(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d, 3h)",
+    )
+    want = events.groupBy(anchored_day("ts").alias("day")).agg(
+        F.count("value").alias("n")
+    )
+    g = {str(r.time): r.n for r in got.collect()}
+    w = {str(r.day): r.n for r in want.collect()}  # anchored_day = bucket start ts
+    assert g == w
