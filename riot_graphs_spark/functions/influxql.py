@@ -530,12 +530,15 @@ def influxql(
                 "fill() needs both time bounds in WHERE (as Grafana's "
                 "$timeFilter provides)"
             )
-        sec = q.group_interval_s
+        sec, off = q.group_interval_s, q.group_offset_s
         lo_c = _time_value(lo, now) if isinstance(lo, str) else F.lit(lo).cast("timestamp")
         hi_c = _time_value(hi, now) if isinstance(hi, str) else F.lit(hi).cast("timestamp")
-        floor_ = lambda c: F.timestamp_seconds(  # noqa: E731
-            F.unix_timestamp(c) - (F.unix_timestamp(c) % sec)
-        )
+
+        def floor_(c):
+            # same offset-anchored floor as the GROUP BY bucket — an
+            # epoch-aligned spine would miss every offset bucket in the join
+            sh = F.unix_timestamp(c) - off
+            return F.timestamp_seconds(sh - (sh % sec) + off)
         spine = (
             df.sparkSession.range(1)
             .select(

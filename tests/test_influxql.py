@@ -350,3 +350,25 @@ def test_group_by_time_offset_matches_anchored_day(spark, events):
     g = {str(r.time): r.n for r in got.collect()}
     w = {str(r.day): r.n for r in want.collect()}  # anchored_day = bucket start ts
     assert g == w
+
+
+def test_fill_spine_respects_bucket_offset(spark):
+    from riot_graphs_spark.functions.influxql import influxql as iq
+
+    df = _series(
+        spark,
+        [("a", "2024-01-01 05:00:00", 1.0), ("a", "2024-01-03 05:00:00", 3.0)],
+    )
+    q = (
+        "SELECT count(value) AS n FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-03 12:00:00' "
+        "GROUP BY time(1d, 3h), event_type fill(0)"
+    )
+    got = {str(r.time): r.n for r in iq(lambda _m: df, q).collect()}
+    # anchored buckets at 03:00; the empty Jan-2 bucket must appear as 0
+    assert got == {
+        "2023-12-31 03:00:00": 0,  # spine floor of the WHERE lower bound
+        "2024-01-01 03:00:00": 1,
+        "2024-01-02 03:00:00": 0,
+        "2024-01-03 03:00:00": 1,
+    }
