@@ -159,6 +159,7 @@ HEADLINE = [
     "basket_part_pairs",
     "bm25_search_topk",
     "semdedup_keep_best",
+    "pareto_parts",
 ]
 
 

@@ -6189,6 +6189,69 @@ def semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pareto_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey AS partkey,
+             sum((l_extendedprice::DECIMAL(12,2))
+                 * (1 - l_discount::DECIMAL(3,2))) AS revenue
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev,
+             sum(revenue) OVER () AS tot_rev
+      FROM pr
+    )
+    SELECT partkey, revenue::DOUBLE AS revenue,
+           cum_rev::DOUBLE / tot_rev::DOUBLE AS cum_share,
+           CASE WHEN cum_rev::DOUBLE / tot_rev::DOUBLE <= 0.8 THEN 'A'
+                WHEN cum_rev::DOUBLE / tot_rev::DOUBLE <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue analysis: parts ranked by discounted revenue with
+    cumulative share and A/B/C class (80/95 cuts) — the concentration
+    profile behind assortment decisions. The running share is DECIMAL-exact
+    until the final division.
+
+    Scale note: the cumulative window is a global ORDER over the PART
+    AGGREGATE (|parts| rows), never the fact table — same discipline as
+    customer_rfm's ntiles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    # factor-wise decimal casts (price/discount are exact at 2dp) — the
+    # double PRODUCT cast to decimal rounds engine-specifically at ties
+    pr = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("_rev")
+    )
+    w_run = Window.orderBy(F.desc("_rev"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum_share = (
+        F.sum("_rev").over(w_run).cast("double")
+        / F.sum("_rev").over(w_all).cast("double")
+    )
+    return pr.select(
+        "partkey",
+        F.col("_rev").cast("double").alias("revenue"),
+        cum_share.alias("cum_share"),
+    ).withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
