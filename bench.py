@@ -160,6 +160,7 @@ HEADLINE = [
     "bm25_search_topk",
     "semdedup_keep_best",
     "pareto_parts",
+    "lang_id_confusion",
 ]
 
 

@@ -6252,6 +6252,49 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_confusion_oracle() -> str:
+    score_cols, best_lang = _langid_fold()
+    return f"""
+    WITH toks_t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, {score_cols} FROM toks_t
+    ), pred AS (
+      SELECT lang, {best_lang} AS predicted_lang FROM scored
+    ), cm AS (
+      SELECT lang, predicted_lang, count(*)::BIGINT AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, predicted_lang, n,
+           n / (sum(n) OVER (PARTITION BY lang)) AS row_share
+    FROM cm
+    """
+
+
+@_q("lang_id_confusion", _langid_confusion_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-audit confusion matrix for the language-ID heuristic: labeled
+    ``lang`` vs ``predicted_lang`` counts with per-true-label shares — the
+    quality gate you run on an operator that GATES data before trusting it
+    to curate a corpus (diagonal share = per-language recall)."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cm = (
+        predict_lang(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang", "predicted_lang", "n",
+        (F.col("n") / F.sum("n").over(w)).alias("row_share"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
