@@ -161,6 +161,7 @@ HEADLINE = [
     "semdedup_keep_best",
     "pareto_parts",
     "lang_id_confusion",
+    "supplier_scorecard",
 ]
 
 

@@ -6295,6 +6295,44 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "supplier_scorecard",
+    """
+    SELECT l_suppkey AS suppkey,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) / count(*) AS late_rate,
+           sum((l_extendedprice::DECIMAL(12,2))
+               * (1 - l_discount::DECIMAL(3,2)))::DOUBLE AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operational scorecard: line volume, late-shipment count
+    and rate (ship > order + 60 days — Q12's lateness emulation as a
+    continuous per-supplier metric), and decimal-exact discounted revenue.
+    One fact⋈fact equi-join + one partial-aggregable shuffle to
+    |suppliers| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+    ).otherwise(0)
+    return joined.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(late).alias("n_late"),
+        (F.sum(late) / F.count(F.lit(1))).alias("late_rate"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(3,2)"))
+        ).cast("double").alias("revenue"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
