@@ -162,6 +162,7 @@ HEADLINE = [
     "pareto_parts",
     "lang_id_confusion",
     "supplier_scorecard",
+    "decontaminated_corpus",
 ]
 
 

@@ -6333,6 +6333,40 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "decontaminated_corpus",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    grams AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM docs),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0),
+    shared AS (
+      SELECT tr.doc_id, count(*) AS n_shared_ngrams
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN shared s USING (doc_id)
+    WHERE d.doc_id % 97 != 0 AND coalesce(s.n_shared_ngrams, 0) < 5
+    """,
+)
+def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step contamination_check exists for: the training corpus
+    with every doc sharing ≥ 5 word-3-grams with the benchmark set (doc_id
+    % 97 fixture eval split) dropped — broadcast eval n-grams, one corpus
+    scan, survivors only."""
+    from ..operators.curation import contamination_check as check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = check(
+        train, docs.filter(F.col("doc_id") % 97 == 0), threshold=5
+    ).filter(~F.col("contaminated")).select("doc_id")
+    return train.select("doc_id", "lang", "source", "n_chars").join(
+        flags, "doc_id", "left_semi"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
