@@ -30,6 +30,23 @@ HELLO = "RIOT CI graphing application"
 QUERY_ROW_CAP = 10_000
 
 
+def _split_statements(q: str) -> list[str]:
+    """Split a /query body on top-level semicolons (InfluxQL batches panel
+    queries that way); quotes are respected, empty statements dropped."""
+    parts, start, quote = [], 0, None
+    for i, ch in enumerate(q):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == ";":
+            parts.append(q[start:i])
+            start = i + 1
+    parts.append(q[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _influx_payload(df, measurement: str, epoch: str | None = None) -> str:
     """Format a DataFrame as the InfluxDB HTTP API response shape
     (``{"results": [{"series": [{name, columns, values}]}]}``) — the wire
@@ -58,6 +75,47 @@ def _influx_payload(df, measurement: str, epoch: str | None = None) -> str:
         "values": [[cell(r[c]) for c in cols] for r in rows],
     }
     return json.dumps({"results": [{"statement_id": 0, "series": [series]}]})
+
+
+def _influx_payload_multi(
+    query_runner, q: str, epoch: str | None = None
+) -> str:
+    """Run every ';'-separated statement; one results entry per statement
+    (statement_id increments), errors embedded per statement as InfluxDB
+    does — one bad panel query doesn't blank the whole dashboard."""
+    import datetime as _dt
+
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000}.get(epoch or "")
+
+    def cell(v):
+        if isinstance(v, _dt.datetime):
+            if scale:
+                ts = v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v
+                return int(ts.timestamp() * scale)
+            return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+        return v
+
+    results = []
+    for sid, stmt in enumerate(_split_statements(q)):
+        try:
+            df, measurement = query_runner(stmt)
+            rows = df.limit(QUERY_ROW_CAP).collect()
+            cols = df.columns
+            results.append(
+                {
+                    "statement_id": sid,
+                    "series": [
+                        {
+                            "name": measurement,
+                            "columns": cols,
+                            "values": [[cell(r[c]) for c in cols] for r in rows],
+                        }
+                    ],
+                }
+            )
+        except Exception as exc:  # noqa: BLE001 — per-statement error slot
+            results.append({"statement_id": sid, "error": str(exc)})
+    return json.dumps({"results": results})
 
 
 def make_handler(refresh, query_runner=None):
@@ -95,21 +153,12 @@ def make_handler(refresh, query_runner=None):
                 if not q:
                     self._send(400, json.dumps({"error": "missing q parameter"}))
                     return
-                try:
-                    df, measurement = query_runner(q)
-                    self._send(
-                        200,
-                        _influx_payload(
-                            df, measurement, params.get("epoch", [None])[0]
-                        ),
-                    )
-                except Exception as exc:  # parse/plan errors → client error
-                    self._send(
-                        400,
-                        json.dumps(
-                            {"results": [{"statement_id": 0, "error": str(exc)}]}
-                        ),
-                    )
+                body = _influx_payload_multi(
+                    query_runner, q, params.get("epoch", [None])[0]
+                )
+                payload = json.loads(body)
+                all_err = all("error" in r for r in payload["results"])
+                self._send(400 if all_err else 200, body)
             else:
                 self._send(404, json.dumps({"status": "not found"}))
 
@@ -128,21 +177,12 @@ def make_handler(refresh, query_runner=None):
             if not q:
                 self._send(400, json.dumps({"error": "missing q parameter"}))
                 return
-            try:
-                df, measurement = query_runner(q)
-                self._send(
-                    200,
-                    _influx_payload(
-                        df, measurement, params.get("epoch", [None])[0]
-                    ),
-                )
-            except Exception as exc:
-                self._send(
-                    400,
-                    json.dumps(
-                        {"results": [{"statement_id": 0, "error": str(exc)}]}
-                    ),
-                )
+            body = _influx_payload_multi(
+                query_runner, q, params.get("epoch", [None])[0]
+            )
+            payload = json.loads(body)
+            all_err = all("error" in r for r in payload["results"])
+            self._send(400 if all_err else 200, body)
 
         def log_message(self, *args):  # quiet by default
             pass

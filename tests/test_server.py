@@ -173,3 +173,28 @@ def test_query_endpoint_epoch_ms_timestamps(spark, sf_dir):
         assert isinstance(t0, int) and t0 % 86_400_000 == 0  # day-aligned ms
     finally:
         httpd.shutdown()
+
+
+def test_query_endpoint_multi_statement(spark, sf_dir):
+    import urllib.parse
+
+    from server import make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    httpd = serve(lambda: 0, port=0, query_runner=make_query_runner(spark))
+    port = httpd.server_address[1]
+    try:
+        q = urllib.parse.quote(
+            "SELECT count(value) AS n FROM events GROUP BY time(1d) LIMIT 1; "
+            "SELECT nonsense(value) FROM events; "
+            "SHOW MEASUREMENTS"
+        )
+        status, body = _get(f"http://127.0.0.1:{port}/query?q={q}")
+        assert status == 200  # one bad statement doesn't fail the batch
+        results = json.loads(body)["results"]
+        assert [r["statement_id"] for r in results] == [0, 1, 2]
+        assert "series" in results[0] and "error" in results[1]
+        assert results[2]["series"][0]["name"] == "measurements"
+    finally:
+        httpd.shutdown()
