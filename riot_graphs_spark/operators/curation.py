@@ -230,13 +230,19 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    budget = int(budget)
+    # Integer `div`, never floor(double-division): a double quotient is
+    # only bit-exact below 2^53 and engines disagree at the margin, while
+    # `div` is exact on every engine at any corpus size.
     return df.select(
+        part_col, order_col, F.col(token_col), before.alias("_before")
+    ).select(
         part_col,
         order_col,
         F.col(token_col),
-        F.floor(before / budget).alias("pack_id"),
-        (before % budget).alias("pack_offset"),
+        F.expr(f"_before div {budget}").alias("pack_id"),
+        (F.col("_before") % budget).alias("pack_offset"),
     )
 
 

@@ -286,23 +286,29 @@ def ngram_jaccard_pairs(
     verification stage to run *after* LSH at real scale, here also exposed
     directly for oracle checking. Jaccard itself is per-pair scalar math.
     """
+    # Per-doc shingle count is size(array) — row-local, so it rides the
+    # exploded rows through the join instead of a per-doc side table (a
+    # join-back keyed on doc_id has corpus cardinality; broadcasting it
+    # would OOM the driver at scale, and even shuffled it is a needless
+    # second join).
     sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_arr")
+    ).select(
+        F.col(id_col),
+        F.size("_arr").alias("n"),
+        F.explode("_arr").alias("s"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "s")
-    b = sh.select(F.col(id_col).alias("doc_b"), "s")
-    inter = (
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "s")
+    jac = (
         a.join(b, on="s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    jac = (
-        inter.join(F.broadcast(na), on="doc_a")
-        .join(F.broadcast(nb), on="doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -933,20 +939,25 @@ def repeated_span_ranges(
     approaches the full span; isolated hash coincidences stay k-char sized
     and can be length-filtered by the caller.
 
-    Plan: positions are row-local; ``n_docs`` per fingerprint is the
-    dense_rank/max window pair over ONE (fingerprint)-keyed sort (never a
-    collect_set, never a join-back recompute); interval merging is the
-    gaps-and-islands window form over (doc, start) — every stage is a
-    window over one exchange, nothing is corpus²."""
+    Plan: positions are row-local; the ≥``min_docs`` gate is a
+    partial-aggregable ``count(distinct doc)`` per fingerprint plus a
+    semi-join — NOT a window over ``partitionBy(fingerprint)``, which
+    would funnel every occurrence of a ubiquitous boilerplate k-gram (the
+    exact thing this operator hunts) into one sort task. The agg
+    map-side-combines on (fingerprint, doc) and AQE can split a skewed
+    semi-join partition; a window can't be split. Interval merging is the
+    gaps-and-islands window form over (doc, start) — doc-keyed, skew-free."""
     from pyspark.sql import Window
 
     fpp = winnow_fingerprint_positions(docs, id_col, text_col, k=k, w=w)
-    w_rank = Window.partitionBy("fingerprint").orderBy(id_col)
-    w_fp = Window.partitionBy("fingerprint")
-    rep = (
-        fpp.withColumn("_dr", F.dense_rank().over(w_rank))
-        .withColumn("n_docs", F.max("_dr").over(w_fp))
+    hot = (
+        fpp.groupBy("fingerprint")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+        .select("fingerprint")
+    )
+    rep = (
+        fpp.join(hot, "fingerprint", "left_semi")
         .select(
             id_col,
             F.col("pos").alias("start"),

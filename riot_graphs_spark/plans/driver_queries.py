@@ -1740,13 +1740,17 @@ def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
       FROM documents
     ), w AS (
+      -- sum(BIGINT) OVER is HUGEINT in DuckDB; pin every leg to BIGINT so
+      -- the driver's value-hash sees int64 on both engines.
       SELECT *, coalesce(sum(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS before
       FROM t
     )
     SELECT lang, doc_id, n_tokens,
-           before // 512 AS pack_id, before % 512 AS pack_offset
+           (before // 512)::BIGINT AS pack_id,
+           (before % 512)::BIGINT AS pack_offset
     FROM w
     """,
 )

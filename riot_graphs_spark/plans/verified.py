@@ -40,7 +40,30 @@ _ROUND_1 = [
     "q1_pricing_summary", "corpus_select", "g1_rollup_totals",
 ]
 
-DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1)
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r02.json.
+#: ``pack_sequences`` was the round's one red row (hash mismatch) and is
+#: deliberately absent so it re-enters the r03 window at the head.
+_ROUND_2 = [
+    "embed_neardup_pairs", "embed_neardup_clusters", "profile_orders",
+    "pii_redact", "contamination_check", "cap_per_source",
+    "sample_stratified", "mixture_weights", "q3_shipping_priority",
+    "snapshot_diff_orders", "pivot_source_lang", "quality_deciles",
+    "j5_range_join_ship_week", "q5_regional_revenue", "q6_forecast_revenue",
+    "q18_large_orders", "corr_max_acctbal_per_nation", "setop_order_returns",
+    "hist_order_totalprice", "dedup_cc_clusters", "dedup_cc_clusters_star",
+    "boilerplate_removal", "mm_audio_windows", "text_repetition",
+    "text_gopher_flags", "q4_order_priority", "q10_returned_customers",
+    "q14_promo_revenue", "q19_disjunctive", "q7_nation_volume",
+    "q16_supplier_counts", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q11_part_value_share", "q12_late_shipments",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_qty_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    "ts_moving_average", "ts_cumulative_sum", "ts_derivative_rate",
+    "ts_elapsed", "ts_integral_daily", "ts_time_weighted_avg",
+    "ts_spread_stats",
+]
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1 + _ROUND_2)
 
 
 def rotation_order(

@@ -351,3 +351,43 @@ def test_influxql_time_filter_reaches_scan(spark):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
     assert re.search(r"PushedFilters:.*LessThan\(ts", plan)
     assert shuffle_count(plan) == 1  # one bucketed partial agg
+
+
+def test_ngram_jaccard_has_no_per_doc_broadcast(spark):
+    """The per-doc shingle count must ride the exploded rows through the
+    shingle join — never come back as a join against a doc-keyed side
+    table, and NEVER as a broadcast of one (corpus-cardinality broadcast
+    OOMs the driver at scale; VERDICT r02 'What's wrong' #2)."""
+    plan = formatted_plan(spark, "dedup_ngram_jaccard")
+    # exactly one join in the whole plan: the shingle self-join (it MAY be
+    # size-based-broadcast at test scale — Catalyst's stats call, which
+    # flips to SMJ at real scale; a hint would not)
+    assert (
+        len(
+            re.findall(
+                r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                plan,
+            )
+        )
+        == 1
+    )
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    logical = str(
+        QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)._jdf.queryExecution().analyzed()
+    )
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_repeated_span_ranges_gate_is_aggregate_not_window(spark):
+    """The ≥min_docs fingerprint gate must be a partial-aggregable
+    count(distinct doc) + semi-join, not dense_rank over
+    partitionBy(fingerprint): a ubiquitous boilerplate k-gram would land
+    every occurrence in ONE window sort task, and AQE can split a skewed
+    join but never a window (VERDICT r02 'What's wrong' #3)."""
+    plan = formatted_plan(spark, "repeated_span_ranges")
+    assert "LeftSemi" in plan
+    assert "partial_count(distinct" in plan
+    # the only Window stages left are the doc-keyed island merge
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "fingerprint" not in m.group(1)
