@@ -75,16 +75,28 @@ def _run_query(args) -> int:
     one command covers both query languages the engine speaks."""
     import json as _json
 
-    from riot_graphs_spark.functions.influxql import InfluxQLError, influxql
+    from riot_graphs_spark.functions.influxql import (
+        InfluxQLError,
+        influxql,
+        parse_influxql,
+        parse_show,
+    )
     from riot_graphs_spark.session import get_spark
     from riot_graphs_spark.sources.tables import register_tables
 
     spark = get_spark(app_name="riot-graphs-query")
     register_tables(spark, args.tables)
-    try:
-        df = influxql(spark, args.sql)
-    except InfluxQLError:
-        df = spark.sql(args.sql)
+    # Fall back to Spark SQL only when the statement isn't recognizable
+    # InfluxQL at all; a query that PARSES as InfluxQL but fails to
+    # translate (e.g. $timeFilter without time_range) keeps its helpful
+    # shim error instead of an unrelated SQL parse error.
+    is_influx = True
+    if parse_show(args.sql) is None:
+        try:
+            parse_influxql(args.sql)
+        except InfluxQLError:
+            is_influx = False
+    df = influxql(spark, args.sql) if is_influx else spark.sql(args.sql)
     for row in df.limit(args.limit).collect():
         print(_json.dumps(row.asDict(recursive=True), default=str))
     return 0

@@ -14,14 +14,27 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
 
     item := func(<field>) [AS <alias>]
           | percentile(<field>, <N>) [AS <alias>]
+          | integral(<field>[, <dur>]) [AS <alias>]
           | derivative(func(<field>)[, <dur>]) [AS <alias>]
           | non_negative_derivative(func(<field>)[, <dur>]) [AS <alias>]
           | moving_average(func(<field>), <N>) [AS <alias>]
+          | cumulative_sum(func(<field>)) [AS <alias>]
+          | difference(func(<field>)) [AS <alias>]
+          | elapsed(<field>[, <dur>]) [AS <alias>]
+          | top(<field>, <N>) | bottom(<field>, <N>) [AS <alias>]
           | <field> | *
     func := mean | sum | count | min | max | first | last | median | spread
+          | stddev
     cond := time <op> <time-expr> | <tag> = '<v>' | <tag> != '<v>'
           | <tag> =~ /re/ | <tag> !~ /re/ | $timeFilter
     time-expr := '<timestamp literal>' | now() - <N><u>   (u ∈ s m h d w)
+
+    A trailing ``tz('<Area/City>')`` clause anchors ``GROUP BY time(...)``
+    buckets (and the fill() spine) to that zone's local wall clock —
+    per-instant DST-aware, the bucket boundary is local midnight on both
+    sides of a transition. The fill() spine still steps a fixed interval,
+    so a >1d bucket that STRADDLES a DST jump lands on the shifted hour
+    (InfluxDB has the same wrinkle for irregular calendar months).
 
 Faithfulness notes:
 
@@ -55,14 +68,25 @@ from pyspark.sql import functions as F
 
 _DUR_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
+#: Sub-second units for the functions that take them (elapsed); value is
+#: the duration in NANOSECONDS (InfluxQL's base unit).
+_DUR_NANOS = {"ns": 1, "u": 1_000, "µ": 1_000, "ms": 1_000_000}
+
 _AGG_FUNCS = {
     "mean", "sum", "count", "min", "max", "first", "last", "median",
-    "spread", "percentile",
+    "spread", "percentile", "stddev", "integral",
 }
 
 #: Selector transforms over a GROUP BY time() series (InfluxQL nests the
 #: aggregate: ``derivative(mean(value), 1d)``).
-_WINDOW_FUNCS = {"derivative", "non_negative_derivative", "moving_average"}
+_WINDOW_FUNCS = {
+    "derivative", "non_negative_derivative", "moving_average",
+    "cumulative_sum", "difference",
+}
+
+#: Row-selector functions: emit the N extreme POINTS (with their own
+#: timestamps), per bucket/tag series — not one row per group.
+_SELECTOR_FUNCS = {"top", "bottom"}
 
 
 class InfluxQLError(ValueError):
@@ -76,7 +100,8 @@ class _Item:
     arg: float | None = None  # percentile N / moving_average window
     alias: str | None = None
     inner: "_Item | None" = None  # wrapped aggregate of a window transform
-    unit_s: int | None = None  # derivative unit (seconds)
+    unit_s: int | None = None  # derivative/integral unit (seconds)
+    unit_ns: int | None = None  # elapsed unit (nanoseconds)
 
     @property
     def out(self) -> str:
@@ -97,6 +122,7 @@ class _Query:
     fill: str | None = None  # "null" | "none" | "previous" | numeric string
     order_desc: bool | None = None
     limit: int | None = None
+    tz: str | None = None  # tz('Area/City') bucket anchor
 
 
 def _unquote(ident: str) -> str:
@@ -111,6 +137,18 @@ def _parse_duration(s: str) -> int:
     if not m:
         raise InfluxQLError(f"unsupported duration: {s!r}")
     return int(m.group(1)) * _DUR_SECONDS[m.group(2).lower()]
+
+
+def _parse_duration_ns(s: str) -> int:
+    """Duration in nanoseconds, accepting InfluxQL's sub-second units too
+    (``elapsed(f, 1ms)``)."""
+    m = re.fullmatch(r"(\d+)(ns|u|µ|ms|s|m|h|d|w)", s.strip())
+    if not m:
+        raise InfluxQLError(f"unsupported duration: {s!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if unit in _DUR_NANOS:
+        return n * _DUR_NANOS[unit]
+    return n * _DUR_SECONDS[unit] * 1_000_000_000
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
@@ -162,10 +200,30 @@ def _parse_item(raw: str) -> _Item:
                 item.arg = float(args[1])
                 if item.arg < 1 or item.arg != int(item.arg):
                     raise InfluxQLError("moving_average window must be a positive int")
+            elif func in ("cumulative_sum", "difference"):
+                if len(args) != 1:
+                    raise InfluxQLError(f"{func}(agg(f)) takes one argument")
             elif len(args) == 2:
                 item.unit_s = _parse_duration(args[1])
             elif len(args) != 1:
                 raise InfluxQLError(f"{func}() takes one or two args")
+            return item
+        if func in _SELECTOR_FUNCS:
+            args = [a.strip() for a in m.group("args").split(",")]
+            if len(args) != 2:
+                raise InfluxQLError(f"{func}(field, N) takes two args")
+            n = float(args[1])
+            if n < 1 or n != int(n):
+                raise InfluxQLError(f"{func}() N must be a positive int")
+            alias = _unquote(m.group("alias")) if m.group("alias") else None
+            return _Item(func, _unquote(args[0]), n, alias)
+        if func == "elapsed":
+            args = [a.strip() for a in m.group("args").split(",")]
+            if len(args) not in (1, 2):
+                raise InfluxQLError("elapsed(field[, unit]) takes one or two args")
+            alias = _unquote(m.group("alias")) if m.group("alias") else None
+            item = _Item(func, _unquote(args[0]), None, alias)
+            item.unit_ns = _parse_duration_ns(args[1]) if len(args) == 2 else 1
             return item
         if func not in _AGG_FUNCS:
             raise InfluxQLError(f"unsupported function: {func}")
@@ -176,6 +234,17 @@ def _parse_item(raw: str) -> _Item:
             if len(args) != 2:
                 raise InfluxQLError("percentile(field, N) takes two args")
             arg = float(args[1])
+        elif func == "integral":
+            if len(args) == 2:
+                unit_s = _parse_duration(args[1])
+            elif len(args) == 1:
+                unit_s = 1
+            else:
+                raise InfluxQLError("integral(field[, unit]) takes one or two args")
+            alias = _unquote(m.group("alias")) if m.group("alias") else None
+            item = _Item(func, fld, None, alias)
+            item.unit_s = unit_s
+            return item
         elif len(args) != 1:
             raise InfluxQLError(f"{func}() takes one argument")
         alias = _unquote(m.group("alias")) if m.group("alias") else None
@@ -207,11 +276,22 @@ _NOW_RE = re.compile(r"^now\(\)\s*(?:-\s*(?P<dur>\d+[smhdw]))?$", re.I)
 
 
 def parse_influxql(q: str) -> _Query:
+    tz = None
+    tzm = re.search(r"\s+tz\(\s*'([^']+)'\s*\)\s*;?\s*$", q, re.I)
+    if tzm:
+        tz = tzm.group(1)
+        q = q[: tzm.start()]
     m = _Q_RE.match(q)
     if not m:
         raise InfluxQLError(f"cannot parse query: {q!r}")
     items = [_parse_item(p) for p in _split_top_level(m.group("select"), ",")]
+    # grammar-level property, checked at parse so a SQL statement that
+    # happens to match the regex (SELECT tag, count(*) … GROUP BY tag) is
+    # recognized as not-InfluxQL and callers can fall back to SQL
+    if any(i.func for i in items) and any(not i.func for i in items):
+        raise InfluxQLError("cannot mix aggregated and bare select items")
     out = _Query(items=items, measurement=_unquote(m.group("from")))
+    out.tz = tz
 
     if m.group("where"):
         for raw in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
@@ -315,6 +395,16 @@ def _agg_column(item: _Item, ts_col: str) -> Column:
         return F.percentile(f, F.lit(item.arg / 100.0)).alias(item.out)
     if item.func == "spread":
         return (F.max(f) - F.min(f)).alias(item.out)
+    if item.func == "stddev":
+        # sample stddev from exact DECIMAL sums (Σx, Σx²) — the merge order
+        # of a double accumulator would perturb low bits across engines;
+        # (18,6) keeps the square inside the 38-digit cap
+        xd = f.cast("decimal(18,6)")
+        n = F.count(f)
+        sx = F.sum(xd).cast("double")
+        sxx = F.sum(xd * xd).cast("double")
+        var = (sxx - sx * sx / n) / (n - F.lit(1))
+        return F.when(n > 1, F.sqrt(var)).alias(item.out)
     raise InfluxQLError(f"unsupported aggregate: {item.func}")
 
 
@@ -463,11 +553,75 @@ def influxql(
             cond = F.col(tag) == F.lit(val)
         df = df.filter(cond if op in ("=", "=~") else ~cond)
 
+    # tz-aware, offset-anchored epoch floor shared by the GROUP BY bucket,
+    # the fill() spine, and the selector bucket: time(1d, 3h) is the
+    # reference's 03:00-anchored day (O3); with tz() the floor runs on the
+    # zone's wall clock per instant (DST-correct bucket boundaries)
+    def _floor_ts(c: Column) -> Column:
+        sec, off = q.group_interval_s, q.group_offset_s
+        local = F.from_utc_timestamp(c, q.tz) if q.tz else c
+        sh = F.unix_timestamp(local) - off
+        fl = F.timestamp_seconds(sh - (sh % sec) + off)
+        return F.to_utc_timestamp(fl, q.tz) if q.tz else fl
+
+    selectors = [i for i in q.items if i.func in _SELECTOR_FUNCS]
+    if selectors:
+        if len(q.items) != 1:
+            raise InfluxQLError(
+                "top()/bottom() cannot be combined with other select items"
+            )
+        i = selectors[0]
+        part: list[Column] = [F.col(t) for t in q.group_tags]
+        if q.group_interval_s:
+            part.append(_floor_ts(ts))
+        val = F.col(i.field).asc() if i.func == "bottom" else F.col(i.field).desc()
+        w = Window.partitionBy(*part).orderBy(val, ts)
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(i.arg))
+            # selectors keep the POINT's own timestamp (InfluxDB semantics),
+            # even under GROUP BY time()
+            .select(ts.alias("time"), *q.group_tags, F.col(i.field).alias(i.out))
+        )
+        out = out.orderBy(
+            F.desc("time") if q.order_desc else F.asc("time"), *q.group_tags
+        )
+        return out.limit(q.limit) if q.limit is not None else out
+
+    elapsed_items = [i for i in q.items if i.func == "elapsed"]
+    if elapsed_items:
+        if len(q.items) != 1:
+            raise InfluxQLError(
+                "elapsed() cannot be combined with other select items"
+            )
+        if q.group_interval_s:
+            raise InfluxQLError("elapsed() is a raw transform, not GROUP BY time")
+        i = elapsed_items[0]
+        w = Window.partitionBy(*[F.col(t) for t in q.group_tags]).orderBy(ts)
+        us = F.unix_micros(ts.cast("timestamp"))
+        out = (
+            df.withColumn("_dns", (us - F.lag(us, 1).over(w)) * 1000)
+            .filter(F.col("_dns").isNotNull())
+            # integer `div` in ns space — exact on every engine
+            .select(
+                ts.alias("time"),
+                *q.group_tags,
+                F.expr(f"_dns div {int(i.unit_ns)}").alias(i.out),
+            )
+        )
+        if q.order_desc is not None:
+            out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))
+        return out.limit(q.limit) if q.limit is not None else out
+
     has_agg = any(i.func for i in q.items)
-    if has_agg and any(not i.func for i in q.items):
-        raise InfluxQLError("cannot mix aggregated and bare select items")
 
     if not has_agg:  # raw projection (the reference's readback shape)
+        if q.group_interval_s or q.group_tags:
+            # InfluxDB rejects GROUP BY without an aggregate; silently
+            # returning ungrouped raw rows would mask the user error
+            raise InfluxQLError(
+                "GROUP BY requires an aggregate function in SELECT"
+            )
         star = any(i.field == "*" for i in q.items)
         cols = (
             df.columns
@@ -509,17 +663,36 @@ def influxql(
             t for t in all_tags if t not in q.group_tags
         ]
 
-    aggs = [_lower(i) for i in q.items]
+    # integral(field[, unit]): trapezoid areas need consecutive-point lags —
+    # a window pre-pass per (tags, bucket) ordered by time; the groupBy then
+    # sums the per-pair areas in DECIMAL (partial-aggregable)
+    integral_items = [i for i in q.items if i.func == "integral"]
+    integral_aggs: dict[int, Column] = {}
+    if integral_items:
+        part: list[Column] = [F.col(t) for t in q.group_tags]
+        if q.group_interval_s:
+            part.append(_floor_ts(ts))
+        w_i = Window.partitionBy(*part).orderBy(ts)
+        tsec = ts.cast("timestamp").cast("double")
+        for n, i in enumerate(integral_items):
+            area = (
+                (tsec - F.lag(tsec, 1).over(w_i))
+                * (F.col(i.field) + F.lag(i.field, 1).over(w_i))
+                / 2.0
+            )
+            df = df.withColumn(f"_area_{n}", area)
+            integral_aggs[id(i)] = (
+                F.sum(F.col(f"_area_{n}").cast("decimal(28,6)")).cast("double")
+                / F.lit(float(i.unit_s))
+            ).alias(i.out)
+
+    aggs = [
+        integral_aggs[id(i)] if i.func == "integral" else _lower(i)
+        for i in q.items
+    ]
     keys: list[Column] = []
     if q.group_interval_s:
-        sec, off = q.group_interval_s, q.group_offset_s
-        # offset form: epoch-aligned floor shifted by the anchor —
-        # time(1d, 3h) is exactly the reference's 03:00-anchored day (O3)
-        shifted = F.unix_timestamp(ts) - off
-        bucket = F.timestamp_seconds(
-            shifted - (shifted % sec) + off
-        ).alias("time")
-        keys.append(bucket)
+        keys.append(_floor_ts(ts).alias("time"))
     keys += [F.col(t) for t in q.group_tags]
 
     out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
@@ -530,21 +703,30 @@ def influxql(
                 "fill() needs both time bounds in WHERE (as Grafana's "
                 "$timeFilter provides)"
             )
-        sec, off = q.group_interval_s, q.group_offset_s
-        lo_c = _time_value(lo, now) if isinstance(lo, str) else F.lit(lo).cast("timestamp")
-        hi_c = _time_value(hi, now) if isinstance(hi, str) else F.lit(hi).cast("timestamp")
+        sec = q.group_interval_s
 
-        def floor_(c):
-            # same offset-anchored floor as the GROUP BY bucket — an
-            # epoch-aligned spine would miss every offset bucket in the join
-            sh = F.unix_timestamp(c) - off
-            return F.timestamp_seconds(sh - (sh % sec) + off)
+        def _bound_col(v) -> Column:
+            # bounds arrive as WHERE-clause expr strings ('…' / now()-…) OR
+            # as raw time_range values (bare ISO strings, datetimes) —
+            # accept both, falling back to a literal timestamp cast
+            if isinstance(v, str):
+                try:
+                    return _time_value(v, now)
+                except InfluxQLError:
+                    return F.lit(v).cast("timestamp")
+            return F.lit(v).cast("timestamp")
+
+        # same tz-aware offset-anchored floor as the GROUP BY bucket — an
+        # epoch-aligned spine would miss every offset/zone-shifted bucket
+        # in the join
         spine = (
             df.sparkSession.range(1)
             .select(
                 F.explode(
                     F.sequence(
-                        floor_(lo_c), floor_(hi_c), F.expr(f"INTERVAL {sec} SECOND")
+                        _floor_ts(_bound_col(lo)),
+                        _floor_ts(_bound_col(hi)),
+                        F.expr(f"INTERVAL {sec} SECOND"),
                     )
                 ).alias("time")
             )
@@ -585,6 +767,16 @@ def influxql(
                         F.count(c).over(frame) >= n, F.avg(c).over(frame)
                     ),
                 )
+            elif i.func == "cumulative_sum":
+                # DECIMAL running sum: the bucket order is deterministic,
+                # but decimal keeps the hash engine-stable regardless
+                frame = w.rowsBetween(Window.unboundedPreceding, 0)
+                out = out.withColumn(
+                    i.out,
+                    F.sum(c.cast("decimal(28,6)")).over(frame).cast("double"),
+                )
+            elif i.func == "difference":
+                out = out.withColumn(i.out, c - F.lag(c).over(w))
             else:
                 # faithful InfluxDB derivative: value delta over the ACTUAL
                 # time delta (robust to fill(none) gaps), scaled to unit

@@ -5546,6 +5546,183 @@ def influxql_daily_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "influxql_cumulative_sum",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+             sum(CAST(value AS DECIMAL(27,6)))::DOUBLE AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time, event_type,
+           CAST(sum(CAST(s AS DECIMAL(28,6))) OVER (
+             PARTITION BY event_type ORDER BY time
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cs
+    FROM b
+    """,
+)
+def influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``cumulative_sum(sum(value))`` through the shim — running
+    total of daily bucket sums per tag (the 'total bytes flashed to date'
+    dashboard panel). DECIMAL at both hops keeps the hash engine-stable."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT cumulative_sum(sum(value)) AS cs FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+
+
+@_q(
+    "influxql_difference",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+             count(value)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT time, event_type,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY time) AS d
+      FROM b
+    )
+    SELECT time, event_type, d FROM d WHERE d IS NOT NULL
+    """,
+)
+def influxql_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``difference(count(value))`` through the shim — bucket-over-
+    bucket delta per tag, first bucket omitted (InfluxDB emits nothing for
+    it). Pure integer arithmetic."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT difference(count(value)) AS d FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+
+
+@_q(
+    "influxql_stddev_daily",
+    """
+    SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+           round(CASE WHEN count(value) > 1 THEN sqrt(
+             (CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value))
+             / (count(value) - 1)) END, 6) AS sd
+    FROM events GROUP BY 1, 2
+    """,
+)
+def influxql_stddev_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``stddev(value)`` through the shim, per day and tag —
+    sample stddev from exact DECIMAL (Σx, Σx²) so the distributed merge
+    order can't perturb bits; rounded 6dp on both sides (the final sqrt is
+    pure double and engines may differ in the last ulp)."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    out = influxql(
+        lambda _m: events,
+        "SELECT stddev(value) AS sd FROM events GROUP BY time(1d), event_type",
+    )
+    return out.withColumn("sd", F.round("sd", 6))
+
+
+@_q(
+    "influxql_tz_day",
+    """
+    SELECT TIMESTAMP '1970-01-01'
+             + (((epoch_us(ts::TIMESTAMP) // 1000000 + 19800) // 86400)
+                * 86400 - 19800) * INTERVAL 1 SECOND AS time,
+           count(value)::BIGINT AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def influxql_tz_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY time(1d) tz('+05:30')`` — day buckets anchored to the
+    zone's local midnight (18:30 UTC), the Grafana timezone-shifted
+    dashboard case VERDICT r02 flagged. Fixed-offset zone so the oracle is
+    pure integer epoch arithmetic."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) tz('+05:30')",
+    )
+
+
+@_q(
+    "influxql_top_points",
+    """
+    WITH s AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, max(value) AS value
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT ts AS time, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts) AS rn
+      FROM s
+    )
+    SELECT time, event_type, value AS top FROM r WHERE rn <= 3
+    """,
+)
+def influxql_top_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``top(value, 3)`` per tag — a row SELECTOR: the 3 extreme
+    POINTS with their own timestamps, not one row per group. Fed a series
+    deduplicated on (tag, ts) so the (value, ts) ordering is total and the
+    pick deterministic on every engine."""
+    from ..functions.influxql import influxql
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return influxql(
+        lambda _m: series,
+        "SELECT top(value, 3) FROM events GROUP BY event_type",
+    )
+
+
+@_q(
+    "influxql_elapsed",
+    """
+    WITH s AS (
+      SELECT event_type, ts::TIMESTAMP AS ts
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT ts AS time, event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY ts)) * 1000 AS dns
+      FROM s
+    )
+    SELECT time, event_type, dns // 1000000000 AS elapsed
+    FROM d WHERE dns IS NOT NULL
+    """,
+)
+def influxql_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``elapsed(value, 1s)`` per tag through the shim — integer
+    seconds between consecutive points (ns-space integer div, exact).
+    Deduplicated on (tag, ts) so the lag order is total."""
+    from ..functions.influxql import influxql
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return influxql(
+        lambda _m: series,
+        "SELECT elapsed(value, 1s) FROM events GROUP BY event_type",
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer-training pair counts
 # --------------------------------------------------------------------------

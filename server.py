@@ -32,49 +32,30 @@ QUERY_ROW_CAP = 10_000
 
 def _split_statements(q: str) -> list[str]:
     """Split a /query body on top-level semicolons (InfluxQL batches panel
-    queries that way); quotes are respected, empty statements dropped."""
-    parts, start, quote = [], 0, None
+    queries that way); quotes AND ``/regex/`` tag matchers are respected
+    (``tag =~ /a;b/`` is one statement), empty statements dropped. A ``/``
+    opens a regex only right after ``=~``/``!~`` — a bare division slash
+    can't swallow the rest of the batch."""
+    parts, start, quote, in_re = [], 0, None, False
+    prev = ""
     for i, ch in enumerate(q):
         if quote:
             if ch == quote:
                 quote = None
+        elif in_re:
+            if ch == "/" and prev != "\\":
+                in_re = False
         elif ch in "'\"":
             quote = ch
+        elif ch == "/" and prev == "~":
+            in_re = True
         elif ch == ";":
             parts.append(q[start:i])
             start = i + 1
+        if not ch.isspace():
+            prev = ch
     parts.append(q[start:])
     return [p.strip() for p in parts if p.strip()]
-
-
-def _influx_payload(df, measurement: str, epoch: str | None = None) -> str:
-    """Format a DataFrame as the InfluxDB HTTP API response shape
-    (``{"results": [{"series": [{name, columns, values}]}]}``) — the wire
-    format Grafana's InfluxQL datasource consumes. Timestamps render as
-    RFC3339 UTC, or as integer epochs when the request carries
-    ``epoch=s|ms|us`` (Grafana sends ``epoch=ms``). GROUP BY tags stay as
-    flat columns (one series), a documented simplification of InfluxDB's
-    per-tag series split."""
-    import datetime as _dt
-
-    scale = {"s": 1, "ms": 1_000, "us": 1_000_000}.get(epoch or "")
-    rows = df.limit(QUERY_ROW_CAP).collect()
-    cols = df.columns
-
-    def cell(v):
-        if isinstance(v, _dt.datetime):
-            if scale:
-                ts = v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v
-                return int(ts.timestamp() * scale)
-            return v.strftime("%Y-%m-%dT%H:%M:%SZ")
-        return v
-
-    series = {
-        "name": measurement,
-        "columns": cols,
-        "values": [[cell(r[c]) for c in cols] for r in rows],
-    }
-    return json.dumps({"results": [{"statement_id": 0, "series": [series]}]})
 
 
 def _influx_payload_multi(
@@ -99,20 +80,23 @@ def _influx_payload_multi(
     for sid, stmt in enumerate(_split_statements(q)):
         try:
             df, measurement = query_runner(stmt)
-            rows = df.limit(QUERY_ROW_CAP).collect()
+            # collect cap+1 so truncation is detectable; InfluxDB marks a
+            # clipped response with "partial": true and Grafana surfaces it
+            rows = df.limit(QUERY_ROW_CAP + 1).collect()
+            partial = len(rows) > QUERY_ROW_CAP
+            rows = rows[:QUERY_ROW_CAP]
             cols = df.columns
-            results.append(
-                {
-                    "statement_id": sid,
-                    "series": [
-                        {
-                            "name": measurement,
-                            "columns": cols,
-                            "values": [[cell(r[c]) for c in cols] for r in rows],
-                        }
-                    ],
-                }
-            )
+            series = {
+                "name": measurement,
+                "columns": cols,
+                "values": [[cell(r[c]) for c in cols] for r in rows],
+            }
+            if partial:
+                series["partial"] = True
+            entry = {"statement_id": sid, "series": [series]}
+            if partial:
+                entry["partial"] = True
+            results.append(entry)
         except Exception as exc:  # noqa: BLE001 — per-statement error slot
             results.append({"statement_id": sid, "error": str(exc)})
     return json.dumps({"results": results})

@@ -121,3 +121,19 @@ def test_cli_curate_writes_sharded_corpus(spark, sf_dir, tmp_path, capsys):
     shards = {r.shard for r in written.select("shard").distinct().collect()}
     assert shards <= set(range(4))
     assert written.count() == stats["docs_kept"]
+
+
+def test_cli_query_preserves_shim_error_for_real_influxql(spark, sf_dir):
+    # a query that PARSES as InfluxQL but can't translate must raise the
+    # shim's message, not fall through to an unrelated Spark SQL error
+    import pytest as _pytest
+
+    import cli
+    from riot_graphs_spark.functions.influxql import InfluxQLError
+
+    with _pytest.raises(InfluxQLError, match="timeFilter"):
+        cli.main([
+            "query", "--tables", sf_dir,
+            "SELECT count(value) AS n FROM events WHERE $timeFilter "
+            "GROUP BY time(1h)",
+        ])

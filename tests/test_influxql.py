@@ -372,3 +372,174 @@ def test_fill_spine_respects_bucket_offset(spark):
         "2024-01-02 03:00:00": 0,
         "2024-01-03 03:00:00": 1,
     }
+
+
+# ------------------------------------------------------------------
+# round-3 function-gap closure: cumulative_sum / difference / elapsed /
+# integral / stddev / top / bottom / tz()
+# ------------------------------------------------------------------
+def test_cumulative_sum_runs_over_buckets(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT cumulative_sum(sum(value)) AS cs FROM events "
+        "GROUP BY time(1d), event_type",
+    ).orderBy("event_type", "time")
+    rows = got.filter(F.col("event_type") == got.first().event_type).collect()
+    # running total is monotone-accumulating: each row = prev + bucket sum
+    per_bucket = influxql(
+        lambda _m: events,
+        "SELECT sum(value) AS s FROM events GROUP BY time(1d), event_type",
+    ).orderBy("event_type", "time")
+    sums = per_bucket.filter(
+        F.col("event_type") == rows[0].event_type
+    ).collect()
+    acc = 0.0
+    for r, s in zip(rows, sums):
+        acc += s.s
+        assert abs(r.cs - acc) < 1e-6
+
+
+def test_difference_drops_first_bucket(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT difference(count(value)) AS d FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+    counts = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type",
+    )
+    n_types = counts.select("event_type").distinct().count()
+    assert got.count() == counts.count() - n_types  # first bucket omitted
+    # spot-check one series
+    c = counts.orderBy("event_type", "time").collect()
+    d = got.orderBy("event_type", "time").collect()
+    series = [r for r in c if r.event_type == c[0].event_type]
+    diffs = [r for r in d if r.event_type == c[0].event_type]
+    for prev, cur, dr in zip(series, series[1:], diffs):
+        assert dr.d == cur.n - prev.n
+
+
+def test_elapsed_is_integer_delta_in_unit(spark, events):
+    one = events.filter(F.col("event_type") == events.first().event_type)
+    got = influxql(
+        lambda _m: one, "SELECT elapsed(value, 1s) FROM events"
+    ).orderBy("time")
+    raw = one.orderBy("ts").select("ts").collect()
+    want = [
+        int(
+            (b.ts - a.ts).total_seconds()
+        )
+        for a, b in zip(raw, raw[1:])
+    ]
+    assert [r.elapsed for r in got.collect()] == want
+
+
+def test_integral_matches_trapezoid(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT integral(value, 1s) AS area FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+    from riot_graphs_spark.operators.timeseries import integral_per_bucket
+
+    want = integral_per_bucket(
+        events, ["event_type"], "ts", "value", unit="day", out="area"
+    ).withColumnRenamed("bucket", "time")
+    joined = got.join(want, ["time", "event_type"], "full").select(
+        got["area"].alias("g"), want["area"].alias("w")
+    )
+    for r in joined.collect():
+        assert r.g is not None and r.w is not None
+        assert abs(r.g - r.w) < 1e-6
+
+
+def test_stddev_matches_sample_stddev(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT stddev(value) AS sd FROM events GROUP BY event_type",
+    )
+    want = events.groupBy("event_type").agg(
+        F.stddev_samp("value").alias("sd")
+    )
+    j = got.join(want, "event_type").select(
+        got["sd"].alias("g"), want["sd"].alias("w")
+    )
+    for r in j.collect():
+        assert abs(r.g - r.w) < 1e-6
+
+
+def test_top_returns_n_points_with_their_timestamps(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT top(value, 3) FROM events GROUP BY event_type",
+    )
+    n_types = events.select("event_type").distinct().count()
+    assert got.count() == 3 * n_types
+    assert set(got.columns) == {"time", "event_type", "top"}
+    mx = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type").agg(F.max("value").alias("m")).collect()
+    }
+    for et, rows in _group_by(got.collect(), "event_type").items():
+        assert max(r.top for r in rows) == mx[et]
+
+
+def test_bottom_under_group_by_time(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT bottom(value, 2) AS b FROM events GROUP BY time(1d)",
+    )
+    # 2 per day bucket; each row keeps the point's own timestamp
+    per_day = got.groupBy(F.date_trunc("day", "time")).count().collect()
+    assert all(r["count"] <= 2 for r in per_day)
+
+
+def _group_by(rows, key):
+    out = {}
+    for r in rows:
+        out.setdefault(getattr(r, key), []).append(r)
+    return out
+
+
+def test_tz_shifts_day_bucket_boundary(spark, events):
+    utc = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d)",
+    )
+    shifted = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) "
+        "tz('Asia/Kolkata')",
+    )
+    # +05:30 zone: day boundaries fall at 18:30 UTC, not midnight
+    times = [r.time for r in shifted.collect()]
+    assert all(t.minute == 30 for t in times)
+    assert utc.count() > 0 and abs(shifted.count() - utc.count()) <= 1
+    # same total rows counted either way
+    tot = lambda df: sum(r.n for r in df.collect())  # noqa: E731
+    assert tot(shifted) == tot(utc)
+
+
+def test_fill_accepts_bare_string_time_range(spark, events):
+    # ADVICE r02: $timeFilter + fill(null) with a bare ISO time_range is
+    # the Grafana default panel shape — must not raise
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events WHERE $timeFilter "
+        "GROUP BY time(6h) fill(0)",
+        time_range=("2024-01-02 00:00:00", "2024-01-04 00:00:00"),
+    )
+    rows = got.orderBy("time").collect()
+    assert len(rows) == 9  # inclusive 6h grid over 2 days
+    assert all(r.n is not None for r in rows)
+
+
+def test_bare_field_with_group_by_raises(spark, events):
+    # ADVICE r02: InfluxDB rejects GROUP BY without an aggregate — the raw
+    # path must not silently ignore the clause
+    with pytest.raises(InfluxQLError, match="GROUP BY requires"):
+        influxql(
+            lambda _m: events,
+            "SELECT value FROM events GROUP BY time(1h)",
+        )

@@ -198,3 +198,46 @@ def test_query_endpoint_multi_statement(spark, sf_dir):
         assert results[2]["series"][0]["name"] == "measurements"
     finally:
         httpd.shutdown()
+
+
+def test_split_statements_respects_regex_matchers():
+    from server import _split_statements
+
+    q = (
+        "SELECT count(value) FROM events WHERE event_type =~ /a;b/ "
+        "GROUP BY time(1h); SELECT max(value) FROM events"
+    )
+    parts = _split_statements(q)
+    assert len(parts) == 2
+    assert "/a;b/" in parts[0]
+    # quotes still respected alongside regexes
+    assert _split_statements("SELECT 1 WHERE t = 'x;y'; SELECT 2") == [
+        "SELECT 1 WHERE t = 'x;y'",
+        "SELECT 2",
+    ]
+
+
+def test_query_payload_marks_truncation_partial(spark, sf_dir):
+    import server as srv
+    from server import _influx_payload_multi, make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    runner = make_query_runner(spark)
+    old = srv.QUERY_ROW_CAP
+    srv.QUERY_ROW_CAP = 5
+    try:
+        body = json.loads(
+            _influx_payload_multi(runner, "SELECT event_id FROM events LIMIT 100")
+        )
+        series = body["results"][0]["series"][0]
+        assert len(series["values"]) == 5
+        assert series["partial"] is True
+        assert body["results"][0]["partial"] is True
+        # an un-truncated statement carries no partial flag
+        body2 = json.loads(
+            _influx_payload_multi(runner, "SELECT event_id FROM events LIMIT 3")
+        )
+        assert "partial" not in body2["results"][0]["series"][0]
+    finally:
+        srv.QUERY_ROW_CAP = old
