@@ -163,6 +163,12 @@ HEADLINE = [
     "lang_id_confusion",
     "supplier_scorecard",
     "decontaminated_corpus",
+    "influxql_cumulative_sum",
+    "influxql_difference",
+    "influxql_stddev_daily",
+    "influxql_tz_day",
+    "influxql_top_points",
+    "influxql_elapsed",
 ]
 
 

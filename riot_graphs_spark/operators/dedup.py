@@ -949,7 +949,14 @@ def repeated_span_ranges(
     gaps-and-islands window form over (doc, start) — doc-keyed, skew-free."""
     from pyspark.sql import Window
 
-    fpp = winnow_fingerprint_positions(docs, id_col, text_col, k=k, w=w)
+    # Both the gate agg and the probe side consume the winnowed positions;
+    # without a materialization barrier Spark would run the (CPU-heavy)
+    # winnowing twice — measured 1.75× slower at sf0.1. Lazy localCheckpoint
+    # computes it once and serves both branches from executor-local blocks
+    # (memory+disk), the same pattern the CC star rounds use.
+    fpp = winnow_fingerprint_positions(
+        docs, id_col, text_col, k=k, w=w
+    ).localCheckpoint(eager=False)
     hot = (
         fpp.groupBy("fingerprint")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
