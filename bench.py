@@ -169,6 +169,8 @@ HEADLINE = [
     "influxql_tz_day",
     "influxql_top_points",
     "influxql_elapsed",
+    "influxql_fill_linear",
+    "influxql_subquery",
 ]
 
 

@@ -7,9 +7,10 @@ their dashboard queries at the Spark engine unchanged.
 Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
 ``'string'`` single quotes)::
 
-    SELECT <item> [, <item> ...] FROM <measurement>
+    SELECT <item> [, <item> ...] FROM <measurement> | (<subquery>)
       [WHERE <cond> [AND <cond>] ...]
-      [GROUP BY time(<dur>)[, <tag> ...] [fill(null|none|previous|<number>)]]
+      [GROUP BY time(<dur>)[, <tag> ...]
+        [fill(null|none|previous|linear|<number>)]]
       [ORDER BY time [ASC|DESC]] [LIMIT <n>]
 
     item := func(<field>) [AS <alias>]
@@ -123,6 +124,7 @@ class _Query:
     order_desc: bool | None = None
     limit: int | None = None
     tz: str | None = None  # tz('Area/City') bucket anchor
+    subquery: str | None = None  # FROM (SELECT …) inner query text
 
 
 def _unquote(ident: str) -> str:
@@ -281,6 +283,31 @@ def parse_influxql(q: str) -> _Query:
     if tzm:
         tz = tzm.group(1)
         q = q[: tzm.start()]
+    # FROM (SELECT …): lift the balanced-paren inner query out and parse
+    # the outer shell against a placeholder measurement; the inner text is
+    # compiled recursively at lowering time (nesting works the same way)
+    sub = None
+    fm = re.search(r"\bFROM\s*\(", q, re.I)
+    if fm:
+        depth, qch, end = 0, None, None
+        for j in range(fm.end() - 1, len(q)):
+            ch = q[j]
+            if qch:
+                if ch == qch:
+                    qch = None
+            elif ch in "'\"":
+                qch = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        if end is None:
+            raise InfluxQLError("unbalanced parentheses in FROM subquery")
+        sub = q[fm.end(): end].strip()
+        q = q[: fm.start()] + " FROM __subquery__ " + q[end + 1:]
     m = _Q_RE.match(q)
     if not m:
         raise InfluxQLError(f"cannot parse query: {q!r}")
@@ -292,6 +319,9 @@ def parse_influxql(q: str) -> _Query:
         raise InfluxQLError("cannot mix aggregated and bare select items")
     out = _Query(items=items, measurement=_unquote(m.group("from")))
     out.tz = tz
+    out.subquery = sub
+    if sub is not None:
+        parse_influxql(sub)  # recognition: inner text must itself parse
 
     if m.group("where"):
         for raw in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
@@ -496,7 +526,16 @@ def influxql(
         return _show(source, query, ts_col)
     q = parse_influxql(query)
 
-    if callable(getattr(source, "table", None)):  # SparkSession
+    if q.subquery is not None:
+        # compile the inner query against the same source (its own WHERE /
+        # $timeFilter / GROUP BY apply inside); the outer query reads the
+        # inner's output, whose time column is named "time" once bucketed
+        df = influxql(
+            source, q.subquery, ts_col=ts_col, now=now, time_range=time_range
+        )
+        if "time" in df.columns:
+            ts_col = "time"
+    elif callable(getattr(source, "table", None)):  # SparkSession
         df = source.table(q.measurement)
     elif callable(source) and not isinstance(source, DataFrame):
         df = source(q.measurement)
@@ -744,6 +783,32 @@ def influxql(
             )
             for c in value_cols:
                 out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        elif q.fill == "linear":
+            # InfluxDB fill(linear): interpolate interior gaps between the
+            # nearest observed buckets; leading/trailing gaps stay null.
+            # Two frames per series (prev/next anchor + its time), pure
+            # column math — same shape as the native gap_fill_linear (G3).
+            wp = (
+                Window.partitionBy(*q.group_tags)
+                .orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            wn = (
+                Window.partitionBy(*q.group_tags)
+                .orderBy("time")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            tsec = F.unix_timestamp(F.col("time"))
+            for c in value_cols:
+                t_obs = F.when(F.col(c).isNotNull(), tsec)
+                pv = F.last(c, ignorenulls=True).over(wp)
+                pt = F.last(t_obs, ignorenulls=True).over(wp)
+                nv = F.first(c, ignorenulls=True).over(wn)
+                nt = F.first(t_obs, ignorenulls=True).over(wn)
+                interp = pv + (nv - pv) * (tsec - pt) / (nt - pt)
+                out = out.withColumn(
+                    c, F.coalesce(F.col(c), interp)
+                )
         elif q.fill != "null":
             try:
                 const = float(q.fill)

@@ -5658,6 +5658,89 @@ def influxql_tz_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "influxql_subquery",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts::TIMESTAMP) AS time, event_type,
+             max(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', time) AS time, event_type,
+           sum(CAST(mx AS DECIMAL(27,6)))::DOUBLE / count(mx) AS m
+    FROM h GROUP BY 1, 2
+    """,
+)
+def influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL subquery (``FROM (SELECT …)``) — daily mean of hourly
+    maxima, the canonical Grafana two-stage rollup panel. The inner query
+    compiles recursively; the outer reads its bucketed output."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT mean(mx) AS m FROM "
+        "(SELECT max(value) AS mx FROM events GROUP BY time(1h), event_type) "
+        "GROUP BY time(1d), event_type",
+    )
+
+
+@_q(
+    "influxql_fill_linear",
+    """
+    WITH src AS (
+      SELECT ts::TIMESTAMP AS ts, value FROM events
+      WHERE value > 280
+        AND ts::TIMESTAMP >= '2024-01-02 00:00:00'
+        AND ts::TIMESTAMP <= '2024-01-09 00:00:00'
+    ), b AS (
+      SELECT date_trunc('hour', ts) AS time,
+             sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value) AS m
+      FROM src GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                    TIMESTAMP '2024-01-09 00:00:00',
+                                    INTERVAL 1 HOUR)) AS time
+    ), j AS (
+      SELECT s.time, b.m,
+             last_value(b.m IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN b.m IS NOT NULL THEN epoch(s.time) END
+                        IGNORE NULLS) OVER wb AS pt,
+             first_value(b.m IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN b.m IS NOT NULL THEN epoch(s.time) END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM spine s LEFT JOIN b USING (time)
+      WINDOW wb AS (ORDER BY s.time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY s.time
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT time,
+           CASE WHEN m IS NOT NULL THEN m
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (epoch(time) - pt) / (nt - pt)
+           END AS m
+    FROM j
+    """,
+)
+def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB ``fill(linear)`` through the shim over a sparse series
+    (rare high-value events): interior gaps interpolate between the
+    neighboring observed buckets, leading/trailing gaps stay null. The
+    interpolation double-expression tree is written identically on both
+    engines so the hash matches bit-for-bit."""
+    from ..functions.influxql import influxql
+
+    sparse = _t(spark, sf_dir, "events").filter(F.col("value") > 280)
+    return influxql(
+        lambda _m: sparse,
+        "SELECT mean(value) AS m FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time <= '2024-01-09 00:00:00' "
+        "GROUP BY time(1h) fill(linear)",
+    )
+
+
+@_q(
     "influxql_top_points",
     """
     WITH s AS (

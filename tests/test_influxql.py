@@ -543,3 +543,64 @@ def test_bare_field_with_group_by_raises(spark, events):
             lambda _m: events,
             "SELECT value FROM events GROUP BY time(1h)",
         )
+
+
+def test_fill_linear_interpolates_interior_gaps(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        (dt.datetime(2024, 1, 1, 3, 0), 40.0),  # 1h and 2h buckets missing
+        (dt.datetime(2024, 1, 1, 5, 0), 60.0),  # 4h missing
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = influxql(
+        lambda _m: df,
+        "SELECT mean(value) AS m FROM m WHERE "
+        "time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 06:00:00' "
+        "GROUP BY time(1h) fill(linear)",
+    ).orderBy("time")
+    vals = [r.m for r in got.collect()]
+    # linear between (0h,10) and (3h,40): 20, 30; between (3h,40)-(5h,60): 50
+    assert vals[:6] == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    # trailing bucket (6h) has no next anchor -> stays null
+    assert vals[6] is None
+
+
+def test_subquery_reaggregates_inner_buckets(spark, events):
+    got = influxql(
+        lambda _m: events,
+        'SELECT mean("mx") AS m FROM '
+        "(SELECT max(value) AS mx FROM events GROUP BY time(1h), event_type) "
+        "GROUP BY time(1d), event_type",
+    )
+    hourly = influxql(
+        lambda _m: events,
+        "SELECT max(value) AS mx FROM events GROUP BY time(1h), event_type",
+    )
+    want = influxql(
+        lambda _m: hourly.withColumnRenamed("time", "ts"),
+        "SELECT mean(mx) AS m FROM inner GROUP BY time(1d), event_type",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_subquery_outer_time_filter_applies_to_inner_output(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(mx) AS n FROM "
+        "(SELECT max(value) AS mx FROM events GROUP BY time(1h)) "
+        "WHERE time >= '2024-01-03 00:00:00' AND time < '2024-01-04 00:00:00'",
+    ).collect()
+    assert len(got) == 1 and got[0].n <= 24
+
+
+def test_subquery_recognition_fails_on_bad_inner(spark):
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SELECT mean(x) FROM (THIS IS NOT INFLUXQL)")
+    # a well-formed nested query parses
+    parse_influxql(
+        "SELECT mean(mx) FROM (SELECT max(v) AS mx FROM "
+        "(SELECT value AS v FROM m) GROUP BY time(1h)) GROUP BY time(1d)"
+    )
