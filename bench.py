@@ -171,6 +171,8 @@ HEADLINE = [
     "influxql_elapsed",
     "influxql_fill_linear",
     "influxql_subquery",
+    "pq_assign_fixed",
+    "ann_pq_topk",
 ]
 
 

@@ -279,27 +279,34 @@ def ivf_topk(
     )
 
 
-def _nearest_cell(vec_col: str, centroids: list[list[float]]) -> F.Column:
+def _sq_dist(vec: F.Column, centroid: list[float]) -> F.Column:
+    """Row-local squared L2 to a literal centroid, rounded to 6 dp (the
+    determinism cut every argmin below relies on)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in centroid]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _nearest_cell(vec_col, centroids: list[list[float]]) -> F.Column:
     """Row-local nearest-centroid struct ``(dist2, cell)`` — squared-L2
     argmin via ``array_min`` over per-centroid distance structs built from
     broadcast literals. Distances round to 6 dp before the argmin (ties →
-    lower cell id) so the assignment is deterministic."""
+    lower cell id) so the assignment is deterministic. ``vec_col`` may be a
+    column name or an arbitrary array Column (a PQ subspace slice)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     scored = F.array(
         *[
             F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("dist2"),
+                _sq_dist(vec, c).alias("dist2"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -532,6 +539,185 @@ def quantized_rescore_topk(
     )
     # rescore ONLY the candidates: join their exact vectors back in (a
     # candidate-sized equi-join), never score the full pair space twice
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score", _pair_score())
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the sub-vector codebook rung of the ANN ladder
+# between int8 scalar quantization (quantized_rescore_topk) and IVF
+# (ivf_topk). A d-dim vector compresses to m small integer codes (m·log2(ks)
+# bits — 64-dim float32 at m=8, ks=256 is 32× smaller), and query-time
+# scoring reads ONLY the codes via a per-query lookup table (ADC), never the
+# float store, until the bounded exact-rescore stage.
+# --------------------------------------------------------------------------
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: independent k-means per contiguous subspace —
+    ``m`` runs of :func:`kmeans_fit` over ``d/m``-dim slices. Returns
+    ``codebooks[j][c] = centroid`` (m × ks × d/m floats — KBs, a driver
+    object like IVF centroids). Each training run is the bounded-collect
+    Lloyd's loop (512-sample init, ks×(d/m) centroid agg per round); the
+    corpus is scanned, never collected."""
+    dims = len(embeddings.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"m={m} must divide the embedding dim {dims}")
+    dsub = dims // m
+    books = []
+    for j in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(sub, k=ks, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+        )
+    return books
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its ``m`` per-subspace nearest-centroid codes
+    — ``(id, sub: int, code: int, dist2: double)``, one row per subspace.
+    ZERO shuffles: codebooks ride as broadcast literals, the argmin is
+    row-local array math (6-dp rounding, ties → lower code — deterministic
+    on every engine). This is the write path of a PQ index build: at
+    100 TB it is one corpus scan emitting the compressed code table."""
+    dsub = len(codebooks[0][0])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                _nearest_cell(
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub), cb
+                ).alias("best"),
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(rows).alias("_r")).select(
+        id_col,
+        F.col("_r.sub").cast("int").alias("sub"),
+        F.col("_r.best.cell").cast("int").alias("code"),
+        F.col("_r.best.dist2").alias("dist2"),
+    )
+
+
+def _pq_code_array(vec_col: str, codebooks: list[list[list[float]]]) -> F.Column:
+    """The ``m`` codes of a vector as one array<int> (row-local)."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _nearest_cell(F.slice(F.col(vec_col), j * dsub + 1, dsub), cb)["cell"]
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def _pq_lut(vec_col: str, codebooks: list[list[list[float]]]) -> F.Column:
+    """Per-query ADC lookup table: ``lut[j][c] = ‖q_j − codebook[j][c]‖²``
+    (6-dp), an m×ks array<array<double>> computed row-locally on the query
+    side — the table asymmetric distance computation reads instead of any
+    float corpus vector."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice(F.col(vec_col), j * dsub + 1, dsub), c)
+                    for c in cb
+                ]
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ ANN: ADC scan over the code table keeps the
+    ``rescore_factor·k`` nearest candidates per query (approximate squared
+    L2 = Σ_j lut[j][code_j], reading m ints per corpus vector), then exact
+    float cosine re-ranks only those. Output matches :func:`cosine_topk`:
+    ``(query_id, neighbor_id, score, rank)``.
+
+    Scale shape: the query side (vectors + LUTs) broadcasts; the corpus
+    streams through the ADC scan once with no corpus shuffle before the
+    per-query top-N cut (the same posture as ``cosine_topk``, but the scan
+    touches codes, not floats — the memory-bandwidth win PQ exists for).
+    The exact stage joins float vectors back for only ~rescore_factor·k
+    rows per query."""
+    coded = corpus.select(
+        F.col(id_col), _pq_code_array(vec_col, codebooks).alias("_codes")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(vec_col, codebooks).alias("_lut"),
+    )
+    # ADC sum in integer micro-units: every lut entry is already 6-dp, so
+    # scaling to int64 and summing is EXACT — a double fold would depend on
+    # engine-specific addition order in the oracle's GROUP BY
+    adist = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_codes"),
+                F.col("_lut"),
+                lambda code, row: F.round(
+                    F.element_at(row, code + 1) * F.lit(1000000.0)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(1000000.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rescore_factor * k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),

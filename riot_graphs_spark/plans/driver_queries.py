@@ -6094,6 +6094,117 @@ def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed PQ codebooks for oracle pairing (the trainer is iterative —
+#: rows-only by design, like the IVF k-means; the ENCODE and ADC-search
+#: kernels are exactly checkable against fixed books): m=4 subspaces of 16
+#: dims, ks=8 codes, centroid[j][c][i] = ((c·7 + i·3 + j·5) mod 13 − 6)/12
+#: — integer-derived rationals both engines materialize identically.
+_PQ_BOOKS = [
+    [
+        [((c * 7 + i * 3 + j * 5) % 13 - 6) / 12.0 for i in range(16)]
+        for c in range(8)
+    ]
+    for j in range(4)
+]
+
+_PQ_CENTS_SQL = """
+    cents AS (
+      SELECT j, c,
+             list_transform(range(0, 16),
+               i -> (((c*7 + i*3 + j*5) % 13) - 6) / 12.0) AS cent
+      FROM (SELECT unnest(range(0, 4)) AS j),
+           (SELECT unnest(range(0, 8)) AS c)
+    ), scored AS (
+      SELECT e.vec_id, cents.j, cents.c,
+             round(list_sum(list_transform(range(0, 16),
+               i -> (e.embedding[cents.j*16 + i + 1]::DOUBLE - cents.cent[i+1])
+                  * (e.embedding[cents.j*16 + i + 1]::DOUBLE - cents.cent[i+1])
+             )), 6) AS dist2
+      FROM embeddings e CROSS JOIN cents
+    )"""
+
+
+@_q(
+    "pq_assign_fixed",
+    f"""
+    WITH {_PQ_CENTS_SQL}
+    SELECT vec_id, j::INT AS sub, c::INT AS code, dist2
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                               ORDER BY dist2, c) = 1
+    """,
+)
+def pq_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE kernel (operators.similarity.pq_codes) oracle-paired in
+    isolation: per-subspace nearest-centroid codes over fixed codebooks —
+    row-local argmin (6-dp, ties → lower code), zero shuffles; the write
+    path of a PQ index build."""
+    from ..operators.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
+
+
+@_q(
+    "ann_pq_topk",
+    f"""
+    WITH {_PQ_CENTS_SQL}, codes AS (
+      SELECT vec_id, j, c AS code FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist2, c) = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), lut AS (
+      SELECT q.query_id, cents.j, cents.c,
+             CAST(round(round(list_sum(list_transform(range(0, 16),
+               i -> (q.qv[cents.j*16 + i + 1]::DOUBLE - cents.cent[i+1])
+                  * (q.qv[cents.j*16 + i + 1]::DOUBLE - cents.cent[i+1])
+             )), 6) * 1000000) AS BIGINT) AS d2u
+      FROM q CROSS JOIN cents
+    ), adist AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             sum(l.d2u) / 1000000.0 AS adist
+      FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+      WHERE cd.vec_id != l.query_id
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rn
+        FROM adist)
+      WHERE rn <= 15
+    ), resc AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM resc)
+    WHERE rank <= 5
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ ANN (operators.similarity.pq_topk) over fixed
+    codebooks: ADC scan reads m ints per corpus vector via the per-query
+    lookup table (integer micro-unit sums — engine-exact), keeps 3k
+    candidates, exact float cosine re-ranks only those. The codes-not-
+    floats scan is the memory-bandwidth rung below int8 rescore."""
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), _PQ_BOOKS, k=5, rescore_factor=3
+    )
+
+
 @_q(
     "ts_weekly_profile",
     """

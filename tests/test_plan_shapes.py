@@ -391,3 +391,20 @@ def test_repeated_span_ranges_gate_is_aggregate_not_window(spark):
     # the only Window stages left are the doc-keyed island merge
     for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
         assert "fingerprint" not in m.group(1)
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must stay a row-local argmin over broadcast-literal
+    codebooks — one corpus scan, zero exchanges (the index-build write
+    path at 100 TB)."""
+    plan = formatted_plan(spark, "pq_assign_fixed")
+    assert shuffle_count(plan) == 0
+
+
+def test_pq_topk_broadcasts_queries_no_corpus_shuffle_before_cut(spark):
+    """The ADC scan streams the corpus once against broadcast query LUTs;
+    the only corpus-sized exchange is the per-query top-N window cut
+    (same posture as cosine_topk)."""
+    plan = formatted_plan(spark, "ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
