@@ -173,6 +173,8 @@ HEADLINE = [
     "influxql_subquery",
     "pq_assign_fixed",
     "ann_pq_topk",
+    "influxql_count_distinct",
+    "influxql_mode",
 ]
 
 

@@ -11,7 +11,8 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
       [WHERE <cond> [AND <cond>] ...]
       [GROUP BY time(<dur>)[, <tag> ...]
         [fill(null|none|previous|linear|<number>)]]
-      [ORDER BY time [ASC|DESC]] [LIMIT <n>]
+      [ORDER BY time [ASC|DESC]] [LIMIT <n>] [OFFSET <m>]
+      [SLIMIT <s>] [SOFFSET <so>]
 
     item := func(<field>) [AS <alias>]
           | percentile(<field>, <N>) [AS <alias>]
@@ -21,8 +22,11 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
           | moving_average(func(<field>), <N>) [AS <alias>]
           | cumulative_sum(func(<field>)) [AS <alias>]
           | difference(func(<field>)) [AS <alias>]
+          | non_negative_difference(func(<field>)) [AS <alias>]
           | elapsed(<field>[, <dur>]) [AS <alias>]
           | top(<field>, <N>) | bottom(<field>, <N>) [AS <alias>]
+          | distinct(<field>) | mode(<field>) [AS <alias>]
+          | count(distinct(<field>)) [AS <alias>]
           | <field> | *
     func := mean | sum | count | min | max | first | last | median | spread
           | stddev
@@ -75,14 +79,14 @@ _DUR_NANOS = {"ns": 1, "u": 1_000, "µ": 1_000, "ms": 1_000_000}
 
 _AGG_FUNCS = {
     "mean", "sum", "count", "min", "max", "first", "last", "median",
-    "spread", "percentile", "stddev", "integral",
+    "spread", "percentile", "stddev", "integral", "count_distinct", "mode",
 }
 
 #: Selector transforms over a GROUP BY time() series (InfluxQL nests the
 #: aggregate: ``derivative(mean(value), 1d)``).
 _WINDOW_FUNCS = {
     "derivative", "non_negative_derivative", "moving_average",
-    "cumulative_sum", "difference",
+    "cumulative_sum", "difference", "non_negative_difference",
 }
 
 #: Row-selector functions: emit the N extreme POINTS (with their own
@@ -123,6 +127,9 @@ class _Query:
     fill: str | None = None  # "null" | "none" | "previous" | numeric string
     order_desc: bool | None = None
     limit: int | None = None
+    offset: int = 0  # LIMIT n OFFSET m row paging
+    slimit: int | None = None  # SLIMIT: cap on distinct tag-set series
+    soffset: int = 0
     tz: str | None = None  # tz('Area/City') bucket anchor
     subquery: str | None = None  # FROM (SELECT …) inner query text
 
@@ -202,7 +209,9 @@ def _parse_item(raw: str) -> _Item:
                 item.arg = float(args[1])
                 if item.arg < 1 or item.arg != int(item.arg):
                     raise InfluxQLError("moving_average window must be a positive int")
-            elif func in ("cumulative_sum", "difference"):
+            elif func in (
+                "cumulative_sum", "difference", "non_negative_difference"
+            ):
                 if len(args) != 1:
                     raise InfluxQLError(f"{func}(agg(f)) takes one argument")
             elif len(args) == 2:
@@ -227,6 +236,21 @@ def _parse_item(raw: str) -> _Item:
             item = _Item(func, _unquote(args[0]), None, alias)
             item.unit_ns = _parse_duration_ns(args[1]) if len(args) == 2 else 1
             return item
+        if func == "distinct":
+            args = [a.strip() for a in m.group("args").split(",")]
+            if len(args) != 1:
+                raise InfluxQLError("distinct(field) takes one argument")
+            alias = _unquote(m.group("alias")) if m.group("alias") else None
+            return _Item("distinct", _unquote(args[0]), None, alias)
+        if func == "count":
+            dm = re.fullmatch(
+                r"distinct\(\s*(\"[^\"]+\"|\w+)\s*\)", m.group("args").strip()
+            )
+            if dm:
+                alias = _unquote(m.group("alias")) if m.group("alias") else None
+                return _Item(
+                    "count_distinct", _unquote(dm.group(1)), None, alias or "count"
+                )
         if func not in _AGG_FUNCS:
             raise InfluxQLError(f"unsupported function: {func}")
         args = [a.strip() for a in m.group("args").split(",")]
@@ -263,7 +287,10 @@ _Q_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>time(?:\s+(?:ASC|DESC))?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
+    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?"
+    r"(?:\s+SOFFSET\s+(?P<soffset>\d+))?\s*;?\s*$",
     re.I | re.S,
 )
 
@@ -376,6 +403,12 @@ def parse_influxql(q: str) -> _Query:
         out.order_desc = bool(re.search(r"DESC", m.group("order"), re.I))
     if m.group("limit"):
         out.limit = int(m.group("limit"))
+    if m.group("offset"):
+        out.offset = int(m.group("offset"))
+    if m.group("slimit"):
+        out.slimit = int(m.group("slimit"))
+    if m.group("soffset"):
+        out.soffset = int(m.group("soffset"))
     return out
 
 
@@ -411,6 +444,8 @@ def _agg_column(item: _Item, ts_col: str) -> Column:
         return F.sum(f.cast("decimal(27,6)")).cast("double").alias(item.out)
     if item.func == "count":
         return F.count(f).alias(item.out)
+    if item.func == "count_distinct":
+        return F.count_distinct(f).alias(item.out)
     if item.func == "min":
         return F.min(f).alias(item.out)
     if item.func == "max":
@@ -439,7 +474,9 @@ def _agg_column(item: _Item, ts_col: str) -> Column:
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS)"
+    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS"
+    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"(?:\s+ON\s+(?:\"[^\"]+\"|[\w.]+))?"
     r"(?:\s+FROM\s+(?P<from>\"[^\"]+\"|[\w.]+))?"
     r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>\"[^\"]+\"|\w+))?\s*;?\s*$",
     re.I,
@@ -471,6 +508,29 @@ def _show(source, query: str, ts_col: str) -> DataFrame:
     parsed = parse_show(query)
     what, measurement, key = parsed
     is_session = callable(getattr(source, "table", None))
+    if what in ("DATABASES", "RETENTION POLICIES"):
+        # Grafana's InfluxQL datasource issues these on "Save & test" /
+        # connect — answer the handshake instead of erroring the dialog
+        spark = source if is_session else (
+            source.sparkSession if isinstance(source, DataFrame) else None
+        )
+        if what == "DATABASES":
+            name = (
+                spark.catalog.currentDatabase() if spark is not None else "default"
+            )
+            src = spark
+            if src is None:
+                raise InfluxQLError("SHOW DATABASES needs a SparkSession source")
+            return src.createDataFrame([(name,)], "name string")
+        if spark is None:
+            raise InfluxQLError(
+                "SHOW RETENTION POLICIES needs a SparkSession source"
+            )
+        return spark.createDataFrame(
+            [("autogen", "0s", "168h0m0s", 1, True)],
+            "name string, duration string, shardGroupDuration string, "
+            "replicaN int, `default` boolean",
+        )
     if what == "MEASUREMENTS":
         if not is_session:
             raise InfluxQLError("SHOW MEASUREMENTS needs a SparkSession source")
@@ -603,6 +663,62 @@ def influxql(
         fl = F.timestamp_seconds(sh - (sh % sec) + off)
         return F.to_utc_timestamp(fl, q.tz) if q.tz else fl
 
+    def _row_tail(res: DataFrame) -> DataFrame:
+        # InfluxQL LIMIT n OFFSET m: skip m rows, then take n
+        if q.offset:
+            res = res.offset(q.offset)
+        if q.limit is not None:
+            res = res.limit(q.limit)
+        return res
+
+    distincts = [i for i in q.items if i.func == "distinct"]
+    if distincts:
+        if len(q.items) != 1:
+            raise InfluxQLError(
+                "distinct() cannot be combined with other select items"
+            )
+        if q.group_interval_s:
+            raise InfluxQLError("distinct() under GROUP BY time is not supported")
+        i = distincts[0]
+        out = (
+            df.select(*q.group_tags, F.col(i.field).alias(i.out))
+            .distinct()
+            .orderBy(*q.group_tags, i.out)
+        )
+        return _row_tail(out)
+
+    modes = [i for i in q.items if i.func == "mode"]
+    if modes:
+        if len(q.items) != 1:
+            raise InfluxQLError(
+                "mode() cannot be combined with other select items"
+            )
+        i = modes[0]
+        keys: list[Column] = []
+        if q.group_interval_s:
+            keys.append(_floor_ts(ts).alias("time"))
+        keys += [F.col(t) for t in q.group_tags]
+        key_names = (["time"] if q.group_interval_s else []) + list(q.group_tags)
+        # two partial-aggregable groupBys — count per value, then argmax;
+        # InfluxDB's tie rule: the LOWEST value wins
+        counted = df.groupBy(*keys, F.col(i.field)).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        out = counted.groupBy(*[F.col(k) for k in key_names]).agg(
+            F.min_by(
+                i.field, F.struct((-F.col("_cnt")).alias("n"), F.col(i.field))
+            ).alias(i.out)
+        ) if key_names else counted.agg(
+            F.min_by(
+                i.field, F.struct((-F.col("_cnt")).alias("n"), F.col(i.field))
+            ).alias(i.out)
+        )
+        if q.order_desc is not None and q.group_interval_s:
+            out = out.orderBy(
+                F.desc("time") if q.order_desc else F.asc("time")
+            )
+        return _row_tail(out)
+
     selectors = [i for i in q.items if i.func in _SELECTOR_FUNCS]
     if selectors:
         if len(q.items) != 1:
@@ -625,7 +741,7 @@ def influxql(
         out = out.orderBy(
             F.desc("time") if q.order_desc else F.asc("time"), *q.group_tags
         )
-        return out.limit(q.limit) if q.limit is not None else out
+        return _row_tail(out)
 
     elapsed_items = [i for i in q.items if i.func == "elapsed"]
     if elapsed_items:
@@ -650,7 +766,7 @@ def influxql(
         )
         if q.order_desc is not None:
             out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))
-        return out.limit(q.limit) if q.limit is not None else out
+        return _row_tail(out)
 
     has_agg = any(i.func for i in q.items)
 
@@ -676,9 +792,7 @@ def influxql(
             out = df.select(*lead, *cols).orderBy(
                 F.desc(order_col) if q.order_desc else F.asc(order_col)
             )
-        if q.limit is not None:
-            out = out.limit(q.limit)
-        return out
+        return _row_tail(out)
 
     def _lower(i: _Item) -> Column:
         if i.func in _WINDOW_FUNCS:
@@ -842,6 +956,9 @@ def influxql(
                 )
             elif i.func == "difference":
                 out = out.withColumn(i.out, c - F.lag(c).over(w))
+            elif i.func == "non_negative_difference":
+                d = c - F.lag(c).over(w)
+                out = out.withColumn(i.out, F.when(d >= 0, d))
             else:
                 # faithful InfluxDB derivative: value delta over the ACTUAL
                 # time delta (robust to fill(none) gaps), scaled to unit
@@ -865,6 +982,13 @@ def influxql(
 
     if q.order_desc is not None and q.group_interval_s:
         out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))
-    if q.limit is not None:
-        out = out.limit(q.limit)
-    return out
+    if (q.slimit is not None or q.soffset) and q.group_tags:
+        # SLIMIT/SOFFSET page SERIES (distinct tag sets), not rows; the
+        # page of tag tuples is slimit-bounded → broadcast semi-join
+        tags = out.select(*q.group_tags).distinct().orderBy(*q.group_tags)
+        if q.soffset:
+            tags = tags.offset(q.soffset)
+        if q.slimit is not None:
+            tags = tags.limit(q.slimit)
+        out = out.join(F.broadcast(tags), list(q.group_tags), "left_semi")
+    return _row_tail(out)

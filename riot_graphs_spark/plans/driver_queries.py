@@ -5658,6 +5658,52 @@ def influxql_tz_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "influxql_count_distinct",
+    """
+    SELECT date_trunc('day', ts::TIMESTAMP) AS time,
+           count(DISTINCT user_id)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+)
+def influxql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``count(distinct(user_id))`` per day through the shim —
+    the daily-active-users dashboard panel."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT count(distinct(user_id)) AS n FROM events GROUP BY time(1d)",
+    )
+
+
+@_q(
+    "influxql_mode",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+             value, count(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT time, event_type, value AS mode FROM c
+    QUALIFY row_number() OVER (PARTITION BY time, event_type
+                               ORDER BY cnt DESC, value ASC) = 1
+    """,
+)
+def influxql_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``mode(value)`` per day and tag — two partial-aggregable
+    groupBys (count per value, then argmax), InfluxDB's lowest-value tie
+    rule."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT mode(value) FROM events GROUP BY time(1d), event_type",
+    )
+
+
+@_q(
     "influxql_subquery",
     """
     WITH h AS (

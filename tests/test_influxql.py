@@ -604,3 +604,83 @@ def test_subquery_recognition_fails_on_bad_inner(spark):
         "SELECT mean(mx) FROM (SELECT max(v) AS mx FROM "
         "(SELECT value AS v FROM m) GROUP BY time(1h)) GROUP BY time(1d)"
     )
+
+
+# ------------------------------------------------------------------
+# round-3 second batch: distinct/mode/count(distinct)/paging/handshake
+# ------------------------------------------------------------------
+def test_distinct_values(spark, events):
+    got = influxql(lambda _m: events, "SELECT distinct(event_type) FROM events")
+    want = {r.event_type for r in events.select("event_type").distinct().collect()}
+    assert {r.distinct for r in got.collect()} == want
+
+
+def test_count_distinct_per_bucket(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(distinct(event_type)) AS n FROM events GROUP BY time(1d)",
+    )
+    want = events.groupBy(F.date_trunc("day", "ts").alias("time")).agg(
+        F.count_distinct("event_type").alias("n")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_mode_lowest_value_wins_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 2.0), (4, 2.0), (5, 9.0)],
+        "ts long, value double",
+    ).select(F.timestamp_seconds("ts").alias("ts"), "value")
+    got = influxql(lambda _m: df, "SELECT mode(value) FROM m").collect()
+    assert len(got) == 1 and got[0].mode == 2.0  # 5.0 and 2.0 tie -> lowest
+
+
+def test_non_negative_difference_drops_negatives(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT non_negative_difference(count(value)) AS d FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+    assert got.filter(F.col("d") < 0).count() == 0
+    both = influxql(
+        lambda _m: events,
+        "SELECT difference(count(value)) AS d FROM events "
+        "GROUP BY time(1d), event_type",
+    )
+    assert got.count() == both.filter(F.col("d") >= 0).count()
+
+
+def test_limit_offset_pages_rows(spark, events):
+    base = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) "
+        "ORDER BY time ASC",
+    ).collect()
+    page = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) "
+        "ORDER BY time ASC LIMIT 3 OFFSET 2",
+    ).collect()
+    assert [(r.time, r.n) for r in page] == [(r.time, r.n) for r in base[2:5]]
+
+
+def test_slimit_soffset_page_series(spark, events):
+    all_series = sorted(
+        r.event_type
+        for r in events.select("event_type").distinct().collect()
+    )
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type "
+        "SLIMIT 2 SOFFSET 1",
+    )
+    kept = sorted({r.event_type for r in got.collect()})
+    assert kept == all_series[1:3]
+
+
+def test_show_databases_and_retention_policies(spark):
+    dbs = influxql(spark, "SHOW DATABASES").collect()
+    assert len(dbs) == 1 and dbs[0].name
+    rp = influxql(spark, 'SHOW RETENTION POLICIES ON "anything"').collect()
+    assert rp[0].name == "autogen" and rp[0]["default"] is True
