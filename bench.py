@@ -175,6 +175,8 @@ HEADLINE = [
     "ann_pq_topk",
     "influxql_count_distinct",
     "influxql_mode",
+    "dedup_simhash_pairs",
+    "chunk_sentences",
 ]
 
 

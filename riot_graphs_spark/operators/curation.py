@@ -498,3 +498,69 @@ def shard_corpus(
     return with_shard.withColumn(
         "shard_pos", F.row_number().over(w).cast("long") - 1
     ).drop("_ord")
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    max_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aligned context chunks: split on sentence terminators
+    (``[.!?]`` runs — an RE2-portable pattern, no lookbehind, so the oracle
+    splits identically), then assign each sentence to the chunk where its
+    first character lands under a running ``max_chars`` budget — the same
+    streaming-pack semantics as :func:`pack_sequences`, at sentence
+    granularity. Unlike :func:`chunk_documents` (fixed char windows), a
+    chunk never cuts mid-sentence — the form RAG/context pipelines want.
+
+    Output: ``(id, chunk_id, chunk_text, n_sentences, n_chars)``; chunk
+    text joins sentences with one space in document order (deterministic:
+    the collect is sorted by sentence index before joining). ONE shuffle
+    (the per-doc window + group share the ``id`` partitioning); sentence
+    splitting and length math are row-local.
+    """
+    max_chars = int(max_chars)
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit("[^.!?]+[.!?]*"), 0
+                    ),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("idx", "sentence"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.length("sentence")).over(w), F.lit(0)).cast(
+        "long"
+    )
+    assigned = sent.select(
+        id_col,
+        "idx",
+        "sentence",
+        before.alias("_before"),
+    ).select(
+        id_col,
+        "idx",
+        "sentence",
+        F.expr(f"_before div {max_chars}").alias("chunk_id"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("idx"), F.col("sentence")))
+    )
+    return assigned.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["sentence"]), " "
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum(F.length("sentence")).cast("long").alias("n_chars"),
+    )

@@ -765,6 +765,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "dedup_simhash_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b, (1::BIGINT << b) AS pow,
+             CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS sign
+      FROM hs, (SELECT unnest(range(0, 32)) AS b)
+    ), sums AS (
+      SELECT doc_id, b, pow, sum(sign) AS s FROM bits GROUP BY doc_id, b, pow
+    ), sig AS (
+      SELECT doc_id, (sum(CASE WHEN s > 0 THEN pow ELSE 0 END))::BIGINT AS simhash
+      FROM sums GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3
+    (operators.dedup.simhash_hamming_pairs): pigeonhole banding makes the
+    candidate set a band-key equi-join with 100% recall at the radius —
+    the verify step that completes the SimHash dedup path."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis (language ID, quality, token counts)
 # --------------------------------------------------------------------------
@@ -6168,6 +6208,58 @@ _PQ_CENTS_SQL = """
              )), 6) AS dist2
       FROM embeddings e CROSS JOIN cents
     )"""
+
+
+@_q(
+    "chunk_sentences",
+    r"""
+    WITH pun AS (
+      -- the synthetic corpus has no punctuation; sentencify it
+      -- deterministically (period after every 8th word) so the packing
+      -- path is non-vacuous
+      SELECT doc_id,
+             regexp_replace(text, '((\w+ ){7}\w+) ', '\1. ', 'g') AS text
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+               x -> x != '') AS sents
+      FROM pun
+    ), flat AS (
+      SELECT doc_id,
+             unnest([{'idx': i, 's': sents[i]}
+                     for i in range(1, len(sents) + 1)]) AS u
+      FROM raw
+    ), asg AS (
+      SELECT doc_id, u.idx AS idx, u.s AS sentence,
+             coalesce(sum(length(u.s)) OVER (
+               PARTITION BY doc_id ORDER BY u.idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS before
+      FROM flat
+    )
+    SELECT doc_id, (before // 200)::BIGINT AS chunk_id,
+           string_agg(sentence, ' ' ORDER BY idx) AS chunk_text,
+           count(*)::BIGINT AS n_sentences,
+           sum(length(sentence))::BIGINT AS n_chars
+    FROM asg GROUP BY doc_id, (before // 200)
+    """,
+)
+def chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned chunking (operators.curation.chunk_by_sentences):
+    RAG/context chunks that never cut mid-sentence — sentences stream into
+    a 200-char running budget, same pack semantics as pack_sequences. The
+    corpus is deterministically sentencified first (period every 8th word:
+    the synthetic docs carry no punctuation) so multi-chunk packing is
+    actually exercised."""
+    from ..operators.curation import chunk_by_sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\w+ ){7}\w+) ", "$1. ").alias("text"),
+    )
+    return chunk_by_sentences(docs, max_chars=200)
 
 
 @_q(

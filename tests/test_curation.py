@@ -547,3 +547,42 @@ def test_bpe_apply_pandas_path_matches_codegen_path(spark):
     }
     assert a == b and len(a) == 3
     assert b[3] == []  # NULL text encodes to an empty token list
+
+
+def test_chunk_by_sentences_never_splits_a_sentence(spark):
+    from riot_graphs_spark.operators.curation import chunk_by_sentences
+
+    text = (
+        "First sentence here. Second one is a bit longer than the first! "
+        "Third? Fourth sentence ends the doc."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_by_sentences(df, max_chars=60).orderBy("chunk_id").collect()
+    # every sentence appears exactly once, in order, unbroken
+    joined = " ".join(r.chunk_text for r in rows)
+    assert joined == (
+        "First sentence here. Second one is a bit longer than the first! "
+        "Third? Fourth sentence ends the doc."
+    )
+    assert sum(r.n_sentences for r in rows) == 4
+    # a chunk boundary fell inside the doc (multi-chunk, non-vacuous)
+    assert len(rows) >= 2
+    # chunk assignment follows the running budget: first sentence (20 chars)
+    # and second (43) straddle 60 -> second starts chunk 0 (starts at 20),
+    # third starts at 63 -> chunk 1
+    assert rows[0].chunk_id == 0 and rows[0].n_sentences == 2
+
+
+def test_chunk_by_sentences_empty_and_unpunctuated(spark):
+    from riot_graphs_spark.operators.curation import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, "no punctuation at all just words"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_by_sentences(df, max_chars=10).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # unpunctuated text = ONE sentence = one chunk even over budget
+    assert by_doc[1].n_sentences == 1 and by_doc[1].chunk_id == 0
+    # empty text yields no sentences, no rows
+    assert 2 not in by_doc
