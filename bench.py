@@ -177,6 +177,7 @@ HEADLINE = [
     "influxql_mode",
     "dedup_simhash_pairs",
     "chunk_sentences",
+    "j6_interval_overlap",
 ]
 
 

@@ -61,3 +61,57 @@ def interval_point_join(
         F.col(ts_col) < F.col(end_col)
     )
     return iv.join(pt, "_band").filter(cond).drop("_band")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    band_seconds: int = 7 * 86400,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Interval×interval overlap join (CLOSED intervals: rows pair iff
+    ``a.start <= b.end AND b.start <= a.end``), optionally pre-keyed on
+    ``on`` equi-columns — the missing sibling of :func:`interval_point_join`
+    (maintenance windows × outages, shipment spans × promotion spans,
+    session spans × incident spans).
+
+    Same banding strategy: both sides explode onto the fixed-width bands
+    they cover and hash-join on (keys, band) — never a nested-loop. A pair
+    overlapping several shared bands would match once per band; instead of
+    a distinct pass (an extra corpus-wide shuffle), the join keeps a pair
+    only in the FIRST band both intervals cover —
+    ``band == greatest(band(a.start), band(b.start))`` — which any
+    overlapping pair covers by construction, so each pair survives exactly
+    once with zero dedup cost.
+
+    ``b``'s non-key columns come back suffixed (default ``_b``), so
+    self-joins work by passing the same frame twice.
+    """
+    on = list(on or [])
+
+    def band(c: Column) -> Column:
+        return F.floor(
+            c.cast("timestamp").cast("double").cast("long") / band_seconds
+        )
+
+    ia = a.withColumn(
+        "_band",
+        F.explode(F.sequence(band(F.col(start_col)), band(F.col(end_col)))),
+    )
+    rb = b
+    for c in b.columns:
+        if c not in on:
+            rb = rb.withColumnRenamed(c, c + suffix)
+    sb, eb = start_col + suffix, end_col + suffix
+    ib = rb.withColumn(
+        "_band", F.explode(F.sequence(band(F.col(sb)), band(F.col(eb))))
+    )
+    joined = ia.join(ib, [*on, "_band"])
+    overlap = (F.col(end_col) >= F.col(sb)) & (F.col(eb) >= F.col(start_col))
+    first_shared = F.greatest(band(F.col(start_col)), band(F.col(sb)))
+    return joined.filter(overlap & (F.col("_band") == first_shared)).drop(
+        "_band"
+    )

@@ -6180,6 +6180,57 @@ def ann_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "j6_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             l_shipdate::TIMESTAMP AS ship_start,
+             l_shipdate::TIMESTAMP
+               + ((l_quantity::INT % 14) + 1) * INTERVAL 1 DAY AS ship_end
+      FROM lineitem
+    )
+    SELECT a.l_suppkey, count(*)::BIGINT AS n_overlapping_pairs
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey
+     AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+     AND a.ship_start <= b.ship_end
+     AND b.ship_start <= a.ship_end
+    GROUP BY 1
+    """,
+)
+def j6_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (operators.rangejoin.interval_overlap_join): per supplier, how many
+    pairs of its shipments were in transit simultaneously — banded
+    self-join with first-shared-band dedup, never a nested loop. Transit
+    spans are synthesized deterministically (1-14 days from quantity; the
+    fixture has no receipt date). The oracle is the naive quadratic form
+    (fine at sf0.01; the banded plan is the scale path)."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    ship = F.col("l_shipdate").cast("timestamp")
+    dur_days = (F.col("l_quantity").cast("int") % 14 + 1).cast("long")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        ship.alias("ship_start"),
+        F.timestamp_seconds(
+            F.unix_timestamp(ship) + dur_days * 86400
+        ).alias("ship_end"),
+    )
+    pairs = interval_overlap_join(
+        li, li, "ship_start", "ship_end", on=["l_suppkey"]
+    )
+    ordered = F.struct(F.col("l_orderkey"), F.col("l_linenumber")) < F.struct(
+        F.col("l_orderkey_b"), F.col("l_linenumber_b")
+    )
+    return (
+        pairs.filter(ordered)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )
+
+
 #: Fixed PQ codebooks for oracle pairing (the trainer is iterative —
 #: rows-only by design, like the IVF k-means; the ENCODE and ADC-search
 #: kernels are exactly checkable against fixed books): m=4 subspaces of 16

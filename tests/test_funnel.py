@@ -93,3 +93,32 @@ def test_funnel_single_shuffle_plan(spark):
     plan = funnel_counts(df, STEPS)._jdf.queryExecution().executedPlan().toString()
     n_user_exchanges = plan.count("hashpartitioning(u")
     assert n_user_exchanges == 1, plan
+
+
+def test_interval_overlap_join_dedups_multiband_pairs(spark):
+    """A pair overlapping across several bands must come back exactly once
+    (first-shared-band rule), and closed-interval touching counts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.rangejoin import interval_overlap_join
+
+    d = dt.datetime
+    rows = [
+        # long interval spanning 5 weekly bands
+        (1, d(2024, 1, 1), d(2024, 2, 5)),
+        # overlaps #1 across several bands
+        (2, d(2024, 1, 10), d(2024, 1, 30)),
+        # touches #1's end exactly (closed intervals: counts)
+        (3, d(2024, 2, 5), d(2024, 2, 20)),
+        # disjoint
+        (4, d(2024, 6, 1), d(2024, 6, 10)),
+    ]
+    df = spark.createDataFrame(rows, "id long, s timestamp, e timestamp")
+    got = interval_overlap_join(df, df, "s", "e", band_seconds=7 * 86400)
+    pairs = sorted(
+        (r.id, r.id_b)
+        for r in got.filter(F.col("id") < F.col("id_b")).collect()
+    )
+    assert pairs == [(1, 2), (1, 3)]  # each exactly once, no (x,4)

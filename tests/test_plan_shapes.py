@@ -408,3 +408,13 @@ def test_pq_topk_broadcasts_queries_no_corpus_shuffle_before_cut(spark):
     plan = formatted_plan(spark, "ann_pq_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_avoids_nested_loop(spark):
+    """The interval×interval overlap join must be a banded hash join with
+    the first-shared-band residual — BroadcastNestedLoopJoin is the O(N·M)
+    failure mode the operator exists to avoid."""
+    plan = formatted_plan(spark, "j6_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
