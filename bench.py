@@ -178,6 +178,10 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "chunk_sentences",
     "j6_interval_overlap",
+    "influxql_field_math",
+    "skew_profile_custkey",
+    "emb_outliers_fixed",
+    "emb_random_projection",
 ]
 
 

@@ -107,6 +107,7 @@ class _Item:
     inner: "_Item | None" = None  # wrapped aggregate of a window transform
     unit_s: int | None = None  # derivative/integral unit (seconds)
     unit_ns: int | None = None  # elapsed unit (nanoseconds)
+    post: tuple[str, float] | None = None  # mean(v) * 8 — trailing scalar op
 
     @property
     def out(self) -> str:
@@ -120,6 +121,7 @@ class _Query:
     time_lo: tuple[str, object] | None = None  # (op, value)
     time_hi: tuple[str, object] | None = None
     tag_conds: list[tuple[str, str, str]] = field(default_factory=list)
+    field_conds: list[tuple[str, str, float]] = field(default_factory=list)
     uses_time_filter: bool = False
     group_interval_s: int | None = None
     group_offset_s: int = 0  # time(1d, 3h) — the reference's 03:00 anchor
@@ -190,7 +192,26 @@ _BARE_RE = re.compile(
 )
 
 
+_POST_RE = re.compile(
+    r"^(?P<base>.+?[)\w\"])\s*(?P<op>[*/+-])\s*(?P<num>\d+(?:\.\d+)?)\s*$"
+)
+
+
 def _parse_item(raw: str) -> _Item:
+    # trailing scalar arithmetic — mean("value") * 8, sum(bytes) / 1024 —
+    # the Grafana bits/bytes unit-conversion idiom. Alias first, then the
+    # operator, then the base item (one trailing op, numeric literal RHS).
+    am = re.search(r"\s+[aA][sS]\s+(?P<alias>\"[^\"]+\"|\w+)\s*$", raw)
+    body = raw[: am.start()] if am else raw
+    pm = _POST_RE.match(body.strip())
+    if pm and not re.fullmatch(r"\d+(?:\.\d+)?", pm.group("base").strip()):
+        item = _parse_item(pm.group("base"))
+        if item.func is None and item.field == "*":
+            raise InfluxQLError("cannot apply arithmetic to *")
+        item.post = (pm.group("op"), float(pm.group("num")))
+        if am:
+            item.alias = _unquote(am.group("alias"))
+        return item
     m = _ITEM_RE.match(raw)
     if m:
         func = m.group("func").lower()
@@ -301,6 +322,10 @@ _TAG_COND_RE = re.compile(
     r"^(?P<tag>\"[^\"]+\"|\w+)\s*(?P<op>=~|!~|=|!=|<>)\s*"
     r"(?:'(?P<val>[^']*)'|/(?P<re>[^/]*)/)$"
 )
+_FIELD_COND_RE = re.compile(
+    r"^(?P<f>\"[^\"]+\"|\w+)\s*(?P<op>>=|<=|>|<|=|!=|<>)\s*"
+    r"(?P<num>-?\d+(?:\.\d+)?)$"
+)
 _NOW_RE = re.compile(r"^now\(\)\s*(?:-\s*(?P<dur>\d+[smhdw]))?$", re.I)
 
 
@@ -375,6 +400,16 @@ def parse_influxql(q: str) -> _Query:
                         f"{op} expects {'/regex/' if op in ('=~', '!~') else 'a quoted string'}: {raw!r}"
                     )
                 out.tag_conds.append((_unquote(gm.group("tag")), op, val))
+                continue
+            fm2 = _FIELD_COND_RE.match(raw)
+            if fm2:
+                out.field_conds.append(
+                    (
+                        _unquote(fm2.group("f")),
+                        fm2.group("op"),
+                        float(fm2.group("num")),
+                    )
+                )
                 continue
             raise InfluxQLError(f"unsupported WHERE clause: {raw!r}")
 
@@ -652,6 +687,28 @@ def influxql(
             cond = F.col(tag) == F.lit(val)
         df = df.filter(cond if op in ("=", "=~") else ~cond)
 
+    for fld, op, num in q.field_conds:
+        c, v = F.col(fld), F.lit(num)
+        df = df.filter(
+            {
+                ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v,
+                "=": c == v, "!=": c != v, "<>": c != v,
+            }[op]
+        )
+
+    def _apply_posts(res: DataFrame) -> DataFrame:
+        # trailing scalar arithmetic runs LAST (after agg / fill /
+        # transforms), matching InfluxDB's evaluate-then-scale order
+        for i in q.items:
+            if i.post is not None:
+                op, v = i.post
+                c, lv = F.col(i.out), F.lit(v)
+                res = res.withColumn(
+                    i.out,
+                    {"*": c * lv, "/": c / lv, "+": c + lv, "-": c - lv}[op],
+                )
+        return res
+
     # tz-aware, offset-anchored epoch floor shared by the GROUP BY bucket,
     # the fill() spine, and the selector bucket: time(1d, 3h) is the
     # reference's 03:00-anchored day (O3); with tz() the floor runs on the
@@ -664,6 +721,7 @@ def influxql(
         return F.to_utc_timestamp(fl, q.tz) if q.tz else fl
 
     def _row_tail(res: DataFrame) -> DataFrame:
+        res = _apply_posts(res)
         # InfluxQL LIMIT n OFFSET m: skip m rows, then take n
         if q.offset:
             res = res.offset(q.offset)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -226,4 +226,51 @@ def dataset_card(
         (F.col("total_tokens") / F.sum("total_tokens").over(w)).alias(
             "pct_tokens"
         ),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Partition-skew diagnostic for a join/group key: the ``top_n``
+    heaviest keys with their corpus share and running concentration, plus
+    the key distribution's Gini coefficient (same value on every row) —
+    the table you read BEFORE choosing salting / AQE-skew thresholds for a
+    100 TB join on ``key_col``.
+
+    One partial-aggregable count shuffle (key-cardinality sized); the
+    share/Gini windows run over the aggregate, never the corpus. Gini =
+    (2·Σ(rank·n)) / (k·Σn) − (k+1)/k over counts ascending — exact integer
+    sums, one final double expression."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_asc = Window.partitionBy().orderBy(F.col("n").asc(), F.col(key_col).asc())
+    w_desc = Window.partitionBy().orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
+    total = F.sum("n").over(w_all)
+    k = F.count(F.lit(1)).over(w_all)
+    rank_asc = F.row_number().over(w_asc)
+    weighted = F.sum(F.col("n") * rank_asc).over(w_all)
+    gini = F.round(
+        (F.lit(2.0) * weighted) / (k * total)
+        - (k + F.lit(1.0)) / k,
+        6,
+    )
+    share = F.round(F.col("n") / total, 6)
+    cum = F.round(F.sum("n").over(
+        w_desc.rowsBetween(Window.unboundedPreceding, 0)
+    ) / total, 6)
+    return (
+        counts.select(
+            F.col(key_col),
+            F.col("n"),
+            share.alias("share"),
+            cum.alias("cum_share"),
+            F.row_number().over(w_desc).alias("rank"),
+            gini.alias("gini"),
+        )
+        .filter(F.col("rank") <= top_n)
     )

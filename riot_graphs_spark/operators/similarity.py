@@ -739,3 +739,83 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    proj: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimension reduction: project each vector
+    onto ``len(proj)`` fixed directions (the rows of ``proj``) — the
+    cheap preprocessing that shrinks 64-dim embeddings to 8 before LSH /
+    clustering at corpus scale. Output is relational ``(id, r, value)``
+    (1-based component index, 6-dp rounded dot product) — ZERO shuffles:
+    the projection matrix rides as broadcast literals and every dot is
+    row-local array math."""
+    comps = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in row]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for row in proj
+        ]
+    )
+    return df.select(F.col(id_col), F.posexplode(comps).alias("r0", "value")).select(
+        id_col, (F.col("r0") + 1).cast("int").alias("r"), "value"
+    )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier flags — the corpus-QA gate that catches
+    corrupt/degenerate embeddings before they poison dedup or ANN: assign
+    each vector to its nearest centroid (row-local argmin), then z-score
+    its distance against that cell's distribution.
+
+    Per-cell mean/std come from exact DECIMAL (Σd, Σd²) sums (engine- and
+    partitioning-stable), joined back broadcast (one row per cell). Output:
+    ``(id, cell, dist2, z, is_outlier)``; single-member cells have no std
+    and are never flagged. One corpus scan + one cells-sized agg."""
+    assigned = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    dd = F.col("dist2").cast("decimal(18,6)")
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dd).cast("double").alias("_sx"),
+        F.sum(dd * dd).cast("double").alias("_sxx"),
+    )
+    mean = F.col("_sx") / F.col("_n")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")) / (
+        F.col("_n") - F.lit(1)
+    )
+    z = F.round(
+        (F.col("dist2") - mean) / F.sqrt(var), 6
+    )
+    return (
+        assigned.join(F.broadcast(stats), "cell")
+        .select(
+            id_col,
+            "cell",
+            "dist2",
+            F.when(F.col("_n") > 1, z).alias("z"),
+            F.coalesce(
+                F.when(F.col("_n") > 1, z > F.lit(float(z_threshold))),
+                F.lit(False),
+            ).alias("is_outlier"),
+        )
+    )

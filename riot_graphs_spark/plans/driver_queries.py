@@ -5744,6 +5744,31 @@ def influxql_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "influxql_field_math",
+    """
+    SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+           (sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value)) * 8
+             AS bits
+    FROM events
+    WHERE value > 100
+    GROUP BY 1, 2
+    """,
+)
+def influxql_field_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field arithmetic through the shim — ``mean(value) * 8`` with a
+    numeric WHERE on the field (the Grafana bytes→bits unit conversion
+    every network dashboard carries)."""
+    from ..functions.influxql import influxql
+
+    events = _t(spark, sf_dir, "events")
+    return influxql(
+        lambda _m: events,
+        "SELECT mean(value) * 8 AS bits FROM events WHERE value > 100 "
+        "GROUP BY time(1d), event_type",
+    )
+
+
+@_q(
     "influxql_subquery",
     """
     WITH h AS (
@@ -6229,6 +6254,126 @@ def j6_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
     )
+
+
+@_q(
+    "skew_profile_custkey",
+    """
+    WITH c AS (
+      SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY 1
+    ), r AS (
+      SELECT o_custkey, n,
+             row_number() OVER (ORDER BY n ASC, o_custkey ASC) AS r_asc,
+             row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rank
+      FROM c
+    ), g AS (
+      SELECT o_custkey, n, rank,
+             sum(n) OVER () AS total,
+             count(*) OVER () AS k,
+             sum(n * r_asc) OVER () AS weighted,
+             sum(n) OVER (ORDER BY n DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM r
+    )
+    SELECT o_custkey, n,
+           round(n / total, 6) AS share,
+           round(cum / total, 6) AS cum_share,
+           rank::INT AS rank,
+           round((2.0 * weighted) / (k * total) - (k + 1.0) / k, 6) AS gini
+    FROM g WHERE rank <= 20
+    """,
+)
+def skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators.profile.key_skew_profile): top
+    customers by order count with shares, running concentration, and the
+    distribution's Gini — read this before picking salting / AQE-skew
+    thresholds for a 100 TB join on the key."""
+    from ..operators.profile import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)
+
+
+@_q(
+    "emb_outliers_fixed",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6) AS dist2
+      FROM embeddings e CROSS JOIN cents
+    ), best AS (
+      SELECT vec_id, cell, dist2 FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), stats AS (
+      SELECT cell, count(*)::BIGINT AS _n,
+             CAST(sum(CAST(dist2 AS DECIMAL(18,6))) AS DOUBLE) AS _sx,
+             CAST(sum(CAST(dist2 AS DECIMAL(18,6))
+                      * CAST(dist2 AS DECIMAL(18,6))) AS DOUBLE) AS _sxx
+      FROM best GROUP BY cell
+    )
+    SELECT b.vec_id, b.cell::INT AS cell, b.dist2,
+           CASE WHEN _n > 1 THEN
+             round((b.dist2 - _sx / _n)
+                   / sqrt((_sxx - _sx * _sx / _n) / (_n - 1)), 6) END AS z,
+           coalesce(CASE WHEN _n > 1 THEN
+             round((b.dist2 - _sx / _n)
+                   / sqrt((_sxx - _sx * _sx / _n) / (_n - 1)), 6) > 2.0 END,
+             false) AS is_outlier
+    FROM best b JOIN stats USING (cell)
+    """,
+)
+def emb_outliers_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate (operators.similarity.
+    embedding_outliers): distance-to-nearest-centroid z-score per cell over
+    fixed axis centroids — the corpus-QA pass that catches corrupt or
+    degenerate embeddings before dedup/ANN consume them."""
+    from ..operators.similarity import embedding_outliers
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), cents, z_threshold=2.0
+    ).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        "dist2", "z", "is_outlier",
+    )
+
+
+@_q(
+    "emb_random_projection",
+    """
+    WITH proj AS (
+      SELECT r, list_transform(range(0, 64),
+               i -> (((r*13 + i*7) % 11) - 5) / 5.0) AS p
+      FROM (SELECT unnest(range(0, 8)) AS r)
+    )
+    SELECT e.vec_id, (proj.r + 1)::INT AS r,
+           round(list_sum(list_transform(range(0, 64),
+             i -> e.embedding[i+1]::DOUBLE * proj.p[i+1])), 6) AS value
+    FROM embeddings e CROSS JOIN proj
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style random projection (operators.similarity.random_projection):
+    64-dim embeddings onto 8 fixed directions — zero-shuffle row-local
+    dots, the preprocessing that shrinks vectors before LSH/clustering at
+    corpus scale. Directions are integer-derived rationals so both engines
+    materialize identical doubles."""
+    from ..operators.similarity import random_projection
+
+    proj = [
+        [((r * 13 + i * 7) % 11 - 5) / 5.0 for i in range(64)]
+        for r in range(8)
+    ]
+    return random_projection(_t(spark, sf_dir, "embeddings"), proj)
 
 
 #: Fixed PQ codebooks for oracle pairing (the trainer is iterative —

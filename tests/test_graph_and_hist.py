@@ -672,3 +672,39 @@ def test_repeated_span_ranges_merge_and_cover_duplicated_paragraph(spark):
         big = max(rows, key=lambda r: r.span_end - r.span_start)
         assert big.span_start >= lo - 1 and big.span_end <= hi + 10
         assert (big.span_end - big.span_start) >= len(boiler) * 0.5
+
+
+def test_key_skew_profile_math(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.profile import key_skew_profile
+
+    # keys: a=4 rows, b=2, c=1, d=1 -> shares 0.5/0.25/0.125/0.125
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in key_skew_profile(df, "k", top_n=10).collect()}
+    assert got["a"].share == 0.5 and got["a"].rank == 1
+    assert got["a"].cum_share == 0.5
+    assert got["b"].cum_share == 0.75
+    # gini identical on every row; exact: ranks asc c=1,d=2,b=3,a=4 ->
+    # weighted = 1*1 + 1*2 + 2*3 + 4*4 = 25; 2*25/(4*8) - 5/4 = 0.3125
+    ginis = {r.gini for r in got.values()}
+    assert ginis == {0.3125}
+    # uniform distribution -> gini 0
+    uni = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    assert {r.gini for r in key_skew_profile(uni, "k").collect()} == {0.0}
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from riot_graphs_spark.operators.similarity import embedding_outliers
+
+    # 7 vectors tight around the centroid, one far away
+    base = [[1.0, 0.0], [0.9, 0.1], [1.1, -0.1], [1.0, 0.1],
+            [0.9, -0.1], [1.05, 0.0], [0.95, 0.05]]
+    far = [[5.0, 5.0]]
+    rows = [(i, v) for i, v in enumerate(base + far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           embedding_outliers(df, [[1.0, 0.0]], z_threshold=2.0).collect()}
+    assert got[7].is_outlier is True
+    assert all(not got[i].is_outlier for i in range(7))

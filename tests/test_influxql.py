@@ -684,3 +684,42 @@ def test_show_databases_and_retention_policies(spark):
     assert len(dbs) == 1 and dbs[0].name
     rp = influxql(spark, 'SHOW RETENTION POLICIES ON "anything"').collect()
     assert rp[0].name == "autogen" and rp[0]["default"] is True
+
+
+def test_select_arithmetic_scales_aggregate(spark, events):
+    got = influxql(
+        lambda _m: events,
+        'SELECT mean(value) * 8 AS bits FROM events GROUP BY time(1d)',
+    )
+    plain = influxql(
+        lambda _m: events,
+        "SELECT mean(value) AS m FROM events GROUP BY time(1d)",
+    )
+    j = got.join(plain, "time")
+    for r in j.collect():
+        assert abs(r.bits - r.m * 8) < 1e-9
+    # bare-field arithmetic on a raw projection
+    raw = influxql(
+        lambda _m: events, "SELECT value / 2 AS half FROM events LIMIT 5"
+    ).collect()
+    assert len(raw) == 5
+
+
+def test_where_field_condition_filters_values(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events WHERE value > 200",
+    ).collect()
+    want = events.filter(F.col("value") > 200).count()
+    assert got[0].n == want
+    both = influxql(
+        lambda _m: events,
+        "SELECT count(value) AS n FROM events "
+        "WHERE value >= 100 AND value < 200 AND event_type = 'click'",
+    ).collect()
+    want2 = events.filter(
+        (F.col("value") >= 100)
+        & (F.col("value") < 200)
+        & (F.col("event_type") == "click")
+    ).count()
+    assert both[0].n == want2
