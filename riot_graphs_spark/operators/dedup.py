@@ -75,6 +75,52 @@ def bind_array(arr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(arr), fn), 1)
 
 
+def sliding_min(arr: Column, w: int) -> Column:
+    """All sliding-window minima of ``arr`` (windows of ``w``, stride 1) in
+    O(n·log w) row-local array math — the sparse-table form of the classic
+    RMQ trick. Level c holds ``L[i] = min(arr[i..i+c-1])``; doubling c via
+    ``zip_with(L, shift_c(L), least)`` reaches m = 2^⌊log2 w⌋ in log steps,
+    and each window is then ``least(L_m[j], L_m[j+w−m])`` (two overlapping
+    m-blocks cover it). The naive ``array_min(slice(...))`` per window
+    copies w elements per position — O(n·w); at w=8 this form measured
+    ~2× faster on the winnowing path.
+
+    Works for any orderable element type (longs, structs): ``least`` skips
+    the nulls that zip_with's tail padding introduces, and struct ordering
+    gives the same (value, position) tie rule as ``array_min``. Arrays
+    shorter than ``w`` yield one window (the whole-array min), matching
+    the slice form's behavior.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    m = 1 << (w.bit_length() - 1)  # largest power of two <= w
+
+    def grow(cur: Column, c: int) -> Column:
+        if c == m:
+            n_windows = F.greatest(F.lit(1), F.size(arr) - w + 1)
+            # F.get is 0-based and null-safe out of bounds (element_at
+            # throws under ANSI); least() then ignores the null side
+            return bind_array(
+                cur,
+                lambda lm: F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda j: F.least(
+                        F.get(lm, j - 1), F.get(lm, j + F.lit(w - m) - 1)
+                    ),
+                ),
+            )
+        return bind_array(
+            F.zip_with(
+                cur,
+                F.slice(cur, c + 1, F.size(cur)),
+                lambda a, b: F.least(a, b),
+            ),
+            lambda nxt: grow(nxt, c * 2),
+        )
+
+    return grow(arr, 1)
+
+
 def composed_shingle_hashes(word_hashes: Column, n: int = 3) -> Column:
     """Distinct hashes of the word n-gram shingles, WITHOUT materializing
     shingle strings: compose ``(h_i·B² + h_{i+1}·B + h_{i+2}) mod P`` per
@@ -777,18 +823,12 @@ def winnow_fingerprints(
     gram_hashes = F.transform(
         positions, lambda i: hash56(text.substr(i, F.lit(k)))
     )
-
-    def windowed_min(hs: Column) -> Column:
-        n_windows = F.greatest(F.lit(1), F.size(hs) - w + 1)
-        return F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(hs, j, w)),
-        )
-
     return docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(bind_array(gram_hashes, windowed_min))
+            F.array_distinct(
+                bind_array(gram_hashes, lambda hs: sliding_min(hs, w))
+            )
         ).alias("fingerprint"),
     )
 
@@ -965,8 +1005,10 @@ def winnow_fingerprint_positions(
     engine reproduces). Same guarantee as :func:`winnow_fingerprints`; the
     position is what turns detection into span-level REMOVAL.
 
-    Row-local array math (zero shuffles); the gram-hash array is bound once
-    via ``bind_array`` so each window's min+argmin is O(w)."""
+    Row-local array math (zero shuffles); the (hash, pos) structs run
+    through the same O(n·log w) :func:`sliding_min` sparse table as
+    :func:`winnow_fingerprints` — struct ordering IS the argmin with the
+    first-position tie rule."""
     text = F.col(text_col)
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length(text) - k + 1)
@@ -976,22 +1018,13 @@ def winnow_fingerprint_positions(
     )
 
     def windowed_argmin(hs: Column) -> Column:
-        n_windows = F.greatest(F.lit(1), F.size(hs) - w + 1)
-
-        def one(j: Column) -> Column:
-            # the w-element slice is bound once per window (bind_array):
-            # referenced bare it would be inlined — and re-copied — for both
-            # the min and the argmin (measured ~15% slower at sf0.1)
-            def inner(sl: Column) -> Column:
-                m = F.array_min(sl)
-                return F.struct(
-                    m.alias("fingerprint"),
-                    (j - 1 + F.array_position(sl, m)).cast("long").alias("pos"),
-                )
-
-            return bind_array(F.slice(hs, j, w), inner)
-
-        return F.transform(F.sequence(F.lit(1), n_windows), one)
+        tagged = F.transform(
+            hs,
+            lambda x, i: F.struct(
+                x.alias("fingerprint"), (i + 1).cast("long").alias("pos")
+            ),
+        )
+        return bind_array(tagged, lambda t: sliding_min(t, w))
 
     return docs.select(
         F.col(id_col),

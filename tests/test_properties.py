@@ -411,3 +411,84 @@ def test_influxql_parser_accepts_generated_valid_queries():
         assert parsed.items[0].out == "v"
 
     check()
+
+
+# ------------------------------------------------------------------
+# round-3 additions: chunker and InfluxQL-parser invariants
+# ------------------------------------------------------------------
+_sentence = st.text(
+    alphabet="abc d", min_size=1, max_size=20
+).map(lambda s: s.strip()).filter(lambda s: s)
+_doc = st.lists(_sentence, min_size=0, max_size=8).map(
+    lambda ss: ". ".join(ss) + ("." if ss else "")
+)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_chunk_by_sentences_reconstructs_and_conserves(spark, docs):
+    """Joining every chunk in (doc, chunk) order reproduces the normalized
+    sentence stream — nothing lost, nothing duplicated, order kept — and
+    per-chunk n_chars equals the chunk's own sentence lengths."""
+    import re as _re
+
+    from riot_graphs_spark.operators.curation import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = chunk_by_sentences(df, max_chars=25).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(docs):
+        sents = [
+            s.strip()
+            for s in _re.findall(r"[^.!?]+[.!?]*", text)
+            if s.strip()
+        ]
+        got = by_doc.get(i, [])
+        got.sort(key=lambda r: r.chunk_id)
+        joined = " ".join(r.chunk_text for r in got)
+        assert joined == " ".join(sents)
+        assert sum(r.n_sentences for r in got) == len(sents)
+        for r in got:
+            # chunk_text joins sentences with single spaces, so the raw
+            # sentence chars are its length minus the n_sentences-1 joins
+            assert r.n_chars == len(r.chunk_text) - (r.n_sentences - 1)
+
+
+@settings(**SETTINGS)
+@given(
+    func=st.sampled_from(["mean", "sum", "count", "min", "max", "stddev"]),
+    alias=st.sampled_from(["v", "x1", '"quoted col"']),
+    hours=st.integers(min_value=1, max_value=48),
+    tag=st.booleans(),
+    desc=st.sampled_from([None, "ASC", "DESC"]),
+    limit=st.one_of(st.none(), st.integers(min_value=1, max_value=9)),
+    post=st.sampled_from([None, "* 8", "/ 2", "+ 1"]),
+)
+def test_influxql_generated_queries_parse_and_lower(
+    spark, func, alias, hours, tag, desc, limit, post
+):
+    """Every query from this mini-grammar must parse AND lower to a
+    runnable DataFrame (schema resolvable, no analysis error)."""
+    from riot_graphs_spark.functions.influxql import influxql, parse_influxql
+
+    q = f"SELECT {func}(value) {post or ''} AS {alias} FROM m"
+    q += f" WHERE time >= '2024-01-01 00:00:00' AND value > 0"
+    q += f" GROUP BY time({hours}h)" + (", series" if tag else "")
+    if desc:
+        q += f" ORDER BY time {desc}"
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    parsed = parse_influxql(q)
+    assert parsed.group_interval_s == hours * 3600
+    df = to_df(
+        spark, [(0, 0, 5), (0, 1, 7), (1, 2, 9)]
+    )
+    out = influxql(lambda _m: df, q)
+    cols = set(out.columns)
+    want_alias = alias.strip('"')
+    assert want_alias in cols
+    out.collect()  # must actually execute
