@@ -7,7 +7,8 @@ their dashboard queries at the Spark engine unchanged.
 Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
 ``'string'`` single quotes)::
 
-    SELECT <item> [, <item> ...] FROM <measurement> | (<subquery>)
+    SELECT <item> [, <item> ...]
+      FROM <measurement> | /<measurement-regex>/ | (<subquery>)
       [WHERE <cond> [AND <cond>] ...]
       [GROUP BY time(<dur>)[, <tag> ...]
         [fill(null|none|previous|linear|<number>)]]
@@ -23,6 +24,7 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
           | cumulative_sum(func(<field>)) [AS <alias>]
           | difference(func(<field>)) [AS <alias>]
           | non_negative_difference(func(<field>)) [AS <alias>]
+          | holt_winters(func(<field>), <N>, 0) [AS <alias>]
           | elapsed(<field>[, <dur>]) [AS <alias>]
           | top(<field>, <N>) | bottom(<field>, <N>) [AS <alias>]
           | distinct(<field>) | mode(<field>) [AS <alias>]
@@ -87,6 +89,7 @@ _AGG_FUNCS = {
 _WINDOW_FUNCS = {
     "derivative", "non_negative_derivative", "moving_average",
     "cumulative_sum", "difference", "non_negative_difference",
+    "holt_winters",
 }
 
 #: Row-selector functions: emit the N extreme POINTS (with their own
@@ -235,6 +238,19 @@ def _parse_item(raw: str) -> _Item:
             ):
                 if len(args) != 1:
                     raise InfluxQLError(f"{func}(agg(f)) takes one argument")
+            elif func == "holt_winters":
+                if len(args) != 3:
+                    raise InfluxQLError(
+                        "holt_winters(agg(field), N, S) takes three args"
+                    )
+                item.arg = float(args[1])
+                if item.arg < 1 or item.arg != int(item.arg):
+                    raise InfluxQLError("holt_winters N must be a positive int")
+                if args[2].strip() != "0":
+                    raise InfluxQLError(
+                        "seasonal holt_winters (S != 0) is not supported; "
+                        "use S = 0 (Holt's level+trend form)"
+                    )
             elif len(args) == 2:
                 item.unit_s = _parse_duration(args[1])
             elif len(args) != 1:
@@ -304,7 +320,7 @@ def _parse_item(raw: str) -> _Item:
 
 
 _Q_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>\"[^\"]+\"|[\w.]+)"
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>\"[^\"]+\"|/[^/]*/|[\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>time(?:\s+(?:ASC|DESC))?))?"
@@ -631,7 +647,35 @@ def influxql(
         if "time" in df.columns:
             ts_col = "time"
     elif callable(getattr(source, "table", None)):  # SparkSession
-        df = source.table(q.measurement)
+        if q.measurement.startswith("/") and q.measurement.endswith("/"):
+            # FROM /regex/: union every matching measurement, tagging rows
+            # with their source so series stay distinguishable (InfluxDB
+            # emits one series per measurement); the tag joins GROUP BY
+            # automatically below
+            pat = re.compile(q.measurement[1:-1])
+            names = sorted(
+                tbl.name
+                for tbl in source.catalog.listTables()
+                if pat.search(tbl.name)
+            )
+            if not names:
+                raise InfluxQLError(
+                    f"no measurements match {q.measurement}"
+                )
+            parts = [
+                source.table(n).withColumn("measurement", F.lit(n))
+                for n in names
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if any(i.func for i in q.items) and (
+                q.group_interval_s or q.group_tags
+            ):
+                if "measurement" not in q.group_tags:
+                    q.group_tags.append("measurement")
+        else:
+            df = source.table(q.measurement)
     elif callable(source) and not isinstance(source, DataFrame):
         df = source(q.measurement)
     else:
@@ -775,6 +819,36 @@ def influxql(
             out = out.orderBy(
                 F.desc("time") if q.order_desc else F.asc("time")
             )
+        return _row_tail(out)
+
+    hw = [i for i in q.items if i.func == "holt_winters"]
+    if hw:
+        if len(q.items) != 1:
+            raise InfluxQLError(
+                "holt_winters() cannot be combined with other select items"
+            )
+        if not q.group_interval_s:
+            raise InfluxQLError("holt_winters() requires GROUP BY time(<d>)")
+        i = hw[0]
+        from ..operators.timeseries import holt_forecast
+
+        keys = [_floor_ts(ts).alias("time")] + [F.col(t) for t in q.group_tags]
+        series = df.groupBy(*keys).agg(
+            _agg_column(
+                _Item(i.inner.func, i.inner.field, i.inner.arg, i.out), ts_col
+            )
+        )
+        fc = holt_forecast(
+            series, dims=list(q.group_tags), ts="time", value=i.out,
+            horizon=int(i.arg),
+        )
+        out = fc.select(
+            F.col("forecast_ts").alias("time"),
+            *q.group_tags,
+            F.col("forecast").alias(i.out),
+        )
+        if q.order_desc is not None:
+            out = out.orderBy(F.desc("time") if q.order_desc else F.asc("time"))
         return _row_tail(out)
 
     selectors = [i for i in q.items if i.func in _SELECTOR_FUNCS]

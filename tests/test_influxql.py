@@ -723,3 +723,37 @@ def test_where_field_condition_filters_values(spark, events):
         & (F.col("event_type") == "click")
     ).count()
     assert both[0].n == want2
+
+
+def test_holt_winters_appends_forecast_buckets(spark, events):
+    got = influxql(
+        lambda _m: events,
+        "SELECT holt_winters(mean(value), 3, 0) AS f FROM events "
+        "GROUP BY time(1d), event_type ORDER BY time ASC",
+    )
+    n_types = events.select("event_type").distinct().count()
+    rows = got.collect()
+    assert len(rows) == 3 * n_types  # 3 future buckets per series
+    last_data = influxql(
+        lambda _m: events,
+        "SELECT mean(value) AS m FROM events GROUP BY time(1d)",
+    ).agg(F.max("time")).collect()[0][0]
+    assert all(r.time > last_data for r in rows)  # strictly in the future
+    with pytest.raises(InfluxQLError, match="seasonal"):
+        parse_influxql(
+            "SELECT holt_winters(mean(v), 3, 24) FROM m GROUP BY time(1h)"
+        )
+
+
+def test_from_regex_unions_matching_measurements(spark, sf_dir):
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    got = influxql(
+        spark,
+        "SELECT count(event_id) AS n FROM /^ev/ GROUP BY measurement",
+    ).collect()
+    assert len(got) == 1 and got[0].measurement == "events"
+    assert got[0].n == spark.table("events").count()
+    with pytest.raises(InfluxQLError, match="no measurements"):
+        influxql(spark, "SELECT count(x) AS n FROM /nope_.*/ GROUP BY time(1h)")
