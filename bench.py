@@ -182,6 +182,8 @@ HEADLINE = [
     "skew_profile_custkey",
     "emb_outliers_fixed",
     "emb_random_projection",
+    "token_fertility_by_lang",
+    "pack_utilization",
 ]
 
 

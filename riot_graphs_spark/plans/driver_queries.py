@@ -1804,6 +1804,87 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=512, token_col="n_tokens")
 
 
+@_q(
+    "token_fertility_by_lang",
+    f"""
+    WITH d AS (
+      SELECT lang, len({_DUCK_WORDS})::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(sum(n_chars)::DOUBLE / sum(n_tok), 6) AS chars_per_token,
+           median(n_tok)::DOUBLE AS median_tokens
+    FROM d GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: chars-per-token and token-count medians
+    per language — the table that says which strata eat the training
+    budget (high-fertility languages cost more tokens per char). One
+    partial-aggregable shuffle."""
+    from ..operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        token_count("text").cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
+        ).alias("chars_per_token"),
+        F.median("n_tok").alias("median_tokens"),
+    )
+
+
+@_q(
+    "pack_utilization",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS before
+      FROM t
+    )
+    SELECT lang, (max(before // 512) + 1)::BIGINT AS n_packs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(sum(n_tokens)::DOUBLE / ((max(before // 512) + 1) * 512), 6)
+             AS utilization
+    FROM w GROUP BY lang
+    """,
+)
+def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pack efficiency: packs used and token utilization per
+    stratum (tokens ÷ pack capacity) — the budget check run after
+    pack_sequences before a training export."""
+    from ..operators.curation import pack_sequences
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512, token_col="n_tokens")
+    return packed.groupBy("lang").agg(
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / ((F.max("pack_id") + 1) * 512),
+            6,
+        ).alias("utilization"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q3-style shipping priority: 3-way join + agg + deterministic top-k.
 # Exercises Catalyst join reordering + AQE broadcast of the filtered
