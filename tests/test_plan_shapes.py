@@ -418,3 +418,15 @@ def test_interval_overlap_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_topk_rank_cuts_run_partial_window_group_limit(spark):
+    """Every per-query top-k (row_number <= k over partition by query) must
+    plan a PARTIAL WindowGroupLimit BELOW the exchange — Spark's map-side
+    partial top-k, which bounds what any single post-shuffle sort task sees
+    to tasks×k rows instead of the full per-query candidate set. This is
+    the property that makes the brute-force/ADC scans corpus-scale-safe; a
+    salted two-phase cut was measured 5× SLOWER than relying on it."""
+    for name in ("ann_cosine_topk", "ann_pq_topk", "bm25_search_topk"):
+        plan = formatted_plan(spark, name)
+        assert re.search(r"row_number\(\), \d+, Partial", plan), name
