@@ -240,37 +240,81 @@ def key_skew_profile(
     the table you read BEFORE choosing salting / AQE-skew thresholds for a
     100 TB join on ``key_col``.
 
-    One partial-aggregable count shuffle (key-cardinality sized); the
-    share/Gini windows run over the aggregate, never the corpus. Gini =
-    (2·Σ(rank·n)) / (k·Σn) − (k+1)/k over counts ascending — exact integer
-    sums, one final double expression."""
+    Scale shape: one partial-aggregable count shuffle (key-cardinality
+    sized), then NO global window ever touches the full key table — the
+    top-N rank filter runs as a map-side partial WindowGroupLimit, and the
+    Gini/total statistics come from the count-of-COUNTS table (one row per
+    distinct frequency — tiny even at billions of keys: keys with the same
+    count occupy a contiguous ascending-rank block, so
+    Σ n·rank = Σ_blocks n·(cum_before·m + m(m+1)/2) exactly). Gini =
+    (2·Σ(rank·n)) / (k·Σn) − (k+1)/k — exact integer sums, one final
+    double expression; cum_share is computed over the top-N rows only
+    (their ranks are contiguous from 1)."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    w_all = Window.partitionBy()
-    w_asc = Window.partitionBy().orderBy(F.col("n").asc(), F.col(key_col).asc())
+
+    # count-of-counts: m keys share frequency n → rank block of width m
+    cc = counts.groupBy("n").agg(F.count(F.lit(1)).alias("m"))
+    w_prev = (
+        Window.partitionBy()
+        .orderBy(F.col("n").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("m").over(w_prev), F.lit(0))
+    # m(m+1)/2 is always integral — keep the whole weighted sum in exact
+    # integer arithmetic (an FP accumulator would make the Gini's low bits
+    # partitioning-dependent)
+    tri = (F.col("m") * (F.col("m") + 1) / 2).cast("long")
+    block_weight = F.col("n") * (cum_before * F.col("m") + tri)
+    totals = (
+        cc.select(
+            F.col("n"),
+            F.col("m"),
+            block_weight.alias("_bw"),
+        )
+        .agg(
+            F.sum(F.col("n") * F.col("m")).alias("_total"),
+            F.sum("m").alias("_k"),
+            F.sum("_bw").alias("_weighted"),
+        )
+    )
+
+    # global top-N in two exact phases: Spark's partial WindowGroupLimit
+    # does NOT fire for empty-partition windows, so pre-cut top-N within
+    # hash-salt groups (any global top-N row is top-N of its salt), then
+    # re-rank the ≤ 64·top_n survivors — no full-key-table single-task sort
+    w_salt = Window.partitionBy("_salt").orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
     w_desc = Window.partitionBy().orderBy(
         F.col("n").desc(), F.col(key_col).asc()
     )
-    total = F.sum("n").over(w_all)
-    k = F.count(F.lit(1)).over(w_all)
-    rank_asc = F.row_number().over(w_asc)
-    weighted = F.sum(F.col("n") * rank_asc).over(w_all)
+    top = (
+        counts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(64))
+        )
+        .withColumn("_r1", F.row_number().over(w_salt))
+        .filter(F.col("_r1") <= top_n)
+        .withColumn("rank", F.row_number().over(w_desc))
+        .filter(F.col("rank") <= top_n)
+        .drop("_salt", "_r1")
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     gini = F.round(
-        (F.lit(2.0) * weighted) / (k * total)
-        - (k + F.lit(1.0)) / k,
+        (F.lit(2.0) * F.col("_weighted")) / (F.col("_k") * F.col("_total"))
+        - (F.col("_k") + F.lit(1.0)) / F.col("_k"),
         6,
     )
-    share = F.round(F.col("n") / total, 6)
-    cum = F.round(F.sum("n").over(
-        w_desc.rowsBetween(Window.unboundedPreceding, 0)
-    ) / total, 6)
-    return (
-        counts.select(
-            F.col(key_col),
-            F.col("n"),
-            share.alias("share"),
-            cum.alias("cum_share"),
-            F.row_number().over(w_desc).alias("rank"),
-            gini.alias("gini"),
-        )
-        .filter(F.col("rank") <= top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col(key_col),
+        F.col("n"),
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        F.round(F.sum("n").over(w_cum) / F.col("_total"), 6).alias(
+            "cum_share"
+        ),
+        "rank",
+        gini.alias("gini"),
     )

@@ -430,3 +430,15 @@ def test_topk_rank_cuts_run_partial_window_group_limit(spark):
     for name in ("ann_cosine_topk", "ann_pq_topk", "bm25_search_topk"):
         plan = formatted_plan(spark, name)
         assert re.search(r"row_number\(\), \d+, Partial", plan), name
+
+
+def test_skew_profile_no_global_window_on_key_table(spark):
+    """The skew diagnostic must never run a single-partition window over
+    the full key-count table: the top-N rank is a partial WindowGroupLimit
+    and the Gini comes from the count-of-counts table (one row per distinct
+    frequency). Only windows over small derived tables may remain."""
+    plan = formatted_plan(spark, "skew_profile_custkey")
+    # the salted pre-cut window runs before the global re-rank (Spark's
+    # WindowGroupLimit doesn't fire for empty-partition windows, so the
+    # operator salts by hand — measured necessary, unlike query-keyed cuts)
+    assert re.search(r"windowspecdefinition\(_salt", plan)
