@@ -184,6 +184,7 @@ HEADLINE = [
     "emb_random_projection",
     "token_fertility_by_lang",
     "pack_utilization",
+    "mm_resize_plan",
 ]
 
 

@@ -185,8 +185,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
-        F.lit(64).cast("int").alias("width"),
-        F.lit(64).cast("int").alias("height"),
+        # varied, id-derived dims so aspect-dependent stages (resize fit)
+        # are non-vacuous against the fixture
+        (F.lit(32) + F.col("doc_id") % 97).cast("int").alias("width"),
+        (F.lit(32) + F.col("doc_id") % 61).cast("int").alias("height"),
         F.col("n_chars").alias("duration_ms"),
     )
 
@@ -292,3 +294,69 @@ def sniff_media_headers(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         sniff_batches, schema=MEDIA_HEADER_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _fit_box(w: int, h: int, box_w: int, box_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit into (box_w, box_h) — pure integer arithmetic
+    (floor division) so the plan's metadata is engine-exact."""
+    if w * box_h <= box_w * h:  # height is the binding constraint
+        return max(1, (w * box_h) // h), box_h
+    return box_w, max(1, (h * box_w) // w)
+
+
+def resize_images(
+    media: DataFrame, box_w: int = 64, box_h: int = 48, batch_hint: int = 256
+) -> DataFrame:
+    """Batch image resize via mapInPandas — the brief's resize stage: the
+    Spark-side plumbing (schema, Arrow batching, per-partition init point,
+    aspect-fit target arithmetic) is real; only the pixel resample is a
+    deterministic STUB (production: PIL `Image.resize` inside the batch
+    loop — the image libs aren't in this container).
+
+    Output dims use integer aspect-fit (floor division) so the metadata
+    columns stay oracle-checkable; ``n_bytes_out`` is the decoded RGB size
+    the downstream loader would allocate. Corrupt (None) payloads raise,
+    mirroring a real decoder."""
+    bw, bh = int(box_w), int(box_h)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-partition init goes here (codec handles, thread pools, …).
+        for pdf in batches:
+            dims = [
+                _fit_box(int(w), int(h), bw, bh)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+
+            def _stub(p):
+                if p is None:
+                    raise NotImplementedError("corrupt/missing payload")
+                return bytes(p)  # production: resampled pixel buffer
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_width": pdf["width"].astype("int32"),
+                    "orig_height": pdf["height"].astype("int32"),
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                    "n_bytes_out": [d[0] * d[1] * 3 for d in dims],
+                    "payload": pdf["payload"].map(_stub),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)

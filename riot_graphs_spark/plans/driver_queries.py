@@ -1254,6 +1254,43 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, (32 + doc_id % 97)::INT AS w,
+             (32 + doc_id % 61)::INT AS h
+      FROM documents
+    )
+    SELECT media_id, w AS orig_width, h AS orig_height,
+           (CASE WHEN w * 48 <= 64 * h
+                 THEN greatest(1, (w * 48) // h) ELSE 64 END)::INT
+             AS out_width,
+           (CASE WHEN w * 48 <= 64 * h
+                 THEN 48 ELSE greatest(1, (h * 64) // w) END)::INT
+             AS out_height,
+           ((CASE WHEN w * 48 <= 64 * h
+                  THEN greatest(1, (w * 48) // h) ELSE 64 END)
+            * (CASE WHEN w * 48 <= 64 * h
+                    THEN 48 ELSE greatest(1, (h * 64) // w) END)
+            * 3)::BIGINT AS n_bytes_out
+    FROM m
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize (operators.multimodal.resize_images): mapInPandas
+    Arrow-batched aspect-fit into a 64×48 box — the pixel resample is a
+    documented stub, the integer fit arithmetic and the batch plumbing are
+    real and oracle-checked on the metadata columns."""
+    from ..operators.multimodal import media_from_documents, resize_images
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_images(media, box_w=64, box_h=48).select(
+        "media_id", "orig_width", "orig_height",
+        "out_width", "out_height", "n_bytes_out",
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,

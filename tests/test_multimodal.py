@@ -112,3 +112,28 @@ def test_sniff_media_headers_parses_real_containers(spark):
     assert (got[3].detected_format, got[3].sample_rate, got[3].channels) == ("wav", 44100, 2)
     assert got[4].detected_format == "unknown"
     assert got[5].detected_format == "unknown"
+
+
+def test_resize_images_aspect_fit_and_corrupt_raises(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    got = {r.media_id: r for r in resize_images(media, 64, 48).collect()}
+    for r in got.values():
+        # fits the box, preserves aspect within floor-division error
+        assert r.out_width <= 64 and r.out_height <= 48
+        assert r.out_width == 64 or r.out_height == 48  # touches one edge
+        assert r.n_bytes_out == r.out_width * r.out_height * 3
+        if r.out_height == 48:
+            assert r.out_width == max(1, (r.orig_width * 48) // r.orig_height)
+    # corrupt payload raises like a real decoder
+    bad = spark.createDataFrame(
+        [(99, None, "image", 10, 10, 0)], media.schema
+    )
+    with _pytest.raises(Exception, match="corrupt|NotImplemented"):
+        resize_images(bad).collect()
