@@ -224,8 +224,9 @@ MEDIA_HEADER_SCHEMA = StructType(
 
 def _sniff_header(payload: bytes | None) -> tuple:
     """REAL (non-stub) container-header parser — pure stdlib byte peeking,
-    no codec needed: PNG IHDR (fixed offsets), JPEG SOF marker scan, WAV
-    RIFF fmt chunk. Returns (format, width, height, sample_rate, channels);
+    no codec needed: PNG IHDR (fixed offsets), JPEG SOF marker scan, GIF
+    logical screen, ISO-BMFF ftyp (mp4), MP3 frame-sync/ID3, WAV RIFF fmt
+    chunk. Returns (format, width, height, sample_rate, channels);
     unknown/truncated payloads classify as ('unknown', None, ...) rather
     than raising — a corrupt-header census is one of this stage's jobs.
 
@@ -255,6 +256,26 @@ def _sniff_header(payload: bytes | None) -> tuple:
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return ("jpeg", None, None, None, None)  # truncated before SOF
+    # GIF: 6-byte signature, logical-screen width/height LE at 6/8
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, None, None)
+    # ISO-BMFF (mp4/mov/...): size + 'ftyp' box; dims live in moov, which
+    # a header peek deliberately does not chase
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return ("mp4", None, None, None, None)
+    # MP3: ID3 tag or an MPEG-1 Layer III frame sync (sample rate +
+    # channel mode decode straight from the frame header)
+    if b[:3] == b"ID3":
+        return ("mp3", None, None, None, None)
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        version = (b[1] >> 3) & 0x3  # 3 = MPEG-1
+        layer = (b[1] >> 1) & 0x3  # 1 = Layer III
+        if version == 3 and layer == 1:
+            rate = {0: 44100, 1: 48000, 2: 32000}.get((b[2] >> 2) & 0x3)
+            channels = 1 if (b[3] >> 6) & 0x3 == 3 else 2
+            return ("mp3", None, None, rate, channels)
+        return ("mp3", None, None, None, None)
     # WAV: RIFF container, fmt chunk holds channels + sample rate
     if b[:4] == b"RIFF" and len(b) >= 36 and b[8:12] == b"WAVE":
         i = 12

@@ -137,3 +137,25 @@ def test_resize_images_aspect_fit_and_corrupt_raises(spark):
     )
     with _pytest.raises(Exception, match="corrupt|NotImplemented"):
         resize_images(bad).collect()
+
+
+def test_sniff_extended_containers(spark):
+    import struct
+
+    from riot_graphs_spark.operators.multimodal import _sniff_header
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    assert _sniff_header(gif) == ("gif", 320, 200, None, None)
+    mp4 = struct.pack(">I", 24) + b"ftypisom" + b"\x00" * 16
+    assert _sniff_header(mp4) == ("mp4", None, None, None, None)
+    # MPEG-1 Layer III, 44100 Hz, joint stereo
+    mp3 = bytes([0xFF, 0xFB, 0b10010000, 0b01000000]) + b"\x00" * 8
+    assert _sniff_header(mp3) == ("mp3", None, None, 44100, 2)
+    # mono (mode bits = 11)
+    mp3m = bytes([0xFF, 0xFB, 0b10010000, 0b11000000]) + b"\x00" * 8
+    assert _sniff_header(mp3m) == ("mp3", None, None, 44100, 1)
+    assert _sniff_header(b"ID3\x04\x00" + b"\x00" * 16) == (
+        "mp3", None, None, None, None,
+    )
+    # existing formats unaffected
+    assert _sniff_header(b"garbage")[0] == "unknown"
