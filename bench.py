@@ -185,6 +185,7 @@ HEADLINE = [
     "token_fertility_by_lang",
     "pack_utilization",
     "mm_resize_plan",
+    "dedup_cluster_size_hist",
 ]
 
 

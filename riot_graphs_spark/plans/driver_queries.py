@@ -2475,6 +2475,75 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_cluster_size_hist",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shin AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM docs),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.doc_a
+      JOIN shin sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    sizes AS (SELECT component_id, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY component_id)
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           ((cluster_size - 1) * count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup governance histogram: how many near-dup families exist at each
+    size, and how many docs keep-one-per-cluster would remove — the
+    before/after budget a dedup run reports. Two partial-aggregable
+    groupBys over the (tiny) component assignment; a fat tail here is the
+    boilerplate-chaining warning `dedup_graph_degrees` drills into."""
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(
+        jaccard_verify_pairs(docs, minhash_lsh_pairs(docs), threshold=0.8)
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )
+
+
+@_q(
     "dedup_cc_clusters_star",
     # identical oracle body to dedup_cc_clusters: the two operators must
     # agree with the recursive-CTE transitive closure, and with each other
