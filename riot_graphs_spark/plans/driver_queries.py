@@ -4622,7 +4622,8 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     )
     SELECT lang, seq_key, n_tokens,
-           before // 128 AS pack_id, before % 128 AS pack_offset
+           (before // 128)::BIGINT AS pack_id,
+           (before % 128)::BIGINT AS pack_offset
     FROM w
     """,
 )
@@ -5047,15 +5048,16 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'orders.o_custkey->customer' AS relationship,
            count(*) AS n_child_rows,
-           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem.l_orderkey->orders', count(*),
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'customer.c_nationkey->nation', count(*),
-           sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     """,
 )
@@ -5102,10 +5104,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            abs(value) AS abs_v,
-           ceil(value) AS ceil_v,
-           floor(value) AS floor_v,
+           ceil(value)::BIGINT AS ceil_v,
+           floor(value)::BIGINT AS floor_v,
            sqrt(abs(value)) AS sqrt_abs_v,
-           sign(value) AS sign_v,
+           sign(value)::DOUBLE AS sign_v,
            greatest(value, 0.0) AS clamp_lo,
            least(value, 100.0) AS clamp_hi
     FROM events
@@ -5747,7 +5749,7 @@ def influxql_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "influxql_daily_derivative",
     """
     WITH b AS (
-      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+      SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
              sum(CAST(value AS DECIMAL(27,6)))::DOUBLE AS s
       FROM events GROUP BY 1, 2
     ), d AS (
@@ -5777,7 +5779,7 @@ def influxql_daily_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "influxql_cumulative_sum",
     """
     WITH b AS (
-      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+      SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
              sum(CAST(value AS DECIMAL(27,6)))::DOUBLE AS s
       FROM events GROUP BY 1, 2
     )
@@ -5807,7 +5809,7 @@ def influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "influxql_difference",
     """
     WITH b AS (
-      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+      SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
              count(value)::BIGINT AS n
       FROM events GROUP BY 1, 2
     ), d AS (
@@ -5835,7 +5837,7 @@ def influxql_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "influxql_stddev_daily",
     """
-    SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+    SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
            round(CASE WHEN count(value) > 1 THEN sqrt(
              (CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
               - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -5887,7 +5889,7 @@ def influxql_tz_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "influxql_count_distinct",
     """
-    SELECT date_trunc('day', ts::TIMESTAMP) AS time,
+    SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time,
            count(DISTINCT user_id)::BIGINT AS n
     FROM events GROUP BY 1
     """,
@@ -5908,7 +5910,7 @@ def influxql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "influxql_mode",
     """
     WITH c AS (
-      SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+      SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
              value, count(*) AS cnt
       FROM events GROUP BY 1, 2, 3
     )
@@ -5933,7 +5935,7 @@ def influxql_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "influxql_field_math",
     """
-    SELECT date_trunc('day', ts::TIMESTAMP) AS time, event_type,
+    SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS time, event_type,
            (sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value)) * 8
              AS bits
     FROM events
@@ -5963,7 +5965,7 @@ def influxql_field_math(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(value) AS mx
       FROM events GROUP BY 1, 2
     )
-    SELECT date_trunc('day', time) AS time, event_type,
+    SELECT date_trunc('day', time)::TIMESTAMP AS time, event_type,
            sum(CAST(mx AS DECIMAL(27,6)))::DOUBLE / count(mx) AS m
     FROM h GROUP BY 1, 2
     """,

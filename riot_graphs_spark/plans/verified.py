@@ -63,7 +63,32 @@ _ROUND_2 = [
     "ts_spread_stats",
 ]
 
-DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1 + _ROUND_2)
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r03.json.
+#: The round's three red rows (oracle output-type mismatches, fixed since:
+#: ``corpus_chunks_packed``, ``dq_referential_integrity``,
+#: ``ts_math_transforms``) are deliberately absent so they re-enter the r04
+#: window at the head.  ``pack_sequences`` (r02's red) re-entered and went
+#: green, so it lands here.
+_ROUND_3 = [
+    "dedup_simhash_pairs", "mm_resize_plan", "pack_sequences",
+    "token_fertility_by_lang", "pack_utilization", "dedup_cluster_size_hist",
+    "ts_mode_value", "ts_top3_per_type", "funnel_signup_purchase",
+    "retention_weekly", "chunk_documents", "ts_trend_fit",
+    "ts_zscore_anomalies", "ts_m4_downsample", "dq_orders_expectations",
+    "cdc_latest_state", "scd2_user_history", "g3_gap_fill_zero",
+    "fuzzy_edit_pairs", "repeated_spans", "ts_sample_per_type",
+    "text_token_drift", "ts_mad_anomalies", "sample_weighted", "ts_rsi",
+    "emb_quantize_int8", "cc_recursive_sql", "j4_asof_interpolated",
+    "ts_day_over_day", "ts_top2_with_other", "ts_daily_unique_users",
+    "attribution_last_touch", "ts_ohlc_daily", "ts_cmo",
+    "ts_percentile_bands", "ts_difference", "ts_heatmap",
+    "split_train_val_test", "sessions_daily", "ts_missing_buckets",
+    "rank_bm25", "text_tfidf_terms", "text_lm_cross_entropy",
+    "dedup_keep_best", "text_normalize", "corpus_shards",
+    "dedup_incremental_novel",
+]
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1 + _ROUND_2 + _ROUND_3)
 
 
 def rotation_order(

@@ -43,6 +43,93 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Driver value-hash type classes.
+#
+# The driver's per-query value-hash is Arrow-TYPE-sensitive up to these
+# equivalence classes (calibrated against every green/red driver row through
+# r03): integer widths collapse to int64; floats AND decimals collapse to
+# float64 (DuckDB HUGEINT arrives as decimal128(38,0) => float class, which
+# is exactly why `sum()` window legs against a Spark BIGINT went red in
+# r02/r03); timestamps drop tz and unit.  int-vs-float, decimal-vs-int and
+# date-vs-timestamp all hash DIFFERENTLY even when the printed values agree
+# (observed reds: pack_sequences r02; corpus_chunks_packed,
+# dq_referential_integrity, ts_math_transforms r03).  The local value
+# comparator below normalizes those away, so this schema-class check is what
+# catches the bug class before the driver does.
+# ---------------------------------------------------------------------------
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# HUGEINT reaches Arrow as decimal128(38,0) -> float class, NOT int.
+_DUCK_FLOAT = {"FLOAT", "REAL", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def duck_type_class(t) -> str:
+    s = str(t).strip()
+    if s.endswith("[]"):
+        return f"list<{duck_type_class(s[:-2])}>"
+    u = s.upper()
+    if u in _DUCK_INT:
+        return "int"
+    if u in _DUCK_FLOAT or u.startswith("DECIMAL"):
+        return "float"
+    if u.startswith("TIMESTAMP"):  # any precision, WITH TIME ZONE included
+        return "ts"
+    if u == "DATE":
+        return "date"
+    if u in {"VARCHAR", "TEXT", "STRING"}:
+        return "string"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "BLOB":
+        return "binary"
+    return s  # STRUCT/MAP/...: require exact textual match
+
+
+def spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_class(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def assert_hash_compatible_types(sdf, con, sql: str, name: str) -> None:
+    """Fail if any output column's Spark type and DuckDB type land in
+    different driver-hash classes.  Pure schema work — neither side executes
+    (Spark: analyzed schema; DuckDB: lazy relation types)."""
+    rel = con.sql(sql)
+    duck = {c: duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for f in sdf.schema.fields:
+        if f.name in duck and spark_type_class(f.dataType) != duck[f.name]:
+            bad.append(
+                f"{f.name}: spark {f.dataType.simpleString()}"
+                f" ({spark_type_class(f.dataType)}) vs oracle ({duck[f.name]})"
+            )
+    assert not bad, (
+        f"{name}: driver value-hash would diverge — oracle/engine output-type"
+        f" class mismatch on {len(bad)} column(s): " + "; ".join(bad)
+    )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
