@@ -6278,7 +6278,11 @@ def emb_assign_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "lsh_recall_vs_exact",
     f"""
-    WITH {_DUCK_MINHASH},
+    WITH documents AS (
+      SELECT * FROM main.documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000 < 500
+    ),
+    {_DUCK_MINHASH},
     bands AS (
       SELECT doc_id, j // 4 AS band,
              string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
@@ -6314,10 +6318,20 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure, don't guess: recall of the MinHash LSH candidate set against
     exact n-gram Jaccard ≥ 0.8 ground truth — the banding-parameter
     validation a dedup run performs on a sample before trusting LSH at
-    corpus scale (the exact side is sample-only; LSH is the scale path)."""
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    corpus scale.
 
-    docs = _t(spark, sf_dir, "documents")
+    PRODUCTION CONTRACT: the exact all-shingle side is quadratic in the
+    candidate-document mass and must NEVER run on a full corpus — so the
+    sampling lives INSIDE this query: a deterministic md5 keep-half
+    (``hash56(doc_id) % 1000 < 500``) restricts BOTH sides to the same
+    subcorpus before any pair generation. Same sample on every run and
+    engine (no RNG); at 100 TB, tighten the per-mille rate, never remove
+    the gate."""
+    from ..operators.dedup import hash56, minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        hash56(F.col("doc_id").cast("string")) % 1000 < 500
+    )
     truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
