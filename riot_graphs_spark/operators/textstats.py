@@ -483,10 +483,33 @@ def _merge_adjacent(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def _batch_compatible(
+    ranked: list[tuple[str, str]], limit: int
+) -> list[tuple[str, str]]:
+    """Greedy maximal prefix of ``ranked`` (count-desc order) whose merges
+    cannot interact within one round: accepted pairs share no symbol, and no
+    accepted pair's concatenation equals a symbol of another (the merge's
+    NEW symbol must not create or destroy occurrences of a co-selected
+    pair)."""
+    taken: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b in ranked:
+        if len(taken) >= limit:
+            break
+        # `used` holds every accepted symbol AND concat, so this one test
+        # covers shared-symbol and concat-collision interactions both ways.
+        if a in used or b in used or (a + b) in used:
+            continue
+        taken.append((a, b))
+        used.update((a, b, a + b))
+    return taken
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_size: int = 1,
 ) -> list[tuple[str, str]]:
     """Distributed BPE tokenizer training: learn ``n_merges`` merge rules
     over the corpus. Returns the rules in learned order (greedy argmax of
@@ -496,9 +519,19 @@ def bpe_train(
     Scale shape — the reason BPE training is tractable at 100 TB: the corpus
     is reduced ONCE to its word-frequency table (the only corpus-sized
     shuffle); every merge round then runs on the vocab-sized symbol table —
-    one pair-count aggregation (vocab-sized) + one tiny (1-row) argmax
-    collect + a row-local merge rewrite, with ``localCheckpoint`` cutting
-    lineage per round exactly like the CC/k-means loops."""
+    one pair-count aggregation (vocab-sized) + one tiny argmax collect + a
+    row-local merge rewrite, with ``localCheckpoint`` cutting lineage per
+    round exactly like the CC/k-means loops.
+
+    ``batch_size=1`` (default) is EXACT sequential BPE. ``batch_size=k``
+    accepts up to k non-interacting pairs per round (no shared symbol, no
+    concat collision — see :func:`_batch_compatible`), cutting the number of
+    Spark jobs for a 32k-vocab training run by ~k×. This is the standard
+    fast-trainer batching and is exact UNLESS a merge mints a new pair that
+    outcounts a later same-round selection — rare in natural corpora, but a
+    deviation from strict BPE, so it is opt-in, never silently on."""
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     word = F.explode(tokens(text_col)).alias("w")
     vocab = (
         docs.select(word)
@@ -508,8 +541,9 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pair_idx = F.expr("sequence(1, size(sym) - 1)")
+        # Over-fetch 4x: the compatibility filter skips interacting pairs.
         pairs = (
             vocab.filter(F.size("sym") >= 2)
             .select(
@@ -527,16 +561,20 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("f").alias("n"))
             .orderBy(F.desc("n"), F.asc("p"))
-            .limit(1)
+            .limit(max(1, batch_size * 4))
             .collect()
         )
         if not pairs:
             break
-        a, b = pairs[0].p.a, pairs[0].p.b
-        merges.append((a, b))
-        vocab = vocab.withColumn(
-            "sym", _merge_adjacent(F.col("sym"), a, b)
-        ).localCheckpoint(eager=True)
+        ranked = [(r.p.a, r.p.b) for r in pairs]
+        batch = _batch_compatible(
+            ranked, min(batch_size, n_merges - len(merges))
+        )
+        col = F.col("sym")
+        for a, b in batch:  # rank order; merges provably independent
+            merges.append((a, b))
+            col = _merge_adjacent(col, a, b)
+        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=True)
     return merges
 
 

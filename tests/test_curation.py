@@ -525,6 +525,37 @@ def test_bpe_train_matches_reference_implementation(spark):
             assert len(t) == 1 or t in learned
 
 
+def test_bpe_train_batched_rounds_match_sequential(spark):
+    """batch_size>1 collapses merge rounds; on a corpus whose frequent pairs
+    don't interact (disjoint symbols, distinct counts) it is provably
+    identical to exact sequential BPE — and runs n_merges/k rounds."""
+    from riot_graphs_spark.operators.textstats import bpe_train
+
+    texts = [
+        "aa aa aa aa aa aa",   # (a,a) dominates
+        "bb bb bb bb bb",      # then (b,b)
+        "cc cc cc cc",         # then (c,c)
+        "dd dd dd",            # then (d,d)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = bpe_train(docs, n_merges=4, batch_size=1)
+    bat = bpe_train(docs, n_merges=4, batch_size=4)
+    assert seq == bat == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+
+
+def test_bpe_batch_compatibility_filter():
+    """Interacting pairs are deferred to a later round, not co-applied:
+    shared symbols and concat collisions both disqualify."""
+    from riot_graphs_spark.operators.textstats import _batch_compatible
+
+    ranked = [("a", "b"), ("b", "c"), ("x", "y"), ("ab", "z"), ("p", "q")]
+    # (b,c) shares b with (a,b); (ab,z) collides with concat of (a,b)
+    assert _batch_compatible(ranked, 5) == [("a", "b"), ("x", "y"), ("p", "q")]
+    assert _batch_compatible(ranked, 2) == [("a", "b"), ("x", "y")]
+
+
 def test_bpe_apply_pandas_path_matches_codegen_path(spark):
     from riot_graphs_spark.operators.textstats import bpe_apply, bpe_train
 
