@@ -186,6 +186,9 @@ HEADLINE = [
     "pack_utilization",
     "mm_resize_plan",
     "dedup_cluster_size_hist",
+    "dq_winsorize_events",
+    "mixture_temperature",
+    "emb_l2_normalize",
 ]
 
 

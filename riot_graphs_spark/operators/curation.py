@@ -201,6 +201,45 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str = "lang",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-based mixture reweighting — the multilingual-LM sampling
+    rule: sampling share ∝ (corpus share)^(1/T). T=1 reproduces the corpus
+    mixture; T→∞ approaches uniform; the standard T∈[2,5] range boosts
+    low-resource strata without flattening the head.
+
+    Same shape as :func:`mixture_weights`: one partial-aggregable groupBy to
+    #strata rows, then windows over that tiny aggregate — the corpus is
+    scanned once regardless of T. The ^(1/T) leg runs in double; its
+    cross-row normalization sum goes through DECIMAL (addition-order-stable
+    across partitionings and engines) and the published shares round to 6dp.
+
+    Output per stratum: ``n``, ``share`` (corpus), ``sample_share``
+    (temperature-adjusted), ``boost`` = sample_share/share (the resampling
+    factor a mixture-aware loader applies).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    share = F.col("n").cast("double") / total
+    raised = F.pow(share, F.lit(1.0 / temperature)).cast("decimal(27,12)")
+    z = F.sum(raised).over(Window.partitionBy())
+    sample_share = F.round(
+        raised.cast("double") / z.cast("double"), 6
+    )
+    return counts.select(
+        strata_col,
+        "n",
+        F.round(share, 6).alias("share"),
+        sample_share.alias("sample_share"),
+        F.round(sample_share / F.round(share, 6), 6).alias("boost"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Token-budget sequence packing
 # --------------------------------------------------------------------------

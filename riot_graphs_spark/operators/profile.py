@@ -318,3 +318,42 @@ def key_skew_profile(
         "rank",
         gini.alias("gini"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization — clamp a metric to its [lo, hi] exact
+    interpolated percentiles, the outlier treatment a feature/reward column
+    gets before statistics or training (cap, don't drop: row count and
+    joinability are preserved).
+
+    Plan: one partial-aggregable percentile pass reduces the corpus to a
+    #groups-row bounds table, broadcast back onto the fact — no second
+    shuffle, no window over the fact. At 100 TB the bounds side is bytes;
+    the clamp is row-local whole-stage codegen. Bounds are rounded to 6dp
+    so the clamp threshold (and therefore every output value and flag) is
+    engine-stable; interior values pass through untouched.
+
+    Appends ``winsorized`` (double) and ``clipped`` (boolean) to ``df``'s
+    columns.
+    """
+    if not 0 <= lo < hi <= 1:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.percentile(v, F.lit(lo)), 6).alias("_p_lo"),
+        F.round(F.percentile(v, F.lit(hi)), 6).alias("_p_hi"),
+    )
+    out = df.join(F.broadcast(bounds), group_col)
+    return out.select(
+        *df.columns,
+        F.least(F.greatest(v, F.col("_p_lo")), F.col("_p_hi")).alias(
+            "winsorized"
+        ),
+        ((v < F.col("_p_lo")) | (v > F.col("_p_hi"))).alias("clipped"),
+    )

@@ -819,3 +819,37 @@ def embedding_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def l2_normalize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Unit-normalize the embedding store, relational output — the
+    preprocessing that turns every downstream cosine into a plain dot
+    product (one multiply-add per dim instead of three norms), which is the
+    cheap form every ANN stage here consumes.
+
+    Row-local, ZERO shuffles: norm = sqrt of the sequential double fold
+    (``functions.vectors.l2_norm`` — same accumulation order on any engine),
+    then one ``posexplode`` row per dimension with the component divided by
+    it. Components and norm round to 6dp for engine-stable output; the
+    all-zero vector maps to zeros (norm 0 published, no NaN poison).
+
+    Output: ``(id, i: int 1-based, u: double, nrm: double)``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.round(l2_norm(vec_col), 6).alias("nrm"),
+        F.posexplode(vec_col).alias("i0", "_x"),
+    )
+    u = F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
+        F.round(F.col("_x").cast("double") / F.col("nrm"), 6)
+    )
+    return base.select(
+        id_col,
+        (F.col("i0") + 1).cast("int").alias("i"),
+        u.alias("u"),
+        "nrm",
+    )

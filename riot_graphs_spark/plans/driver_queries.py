@@ -7279,6 +7279,92 @@ def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-4 additions (DEFER_TO_NEXT_WINDOW: registered last so the r04 driver
+# window still covers the older pending tail; they head the r05 window)
+# --------------------------------------------------------------------------
+@_q(
+    "dq_winsorize_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) AS p_lo,
+             round(quantile_cont(value, 0.99), 6) AS p_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.p_lo), b.p_hi) AS winsorized,
+           (e.value < b.p_lo OR e.value > b.p_hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def dq_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type [p01, p99] winsorization of the event metric
+    (operators.profile.winsorize): one percentile pass to a #types-row
+    bounds table, broadcast back, row-local clamp — outlier treatment
+    without dropping rows."""
+    from ..operators.profile import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(ev).select(
+        "event_id", "event_type", "value", "winsorized", "clipped"
+    )
+
+
+@_q(
+    "mixture_temperature",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    s AS (
+      SELECT lang, n, n::DOUBLE / sum(n) OVER () AS share,
+             CAST(pow(n::DOUBLE / sum(n) OVER (), 0.5) AS DECIMAL(27,12))
+               AS raised
+      FROM c
+    )
+    SELECT lang, n, round(share, 6) AS share,
+           round(raised::DOUBLE / (sum(raised) OVER ())::DOUBLE, 6)
+             AS sample_share,
+           round(round(raised::DOUBLE / (sum(raised) OVER ())::DOUBLE, 6)
+                 / round(share, 6), 6) AS boost
+    FROM s
+    """,
+)
+def mixture_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T=2 mixture reweighting over langs
+    (operators.curation.temperature_mixture): sampling share ∝ share^(1/T),
+    the multilingual-LM low-resource boost. One groupBy; windows run over
+    the 5-row aggregate; the ^(1/2) leg is sqrt (correctly-rounded IEEE,
+    engine-stable) and the normalization sum goes through DECIMAL."""
+    from ..operators.curation import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "emb_l2_normalize",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             round(sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, i::INT AS i,
+           CASE WHEN nrm = 0.0 THEN 0.0
+                ELSE round(embedding[i]::DOUBLE / nrm, 6) END AS u,
+           nrm
+    FROM b, (SELECT unnest(range(1, 65)) AS i)
+    """,
+)
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized embedding store, relational output
+    (operators.similarity.l2_normalize): row-local double fold for the norm
+    + posexplode — zero shuffles; downstream cosine becomes a plain dot."""
+    from ..operators.similarity import l2_normalize
+
+    return l2_normalize(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

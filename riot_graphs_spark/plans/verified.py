@@ -90,16 +90,36 @@ _ROUND_3 = [
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1 + _ROUND_2 + _ROUND_3)
 
+#: Queries REGISTERED AFTER a round's ~50-slot window was already exactly
+#: filled by the older pending tail (r04: 3 re-fixed rows + 46 pending = 49
+#: slots + 1 spare). Ordered LAST — behind even the verified names — so the
+#: in-flight round's window still covers every older pending query; they
+#: rise to the window head automatically next round, when this set is
+#: emptied alongside appending the new ``_ROUND_N`` list.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "dq_winsorize_events",
+    "mixture_temperature",
+    "emb_l2_normalize",
+])
+
 
 def rotation_order(
     registered: list[str], oracles: frozenset[str] | set[str]
 ) -> list[str]:
     """Return *registered* reordered unverified-first (see module docstring)."""
     pending_oracle = [
-        n for n in registered if n not in DRIVER_VERIFIED and n in oracles
+        n for n in registered
+        if n not in DRIVER_VERIFIED and n in oracles
+        and n not in DEFER_TO_NEXT_WINDOW
     ]
     pending_weak = [
-        n for n in registered if n not in DRIVER_VERIFIED and n not in oracles
+        n for n in registered
+        if n not in DRIVER_VERIFIED and n not in oracles
+        and n not in DEFER_TO_NEXT_WINDOW
     ]
-    done = [n for n in registered if n in DRIVER_VERIFIED]
-    return pending_oracle + pending_weak + done
+    done = [
+        n for n in registered
+        if n in DRIVER_VERIFIED and n not in DEFER_TO_NEXT_WINDOW
+    ]
+    deferred = [n for n in registered if n in DEFER_TO_NEXT_WINDOW]
+    return pending_oracle + pending_weak + done + deferred

@@ -4,6 +4,7 @@ rules, boundary-straddling docs, empty strata."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -617,3 +618,83 @@ def test_chunk_by_sentences_empty_and_unpunctuated(spark):
     assert by_doc[1].n_sentences == 1 and by_doc[1].chunk_id == 0
     # empty text yields no sentences, no rows
     assert 2 not in by_doc
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: winsorize / temperature mixture / l2 normalize
+# --------------------------------------------------------------------------
+def test_winsorize_clamps_and_preserves_rows(spark):
+    from riot_graphs_spark.operators.profile import winsorize
+
+    rows = [(i, "a", float(v)) for i, v in enumerate(
+        [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    )] + [(100, "b", -50.0), (101, "b", 1.0), (102, "b", 2.0)]
+    df = spark.createDataFrame(rows, "id long, event_type string, value double")
+    out = winsorize(df, lo=0.10, hi=0.90)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == len(rows)  # cap, don't drop
+    # group a (exact interpolated): p10 = 0.9, p90 = 8 + 0.1*(100-8) = 17.2;
+    # 100.0 clips down to the p90
+    assert got[9].clipped and abs(got[9].winsorized - 17.2) < 1e-9
+    assert got[0].clipped and abs(got[0].winsorized - 0.9) < 1e-9
+    assert not got[5].clipped and got[5].winsorized == 5.0
+    # group b gets its own bounds: -50 clips up
+    assert got[100].clipped and got[100].winsorized > -50.0
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    from riot_graphs_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, event_type string, value double")
+    with pytest.raises(ValueError):
+        winsorize(df, lo=0.9, hi=0.1)
+
+
+def test_temperature_mixture_hand_computed(spark):
+    import math
+
+    from riot_graphs_spark.operators.curation import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(16)] + [(100 + i, "zh") for i in range(4)],
+        "doc_id long, lang string",
+    )
+    got = {r.lang: r for r in temperature_mixture(df, temperature=2.0).collect()}
+    # shares .8/.2 -> sqrt .8944/.4472 -> z=1.3416: sample 2/3 and 1/3
+    s_en, s_zh = math.sqrt(0.8), math.sqrt(0.2)
+    z = s_en + s_zh
+    assert abs(got["en"].sample_share - round(s_en / z, 6)) < 1e-9
+    assert abs(got["zh"].sample_share - round(s_zh / z, 6)) < 1e-9
+    # T boosts the low-resource stratum, damps the head
+    assert got["zh"].boost > 1.0 > got["en"].boost
+    assert abs(got["en"].share - 0.8) < 1e-9
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, temperature=0.0)
+
+
+def test_temperature_one_reproduces_corpus_mixture(spark):
+    from riot_graphs_spark.operators.curation import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(6)] + [(10 + i, "de") for i in range(2)],
+        "doc_id long, lang string",
+    )
+    got = {r.lang: r for r in temperature_mixture(df, temperature=1.0).collect()}
+    for r in got.values():
+        assert abs(r.sample_share - r.share) < 2e-6
+        assert abs(r.boost - 1.0) < 1e-5
+
+
+def test_l2_normalize_components_and_zero_vector(spark):
+    from riot_graphs_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vec_id, r.i): r for r in l2_normalize(df).collect()}
+    assert got[(1, 1)].u == 0.6 and got[(1, 2)].u == 0.8
+    assert got[(1, 1)].nrm == 5.0
+    assert got[(2, 1)].u == 0.0 and got[(2, 1)].nrm == 0.0  # no NaN poison
+    assert len(got) == 4

@@ -442,3 +442,20 @@ def test_skew_profile_no_global_window_on_key_table(spark):
     # WindowGroupLimit doesn't fire for empty-partition windows, so the
     # operator salts by hand — measured necessary, unlike query-keyed cuts)
     assert re.search(r"windowspecdefinition\(_salt", plan)
+
+
+def test_winsorize_bounds_broadcast_one_shuffle(spark):
+    # The bounds table must come back as a broadcast (never a sort-merge on
+    # the fact) and the whole plan carries exactly one real Exchange: the
+    # percentile partial-agg. A second shuffle would mean the clamp re-keyed
+    # the fact.
+    plan = formatted_plan(spark, "dq_winsorize_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_l2_normalize_is_zero_shuffle(spark):
+    plan = formatted_plan(spark, "emb_l2_normalize")
+    assert shuffle_count(plan) == 0
+    assert "Generate" in plan  # posexplode, row-local

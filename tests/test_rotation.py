@@ -2,7 +2,11 @@
 rotation must surface unverified queries first without altering the set."""
 
 from riot_graphs_spark.plans import driver_queries as dq
-from riot_graphs_spark.plans.verified import DRIVER_VERIFIED, rotation_order
+from riot_graphs_spark.plans.verified import (
+    DEFER_TO_NEXT_WINDOW,
+    DRIVER_VERIFIED,
+    rotation_order,
+)
 
 
 def test_rotation_preserves_set():
@@ -14,7 +18,11 @@ def test_rotation_preserves_set():
 def test_unverified_oracle_paired_come_first():
     ordered = list(dq.queries())
     oracles = set(dq.ORACLES)
-    pending = [n for n in ordered if n not in DRIVER_VERIFIED and n in oracles]
+    pending = [
+        n for n in ordered
+        if n not in DRIVER_VERIFIED and n in oracles
+        and n not in DEFER_TO_NEXT_WINDOW
+    ]
     # Every pending oracle-paired query precedes every already-verified one.
     first_done = next(
         (i for i, n in enumerate(ordered) if n in DRIVER_VERIFIED), len(ordered)
@@ -26,12 +34,30 @@ def test_unverified_oracle_paired_come_first():
 
 
 def test_driver_window_is_all_unverified():
-    # While >50 queries lack a driver row, the 50-row window must contain
-    # no already-verified names (they would waste a slot).
+    # While >50 NON-DEFERRED queries lack a driver row, the 50-row window
+    # must contain no already-verified names (they would waste a slot).
     ordered = list(dq.queries())
-    unverified = [n for n in ordered if n not in DRIVER_VERIFIED]
+    unverified = [
+        n for n in ordered
+        if n not in DRIVER_VERIFIED and n not in DEFER_TO_NEXT_WINDOW
+    ]
     if len(unverified) >= 50:
         assert all(n not in DRIVER_VERIFIED for n in ordered[:50])
+
+
+def test_deferred_names_come_last_and_window_keeps_pending():
+    # Deferring a late registration must not displace ANY older pending
+    # query from the round's ~50-entry window.
+    ordered = list(dq.queries())
+    n = len(ordered)
+    for name in DEFER_TO_NEXT_WINDOW:
+        assert ordered.index(name) >= n - len(DEFER_TO_NEXT_WINDOW)
+    pending = [
+        n_ for n_ in ordered
+        if n_ not in DRIVER_VERIFIED and n_ not in DEFER_TO_NEXT_WINDOW
+    ]
+    # every non-deferred pending name sits inside the first-50 window
+    assert all(ordered.index(p) < 50 for p in pending)
 
 
 def test_rotation_order_is_stable_partition():
