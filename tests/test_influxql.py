@@ -146,6 +146,22 @@ def test_parse_rejects_unsupported():
         parse_influxql("SELECT mean(value) FROM t WHERE time = '2024-01-01'")
 
 
+def test_parse_rejects_every_write_verb():
+    # docs/INFLUXQL.md non-goals: write/DDL verbs raise (→ HTTP 400), the
+    # engine owns ingestion/retention natively. No silent no-op.
+    for q in (
+        "SELECT mean(value) INTO tgt FROM events GROUP BY time(1d)",
+        "DROP SERIES FROM events",
+        "DROP MEASUREMENT events",
+        "INSERT events,tag=a value=1",
+        "CREATE RETENTION POLICY x ON db DURATION 1d REPLICATION 1",
+        "CREATE CONTINUOUS QUERY cq ON db BEGIN SELECT mean(value) "
+        "INTO t FROM e GROUP BY time(1h) END",
+    ):
+        with pytest.raises(InfluxQLError):
+            parse_influxql(q)
+
+
 def test_percentile_median_spread(spark, events):
     q = (
         "SELECT percentile(value, 95) AS p95, median(value) AS med, "
