@@ -189,6 +189,7 @@ HEADLINE = [
     "dq_winsorize_events",
     "mixture_temperature",
     "emb_l2_normalize",
+    "mm_phash_pairs",
 ]
 
 

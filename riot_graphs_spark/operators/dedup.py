@@ -432,29 +432,59 @@ def simhash_hamming_pairs(
     the same shape as :func:`minhash_lsh_pairs`, including the
     ``max_bucket_size`` guard for pathological boilerplate buckets.
     """
+    sig = simhash_signatures(docs, id_col, text_col, bits)
+    return hamming_banded_pairs(
+        sig,
+        sig_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bits=bits,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming join over ANY fixed-width integer
+    signature column (SimHash, image pHash, audio fingerprints): split the
+    ``bits``-bit signature into ``bands`` equal bands (default
+    ``max_hamming + 1``), equi-join on any exactly-matching band, verify
+    ``bit_count(xor)`` row-locally. 100% recall at the stated radius, never
+    all-pairs; same shape and ``max_bucket_size`` skew guard as
+    :func:`minhash_lsh_pairs`. Output: ``(doc_a, doc_b, hamming)``.
+    """
     if bands is None:
         bands = max_hamming + 1
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     width = bits // bands
-    mask = (1 << width) - 1
-    sig = simhash_signatures(docs, id_col, text_col, bits)
+    # two's-complement: a full-width band masks with -1 (all bits set); the
+    # unsigned 2^64-1 literal would overflow Spark's signed LongType
+    mask = (1 << width) - 1 if width < 64 else -1
     band_keys = F.array(
         *[
-            F.shiftright(F.col("simhash"), b * width)
+            F.shiftright(F.col(sig_col), b * width)
             .bitwiseAND(F.lit(mask))
             .cast("long")
             for b in range(bands)
         ]
     )
-    buckets = sig.select(
+    buckets = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.posexplode(band_keys).alias("band", "key"),
     )
     grouped = buckets.groupBy("band", "key").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_sig")))
         ).alias("_m")
     )
     if max_bucket_size is not None:
@@ -466,9 +496,9 @@ def simhash_hamming_pairs(
                 F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
                 lambda y: F.struct(
                     x["id"].alias("doc_a"),
-                    x["simhash"].alias("sig_a"),
+                    x["_sig"].alias("sig_a"),
                     y["id"].alias("doc_b"),
-                    y["simhash"].alias("sig_b"),
+                    y["_sig"].alias("sig_b"),
                 ),
             ),
         )

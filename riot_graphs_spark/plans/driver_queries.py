@@ -7365,6 +7365,27 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l2_normalize(_t(spark, sf_dir, "embeddings"))
 
 
+@_q("mm_phash_pairs")  # rows-only by design: the DCT has no SQL twin; the
+# hash math is unit-tested (orthonormal basis, recall-vs-brute-force) and
+# the banding layer is the SAME hamming_banded_pairs the hash-green
+# dedup_simhash_pairs runs through.
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the fixture media table: 64-bit
+    perceptual hash (REAL 32×32 DCT-II + median threshold over the
+    documented stub luma decode, operators.multimodal.phash_images) +
+    pigeonhole-banded Hamming join (dedup.hamming_banded_pairs) — the image
+    half of corpus dedup, never all-pairs.
+
+    Radius 7 with 8 bands is deliberate band-arithmetic: bands must divide
+    64 and exceed the radius, and 8 bands give 8-BIT keys (256 values) —
+    radius 8 would force 16 bands of 4-bit keys (16 values), whose huge
+    buckets cost ~3× in pair expansion (measured at sf0.1)."""
+    from ..operators.multimodal import media_from_documents, phash_near_dup_pairs
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return phash_near_dup_pairs(media, max_hamming=7, bands=8)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -100,6 +100,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "dq_winsorize_events",
     "mixture_temperature",
     "emb_l2_normalize",
+    "mm_phash_pairs",
 ])
 
 

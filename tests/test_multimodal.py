@@ -159,3 +159,93 @@ def test_sniff_extended_containers(spark):
     )
     # existing formats unaffected
     assert _sniff_header(b"garbage")[0] == "unknown"
+
+
+def test_phash_dct_basis_is_orthonormal():
+    import numpy as np
+
+    from riot_graphs_spark.operators.multimodal import _dct2_matrix
+
+    d = _dct2_matrix(32)
+    assert np.allclose(d @ d.T, np.eye(32), atol=1e-12)
+
+
+def test_phash_deterministic_and_signed64(spark):
+    from riot_graphs_spark.operators.multimodal import phash_images, synthetic_media
+
+    media = synthetic_media(spark, n=24)
+    a = {r.media_id: r.phash for r in phash_images(media).collect()}
+    b = {r.media_id: r.phash for r in phash_images(media).collect()}
+    assert a == b and len(a) == 8  # images only (n % 3 == 0 rows)
+    assert all(-(2**63) <= v < 2**63 for v in a.values())
+    assert len(set(a.values())) > 1  # payload-sensitive, not constant
+
+
+def test_phash_pairs_find_exact_duplicates(spark):
+    from riot_graphs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_near_dup_pairs,
+    )
+
+    payload = bytes(range(16))
+    other = bytes(255 - b for b in range(16))
+    rows = [
+        (1, payload, "image", 64, 64, 0),
+        (2, payload, "image", 32, 32, 0),  # same bytes, different metadata
+        (3, other, "image", 64, 64, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in phash_near_dup_pairs(media, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_phash_banding_has_total_recall_vs_brute_force(spark):
+    from riot_graphs_spark.operators.multimodal import (
+        phash_images,
+        phash_near_dup_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48)
+    hashes = {r.media_id: r.phash for r in phash_images(media).collect()}
+    radius = 15  # bands=16 divides 64 and exceeds the radius (pigeonhole)
+    ids = sorted(hashes)
+    brute = {
+        (a, b): bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= radius
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(media, max_hamming=radius, bands=16).collect()
+    }
+    assert banded == brute  # pigeonhole: no pair within radius is missed
+
+
+def test_phash_corrupt_payload_raises(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.multimodal import MEDIA_SCHEMA, phash_images
+
+    media = spark.createDataFrame(
+        [(1, None, "image", 8, 8, 0)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="corrupt|NotImplemented|PythonException"):
+        phash_images(media).collect()
+
+
+def test_phash_vectorized_matches_scalar_reference(spark):
+    from riot_graphs_spark.operators.multimodal import (
+        _dct2_matrix,
+        _luma_matrix_stub,
+        _phash64,
+        phash_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24)
+    got = {r.media_id: r.phash for r in phash_images(media).collect()}
+    d = _dct2_matrix(32)
+    for r in media.filter("media_type = 'image'").collect():
+        assert got[r.media_id] == _phash64(_luma_matrix_stub(bytes(r.payload)), d)
