@@ -366,6 +366,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT over pairs sharing ≥1 shingle:
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric complement to
+    :func:`ngram_jaccard_pairs`. A short document quoted wholesale inside a
+    long one scores near 1.0 here while its Jaccard stays tiny (the union
+    is dominated by the long side), so this is the dedup lens that catches
+    subset/quotation duplication Jaccard structurally cannot.
+
+    Same inverted-index join shape and cost bound as the Jaccard form
+    (Σ bucket², never corpus²; per-doc shingle counts ride the exploded
+    rows — no side table, no broadcast). ``contained`` names the doc whose
+    shingle set is the (weakly) smaller side — the removal candidate.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_arr")
+    ).select(
+        F.col(id_col),
+        F.size("_arr").alias("n"),
+        F.explode("_arr").alias("s"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "s")
+    con = (
+        a.join(b, on="s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("na", "nb"),
+        )
+        .withColumn(
+            "contained",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a")).otherwise(
+                F.col("doc_b")
+            ),
+        )
+    )
+    return con.filter(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "containment", "contained"
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -7386,6 +7386,39 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(media, max_hamming=7, bands=8)
 
 
+@_q(
+    "dedup_containment_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM docs),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter::DOUBLE / least(sa.n, sb.n) AS containment,
+           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment ≥ 0.6 (operators.dedup.
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) with the contained
+    (smaller-set) doc named — catches quotation/subset duplication whose
+    Jaccard is structurally tiny. Same inverted-index join bound as the
+    Jaccard verifier."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

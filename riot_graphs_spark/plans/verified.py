@@ -101,6 +101,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "mixture_temperature",
     "emb_l2_normalize",
     "mm_phash_pairs",
+    "dedup_containment_pairs",
 ])
 
 

@@ -698,3 +698,41 @@ def test_l2_normalize_components_and_zero_vector(spark):
     assert got[(1, 1)].nrm == 5.0
     assert got[(2, 1)].u == 0.0 and got[(2, 1)].nrm == 0.0  # no NaN poison
     assert len(got) == 4
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment 1.0,
+    Jaccard far below any dedup threshold — the asymmetric lens's reason to
+    exist. `contained` names the smaller-set doc (the removal candidate)."""
+    from riot_graphs_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}"), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    con = {
+        (r.doc_a, r.doc_b): (r.containment, r.contained)
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert con[(1, 2)][0] == 1.0 and con[(1, 2)][1] == 1
+    assert len(con) == 1
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any(
+        {r.doc_a, r.doc_b} == {1, 2} for r in jac
+    )  # jaccard blind to the subset
+
+
+def test_containment_tie_prefers_doc_a(spark):
+    from riot_graphs_spark.operators.dedup import ngram_containment_pairs
+
+    same = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(7, same), (9, same)], "doc_id long, text string"
+    )
+    r = ngram_containment_pairs(docs, threshold=0.9).collect()[0]
+    assert (r.doc_a, r.doc_b, r.containment, r.contained) == (7, 9, 1.0, 7)
