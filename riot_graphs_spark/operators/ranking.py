@@ -298,3 +298,58 @@ def bm25_search_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    n_buckets: int = 3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail split made executable: bucket every document
+    into per-stratum perplexity n-tiles under the unigram LM
+    (:func:`unigram_lm_cross_entropy`) and flag the keep set (everything but
+    the worst bucket — CCNet trains on head+middle). Bucketing is PER
+    LANGUAGE, as in CCNet: absolute perplexity is not comparable across
+    languages, ranks within one are.
+
+    Determinism: ntile ordered by (cross_entropy ASC NULLS LAST, id) — the
+    id tiebreak makes equal scores engine-stable, and the explicit NULLS
+    LAST pins empty-doc placement (Spark defaults nulls FIRST ascending,
+    DuckDB LAST; unpinned, the two engines would bucket them differently).
+
+    Cost on top of the LM score: one #docs-row window shuffle keyed on the
+    stratum — the scored table is (id, score)-narrow, so at 100 TB this
+    windows over ~16 bytes/doc, not the corpus text.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = unigram_lm_cross_entropy(
+        docs, train_docs, alpha=alpha, id_col=id_col, text_col=text_col
+    )
+    joined = docs.select(F.col(id_col), F.col(strata_col)).join(
+        scored, id_col
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("cross_entropy").asc_nulls_last(), F.col(id_col).asc()
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    name = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return joined.select(
+        id_col,
+        strata_col,
+        "n_tokens",
+        "cross_entropy",
+        bucket.cast("int").alias("ppl_bucket"),
+        name.alias("bucket_name"),
+        (bucket < n_buckets).alias("keep"),
+    )

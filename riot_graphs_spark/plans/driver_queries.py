@@ -7419,6 +7419,52 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    consts AS (SELECT sum(c) AS t_total, count(*) AS v_size FROM model),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(ln((coalesce(model.c, 0)::DOUBLE + 0.5)
+                     / (CAST(t_total AS DOUBLE) + 0.5 * v_size))
+                  AS DECIMAL(28,12)) AS lp
+      FROM tok LEFT JOIN model USING (token) CROSS JOIN consts
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             -CAST(sum(lp) AS DOUBLE) / count(*) AS cross_entropy
+      FROM scored GROUP BY 1
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang, coalesce(per.n_tokens, 0) AS n_tokens,
+             per.cross_entropy
+      FROM documents d LEFT JOIN per USING (doc_id)
+    ),
+    b AS (
+      SELECT *, ntile(3) OVER (PARTITION BY lang
+               ORDER BY cross_entropy ASC NULLS LAST, doc_id ASC)
+               AS ppl_bucket
+      FROM j
+    )
+    SELECT doc_id, lang, n_tokens, cross_entropy, ppl_bucket::INT AS ppl_bucket,
+           CASE ppl_bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_name,
+           ppl_bucket < 3 AS keep
+    FROM b
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split per language
+    (operators.ranking.perplexity_buckets): unigram-LM cross-entropy
+    n-tiles with deterministic (score, id, NULLS LAST) ordering; ``keep``
+    is the CCNet head+middle training set."""
+    from ..operators.ranking import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

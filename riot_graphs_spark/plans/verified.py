@@ -102,6 +102,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "emb_l2_normalize",
     "mm_phash_pairs",
     "dedup_containment_pairs",
+    "ccnet_perplexity_buckets",
 ])
 
 

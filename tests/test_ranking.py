@@ -96,3 +96,46 @@ def test_unigram_lm_unseen_tokens_get_alpha_mass(spark):
     out = unigram_lm_cross_entropy(score, train_docs=train).collect()[0]
     # p(unseen) = 0.5 / (3 + 0.5*2) = 0.125
     assert abs(out.cross_entropy - (-math.log(0.125))) < 1e-9
+
+
+def test_perplexity_buckets_per_lang_and_keep(spark):
+    """Common-word docs land in head, gibberish in tail, per language
+    independently; keep = head+middle (CCNet's training set)."""
+    from riot_graphs_spark.operators.ranking import perplexity_buckets
+
+    common = "the data the table the row the data table row"
+    mixed = "the data zzz qqq table row the the xx"
+    gibber = "zxqv wvwx qzzk vkxq zzzz qqqq xkcd qwop"
+    rows = []
+    for lang in ("en", "de"):
+        off = 0 if lang == "en" else 10
+        rows += [
+            (off + 1, lang, common),
+            (off + 2, lang, mixed),
+            (off + 3, lang, gibber),
+        ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    for off in (0, 10):
+        assert got[off + 1].bucket_name == "head" and got[off + 1].keep
+        assert got[off + 2].bucket_name == "middle" and got[off + 2].keep
+        assert got[off + 3].bucket_name == "tail" and not got[off + 3].keep
+    # scores are per-corpus but BUCKETS are per-lang: both langs have a head
+    assert got[1].cross_entropy < got[3].cross_entropy
+
+
+def test_perplexity_buckets_empty_doc_goes_tail(spark):
+    from riot_graphs_spark.operators.ranking import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the common the common words"),
+         (2, "en", "other words entirely here"),
+         (3, "en", "")],  # empty -> NULL score -> NULLS LAST -> tail
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    assert got[3].bucket_name == "tail" and got[3].cross_entropy is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, n_buckets=1)
