@@ -154,6 +154,54 @@ def _incremental(documents):
     )
 
 
+def _winsorize(events):
+    from riot_graphs_spark.operators.profile import winsorize
+
+    return winsorize(events)
+
+
+def _l2norm(documents):
+    # embeddings aren't in the scaled-table set; derive a vector column of
+    # the same shape from documents so the 10× union scales the input
+    from riot_graphs_spark.operators.similarity import l2_normalize
+
+    vecs = documents.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.crc32(F.concat(F.col("doc_id").cast("string"),
+                                        i.cast("string"))) % 1000).cast("float"),
+        ).alias("embedding"),
+    )
+    return l2_normalize(vecs)
+
+
+def _phash(documents):
+    # The 10× union duplicates every image exactly, so the CORRECT pair
+    # output is quadratic in the duplication factor (ten copies really do
+    # form 45 pairs) — an unguarded run measured 31.8× at 10 copies, which
+    # is output size, not plan blowup. Production runs pair generation with
+    # the max_bucket_size boilerplate guard for exactly this reason; the
+    # scale case measures the guarded form.
+    from riot_graphs_spark.operators.multimodal import (
+        media_from_documents,
+        phash_near_dup_pairs,
+    )
+
+    return phash_near_dup_pairs(
+        media_from_documents(documents),
+        max_hamming=7,
+        bands=8,
+        max_bucket_size=64,
+    )
+
+
+def _ppl(documents):
+    from riot_graphs_spark.operators.ranking import perplexity_buckets
+
+    return perplexity_buckets(documents)
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -227,6 +275,15 @@ def main() -> None:
         "ts_seasonal_anomalies": lambda t: _seasonal(t["events"]),
         # transition graph: one per-user lead window + pair count
         "event_transitions": lambda t: _transitions(t["events"]),
+        # winsorize: percentile partial-agg + broadcast clamp — linear
+        "dq_winsorize": lambda t: _winsorize(t["events"]),
+        # l2 normalize: row-local fold + explode, zero shuffles — must be flat
+        "emb_l2_normalize": lambda t: _l2norm(t["documents"]),
+        # pHash near-dup: mapInPandas hash + band equi-join; pair expansion
+        # is within-bucket only, so 10× input must stay ~linear
+        "mm_phash_pairs": lambda t: _phash(t["documents"]),
+        # CCNet buckets: LM pass + one narrow (id, score) window shuffle
+        "ccnet_ppl_buckets": lambda t: _ppl(t["documents"]),
     }
 
     report = {}

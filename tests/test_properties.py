@@ -492,3 +492,38 @@ def test_influxql_generated_queries_parse_and_lower(
     want_alias = alias.strip('"')
     assert want_alias in cols
     out.collect()  # must actually execute
+
+
+@settings(**SETTINGS)
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    ),
+    radius_bands=st.sampled_from([(0, 1), (1, 2), (3, 4), (7, 8), (15, 16)]),
+)
+def test_hamming_banding_equals_brute_force(spark, sigs, radius_bands):
+    """The pigeonhole guarantee, property-tested over arbitrary 64-bit
+    signatures: banded pairs == brute-force pairs at the radius, for every
+    valid (radius, bands) arithmetic."""
+    from riot_graphs_spark.operators.dedup import hamming_banded_pairs
+
+    radius, bands = radius_bands
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, sig long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_banded_pairs(
+            df, "sig", max_hamming=radius, bits=64, bands=bands
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            h = bin((a ^ sigs[j]) & (2**64 - 1)).count("1")
+            if h <= radius:
+                want[(i, j)] = h
+    assert got == want
