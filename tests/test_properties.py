@@ -527,3 +527,58 @@ def test_hamming_banding_equals_brute_force(spark, sigs, radius_bands):
             if h <= radius:
                 want[(i, j)] = h
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=6
+    ),
+    temp=st.sampled_from([1.0, 2.0, 4.0]),
+)
+def test_temperature_mixture_is_a_distribution(spark, counts, temp):
+    """sample_share is a probability distribution (sums to 1 within
+    rounding), and raising T always weakly compresses the spread between
+    the largest and smallest stratum."""
+    from riot_graphs_spark.operators.curation import temperature_mixture
+
+    rows = [
+        (i * 1000 + j, f"lang{i}")
+        for i, n in enumerate(counts)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = temperature_mixture(df, temperature=temp).collect()
+    total = sum(r.sample_share for r in got)
+    assert abs(total - 1.0) <= 1e-5 * len(counts)
+    shares = sorted(r.share for r in got)
+    samples = sorted(r.sample_share for r in got)
+    # compression: the min stratum's share never shrinks, max never grows
+    assert samples[0] >= shares[0] - 1e-9
+    assert samples[-1] <= shares[-1] + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_winsorize_bounds_and_row_preservation(spark, values):
+    """Winsorized output never exceeds the raw extremes, row count is
+    preserved, and unclipped rows pass through bit-identical."""
+    from riot_graphs_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(values)],
+        "id long, event_type string, value double",
+    )
+    got = winsorize(df, lo=0.05, hi=0.95).collect()
+    assert len(got) == len(values)
+    lo, hi = min(values), max(values)
+    for r in got:
+        assert lo - 1e-6 <= r.winsorized <= hi + 1e-6
+        if not r.clipped:
+            assert r.winsorized == r.value
