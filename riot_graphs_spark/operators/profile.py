@@ -326,11 +326,12 @@ def winsorize(
     group_col: str = "event_type",
     lo: float = 0.01,
     hi: float = 0.99,
+    approx: bool = False,
 ) -> DataFrame:
-    """Per-group winsorization — clamp a metric to its [lo, hi] exact
-    interpolated percentiles, the outlier treatment a feature/reward column
-    gets before statistics or training (cap, don't drop: row count and
-    joinability are preserved).
+    """Per-group winsorization — clamp a metric to its [lo, hi]
+    percentiles, the outlier treatment a feature/reward column gets before
+    statistics or training (cap, don't drop: row count and joinability are
+    preserved).
 
     Plan: one partial-aggregable percentile pass reduces the corpus to a
     #groups-row bounds table, broadcast back onto the fact — no second
@@ -339,15 +340,23 @@ def winsorize(
     so the clamp threshold (and therefore every output value and flag) is
     engine-stable; interior values pass through untouched.
 
+    ``approx=False`` (default) uses the exact interpolated percentile —
+    its partial state collects per-group values, fine while per-group value
+    mass fits aggregation state, and required for oracle parity.
+    ``approx=True`` swaps in ``approx_percentile`` (KLL-style sketch,
+    fixed-size partial state) — the 100 TB form; the plan shape is
+    identical, only the bound moves within sketch accuracy.
+
     Appends ``winsorized`` (double) and ``clipped`` (boolean) to ``df``'s
     columns.
     """
     if not 0 <= lo < hi <= 1:
         raise ValueError("need 0 <= lo < hi <= 1")
     v = F.col(value_col)
+    pct = F.approx_percentile if approx else F.percentile
     bounds = df.groupBy(group_col).agg(
-        F.round(F.percentile(v, F.lit(lo)), 6).alias("_p_lo"),
-        F.round(F.percentile(v, F.lit(hi)), 6).alias("_p_hi"),
+        F.round(pct(v, F.lit(lo)), 6).alias("_p_lo"),
+        F.round(pct(v, F.lit(hi)), 6).alias("_p_hi"),
     )
     out = df.join(F.broadcast(bounds), group_col)
     return out.select(

@@ -736,3 +736,18 @@ def test_containment_tie_prefers_doc_a(spark):
     )
     r = ngram_containment_pairs(docs, threshold=0.9).collect()[0]
     assert (r.doc_a, r.doc_b, r.containment, r.contained) == (7, 9, 1.0, 7)
+
+
+def test_winsorize_approx_mode_close_to_exact(spark, sf_dir):
+    """The sketch-backed 100 TB form: same plan shape, bounds within sketch
+    accuracy of exact — clipped sets agree except near the thresholds."""
+    from riot_graphs_spark.operators.profile import winsorize
+    from riot_graphs_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = winsorize(ev).agg(F.sum(F.col("clipped").cast("long"))).collect()[0][0]
+    approx = winsorize(ev, approx=True).agg(
+        F.sum(F.col("clipped").cast("long"))
+    ).collect()[0][0]
+    n = ev.count()
+    assert abs(exact - approx) <= max(10, 0.02 * n)
