@@ -190,6 +190,7 @@ HEADLINE = [
     "mixture_temperature",
     "emb_l2_normalize",
     "mm_phash_pairs",
+    "mm_audio_neardup",
     "ccnet_perplexity_buckets",
     # dedup_containment_pairs is correctness-swept but NOT benched, same as
     # its symmetric sibling dedup_ngram_jaccard: both are exact verify

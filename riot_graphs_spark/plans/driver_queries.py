@@ -7465,6 +7465,39 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_t(spark, sf_dir, "documents"))
 
 
+@_q("mm_audio_neardup")  # rows-only by design: FFT band energies have no
+# SQL twin; the fingerprint math is unit-tested (determinism, exact-dup,
+# recall-vs-brute-force) and the banding layer is the shared
+# hamming_banded_pairs the hash-green dedup_simhash_pairs runs through.
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs over the fixture media table: 32-bit
+    chromaprint-style acoustic fingerprint (REAL framed-FFT band-energy
+    double-deltas over the documented stub PCM decode,
+    operators.multimodal.audio_fingerprints) + pigeonhole Hamming banding —
+    with the text (SimHash), image (pHash) and audio paths, every modality
+    has a banded near-dup route and none is all-pairs.
+
+    The fixture's shared 16-byte payload is too short for a spectral
+    fingerprint (2-sample frames ⇒ 4 distinct fingerprints over the whole
+    corpus ⇒ quadratic pair output); the audio path derives 256-byte
+    payloads from the same documents, and carries the max_bucket_size
+    boilerplate guard production pair generation always runs with."""
+    from ..operators.multimodal import audio_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 256), "UTF-8").alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    return audio_near_dup_pairs(
+        media, max_hamming=3, bands=4, max_bucket_size=200
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -103,6 +103,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "mm_phash_pairs",
     "dedup_containment_pairs",
     "ccnet_perplexity_buckets",
+    "mm_audio_neardup",
 ])
 
 

@@ -249,3 +249,71 @@ def test_phash_vectorized_matches_scalar_reference(spark):
     d = _dct2_matrix(32)
     for r in media.filter("media_type = 'image'").collect():
         assert got[r.media_id] == _phash64(_luma_matrix_stub(bytes(r.payload)), d)
+
+
+def test_audio_fingerprint_deterministic_and_32bit(spark):
+    from riot_graphs_spark.operators.multimodal import (
+        audio_fingerprints,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24)
+    a = {r.media_id: r.afp for r in audio_fingerprints(media).collect()}
+    b = {r.media_id: r.afp for r in audio_fingerprints(media).collect()}
+    assert a == b and len(a) == 8  # audio rows only (media_id % 3 == 1)
+    assert all(0 <= v < 2**32 for v in a.values())
+    assert len(set(a.values())) > 1
+
+
+def test_audio_pairs_find_exact_duplicates_and_recall(spark):
+    from riot_graphs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        synthetic_media,
+    )
+
+    payload = bytes((i * 13 + 7) % 256 for i in range(64))
+    rows = [
+        (1, payload, "audio", None, None, 1000),
+        (2, payload, "audio", None, None, 2000),  # same signal, diff meta
+        (3, bytes(reversed(payload)), "audio", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_near_dup_pairs(media, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+    # total recall vs brute force at radius 7 (8 bands of 4 bits divide 32)
+    big = synthetic_media(spark, n=48)
+    fps = {r.media_id: r.afp for r in audio_fingerprints(big).collect()}
+    ids = sorted(fps)
+    radius = 7
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= radius
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_near_dup_pairs(big, max_hamming=radius, bands=8).collect()
+    }
+    assert banded == brute
+
+
+def test_audio_fingerprint_batch_matches_scalar():
+    from riot_graphs_spark.operators.multimodal import (
+        _afp_batch,
+        _audio_fingerprint,
+    )
+
+    pcms = [
+        [((i * 31 + j * 7) % 256) - 128 for j in range(n)]
+        for i, n in enumerate([5, 16, 33, 64, 64, 257])
+    ]
+    batch = _afp_batch(pcms)
+    for i, p in enumerate(pcms):
+        assert int(batch[i]) == _audio_fingerprint(p)
