@@ -459,3 +459,22 @@ def test_l2_normalize_is_zero_shuffle(spark):
     plan = formatted_plan(spark, "emb_l2_normalize")
     assert shuffle_count(plan) == 0
     assert "Generate" in plan  # posexplode, row-local
+
+
+def test_containment_is_hash_join_not_nested_loop(spark):
+    # the inverted-index self-join must be an equi-join on the shingle key;
+    # a nested-loop here would be all-pairs over the corpus
+    plan = formatted_plan(spark, "dedup_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_ccnet_buckets_window_is_narrow(spark):
+    # the ntile window must run over the narrow (id, lang, score) table —
+    # the document text column must not survive into the window's exchange
+    plan = formatted_plan(spark, "ccnet_perplexity_buckets")
+    assert "ntile" in plan
+    m = re.search(r"Window.*?Input \[\d+\]: \[([^\]]*)\]", plan, re.S)
+    window_into = m.group(1) if m else ""
+    assert "text#" not in window_into
