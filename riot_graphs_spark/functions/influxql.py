@@ -526,10 +526,11 @@ def _agg_column(item: _Item, ts_col: str) -> Column:
 
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(?P<what>MEASUREMENTS|TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS"
-    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"|SERIES|DATABASES|RETENTION\s+POLICIES)"
     r"(?:\s+ON\s+(?:\"[^\"]+\"|[\w.]+))?"
     r"(?:\s+FROM\s+(?P<from>\"[^\"]+\"|[\w.]+))?"
-    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>\"[^\"]+\"|\w+))?\s*;?\s*$",
+    r"(?:\s+WITH\s+KEY\s*(?P<keyop>=~|=)\s*"
+    r"(?P<key>\"[^\"]+\"|/[^/]+/|\w+))?\s*;?\s*$",
     re.I,
 )
 
@@ -537,15 +538,24 @@ _NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double"}
 
 
 def parse_show(q: str):
-    """Parse a Grafana template-variable SHOW query; None if not one."""
+    """Parse a Grafana template-variable SHOW query; None if not one.
+    Returns ``(what, from, key, key_is_regex)`` — ``key`` is the tag name
+    for ``WITH KEY =`` or the bare regex body for ``WITH KEY =~ /re/``."""
     m = _SHOW_RE.match(q)
     if not m:
         return None
     what = re.sub(r"\s+", " ", m.group("what")).upper()
+    key = m.group("key")
+    key_is_regex = m.group("keyop") == "=~" if key else False
+    if key and key.startswith("/") and key.endswith("/"):
+        key = key[1:-1]
+    elif key:
+        key = _unquote(key)
     return (
         what,
         _unquote(m.group("from")) if m.group("from") else None,
-        _unquote(m.group("key")) if m.group("key") else None,
+        key,
+        key_is_regex,
     )
 
 
@@ -557,7 +567,7 @@ def _show(source, query: str, ts_col: str) -> DataFrame:
     (one distinct shuffle — exactly what a dashboard variable refresh
     costs)."""
     parsed = parse_show(query)
-    what, measurement, key = parsed
+    what, measurement, key, key_is_regex = parsed
     is_session = callable(getattr(source, "table", None))
     if what in ("DATABASES", "RETENTION POLICIES"):
         # Grafana's InfluxQL datasource issues these on "Save & test" /
@@ -587,6 +597,19 @@ def _show(source, query: str, ts_col: str) -> DataFrame:
             raise InfluxQLError("SHOW MEASUREMENTS needs a SparkSession source")
         names = sorted(t.name for t in source.catalog.listTables())
         return source.createDataFrame([(n,) for n in names], "name string")
+    if what == "SERIES" and measurement is None:
+        # InfluxDB's bare SHOW SERIES spans every measurement; the catalog
+        # loop is catalog-sized, each per-table branch one distinct.
+        if not is_session:
+            raise InfluxQLError("bare SHOW SERIES needs a SparkSession source")
+        names = sorted(t.name for t in source.catalog.listTables())
+        out = None
+        for n in names:
+            part = _show(source, f"SHOW SERIES FROM {n}", ts_col)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise InfluxQLError("SHOW SERIES: empty catalog")
+        return out
     if measurement is None:
         raise InfluxQLError(f"SHOW {what} requires FROM <measurement>")
     df = source.table(measurement) if is_session else (
@@ -607,9 +630,53 @@ def _show(source, query: str, ts_col: str) -> DataFrame:
             if f.dataType.simpleString() in _NUMERIC_TYPES
         ]
         return spark.createDataFrame(fields, "fieldKey string, fieldType string")
+    if what == "SERIES":
+        # one "key" string per distinct tag combination, InfluxDB's
+        # measurement,tag1=v1,tag2=v2 format with tags in name order —
+        # one distinct shuffle over the tag columns only
+        tags = sorted(
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "string" and f.name != ts_col
+        )
+        if not tags:
+            return spark.createDataFrame([(measurement,)], "key string")
+        series_key = F.concat_ws(
+            ",",
+            F.lit(measurement),
+            *[
+                F.concat_ws("=", F.lit(t), F.col(t).cast("string"))
+                for t in tags
+            ],
+        )
+        return (
+            df.select(*tags).distinct()
+            .select(series_key.alias("key"))
+            .orderBy("key")
+        )
     # TAG VALUES
     if key is None:
         raise InfluxQLError('SHOW TAG VALUES requires WITH KEY = "<tag>"')
+    if key_is_regex:
+        # WITH KEY =~ /re/: union distinct (key, value) pairs across every
+        # matching tag column (some Grafana variable setups issue this)
+        try:
+            pat = re.compile(key)
+        except re.error as exc:
+            raise InfluxQLError(f"bad WITH KEY regex: {exc}") from exc
+        tags = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "string" and f.name != ts_col
+            and pat.search(f.name)
+        ]
+        if not tags:
+            raise InfluxQLError(f"WITH KEY =~ /{key}/ matches no tag key")
+        out = None
+        for t in tags:
+            part = df.select(
+                F.lit(t).alias("key"), F.col(t).cast("string").alias("value")
+            ).distinct()
+            out = part if out is None else out.unionByName(part)
+        return out.orderBy("key", "value")
     return (
         df.select(F.lit(key).alias("key"), F.col(key).cast("string").alias("value"))
         .distinct()

@@ -773,3 +773,24 @@ def test_from_regex_unions_matching_measurements(spark, sf_dir):
     assert got[0].n == spark.table("events").count()
     with pytest.raises(InfluxQLError, match="no measurements"):
         influxql(spark, "SELECT count(x) AS n FROM /nope_.*/ GROUP BY time(1h)")
+
+
+def test_show_series_and_regex_tag_values(spark, events):
+    from riot_graphs_spark.functions.influxql import influxql
+
+    events.createOrReplaceTempView("events")
+    series = influxql(spark, "SHOW SERIES FROM events").collect()
+    assert all(r.key.startswith("events,") for r in series)
+    # one key per distinct tag combination, tag pairs in name order
+    assert len(series) == len({r.key for r in series})
+
+    rx = influxql(
+        spark, "SHOW TAG VALUES FROM events WITH KEY =~ /event.*/"
+    ).collect()
+    eq = influxql(
+        spark, "SHOW TAG VALUES FROM events WITH KEY = event_type"
+    ).collect()
+    assert {(r.key, r.value) for r in rx} >= {(r.key, r.value) for r in eq}
+
+    with pytest.raises(InfluxQLError):
+        influxql(spark, "SHOW TAG VALUES FROM events WITH KEY =~ /nosuch.*/")
