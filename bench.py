@@ -192,6 +192,7 @@ HEADLINE = [
     "mm_phash_pairs",
     "mm_audio_neardup",
     "ccnet_perplexity_buckets",
+    "text_bigram_lm",
     # dedup_containment_pairs is correctness-swept but NOT benched, same as
     # its symmetric sibling dedup_ngram_jaccard: both are exact verify
     # stages that production runs on post-LSH samples, not full corpora.

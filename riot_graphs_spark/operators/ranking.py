@@ -353,3 +353,89 @@ def perplexity_buckets(
         name.alias("bucket_name"),
         (bucket < n_buckets).alias("keep"),
     )
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b) — one row per consecutive token PAIR (order preserved,
+    duplicates kept). Row-local array math; documents with <2 tokens emit
+    nothing."""
+    def make(w):
+        n = F.size(w)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(w, i).alias("a"),
+                F.element_at(w, i + 1).alias("b"),
+            ),
+        )
+
+    from .dedup import bind_array
+
+    return docs.select(
+        F.col(id_col), F.explode(bind_array(tokens(text_col), make)).alias("_g")
+    ).select(id_col, F.col("_g.a").alias("a"), F.col("_g.b").alias("b"))
+
+
+def bigram_lm_cross_entropy(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM quality signal — one order up from
+    :func:`unigram_lm_cross_entropy`, the direction CCNet actually goes
+    (its reference model is a 5-gram KenLM): per-document cross-entropy
+    (nats per transition) of ``p(b|a) = (c(a,b)+α) / (c(a·)+α·V)`` with
+    add-α smoothing, fit on ``train_docs`` (default: the corpus itself).
+    A bigram model separates fluent text from shuffled-word soup that a
+    unigram model scores identically — exactly the gibberish class the
+    unigram signal is blind to.
+
+    Plan: the model is one groupBy over training bigram pairs (output
+    bounded by distinct OBSERVED pairs, not V²) + a context-count groupBy;
+    scoring is one pair-keyed left join + a context join + one doc-keyed
+    decimal sum. Documents with fewer than two tokens score NULL (no
+    transitions — kept, not dropped). Returns
+    ``(id_col, n_bigrams, cross_entropy)``.
+    """
+    train = train_docs if train_docs is not None else docs
+    tg = _doc_bigrams(train, id_col, text_col)
+    model = tg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    contexts = tg.groupBy("a").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = _doc_tokens(train, id_col, text_col).agg(
+        F.count_distinct("token").alias("v_size")
+    )
+
+    sg = _doc_bigrams(docs, id_col, text_col)
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(alpha) * F.col("v_size")
+        )
+    )
+    scored = (
+        sg.join(model, ["a", "b"], "left")
+        .join(contexts, ["a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.cast(_DEC).alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("_lp").cast("double") / F.count(F.lit(1))).alias(
+            "cross_entropy"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+        )
+    )

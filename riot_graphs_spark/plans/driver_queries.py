@@ -7498,6 +7498,58 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_bigram_lm",
+    """
+    WITH bg AS (
+      SELECT doc_id, g[1] AS a, g[2] AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                      i -> [words[i], words[i+1]])) AS g
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents)
+      )
+    ),
+    model AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT a, count(*) AS c1 FROM bg GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT t.tok) AS v_size
+      FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS t(tok)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ln((coalesce(model.c2, 0)::DOUBLE + 0.5)
+                     / (coalesce(ctx.c1, 0)::DOUBLE + 0.5 * v_size))
+                  AS DECIMAL(28,12)) AS lp
+      FROM bg
+      LEFT JOIN model USING (a, b)
+      LEFT JOIN ctx USING (a)
+      CROSS JOIN vocab
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             -CAST(sum(lp) AS DOUBLE) / count(*) AS cross_entropy
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+           per.cross_entropy
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document
+    (operators.ranking.bigram_lm_cross_entropy) — the order-sensitive
+    quality signal the unigram model can't provide: shuffled-word soup and
+    fluent prose have identical unigram scores but very different bigram
+    ones. Add-0.5 smoothing, model = observed-pair groupBy (never V²)."""
+    from ..operators.ranking import bigram_lm_cross_entropy
+
+    return bigram_lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

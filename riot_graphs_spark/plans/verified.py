@@ -104,6 +104,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "dedup_containment_pairs",
     "ccnet_perplexity_buckets",
     "mm_audio_neardup",
+    "text_bigram_lm",
 ])
 
 

@@ -139,3 +139,26 @@ def test_perplexity_buckets_empty_doc_goes_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         perplexity_buckets(docs, n_buckets=1)
+
+
+def test_bigram_lm_separates_word_order_unigram_cannot(spark):
+    """Fluent repetition vs the same tokens shuffled: identical unigram
+    scores (same bag of words), lower bigram cross-entropy for the fluent
+    doc (its transitions dominate the training counts)."""
+    from riot_graphs_spark.operators.ranking import (
+        bigram_lm_cross_entropy,
+        unigram_lm_cross_entropy,
+    )
+
+    fluent = "the data flows the data flows the data flows"
+    shuffled = "flows the data data the flows data flows the"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, shuffled), (3, "x")],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.cross_entropy
+           for r in unigram_lm_cross_entropy(docs).collect()}
+    assert abs(uni[1] - uni[2]) < 1e-9  # unigram blind to order
+    bi = {r.doc_id: r for r in bigram_lm_cross_entropy(docs).collect()}
+    assert bi[1].cross_entropy < bi[2].cross_entropy  # bigram is not
+    assert bi[3].n_bigrams == 0 and bi[3].cross_entropy is None
