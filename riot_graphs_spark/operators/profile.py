@@ -366,3 +366,76 @@ def winsorize(
         ),
         ((v < F.col("_p_lo")) | (v > F.col("_p_hi"))).alias("clipped"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_share: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent-items query — every key whose count strictly exceeds
+    ``min_share`` of the table — computed without a full-cardinality
+    groupBy, via the classic two-phase sketch-then-recount:
+
+    1. **Candidates** (bounded memory): a batched Misra-Gries summary per
+       partition (``mapInPandas``; per-Arrow-batch ``value_counts`` merged
+       into a dict capped at ``capacity ≈ 1/min_share`` counters by the
+       subtract-the-(cap+1)th-largest decrement). MG guarantees every key
+       with partition count > N_p/(capacity+1) survives, and by pigeonhole
+       any key with GLOBAL count > N·min_share exceeds that bound in at
+       least one partition — so candidates ⊇ all true heavy hitters.
+       Summary memory is O(capacity + batch distinct), never O(distinct).
+    2. **Exact recount**: semi-join the table against the (tiny —
+       ≤ capacity × n_partitions keys) broadcast candidate set, exact
+       groupBy count, strict ``cnt > N·min_share`` filter.
+
+    Phase 2 makes sketch slop irrelevant: the result EXACTLY equals
+    ``GROUP BY key HAVING count(*) > N*min_share`` — false candidates are
+    recounted and filtered out; true hitters are never missed (phase-1
+    guarantee). At 100 TB this replaces a full shuffle of every distinct
+    key (ids, hashes → aggregation-state blowup) with one map-side pass
+    plus a shuffle of only candidate rows. NULL keys are excluded.
+
+    Output: ``(key_col, cnt bigint, share double)``.
+    """
+    import math
+
+    import pandas as pd
+
+    if not 0.0 < min_share < 1.0:
+        raise ValueError("need 0 < min_share < 1")
+    cap = capacity if capacity is not None else max(1, math.ceil(1.0 / min_share))
+
+    keys = df.select(
+        F.col(key_col).cast("string").alias("k")
+    ).where(F.col(key_col).isNotNull())
+
+    def _candidates(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for k, c in pdf["k"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > cap:
+                # Batched MG decrement: subtract the (cap+1)-th largest
+                # counter from all; ≤ cap survive with positive count.
+                d = sorted(counts.values(), reverse=True)[cap]
+                counts = {k: c - d for k, c in counts.items() if c > d}
+        yield pd.DataFrame({"k": pd.Series(list(counts), dtype="object")})
+
+    cand = keys.mapInPandas(_candidates, schema="k string").distinct()
+    total = df.where(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        keys.join(F.broadcast(cand), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("_n") * F.lit(min_share))
+        .select(
+            F.col("k").alias(key_col),
+            "cnt",
+            (F.col("cnt") / F.col("_n")).alias("share"),
+        )
+    )

@@ -7550,6 +7550,35 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "freq_heavy_hitters",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    tot AS (SELECT count(*) AS n FROM tok),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           cnt::DOUBLE / n AS share
+    FROM c, tot
+    WHERE cnt > n * 0.033
+    """,
+)
+def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items over the corpus token stream
+    (operators.profile.heavy_hitters): batched Misra-Gries candidates per
+    partition + exact broadcast-semi-join recount — equals ``GROUP BY
+    HAVING cnt > N*min_share`` without ever shuffling the full distinct-key
+    set. min_share 0.033 splits the fixture vocabulary mid-distribution
+    at every SF (17/18/20 of 31 words pass at sf0.001/0.01/0.1), so the
+    strict-threshold edge is exercised."""
+    from ..operators.profile import heavy_hitters
+    from ..operators.textstats import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters(toks, key_col="token", min_share=0.033)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

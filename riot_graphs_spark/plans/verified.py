@@ -105,6 +105,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "ccnet_perplexity_buckets",
     "mm_audio_neardup",
     "text_bigram_lm",
+    "freq_heavy_hitters",
 ])
 
 

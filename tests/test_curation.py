@@ -751,3 +751,58 @@ def test_winsorize_approx_mode_close_to_exact(spark, sf_dir):
     ).collect()[0][0]
     n = ev.count()
     assert abs(exact - approx) <= max(10, 0.02 * n)
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters: two-phase Misra-Gries candidates + exact recount
+# --------------------------------------------------------------------------
+def test_heavy_hitters_equals_exact_group_by(spark):
+    """With capacity FAR below the distinct-key count (forcing real MG
+    decrements in phase 1), the result must still exactly equal
+    GROUP BY HAVING cnt > N*min_share."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.profile import heavy_hitters
+
+    # 3 heavy keys + 500 singleton keys, shuffled deterministically.
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 120 + [("mild",)] * 60
+        + [(f"cold{i}",) for i in range(500)]
+    )
+    df = (
+        spark.createDataFrame(rows, "k string")
+        .withColumn("_o", F.md5(F.concat_ws("|", "k", F.lit("s"))))
+        .orderBy("_o")
+        .drop("_o")
+        .repartition(7)
+    )
+    got = {
+        r.k: (r.cnt, r.share)
+        for r in heavy_hitters(df, "k", min_share=0.05, capacity=12).collect()
+    }
+    n = 300 + 120 + 60 + 500
+    expect = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > n * 0.05).collect()
+    }
+    # n = 980, threshold 0.05*n = 49 -> hot/warm/mild pass, singletons don't.
+    assert set(got) == set(expect) == {"hot", "warm", "mild"}
+    assert {k: v[0] for k, v in got.items()} == expect
+    for k, (cnt, share) in got.items():
+        assert abs(share - cnt / n) < 1e-12
+
+
+def test_heavy_hitters_excludes_nulls_and_validates(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "k string"
+    )
+    got = {r.k: r.cnt for r in heavy_hitters(df, "k", min_share=0.5).collect()}
+    # NULLs excluded: N = 3, only "a" (2 > 1.5) passes.
+    assert got == {"a": 2}
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_share=0.0)
