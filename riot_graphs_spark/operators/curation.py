@@ -603,3 +603,85 @@ def chunk_by_sentences(
         F.count(F.lit(1)).cast("long").alias("n_sentences"),
         F.sum(F.length("sentence")).cast("long").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Global contiguous indexing without a global sort window
+# --------------------------------------------------------------------------
+def global_index(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "gidx",
+    buckets: int = 64,
+) -> DataFrame:
+    """Assign every row a **globally contiguous 0-based position** in a
+    deterministic pseudo-random order (md5-keyed, like
+    :func:`shard_corpus`) — the "one global shuffled sequence" a training
+    run's resumable data order needs — WITHOUT ``row_number() OVER (ORDER
+    BY …)``, whose single-reducer global window is the canonical
+    corpus-scale bottleneck.
+
+    Two-phase (the DataFrame-native ``zipWithIndex``): range-bucket each
+    row by the TOP bits of its 56-bit md5 order key (so bucket boundaries
+    respect global key order), count per bucket (partial-aggregable,
+    ``buckets`` rows), turn counts into cumulative start offsets on the
+    driver-sized table, broadcast them back, and emit ``offset +
+    row_number()`` within each bucket. The only fact-side shuffle is the
+    per-bucket window's hash exchange into ``buckets`` groups; the
+    unpartitioned cumulative window runs over the ``buckets``-row count
+    table, never the fact. The fact is scanned twice (count pass + rank
+    pass) — at 100 TB that beats one global sort; checkpoint upstream if
+    the input lineage is expensive.
+
+    md5-range bucketing is uniform by construction, so the ``buckets``
+    sort groups are balanced regardless of data skew; size ``buckets`` so
+    a group fits an executor's sort spill budget (a 100 TB corpus at 4096
+    buckets sorts ~25 GB per group). Result is bit-identical across runs,
+    engines, and ``buckets`` settings: ``global_pos`` equals the rank in
+    ``ORDER BY h, *key_cols``. Keys must be non-null.
+
+    Output: ``df``'s ``key_cols`` plus ``global_pos`` (bigint).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    b_bits = max(1, (buckets - 1).bit_length())
+
+    def _h(s: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(s),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    keyed = df.select(*key_cols).withColumn("_h", _h(salt)).withColumn(
+        "_b", F.shiftright(F.col("_h"), 56 - b_bits).cast("int")
+    )
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.orderBy("_b")  # over the buckets-row count table only
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_off")
+    )
+    w_b = Window.partitionBy("_b").orderBy(
+        "_h", *[F.col(c) for c in key_cols]
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "global_pos",
+            (F.row_number().over(w_b) - 1 + F.col("_off")).cast("long"),
+        )
+        .drop("_h", "_b", "_off")
+    )

@@ -7579,6 +7579,32 @@ def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, key_col="token", min_share=0.033)
 
 
+@_q(
+    "corpus_global_index",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('gidx' || chr(31)
+                 || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+             AS global_pos
+    FROM k
+    """,
+)
+def corpus_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous 0-based corpus position in deterministic
+    pseudo-random order (operators.curation.global_index) — the
+    DataFrame-native zipWithIndex: md5-range bucketing + per-bucket count
+    offsets + per-bucket rank, never a single-reducer global ORDER BY
+    window. Bit-equal to ``row_number() OVER (ORDER BY h, doc_id) - 1``."""
+    from ..operators.curation import global_index
+
+    return global_index(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -106,6 +106,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "mm_audio_neardup",
     "text_bigram_lm",
     "freq_heavy_hitters",
+    "corpus_global_index",
 ])
 
 

@@ -806,3 +806,41 @@ def test_heavy_hitters_excludes_nulls_and_validates(spark):
     assert got == {"a": 2}
     with _pytest.raises(ValueError):
         heavy_hitters(df, "k", min_share=0.0)
+
+
+# --------------------------------------------------------------------------
+# global_index: two-phase contiguous numbering == global ORDER BY rank
+# --------------------------------------------------------------------------
+def test_global_index_matches_global_sort_any_buckets(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.curation import global_index
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id")).repartition(9)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit("gidx"), F.col("doc_id").cast("string"))),
+            1, 14,
+        ), 16, 10,
+    ).cast("long")
+    expect = {
+        r.doc_id: r.pos
+        for r in df.withColumn("_h", h)
+        .withColumn("pos", F.row_number().over(Window.orderBy("_h", "doc_id")) - 1)
+        .collect()
+    }
+    for b in (1, 5, 64):
+        got = {r.doc_id: r.global_pos for r in global_index(df, buckets=b).collect()}
+        assert got == expect, f"buckets={b}"
+    # Contiguity: exactly 0..n-1 once each.
+    assert sorted(expect.values()) == list(range(1000))
+
+
+def test_global_index_rejects_bad_buckets(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.curation import global_index
+
+    with _pytest.raises(ValueError):
+        global_index(spark.range(1).withColumnRenamed("id", "doc_id"), buckets=0)
