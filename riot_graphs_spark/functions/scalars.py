@@ -119,3 +119,57 @@ def anchored_day(ts: Column | str, anchor_hours: int = 3) -> Column:
     ts = F.col(ts) if isinstance(ts, str) else ts
     shifted = F.date_trunc("DAY", ts - F.expr(f"INTERVAL {anchor_hours} HOURS"))
     return shifted + F.expr(f"INTERVAL {anchor_hours} HOURS")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying (the C4/RefinedWeb-style URL
+    normalization pass): lowercase (dedup canonical form, not a display
+    form), strip the fragment, fold ``http``→``https``, strip leading
+    ``www.`` and the default ``:443`` port, remove tracking query params
+    (``utm_*``, ``fbclid``, ``gclid``, ``ref``) repairing the leading
+    ``?``/``&`` structure, and strip any trailing ``?``/``&``/``/``.
+
+    Pure anchored-regex chain — whole-stage-codegen row-local, zero
+    Python, and portable to the RE2-based SQL oracle (no lookaround, no
+    backreferences in patterns). Param *sorting* is a documented non-goal
+    (needs a higher-order split/sort; tracking-param removal plus exact
+    key equality covers the dedup contract).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.lower(u)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^http://", "https://")
+    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443/", "$1/")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443$", "$1")
+    u = F.regexp_replace(
+        u, r"[?&](utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*", ""
+    )
+    # If the surviving first param lost its '?' (a tracking param led the
+    # query string), promote the first '&' back to '?'.
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+$", "")
+    return u
+
+
+def registered_domain(url_norm: Column | str) -> Column:
+    """Registrable domain of a :func:`normalize_url`-canonicalized URL:
+    host minus subdomains, with a small built-in two-level public-suffix
+    set (``co.uk``-class); hosts without a dot pass through. A full
+    public-suffix list would be a broadcast lookup join — the regex form
+    keeps the common cases row-local and oracle-portable.
+    """
+    u = F.col(url_norm) if isinstance(url_norm, str) else url_norm
+    host = F.regexp_extract(u, r"^https://([^/:?#]+)", 1)
+    reg3 = F.regexp_extract(
+        host,
+        r"([^.]+\.(?:co|com|org|net|ac|gov)\.(?:uk|au|jp|br|in))$",
+        1,
+    )
+    reg2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (
+        F.when(reg3 != "", reg3)
+        .when(reg2 != "", reg2)
+        .otherwise(host)
+    )

@@ -685,3 +685,50 @@ def global_index(
         )
         .drop("_h", "_b", "_off")
     )
+
+
+# --------------------------------------------------------------------------
+# URL-level dedup / per-domain curation report
+# --------------------------------------------------------------------------
+def url_domain_report(
+    df: DataFrame,
+    url_col: str = "url",
+    cap_share: float = 0.25,
+) -> DataFrame:
+    """Per-registrable-domain curation report over a URL-keyed corpus —
+    the web-pipeline gate that pairs with text dedup: normalized-URL
+    duplicate mass per domain and the over-representation flag a
+    per-domain cap acts on (a handful of boilerplate-heavy domains
+    otherwise dominate a crawl).
+
+    Columns: ``domain``, ``n_docs``, ``n_urls`` (distinct normalized
+    URLs), ``dup_ratio`` (1 − n_urls/n_docs — URL-exact duplicate mass),
+    ``share`` (of corpus docs), ``over_cap`` (share > ``cap_share``).
+
+    Scale: normalization (:func:`~riot_graphs_spark.functions.scalars
+    .normalize_url`) and domain extraction are row-local regex; the
+    count-distinct is a two-level partial aggregate on the domain key and
+    the corpus total is a broadcast one-row agg — one scan, one shuffle
+    keyed by domain (salt via :func:`~riot_graphs_spark.operators.profile
+    .key_skew_profile` guidance if one domain IS the corpus).
+    """
+    from ..functions.scalars import normalize_url, registered_domain
+
+    keyed = df.select(
+        normalize_url(F.col(url_col)).alias("_u")
+    ).withColumn("domain", registered_domain(F.col("_u")))
+    agg = keyed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("_u")).alias("n_urls"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_urls",
+        (F.lit(1.0) - F.col("n_urls") / F.col("n_docs")).alias("dup_ratio"),
+        (F.col("n_docs") / F.col("_total")).alias("share"),
+        (F.col("n_docs") / F.col("_total") > F.lit(cap_share)).alias(
+            "over_cap"
+        ),
+    )

@@ -7605,6 +7605,137 @@ def corpus_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_index(_t(spark, sf_dir, "documents"))
 
 
+#: Deterministic URL fixture for the URL-curation query: documents carry no
+#: URL column, so one is derived in-query (varied schemes / www / mixed
+#: case / default port / tracking params / fragments / trailing slashes;
+#: even doc_ids collapse onto site0.com so the over-cap flag is
+#: non-vacuous). The oracle builds the IDENTICAL string.
+_DUCK_URL_RAW = """
+    SELECT doc_id,
+      (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN 'Site0'
+               ELSE 'Site' || CAST(doc_id % 7 AS VARCHAR) END)
+      || '.'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'com'
+               ELSE CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                    WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io' ELSE 'net' END
+          END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+      || '/docs/' || source || '/p' || CAST(doc_id % 13 AS VARCHAR)
+      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 6 = 0
+               THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+               WHEN doc_id % 6 = 1
+               THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&utm_campaign=x'
+               WHEN doc_id % 6 = 2 THEN '?gclid=abc' ELSE '' END)
+      || (CASE WHEN doc_id % 8 = 0 THEN '#section' ELSE '' END) AS url
+    FROM documents
+"""
+
+
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_DUCK_URL_RAW`` (same derived raw-URL strings)."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(i % 2 == 0, "http://").otherwise("HTTPS://"),
+        F.when(i % 3 == 0, "www.").otherwise(""),
+        F.when(i % 2 == 0, F.lit("Site0")).otherwise(
+            F.concat(F.lit("Site"), s(i % 7))
+        ),
+        F.lit("."),
+        F.when(i % 2 == 0, F.lit("com")).otherwise(
+            F.when(i % 5 == 0, "com")
+            .when(i % 5 == 1, "org")
+            .when(i % 5 == 2, "co.uk")
+            .when(i % 5 == 3, "io")
+            .otherwise("net")
+        ),
+        F.when(i % 11 == 0, ":443").otherwise(""),
+        F.concat(F.lit("/docs/"), F.col("source"), F.lit("/p"), s(i % 13)),
+        F.when(i % 4 == 0, "/").otherwise(""),
+        F.when(i % 6 == 0, F.concat(F.lit("?utm_source=feed&page="), s(i % 3)))
+        .when(
+            i % 6 == 1,
+            F.concat(F.lit("?page="), s(i % 3), F.lit("&utm_campaign=x")),
+        )
+        .when(i % 6 == 2, F.lit("?gclid=abc"))
+        .otherwise(""),
+        F.when(i % 8 == 0, "#section").otherwise(""),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@_q(
+    "url_dedup_domains",
+    f"""
+    WITH raw AS ({_DUCK_URL_RAW}),
+    n1 AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '#.*$', ''), '^http://', 'https://'),
+               '^https://www\\.', 'https://') AS u
+      FROM raw
+    ),
+    n2 AS (
+      SELECT regexp_replace(regexp_replace(u,
+               '^(https://[^/:]+):443/', '\\1/'),
+               '^(https://[^/:]+):443$', '\\1') AS u
+      FROM n1
+    ),
+    n3 AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+               '[?&](utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+               '^([^?&]*)&', '\\1?'), '[?&]+$', ''), '/+$', '') AS u
+      FROM n2
+    ),
+    dom AS (
+      SELECT u, regexp_extract(u, '^https://([^/:?#]+)', 1) AS host
+      FROM n3
+    ),
+    d2 AS (
+      SELECT u,
+        CASE WHEN coalesce(regexp_extract(host,
+               '([^.]+\\.(?:co|com|org|net|ac|gov)\\.(?:uk|au|jp|br|in))$',
+               1), '') <> ''
+             THEN regexp_extract(host,
+               '([^.]+\\.(?:co|com|org|net|ac|gov)\\.(?:uk|au|jp|br|in))$',
+               1)
+             WHEN coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '')
+                  <> ''
+             THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             ELSE host END AS domain
+      FROM dom
+    ),
+    agg AS (
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_urls
+      FROM d2 GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS total FROM agg)
+    SELECT domain, n_docs, n_urls,
+           1.0 - n_urls::DOUBLE / n_docs AS dup_ratio,
+           n_docs::DOUBLE / total AS share,
+           n_docs::DOUBLE / total > 0.25 AS over_cap
+    FROM agg, tot
+    """,
+)
+def url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL-dedup curation report (operators.curation.
+    url_domain_report over functions.scalars.normalize_url /
+    registered_domain): normalized-URL duplicate mass, corpus share and
+    the over-representation cap flag per registrable domain — the crawl
+    curation step beside text dedup. URL fixture derived in-query (see
+    ``_DUCK_URL_RAW``); even doc_ids collapse onto one domain so
+    ``over_cap`` exercises both branches."""
+    from ..operators.curation import url_domain_report
+
+    return url_domain_report(
+        _url_fixture(_t(spark, sf_dir, "documents")), cap_share=0.25
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -107,6 +107,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "text_bigram_lm",
     "freq_heavy_hitters",
     "corpus_global_index",
+    "url_dedup_domains",
 ])
 
 

@@ -844,3 +844,85 @@ def test_global_index_rejects_bad_buckets(spark):
 
     with _pytest.raises(ValueError):
         global_index(spark.range(1).withColumnRenamed("id", "doc_id"), buckets=0)
+
+
+# --------------------------------------------------------------------------
+# URL normalization / registrable-domain extraction / domain report
+# --------------------------------------------------------------------------
+def test_normalize_url_edge_cases(spark):
+    from riot_graphs_spark.functions.scalars import normalize_url
+
+    cases = {
+        # tracking-first param loses '?': first '&' must be promoted back
+        "http://WWW.Ex.COM:443/a/?utm_source=x&page=2#frag":
+            "https://ex.com/a/?page=2",
+        # every param is tracking -> query string vanishes entirely
+        "https://ex.com/p?utm_a=1&gclid=2": "https://ex.com/p",
+        # default port with no path; scheme fold; trailing slash
+        "HTTP://ex.com:443": "https://ex.com",
+        "https://ex.com/a/": "https://ex.com/a",
+        # non-default port preserved; mid-query tracking removed
+        "https://ex.com:8443/a?page=1&fbclid=z&q=2":
+            "https://ex.com:8443/a?page=1&q=2",
+        # fragment-only difference collapses
+        "https://ex.com/a#s1": "https://ex.com/a",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r.url: r.norm
+        for r in df.select("url", normalize_url("url").alias("norm")).collect()
+    }
+    assert got == cases
+
+
+def test_normalize_url_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.functions.scalars import normalize_url
+
+    urls = [
+        "http://www.a.co.uk:443/x/?utm_c=1&p=2#f",
+        "https://b.io/deep/path/?gclid=1",
+        "HTTPS://C.NET/UPPER?ref=x&keep=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        normalize_url("url").alias("once"),
+        normalize_url(normalize_url("url")).alias("twice"),
+    ).collect()
+    assert all(r.once == r.twice for r in out)
+
+
+def test_registered_domain_suffixes(spark):
+    from riot_graphs_spark.functions.scalars import registered_domain
+
+    cases = {
+        "https://a.b.co.uk/x": "b.co.uk",
+        "https://deep.sub.ex.com/x": "ex.com",
+        "https://ex.org": "ex.org",
+        "https://localhost/x": "localhost",
+        "https://ex.com:8443/x": "ex.com",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r.u: r.d
+        for r in df.select("u", registered_domain("u").alias("d")).collect()
+    }
+    assert got == cases
+
+
+def test_url_domain_report_counts(spark):
+    from riot_graphs_spark.operators.curation import url_domain_report
+
+    rows = [
+        ("http://www.ex.com/a?utm_s=1",),   # -> https://ex.com/a
+        ("https://ex.com/a#frag",),         # -> https://ex.com/a (dup)
+        ("https://ex.com/b",),
+        ("https://other.org/x",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r.domain: r for r in url_domain_report(df, cap_share=0.5).collect()}
+    ex = got["ex.com"]
+    assert (ex.n_docs, ex.n_urls) == (3, 2)
+    assert abs(ex.dup_ratio - (1 - 2 / 3)) < 1e-12
+    assert ex.over_cap and not got["other.org"].over_cap
