@@ -732,3 +732,69 @@ def url_domain_report(
             "over_cap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Train->eval n-gram leakage rate (contamination, eval-side view)
+# --------------------------------------------------------------------------
+def eval_leakage_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per **eval** doc: what fraction of its distinct word ``n``-grams
+    also occur anywhere in the training corpus — the benchmark-integrity
+    number a model card reports (:func:`contamination_check` is the same
+    join seen from the train side; this is the eval-side rate that decides
+    whether a benchmark score is still meaningful).
+
+    Plan for 100 TB of train: the eval gram set (tiny) is **broadcast**
+    into one scan of the exploded train side; the surviving train grams
+    are distinct-ed — a shuffle bounded by the EVAL gram count, not the
+    train corpus — then broadcast back onto the per-doc eval grams. The
+    training corpus is scanned once and never shuffled.
+
+    Output: ``(id_col, n_grams bigint, n_leaked bigint, leak_frac double,
+    leaked boolean)`` — one row per eval doc (0-gram docs report 0/0/0.0).
+    """
+    from .dedup import word_shingles
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("need 0 <= threshold <= 1")
+    eval_grams = eval_df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("_g")
+    )
+    eval_gram_set = eval_grams.select("_g").distinct()
+    train_present = (
+        train.select(F.explode(word_shingles(text_col, n=n)).alias("_g"))
+        .join(F.broadcast(eval_gram_set), "_g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        eval_grams.join(F.broadcast(train_present), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_leaked"),
+        )
+    )
+    return (
+        eval_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.coalesce(
+                F.col("n_leaked") / F.col("n_grams"), F.lit(0.0)
+            ).alias("leak_frac"),
+            F.coalesce(
+                F.col("n_leaked") / F.col("n_grams") >= F.lit(threshold),
+                F.lit(False),
+            ).alias("leaked"),
+        )
+    )

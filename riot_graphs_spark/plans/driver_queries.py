@@ -7736,6 +7736,49 @@ def url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ngram_leakage_report",
+    f"""
+    WITH ev AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+                WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+           WHERE doc_id % 97 <> 0),
+    evg AS (SELECT DISTINCT doc_id, g
+            FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM ev)),
+    trp AS (SELECT DISTINCT g
+            FROM (SELECT unnest({_DUCK_SHINGLES}) AS g FROM tr)
+            WHERE g IN (SELECT g FROM evg)),
+    per AS (
+      SELECT evg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(trp.g) AS BIGINT) AS n_leaked
+      FROM evg LEFT JOIN trp USING (g)
+      GROUP BY 1
+    )
+    SELECT e.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_leaked, 0) AS n_leaked,
+           coalesce(n_leaked::DOUBLE / n_grams, 0.0) AS leak_frac,
+           coalesce(n_leaked::DOUBLE / n_grams >= 0.5, FALSE) AS leaked
+    FROM (SELECT doc_id FROM ev) e LEFT JOIN per USING (doc_id)
+    """,
+)
+def ngram_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side benchmark-leakage rate (operators.curation.
+    eval_leakage_report): per eval doc (deterministic ``doc_id % 97 = 0``
+    holdout), the fraction of its distinct word 3-grams present anywhere
+    in the train split. Train is scanned once, never shuffled; every
+    shuffle is bounded by the eval gram count."""
+    from ..operators.curation import eval_leakage_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return eval_leakage_report(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        threshold=0.5,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -108,6 +108,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "freq_heavy_hitters",
     "corpus_global_index",
     "url_dedup_domains",
+    "ngram_leakage_report",
 ])
 
 

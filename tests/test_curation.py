@@ -926,3 +926,42 @@ def test_url_domain_report_counts(spark):
     assert (ex.n_docs, ex.n_urls) == (3, 2)
     assert abs(ex.dup_ratio - (1 - 2 / 3)) < 1e-12
     assert ex.over_cap and not got["other.org"].over_cap
+
+
+def test_eval_leakage_report_fractions(spark):
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.curation import eval_leakage_report
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="zig zag zug"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            # 3 trigrams, 2 of which ('alpha beta gamma', 'beta gamma delta')
+            # occur in train doc 1
+            Row(doc_id=10, text="alpha beta gamma delta nope"),
+            Row(doc_id=11, text="totally novel words here now"),
+            Row(doc_id=12, text="xy"),  # < n tokens: 0 grams
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_leaked, round(r.leak_frac, 6), r.leaked)
+        for r in eval_leakage_report(train, ev, threshold=0.5).collect()
+    }
+    assert got[10] == (3, 2, round(2 / 3, 6), True)
+    assert got[11] == (3, 0, 0.0, False)
+    assert got[12] == (0, 0, 0.0, False)
+
+
+def test_eval_leakage_report_validates_threshold(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.curation import eval_leakage_report
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        eval_leakage_report(df, df, threshold=1.5)
