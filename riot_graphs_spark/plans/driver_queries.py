@@ -7779,6 +7779,60 @@ def ngram_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_matryoshka_recall",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    fullp AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.cv, q.qv)
+                   / (sqrt(list_dot_product(c.cv, c.cv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM c, q WHERE c.vec_id != q.query_id
+    ),
+    fullr AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+        FROM fullp) WHERE rk <= 5
+    ),
+    tp AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.cv[1:16], q.qv[1:16])
+                   / (sqrt(list_dot_product(c.cv[1:16], c.cv[1:16]))
+                      * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))), 6)
+               AS score
+      FROM c, q WHERE c.vec_id != q.query_id
+    ),
+    tr AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+        FROM tp) WHERE rk <= 5
+    )
+    SELECT f.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+           count(t.vec_id)::DOUBLE / 5 AS recall
+    FROM fullr f LEFT JOIN tr t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY 1
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka) retrieval quality
+    (operators.similarity.matryoshka_recall): recall@5 of 16-of-64-dim
+    truncated cosine top-k vs full-dim exact top-k, per query — both
+    sides deterministic brute force, so the eval is oracle-exact (unlike
+    the rows-only ``ann_recall_ivf``, whose IVF side has no SQL twin)."""
+    from ..operators.similarity import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m_dims=16
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

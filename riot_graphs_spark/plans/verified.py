@@ -109,6 +109,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "corpus_global_index",
     "url_dedup_domains",
     "ngram_leakage_report",
+    "emb_matryoshka_recall",
 ])
 
 

@@ -108,3 +108,27 @@ def test_simhash_hamming_pairs_recall_is_total_at_radius(spark):
         .collect()
     }
     assert got == brute  # exact: no false negatives AND verified positives
+
+
+def test_matryoshka_recall_crafted(spark):
+    from riot_graphs_spark.operators.similarity import matryoshka_recall
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0, 0.0]),  # full winner for q0, prefix cos .995
+            (2, [1.0, 0.0, 5.0, 0.0]),  # prefix cos 1.0 distractor for q0
+            (3, [0.0, 1.0, 0.0, 0.0]),  # exact match for q10, prefix too
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in matryoshka_recall(corpus, queries, k=1, m_dims=2).collect()
+    }
+    # q0: truncation promotes the distractor -> miss; q10: prefix keeps
+    # the true neighbor -> hit.
+    assert got == {0: (0, 0.0), 10: (1, 1.0)}
