@@ -202,6 +202,36 @@ def _ppl(documents):
     return perplexity_buckets(documents)
 
 
+def _hh(documents):
+    from riot_graphs_spark.operators.profile import heavy_hitters
+    from riot_graphs_spark.operators.textstats import tokens
+
+    toks = documents.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, key_col="token", min_share=0.033)
+
+
+def _gidx(documents):
+    from riot_graphs_spark.operators.curation import global_index
+
+    return global_index(documents)
+
+
+def _urls(documents):
+    from riot_graphs_spark.operators.curation import url_domain_report
+    from riot_graphs_spark.plans.driver_queries import _url_fixture
+
+    return url_domain_report(_url_fixture(documents))
+
+
+def _leakage(documents):
+    from riot_graphs_spark.operators.curation import eval_leakage_report
+
+    return eval_leakage_report(
+        documents.filter(F.col("doc_id") % 97 != 0),
+        documents.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -284,6 +314,15 @@ def main() -> None:
         "mm_phash_pairs": lambda t: _phash(t["documents"]),
         # CCNet buckets: LM pass + one narrow (id, score) window shuffle
         "ccnet_ppl_buckets": lambda t: _ppl(t["documents"]),
+        # heavy hitters: map-only MG candidates + bounded recount — linear;
+        # the 10× union multiplies counts, never the summary size
+        "freq_heavy_hitters": lambda t: _hh(t["documents"]),
+        # global index: two scans + one bucket-keyed exchange — linear
+        "corpus_global_index": lambda t: _gidx(t["documents"]),
+        # URL report: row-local regex + one domain-keyed distinct agg
+        "url_dedup_domains": lambda t: _urls(t["documents"]),
+        # leakage: broadcast-bounded joins; train scan is the linear term
+        "ngram_leakage": lambda t: _leakage(t["documents"]),
     }
 
     report = {}

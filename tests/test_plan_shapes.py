@@ -478,3 +478,39 @@ def test_ccnet_buckets_window_is_narrow(spark):
     m = re.search(r"Window.*?Input \[\d+\]: \[([^\]]*)\]", plan, re.S)
     window_into = m.group(1) if m else ""
     assert "text#" not in window_into
+
+
+def test_heavy_hitters_recount_is_broadcast_not_shuffle_join(spark):
+    plan = formatted_plan(spark, "freq_heavy_hitters")
+    # Candidate set and corpus total both arrive via broadcast; the only
+    # Exchanges are the candidate-distinct and the bounded recount agg —
+    # never a full-cardinality distinct-key shuffle of the raw stream.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
+
+
+def test_global_index_no_global_sort_on_fact(spark):
+    plan = formatted_plan(spark, "corpus_global_index")
+    # The fact-side window partitions on the bucket key; the only
+    # single-partition Exchange allowed is the buckets-row offset ledger.
+    assert re.search(r"hashpartitioning\(_b", plan)
+    assert len(re.findall(r"Arguments: SinglePartition", plan)) <= 1
+    # Offsets reach the fact by broadcast, not shuffle.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_report_single_domain_shuffle_and_broadcast_total(spark):
+    plan = formatted_plan(spark, "url_dedup_domains")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+    assert "SortMergeJoin" not in plan
+    # count_distinct(url) under domain key: partial aggregation present.
+    assert "partial_count" in plan
+
+
+def test_leakage_train_side_never_shuffles_corpus(spark):
+    plan = formatted_plan(spark, "ngram_leakage_report")
+    # Eval gram set and the surviving train-gram set both broadcast.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
