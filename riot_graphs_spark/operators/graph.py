@@ -1,0 +1,119 @@
+"""Graph analytics over relational edge lists.
+
+Connected components (the dedup clustering kernel) lives in
+:mod:`~riot_graphs_spark.operators.dedup`; this module holds the
+score-propagation family.  Everything is expressed as node/edge-keyed
+joins and partial-aggregable groupBys — the vertex-centric "join with
+messages, aggregate by destination" pattern Pregel popularized, which on
+Spark is just DataFrame ops (no GraphX, no RDDs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Exact-decimal carrier for cross-row double sums (FP addition order
+#: would otherwise make every iteration nondeterministic run-to-run).
+_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    undirected: bool = True,
+    checkpoint: bool = True,
+    broadcast_scores: bool = False,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list.
+
+    Each iteration is one join (node scores onto out-edges) plus one
+    destination-keyed partial-aggregable sum — the per-iteration shuffle
+    budget is 2 exchanges keyed on node id, state is one double per node,
+    and no step ever collects the graph to the driver (the one scalar
+    pulled is the node COUNT, needed inside the teleport constant).
+    Neighbor sums are carried in ``decimal(28,12)`` so every iteration is
+    bit-deterministic regardless of partitioning — which is what makes
+    the fixed-iteration form oracle-pairable by loop unrolling (the SQL
+    twin writes ``iterations`` chained CTEs).
+
+    ``undirected=True`` mirrors each edge; nodes are the edge endpoints
+    (isolated vertices don't participate — at corpus scale the node table
+    IS the edge-endpoint set).  Dangling-mass redistribution is omitted:
+    with mirrored edges every node has out-degree ≥ 1.  Per-round
+    ``localCheckpoint`` (lazy) caps lineage growth exactly like the
+    connected-components contraction loop; disable for short runs feeding
+    a larger plan.  ``broadcast_scores=True`` ships the per-node score
+    table (one double per node) to the edge side each iteration instead
+    of shuffling the edges — right whenever the node table is
+    executor-memory-sized (a parts catalog, a vocab), wrong for
+    billion-node graphs, hence opt-in.  ``dedup_edges=False`` skips the edge-distinct
+    exchange when the caller guarantees unique ``(src, dst)`` pairs with
+    ``src < dst`` (mirroring cannot then collide) — one full edge-set
+    shuffle saved.
+
+    Output: ``(node, pr double)`` — scores sum to ~1 over nodes reachable
+    from the uniform start.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("need 0 < damping < 1")
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+    if dedup_edges:
+        e = e.distinct()
+    # One lazy checkpoint of the edge list: degree, weighted edges, the
+    # node set AND the node count all derive from it — without this the
+    # upstream edge construction (often a pair-generation aggregate) runs
+    # once per consumer.
+    e = e.localCheckpoint(eager=False)
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("_od"))
+    ew = e.join(deg, "s")
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    if iterations > 0 and not undirected:
+        nodes = nodes.localCheckpoint(eager=False)
+
+    n = nodes.count()  # one bounded scalar: the node count
+    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
+    teleport = F.lit(1.0) - F.lit(damping)
+    for _ in range(iterations):
+        pr_side = F.broadcast(pr) if broadcast_scores else pr
+        acc = (
+            ew.join(pr_side, ew["s"] == pr_side["node"])
+            .select(
+                F.col("d").alias("node"),
+                (F.col("pr") / F.col("_od")).alias("_m"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("_m").cast(_DEC)).cast("double").alias("_acc"))
+        )
+        if undirected:
+            # Mirrored edges ⇒ every node receives mass ⇒ ``acc`` already
+            # covers the node set; the re-anchoring join is pure cost.
+            pr = acc.select(
+                "node",
+                (
+                    teleport / F.lit(float(n))
+                    + F.lit(damping) * F.col("_acc")
+                ).alias("pr"),
+            )
+        else:
+            pr = nodes.join(acc, "node", "left").select(
+                "node",
+                (
+                    teleport / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("_acc", F.lit(0.0))
+                ).alias("pr"),
+            )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=False)
+    return pr

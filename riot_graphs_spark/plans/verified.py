@@ -110,6 +110,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "url_dedup_domains",
     "ngram_leakage_report",
     "emb_matryoshka_recall",
+    "graph_pagerank_parts",
 ])
 
 

@@ -708,3 +708,51 @@ def test_embedding_outliers_flags_far_vector(spark):
            embedding_outliers(df, [[1.0, 0.0]], z_threshold=2.0).collect()}
     assert got[7].is_outlier is True
     assert all(not got[i].is_outlier for i in range(7))
+
+
+# --------------------------------------------------------------------------
+# pagerank: fixed-iteration score propagation
+# --------------------------------------------------------------------------
+def test_pagerank_star_hand_computed(spark):
+    from riot_graphs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+    )
+    got = {
+        r.node: r.pr for r in pagerank(edges, iterations=1).collect()
+    }
+    # undirected star: center od=3, leaves od=1; p0=0.25 each
+    # p1(center) = 0.15/4 + 0.85*(3*0.25)   = 0.675
+    # p1(leaf)   = 0.15/4 + 0.85*(0.25/3)  ≈ 0.1083333
+    assert abs(got["a"] - 0.675) < 1e-9
+    for leaf in "bcd":
+        assert abs(got[leaf] - (0.0375 + 0.85 * 0.25 / 3)) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_zero_iterations_uniform_and_validates(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(edges, iterations=0).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=-1)
+    with _pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from riot_graphs_spark.operators.graph import pagerank
+
+    rows = [(i, (i * 7 + 1) % 50) for i in range(200) if i != (i * 7 + 1) % 50]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    a = {r.node: r.pr for r in pagerank(e1, iterations=3).collect()}
+    b = {
+        r.node: r.pr
+        for r in pagerank(e1.repartition(13), iterations=3).collect()
+    }
+    assert a == b  # decimal-carried sums: bit-equal, not approximately
