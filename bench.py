@@ -196,6 +196,12 @@ HEADLINE = [
     # dedup_containment_pairs is correctness-swept but NOT benched, same as
     # its symmetric sibling dedup_ngram_jaccard: both are exact verify
     # stages that production runs on post-LSH samples, not full corpora.
+    "freq_heavy_hitters",
+    "corpus_global_index",
+    "url_dedup_domains",
+    "ngram_leakage_report",
+    "emb_matryoshka_recall",
+    "graph_pagerank_parts",
 ]
 
 
