@@ -202,6 +202,7 @@ HEADLINE = [
     "ngram_leakage_report",
     "emb_matryoshka_recall",
     "graph_pagerank_parts",
+    "ts_level_shift",
 ]
 
 

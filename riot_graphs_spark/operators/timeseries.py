@@ -1272,3 +1272,61 @@ def seasonal_residual_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def level_shift(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    w: int = 6,
+    k: int = 5,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Changepoint candidates by adjacent-window mean contrast: at every
+    point with ``w`` full observations on each side, compare the mean of
+    the ``w`` rows strictly BEFORE with the mean of the ``w`` rows FROM
+    the point on, and keep the top-``k`` largest absolute level shifts
+    per series — the threshold-free form of CUSUM-style level-change
+    detection (a fixed cutoff would be data-dependent; ranked contrasts
+    are stable across scales and bench runs).
+
+    Plan: three windows over ONE partitioning (the two frame sums + the
+    per-series rank) — a single Exchange on ``dims``; the top-k cut
+    compiles to the partial ``WindowGroupLimit`` the other per-series
+    top-k queries pin in tests. Frame sums are DECIMAL-carried so both
+    engines' sliding accumulators agree bit-for-bit.
+
+    Output: ``dims + (ts, tiebreak, left_mean, right_mean, shift, rank)``.
+    """
+    if w < 1 or k < 1:
+        raise ValueError("need w >= 1 and k >= 1")
+    dv = F.col(value).cast("decimal(28,6)")
+    base = Window.partitionBy(*dims).orderBy(ts, tiebreak)
+    left = (
+        F.sum(dv).over(base.rowsBetween(-w, -1)).cast("double") / w
+    )
+    right = (
+        F.sum(dv).over(base.rowsBetween(0, w - 1)).cast("double") / w
+    )
+    staged = df.select(
+        *dims,
+        F.col(ts),
+        F.col(tiebreak),
+        left.alias("left_mean"),
+        right.alias("right_mean"),
+        F.row_number().over(base).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*dims)).alias("_n"),
+    ).where(
+        (F.col("_rn") > w) & (F.col("_rn") <= F.col("_n") - (w - 1))
+    )
+    shift = F.col("right_mean") - F.col("left_mean")
+    rank_w = Window.partitionBy(*dims).orderBy(
+        F.abs(shift).desc(), F.col(ts).asc(), F.col(tiebreak).asc()
+    )
+    return (
+        staged.withColumn("shift", shift)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .drop("_rn", "_n")
+    )

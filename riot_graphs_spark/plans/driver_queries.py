@@ -7912,6 +7912,53 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_level_shift",
+    """
+    WITH base AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER wl AS DOUBLE) / 6
+               AS left_mean,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER wr AS DOUBLE) / 6
+               AS right_mean,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WINDOW wl AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+             wr AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+    ),
+    ranked AS (
+      SELECT event_type, ts, event_id, left_mean, right_mean,
+             right_mean - left_mean AS shift,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(right_mean - left_mean) DESC, ts, event_id)
+               AS rank
+      FROM base WHERE rn > 6 AND rn <= n - 5
+    )
+    SELECT event_type, ts, event_id, left_mean, right_mean, shift,
+           rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 level-shift (changepoint) candidates per event_type
+    (operators.timeseries.level_shift): largest |mean of next 6 − mean of
+    prior 6| contrasts at full-window points — threshold-free CUSUM-class
+    change detection. One Exchange: both frame sums and the rank share
+    the series partitioning."""
+    from ..operators.timeseries import level_shift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return level_shift(
+        ev, dims=["event_type"], ts="ts", value="value", w=6, k=5
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

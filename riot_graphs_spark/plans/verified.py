@@ -111,6 +111,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "ngram_leakage_report",
     "emb_matryoshka_recall",
     "graph_pagerank_parts",
+    "ts_level_shift",
 ])
 
 

@@ -122,3 +122,51 @@ def test_interval_overlap_join_dedups_multiband_pairs(spark):
         for r in got.filter(F.col("id") < F.col("id_b")).collect()
     )
     assert pairs == [(1, 2), (1, 3)]  # each exactly once, no (x,4)
+
+
+# --------------------------------------------------------------------------
+# level_shift: adjacent-window mean contrast changepoints
+# --------------------------------------------------------------------------
+def test_level_shift_finds_step_change(spark):
+    import datetime as dt
+
+    from riot_graphs_spark.operators.timeseries import level_shift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # flat 0.0 for 10 points, then step to 10.0 for 10 points
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=i), i, 0.0 if i < 10 else 10.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = level_shift(
+        df, dims=["event_type"], w=3, k=1, tiebreak="event_id"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # the boundary point (first of the high level) has the max contrast:
+    # left = mean(0,0,0) = 0, right = mean(10,10,10) = 10
+    assert r.event_id == 10
+    assert (r.left_mean, r.right_mean, r.shift, r.rank) == (0.0, 10.0, 10.0, 1)
+
+
+def test_level_shift_requires_full_windows_and_validates(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import level_shift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=i), i, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    # w=3 needs 3 before and 3 from-current: only 5 points -> nothing full
+    assert level_shift(df, dims=["event_type"], w=3, k=5).count() == 0
+    with _pytest.raises(ValueError):
+        level_shift(df, dims=["event_type"], w=0)

@@ -514,3 +514,12 @@ def test_leakage_train_side_never_shuffles_corpus(spark):
     # Eval gram set and the surviving train-gram set both broadcast.
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_level_shift_single_series_exchange_with_group_limit(spark):
+    plan = formatted_plan(spark, "ts_level_shift")
+    # Frame sums + rank share the event_type partitioning: exactly one
+    # fact-side Exchange, and the top-k cut runs the partial
+    # WindowGroupLimit before the final sort.
+    assert shuffle_count(plan) == 1
+    assert "WindowGroupLimit" in plan
