@@ -203,6 +203,9 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "graph_pagerank_parts",
     "ts_level_shift",
+    "text_collocations_pmi",
+    "graph_triangle_profile",
+    "dedup_sorted_neighborhood",
 ]
 
 

@@ -117,3 +117,88 @@ def pagerank(
         if checkpoint:
             pr = pr.localCheckpoint(eager=False)
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected edge list (``src < dst``, unique pairs) — the cohesion
+    profile of a co-occurrence / near-dup graph (high clustering = dense
+    communities; triangle-free hubs = star-shaped boilerplate).
+
+    Scale shape — the classic degree orientation: each undirected edge is
+    directed from its ``(degree, id)``-smaller endpoint to the larger, so
+    every oriented out-neighborhood is O(√m) and the wedge join
+    (out-edges ⋈ out-edges on the pivot) can never explode on a hub the
+    way a naive id-ordered join does.  Wedges close against the oriented
+    edge set with one more equi-join.  The triangle SET is
+    orientation-invariant (each triangle appears exactly once as its
+    π-sorted tuple), which is what lets the SQL oracle count the same
+    triangles with plain id ordering.
+
+    Output: ``(node, degree bigint, n_triangles bigint, clustering
+    double)`` — one row per edge endpoint; ``clustering = 2T / (deg·
+    (deg−1))``, 0.0 for degree-1 nodes.
+    """
+    # One lazy checkpoint: the (often aggregate-produced) edge list feeds
+    # degrees, orientation AND the final profile join — see pagerank.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # π(u) < π(v) iff (deg(u), u) < (deg(v), v): orient edges π-ascending.
+    w_e = (
+        e.join(deg.withColumnRenamed("u", "_ku").withColumnRenamed("deg", "_du"), e["u"] == F.col("_ku"))
+        .join(deg.withColumnRenamed("u", "_kv").withColumnRenamed("deg", "_dv"), e["v"] == F.col("_kv"))
+    )
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = w_e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("_du")).otherwise(F.col("_dv")).alias("_da"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_db"),
+    ).localCheckpoint(eager=False)
+    # Wedges at pivot a: π-ordered out-neighbor pairs (b, c).
+    o2 = oriented.select(
+        F.col("a").alias("a2"),
+        F.col("b").alias("c"),
+        F.col("_db").alias("_dc"),
+    )
+    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).where(
+        (F.col("_db") < F.col("_dc"))
+        | ((F.col("_db") == F.col("_dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.withColumnRenamed("u", "node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") > 1,
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

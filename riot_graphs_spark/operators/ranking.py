@@ -439,3 +439,67 @@ def bigram_lm_cross_entropy(
             "cross_entropy",
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 10,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information —
+    ``PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )`` over adjacent word pairs —
+    the classic "multi-word expression" extractor a tokenizer/vocab
+    builder runs beside BPE (pairs that co-occur far above chance are
+    merge/phrase candidates; pairs below chance are segmentation noise).
+
+    Plan: the pair and unigram tables are groupBys bounded by observed
+    pairs/vocab (never corpus-sized downstream of the partial agg); the
+    two probability totals arrive as a broadcast one-row aggregate;
+    scoring joins are vocab-keyed. The final global top-k window runs
+    over the ``min_count``-filtered pair table — vocab²-bounded, in
+    practice tiny; if a web-scale vocab makes it large, cut per-``a``
+    first. PMI is quantized through ``decimal(28,12)`` before ranking so
+    cross-engine libm ``ln`` 1-ulp drift can neither reorder nor
+    hash-split results (the LM-scoring trick).
+
+    Output: ``(a, b, pair_count bigint, pmi double, rank int)``.
+    """
+    if min_count < 1 or k < 1:
+        raise ValueError("need min_count >= 1 and k >= 1")
+    bg = _doc_bigrams(docs, id_col, text_col)
+    pair = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        _doc_tokens(docs, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = pair.agg(
+        F.sum("c2").cast("double").alias("_nb")
+    ).crossJoin(uni.agg(F.sum("c1").cast("double").alias("_nu")))
+    ua = uni.select(F.col("token").alias("a"), F.col("c1").alias("_c1a"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c1").alias("_c1b"))
+    pmi = F.log(
+        (F.col("c2").cast("double") / F.col("_nb"))
+        / (
+            (F.col("_c1a").cast("double") / F.col("_nu"))
+            * (F.col("_c1b").cast("double") / F.col("_nu"))
+        )
+    ).cast(_DEC).cast("double")
+    scored = (
+        pair.where(F.col("c2") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", F.col("c2").alias("pair_count"), pmi.alias("pmi"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -7959,6 +7959,150 @@ def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_collocations_pmi",
+    """
+    WITH bg AS (
+      SELECT doc_id, g[1] AS a, g[2] AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                      i -> [words[i], words[i+1]])) AS g
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents)
+      )
+    ),
+    pair AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    uni AS (SELECT t.tok AS w, count(*) AS c1
+            FROM documents,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS t(tok)
+            GROUP BY 1),
+    tots AS (SELECT (SELECT sum(c2) FROM pair)::DOUBLE AS nb,
+                    (SELECT sum(c1) FROM uni)::DOUBLE AS nu),
+    scored AS (
+      SELECT a, b, c2,
+             CAST(CAST(ln((c2::DOUBLE / nb)
+                  / ((ua.c1::DOUBLE / nu) * (ub.c1::DOUBLE / nu)))
+               AS DECIMAL(28,12)) AS DOUBLE) AS pmi
+      FROM pair
+      JOIN uni ua ON ua.w = pair.a
+      JOIN uni ub ON ub.w = pair.b
+      CROSS JOIN tots
+      WHERE c2 >= 10
+    )
+    SELECT a, b, CAST(c2 AS BIGINT) AS pair_count, pmi, rank::INT AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+          FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over adjacent word pairs (operators.
+    ranking.collocations_pmi) — the phrase/merge-candidate extractor next
+    to BPE training. PMI quantized through decimal(28,12) before ranking
+    (libm-ln-drift-proof); pair/unigram tables vocab-bounded."""
+    from ..operators.ranking import collocations_pmi
+
+    return collocations_pmi(
+        _t(spark, sf_dir, "documents"), min_count=10, k=20
+    )
+
+
+@_q(
+    "graph_triangle_profile",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    und AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+    deg AS (SELECT s AS node, count(*) AS deg FROM und GROUP BY 1),
+    tri AS (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
+      JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d
+    ),
+    pn AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.node, CAST(deg.deg AS BIGINT) AS degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.deg > 1
+                THEN CAST(2 AS DOUBLE) * coalesce(pn.n_triangles, 0)
+                     / (deg.deg * (deg.deg - 1))
+                ELSE CAST(0 AS DOUBLE) END AS clustering
+    FROM deg LEFT JOIN pn USING (node)
+    """,
+)
+def graph_triangle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    >=2-support part co-occurrence graph (operators.graph.
+    triangle_counts): degree-ordered edge orientation bounds every wedge
+    join at O(sqrt(m)) out-neighbors — the triangle set is
+    orientation-invariant, so the oracle counts the same triangles with
+    plain id ordering."""
+    from ..operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+@_q(
+    "dedup_sorted_neighborhood",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                    1, 24) AS k
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+      FROM k
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.pos - a.pos AS BIGINT) AS gap
+    FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 2
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate pairs, window 3, keyed on the
+    first 24 alphanumeric chars of the lowercased text (operators.dedup.
+    sorted_neighborhood_pairs): the prefix-similarity blocking pass that
+    complements MinHash/SimHash. Rank assignment is range-exchange +
+    per-partition counters + broadcast offsets — boundary-invariant, so
+    it equals the oracle's global ORDER BY row number."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 24
+    )
+    return sorted_neighborhood_pairs(docs, key, w=3)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

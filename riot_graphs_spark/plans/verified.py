@@ -112,6 +112,9 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "emb_matryoshka_recall",
     "graph_pagerank_parts",
     "ts_level_shift",
+    "text_collocations_pmi",
+    "graph_triangle_profile",
+    "dedup_sorted_neighborhood",
 ])
 
 

@@ -965,3 +965,42 @@ def test_eval_leakage_report_validates_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         eval_leakage_report(df, df, threshold=1.5)
+
+
+# --------------------------------------------------------------------------
+# sorted_neighborhood_pairs: SNM blocking == global-sort window pairs
+# --------------------------------------------------------------------------
+def test_sorted_neighborhood_equals_global_sort_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # keys with duplicates and skew; ids break ties
+    rows = [(i, f"k{(i * 13) % 40:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.gap
+        for r in sorted_neighborhood_pairs(
+            df, "text", w=4, partitions=7
+        ).collect()
+    }
+    ordered = [
+        r.doc_id
+        for r in df.orderBy(F.col("text"), F.col("doc_id")).collect()
+    ]
+    expect = {}
+    for i, a in enumerate(ordered):
+        for g in (1, 2, 3):
+            if i + g < len(ordered):
+                expect[(a, ordered[i + g])] = g
+    assert got == expect
+
+
+def test_sorted_neighborhood_validates_window(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "text", w=1)

@@ -756,3 +756,32 @@ def test_pagerank_deterministic_across_partitioning(spark):
         for r in pagerank(e1.repartition(13), iterations=3).collect()
     }
     assert a == b  # decimal-carried sums: bit-equal, not approximately
+
+
+def test_triangle_counts_k4_and_path(spark):
+    from riot_graphs_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node in C(3,2)=3 triangles, clustering 1.0;
+    # pendant node 5 attached to 1: degree 1, no triangles.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+        "src long, dst long",
+    )
+    got = {r.node: r for r in triangle_counts(edges).collect()}
+    for n in (2, 3, 4):
+        assert (got[n].degree, got[n].n_triangles) == (3, 3)
+        assert abs(got[n].clustering - 1.0) < 1e-12
+    assert (got[1].degree, got[1].n_triangles) == (4, 3)
+    assert abs(got[1].clustering - 0.5) < 1e-12  # 2*3/(4*3)
+    assert (got[5].degree, got[5].n_triangles, got[5].clustering) == (1, 0, 0.0)
+
+
+def test_triangle_counts_triangle_free(spark):
+    from riot_graphs_spark.operators.graph import triangle_counts
+
+    # star: no triangles anywhere
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    got = triangle_counts(edges).collect()
+    assert all(r.n_triangles == 0 for r in got)

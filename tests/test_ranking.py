@@ -162,3 +162,40 @@ def test_bigram_lm_separates_word_order_unigram_cannot(spark):
     bi = {r.doc_id: r for r in bigram_lm_cross_entropy(docs).collect()}
     assert bi[1].cross_entropy < bi[2].cross_entropy  # bigram is not
     assert bi[3].n_bigrams == 0 and bi[3].cross_entropy is None
+
+
+# --------------------------------------------------------------------------
+# collocations_pmi
+# --------------------------------------------------------------------------
+def test_collocations_pmi_finds_fixed_phrase(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.ranking import collocations_pmi
+
+    # "new york" always adjacent; filler words pair randomly-ish.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="new york " + ("alpha beta gamma delta " * 3))
+            for i in range(6)
+        ]
+    )
+    got = collocations_pmi(docs, min_count=3, k=5).collect()
+    assert got[0].a == "new" and got[0].b == "york" and got[0].rank == 1
+    # hand-check PMI: c2(new,york)=6, nb=6*13=78, c1(new)=c1(york)=6, nu=6*14=84
+    expect = math.log((6 / 78) / ((6 / 84) * (6 / 84)))
+    assert abs(got[0].pmi - expect) < 1e-9
+    assert got[0].pmi > 0  # far above chance
+    # every returned pair respects min_count
+    assert all(r.pair_count >= 3 for r in got)
+
+
+def test_collocations_pmi_validates(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.ranking import collocations_pmi
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        collocations_pmi(df, min_count=0)
