@@ -1239,6 +1239,7 @@ def sorted_neighborhood_pairs(
     id_col: str = "doc_id",
     w: int = 3,
     partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs: rank every record by a
     domain sort key and emit all pairs within ``w`` positions — the
@@ -1302,11 +1303,12 @@ def sorted_neighborhood_pairs(
     offsets = sizes.select(
         "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
     )
-    pos = (
-        local.join(F.broadcast(offsets), "_pid")
-        .select("_id", (F.col("_lpos") + F.col("_off")).alias("_pos"))
-        .localCheckpoint(eager=False)
+    pos = local.join(F.broadcast(offsets), "_pid").select(
+        "_id", (F.col("_lpos") + F.col("_off")).alias("_pos")
     )
+    if checkpoint:
+        # positions feed both sides of the pair join — materialize once
+        pos = pos.localCheckpoint(eager=False)
     blocked = pos.withColumn("_blk", (F.col("_pos") / w).cast("long"))
     right = blocked.select(
         F.col("_id").alias("doc_b"),

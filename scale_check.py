@@ -223,6 +223,67 @@ def _urls(documents):
     return url_domain_report(_url_fixture(documents))
 
 
+def _pagerank(lineitem):
+    from riot_graphs_spark.operators.graph import pagerank
+
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return pagerank(
+        edges, iterations=3, broadcast_scores=True,
+        dedup_edges=False, checkpoint=False,
+    )
+
+
+def _tri(lineitem):
+    from riot_graphs_spark.operators.graph import triangle_counts
+
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+def _pmi(documents):
+    from riot_graphs_spark.operators.ranking import collocations_pmi
+
+    return collocations_pmi(documents, min_count=10, k=20)
+
+
+def _snm(documents):
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 24
+    )
+    return sorted_neighborhood_pairs(documents, key, w=3)
+
+
+def _lshift(events):
+    from riot_graphs_spark.operators.timeseries import level_shift
+
+    return level_shift(
+        events.select("event_type", "ts", "event_id", "value"),
+        dims=["event_type"],
+    )
+
+
 def _leakage(documents):
     from riot_graphs_spark.operators.curation import eval_leakage_report
 

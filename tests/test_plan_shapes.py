@@ -523,3 +523,48 @@ def test_level_shift_single_series_exchange_with_group_limit(spark):
     # WindowGroupLimit before the final sort.
     assert shuffle_count(plan) == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_collocations_totals_broadcast_no_cartesian_blowup(spark):
+    plan = formatted_plan(spark, "text_collocations_pmi")
+    # probability totals arrive as a broadcast 1-row table; scoring joins
+    # are vocab-keyed hash joins
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals cross
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi_not_cartesian(spark):
+    plan = formatted_plan(spark, "graph_triangle_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_rank_is_range_exchange_plus_broadcast(spark):
+    # checkpoint=False exposes the rank lineage (the registered query's
+    # lazy checkpoint hides it from explain)
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+    from riot_graphs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 24
+    )
+    df = sorted_neighborhood_pairs(docs, key, w=3, checkpoint=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the global rank must come from a RANGE exchange (+ in-partition
+    # counters + broadcast offsets), never a single-partition window over
+    # the fact. Every SinglePartition here is the PARTITION-COUNT ledger
+    # (bounded by #partitions), duplicated into the four unchecked-pointed
+    # subtrees (2 union branches x 2 join sides); each must sit above the
+    # count aggregate, not the raw fact.
+    assert "rangepartitioning" in plan
+    singles = len(re.findall(r"Arguments: SinglePartition", plan))
+    aggs = len(re.findall(r"partial_count", plan))
+    assert singles <= 4 and aggs >= singles
+    assert "BroadcastHashJoin" in plan  # offsets ledger
