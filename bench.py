@@ -206,6 +206,7 @@ HEADLINE = [
     "text_collocations_pmi",
     "graph_triangle_profile",
     "dedup_sorted_neighborhood",
+    "graph_hits_bipartite",
 ]
 
 

@@ -202,3 +202,76 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    broadcast_scores: bool = False,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a DIRECTED edge
+    list — on a bipartite interaction graph (customer→part, query→doc)
+    the authority side ranks items by endorsement from good hubs and
+    vice versa, mutually reinforcing; structurally different from
+    :func:`pagerank` (two coupled score vectors, L1-normalized each
+    half-step instead of teleport-damped).
+
+    Per iteration: authority = edge join + dst-keyed decimal sum,
+    L1-normalize by a broadcast one-row decimal total; hub = the mirror.
+    Same determinism contract as :func:`pagerank` — decimal-carried
+    sums make the fixed-iteration run bit-stable, so the SQL twin is the
+    unrolled CTE chain.  Nodes with no outgoing edges have no hub score
+    (and mirror-wise for authorities): HITS scores are defined by edge
+    incidence.
+
+    ``broadcast_scores`` has :func:`pagerank` semantics: ship the
+    per-node score vector to the edge side each half-step when the node
+    sets are executor-memory-sized (catalogs), shuffle-join otherwise.
+
+    Output: ``(node, kind, score)`` — ``kind`` ∈ {'hub', 'auth'},
+    each side L1-normalized (sums to 1.0).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.localCheckpoint(eager=False)
+    hub = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "h", F.lit(1.0)
+    )
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        # Checkpoint the RAW scores: the total branch and the normalize
+        # projection both read them — unchecpointed, the upstream
+        # join+agg would run twice per half-step.
+        df = df.localCheckpoint(eager=False)
+        total = df.agg(
+            F.sum(F.col(col).cast(_DEC)).cast("double").alias("_t")
+        )
+        return df.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    _maybe_bc = F.broadcast if broadcast_scores else (lambda df: df)
+    auth = None
+    for _ in range(iterations):
+        auth = _l1(
+            e.join(_maybe_bc(hub), e["s"] == hub["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("h").cast(_DEC)).cast("double").alias("a")),
+            "a",
+        )
+        hub = _l1(
+            e.join(_maybe_bc(auth), e["d"] == auth["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("a").cast(_DEC)).cast("double").alias("h")),
+            "h",
+        )
+    return hub.select(
+        "node", F.lit("hub").alias("kind"), F.col("h").alias("score")
+    ).unionByName(
+        auth.select(
+            "node", F.lit("auth").alias("kind"), F.col("a").alias("score")
+        )
+    )

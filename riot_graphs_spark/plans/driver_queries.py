@@ -8103,6 +8103,64 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, key, w=3)
 
 
+def _hits_oracle(iters: int = 2) -> str:
+    """Loop-unrolled HITS oracle (same determinism contract as
+    ``_pagerank_oracle``): decimal-carried sums + decimal-carried L1
+    totals, double divisions — every half-step is one raw-score CTE, one
+    1-row total CTE, one normalize CTE."""
+    sql = """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT s AS node, CAST(1 AS DOUBLE) AS h FROM e)"""
+    for i in range(iters):
+        sql += f""",
+    a{i + 1}r AS (
+      SELECT e.d AS node,
+             CAST(sum(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS a
+      FROM e JOIN h{i} ON h{i}.node = e.s GROUP BY 1
+    ),
+    a{i + 1}t AS (SELECT CAST(sum(CAST(a AS DECIMAL(28,12))) AS DOUBLE)
+                    AS t FROM a{i + 1}r),
+    a{i + 1} AS (SELECT node, a / t AS a FROM a{i + 1}r, a{i + 1}t),
+    h{i + 1}r AS (
+      SELECT e.s AS node,
+             CAST(sum(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM e JOIN a{i + 1} ON a{i + 1}.node = e.d GROUP BY 1
+    ),
+    h{i + 1}t AS (SELECT CAST(sum(CAST(h AS DECIMAL(28,12))) AS DOUBLE)
+                    AS t FROM h{i + 1}r),
+    h{i + 1} AS (SELECT node, h / t AS h FROM h{i + 1}r, h{i + 1}t)"""
+    sql += f"""
+    SELECT node, 'hub' AS kind, h AS score FROM h{iters}
+    UNION ALL
+    SELECT node, 'auth' AS kind, a AS score FROM a{iters}"""
+    return sql
+
+
+@_q("graph_hits_bipartite", _hits_oracle(2))
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (2 fixed iterations, L1-normalized) over
+    the directed bipartite customer→part purchase graph (operators.graph.
+    hits): authoritative parts = endorsed by broad-basket customers,
+    mutually reinforcing — the counterpart ranking to PageRank's
+    undirected centrality. Oracle = unrolled CTE chain."""
+    from ..operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=2, broadcast_scores=True)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -115,6 +115,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "text_collocations_pmi",
     "graph_triangle_profile",
     "dedup_sorted_neighborhood",
+    "graph_hits_bipartite",
 ])
 
 

@@ -243,6 +243,20 @@ def _pagerank(lineitem):
     )
 
 
+def _hits(tables):
+    from riot_graphs_spark.operators.graph import hits
+
+    o = tables["orders"].select("o_orderkey", "o_custkey")
+    li = tables["lineitem"].select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=2, broadcast_scores=True)
+
+
 def _tri(lineitem):
     from riot_graphs_spark.operators.graph import triangle_counts
 
@@ -305,7 +319,7 @@ def main() -> None:
 
     tables = {
         t: load_table(spark, SF_DIR, t)
-        for t in ("events", "lineitem", "documents")
+        for t in ("events", "lineitem", "documents", "orders")
     }
 
     cases = {

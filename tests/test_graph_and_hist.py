@@ -785,3 +785,34 @@ def test_triangle_counts_triangle_free(spark):
     )
     got = triangle_counts(edges).collect()
     assert all(r.n_triangles == 0 for r in got)
+
+
+def test_hits_hand_computed_bipartite(spark):
+    from riot_graphs_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u1", "p1"), ("u1", "p2"), ("u2", "p2"), ("u2", "p3")],
+        "src string, dst string",
+    )
+    got = {
+        (r.kind, r.node): r.score for r in hits(edges, iterations=1).collect()
+    }
+    # a1 raw: p1=1, p2=2, p3=1 -> L1: .25/.5/.25; h1 raw: .75/.75 -> .5/.5
+    assert abs(got[("auth", "p1")] - 0.25) < 1e-12
+    assert abs(got[("auth", "p2")] - 0.50) < 1e-12
+    assert abs(got[("auth", "p3")] - 0.25) < 1e-12
+    assert abs(got[("hub", "u1")] - 0.5) < 1e-12
+    assert abs(got[("hub", "u2")] - 0.5) < 1e-12
+    # each side L1-normalized
+    for kind in ("hub", "auth"):
+        assert abs(sum(v for (k, _), v in got.items() if k == kind) - 1.0) < 1e-12
+
+
+def test_hits_validates_iterations(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        hits(edges, iterations=0)
