@@ -207,6 +207,7 @@ HEADLINE = [
     "graph_triangle_profile",
     "dedup_sorted_neighborhood",
     "graph_hits_bipartite",
+    "item_item_similarity",
 ]
 
 

@@ -8161,6 +8161,97 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=2, broadcast_scores=True)
 
 
+@_q(
+    "item_item_similarity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, count(*) AS n_ord FROM li GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS cooc
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT part_a, part_b, cooc FROM co
+      UNION ALL
+      SELECT part_b AS part_a, part_a AS part_b, cooc FROM co
+    ),
+    scored AS (
+      SELECT part_a, part_b, CAST(cooc AS BIGINT) AS cooc,
+             cooc / (sqrt(CAST(na.n_ord AS DOUBLE))
+                     * sqrt(CAST(nb.n_ord AS DOUBLE))) AS cosine
+      FROM sym
+      JOIN n na ON na.l_partkey = part_a
+      JOIN n nb ON nb.l_partkey = part_b
+    )
+    SELECT part_a, part_b, cooc, cosine, rank::INT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY part_a
+            ORDER BY cosine DESC, part_b) AS rank FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item binary-cosine similarity over order baskets — the
+    classic co-occurrence candidate generator for "bought together"
+    recommendations: ``sim(a,b) = cooc / sqrt(n_a·n_b)`` on ≥2-support
+    pairs, top-5 neighbors per item. Pair expansion is order-bounded
+    (same discipline as basket_part_pairs); per-item top-k is a
+    WindowGroupLimit cut. Integer inputs → bit-identical doubles."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "cooc",
+        )
+    )
+    na = n.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("_na"))
+    nb = n.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("_nb"))
+    scored = (
+        sym.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cooc",
+            (
+                F.col("cooc")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("cosine").desc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -116,6 +116,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "graph_triangle_profile",
     "dedup_sorted_neighborhood",
     "graph_hits_bipartite",
+    "item_item_similarity",
 ])
 
 

@@ -816,3 +816,29 @@ def test_hits_validates_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         hits(edges, iterations=0)
+
+
+def test_item_item_similarity_hand_computed(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    # baskets: o1{1,2} o2{1,2} o3{1,3} o4{2,3} -> only (1,2) has cooc>=2
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 3)]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.part_a, r.part_b): (r.cooc, r.cosine, r.rank)
+        for r in QUERIES["item_item_similarity"](spark, str(tmp_path)).collect()
+    }
+    # n_ord: 1->3, 2->3; sim(1,2) = 2/sqrt(3*3) = 2/3; symmetric rows
+    assert set(got) == {(1, 2), (2, 1)}
+    for k in got:
+        assert got[k][0] == 2 and abs(got[k][1] - 2 / 3) < 1e-12
+        assert got[k][2] == 1
