@@ -208,6 +208,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "graph_hits_bipartite",
     "item_item_similarity",
+    "hybrid_search_rrf",
 ]
 
 

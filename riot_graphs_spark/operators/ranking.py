@@ -503,3 +503,65 @@ def collocations_pmi(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_const: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists —
+    ``score(q,d) = Σᵢ 1/(k + rankᵢ(q,d))`` — the standard hybrid-search
+    combiner (BM25 ⊕ dense ANN): rank-based, so the lists' incomparable
+    raw scores never need calibration, and a document missing from a
+    list simply contributes nothing.
+
+    Each input must carry ``(query_col, doc_col, rank)``.  Fusion is a
+    chain of full-outer joins keyed on (query, doc) — every side is
+    already a top-k list, so the join inputs are (queries × k)-sized
+    regardless of corpus scale; the final per-query cut is the usual
+    WindowGroupLimit window.  Rank reciprocals are exact double
+    constants, so fusion is bit-deterministic.
+
+    Output: ``(query_col, doc_col, rrf_score double, n_lists int,
+    rank int)``.
+    """
+    if len(rankings) < 2:
+        raise ValueError("need at least two rankings to fuse")
+    if k_const < 1 or top_k < 1:
+        raise ValueError("need k_const >= 1 and top_k >= 1")
+    tagged = [
+        df.select(
+            F.col(query_col),
+            F.col(doc_col),
+            (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias(f"_s{i}"),
+        )
+        for i, df in enumerate(rankings)
+    ]
+    fused = tagged[0]
+    for t in tagged[1:]:
+        fused = fused.join(t, [query_col, doc_col], "full_outer")
+    score_cols = [f"_s{i}" for i in range(len(tagged))]
+    score = sum(
+        (F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols), F.lit(0.0)
+    )
+    n_lists = sum(
+        (F.col(c).isNotNull().cast("int") for c in score_cols), F.lit(0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_col).asc()
+    )
+    return (
+        fused.select(
+            query_col,
+            doc_col,
+            score.alias("rrf_score"),
+            n_lists.alias("n_lists"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

@@ -8252,6 +8252,102 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "hybrid_search_rrf",
+    f"""
+    WITH tok AS ({_DUCK_TOK}),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:5], ' ') AS qt
+      FROM documents WHERE doc_id < 3
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, t.tok AS token
+      FROM q, unnest(regexp_extract_all(lower(qt), '[a-z0-9]+')) AS t(tok)
+    ),
+    vocab AS (SELECT DISTINCT token FROM qtok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok JOIN vocab USING (token) GROUP BY 1, 2
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT qtok.query_id, tf.doc_id,
+             CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                  AS DECIMAL(28,12)) AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats JOIN qtok USING (token)
+    ),
+    bm AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id) AS INT) AS rank
+      FROM per GROUP BY query_id, doc_id
+      QUALIFY rank <= 10
+    ),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+    dp AS (
+      SELECT eq.query_id, c.vec_id AS doc_id, {_DUCK_COSINE.replace("q.qv", "eq.qv")} AS score
+      FROM embeddings c, eq WHERE c.vec_id != eq.query_id
+    ),
+    dn AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM dp QUALIFY rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             coalesce(CAST(1 AS DOUBLE) / (60 + bm.rank),
+                      CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE) / (60 + dn.rank),
+                        CAST(0 AS DOUBLE)) AS rrf_score,
+             (bm.rank IS NOT NULL)::INT + (dn.rank IS NOT NULL)::INT
+               AS n_lists
+      FROM bm FULL OUTER JOIN dn USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_score, n_lists, rank::INT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM fused)
+    WHERE rank <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 ⊕ dense-cosine top-10 fused by
+    reciprocal rank (operators.ranking.rrf_fuse) for the three fixture
+    queries (doc_ids < 3; ``embeddings.vec_id`` is the fixture's doc id,
+    so each query has both a text and a vector form) — the standard
+    modern search stack in one plan. Fusion joins are (queries×k)-sized;
+    rank reciprocals are exact double constants."""
+    from ..operators.dedup import words
+    from ..operators.ranking import bm25_search_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    bm = bm25_search_topk(docs, queries_df, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([bm, dense], k_const=60, top_k=10)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -117,6 +117,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "dedup_sorted_neighborhood",
     "graph_hits_bipartite",
     "item_item_similarity",
+    "hybrid_search_rrf",
 ])
 
 

@@ -199,3 +199,42 @@ def test_collocations_pmi_validates(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         collocations_pmi(df, min_count=0)
+
+
+# --------------------------------------------------------------------------
+# rrf_fuse
+# --------------------------------------------------------------------------
+def test_rrf_fuse_hand_computed(spark):
+    from riot_graphs_spark.operators.ranking import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = {
+        r.doc_id: (round(r.rrf_score, 12), r.n_lists, r.rank)
+        for r in rrf_fuse([bm, dense], k_const=60, top_k=10).collect()
+    }
+    # doc 11 is in both lists: 1/62 + 1/61 — must outrank both solo docs
+    assert got[11] == (round(1 / 62 + 1 / 61, 12), 2, 1)
+    assert got[10] == (round(1 / 61, 12), 1, 2)
+    assert got[13] == (round(1 / 62, 12), 1, 3)
+    assert got[12] == (round(1 / 63, 12), 1, 4)
+
+
+def test_rrf_fuse_validates(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank int"
+    )
+    with _pytest.raises(ValueError):
+        rrf_fuse([df])
+    with _pytest.raises(ValueError):
+        rrf_fuse([df, df], k_const=0)
