@@ -209,6 +209,7 @@ HEADLINE = [
     "graph_hits_bipartite",
     "item_item_similarity",
     "hybrid_search_rrf",
+    "graph_label_propagation",
 ]
 
 

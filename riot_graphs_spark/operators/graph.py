@@ -275,3 +275,84 @@ def hits(
             "node", F.lit("auth").alias("kind"), F.col("a").alias("score")
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected edge list:
+    seed nodes keep their label (clamped); every other node adopts the
+    MODE of its neighbors' current labels each iteration (deterministic
+    tie-break: smallest label) — weak-supervision spreading over a
+    similarity/near-dup graph (label the cluster from its few labeled
+    members), the transductive half of a dedup-graph workflow.
+
+    Per iteration: one edge⋈state join (messages), one (node, label)
+    count groupBy, one per-node arg-max window, one state update join —
+    all keyed on node id, partial-aggregable counts, state is one row
+    per node. Integer counts + fixed tie-break make the fixed-iteration
+    run engine-exact, so the SQL twin is the unrolled CTE chain (same
+    contract as :func:`pagerank` / :func:`hits`).
+
+    ``seeds``: ``(id_col, label_col)``, labels non-null.  Output:
+    ``(node, label, is_seed)`` — ``label`` NULL only where no label has
+    reached the node.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint(eager=False)
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    state = (
+        nodes.join(
+            seeds.select(
+                F.col(id_col).alias("node"),
+                F.col(label_col).alias("label"),
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", "label", F.col("label").isNotNull().alias("is_seed")
+        )
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        msgs = (
+            und.join(state, und["s"] == state["node"])
+            .where(F.col("label").isNotNull())
+            .select(F.col("d").alias("node"), "label")
+        )
+        counted = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        mode = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        state = (
+            state.join(mode, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce("_new", "label"))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state

@@ -8348,6 +8348,69 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, dense], k_const=60, top_k=10)
 
 
+def _label_prop_oracle(iters: int = 2) -> str:
+    """Unrolled label-propagation oracle over the sign-bucket near-dup
+    graph: per iteration one labeled-message CTE, one per-node mode CTE
+    (count desc, label asc tie-break), one clamped state update."""
+    sql = f"""
+    WITH {_DUCK_NEARDUP_PAIRS},
+    und AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+            UNION ALL SELECT vec_b AS s, vec_a AS d FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    seeds AS (SELECT vec_id AS node, label FROM embeddings
+              WHERE vec_id % 3 = 0),
+    s0 AS (SELECT nodes.node, seeds.label,
+                  seeds.label IS NOT NULL AS is_seed
+           FROM nodes LEFT JOIN seeds USING (node))"""
+    for i in range(iters):
+        sql += f""",
+    m{i + 1} AS (
+      SELECT und.d AS node, s{i}.label, count(*) AS c
+      FROM und JOIN s{i} ON s{i}.node = und.s
+      WHERE s{i}.label IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    md{i + 1} AS (
+      SELECT node, label AS new FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM m{i + 1})
+      WHERE rn = 1
+    ),
+    s{i + 1} AS (
+      SELECT s{i}.node,
+             CASE WHEN s{i}.is_seed THEN s{i}.label
+                  ELSE coalesce(md{i + 1}.new, s{i}.label) END AS label,
+             s{i}.is_seed
+      FROM s{i} LEFT JOIN md{i + 1} USING (node)
+    )"""
+    sql += f"""
+    SELECT node, label, is_seed FROM s{iters}"""
+    return sql
+
+
+@_q("graph_label_propagation", _label_prop_oracle(2))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (2 clamped iterations) over the
+    sign-bucket embedding near-dup graph, seeded with every third
+    vector's label (operators.graph.label_propagation): weak supervision
+    spreading across similarity clusters. Oracle = unrolled CTE chain
+    (integer counts + smallest-label tie-break ⇒ engine-exact)."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(
+        emb, threshold=0.35, bucket_dims=4
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    seeds = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    return label_propagation(
+        edges, seeds, iterations=2, id_col="node", label_col="label"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

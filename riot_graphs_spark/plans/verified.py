@@ -118,6 +118,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "graph_hits_bipartite",
     "item_item_similarity",
     "hybrid_search_rrf",
+    "graph_label_propagation",
 ])
 
 

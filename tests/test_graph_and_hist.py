@@ -842,3 +842,37 @@ def test_item_item_similarity_hand_computed(spark, tmp_path):
     for k in got:
         assert got[k][0] == 2 and abs(got[k][1] - 2 / 3) < 1e-12
         assert got[k][2] == 1
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from riot_graphs_spark.operators.graph import label_propagation
+
+    # chain 1-2-3 seeded at 1 (label 7); node 4 isolated pair with no seed;
+    # node 5 is a seed whose neighbors all say 7 — must stay clamped at 9.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 40), (2, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, 7), (5, 9)], "node long, label int")
+    got = {
+        r.node: (r.label, r.is_seed)
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    assert got[1] == (7, True)
+    assert got[5] == (9, True)  # clamped despite neighbor 2 becoming 7
+    # iteration 1: node 2 hears {7 from 1, 9 from 5} -> tie -> smallest = 7
+    assert got[2] == (7, False)
+    assert got[3] == (7, False)  # reached in iteration 2
+    assert got[4] == (None, False) and got[40] == (None, False)
+
+
+def test_label_propagation_tie_breaks_smallest(spark):
+    from riot_graphs_spark.operators.graph import label_propagation
+
+    # node 10 has two neighbors with equal-count different labels
+    edges = spark.createDataFrame([(1, 10), (2, 10)], "src long, dst long")
+    seeds = spark.createDataFrame([(1, 5), (2, 3)], "node long, label int")
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, iterations=1).collect()
+    }
+    assert got[10] == 3  # smallest label wins the tie
