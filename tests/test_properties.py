@@ -582,3 +582,98 @@ def test_winsorize_bounds_and_row_preservation(spark, values):
         assert lo - 1e-6 <= r.winsorized <= hi + 1e-6
         if not r.clipped:
             assert r.winsorized == r.value
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters: two-phase result equals exact GROUP BY HAVING, any capacity
+# --------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=120
+    ),
+    cap=st.integers(min_value=2, max_value=12),
+)
+def test_heavy_hitters_exact_for_any_capacity(spark, keys, cap):
+    from riot_graphs_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"k{k}",) for k in keys], "k string"
+    ).repartition(5)
+    n = len(keys)
+    share = 0.12
+    got = {
+        r.k: r.cnt
+        for r in heavy_hitters(df, "k", min_share=share, capacity=cap).collect()
+    }
+    exact = {
+        r.k: r.cnt
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > n * share)
+        .collect()
+    }
+    assert got == exact
+
+
+# --------------------------------------------------------------------------
+# global_index: permutation of 0..n-1, invariant to bucket count
+# --------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    buckets=st.integers(min_value=1, max_value=32),
+)
+def test_global_index_is_contiguous_permutation(spark, ids, buckets):
+    from riot_graphs_spark.operators.curation import global_index
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.global_pos
+        for r in global_index(df, buckets=buckets).collect()
+    }
+    assert sorted(got.values()) == list(range(len(ids)))
+    # invariant to bucketing: same order as buckets=1
+    ref = {
+        r.doc_id: r.global_pos
+        for r in global_index(df, buckets=1).collect()
+    }
+    assert got == ref
+
+
+# --------------------------------------------------------------------------
+# sorted_neighborhood: every pair within w of the true global order, no more
+# --------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=4),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_sorted_neighborhood_pairs_property(spark, texts):
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood_pairs(df, "text", w=3, partitions=4).collect()
+    }
+    ordered = [
+        r.doc_id for r in df.orderBy(F.col("text"), F.col("doc_id")).collect()
+    ]
+    expect = {
+        (a, ordered[i + g])
+        for i, a in enumerate(ordered)
+        for g in (1, 2)
+        if i + g < len(ordered)
+    }
+    assert got == expect
