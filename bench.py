@@ -210,6 +210,7 @@ HEADLINE = [
     "item_item_similarity",
     "hybrid_search_rrf",
     "graph_label_propagation",
+    "graph_k_core",
 ]
 
 

@@ -356,3 +356,51 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: each
+    round drops every node whose degree IN THE SURVIVING SUBGRAPH is
+    < ``k`` — the dense-cohesion filter (a node in the k-core has ≥ k
+    neighbors that themselves survive; boilerplate stars and stragglers
+    peel away).  ``rounds`` bounds the iteration EXACTLY — both engines
+    run the same fixed count whether or not the peel has converged, so
+    the operator stays oracle-pairable by CTE unrolling even though full
+    k-core convergence is data-dependent (run more rounds for deeper
+    peels; each is one semi-join + one degree count, node-keyed).
+
+    Output: ``(node, degree bigint)`` — surviving nodes with their
+    degree in the surviving subgraph after ``rounds`` peels.
+    """
+    if k < 1 or rounds < 0:
+        raise ValueError("need k >= 1 and rounds >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint(eager=False)
+
+    def _degrees(live_edges: DataFrame) -> DataFrame:
+        return live_edges.groupBy("s").agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    live = und
+    deg = _degrees(live)
+    for _ in range(rounds):
+        alive = deg.where(F.col("degree") >= k).select("s")
+        live = (
+            live.join(alive, "s")
+            .join(alive.withColumnRenamed("s", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+        deg = _degrees(live)
+    return deg.where(F.col("degree") >= k).select(
+        F.col("s").alias("node"), "degree"
+    )

@@ -8411,6 +8411,57 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _k_core_oracle(k: int = 2, rounds: int = 2) -> str:
+    """Unrolled fixed-round k-core peel (both engines run the SAME round
+    count whether or not the peel converged — that is what keeps the
+    data-dependent fixpoint oracle-pairable)."""
+    sql = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pe AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    l0 AS (SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe),
+    d0 AS (SELECT s, count(*) AS degree FROM l0 GROUP BY 1)"""
+    for i in range(rounds):
+        sql += f""",
+    a{i} AS (SELECT s FROM d{i} WHERE degree >= {k}),
+    l{i + 1} AS (SELECT l.s, l.d FROM l{i} l
+                 JOIN a{i} x ON x.s = l.s JOIN a{i} y ON y.s = l.d),
+    d{i + 1} AS (SELECT s, count(*) AS degree FROM l{i + 1} GROUP BY 1)"""
+    sql += f"""
+    SELECT s AS node, CAST(degree AS BIGINT) AS degree
+    FROM d{rounds} WHERE degree >= {k}"""
+    return sql
+
+
+@_q("graph_k_core", _k_core_oracle(2, 2))
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round 2-core peel of the >=2-support part co-occurrence graph
+    (operators.graph.k_core_peel): drop degree-<2 stragglers, recompute
+    degrees on the survivors, drop again — the dense-cohesion filter
+    upstream of community analyses. Fixed rounds keep the data-dependent
+    fixpoint oracle-exact."""
+    from ..operators.graph import k_core_peel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return k_core_peel(edges, k=2, rounds=2)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

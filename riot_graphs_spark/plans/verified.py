@@ -119,6 +119,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "item_item_similarity",
     "hybrid_search_rrf",
     "graph_label_propagation",
+    "graph_k_core",
 ])
 
 

@@ -876,3 +876,21 @@ def test_label_propagation_tie_breaks_smallest(spark):
         for r in label_propagation(edges, seeds, iterations=1).collect()
     }
     assert got[10] == 3  # smallest label wins the tie
+
+
+def test_k_core_peels_pendant_chain(spark):
+    from riot_graphs_spark.operators.graph import k_core_peel
+
+    # triangle {1,2,3} + pendant chain 3-4-5: one round kills 5, the next
+    # kills 4; the triangle survives as the 2-core with degree 2 each.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in k_core_peel(edges, k=2, rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # with only one round, node 4 still shows (its degree-1 neighbor 5
+    # was removed this round, but 4's recount happens after)
+    one = {r.node for r in k_core_peel(edges, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3}  # 4's degree drops to 1 after 5 peels
+    with __import__("pytest").raises(ValueError):
+        k_core_peel(edges, k=0)
