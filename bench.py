@@ -211,6 +211,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "graph_label_propagation",
     "graph_k_core",
+    "path_top_sequences",
 ]
 
 

@@ -8462,6 +8462,61 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(edges, k=2, rounds=2)
 
 
+@_q(
+    "path_top_sequences",
+    """
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             array_to_string(
+               (array_agg(event_type ORDER BY ts, event_id))[1:4], '>')
+               AS path
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM s GROUP BY 1)
+    SELECT path, n_sessions, rank::INT AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY n_sessions DESC, path) AS rank FROM c)
+    WHERE rank <= 20
+    """,
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths — the product-analytics "what do
+    users do first" query: per (user, day) session, the first four
+    event types in time order joined as a path string, counted and
+    ranked. One groupBy with an ordered in-group fold (sort_array over
+    (ts, id, type) structs — deterministic total order), one path-keyed
+    partial-agg count, one top-k window over the path vocabulary (tiny:
+    ≤ |event_types|⁴)."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda r: r["event_type"],
+            ),
+            1,
+            4,
+        ),
+        ">",
+    )
+    s = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(path.alias("path"))
+    c = s.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -120,6 +120,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "hybrid_search_rrf",
     "graph_label_propagation",
     "graph_k_core",
+    "path_top_sequences",
 ])
 
 

@@ -170,3 +170,40 @@ def test_level_shift_requires_full_windows_and_validates(spark):
     assert level_shift(df, dims=["event_type"], w=3, k=5).count() == 0
     with _pytest.raises(ValueError):
         level_shift(df, dims=["event_type"], w=0)
+
+
+def test_path_top_sequences_orders_and_truncates(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1, 10)
+    rows = []
+    # user 1, one day: 5 events -> path truncated to first 4
+    for i, et in enumerate(["signup", "view", "view", "purchase", "view"]):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    # user 2, same shape twice on two days -> that path counts 2 total
+    for d in (1, 2):
+        for i, et in enumerate(["view", "purchase"]):
+            rows.append(
+                (100 * d + i, base + dt.timedelta(days=d, minutes=i), 2, et, 1.0, "{}")
+            )
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {
+        r.path: (r.n_sessions, r.rank)
+        for r in QUERIES["path_top_sequences"](spark, str(tmp_path)).collect()
+    }
+    assert got["view>purchase"] == (2, 1)
+    assert got["signup>view>view>purchase"] == (1, 2)  # 5th event truncated
+    assert len(got) == 2
