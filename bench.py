@@ -212,6 +212,7 @@ HEADLINE = [
     "graph_label_propagation",
     "graph_k_core",
     "path_top_sequences",
+    "retention_km_curve",
 ]
 
 

@@ -159,3 +159,86 @@ def event_transitions(
         "n",
         (F.col("n") / F.sum("n").over(w_src)).alias("share_of_source"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored durations — the
+    classic user-retention estimator: how long do users stay active,
+    counting still-active users as censored (not churned) instead of
+    silently biasing the curve down the way a naive lifetime histogram
+    does.  Input: one row per subject with ``duration_col`` (integer
+    time units) and ``event_col`` (1 = observed churn, 0 = censored).
+
+    ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` computed as
+    ``exp(Σ ln(1 − dᵢ/nᵢ))`` with both the per-step ``ln`` and the final
+    ``exp`` quantized through ``decimal(28,12)`` — the cross-engine
+    libm-ulp guard (see collocations_pmi) — and the running sum carried
+    in exact decimal.  A step where everyone at risk churns
+    (``d = n``) pins the curve to 0.0 from there on (ln(0) guard).
+
+    Plan: one groupBy to the per-duration table (≤ distinct durations
+    rows — the time axis, bounded and tiny), then windows over THAT
+    table only; the subject table is scanned once.  Output per distinct
+    duration: ``(t, n_at_risk, n_events, n_censored, survival)``.
+    """
+    t = F.col(duration_col)
+    per_t = df.groupBy(t.alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(
+            (F.lit(1) - F.col(event_col).cast("long"))
+        ).alias("n_censored"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    total = per_t.agg(F.sum("_rows").alias("_total"))
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("_total")
+            - F.coalesce(F.sum("_rows").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "_ln",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_events") / F.col("n_at_risk")
+                ).cast("decimal(28,12)"),
+            ),
+        )
+        .withColumn(
+            "_zero",
+            F.max(
+                (F.col("n_events") == F.col("n_at_risk")).cast("int")
+            ).over(w_cum),
+        )
+        .withColumn("_cum", F.sum("_ln").over(w_cum))
+    )
+    survival = (
+        F.when(F.col("_zero") == 1, F.lit(0.0))
+        .otherwise(
+            F.exp(F.col("_cum").cast("double"))
+            .cast("decimal(28,12)")
+            .cast("double")
+        )
+    )
+    return staged.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+    )

@@ -8517,6 +8517,101 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "retention_km_curve",
+    """
+    WITH per_u AS (
+      SELECT user_id,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN date_diff('day', min(ts)::DATE,
+                         min(ts) FILTER (WHERE event_type = 'error'
+                           AND event_id % 5 = 0)::DATE)
+                  ELSE date_diff('day', min(ts)::DATE,
+                         (SELECT max(ts)::DATE FROM events)) END AS duration,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN 1 ELSE 0 END AS event
+      FROM events GROUP BY 1
+    ),
+    per_t AS (
+      SELECT duration AS t, sum(event) AS n_events,
+             sum(1 - event) AS n_censored, count(*) AS rows_
+      FROM per_u GROUP BY 1
+    ),
+    tot AS (SELECT sum(rows_) AS total FROM per_t),
+    staged AS (
+      SELECT t, n_events, n_censored,
+             total - coalesce(sum(rows_) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM per_t, tot
+    ),
+    s2 AS (
+      SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             CAST(n_events AS BIGINT) AS n_events,
+             CAST(n_censored AS BIGINT) AS n_censored,
+             CASE WHEN n_events < n_at_risk
+                  THEN CAST(ln(CAST(1 AS DOUBLE)
+                         - CAST(n_events AS DOUBLE) / n_at_risk)
+                       AS DECIMAL(28,12)) END AS lnv,
+             CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS zf
+      FROM staged
+    ),
+    s3 AS (
+      SELECT t, n_at_risk, n_events, n_censored,
+             max(zf) OVER wc AS zero, sum(lnv) OVER wc AS cum
+      FROM s2
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t, n_at_risk, n_events, n_censored,
+           CASE WHEN zero = 1 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST(exp(CAST(cum AS DOUBLE))
+                       AS DECIMAL(28,12)) AS DOUBLE) END AS survival
+    FROM s3
+    """,
+)
+def retention_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-churn curve (operators.funnel.km_survival):
+    churn = the user's first qualifying error event (a deterministic
+    20% error subsample, ``event_id % 5 = 0`` — the fixture's stand-in
+    for a churn signal); users who never hit one are right-CENSORED at
+    the observation end instead of biasing the curve (133 observed / 17
+    censored at sf0.01). ln/exp quantized through decimal(28,12) (libm
+    guard), running sum exact decimal; windows run over the
+    distinct-duration time axis only."""
+    from ..operators.funnel import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    obs_end = ev.agg(F.max(F.to_date("ts")).alias("_end"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("_end", "_first"))
+            .alias("duration"),
+            F.col("_churn").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return km_survival(per_u)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -121,6 +121,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "graph_label_propagation",
     "graph_k_core",
     "path_top_sequences",
+    "retention_km_curve",
 ])
 
 

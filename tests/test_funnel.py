@@ -207,3 +207,21 @@ def test_path_top_sequences_orders_and_truncates(spark, tmp_path):
     assert got["view>purchase"] == (2, 1)
     assert got["signup>view>view>purchase"] == (1, 2)  # 5th event truncated
     assert len(got) == 2
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    from riot_graphs_spark.operators.funnel import km_survival
+
+    # durations/events: two churn at t=1, one censored at t=2, churn at t=3
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1)], "duration int, event int"
+    )
+    got = {r.t: r for r in km_survival(df).collect()}
+    # t=1: n=4, d=2 -> S=0.5 ; t=2: n=2, d=0, c=1 -> S stays 0.5
+    assert (got[1].n_at_risk, got[1].n_events) == (4, 2)
+    assert abs(got[1].survival - 0.5) < 1e-9
+    assert (got[2].n_at_risk, got[2].n_censored) == (2, 1)
+    assert abs(got[2].survival - 0.5) < 1e-9
+    # t=3: last subject churns (d == n) -> curve pinned to exactly 0
+    assert (got[3].n_at_risk, got[3].n_events) == (1, 1)
+    assert got[3].survival == 0.0
