@@ -290,3 +290,85 @@ def test_expire_partitions_is_metadata_only_and_safe(spark, tmp_path):
     assert expire_partitions(spark, sink, 5, dt.date(2024, 1, 10)) == []
     # missing sink: no-op
     assert expire_partitions(spark, str(tmp_path / "nope"), 5, dt.date(2024, 1, 10)) == []
+
+
+# --------------------------------------------------------------------------
+# CSV landing zone: explicit schema, PERMISSIVE quarantine, streaming twin
+# --------------------------------------------------------------------------
+def test_csv_zone_batch_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from riot_graphs_spark.sources.csvzone import (
+        read_csv_zone,
+        split_corrupt,
+    )
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "event_id,event_type,value\n"
+        "1,click,1.5\n"
+        "not-a-long,oops,xyz\n"  # malformed: two bad casts
+        "2,view,2.0\n"
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = read_csv_zone(spark, str(p), schema)
+    clean, corrupt = split_corrupt(df)
+    rows = {r.event_id: (r.event_type, r.value) for r in clean.collect()}
+    assert rows == {1: ("click", 1.5), 2: ("view", 2.0)}
+    bad = [r[0] for r in corrupt.collect()]
+    assert bad == ["not-a-long,oops,xyz"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_csv_zone(spark, str(p), schema.add("_corrupt_record", StringType()))
+
+
+def test_csv_zone_streaming_reads_same_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from riot_graphs_spark.sources.csvzone import read_csv_zone
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.csv").write_text("event_id,event_type\n1,click\n2,view\n")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+    stream = read_csv_zone(spark, str(p), schema, streaming=True)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.event_id: r.event_type
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {1: "click", 2: "view"}
