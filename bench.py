@@ -213,6 +213,7 @@ HEADLINE = [
     "graph_k_core",
     "path_top_sequences",
     "retention_km_curve",
+    "funnel_time_to_convert",
 ]
 
 

@@ -8612,6 +8612,78 @@ def retention_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(per_u)
 
 
+@_q(
+    "funnel_time_to_convert",
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS su FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT su.user_id,
+             (epoch_us(min(e.ts)) - epoch_us(su.su))
+               / CAST(3600000000 AS DOUBLE) AS hours
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+           AND e.ts >= su.su
+      GROUP BY su.user_id, su.su
+    )
+    SELECT CAST((SELECT count(*) FROM su) AS BIGINT) AS n_signup,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           count(*)::DOUBLE / (SELECT count(*) FROM su) AS conv_rate,
+           round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 6) AS p90_hours
+    FROM pu
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, hours from first
+    signup to the first purchase AT OR AFTER it; one summary row with
+    the conversion rate and exact interpolated p50/p90 latency — the
+    funnel metric beside `funnel_signup_purchase`'s step counts. Two
+    user-keyed aggregates + one summary reduce; hours derived from
+    microsecond integers so the doubles are engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_su"))
+    )
+    pu = (
+        su.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("_pt")
+            ),
+            "user_id",
+        )
+        .where(F.col("_pt") >= F.col("_su"))
+        .groupBy("user_id", "_su")
+        .agg(F.min("_pt").alias("_pu"))
+        .select(
+            (
+                (F.unix_micros("_pu") - F.unix_micros("_su"))
+                / F.lit(3600000000).cast("double")
+            ).alias("hours")
+        )
+    )
+    n_signup = su.agg(F.count(F.lit(1)).alias("n_signup"))
+    return (
+        pu.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("hours", F.lit(0.5)), 6).alias("p50_hours"),
+            F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
+        )
+        .crossJoin(F.broadcast(n_signup))
+        .select(
+            "n_signup",
+            "n_converted",
+            (F.col("n_converted") / F.col("n_signup")).alias("conv_rate"),
+            "p50_hours",
+            "p90_hours",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

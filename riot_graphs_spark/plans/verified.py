@@ -122,6 +122,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "graph_k_core",
     "path_top_sequences",
     "retention_km_curve",
+    "funnel_time_to_convert",
 ])
 
 

@@ -225,3 +225,40 @@ def test_km_survival_hand_computed_with_censoring(spark):
     # t=3: last subject churns (d == n) -> curve pinned to exactly 0
     assert (got[3].n_at_risk, got[3].n_events) == (1, 1)
     assert got[3].survival == 0.0
+
+
+def test_time_to_convert_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: signup then purchase 2h later (an earlier purchase at
+        # -1h must NOT count)
+        (1, base - dt.timedelta(hours=1), 1, "purchase"),
+        (2, base, 1, "signup"),
+        (3, base + dt.timedelta(hours=2), 1, "purchase"),
+        # user 2: signup, purchase 4h later
+        (4, base, 2, "signup"),
+        (5, base + dt.timedelta(hours=4), 2, "purchase"),
+        # user 3: signup, never purchases
+        (6, base, 3, "signup"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    r = QUERIES["funnel_time_to_convert"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_signup, r.n_converted) == (3, 2)
+    assert abs(r.conv_rate - 2 / 3) < 1e-12
+    assert abs(r.p50_hours - 3.0) < 1e-9  # interpolated between 2 and 4
+    assert abs(r.p90_hours - 3.8) < 1e-9
