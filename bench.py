@@ -214,6 +214,7 @@ HEADLINE = [
     "path_top_sequences",
     "retention_km_curve",
     "funnel_time_to_convert",
+    "minhash_estimate_error",
 ]
 
 

@@ -1332,3 +1332,90 @@ def sorted_neighborhood_pairs(
     return out.select(
         "doc_a", "doc_b", (F.col("_pb") - F.col("_pa")).alias("gap")
     )
+
+
+def minhash_estimate_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator-quality report for the MinHash pipeline: for every
+    LSH candidate pair, the signature-estimated Jaccard (fraction of
+    matching components) NEXT TO the exact Jaccard of the hashed-shingle
+    sets, with the absolute error — the calibration number that tells
+    you whether ``num_hashes`` is adequate BEFORE trusting
+    signature-based thresholds (`lsh_recall_vs_exact` measures what the
+    bands catch; this measures what the signatures claim).
+
+    Exact side uses the SAME composed shingle hashes the signatures
+    minimize over — the estimator's actual target set.  All scoring
+    joins are keyed on the candidate pair's doc ids, so the cost tracks
+    the LSH candidate count, not corpus²; like every exact verify stage,
+    run it on candidate samples at corpus scale.
+
+    Output: ``(doc_a, doc_b, est_jaccard, exact_jaccard, abs_err)`` —
+    exact integer ratios, engine-identical doubles.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, band_rows, shingle_n
+    )
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"), "j", F.col("minhash").alias("_ma")
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"), "j", F.col("minhash").alias("_mb")
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum((F.col("_ma") == F.col("_mb")).cast("int")).cast(
+                    "double"
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard")
+        )
+    )
+    word_hashes = F.transform(words(text_col), lambda t: hash32(t))
+    hs = docs.select(
+        F.col(id_col),
+        F.explode(
+            composed_shingle_hashes(word_hashes, shingle_n)
+        ).alias("_h2"),
+    )
+    sizes = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        pairs.join(
+            hs.select(F.col(id_col).alias("doc_a"), "_h2"), "doc_a"
+        )
+        .join(
+            hs.select(F.col(id_col).alias("doc_b"), "_h2"),
+            ["doc_b", "_h2"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    exact = (
+        F.coalesce("_inter", F.lit(0)).cast("double")
+        / (F.col("_na") + F.col("_nb") - F.coalesce("_inter", F.lit(0)))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )

@@ -8684,6 +8684,60 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "minhash_estimate_error",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.h2 = a.h2
+      GROUP BY 1, 2
+    )
+    SELECT est.doc_a, est.doc_b, est.est_jaccard,
+           coalesce(inter.inter, 0)::DOUBLE
+             / (na.n + nb.n - coalesce(inter.inter, 0)) AS exact_jaccard,
+           abs(est.est_jaccard - coalesce(inter.inter, 0)::DOUBLE
+             / (na.n + nb.n - coalesce(inter.inter, 0))) AS abs_err
+    FROM est
+    LEFT JOIN inter ON inter.doc_a = est.doc_a AND inter.doc_b = est.doc_b
+    JOIN sizes na ON na.doc_id = est.doc_a
+    JOIN sizes nb ON nb.doc_id = est.doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over LSH candidate pairs
+    (operators.dedup.minhash_estimate_calibration): signature-estimated
+    Jaccard vs exact Jaccard of the same hashed-shingle sets, per pair —
+    the `num_hashes`-adequacy check beside `lsh_recall_vs_exact`'s
+    banding-recall check."""
+    from ..operators.dedup import minhash_estimate_calibration
+
+    return minhash_estimate_calibration(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

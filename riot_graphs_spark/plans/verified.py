@@ -123,6 +123,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "path_top_sequences",
     "retention_km_curve",
     "funnel_time_to_convert",
+    "minhash_estimate_error",
 ])
 
 

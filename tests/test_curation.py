@@ -1004,3 +1004,29 @@ def test_sorted_neighborhood_validates_window(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "text", w=1)
+
+
+def test_minhash_calibration_identical_docs_err_zero(spark):
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.dedup import minhash_estimate_calibration
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=text),
+            Row(doc_id=2, text=text),  # exact dup: est = exact = 1
+            Row(doc_id=3, text=text + " extra tail words here"),
+        ]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in minhash_estimate_calibration(docs).collect()
+    }
+    dup = got[(1, 2)]
+    assert dup.est_jaccard == 1.0 and dup.exact_jaccard == 1.0
+    assert dup.abs_err == 0.0
+    for r in got.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-12
