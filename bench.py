@@ -215,6 +215,7 @@ HEADLINE = [
     "retention_km_curve",
     "funnel_time_to_convert",
     "minhash_estimate_error",
+    "url_exact_dedup_groups",
 ]
 
 

@@ -8738,6 +8738,62 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_calibration(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "url_exact_dedup_groups",
+    f"""
+    WITH raw AS ({_DUCK_URL_RAW}),
+    n1 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '#.*$', ''), '^http://', 'https://'),
+               '^https://www\\.', 'https://') AS u
+      FROM raw
+    ),
+    n2 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(u,
+               '^(https://[^/:]+):443/', '\\1/'),
+               '^(https://[^/:]+):443$', '\\1') AS u
+      FROM n1
+    ),
+    n3 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+               '[?&](utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+               '^([^?&]*)&', '\\1?'), '[?&]+$', ''), '/+$', '') AS u
+      FROM n2
+    ),
+    groups AS (
+      SELECT u, min(doc_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM n3 GROUP BY 1
+    )
+    SELECT n3.doc_id, n3.u AS url_norm, g.canonical_id, g.group_size
+    FROM n3 JOIN groups g USING (u)
+    WHERE g.group_size >= 2
+    """,
+)
+def url_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup groups — `dedup_exact_groups`' discipline
+    keyed on the CANONICAL URL instead of text (functions.scalars.
+    normalize_url over the derived URL fixture): members of every
+    normalized-URL collision group with the min-id canonical, restricted
+    to real duplicate groups. One partial-agg groupBy on the normalized
+    key; the normalization itself is the row-local regex chain."""
+    from ..functions.scalars import normalize_url
+
+    keyed = _url_fixture(_t(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_url(F.col("url")).alias("url_norm")
+    )
+    groups = keyed.groupBy("url_norm").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "url_norm")
+        .where(F.col("group_size") >= 2)
+        .select("doc_id", "url_norm", "canonical_id", "group_size")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

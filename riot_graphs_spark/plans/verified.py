@@ -124,6 +124,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "retention_km_curve",
     "funnel_time_to_convert",
     "minhash_estimate_error",
+    "url_exact_dedup_groups",
 ])
 
 

@@ -1030,3 +1030,29 @@ def test_minhash_calibration_identical_docs_err_zero(spark):
         assert 0.0 <= r.est_jaccard <= 1.0
         assert 0.0 <= r.exact_jaccard <= 1.0
         assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-12
+
+
+def test_url_exact_dedup_groups_collapse(spark, tmp_path):
+    # Build a tiny documents table whose derived URLs collide after
+    # normalization for even ids sharing (source, residues).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.plans.driver_queries import QUERIES
+
+    # 0 and 3432 share every URL-shaping residue (%2,%3,%13,%4,%6,%8,%11)
+    # -> identical normalized URL; 1 and 5 are odd singletons.
+    ids = [0, 3432, 1, 5]
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["srcA"] * len(ids)),
+        "n_chars": pa.array([1] * len(ids), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.canonical_id, r.group_size)
+        for r in QUERIES["url_exact_dedup_groups"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (0, 2), 3432: (0, 2)}
