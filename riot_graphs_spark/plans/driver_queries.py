@@ -2133,15 +2133,33 @@ def j5_range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 # legitimately disagree. The exact twins (profile_orders, g4_percentiles,
 # g7_distinct_tags) carry the hash-checked semantics; this entry is the
 # 100 TB scale path where exact distinct/quantiles stop being affordable.
+# Output shape: the quantile array is posexploded to one scalar row per
+# (l_returnflag, quantile) so every column is a sortable scalar — the
+# driver canonicalizer (pandas sort_values) cannot hash array cells.
 @_q("sketch_stats")
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("nd_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
         F.percentile_approx(
             "l_extendedprice", [0.5, 0.95, 0.99], 10000
         ).alias("price_quantiles"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "nd_orders",
+        "nd_parts",
+        F.posexplode("price_quantiles").alias("quantile_pos", "price_value"),
+    ).select(
+        "l_returnflag",
+        F.element_at(
+            F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.col("quantile_pos") + 1,
+        ).alias("quantile"),
+        "nd_orders",
+        "nd_parts",
+        "price_value",
     )
 
 

@@ -88,44 +88,43 @@ _ROUND_3 = [
     "dedup_incremental_novel",
 ]
 
-DRIVER_VERIFIED: frozenset[str] = frozenset(_ROUND_1 + _ROUND_2 + _ROUND_3)
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r04.json.
+#: ``flagship_daily_delta`` re-appears because the driver always smoke-runs
+#: the flagship; it was already in ``_ROUND_1`` (frozenset union dedupes).
+#: The round's one red row (``sketch_stats``, canonicalizer crash on its
+#: array<double> column) is deliberately absent — it is re-registered with
+#: posexploded scalar rows and re-enters the r05 window.
+_ROUND_4 = [
+    "corpus_chunks_packed", "dq_referential_integrity", "ts_math_transforms",
+    "dataset_card", "influxql_hourly_mean", "influxql_daily_derivative",
+    "influxql_cumulative_sum", "influxql_difference", "influxql_stddev_daily",
+    "influxql_tz_day", "influxql_count_distinct", "influxql_mode",
+    "influxql_field_math", "influxql_subquery", "influxql_fill_linear",
+    "influxql_top_points", "influxql_elapsed", "bpe_pair_counts",
+    "dedup_graph_degrees", "repeated_span_ranges", "emb_assign_fixed_cells",
+    "lsh_recall_vs_exact", "ann_quantized_rescore", "j6_interval_overlap",
+    "skew_profile_custkey", "emb_outliers_fixed", "emb_random_projection",
+    "chunk_sentences", "pq_assign_fixed", "ann_pq_topk", "ts_weekly_profile",
+    "dedup_report_by_source", "ts_seasonal_anomalies", "event_transitions",
+    "customer_rfm", "basket_part_pairs", "bm25_search_topk",
+    "semdedup_keep_best", "pareto_parts", "lang_id_confusion",
+    "supplier_scorecard", "decontaminated_corpus", "flagship_daily_delta",
+]
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4
+)
 
 #: Queries REGISTERED AFTER a round's ~50-slot window was already exactly
-#: filled by the older pending tail (r04: 3 re-fixed rows + 46 pending = 49
-#: slots + 1 spare). Ordered LAST — behind even the verified names — so the
-#: in-flight round's window still covers every older pending query; they
-#: rise to the window head automatically next round, when this set is
-#: emptied alongside appending the new ``_ROUND_N`` list.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
-    "dq_winsorize_events",
-    "mixture_temperature",
-    "emb_l2_normalize",
-    "mm_phash_pairs",
-    "dedup_containment_pairs",
-    "ccnet_perplexity_buckets",
-    "mm_audio_neardup",
-    "text_bigram_lm",
-    "freq_heavy_hitters",
-    "corpus_global_index",
-    "url_dedup_domains",
-    "ngram_leakage_report",
-    "emb_matryoshka_recall",
-    "graph_pagerank_parts",
-    "ts_level_shift",
-    "text_collocations_pmi",
-    "graph_triangle_profile",
-    "dedup_sorted_neighborhood",
-    "graph_hits_bipartite",
-    "item_item_similarity",
-    "hybrid_search_rrf",
-    "graph_label_propagation",
-    "graph_k_core",
-    "path_top_sequences",
-    "retention_km_curve",
-    "funnel_time_to_convert",
-    "minhash_estimate_error",
-    "url_exact_dedup_groups",
-])
+#: filled by the older pending tail. Ordered LAST — behind even the verified
+#: names — so the in-flight round's window still covers every older pending
+#: query; they rise to the window head automatically next round, when this
+#: set is emptied alongside appending the new ``_ROUND_N`` list.
+#:
+#: Emptied for r05: the 28 names deferred during r04 (26 oracle-paired +
+#: url_exact_dedup_groups + mm_phash_pairs/mm_audio_neardup rows-only) now
+#: head the window per the unverified-first rule.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def rotation_order(
