@@ -1291,9 +1291,20 @@ def sorted_neighborhood_pairs(
             i += len(pdf)
             yield out
 
+    # The _id passthrough type must mirror the caller's id column —
+    # hardcoding long would fail (or corrupt) string/UUID record keys.
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    pos_schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType, True),
+            StructField("_pid", IntegerType(), True),
+            StructField("_lpos", LongType(), True),
+        ]
+    )
     local = keyed.withColumn(
         "_pid", F.spark_partition_id()
-    ).mapInPandas(_local_pos, schema="_id long, _pid int, _lpos long")
+    ).mapInPandas(_local_pos, schema=pos_schema)
     sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     from pyspark.sql import Window
 

@@ -43,8 +43,12 @@ def pagerank(
 
     ``undirected=True`` mirrors each edge; nodes are the edge endpoints
     (isolated vertices don't participate — at corpus scale the node table
-    IS the edge-endpoint set).  Dangling-mass redistribution is omitted:
-    with mirrored edges every node has out-degree ≥ 1.  Per-round
+    IS the edge-endpoint set; for the directed case that means the union
+    of src AND dst endpoints, so pure-sink nodes are kept).  Dangling-mass
+    redistribution is omitted: with mirrored edges every node has
+    out-degree ≥ 1; in the directed case mass reaching a sink node leaves
+    the system each iteration (scores then sum to < 1 — the classic
+    non-redistributing formulation).  Per-round
     ``localCheckpoint`` (lazy) caps lineage growth exactly like the
     connected-components contraction loop; disable for short runs feeding
     a larger plan.  ``broadcast_scores=True`` ships the per-node score
@@ -78,7 +82,19 @@ def pagerank(
     e = e.localCheckpoint(eager=False)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("_od"))
     ew = e.join(deg, "s")
-    nodes = e.select(F.col("s").alias("node")).distinct()
+    if undirected:
+        # Mirrored edges: every endpoint appears as a src.
+        nodes = e.select(F.col("s").alias("node")).distinct()
+    else:
+        # Directed: pure-sink nodes appear only as dst — the node set is
+        # the union of both endpoints or sinks vanish from the output and
+        # deflate n. (Mass flowing into a dangling node still leaves the
+        # system each iteration; see the docstring.)
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .distinct()
+        )
     if iterations > 0 and not undirected:
         nodes = nodes.localCheckpoint(eager=False)
 

@@ -357,8 +357,13 @@ def winsorize(
     bounds = df.groupBy(group_col).agg(
         F.round(pct(v, F.lit(lo)), 6).alias("_p_lo"),
         F.round(pct(v, F.lit(hi)), 6).alias("_p_hi"),
+    ).withColumnRenamed(group_col, "_g")
+    # eqNullSafe: groupBy emits a NULL-group bounds row, and rows whose
+    # group is NULL must match it — a plain equi-join drops them (NULL=NULL
+    # is never true), silently breaking "row count is preserved".
+    out = df.join(
+        F.broadcast(bounds), F.col(group_col).eqNullSafe(F.col("_g"))
     )
-    out = df.join(F.broadcast(bounds), group_col)
     return out.select(
         *df.columns,
         F.least(F.greatest(v, F.col("_p_lo")), F.col("_p_hi")).alias(

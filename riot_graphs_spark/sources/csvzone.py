@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -42,7 +42,13 @@ def read_csv_zone(
     """
     if CORRUPT_COL in schema.names:
         raise ValueError(f"schema must not pre-declare {CORRUPT_COL}")
-    full = schema.add(CORRUPT_COL, StringType(), True)
+    # Copy, don't schema.add(): StructType.add mutates in place, which
+    # would permanently append the corrupt column to the CALLER's schema
+    # object (a second call with the same schema — batch then streaming
+    # over one zone — would then hit the pre-declare guard above).
+    full = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
     reader = spark.readStream if streaming else spark.read
     return (
         reader.schema(full)

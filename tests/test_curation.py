@@ -642,6 +642,23 @@ def test_winsorize_clamps_and_preserves_rows(spark):
     assert got[100].clipped and got[100].winsorized > -50.0
 
 
+def test_winsorize_null_group_rows_kept(spark):
+    """Rows whose group_col is NULL form their own percentile group and
+    must survive (null-safe bounds join) — 'row count is preserved'."""
+    from riot_graphs_spark.operators.profile import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(5)] + [
+        (10, None, 0.0), (11, None, 5.0), (12, None, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, event_type string, value double")
+    got = {r.id: r for r in winsorize(df, lo=0.10, hi=0.90).collect()}
+    assert len(got) == len(rows)
+    # NULL group: p10 = 1.0 (interp 0..5), p90 = 81.0 (interp 5..100)
+    assert got[12].clipped and abs(got[12].winsorized - 81.0) < 1e-9
+    assert got[10].clipped and abs(got[10].winsorized - 1.0) < 1e-9
+    assert not got[11].clipped and got[11].winsorized == 5.0
+
+
 def test_winsorize_rejects_bad_bounds(spark):
     from riot_graphs_spark.operators.profile import winsorize
 
@@ -993,6 +1010,21 @@ def test_sorted_neighborhood_equals_global_sort_pairs(spark):
         for g in (1, 2, 3):
             if i + g < len(ordered):
                 expect[(a, ordered[i + g])] = g
+    assert got == expect
+
+
+def test_sorted_neighborhood_string_ids(spark):
+    """Non-integral record keys (UUID-ish strings) must pass through the
+    rank stage intact — the mapInPandas schema derives from id_col."""
+    from riot_graphs_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(f"id-{i:04d}", f"k{i:03d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood_pairs(df, "text", w=2).collect()
+    }
+    expect = {(f"id-{i:04d}", f"id-{i + 1:04d}") for i in range(9)}
     assert got == expect
 
 

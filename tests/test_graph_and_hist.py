@@ -731,6 +731,30 @@ def test_pagerank_star_hand_computed(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_directed_keeps_sink_nodes(spark):
+    """Directed graphs: a pure-sink node (appears only as dst) must be in
+    the output AND in the node count n — b→sink mass lands on the sink, it
+    does not vanish from the vertex set."""
+    from riot_graphs_spark.operators.graph import pagerank
+
+    # a -> b -> c ; c is a pure sink
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank(edges, iterations=1, undirected=False).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # sink c present
+    # n=3, p0=1/3; teleport=0.15/3=0.05
+    # p1(a) = 0.05 (no in-edges)
+    # p1(b) = 0.05 + 0.85*(1/3)  (all of a's mass, od(a)=1)
+    # p1(c) = 0.05 + 0.85*(1/3)  (all of b's mass)
+    assert abs(got["a"] - 0.05) < 1e-9
+    assert abs(got["b"] - (0.05 + 0.85 / 3)) < 1e-9
+    assert abs(got["c"] - (0.05 + 0.85 / 3)) < 1e-9
+
+
 def test_pagerank_zero_iterations_uniform_and_validates(spark):
     import pytest as _pytest
 

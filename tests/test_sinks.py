@@ -330,6 +330,14 @@ def test_csv_zone_batch_quarantines_corrupt_rows(spark, tmp_path):
     assert rows == {1: ("click", 1.5), 2: ("view", 2.0)}
     bad = [r[0] for r in corrupt.collect()]
     assert bad == ["not-a-long,oops,xyz"]
+
+    # The caller's schema object must come back untouched (StructType.add
+    # mutates in place — the reader builds a copy), so the SAME schema
+    # serves a second read: batch backfill then the streaming tail.
+    assert schema.names == ["event_id", "event_type", "value"]
+    df2 = read_csv_zone(spark, str(p), schema)
+    assert df2.columns == ["event_id", "event_type", "value", "_corrupt_record"]
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
