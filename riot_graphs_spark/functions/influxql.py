@@ -24,7 +24,7 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
           | cumulative_sum(func(<field>)) [AS <alias>]
           | difference(func(<field>)) [AS <alias>]
           | non_negative_difference(func(<field>)) [AS <alias>]
-          | holt_winters(func(<field>), <N>, 0) [AS <alias>]
+          | holt_winters(func(<field>), <N>, <S>) [AS <alias>]
           | elapsed(<field>[, <dur>]) [AS <alias>]
           | top(<field>, <N>) | bottom(<field>, <N>) [AS <alias>]
           | distinct(<field>) | mode(<field>) [AS <alias>]
@@ -110,6 +110,7 @@ class _Item:
     inner: "_Item | None" = None  # wrapped aggregate of a window transform
     unit_s: int | None = None  # derivative/integral unit (seconds)
     unit_ns: int | None = None  # elapsed unit (nanoseconds)
+    arg2: float | None = None  # holt_winters seasonal pattern length S
     post: tuple[str, float] | None = None  # mean(v) * 8 — trailing scalar op
 
     @property
@@ -246,11 +247,19 @@ def _parse_item(raw: str) -> _Item:
                 item.arg = float(args[1])
                 if item.arg < 1 or item.arg != int(item.arg):
                     raise InfluxQLError("holt_winters N must be a positive int")
-                if args[2].strip() != "0":
+                try:
+                    s = float(args[2].strip())
+                except ValueError:
                     raise InfluxQLError(
-                        "seasonal holt_winters (S != 0) is not supported; "
-                        "use S = 0 (Holt's level+trend form)"
+                        "holt_winters S must be a non-negative int "
+                        "(seasonal pattern length; 0 = non-seasonal)"
+                    ) from None
+                if s < 0 or s != int(s):
+                    raise InfluxQLError(
+                        "holt_winters S must be a non-negative int "
+                        "(seasonal pattern length; 0 = non-seasonal)"
                     )
+                item.arg2 = s
             elif len(args) == 2:
                 item.unit_s = _parse_duration(args[1])
             elif len(args) != 1:
@@ -907,7 +916,7 @@ def influxql(
         )
         fc = holt_forecast(
             series, dims=list(q.group_tags), ts="time", value=i.out,
-            horizon=int(i.arg),
+            horizon=int(i.arg), season_length=int(i.arg2 or 0),
         )
         out = fc.select(
             F.col("forecast_ts").alias("time"),

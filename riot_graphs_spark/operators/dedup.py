@@ -1430,3 +1430,77 @@ def minhash_estimate_calibration(
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """ExactSubstr-style unit-level dedup report (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the pipeline pairs this
+    with MinHash): split every document into content units, md5 each unit,
+    and rate each document by how many of its units also appear in OTHER
+    documents. Winnowing (:func:`repeated_span_ranges`) finds overlapping
+    repeated spans; this is the cheap non-overlapping form — one explode +
+    two keyed aggregations, no sliding windows.
+
+    ``sep`` given → units are the non-empty ``sep``-split paragraphs
+    (classic ``\\n\\n`` paragraph dedup). ``sep=None`` → units are
+    consecutive non-overlapping ``block_tokens``-token blocks (full blocks
+    only), the fallback for single-line corpora.
+
+    Unit construction is entirely row-local Catalyst array code (slice /
+    transform over the token array — no shuffle, no UDF); the only
+    shuffles are the unit-hash groupBy (``count(distinct doc)`` per hash)
+    and the per-doc rollup, both partial-aggregable and salt-able. A unit
+    duplicated only WITHIN one document does not count as a duplicate.
+
+    Output: ``(id_col, n_units bigint, n_dup_units bigint,
+    dup_rate double)`` for every document with ≥ 1 unit.
+    """
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    if sep is not None:
+        units = F.filter(
+            F.transform(
+                F.split(F.col(text_col), sep), lambda p: F.trim(p)
+            ),
+            lambda p: p != "",
+        )
+    else:
+        w = words(text_col)
+        n_blocks = F.floor(F.size(w) / block_tokens).cast("int")
+        units = F.when(
+            n_blocks >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda b: F.array_join(
+                    F.slice(w, b * block_tokens + 1, block_tokens), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    hashed = (
+        docs.select(F.col(id_col), F.explode(units).alias("_u"))
+        .select(id_col, F.md5("_u").alias("_uh"))
+    )
+    cross = hashed.groupBy("_uh").agg(
+        F.count_distinct(id_col).alias("_nd")
+    )
+    return (
+        hashed.join(cross, "_uh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum((F.col("_nd") > 1).cast("long")).alias("n_dup_units"),
+        )
+        .select(
+            id_col,
+            "n_units",
+            "n_dup_units",
+            (F.col("n_dup_units") / F.col("n_units")).alias("dup_rate"),
+        )
+    )

@@ -444,3 +444,82 @@ def heavy_hitters(
             (F.col("cnt") / F.col("_n")).alias("share"),
         )
     )
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    min_share: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT frequent items — :func:`heavy_hitters` with the
+    Misra-Gries guarantee applied WITHIN each group (a time window, a
+    source, a shard): every key whose count strictly exceeds ``min_share``
+    of its group's rows. This is the windowed/trending form — the batch
+    twin of ``streaming.stateful.stream_heavy_hitters`` (which keeps the
+    same per-bucket MG summaries as state).
+
+    Phase 1 keeps one capped MG summary PER GROUP seen in the partition
+    (memory O(groups-in-partition × capacity) — groups are time windows or
+    sources, i.e. few). Pigeonhole per group still holds: a key with
+    group-global count > N_g·min_share exceeds the per-partition MG bound
+    for that group somewhere, so candidates ⊇ true hitters; phase 2's
+    exact per-group recount + strict filter makes the result EXACTLY
+    ``GROUP BY group, key HAVING cnt > N_g*min_share``. NULL keys and NULL
+    groups are excluded.
+
+    Output: ``(group_col, key_col, cnt bigint, share double)`` — share is
+    within-group.
+    """
+    import math
+
+    import pandas as pd
+
+    if not 0.0 < min_share < 1.0:
+        raise ValueError("need 0 < min_share < 1")
+    cap = capacity if capacity is not None else max(1, math.ceil(1.0 / min_share))
+
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+
+    def _candidates(batches):
+        groups: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for (g, k), c in (
+                pdf.groupby(["_gstr", "k"], sort=False).size().items()
+            ):
+                counts = groups.setdefault(g, {})
+                counts[k] = counts.get(k, 0) + int(c)
+            for g, counts in groups.items():
+                if len(counts) > cap:
+                    d = sorted(counts.values(), reverse=True)[cap]
+                    groups[g] = {k: c - d for k, c in counts.items() if c > d}
+        rows = [(g, k) for g, counts in groups.items() for k in counts]
+        yield pd.DataFrame(rows, columns=["_gstr", "k"]).astype("object")
+
+    cand = (
+        base.withColumn("_gstr", F.col("_g").cast("string"))
+        .select("_gstr", "k")
+        .mapInPandas(_candidates, schema="_gstr string, k string")
+        .distinct()
+    )
+    totals = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        base.withColumn("_gstr", F.col("_g").cast("string"))
+        .join(F.broadcast(cand), ["_gstr", "k"])
+        .groupBy("_g", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), "_g")
+        .where(F.col("cnt") > F.col("_n") * F.lit(min_share))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("k").alias(key_col),
+            "cnt",
+            (F.col("cnt") / F.col("_n")).alias("share"),
+        )
+    )

@@ -519,6 +519,68 @@ def ewma(
     )
 
 
+def ewma_window(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    k: int = 8,
+    out: str = "ewma_w",
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """K-term truncated EWMA — the *oracle-pairable* sibling of
+    :func:`ewma`: instead of the unbounded recursion, smooth each point
+    over its last ``k`` observations with the exponential weights
+    ``w_i = α(1−α)^i`` renormalized over the terms actually present
+    (series heads shorter than ``k`` renormalize over what exists):
+
+        y_t = Σ_{i<k} w_i·x_{t−i} / Σ_{i<k} w_i        (missing terms drop)
+
+    The recursion truncates after k terms anyway — ``(1−α)^k`` is < 2% of
+    the mass at α=0.3, k=8 — and the truncated form unrolls to a closed
+    weighted sum of ``lag(value, i)`` window columns: pure Catalyst
+    whole-stage-codegen, one shuffle on ``dims``, and expressible in ANSI
+    SQL, so the driver can hash-check it against DuckDB (ts_ewma itself is
+    rows-only: the unbounded recursion has no faithful SQL twin).
+
+    Determinism: weights are 12dp DECIMAL literals, per-term products and
+    the two accumulators stay in decimal, and only the final ratio touches
+    float64 — the same quantization idiom that made PageRank/HITS/KM
+    oracle-pairable. Appends ``out`` (double, rounded to ``round_to``).
+    """
+    from decimal import Decimal
+    from functools import reduce
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("need 0 < alpha < 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    a = Decimal(str(alpha))
+    q = Decimal("1.000000000000")
+    weights = [((a * (1 - a) ** i) * q).quantize(q) for i in range(k)]
+    zero_x = F.lit(Decimal("0")).cast("decimal(18,6)")
+    zero_w = F.lit(Decimal("0")).cast("decimal(14,12)")
+    nums, dens = [], []
+    for i, wi in enumerate(weights):
+        xi = F.col(value) if i == 0 else F.lag(value, i).over(w)
+        wlit = F.lit(wi).cast("decimal(14,12)")
+        nums.append(
+            F.when(xi.isNotNull(), xi.cast("decimal(18,6)"))
+            .otherwise(zero_x) * wlit
+        )
+        dens.append(F.when(xi.isNotNull(), wlit).otherwise(zero_w))
+    num = reduce(lambda x, y: x + y, nums)
+    den = reduce(lambda x, y: x + y, dens)
+    return df.withColumn(
+        out,
+        F.round(num.cast("double") / den.cast("double"), round_to),
+    )
+
+
 def holt_forecast(
     df: DataFrame,
     dims: Sequence[str],
@@ -528,28 +590,54 @@ def holt_forecast(
     beta: float = 0.1,
     horizon: int = 3,
     tiebreak: str | None = None,
+    season_length: int = 0,
+    gamma: float = 0.1,
 ) -> DataFrame:
-    """InfluxQL ``holt_winters(N, 0)``-style forecast: Holt's double
-    exponential smoothing (level + trend, no seasonality) fitted per series,
+    """InfluxQL ``holt_winters(N, S)``-style forecast fitted per series,
     emitting ``horizon`` future steps per series. The step size of the
     forecast timestamps is the series' median inter-point gap, which is how
     InfluxQL spaces its predicted points over a regular GROUP BY time grid.
+
+    ``season_length == 0`` (default) is Holt's double exponential smoothing
+    (level + trend):
 
         level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
         trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
         forecast(h) = level_T + h·trend_T
 
     seeded with ``level_0 = x_0`` and ``trend_0 = x_1 − x_0`` (0 for
-    single-point series). Sequential recursion like :func:`ewma` → grouped
-    ``applyInPandas``, one Arrow batch per series, shuffle on dims only.
-    Rows-only in the driver gate: there is no faithful ANSI-SQL twin; the
-    recursion is unit-tested against a hand rollout.
+    single-point series).
+
+    ``season_length == m > 0`` is ADDITIVE triple exponential smoothing
+    (Holt-Winters), the weekly/daily-seasonal form a nightly-CI metrics
+    series needs (the reference delegates forecasting entirely to
+    Grafana/InfluxQL — ``/root/reference/README.md:25``):
+
+        level_t = α·(x_t − s_{t−m}) + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        s_t     = γ·(x_t − level_t) + (1−γ)·s_{t−m}
+        forecast(h) = level_T + h·trend_T + s_{T+h−m·ceil(h/m)}
+
+    seeded with the textbook two-season init — ``level = mean(x[:m])``,
+    ``trend = (mean(x[m:2m]) − mean(x[:m]))/m``, ``s_i = x_i − level`` —
+    with the recursion starting at ``t = m``.  A series shorter than two
+    full seasons cannot seed the trend; it deterministically FALLS BACK to
+    the non-seasonal form (per series, documented behavior).
+
+    Per-series state is level + trend + m seasonal doubles — bounded model
+    state, so the grouped ``applyInPandas`` (one Arrow batch per series,
+    shuffle on dims only) is the same 100 TB shape as :func:`ewma`.
+    Rows-only in the driver gate: there is no faithful ANSI-SQL twin; both
+    recursions are unit-tested against hand rollouts.
 
     Returns ``(*dims, step: long, forecast_ts: timestamp, forecast: double)``.
     """
     import numpy as np
     import pandas as pd
 
+    if season_length < 0:
+        raise ValueError("season_length must be >= 0")
+    m = int(season_length)
     dims = list(dims)
     order = [ts] + ([tiebreak] if tiebreak else [])
     base = df.select(*dict.fromkeys([*dims, ts, value, *order]))
@@ -564,16 +652,31 @@ def holt_forecast(
         pdf = pdf.sort_values(order)
         x = pdf[value].to_numpy(dtype=float)
         t = pdf[ts].to_numpy()
-        level = x[0]
-        trend = x[1] - x[0] if len(x) > 1 else 0.0
-        for xi in x[1:]:
-            prev_level = level
-            level = alpha * xi + (1.0 - alpha) * (level + trend)
-            trend = beta * (level - prev_level) + (1.0 - beta) * trend
+        steps = np.arange(1, horizon + 1)
+        if m > 0 and len(x) >= 2 * m:
+            level = float(np.mean(x[:m]))
+            trend = float(np.mean(x[m : 2 * m]) - np.mean(x[:m])) / m
+            season = (x[:m] - level).astype(float)
+            for i in range(m, len(x)):
+                prev_level = level
+                si = season[i % m]
+                level = alpha * (x[i] - si) + (1.0 - alpha) * (level + trend)
+                trend = beta * (level - prev_level) + (1.0 - beta) * trend
+                season[i % m] = gamma * (x[i] - level) + (1.0 - gamma) * si
+            n = len(x)
+            seasonal = season[(n + steps - 1) % m]
+            fc = level + steps * trend + seasonal
+        else:
+            level = x[0]
+            trend = x[1] - x[0] if len(x) > 1 else 0.0
+            for xi in x[1:]:
+                prev_level = level
+                level = alpha * xi + (1.0 - alpha) * (level + trend)
+                trend = beta * (level - prev_level) + (1.0 - beta) * trend
+            fc = level + steps * trend
         gap = (
             np.median(np.diff(t)) if len(t) > 1 else np.timedelta64(1, "h")
         )
-        steps = np.arange(1, horizon + 1)
         # Median-gap arithmetic can land on sub-microsecond nanoseconds,
         # which Arrow's safe ns→us cast rejects under a default session.
         fts = pd.Series(t[-1] + steps * gap).dt.floor("us")
@@ -582,7 +685,7 @@ def holt_forecast(
             | {
                 "step": steps.astype("int64"),
                 "forecast_ts": fts,
-                "forecast": level + steps * trend,
+                "forecast": fc,
             }
         )
         return out

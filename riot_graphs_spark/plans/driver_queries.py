@@ -2636,6 +2636,60 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_window_oracle(alpha: str = "0.3", k: int = 8) -> str:
+    """Unrolled SQL twin of operators.timeseries.ewma_window: k lag()
+    columns, 12dp DECIMAL weights, decimal accumulators, one final
+    float64 ratio — byte-identical arithmetic to the Spark plan."""
+    from decimal import Decimal
+
+    a = Decimal(alpha)
+    q = Decimal("1.000000000000")
+    ws = [((a * (1 - a) ** i) * q).quantize(q) for i in range(k)]
+    lag_cols = ",\n             ".join(
+        f"lag(value, {i}) OVER w AS x{i}" for i in range(1, k)
+    )
+    xs = ["value"] + [f"x{i}" for i in range(1, k)]
+    num = " + ".join(
+        f"(CASE WHEN {x} IS NOT NULL THEN {x}::DECIMAL(18,6) "
+        f"ELSE 0::DECIMAL(18,6) END) * {w}::DECIMAL(14,12)"
+        for x, w in zip(xs, ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {x} IS NOT NULL THEN {w}::DECIMAL(14,12) "
+        f"ELSE 0::DECIMAL(14,12) END)"
+        for x, w in zip(xs, ws)
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+             {lag_cols}
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, ts, event_id, value,
+           round(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE), 6)
+             AS ewma_w
+    FROM lagged
+    """
+
+
+@_q("ts_ewma_window", _ewma_window_oracle())
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-term truncated EWMA (α=0.3) per event_type — the hash-checkable
+    closed form of ts_ewma (operators.timeseries.ewma_window): lag-window
+    weighted sum in decimal, whole-stage codegen, one shuffle on the
+    series key."""
+    from ..operators.timeseries import ewma_window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return ewma_window(
+        ev, dims=["event_type"], ts="ts", value="value", alpha=0.3, k=8,
+        tiebreak="event_id",
+    )
+
+
 # Rows-only (no SQL oracle): recall compares our own two ANN variants —
 # the brute-force side already carries the hash-checked semantics
 # (ann_cosine_topk); this entry reports how much the IVF approximation
@@ -4092,6 +4146,37 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(
         ev, dims=["event_type"], ts="ts", value="value",
         alpha=0.3, beta=0.1, horizon=3, tiebreak="event_id",
+    )
+
+
+# Rows-only (no SQL oracle): the seasonal (S>0) Holt-Winters form — same
+# sequential recursion as ts_holt_forecast plus S seasonal states per
+# series, so equally non-SQL-expressible. Hand-rollout parity plus a
+# phase-tracking InfluxQL-shim test cover the semantics
+# (test_graph_and_hist / test_influxql). The series is pre-bucketed to a
+# regular daily grid (mean per day) exactly like InfluxQL's
+# holt_winters(mean(value), N, S) ... GROUP BY time(1d), with a 7-day
+# weekly season — the reference's nightly-CI build sizes are
+# weekly-seasonal, and its README delegates forecasting to
+# Grafana/InfluxQL (/root/reference/README.md:25).
+@_q("ts_holt_winters_seasonal")
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL holt_winters(mean(value), 7, 7) over GROUP BY time(1d),
+    event_type: one-week forecast with weekly additive seasonality."""
+    from ..operators.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("daily_mean"))
+    fc = holt_forecast(
+        daily, dims=["event_type"], ts="day", value="daily_mean",
+        alpha=0.3, beta=0.1, gamma=0.2, season_length=7, horizon=7,
+    )
+    return fc.select(
+        "event_type", "step",
+        F.col("forecast_ts").alias("day"),
+        F.round("forecast", 6).alias("forecast"),
     )
 
 
@@ -7595,6 +7680,81 @@ def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     )
     return heavy_hitters(toks, key_col="token", min_share=0.033)
+
+
+@_q(
+    "freq_heavy_hitters_grouped",
+    """
+    WITH tok AS (
+      SELECT source, t.tok AS token FROM documents,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+    ),
+    tot AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+    c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT c.source, token, CAST(cnt AS BIGINT) AS cnt,
+           cnt::DOUBLE / n AS share
+    FROM c JOIN tot ON c.source = tot.source
+    WHERE cnt > n * 0.033
+    """,
+)
+def freq_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trending tokens (operators.profile.heavy_hitters_grouped):
+    the windowed/grouped Misra-Gries + exact-recount form — the batch twin
+    of streaming.stateful.stream_heavy_hitters, whose per-bucket MG state
+    this operator reproduces over a static corpus. Exactly equals GROUP BY
+    source, token HAVING cnt > N_source*0.033 without shuffling the full
+    distinct (source, token) set — phase 1 is a zero-shuffle map-side
+    summary, phase 2 shuffles only candidate rows."""
+    from ..operators.profile import heavy_hitters_grouped
+    from ..operators.textstats import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters_grouped(
+        toks, key_col="token", group_col="source", min_share=0.033
+    )
+
+
+@_q(
+    "dedup_paragraph_hashes",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(0, len(ts))) AS p, unnest(ts) AS token
+      FROM toks
+    ),
+    blk AS (
+      SELECT doc_id, p // 10 AS blk_id,
+             md5(string_agg(token, ' ' ORDER BY p)) AS uh
+      FROM tok GROUP BY 1, 2 HAVING count(*) = 10
+    ),
+    xdoc AS (SELECT uh, count(DISTINCT doc_id) AS nd FROM blk GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_units,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS dup_rate
+    FROM blk JOIN xdoc USING (uh)
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-level (ExactSubstr-style) dedup report: non-overlapping
+    10-token blocks as the paragraph proxy (the fixture corpus is
+    single-line), md5 per block, per-doc rate of blocks shared with other
+    documents (operators.dedup.paragraph_dedup_stats). Complements
+    winnowing: winnowing localizes overlapping repeated SPANS, this rates
+    whole documents by repeated-unit mass with one explode + two keyed
+    aggregations — the cheap pass Lee et al. pair with MinHash."""
+    from ..operators.dedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(
+        _t(spark, sf_dir, "documents"), block_tokens=10
+    )
 
 
 @_q(

@@ -825,6 +825,120 @@ def test_heavy_hitters_excludes_nulls_and_validates(spark):
         heavy_hitters(df, "k", min_share=0.0)
 
 
+def test_heavy_hitters_grouped_equals_exact_per_group(spark):
+    """Grouped MG + recount must exactly equal per-group GROUP BY HAVING,
+    with capacity far below the distinct-key count and keys that are heavy
+    in one group but cold in another."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.profile import heavy_hitters_grouped
+
+    rows = (
+        [("g1", "hot")] * 200 + [("g1", "warm")] * 80
+        + [(f"g1", f"c{i}") for i in range(400)]
+        # 'hot' is COLD in g2; 'spike' is heavy only in g2
+        + [("g2", "hot")] * 2 + [("g2", "spike")] * 90
+        + [(f"g2", f"d{i}") for i in range(300)]
+    )
+    df = (
+        spark.createDataFrame(rows, "g string, k string")
+        .withColumn("_o", F.md5(F.concat_ws("|", "g", "k", F.lit("s"))))
+        .orderBy("_o")
+        .drop("_o")
+        .repartition(7)
+    )
+    got = {
+        (r.g, r.k): (r.cnt, r.share)
+        for r in heavy_hitters_grouped(
+            df, key_col="k", group_col="g", min_share=0.05, capacity=15
+        ).collect()
+    }
+    exact = {
+        (r.g, r.k): r.cnt
+        for r in df.groupBy("g", "k").agg(F.count(F.lit(1)).alias("cnt"))
+        .join(df.groupBy("g").agg(F.count(F.lit(1)).alias("n")), "g")
+        .where(F.col("cnt") > F.col("n") * 0.05)
+        .collect()
+    }
+    assert set(got) == set(exact) == {
+        ("g1", "hot"), ("g1", "warm"), ("g2", "spike")
+    }
+    assert {gk: v[0] for gk, v in got.items()} == exact
+    n1, n2 = 200 + 80 + 400, 2 + 90 + 300
+    assert abs(got[("g1", "hot")][1] - 200 / n1) < 1e-12
+    assert abs(got[("g2", "spike")][1] - 90 / n2) < 1e-12
+
+
+def test_heavy_hitters_grouped_excludes_null_keys_and_groups(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.profile import heavy_hitters_grouped
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", None), (None, "a"), ("g", "b")],
+        "g string, k string",
+    )
+    got = {
+        (r.g, r.k): r.cnt
+        for r in heavy_hitters_grouped(
+            df, key_col="k", group_col="g", min_share=0.5
+        ).collect()
+    }
+    # NULL key and NULL group excluded: N_g = 3, only (g, a) (2 > 1.5).
+    assert got == {("g", "a"): 2}
+    with _pytest.raises(ValueError):
+        heavy_hitters_grouped(df, "k", "g", min_share=1.0)
+
+
+# --------------------------------------------------------------------------
+# paragraph_dedup_stats: unit-hash dedup report
+# --------------------------------------------------------------------------
+def test_paragraph_dedup_stats_block_mode(spark):
+    from riot_graphs_spark.operators.dedup import paragraph_dedup_stats
+
+    a = "one two three four five six"          # blocks: [one..three][four..six]
+    b = "one two three seven eight nine"       # shares block 1 with a
+    c = "ten eleven twelve"                    # unique block
+    d = "tiny"                                  # < block_tokens -> no units
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_units, r.n_dup_units, r.dup_rate)
+        for r in paragraph_dedup_stats(df, block_tokens=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (1, 0, 0.0),
+    }
+    assert 4 not in got  # no full block -> no row
+
+
+def test_paragraph_dedup_stats_sep_mode_and_within_doc(spark):
+    """sep mode splits on the separator; a unit repeated only WITHIN one
+    doc is not a duplicate."""
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.dedup import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha"),   # alpha twice, same doc only
+            (2, "beta\n\ngamma\n\n  "),      # beta shared with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_units, r.n_dup_units)
+        for r in paragraph_dedup_stats(df, sep="\n\n").collect()
+    }
+    # doc1: units alpha,beta,alpha; only beta crosses docs -> 1 dup unit
+    assert got == {1: (3, 1), 2: (2, 1)}
+    with _pytest.raises(ValueError):
+        paragraph_dedup_stats(df, block_tokens=0)
+
+
 # --------------------------------------------------------------------------
 # global_index: two-phase contiguous numbering == global ORDER BY rank
 # --------------------------------------------------------------------------

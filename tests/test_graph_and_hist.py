@@ -113,6 +113,52 @@ def test_ewma_matches_hand_recursion(spark):
     assert got[("b", base)] == 7.0  # single point: seed passes through
 
 
+def test_ewma_window_matches_hand_weights(spark):
+    """Truncated-window EWMA: y_t = Σ w_i·x_{t−i} / Σ w_i over present
+    terms, w_i = α(1−α)^i — including head renormalization and window
+    truncation past k terms."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.operators.timeseries import ewma_window
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [10.0, 20.0, 0.0, 40.0, 40.0]
+    rows = [
+        Row(series="a", ts=base + dt.timedelta(hours=i), event_id=i, value=x)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows)
+    k, alpha = 3, 0.5
+    got = {
+        r.event_id: r.ewma_w
+        for r in ewma_window(
+            df, dims=["series"], ts="ts", value="value", alpha=alpha, k=k,
+            tiebreak="event_id", round_to=9,
+        ).collect()
+    }
+    ws = [alpha * (1 - alpha) ** i for i in range(k)]
+    for t in range(len(xs)):
+        terms = [(ws[i], xs[t - i]) for i in range(min(t + 1, k))]
+        expect = sum(w * x for w, x in terms) / sum(w for w, _ in terms)
+        assert abs(got[t] - expect) < 1e-8
+    # head: t=0 renormalizes to x_0 exactly
+    assert got[0] == xs[0]
+
+
+def test_ewma_window_validates(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import ewma_window
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "s string, t long, value double")
+    with _pytest.raises(ValueError):
+        ewma_window(df, dims=["s"], ts="t", value="value", alpha=1.0)
+    with _pytest.raises(ValueError):
+        ewma_window(df, dims=["s"], ts="t", value="value", k=0)
+
+
 def test_trend_fit_recovers_exact_line(spark):
     from datetime import datetime, timedelta
 
@@ -181,6 +227,74 @@ def test_holt_forecast_matches_hand_rollout(spark):
         assert abs(got[h][0] - (level + h * trend)) < 1e-12
         # hourly series -> forecasts continue on the hourly grid
         assert got[h][1] == t0 + timedelta(hours=4 + h)
+
+
+def test_holt_forecast_seasonal_matches_hand_rollout(spark):
+    """S > 0: additive triple exponential smoothing, exact against a plain
+    Python rollout of the textbook recursion (two-season init)."""
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.timeseries import holt_forecast
+
+    t0 = datetime(2024, 1, 1)
+    m, alpha, beta, gamma = 4, 0.4, 0.2, 0.3
+    vals = [10.0, 20.0, 30.0, 20.0,   # season 1
+            12.0, 22.0, 33.0, 21.0,   # season 2
+            13.0, 24.0, 34.0, 23.0]   # season 3
+    rows = [("a", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    # hand rollout
+    level = sum(vals[:m]) / m
+    trend = (sum(vals[m:2 * m]) / m - sum(vals[:m]) / m) / m
+    season = [v - level for v in vals[:m]]
+    for i in range(m, len(vals)):
+        prev = level
+        si = season[i % m]
+        level = alpha * (vals[i] - si) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+        season[i % m] = gamma * (vals[i] - level) + (1 - gamma) * si
+    n = len(vals)
+    expect = {
+        h: level + h * trend + season[(n + h - 1) % m] for h in (1, 2, 3, 4, 5)
+    }
+
+    out = holt_forecast(
+        df, dims=["event_type"], ts="ts", value="value",
+        alpha=alpha, beta=beta, gamma=gamma, season_length=m, horizon=5,
+    ).collect()
+    got = {r["step"]: (r["forecast"], r["forecast_ts"]) for r in out}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for h in expect:
+        assert abs(got[h][0] - expect[h]) < 1e-12
+        assert got[h][1] == t0 + timedelta(hours=len(vals) - 1 + h)
+
+
+def test_holt_forecast_seasonal_short_series_falls_back(spark):
+    """A series shorter than two seasons cannot seed the seasonal init —
+    it deterministically uses the level+trend form instead."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import holt_forecast
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 13.0]
+    rows = [("a", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    seasonal = holt_forecast(
+        df, dims=["event_type"], ts="ts", value="value",
+        season_length=24, horizon=2,
+    ).collect()
+    plain = holt_forecast(
+        df, dims=["event_type"], ts="ts", value="value", horizon=2,
+    ).collect()
+    assert [r.forecast for r in seasonal] == [r.forecast for r in plain]
+    with _pytest.raises(ValueError):
+        holt_forecast(
+            df, dims=["event_type"], ts="ts", value="value", season_length=-1
+        )
 
 
 def test_holt_forecast_single_point_series_is_flat(spark):

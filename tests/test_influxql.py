@@ -755,10 +755,41 @@ def test_holt_winters_appends_forecast_buckets(spark, events):
         "SELECT mean(value) AS m FROM events GROUP BY time(1d)",
     ).agg(F.max("time")).collect()[0][0]
     assert all(r.time > last_data for r in rows)  # strictly in the future
-    with pytest.raises(InfluxQLError, match="seasonal"):
+    # S must be a non-negative integer
+    with pytest.raises(InfluxQLError, match="non-negative"):
         parse_influxql(
-            "SELECT holt_winters(mean(v), 3, 24) FROM m GROUP BY time(1h)"
+            "SELECT holt_winters(mean(v), 3, -1) FROM m GROUP BY time(1h)"
         )
+    with pytest.raises(InfluxQLError, match="non-negative"):
+        parse_influxql(
+            "SELECT holt_winters(mean(v), 3, 1.5) FROM m GROUP BY time(1h)"
+        )
+
+
+def test_holt_winters_seasonal_tracks_daily_pattern(spark):
+    """S > 0: additive Holt-Winters must carry a strong daily (24-bucket)
+    seasonal pattern into the forecast — the level+trend form cannot."""
+    import datetime as dt
+    import math
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for h in range(24 * 6):  # six full days of hourly points
+        seasonal = 10.0 * math.sin(2 * math.pi * (h % 24) / 24)
+        rows.append((t0 + dt.timedelta(hours=h), 50.0 + seasonal))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = influxql(
+        lambda _m: df,
+        "SELECT holt_winters(mean(value), 24, 24) AS f FROM m "
+        "GROUP BY time(1h) ORDER BY time ASC",
+    ).collect()
+    assert len(got) == 24
+    # forecast must reproduce the sinusoid's phase: hour-6 peak-ish vs
+    # hour-18 trough-ish, with amplitude clearly > half the true 10.0
+    by_hour = {r.time.hour: r.f for r in got}
+    assert by_hour[6] - by_hour[18] > 10.0
+    # and every point stays inside the series' physical range
+    assert all(30.0 < r.f < 70.0 for r in got)
 
 
 def test_from_regex_unions_matching_measurements(spark, sf_dir):
