@@ -216,6 +216,52 @@ HEADLINE = [
     "funnel_time_to_convert",
     "minhash_estimate_error",
     "url_exact_dedup_groups",
+    # Round-5 completion: every registered query is benched except the
+    # three documented exclusions (cc_recursive_sql and the two exact
+    # verify-stage pair ops, see comments above) — the 2x gate only
+    # protects what is measured.
+    "a2_newest_event",
+    "ann_lsh_topk",
+    "bpe_train_merges",
+    "dedup_keep_best",
+    "dedup_minhash_signatures",
+    "dedup_paragraph_hashes",
+    "emb_label_centroids",
+    "embed_neardup_pairs",
+    "freq_heavy_hitters_grouped",
+    "g1_rollup_totals",
+    "g6_annotations",
+    "g7_distinct_tags",
+    "j4_asof_next_purchase",
+    "mixture_weights",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "p12_html_anchor",
+    "p6_parse_offset",
+    "p7_parse_rfc2822",
+    "p9_time_range",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_part_value_share",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "text_gopher_flags",
+    "text_lang_id",
+    "text_rolling_fingerprint",
+    "text_token_count",
+    "ts_cumulative_sum",
+    "ts_derivative_rate",
+    "ts_elapsed",
+    "ts_ewma_window",
+    "ts_holt_winters_seasonal",
+    "ts_mode_value",
+    "ts_spread_stats",
+    "ts_time_weighted_avg",
+    "ts_top3_per_type",
 ]
 
 
