@@ -568,3 +568,41 @@ def test_sorted_neighborhood_rank_is_range_exchange_plus_broadcast(spark):
     aggs = len(re.findall(r"partial_count", plan))
     assert singles <= 4 and aggs >= singles
     assert "BroadcastHashJoin" in plan  # offsets ledger
+
+
+# --------------------------------------------------------------------------
+# round-5 additions
+# --------------------------------------------------------------------------
+def test_ewma_window_is_codegen_single_shuffle(spark):
+    # The truncated EWMA is pure lag-window arithmetic: exactly one
+    # Exchange (the series-key window partitioning), no Python workers,
+    # no join of any kind.
+    plan = formatted_plan(spark, "ts_ewma_window")
+    assert shuffle_count(plan) == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # Scan -> Exchange -> Sort -> Window -> Project and nothing else
+    assert re.search(r"\(4\) Window", plan) and re.search(r"\(5\) Project", plan)
+
+
+def test_heavy_hitters_grouped_recount_is_broadcast(spark):
+    # Same guarantee as the global form, per group: candidates and
+    # per-group totals arrive via broadcast; the raw token stream is never
+    # shuffled on its full distinct (group, key) cardinality — the only
+    # Exchanges sit above the bounded candidate/total/recount aggregates.
+    plan = formatted_plan(spark, "freq_heavy_hitters_grouped")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_units_are_row_local(spark):
+    # Unit (block) construction must be row-local array code: the only
+    # Exchanges are the two keyed aggregations (unit-hash cross-doc count,
+    # per-doc rollup) plus the hash join back — never a window or sort
+    # over the corpus, and no Python workers.
+    plan = formatted_plan(spark, "dedup_paragraph_hashes")
+    assert "Generate" in plan  # explode of row-local block array
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert shuffle_count(plan) <= 3
