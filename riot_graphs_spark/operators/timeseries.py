@@ -1394,11 +1394,18 @@ def level_shift(
     detection (a fixed cutoff would be data-dependent; ranked contrasts
     are stable across scales and bench runs).
 
-    Plan: three windows over ONE partitioning (the two frame sums + the
-    per-series rank) — a single Exchange on ``dims``; the top-k cut
-    compiles to the partial ``WindowGroupLimit`` the other per-series
-    top-k queries pin in tests. Frame sums are DECIMAL-carried so both
-    engines' sliding accumulators agree bit-for-bit.
+    Plan: the two frame sums, the head guard (row_number) and the TAIL
+    guard all ride ONE ordered window partitioning — the tail guard is the
+    right-frame ROW COUNT (`count over [0, w-1] = w`), not a
+    count-over-the-whole-partition window, which would materialize every
+    series twice (measured ~2× the frame-sum cost on a hot series).  The
+    top-k rank is salted: a pre-cut row_number inside each of 64
+    (series, salt) slices keeps only slice-local top-k (WindowGroupLimit,
+    parallel even when ONE series holds the whole table), and the final
+    exact rank sorts the ≤ 64·k survivors per series.  Pruning is lossless
+    — a row outside its slice's top-k is outside the global top-k.  Frame
+    sums are DECIMAL-carried so both engines' sliding accumulators agree
+    bit-for-bit.
 
     Output: ``dims + (ts, tiebreak, left_mean, right_mean, shift, rank)``.
     """
@@ -1419,17 +1426,21 @@ def level_shift(
         left.alias("left_mean"),
         right.alias("right_mean"),
         F.row_number().over(base).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(*dims)).alias("_n"),
-    ).where(
-        (F.col("_rn") > w) & (F.col("_rn") <= F.col("_n") - (w - 1))
-    )
+        F.count(F.lit(1)).over(base.rowsBetween(0, w - 1)).alias("_rc"),
+    ).where((F.col("_rn") > w) & (F.col("_rc") == w))
     shift = F.col("right_mean") - F.col("left_mean")
-    rank_w = Window.partitionBy(*dims).orderBy(
-        F.abs(shift).desc(), F.col(ts).asc(), F.col(tiebreak).asc()
-    )
+    order = [F.abs(F.col("shift")).desc(), F.col(ts).asc(),
+             F.col(tiebreak).asc()]
+    salt_w = Window.partitionBy(*dims, "_salt").orderBy(*order)
+    rank_w = Window.partitionBy(*dims).orderBy(*order)
     return (
         staged.withColumn("shift", shift)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(ts), F.col(tiebreak)), F.lit(64))
+        )
+        .withColumn("_r1", F.row_number().over(salt_w))
+        .where(F.col("_r1") <= k)
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
-        .drop("_rn", "_n")
+        .drop("_rn", "_rc", "_salt", "_r1")
     )

@@ -307,6 +307,46 @@ def _leakage(documents):
     )
 
 
+def _ewma_w(events):
+    from riot_graphs_spark.operators.timeseries import ewma_window
+
+    return ewma_window(
+        events.select("event_type", "ts", "event_id", "value"),
+        dims=["event_type"], ts="ts", value="value", alpha=0.3, k=8,
+        tiebreak="event_id",
+    )
+
+
+def _hh_grouped(documents):
+    from riot_graphs_spark.operators.profile import heavy_hitters_grouped
+    from riot_graphs_spark.operators.textstats import tokens
+
+    toks = documents.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters_grouped(
+        toks, key_col="token", group_col="source", min_share=0.033
+    )
+
+
+def _paragraphs(documents):
+    from riot_graphs_spark.operators.dedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(documents, block_tokens=10)
+
+
+def _holt_seasonal(events):
+    from riot_graphs_spark.operators.timeseries import holt_forecast
+
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("daily_mean"))
+    return holt_forecast(
+        daily, dims=["event_type"], ts="day", value="daily_mean",
+        season_length=7, horizon=7,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -398,7 +438,27 @@ def main() -> None:
         "url_dedup_domains": lambda t: _urls(t["documents"]),
         # leakage: broadcast-bounded joins; train scan is the linear term
         "ngram_leakage": lambda t: _leakage(t["documents"]),
+        # graph family (registered r05 — the r04 ad-hoc measurements in
+        # docs/SCALING.md now reproduce from this harness): fixed-iteration
+        # join+agg rounds, node-keyed state
+        "graph_pagerank": lambda t: _pagerank(t["lineitem"]),
+        "graph_hits": lambda t: _hits(t),
+        "graph_triangles": lambda t: _tri(t["lineitem"]),
+        "text_collocations": lambda t: _pmi(t["documents"]),
+        "dedup_snm": lambda t: _snm(t["documents"]),
+        "ts_level_shift": lambda t: _lshift(t["events"]),
+        # round-5 family: lag-window codegen smooth, per-group MG sketch +
+        # recount, row-local unit-hash dedup, bounded-state seasonal fit
+        "ts_ewma_window": lambda t: _ewma_w(t["events"]),
+        "freq_hh_grouped": lambda t: _hh_grouped(t["documents"]),
+        "dedup_paragraphs": lambda t: _paragraphs(t["documents"]),
+        "ts_holt_seasonal": lambda t: _holt_seasonal(t["events"]),
     }
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        cases = {n: fn for n, fn in cases.items() if n in wanted}
 
     report = {}
     for name, fn in cases.items():
