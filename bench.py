@@ -262,6 +262,8 @@ HEADLINE = [
     "ts_spread_stats",
     "ts_time_weighted_avg",
     "ts_top3_per_type",
+    "rollup_incremental_weekly",
+    "cube_order_status_priority",
 ]
 
 

@@ -8972,6 +8972,75 @@ def url_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rollup_incremental_weekly",
+    """
+    SELECT date_trunc('week', ts)::TIMESTAMP AS bucket, event_type,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(value::DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(sum(value::DECIMAL(28,6)) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/rollup.py): day-grain partial states merged to week grain
+    WITHOUT touching the fact table again. The oracle aggregates the fact
+    directly — hash-equality of the two proves the states are genuinely
+    mergeable (decimal-carried sums make merge order irrelevant), which is
+    the invariant that lets a 100 TB deployment answer weekly/monthly
+    panels from a partial table one row per (day, series) and never rescan
+    history. Replay idempotency of the maintenance step is unit-tested
+    (upsert_partials)."""
+    from ..operators.rollup import daily_partials, merge_to_grain
+
+    ev = _t(spark, sf_dir, "events")
+    daily = daily_partials(ev, dims=["event_type"], ts="ts", value="value")
+    wk = merge_to_grain(daily, dims=["event_type"], grain="week")
+    return wk.select(
+        "bucket", "event_type", "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value", "max_value", "avg_value",
+    )
+
+
+@_q(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*)::BIGINT AS n,
+           CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id — all four grouping sets (detail,
+    two marginals, grand total) in ONE pass: Spark expands the cube inside
+    a single partial-aggregable Expand+HashAggregate, so the fact is
+    scanned once however many subtotal levels a dashboard wants (vs one
+    query per level through the reference's Grafana panels). grouping_id
+    disambiguates a genuine NULL group value from an aggregated-out
+    column; both engines follow the SQL-standard bitmask (first cube
+    column = MSB)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -606,3 +606,23 @@ def test_paragraph_dedup_units_are_row_local(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Window" not in plan
     assert shuffle_count(plan) <= 3
+
+
+def test_rollup_merge_never_rejoins_fact(spark):
+    # day->week state merge: two stacked partial-aggregable HashAggregates
+    # over ONE fact scan — no join back to events, no windows.
+    plan = formatted_plan(spark, "rollup_incremental_weekly")
+    assert "Join" not in plan and "Window" not in plan
+    assert shuffle_count(plan) <= 2
+    # one scan operator (formatted mode prints each op twice: tree + detail)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_cube_is_one_pass_expand_aggregate(spark):
+    # CUBE = Expand (4 grouping sets) + one partial/final aggregate pair:
+    # single scan, single shuffle, no union of per-level queries.
+    plan = formatted_plan(spark, "cube_order_status_priority")
+    assert "Expand" in plan
+    assert "Union" not in plan and "Join" not in plan
+    assert shuffle_count(plan) == 1
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1

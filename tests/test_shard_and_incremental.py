@@ -99,3 +99,83 @@ def test_lsh_tuning_picks_sane_banding():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# --------------------------------------------------------------------------
+# rollup: mergeable partial aggregates (incremental materialization)
+# --------------------------------------------------------------------------
+def test_rollup_two_level_equals_direct(spark):
+    """day->week merge of partial states must EXACTLY equal aggregating
+    the fact directly at week grain (mergeability invariant)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.rollup import (
+        daily_partials,
+        merge_to_grain,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=7 * i), "a" if i % 3 else "b",
+         float((i * 37) % 100) / 8)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    two_level = merge_to_grain(
+        daily_partials(ev, dims=["event_type"]), dims=["event_type"]
+    )
+    direct = ev.groupBy(
+        F.date_trunc("week", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).withColumn(
+        "avg_value",
+        F.col("sum_value").cast("double") / F.col("n_rows").cast("double"),
+    )
+    a = {tuple(r) for r in two_level.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rollup_upsert_replay_is_noop_and_correction_overwrites(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.rollup import (
+        daily_partials,
+        upsert_partials,
+    )
+
+    d1 = dt.datetime(2024, 1, 1)
+    d2 = dt.datetime(2024, 1, 2)
+    ev = spark.createDataFrame(
+        [(d1, "a", 1.0), (d1, "a", 3.0), (d2, "a", 5.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    table = daily_partials(ev, dims=["event_type"])
+    # replay day 2: identical fresh partials -> table unchanged
+    fresh = daily_partials(
+        ev.filter(F.to_date("ts") == "2024-01-02"), dims=["event_type"]
+    )
+    replayed = upsert_partials(table, fresh, dims=["event_type"])
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in table.collect()
+    }
+    # correction: day 2 re-delivered with an extra row -> only day 2 moves
+    corrected_src = spark.createDataFrame(
+        [(d2, "a", 5.0), (d2, "a", 7.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    fixed = upsert_partials(
+        table, daily_partials(corrected_src, dims=["event_type"]),
+        dims=["event_type"],
+    )
+    got = {r.bucket: (r.n_rows, float(r.sum_value)) for r in fixed.collect()}
+    assert got[d1] == (2, 4.0)
+    assert got[d2] == (2, 12.0)

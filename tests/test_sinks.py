@@ -380,3 +380,65 @@ def test_csv_zone_streaming_reads_same_rows(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {1: "click", 2: "view"}
+
+
+def test_write_zordered_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-order layout: row-group min/max stats must be tight on BOTH
+    interleaved columns (vs an unordered write where every row group spans
+    ~the full range of each) — the multi-column data-skipping property a
+    lexicographic sort cannot give the trailing column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from riot_graphs_spark.sources.sinks import write_zordered
+
+    # two independent uniform columns — the z-order worst case for a
+    # 1-column sort, the showcase for the curve
+    rows = [((i * 37) % 500, float((i * 101) % 400)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "user_id long, v double").repartition(8)
+
+    def coverage(path: str, col: str, lo: float, hi: float) -> float:
+        spans, n = 0.0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.num_columns)
+            }[col]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                spans += float(st.max) - float(st.min)
+                n += 1
+        return spans / (n * (hi - lo))  # avg fraction of range per group
+
+    plain = str(tmp_path / "plain")
+    df.write.mode("overwrite").parquet(plain)
+    zed = str(tmp_path / "zorder")
+    write_zordered(df, zed, zorder_cols=["user_id", "v"], n_files=16)
+
+    # 16 z-range files = value-space rectangles of area 1/16 → each SIDE
+    # spans ~1/4 of its column's range (plus quadrant-straddling slop);
+    # an unordered write leaves every row group spanning ~the full range.
+    for col, lo, hi in (("user_id", 0, 499), ("v", 0.0, 399.0)):
+        assert coverage(plain, col, lo, hi) > 0.9  # unordered: full-range groups
+        assert coverage(zed, col, lo, hi) < 0.6  # z-order: bounded rectangles
+
+    got = spark.read.parquet(zed)
+    assert got.count() == 20000
+    assert set(got.columns) == {"user_id", "v"}  # _z dropped
+
+
+def test_zorder_value_validates_and_handles_constant_columns(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "a long, b double")
+    # constant column: span guard (no div-by-zero), all rows z-comparable
+    out = zorder_value(df, ["a", "b"], bits=8).collect()
+    assert len(out) == 2 and all(r._z is not None for r in out)
+    with _pytest.raises(ValueError):
+        zorder_value(df, [], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_value(df, ["a", "b"], bits=32)
