@@ -677,3 +677,143 @@ def test_sorted_neighborhood_pairs_property(spark, texts):
         if i + g < len(ordered)
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# round-5 operators
+# --------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    keyed=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=12),  # key
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitters_grouped_exact_for_any_capacity(spark, keyed, cap):
+    from riot_graphs_spark.operators.profile import heavy_hitters_grouped
+
+    df = spark.createDataFrame(
+        [(f"g{g}", f"k{k}") for g, k in keyed], "g string, k string"
+    ).repartition(5)
+    share = 0.2
+    got = {
+        (r.g, r.k): r.cnt
+        for r in heavy_hitters_grouped(
+            df, key_col="k", group_col="g", min_share=share, capacity=cap
+        ).collect()
+    }
+    exact = {
+        (r.g, r.k): r.cnt
+        for r in df.groupBy("g", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(df.groupBy("g").agg(F.count(F.lit(1)).alias("n")), "g")
+        .where(F.col("cnt") > F.col("n") * share)
+        .collect()
+    }
+    assert got == exact
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_ewma_window_matches_pandas_rollout(spark, events):
+    """Truncated EWMA equals the per-series normalized weighted lag sum
+    computed in plain Python, for any generated series (duplicate
+    timestamps broken by event_id)."""
+    from riot_graphs_spark.operators.timeseries import ewma_window
+
+    df = to_df(spark, events)
+    alpha, k = 0.3, 4
+    got = {
+        r.event_id: r.ewma_w
+        for r in ewma_window(
+            df, dims=["series"], ts="ts", value="value", alpha=alpha, k=k,
+            tiebreak="event_id", round_to=9,
+        ).collect()
+    }
+    ws = [alpha * (1 - alpha) ** i for i in range(k)]
+    by_series: dict[str, list] = {}
+    for i, (s, h, v) in enumerate(events):
+        by_series.setdefault(f"s{s}", []).append((h, i, v))
+    for rows in by_series.values():
+        rows.sort()
+        for t, (_, eid, _) in enumerate(rows):
+            terms = [(ws[j], rows[t - j][2]) for j in range(min(t + 1, k))]
+            expect = sum(w * x for w, x in terms) / sum(w for w, _ in terms)
+            assert abs(got[eid] - expect) < 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abc"), min_size=0, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_paragraph_dedup_matches_brute_force(spark, docs):
+    """Block-mode unit dedup equals the brute-force Python computation:
+    per doc, blocks of 3 tokens; a block is dup iff some OTHER doc has it."""
+    from riot_graphs_spark.operators.dedup import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_units, r.n_dup_units)
+        for r in paragraph_dedup_stats(df, block_tokens=3).collect()
+    }
+    blocks_of = {}
+    for i, d in enumerate(docs):
+        toks = d.split()
+        blocks_of[i] = [
+            " ".join(toks[j * 3 : j * 3 + 3])
+            for j in range(len(toks) // 3)
+        ]
+    owners: dict[str, set] = {}
+    for i, bs in blocks_of.items():
+        for b in bs:
+            owners.setdefault(b, set()).add(i)
+    expect = {}
+    for i, bs in blocks_of.items():
+        if bs:
+            expect[i] = (
+                len(bs), sum(1 for b in bs if len(owners[b]) > 1)
+            )
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_rollup_merge_equals_direct_any_input(spark, events):
+    from riot_graphs_spark.operators.rollup import (
+        daily_partials,
+        merge_to_grain,
+    )
+
+    df = to_df(spark, events).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    two = merge_to_grain(
+        daily_partials(df, dims=["series"]), dims=["series"]
+    )
+    direct = df.groupBy(
+        F.date_trunc("week", "ts").alias("bucket"), "series"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).withColumn(
+        "avg_value",
+        F.col("sum_value").cast("double") / F.col("n_rows").cast("double"),
+    )
+    assert {tuple(r) for r in two.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
