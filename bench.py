@@ -264,6 +264,7 @@ HEADLINE = [
     "ts_top3_per_type",
     "rollup_incremental_weekly",
     "cube_order_status_priority",
+    "emb_knn_label_eval",
 ]
 
 

@@ -9041,6 +9041,107 @@ def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_knn_label_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+      FROM embeddings
+      WHERE ('0x' || substr(md5('knn' || CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT % 20 = 0
+    ),
+    pairs AS (
+      SELECT q.query_id, c.vec_id, c.label AS n_label, {{cos}} AS score
+      FROM embeddings c, q WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    ),
+    votes AS (
+      SELECT query_id, n_label, count(*) AS cnt
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, n_label AS pred FROM (
+        SELECT query_id, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cnt DESC, n_label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT q_label AS label, count(*)::BIGINT AS n_eval,
+           CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS accuracy
+    FROM pred JOIN q USING (query_id)
+    GROUP BY 1
+    """.replace("{cos}", _DUCK_COSINE),
+)
+def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label accuracy — the standard embedding-quality
+    probe (does the space cluster by label?) a pipeline runs before
+    trusting embeddings for dedup/retrieval. Per sampled query vector:
+    top-5 cosine neighbors over the full corpus (self excluded), majority
+    label with a (count desc, label asc) deterministic tie-break, compared
+    to the query's own label; reported per label.
+
+    Scale posture: the exact LOO scan carries its deterministic md5 sample
+    bound (~5% of vectors) INSIDE the query — same discipline as
+    lsh_recall_vs_exact, so it can never run all-pairs over a full corpus;
+    the production path for bigger evals swaps the brute-force neighbor
+    stage for the IVF/PQ operators and keeps the vote/accuracy tail."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("knn"), F.col("vec_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long") % 20 == 0
+    )
+    qs = emb.filter(sample)
+    top = cosine_topk(emb, qs, k=5)
+    votes = (
+        top.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min_by(
+            "n_label", F.struct((-F.col("cnt")).alias("nc"), F.col("n_label"))
+        ).alias("pred")
+    )
+    qlab = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        pred.join(qlab, "query_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum((F.col("pred") == F.col("q_label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_correct").cast("double") / F.col("n_eval").cast("double"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
