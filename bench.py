@@ -265,6 +265,7 @@ HEADLINE = [
     "rollup_incremental_weekly",
     "cube_order_status_priority",
     "emb_knn_label_eval",
+    "dedup_cross_source_matrix",
 ]
 
 

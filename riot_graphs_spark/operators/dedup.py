@@ -1432,6 +1432,35 @@ def minhash_estimate_calibration(
     )
 
 
+def content_units(
+    text_col: str, sep: str | None = None, block_tokens: int = 10
+) -> Column:
+    """Array of content-unit strings for a document — ``sep``-split
+    paragraphs (trimmed, non-empty) when ``sep`` is given, else consecutive
+    non-overlapping ``block_tokens``-token blocks (full blocks only).
+    Entirely row-local Catalyst array code; shared by
+    :func:`paragraph_dedup_stats` and :func:`cross_source_overlap`.
+    """
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    if sep is not None:
+        return F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+            lambda p: p != "",
+        )
+    w = words(text_col)
+    n_blocks = F.floor(F.size(w) / block_tokens).cast("int")
+    return F.when(
+        n_blocks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda b: F.array_join(
+                F.slice(w, b * block_tokens + 1, block_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def paragraph_dedup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1461,28 +1490,7 @@ def paragraph_dedup_stats(
     Output: ``(id_col, n_units bigint, n_dup_units bigint,
     dup_rate double)`` for every document with ≥ 1 unit.
     """
-    if block_tokens < 1:
-        raise ValueError("block_tokens must be >= 1")
-    if sep is not None:
-        units = F.filter(
-            F.transform(
-                F.split(F.col(text_col), sep), lambda p: F.trim(p)
-            ),
-            lambda p: p != "",
-        )
-    else:
-        w = words(text_col)
-        n_blocks = F.floor(F.size(w) / block_tokens).cast("int")
-        units = F.when(
-            n_blocks >= 1,
-            F.transform(
-                F.sequence(F.lit(0), n_blocks - 1),
-                lambda b: F.array_join(
-                    F.slice(w, b * block_tokens + 1, block_tokens), " "
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
+    units = content_units(text_col, sep=sep, block_tokens=block_tokens)
     hashed = (
         docs.select(F.col(id_col), F.explode(units).alias("_u"))
         .select(id_col, F.md5("_u").alias("_uh"))
@@ -1503,4 +1511,43 @@ def paragraph_dedup_stats(
             "n_dup_units",
             (F.col("n_dup_units") / F.col("n_units")).alias("dup_rate"),
         )
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    sep: str | None = None,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered pair of
+    sources, how many distinct content units (paragraphs or token blocks —
+    :func:`content_units`) appear in BOTH — the curation report that tells
+    you which crawls/dumps are re-hosting each other's text, and therefore
+    which per-source mixture weights double-count mass.
+
+    Plan: one scan builds the distinct (source, unit-hash) set (row-local
+    units + one dedup exchange keyed on the pair), then a self-equi-join on
+    the unit hash restricted to ``source_a < source_b`` and a #source²-
+    bounded count aggregate.  Fan-out per unit hash is bounded by the
+    number of sources containing it (≤ |sources|), never by corpus size —
+    the matrix is safe at any scale where |sources| is catalog-sized.
+
+    Output: ``(source_a, source_b, n_shared_units bigint)``, pairs with
+    at least one shared unit.
+    """
+    units = content_units(text_col, sep=sep, block_tokens=block_tokens)
+    fp = (
+        docs.select(F.col(group_col).alias("_g"), F.explode(units).alias("_u"))
+        .select("_g", F.md5("_u").alias("_uh"))
+        .distinct()
+    )
+    a = fp.select(F.col("_g").alias("source_a"), "_uh")
+    b = fp.select(F.col("_g").alias("source_b"), "_uh")
+    return (
+        a.join(b, "_uh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_units"))
     )

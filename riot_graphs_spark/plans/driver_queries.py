@@ -9142,6 +9142,43 @@ def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_cross_source_matrix",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, unnest(range(0, len(ts))) AS p, unnest(ts) AS token
+      FROM toks
+    ),
+    blk AS (
+      SELECT source, doc_id, p // 10 AS b,
+             md5(string_agg(token, ' ' ORDER BY p)) AS uh
+      FROM tok GROUP BY 1, 2, 3 HAVING count(*) = 10
+    ),
+    fp AS (SELECT DISTINCT source, uh FROM blk)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_shared_units
+    FROM fp a JOIN fp b ON a.uh = b.uh AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix
+    (operators.dedup.cross_source_overlap): distinct 10-token content units
+    shared between each pair of sources — which crawls/dumps re-host each
+    other's text, i.e. where per-source mixture weights double-count mass.
+    One scan to the distinct (source, unit-hash) set, unit-keyed self-join
+    bounded by |sources| fan-out, #sources²-bounded output."""
+    from ..operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(
+        _t(spark, sf_dir, "documents"), group_col="source", block_tokens=10
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -1202,3 +1202,24 @@ def test_url_exact_dedup_groups_collapse(spark, tmp_path):
         for r in QUERIES["url_exact_dedup_groups"](spark, str(tmp_path)).collect()
     }
     assert got == {0: (0, 2), 3432: (0, 2)}
+
+
+def test_cross_source_overlap_hand_fixture(spark):
+    """Two sources sharing one block, a third sharing none; within-source
+    duplication must not count."""
+    from riot_graphs_spark.operators.dedup import cross_source_overlap
+
+    shared = "alpha beta gamma"
+    rows = [
+        (1, "s1", shared + " one two three"),
+        (2, "s1", shared + " four five six"),   # shared block ALSO in s1 again
+        (3, "s2", shared + " seven eight nine"),
+        (4, "s3", "ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared_units
+        for r in cross_source_overlap(df, block_tokens=3).collect()
+    }
+    # only the s1-s2 pair shares a unit, counted once (distinct units)
+    assert got == {("s1", "s2"): 1}
