@@ -347,6 +347,23 @@ def _holt_seasonal(events):
     )
 
 
+def _rollup(events):
+    from riot_graphs_spark.operators.rollup import (
+        daily_partials,
+        merge_to_grain,
+    )
+
+    return merge_to_grain(
+        daily_partials(events, dims=["event_type"]), dims=["event_type"]
+    )
+
+
+def _xsource(documents):
+    from riot_graphs_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(documents, block_tokens=10)
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -453,6 +470,10 @@ def main() -> None:
         "freq_hh_grouped": lambda t: _hh_grouped(t["documents"]),
         "dedup_paragraphs": lambda t: _paragraphs(t["documents"]),
         "ts_holt_seasonal": lambda t: _holt_seasonal(t["events"]),
+        # round-5 late: two stacked partial aggs (state merge); distinct
+        # (source, unit) set + source-bounded self-join
+        "rollup_weekly": lambda t: _rollup(t["events"]),
+        "dedup_cross_source": lambda t: _xsource(t["documents"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
