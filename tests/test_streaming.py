@@ -707,3 +707,78 @@ def test_streaming_near_dedup_bucket_table_tolerates_replay(spark, tmp_path):
     b = spark.read.parquet(buckets)
     assert b.count() >= n_buckets_1  # dup rows allowed...
     assert b.select("band", "band_key").distinct().count() == n_buckets_1
+
+
+def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_path):
+    """The incremental-materialization loop end-to-end: a file stream of
+    events drives foreachBatch micro-batches, each batch's day-grain
+    partial states upsert into a maintained parquet rollup table, and the
+    final table merged to week grain equals the direct batch aggregate —
+    the operators/rollup.py contract under streaming delivery (including a
+    replayed batch being a no-op thanks to the keyed upsert)."""
+    from riot_graphs_spark.operators.rollup import (
+        daily_partials,
+        merge_to_grain,
+        upsert_partials,
+    )
+    from riot_graphs_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "events_src")
+    # several files => several micro-batches with maxFilesPerTrigger
+    events.repartition(4).write.parquet(src)
+    table_path = str(tmp_path / "rollup_table")
+
+    def maintain(batch_df, batch_id):
+        fresh = daily_partials(
+            batch_df, dims=["event_type"], ts="ts", value="value"
+        )
+        s = batch_df.sparkSession
+        try:
+            existing = s.read.parquet(table_path)
+        except Exception:
+            existing = fresh.limit(0)
+        # A micro-batch may split a (day, type) grain across batches: merge
+        # the fresh partials with the existing STATES for those keys first
+        # (states add), then replace — still idempotent per batch replay.
+        merged = (
+            existing.unionByName(fresh)
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out = upsert_partials(existing, merged, dims=["event_type"])
+        out.write.mode("overwrite").parquet(table_path + ".tmp")
+        s.read.parquet(table_path + ".tmp").write.mode("overwrite").parquet(
+            table_path
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(table_path)
+    got = merge_to_grain(final, dims=["event_type"], grain="week")
+    expected = merge_to_grain(
+        daily_partials(events, dims=["event_type"], ts="ts", value="value"),
+        dims=["event_type"],
+        grain="week",
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
