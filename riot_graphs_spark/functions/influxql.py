@@ -147,6 +147,21 @@ def _unquote(ident: str) -> str:
     return ident
 
 
+def _num(s: str, what: str) -> float:
+    """Finite numeric literal, or InfluxQLError — ``float('nan'/'inf')``
+    succeeds and would later blow up ``int()`` with a raw ValueError/
+    OverflowError outside the parser's error contract."""
+    import math
+
+    try:
+        v = float(s.strip())
+    except ValueError:
+        raise InfluxQLError(f"{what} must be a number, got {s!r}") from None
+    if not math.isfinite(v):
+        raise InfluxQLError(f"{what} must be finite, got {s!r}")
+    return v
+
+
 def _parse_duration(s: str) -> int:
     m = re.fullmatch(r"(\d+)([smhdw])", s.strip(), re.I)
     if not m:
@@ -231,7 +246,7 @@ def _parse_item(raw: str) -> _Item:
             if func == "moving_average":
                 if len(args) != 2:
                     raise InfluxQLError("moving_average(agg(f), N) takes two args")
-                item.arg = float(args[1])
+                item.arg = _num(args[1], "moving_average window")
                 if item.arg < 1 or item.arg != int(item.arg):
                     raise InfluxQLError("moving_average window must be a positive int")
             elif func in (
@@ -244,16 +259,10 @@ def _parse_item(raw: str) -> _Item:
                     raise InfluxQLError(
                         "holt_winters(agg(field), N, S) takes three args"
                     )
-                item.arg = float(args[1])
+                item.arg = _num(args[1], "holt_winters N")
                 if item.arg < 1 or item.arg != int(item.arg):
                     raise InfluxQLError("holt_winters N must be a positive int")
-                try:
-                    s = float(args[2].strip())
-                except ValueError:
-                    raise InfluxQLError(
-                        "holt_winters S must be a non-negative int "
-                        "(seasonal pattern length; 0 = non-seasonal)"
-                    ) from None
+                s = _num(args[2], "holt_winters S")
                 if s < 0 or s != int(s):
                     raise InfluxQLError(
                         "holt_winters S must be a non-negative int "
@@ -269,7 +278,7 @@ def _parse_item(raw: str) -> _Item:
             args = [a.strip() for a in m.group("args").split(",")]
             if len(args) != 2:
                 raise InfluxQLError(f"{func}(field, N) takes two args")
-            n = float(args[1])
+            n = _num(args[1], f"{func}() N")
             if n < 1 or n != int(n):
                 raise InfluxQLError(f"{func}() N must be a positive int")
             alias = _unquote(m.group("alias")) if m.group("alias") else None
@@ -305,7 +314,7 @@ def _parse_item(raw: str) -> _Item:
         if func == "percentile":
             if len(args) != 2:
                 raise InfluxQLError("percentile(field, N) takes two args")
-            arg = float(args[1])
+            arg = _num(args[1], "percentile N")
         elif func == "integral":
             if len(args) == 2:
                 unit_s = _parse_duration(args[1])

@@ -1435,17 +1435,25 @@ def minhash_estimate_calibration(
 def content_units(
     text_col: str, sep: str | None = None, block_tokens: int = 10
 ) -> Column:
-    """Array of content-unit strings for a document — ``sep``-split
+    """Array of content-unit strings for a document — LITERAL ``sep``-split
     paragraphs (trimmed, non-empty) when ``sep`` is given, else consecutive
     non-overlapping ``block_tokens``-token blocks (full blocks only).
     Entirely row-local Catalyst array code; shared by
     :func:`paragraph_dedup_stats` and :func:`cross_source_overlap`.
+
+    ``sep`` is treated as a literal string, not a regex — ``F.split`` takes
+    a Java regex, so the separator is escaped first (``sep="|"`` would
+    otherwise split between every character, ``"***"`` would throw).
     """
     if block_tokens < 1:
         raise ValueError("block_tokens must be >= 1")
     if sep is not None:
+        import re as _re
+
         return F.filter(
-            F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+            F.transform(
+                F.split(F.col(text_col), _re.escape(sep)), lambda p: F.trim(p)
+            ),
             lambda p: p != "",
         )
     w = words(text_col)

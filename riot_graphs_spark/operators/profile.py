@@ -410,7 +410,14 @@ def heavy_hitters(
 
     if not 0.0 < min_share < 1.0:
         raise ValueError("need 0 < min_share < 1")
-    cap = capacity if capacity is not None else max(1, math.ceil(1.0 / min_share))
+    # Exactness floor: the per-partition MG guarantee (every key with
+    # partition count > N_p/(cap+1) survives) covers all true heavy hitters
+    # only when cap + 1 >= 1/min_share — a smaller caller value would make
+    # phase 1 silently drop real hitters (balanced keys tie at the
+    # decrement threshold and all die), so capacity is clamped UP to the
+    # pigeonhole floor; the knob only adds headroom, never breaks exactness.
+    floor_cap = max(1, math.ceil(1.0 / min_share))
+    cap = max(capacity, floor_cap) if capacity is not None else floor_cap
 
     keys = df.select(
         F.col(key_col).cast("string").alias("k")
@@ -478,7 +485,14 @@ def heavy_hitters_grouped(
 
     if not 0.0 < min_share < 1.0:
         raise ValueError("need 0 < min_share < 1")
-    cap = capacity if capacity is not None else max(1, math.ceil(1.0 / min_share))
+    # Exactness floor: the per-partition MG guarantee (every key with
+    # partition count > N_p/(cap+1) survives) covers all true heavy hitters
+    # only when cap + 1 >= 1/min_share — a smaller caller value would make
+    # phase 1 silently drop real hitters (balanced keys tie at the
+    # decrement threshold and all die), so capacity is clamped UP to the
+    # pigeonhole floor; the knob only adds headroom, never breaks exactness.
+    floor_cap = max(1, math.ceil(1.0 / min_share))
+    cap = max(capacity, floor_cap) if capacity is not None else floor_cap
 
     base = df.where(
         F.col(key_col).isNotNull() & F.col(group_col).isNotNull()

@@ -7398,7 +7398,7 @@ def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            least(greatest(e.value, b.p_lo), b.p_hi) AS winsorized,
            (e.value < b.p_lo OR e.value > b.p_hi) AS clipped
-    FROM events e JOIN b USING (event_type)
+    FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
     """,
 )
 def dq_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:

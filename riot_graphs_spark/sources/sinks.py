@@ -257,9 +257,13 @@ def write_zordered(
     Plan: one bounded stats agg + one range exchange on ``_z`` (sampled,
     balanced) + per-task sort — the same shuffle budget as any clustered
     rewrite; no global sort, no driver data path.  This is the layout pass
-    a 100 TB curation pipeline runs LAST, after dedup/filter, so every
-    downstream scan pays less I/O.
+    a 100 TB curation pipeline runs LAST, after dedup/filter — which is
+    exactly why the input lineage is localCheckpoint'd first: the stats
+    agg, the range-partitioner's sampling pass, and the write itself each
+    execute the plan, and without the checkpoint the whole upstream
+    dedup/filter DAG would run three times.
     """
+    df = df.localCheckpoint(eager=False)
     zdf = zorder_value(df, zorder_cols, bits=bits)
     parts = n_files or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

@@ -869,6 +869,33 @@ def test_heavy_hitters_grouped_equals_exact_per_group(spark):
     assert abs(got[("g2", "spike")][1] - 90 / n2) < 1e-12
 
 
+def test_heavy_hitters_capacity_below_floor_is_clamped(spark):
+    """Review regression: a caller capacity below the pigeonhole floor
+    (cap+1 < 1/min_share) must not break exactness — balanced keys used to
+    tie at the MG decrement threshold and BOTH died, returning []."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.profile import (
+        heavy_hitters,
+        heavy_hitters_grouped,
+    )
+
+    rows = [("g", "A"), ("g", "B")] * 5
+    df = spark.createDataFrame(rows, "g string, k string").repartition(5)
+    flat = {
+        r.k: r.cnt
+        for r in heavy_hitters(df, "k", min_share=0.2, capacity=1).collect()
+    }
+    assert flat == {"A": 5, "B": 5}
+    grouped = {
+        (r.g, r.k): r.cnt
+        for r in heavy_hitters_grouped(
+            df, key_col="k", group_col="g", min_share=0.2, capacity=1
+        ).collect()
+    }
+    assert grouped == {("g", "A"): 5, ("g", "B"): 5}
+
+
 def test_heavy_hitters_grouped_excludes_null_keys_and_groups(spark):
     import pytest as _pytest
 
@@ -937,6 +964,21 @@ def test_paragraph_dedup_stats_sep_mode_and_within_doc(spark):
     assert got == {1: (3, 1), 2: (2, 1)}
     with _pytest.raises(ValueError):
         paragraph_dedup_stats(df, block_tokens=0)
+
+
+def test_paragraph_dedup_sep_is_literal_not_regex(spark):
+    """Review regression: a separator containing regex metacharacters must
+    split literally — '|' used to split between every character."""
+    from riot_graphs_spark.operators.dedup import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, "beta|gamma")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_units, r.n_dup_units)
+        for r in paragraph_dedup_stats(df, sep="|").collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1)}  # units alpha/beta and beta/gamma
 
 
 # --------------------------------------------------------------------------

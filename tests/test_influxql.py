@@ -764,6 +764,26 @@ def test_holt_winters_appends_forecast_buckets(spark, events):
         parse_influxql(
             "SELECT holt_winters(mean(v), 3, 1.5) FROM m GROUP BY time(1h)"
         )
+    # error-contract totality: nan/inf/garbage numeric args must raise
+    # InfluxQLError, never a raw ValueError/OverflowError from int()
+    for bad_n in ("nan", "inf", "x"):
+        with pytest.raises(InfluxQLError):
+            parse_influxql(
+                f"SELECT holt_winters(mean(v), {bad_n}, 0) FROM m "
+                "GROUP BY time(1h)"
+            )
+        with pytest.raises(InfluxQLError):
+            parse_influxql(
+                f"SELECT holt_winters(mean(v), 3, {bad_n}) FROM m "
+                "GROUP BY time(1h)"
+            )
+        with pytest.raises(InfluxQLError):
+            parse_influxql(f"SELECT top(v, {bad_n}) FROM m")
+        with pytest.raises(InfluxQLError):
+            parse_influxql(
+                f"SELECT moving_average(mean(v), {bad_n}) FROM m "
+                "GROUP BY time(1h)"
+            )
 
 
 def test_holt_winters_seasonal_tracks_daily_pattern(spark):

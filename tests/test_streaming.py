@@ -731,7 +731,19 @@ def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_pa
     events.repartition(4).write.parquet(src)
     table_path = str(tmp_path / "rollup_table")
 
+    import os as _os
+
+    marker_dir = str(tmp_path / "batch_markers")
+    _os.makedirs(marker_dir)
+
     def maintain(batch_df, batch_id):
+        # Exactly-once under foreachBatch redelivery: merging states with
+        # sum() is NOT replay-idempotent (a redelivered batch would
+        # double-count into the absorbed states), so the recipe follows
+        # the standard batch-id ledger — a replayed id is skipped whole.
+        marker = _os.path.join(marker_dir, str(batch_id))
+        if _os.path.exists(marker):
+            return
         fresh = daily_partials(
             batch_df, dims=["event_type"], ts="ts", value="value"
         )
@@ -740,9 +752,9 @@ def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_pa
             existing = s.read.parquet(table_path)
         except Exception:
             existing = fresh.limit(0)
-        # A micro-batch may split a (day, type) grain across batches: merge
-        # the fresh partials with the existing STATES for those keys first
-        # (states add), then replace — still idempotent per batch replay.
+        # A micro-batch may split a (day, type) grain across batches:
+        # merge the fresh partials with the existing STATES (states add),
+        # then replace the touched grain keys.
         merged = (
             existing.unionByName(fresh)
             .groupBy("bucket", "event_type")
@@ -758,6 +770,7 @@ def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_pa
         s.read.parquet(table_path + ".tmp").write.mode("overwrite").parquet(
             table_path
         )
+        open(marker, "w").close()  # commit the ledger entry LAST
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -782,3 +795,10 @@ def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_pa
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+    # Redeliver a batch (foreachBatch's at-least-once contract): the
+    # ledger must make the replay a no-op, not a double count.
+    before = {tuple(r) for r in spark.read.parquet(table_path).collect()}
+    maintain(events.limit(500), 0)  # batch id 0 already committed
+    after = {tuple(r) for r in spark.read.parquet(table_path).collect()}
+    assert after == before
