@@ -266,6 +266,7 @@ HEADLINE = [
     "cube_order_status_priority",
     "emb_knn_label_eval",
     "dedup_cross_source_matrix",
+    "profile_correlations",
 ]
 
 

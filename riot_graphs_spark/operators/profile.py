@@ -537,3 +537,59 @@ def heavy_hitters_grouped(
             (F.col("cnt") / F.col("_n")).alias("share"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str], round_to: int = 9
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE aggregation pass —
+    the feature-redundancy screen a profiling stage runs before training
+    (highly-correlated metrics → drop one, or a data bug: two "independent"
+    signals reading the same sensor).
+
+    All moments (per-column sums and squares, per-pair cross sums) ride a
+    single partial-aggregable ``agg`` over one scan — O(k²) aggregate
+    expressions, never k² scans or a row-matrix collect.  Sums accumulate
+    in ``decimal(18,6)``-derived exact decimals, so the moment values are
+    bit-identical across engines and partitionings; r is then computed in
+    float64 from those exact sums:
+
+        r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²))
+
+    Output: one row per unordered pair ``(col_a, col_b, r double)`` in the
+    given column order.  NULL-free numeric columns expected (the TPC-H
+    measure columns); a zero-variance column yields NULL r (0/0) rather
+    than a crash.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    dec = [F.col(c).cast("decimal(18,6)") for c in cols]
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(dec[i]).cast("double").alias(f"_s{i}"))
+        aggs.append(F.sum(dec[i] * dec[i]).cast("double").alias(f"_ss{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(dec[i] * dec[j]).cast("double").alias(f"_p{i}_{j}")
+            )
+    one = df.agg(*aggs)
+    n = F.col("_n")
+    rows = []
+    for i, ca in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            cb = cols[j]
+            num = n * F.col(f"_p{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            var_a = n * F.col(f"_ss{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            var_b = n * F.col(f"_ss{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            rows.append(
+                F.struct(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    # try_divide: zero variance -> NULL r under ANSI mode
+                    F.round(
+                        F.try_divide(num, F.sqrt(var_a * var_b)), round_to
+                    ).alias("r"),
+                )
+            )
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

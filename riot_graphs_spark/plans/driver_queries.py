@@ -9179,6 +9179,59 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corr_matrix_oracle(cols: tuple[str, ...]) -> str:
+    """Unrolled SQL twin of profile.correlation_matrix: exact decimal
+    moments cast to double, identical IEEE arithmetic for r.
+
+    DECIMAL(19,6) operands, not (18,6): DuckDB stores width ≤ 18 in int64
+    and its decimal multiply overflows the RAW int64 instead of promoting
+    (observed: 68423.46 × 68423.46 at scale 6); width 19 forces int128
+    storage and an exact (38,12) product — same exact values as Spark's
+    (18,6)→(37,12) arithmetic."""
+    d = {c: f"({c}::DECIMAL(19,6))" for c in cols}
+    moments = ["count(*)::DOUBLE AS n"]
+    for i, c in enumerate(cols):
+        moments.append(f"CAST(sum({d[c]}) AS DOUBLE) AS s{i}")
+        moments.append(f"CAST(sum({d[c]}*{d[c]}) AS DOUBLE) AS ss{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            moments.append(
+                f"CAST(sum({d[cols[i]]}*{d[cols[j]]}) AS DOUBLE) AS p{i}_{j}"
+            )
+    sel = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sel.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"round((n*p{i}_{j} - s{i}*s{j}) / "
+                f"sqrt((n*ss{i} - s{i}*s{i})*(n*ss{j} - s{j}*s{j})), 9) AS r "
+                "FROM s"
+            )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@_q("profile_correlations", _corr_matrix_oracle(_CORR_COLS))
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measure columns in one
+    aggregation pass (operators.profile.correlation_matrix) — the
+    feature-redundancy screen of a profiling stage. All O(k²) moments ride
+    a single scan's partial aggregate; exact decimal sums make r
+    engine-identical."""
+    from ..operators.profile import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"), list(_CORR_COLS)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

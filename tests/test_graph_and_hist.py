@@ -1032,3 +1032,42 @@ def test_k_core_peels_pendant_chain(spark):
     assert one == {1, 2, 3}  # 4's degree drops to 1 after 5 peels
     with __import__("pytest").raises(ValueError):
         k_core_peel(edges, k=0)
+
+
+def test_correlation_matrix_hand_computed(spark):
+    import math
+
+    from riot_graphs_spark.operators.profile import correlation_matrix
+
+    # y = 2x (r=1), z anti-correlated with x (r<0), w constant (NULL r)
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(x, 2 * x, 6.0 - x, 7.0) for x in xs]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {
+        (r.col_a, r.col_b): r.r
+        for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert len(got) == 6
+    assert abs(got[("x", "y")] - 1.0) < 1e-9
+    assert abs(got[("x", "z")] + 1.0) < 1e-9
+    assert got[("x", "w")] is None  # zero variance -> NULL, not a crash
+
+    # spot-check a non-trivial pair against the textbook formula
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(p * q for p, q in zip(a, b)) - sa * sb
+        den = math.sqrt(
+            (n * sum(p * p for p in a) - sa * sa)
+            * (n * sum(q * q for q in b) - sb * sb)
+        )
+        return num / den
+
+    ys = [2 * x for x in xs]
+    zs = [6.0 - x for x in xs]
+    assert abs(got[("y", "z")] - round(pearson(ys, zs), 9)) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
