@@ -267,6 +267,7 @@ HEADLINE = [
     "emb_knn_label_eval",
     "dedup_cross_source_matrix",
     "profile_correlations",
+    "assoc_lang_source",
 ]
 
 

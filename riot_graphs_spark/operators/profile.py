@@ -593,3 +593,65 @@ def correlation_matrix(
                 )
             )
     return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-squared association between two categorical columns with the
+    Cramér's V effect size — the categorical companion to
+    :func:`correlation_matrix` (is `lang` independent of `source`, or is
+    one crawl feeding one language?).
+
+    One joint-count groupBy is the only corpus-sized shuffle; marginals and
+    the total derive from the (|A|·|B|)-row contingency table, which comes
+    back broadcast.  Each cell's ``(O−E)²/E`` term is quantized to
+    ``decimal(28,12)`` before the final sum so the statistic is independent
+    of cell summation order — the cross-engine/partitioning determinism
+    rule every reduction here follows.  NULL categories count as their own
+    level (dropped rows would bias the marginals silently).
+
+    Output: one row ``(col_a, col_b, n bigint, dof bigint, chi2 double,
+    cramers_v double)``; V is NULL for a degenerate 1×m table.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    joint = df.select(a.alias("_a"), b.alias("_b")).groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_o")
+    )
+    ra = joint.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = joint.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = joint.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct("_a").alias("_r"),
+        F.count_distinct("_b").alias("_c"),
+    )
+    # The full |A|x|B| level grid, not just observed cells: a ZERO cell
+    # still contributes (0-E)^2/E — omitting unobserved combinations
+    # understates chi2 exactly when association is strongest.
+    cells = (
+        F.broadcast(ra)
+        .crossJoin(F.broadcast(cb))
+        .join(joint, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_o", F.coalesce("_o", F.lit(0.0)))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    term = ((F.col("_o") - e) * (F.col("_o") - e) / e).cast("decimal(28,12)")
+    agg = cells.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.first("_n").alias("_n"),
+        F.first("_r").alias("_r"),
+        F.first("_c").alias("_c"),
+    )
+    k = F.least(F.col("_r"), F.col("_c")) - 1
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("_n").cast("long").alias("n"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.try_divide(F.col("chi2"), F.col("_n") * k)), 9
+        ).alias("cramers_v"),
+    )

@@ -9232,6 +9232,52 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "assoc_lang_source",
+    """
+    WITH j AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS a,
+             coalesce(source, chr(0) || 'null') AS b,
+             count(*)::DOUBLE AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ra FROM j GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS cb FROM j GROUP BY 1),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
+                   count(DISTINCT b) AS c FROM j),
+    cells AS (
+      -- full level grid: zero cells still contribute (0-E)^2/E
+      SELECT CAST((coalesce(o, 0) - ra*cb/n)*(coalesce(o, 0) - ra*cb/n)
+                  / (ra*cb/n) AS DECIMAL(28,12)) AS term, n, r, c
+      FROM ra CROSS JOIN cb
+      LEFT JOIN j ON j.a = ra.a AND j.b = cb.b
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(sum(term) AS DOUBLE) AS chi2,
+             first(n) AS n, first(r) AS r, first(c) AS c
+      FROM cells
+    )
+    SELECT 'lang' AS col_a, 'source' AS col_b, CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))), 9) AS cramers_v
+    FROM agg
+    """,
+)
+def assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared / Cramér's V association between lang and source
+    (operators.profile.categorical_association) — the categorical
+    companion to the Pearson matrix: is one crawl feeding one language?
+    One corpus-sized groupBy; cell terms decimal-quantized so the
+    statistic is summation-order-independent."""
+    from ..operators.profile import categorical_association
+
+    return categorical_association(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

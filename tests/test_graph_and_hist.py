@@ -1071,3 +1071,36 @@ def test_correlation_matrix_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+def test_categorical_association_hand_computed(spark):
+    """2x2 contingency table with known chi2; NULL categories are their
+    own level, perfectly-associated columns give V = 1."""
+    from riot_graphs_spark.operators.profile import categorical_association
+
+    # table: a1/b1 30, a1/b2 10, a2/b1 10, a2/b2 30  (n=80)
+    rows = (
+        [("a1", "b1")] * 30 + [("a1", "b2")] * 10
+        + [("a2", "b1")] * 10 + [("a2", "b2")] * 30
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = categorical_association(df, "x", "y").collect()[0]
+    # expected all cells e=20: chi2 = 4 * (10^2 / 20) = 20
+    assert got.n == 80 and got.dof == 1
+    assert abs(got.chi2 - 20.0) < 1e-9
+    assert abs(got.cramers_v - (20.0 / 80) ** 0.5) < 1e-9
+
+    # perfect association: y determined by x -> V = 1
+    det = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 5, "x string, y string"
+    )
+    got2 = categorical_association(det, "x", "y").collect()[0]
+    assert abs(got2.cramers_v - 1.0) < 1e-9
+
+    # NULLs are a level, not dropped
+    with_null = spark.createDataFrame(
+        [("a", "p"), ("a", None), (None, "p"), (None, None)],
+        "x string, y string",
+    )
+    got3 = categorical_association(with_null, "x", "y").collect()[0]
+    assert got3.n == 4 and got3.dof == 1
