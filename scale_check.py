@@ -364,6 +364,20 @@ def _xsource(documents):
     return cross_source_overlap(documents, block_tokens=10)
 
 
+def _corrmat(lineitem):
+    from riot_graphs_spark.operators.profile import correlation_matrix
+
+    return correlation_matrix(
+        lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _assoc(documents):
+    from riot_graphs_spark.operators.profile import categorical_association
+
+    return categorical_association(documents, "lang", "source")
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -474,6 +488,10 @@ def main() -> None:
         # (source, unit) set + source-bounded self-join
         "rollup_weekly": lambda t: _rollup(t["events"]),
         "dedup_cross_source": lambda t: _xsource(t["documents"]),
+        # single-agg profiling passes: O(k^2) moment expressions / one
+        # joint-count groupBy + broadcast grid — must be ~linear
+        "profile_correlations": lambda t: _corrmat(t["lineitem"]),
+        "assoc_lang_source": lambda t: _assoc(t["documents"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
