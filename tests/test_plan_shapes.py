@@ -626,3 +626,22 @@ def test_cube_is_one_pass_expand_aggregate(spark):
     assert "Union" not in plan and "Join" not in plan
     assert shuffle_count(plan) == 1
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_correlation_matrix_is_one_agg_no_join(spark):
+    # All O(k^2) moments ride a single partial-aggregable agg over one
+    # scan; the per-pair r computation is a row-local explode — no joins,
+    # no windows, exactly one (single-partition final-agg) plan.
+    plan = formatted_plan(spark, "profile_correlations")
+    assert "Join" not in plan and "Window" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "partial" in plan.lower()  # map-side combine of the moments
+
+
+def test_assoc_grid_joins_are_broadcast(spark):
+    # The level-grid construction and the joint-count attach must all be
+    # broadcast joins over the (|A|x|B|)-bounded tables — the only
+    # corpus-sized exchange is the joint-count groupBy.
+    plan = formatted_plan(spark, "assoc_lang_source")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
