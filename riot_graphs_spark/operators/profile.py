@@ -504,12 +504,18 @@ def heavy_hitters_grouped(
     def _candidates(batches):
         groups: dict[str, dict[str, int]] = {}
         for pdf in batches:
+            # only compress groups this batch actually touched — compressing
+            # every group after every batch is O(batches × groups × cap log
+            # cap) wasted re-sorting on wide corpora
+            touched: set[str] = set()
             for (g, k), c in (
                 pdf.groupby(["_gstr", "k"], sort=False).size().items()
             ):
                 counts = groups.setdefault(g, {})
                 counts[k] = counts.get(k, 0) + int(c)
-            for g, counts in groups.items():
+                touched.add(g)
+            for g in touched:
+                counts = groups[g]
                 if len(counts) > cap:
                     d = sorted(counts.values(), reverse=True)[cap]
                     groups[g] = {k: c - d for k, c in counts.items() if c > d}
@@ -556,6 +562,13 @@ def correlation_matrix(
 
         r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²))
 
+    MAGNITUDE BOUND: inputs must fit ``decimal(18,6)`` — |x| < 10^12.  The
+    pair products must stay inside Spark's 38-digit decimal cap to keep the
+    moments exact (``(18,6)×(18,6) → (37,12)``), so the bound is structural,
+    not an implementation shortcut.  A value with more than 12 integer
+    digits FAILS LOUDLY at execution (``raise_error``) rather than silently
+    NULLing the whole moment sum; rescale such features first.
+
     Output: one row per unordered pair ``(col_a, col_b, r double)`` in the
     given column order.  NULL-free numeric columns expected (the TPC-H
     measure columns); a zero-variance column yields NULL r (0/0) rather
@@ -566,6 +579,12 @@ def correlation_matrix(
     dec = [F.col(c).cast("decimal(18,6)") for c in cols]
     aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
     for i, c in enumerate(cols):
+        # non-null input whose (18,6) cast came back NULL = overflow
+        aggs.append(
+            F.count(
+                F.when(F.col(c).isNotNull() & dec[i].isNull(), F.lit(1))
+            ).alias(f"_ovf{i}")
+        )
         aggs.append(F.sum(dec[i]).cast("double").alias(f"_s{i}"))
         aggs.append(F.sum(dec[i] * dec[i]).cast("double").alias(f"_ss{i}"))
     for i in range(len(cols)):
@@ -575,6 +594,19 @@ def correlation_matrix(
             )
     one = df.agg(*aggs)
     n = F.col("_n")
+    ovf_total = None
+    for i in range(len(cols)):
+        c = F.col(f"_ovf{i}")
+        ovf_total = c if ovf_total is None else ovf_total + c
+    guard = F.when(
+        ovf_total > 0,
+        F.raise_error(
+            F.lit(
+                "correlation_matrix: input exceeds decimal(18,6) "
+                "(>12 integer digits) — rescale the feature"
+            )
+        ).cast("double"),
+    )
     rows = []
     for i, ca in enumerate(cols):
         for j in range(i + 1, len(cols)):
@@ -586,9 +618,15 @@ def correlation_matrix(
                 F.struct(
                     F.lit(ca).alias("col_a"),
                     F.lit(cb).alias("col_b"),
+                    # guard first: coalesce short-circuits, so raise_error
+                    # fires iff any input overflowed its decimal cast;
                     # try_divide: zero variance -> NULL r under ANSI mode
-                    F.round(
-                        F.try_divide(num, F.sqrt(var_a * var_b)), round_to
+                    F.coalesce(
+                        guard,
+                        F.round(
+                            F.try_divide(num, F.sqrt(var_a * var_b)),
+                            round_to,
+                        ),
                     ).alias("r"),
                 )
             )

@@ -575,9 +575,13 @@ def ewma_window(
         dens.append(F.when(xi.isNotNull(), wlit).otherwise(zero_w))
     num = reduce(lambda x, y: x + y, nums)
     den = reduce(lambda x, y: x + y, dens)
+    # try_divide: if the row's value and all k-1 lags are NULL, den is 0 —
+    # plain `/` would throw DIVIDE_BY_ZERO under ANSI mode (NULL is right).
     return df.withColumn(
         out,
-        F.round(num.cast("double") / den.cast("double"), round_to),
+        F.round(
+            F.try_divide(num.cast("double"), den.cast("double")), round_to
+        ),
     )
 
 

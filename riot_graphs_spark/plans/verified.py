@@ -111,8 +111,40 @@ _ROUND_4 = [
     "supplier_scorecard", "decontaminated_corpus", "flagship_daily_delta",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r05.json.
+#: The round's 10 ``no_oracle`` rows (``sketch_stats``, ``ts_ewma``,
+#: ``ann_recall_ivf``, ``ts_holt_forecast``, ``ts_holt_winters_seasonal``,
+#: ``dau_wau_sketch_rollup``, ``emb_kmeans_cells``, ``bpe_train_merges``,
+#: ``mm_phash_pairs``, ``mm_audio_neardup``) are the rows-only-by-design set
+#: pre-declared in COVERAGE.md; every one returned non-vacuous rows, which is
+#: the strongest driver signal that class of query can get, so they are
+#: treated as driver-rowed and included here to free r06 window slots for new
+#: registrations.  The five tail names (``flagship_daily_delta`` +
+#: ``p1/p2/p5/p9``) were already in ``_ROUND_1``; frozenset union dedupes.
+_ROUND_5 = [
+    "ts_ewma_window", "dq_winsorize_events", "mixture_temperature",
+    "emb_l2_normalize", "dedup_containment_pairs", "ccnet_perplexity_buckets",
+    "text_bigram_lm", "freq_heavy_hitters", "freq_heavy_hitters_grouped",
+    "dedup_paragraph_hashes", "corpus_global_index", "url_dedup_domains",
+    "ngram_leakage_report", "emb_matryoshka_recall", "graph_pagerank_parts",
+    "ts_level_shift", "text_collocations_pmi", "graph_triangle_profile",
+    "dedup_sorted_neighborhood", "graph_hits_bipartite",
+    "item_item_similarity", "hybrid_search_rrf", "graph_label_propagation",
+    "graph_k_core", "path_top_sequences", "retention_km_curve",
+    "funnel_time_to_convert", "minhash_estimate_error",
+    "url_exact_dedup_groups", "rollup_incremental_weekly",
+    "cube_order_status_priority", "emb_knn_label_eval",
+    "dedup_cross_source_matrix", "profile_correlations", "assoc_lang_source",
+    "flagship_daily_delta", "p1_json_props", "p2_derived_revenue",
+    "p5_regex_extract", "p9_time_range",
+    # rows-only-by-design set with non-vacuous r05 driver rows:
+    "sketch_stats", "ts_ewma", "ann_recall_ivf", "ts_holt_forecast",
+    "ts_holt_winters_seasonal", "dau_wau_sketch_rollup", "emb_kmeans_cells",
+    "bpe_train_merges", "mm_phash_pairs", "mm_audio_neardup",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4
+    _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5
 )
 
 #: Queries REGISTERED AFTER a round's ~50-slot window was already exactly
@@ -123,7 +155,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #:
 #: Emptied for r05: the 28 names deferred during r04 (26 oracle-paired +
 #: url_exact_dedup_groups + mm_phash_pairs/mm_audio_neardup rows-only) now
-#: head the window per the unverified-first rule.
+#: head the window per the unverified-first rule.  Kept empty for r06: every
+#: pre-r06 registration now has a driver row, so all window slots go to the
+#: round-6 registrations.
 DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 

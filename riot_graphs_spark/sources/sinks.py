@@ -201,6 +201,12 @@ def zorder_value(
     uses range ids); heavily skewed columns trade some balance for the
     zero-shuffle bucketization — acceptable because the z-value is a SORT
     key, not a partition count.  ``bits·|cols|`` must fit 63 bits.
+
+    NULL layout keys: a NULL in any z-order column scales to the clamp
+    floor (scaled 0, the same cell as the column minimum), so ``_z`` is
+    never NULL and ``write_zordered``'s ``repartitionByRange`` spreads such
+    rows across the normal range partitions instead of lumping every
+    NULL-keyed row into one file.
     """
     if not cols:
         raise ValueError("need at least one z-order column")
@@ -219,14 +225,19 @@ def zorder_value(
         mn = float(row[f"_mn{i}"]) if row[f"_mn{i}"] is not None else 0.0
         mx = float(row[f"_mx{i}"]) if row[f"_mx{i}"] is not None else 0.0
         span = (mx - mn) or 1.0
+        # coalesce: NULL inputs land on the clamp floor (scaled 0) so _z
+        # stays non-NULL and range partitioning spreads NULL-keyed rows
         scaled = F.least(
             F.lit(top),
             F.greatest(
                 F.lit(0),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(span) * F.lit(float(top))
-                ).cast("long"),
+                F.coalesce(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn))
+                        / F.lit(span) * F.lit(float(top))
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
             ),
         )
         for b in range(bits):

@@ -147,6 +147,31 @@ def test_ewma_window_matches_hand_weights(spark):
     assert got[0] == xs[0]
 
 
+def test_ewma_window_all_null_window_is_null_under_ansi(spark):
+    """A row whose value AND all k-1 lags are NULL has a zero weight sum;
+    the division must yield NULL (try_divide), not DIVIDE_BY_ZERO under
+    ANSI mode."""
+    from riot_graphs_spark.operators.timeseries import ewma_window
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("a", 3, 5.0)],
+        "s string, t long, value double",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r.t: r.ewma_w
+            for r in ewma_window(
+                df, dims=["s"], ts="t", value="value", k=2
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got[1] is None and got[2] is None
+    assert abs(got[3] - 5.0) < 1e-9  # lone present term renormalizes to x
+
+
 def test_ewma_window_validates(spark):
     import pytest as _pytest
 
@@ -1071,6 +1096,21 @@ def test_correlation_matrix_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+def test_correlation_matrix_overflow_fails_loudly(spark):
+    """A value with >12 integer digits overflows the decimal(18,6) moment
+    cast; the operator must raise_error at execution instead of silently
+    returning NULL r."""
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0e13, 1.0), (2.0e13, 2.0)], "x double, y double"
+    )
+    with _pytest.raises(Exception, match="decimal\\(18,6\\)"):
+        correlation_matrix(df, ["x", "y"]).collect()
 
 
 def test_categorical_association_hand_computed(spark):

@@ -442,3 +442,18 @@ def test_zorder_value_validates_and_handles_constant_columns(spark):
         zorder_value(df, [], bits=8)
     with _pytest.raises(ValueError):
         zorder_value(df, ["a", "b"], bits=32)
+
+
+def test_zorder_value_null_keys_land_on_clamp_floor(spark):
+    """NULL z-order inputs must scale to cell 0, never a NULL _z — a NULL
+    _z would lump every such row into one repartitionByRange partition."""
+    from riot_graphs_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(None, 10.0), (5, None), (None, None), (0, 0.0), (10, 20.0)],
+        "a int, b double",
+    )
+    got = {(r.a, r.b): r._z for r in zorder_value(df, ["a", "b"], bits=4).collect()}
+    assert all(z is not None for z in got.values())
+    # a NULL behaves exactly like the column minimum (clamp floor)
+    assert got[(None, None)] == got[(0, 0.0)]
