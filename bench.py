@@ -268,6 +268,12 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "profile_correlations",
     "assoc_lang_source",
+    # round-6 registrations
+    "rollup_incremental_percentiles",
+    "psi_value_drift",
+    "ks_value_drift",
+    "mi_lang_source",
+    "freq_trending_daily_users",
 ]
 
 

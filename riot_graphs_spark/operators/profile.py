@@ -693,3 +693,254 @@ def categorical_association(
             F.sqrt(F.try_divide(F.col("chi2"), F.col("_n") * k)), 9
         ).alias("cramers_v"),
     )
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    feature — the standard "did my corpus distribution shift between
+    dumps" monitor a training-data pipeline runs per ingest (the numeric
+    companion to ``textstats.token_drift``'s JS divergence; the
+    reference's whole product is this question for build sizes,
+    ``/root/reference/rg.py:269-285`` nightly deltas).  Rule of thumb:
+    PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Bins are FIXED bounds supplied by the caller (in practice: recorded
+    with the baseline snapshot), the same clamped ``floor((x-lo)/width)``
+    arithmetic as ``fixed_histogram`` — never re-derived from the data,
+    so a tail shift moves mass between bins instead of silently moving
+    the bins.  Per bin ``PSI_bin = (p_a - p_b)·ln(p_a/p_b)`` with
+    Laplace-style +0.5 smoothing per bin (PSI is infinite on empty bins
+    otherwise; the smoothed form is finite, still ~0 when stable), summed
+    over the FULL bin grid so empty bins on one side contribute.  Terms
+    are quantized to ``decimal(28,12)`` before the sum — summation-order
+    independence, the determinism rule every reduction here follows.
+
+    Plan: ONE scan per snapshot into a tagged-union count groupBy (the
+    only corpus-sized shuffle), reduced to one row per group carrying its
+    bin counts as a bounded (≤ nbuckets entries) map — the full bin grid
+    is then exploded from that row, so neither the group spine nor the
+    per-bin join ever re-reads the fact.  NULL values and NULL group keys
+    are excluded.
+
+    Output: one row per group — ``(*group_cols, n_a bigint, n_b bigint,
+    psi double)``.
+    """
+    if nbuckets < 1 or not hi > lo:
+        raise ValueError("need nbuckets >= 1 and hi > lo")
+    width = (hi - lo) / nbuckets
+    gcols = list(group_cols)
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        x = F.col(value_col)
+        keep = x.isNotNull()
+        for g in gcols:
+            keep = keep & F.col(g).isNotNull()
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(nbuckets - 1), F.floor((x - F.lit(lo)) / F.lit(width))
+            ),
+        ).cast("int")
+        return df.filter(keep).select(
+            *gcols,
+            b.alias("bin"),
+            F.lit(1 - tag).alias("_ia"),
+            F.lit(tag).alias("_ib"),
+        )
+
+    counts = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .groupBy(*gcols, "bin")
+        .agg(F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb"))
+    )
+    per_group = counts.groupBy(*gcols).agg(
+        F.sum("_na").alias("_ta"),
+        F.sum("_nb").alias("_tb"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", F.struct("_na", "_nb")))
+        ).alias("_m"),
+    )
+    grid = per_group.select(
+        *gcols,
+        "_ta",
+        "_tb",
+        F.explode(F.sequence(F.lit(0), F.lit(nbuckets - 1))).alias("bin"),
+        "_m",
+    ).select(
+        *gcols,
+        "_ta",
+        "_tb",
+        F.coalesce(F.col("_m")[F.col("bin")]["_na"], F.lit(0)).alias("_na"),
+        F.coalesce(F.col("_m")[F.col("bin")]["_nb"], F.lit(0)).alias("_nb"),
+    )
+    half_nb = 0.5 * nbuckets
+    pa = (F.col("_na").cast("double") + F.lit(0.5)) / (
+        F.col("_ta").cast("double") + F.lit(half_nb)
+    )
+    pb = (F.col("_nb").cast("double") + F.lit(0.5)) / (
+        F.col("_tb").cast("double") + F.lit(half_nb)
+    )
+    term = ((pa - pb) * F.log(pa / pb)).cast("decimal(28,12)")
+    return grid.groupBy(*gcols).agg(
+        F.max("_ta").alias("n_a"),
+        F.max("_tb").alias("n_b"),
+        F.round(F.sum(term).cast("double"), 9).alias("psi"),
+    )
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two snapshots of a
+    numeric column: ``D = max_x |F_a(x) − F_b(x)|`` over the observed
+    support — the bin-free companion to :func:`psi_report` (PSI needs a
+    bound spec and quantizes to bins; KS sees any shift, at the cost of a
+    per-distinct-value cumulative pass).
+
+    Exactness/determinism: per distinct value the two empirical CDFs are
+    ratios of exact integer counts, each row's ``|F_a−F_b|`` is one IEEE
+    expression on four ints, and ``max`` is summation-order-free — no
+    quantization needed anywhere.
+
+    Plan: one tagged union + count groupBy (corpus-sized, partial-
+    aggregable), then windows over the DISTINCT-VALUE axis within each
+    group — at 100 TB the distinct axis of a measure column is the small
+    side; for a truly continuous column, pre-quantize upstream.  NULL
+    values and NULL group keys are excluded.
+
+    Output: one row per group — ``(*group_cols, n_a bigint, n_b bigint,
+    ks_d double)``.
+    """
+    gcols = list(group_cols)
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        keep = F.col(value_col).isNotNull()
+        for g in gcols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *gcols,
+            F.col(value_col).alias("_v"),
+            F.lit(1 - tag).alias("_a"),
+            F.lit(tag).alias("_b"),
+        )
+
+    u = side(df_a, 0).unionByName(side(df_b, 1))
+    counts = u.groupBy(*gcols, "_v").agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    c = (
+        counts.withColumn("_ca", F.sum("_na").over(w_cum))
+        .withColumn("_cb", F.sum("_nb").over(w_cum))
+        .withColumn("_ta", F.sum("_na").over(w_tot))
+        .withColumn("_tb", F.sum("_nb").over(w_tot))
+    )
+    d = F.abs(
+        F.col("_ca").cast("double") / F.col("_ta").cast("double")
+        - F.col("_cb").cast("double") / F.col("_tb").cast("double")
+    )
+    return c.groupBy(*gcols).agg(
+        F.max("_ta").alias("n_a"),
+        F.max("_tb").alias("n_b"),
+        F.round(F.max(d), 9).alias("ks_d"),
+    )
+
+
+def categorical_mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (and its normalized form) between two
+    categorical columns — the information-theoretic companion to
+    :func:`categorical_association`: chi²/Cramér's V answers "are they
+    associated at all", MI answers "how many nats does knowing one save
+    about the other", the quantity a mixture designer reads before
+    collapsing two stratification keys into one.
+
+    ``MI = Σ_{a,b} p(a,b)·ln(p(a,b)/(p(a)·p(b)))`` over OBSERVED cells
+    only (an empty cell's term is exactly 0 — unlike chi², no level grid
+    is needed), with ``NMI = MI / sqrt(H(A)·H(B))`` in [0, 1].  Every
+    log term is quantized to ``decimal(28,12)`` before its sum, the usual
+    summation-order rule.  NULL categories count as their own level,
+    matching :func:`categorical_association`.
+
+    Plan: ONE corpus scan into the joint-count groupBy; marginals, the
+    grand total, and the per-level entropy terms all come from WINDOWS
+    over the contingency table itself (|A|·|B|-observed-cells-sized,
+    never fact-sized) — re-deriving them as separate aggregates would
+    rescan the corpus once per marginal.  Entropy terms are emitted once
+    per level (row_number-gated within the level's cell run) so their
+    quantized sums match a per-level computation exactly.
+
+    Output: one row ``(col_a, col_b, n bigint, mi double, nmi double)``;
+    NMI is NULL when either column is constant (zero entropy).
+    """
+    dec = "decimal(28,12)"
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    joint = (
+        df.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    cells = (
+        joint.withColumn("_ma", F.sum("_o").over(Window.partitionBy("_a")))
+        .withColumn("_mb", F.sum("_o").over(Window.partitionBy("_b")))
+        .withColumn("_n", F.sum("_o").over(Window.partitionBy()))
+        .withColumn(
+            "_rna",
+            F.row_number().over(Window.partitionBy("_a").orderBy("_b")),
+        )
+        .withColumn(
+            "_rnb",
+            F.row_number().over(Window.partitionBy("_b").orderBy("_a")),
+        )
+    )
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    mi_term = (
+        (dbl("_o") / dbl("_n"))
+        * F.log(dbl("_n") * dbl("_o") / (dbl("_ma") * dbl("_mb")))
+    ).cast(dec)
+    pa, pb = dbl("_ma") / dbl("_n"), dbl("_mb") / dbl("_n")
+    zero = F.lit(0).cast(dec)
+    ha_term = F.when(
+        F.col("_rna") == 1, (-(pa * F.log(pa))).cast(dec)
+    ).otherwise(zero)
+    hb_term = F.when(
+        F.col("_rnb") == 1, (-(pb * F.log(pb))).cast(dec)
+    ).otherwise(zero)
+    agg = cells.agg(
+        F.sum(mi_term).cast("double").alias("mi"),
+        F.sum(ha_term).cast("double").alias("_ha"),
+        F.sum(hb_term).cast("double").alias("_hb"),
+        F.max("_n").alias("_n"),
+    )
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("_n").cast("long").alias("n"),
+        F.round("mi", 9).alias("mi"),
+        F.round(
+            F.try_divide(F.col("mi"), F.sqrt(F.col("_ha") * F.col("_hb"))),
+            9,
+        ).alias("nmi"),
+    )

@@ -86,6 +86,127 @@ def merge_to_grain(
     )
 
 
+def histogram_partials(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    nbuckets: int = 50,
+    grain: str = "day",
+) -> DataFrame:
+    """Mergeable QUANTILE state at the finest grain: a fixed-boundary
+    equi-width histogram per (``grain`` bucket, dims) — one row per
+    non-empty bin.  Bin counts are plain ints, so merging day states into
+    a week is exact addition: the one aggregate family
+    :func:`daily_partials` could not carry (avg-style derived quantiles
+    are non-mergeable; bin counts are), closing the "weekly p95 panel
+    without rescanning the fact" gap.
+
+    Bin index is the same clamped ``floor((x - lo) / width)`` arithmetic
+    as ``profile.fixed_histogram`` (bit-identical across engines, stays in
+    whole-stage codegen; out-of-range values land in the edge bins so
+    totals reconcile with ``count(*)``).  NULL values are excluded.  The
+    bin's lower edge rides along as a derived column so readers never need
+    the (lo, hi, nbuckets) spec again.
+
+    Output: ``(bucket timestamp, *dims, bin int, edge_lo double,
+    n bigint)``.
+    """
+    if nbuckets < 1 or not hi > lo:
+        raise ValueError("need nbuckets >= 1 and hi > lo")
+    width = (hi - lo) / nbuckets
+    x = F.col(value)
+    bucket_bin = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nbuckets - 1), F.floor((x - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(
+            F.date_trunc(grain, F.col(ts)).alias("bucket"),
+            *dims,
+            bucket_bin.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "edge_lo", F.lit(lo) + F.col("bin").cast("double") * F.lit(width)
+        )
+        .select("bucket", *dims, "bin", "edge_lo", "n")
+    )
+
+
+def merge_histogram_to_grain(
+    partials: DataFrame, dims: Sequence[str], grain: str = "week"
+) -> DataFrame:
+    """Merge finer-grain histogram states into ``grain`` buckets — bin
+    counts ADD, exactly, so day→week merge equals the histogram computed
+    directly from the fact (the invariant the registered query pins
+    against the SQL oracle).  Shuffles only partial rows, never the fact.
+    """
+    return (
+        partials.groupBy(
+            F.date_trunc(grain, F.col("bucket")).alias("bucket"),
+            *dims,
+            "bin",
+            "edge_lo",
+        )
+        .agg(F.sum("n").alias("n"))
+        .select("bucket", *dims, "bin", "edge_lo", "n")
+    )
+
+
+def histogram_percentiles(
+    hist: DataFrame,
+    dims: Sequence[str],
+    percentiles: Sequence[int] = (50, 95, 99),
+) -> DataFrame:
+    """Derive nearest-rank percentiles (at bin resolution) from a
+    histogram-state table at read time: per (bucket, dims), ``pQQ`` is the
+    LOWER EDGE of the first bin whose cumulative count reaches QQ% of the
+    group — the deterministic integer comparison ``100·cum >= QQ·total``
+    (no floating-point rank), so the result is engine-identical given
+    identical bin counts.
+
+    Resolution is the bin width by construction: the answer is exact to
+    within one bin, the textbook fixed-histogram quantile guarantee; size
+    ``nbuckets`` to the dashboard's tolerance.  Percentile targets are
+    integer percents (50, 95, 99…).
+
+    The window runs over bins WITHIN one (bucket, dims) group — state-
+    table-sized (≤ nbuckets rows per group), never fact-sized.
+
+    Output: ``(bucket, *dims, n_rows bigint, p50 double, p95 double, …)``.
+    """
+    from pyspark.sql import Window
+
+    for q in percentiles:
+        if not 0 < q <= 100:
+            raise ValueError("percentiles are integer percents in (0, 100]")
+    keys = ["bucket", *dims]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    c = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    aggs = [F.max("tot").alias("n_rows")]
+    for q in percentiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(int(q)) * F.col("tot"),
+                    F.col("edge_lo"),
+                )
+            ).alias(f"p{int(q)}")
+        )
+    return c.groupBy(*keys).agg(*aggs)
+
+
 def upsert_partials(
     existing: DataFrame, fresh: DataFrame, dims: Sequence[str]
 ) -> DataFrame:

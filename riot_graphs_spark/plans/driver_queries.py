@@ -9278,6 +9278,279 @@ def assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rollup_incremental_percentiles",
+    """
+    WITH h AS (
+      SELECT date_trunc('week', ts)::TIMESTAMP AS bucket, event_type,
+             CAST(greatest(0, least(49, floor((value - 0.0) / 10.0)))
+               AS INT) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT bucket, event_type, bin,
+             0.0 + CAST(bin AS DOUBLE) * 10.0 AS edge_lo, n,
+             sum(n) OVER (PARTITION BY bucket, event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY bucket, event_type) AS tot
+      FROM h
+    )
+    SELECT bucket, event_type, CAST(max(tot) AS BIGINT) AS n_rows,
+           min(CASE WHEN cum * 100 >= 50 * tot THEN edge_lo END) AS p50,
+           min(CASE WHEN cum * 100 >= 95 * tot THEN edge_lo END) AS p95,
+           min(CASE WHEN cum * 100 >= 99 * tot THEN edge_lo END) AS p99
+    FROM c GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable PERCENTILE state for the incremental-rollup family
+    (operators/rollup.py histogram_partials/merge_histogram_to_grain/
+    histogram_percentiles): day-grain fixed-boundary histogram states
+    merged to week grain, p50/p95/p99 derived at read — the one aggregate
+    rollup_incremental_weekly could not carry (quantiles are not
+    mergeable; BIN COUNTS are).  The oracle computes the weekly histogram
+    percentile DIRECTLY from the fact: hash equality proves day→week
+    state merge is exact (integer bin counts add), so a week-grain p95
+    dashboard panel never rescans the fact table.  Percentile rank uses
+    the integer comparison 100·cum >= q·total — no floating-point rank
+    anywhere; resolution is one bin (width 10 over [0, 500))."""
+    from ..operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+        merge_histogram_to_grain,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = histogram_partials(
+        ev, dims=["event_type"], ts="ts", value="value",
+        lo=0.0, hi=500.0, nbuckets=50, grain="day",
+    )
+    weekly = merge_histogram_to_grain(daily, dims=["event_type"], grain="week")
+    return histogram_percentiles(
+        weekly, dims=["event_type"], percentiles=(50, 95, 99)
+    )
+
+
+#: Snapshot split instant for the drift monitors: first vs second half of
+#: the fixture's January-2024 event window (same range at every SF).
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+@_q(
+    "psi_value_drift",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(greatest(0, least(49, floor((value - 0.0) / 10.0)))
+               AS INT) AS bin,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0
+               END AS ia
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    spine AS (
+      SELECT event_type, CAST(unnest(range(0, 50)) AS INT) AS bin
+      FROM (SELECT DISTINCT event_type FROM e)
+    ),
+    ca AS (SELECT event_type, bin, count(*) AS na FROM e WHERE ia = 1
+           GROUP BY 1, 2),
+    cb AS (SELECT event_type, bin, count(*) AS nb FROM e WHERE ia = 0
+           GROUP BY 1, 2),
+    t AS (
+      SELECT s.event_type, s.bin,
+             CAST(coalesce(na, 0) AS DOUBLE) AS na,
+             CAST(coalesce(nb, 0) AS DOUBLE) AS nb,
+             CAST(sum(coalesce(na, 0)) OVER (PARTITION BY s.event_type)
+               AS DOUBLE) AS ta,
+             CAST(sum(coalesce(nb, 0)) OVER (PARTITION BY s.event_type)
+               AS DOUBLE) AS tb
+      FROM spine s
+      LEFT JOIN ca USING (event_type, bin)
+      LEFT JOIN cb USING (event_type, bin)
+    ),
+    terms AS (
+      SELECT event_type, ta, tb,
+             CAST(((na + 0.5) / (ta + 25.0) - (nb + 0.5) / (tb + 25.0))
+                  * ln(((na + 0.5) / (ta + 25.0))
+                       / ((nb + 0.5) / (tb + 25.0)))
+               AS DECIMAL(28,12)) AS term
+      FROM t
+    )
+    SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(CAST(sum(term) AS DOUBLE), 9) AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the event window (operators.profile.psi_report) — the
+    numeric companion to text_token_drift's JS divergence and the
+    standard "did the corpus distribution shift between dumps" monitor a
+    training-data pipeline runs per ingest (the reference's nightly
+    build-size deltas are this exact question, rg.py:269-285).  Fixed
+    bins [0, 500)/50 supplied with the baseline (never re-derived from
+    the data), +0.5-per-bin smoothing over the FULL bin grid,
+    decimal-quantized ln terms.  One count groupBy per snapshot; the
+    spine is |groups|·50 rows — never fact-sized."""
+    from ..operators.profile import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    return psi_report(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        value_col="value", lo=0.0, hi=500.0, nbuckets=50,
+        group_cols=["event_type"],
+    )
+
+
+@_q(
+    "ks_value_drift",
+    f"""
+    WITH e AS (
+      SELECT event_type, value AS v,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0
+               END AS ia
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, v, sum(ia) AS na, sum(1 - ia) AS nb
+      FROM e GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type,
+             sum(na) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(na) OVER (PARTITION BY event_type) AS ta,
+             sum(nb) OVER (PARTITION BY event_type) AS tb
+      FROM c
+    )
+    SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                         - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 9)
+             AS ks_d
+    FROM w GROUP BY 1
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event_type between the
+    same snapshot halves as psi_value_drift
+    (operators.profile.ks_two_sample) — the bin-free cross-check: PSI
+    quantizes to the baseline's fixed bins, KS sees any shift of the raw
+    empirical CDFs.  Exact integer counts, per-row IEEE CDF difference,
+    order-free max — no quantization needed anywhere.  One tagged-union
+    count groupBy; windows run over the distinct-value axis only."""
+    from ..operators.profile import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    return ks_two_sample(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        value_col="value", group_cols=["event_type"],
+    )
+
+
+@_q(
+    "mi_lang_source",
+    """
+    WITH j AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS a,
+             coalesce(source, chr(0) || 'null') AS b,
+             count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ma FROM j GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS mb FROM j GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM j),
+    ha AS (
+      SELECT CAST(sum(CAST(-(CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM ra CROSS JOIN tot
+    ),
+    hb AS (
+      SELECT CAST(sum(CAST(-(CAST(mb AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(mb AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM cb CROSS JOIN tot
+    ),
+    mi AS (
+      SELECT CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+                       / (CAST(ma AS DOUBLE) * CAST(mb AS DOUBLE)))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS mi,
+             first(n) AS n
+      FROM j JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT 'lang' AS col_a, 'source' AS col_b, CAST(n AS BIGINT) AS n,
+           round(mi, 9) AS mi,
+           round(mi / nullif(sqrt(ha.h * hb.h), 0), 9) AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / NMI between lang and source
+    (operators.profile.categorical_mutual_information) — the
+    information-theoretic companion to assoc_lang_source: chi² answers
+    "associated at all?", MI answers "how many nats does knowing the
+    source save about the language" — the number a mixture designer
+    reads before collapsing two stratification keys into one.  Observed
+    cells only (empty cells contribute exactly 0, unlike chi² — no level
+    grid), decimal-quantized log terms; one corpus-sized groupBy,
+    broadcast marginals."""
+    from ..operators.profile import categorical_mutual_information
+
+    return categorical_mutual_information(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@_q(
+    "freq_trending_daily_users",
+    """
+    WITH e AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+             CAST(user_id AS VARCHAR) AS user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    tot AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1),
+    c AS (SELECT bucket, user_id, count(*) AS cnt FROM e GROUP BY 1, 2)
+    SELECT c.bucket, c.user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / n AS share
+    FROM c JOIN tot ON c.bucket = tot.bucket
+    WHERE cnt > n * 0.01
+    """,
+)
+def freq_trending_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WINDOWED heavy hitters: per day bucket, every user whose
+    event count exceeds 1% of that day's events
+    (operators.profile.heavy_hitters_grouped with the day bucket as the
+    group key) — the batch twin of streaming.stateful.stream_heavy_
+    hitters' windowed trending surface, completing the family:
+    freq_heavy_hitters is global, freq_heavy_hitters_grouped is
+    per-source, this is per-time-window.  Same two-phase guarantee:
+    phase 1 is a zero-shuffle per-(partition, day) Misra-Gries summary,
+    phase 2 shuffles only candidate rows for the exact per-day recount —
+    exactly GROUP BY day, user HAVING cnt > N_day·0.01 without shuffling
+    the full (day, user) set."""
+    from ..operators.profile import heavy_hitters_grouped
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "user_id"
+    )
+    return heavy_hitters_grouped(
+        ev, key_col="user_id", group_col="bucket", min_share=0.01
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -35,7 +35,13 @@ def stream_interval_join(
     Both inputs must be streaming DataFrames; watermarks are applied here so
     callers can't accidentally build an unbounded-state join. For outer
     variants Spark additionally requires the time bound to decide when an
-    unmatched row is final — the same condition serves.
+    unmatched row is final — the same condition serves.  Outer semantics
+    (pinned by ``test_stream_stream_left_outer_emits_nulls_only_after_
+    watermark``): an unmatched outer-side row emits null-padded only AFTER
+    the join watermark — the MIN across both inputs — passes its time bound
+    (``ts + tolerance + delay``), never in the batch that read it, since a
+    match could still arrive within the tolerance; expect outer rows to
+    trail the inner results by up to tolerance + the slower watermark.
     """
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)

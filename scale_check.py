@@ -378,6 +378,67 @@ def _assoc(documents):
     return categorical_association(documents, "lang", "source")
 
 
+def _hist_rollup(events):
+    from riot_graphs_spark.operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+        merge_histogram_to_grain,
+    )
+
+    daily = histogram_partials(
+        events, dims=["event_type"], lo=0.0, hi=500.0, nbuckets=50
+    )
+    return histogram_percentiles(
+        merge_histogram_to_grain(daily, dims=["event_type"]),
+        dims=["event_type"],
+    )
+
+
+def _split_col():
+    # built lazily: Column construction needs the live session
+    return F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+
+
+def _psi(events):
+    from riot_graphs_spark.operators.profile import psi_report
+
+    return psi_report(
+        events.filter(F.col("ts") < _split_col()),
+        events.filter(F.col("ts") >= _split_col()),
+        value_col="value", lo=0.0, hi=500.0, nbuckets=50,
+        group_cols=["event_type"],
+    )
+
+
+def _ks(events):
+    from riot_graphs_spark.operators.profile import ks_two_sample
+
+    return ks_two_sample(
+        events.filter(F.col("ts") < _split_col()),
+        events.filter(F.col("ts") >= _split_col()),
+        value_col="value", group_cols=["event_type"],
+    )
+
+
+def _mi(documents):
+    from riot_graphs_spark.operators.profile import (
+        categorical_mutual_information,
+    )
+
+    return categorical_mutual_information(documents, "lang", "source")
+
+
+def _trending(events):
+    from riot_graphs_spark.operators.profile import heavy_hitters_grouped
+
+    ev = events.select(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "user_id"
+    )
+    return heavy_hitters_grouped(
+        ev, key_col="user_id", group_col="bucket", min_share=0.01
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -492,6 +553,15 @@ def main() -> None:
         # joint-count groupBy + broadcast grid — must be ~linear
         "profile_correlations": lambda t: _corrmat(t["lineitem"]),
         "assoc_lang_source": lambda t: _assoc(t["documents"]),
+        # round-6 family: stacked histogram-state aggs + state-row windows;
+        # tagged-union bin counts (grid from a per-group map, no joins);
+        # distinct-axis CDF windows; single-scan window-marginal MI;
+        # per-day MG summaries + broadcast recount
+        "rollup_percentiles": lambda t: _hist_rollup(t["events"]),
+        "psi_value_drift": lambda t: _psi(t["events"]),
+        "ks_value_drift": lambda t: _ks(t["events"]),
+        "mi_lang_source": lambda t: _mi(t["documents"]),
+        "freq_trending_daily": lambda t: _trending(t["events"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

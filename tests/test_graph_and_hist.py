@@ -1144,3 +1144,227 @@ def test_categorical_association_hand_computed(spark):
     )
     got3 = categorical_association(with_null, "x", "y").collect()[0]
     assert got3.n == 4 and got3.dof == 1
+
+
+# ---------------------------------------------------------------------------
+# Mergeable percentile rollup state (operators/rollup.py histogram family)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+
+
+def test_histogram_percentiles_nearest_rank_hand_computed(spark):
+    from datetime import datetime
+
+    from riot_graphs_spark.operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+    )
+
+    t = datetime(2024, 1, 3, 12)
+    df = _ev(spark, [("a", t, v) for v in (0.5, 1.5, 2.5, 3.5)])
+    h = histogram_partials(
+        df, dims=["event_type"], lo=0.0, hi=10.0, nbuckets=10
+    )
+    r = histogram_percentiles(h, dims=["event_type"]).collect()[0]
+    # ranks: p50 -> cum>=2 -> bin1; p95/p99 -> cum=4 -> bin3
+    assert (r["n_rows"], r["p50"], r["p95"], r["p99"]) == (4, 1.0, 3.0, 3.0)
+
+
+def test_histogram_rollup_two_level_equals_direct_and_bin_exact(spark):
+    """Day->week state merge must equal the week-grain histogram computed
+    directly (bin counts add exactly), and every derived percentile's bin
+    must CONTAIN the exact nearest-rank value (one-bin resolution)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from riot_graphs_spark.operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+        merge_histogram_to_grain,
+    )
+
+    rng = random.Random(6)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            t0 + timedelta(hours=rng.randrange(24 * 21)),
+            rng.uniform(0.0, 100.0),
+        )
+        for _ in range(400)
+    ]
+    df = _ev(spark, rows)
+    spec = dict(dims=["event_type"], lo=0.0, hi=100.0, nbuckets=20)
+    two = histogram_percentiles(
+        merge_histogram_to_grain(
+            histogram_partials(df, grain="day", **spec),
+            dims=["event_type"], grain="week",
+        ),
+        dims=["event_type"],
+    )
+    direct = histogram_percentiles(
+        histogram_partials(df, grain="week", **spec), dims=["event_type"]
+    )
+    got = {tuple(r) for r in two.collect()}
+    assert got == {tuple(r) for r in direct.collect()} and got
+    # one-bin resolution vs the exact nearest-rank percentile
+    by_group: dict = {}
+    for etype, ts, v in rows:
+        wk = (ts - timedelta(days=ts.weekday())).date()
+        by_group.setdefault((wk, etype), []).append(v)
+    for r in two.collect():
+        vals = sorted(by_group[(r["bucket"].date(), r["event_type"])])
+        for q, edge in ((50, r["p50"]), (95, r["p95"]), (99, r["p99"])):
+            rank = -(-q * len(vals) // 100)  # ceil(q*n/100)
+            exact = vals[rank - 1]
+            assert edge <= exact < edge + 5.0, (r, q, exact)
+
+
+def test_histogram_partials_validates(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+    )
+
+    df = _ev(spark, [])
+    with pytest.raises(ValueError):
+        histogram_partials(df, dims=[], lo=1.0, hi=1.0, nbuckets=10)
+    with pytest.raises(ValueError):
+        histogram_partials(df, dims=[], lo=0.0, hi=1.0, nbuckets=0)
+    with pytest.raises(ValueError):
+        histogram_percentiles(df, dims=[], percentiles=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Numeric drift monitors (operators/profile.py psi_report / ks_two_sample)
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+def test_psi_identical_snapshots_is_exactly_zero(spark):
+    from riot_graphs_spark.operators.profile import psi_report
+
+    df = _vals(
+        spark, [("a", float(v)) for v in (1, 2, 2, 3, 5, 8, 13, 21)]
+    )
+    r = psi_report(
+        df, df, "value", lo=0.0, hi=25.0, nbuckets=5, group_cols=["grp"]
+    ).collect()[0]
+    # identical bins -> every term is (p-p)*ln(1) = 0 EXACTLY
+    assert (r["n_a"], r["n_b"], r["psi"]) == (8, 8, 0.0)
+
+
+def test_psi_flags_shift_and_stays_finite_on_empty_bins(spark):
+    from riot_graphs_spark.operators.profile import psi_report
+
+    a = _vals(spark, [("g", float(v) % 10) for v in range(200)])
+    b = _vals(spark, [("g", 90.0 + float(v) % 10) for v in range(200)])
+    r = psi_report(
+        a, b, "value", lo=0.0, hi=100.0, nbuckets=10, group_cols=["grp"]
+    ).collect()[0]
+    # total separation: every bin is empty on one side -> smoothing keeps
+    # the terms finite, and the index lands far beyond the 0.25 threshold
+    assert r["psi"] > 2.0 and r["psi"] < float("inf")
+
+
+def test_psi_groups_from_both_sides_and_null_excluded(spark):
+    from riot_graphs_spark.operators.profile import psi_report
+
+    a = _vals(spark, [("only_a", 1.0), (None, 2.0)])
+    b = _vals(spark, [("only_b", 1.0)])
+    got = {
+        r["grp"]: (r["n_a"], r["n_b"])
+        for r in psi_report(
+            a, b, "value", lo=0.0, hi=10.0, nbuckets=5, group_cols=["grp"]
+        ).collect()
+    }
+    assert got == {"only_a": (1, 0), "only_b": (0, 1)}
+
+
+def test_ks_two_sample_matches_brute_force(spark):
+    from riot_graphs_spark.operators.profile import ks_two_sample
+
+    xa = [1.0, 1.0, 2.0, 3.5, 9.0]
+    xb = [1.0, 4.0, 4.0, 8.0]
+    a = _vals(spark, [("g", v) for v in xa])
+    b = _vals(spark, [("g", v) for v in xb])
+    r = ks_two_sample(a, b, "value", group_cols=["grp"]).collect()[0]
+    support = sorted(set(xa) | set(xb))
+    expect = max(
+        abs(
+            sum(1 for v in xa if v <= x) / len(xa)
+            - sum(1 for v in xb if v <= x) / len(xb)
+        )
+        for x in support
+    )
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert abs(r["ks_d"] - expect) < 1e-9
+
+
+def test_ks_identical_is_zero_and_disjoint_is_one(spark):
+    from riot_graphs_spark.operators.profile import ks_two_sample
+
+    a = _vals(spark, [("g", float(v)) for v in range(10)])
+    b = _vals(spark, [("g", 100.0 + v) for v in range(10)])
+    same = ks_two_sample(a, a, "value", group_cols=["grp"]).collect()[0]
+    disj = ks_two_sample(a, b, "value", group_cols=["grp"]).collect()[0]
+    assert same["ks_d"] == 0.0
+    assert disj["ks_d"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (operators/profile.py categorical_mutual_information)
+# ---------------------------------------------------------------------------
+
+
+def test_mi_independent_is_zero_dependent_is_entropy(spark):
+    import math
+
+    from riot_graphs_spark.operators.profile import (
+        categorical_mutual_information,
+    )
+
+    # perfectly independent 2x2 -> every lift is exactly 1 -> MI = 0
+    ind = spark.createDataFrame(
+        [("x", "u")] * 2 + [("x", "v")] * 2 + [("y", "u")] * 2
+        + [("y", "v")] * 2,
+        "a string, b string",
+    )
+    r = categorical_mutual_information(ind, "a", "b").collect()[0]
+    assert (r["n"], r["mi"], r["nmi"]) == (8, 0.0, 0.0)
+
+    # perfectly dependent (b == a) -> MI = H(A), NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = categorical_mutual_information(dep, "a", "b").collect()[0]
+    h = -(3 / 8 * math.log(3 / 8) + 5 / 8 * math.log(5 / 8))
+    assert abs(r["mi"] - h) < 2e-9
+    assert abs(r["nmi"] - 1.0) < 1e-9
+
+
+def test_mi_null_levels_counted_and_constant_column_null_nmi(spark):
+    from riot_graphs_spark.operators.profile import (
+        categorical_mutual_information,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "u"), (None, "v"), ("x", None)], "a string, b string"
+    )
+    r = categorical_mutual_information(df, "a", "b").collect()[0]
+    assert r["n"] == 3  # NULLs are levels, not drops
+    const = spark.createDataFrame(
+        [("k", "u"), ("k", "v")], "a string, b string"
+    )
+    r = categorical_mutual_information(const, "a", "b").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] is None  # zero entropy -> NULL NMI

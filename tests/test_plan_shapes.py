@@ -645,3 +645,57 @@ def test_assoc_grid_joins_are_broadcast(spark):
     plan = formatted_plan(spark, "assoc_lang_source")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_histogram_rollup_percentiles_single_scan_no_join(spark):
+    # day->week histogram-state merge + read-time percentile derivation:
+    # stacked partial-aggregable HashAggregates over ONE fact scan, then
+    # windows over STATE rows only — never a join back to events.
+    plan = formatted_plan(spark, "rollup_incremental_percentiles")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert shuffle_count(plan) <= 3
+    assert "EvalPython" not in plan
+
+
+def test_psi_is_two_scans_no_join_no_window(spark):
+    # PSI = one tagged-union count groupBy (one scan per snapshot side);
+    # the bin grid explodes from a per-group map — NO spine join, NO
+    # window, and crucially no re-scan of the fact for the group spine.
+    plan = formatted_plan(spark, "psi_value_drift")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert shuffle_count(plan) <= 2
+    assert ") Window" not in plan and "EvalPython" not in plan
+
+
+def test_ks_is_two_scans_windows_over_distinct_axis(spark):
+    # KS = tagged-union count groupBy + windows over the DISTINCT-value
+    # axis; no joins anywhere.
+    plan = formatted_plan(spark, "ks_value_drift")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert shuffle_count(plan) <= 2
+    assert "EvalPython" not in plan
+
+
+def test_mi_single_scan_windows_over_contingency(spark):
+    # MI/NMI: ONE corpus scan into the joint groupBy; marginals, total,
+    # and entropy gates are windows over the contingency table — separate
+    # marginal aggregates would each rescan the corpus (the pre-fix plan
+    # had 8 scans).
+    plan = formatted_plan(spark, "mi_lang_source")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert shuffle_count(plan) <= 2
+    assert "EvalPython" not in plan
+
+
+def test_trending_daily_hh_broadcasts_candidates(spark):
+    # Windowed heavy hitters: phase-1 MG candidates and per-day totals
+    # come back BROADCAST onto the recount join — the fact never shuffles
+    # on (day, user), only candidate rows reach the exact recount.
+    plan = formatted_plan(spark, "freq_trending_daily_users")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert shuffle_count(plan) <= 3

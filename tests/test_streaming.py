@@ -802,3 +802,80 @@ def test_streaming_partial_rollup_maintenance_foreachbatch(spark, sf_dir, tmp_pa
     maintain(events.limit(500), 0)  # batch id 0 already committed
     after = {tuple(r) for r in spark.read.parquet(table_path).collect()}
     assert after == before
+
+
+def test_stream_stream_left_outer_emits_nulls_only_after_watermark(
+    spark, tmp_path
+):
+    """Outer stream-stream join semantics pin (the Spark subtlety the
+    operator docstring claims is legal): an unmatched LEFT row must emit
+    null-padded only AFTER the watermark passes its time bound
+    (lts + tolerance + delay) — never in the batch that read it, because
+    a match could still arrive within the tolerance."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from riot_graphs_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    bsrc, esrc = str(tmp_path / "b"), str(tmp_path / "e")
+    builds1 = [
+        Row(hash="aaa", ts=t0, text=100),   # matches
+        Row(hash="zzz", ts=t0, text=900),   # never matches
+    ]
+    events1 = [Row(hash="aaa", ts=t0 + dt.timedelta(minutes=30), pr_num=1)]
+    bdf = spark.createDataFrame(builds1)
+    edf = spark.createDataFrame(events1)
+    bdf.write.parquet(bsrc)
+    edf.write.parquet(esrc)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: the second phase must RESUME from the
+        # same checkpoint (memory sink is not recovery-capable)
+        joined = stream_interval_join(
+            spark.readStream.schema(bdf.schema).parquet(bsrc),
+            spark.readStream.schema(edf.schema).parquet(esrc),
+            key="hash",
+            tolerance="1 hour",
+            left_watermark="1 minute",
+            right_watermark="1 minute",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.hash, r.text, r.pr_num)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # Phase 1: watermark has not passed zzz's bound -> inner match only,
+    # NO premature null row (emitting it now would be wrong: a matching
+    # event could still arrive within the 1h tolerance).
+    got1 = run()
+    assert got1 == {("aaa", 100, 1)}
+
+    # Phase 2: append far-future rows on BOTH sides (the join watermark is
+    # the min across inputs), advancing the watermark past
+    # zzz.ts + tolerance + delay -> the unmatched left row finalizes.
+    far = t0 + dt.timedelta(days=2)
+    spark.createDataFrame([Row(hash="www", ts=far, text=1)]).write.mode(
+        "append"
+    ).parquet(bsrc)
+    spark.createDataFrame([Row(hash="vvv", ts=far, pr_num=9)]).write.mode(
+        "append"
+    ).parquet(esrc)
+    got2 = run()
+    assert ("zzz", 900, None) in got2
+    # the future rows themselves are still within their own bound: no
+    # null emission for them yet
+    assert not any(h == "www" for h, _, _ in got2)
