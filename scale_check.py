@@ -439,6 +439,133 @@ def _trending(events):
     )
 
 
+# ---------------------------------------------------------------------------
+# Generic query-level harness: scale ANY registered query by patching the
+# registry's load_table with a DISJOINTED 10x union — each copy gets shifted
+# ids and timestamps so the scaled input models real growth (more keys, more
+# history) instead of densifying the same keys/window.  Dimension tables
+# (region/nation/customer/supplier/part) stay 1x: at 100 TB the fact grows,
+# the dims don't.  Document TEXT is left identical across copies, so
+# pair-expanding near-dup VERIFY ops see 10 exact near-dups per doc and
+# their OUTPUT is quadratic by semantics — the pHash lesson; those cases
+# are interpreted in docs/SCALING.md, the guarded production forms are the
+# hand cases above.
+# ---------------------------------------------------------------------------
+
+_FACT_SHIFT = {
+    # table -> (id columns to offset by i*1e9, has time axis)
+    "events": (["event_id"], True),
+    "documents": (["doc_id"], False),
+    "lineitem": (["l_orderkey"], False),
+    "orders": (["o_orderkey"], True),
+    "embeddings": (["vec_id"], False),
+}
+
+
+def _disjoint_copy(df, name: str, i: int):
+    cols, _ = _FACT_SHIFT[name]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c) + F.lit(i * 10**9))
+    if name == "events":
+        # shift BOTH the derived ts and the raw nanos column `_ts_ns`
+        # (load_table keeps it so time predicates reach the scan)
+        out = out.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {35 * i} DAYS")
+        )
+        if "_ts_ns" in out.columns:
+            out = out.withColumn(
+                "_ts_ns",
+                F.col("_ts_ns") + F.lit(i * 35 * 86400 * 10**9),
+            )
+        # more history also means more users, not denser ones
+        out = out.withColumn("user_id", F.col("user_id") + F.lit(i * 10**6))
+    elif name == "orders":
+        out = out.withColumn(
+            "o_orderdate", F.date_add(F.col("o_orderdate"), 35 * i)
+        )
+    elif name == "embeddings":
+        # nudge each copy's vectors so they are near- but not exact dups
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x: (x + F.lit(float(i)) * F.lit(1e-4)).cast("float"),
+            ),
+        )
+    return out
+
+
+def _make_scaled_loader(copies: int):
+    from riot_graphs_spark.sources.tables import load_table as _load
+
+    def loader(spark, sf_dir, name):
+        base = _load(spark, sf_dir, name)
+        if copies == 1 or name not in _FACT_SHIFT:
+            return base
+        out = base
+        for i in range(1, copies):
+            out = out.unionByName(_disjoint_copy(base, name, i))
+        return out
+
+    return loader
+
+
+def run_query_cases(spark, names, copies):
+    from riot_graphs_spark.plans import driver_queries as dq
+
+    original = dq.load_table
+    report = {}
+    try:
+        for name in names:
+            fn = dq.QUERIES[name]
+            dq.load_table = _make_scaled_loader(1)
+            fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            t1 = run(fn(spark, SF_DIR))
+            dq.load_table = _make_scaled_loader(copies)
+            tn = run(fn(spark, SF_DIR))
+            report[name] = {
+                "t1x": t1,
+                f"t{copies}x": tn,
+                "ratio": round(tn / t1, 1),
+            }
+    finally:
+        dq.load_table = original
+    return report
+
+
+#: Every benched query >= 1 s at sf0.1 (BENCH_r05/bench_out.json) — the
+#: population the 2x wall-time gate protects but whose SHAPE only a 10x
+#: harness can check (the pHash 31.8x lesson).  Regenerate the list after
+#: a bench run: [k for k,v in bench_out["queries"].items() if v >= 1.0].
+QUERY_CASES = [
+    "repeated_span_ranges", "emb_kmeans_cells", "lsh_recall_vs_exact",
+    "dedup_cc_clusters_star", "graph_hits_bipartite", "graph_pagerank_parts",
+    "semdedup_keep_best", "dedup_simhash_pairs", "repeated_spans",
+    "embed_neardup_clusters", "ann_pq_topk", "minhash_estimate_error",
+    "j6_interval_overlap", "bm25_search_topk", "dedup_report_by_source",
+    "dedup_incremental_novel", "graph_triangle_profile", "bpe_train_merges",
+    "dedup_keep_best", "item_item_similarity", "dedup_cc_clusters",
+    "lang_id_confusion", "corpus_select", "emb_knn_label_eval",
+    "graph_k_core", "graph_label_propagation", "basket_part_pairs",
+    "dedup_cluster_size_hist", "dedup_graph_degrees", "dedup_simhash",
+    "profile_orders", "pq_assign_fixed", "dedup_minhash_lsh",
+    "dedup_sorted_neighborhood", "q7_nation_volume", "ann_quantized_rescore",
+    "hybrid_search_rrf", "text_bigram_lm", "q1_pricing_summary",
+    "profile_correlations", "ann_recall_ivf", "supplier_scorecard",
+    "dedup_minhash_signatures", "embed_neardup_pairs", "j_salted_skew",
+    "j1_lineitem_orders", "mm_phash_pairs", "q8_market_share",
+    "dedup_paragraph_hashes", "fuzzy_edit_pairs", "pareto_parts",
+    "text_repetition", "q21_waiting_suppliers", "ann_ivf_topk",
+    "ts_level_shift", "ts_seasonal_anomalies", "q9_product_profit",
+    "ngram_leakage_report", "emb_l2_normalize", "emb_outliers_fixed",
+    "decontaminated_corpus", "ccnet_perplexity_buckets",
+    "text_collocations_pmi", "q18_large_orders",
+]
+
+
 def main() -> None:
     spark = get_spark(app_name="riot-graphs-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -569,15 +696,33 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         cases = {n: fn for n, fn in cases.items() if n in wanted}
 
-    report = {}
-    for name, fn in cases.items():
-        fn(tables).write.format("noop").mode("overwrite").save()  # warm
-        t1 = run(fn(tables))
-        big = {k: scaled(v, COPIES) for k, v in tables.items()}
-        tn = run(fn(big))
-        report[name] = {"t1x": t1, f"t{COPIES}x": tn, "ratio": round(tn / t1, 1)}
+    # SPARK_GRAFT_SCALE_MODE: "ops" (hand cases, default), "queries"
+    # (generic >=1s registered-query cases), or "all".
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "ops")
 
-    print(json.dumps({"copies": COPIES, "sf_dir": SF_DIR, "cases": report}))
+    report = {}
+    if mode in ("ops", "all"):
+        for name, fn in cases.items():
+            fn(tables).write.format("noop").mode("overwrite").save()  # warm
+            t1 = run(fn(tables))
+            big = {k: scaled(v, COPIES) for k, v in tables.items()}
+            tn = run(fn(big))
+            report[name] = {
+                "t1x": t1, f"t{COPIES}x": tn, "ratio": round(tn / t1, 1)
+            }
+
+    qreport = {}
+    if mode in ("queries", "all"):
+        qnames = QUERY_CASES
+        if only:
+            wanted = {n.strip() for n in only.split(",") if n.strip()}
+            qnames = [n for n in qnames if n in wanted]
+        qreport = run_query_cases(spark, qnames, COPIES)
+
+    out = {"copies": COPIES, "sf_dir": SF_DIR, "cases": report}
+    if qreport:
+        out["query_cases"] = qreport
+    print(json.dumps(out))
     spark.stop()
 
 

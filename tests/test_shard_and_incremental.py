@@ -179,3 +179,55 @@ def test_rollup_upsert_replay_is_noop_and_correction_overwrites(spark):
     got = {r.bucket: (r.n_rows, float(r.sum_value)) for r in fixed.collect()}
     assert got[d1] == (2, 4.0)
     assert got[d2] == (2, 12.0)
+
+
+def test_histogram_state_upsert_replaces_all_bins_of_redelivered_day(spark):
+    """upsert_partials keys on (bucket, dims) only, so a re-delivered day
+    must replace EVERY bin row of that (day, dims) — including bins the
+    correction no longer populates — or a stale bin count would survive
+    and silently skew every later percentile read."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.rollup import (
+        histogram_partials,
+        histogram_percentiles,
+        upsert_partials,
+    )
+
+    d1 = dt.datetime(2024, 1, 1)
+    d2 = dt.datetime(2024, 1, 2)
+    spec = dict(dims=["event_type"], lo=0.0, hi=10.0, nbuckets=10)
+    ev = spark.createDataFrame(
+        [(d1, "a", 1.5), (d1, "a", 8.5), (d2, "a", 2.5), (d2, "a", 9.5)],
+        "ts timestamp, event_type string, value double",
+    )
+    table = histogram_partials(ev, **spec)
+    # replay day 2 unchanged -> no-op
+    fresh = histogram_partials(
+        ev.filter(F.to_date("ts") == "2024-01-02"), **spec
+    )
+    replayed = upsert_partials(table, fresh, dims=["event_type"])
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in table.collect()
+    }
+    # correction drops day 2's bin-9 row and moves mass to bin 0: the old
+    # bin-9 state row must disappear, not linger beside the new bins
+    corrected = histogram_partials(
+        spark.createDataFrame(
+            [(d2, "a", 0.5), (d2, "a", 2.5)],
+            "ts timestamp, event_type string, value double",
+        ),
+        **spec,
+    )
+    fixed = upsert_partials(table, corrected, dims=["event_type"])
+    got = {(r.bucket, r.bin): r.n for r in fixed.collect()}
+    assert got == {
+        (d1, 1): 1, (d1, 8): 1,   # day 1 untouched
+        (d2, 0): 1, (d2, 2): 1,   # day 2 replaced wholesale
+    }
+    # and the percentile read sees only the corrected state
+    p = histogram_percentiles(fixed, dims=["event_type"]).collect()
+    by_day = {r.bucket: r.p95 for r in p}
+    assert by_day[d2] == 2.0
