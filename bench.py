@@ -274,6 +274,7 @@ HEADLINE = [
     "ks_value_drift",
     "mi_lang_source",
     "freq_trending_daily_users",
+    "emb_centroid_drift",
 ]
 
 

@@ -818,7 +818,9 @@ def ks_two_sample(
     aggregable), then windows over the DISTINCT-VALUE axis within each
     group — at 100 TB the distinct axis of a measure column is the small
     side; for a truly continuous column, pre-quantize upstream.  NULL
-    values and NULL group keys are excluded.
+    values and NULL group keys are excluded.  A group present in only ONE
+    snapshot has no defined CDF gap: its ``ks_d`` is NULL (the 0/0 CDF
+    divides out), with ``n_a``/``n_b`` showing which side is empty.
 
     Output: one row per group — ``(*group_cols, n_a bigint, n_b bigint,
     ks_d double)``.
@@ -852,9 +854,11 @@ def ks_two_sample(
         .withColumn("_ta", F.sum("_na").over(w_tot))
         .withColumn("_tb", F.sum("_nb").over(w_tot))
     )
+    # try_divide: a one-sided group's 0/0 CDF must yield NULL ks_d (the
+    # documented contract), not DIVIDE_BY_ZERO under ANSI mode
     d = F.abs(
-        F.col("_ca").cast("double") / F.col("_ta").cast("double")
-        - F.col("_cb").cast("double") / F.col("_tb").cast("double")
+        F.try_divide(F.col("_ca").cast("double"), F.col("_ta").cast("double"))
+        - F.try_divide(F.col("_cb").cast("double"), F.col("_tb").cast("double"))
     )
     return c.groupBy(*gcols).agg(
         F.max("_ta").alias("n_a"),

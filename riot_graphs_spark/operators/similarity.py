@@ -896,3 +896,95 @@ def matryoshka_recall(
             (F.col("n_hits") / F.lit(k)).alias("recall"),
         )
     )
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per cell (label,
+    cluster, source…), the cosine between the two snapshots' centroids and
+    the L2 displacement — the embedding-modality member of the drift
+    family (``profile.psi_report``/``ks_two_sample`` watch numeric
+    features, ``textstats.token_drift`` watches vocabulary; this watches
+    "did the encoder or the content move the vectors").  Centroid cosine
+    ≈ 1 and small L2 shift = stable space; a cell whose centroid swings is
+    where to look before re-using cached neighbors or thresholds.
+
+    Determinism: per-dim components round to 6 decimals into exact
+    ``decimal(18,6)`` sums (the ``label_centroids`` rule); the per-dim
+    products feeding cosine/L2 are quantized to ``decimal(28,12)`` before
+    their 64-term sums, so both statistics are engine- and
+    partitioning-exact.
+
+    Plan: one tagged-union posexplode into a single (cell, pos) partial-
+    aggregable groupBy — each input split pre-sums to (cells × dims) rows
+    before the one shuffle; the drift math runs on that state table.
+    Assumes uniform dimensionality (per-pos counts are the per-cell row
+    counts).  A cell present in only one snapshot reports NULL drift with
+    its ``n_a``/``n_b`` showing which side is empty.
+
+    Output: ``(cell_col, n_a bigint, n_b bigint, centroid_cosine double,
+    centroid_l2_shift double)``.
+    """
+    dec = "decimal(28,12)"
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.col(cell_col).alias("_c"),
+            F.posexplode(vec_col).alias("pos0", "x"),
+        ).select(
+            "_c",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.lit(1 - tag).alias("_ia"),
+            F.lit(tag).alias("_ib"),
+        )
+
+    per = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .groupBy("_c", "pos")
+        .agg(
+            F.sum(F.when(F.col("_ia") == 1, F.col("x"))).alias("_sa"),
+            F.sum(F.when(F.col("_ib") == 1, F.col("x"))).alias("_sb"),
+            F.sum("_ia").alias("_na"),
+            F.sum("_ib").alias("_nb"),
+        )
+    )
+    ca = F.try_divide(F.col("_sa").cast("double"), F.col("_na").cast("double"))
+    cb = F.try_divide(F.col("_sb").cast("double"), F.col("_nb").cast("double"))
+    terms = per.select(
+        "_c",
+        "_na",
+        "_nb",
+        (ca * cb).cast(dec).alias("_dot"),
+        (ca * ca).cast(dec).alias("_a2"),
+        (cb * cb).cast(dec).alias("_b2"),
+        ((ca - cb) * (ca - cb)).cast(dec).alias("_d2"),
+    )
+    return (
+        terms.groupBy("_c")
+        .agg(
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.round(
+                F.try_divide(
+                    F.sum("_dot").cast("double"),
+                    F.sqrt(
+                        F.sum("_a2").cast("double")
+                        * F.sum("_b2").cast("double")
+                    ),
+                ),
+                9,
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.sum("_d2").cast("double")), 9).alias(
+                "centroid_l2_shift"
+            ),
+        )
+        .withColumnRenamed("_c", cell_col)
+    )

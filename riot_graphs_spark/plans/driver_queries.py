@@ -9551,6 +9551,61 @@ def freq_trending_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_centroid_drift",
+    """
+    WITH u AS (
+      SELECT label, pos,
+             CAST(round(embedding[pos]::DOUBLE, 6) AS DECIMAL(18,6)) AS x,
+             CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+    ),
+    per AS (
+      SELECT label, pos,
+             CAST(sum(CASE WHEN ia = 1 THEN x END) AS DOUBLE)
+               / CAST(sum(ia) AS DOUBLE) AS ca,
+             CAST(sum(CASE WHEN ia = 0 THEN x END) AS DOUBLE)
+               / CAST(sum(1 - ia) AS DOUBLE) AS cb,
+             sum(ia) AS na, sum(1 - ia) AS nb
+      FROM u GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT label, na, nb,
+             CAST(ca * cb AS DECIMAL(28,12)) AS dot_t,
+             CAST(ca * ca AS DECIMAL(28,12)) AS a2_t,
+             CAST(cb * cb AS DECIMAL(28,12)) AS b2_t,
+             CAST((ca - cb) * (ca - cb) AS DECIMAL(28,12)) AS d2_t
+      FROM per
+    )
+    SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(CAST(sum(dot_t) AS DOUBLE)
+                 / sqrt(CAST(sum(a2_t) AS DOUBLE)
+                        * CAST(sum(b2_t) AS DOUBLE)), 9)
+             AS centroid_cosine,
+           round(sqrt(CAST(sum(d2_t) AS DOUBLE)), 9) AS centroid_l2_shift
+    FROM t GROUP BY 1
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two deterministic
+    snapshot halves (operators.similarity.centroid_drift) — the
+    embedding-modality drift monitor beside psi_value_drift (numeric) and
+    text_token_drift (vocabulary): centroid cosine ~1 and small L2 shift
+    mean the space is stable enough to reuse cached neighbors and
+    similarity thresholds across the refresh.  One tagged-union
+    posexplode into a single (label, dim) partial-aggregable groupBy;
+    all drift math runs on that (labels × 64)-row state table with
+    decimal-quantized per-dim products."""
+    from ..operators.similarity import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -1368,3 +1368,58 @@ def test_mi_null_levels_counted_and_constant_column_null_nmi(spark):
     )
     r = categorical_mutual_information(const, "a", "b").collect()[0]
     assert r["mi"] == 0.0 and r["nmi"] is None  # zero entropy -> NULL NMI
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift (operators/similarity.py centroid_drift)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_drift_identical_stable_shifted_moves(spark):
+    from riot_graphs_spark.operators.similarity import centroid_drift
+
+    rows = [
+        ("x", [1.0, 0.0, 0.0, 0.0]),
+        ("x", [0.8, 0.2, 0.0, 0.0]),
+        ("y", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    same = {
+        r["label"]: (r["centroid_cosine"], r["centroid_l2_shift"])
+        for r in centroid_drift(df, df).collect()
+    }
+    assert same["x"] == (1.0, 0.0) and same["y"] == (1.0, 0.0)
+
+    # orthogonal replacement for x in snapshot b -> cosine 0, L2 = |a-b|
+    b = spark.createDataFrame(
+        [("x", [0.0, 0.0, 1.0, 0.0]), ("y", [0.0, 1.0, 0.0, 0.0])],
+        "label string, embedding array<float>",
+    )
+    moved = {
+        r["label"]: (r["centroid_cosine"], r["centroid_l2_shift"])
+        for r in centroid_drift(df, b).collect()
+    }
+    assert moved["y"] == (1.0, 0.0)
+    assert abs(moved["x"][0]) < 1e-9  # orthogonal centroids
+    import math
+
+    expect_l2 = math.sqrt(0.9**2 + 0.1**2 + 1.0**2)
+    assert abs(moved["x"][1] - expect_l2) < 1e-6
+
+
+def test_centroid_drift_one_sided_label_reports_null(spark):
+    from riot_graphs_spark.operators.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [("only_a", [1.0, 0.0])], "label string, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [("only_b", [0.0, 1.0])], "label string, embedding array<float>"
+    )
+    got = {
+        r["label"]: (r["n_a"], r["n_b"], r["centroid_cosine"],
+                     r["centroid_l2_shift"])
+        for r in centroid_drift(a, b).collect()
+    }
+    assert got["only_a"] == (1, 0, None, None)
+    assert got["only_b"] == (0, 1, None, None)

@@ -699,3 +699,14 @@ def test_trending_daily_hh_broadcasts_candidates(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert shuffle_count(plan) <= 3
+
+
+def test_centroid_drift_two_scans_no_join(spark):
+    # tagged-union posexplode into one (cell, dim) partial-aggregable
+    # groupBy + the per-cell reduce: two filtered scans of embeddings,
+    # two exchanges, no joins/windows/Python anywhere.
+    plan = formatted_plan(spark, "emb_centroid_drift")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert shuffle_count(plan) <= 2
+    assert ") Window" not in plan and "EvalPython" not in plan

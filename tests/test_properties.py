@@ -817,3 +817,49 @@ def test_rollup_merge_equals_direct_any_input(spark, events):
     assert {tuple(r) for r in two.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy, split=st.integers(min_value=1, max_value=95))
+def test_drift_monitors_symmetric_and_bounded_any_input(spark, events, split):
+    """PSI is symmetric (term (pa-pb)·ln(pa/pb) is swap-invariant) and
+    finite; KS is symmetric and in [0, 1] — for ANY generated snapshot
+    split, including one-sided and single-row groups."""
+    from riot_graphs_spark.operators.profile import ks_two_sample, psi_report
+
+    df = to_df(spark, events).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    a = df.filter(F.col("event_id") % 96 < split)
+    b = df.filter(F.col("event_id") % 96 >= split)
+    kw = dict(value_col="value", group_cols=["series"])
+    psi_ab = {
+        r["series"]: r["psi"]
+        for r in psi_report(a, b, lo=-1000, hi=1000, nbuckets=8, **kw).collect()
+    }
+    psi_ba = {
+        r["series"]: r["psi"]
+        for r in psi_report(b, a, lo=-1000, hi=1000, nbuckets=8, **kw).collect()
+    }
+    assert set(psi_ab) == set(psi_ba)
+    for s, p in psi_ab.items():
+        # ln(pa/pb) and ln(pb/pa) are not exact IEEE negations, so allow
+        # the quantized sums a last-digit wobble around the 9-dp rounding
+        assert p is not None and p >= 0.0
+        assert abs(p - psi_ba[s]) <= 2e-9
+
+    ks_ab = {
+        (r["series"], r["n_a"], r["n_b"], r["ks_d"])
+        for r in ks_two_sample(a, b, **kw).collect()
+    }
+    ks_ba = {
+        (r["series"], r["n_b"], r["n_a"], r["ks_d"])
+        for r in ks_two_sample(b, a, **kw).collect()
+    }
+    assert ks_ab == ks_ba
+    for _, n_a, n_b, d in ks_ab:
+        if n_a == 0 or n_b == 0:
+            # a group entirely inside one snapshot has no defined CDF gap
+            assert d is None
+        else:
+            assert 0.0 <= d <= 1.0
