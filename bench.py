@@ -275,6 +275,7 @@ HEADLINE = [
     "mi_lang_source",
     "freq_trending_daily_users",
     "emb_centroid_drift",
+    "equi_depth_value_edges",
 ]
 
 

@@ -948,3 +948,75 @@ def categorical_mutual_information(
             9,
         ).alias("nmi"),
     )
+
+
+def equi_depth_edges(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) bin edges: the j/k quantiles of
+    a numeric column, per group — how :func:`psi_report`'s fixed bins get
+    CHOSEN in practice: compute edges on the baseline snapshot once,
+    record them, then monitor every later snapshot against those bounds
+    (equi-depth on the baseline maximizes PSI sensitivity — every bin
+    starts with equal mass ~1/k).  Also the feature-discretization pass a
+    training pipeline runs before bucketized features.
+
+    Edge j (1 ≤ j < k) is the nearest-rank j/k quantile: the smallest
+    observed value whose cumulative count reaches j·n/k, picked with the
+    all-integer comparison ``k·cum ≥ j·n`` — no floating-point rank, so
+    edges are engine-exact.  Edges are observed data values (no
+    interpolation); duplicate edges are possible on heavy ties by
+    definition of equal-frequency binning.
+
+    Plan: one count groupBy over (group, value) — the only corpus-sized
+    shuffle, partial-aggregable — then a cumulative window over the
+    DISTINCT-VALUE axis (the :func:`ks_two_sample` shape) and one k-ary
+    conditional-min aggregate.  NULL values and NULL group keys excluded.
+
+    Output: one row per (group, edge) — ``(*group_cols, edge_idx int,
+    edge double, n_rows bigint)`` with ``edge_idx`` in 1..k-1.
+    """
+    if k < 2:
+        raise ValueError("need k >= 2 bins")
+    gcols = list(group_cols)
+    keep = F.col(value_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    c = counts.withColumn("cum", F.sum("_n").over(w_cum)).withColumn(
+        "tot", F.sum("_n").over(w_tot)
+    )
+    aggs = [F.max("tot").alias("n_rows")]
+    for j in range(1, k):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * k >= F.lit(j) * F.col("tot"), F.col("_v")
+                )
+            ).alias(f"_e{j}")
+        )
+    wide = c.groupBy(*gcols).agg(*aggs)
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("edge_idx"), F.col(f"_e{j}").alias("edge")
+            )
+            for j in range(1, k)
+        ]
+    )
+    return wide.select(
+        *gcols, "n_rows", F.explode(edges).alias("_e")
+    ).select(*gcols, "_e.edge_idx", "_e.edge", "n_rows")

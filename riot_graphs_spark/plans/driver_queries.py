@@ -9606,6 +9606,53 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _equi_depth_oracle(k: int) -> str:
+    mins = ", ".join(
+        f"min(CASE WHEN cum * {k} >= {j} * tot THEN v END) AS e{j}"
+        for j in range(1, k)
+    )
+    case = " ".join(f"WHEN {j} THEN e{j}" for j in range(1, k))
+    return f"""
+    WITH c AS (
+      SELECT event_type, value AS v, count(*) AS n
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, v,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    wide AS (
+      SELECT event_type, CAST(max(tot) AS BIGINT) AS n_rows, {mins}
+      FROM w GROUP BY 1
+    )
+    SELECT event_type, CAST(j AS INT) AS edge_idx,
+           CASE j {case} END AS edge, n_rows
+    FROM wide, (SELECT unnest(range(1, {k})) AS j)
+    """
+
+
+@_q("equi_depth_value_edges", _equi_depth_oracle(10))
+def equi_depth_value_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile edges of the event value per event_type
+    (operators.profile.equi_depth_edges) — how psi_value_drift's fixed
+    bins get CHOSEN: compute the j/k quantile edges on the baseline
+    snapshot once (equal mass per bin maximizes PSI sensitivity), record
+    them, monitor later snapshots against those bounds.  The nearest-rank
+    pick uses the all-integer comparison k·cum >= j·n — engine-exact,
+    like the histogram-rollup percentile reads.  One (group, value) count
+    groupBy; windows run over the distinct-value axis only."""
+    from ..operators.profile import equi_depth_edges
+
+    return equi_depth_edges(
+        _t(spark, sf_dir, "events"), value_col="value", k=10,
+        group_cols=["event_type"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -438,6 +438,14 @@ def _cdrift(tables):
     )
 
 
+def _edges(events):
+    from riot_graphs_spark.operators.profile import equi_depth_edges
+
+    return equi_depth_edges(
+        events, value_col="value", k=10, group_cols=["event_type"]
+    )
+
+
 def _trending(events):
     from riot_graphs_spark.operators.profile import heavy_hitters_grouped
 
@@ -713,6 +721,8 @@ def main() -> None:
         # 10x union multiplies pre-sum rows, the state table stays
         # (labels x dims)
         "emb_centroid_drift": lambda t: _cdrift(t),
+        # (group, value) count groupBy + distinct-axis windows — KS shape
+        "equi_depth_edges": lambda t: _edges(t["events"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

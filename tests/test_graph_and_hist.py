@@ -1423,3 +1423,31 @@ def test_centroid_drift_one_sided_label_reports_null(spark):
     }
     assert got["only_a"] == (1, 0, None, None)
     assert got["only_b"] == (0, 1, None, None)
+
+
+def test_equi_depth_edges_hand_computed_and_validates(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.profile import equi_depth_edges
+
+    # 8 values, k=4 -> quartile edges at ranks 2, 4, 6 (k*cum >= j*n)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    df = _vals(spark, [("g", v) for v in vals])
+    got = {
+        r["edge_idx"]: r["edge"]
+        for r in equi_depth_edges(
+            df, "value", k=4, group_cols=["grp"]
+        ).collect()
+    }
+    assert got == {1: 2.0, 2: 4.0, 3: 6.0}
+    # heavy ties: equal-frequency edges may repeat — by definition
+    tied = _vals(spark, [("g", 5.0)] * 7 + [("g", 9.0)])
+    got = {
+        r["edge_idx"]: r["edge"]
+        for r in equi_depth_edges(
+            tied, "value", k=4, group_cols=["grp"]
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 5.0, 3: 5.0}
+    with pytest.raises(ValueError):
+        equi_depth_edges(df, "value", k=1)

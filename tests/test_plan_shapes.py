@@ -710,3 +710,13 @@ def test_centroid_drift_two_scans_no_join(spark):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
     assert shuffle_count(plan) <= 2
     assert ") Window" not in plan and "EvalPython" not in plan
+
+
+def test_equi_depth_edges_single_scan_no_join(spark):
+    # (group, value) count groupBy + distinct-axis windows + one k-ary
+    # conditional-min aggregate; the edge unpivot is a row-local explode.
+    plan = formatted_plan(spark, "equi_depth_value_edges")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert shuffle_count(plan) <= 2
+    assert "EvalPython" not in plan
