@@ -716,12 +716,19 @@ def psi_report(
     with the baseline snapshot), the same clamped ``floor((x-lo)/width)``
     arithmetic as ``fixed_histogram`` — never re-derived from the data,
     so a tail shift moves mass between bins instead of silently moving
-    the bins.  Per bin ``PSI_bin = (p_a - p_b)·ln(p_a/p_b)`` with
-    Laplace-style +0.5 smoothing per bin (PSI is infinite on empty bins
-    otherwise; the smoothed form is finite, still ~0 when stable), summed
-    over the FULL bin grid so empty bins on one side contribute.  Terms
-    are quantized to ``decimal(28,12)`` before the sum — summation-order
-    independence, the determinism rule every reduction here follows.
+    the bins.  Per bin ``PSI_bin = (p_a - p_b)·ln(p_a/p_b)`` where the
+    bin SHARES clamp zero to ``ε = 1e-6`` (the standard zero-substitution
+    — PSI is infinite on empty bins otherwise).  Crucially this form is
+    EXACTLY 0 when the two snapshots have identical bin shares whatever
+    their sizes — additive (+0.5-per-bin) smoothing instead biases small
+    batches upward, which would poison the per-ingest monitor
+    (``streaming/drift.py``) that scores small micro-batches against a
+    large baseline.  Summed over the FULL bin grid so empty bins on one
+    side contribute.  Terms are quantized to ``decimal(28,12)`` before
+    the sum — summation-order independence, the determinism rule every
+    reduction here follows.  A group absent from one snapshot scores
+    every bin against ε (maximal drift — a brand-new group IS maximal
+    drift), with ``n_a``/``n_b`` showing which side is empty.
 
     Plan: ONE scan per snapshot into a tagged-union count groupBy (the
     only corpus-sized shuffle), reduced to one row per group carrying its
@@ -782,12 +789,16 @@ def psi_report(
         F.coalesce(F.col("_m")[F.col("bin")]["_na"], F.lit(0)).alias("_na"),
         F.coalesce(F.col("_m")[F.col("bin")]["_nb"], F.lit(0)).alias("_nb"),
     )
-    half_nb = 0.5 * nbuckets
-    pa = (F.col("_na").cast("double") + F.lit(0.5)) / (
-        F.col("_ta").cast("double") + F.lit(half_nb)
+    eps = F.lit(1e-6)
+    # try_divide + greatest: an all-empty side (0/0 -> NULL) clamps to
+    # eps on every bin, scoring a brand-new group as maximal drift
+    pa = F.greatest(
+        F.try_divide(F.col("_na").cast("double"), F.col("_ta").cast("double")),
+        eps,
     )
-    pb = (F.col("_nb").cast("double") + F.lit(0.5)) / (
-        F.col("_tb").cast("double") + F.lit(half_nb)
+    pb = F.greatest(
+        F.try_divide(F.col("_nb").cast("double"), F.col("_tb").cast("double")),
+        eps,
     )
     term = ((pa - pb) * F.log(pa / pb)).cast("decimal(28,12)")
     return grid.groupBy(*gcols).agg(

@@ -9373,9 +9373,8 @@ _DRIFT_SPLIT = "2024-01-16 00:00:00"
     ),
     terms AS (
       SELECT event_type, ta, tb,
-             CAST(((na + 0.5) / (ta + 25.0) - (nb + 0.5) / (tb + 25.0))
-                  * ln(((na + 0.5) / (ta + 25.0))
-                       / ((nb + 0.5) / (tb + 25.0)))
+             CAST((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
+                  * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
                AS DECIMAL(28,12)) AS term
       FROM t
     )
@@ -9393,9 +9392,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs per ingest (the reference's nightly
     build-size deltas are this exact question, rg.py:269-285).  Fixed
     bins [0, 500)/50 supplied with the baseline (never re-derived from
-    the data), +0.5-per-bin smoothing over the FULL bin grid,
-    decimal-quantized ln terms.  One count groupBy per snapshot; the
-    spine is |groups|·50 rows — never fact-sized."""
+    the data), zero shares clamped to 1e-6 over the FULL bin grid
+    (identical shares => PSI exactly 0 whatever the sample sizes),
+    decimal-quantized ln terms.  One tagged-union count groupBy; the
+    grid is |groups|·50 rows — never fact-sized."""
     from ..operators.profile import psi_report
 
     ev = _t(spark, sf_dir, "events")

@@ -879,3 +879,65 @@ def test_stream_stream_left_outer_emits_nulls_only_after_watermark(
     # the future rows themselves are still within their own bound: no
     # null emission for them yet
     assert not any(h == "www" for h, _, _ in got2)
+
+
+def test_streaming_drift_monitor_scores_each_batch_against_baseline(
+    spark, tmp_path
+):
+    """Per-ingest drift loop (streaming/drift.py): a batch drawn from the
+    baseline distribution must score PSI == 0 exactly (identical bin
+    shares), a shifted batch must cross the 0.25 'shifted' band; one
+    monitor row lands per (micro-batch, group)."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.drift import (
+        drift_monitor_writer,
+        record_baseline,
+    )
+
+    spec = dict(value_col="value", lo=0.0, hi=100.0, nbuckets=10,
+                group_cols=["grp"])
+    base_vals = [5.0, 15.0, 25.0, 35.0] * 25  # equal mass in bins 0-3
+    baseline = spark.createDataFrame(
+        [("g", v) for v in base_vals], "grp string, value double"
+    )
+    counts = record_baseline(baseline, **spec)
+    assert {(r.bin, r.n) for r in counts.collect()} == {
+        (0, 25), (1, 25), (2, 25), (3, 25)
+    }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:  # same distribution
+        for v in [5.0, 15.0, 25.0, 35.0] * 5:
+            f.write(_json.dumps({"grp": "g", "value": v}) + "\n")
+    with open(landing / "b2.json", "w") as f:  # shifted to bins 8-9
+        for v in [85.0, 95.0] * 8:
+            f.write(_json.dumps({"grp": "g", "value": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema("grp string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    monitor = str(tmp_path / "monitor")
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_monitor_writer(counts, monitor, **spec)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        r.batch_id: (r.n_a, r.n_b, r.psi)
+        for r in spark.read.parquet(monitor).collect()
+    }
+    assert len(rows) == 2
+    assert {n_a for n_a, _, _ in rows.values()} == {100}
+    # file order into micro-batches is not guaranteed; identify by size
+    by_size = {n_b: psi for (_, n_b, psi) in rows.values()}
+    assert by_size[20] == 0.0   # baseline-distribution batch: exactly zero
+    assert by_size[16] > 0.25   # shifted batch crosses the 'shifted' band
