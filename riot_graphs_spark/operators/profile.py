@@ -723,19 +723,18 @@ def psi_report(
     their sizes — additive (+0.5-per-bin) smoothing instead biases small
     batches upward, which would poison the per-ingest monitor
     (``streaming/drift.py``) that scores small micro-batches against a
-    large baseline.  Summed over the FULL bin grid so empty bins on one
-    side contribute.  Terms are quantized to ``decimal(28,12)`` before
-    the sum — summation-order independence, the determinism rule every
-    reduction here follows.  A group absent from one snapshot scores
-    every bin against ε (maximal drift — a brand-new group IS maximal
-    drift), with ``n_a``/``n_b`` showing which side is empty.
+    large baseline.  A bin empty on BOTH sides contributes exactly 0
+    (ε vs ε), so only OBSERVED bins need rows — no bin-grid spine
+    anywhere.  Terms are quantized to ``decimal(28,12)`` before the sum —
+    summation-order independence, the determinism rule every reduction
+    here follows.  A group absent from one snapshot scores every bin
+    against ε (maximal drift — a brand-new group IS maximal drift), with
+    ``n_a``/``n_b`` showing which side is empty.
 
     Plan: ONE scan per snapshot into a tagged-union count groupBy (the
-    only corpus-sized shuffle), reduced to one row per group carrying its
-    bin counts as a bounded (≤ nbuckets entries) map — the full bin grid
-    is then exploded from that row, so neither the group spine nor the
-    per-bin join ever re-reads the fact.  NULL values and NULL group keys
-    are excluded.
+    only corpus-sized shuffle); totals come from windows over the
+    observed (group, bin) count rows — ≤ groups × nbuckets of them.
+    NULL values and NULL group keys are excluded.
 
     Output: one row per group — ``(*group_cols, n_a bigint, n_b bigint,
     psi double)``.
@@ -769,25 +768,24 @@ def psi_report(
         .groupBy(*gcols, "bin")
         .agg(F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb"))
     )
-    per_group = counts.groupBy(*gcols).agg(
-        F.sum("_na").alias("_ta"),
-        F.sum("_nb").alias("_tb"),
-        F.map_from_entries(
-            F.collect_list(F.struct("bin", F.struct("_na", "_nb")))
-        ).alias("_m"),
-    )
-    grid = per_group.select(
-        *gcols,
-        "_ta",
-        "_tb",
-        F.explode(F.sequence(F.lit(0), F.lit(nbuckets - 1))).alias("bin"),
-        "_m",
-    ).select(
-        *gcols,
-        "_ta",
-        "_tb",
-        F.coalesce(F.col("_m")[F.col("bin")]["_na"], F.lit(0)).alias("_na"),
-        F.coalesce(F.col("_m")[F.col("bin")]["_nb"], F.lit(0)).alias("_nb"),
+    return psi_from_counts(counts, gcols)
+
+
+def psi_from_counts(
+    counts: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """PSI from pre-binned counts — ``counts`` is one row per observed
+    (group, bin) with ``_na``/``_nb`` (side A/B counts; 0 where a side
+    missed the bin).  The reduction core of :func:`psi_report`, exposed so
+    stored calibration artifacts (``streaming/drift.py``'s baseline bin
+    counts) can be scored WITHOUT re-reading or re-inflating the baseline.
+    Same contract: ε-clamped shares, decimal-quantized terms, both-empty
+    bins contribute 0 so missing grid rows are free.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    grid = counts.withColumn("_ta", F.sum("_na").over(w)).withColumn(
+        "_tb", F.sum("_nb").over(w)
     )
     eps = F.lit(1e-6)
     # try_divide + greatest: an all-empty side (0/0 -> NULL) clamps to

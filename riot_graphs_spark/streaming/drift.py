@@ -10,9 +10,10 @@ drift operators:
    equi-depth bin edges (``profile.equi_depth_edges`` — equal mass per bin
    maximizes PSI sensitivity) and its bin counts, and stores both;
 2. monitor FOREVER: :func:`drift_monitor_writer` wraps a ``foreachBatch``
-   sink that scores each micro-batch with ``profile.psi_report`` against
-   the stored baseline and APPENDS one row per (batch, group) to the
-   monitor table — the dashboard reads that table, never the raw stream.
+   sink that bins each micro-batch and scores its counts against the
+   stored baseline (``profile.psi_from_counts``), appending one row per
+   (batch, group) to the monitor table — the dashboard reads that table,
+   never the raw stream.
 
 Scale: the baseline table is (groups × bins) rows — broadcast-sized
 forever; each batch pays one count aggregate over ITSELF (O(batch)), and
@@ -63,22 +64,6 @@ def record_baseline(
     )
 
 
-def _baseline_as_rows(
-    counts: DataFrame, value_like_col: str, lo: float, width: float
-) -> DataFrame:
-    """Re-inflate baseline (group, bin, n) counts into bin-representative
-    value rows so ``psi_report`` (which bins raw values) can consume the
-    stored artifact: one row per count at the bin's midpoint — the
-    midpoint re-bins to the SAME bin index, so the PSI inputs are exactly
-    the recorded counts."""
-    mid = F.lit(lo) + (F.col("bin").cast("double") + 0.5) * F.lit(width)
-    return counts.select(
-        *[c for c in counts.columns if c not in ("bin", "n")],
-        mid.alias(value_like_col),
-        F.explode(F.sequence(F.lit(1), F.col("n").cast("int"))).alias("_i"),
-    ).drop("_i")
-
-
 def drift_monitor_writer(
     baseline_counts: DataFrame,
     monitor_path: str,
@@ -88,34 +73,34 @@ def drift_monitor_writer(
     nbuckets: int,
     group_cols: Sequence[str] = (),
 ):
-    """Return a ``foreachBatch`` function: scores each micro-batch's
-    ``value_col`` distribution against the recorded baseline counts with
-    :func:`..operators.profile.psi_report` and appends
+    """Return a ``foreachBatch`` function: bins each micro-batch under the
+    SAME fixed clamp bins, scores its counts against the recorded baseline
+    counts with :func:`..operators.profile.psi_from_counts`, and appends
     ``(batch_id, *group_cols, n_a, n_b, psi)`` to ``monitor_path``
     (``n_a`` = baseline rows, ``n_b`` = batch rows).
 
-    Baseline counts re-inflate to bin-midpoint rows (exactly the recorded
-    counts after re-binning) — groups × bins × avg-count rows; keep the
-    RECORDED baseline at calibration size (sample it there if enormous),
-    not the monitor.  Idempotency note: a replayed batch re-appends its
-    monitor rows; readers take the last row per (batch_id, group) or
-    dedup on write with the usual partition-overwrite sink.
+    The stored baseline is consumed AS COUNTS — never re-read from raw
+    data nor re-inflated to rows, so a billion-row calibration set costs
+    the monitor (groups × bins) join rows per batch.  Idempotency note: a
+    replayed batch re-appends its monitor rows; readers take the last row
+    per (batch_id, group) or dedup on write with the usual
+    partition-overwrite sink.
     """
-    from ..operators.profile import psi_report
+    from ..operators.profile import psi_from_counts
 
-    width = (hi - lo) / nbuckets
-    base_rows = _baseline_as_rows(baseline_counts, value_col, lo, width)
+    gcols = list(group_cols)
+    base = baseline_counts.withColumnRenamed("n", "_na")
 
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
-        report = psi_report(
-            base_rows,
-            batch_df,
-            value_col=value_col,
-            lo=lo,
-            hi=hi,
-            nbuckets=nbuckets,
-            group_cols=group_cols,
-        ).withColumn("batch_id", F.lit(int(epoch_id)))
+        batch_counts = record_baseline(
+            batch_df, value_col, lo, hi, nbuckets, gcols
+        ).withColumnRenamed("n", "_nb")
+        joined = base.join(
+            batch_counts, [*gcols, "bin"], "full_outer"
+        ).fillna(0, ["_na", "_nb"])
+        report = psi_from_counts(joined, gcols).withColumn(
+            "batch_id", F.lit(int(epoch_id))
+        )
         report.write.mode("append").parquet(monitor_path)
 
     return _score
