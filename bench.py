@@ -276,6 +276,7 @@ HEADLINE = [
     "freq_trending_daily_users",
     "emb_centroid_drift",
     "equi_depth_value_edges",
+    "mixture_ipf_weights",
 ]
 
 

@@ -798,3 +798,89 @@ def eval_leakage_report(
             ).alias("leaked"),
         )
     )
+
+
+def ipf_mixture_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-cell sampling
+    weights toward UNIFORM target shares on BOTH margins simultaneously —
+    the 2-D form of :func:`mixture_weights`: that operator balances ONE
+    key; a corpus skewed in ``lang`` AND ``source`` needs per-(lang,
+    source) weights such that the weighted mass hits the lang target
+    and the source target at once, which no per-margin reweighting can do
+    (fixing one margin un-fixes the other — exactly what IPF alternates
+    away).
+
+    Classic raking loop: per iteration, scale every cell's weight so row
+    sums match the row targets, then so column sums match the column
+    targets; with every observed margin positive the loop converges
+    geometrically.  ``iterations`` is FIXED (not run-to-convergence) so
+    the computation is a deterministic expression tree and the registered
+    query can pin it against an unrolled SQL oracle — the same contract
+    as the fixed-iteration graph operators; production raises
+    ``iterations`` (each costs two windows over the contingency table).
+
+    Determinism: counts are exact ints; every marginal sum quantizes its
+    ``n·w`` terms to ``decimal(28,12)`` (summation-order independence),
+    and each weight update is per-row IEEE on those exact sums.
+
+    Plan: ONE corpus scan into the joint-count groupBy; every iteration
+    is two window passes over the OBSERVED-CELLS table (|rows|·|cols|
+    upper bound), never the fact.  NULL levels count as their own level,
+    matching the other contingency operators.
+
+    Output: one row per observed cell — ``(row_col, col_col, n bigint,
+    weight double)``; ``Σ n·w ≈ N`` with per-margin weighted shares
+    approaching ``1/|rows|`` and ``1/|cols|``.
+    """
+    if iterations < 1:
+        raise ValueError("need iterations >= 1")
+    dec = "decimal(28,12)"
+    r = F.coalesce(F.col(row_col).cast("string"), F.lit("\x00null"))
+    c = F.coalesce(F.col(col_col).cast("string"), F.lit("\x00null"))
+    joint = (
+        df.select(r.alias("_r"), c.alias("_c"))
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    w_r, w_c = Window.partitionBy("_r"), Window.partitionBy("_c")
+    cur = (
+        joint.withColumn("_N", F.sum("n").over(w_all))
+        .withColumn("_L", F.size(F.collect_set("_r").over(w_all)))
+        .withColumn("_S", F.size(F.collect_set("_c").over(w_all)))
+        .withColumn("w", F.lit(1.0))
+    )
+    t_row = F.col("_N").cast("double") / F.col("_L").cast("double")
+    t_col = F.col("_N").cast("double") / F.col("_S").cast("double")
+    for _ in range(iterations):
+        cur = (
+            cur.withColumn(
+                "_m",
+                F.sum((F.col("n") * F.col("w")).cast(dec))
+                .over(w_r)
+                .cast("double"),
+            )
+            .withColumn("w", F.col("w") * (t_row / F.col("_m")))
+            .drop("_m")
+        )
+        cur = (
+            cur.withColumn(
+                "_m",
+                F.sum((F.col("n") * F.col("w")).cast(dec))
+                .over(w_c)
+                .cast("double"),
+            )
+            .withColumn("w", F.col("w") * (t_col / F.col("_m")))
+            .drop("_m")
+        )
+    return cur.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        "n",
+        F.round("w", 9).alias("weight"),
+    )

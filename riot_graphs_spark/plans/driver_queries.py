@@ -9653,6 +9653,68 @@ def equi_depth_value_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mixture_ipf_weights",
+    """
+    WITH j AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS r,
+             coalesce(source, chr(0) || 'null') AS c, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nt,
+             CAST(count(DISTINCT r) AS DOUBLE) AS L,
+             CAST(count(DISTINCT c) AS DOUBLE) AS S
+      FROM j
+    ),
+    s0 AS (SELECT r, c, n, nt, L, S, 1.0 AS w FROM j CROSS JOIN tot),
+    i1r AS (
+      SELECT *, w * ((nt / L)
+               / CAST(sum(CAST(n * w AS DECIMAL(28,12)))
+                      OVER (PARTITION BY r) AS DOUBLE)) AS w1
+      FROM s0
+    ),
+    i1c AS (
+      SELECT *, w1 * ((nt / S)
+                / CAST(sum(CAST(n * w1 AS DECIMAL(28,12)))
+                       OVER (PARTITION BY c) AS DOUBLE)) AS w2
+      FROM i1r
+    ),
+    i2r AS (
+      SELECT *, w2 * ((nt / L)
+                / CAST(sum(CAST(n * w2 AS DECIMAL(28,12)))
+                       OVER (PARTITION BY r) AS DOUBLE)) AS w3
+      FROM i1c
+    ),
+    i2c AS (
+      SELECT *, w3 * ((nt / S)
+                / CAST(sum(CAST(n * w3 AS DECIMAL(28,12)))
+                       OVER (PARTITION BY c) AS DOUBLE)) AS w4
+      FROM i2r
+    )
+    SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
+           round(w4, 9) AS weight
+    FROM i2c
+    """,
+)
+def mixture_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D mixture raking (operators.curation.ipf_mixture_weights): IPF
+    sampling weights over the lang×source contingency table toward
+    UNIFORM shares on BOTH margins at once — mixture_weights balances one
+    key; this is what a mixture designer runs when the corpus is skewed
+    in language AND crawl simultaneously (fixing one margin un-fixes the
+    other; IPF alternates it away).  Two fixed iterations == the unrolled
+    4-window oracle, the fixed-iteration determinism contract shared with
+    the graph operators; each iteration is two windows over the
+    97-observed-cells table, never the corpus."""
+    from ..operators.curation import ipf_mixture_weights
+
+    return ipf_mixture_weights(
+        _t(spark, sf_dir, "documents"), row_col="lang", col_col="source",
+        iterations=2,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -438,6 +438,14 @@ def _cdrift(tables):
     )
 
 
+def _ipf(documents):
+    from riot_graphs_spark.operators.curation import ipf_mixture_weights
+
+    return ipf_mixture_weights(
+        documents, row_col="lang", col_col="source", iterations=2
+    )
+
+
 def _edges(events):
     from riot_graphs_spark.operators.profile import equi_depth_edges
 
@@ -723,6 +731,9 @@ def main() -> None:
         "emb_centroid_drift": lambda t: _cdrift(t),
         # (group, value) count groupBy + distinct-axis windows — KS shape
         "equi_depth_edges": lambda t: _edges(t["events"]),
+        # one corpus scan -> contingency table; iterations are windows
+        # over observed cells only
+        "mixture_ipf": lambda t: _ipf(t["documents"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

@@ -1265,3 +1265,43 @@ def test_cross_source_overlap_hand_fixture(spark):
     }
     # only the s1-s2 pair shares a unit, counted once (distinct units)
     assert got == {("s1", "s2"): 1}
+
+
+def test_ipf_weights_hit_both_margins(spark):
+    """Raking must drive BOTH weighted margins to the uniform targets —
+    the property no single-margin reweighting has — and more iterations
+    must tighten the fit."""
+    import pytest
+
+    from riot_graphs_spark.operators.curation import ipf_mixture_weights
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 5 + [("b", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+
+    def margins(iterations):
+        out = ipf_mixture_weights(
+            df, "lang", "source", iterations=iterations
+        ).collect()
+        total = sum(r["n"] * r["weight"] for r in out)
+        by_r, by_c = {}, {}
+        for r in out:
+            by_r[r["lang"]] = by_r.get(r["lang"], 0) + r["n"] * r["weight"]
+            by_c[r["source"]] = by_c.get(r["source"], 0) + r["n"] * r["weight"]
+        return (
+            {k: v / total for k, v in by_r.items()},
+            {k: v / total for k, v in by_c.items()},
+        )
+
+    br, bc = margins(8)
+    assert all(abs(v - 0.5) < 1e-3 for v in br.values()), br
+    assert all(abs(v - 0.5) < 1e-3 for v in bc.values()), bc
+    # fewer iterations -> looser fit on the margin fixed first
+    br1, _ = margins(1)
+    assert max(abs(v - 0.5) for v in br1.values()) >= max(
+        abs(v - 0.5) for v in br.values()
+    )
+    with pytest.raises(ValueError):
+        ipf_mixture_weights(df, "lang", "source", iterations=0)

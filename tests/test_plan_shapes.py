@@ -721,3 +721,13 @@ def test_equi_depth_edges_single_scan_no_join(spark):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
     assert shuffle_count(plan) <= 2
     assert "EvalPython" not in plan
+
+
+def test_ipf_single_scan_windows_over_cells(spark):
+    # IPF raking: ONE corpus scan into the joint-count groupBy; every
+    # iteration is windows over the observed-cells table — no joins, no
+    # fact re-scans however many iterations.
+    plan = formatted_plan(spark, "mixture_ipf_weights")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "EvalPython" not in plan
