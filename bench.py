@@ -277,6 +277,7 @@ HEADLINE = [
     "emb_centroid_drift",
     "equi_depth_value_edges",
     "mixture_ipf_weights",
+    "ks_uniform_fit",
 ]
 
 

@@ -1029,3 +1029,70 @@ def equi_depth_edges(
     return wide.select(
         *gcols, "n_rows", F.explode(edges).alias("_e")
     ).select(*gcols, "_e.edge_idx", "_e.edge", "n_rows")
+
+
+def ks_goodness_of_fit(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov statistic against the uniform
+    reference on ``[lo, hi]``: ``D = sup_x |F_n(x) − F0(x)|`` — the
+    goodness-of-fit companion to :func:`ks_two_sample` (that one compares
+    two snapshots; this one tests a single snapshot against a known
+    distribution: the sanity check a synthetic-data generator or hash/
+    sampling stage runs — "are my md5-derived sampling keys actually
+    uniform?").  For another reference, transform the column by its CDF
+    first (probability integral transform) and test against uniform on
+    [0, 1] — the standard reduction.
+
+    The empirical CDF is a step function, so the sup needs BOTH one-sided
+    gaps at every observed point: ``D⁺ = max(cum/n − F0(v))`` and
+    ``D⁻ = max(F0(v) − cum_before/n)``; each row's gap is one IEEE
+    expression on exact integer counts and the clamped linear F0, and
+    ``max`` is order-free — fully deterministic, no quantization needed.
+
+    Plan: one (group, value) count groupBy (partial-aggregable, the only
+    corpus-sized shuffle) + cumulative windows over the distinct-value
+    axis — the :func:`ks_two_sample` shape.  NULL values and NULL group
+    keys are excluded.
+
+    Output: one row per group — ``(*group_cols, n bigint, ks_d double)``.
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    gcols = list(group_cols)
+    keep = F.col(value_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    c = counts.withColumn("_cum", F.sum("_n").over(w_cum)).withColumn(
+        "_tot", F.sum("_n").over(w_tot)
+    )
+    f0 = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0), (F.col("_v") - F.lit(lo)) / F.lit(hi - lo)
+        ),
+    )
+    ecdf = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    ecdf_before = (F.col("_cum") - F.col("_n")).cast("double") / F.col(
+        "_tot"
+    ).cast("double")
+    gap = F.greatest(ecdf - f0, f0 - ecdf_before)
+    return c.groupBy(*gcols).agg(
+        F.max("_tot").alias("n"),
+        F.round(F.max(gap), 9).alias("ks_d"),
+    )

@@ -9715,6 +9715,52 @@ def mixture_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ks_uniform_fit",
+    """
+    WITH c AS (
+      SELECT event_type, value AS v, count(*) AS n
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, v, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    g AS (
+      SELECT event_type, tot,
+             greatest(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                      - greatest(0.0, least(1.0, (v - 0.0) / 500.0)),
+                      greatest(0.0, least(1.0, (v - 0.0) / 500.0))
+                      - CAST(cum - n AS DOUBLE) / CAST(tot AS DOUBLE))
+               AS gap
+      FROM w
+    )
+    SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+           round(max(gap), 9) AS ks_d
+    FROM g GROUP BY 1
+    """,
+)
+def ks_uniform_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS goodness-of-fit of the event value against uniform
+    on [0, 500) per event_type (operators.profile.ks_goodness_of_fit) —
+    the single-snapshot companion to ks_value_drift: instead of comparing
+    two snapshots, test one against a KNOWN reference (the synthetic-data
+    / sampling-key-uniformity sanity check; the fixture's value column is
+    heavily right-skewed, so this reads far from 0 by design).  Both
+    one-sided step gaps at every observed point; exact integer counts,
+    order-free max — no quantization anywhere."""
+    from ..operators.profile import ks_goodness_of_fit
+
+    return ks_goodness_of_fit(
+        _t(spark, sf_dir, "events"), value_col="value", lo=0.0, hi=500.0,
+        group_cols=["event_type"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -438,6 +438,15 @@ def _cdrift(tables):
     )
 
 
+def _ks_gof(events):
+    from riot_graphs_spark.operators.profile import ks_goodness_of_fit
+
+    return ks_goodness_of_fit(
+        events, value_col="value", lo=0.0, hi=500.0,
+        group_cols=["event_type"],
+    )
+
+
 def _ipf(documents):
     from riot_graphs_spark.operators.curation import ipf_mixture_weights
 
@@ -734,6 +743,8 @@ def main() -> None:
         # one corpus scan -> contingency table; iterations are windows
         # over observed cells only
         "mixture_ipf": lambda t: _ipf(t["documents"]),
+        # one-sample KS: same distinct-axis window shape, row-local F0
+        "ks_uniform_fit": lambda t: _ks_gof(t["events"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

@@ -1451,3 +1451,29 @@ def test_equi_depth_edges_hand_computed_and_validates(spark):
     assert got == {1: 5.0, 2: 5.0, 3: 5.0}
     with pytest.raises(ValueError):
         equi_depth_edges(df, "value", k=1)
+
+
+def test_ks_goodness_of_fit_hand_computed(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.profile import ks_goodness_of_fit
+
+    # exact uniform grid midpoints on [0,10): ecdf k/4 vs F0 stepping
+    # through 0.125..0.875 -> D = 0.125 on both sides of every step
+    df = _vals(spark, [("g", v) for v in (1.25, 3.75, 6.25, 8.75)])
+    r = ks_goodness_of_fit(
+        df, "value", lo=0.0, hi=10.0, group_cols=["grp"]
+    ).collect()[0]
+    assert (r["n"], r["ks_d"]) == (4, 0.125)
+
+    # all mass at one point far from uniform -> D near 1 (left gap at v=0:
+    # F0=0, ecdf jumps to 1; right gap 1 - F0(0.0) = 1.0... v=0 -> F0=0,
+    # ecdf_before=0 -> D = 1 - 0 = 1.0)
+    spike = _vals(spark, [("g", 0.0)] * 5)
+    r = ks_goodness_of_fit(
+        spike, "value", lo=0.0, hi=10.0, group_cols=["grp"]
+    ).collect()[0]
+    assert r["ks_d"] == 1.0
+
+    with pytest.raises(ValueError):
+        ks_goodness_of_fit(df, "value", lo=1.0, hi=1.0)

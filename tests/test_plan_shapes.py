@@ -731,3 +731,14 @@ def test_ipf_single_scan_windows_over_cells(spark):
     assert "Join" not in plan
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
     assert "EvalPython" not in plan
+
+
+def test_ks_gof_single_scan_no_join(spark):
+    # one-sample KS: one (group, value) count groupBy + distinct-axis
+    # windows; the reference CDF is a row-local expression — no second
+    # input, no join.
+    plan = formatted_plan(spark, "ks_uniform_fit")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert shuffle_count(plan) <= 2
+    assert "EvalPython" not in plan
