@@ -278,6 +278,7 @@ HEADLINE = [
     "equi_depth_value_edges",
     "mixture_ipf_weights",
     "ks_uniform_fit",
+    "quality_quantile_normalized",
 ]
 
 

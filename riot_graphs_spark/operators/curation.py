@@ -884,3 +884,86 @@ def ipf_mixture_weights(
         "n",
         F.round("w", 9).alias("weight"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value with
+    the POOLED distribution's value at the row's within-group quantile —
+    per-source score calibration, the step before applying one global
+    threshold to scores produced by heterogeneous sources (a quality
+    score of 0.7 from a lenient crawl and 0.7 from a strict one are not
+    the same percentile; after this pass, equal within-source ranks get
+    equal calibrated values by construction).
+
+    Ranks use cumulative counts over distinct values (ties share the max
+    rank — deterministic with no tiebreak column), quantiles are exact
+    integer ratios, and the pooled lookup is a FORWARD as-of join on the
+    quantile axis (smallest pooled value whose pooled quantile ≥ the
+    row's): every group's max maps to the pooled max since both ends are
+    exactly 1.0, so the mapping is total.
+
+    Plan: one (group, value) count groupBy; the as-of runs over the
+    DISTINCT-VALUE axis (one ordered pass — the ``ks_two_sample`` caveat
+    applies: pre-quantize a continuous measure upstream); rows map back
+    through one (group, value)-keyed equi-join (AQE broadcasts the
+    mapping when small).  Rows with NULL value or NULL group keys pass
+    through with a NULL calibrated value.
+
+    Output: ``df``'s columns plus ``out_col`` (default
+    ``{value_col}_qn``), same type as ``value_col``.
+    """
+    from .asof import asof_join_forward
+
+    out_col = out_col or f"{value_col}_qn"
+    gcols = list(group_cols)
+    keep = F.col(value_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*gcols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    left = counts.select(
+        *gcols,
+        "_v",
+        (
+            F.sum("_n").over(w_cum).cast("double")
+            / F.sum("_n").over(w_tot).cast("double")
+        ).alias("_q"),
+        F.lit(1).alias("_k"),
+    )
+    pooled_counts = counts.groupBy("_v").agg(F.sum("_n").alias("_n"))
+    wp_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wp_tot = Window.partitionBy()
+    pooled = pooled_counts.select(
+        F.lit(1).alias("_k"),
+        F.col("_v").alias("_vp"),
+        (
+            F.sum("_n").over(wp_cum).cast("double")
+            / F.sum("_n").over(wp_tot).cast("double")
+        ).alias("_qp"),
+    )
+    mapped = asof_join_forward(
+        left, pooled, on="_k", left_ts="_q", right_ts="_qp",
+        right_payload=["_vp"], suffix="",
+    )
+    mapping = mapped.select(
+        *gcols,
+        F.col("_v").alias(value_col),
+        F.col("_vp").alias(out_col),
+    )
+    return df.join(mapping, [*gcols, value_col], "left")

@@ -9761,6 +9761,57 @@ def ks_uniform_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "quality_quantile_normalized",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS v, count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT source, v,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS q
+      FROM c
+    ),
+    p0 AS (SELECT v, sum(n) AS n FROM c GROUP BY 1),
+    p AS (
+      SELECT v AS vp,
+             CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+               / CAST(sum(n) OVER () AS DOUBLE) AS qp
+      FROM p0
+    ),
+    m AS (
+      SELECT source, v,
+             (SELECT min(vp) FROM p WHERE p.qp >= w.q) AS v_qn
+      FROM w
+    )
+    SELECT d.doc_id, d.source, d.n_chars, m.v_qn AS n_chars_qn
+    FROM documents d
+    LEFT JOIN m ON d.source = m.source AND d.n_chars = m.v
+    """,
+)
+def quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the document length signal
+    (operators.curation.quantile_normalize): each doc's n_chars replaced
+    by the POOLED distribution's value at the doc's within-source
+    quantile — per-source score calibration, the pass that makes one
+    global quality threshold meaningful across heterogeneous crawls
+    (equal within-source ranks get equal calibrated values by
+    construction).  Exact integer-count quantiles; the pooled lookup is a
+    forward as-of on the quantile axis (the J4 machinery on a non-time
+    axis); rows map back through one (source, value)-keyed join."""
+    from ..operators.curation import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", ["source"]).select(
+        "doc_id", "source", "n_chars", "n_chars_qn"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -438,6 +438,14 @@ def _cdrift(tables):
     )
 
 
+def _qnorm(documents):
+    from riot_graphs_spark.operators.curation import quantile_normalize
+
+    return quantile_normalize(documents, "n_chars", ["source"]).select(
+        "doc_id", "source", "n_chars", "n_chars_qn"
+    )
+
+
 def _ks_gof(events):
     from riot_graphs_spark.operators.profile import ks_goodness_of_fit
 
@@ -745,6 +753,8 @@ def main() -> None:
         "mixture_ipf": lambda t: _ipf(t["documents"]),
         # one-sample KS: same distinct-axis window shape, row-local F0
         "ks_uniform_fit": lambda t: _ks_gof(t["events"]),
+        # count groupBy + distinct-axis as-of + one map-back equi-join
+        "quantile_normalize": lambda t: _qnorm(t["documents"]),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

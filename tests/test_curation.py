@@ -1305,3 +1305,38 @@ def test_ipf_weights_hit_both_margins(spark):
     )
     with pytest.raises(ValueError):
         ipf_mixture_weights(df, "lang", "source", iterations=0)
+
+
+def test_quantile_normalize_equal_ranks_get_equal_values(spark):
+    """The defining property: two groups with identical within-group rank
+    structure map onto the SAME pooled targets, whatever their scales —
+    and every group's max maps to the pooled max (the mapping is total)."""
+    from riot_graphs_spark.operators.curation import quantile_normalize
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (10.0, 20.0, 30.0, 40.0)
+    ]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = quantile_normalize(df, "score", ["source"])
+    got = {
+        (r["source"], r["score"]): r["score_qn"] for r in out.collect()
+    }
+    # pooled sorted: 1,2,3,4,10,20,30,40 -> quantile grid k/8; group rank
+    # k/4 targets pooled ranks 2,4,6,8 -> values 2,4,20,40 for BOTH groups
+    assert [got[("a", v)] for v in (1.0, 2.0, 3.0, 4.0)] == [
+        2.0, 4.0, 20.0, 40.0
+    ]
+    assert [got[("b", v)] for v in (10.0, 20.0, 30.0, 40.0)] == [
+        2.0, 4.0, 20.0, 40.0
+    ]
+
+    # NULL value / NULL group pass through with NULL calibrated value
+    with_nulls = spark.createDataFrame(
+        rows + [("a", None), (None, 5.0)], "source string, score double"
+    )
+    out = quantile_normalize(with_nulls, "score", ["source"])
+    assert out.count() == 10
+    nulls = out.filter(F.col("score_qn").isNull()).collect()
+    assert {(r["source"], r["score"]) for r in nulls} == {
+        ("a", None), (None, 5.0)
+    }

@@ -742,3 +742,13 @@ def test_ks_gof_single_scan_no_join(spark):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
     assert shuffle_count(plan) <= 2
     assert "EvalPython" not in plan
+
+
+def test_quantile_normalize_no_cartesian_single_fact_reread(spark):
+    # the pooled lookup must be the union+window as-of form over the
+    # distinct-value axis — never a (group,value) x pooled cross join;
+    # rows map back through one equi-join.
+    plan = formatted_plan(spark, "quality_quantile_normalized")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
