@@ -920,6 +920,11 @@ def quantile_normalize(
     from .asof import asof_join_forward
 
     out_col = out_col or f"{value_col}_qn"
+    if out_col in df.columns:
+        raise ValueError(
+            f"quantile_normalize: output column {out_col!r} already exists "
+            "in the input — pass a distinct out_col or drop/rename first"
+        )
     gcols = list(group_cols)
     keep = F.col(value_col).isNotNull()
     for g in gcols:

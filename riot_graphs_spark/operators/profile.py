@@ -576,7 +576,10 @@ def correlation_matrix(
     """
     if len(cols) < 2:
         raise ValueError("need at least two columns")
-    dec = [F.col(c).cast("decimal(18,6)") for c in cols]
+    # try_cast: overflow -> NULL under BOTH ANSI settings (pyspark 4.x has
+    # ANSI on by default, where a plain cast would throw engine-side before
+    # the _ovf guard below could fire with its documented message)
+    dec = [F.col(c).try_cast("decimal(18,6)") for c in cols]
     aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
     for i, c in enumerate(cols):
         # non-null input whose (18,6) cast came back NULL = overflow

@@ -116,10 +116,9 @@ _ROUND_4 = [
 #: ``ann_recall_ivf``, ``ts_holt_forecast``, ``ts_holt_winters_seasonal``,
 #: ``dau_wau_sketch_rollup``, ``emb_kmeans_cells``, ``bpe_train_merges``,
 #: ``mm_phash_pairs``, ``mm_audio_neardup``) are the rows-only-by-design set
-#: pre-declared in COVERAGE.md; every one returned non-vacuous rows, which is
-#: the strongest driver signal that class of query can get, so they are
-#: treated as driver-rowed and included here to free r06 window slots for new
-#: registrations.  The five tail names (``flagship_daily_delta`` +
+#: pre-declared in COVERAGE.md; every one returned non-vacuous rows and now
+#: lives in ``DRIVER_ROWED`` below (weaker evidence class, kept out of this
+#: hash-green list).  The five tail names (``flagship_daily_delta`` +
 #: ``p1/p2/p5/p9``) were already in ``_ROUND_1``; frozenset union dedupes.
 _ROUND_5 = [
     "ts_ewma_window", "dq_winsorize_events", "mixture_temperature",
@@ -137,15 +136,37 @@ _ROUND_5 = [
     "dedup_cross_source_matrix", "profile_correlations", "assoc_lang_source",
     "flagship_daily_delta", "p1_json_props", "p2_derived_revenue",
     "p5_regex_extract", "p9_time_range",
-    # rows-only-by-design set with non-vacuous r05 driver rows:
+]
+
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r06.json.
+#: All 10 round-6 registrations went green on first driver contact; the other
+#: 40 window rows were re-checks of names already in earlier rounds.
+_ROUND_6 = [
+    "rollup_incremental_percentiles", "psi_value_drift", "ks_value_drift",
+    "mi_lang_source", "freq_trending_daily_users", "emb_centroid_drift",
+    "equi_depth_value_edges", "mixture_ipf_weights", "ks_uniform_fit",
+    "quality_quantile_normalized",
+]
+
+#: Rows-only-by-design names (no DuckDB-expressible oracle — pre-declared in
+#: COVERAGE.md) whose driver rows returned non-vacuous row counts.  That is
+#: the strongest signal this class can get, but it is a WEAKER evidence class
+#: than a rows+schema+hash match, so it lives in its own frozenset rather
+#: than inside ``DRIVER_VERIFIED`` (which keeps its hash-green meaning).
+#: Both sets feed the window-ordering predicate identically.
+DRIVER_ROWED: frozenset[str] = frozenset([
+    # r05 driver rows:
     "sketch_stats", "ts_ewma", "ann_recall_ivf", "ts_holt_forecast",
     "ts_holt_winters_seasonal", "dau_wau_sketch_rollup", "emb_kmeans_cells",
     "bpe_train_merges", "mm_phash_pairs", "mm_audio_neardup",
-]
+])
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5
+    _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
 )
+
+#: Union used for ordering only: "this name does not need a window slot".
+_DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 
 #: Queries REGISTERED AFTER a round's ~50-slot window was already exactly
 #: filled by the older pending tail. Ordered LAST — behind even the verified
@@ -167,17 +188,17 @@ def rotation_order(
     """Return *registered* reordered unverified-first (see module docstring)."""
     pending_oracle = [
         n for n in registered
-        if n not in DRIVER_VERIFIED and n in oracles
+        if n not in _DRIVER_SEEN and n in oracles
         and n not in DEFER_TO_NEXT_WINDOW
     ]
     pending_weak = [
         n for n in registered
-        if n not in DRIVER_VERIFIED and n not in oracles
+        if n not in _DRIVER_SEEN and n not in oracles
         and n not in DEFER_TO_NEXT_WINDOW
     ]
     done = [
         n for n in registered
-        if n in DRIVER_VERIFIED and n not in DEFER_TO_NEXT_WINDOW
+        if n in _DRIVER_SEEN and n not in DEFER_TO_NEXT_WINDOW
     ]
     deferred = [n for n in registered if n in DEFER_TO_NEXT_WINDOW]
     return pending_oracle + pending_weak + done + deferred

@@ -1340,3 +1340,12 @@ def test_quantile_normalize_equal_ranks_get_equal_values(spark):
     assert {(r["source"], r["score"]) for r in nulls} == {
         ("a", None), (None, 5.0)
     }
+
+    # colliding output column fails loudly instead of producing a frame
+    # with duplicate names (ambiguous downstream selects)
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_normalize(df, "score", ["source"], out_col="score")
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_normalize(
+            df.withColumn("score_qn", F.lit(0.0)), "score", ["source"]
+        )

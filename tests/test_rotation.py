@@ -4,9 +4,20 @@ rotation must surface unverified queries first without altering the set."""
 from riot_graphs_spark.plans import driver_queries as dq
 from riot_graphs_spark.plans.verified import (
     DEFER_TO_NEXT_WINDOW,
+    DRIVER_ROWED,
     DRIVER_VERIFIED,
     rotation_order,
 )
+
+# "Seen by the driver" = hash-green OR rows-only-by-design with a non-vacuous
+# driver row; both classes give up their window slot to new registrations.
+SEEN = DRIVER_VERIFIED | DRIVER_ROWED
+
+
+def test_rowed_set_is_disjoint_from_hash_green():
+    # DRIVER_VERIFIED keeps its strict rows+schema+hash meaning; the weaker
+    # rows-only evidence class must never leak into it.
+    assert not (DRIVER_VERIFIED & DRIVER_ROWED)
 
 
 def test_rotation_preserves_set():
@@ -20,12 +31,12 @@ def test_unverified_oracle_paired_come_first():
     oracles = set(dq.ORACLES)
     pending = [
         n for n in ordered
-        if n not in DRIVER_VERIFIED and n in oracles
+        if n not in SEEN and n in oracles
         and n not in DEFER_TO_NEXT_WINDOW
     ]
     # Every pending oracle-paired query precedes every already-verified one.
     first_done = next(
-        (i for i, n in enumerate(ordered) if n in DRIVER_VERIFIED), len(ordered)
+        (i for i, n in enumerate(ordered) if n in SEEN), len(ordered)
     )
     last_pending = max(
         (i for i, n in enumerate(ordered) if n in pending), default=-1
@@ -39,10 +50,10 @@ def test_driver_window_is_all_unverified():
     ordered = list(dq.queries())
     unverified = [
         n for n in ordered
-        if n not in DRIVER_VERIFIED and n not in DEFER_TO_NEXT_WINDOW
+        if n not in SEEN and n not in DEFER_TO_NEXT_WINDOW
     ]
     if len(unverified) >= 50:
-        assert all(n not in DRIVER_VERIFIED for n in ordered[:50])
+        assert all(n not in SEEN for n in ordered[:50])
 
 
 def test_deferred_names_come_last_and_window_keeps_pending():
@@ -54,7 +65,7 @@ def test_deferred_names_come_last_and_window_keeps_pending():
         assert ordered.index(name) >= n - len(DEFER_TO_NEXT_WINDOW)
     pending = [
         n_ for n_ in ordered
-        if n_ not in DRIVER_VERIFIED and n_ not in DEFER_TO_NEXT_WINDOW
+        if n_ not in SEEN and n_ not in DEFER_TO_NEXT_WINDOW
     ]
     # every non-deferred pending name sits inside the first-50 window
     assert all(ordered.index(p) < 50 for p in pending)
