@@ -1,0 +1,437 @@
+"""Classifier / ranker evaluation: the measurement layer that grades the
+quality-scoring and retrieval operators the way ``ann_recall_ivf`` grades
+IVF — ROC-AUC, calibration, precision/recall at thresholds, lift/gains,
+NDCG, and Wilson proportion intervals.
+
+A training-data pipeline ships a quality classifier (``textstats.
+quality_score``) and a retrieval stack (``ranking.bm25_search_topk``); these
+operators answer "is the score any good?" against a label column, so a
+threshold change is a measured decision instead of a guess.  (The reference
+computes no evaluation metrics — its nightly build-size plots,
+``/root/reference/rg.py:269-285``, are the unscored ancestor of this layer.)
+
+Determinism discipline (the BASELINE.md hash-gate rules):
+
+- Every reduction over floats is quantized to DECIMAL before the sum;
+  rank/count arithmetic stays in exact integers end-to-end.
+- AUC and the lift table are COUNTS-BASED over the distinct-score axis —
+  no global per-row ORDER BY rank anywhere, so nothing funnels through a
+  single partition at 100 TB.  Ties share average ranks (AUC) or land in
+  one bucket together (lift) — deterministic without a tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: z for a 95% two-sided normal interval; oracle SQL must use this literal.
+Z95 = 1.959963984540054
+
+
+def _pos(label_col: str) -> Column:
+    """Positive-class indicator: boolean TRUE or numeric nonzero -> 1."""
+    c = F.col(label_col)
+    return F.when(c.cast("boolean"), F.lit(1)).otherwise(F.lit(0))
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ROC-AUC via the rank-sum (Mann–Whitney) identity with exact tie
+    handling — the standard single-number grade of a score column against
+    a binary label:
+
+        AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where tied scores share their AVERAGE rank (each tie group of size t
+    starting at rank r contributes r + (t−1)/2 — exactly the 0.5-credit
+    Mann–Whitney convention, so a constant score yields AUC = 0.5).
+
+    Exactness: everything up to the final division is integer.  Doubled
+    average ranks are integers (2·avg = 2·cum_before + t + 1), each distinct
+    value contributes ``n⁺_v · (2·cum_before + t + 1)``, and the sum rides
+    ``decimal(38,0)`` (a per-term product caps near n², the sum near n³ —
+    decimal38 holds to n ≈ 10¹², far past any corpus).
+
+    Plan: ONE corpus-sized count groupBy on (group, score), then windows
+    over the DISTINCT-SCORE axis only (the ``ks_two_sample`` caveat: for a
+    continuous score at extreme scale, pre-quantize upstream — a score
+    column is typically already rounded).  NULL scores/labels/groups are
+    excluded.  A one-class group (n⁺ = 0 or n⁻ = 0) has no defined AUC:
+    NULL via ``try_divide``.
+
+    Output: one row per group — ``(*group_cols, n_pos bigint, n_neg
+    bigint, auc double)``.
+    """
+    gcols = list(group_cols)
+    keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*gcols, F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(_pos(label_col)).alias("_np"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
+    term = (
+        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
+    ).cast("decimal(38,0)")
+    agg = c.groupBy(*gcols).agg(
+        F.sum("_np").alias("n_pos"),
+        (F.sum("_nt") - F.sum("_np")).alias("n_neg"),
+        F.sum(term).alias("_s2"),
+    )
+    npos = F.col("n_pos").cast("decimal(38,0)")
+    auc = F.try_divide(
+        (F.col("_s2") - npos * (npos + F.lit(1))).cast("double"),
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
+    return agg.select(
+        *gcols, "n_pos", "n_neg", F.round(auc, 9).alias("auc")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    nbins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability table: fixed-width score bins vs observed positive rate
+    — a well-calibrated score has ``pos_rate ≈ mean_score`` per bin; the
+    gap IS the calibration error a threshold consumer needs to know.
+
+    Same clamped ``floor((s−lo)/width)`` bins as ``fixed_histogram`` /
+    ``psi_report`` (fixed spec, never data-derived).  ``mean_score`` sums
+    ``decimal(28,12)``-quantized scores (order-free); counts are exact
+    ints.  Empty bins are simply absent (no spine).  One corpus-sized
+    count groupBy; output ≤ nbins rows.
+
+    Output: ``(bin int, n bigint, mean_score double, pos_rate double)``.
+    """
+    if nbins < 1 or not hi > lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    width = (hi - lo) / nbins
+    s = F.col(score_col)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nbins - 1), F.floor((s - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    return (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(s.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(_pos(label_col)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("pos_rate"),
+        )
+    )
+
+
+def pr_at_thresholds(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Precision / recall / F1 at FIXED decision thresholds (``score >= t``
+    predicts positive) — the operating-point table behind choosing a
+    corpus-filter cutoff.
+
+    ONE scan: every threshold's tp/fp/fn ride the same single ``agg`` as
+    conditional counts (3·|thresholds| integer aggregates — partial-
+    aggregable, no per-threshold job), then the one result row explodes
+    into |thresholds| rows driver-free.  Ratios are exact-int divisions;
+    a degenerate cell (no predicted / no actual positives) yields NULL via
+    ``try_divide``.
+
+    Output: ``(threshold double, tp bigint, fp bigint, fn bigint,
+    precision double, recall double, f1 double)``.
+    """
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    s, pos = F.col(score_col), _pos(label_col)
+    base = df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(float(t))
+        aggs.append(F.sum(F.when(pred, pos).otherwise(0)).alias(f"_tp{i}"))
+        aggs.append(
+            F.sum(F.when(pred, 1 - pos).otherwise(0)).alias(f"_fp{i}")
+        )
+        aggs.append(
+            F.sum(F.when(~pred, pos).otherwise(0)).alias(f"_fn{i}")
+        )
+    one = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp = F.col(f"_tp{i}")
+        fp = F.col(f"_fp{i}")
+        fn = F.col(f"_fn{i}")
+        prec = F.try_divide(tp.cast("double"), (tp + fp).cast("double"))
+        rec = F.try_divide(tp.cast("double"), (tp + fn).cast("double"))
+        f1 = F.try_divide(
+            F.lit(2) * tp.cast("double"),
+            (F.lit(2) * tp + fp + fn).cast("double"),
+        )
+        rows.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                F.round(prec, 9).alias("precision"),
+                F.round(rec, 9).alias("recall"),
+                F.round(f1, 9).alias("f1"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank the population by score
+    DESCENDING, cut into ``nbins`` equal-mass buckets, and report how much
+    of the positive class the top buckets capture — "the top decile of the
+    quality score holds 34% of the keepers" is the sentence a curation
+    budget decision is made on.
+
+    Buckets are cut on the DISTINCT-SCORE axis: a distinct value's whole
+    tie group lands in ``ceil(nbins · cum/n)`` of its cumulative count —
+    deterministic with NO per-row tiebreak and no global row numbering
+    (``ntile`` over a full ORDER BY funnels the corpus through one
+    partition; this never ranks rows).  Heavy ties make buckets unequal —
+    that is reported honestly by ``n`` rather than split arbitrarily.
+
+    Exactness: integer counts end-to-end; ratios divide at the end.
+    ``lift`` = bucket pos-rate / overall pos-rate; ``cum_capture`` =
+    positives at-or-above the bucket / all positives (the gains curve).
+
+    Output: one row per non-empty bucket — ``(bucket int, n bigint,
+    n_pos bigint, pos_rate double, cum_capture double, lift double)``,
+    bucket 1 = highest scores.
+    """
+    if nbins < 1:
+        raise ValueError("need nbins >= 1")
+    keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(_pos(label_col)).alias("_np"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+    )
+    w_cum = (
+        Window.orderBy(F.desc("_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    c = (
+        counts.withColumn("_c", F.sum("_nt").over(w_cum))
+        .withColumn("_n", F.sum("_nt").over(w_tot))
+        .withColumn("_p", F.sum("_np").over(w_tot))
+    )
+    bucket = F.ceil(F.lit(nbins) * F.col("_c") / F.col("_n")).cast("int")
+    per = (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("_nt").alias("n"),
+            F.sum("_np").alias("n_pos"),
+            F.max("_n").alias("_n"),
+            F.max("_p").alias("_p"),
+        )
+    )
+    w_cap = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.withColumn("_cp", F.sum("n_pos").over(w_cap))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 9
+            ).alias("pos_rate"),
+            F.round(
+                F.try_divide(
+                    F.col("_cp").cast("double"), F.col("_p").cast("double")
+                ),
+                9,
+            ).alias("cum_capture"),
+            F.round(
+                F.try_divide(
+                    F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                    F.col("_p").cast("double") / F.col("_n").cast("double"),
+                ),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k of a retrieval run against graded relevance judgments — the
+    standard ranking grade for the BM25 / hybrid-RRF stack (the way
+    ``ann_recall_ivf`` grades the ANN index):
+
+        DCG@k  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+        NDCG@k = DCG@k / IDCG@k   (IDCG from the qrels' own best ordering)
+
+    Gains ``2^rel − 1`` are exact integers (rel is a small int grade);
+    the per-row discount is one IEEE expression; per-query sums quantize
+    terms to ``decimal(28,12)`` first.  The ideal ordering ranks qrels
+    per query by (rel DESC, doc ASC — deterministic tiebreak) inside a
+    per-QUERY window (bounded by judgments per query, never corpus-wide).
+    A run row with no judgment counts as rel 0; a query with IDCG 0 gets
+    NULL ndcg via ``try_divide``.
+
+    Plan: run⋈qrels is an equi-join on (query, doc) — qrels are the small
+    side in any real eval (broadcast); one per-query agg each side.
+
+    Output: ``(query_id, dcg double, idcg double, ndcg double)`` — one
+    row per query present in the run.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+
+    def gain(rel: Column) -> Column:
+        return F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)
+
+    r = run.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    ).filter(F.col("_r") <= k)
+    j = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("int").alias("_rel"),
+    )
+    dcg_term = (
+        gain(F.coalesce(F.col("_rel"), F.lit(0)))
+        / F.log2(F.col("_r").cast("double") + F.lit(1.0))
+    ).cast("decimal(28,12)")
+    dcg = (
+        r.join(F.broadcast(j), ["_q", "_d"], "left")
+        .groupBy("_q")
+        .agg(F.sum(dcg_term).cast("double").alias("dcg"))
+    )
+    w_ideal = Window.partitionBy("_q").orderBy(F.desc("_rel"), F.asc("_d"))
+    ideal = (
+        j.withColumn("_ir", F.row_number().over(w_ideal))
+        .filter(F.col("_ir") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                (
+                    gain(F.col("_rel"))
+                    / F.log2(F.col("_ir").cast("double") + F.lit(1.0))
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(ideal), "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round("dcg", 9).alias("dcg"),
+            F.round(F.coalesce(F.col("idcg"), F.lit(0.0)), 9).alias("idcg"),
+            F.round(
+                F.try_divide(F.col("dcg"), F.col("idcg")), 9
+            ).alias("ndcg"),
+        )
+    )
+
+
+def proportion_wilson_ci(
+    df: DataFrame,
+    flag_col: str,
+    group_cols: Sequence[str] = (),
+    z: float = Z95,
+) -> DataFrame:
+    """Wilson score interval for a per-group proportion — the error bar a
+    keep-rate / defect-rate dashboard needs (the naive ±z·√(p(1−p)/n)
+    collapses at p near 0/1 and small n; Wilson stays inside [0,1]):
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    Counts are exact ints; the interval is closed-form per group (sqrt is
+    correctly-rounded IEEE — deterministic across engines).  One count
+    groupBy, output one row per group.  An empty group cannot occur (no
+    rows → no group); NULL flags/groups are excluded.
+
+    Output: ``(*group_cols, n bigint, k bigint, rate double, ci_lo double,
+    ci_hi double)``.
+    """
+    gcols = list(group_cols)
+    keep = F.col(flag_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    agg = (
+        df.filter(keep)
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_pos(flag_col)).alias("k"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "k",
+        F.round(p, 9).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 9).alias("ci_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 9).alias("ci_hi"),
+    )

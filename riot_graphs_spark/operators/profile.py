@@ -1099,3 +1099,162 @@ def ks_goodness_of_fit(
         F.max("_tot").alias("n"),
         F.round(F.max(gap), 9).alias("ks_d"),
     )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two categorical
+    label columns (rater A vs rater B, or a predicted label vs the stored
+    one): the labeled-data QA companion to
+    :func:`categorical_mutual_information`.  Raw accuracy flatters any
+    pair of raters that both say "en" 95% of the time; κ subtracts the
+    agreement chance alone would produce:
+
+        κ = (p_o − p_e) / (1 − p_e),   p_o = Σ diag / n,
+        p_e = Σ_k  (row_k · col_k) / n²
+
+    Landis–Koch reading: < 0.2 slight, 0.2–0.4 fair, 0.4–0.6 moderate,
+    0.6–0.8 substantial, > 0.8 almost perfect.
+
+    Exactness: the confusion counts, diagonal sum, and marginal products
+    are integers end-to-end (``decimal(38,0)`` for the n²-scale products);
+    the two divisions happen once at the end — no quantization needed.
+    κ is NULL via ``try_divide`` when p_e = 1 (both columns constant —
+    agreement is all chance, κ undefined).
+
+    Plan: ONE corpus scan into the (a, b) confusion groupBy (the only
+    fact-sized shuffle — same shape as ``lang_id_confusion``); marginals
+    come from windows over the confusion cells themselves.  Rows where
+    either label is NULL are excluded (an unrated item grades nothing).
+
+    Output: one row — ``(col_a string, col_b string, n bigint,
+    po double, pe double, kappa double)``.
+    """
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    diag = F.when(F.col("_a") == F.col("_b"), F.col("_o")).otherwise(
+        F.lit(0)
+    )
+    obs = joint.agg(
+        F.sum("_o").alias("n"), F.sum(diag).alias("_diag")
+    )
+    # p_e needs Σ_k row_k·col_k over every label k BOTH columns use —
+    # including labels whose (k, k) diagonal cell is unobserved (the two
+    # raters both say "k", never on the same row).  Join the two marginal
+    # tables on the level (levels-sized, broadcast); a level missing from
+    # either side contributes 0 and drops out of the inner join.
+    ma = joint.groupBy("_a").agg(F.sum("_o").alias("_ma"))
+    mb = joint.groupBy("_b").agg(F.sum("_o").alias("_mb"))
+    pe_num = (
+        ma.join(F.broadcast(mb), ma["_a"] == mb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_ma").cast("decimal(38,0)") * F.col("_mb")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pe_num")
+        )
+    )
+    agg = obs.crossJoin(F.broadcast(pe_num))
+    n = F.col("n").cast("double")
+    po = F.col("_diag").cast("double") / n
+    pe = F.col("_pe_num").cast("double") / (n * n)
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 9).alias("po"),
+        F.round(pe, 9).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 9).alias("kappa"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson on AVERAGE ranks,
+    the monotonic-association screen that survives outliers and
+    nonlinearity (:func:`correlation_matrix` answers "linearly related?",
+    this answers "does bigger x mean bigger y at all" — the first
+    question about a quality score vs a raw size column).
+
+    Tied values share their average rank (the standard convention).
+    Doubled average ranks are INTEGERS (2·avg = 2·cum_before + t + 1), so
+    the whole computation is exact: rank maps come from counts, Pearson
+    moments ride ``decimal(38,0)`` integer sums (rank products cap near
+    n², their sum near n³ — decimal38 holds past n = 10¹¹ rows per
+    group), and the one float division happens at the end.  Scaling both
+    variables by 2 leaves r unchanged.
+
+    Plan: per column, ONE (group, value) count groupBy + a cumulative
+    window over the DISTINCT-VALUE axis builds the value→2·avg-rank map;
+    rows join their rank through two (group, value) equi-joins (AQE
+    broadcasts small maps); one final moments agg.  No global per-row
+    ORDER BY — nothing funnels through a single partition.  Rows with a
+    NULL in either column (or a group key) are excluded.
+
+    Output: one row per group — ``(*group_cols, n bigint, rho double)``;
+    rho is NULL when either column is constant within the group (zero
+    rank variance) via ``try_divide``.
+    """
+    gcols = list(group_cols)
+    keep = F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.filter(keep).select(
+        *gcols, F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(*gcols, col).agg(
+            F.count(F.lit(1)).alias("_t")
+        )
+        w_cum = (
+            Window.partitionBy(*gcols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum_before = F.sum("_t").over(w_cum) - F.col("_t")
+        return counts.select(
+            *gcols,
+            col,
+            (F.lit(2) * cum_before + F.col("_t") + F.lit(1)).alias(out),
+        )
+
+    ranked = base.join(rank_map("_x", "_rx"), [*gcols, "_x"]).join(
+        rank_map("_y", "_ry"), [*gcols, "_y"]
+    )
+    dec = "decimal(38,0)"
+    rx = F.col("_rx").cast(dec)
+    ry = F.col("_ry").cast(dec)
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+        F.sum(rx * ry).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    var_x = n * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    var_y = n * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    return agg.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.try_divide(num, F.sqrt(var_x * var_y)), 9).alias("rho"),
+    )

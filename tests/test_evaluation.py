@@ -1,0 +1,236 @@
+"""Evaluation operators: ROC-AUC, calibration, PR thresholds, lift/gains,
+NDCG, Wilson CI, Cohen's kappa, Spearman — hand-computed expectations on
+small fixtures (the closed-form answers, not engine round-trips)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from riot_graphs_spark.operators.evaluation import (
+    calibration_bins,
+    lift_table,
+    ndcg_at_k,
+    pr_at_thresholds,
+    proportion_wilson_ci,
+    roc_auc,
+)
+from riot_graphs_spark.operators.profile import (
+    cohen_kappa,
+    spearman_correlation,
+)
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    # perfect separation -> 1.0
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    # reversed -> 0.0
+    df = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "s double, y int"
+    )
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 0.0
+    # constant score: every pair ties -> 0.5 exactly (avg-rank convention)
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int"
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert row["auc"] == 0.5 and row["n_pos"] == 2 and row["n_neg"] == 2
+    # hand case with one tie: scores [.1-, .5+, .5-, .9+]
+    # ranks: .1->1, .5 tie avg 2.5, .9->4 ; sum ranks(+) = 2.5 + 4 = 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.5, 1), (0.5, 0), (0.9, 1)], "s double, y int"
+    )
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 0.875
+    # one-class group -> NULL auc
+    df = spark.createDataFrame([(0.3, 1), (0.7, 1)], "s double, y int")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] is None
+
+
+def test_roc_auc_grouped_and_boolean_labels(spark):
+    df = spark.createDataFrame(
+        [("a", 0.9, True), ("a", 0.1, False),
+         ("b", 0.1, True), ("b", 0.9, False)],
+        "g string, s double, y boolean",
+    )
+    got = {r["g"]: r["auc"] for r in roc_auc(df, "s", "y", ["g"]).collect()}
+    assert got == {"a": 1.0, "b": 0.0}
+
+
+def test_calibration_bins_exact_means_and_rates(spark):
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 0), (0.15, 1), (0.95, 1), (1.0, 1)],
+        "s double, y int",
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df, "s", "y").collect()}
+    assert rows[0]["n"] == 1 and rows[0]["pos_rate"] == 0.0
+    assert rows[1]["n"] == 2 and rows[1]["pos_rate"] == 0.5
+    assert rows[1]["mean_score"] == pytest.approx(0.15)
+    # hi clamps into the top bin
+    assert rows[9]["n"] == 2 and rows[9]["pos_rate"] == 1.0
+    with pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", nbins=0)
+
+
+def test_pr_at_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)], "s double, y int"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in pr_at_thresholds(df, "s", "y", [0.5, 0.95]).collect()
+    }
+    r5 = rows[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"]) == (1, 1, 1)
+    assert r5["precision"] == 0.5 and r5["recall"] == 0.5 and r5["f1"] == 0.5
+    r95 = rows[0.95]  # nothing predicted positive -> precision NULL
+    assert (r95["tp"], r95["fp"], r95["fn"]) == (0, 0, 2)
+    assert r95["precision"] is None and r95["recall"] == 0.0
+    with pytest.raises(ValueError):
+        pr_at_thresholds(df, "s", "y", [])
+
+
+def test_lift_table_buckets_and_gains(spark):
+    # 10 rows, distinct scores 10..1, positives on the top 3 scores
+    rows = [(float(10 - i), 1 if i < 3 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r["bucket"]: r for r in lift_table(df, "s", "y", 5).collect()}
+    # bucket 1 = top 2 scores -> 2 pos of 2; overall rate 0.3 -> lift 10/3
+    assert got[1]["n"] == 2 and got[1]["n_pos"] == 2
+    assert got[1]["pos_rate"] == 1.0
+    assert got[1]["cum_capture"] == pytest.approx(2 / 3)
+    assert got[1]["lift"] == pytest.approx(1.0 / 0.3)
+    assert got[2]["n_pos"] == 1 and got[2]["cum_capture"] == 1.0
+    assert got[5]["cum_capture"] == 1.0
+    # heavy ties land in ONE bucket together (no arbitrary split)
+    tied = spark.createDataFrame(
+        [(1.0, 1)] * 6 + [(0.0, 0)] * 4, "s double, y int"
+    )
+    got = {r["bucket"]: r for r in lift_table(tied, "s", "y", 5).collect()}
+    assert got[3]["n"] == 6  # all six tied rows in ceil(5*6/10)=3
+    assert got[5]["n"] == 4
+
+
+def test_ndcg_at_k_hand_case(spark):
+    # run ranks docs d1,d2,d3 ; rels: d1=0, d2=2, d3=1
+    run = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1", 0), (1, "d2", 2), (1, "d3", 1)],
+        "query_id int, doc_id string, rel int",
+    )
+    row = ndcg_at_k(run, qrels, k=3).collect()[0]
+    dcg = 0.0 + 3.0 / math.log2(3) + 1.0 / math.log2(4)
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3) + 0.0
+    assert row["dcg"] == pytest.approx(dcg, abs=1e-9)
+    assert row["idcg"] == pytest.approx(idcg, abs=1e-9)
+    assert row["ndcg"] == pytest.approx(dcg / idcg, abs=1e-9)
+    # unjudged run doc counts as rel 0; all-zero qrels -> NULL ndcg
+    qrels0 = spark.createDataFrame(
+        [(1, "d1", 0)], "query_id int, doc_id string, rel int"
+    )
+    row = ndcg_at_k(run, qrels0, k=3).collect()[0]
+    assert row["dcg"] == 0.0 and row["idcg"] == 0.0 and row["ndcg"] is None
+
+
+def test_wilson_ci_known_value(spark):
+    # k=8, n=10: Wilson 95% ~ (0.4902, 0.9433)
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(0,)] * 2, "y int"
+    )
+    row = proportion_wilson_ci(df, "y").collect()[0]
+    assert (row["n"], row["k"], row["rate"]) == (10, 8, 0.8)
+    assert row["ci_lo"] == pytest.approx(0.4901625, abs=2e-4)
+    assert row["ci_hi"] == pytest.approx(0.9433178, abs=2e-4)
+    assert 0.0 <= row["ci_lo"] < row["rate"] < row["ci_hi"] <= 1.0
+    # p = 1.0 stays inside [0, 1]
+    allpos = spark.createDataFrame([(1,)] * 5, "y int")
+    row = proportion_wilson_ci(allpos, "y").collect()[0]
+    assert row["ci_hi"] == 1.0 and row["ci_lo"] > 0.5
+
+
+def test_cohen_kappa_hand_case(spark):
+    # classic 2x2: a/b counts: (y,y)=20, (y,n)=5, (n,y)=10, (n,n)=15
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = cohen_kappa(df, "a", "b").collect()[0]
+    # po = 35/50 = .7 ; pe = (25*30 + 25*20)/2500 = .5 ; kappa = .4
+    assert row["n"] == 50
+    assert row["po"] == 0.7 and row["pe"] == 0.5
+    assert row["kappa"] == pytest.approx(0.4)
+
+
+def test_cohen_kappa_unobserved_diagonal_still_counts_in_pe(spark):
+    # both raters use label "c" but never agree on it: pe must include
+    # row_c * col_c even though cell (c,c) is unobserved
+    rows = [("c", "d"), ("d", "c"), ("e", "e"), ("e", "e")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = cohen_kappa(df, "a", "b").collect()[0]
+    # n=4, po=2/4=.5 ; marginals a: c=1,d=1,e=2 ; b: d=1,c=1,e=2
+    # pe = (1*1 + 1*1 + 2*2)/16 = 6/16 = .375 ; kappa = .125/.625 = .2
+    assert row["po"] == 0.5
+    assert row["pe"] == 0.375
+    assert row["kappa"] == pytest.approx(0.2)
+    # perfect agreement on a constant column -> pe = 1 -> NULL kappa
+    const = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    assert cohen_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_spearman_monotonic_ties_and_groups(spark):
+    # strictly monotonic (nonlinear) -> rho exactly 1
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 100.0)],
+        "x double, y double",
+    )
+    assert spearman_correlation(df, "x", "y").collect()[0]["rho"] == 1.0
+    # reversed -> -1
+    df = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 4.0), (3.0, 1.0)], "x double, y double"
+    )
+    assert spearman_correlation(df, "x", "y").collect()[0]["rho"] == -1.0
+    # tie case, hand-computed: x=[1,2,2,3], y=[1,2,3,4]
+    # rx=[1,2.5,2.5,4], ry=[1,2,3,4]; rho = cov/sd = 0.9486832980505139
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)],
+        "x double, y double",
+    )
+    rho = spearman_correlation(df, "x", "y").collect()[0]["rho"]
+    assert rho == pytest.approx(0.9486832980505139, abs=1e-9)
+    # constant column -> NULL
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert spearman_correlation(df, "x", "y").collect()[0]["rho"] is None
+    # grouped: one group ascending, one descending
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1.0), ("g1", 2.0, 2.0), ("g1", 3.0, 4.0),
+         ("g2", 1.0, 3.0), ("g2", 2.0, 2.0), ("g2", 3.0, 0.0)],
+        "g string, x double, y double",
+    )
+    got = {
+        r["g"]: r["rho"]
+        for r in spearman_correlation(df, "x", "y", ["g"]).collect()
+    }
+    assert got == {"g1": 1.0, "g2": -1.0}
+
+
+def test_null_rows_excluded_everywhere(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.1, None), (0.1, 0)],
+        "s double, y int",
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert row["n_pos"] == 1 and row["n_neg"] == 1 and row["auc"] == 1.0
+    assert calibration_bins(df, "s", "y").agg(
+        F.sum("n")
+    ).collect()[0][0] == 2
