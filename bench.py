@@ -279,6 +279,14 @@ HEADLINE = [
     "mixture_ipf_weights",
     "ks_uniform_fit",
     "quality_quantile_normalized",
+    # round-7 registrations (evaluation layer)
+    "quality_auc_report",
+    "kappa_lang_agreement",
+    "spearman_quality_length",
+    "eval_pr_thresholds",
+    "lift_quality_deciles",
+    "ndcg_search_eval",
+    "keep_rate_wilson_ci",
 ]
 
 

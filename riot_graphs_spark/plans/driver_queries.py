@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import anchored_day, html_pr_anchor
 from ..operators.asof import asof_join
+from ..operators.evaluation import Z95
 from ..operators.explode import parse_props
 from ..operators.joins import delta_new_rows, enrich
 from ..operators.timeseries import (
@@ -9810,6 +9811,456 @@ def quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(docs, "n_chars", ["source"]).select(
         "doc_id", "source", "n_chars", "n_chars_qn"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — evaluation layer (operators/evaluation.py + profile.py κ/ρ):
+# grades the quality classifier and the retrieval stack the way
+# ann_recall_ivf grades the ANN index.
+# --------------------------------------------------------------------------
+def _quality_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_score, gopher_keep): the classifier score paired
+    with its Gopher-rule pseudo-label — the shared input of the round-7
+    evaluation queries."""
+    from ..operators.textstats import gopher_quality_flags, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    flags = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
+    return scored.join(flags, "doc_id")
+
+
+def _pairs_cte() -> str:
+    """Shared oracle CTEs: p(doc_id, s double, y int) — quality_score
+    paired with the gopher_keep pseudo-label."""
+    return f"""
+    q AS ({ORACLES["text_quality_scores"]}),
+    g AS ({ORACLES["text_gopher_flags"]}),
+    p AS (
+      SELECT q.doc_id, q.quality_score AS s,
+             CASE WHEN g.gopher_keep THEN 1 ELSE 0 END AS y
+      FROM q JOIN g USING (doc_id)
+    )"""
+
+
+@_q(
+    "quality_auc_report",
+    f"""
+    WITH {_pairs_cte()},
+    bins AS (
+      SELECT CAST(greatest(0, least(9, floor((s - 0.0) / 0.1))) AS INT)
+               AS bin,
+             count(*) AS n,
+             round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS mean_score,
+             round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+               AS pos_rate
+      FROM p GROUP BY 1
+    ),
+    c AS (SELECT s, sum(y) AS np, count(*) AS nt FROM p GROUP BY 1),
+    r AS (
+      SELECT np, nt,
+             sum(nt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM c
+    ),
+    a AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nt) - sum(np) AS BIGINT) AS n_neg,
+             sum(CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0))) AS s2
+      FROM r
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, mean_score, pos_rate,
+           n_pos, n_neg,
+           round(CAST(s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+                   AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 9) AS auc
+    FROM bins CROSS JOIN a
+    """,
+)
+def quality_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier evaluation report: 10-bin reliability table plus
+    the rank-sum ROC-AUC of quality_score against the Gopher-rule
+    pseudo-label (operators.evaluation.roc_auc + calibration_bins) — the
+    one standard LLM-curation measurement the engine lacked: it grades
+    the quality_score operator the way ann_recall_ivf grades IVF.  AUC is
+    counts-based over the distinct-score axis with exact average-rank
+    ties (integer arithmetic up to the final division); calibration sums
+    decimal-quantized scores.  One scan each for score and label, a
+    contingency-sized reduction, and a broadcast 1-row cross join."""
+    from ..operators.evaluation import calibration_bins, roc_auc
+
+    pairs = _quality_label_pairs(spark, sf_dir)
+    bins = calibration_bins(pairs, "quality_score", "gopher_keep")
+    auc = roc_auc(pairs, "quality_score", "gopher_keep")
+    return bins.crossJoin(F.broadcast(auc))
+
+
+@_q(
+    "kappa_lang_agreement",
+    f"""
+    WITH pl AS ({ORACLES["text_lang_id"]}),
+    j AS (
+      SELECT predicted_lang AS a, lang AS b, count(*) AS o
+      FROM pl WHERE predicted_lang IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT sum(o) AS n,
+             sum(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+      FROM j
+    ),
+    ma AS (SELECT a, sum(o) AS ma FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(o) AS mb FROM j GROUP BY 1),
+    pe AS (
+      SELECT coalesce(sum(CAST(ma AS DECIMAL(38,0)) * mb),
+                      CAST(0 AS DECIMAL(38,0))) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT 'predicted_lang' AS col_a, 'lang' AS col_b,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po,
+           round(CAST(pe_num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS pe,
+           round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9) AS kappa
+    FROM obs CROSS JOIN pe
+    """,
+)
+def kappa_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the n-gram language-ID prediction and the stored
+    lang column (operators.profile.cohen_kappa) — chance-corrected
+    agreement, the labeled-data QA companion to lang_id_confusion (which
+    materializes the matrix) and mi_lang_source (which scores shared
+    information): raw accuracy flatters a predictor on a skewed label
+    mix; κ subtracts what marginal chance alone would agree on.  Exact
+    integer confusion counts and marginal products (decimal38), two
+    divisions at the end; one fact-sized confusion groupBy, levels-sized
+    marginal join."""
+    from ..operators.profile import cohen_kappa
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return cohen_kappa(predict_lang(docs), "predicted_lang", "lang")
+
+
+@_q(
+    "spearman_quality_length",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    p AS (
+      SELECT d.lang, q.quality_score AS x, d.n_chars AS y
+      FROM q JOIN documents d USING (doc_id)
+      WHERE q.quality_score IS NOT NULL AND d.n_chars IS NOT NULL
+        AND d.lang IS NOT NULL
+    ),
+    cx AS (SELECT lang, x, count(*) AS t FROM p GROUP BY 1, 2),
+    rx AS (
+      SELECT lang, x,
+             2 * (sum(t) OVER (PARTITION BY lang ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS rx
+      FROM cx
+    ),
+    cy AS (SELECT lang, y, count(*) AS t FROM p GROUP BY 1, 2),
+    ry AS (
+      SELECT lang, y,
+             2 * (sum(t) OVER (PARTITION BY lang ORDER BY y
+                               ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS ry
+      FROM cy
+    ),
+    rr AS (
+      SELECT p.lang, rx.rx, ry.ry
+      FROM p JOIN rx USING (lang, x) JOIN ry USING (lang, y)
+    ),
+    m AS (
+      SELECT lang, count(*) AS n,
+             sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+             sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+             sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+             sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+      FROM rr GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS rho
+    FROM m
+    """,
+)
+def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation between quality_score and
+    raw document length (operators.profile.spearman_correlation) — the
+    monotonic-association screen profile_correlations can't do (Pearson
+    sees lines; a quality score vs a size column is exactly where the
+    relation is monotonic-but-curved, and where one must ask whether the
+    "quality" signal is just length in disguise).  Tied values share
+    average ranks; doubled ranks are exact integers, moments ride
+    decimal(38,0); rank maps come from counts + distinct-axis windows —
+    no global per-row ORDER BY anywhere."""
+    from ..operators.profile import spearman_correlation
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    joined = scored.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return spearman_correlation(
+        joined, "quality_score", "n_chars", ["lang"]
+    )
+
+
+_PR_THRESHOLDS = (0.0, 0.2, 0.4, 0.5, 0.6, 0.8)
+
+
+@_q(
+    "eval_pr_thresholds",
+    f"""
+    WITH {_pairs_cte()},
+    t AS (
+      SELECT unnest([{", ".join(repr(t) for t in _PR_THRESHOLDS)}])
+               AS threshold
+    ),
+    a AS (
+      SELECT threshold,
+             sum(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END)
+               AS tp,
+             sum(CASE WHEN s >= threshold AND y = 0 THEN 1 ELSE 0 END)
+               AS fp,
+             sum(CASE WHEN s < threshold AND y = 1 THEN 1 ELSE 0 END)
+               AS fn
+      FROM p CROSS JOIN t GROUP BY 1
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9)
+             END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9)
+             END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 9)
+             END AS f1
+    FROM a
+    """,
+)
+def eval_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the quality classifier against the Gopher
+    pseudo-label at six fixed decision thresholds
+    (operators.evaluation.pr_at_thresholds) — the operating-point table a
+    corpus-filter cutoff is chosen from.  All thresholds ride ONE scan as
+    conditional integer aggregates (no per-threshold job), then the
+    single result row explodes into six — the oracle's thresholds×rows
+    cross join is the semantic twin, not the plan."""
+    from ..operators.evaluation import pr_at_thresholds
+
+    pairs = _quality_label_pairs(spark, sf_dir)
+    return pr_at_thresholds(
+        pairs, "quality_score", "gopher_keep", _PR_THRESHOLDS
+    )
+
+
+@_q(
+    "lift_quality_deciles",
+    f"""
+    WITH {_pairs_cte()},
+    c AS (SELECT s, sum(y) AS np, count(*) AS nt FROM p GROUP BY 1),
+    w AS (
+      SELECT np, nt,
+             sum(nt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS c,
+             sum(nt) OVER () AS n,
+             sum(np) OVER () AS pp
+      FROM c
+    ),
+    b AS (
+      SELECT CAST(ceil((10 * c) / CAST(n AS DOUBLE)) AS INT) AS bucket,
+             sum(nt) AS n, sum(np) AS n_pos,
+             max(w.n) AS tot, max(pp) AS pos_tot
+      FROM w GROUP BY 1
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate,
+           round(CAST(sum(n_pos) OVER (ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(pos_tot AS DOUBLE), 9) AS cum_capture,
+           round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(pos_tot AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+             AS lift
+    FROM b
+    """,
+)
+def lift_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the quality score against the
+    Gopher pseudo-label (operators.evaluation.lift_table, 10 buckets) —
+    "the top decile of the score holds X% of the keepers", the sentence a
+    curation budget is decided on.  Buckets cut on the DISTINCT-SCORE
+    axis (a tie group lands whole in ceil(10·cum/n) — deterministic with
+    no per-row tiebreak and NO global row ranking, so nothing funnels
+    through one partition); integer counts end-to-end."""
+    from ..operators.evaluation import lift_table
+
+    pairs = _quality_label_pairs(spark, sf_dir)
+    return lift_table(pairs, "quality_score", "gopher_keep", 10)
+
+
+@_q(
+    "ndcg_search_eval",
+    f"""
+    WITH run AS ({ORACLES["bm25_search_topk"]}),
+    tok AS ({_DUCK_TOK}),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:5], ' ')
+               AS qt
+      FROM documents WHERE doc_id < 3
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, t.tok AS token
+      FROM q, unnest(regexp_extract_all(lower(qt), '[a-z0-9]+')) AS t(tok)
+    ),
+    qrels AS (
+      SELECT qtok.query_id, dt.doc_id,
+             count(DISTINCT dt.token) AS rel
+      FROM (SELECT DISTINCT doc_id, token FROM tok) dt
+      JOIN qtok USING (token)
+      GROUP BY 1, 2
+    ),
+    dcg AS (
+      SELECT run.query_id,
+             CAST(sum(CAST((pow(2, coalesce(rel, 0)) - 1)
+                           / log2(CAST(rank + 1 AS DOUBLE))
+                        AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+      FROM run LEFT JOIN qrels USING (query_id, doc_id)
+      WHERE rank <= 5 GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc_id) AS ir
+      FROM qrels
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(sum(CAST((pow(2, rel) - 1)
+                           / log2(CAST(ir + 1 AS DOUBLE))
+                        AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+      FROM ideal WHERE ir <= 5 GROUP BY 1
+    )
+    SELECT dcg.query_id, round(dcg.dcg, 9) AS dcg,
+           round(coalesce(idcg.idcg, 0.0), 9) AS idcg,
+           CASE WHEN coalesce(idcg.idcg, 0.0) = 0.0 THEN NULL
+                ELSE round(dcg.dcg / idcg.idcg, 9) END AS ndcg
+    FROM dcg LEFT JOIN idcg USING (query_id)
+    """,
+)
+def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the BM25 run against graded term-overlap relevance
+    (operators.evaluation.ndcg_at_k): rel(query, doc) = how many of the
+    query's distinct tokens the doc contains — an independent lexical
+    grade that rewards ordering multi-term matches first.  This grades
+    the ranking stack the way ann_recall_ivf grades the ANN index.
+    Gains 2^rel − 1 are exact ints; per-rank discounts quantize to
+    decimal(28,12) before the per-query sums; the ideal ordering ranks
+    judgments inside per-QUERY windows with a doc_id tiebreak.  The
+    qrels join is broadcast (3 fixture queries × matched docs)."""
+    from ..operators.dedup import words
+    from ..operators.evaluation import ndcg_at_k
+    from ..operators.ranking import bm25_search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    run = bm25_search_topk(docs, queries_df, k=5)
+    qtok = queries_df.select(
+        "query_id",
+        F.explode(F.array_distinct(words(F.col("query_text")))).alias(
+            "token"
+        ),
+    ).distinct()
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias(
+            "token"
+        )
+    )
+    qrels = (
+        dtok.join(F.broadcast(qtok), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("rel"))
+    )
+    return ndcg_at_k(run, qrels, k=5).orderBy("query_id")
+
+
+@_q(
+    "keep_rate_wilson_ci",
+    f"""
+    WITH g AS ({ORACLES["text_gopher_flags"]}),
+    p AS (
+      SELECT d.lang, CASE WHEN g.gopher_keep THEN 1 ELSE 0 END AS y
+      FROM g JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL AND g.gopher_keep IS NOT NULL
+    ),
+    a AS (SELECT lang, count(*) AS n, sum(y) AS k FROM p GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+           round(greatest(
+             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + {Z95 * Z95!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {Z95 * Z95!r} / CAST(n AS DOUBLE))
+             - {Z95!r} * sqrt(
+                 CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + {Z95 * Z95!r}
+                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {Z95 * Z95!r} / CAST(n AS DOUBLE)),
+             0.0), 9) AS ci_lo,
+           round(least(
+             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + {Z95 * Z95!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {Z95 * Z95!r} / CAST(n AS DOUBLE))
+             + {Z95!r} * sqrt(
+                 CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + {Z95 * Z95!r}
+                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {Z95 * Z95!r} / CAST(n AS DOUBLE)),
+             1.0), 9) AS ci_hi
+    FROM a
+    """,
+)
+def keep_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher keep-rate with 95% Wilson score intervals
+    (operators.evaluation.proportion_wilson_ci) — the error bar a
+    keep-rate dashboard needs before comparing languages with very
+    different corpus sizes (the naive normal interval collapses at rates
+    near 0/1 and small n; Wilson stays inside [0,1]).  Exact integer
+    counts, one closed-form IEEE expression per group (sqrt is
+    correctly-rounded — deterministic across engines; the z² literal is
+    Python-computed once and inlined identically in both plans)."""
+    from ..operators.evaluation import proportion_wilson_ci
+    from ..operators.textstats import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
+    joined = flags.join(docs.select("doc_id", "lang"), "doc_id")
+    return proportion_wilson_ci(joined, "gopher_keep", ["lang"])
 
 
 def queries() -> dict[str, QueryFn]:
