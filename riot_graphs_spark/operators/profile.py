@@ -854,6 +854,23 @@ def ks_two_sample(
     counts = u.groupBy(*gcols, "_v").agg(
         F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
     )
+    return ks_from_counts(counts, gcols)
+
+
+def ks_from_counts(
+    counts: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """KS statistic from pre-counted values — ``counts`` is one row per
+    observed (group, ``_v``) with ``_na``/``_nb`` side counts (0 where a
+    side missed the value).  The reduction core of :func:`ks_two_sample`,
+    exposed so a stored calibration artifact (``streaming/drift.py``'s
+    baseline CDF increments at its recorded equi-depth edges) can be
+    scored against each micro-batch WITHOUT re-reading the baseline.
+    Same contract: exact integer cumulative counts, one IEEE gap per
+    distinct value, order-free max; a side with zero total yields NULL
+    ``ks_d`` via ``try_divide``.
+    """
+    gcols = list(group_cols)
     w_cum = (
         Window.partitionBy(*gcols)
         .orderBy("_v")

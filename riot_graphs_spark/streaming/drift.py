@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,108 @@ def record_baseline(
     )
 
 
+def record_baseline_cdf(
+    baseline: DataFrame,
+    value_col: str,
+    nbins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The KS calibration artifact: the baseline's empirical CDF sampled
+    at its own equi-depth edges — per (group, edge value), the EXACT
+    cumulative count at that edge plus the group total.  PSI's bin-count
+    artifact (:func:`record_baseline`) can't feed KS: KS needs the VALUE
+    axis, and fixed-width bins quantize it; the equi-depth edges keep the
+    CDF error bounded by 1/nbins everywhere mass actually sits.
+
+    Edges are the first distinct values to reach each new 1/nbins CDF
+    level (≤ nbins rows per group, fewer under heavy ties; the max value
+    is always recorded, so both CDFs end at exactly 1).  Scoring a batch
+    against this step-restricted CDF (:func:`drift_monitor_writer`)
+    yields a D within 1/nbins of the full two-sample D — the standard
+    quantile-sketch bound; size ``nbins`` to the alarm resolution needed.
+
+    Plan: one (group, value) count groupBy (the only corpus-sized
+    shuffle) + cumulative/lag windows over the distinct-value axis.
+    NULL values / group keys excluded.
+
+    Output: ``(*group_cols, _v <value type>, cum bigint, n bigint)``.
+    """
+    if nbins < 1:
+        raise ValueError("need nbins >= 1")
+    gcols = list(group_cols)
+    keep = F.col(value_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        baseline.filter(keep)
+        .groupBy(*gcols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_lag = Window.partitionBy(*gcols).orderBy("_v")
+    c = (
+        counts.withColumn("_cum", F.sum("_n").over(w_cum))
+        .withColumn("_tot", F.sum("_n").over(w_tot))
+    )
+    lvl = F.floor(
+        F.lit(nbins) * F.col("_cum") / F.col("_tot").cast("double")
+    )
+    c = c.withColumn("_lvl", lvl).withColumn(
+        "_prev", F.coalesce(F.lag("_lvl").over(w_lag), F.lit(0))
+    )
+    return c.filter(F.col("_lvl") > F.col("_prev")).select(
+        *gcols,
+        "_v",
+        F.col("_cum").alias("cum"),
+        F.col("_tot").alias("n"),
+    )
+
+
+def ks_against_baseline_cdf(
+    baseline_cdf: DataFrame,
+    batch_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Score a batch's values against a stored :func:`record_baseline_cdf`
+    artifact: reconstruct the baseline as per-edge count INCREMENTS
+    (cum − lag(cum) — exact integers, never re-inflated rows), outer-join
+    the batch's per-value counts on the value axis, and run
+    ``profile.ks_from_counts``.  Cost: O(edges + batch-distinct) join
+    rows per group.  Output: ``(*group_cols, n_a, n_b, ks_d)`` —
+    ``n_a`` = baseline rows, ``n_b`` = batch rows; a group absent from
+    the baseline gets NULL ``ks_d`` (no CDF to compare).
+    """
+    from ..operators.profile import ks_from_counts
+
+    gcols = list(group_cols)
+    w_lag = Window.partitionBy(*gcols).orderBy("_v")
+    base = baseline_cdf.select(
+        *gcols,
+        "_v",
+        (
+            F.col("cum") - F.coalesce(F.lag("cum").over(w_lag), F.lit(0))
+        ).alias("_na"),
+    )
+    keep = F.col(value_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    batch = (
+        batch_df.filter(keep)
+        .groupBy(*gcols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    joined = base.join(batch, [*gcols, "_v"], "full_outer").fillna(
+        0, ["_na", "_nb"]
+    )
+    return ks_from_counts(joined, gcols)
+
+
 def drift_monitor_writer(
     baseline_counts: DataFrame,
     monitor_path: str,
@@ -72,19 +174,26 @@ def drift_monitor_writer(
     hi: float,
     nbuckets: int,
     group_cols: Sequence[str] = (),
+    baseline_cdf: DataFrame | None = None,
 ):
     """Return a ``foreachBatch`` function: bins each micro-batch under the
     SAME fixed clamp bins, scores its counts against the recorded baseline
     counts with :func:`..operators.profile.psi_from_counts`, and appends
-    ``(batch_id, *group_cols, n_a, n_b, psi)`` to ``monitor_path``
+    ``(batch_id, *group_cols, n_a, n_b, psi[, ks_d])`` to ``monitor_path``
     (``n_a`` = baseline rows, ``n_b`` = batch rows).
 
-    The stored baseline is consumed AS COUNTS — never re-read from raw
+    When ``baseline_cdf`` (a stored :func:`record_baseline_cdf` artifact)
+    is supplied, each row also carries ``ks_d`` — the bin-free
+    cross-check: PSI with fixed bins is blind to a shift WITHIN a bin;
+    KS against the recorded CDF edges sees it (to within the artifact's
+    1/nbins resolution).  Alert on either.
+
+    The stored baselines are consumed AS COUNTS — never re-read from raw
     data nor re-inflated to rows, so a billion-row calibration set costs
-    the monitor (groups × bins) join rows per batch.  Idempotency note: a
-    replayed batch re-appends its monitor rows; readers take the last row
-    per (batch_id, group) or dedup on write with the usual
-    partition-overwrite sink.
+    the monitor (groups × bins + groups × edges) join rows per batch.
+    Idempotency note: a replayed batch re-appends its monitor rows;
+    readers take the last row per (batch_id, group) or dedup on write
+    with the usual partition-overwrite sink.
     """
     from ..operators.profile import psi_from_counts
 
@@ -98,9 +207,17 @@ def drift_monitor_writer(
         joined = base.join(
             batch_counts, [*gcols, "bin"], "full_outer"
         ).fillna(0, ["_na", "_nb"])
-        report = psi_from_counts(joined, gcols).withColumn(
-            "batch_id", F.lit(int(epoch_id))
-        )
+        report = psi_from_counts(joined, gcols)
+        if baseline_cdf is not None:
+            ks = ks_against_baseline_cdf(
+                baseline_cdf, batch_df, value_col, gcols
+            ).select(*gcols, "ks_d")
+            report = (
+                report.join(ks, gcols, "full_outer")
+                if gcols
+                else report.crossJoin(F.broadcast(ks))
+            )
+        report = report.withColumn("batch_id", F.lit(int(epoch_id)))
         report.write.mode("append").parquet(monitor_path)
 
     return _score

@@ -446,6 +446,45 @@ def _qnorm(documents):
     )
 
 
+def _drift_monitor(base_events, batch_events):
+    """The streaming monitor's per-batch scoring composition (PSI + KS)
+    with the baseline consumed as count artifacts — the batch side is the
+    only input that scales.  The monitored feature is integer-quantized
+    (the documented continuous-value caveat: the distinct-value axis a
+    batch contributes stays bounded by the feature's quantized support)."""
+    from pyspark.sql import functions as FF
+
+    from riot_graphs_spark.operators.profile import psi_from_counts
+    from riot_graphs_spark.streaming.drift import (
+        ks_against_baseline_cdf,
+        record_baseline,
+        record_baseline_cdf,
+    )
+
+    def feat(ev):
+        return ev.select(
+            "event_type", FF.round(FF.col("value"), 0).alias("value")
+        )
+
+    spec = dict(value_col="value", lo=0.0, hi=500.0, nbuckets=50,
+                group_cols=["event_type"])
+    base = feat(base_events)
+    batch = feat(batch_events)
+    counts = record_baseline(base, **spec).withColumnRenamed("n", "_na")
+    cdf = record_baseline_cdf(base, "value", 50, ["event_type"])
+    batch_counts = record_baseline(batch, **spec).withColumnRenamed(
+        "n", "_nb"
+    )
+    joined = counts.join(
+        batch_counts, ["event_type", "bin"], "full_outer"
+    ).fillna(0, ["_na", "_nb"])
+    psi = psi_from_counts(joined, ["event_type"])
+    ks = ks_against_baseline_cdf(cdf, batch, "value", ["event_type"])
+    return psi.join(
+        ks.select("event_type", "ks_d"), ["event_type"], "full_outer"
+    )
+
+
 def _ks_gof(events):
     from riot_graphs_spark.operators.profile import ks_goodness_of_fit
 
@@ -616,6 +655,9 @@ QUERY_CASES = [
     "ngram_leakage_report", "emb_l2_normalize", "emb_outliers_fixed",
     "decontaminated_corpus", "ccnet_perplexity_buckets",
     "text_collocations_pmi", "q18_large_orders",
+    # round-7: the one >=1s benched query that had no case (two grouped
+    # exact medians + broadcast joins back -> expected ~linear)
+    "ts_mad_anomalies",
 ]
 
 
@@ -755,6 +797,14 @@ def main() -> None:
         "ks_uniform_fit": lambda t: _ks_gof(t["events"]),
         # count groupBy + distinct-axis as-of + one map-back equi-join
         "quantile_normalize": lambda t: _qnorm(t["documents"]),
+        # round-7: the streaming per-ingest monitor's scoring path with a
+        # FIXED baseline (captured unscaled via default arg) and a scaled
+        # batch — pins O(batch) cost: the baselines are consumed as
+        # (groups x bins)/(groups x edges) count artifacts, never
+        # re-inflated, so only the batch count-aggregation may grow
+        "drift_monitor_score": lambda t, base=tables: _drift_monitor(
+            base["events"], t["events"]
+        ),
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

@@ -941,3 +941,111 @@ def test_streaming_drift_monitor_scores_each_batch_against_baseline(
     by_size = {n_b: psi for (_, n_b, psi) in rows.values()}
     assert by_size[20] == 0.0   # baseline-distribution batch: exactly zero
     assert by_size[16] > 0.25   # shifted batch crosses the 'shifted' band
+
+
+def test_streaming_drift_monitor_emits_ks_beside_psi(spark, tmp_path):
+    """KS wiring (streaming/drift.py): with a recorded CDF artifact the
+    monitor emits ks_d beside psi.  The motivating case: a shift WITHIN
+    one PSI bin scores psi == 0 (bin shares identical) but a large ks_d —
+    the bin-free alarm PSI is blind to."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.drift import (
+        drift_monitor_writer,
+        record_baseline,
+        record_baseline_cdf,
+    )
+
+    # one huge PSI bin [0,100): any within-range shift is PSI-invisible
+    spec = dict(value_col="value", lo=0.0, hi=100.0, nbuckets=1,
+                group_cols=["grp"])
+    base_vals = [10.0, 20.0, 30.0, 40.0] * 25
+    baseline = spark.createDataFrame(
+        [("g", v) for v in base_vals], "grp string, value double"
+    )
+    counts = record_baseline(baseline, **spec)
+    cdf = record_baseline_cdf(baseline, "value", nbins=4,
+                              group_cols=["grp"])
+    got = {(r.grp, r._v): (r.cum, r.n) for r in cdf.collect()}
+    # equi-depth edges = the four values; exact cumulative counts; the
+    # max value is always recorded so the restricted CDF ends at 1
+    assert got == {
+        ("g", 10.0): (25, 100), ("g", 20.0): (50, 100),
+        ("g", 30.0): (75, 100), ("g", 40.0): (100, 100),
+    }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:  # baseline distribution
+        for v in [10.0, 20.0, 30.0, 40.0] * 5:
+            f.write(_json.dumps({"grp": "g", "value": v}) + "\n")
+    with open(landing / "b2.json", "w") as f:  # shifted WITHIN the bin
+        for v in [41.0, 45.0, 48.0, 49.0] * 4:
+            f.write(_json.dumps({"grp": "g", "value": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema("grp string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    monitor = str(tmp_path / "monitor")
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_monitor_writer(counts, monitor, baseline_cdf=cdf, **spec)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(monitor).collect()
+    assert len(rows) == 2 and all(r.grp == "g" for r in rows)
+    by_size = {r.n_b: (r.psi, r.ks_d) for r in rows}
+    # identical distribution: BOTH scores exactly zero
+    assert by_size[20] == (0.0, 0.0)
+    # within-bin shift: PSI blind (identical bin shares), KS fires —
+    # every batch value sits above the baseline's whole mass: D = 1
+    psi, ks = by_size[16]
+    assert psi == 0.0 and ks == 1.0
+
+
+def test_drift_monitor_replay_reappends_and_dedups_on_read(spark, tmp_path):
+    """A replayed micro-batch (same epoch_id) re-appends identical monitor
+    rows — the documented idempotency contract: readers dedup by taking
+    one row per (batch_id, group)."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.streaming.drift import (
+        drift_monitor_writer,
+        record_baseline,
+        record_baseline_cdf,
+    )
+
+    spec = dict(value_col="value", lo=0.0, hi=10.0, nbuckets=5,
+                group_cols=["grp"])
+    baseline = spark.createDataFrame(
+        [("g", float(v % 10)) for v in range(100)],
+        "grp string, value double",
+    )
+    counts = record_baseline(baseline, **spec)
+    cdf = record_baseline_cdf(baseline, "value", nbins=5,
+                              group_cols=["grp"])
+    monitor = str(tmp_path / "monitor")
+    writer = drift_monitor_writer(counts, monitor, baseline_cdf=cdf, **spec)
+    batch = spark.createDataFrame(
+        [("g", float(v % 5)) for v in range(20)], "grp string, value double"
+    )
+    writer(batch, 7)
+    writer(batch, 7)  # replay
+    raw = spark.read.parquet(monitor).collect()
+    assert len(raw) == 2
+    assert len({(r.batch_id, r.grp, r.psi, r.ks_d) for r in raw}) == 1
+    deduped = (
+        spark.read.parquet(monitor)
+        .groupBy("batch_id", "grp")
+        .agg(F.first("psi").alias("psi"), F.first("ks_d").alias("ks_d"))
+        .collect()
+    )
+    assert len(deduped) == 1 and deduped[0].psi > 0.0
+    assert deduped[0].ks_d is not None and deduped[0].ks_d > 0.0
