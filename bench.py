@@ -287,6 +287,9 @@ HEADLINE = [
     "lift_quality_deciles",
     "ndcg_search_eval",
     "keep_rate_wilson_ci",
+    "quality_calibration_summary",
+    "quality_auc_by_lang",
+    "quality_mean_bootstrap_ci",
 ]
 
 

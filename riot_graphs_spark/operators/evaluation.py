@@ -435,3 +435,178 @@ def proportion_wilson_ci(
         F.round(F.greatest(center - half, F.lit(0.0)), 9).alias("ci_lo"),
         F.round(F.least(center + half, F.lit(1.0)), 9).alias("ci_hi"),
     )
+
+
+#: Poisson(1) CDF thresholds on the md5-derived 14-hex-digit integer
+#: (h < _POISSON_T[k]  ⇔  uniform u < P(X ≤ k)); weights cap at 6
+#: (P(X > 5) ≈ 6e-4).  Python-computed once; oracle SQL inlines the same
+#: literals, so both engines draw identical replicate weights.
+_POISSON_T = (
+    26508507426831584, 53017014853663168, 66271268567078960,
+    70689353138217560, 71793874281002208, 72014778509559136,
+)
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    nbins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Single-row calibration grade: Brier score plus expected / maximum
+    calibration error over fixed-width bins — the one-number companions
+    to :func:`calibration_bins`' per-bin table:
+
+        brier = mean((s − y)²)            — proper score, refinement+calibration
+        ece   = Σ_b (n_b/n)·|pos_rate_b − mean_score_b|
+        mce   = max_b |pos_rate_b − mean_score_b|
+
+    ONE corpus scan: per-bin counts, decimal-quantized score sums,
+    positive counts, and per-row quantized (s−y)² all ride the same
+    groupBy; the summary reduces the ≤ nbins bin rows.  Gap terms are
+    per-bin IEEE on exact aggregates; the ECE sum re-quantizes to
+    ``decimal(28,12)`` (order-free).
+
+    Output: one row — ``(n bigint, brier double, ece double,
+    mce double)``.
+    """
+    if nbins < 1 or not hi > lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    width = (hi - lo) / nbins
+    s, pos = F.col(score_col), _pos(label_col)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nbins - 1), F.floor((s - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    sq = (s - pos.cast("double")) * (s - pos.cast("double"))
+    bins = (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(s.cast("decimal(28,12)")).alias("_ss"),
+            F.sum(pos).alias("_p"),
+            F.sum(sq.cast("decimal(28,12)")).alias("_sq"),
+        )
+    )
+    w_tot = Window.partitionBy()
+    gap = F.abs(
+        F.col("_p").cast("double") / F.col("_n").cast("double")
+        - F.col("_ss").cast("double") / F.col("_n").cast("double")
+    )
+    terms = bins.withColumn("_tot", F.sum("_n").over(w_tot)).select(
+        "_n",
+        "_sq",
+        "_tot",
+        gap.alias("_gap"),
+        (
+            (F.col("_n").cast("double") / F.col("_tot").cast("double"))
+            * gap
+        ).cast("decimal(28,12)").alias("_ece_term"),
+    )
+    return terms.agg(
+        F.max("_tot").cast("long").alias("n"),
+        F.round(
+            F.sum("_sq").cast("double") / F.max("_tot").cast("double"), 9
+        ).alias("brier"),
+        F.round(F.sum("_ece_term").cast("double"), 9).alias("ece"),
+        F.round(F.max("_gap"), 9).alias("mce"),
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 40,
+    z: float = Z95,
+) -> DataFrame:
+    """Error bar on a corpus mean via the DETERMINISTIC Poisson bootstrap
+    — the scalable bootstrap (each replicate draws each row
+    Poisson(1)-many times, so replicate membership is a row-local
+    decision; no resampling shuffle, no global n needed up front).  The
+    per-(row, replicate) weight comes from the md5 of ``(id, replicate)``
+    against Python-precomputed Poisson CDF thresholds — both engines (and
+    any two cluster runs) draw bit-identical replicates, so the CI is
+    hash-checkable, reproducible at 100 TB, and B is an explicit cost
+    knob (the scan inflates ×B before partial aggregation — B=40 default;
+    raise for tighter quantiles, never silently).
+
+    CI is the normal approximation from the replicate spread:
+    ``mean ± z·sd(replicate means)`` with sd over exact decimal moments
+    of the (≤ B) quantized replicate means.  Observed n/mean come from
+    the un-resampled rows of the same scan (weight-1 tag r=0).
+
+    Output: one row — ``(n bigint, mean double, se_boot double,
+    ci_lo double, ci_hi double)``.
+    """
+    if b < 2:
+        raise ValueError("need b >= 2 replicates")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"), v.alias("_v")
+    )
+    rep = base.select(
+        "_id", "_v", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("_id"), F.col("_r"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.when(h < F.lit(_POISSON_T[0]), F.lit(0))
+    for k in range(1, len(_POISSON_T)):
+        w = w.when(h < F.lit(_POISSON_T[k]), F.lit(k))
+    w = w.otherwise(F.lit(len(_POISSON_T)))
+    means = (
+        rep.select("_r", "_v", w.alias("_w"))
+        .groupBy("_r")
+        .agg(
+            F.sum((F.col("_v") * F.col("_w")).cast("decimal(28,12)")).alias(
+                "_sv"
+            ),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            F.try_divide(
+                F.col("_sv").cast("double"), F.col("_sw").cast("double")
+            )
+            .cast("decimal(28,12)")
+            .alias("_m")
+        )
+        .filter(F.col("_m").isNotNull())
+    )
+    # square in DOUBLE (the quantized mean read back — engine-identical),
+    # then quantize: decimal×decimal would hit Spark's precision-loss
+    # rules, which other engines don't share
+    md = F.col("_m").cast("double")
+    boot = means.agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("_m").alias("_sm"),
+        F.sum((md * md).cast("decimal(38,12)")).alias("_smm"),
+    )
+    obs = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("_v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean"),
+    )
+    bn = F.col("_bn").cast("double")
+    var = (
+        bn * F.col("_smm").cast("double")
+        - F.col("_sm").cast("double") * F.col("_sm").cast("double")
+    ) / (bn * (bn - F.lit(1.0)))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return obs.crossJoin(F.broadcast(boot)).select(
+        "n",
+        "mean",
+        F.round(se, 9).alias("se_boot"),
+        F.round(F.col("mean") - F.lit(z) * se, 9).alias("ci_lo"),
+        F.round(F.col("mean") + F.lit(z) * se, 9).alias("ci_hi"),
+    )

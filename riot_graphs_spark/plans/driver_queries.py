@@ -10263,6 +10263,192 @@ def keep_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proportion_wilson_ci(joined, "gopher_keep", ["lang"])
 
 
+@_q(
+    "quality_calibration_summary",
+    f"""
+    WITH {_pairs_cte()},
+    bins AS (
+      SELECT CAST(greatest(0, least(9, floor((s - 0.0) / 0.1))) AS INT)
+               AS b,
+             count(*) AS nb,
+             sum(CAST(s AS DECIMAL(28,12))) AS ss,
+             sum(y) AS pos,
+             sum(CAST((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE))
+                   AS DECIMAL(28,12))) AS sq
+      FROM p GROUP BY 1
+    ),
+    t AS (
+      SELECT nb, sq, sum(nb) OVER () AS tot,
+             abs(CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(ss AS DOUBLE) / CAST(nb AS DOUBLE)) AS gap
+      FROM bins
+    )
+    SELECT CAST(max(tot) AS BIGINT) AS n,
+           round(CAST(sum(sq) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 9)
+             AS brier,
+           round(CAST(sum(CAST((CAST(nb AS DOUBLE) / CAST(tot AS DOUBLE))
+                               * gap AS DECIMAL(28,12))) AS DOUBLE), 9)
+             AS ece,
+           round(max(gap), 9) AS mce
+    FROM t
+    """,
+)
+def quality_calibration_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-row calibration grade of the quality classifier: Brier
+    score plus expected/maximum calibration error over the same fixed
+    bins as quality_auc_report's reliability table
+    (operators.evaluation.calibration_summary) — AUC measures ranking,
+    this measures whether the score VALUES mean what they say (the
+    number one reads before using the score as a probability-like
+    sampling weight).  One scan: per-bin counts, quantized score sums,
+    and quantized per-row (s−y)² ride a single groupBy."""
+    from ..operators.evaluation import calibration_summary
+
+    pairs = _quality_label_pairs(spark, sf_dir)
+    return calibration_summary(pairs, "quality_score", "gopher_keep")
+
+
+@_q(
+    "quality_auc_by_lang",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    g AS ({ORACLES["text_gopher_flags"]}),
+    p AS (
+      SELECT d.lang, q.quality_score AS s,
+             CASE WHEN g.gopher_keep THEN 1 ELSE 0 END AS y
+      FROM q JOIN g USING (doc_id) JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL
+    ),
+    c AS (SELECT lang, s, sum(y) AS np, count(*) AS nt FROM p
+          GROUP BY 1, 2),
+    r AS (
+      SELECT lang, np, nt,
+             sum(nt) OVER (PARTITION BY lang ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM c
+    ),
+    a AS (
+      SELECT lang, CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nt) - sum(np) AS BIGINT) AS n_neg,
+             sum(CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0))) AS s2
+      FROM r GROUP BY 1
+    )
+    SELECT lang, n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(s2 - CAST(n_pos AS DECIMAL(38,0))
+                                     * (n_pos + 1) AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE), 9)
+             END AS auc
+    FROM a
+    """,
+)
+def quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC of the quality classifier
+    (operators.evaluation.roc_auc grouped) — the fairness slice of
+    quality_auc_report: a score that ranks English well and Chinese at
+    chance filters the corpus with a language bias the global AUC hides.
+    Same counts-based rank-sum machinery, windows partitioned per lang."""
+    from ..operators.evaluation import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _quality_label_pairs(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return roc_auc(pairs, "quality_score", "gopher_keep", ["lang"])
+
+
+_BOOT_B = 40
+_BOOT_CASE = " ".join(
+    f"WHEN h < {t} THEN {k}"
+    for k, t in enumerate(
+        (26508507426831584, 53017014853663168, 66271268567078960,
+         70689353138217560, 71793874281002208, 72014778509559136)
+    )
+)
+
+
+@_q(
+    "quality_mean_bootstrap_ci",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, quality_score AS v
+      FROM q WHERE quality_score IS NOT NULL
+    ),
+    rep AS (
+      SELECT id, v, r
+      FROM base CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)
+    ),
+    wt AS (
+      SELECT r, v, CASE {_BOOT_CASE} ELSE 6 END AS w
+      FROM (
+        SELECT r, v,
+               ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+                 ::BIGINT AS h
+        FROM rep
+      )
+    ),
+    m AS (
+      SELECT CAST(
+               CASE WHEN sum(w) = 0 THEN NULL
+                    ELSE CAST(sum(CAST(v * w AS DECIMAL(28,12))) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE) END
+               AS DECIMAL(28,12)) AS m
+      FROM wt GROUP BY r
+    ),
+    boot AS (
+      SELECT count(*) AS bn, sum(m) AS sm,
+             sum(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   AS DECIMAL(38,12))) AS smm
+      FROM m WHERE m IS NOT NULL
+    ),
+    obs AS (
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS mean
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n, mean,
+           round(sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS se_boot,
+           round(mean - {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_lo,
+           round(mean + {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_hi
+    FROM obs CROSS JOIN boot
+    """,
+)
+def quality_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bar on the corpus mean quality score via the DETERMINISTIC
+    Poisson bootstrap (operators.evaluation.bootstrap_mean_ci, B=40) —
+    the scalable bootstrap: replicate membership is a row-local
+    Poisson(1) draw from md5(doc, replicate) against Python-precomputed
+    CDF thresholds, so both engines (and any two cluster runs) draw
+    bit-identical replicates and the CI itself is hash-checkable.  The
+    ×B scan inflation is the explicit cost knob; everything reduces
+    through partial-aggregable decimal sums — this is how ANY corpus
+    statistic gets an error bar at 100 TB without a resampling shuffle."""
+    from ..operators.evaluation import bootstrap_mean_ci
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    return bootstrap_mean_ci(scored, "quality_score", "doc_id", b=_BOOT_B)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

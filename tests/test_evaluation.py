@@ -234,3 +234,51 @@ def test_null_rows_excluded_everywhere(spark):
     assert calibration_bins(df, "s", "y").agg(
         F.sum("n")
     ).collect()[0][0] == 2
+
+
+def test_calibration_summary_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import calibration_summary
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.3, 1), (0.9, 1), (0.7, 0)], "s double, y int"
+    )
+    row = calibration_summary(df, "s", "y", nbins=2).collect()[0]
+    # brier = (.01+.49+.01+.49)/4 = .25
+    assert row["n"] == 4 and row["brier"] == pytest.approx(0.25)
+    # both bins: |pos_rate .5 - mean_score (.2 / .8)| = .3
+    assert row["ece"] == pytest.approx(0.3)
+    assert row["mce"] == pytest.approx(0.3)
+    # perfectly calibrated ints: s == y -> brier 0, gaps 0
+    perfect = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1), (0.0, 0), (1.0, 1)], "s double, y int"
+    )
+    row = calibration_summary(perfect, "s", "y").collect()[0]
+    assert row["brier"] == 0.0 and row["ece"] == 0.0 and row["mce"] == 0.0
+    with pytest.raises(ValueError):
+        calibration_summary(df, "s", "y", nbins=0)
+
+
+def test_bootstrap_mean_ci_deterministic_and_sane(spark):
+    from riot_graphs_spark.operators.evaluation import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(500)], "id bigint, v double"
+    )
+    r1 = bootstrap_mean_ci(df, "v", "id", b=20).collect()[0]
+    r2 = bootstrap_mean_ci(df, "v", "id", b=20).collect()[0]
+    assert r1 == r2  # bit-identical across runs: hash-drawn replicates
+    assert r1["n"] == 500 and r1["mean"] == pytest.approx(4.5)
+    assert r1["se_boot"] > 0.0
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    # the spread of 0..9 has sd ~2.87 -> se of the mean ~0.128; the
+    # bootstrap estimate should be the right order of magnitude
+    assert 0.03 < r1["se_boot"] < 0.5
+    # constant column: every replicate mean identical -> se exactly 0
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(200)], "id bigint, v double"
+    )
+    row = bootstrap_mean_ci(const, "v", "id", b=10).collect()[0]
+    assert row["se_boot"] == 0.0
+    assert row["ci_lo"] == 5.0 and row["ci_hi"] == 5.0
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "id", b=1)
