@@ -752,3 +752,60 @@ def test_quantile_normalize_no_cartesian_single_fact_reread(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_roc_auc_is_counts_based_no_row_ranking(spark):
+    # AUC must rank the DISTINCT-SCORE axis (windows over aggregated
+    # counts), never per-row: the aggregate runs BEFORE the window, and
+    # nothing is a row_number/ntile over the corpus.
+    plan = formatted_plan(spark, "quality_auc_report")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "row_number" not in plan and "ntile" not in plan
+    # the window input is the (score) count aggregate, not raw rows
+    assert re.search(r"partial_(sum|count)", plan)
+
+
+def test_lift_table_has_no_global_row_rank(spark):
+    plan = formatted_plan(spark, "lift_quality_deciles")
+    assert "ntile" not in plan and "row_number" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ndcg_qrels_join_is_broadcast(spark):
+    plan = formatted_plan(spark, "ndcg_search_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_wilson_ci_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "keep_rate_wilson_ci")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+
+
+def test_bootstrap_ci_is_partial_aggregable_no_python(spark):
+    # the xB replicate explode must reduce through partial aggregation
+    # (map-side combine on the replicate key), everything Catalyst-side
+    plan = formatted_plan(spark, "quality_mean_bootstrap_ci")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohen_kappa_marginal_join_is_broadcast(spark):
+    plan = formatted_plan(spark, "kappa_lang_agreement")
+    assert "BroadcastHashJoin" in plan  # levels-sized marginal join
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_no_global_row_rank(spark):
+    # rank maps come from counts + distinct-axis windows; rows join their
+    # rank back — never a per-row rank() over the corpus
+    plan = formatted_plan(spark, "spearman_quality_length")
+    assert "row_number" not in plan and "ntile" not in plan
+    assert "rank(" not in plan
+    assert "CartesianProduct" not in plan
