@@ -290,6 +290,8 @@ HEADLINE = [
     "quality_calibration_summary",
     "quality_auc_by_lang",
     "quality_mean_bootstrap_ci",
+    "lang_id_class_report",
+    "retrieval_recall_mrr",
 ]
 
 

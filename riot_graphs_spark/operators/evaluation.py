@@ -610,3 +610,164 @@ def bootstrap_mean_ci(
         F.round(F.col("mean") - F.lit(z) * se, 9).alias("ci_lo"),
         F.round(F.col("mean") + F.lit(z) * se, 9).alias("ci_hi"),
     )
+
+
+def classification_report(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 with support — the standard
+    multi-class grade of a categorical predictor against stored truth
+    (the per-class view :func:`..operators.profile.cohen_kappa` averages
+    away: κ says "better than chance overall", this says WHICH language
+    the lang-ID misses).
+
+    Per class k over the confusion counts: ``tp = cell(k,k)``,
+    ``fp = col_k − tp`` (predicted k, was something else), ``fn = row_k −
+    tp``; classes from EITHER side appear (a class never predicted shows
+    precision NULL, a class never true shows recall NULL — via
+    ``try_divide``).  Exact integer counts end-to-end; one corpus-sized
+    confusion groupBy, marginals joined on the levels axis (broadcast).
+
+    Output: one row per class — ``(label string, support bigint,
+    tp bigint, fp bigint, fn bigint, precision double, recall double,
+    f1 double)``.
+    """
+    joint = (
+        df.filter(F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull())
+        .select(
+            F.col(truth_col).cast("string").alias("_t"),
+            F.col(pred_col).cast("string").alias("_p"),
+        )
+        .groupBy("_t", "_p")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    row_m = joint.groupBy("_t").agg(F.sum("_o").alias("_support"))
+    col_m = joint.groupBy("_p").agg(F.sum("_o").alias("_pred"))
+    diag = joint.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("_o").alias("tp")
+    )
+    labels = (
+        row_m.select(F.col("_t").alias("label"))
+        .unionByName(col_m.select(F.col("_p").alias("label")))
+        .distinct()
+    )
+    full = (
+        labels.join(
+            F.broadcast(row_m.withColumnRenamed("_t", "label")),
+            "label", "left",
+        )
+        .join(
+            F.broadcast(col_m.withColumnRenamed("_p", "label")),
+            "label", "left",
+        )
+        .join(F.broadcast(diag), "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("_support"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("_pred"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce(F.col("_support"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return full.select(
+        "label",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.try_divide(tp.cast("double"), (tp + fp).cast("double")), 9
+        ).alias("precision"),
+        F.round(
+            F.try_divide(tp.cast("double"), (tp + fn).cast("double")), 9
+        ).alias("recall"),
+        F.round(
+            F.try_divide(
+                F.lit(2) * tp.cast("double"),
+                (F.lit(2) * tp + fp + fn).cast("double"),
+            ),
+            9,
+        ).alias("f1"),
+    )
+
+
+def retrieval_recall_mrr(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    rel_threshold: int = 1,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Recall@k and reciprocal rank per query — the binary-relevance
+    companions to :func:`ndcg_at_k` (NDCG grades the whole ordering;
+    recall@k answers "did the k-cut keep what matters", RR answers "how
+    deep is the first hit").  A judgment counts as relevant when
+    ``rel >= rel_threshold``.
+
+    ``n_rel`` counts ALL relevant judgments for the query (the recall
+    denominator — not just those retrieved); ``hits`` are relevant docs
+    inside the top-k; ``rr = 1/rank`` of the best-ranked relevant doc
+    (0.0 when none).  Exact integer counts; the single division per query
+    happens at the end.  Run⋈qrels is an equi-join with the qrels side
+    broadcast; per-query aggregates only.
+
+    Output: one row per query in the run — ``(query_id, n_rel bigint,
+    hits bigint, recall double, rr double)``.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    r = run.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    ).filter(F.col("_r") <= k)
+    j = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        (F.col(rel_col) >= F.lit(rel_threshold)).alias("_rel"),
+    )
+    totals = j.filter(F.col("_rel")).groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hit = F.when(F.coalesce(F.col("_rel"), F.lit(False)), 1).otherwise(0)
+    per = (
+        r.join(F.broadcast(j), ["_q", "_d"], "left")
+        .groupBy("_q")
+        .agg(
+            F.sum(hit).alias("hits"),
+            F.min(F.when(F.coalesce(F.col("_rel"), F.lit(False)), F.col("_r"))).alias(
+                "_first"
+            ),
+        )
+    )
+    return (
+        per.join(F.broadcast(totals), "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            "hits",
+            F.round(
+                F.try_divide(
+                    F.col("hits").cast("double"),
+                    F.coalesce(F.col("n_rel"), F.lit(0)).cast("double"),
+                ),
+                9,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+                ),
+                9,
+            ).alias("rr"),
+        )
+    )

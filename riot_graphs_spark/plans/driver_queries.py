@@ -10114,6 +10114,43 @@ def lift_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift_table(pairs, "quality_score", "gopher_keep", 10)
 
 
+def _bm25_run_and_qrels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared retrieval-eval fixture: the BM25 top-5 run over the three
+    deterministic fixture queries, plus term-overlap graded judgments
+    (rel = distinct query tokens the doc contains)."""
+    from ..operators.dedup import words
+    from ..operators.ranking import bm25_search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    run = bm25_search_topk(docs, queries_df, k=5)
+    qtok = queries_df.select(
+        "query_id",
+        F.explode(F.array_distinct(words(F.col("query_text")))).alias(
+            "token"
+        ),
+    ).distinct()
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias(
+            "token"
+        )
+    )
+    qrels = (
+        dtok.join(F.broadcast(qtok), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("rel"))
+    )
+    return run, qrels
+
+
+
 @_q(
     "ndcg_search_eval",
     f"""
@@ -10175,34 +10212,9 @@ def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(28,12) before the per-query sums; the ideal ordering ranks
     judgments inside per-QUERY windows with a doc_id tiebreak.  The
     qrels join is broadcast (3 fixture queries × matched docs)."""
-    from ..operators.dedup import words
     from ..operators.evaluation import ndcg_at_k
-    from ..operators.ranking import bm25_search_topk
 
-    docs = _t(spark, sf_dir, "documents")
-    queries_df = docs.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
-            "query_text"
-        ),
-    )
-    run = bm25_search_topk(docs, queries_df, k=5)
-    qtok = queries_df.select(
-        "query_id",
-        F.explode(F.array_distinct(words(F.col("query_text")))).alias(
-            "token"
-        ),
-    ).distinct()
-    dtok = docs.select(
-        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias(
-            "token"
-        )
-    )
-    qrels = (
-        dtok.join(F.broadcast(qtok), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count_distinct("token").alias("rel"))
-    )
+    run, qrels = _bm25_run_and_qrels(spark, sf_dir)
     return ndcg_at_k(run, qrels, k=5).orderBy("query_id")
 
 
@@ -10447,6 +10459,121 @@ def quality_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_score"
     )
     return bootstrap_mean_ci(scored, "quality_score", "doc_id", b=_BOOT_B)
+
+
+@_q(
+    "lang_id_class_report",
+    f"""
+    WITH pl AS ({ORACLES["text_lang_id"]}),
+    j AS (
+      SELECT lang AS t, predicted_lang AS p, count(*) AS o
+      FROM pl WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT t, sum(o) AS support FROM j GROUP BY 1),
+    cm AS (SELECT p, sum(o) AS pred FROM j GROUP BY 1),
+    dg AS (SELECT t AS label, o AS tp FROM j WHERE t = p),
+    lb AS (SELECT t AS label FROM rm UNION SELECT p FROM cm),
+    f AS (
+      SELECT lb.label,
+             coalesce(support, 0) AS support,
+             coalesce(tp, 0) AS tp,
+             coalesce(pred, 0) - coalesce(tp, 0) AS fp,
+             coalesce(support, 0) - coalesce(tp, 0) AS fn
+      FROM lb LEFT JOIN rm ON lb.label = rm.t
+              LEFT JOIN cm ON lb.label = cm.p
+              LEFT JOIN dg USING (label)
+    )
+    SELECT label, CAST(support AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9)
+             END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9)
+             END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 9)
+             END AS f1
+    FROM f
+    """,
+)
+def lang_id_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the n-gram language ID against
+    the stored lang (operators.evaluation.classification_report) — the
+    per-class view κ averages away: kappa_lang_agreement says "better
+    than chance overall", this says WHICH language the predictor misses
+    (the per-stratum QA a mixture built on predicted lang needs).  Exact
+    integer confusion counts; one fact-sized groupBy, levels-axis
+    broadcast joins."""
+    from ..operators.evaluation import classification_report
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return classification_report(predict_lang(docs), "lang", "predicted_lang")
+
+
+@_q(
+    "retrieval_recall_mrr",
+    f"""
+    WITH run AS ({ORACLES["bm25_search_topk"]}),
+    tok AS ({_DUCK_TOK}),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:5], ' ')
+               AS qt
+      FROM documents WHERE doc_id < 3
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, t.tok AS token
+      FROM q, unnest(regexp_extract_all(lower(qt), '[a-z0-9]+')) AS t(tok)
+    ),
+    qrels AS (
+      SELECT qtok.query_id, dt.doc_id,
+             count(DISTINCT dt.token) AS rel
+      FROM (SELECT DISTINCT doc_id, token FROM tok) dt
+      JOIN qtok USING (token)
+      GROUP BY 1, 2
+    ),
+    rel AS (SELECT query_id, doc_id, (rel >= 2) AS is_rel FROM qrels),
+    tot AS (SELECT query_id, count(*) AS n_rel FROM rel WHERE is_rel
+            GROUP BY 1),
+    per AS (
+      SELECT run.query_id,
+             sum(CASE WHEN coalesce(is_rel, false) THEN 1 ELSE 0 END)
+               AS hits,
+             min(CASE WHEN coalesce(is_rel, false) THEN rank END)
+               AS first
+      FROM run LEFT JOIN rel USING (query_id, doc_id)
+      WHERE rank <= 5 GROUP BY 1
+    )
+    SELECT per.query_id,
+           CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(hits AS BIGINT) AS hits,
+           CASE WHEN coalesce(n_rel, 0) = 0 THEN NULL
+                ELSE round(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE), 9)
+             END AS recall,
+           round(coalesce(1.0 / CAST(first AS DOUBLE), 0.0), 9) AS rr
+    FROM per LEFT JOIN tot USING (query_id)
+    """,
+)
+def retrieval_recall_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 and reciprocal rank of the BM25 run against the same
+    term-overlap judgments as ndcg_search_eval, relevant = rel ≥ 2
+    (operators.evaluation.retrieval_recall_mrr) — the binary-relevance
+    companions: NDCG grades the whole ordering, recall@k answers "did
+    the 5-cut keep the multi-term matches", RR answers "how deep is the
+    first one".  n_rel counts ALL relevant judgments (the honest recall
+    denominator), not just retrieved ones."""
+    from ..operators.evaluation import retrieval_recall_mrr
+
+    run, qrels = _bm25_run_and_qrels(spark, sf_dir)
+    return retrieval_recall_mrr(run, qrels, k=5, rel_threshold=2).orderBy(
+        "query_id"
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -282,3 +282,63 @@ def test_bootstrap_mean_ci_deterministic_and_sane(spark):
     assert row["ci_lo"] == 5.0 and row["ci_hi"] == 5.0
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "v", "id", b=1)
+
+
+def test_classification_report_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import classification_report
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"),
+         ("a", "d")],
+        "truth string, pred string",
+    )
+    rows = {
+        r["label"]: r
+        for r in classification_report(df, "truth", "pred").collect()
+    }
+    a = rows["a"]
+    # truth a: {a,b,d} predicted; support 3, tp 1, fp ((a,a)+(c,a))-1=1,
+    # fn 2
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 1, 1, 2)
+    assert a["precision"] == 0.5 and a["recall"] == pytest.approx(1 / 3)
+    b = rows["b"]
+    assert (b["support"], b["tp"], b["fp"], b["fn"]) == (2, 2, 1, 0)
+    assert b["precision"] == pytest.approx(2 / 3) and b["recall"] == 1.0
+    assert b["f1"] == pytest.approx(0.8)
+    # class true-but-never-predicted: precision NULL (0 predicted)
+    c = rows["c"]
+    assert (c["support"], c["tp"], c["fp"], c["fn"]) == (1, 0, 0, 1)
+    assert c["precision"] is None and c["recall"] == 0.0
+    # class predicted-but-never-true: recall NULL (0 support)
+    d = rows["d"]
+    assert (d["support"], d["tp"], d["fp"], d["fn"]) == (0, 0, 1, 0)
+    assert d["precision"] == 0.0 and d["recall"] is None
+
+
+def test_retrieval_recall_mrr_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import retrieval_recall_mrr
+
+    run = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3),
+         (2, "d1", 1), (2, "d2", 2)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d2", 2), (1, "d3", 1), (1, "d9", 3), (2, "d1", 0)],
+        "query_id int, doc_id string, rel int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_recall_mrr(run, qrels, k=3).collect()
+    }
+    q1 = got[1]
+    # 3 relevant total (d2,d3,d9); top-3 holds d2,d3 -> recall 2/3;
+    # first relevant at rank 2 -> rr .5
+    assert (q1["n_rel"], q1["hits"]) == (3, 2)
+    assert q1["recall"] == pytest.approx(2 / 3) and q1["rr"] == 0.5
+    # q2: only a rel-0 judgment -> nothing relevant: recall NULL, rr 0
+    q2 = got[2]
+    assert (q2["n_rel"], q2["hits"]) == (0, 0)
+    assert q2["recall"] is None and q2["rr"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval_recall_mrr(run, qrels, k=0)
