@@ -658,6 +658,20 @@ QUERY_CASES = [
     # round-7: the one >=1s benched query that had no case (two grouped
     # exact medians + broadcast joins back -> expected ~linear)
     "ts_mad_anomalies",
+    # round-7 evaluation layer (every >=1s entry from the registration
+    # bench): counts-based AUC/lift over the distinct-score axis,
+    # one-scan PR thresholds, broadcast-qrels NDCG/recall, confusion
+    # groupBys, closed-form Wilson groups
+    "quality_auc_report",
+    "kappa_lang_agreement",
+    "eval_pr_thresholds",
+    "lift_quality_deciles",
+    "ndcg_search_eval",
+    "keep_rate_wilson_ci",
+    "quality_calibration_summary",
+    "quality_auc_by_lang",
+    "lang_id_class_report",
+    "retrieval_recall_mrr",
 ]
 
 
