@@ -292,6 +292,10 @@ HEADLINE = [
     "quality_mean_bootstrap_ci",
     "lang_id_class_report",
     "retrieval_recall_mrr",
+    "ts_autocorrelation",
+    "benford_totalprice",
+    "source_gini",
+    "text_lexical_diversity",
 ]
 
 

@@ -1275,3 +1275,94 @@ def spearman_correlation(
         F.col("n").cast("long").alias("n"),
         F.round(F.try_divide(num, F.sqrt(var_x * var_y)), 9).alias("rho"),
     )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, decimals: int = 2
+) -> DataFrame:
+    """Benford first-digit audit of a positive amount column — the
+    classic fabricated-/synthetic-data smell test (organic multi-scale
+    amounts follow ``P(d) = log10(1 + 1/d)``; generated or truncated
+    data usually doesn't — a flat digit profile on a "revenue" column is
+    a data-provenance question before it is a statistics one).
+
+    Digit extraction is STRING-based over an exact integer — the value
+    scales by ``10^decimals`` and rounds to a bigint first (never
+    ``log10``-bucketing a double: a power-of-ten boundary ulp would flip
+    digits between engines); integer-to-string is engine-identical.
+    Zero/negative/NULL rows are excluded (Benford applies to positive
+    magnitudes).  One count groupBy on a 9-ary key; expected shares are
+    Python-computed literals.
+
+    Output: one row per observed digit — ``(digit int, n bigint,
+    share double, expected double, abs_dev double)``.
+    """
+    import math
+
+    scaled = F.round(
+        F.col(value_col).cast("double") * F.lit(float(10 ** decimals)), 0
+    ).cast("bigint")
+    digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (scaled > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    expected = F.lit(0.0)
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == d, F.lit(math.log10(1 + 1 / d))
+        ).otherwise(expected)
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 9).alias("share"),
+        F.round(expected, 9).alias("expected"),
+        F.round(F.abs(share - expected), 9).alias("abs_dev"),
+    )
+
+
+def concentration_gini(
+    df: DataFrame, group_col: str
+) -> DataFrame:
+    """Gini coefficient of row-mass concentration across a categorical
+    key — the one-number corpus-balance reading (0 = every source
+    contributes equally, →1 = one source is the corpus) a mixture
+    designer tracks release-over-release next to ``mixture_weights``:
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n      (xᵢ ascending)
+
+    over the per-group row counts.  Integer counts and ranks end-to-end
+    (``decimal(38,0)`` for the rank-weighted sum); the rank window runs
+    over the GROUPS axis (|groups| rows — never fact-sized) with a
+    deterministic (count, group) tiebreak.  NULL keys are excluded.
+
+    Output: one row — ``(n_groups bigint, total bigint, gini double)``.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    w = Window.orderBy("_x", "_g")
+    ranked = counts.withColumn("_i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_x").alias("total"),
+        F.sum(
+            (F.col("_i").cast("decimal(38,0)") * F.col("_x"))
+        ).alias("_iw"),
+    )
+    n = F.col("n_groups").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_iw").cast("double")
+        / (n * F.col("total").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "n_groups",
+        "total",
+        F.round(gini, 9).alias("gini"),
+    )

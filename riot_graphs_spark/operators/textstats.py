@@ -655,3 +655,55 @@ def bpe_apply(
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document vocabulary-richness signals: type-token ratio and
+    hapax ratio — the repetition-adjacent quality axis
+    (:func:`repetition_stats` catches LINE-level boilerplate; a spun or
+    template-generated text passes that yet shows an abnormally low TTR,
+    while keyboard-mash noise shows TTR ≈ 1 with no reuse at all):
+
+        ttr         = |distinct tokens| / |tokens|
+        hapax_ratio = |tokens occurring exactly once| / |distinct tokens|
+
+    Entirely row-local higher-order array functions (zero shuffles — the
+    corpus-scan-only plan class of ``text_quality_scores``); the hapax
+    count is O(types·tokens) per row, bounded by document length.  Empty
+    docs yield NULL ratios via ``try_divide``.
+
+    Output: ``docs``' doc_id plus ``(n_tokens bigint, n_types bigint,
+    n_hapax bigint, ttr double, hapax_ratio double)``.
+    """
+    toks = tokens(F.col(text_col))
+    types = F.array_distinct(toks)
+    hapax = F.filter(
+        types,
+        lambda t: F.size(F.filter(toks, lambda w: w == t)) == F.lit(1),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(types).cast("long").alias("n_types"),
+        F.size(hapax).cast("long").alias("n_hapax"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.try_divide(
+                F.col("n_types").cast("double"),
+                F.col("n_tokens").cast("double"),
+            ),
+            9,
+        ).alias("ttr"),
+        F.round(
+            F.try_divide(
+                F.col("n_hapax").cast("double"),
+                F.col("n_types").cast("double"),
+            ),
+            9,
+        ).alias("hapax_ratio"),
+    )

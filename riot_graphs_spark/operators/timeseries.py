@@ -1448,3 +1448,80 @@ def level_shift(
         .where(F.col("rank") <= k)
         .drop("_rn", "_rc", "_salt", "_r1")
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    max_lag: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series autocorrelation function at lags 1..max_lag — the
+    seasonality/memory detector read before choosing a Holt-Winters
+    season length or a gap-fill horizon (a daily cycle shows as a spike
+    at the daily lag; white noise shows nothing):
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄)  /  Σ_t (x_t − x̄)²
+
+    (the standard biased estimator — the denominator is the FULL-series
+    sum of squares, so |r_k| ≤ 1 and r decays with lag by construction).
+
+    Determinism: x̄ comes from an exact decimal sum; each centered
+    product quantizes to ``decimal(28,12)`` before its sum.  All
+    max_lag lags ride ONE per-series window sort (k ``lag`` columns over
+    the same ordering — one Exchange, one sort); the k numerators and
+    the shared denominator reduce in one aggregate.  Rows with NULL
+    value are excluded before ordering (ACF over the observed sequence).
+
+    Output: one row per (series, lag) — ``(*dims, lag int,
+    n_pairs bigint, acf double)``; NULL acf for a constant series
+    (zero variance) via ``try_divide``.
+    """
+    if max_lag < 1:
+        raise ValueError("need max_lag >= 1")
+    dec = "decimal(28,12)"
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*_cols(dims)).orderBy(*order)
+    w_all = Window.partitionBy(*_cols(dims))
+    base = df.filter(F.col(value).isNotNull())
+    mean = (
+        F.sum(F.col(value).cast("decimal(28,6)")).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+    )
+    xc = (F.col(value).cast("double") - mean)
+    lagged = base.select(
+        *_cols(dims),
+        *order,
+        xc.alias("_xc"),
+        *[F.lag(xc, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.sum((F.col("_xc") * F.col("_xc")).cast(dec)).alias("_den"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum((F.col("_xc") * F.col(f"_l{k}")).cast(dec)).alias(
+                f"_num{k}"
+            )
+        )
+        aggs.append(F.count(F.col(f"_l{k}")).alias(f"_n{k}"))
+    agg = lagged.groupBy(*_cols(dims)).agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col(f"_n{k}").alias("n_pairs"),
+            F.round(
+                F.try_divide(
+                    F.col(f"_num{k}").cast("double"),
+                    F.col("_den").cast("double"),
+                ),
+                9,
+            ).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return agg.select(
+        *_cols(dims), F.explode(F.array(*rows)).alias("_r")
+    ).select(*_cols(dims), "_r.*")

@@ -10576,6 +10576,186 @@ def retrieval_recall_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_autocorrelation",
+    """
+    WITH e AS (
+      SELECT event_type, ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu
+      FROM e GROUP BY 1
+    ),
+    x AS (
+      SELECT e.event_type,
+             CAST(value AS DOUBLE) - mu AS xc,
+             lag(CAST(value AS DOUBLE) - mu, 1) OVER w AS l1,
+             lag(CAST(value AS DOUBLE) - mu, 2) OVER w AS l2,
+             lag(CAST(value AS DOUBLE) - mu, 3) OVER w AS l3
+      FROM e JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id)
+    ),
+    a AS (
+      SELECT event_type,
+             sum(CAST(xc * xc AS DECIMAL(28,12))) AS den,
+             sum(CAST(xc * l1 AS DECIMAL(28,12))) AS n1, count(l1) AS c1,
+             sum(CAST(xc * l2 AS DECIMAL(28,12))) AS n2, count(l2) AS c2,
+             sum(CAST(xc * l3 AS DECIMAL(28,12))) AS n3, count(l3) AS c3
+      FROM x GROUP BY 1
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN CAST(den AS DOUBLE) = 0.0 THEN NULL
+                ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)
+             END AS acf
+    FROM (
+      SELECT event_type, 1 AS lag, CAST(c1 AS BIGINT) AS n_pairs,
+             n1 AS num, den FROM a
+      UNION ALL
+      SELECT event_type, 2, CAST(c2 AS BIGINT), n2, den FROM a
+      UNION ALL
+      SELECT event_type, 3, CAST(c3 AS BIGINT), n3, den FROM a
+    )
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1-3
+    (operators.timeseries.autocorrelation) — the seasonality/memory
+    detector read before choosing a Holt-Winters season length or gap
+    horizon.  Exact decimal mean, decimal-quantized centered products;
+    all lags ride ONE per-series window sort (one Exchange), numerators
+    and the shared full-series denominator reduce in one aggregate."""
+    from ..operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, ["event_type"], "ts", "value", max_lag=3, tiebreak="event_id"
+    )
+
+
+#: Benford expected shares — Python-computed once, inlined identically in
+#: both engines.
+import math as _math  # noqa: E402
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+)
+
+
+@_q(
+    "benford_totalprice",
+    f"""
+    WITH s AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0, 0) AS BIGINT)
+               AS h
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    c AS (
+      SELECT CAST(substr(CAST(h AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n
+      FROM s WHERE h > 0 GROUP BY 1
+    ),
+    t AS (
+      SELECT digit, n,
+             CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+             CASE digit {_BENFORD_CASE} ELSE 0.0 END AS expected
+      FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n, round(share, 9) AS share,
+           round(expected, 9) AS expected,
+           round(abs(share - expected), 9) AS abs_dev
+    FROM t
+    """,
+)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the order-amount column
+    (operators.profile.benford_first_digit) — the fabricated-/synthetic-
+    data smell test: organic multi-scale amounts follow log10(1+1/d);
+    generated or truncated data usually doesn't.  (The fixture data is
+    synthetic, so the DEVIATION columns are the interesting output —
+    exactly what the audit is for.)  Digit extraction is string-over-
+    exact-integer (never log10-bucketing a double); one 9-ary count
+    groupBy."""
+    from ..operators.profile import benford_first_digit
+
+    return benford_first_digit(
+        _t(spark, sf_dir, "orders"), "o_totalprice", decimals=2
+    )
+
+
+@_q(
+    "source_gini",
+    """
+    WITH c AS (
+      SELECT source AS g, count(*) AS x FROM documents
+      WHERE source IS NOT NULL GROUP BY 1
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, g) AS i FROM c),
+    a AS (
+      SELECT count(*) AS n_groups, sum(x) AS total,
+             sum(CAST(i AS DECIMAL(38,0)) * x) AS iw
+      FROM r
+    )
+    SELECT CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(total AS BIGINT) AS total,
+           round(2.0 * CAST(iw AS DOUBLE)
+                 / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE))
+                 - (CAST(n_groups AS DOUBLE) + 1.0)
+                   / CAST(n_groups AS DOUBLE), 9) AS gini
+    FROM a
+    """,
+)
+def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document mass across sources
+    (operators.profile.concentration_gini) — the one-number corpus-
+    balance reading (0 = every source equal, →1 = one source is the
+    corpus) tracked release-over-release beside mixture_weights.  Integer
+    counts and ranks; the rank window runs over the |sources| axis, never
+    fact-sized."""
+    from ..operators.profile import concentration_gini
+
+    return concentration_gini(_t(spark, sf_dir, "documents"), "source")
+
+
+@_q(
+    "text_lexical_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_types,
+             len(list_filter(list_distinct(toks),
+                 u -> len(list_filter(toks, w -> w = u)) = 1))::BIGINT
+               AS n_hapax
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE round(CAST(n_types AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 9) END AS ttr,
+           CASE WHEN n_types = 0 THEN NULL
+                ELSE round(CAST(n_hapax AS DOUBLE)
+                           / CAST(n_types AS DOUBLE), 9) END AS hapax_ratio
+    FROM s
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio and hapax ratio
+    (operators.textstats.lexical_diversity) — the vocabulary-richness
+    quality axis: spun/template text passes the line-level repetition
+    gate yet shows abnormally low TTR; keyboard-mash noise shows TTR ≈ 1.
+    Entirely row-local array functions — the zero-shuffle corpus-scan
+    plan class."""
+    from ..operators.textstats import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -342,3 +342,88 @@ def test_retrieval_recall_mrr_hand_case(spark):
     assert q2["recall"] is None and q2["rr"] == 0.0
     with pytest.raises(ValueError):
         retrieval_recall_mrr(run, qrels, k=0)
+
+
+def test_autocorrelation_hand_case(spark):
+    from riot_graphs_spark.operators.timeseries import autocorrelation
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), i, float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5])
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, event_id bigint, value double"
+    )
+    got = {
+        r["lag"]: r
+        for r in autocorrelation(
+            df, ["grp"], "ts", "value", max_lag=2, tiebreak="event_id"
+        ).collect()
+    }
+    # xc = [-2,-1,0,1,2], den = 10; num1 = 4, num2 = -1
+    assert got[1]["n_pairs"] == 4 and got[1]["acf"] == pytest.approx(0.4)
+    assert got[2]["n_pairs"] == 3 and got[2]["acf"] == pytest.approx(-0.1)
+    # constant series -> zero variance -> NULL
+    const = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(hours=i), i, 7.0) for i in range(4)],
+        "grp string, ts timestamp, event_id bigint, value double",
+    )
+    got = autocorrelation(
+        const, ["grp"], "ts", "value", 1, tiebreak="event_id"
+    ).collect()
+    assert got[0]["acf"] is None
+    with pytest.raises(ValueError):
+        autocorrelation(df, ["grp"], "ts", "value", 0)
+
+
+def test_benford_first_digit_string_exact(spark):
+    from riot_graphs_spark.operators.profile import benford_first_digit
+
+    df = spark.createDataFrame(
+        [(1.23,), (19.0,), (2.5,), (0.0,), (-3.0,), (None,)], "v double"
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    # zero/negative/NULL excluded; scaled ints 123, 1900, 250
+    assert set(rows) == {1, 2}
+    assert rows[1]["n"] == 2 and rows[1]["share"] == pytest.approx(2 / 3)
+    assert rows[1]["expected"] == pytest.approx(0.301029996, abs=1e-9)
+    assert rows[2]["abs_dev"] == pytest.approx(
+        abs(1 / 3 - 0.17609125905568124), abs=1e-9
+    )
+
+
+def test_concentration_gini_hand_cases(spark):
+    from riot_graphs_spark.operators.profile import concentration_gini
+
+    # equal masses -> 0
+    df = spark.createDataFrame(
+        [(g,) for g in "abcd" for _ in range(3)], "g string"
+    )
+    row = concentration_gini(df, "g").collect()[0]
+    assert (row["n_groups"], row["total"], row["gini"]) == (4, 12, 0.0)
+    # [1, 3] -> 0.25 (mean abs diff / 2*mean)
+    df = spark.createDataFrame([("a",), ("b",), ("b",), ("b",)], "g string")
+    assert concentration_gini(df, "g").collect()[0]["gini"] == 0.25
+    # single group -> 0; NULL keys excluded
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "g string")
+    row = concentration_gini(df, "g").collect()[0]
+    assert (row["n_groups"], row["total"], row["gini"]) == (1, 2, 0.0)
+
+
+def test_lexical_diversity_hand_case(spark):
+    from riot_graphs_spark.operators.textstats import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "x y z")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_types"], r1["n_hapax"]) == (3, 2, 1)
+    assert r1["ttr"] == pytest.approx(2 / 3) and r1["hapax_ratio"] == 0.5
+    r2 = rows[2]  # empty doc: NULL ratios, zero counts
+    assert (r2["n_tokens"], r2["n_types"]) == (0, 0)
+    assert r2["ttr"] is None and r2["hapax_ratio"] is None
+    r3 = rows[3]  # all unique: ttr 1, hapax 1
+    assert r3["ttr"] == 1.0 and r3["hapax_ratio"] == 1.0
