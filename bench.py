@@ -296,6 +296,8 @@ HEADLINE = [
     "benford_totalprice",
     "source_gini",
     "text_lexical_diversity",
+    "ts_cross_correlation",
+    "ts_seasonal_decompose",
 ]
 
 

@@ -1525,3 +1525,176 @@ def autocorrelation(
     return agg.select(
         *_cols(dims), F.explode(F.array(*rows)).alias("_r")
     ).select(*_cols(dims), "_r.*")
+
+
+def cross_correlation(
+    series: DataFrame,
+    ts: str,
+    value_a: str,
+    value_b: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation between two aligned series at lags −k..k — the
+    lead/lag screen ("do deploys move error rates, and how many hours
+    later?") run on two BUCKET-AGGREGATED series sharing a time axis:
+
+        ccf(L) = Σ_t (a_t − ā)(b_{t+L} − b̄)
+                 / sqrt(Σ(a−ā)² · Σ(b−b̄)²)
+
+    (full-series means and denominators, the :func:`autocorrelation`
+    convention — |ccf| ≤ 1, positive L means "b follows a by L
+    buckets").  Input is one row per bucket with both values (build it
+    with a bucketed aggregate + join); rows with either value NULL are
+    dropped first, and lags step over the OBSERVED ordered axis.
+
+    Scale: the input is the bucket axis — hours-in-range rows, never
+    fact-sized, however large the corpus that produced it; all 2k+1
+    lags ride one ordered window (lead for the future side).  Products
+    quantize to ``decimal(28,12)``.
+
+    Output: ``(lag int, n_pairs bigint, ccf double)``; NULL ccf when
+    either series is constant (``try_divide``).
+    """
+    if max_lag < 1:
+        raise ValueError("need max_lag >= 1")
+    dec = "decimal(28,12)"
+    base = series.filter(
+        F.col(value_a).isNotNull() & F.col(value_b).isNotNull()
+    )
+    w_all = Window.partitionBy()
+    w = Window.orderBy(ts)
+
+    def centered(col: str) -> "F.Column":
+        mean = (
+            F.sum(F.col(col).cast("decimal(28,6)")).over(w_all)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        )
+        return F.col(col).cast("double") - mean
+
+    ac, bc = centered(value_a), centered(value_b)
+    cols = [ac.alias("_a"), bc.alias("_b")]
+    for k in range(1, max_lag + 1):
+        cols.append(F.lead(bc, k).over(w).alias(f"_bp{k}"))
+        cols.append(F.lag(bc, k).over(w).alias(f"_bm{k}"))
+    lagged = base.select(F.col(ts), *cols)
+    aggs = [
+        F.sum((F.col("_a") * F.col("_a")).cast(dec)).alias("_da"),
+        F.sum((F.col("_b") * F.col("_b")).cast(dec)).alias("_db"),
+        F.sum((F.col("_a") * F.col("_b")).cast(dec)).alias("_n0"),
+        F.count("_b").alias("_c0"),
+    ]
+    for k in range(1, max_lag + 1):
+        for sign, c in (("p", f"_bp{k}"), ("m", f"_bm{k}")):
+            aggs.append(
+                F.sum((F.col("_a") * F.col(c)).cast(dec)).alias(
+                    f"_n{sign}{k}"
+                )
+            )
+            aggs.append(F.count(F.col(c)).alias(f"_c{sign}{k}"))
+    agg = lagged.agg(*aggs)
+    den = F.sqrt(F.col("_da").cast("double") * F.col("_db").cast("double"))
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        if lag == 0:
+            num, cnt = "_n0", "_c0"
+        elif lag > 0:
+            num, cnt = f"_np{lag}", f"_cp{lag}"
+        else:
+            num, cnt = f"_nm{-lag}", f"_cm{-lag}"
+        rows.append(
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(cnt).alias("n_pairs"),
+                F.round(
+                    F.try_divide(F.col(num).cast("double"), den), 9
+                ).alias("ccf"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a bucket-aggregated
+    series: ``value = trend + seasonal + resid`` — the "is the weekly
+    shape stable and what's left over" view behind
+    ``ts_seasonal_anomalies`` (that one flags residual outliers; this
+    returns the full decomposition a dashboard plots):
+
+    - ``trend``: centered (period+1)-point simple moving average,
+      emitted only where the window is FULL (NULL at the first/last
+      period/2 buckets — no edge extrapolation);
+    - ``seasonal``: per season-index mean of the detrended series,
+      re-centered so the seasonal component sums to ~0 over one period;
+    - ``resid``: ``value − trend − seasonal`` (NULL where trend is).
+
+    The season index is ``(row position − 1) mod period`` over each
+    series' observed ordered buckets — build the input with a gap-filled
+    bucket aggregate so positions are calendar-aligned.
+
+    Determinism: frame sums and the two seasonal means ride exact
+    decimals; per-row subtraction is IEEE.  Scale: the input is the
+    bucket axis (never fact-sized); one window sort per series plus two
+    season-index aggregates of ≤ |series|·period rows.
+
+    Output: input columns plus ``(season_idx int, trend double,
+    seasonal double, resid double)``.
+    """
+    if period < 2:
+        raise ValueError("need period >= 2")
+    half = period // 2
+    dec = "decimal(28,6)"
+    w = Window.partitionBy(*_cols(dims)).orderBy(ts)
+    w_frame = w.rowsBetween(-half, half)
+    trend = F.when(
+        F.count(F.lit(1)).over(w_frame) == 2 * half + 1,
+        F.sum(F.col(value).cast(dec)).over(w_frame).cast("double")
+        / F.lit(float(2 * half + 1)),
+    )
+    sidx = ((F.row_number().over(w) - 1) % period).cast("int")
+    with_trend = series.select(
+        "*", sidx.alias("season_idx"), trend.alias("trend")
+    )
+    detr = (F.col(value).cast("double") - F.col("trend")).cast(
+        "decimal(28,12)"
+    )
+    smap = (
+        with_trend.filter(F.col("trend").isNotNull())
+        .groupBy(*_cols(dims), "season_idx")
+        .agg(
+            (
+                F.sum(detr).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_s_raw")
+        )
+    )
+    w_dim = Window.partitionBy(*_cols(dims))
+    smap = smap.withColumn(
+        "seasonal",
+        F.round(
+            F.col("_s_raw")
+            - F.sum(F.col("_s_raw").cast("decimal(28,12)")).over(w_dim)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_dim).cast("double"),
+            9,
+        ),
+    ).drop("_s_raw")
+    out = with_trend.join(
+        F.broadcast(smap), [*list(dims), "season_idx"], "left"
+    )
+    return out.select(
+        *series.columns,
+        "season_idx",
+        F.round(F.col("trend"), 9).alias("trend"),
+        "seasonal",
+        F.round(
+            F.col(value).cast("double") - F.col("trend") - F.col("seasonal"),
+            9,
+        ).alias("resid"),
+    )

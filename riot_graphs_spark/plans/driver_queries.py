@@ -10756,6 +10756,174 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "ts_cross_correlation",
+    """
+    WITH s AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) = 0
+                  THEN NULL
+                  ELSE CAST(sum(CASE WHEN event_type = 'click'
+                                THEN CAST(value AS DECIMAL(28,6)) END)
+                         AS DOUBLE)
+                       / CAST(count(CASE WHEN event_type = 'click' THEN 1
+                                    END) AS DOUBLE) END AS a,
+             CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) = 0
+                  THEN NULL
+                  ELSE CAST(sum(CASE WHEN event_type = 'error'
+                                THEN CAST(value AS DECIMAL(28,6)) END)
+                         AS DOUBLE)
+                       / CAST(count(CASE WHEN event_type = 'error' THEN 1
+                                    END) AS DOUBLE) END AS b
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('click', 'error')
+      GROUP BY 1
+    ),
+    base AS (SELECT * FROM s WHERE a IS NOT NULL AND b IS NOT NULL),
+    stat AS (
+      SELECT CAST(sum(CAST(a AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS ma,
+             CAST(sum(CAST(b AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mb
+      FROM base
+    ),
+    x AS (
+      SELECT a - ma AS ac, b - mb AS bc,
+             lead(b - mb, 1) OVER w AS bp1, lag(b - mb, 1) OVER w AS bm1,
+             lead(b - mb, 2) OVER w AS bp2, lag(b - mb, 2) OVER w AS bm2,
+             lead(b - mb, 3) OVER w AS bp3, lag(b - mb, 3) OVER w AS bm3
+      FROM base CROSS JOIN stat
+      WINDOW w AS (ORDER BY bucket)
+    ),
+    agg AS (
+      SELECT sum(CAST(ac * ac AS DECIMAL(28,12))) AS da,
+             sum(CAST(bc * bc AS DECIMAL(28,12))) AS db,
+             sum(CAST(ac * bc AS DECIMAL(28,12))) AS n0, count(bc) AS c0,
+             sum(CAST(ac * bp1 AS DECIMAL(28,12))) AS np1,
+             count(bp1) AS cp1,
+             sum(CAST(ac * bm1 AS DECIMAL(28,12))) AS nm1,
+             count(bm1) AS cm1,
+             sum(CAST(ac * bp2 AS DECIMAL(28,12))) AS np2,
+             count(bp2) AS cp2,
+             sum(CAST(ac * bm2 AS DECIMAL(28,12))) AS nm2,
+             count(bm2) AS cm2,
+             sum(CAST(ac * bp3 AS DECIMAL(28,12))) AS np3,
+             count(bp3) AS cp3,
+             sum(CAST(ac * bm3 AS DECIMAL(28,12))) AS nm3,
+             count(bm3) AS cm3
+      FROM x
+    )
+    SELECT lag, n_pairs,
+           round(CAST(num AS DOUBLE)
+                 / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 9) AS ccf
+    FROM (
+      SELECT -3 AS lag, CAST(cm3 AS BIGINT) AS n_pairs, nm3 AS num,
+             da, db FROM agg
+      UNION ALL SELECT -2, CAST(cm2 AS BIGINT), nm2, da, db FROM agg
+      UNION ALL SELECT -1, CAST(cm1 AS BIGINT), nm1, da, db FROM agg
+      UNION ALL SELECT 0, CAST(c0 AS BIGINT), n0, da, db FROM agg
+      UNION ALL SELECT 1, CAST(cp1 AS BIGINT), np1, da, db FROM agg
+      UNION ALL SELECT 2, CAST(cp2 AS BIGINT), np2, da, db FROM agg
+      UNION ALL SELECT 3, CAST(cp3 AS BIGINT), np3, da, db FROM agg
+    )
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click and error series at
+    lags −3..+3 (operators.timeseries.cross_correlation) — the lead/lag
+    screen: a peak off lag 0 says one signal FOLLOWS the other by that
+    many hours.  Both series come from ONE conditional-aggregate bucket
+    groupBy (never two scans); the CCF machinery then runs over the
+    bucket axis — hours-in-range rows, never fact-sized, however large
+    the corpus."""
+    from ..operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "error")
+    )
+
+    def side(t: str, out: str):
+        cond = F.col("event_type") == t
+        return F.try_divide(
+            F.sum(F.when(cond, F.col("value").cast("decimal(28,6)")))
+            .cast("double"),
+            F.count(F.when(cond, F.lit(1))).cast("double"),
+        ).alias(out)
+
+    series = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(side("click", "a"), side("error", "b"))
+    return cross_correlation(series, "bucket", "a", "b", max_lag=3)
+
+
+@_q(
+    "ts_seasonal_decompose",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *,
+             CASE WHEN count(*) OVER wf = 25
+                  THEN CAST(sum(CAST(value AS DECIMAL(28,6))) OVER wf
+                         AS DOUBLE) / 25.0 END AS trend,
+             CAST((row_number() OVER w - 1) % 24 AS INT) AS season_idx
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+             wf AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    m AS (
+      SELECT event_type, season_idx,
+             CAST(sum(CAST(value - trend AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS s_raw
+      FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+    ),
+    m2 AS (
+      SELECT event_type, season_idx,
+             round(s_raw
+                   - CAST(sum(CAST(s_raw AS DECIMAL(28,12)))
+                       OVER (PARTITION BY event_type) AS DOUBLE)
+                     / CAST(count(*) OVER (PARTITION BY event_type)
+                         AS DOUBLE), 9) AS seasonal
+      FROM m
+    )
+    SELECT t.event_type, bucket, value, season_idx,
+           round(trend, 9) AS trend, seasonal,
+           round(value - trend - seasonal, 9) AS resid
+    FROM t LEFT JOIN m2 USING (event_type, season_idx)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly per-type series
+    with a daily period (operators.timeseries.seasonal_decompose,
+    period=24): value = trend (25-point centered MA, NULL at edges)
+    + seasonal (re-centered per-hour-of-day mean of the detrended
+    series) + resid — the full decomposition behind
+    ts_seasonal_anomalies' residual flags.  One window sort per series
+    over the BUCKET axis (never fact-sized after the hourly aggregate);
+    the seasonal map is a broadcast (types × 24) join."""
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("value")
+    )
+    return seasonal_decompose(series, ["event_type"], "bucket", "value", 24)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

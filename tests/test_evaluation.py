@@ -427,3 +427,81 @@ def test_lexical_diversity_hand_case(spark):
     assert r2["ttr"] is None and r2["hapax_ratio"] is None
     r3 = rows[3]  # all unique: ttr 1, hapax 1
     assert r3["ttr"] == 1.0 and r3["hapax_ratio"] == 1.0
+
+
+def test_cross_correlation_hand_case(spark):
+    from riot_graphs_spark.operators.timeseries import cross_correlation
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=i), float(a), float(b))
+        for i, (a, b) in enumerate(zip([1, 2, 3, 4], [2, 4, 6, 8]))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    got = {
+        r["lag"]: r for r in cross_correlation(df, "ts", "a", "b", 1).collect()
+    }
+    # b = 2a: perfect correlation at lag 0; symmetric 0.25 at +/-1
+    assert got[0]["ccf"] == 1.0 and got[0]["n_pairs"] == 4
+    assert got[1]["ccf"] == 0.25 and got[1]["n_pairs"] == 3
+    assert got[-1]["ccf"] == 0.25 and got[-1]["n_pairs"] == 3
+    # b is a shifted one bucket into the future -> peak at lag +1
+    rows = [
+        (t0 + dt.timedelta(hours=i), float(a), float(b))
+        for i, (a, b) in enumerate(
+            zip([1, 5, 1, 1, 5, 1], [0, 1, 5, 1, 1, 5])
+        )
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    got = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(df, "ts", "a", "b", 2).collect()
+    }
+    assert got[1] == max(got.values())
+    # constant series -> NULL everywhere
+    const = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i), 1.0, float(i)) for i in range(4)],
+        "ts timestamp, a double, b double",
+    )
+    assert all(
+        r["ccf"] is None
+        for r in cross_correlation(const, "ts", "a", "b", 1).collect()
+    )
+    with pytest.raises(ValueError):
+        cross_correlation(df, "ts", "a", "b", 0)
+
+
+def test_seasonal_decompose_hand_case(spark):
+    from riot_graphs_spark.operators.timeseries import seasonal_decompose
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate([1, 3, 1, 3, 1, 3])
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, value double")
+    out = {
+        r["ts"]: r
+        for r in seasonal_decompose(df, ["grp"], "ts", "value", 2).collect()
+    }
+    h = lambda i: t0 + dt.timedelta(hours=i)  # noqa: E731
+    # edges: no full 3-point window -> NULL trend/resid
+    assert out[h(0)]["trend"] is None and out[h(0)]["resid"] is None
+    assert out[h(5)]["trend"] is None
+    # interior: trend = 3-point MA -> 5/3 under the 3s, 7/3 under the 1s;
+    # seasonal -4/3 on idx 0 (the 1s), +4/3 on idx 1 (the 3s); residual
+    # exactly 0 for this pure seasonal series
+    assert out[h(1)]["trend"] == pytest.approx(5 / 3, abs=1e-9)
+    assert out[h(2)]["trend"] == pytest.approx(7 / 3, abs=1e-9)
+    assert out[h(2)]["seasonal"] == pytest.approx(-4 / 3, abs=1e-9)
+    assert out[h(3)]["seasonal"] == pytest.approx(4 / 3, abs=1e-9)
+    for i in (1, 2, 3, 4):
+        assert out[h(i)]["resid"] == pytest.approx(0.0, abs=1e-9)
+    # season component re-centers to ~0 over one period
+    assert out[h(2)]["seasonal"] + out[h(3)]["seasonal"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, ["grp"], "ts", "value", 1)

@@ -1049,3 +1049,83 @@ def test_drift_monitor_replay_reappends_and_dedups_on_read(spark, tmp_path):
     )
     assert len(deduped) == 1 and deduped[0].psi > 0.0
     assert deduped[0].ks_d is not None and deduped[0].ks_d > 0.0
+
+
+def test_stream_session_stats_finalizes_on_watermark(spark, tmp_path):
+    """Streaming sessionization (streaming/sessions.py): sessions emit in
+    append mode exactly when the watermark passes last_ts + gap; an open
+    recent session stays in state (not emitted); a replayed trigger does
+    not duplicate finalized sessions."""
+    import datetime as dt
+    import json as _json
+
+    from riot_graphs_spark.streaming.sessions import stream_session_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def iso(m):
+        return (t0 + dt.timedelta(minutes=m)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # user 7: burst at t+0..t+10 (one session), then nothing until the
+    # far-future row from user 9 advances the watermark past its close.
+    # user 9: a very recent burst that must stay open/unemitted.
+    with open(landing / "b1.json", "w") as f:
+        for m, u, v in [(0, 7, 1.0), (5, 7, 2.0), (10, 7, 3.0)]:
+            f.write(_json.dumps({"ts": iso(m), "user_id": u, "value": v})
+                    + "\n")
+        for m, u, v in [(600, 9, 5.0), (605, 9, 5.0)]:
+            f.write(_json.dumps({"ts": iso(m), "user_id": u, "value": v})
+                    + "\n")
+
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id bigint, value double"
+            ).json(str(landing))
+        )
+        q = (
+            stream_session_stats(
+                stream, gap="30 minutes", watermark="1 hour"
+            )
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.value_sum)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = run()
+    # watermark after batch 1 = t+605m - 60m = t+545m: user 7's session
+    # (closes t+10+30=t+40) finalizes; user 9's is still open
+    assert got1 == {
+        (7, t0, t0 + dt.timedelta(minutes=40), 3, 6.0)
+    }
+
+    # replay with no new data: nothing re-emits (checkpointed state)
+    assert run() == got1
+
+    # a far-future row advances the watermark past user 9's close
+    with open(landing / "b2.json", "w") as f:
+        f.write(_json.dumps(
+            {"ts": iso(2000), "user_id": 1, "value": 0.0}) + "\n")
+    got3 = run()
+    assert (
+        9,
+        t0 + dt.timedelta(minutes=600),
+        t0 + dt.timedelta(minutes=635),
+        2,
+        10.0,
+    ) in got3
+    assert len(got3) == 2  # user 1's own session still open
