@@ -809,3 +809,40 @@ def test_spearman_no_global_row_rank(spark):
     assert "row_number" not in plan and "ntile" not in plan
     assert "rank(" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_autocorrelation_single_series_sort(spark):
+    # all lags ride one per-series window sort; products stay Catalyst
+    plan = formatted_plan(spark, "ts_autocorrelation")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # one scan feeds both the mean window and the lag windows
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+
+
+def test_benford_is_single_shuffle_partial_agg(spark):
+    plan = formatted_plan(spark, "benford_totalprice")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_lexical_diversity_is_shuffle_free(spark):
+    # row-local higher-order array functions: zero Exchanges
+    plan = formatted_plan(spark, "text_lexical_diversity")
+    assert shuffle_count(plan) == 0
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_decompose_seasonal_map_is_broadcast(spark):
+    plan = formatted_plan(spark, "ts_seasonal_decompose")
+    assert "BroadcastHashJoin" in plan  # (series x period) map join
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cross_correlation_aggregates_before_windows(spark):
+    # the corpus reduces to the bucket axis BEFORE any window runs
+    plan = formatted_plan(spark, "ts_cross_correlation")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
