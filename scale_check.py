@@ -672,6 +672,10 @@ QUERY_CASES = [
     "quality_auc_by_lang",
     "lang_id_class_report",
     "retrieval_recall_mrr",
+    # round-7 late: zero-shuffle row-local array math (must be ~linear);
+    # one-window-sort per-series ACF at the 1s boundary
+    "text_lexical_diversity",
+    "ts_autocorrelation",
 ]
 
 
