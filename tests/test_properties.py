@@ -863,3 +863,159 @@ def test_drift_monitors_symmetric_and_bounded_any_input(spark, events, split):
             assert d is None
         else:
             assert 0.0 <= d <= 1.0
+
+
+scored_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # score (ties likely)
+        st.booleans(),                           # label
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=scored_strategy)
+def test_roc_auc_equals_pair_counting(spark, rows):
+    """The rank-sum AUC must equal the brute-force pairwise definition:
+    P(score+ > score-) + 0.5 P(score+ == score-) over all (pos, neg)
+    pairs — the Mann-Whitney identity the operator relies on."""
+    from riot_graphs_spark.operators.evaluation import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in rows], "s double, y boolean"
+    )
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["auc"] == round(expected, 9)
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+@settings(**SETTINGS)
+@given(rows=scored_strategy)
+def test_lift_table_conserves_mass_and_gains_monotone(spark, rows):
+    from riot_graphs_spark.operators.evaluation import lift_table
+
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in rows], "s double, y boolean"
+    )
+    out = sorted(
+        lift_table(df, "s", "y", 4).collect(), key=lambda r: r["bucket"]
+    )
+    assert sum(r["n"] for r in out) == len(rows)
+    assert sum(r["n_pos"] for r in out) == sum(1 for _, y in rows if y)
+    caps = [r["cum_capture"] for r in out if r["cum_capture"] is not None]
+    assert caps == sorted(caps)  # gains curve is monotone
+    if any(y for _, y in rows):
+        assert caps and caps[-1] == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_spearman_equals_numpy_on_average_ranks(spark, rows):
+    import numpy as np
+
+    from riot_graphs_spark.operators.profile import spearman_correlation
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in rows], "x double, y double"
+    )
+    got = spearman_correlation(df, "x", "y").collect()[0]["rho"]
+
+    def avg_ranks(vals):
+        order = np.argsort(np.argsort(vals, kind="stable"), kind="stable")
+        ranks = np.empty(len(vals))
+        sv = sorted(vals)
+        first = {}
+        for i, v in enumerate(sv):
+            first.setdefault(v, i)
+        for i, v in enumerate(vals):
+            t = sv.count(v)
+            ranks[i] = first[v] + (t + 1) / 2
+        return ranks
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    if len(set(xs)) < 2 or len(set(ys)) < 2:
+        assert got is None
+        return
+    rho = np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1]
+    assert got == _approx(rho)
+
+
+def _approx(v):
+    import pytest
+
+    return pytest.approx(v, abs=1e-8)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_cohen_kappa_matches_brute_formula(spark, rows):
+    from riot_graphs_spark.operators.profile import cohen_kappa
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in rows], "a string, b string"
+    )
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    labels = {a for a, _ in rows} | {b for _, b in rows}
+    pe = sum(
+        sum(1 for a, _ in rows if a == k) * sum(1 for _, b in rows if b == k)
+        for k in labels
+    ) / (n * n)
+    assert got["po"] == round(po, 9)
+    assert got["pe"] == round(pe, 9)
+    if pe == 1.0:
+        assert got["kappa"] is None
+    else:
+        assert got["kappa"] == _approx((po - pe) / (1 - pe))
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_autocorrelation_bounded(spark, events):
+    """|acf| <= 1 at every lag for any series (Cauchy-Schwarz on the
+    biased estimator), and n_pairs counts the overlap exactly."""
+    from riot_graphs_spark.operators.timeseries import autocorrelation
+
+    df = to_df(spark, events)
+    out = autocorrelation(
+        df, ["series"], "ts", "value", max_lag=3, tiebreak="event_id"
+    ).collect()
+    from collections import Counter
+
+    per_series = Counter(
+        f"s{s}" for s, _, _ in events
+    )
+    for r in out:
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+        assert r["n_pairs"] == max(0, per_series[r["series"]] - r["lag"])
