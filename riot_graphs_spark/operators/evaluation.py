@@ -640,6 +640,10 @@ def classification_report(
         )
         .groupBy("_t", "_p")
         .agg(F.count(F.lit(1)).alias("_o"))
+        # levels²-sized; checkpoint so the four derived aggregates below
+        # (marginals, diagonal, label union) reuse it instead of
+        # re-running the corpus scan + upstream predictor four times
+        .localCheckpoint()
     )
     row_m = joint.groupBy("_t").agg(F.sum("_o").alias("_support"))
     col_m = joint.groupBy("_p").agg(F.sum("_o").alias("_pred"))

@@ -1154,6 +1154,10 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         )
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).alias("_o"))
+        # levels²-sized; checkpoint so the marginal/diagonal aggregates
+        # below reuse it instead of re-running the corpus scan (and any
+        # expensive upstream like a lang-ID projection) three times
+        .localCheckpoint()
     )
     diag = F.when(F.col("_a") == F.col("_b"), F.col("_o")).otherwise(
         F.lit(0)

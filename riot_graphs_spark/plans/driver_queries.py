@@ -9818,10 +9818,14 @@ def quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grades the quality classifier and the retrieval stack the way
 # ann_recall_ivf grades the ANN index.
 # --------------------------------------------------------------------------
-def _quality_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_label_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
     """(doc_id, quality_score, gopher_keep): the classifier score paired
     with its Gopher-rule pseudo-label — the shared input of the round-7
-    evaluation queries."""
+    evaluation queries.  Pass ``checkpoint=True`` when the caller scans
+    the pairs more than once (the narrow 3-column projection is far
+    cheaper to materialize than re-running two text-heavy scans)."""
     from ..operators.textstats import gopher_quality_flags, quality_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -9829,7 +9833,8 @@ def _quality_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_score"
     )
     flags = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
-    return scored.join(flags, "doc_id")
+    pairs = scored.join(flags, "doc_id")
+    return pairs.localCheckpoint() if checkpoint else pairs
 
 
 def _pairs_cte() -> str:
@@ -9891,7 +9896,7 @@ def quality_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency-sized reduction, and a broadcast 1-row cross join."""
     from ..operators.evaluation import calibration_bins, roc_auc
 
-    pairs = _quality_label_pairs(spark, sf_dir)
+    pairs = _quality_label_pairs(spark, sf_dir, checkpoint=True)
     bins = calibration_bins(pairs, "quality_score", "gopher_keep")
     auc = roc_auc(pairs, "quality_score", "gopher_keep")
     return bins.crossJoin(F.broadcast(auc))
