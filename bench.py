@@ -298,6 +298,7 @@ HEADLINE = [
     "text_lexical_diversity",
     "ts_cross_correlation",
     "ts_seasonal_decompose",
+    "ab_purchase_rate_test",
 ]
 
 

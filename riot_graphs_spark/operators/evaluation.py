@@ -775,3 +775,73 @@ def retrieval_recall_mrr(
             ).alias("rr"),
         )
     )
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    variant_col: str,
+    flag_col: str,
+    z: float = Z95,
+) -> DataFrame:
+    """Two-proportion z-test between every pair of experiment variants —
+    the "did the new filter/prompt/mixture change the conversion rate"
+    readout (the experiment companion to
+    :func:`proportion_wilson_ci`'s per-group error bars):
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+
+    Emits the unordered variant pairs (a < b by name — deterministic)
+    with both rates, the difference, the z statistic, and a two-sided
+    significance flag at the supplied critical value.  Counts are exact
+    integers; the closed form is one IEEE expression per pair.  One
+    count groupBy (the only corpus-sized shuffle); the pair join runs on
+    the |variants|-sized aggregate (broadcast).  A pair with a
+    degenerate pooled rate (0 or 1 — no variance) gets NULL z via
+    ``try_divide``.
+
+    Output: one row per pair — ``(variant_a, variant_b, n_a, k_a, n_b,
+    k_b, rate_a, rate_b, diff, z, significant boolean)``.
+    """
+    keep = F.col(variant_col).isNotNull() & F.col(flag_col).isNotNull()
+    per = (
+        df.filter(keep)
+        .groupBy(F.col(variant_col).cast("string").alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(_pos(flag_col)).alias("_k"),
+        )
+    )
+    a = per.select(
+        F.col("_v").alias("variant_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_k").alias("k_a"),
+    )
+    b = per.select(
+        F.col("_v").alias("variant_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_k").alias("k_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("variant_a") < F.col("variant_b")
+    )
+    na, ka = F.col("n_a").cast("double"), F.col("k_a").cast("double")
+    nb, kb = F.col("n_b").cast("double"), F.col("k_b").cast("double")
+    pa, pb = ka / na, kb / nb
+    pool = (ka + kb) / (na + nb)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    zstat = F.try_divide(pa - pb, se)
+    return pairs.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.round(pa, 9).alias("rate_a"),
+        F.round(pb, 9).alias("rate_b"),
+        F.round(pa - pb, 9).alias("diff"),
+        F.round(zstat, 9).alias("z"),
+        (F.abs(zstat) > F.lit(z)).alias("significant"),
+    )

@@ -10929,6 +10929,73 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(series, ["event_type"], "bucket", "value", 24)
 
 
+@_q(
+    "ab_purchase_rate_test",
+    f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    per AS (SELECT v, count(*) AS n, sum(y) AS k FROM u GROUP BY 1),
+    p AS (
+      SELECT a.v AS variant_a, a.n AS n_a, a.k AS k_a,
+             b.v AS variant_b, b.n AS n_b, b.k AS k_b
+      FROM per a JOIN per b ON a.v < b.v
+    ),
+    zc AS (
+      SELECT *,
+             CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+      FROM p
+    ),
+    zz AS (
+      SELECT *,
+             CASE WHEN sqrt(pool * (1.0 - pool)
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))) = 0.0
+                  THEN NULL
+                  ELSE (pa - pb)
+                       / sqrt(pool * (1.0 - pool)
+                              * (1.0 / CAST(n_a AS DOUBLE)
+                                 + 1.0 / CAST(n_b AS DOUBLE))) END AS zr
+      FROM zc
+    )
+    SELECT variant_a, variant_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
+           round(pa, 9) AS rate_a, round(pb, 9) AS rate_b,
+           round(pa - pb, 9) AS diff, round(zr, 9) AS z,
+           abs(zr) > {Z95!r} AS significant
+    FROM zz
+    """,
+)
+def ab_purchase_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of user-level purchase conversion between
+    the two hash-split experiment arms (user_id parity — the
+    deterministic assignment a real experiment uses;
+    operators.evaluation.ab_proportion_test) — the "did the new
+    filter/prompt/mixture move conversion" readout beside
+    keep_rate_wilson_ci's per-group error bars.  Unit of analysis is the
+    USER (one max-flag row per user — never event-level pseudo-
+    replication); exact counts, one closed-form IEEE expression per
+    variant pair, |variants|-sized broadcast pair join."""
+    from ..operators.evaluation import ab_proportion_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        "converted",
+    )
+    return ab_proportion_test(users, "variant", "converted")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

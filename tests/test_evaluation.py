@@ -505,3 +505,35 @@ def test_seasonal_decompose_hand_case(spark):
     )
     with pytest.raises(ValueError):
         seasonal_decompose(df, ["grp"], "ts", "value", 1)
+
+
+def test_ab_proportion_test_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import ab_proportion_test
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70
+        + [("b", 1)] * 50 + [("b", 0)] * 50
+    )
+    df = spark.createDataFrame(rows, "v string, y int")
+    out = ab_proportion_test(df, "v", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["variant_a"], r["variant_b"]) == ("a", "b")
+    assert (r["n_a"], r["k_a"], r["n_b"], r["k_b"]) == (100, 30, 100, 50)
+    assert r["diff"] == pytest.approx(-0.2)
+    # pooled p = .4, se = sqrt(.4*.6*(1/100+1/100)) ~ 0.069282
+    assert r["z"] == pytest.approx(-0.2 / math.sqrt(0.4 * 0.6 * 0.02),
+                                   abs=1e-9)
+    assert bool(r["significant"]) is True
+    # identical variants: z ~ 0, not significant
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "v string, y int"
+    )
+    r = ab_proportion_test(same, "v", "y").collect()[0]
+    assert r["z"] == 0.0 and bool(r["significant"]) is False
+    # degenerate pooled rate (all positive) -> NULL z
+    allpos = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "v string, y int"
+    )
+    r = ab_proportion_test(allpos, "v", "y").collect()[0]
+    assert r["z"] is None
