@@ -299,6 +299,7 @@ HEADLINE = [
     "ts_cross_correlation",
     "ts_seasonal_decompose",
     "ab_purchase_rate_test",
+    "freq_boilerplate_trigrams",
 ]
 
 

@@ -10996,6 +10996,46 @@ def ab_purchase_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_proportion_test(users, "variant", "converted")
 
 
+@_q(
+    "freq_boilerplate_trigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3 AND i <= len(t) - 2
+    ),
+    tot AS (SELECT count(*) AS n FROM tri),
+    c AS (SELECT g, count(*) AS cnt FROM tri GROUP BY 1)
+    SELECT g AS key, CAST(cnt AS BIGINT) AS cnt,
+           cnt::DOUBLE / n AS share
+    FROM c, tot
+    WHERE cnt > n * 0.0002
+    """,
+)
+def freq_boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent word-trigrams — the boilerplate-template
+    detector (a trigram carried by thousands of documents is a nav bar,
+    cookie banner, or license header, not content; its doc set is the
+    removal candidate list for boilerplate_removal).  Composes
+    textstats.ngram_list (counting-form n-grams) into profile.
+    heavy_hitters: per-partition Misra-Gries candidates capped at
+    ~1/min_share counters + exact broadcast recount — exactly GROUP BY
+    trigram HAVING share > s with memory O(capacity), never a
+    full-vocabulary groupBy over the n-gram explosion."""
+    from ..operators.profile import heavy_hitters
+    from ..operators.textstats import ngram_list
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        F.explode(ngram_list(F.col("text"), 3)).alias("key")
+    )
+    return heavy_hitters(tri, key_col="key", min_share=0.0002)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

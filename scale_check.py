@@ -676,6 +676,8 @@ QUERY_CASES = [
     # one-window-sort per-series ACF at the 1s boundary
     "text_lexical_diversity",
     "ts_autocorrelation",
+    # MG candidates + broadcast recount over the trigram explosion
+    "freq_boilerplate_trigrams",
 ]
 
 
