@@ -300,6 +300,7 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "ab_purchase_rate_test",
     "freq_boilerplate_trigrams",
+    "quality_auc_bootstrap_ci",
 ]
 
 

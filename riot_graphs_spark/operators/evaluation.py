@@ -516,6 +516,21 @@ def calibration_summary(
     )
 
 
+def _poisson_weight(id_col: Column, rep_col: Column) -> Column:
+    """Deterministic Poisson(1) replicate weight: md5(id, replicate) as a
+    14-hex-digit integer against the precomputed CDF thresholds — both
+    engines (and any two cluster runs) draw bit-identical weights."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", id_col, rep_col)), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    w = F.when(h < F.lit(_POISSON_T[0]), F.lit(0))
+    for k in range(1, len(_POISSON_T)):
+        w = w.when(h < F.lit(_POISSON_T[k]), F.lit(k))
+    return w.otherwise(F.lit(len(_POISSON_T)))
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_col: str,
@@ -551,17 +566,7 @@ def bootstrap_mean_ci(
     rep = base.select(
         "_id", "_v", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r")
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("\x1f", F.col("_id"), F.col("_r"))), 1, 14
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = F.when(h < F.lit(_POISSON_T[0]), F.lit(0))
-    for k in range(1, len(_POISSON_T)):
-        w = w.when(h < F.lit(_POISSON_T[k]), F.lit(k))
-    w = w.otherwise(F.lit(len(_POISSON_T)))
+    w = _poisson_weight(F.col("_id"), F.col("_r"))
     means = (
         rep.select("_r", "_v", w.alias("_w"))
         .groupBy("_r")
@@ -844,4 +849,103 @@ def ab_proportion_test(
         F.round(pa - pb, 9).alias("diff"),
         F.round(zstat, 9).alias("z"),
         (F.abs(zstat) > F.lit(z)).alias("significant"),
+    )
+
+
+def roc_auc_bootstrap_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    b: int = 40,
+    z: float = Z95,
+) -> DataFrame:
+    """Error bar on the ROC-AUC itself via the deterministic Poisson
+    bootstrap — "is 0.74 vs 0.71 a real ranking improvement or resample
+    noise", the question a filter-model comparison actually asks.  The
+    integer replicate weights slot DIRECTLY into the rank-sum identity:
+    drawing a row w times just multiplies its (positive, total) counts,
+    so each replicate's AUC is the exact tie-aware :func:`roc_auc` of
+    its weighted multiset — no approximation stacked on another.
+
+    Plan: the ×B explode reduces straight into a (replicate, score)
+    count groupBy (partial-aggregable); per-replicate windows run over
+    the distinct-score axis PARTITIONED BY replicate (B independent
+    small windows, nothing global); one-class replicates drop out NULL.
+    CI is the normal approximation from exact decimal moments of the
+    quantized replicate AUCs; the point estimate is the observed
+    (unweighted) AUC from the same scan shape.
+
+    Output: one row — ``(n_pos bigint, n_neg bigint, auc double,
+    se_boot double, ci_lo double, ci_hi double)``.
+    """
+    if b < 2:
+        raise ValueError("need b >= 2 replicates")
+    keep = (
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    base = df.filter(keep).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(score_col).alias("_s"),
+        _pos(label_col).alias("_y"),
+    )
+    rep = base.select(
+        "_id",
+        "_s",
+        "_y",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r"),
+    )
+    w = _poisson_weight(F.col("_id"), F.col("_r"))
+    counts = (
+        rep.select("_r", "_s", (w * F.col("_y")).alias("_wp"), w.alias("_wt"))
+        .groupBy("_r", "_s")
+        .agg(F.sum("_wp").alias("_np"), F.sum("_wt").alias("_nt"))
+        .filter(F.col("_nt") > 0)
+    )
+    w_cum = (
+        Window.partitionBy("_r")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
+    term = (
+        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
+    ).cast("decimal(38,0)")
+    per = c.groupBy("_r").agg(
+        F.sum("_np").alias("_pos"),
+        (F.sum("_nt") - F.sum("_np")).alias("_neg"),
+        F.sum(term).alias("_s2"),
+    )
+    npos = F.col("_pos").cast("decimal(38,0)")
+    auc_r = F.try_divide(
+        (F.col("_s2") - npos * (npos + F.lit(1))).cast("double"),
+        (F.lit(2) * F.col("_pos") * F.col("_neg")).cast("double"),
+    )
+    aucs = per.select(
+        auc_r.cast("decimal(28,12)").alias("_a")
+    ).filter(F.col("_a").isNotNull())
+    ad = F.col("_a").cast("double")
+    boot = aucs.agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("_a").alias("_sa"),
+        F.sum((ad * ad).cast("decimal(38,12)")).alias("_saa"),
+    )
+    obs = roc_auc(
+        base.select(F.col("_s").alias("s"), F.col("_y").alias("y")), "s", "y"
+    )
+    bn = F.col("_bn").cast("double")
+    var = (
+        bn * F.col("_saa").cast("double")
+        - F.col("_sa").cast("double") * F.col("_sa").cast("double")
+    ) / (bn * (bn - F.lit(1.0)))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return obs.crossJoin(F.broadcast(boot)).select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(se, 9).alias("se_boot"),
+        F.round(F.col("auc") - F.lit(z) * se, 9).alias("ci_lo"),
+        F.round(F.col("auc") + F.lit(z) * se, 9).alias("ci_hi"),
     )

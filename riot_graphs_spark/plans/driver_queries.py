@@ -11036,6 +11036,106 @@ def freq_boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tri, key_col="key", min_share=0.0002)
 
 
+@_q(
+    "quality_auc_bootstrap_ci",
+    f"""
+    WITH {_pairs_cte()},
+    rep AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, s, y, r
+      FROM p CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)
+    ),
+    wt AS (
+      SELECT r, s, y, CASE {_BOOT_CASE} ELSE 6 END AS w
+      FROM (
+        SELECT r, s, y,
+               ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+                 ::BIGINT AS h
+        FROM rep
+      )
+    ),
+    counts AS (
+      SELECT r, s, sum(w * y) AS np, sum(w) AS nt
+      FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    cum AS (
+      SELECT r, np, nt,
+             sum(nt) OVER (PARTITION BY r ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM counts
+    ),
+    per AS (
+      SELECT r, sum(np) AS pos, sum(nt) - sum(np) AS neg,
+             sum(CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0))) AS s2
+      FROM cum GROUP BY 1
+    ),
+    aucs AS (
+      SELECT CAST(
+               CASE WHEN pos = 0 OR neg = 0 THEN NULL
+                    ELSE CAST(s2 - CAST(pos AS DECIMAL(38,0)) * (pos + 1)
+                           AS DOUBLE)
+                         / CAST(2 * pos * neg AS DOUBLE) END
+               AS DECIMAL(28,12)) AS a
+      FROM per
+    ),
+    boot AS (
+      SELECT count(*) AS bn, sum(a) AS sa,
+             sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                   AS DECIMAL(38,12))) AS saa
+      FROM aucs WHERE a IS NOT NULL
+    ),
+    oc AS (SELECT s, sum(y) AS np, count(*) AS nt FROM p GROUP BY 1),
+    orr AS (
+      SELECT np, nt,
+             sum(nt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM oc
+    ),
+    oa AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nt) - sum(np) AS BIGINT) AS n_neg,
+             round(CAST(sum(CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0)))
+                        - CAST(sum(np) AS DECIMAL(38,0)) * (sum(np) + 1)
+                     AS DOUBLE)
+                   / CAST(2 * sum(np) * (sum(nt) - sum(np)) AS DOUBLE), 9)
+               AS auc
+      FROM orr
+    )
+    SELECT n_pos, n_neg, auc,
+           round(sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS se_boot,
+           round(auc - {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_lo,
+           round(auc + {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_hi
+    FROM oa CROSS JOIN boot
+    """,
+)
+def quality_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval on the quality classifier's AUC
+    (operators.evaluation.roc_auc_bootstrap_ci, B=40) — "is 0.74 vs
+    0.71 a real ranking improvement or resample noise", the question a
+    filter-model comparison actually asks.  The deterministic Poisson
+    replicate weights are integer MULTIPLICITIES, so they slot directly
+    into the rank-sum identity: each replicate's AUC is the exact
+    tie-aware statistic of its weighted multiset.  Per-replicate windows
+    run over the distinct-score axis partitioned by replicate; moments
+    of the quantized replicate AUCs ride exact decimals."""
+    from ..operators.evaluation import roc_auc_bootstrap_ci
+
+    pairs = _quality_label_pairs(spark, sf_dir, checkpoint=True)
+    return roc_auc_bootstrap_ci(
+        pairs, "quality_score", "gopher_keep", "doc_id", b=_BOOT_B
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

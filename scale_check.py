@@ -678,6 +678,9 @@ QUERY_CASES = [
     "ts_autocorrelation",
     # MG candidates + broadcast recount over the trigram explosion
     "freq_boilerplate_trigrams",
+    # xB explode -> (replicate, score) partial agg -> per-replicate
+    # distinct-score windows
+    "quality_auc_bootstrap_ci",
 ]
 
 

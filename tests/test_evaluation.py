@@ -537,3 +537,32 @@ def test_ab_proportion_test_hand_case(spark):
     )
     r = ab_proportion_test(allpos, "v", "y").collect()[0]
     assert r["z"] is None
+
+
+def test_roc_auc_bootstrap_ci_deterministic_and_sane(spark):
+    from riot_graphs_spark.operators.evaluation import roc_auc_bootstrap_ci
+
+    # noisy but informative score: higher scores mostly positive
+    rows = [
+        (i, float((i * 7) % 100) / 100.0, 1 if (i * 7) % 100 >= 40 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s double, y int")
+    r1 = roc_auc_bootstrap_ci(df, "s", "y", "id", b=20).collect()[0]
+    r2 = roc_auc_bootstrap_ci(df, "s", "y", "id", b=20).collect()[0]
+    assert r1 == r2  # hash-drawn replicates: bit-identical
+    assert r1["auc"] == 1.0  # perfectly separable by construction
+    assert r1["se_boot"] == 0.0  # every replicate is also separable
+    # degrade separation: flip some labels -> auc < 1, se > 0, ci straddles
+    rows = [
+        (i, float((i * 7) % 100) / 100.0,
+         1 if ((i * 7) % 100 >= 40) ^ (i % 5 == 0) else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s double, y int")
+    r = roc_auc_bootstrap_ci(df, "s", "y", "id", b=20).collect()[0]
+    assert 0.5 < r["auc"] < 1.0
+    assert r["se_boot"] > 0.0
+    assert r["ci_lo"] < r["auc"] < r["ci_hi"]
+    with pytest.raises(ValueError):
+        roc_auc_bootstrap_ci(df, "s", "y", "id", b=1)
