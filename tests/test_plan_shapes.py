@@ -846,3 +846,12 @@ def test_cross_correlation_aggregates_before_windows(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_auc_bootstrap_partial_agg_and_partitioned_windows(spark):
+    # the xB explode must reduce through a partial aggregate before any
+    # window, and the replicate windows are PARTITIONED (never global)
+    plan = formatted_plan(spark, "quality_auc_bootstrap_ci")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
