@@ -226,10 +226,15 @@ def lift_table(
 
     Buckets are cut on the DISTINCT-SCORE axis: a distinct value's whole
     tie group lands in ``ceil(nbins · cum/n)`` of its cumulative count —
-    deterministic with NO per-row tiebreak and no global row numbering
-    (``ntile`` over a full ORDER BY funnels the corpus through one
-    partition; this never ranks rows).  Heavy ties make buckets unequal —
-    that is reported honestly by ``n`` rather than split arbitrarily.
+    deterministic with NO per-row tiebreak and no per-ROW global
+    numbering (``ntile`` over a full ORDER BY funnels the corpus through
+    one partition; this never ranks rows).  Heavy ties make buckets
+    unequal — that is reported honestly by ``n`` rather than split
+    arbitrarily.  The cumulative window still runs single-partition over
+    the DISTINCT scores, so — same caveat as :func:`roc_auc` — a truly
+    continuous score must be quantized upstream (round to a fixed
+    precision) before this is cheap at corpus scale; the distinct-score
+    axis, not the row count, is the scalability bound.
 
     Exactness: integer counts end-to-end; ratios divide at the end.
     ``lift`` = bucket pos-rate / overall pos-rate; ``cum_capture`` =
@@ -551,8 +556,10 @@ def bootstrap_mean_ci(
 
     CI is the normal approximation from the replicate spread:
     ``mean ± z·sd(replicate means)`` with sd over exact decimal moments
-    of the (≤ B) quantized replicate means.  Observed n/mean come from
-    the un-resampled rows of the same scan (weight-1 tag r=0).
+    of the (≤ B) quantized replicate means.  Observed n/mean come from a
+    SECOND aggregate over the un-exploded base relation (two scans of the
+    input: one ×B replicate scan, one plain count/mean scan — the plain
+    scan is the cheap one and keeps the replicate branch weight-only).
 
     Output: one row — ``(n bigint, mean double, se_boot double,
     ci_lo double, ci_hi double)``.

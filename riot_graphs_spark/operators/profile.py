@@ -1298,6 +1298,14 @@ def benford_first_digit(
     magnitudes).  One count groupBy on a 9-ary key; expected shares are
     Python-computed literals.
 
+    PRECONDITION: the column must already be exact at ``decimals``
+    places (money/decimal columns, the intended audit target).  For a
+    GENERAL positive magnitude this rounding step misbuckets values near
+    an all-nines boundary (0.995 with decimals=2 rounds to 100 → digit 1,
+    not 9) and silently drops values below ``0.5·10^-decimals``; audit
+    such columns by deriving the digit from the unrounded significand
+    instead (not what a 2-decimal amount column needs, so not done here).
+
     Output: one row per observed digit — ``(digit int, n bigint,
     share double, expected double, abs_dev double)``.
     """

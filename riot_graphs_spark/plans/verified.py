@@ -161,8 +161,25 @@ DRIVER_ROWED: frozenset[str] = frozenset([
     "bpe_train_merges", "mm_phash_pairs", "mm_audio_neardup",
 ])
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r07.json.
+#: All 21 round-7 registrations (evaluation layer, ACF/CCF/seasonal
+#: decomposition, Benford/Gini/lexical diversity, A/B test, AUC bootstrap CI,
+#: boilerplate trigrams) went green on first driver contact; the other 29
+#: window rows were re-checks of names already in earlier rounds.
+_ROUND_7 = [
+    "quality_auc_report", "kappa_lang_agreement", "spearman_quality_length",
+    "eval_pr_thresholds", "lift_quality_deciles", "ndcg_search_eval",
+    "keep_rate_wilson_ci", "quality_calibration_summary",
+    "quality_auc_by_lang", "quality_mean_bootstrap_ci",
+    "lang_id_class_report", "retrieval_recall_mrr", "ts_autocorrelation",
+    "benford_totalprice", "source_gini", "text_lexical_diversity",
+    "ts_cross_correlation", "ts_seasonal_decompose", "ab_purchase_rate_test",
+    "freq_boilerplate_trigrams", "quality_auc_bootstrap_ci",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
+    + _ROUND_7
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
