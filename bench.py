@@ -301,6 +301,8 @@ HEADLINE = [
     "ab_purchase_rate_test",
     "freq_boilerplate_trigrams",
     "quality_auc_bootstrap_ci",
+    "quality_delta_auc_paired",
+    "quality_mean_ci_by_source",
 ]
 
 

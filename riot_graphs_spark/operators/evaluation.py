@@ -542,6 +542,7 @@ def bootstrap_mean_ci(
     id_col: str,
     b: int = 40,
     z: float = Z95,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Error bar on a corpus mean via the DETERMINISTIC Poisson bootstrap
     — the scalable bootstrap (each replicate draws each row
@@ -561,22 +562,39 @@ def bootstrap_mean_ci(
     input: one ×B replicate scan, one plain count/mean scan — the plain
     scan is the cheap one and keeps the replicate branch weight-only).
 
-    Output: one row — ``(n bigint, mean double, se_boot double,
-    ci_lo double, ci_hi double)``.
+    With ``group_cols`` the whole statistic runs PER GROUP — the
+    stratified form a dashboard shows beside per-group means ("the de
+    quality mean is 0.42 ± how much?").  Replicate membership stays a
+    row-local md5 decision on (id, replicate) — the SAME id draws the
+    same weight whatever its group — so the per-group replicate scans
+    are just the global plan with the group key prepended to every
+    groupBy; nothing re-shuffles per group and the boot side stays
+    |groups|·B-sized (broadcast into the final join).  NULL group keys
+    are excluded, like NULL values.
+
+    Output: one row per group — ``(*group_cols, n bigint, mean double,
+    se_boot double, ci_lo double, ci_hi double)``.
     """
     if b < 2:
         raise ValueError("need b >= 2 replicates")
+    gcols = list(group_cols)
     v = F.col(value_col)
-    base = df.filter(v.isNotNull()).select(
-        F.col(id_col).cast("string").alias("_id"), v.alias("_v")
+    keep = v.isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.filter(keep).select(
+        *gcols, F.col(id_col).cast("string").alias("_id"), v.alias("_v")
     )
     rep = base.select(
-        "_id", "_v", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r")
+        *gcols,
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r"),
     )
     w = _poisson_weight(F.col("_id"), F.col("_r"))
     means = (
-        rep.select("_r", "_v", w.alias("_w"))
-        .groupBy("_r")
+        rep.select(*gcols, "_r", "_v", w.alias("_w"))
+        .groupBy(*gcols, "_r")
         .agg(
             F.sum((F.col("_v") * F.col("_w")).cast("decimal(28,12)")).alias(
                 "_sv"
@@ -584,11 +602,12 @@ def bootstrap_mean_ci(
             F.sum("_w").alias("_sw"),
         )
         .select(
+            *gcols,
             F.try_divide(
                 F.col("_sv").cast("double"), F.col("_sw").cast("double")
             )
             .cast("decimal(28,12)")
-            .alias("_m")
+            .alias("_m"),
         )
         .filter(F.col("_m").isNotNull())
     )
@@ -596,12 +615,12 @@ def bootstrap_mean_ci(
     # then quantize: decimal×decimal would hit Spark's precision-loss
     # rules, which other engines don't share
     md = F.col("_m").cast("double")
-    boot = means.agg(
+    boot = means.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_bn"),
         F.sum("_m").alias("_sm"),
         F.sum((md * md).cast("decimal(38,12)")).alias("_smm"),
     )
-    obs = base.agg(
+    obs = base.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
             F.sum(F.col("_v").cast("decimal(28,12)")).cast("double")
@@ -615,7 +634,13 @@ def bootstrap_mean_ci(
         - F.col("_sm").cast("double") * F.col("_sm").cast("double")
     ) / (bn * (bn - F.lit(1.0)))
     se = F.sqrt(F.greatest(var, F.lit(0.0)))
-    return obs.crossJoin(F.broadcast(boot)).select(
+    joined = (
+        obs.join(F.broadcast(boot), gcols)
+        if gcols
+        else obs.crossJoin(F.broadcast(boot))
+    )
+    return joined.select(
+        *gcols,
         "n",
         "mean",
         F.round(se, 9).alias("se_boot"),
@@ -955,4 +980,146 @@ def roc_auc_bootstrap_ci(
         F.round(se, 9).alias("se_boot"),
         F.round(F.col("auc") - F.lit(z) * se, 9).alias("ci_lo"),
         F.round(F.col("auc") + F.lit(z) * se, 9).alias("ci_hi"),
+    )
+
+
+def delta_auc_paired_bootstrap(
+    df: DataFrame,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    id_col: str,
+    b: int = 40,
+    z: float = Z95,
+) -> DataFrame:
+    """PAIRED bootstrap on the AUC DIFFERENCE of two scorers graded on
+    the SAME rows — "did the new quality filter beat the old one", the
+    comparison every curation iteration actually makes.  Two separate
+    CIs (:func:`roc_auc_bootstrap_ci` per scorer) overlap even when the
+    swap is decisive, because the scorers are evaluated on the same
+    documents and their resampling noise is strongly correlated; the
+    paired test bootstraps ``Δ = AUC_A − AUC_B`` directly, so the shared
+    noise cancels inside each replicate instead of inflating both bars.
+
+    Pairing = ONE deterministic Poisson weight per (row, replicate)
+    applied to BOTH scores: a document drawn w times in replicate r is
+    drawn w times for scorer A *and* scorer B.  The row fans out onto a
+    2-ary scorer axis (``_k``) before the count groupBy, so one ×B·2
+    explode reduces straight into a (replicate, scorer, score) count
+    relation — partial-aggregable, single corpus scan.  Per-replicate
+    rank-sum windows run over the distinct-score axis PARTITIONED BY
+    (replicate, scorer); each replicate's two AUCs are the exact
+    tie-aware :func:`roc_auc` of the same weighted multiset, and their
+    difference rides exact decimals into the moment aggregate.
+
+    A one-class replicate (all-positive or all-negative after
+    weighting) has no AUC for EITHER scorer — it drops out of the
+    replicate spread entirely (never half-paired).  ``significant`` is
+    the z-gate ``|Δ| > z·se`` at the same level as the CI.
+
+    Output: one row — ``(auc_a double, auc_b double, d_auc double,
+    se_boot double, ci_lo double, ci_hi double, significant boolean)``.
+    """
+    if b < 2:
+        raise ValueError("need b >= 2 replicates")
+    keep = (
+        F.col(score_a_col).isNotNull()
+        & F.col(score_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    base = df.filter(keep).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(score_a_col).alias("_sa"),
+        F.col(score_b_col).alias("_sb"),
+        _pos(label_col).alias("_y"),
+    )
+    rep = base.select(
+        "_id",
+        "_sa",
+        "_sb",
+        "_y",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r"),
+    )
+    w = _poisson_weight(F.col("_id"), F.col("_r"))
+    stacked = rep.select(
+        "_r",
+        "_y",
+        w.alias("_w"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_k"), F.col("_sa").alias("_s")),
+                F.struct(F.lit(1).alias("_k"), F.col("_sb").alias("_s")),
+            )
+        ).alias("_x"),
+    ).select("_r", "_y", "_w", F.col("_x._k").alias("_k"), F.col("_x._s").alias("_s"))
+    counts = (
+        stacked.groupBy("_r", "_k", "_s")
+        .agg(
+            F.sum(F.col("_w") * F.col("_y")).alias("_np"),
+            F.sum("_w").alias("_nt"),
+        )
+        .filter(F.col("_nt") > 0)
+    )
+    w_cum = (
+        Window.partitionBy("_r", "_k")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
+    term = (
+        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
+    ).cast("decimal(38,0)")
+    is_a = F.col("_k") == 0
+    # pos/neg identical across the scorer axis (same weighted labels);
+    # read them off the _k = 0 branch
+    per = c.groupBy("_r").agg(
+        F.sum(F.when(is_a, F.col("_np"))).alias("_pos"),
+        F.sum(F.when(is_a, F.col("_nt"))).alias("_tot"),
+        F.sum(F.when(is_a, term)).alias("_s2a"),
+        F.sum(F.when(~is_a, term)).alias("_s2b"),
+    )
+    npos = F.col("_pos").cast("decimal(38,0)")
+    nneg = F.col("_tot") - F.col("_pos")
+    denom = (F.lit(2) * F.col("_pos") * nneg).cast("double")
+
+    def _auc(s2: str) -> Column:
+        return F.try_divide(
+            (F.col(s2) - npos * (npos + F.lit(1))).cast("double"), denom
+        ).cast("decimal(28,12)")
+
+    deltas = per.select(
+        (_auc("_s2a") - _auc("_s2b")).alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    dd = F.col("_d").cast("double")
+    boot = deltas.agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("_d").alias("_sd"),
+        F.sum((dd * dd).cast("decimal(38,12)")).alias("_sdd"),
+    )
+    obs_a = roc_auc(
+        base.select(F.col("_sa").alias("s"), F.col("_y").alias("y")), "s", "y"
+    ).select(F.col("auc").alias("auc_a"))
+    obs_b = roc_auc(
+        base.select(F.col("_sb").alias("s"), F.col("_y").alias("y")), "s", "y"
+    ).select(F.col("auc").alias("auc_b"))
+    bn = F.col("_bn").cast("double")
+    var = (
+        bn * F.col("_sdd").cast("double")
+        - F.col("_sd").cast("double") * F.col("_sd").cast("double")
+    ) / (bn * (bn - F.lit(1.0)))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    d_obs = F.round(F.col("auc_a") - F.col("auc_b"), 9)
+    return (
+        obs_a.crossJoin(F.broadcast(obs_b))
+        .crossJoin(F.broadcast(boot))
+        .select(
+            "auc_a",
+            "auc_b",
+            d_obs.alias("d_auc"),
+            F.round(se, 9).alias("se_boot"),
+            F.round(d_obs - F.lit(z) * se, 9).alias("ci_lo"),
+            F.round(d_obs + F.lit(z) * se, 9).alias("ci_hi"),
+            (F.abs(d_obs) > F.lit(z) * se).alias("significant"),
+        )
     )

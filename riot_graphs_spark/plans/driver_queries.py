@@ -11136,6 +11136,239 @@ def quality_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_AUC_SE = f"""sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(sdd AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0))"""
+
+_OBS_AUC = """
+      SELECT round(CAST(sum(CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0)))
+                        - CAST(sum(np) AS DECIMAL(38,0)) * (sum(np) + 1)
+                     AS DOUBLE)
+                   / CAST(2 * sum(np) * (sum(nt) - sum(np)) AS DOUBLE), 9)
+"""
+
+
+@_q(
+    "quality_delta_auc_paired",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    g AS ({ORACLES["text_gopher_flags"]}),
+    p AS (
+      SELECT CAST(q.doc_id AS VARCHAR) AS id, q.quality_score AS sa,
+             q.stopword_ratio AS sb,
+             CASE WHEN g.gopher_keep THEN 1 ELSE 0 END AS y
+      FROM q JOIN g USING (doc_id)
+      WHERE q.quality_score IS NOT NULL AND q.stopword_ratio IS NOT NULL
+    ),
+    rep AS (
+      SELECT id, sa, sb, y, r
+      FROM p CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)
+    ),
+    wt AS (
+      SELECT r, sa, sb, y, CASE {_BOOT_CASE} ELSE 6 END AS w
+      FROM (
+        SELECT r, sa, sb, y,
+               ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+                 ::BIGINT AS h
+        FROM rep
+      )
+    ),
+    stacked AS (
+      SELECT r, 0 AS k, sa AS s, y, w FROM wt
+      UNION ALL
+      SELECT r, 1 AS k, sb AS s, y, w FROM wt
+    ),
+    counts AS (
+      SELECT r, k, s, sum(w * y) AS np, sum(w) AS nt
+      FROM stacked GROUP BY 1, 2, 3 HAVING sum(w) > 0
+    ),
+    cum AS (
+      SELECT r, k, np, nt,
+             sum(nt) OVER (PARTITION BY r, k ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM counts
+    ),
+    per AS (
+      SELECT r,
+             sum(CASE WHEN k = 0 THEN np END) AS pos,
+             sum(CASE WHEN k = 0 THEN nt END) AS tot,
+             sum(CASE WHEN k = 0
+                      THEN CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0))
+                 END) AS s2a,
+             sum(CASE WHEN k = 1
+                      THEN CAST(np * (2 * cb + nt + 1) AS DECIMAL(38,0))
+                 END) AS s2b
+      FROM cum GROUP BY 1
+    ),
+    deltas AS (
+      SELECT (CAST(CASE WHEN pos = 0 OR tot - pos = 0 THEN NULL
+                        ELSE CAST(s2a - CAST(pos AS DECIMAL(38,0)) * (pos + 1)
+                               AS DOUBLE)
+                             / CAST(2 * pos * (tot - pos) AS DOUBLE) END
+                AS DECIMAL(28,12))
+            - CAST(CASE WHEN pos = 0 OR tot - pos = 0 THEN NULL
+                        ELSE CAST(s2b - CAST(pos AS DECIMAL(38,0)) * (pos + 1)
+                               AS DOUBLE)
+                             / CAST(2 * pos * (tot - pos) AS DOUBLE) END
+                AS DECIMAL(28,12))) AS d
+      FROM per
+    ),
+    boot AS (
+      SELECT count(*) AS bn, sum(d) AS sd,
+             sum(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                   AS DECIMAL(38,12))) AS sdd
+      FROM deltas WHERE d IS NOT NULL
+    ),
+    oca AS (SELECT sa AS s, sum(y) AS np, count(*) AS nt FROM p GROUP BY 1),
+    ora AS (
+      SELECT np, nt,
+             sum(nt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM oca
+    ),
+    oaa AS ({_OBS_AUC} AS auc_a FROM ora),
+    ocb AS (SELECT sb AS s, sum(y) AS np, count(*) AS nt FROM p GROUP BY 1),
+    orb AS (
+      SELECT np, nt,
+             sum(nt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nt AS cb
+      FROM ocb
+    ),
+    oab AS ({_OBS_AUC} AS auc_b FROM orb)
+    SELECT auc_a, auc_b, round(auc_a - auc_b, 9) AS d_auc,
+           round({_DELTA_AUC_SE}, 9) AS se_boot,
+           round(round(auc_a - auc_b, 9) - {Z95!r} * {_DELTA_AUC_SE}, 9)
+             AS ci_lo,
+           round(round(auc_a - auc_b, 9) + {Z95!r} * {_DELTA_AUC_SE}, 9)
+             AS ci_hi,
+           abs(round(auc_a - auc_b, 9)) > {Z95!r} * {_DELTA_AUC_SE}
+             AS significant
+    FROM oaa CROSS JOIN oab CROSS JOIN boot
+    """,
+)
+def quality_delta_auc_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED bootstrap on the AUC difference of two quality scorers
+    graded on the same documents (operators.evaluation.
+    delta_auc_paired_bootstrap, B=40): the composite quality score
+    (champion) vs the bare stopword ratio (challenger), each against the
+    Gopher-rule pseudo-label.  One Poisson weight per (doc, replicate)
+    applied to BOTH scores makes the replicate noise cancel inside each
+    Δ — the decisive test two separate CIs can't give, because the
+    scorers share the documents and their resampling noise is
+    correlated.  Single corpus scan: the row fans onto a 2-ary scorer
+    axis before the (replicate, scorer, score) count groupBy."""
+    from ..operators.evaluation import delta_auc_paired_bootstrap
+
+    pairs = _quality_label_pairs2(spark, sf_dir)
+    return delta_auc_paired_bootstrap(
+        pairs,
+        "quality_score",
+        "stopword_ratio",
+        "gopher_keep",
+        "doc_id",
+        b=_BOOT_B,
+    )
+
+
+def _quality_label_pairs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_score, stopword_ratio, gopher_keep): BOTH quality
+    scorers paired with the Gopher pseudo-label — the paired-comparison
+    input (champion composite score vs challenger stopword ratio)."""
+    from ..operators.textstats import gopher_quality_flags, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score", "stopword_ratio"
+    )
+    flags = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
+    return scored.join(flags, "doc_id").localCheckpoint()
+
+
+@_q(
+    "quality_mean_ci_by_source",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    base AS (
+      SELECT CAST(q.doc_id AS VARCHAR) AS id, d.source AS g,
+             q.quality_score AS v
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+      WHERE q.quality_score IS NOT NULL AND d.source IS NOT NULL
+    ),
+    rep AS (
+      SELECT id, g, v, r
+      FROM base CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)
+    ),
+    wt AS (
+      SELECT g, r, v, CASE {_BOOT_CASE} ELSE 6 END AS w
+      FROM (
+        SELECT g, r, v,
+               ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+                 ::BIGINT AS h
+        FROM rep
+      )
+    ),
+    m AS (
+      SELECT g, CAST(
+               CASE WHEN sum(w) = 0 THEN NULL
+                    ELSE CAST(sum(CAST(v * w AS DECIMAL(28,12))) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE) END
+               AS DECIMAL(28,12)) AS m
+      FROM wt GROUP BY g, r
+    ),
+    boot AS (
+      SELECT g, count(*) AS bn, sum(m) AS sm,
+             sum(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   AS DECIMAL(38,12))) AS smm
+      FROM m WHERE m IS NOT NULL GROUP BY g
+    ),
+    obs AS (
+      SELECT g, count(*) AS n,
+             round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS mean
+      FROM base GROUP BY g
+    )
+    SELECT obs.g AS source, CAST(n AS BIGINT) AS n, mean,
+           round(sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS se_boot,
+           round(mean - {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_lo,
+           round(mean + {Z95!r} * sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0)), 9) AS ci_hi
+    FROM obs JOIN boot ON obs.g = boot.g
+    """,
+)
+def quality_mean_ci_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bootstrap CI on the mean quality score
+    (operators.evaluation.bootstrap_mean_ci with group_cols=[source],
+    B=40) — the stratified error bar a corpus dashboard shows beside the
+    per-source means: "is wiki's 0.51 really above web's 0.44, or are
+    the strata too thin to say?"  Replicate membership stays the same
+    row-local md5 Poisson draw per (doc, replicate) whatever the group,
+    so the plan is the global bootstrap with the source key prepended to
+    every groupBy; the boot side is |sources|·B rows, broadcast into the
+    final join."""
+    from ..operators.evaluation import bootstrap_mean_ci
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "quality_score"
+    )
+    return bootstrap_mean_ci(
+        scored, "quality_score", "doc_id", b=_BOOT_B,
+        group_cols=["source"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

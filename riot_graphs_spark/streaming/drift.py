@@ -36,6 +36,7 @@ def record_baseline(
     hi: float,
     nbuckets: int,
     group_cols: Sequence[str] = (),
+    recorded_at: str | None = None,
 ) -> DataFrame:
     """The calibration artifact: per (group, bin) counts of the baseline
     snapshot under the FIXED clamp bins — write this table beside the bin
@@ -44,7 +45,14 @@ def record_baseline(
     ``profile.equi_depth_edges`` output when choosing bins, or pass known
     physical bounds.)
 
-    Output: ``(*group_cols, bin int, n bigint)``.
+    Pass ``recorded_at`` (an ISO timestamp string — explicit, never
+    implicit wall-clock, so re-runs are reproducible) to stamp the
+    artifact with WHEN it was calibrated: a baseline recorded before an
+    upstream shift silently degrades into scoring drift against drift,
+    and the stamp is what lets the monitor flag its own staleness
+    (:func:`drift_monitor_writer` ``max_age_sec``).
+
+    Output: ``(*group_cols, bin int, n bigint[, recorded_at timestamp])``.
     """
     if nbuckets < 1 or not hi > lo:
         raise ValueError("need nbuckets >= 1 and hi > lo")
@@ -57,11 +65,16 @@ def record_baseline(
         F.lit(0),
         F.least(F.lit(nbuckets - 1), F.floor((x - F.lit(lo)) / F.lit(width))),
     ).cast("int")
-    return (
+    out = (
         baseline.filter(keep)
         .groupBy(*group_cols, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if recorded_at is not None:
+        out = out.withColumn(
+            "recorded_at", F.lit(recorded_at).cast("timestamp")
+        )
+    return out
 
 
 def record_baseline_cdf(
@@ -69,6 +82,7 @@ def record_baseline_cdf(
     value_col: str,
     nbins: int,
     group_cols: Sequence[str] = (),
+    recorded_at: str | None = None,
 ) -> DataFrame:
     """The KS calibration artifact: the baseline's empirical CDF sampled
     at its own equi-depth edges — per (group, edge value), the EXACT
@@ -88,7 +102,12 @@ def record_baseline_cdf(
     shuffle) + cumulative/lag windows over the distinct-value axis.
     NULL values / group keys excluded.
 
-    Output: ``(*group_cols, _v <value type>, cum bigint, n bigint)``.
+    ``recorded_at`` (ISO timestamp string, explicit — see
+    :func:`record_baseline`) stamps the artifact with its calibration
+    time for the monitor's staleness flag.
+
+    Output: ``(*group_cols, _v <value type>, cum bigint, n bigint
+    [, recorded_at timestamp])``.
     """
     if nbins < 1:
         raise ValueError("need nbins >= 1")
@@ -118,12 +137,17 @@ def record_baseline_cdf(
     c = c.withColumn("_lvl", lvl).withColumn(
         "_prev", F.coalesce(F.lag("_lvl").over(w_lag), F.lit(0))
     )
-    return c.filter(F.col("_lvl") > F.col("_prev")).select(
+    out = c.filter(F.col("_lvl") > F.col("_prev")).select(
         *gcols,
         "_v",
         F.col("_cum").alias("cum"),
         F.col("_tot").alias("n"),
     )
+    if recorded_at is not None:
+        out = out.withColumn(
+            "recorded_at", F.lit(recorded_at).cast("timestamp")
+        )
+    return out
 
 
 def ks_against_baseline_cdf(
@@ -175,6 +199,7 @@ def drift_monitor_writer(
     nbuckets: int,
     group_cols: Sequence[str] = (),
     baseline_cdf: DataFrame | None = None,
+    max_age_sec: float | None = None,
 ):
     """Return a ``foreachBatch`` function: bins each micro-batch under the
     SAME fixed clamp bins, scores its counts against the recorded baseline
@@ -194,10 +219,32 @@ def drift_monitor_writer(
     Idempotency note: a replayed batch re-appends its monitor rows;
     readers take the last row per (batch_id, group) or dedup on write
     with the usual partition-overwrite sink.
+
+    Staleness guard: when the baseline artifact carries a
+    ``recorded_at`` stamp (:func:`record_baseline` ``recorded_at=…``),
+    every monitor row also carries ``baseline_recorded_at`` — a
+    calibration recorded BEFORE an upstream shift silently degrades into
+    scoring drift against drift, and the stamp is the audit trail.  Pass
+    ``max_age_sec`` to additionally emit ``baseline_stale`` (scoring
+    wall-clock minus the stamp exceeds the age budget) so the dashboard
+    alerts on "this monitor needs re-calibration" as loudly as on drift
+    itself.  ``max_age_sec`` without a stamped baseline is a
+    configuration error and raises immediately.
     """
     from ..operators.profile import psi_from_counts
 
     gcols = list(group_cols)
+    recorded_at = None
+    if "recorded_at" in baseline_counts.columns:
+        # constant by construction; one bounded driver read at setup
+        recorded_at = baseline_counts.agg(
+            F.min("recorded_at")
+        ).collect()[0][0]
+        baseline_counts = baseline_counts.drop("recorded_at")
+    elif max_age_sec is not None:
+        raise ValueError(
+            "max_age_sec needs a baseline recorded with recorded_at=…"
+        )
     base = baseline_counts.withColumnRenamed("n", "_na")
 
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
@@ -218,6 +265,17 @@ def drift_monitor_writer(
                 else report.crossJoin(F.broadcast(ks))
             )
         report = report.withColumn("batch_id", F.lit(int(epoch_id)))
+        if recorded_at is not None:
+            stamp = F.lit(recorded_at).cast("timestamp")
+            report = report.withColumn("baseline_recorded_at", stamp)
+            if max_age_sec is not None:
+                age = (
+                    F.unix_timestamp(F.current_timestamp())
+                    - F.unix_timestamp(stamp)
+                ).cast("double")
+                report = report.withColumn(
+                    "baseline_stale", age > F.lit(float(max_age_sec))
+                )
         report.write.mode("append").parquet(monitor_path)
 
     return _score

@@ -681,7 +681,78 @@ QUERY_CASES = [
     # xB explode -> (replicate, score) partial agg -> per-replicate
     # distinct-score windows
     "quality_auc_bootstrap_ci",
+    # round-8: paired bootstrap — the xB·2 scorer-axis explode must
+    # reduce through the same partial agg (2x the AUC-bootstrap volume)
+    "quality_delta_auc_paired",
+    # round-8: grouped bootstrap — global plan with the group key
+    # prepended; boot side stays |groups|xB, broadcast
+    "quality_mean_ci_by_source",
 ]
+
+
+def _stream_sessions_scale(spark, n_events: int, n_users: int = 200,
+                           slices: int = 8) -> dict:
+    """Streaming sessionization under load: replay a time-ordered event
+    history through ``stream_session_stats`` (availableNow, one file per
+    micro-batch) and read back wall time AND peak state rows from the
+    query progress.  The event volume scales; the ACTIVE-KEY count is
+    fixed — so state rows must stay O(n_users), pinning the "state ∝
+    concurrently-active users, not history" claim, while micro-batch
+    cost may grow only with batch rows.
+
+    Data shape: ``slices`` two-hour windows, each holding one contiguous
+    run of per-second events per user (one session per user per slice —
+    the 30-minute gap closes it when the next slice's watermark
+    advances).  More events = longer sessions, never more of them."""
+    import shutil
+    import tempfile
+
+    from riot_graphs_spark.streaming.sessions import stream_session_stats
+
+    base = tempfile.mkdtemp(prefix="riot_sess_scale_")
+    indir, ckpt = base + "/in", base + "/ckpt"
+    per = n_events // slices
+    for s in range(slices):
+        (
+            spark.range(per)
+            .select(
+                (F.col("id") % n_users).cast("long").alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000 + s * 7200)
+                    + (F.col("id") / n_users).cast("long")
+                ).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(indir)
+        )
+        time.sleep(0.05)  # ascending mod-times -> in-order replay
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream_session_stats(stream, gap="30 minutes",
+                             watermark="10 minutes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    state_peak = 0
+    for p in q.recentProgress:
+        j = p.json if hasattr(p, "json") else p  # .json is a str property
+        prog = json.loads(j) if isinstance(j, str) else j
+        for op in prog.get("stateOperators") or []:
+            state_peak = max(state_peak, op.get("numRowsTotal", 0))
+    shutil.rmtree(base, ignore_errors=True)
+    return {"wall": wall, "state_peak": state_peak,
+            "n_events": n_events, "n_users": n_users}
 
 
 def main() -> None:
@@ -859,9 +930,27 @@ def main() -> None:
             qnames = [n for n in qnames if n in wanted]
         qreport = run_query_cases(spark, qnames, COPIES)
 
+    sreport = {}
+    if mode in ("stream", "all") and (
+        not only or "stream_session_stats" in only
+    ):
+        small = _stream_sessions_scale(spark, 200_000)
+        big = _stream_sessions_scale(spark, 200_000 * COPIES)
+        sreport["stream_session_stats"] = {
+            "t1x": small["wall"], f"t{COPIES}x": big["wall"],
+            "ratio": round(big["wall"] / small["wall"], 1),
+            "state_peak_1x": small["state_peak"],
+            f"state_peak_{COPIES}x": big["state_peak"],
+            "n_users": small["n_users"],
+        }
+        print(json.dumps({"scase": "stream_session_stats",
+                          **sreport["stream_session_stats"]}), flush=True)
+
     out = {"copies": COPIES, "sf_dir": SF_DIR, "cases": report}
     if qreport:
         out["query_cases"] = qreport
+    if sreport:
+        out["stream_cases"] = sreport
     print(json.dumps(out))
     spark.stop()
 

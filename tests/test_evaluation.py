@@ -566,3 +566,88 @@ def test_roc_auc_bootstrap_ci_deterministic_and_sane(spark):
     assert r["ci_lo"] < r["auc"] < r["ci_hi"]
     with pytest.raises(ValueError):
         roc_auc_bootstrap_ci(df, "s", "y", "id", b=1)
+
+
+def test_delta_auc_paired_bootstrap_identical_scores(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        delta_auc_paired_bootstrap,
+    )
+
+    # scorer B IS scorer A: every replicate delta is exactly 0 -> the
+    # paired test is decisively null (se 0, not-significant), which the
+    # unpaired two-CI comparison can never say
+    rows = [
+        (i, float((i * 7) % 100) / 100.0,
+         1 if ((i * 7) % 100 >= 40) ^ (i % 5 == 0) else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s double, y int").select(
+        "id", "s", F.col("s").alias("s2"), "y"
+    )
+    r = delta_auc_paired_bootstrap(df, "s", "s2", "y", "id", b=20).collect()[0]
+    assert r["auc_a"] == r["auc_b"]
+    assert r["d_auc"] == 0.0 and r["se_boot"] == 0.0
+    assert r["ci_lo"] == 0.0 and r["ci_hi"] == 0.0
+    assert bool(r["significant"]) is False
+
+
+def test_delta_auc_paired_bootstrap_matches_observed_and_pairs(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        delta_auc_paired_bootstrap,
+        roc_auc,
+    )
+
+    # scorer A informative, scorer B = anti-correlated noise of A
+    rows = [
+        (i, float((i * 7) % 100) / 100.0,
+         float((i * 13) % 100) / 100.0,
+         1 if ((i * 7) % 100 >= 40) ^ (i % 7 == 0) else 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, sa double, sb double, y int")
+    r1 = delta_auc_paired_bootstrap(df, "sa", "sb", "y", "id", b=20)
+    r2 = delta_auc_paired_bootstrap(df, "sa", "sb", "y", "id", b=20)
+    a, b = r1.collect()[0], r2.collect()[0]
+    assert a == b  # hash-drawn replicates: bit-identical
+    auc_a = roc_auc(df, "sa", "y").collect()[0]["auc"]
+    auc_b = roc_auc(df, "sb", "y").collect()[0]["auc"]
+    assert a["auc_a"] == auc_a and a["auc_b"] == auc_b
+    assert a["d_auc"] == pytest.approx(round(auc_a - auc_b, 9), abs=1e-12)
+    assert a["se_boot"] > 0.0
+    assert a["ci_lo"] < a["d_auc"] < a["ci_hi"]
+    # A clearly beats random B on this construction
+    assert a["d_auc"] > 0.0
+    with pytest.raises(ValueError):
+        delta_auc_paired_bootstrap(df, "sa", "sb", "y", "id", b=1)
+
+
+def test_bootstrap_mean_ci_grouped_matches_per_group_global(spark):
+    from riot_graphs_spark.operators.evaluation import bootstrap_mean_ci
+
+    # replicate weights hash only (id, replicate) -> a group's row in the
+    # grouped form must EQUAL the global form run on that group alone
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float((i * 11) % 17)) for i in range(300)],
+        "id bigint, g string, v double",
+    )
+    grouped = {
+        r["g"]: r
+        for r in bootstrap_mean_ci(
+            df, "v", "id", b=15, group_cols=["g"]
+        ).collect()
+    }
+    assert set(grouped) == {"g0", "g1", "g2"}
+    for gval, grow in grouped.items():
+        solo = bootstrap_mean_ci(
+            df.filter(F.col("g") == gval), "v", "id", b=15
+        ).collect()[0]
+        assert (grow["n"], grow["mean"], grow["se_boot"], grow["ci_lo"],
+                grow["ci_hi"]) == tuple(solo)
+    # NULL group keys are excluded
+    with_null = df.union(
+        spark.createDataFrame([(999, None, 1.0)], df.schema)
+    )
+    rows = bootstrap_mean_ci(
+        with_null, "v", "id", b=15, group_cols=["g"]
+    ).collect()
+    assert sum(r["n"] for r in rows) == 300

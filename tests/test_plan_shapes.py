@@ -855,3 +855,23 @@ def test_auc_bootstrap_partial_agg_and_partitioned_windows(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delta_auc_paired_partial_agg_partitioned_windows(spark):
+    # one corpus scan fans onto the 2-ary scorer axis, reduces through a
+    # partial aggregate, and every rank-sum window is PARTITIONED by
+    # (replicate, scorer) — nothing global, no per-row Python
+    plan = formatted_plan(spark, "quality_delta_auc_paired")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mean_ci_by_source_broadcasts_boot_side(spark):
+    # per-group bootstrap: the |groups|xB boot relation broadcasts into
+    # the final join (never a shuffle of the obs side against it)
+    plan = formatted_plan(spark, "quality_mean_ci_by_source")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1129,3 +1129,82 @@ def test_stream_session_stats_finalizes_on_watermark(spark, tmp_path):
         10.0,
     ) in got3
     assert len(got3) == 2  # user 1's own session still open
+
+
+def test_drift_monitor_baseline_staleness_guard(spark, tmp_path):
+    """Staleness guard (streaming/drift.py): a baseline recorded with a
+    recorded_at stamp carries it onto every monitor row; max_age_sec
+    flags a too-old calibration as baseline_stale=True (and a fresh-
+    enough one False); max_age_sec without a stamped baseline raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.streaming.drift import (
+        drift_monitor_writer,
+        record_baseline,
+    )
+
+    spec = dict(value_col="value", lo=0.0, hi=100.0, nbuckets=10,
+                group_cols=["grp"])
+    baseline = spark.createDataFrame(
+        [("g", v) for v in [5.0, 15.0, 25.0, 35.0] * 25],
+        "grp string, value double",
+    )
+    stamped = record_baseline(
+        baseline, recorded_at="2020-01-01 00:00:00", **spec
+    )
+    assert "recorded_at" in stamped.columns
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:
+        for v in [5.0, 15.0] * 5:
+            f.write(_json.dumps({"grp": "g", "value": v}) + "\n")
+
+    def _run(writer, subdir):
+        stream = (
+            spark.readStream.schema("grp string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / (subdir + "_ck")))
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / subdir)).collect()
+
+    # 2020 calibration vs a 1-hour age budget: stale, loudly
+    rows = _run(
+        drift_monitor_writer(
+            stamped, str(tmp_path / "m1"), max_age_sec=3600, **spec
+        ),
+        "m1",
+    )
+    assert len(rows) == 1
+    assert str(rows[0].baseline_recorded_at).startswith("2020-01-01")
+    assert bool(rows[0].baseline_stale) is True
+    # same stamp vs a 100-year budget: fresh enough
+    rows = _run(
+        drift_monitor_writer(
+            stamped, str(tmp_path / "m2"),
+            max_age_sec=100 * 365 * 86400, **spec
+        ),
+        "m2",
+    )
+    assert bool(rows[0].baseline_stale) is False
+    # stamp column rides along even without an age budget
+    rows = _run(
+        drift_monitor_writer(stamped, str(tmp_path / "m3"), **spec), "m3"
+    )
+    assert str(rows[0].baseline_recorded_at).startswith("2020-01-01")
+    assert "baseline_stale" not in rows[0].asDict()
+    # age budget without a stamped baseline: configuration error
+    unstamped = record_baseline(baseline, **spec)
+    with _pytest.raises(ValueError):
+        drift_monitor_writer(
+            unstamped, str(tmp_path / "m4"), max_age_sec=60, **spec
+        )
