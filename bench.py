@@ -303,6 +303,7 @@ HEADLINE = [
     "quality_auc_bootstrap_ci",
     "quality_delta_auc_paired",
     "quality_mean_ci_by_source",
+    "corpus_build_manifest",
 ]
 
 

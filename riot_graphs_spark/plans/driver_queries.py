@@ -11369,6 +11369,260 @@ def quality_mean_ci_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_oracle() -> str:
+    """The corpus-build manifest's DuckDB twin: every stage re-derived in
+    SQL — corpus_select's quality/lang/exact-dedup CTE, the MinHash-LSH +
+    recursive-CC keep-best restricted to the selected docs, the n-gram
+    decontamination gate, and the mixture/pack/shard bookkeeping."""
+    mh = _DUCK_MINHASH.replace(
+        "FROM documents)", "FROM documents JOIN sel USING (doc_id))"
+    )
+    return f"""
+    WITH RECURSIVE sel AS ({ORACLES["corpus_select"]}),
+    {mh},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shin AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM docs),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.doc_a
+      JOIN shin sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS cluster_id
+      FROM documents d JOIN sel USING (doc_id)
+      LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    keptq AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    ),
+    tgrams AS (
+      SELECT doc_id, unnest(s) AS g FROM shin JOIN keptq USING (doc_id)
+    ),
+    evg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest({_DUCK_SHINGLES}) AS g FROM (
+          SELECT {_DUCK_WORDS} AS words FROM documents WHERE doc_id % 97 = 0
+        )
+      )
+    ),
+    shared AS (
+      SELECT t.doc_id, count(*) AS ns
+      FROM tgrams t JOIN evg USING (g) GROUP BY 1
+    ),
+    cleanq AS (
+      SELECT k.doc_id FROM keptq k LEFT JOIN shared s USING (doc_id)
+      WHERE coalesce(s.ns, 0) < 5
+    ),
+    clean AS (
+      SELECT c.doc_id, d.lang, d.source, sel.n_tokens
+      FROM cleanq c JOIN documents d USING (doc_id) JOIN sel USING (doc_id)
+    ),
+    mix AS (SELECT source, count(*) AS n FROM clean GROUP BY source),
+    mixw AS (
+      SELECT source, n,
+             round((1.0 / count(*) OVER ())
+                   / (n::DOUBLE / sum(n) OVER ()), 9) AS weight
+      FROM mix
+    ),
+    pk AS (
+      SELECT lang, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS before
+      FROM clean
+    ),
+    pks AS (
+      SELECT count(DISTINCT (lang, before // 512))::BIGINT AS n_rows,
+             sum(n_tokens)::BIGINT AS total_tokens
+      FROM pk
+    ),
+    shq AS (
+      SELECT ('0x' || substr(md5('shard' || chr(31)
+                                 || CAST(doc_id AS VARCHAR)),
+                             1, 14))::BIGINT % 8 AS shard,
+             n_tokens
+      FROM clean
+    ),
+    shs AS (
+      SELECT shard, count(*)::BIGINT AS n_rows,
+             sum(n_tokens)::BIGINT AS total_tokens
+      FROM shq GROUP BY shard
+    )
+    SELECT '1_selected' AS stage, NULL::VARCHAR AS part,
+           count(*)::BIGINT AS n_rows, sum(n_tokens)::BIGINT AS total_tokens,
+           NULL::DOUBLE AS weight
+    FROM sel
+    UNION ALL
+    SELECT '2_neardup_kept', NULL, count(*)::BIGINT,
+           sum(sel.n_tokens)::BIGINT, NULL
+    FROM keptq JOIN sel USING (doc_id)
+    UNION ALL
+    SELECT '3_decontaminated', NULL, count(*)::BIGINT,
+           sum(n_tokens)::BIGINT, NULL
+    FROM clean
+    UNION ALL
+    SELECT '4_mixture', source, n::BIGINT, NULL::BIGINT, weight FROM mixw
+    UNION ALL
+    SELECT '5_packed', NULL, n_rows, total_tokens, NULL FROM pks
+    UNION ALL
+    SELECT '6_shard', shard::VARCHAR, n_rows, total_tokens, NULL FROM shs
+    """
+
+
+@_q("corpus_build_manifest", _manifest_oracle())
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-build manifest: the deterministic curation chain
+    a pretraining run actually ships — corpus_select (quality + lang-ID +
+    exact dedup) → MinHash-LSH near-dup keep-best → n-gram
+    decontamination → mixture weights → sequence packing → deterministic
+    shards — composed from the shelf stages into ONE query emitting the
+    audit artifact: per-stage row/token counts plus the per-shard
+    manifest.  Every stage is individually oracle-green; this composition
+    is the interface-drift canary between them.
+
+    Scan budget: TWO full corpus scans (the select pass, and the text
+    join-back for the near-dup/decontamination stages) plus the filtered
+    eval-split read — each intermediate doc set localCheckpoints (the r7
+    pattern), so the six stage aggregates reuse materialized narrow
+    projections instead of re-running the text-heavy upstream.
+
+    Output: ``(stage string, part string, n_rows bigint, total_tokens
+    bigint, weight double)`` — part = source for mixture rows, shard id
+    for shard rows, NULL for whole-corpus stages."""
+    from ..operators.curation import (
+        contamination_check,
+        mixture_weights,
+        pack_sequences,
+        shard_corpus,
+    )
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify_pairs,
+        keep_best_per_cluster,
+        minhash_lsh_pairs,
+    )
+    from .corpus import select_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        select_training_corpus(docs, lang="en", min_quality=0.5)
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .localCheckpoint()
+    )
+    sel_docs = docs.join(sel.select("doc_id"), "doc_id").localCheckpoint()
+
+    cand = minhash_lsh_pairs(sel_docs)
+    verified = jaccard_verify_pairs(sel_docs, cand, threshold=0.8)
+    clusters = connected_components(verified).withColumnRenamed(
+        "id", "doc_id"
+    )
+    kept_ids = (
+        keep_best_per_cluster(sel_docs, clusters, score_col="n_chars")
+        .filter("kept")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    kept_docs = sel_docs.join(kept_ids, "doc_id")
+
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    clean_ids = (
+        contamination_check(kept_docs, eval_docs, threshold=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = (
+        kept_docs.select("doc_id", "lang", "source")
+        .join(clean_ids, "doc_id")
+        .join(sel, "doc_id")
+        .localCheckpoint()
+    )
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ).select(
+            F.lit(name).alias("stage"),
+            F.lit(None).cast("string").alias("part"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.lit(None).cast("double").alias("weight"),
+        )
+
+    s1 = _stage("1_selected", sel)
+    s2 = _stage("2_neardup_kept", kept_ids.join(sel, "doc_id"))
+    s3 = _stage("3_decontaminated", clean)
+    s4 = mixture_weights(clean, strata_col="source").select(
+        F.lit("4_mixture").alias("stage"),
+        F.col("source").alias("part"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("total_tokens"),
+        F.round("weight", 9).alias("weight"),
+    )
+    packed = pack_sequences(
+        clean.select("lang", "doc_id", "n_tokens"), budget=512,
+        token_col="n_tokens",
+    )
+    s5 = packed.agg(
+        F.count_distinct(F.col("lang"), F.col("pack_id")).alias("n_rows"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).select(
+        F.lit("5_packed").alias("stage"),
+        F.lit(None).cast("string").alias("part"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.lit(None).cast("double").alias("weight"),
+    )
+    s6 = (
+        shard_corpus(clean.select("doc_id", "n_tokens"), n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.lit("6_shard").alias("stage"),
+            F.col("shard").cast("string").alias("part"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.lit(None).cast("double").alias("weight"),
+        )
+    )
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(
+        s5
+    ).unionByName(s6)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -687,6 +687,9 @@ QUERY_CASES = [
     # round-8: grouped bootstrap — global plan with the group key
     # prepended; boot side stays |groups|xB, broadcast
     "quality_mean_ci_by_source",
+    # round-8: the end-to-end manifest composition — scales like the sum
+    # of its (individually-cased) stages; the checkpoints bound re-scans
+    "corpus_build_manifest",
 ]
 
 

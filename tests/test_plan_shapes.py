@@ -875,3 +875,13 @@ def test_mean_ci_by_source_broadcasts_boot_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_build_manifest_stages_reuse_checkpoints(spark):
+    # the six stage aggregates must read the materialized (checkpointed)
+    # narrow projections — the FINAL plan re-scans NO parquet: the two
+    # corpus scans + eval read happened once, upstream of the checkpoints
+    plan = formatted_plan(spark, "corpus_build_manifest")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
