@@ -304,6 +304,8 @@ HEADLINE = [
     "quality_delta_auc_paired",
     "quality_mean_ci_by_source",
     "corpus_build_manifest",
+    "mcnemar_langid_vs_majority",
+    "js_source_lang_divergence",
 ]
 
 

@@ -1123,3 +1123,85 @@ def delta_auc_paired_bootstrap(
             (F.abs(d_obs) > F.lit(z) * se).alias("significant"),
         )
     )
+
+
+#: chi-square 95th percentile at 1 dof — the McNemar significance gate,
+#: inlined as a literal so both engines compare against the same constant.
+CHI2_95_1DF = 3.841458820694124
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    chi2_crit: float = CHI2_95_1DF,
+) -> DataFrame:
+    """McNemar's test: did classifier A beat classifier B on the SAME
+    rows?  The paired significance test for per-row correctness flags —
+    the categorical sibling of :func:`delta_auc_paired_bootstrap`: two
+    accuracies computed on shared documents are correlated, so comparing
+    their separate error bars overstates uncertainty; McNemar looks ONLY
+    at the discordant cells (rows one classifier got right and the other
+    wrong), which is where all the evidence lives:
+
+        χ² = (|n01 − n10| − 1)² / (n01 + n10)      (continuity-corrected)
+
+    with ``n01`` = A wrong / B right, ``n10`` = A right / B wrong.
+    Degenerate case ``n01 + n10 = 0`` (the classifiers never disagree)
+    has no evidence either way: NULL statistic via ``try_divide``,
+    ``significant`` false.
+
+    Exactness/plan: four conditional integer counts in ONE partial-
+    aggregable scan; the statistic is one integer-ratio division at the
+    end, compared against the 1-dof χ² critical value inlined as a
+    literal.  NULL flags are excluded (a row must be graded by both).
+
+    Output: one row — ``(n bigint, n_both_right bigint, n_both_wrong
+    bigint, n01 bigint, n10 bigint, acc_a double, acc_b double,
+    chi2 double, significant boolean)``.
+    """
+    a = F.col(correct_a_col).cast("boolean")
+    b = F.col(correct_b_col).cast("boolean")
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    one = F.count(F.lit(1))
+    agg = base.agg(
+        one.alias("n"),
+        F.sum((F.col("_a") & F.col("_b")).cast("long")).alias(
+            "n_both_right"
+        ),
+        F.sum((~F.col("_a") & ~F.col("_b")).cast("long")).alias(
+            "n_both_wrong"
+        ),
+        F.sum((~F.col("_a") & F.col("_b")).cast("long")).alias("n01"),
+        F.sum((F.col("_a") & ~F.col("_b")).cast("long")).alias("n10"),
+        F.sum(F.col("_a").cast("long")).alias("_ca"),
+        F.sum(F.col("_b").cast("long")).alias("_cb"),
+    )
+    d = F.abs(F.col("n01") - F.col("n10")) - F.lit(1)
+    # a single discordant row (|d| - 1 = 0) is exact-zero evidence, and
+    # n01 = n10 would go negative: clamp at 0 before squaring
+    dc = F.greatest(d, F.lit(0)).cast("double")
+    chi2 = F.try_divide(
+        dc * dc, (F.col("n01") + F.col("n10")).cast("double")
+    )
+    return agg.select(
+        "n",
+        "n_both_right",
+        "n_both_wrong",
+        "n01",
+        "n10",
+        F.round(
+            F.try_divide(F.col("_ca").cast("double"),
+                         F.col("n").cast("double")), 9
+        ).alias("acc_a"),
+        F.round(
+            F.try_divide(F.col("_cb").cast("double"),
+                         F.col("n").cast("double")), 9
+        ).alias("acc_b"),
+        F.round(chi2, 9).alias("chi2"),
+        F.coalesce(
+            chi2 > F.lit(chi2_crit), F.lit(False)
+        ).alias("significant"),
+    )

@@ -1378,3 +1378,82 @@ def concentration_gini(
         "total",
         F.round(gini, 9).alias("gini"),
     )
+
+
+#: ln 2 — JSD terms are computed in natural log in BOTH engines, then the
+#: final sum divides by this literal to land in bits (log2(x) itself is a
+#: different libm call and can differ from ln(x)/ln2 in the last ulp).
+LN2 = 0.6931471805599453
+
+
+def js_divergence_by_group(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (in bits) between the group's
+    distribution of a categorical key and the WHOLE corpus's — the
+    "which source skews the mixture" report a corpus dashboard shows
+    beside :func:`~..operators.curation.mixture_weights`: PSI needs a
+    designated baseline and blows up on empty bins; JSD is symmetric,
+    finite by construction (each side is absolutely continuous w.r.t.
+    the midpoint), and bounded [0, 1] in bits — comparable across groups
+    and releases.
+
+        JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),   m = (p+q)/2
+
+    with P = the group's key distribution and Q = the global one, the
+    natural-log sums divided by ln 2 at the end (both engines take ln;
+    log2 is a different libm call).  A key absent from the group (p = 0)
+    still contributes its q-side term — the cell grid is groups × global
+    key support, built by crossing the two BROADCAST marginal tables,
+    never by scanning facts per group.
+
+    Exactness/plan: ONE corpus-sized (group, key) count groupBy; every
+    per-cell term is quantized to ``decimal(28,12)`` before its sum
+    (summation-order rule).  NULL keys/groups are excluded.
+
+    Output: one row per group — ``(group_col, n bigint, jsd_bits
+    double)``, 0 = identical to the corpus mix, 1 = disjoint support.
+    """
+    keep = F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    joint = (
+        df.filter(keep)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .groupBy("_g", "_k")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    groups = joint.groupBy("_g").agg(F.sum("_o").alias("_ng"))
+    keys = joint.groupBy("_k").agg(F.sum("_o").alias("_nk"))
+    total = joint.agg(F.sum("_o").alias("_n"))
+    cells = (
+        F.broadcast(groups)
+        .crossJoin(F.broadcast(keys))
+        .join(joint, ["_g", "_k"], "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_o", F.coalesce("_o", F.lit(0)))
+    )
+    p = F.col("_o").cast("double") / F.col("_ng").cast("double")
+    q = F.col("_nk").cast("double") / F.col("_n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    dec = "decimal(28,12)"
+    p_term = F.when(
+        F.col("_o") > 0, (p * F.log(p / m)).cast(dec)
+    ).otherwise(F.lit(0).cast(dec))
+    q_term = (q * F.log(q / m)).cast(dec)  # _nk > 0 by construction
+    agg = cells.groupBy("_g").agg(
+        F.max("_ng").alias("n"),
+        F.sum(p_term).alias("_sp"),
+        F.sum(q_term).alias("_sq"),
+    )
+    jsd = (
+        (F.col("_sp").cast("double") + F.col("_sq").cast("double"))
+        / F.lit(2.0)
+        / F.lit(LN2)
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(jsd, 9).alias("jsd_bits"),
+    )

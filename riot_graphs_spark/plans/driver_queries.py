@@ -11623,6 +11623,116 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(s6)
 
 
+@_q(
+    "mcnemar_langid_vs_majority",
+    f"""
+    WITH pl AS ({ORACLES["text_lang_id"]}),
+    fl AS (
+      SELECT (predicted_lang = lang) AS ca, (lang = 'en') AS cb FROM pl
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n,
+             sum((ca AND cb)::BIGINT)::BIGINT AS n_both_right,
+             sum((NOT ca AND NOT cb)::BIGINT)::BIGINT AS n_both_wrong,
+             sum((NOT ca AND cb)::BIGINT)::BIGINT AS n01,
+             sum((ca AND NOT cb)::BIGINT)::BIGINT AS n10,
+             sum(ca::BIGINT)::BIGINT AS sca,
+             sum(cb::BIGINT)::BIGINT AS scb
+      FROM fl
+    ),
+    st AS (
+      SELECT *,
+             CASE WHEN n01 + n10 = 0 THEN NULL
+                  ELSE greatest(abs(n01 - n10) - 1, 0)::DOUBLE
+                       * greatest(abs(n01 - n10) - 1, 0)::DOUBLE
+                       / (n01 + n10)::DOUBLE END AS chi2_raw
+      FROM agg
+    )
+    SELECT n, n_both_right, n_both_wrong, n01, n10,
+           round(sca::DOUBLE / n::DOUBLE, 9) AS acc_a,
+           round(scb::DOUBLE / n::DOUBLE, 9) AS acc_b,
+           round(chi2_raw, 9) AS chi2,
+           coalesce(chi2_raw > 3.841458820694124, FALSE) AS significant
+    FROM st
+    """,
+)
+def mcnemar_langid_vs_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (operators.evaluation.mcnemar_test): did the
+    stopword-profile lang-ID beat the majority-class baseline (predict
+    'en' always) on per-doc correctness against the stored lang?  Both
+    classifiers are graded on the SAME documents, so their accuracies
+    are correlated and separate error bars overstate uncertainty;
+    McNemar reads only the discordant cells — the categorical sibling of
+    quality_delta_auc_paired.  Four conditional integer counts in one
+    partial-aggregable scan."""
+    from ..operators.evaluation import mcnemar_test
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    flags = predict_lang(docs).select(
+        (F.col("predicted_lang") == F.col("lang")).alias("ca"),
+        (F.col("lang") == F.lit("en")).alias("cb"),
+    )
+    return mcnemar_test(flags, "ca", "cb")
+
+
+@_q(
+    "js_source_lang_divergence",
+    """
+    WITH j AS (
+      SELECT source AS g, lang AS k, count(*) AS o
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    gs AS (SELECT g, sum(o)::BIGINT AS ng FROM j GROUP BY 1),
+    ks AS (SELECT k, sum(o)::BIGINT AS nk FROM j GROUP BY 1),
+    tt AS (SELECT sum(o)::BIGINT AS n FROM j),
+    cells AS (
+      SELECT gs.g, ks.k, gs.ng, ks.nk, tt.n, coalesce(j.o, 0)::BIGINT AS o
+      FROM gs CROSS JOIN ks
+      LEFT JOIN j ON j.g = gs.g AND j.k = ks.k
+      CROSS JOIN tt
+    ),
+    terms AS (
+      SELECT g, ng,
+             CASE WHEN o > 0 THEN CAST(
+               (o::DOUBLE / ng::DOUBLE)
+               * ln((o::DOUBLE / ng::DOUBLE)
+                    / (((o::DOUBLE / ng::DOUBLE)
+                        + (nk::DOUBLE / n::DOUBLE)) / 2.0))
+               AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END AS pt,
+             CAST((nk::DOUBLE / n::DOUBLE)
+                  * ln((nk::DOUBLE / n::DOUBLE)
+                       / (((o::DOUBLE / ng::DOUBLE)
+                           + (nk::DOUBLE / n::DOUBLE)) / 2.0))
+               AS DECIMAL(28,12)) AS qt
+      FROM cells
+    ),
+    agg AS (
+      SELECT g, max(ng) AS nrows, sum(pt) AS sp, sum(qt) AS sq
+      FROM terms GROUP BY 1
+    )
+    SELECT g AS source, nrows::BIGINT AS n,
+           round((sp::DOUBLE + sq::DOUBLE) / 2.0 / 0.6931471805599453, 9)
+             AS jsd_bits
+    FROM agg
+    """,
+)
+def js_source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence (bits) between the source's
+    language distribution and the corpus-wide one
+    (operators.profile.js_divergence_by_group) — the "which crawl skews
+    the mixture" report beside mixture_weights: symmetric, finite by
+    construction, bounded [0,1], so sources and releases compare on one
+    axis.  One (source, lang) count groupBy; the cell grid crosses two
+    broadcast marginal tables, never fact-sized."""
+    from ..operators.profile import js_divergence_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return js_divergence_by_group(docs, key_col="lang", group_col="source")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -690,6 +690,8 @@ QUERY_CASES = [
     # round-8: the end-to-end manifest composition — scales like the sum
     # of its (individually-cased) stages; the checkpoints bound re-scans
     "corpus_build_manifest",
+    # round-8: lang-ID pass + four conditional counts in one partial agg
+    "mcnemar_langid_vs_majority",
 ]
 
 

@@ -651,3 +651,65 @@ def test_bootstrap_mean_ci_grouped_matches_per_group_global(spark):
         with_null, "v", "id", b=15, group_cols=["g"]
     ).collect()
     assert sum(r["n"] for r in rows) == 300
+
+
+def test_mcnemar_test_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import mcnemar_test
+
+    # classic discordant split 5 vs 15: chi2 = (10-1)^2/20 = 4.05 > 3.84
+    rows = (
+        [(True, True)] * 30 + [(False, False)] * 10
+        + [(False, True)] * 5 + [(True, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "ca boolean, cb boolean")
+    r = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert (r["n"], r["n_both_right"], r["n_both_wrong"]) == (60, 30, 10)
+    assert (r["n01"], r["n10"]) == (5, 15)
+    assert r["chi2"] == pytest.approx(81 / 20)
+    assert bool(r["significant"]) is True
+    assert r["acc_a"] == pytest.approx(45 / 60)
+    assert r["acc_b"] == pytest.approx(35 / 60)
+    # balanced discordants: |b-c|-1 clamps at 0 -> chi2 0, not significant
+    bal = spark.createDataFrame(
+        [(True, False)] * 4 + [(False, True)] * 4, "ca boolean, cb boolean"
+    )
+    r = mcnemar_test(bal, "ca", "cb").collect()[0]
+    assert r["chi2"] == 0.0 and bool(r["significant"]) is False
+    # classifiers never disagree: no evidence -> NULL chi2, not significant
+    same = spark.createDataFrame(
+        [(True, True), (False, False)], "ca boolean, cb boolean"
+    )
+    r = mcnemar_test(same, "ca", "cb").collect()[0]
+    assert r["chi2"] is None and bool(r["significant"]) is False
+
+
+def test_js_divergence_by_group_hand_case(spark):
+    from riot_graphs_spark.operators.profile import js_divergence_by_group
+
+    # two disjoint-key groups of equal mass: global is 50/50; hand JSD of
+    # P=(1,0) vs Q=(.5,.5) with M=(.75,.25)
+    rows = [("a", "k1")] * 10 + [("b", "k2")] * 10
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {
+        r["g"]: r for r in js_divergence_by_group(df, "k", "g").collect()
+    }
+    expected = 0.5 * (
+        1.0 * math.log(1.0 / 0.75)
+        + (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))
+    ) / math.log(2)
+    assert got["a"]["n"] == 10 and got["b"]["n"] == 10
+    assert got["a"]["jsd_bits"] == pytest.approx(expected, abs=1e-9)
+    assert got["b"]["jsd_bits"] == pytest.approx(expected, abs=1e-9)
+    assert 0.0 < got["a"]["jsd_bits"] < 1.0
+    # a single group IS the corpus: P = Q -> exactly 0
+    one = spark.createDataFrame(
+        [("a", "k1")] * 3 + [("a", "k2")] * 7, "g string, k string"
+    )
+    r = js_divergence_by_group(one, "k", "g").collect()[0]
+    assert r["jsd_bits"] == 0.0
+    # NULL keys/groups excluded
+    with_null = df.union(
+        spark.createDataFrame([("a", None), (None, "k1")], df.schema)
+    )
+    rows2 = js_divergence_by_group(with_null, "k", "g").collect()
+    assert sum(r["n"] for r in rows2) == 20

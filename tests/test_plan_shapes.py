@@ -885,3 +885,21 @@ def test_corpus_build_manifest_stages_reuse_checkpoints(spark):
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mcnemar_single_partial_agg_no_python(spark):
+    # four conditional counts ride ONE partial-aggregable scan
+    plan = formatted_plan(spark, "mcnemar_langid_vs_majority")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan  # nothing ranks; pure aggregation
+
+
+def test_js_divergence_grid_is_broadcast(spark):
+    # the groups x keys cell grid crosses two BROADCAST marginal tables —
+    # never a fact-sized join side, never a cartesian of facts
+    plan = formatted_plan(spark, "js_source_lang_divergence")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
