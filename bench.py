@@ -306,6 +306,7 @@ HEADLINE = [
     "corpus_build_manifest",
     "mcnemar_langid_vs_majority",
     "js_source_lang_divergence",
+    "doclen_median_bootstrap_ci",
 ]
 
 

@@ -1205,3 +1205,103 @@ def mcnemar_test(
             chi2 > F.lit(chi2_crit), F.lit(False)
         ).alias("significant"),
     )
+
+
+def bootstrap_median_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 40,
+    z: float = Z95,
+) -> DataFrame:
+    """Error bar on the corpus MEDIAN via the deterministic Poisson
+    bootstrap — the robust-location companion to
+    :func:`bootstrap_mean_ci`: a mean CI on a heavy-tailed column (doc
+    length, perplexity) is driven by its tail, while the median moves
+    with the bulk; this puts the error bar on the statistic dashboards
+    actually plot.
+
+    The integer replicate weights slot into a WEIGHTED-median reduction
+    the same way they slot into the rank-sum AUC: the ×B explode reduces
+    into a (replicate, value) weight-sum groupBy, cumulative windows run
+    over the distinct-value axis PARTITIONED BY replicate, and each
+    replicate's median is the first distinct value whose doubled
+    cumulative weight reaches the replicate total (the LOWER weighted
+    median — pure integer comparisons, engine-identical; no midpoint
+    averaging, whose halving would reintroduce float ties).  The
+    observed median uses the identical rule with weight 1, so observed
+    and replicate statistics are the same estimator.
+
+    CI is the normal approximation from exact decimal moments of the
+    replicate medians — for a coarsely-discrete value the replicate
+    medians may all coincide (se 0); that is the honest reading, not an
+    artifact.  Same distinct-value-axis caveat as :func:`roc_auc`.
+
+    Output: one row — ``(n bigint, median double, se_boot double,
+    ci_lo double, ci_hi double)``.
+    """
+    if b < 2:
+        raise ValueError("need b >= 2 replicates")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"), v.alias("_v")
+    )
+    rep = base.select(
+        "_id", "_v", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r")
+    )
+    w = _poisson_weight(F.col("_id"), F.col("_r"))
+    counts = (
+        rep.select("_r", "_v", w.alias("_w"))
+        .groupBy("_r", "_v")
+        .agg(F.sum("_w").alias("_nw"))
+        .filter(F.col("_nw") > 0)
+    )
+    w_cum = (
+        Window.partitionBy("_r")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("_r")
+    c = counts.withColumn("_cum", F.sum("_nw").over(w_cum)).withColumn(
+        "_tot", F.sum("_nw").over(w_tot)
+    )
+    med_r = (
+        c.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("_r")
+        .agg(F.min("_v").alias("_m"))
+        .select(F.col("_m").cast("decimal(28,12)").alias("_m"))
+    )
+    md = F.col("_m").cast("double")
+    boot = med_r.agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("_m").alias("_sm"),
+        F.sum((md * md).cast("decimal(38,12)")).alias("_smm"),
+    )
+    ocounts = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_nw"))
+    ow_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ow_tot = Window.partitionBy()
+    oc = ocounts.withColumn("_cum", F.sum("_nw").over(ow_cum)).withColumn(
+        "_tot", F.sum("_nw").over(ow_tot)
+    )
+    obs = (
+        oc.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .agg(
+            F.max("_tot").alias("n"),
+            F.round(F.min("_v").cast("double"), 9).alias("median"),
+        )
+    )
+    bn = F.col("_bn").cast("double")
+    var = (
+        bn * F.col("_smm").cast("double")
+        - F.col("_sm").cast("double") * F.col("_sm").cast("double")
+    ) / (bn * (bn - F.lit(1.0)))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return obs.crossJoin(F.broadcast(boot)).select(
+        F.col("n").cast("long").alias("n"),
+        "median",
+        F.round(se, 9).alias("se_boot"),
+        F.round(F.col("median") - F.lit(z) * se, 9).alias("ci_lo"),
+        F.round(F.col("median") + F.lit(z) * se, 9).alias("ci_hi"),
+    )

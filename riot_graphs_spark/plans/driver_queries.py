@@ -11733,6 +11733,88 @@ def js_source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_by_group(docs, key_col="lang", group_col="source")
 
 
+_BOOT_SE = """sqrt(greatest(
+             (CAST(bn AS DOUBLE) * CAST(smm AS DOUBLE)
+              - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+             / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)),
+             0.0))"""
+
+
+@_q(
+    "doclen_median_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, n_chars::DOUBLE AS v
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    rep AS (
+      SELECT id, v, r
+      FROM base CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)
+    ),
+    wt AS (
+      SELECT r, v, CASE {_BOOT_CASE} ELSE 6 END AS w
+      FROM (
+        SELECT r, v,
+               ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+                 ::BIGINT AS h
+        FROM rep
+      )
+    ),
+    counts AS (
+      SELECT r, v, sum(w) AS nw FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    cum AS (
+      SELECT r, v,
+             sum(nw) OVER (PARTITION BY r ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(nw) OVER (PARTITION BY r) AS tot
+      FROM counts
+    ),
+    medr AS (
+      SELECT CAST(min(v) AS DECIMAL(28,12)) AS m
+      FROM cum WHERE 2 * cum >= tot GROUP BY r
+    ),
+    boot AS (
+      SELECT count(*) AS bn, sum(m) AS sm,
+             sum(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   AS DECIMAL(38,12))) AS smm
+      FROM medr
+    ),
+    oc AS (SELECT v, count(*) AS nw FROM base GROUP BY 1),
+    ocum AS (
+      SELECT v,
+             sum(nw) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(nw) OVER () AS tot
+      FROM oc
+    ),
+    obs AS (
+      SELECT max(tot)::BIGINT AS n, round(CAST(min(v) AS DOUBLE), 9)
+               AS median
+      FROM ocum WHERE 2 * cum >= tot
+    )
+    SELECT n, median,
+           round({_BOOT_SE}, 9) AS se_boot,
+           round(median - {Z95!r} * {_BOOT_SE}, 9) AS ci_lo,
+           round(median + {Z95!r} * {_BOOT_SE}, 9) AS ci_hi
+    FROM obs CROSS JOIN boot
+    """,
+)
+def doclen_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI on the MEDIAN document length
+    (operators.evaluation.bootstrap_median_ci, B=40) — the robust-
+    location error bar: doc length is heavy-tailed, so the mean CI is
+    tail-driven while the median tracks the bulk.  Replicate weights are
+    the same deterministic md5-Poisson multiplicities as the mean/AUC
+    bootstraps; each replicate's median is a pure-integer weighted lower
+    median over the distinct-length axis partitioned by replicate."""
+    from ..operators.evaluation import bootstrap_median_ci
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("len_chars")
+    )
+    return bootstrap_median_ci(docs, "len_chars", "doc_id", b=_BOOT_B)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

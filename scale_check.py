@@ -692,6 +692,9 @@ QUERY_CASES = [
     "corpus_build_manifest",
     # round-8: lang-ID pass + four conditional counts in one partial agg
     "mcnemar_langid_vs_majority",
+    # round-8: xB explode -> (replicate, value) weight sums -> per-
+    # replicate distinct-value windows (the median twin of the AUC case)
+    "doclen_median_bootstrap_ci",
 ]
 
 

@@ -713,3 +713,35 @@ def test_js_divergence_by_group_hand_case(spark):
     )
     rows2 = js_divergence_by_group(with_null, "k", "g").collect()
     assert sum(r["n"] for r in rows2) == 20
+
+
+def test_bootstrap_median_ci_deterministic_and_sane(spark):
+    from riot_graphs_spark.operators.evaluation import bootstrap_median_ci
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 101)) for i in range(501)],
+        "id bigint, v double",
+    )
+    r1 = bootstrap_median_ci(df, "v", "id", b=20).collect()[0]
+    r2 = bootstrap_median_ci(df, "v", "id", b=20).collect()[0]
+    assert r1 == r2  # hash-drawn replicates: bit-identical
+    assert r1["n"] == 501
+    # 0..100 spread ~uniformly: observed lower median is the exact 50.0
+    assert r1["median"] == 50.0
+    assert r1["se_boot"] > 0.0
+    assert r1["ci_lo"] <= r1["median"] <= r1["ci_hi"]
+    # constant column: every replicate median identical -> se exactly 0
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(100)], "id bigint, v double"
+    )
+    r = bootstrap_median_ci(const, "v", "id", b=10).collect()[0]
+    assert r["median"] == 7.0 and r["se_boot"] == 0.0
+    assert r["ci_lo"] == 7.0 and r["ci_hi"] == 7.0
+    # lower-median rule on an even count: first value reaching half
+    even = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "id bigint, v double"
+    )
+    r = bootstrap_median_ci(even, "v", "id", b=5).collect()[0]
+    assert r["median"] == 2.0  # 2*cum(2.0)=4 >= tot=4 -> lower median
+    with pytest.raises(ValueError):
+        bootstrap_median_ci(df, "v", "id", b=1)

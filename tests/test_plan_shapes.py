@@ -903,3 +903,12 @@ def test_js_divergence_grid_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_median_bootstrap_partitioned_windows(spark):
+    # xB explode reduces through a partial aggregate; median windows are
+    # PARTITIONED by replicate — nothing global, no Python
+    plan = formatted_plan(spark, "doclen_median_bootstrap_ci")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
