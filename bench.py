@@ -307,6 +307,8 @@ HEADLINE = [
     "mcnemar_langid_vs_majority",
     "js_source_lang_divergence",
     "doclen_median_bootstrap_ci",
+    "vocab_coverage_curve",
+    "mixture_ess_uniform",
 ]
 
 

@@ -972,3 +972,73 @@ def quantile_normalize(
         F.col("_vp").alias(out_col),
     )
     return df.join(mapping, [*gcols, value_col], "left")
+
+
+def mixture_effective_sample_size(
+    df: DataFrame,
+    strata_col: str = "lang",
+    target_shares: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Effective sample size of a reweighted mixture — the cost readout
+    for :func:`mixture_weights`: upweighting rare strata toward a target
+    mix makes a few rows carry outsized weight, and
+
+        ESS = (Σᵢ wᵢ)² / Σᵢ wᵢ²    (Kish)
+
+    says how many EQUALLY-weighted rows the weighted corpus is worth.
+    ``ess_ratio`` = ESS/n is the fraction of the corpus the mixture
+    actually uses — a 0.3 means the uniform-target remix threw away 70%
+    of the data's statistical power, the number to look at before
+    deciding to upsample instead.
+
+    Per-row weights are constant within a stratum, so both sums collapse
+    onto the strata axis: ``Σw = Σ_s n_s·w_s``, ``Σw² = Σ_s n_s·w_s²``
+    — one partial-aggregable count groupBy, everything after runs on the
+    |strata|-row table (window total, per-stratum weight, two quantized
+    decimal sums).  NULL strata are excluded.
+
+    Output: one row — ``(n bigint, n_strata bigint, ess double,
+    ess_ratio double)``.
+    """
+    keep = F.col(strata_col).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_ns"))
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("_ns").over(w_all)
+    if target_shares is None:
+        target = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
+    else:
+        target = F.lit(None).cast("double")
+        for stratum, share in sorted(target_shares.items()):
+            target = F.when(
+                F.col(strata_col) == stratum, F.lit(float(share))
+            ).otherwise(target)
+    ws = target / (F.col("_ns").cast("double") / total.cast("double"))
+    dec = "decimal(28,12)"
+    c = counts.select(
+        F.col("_ns"),
+        total.alias("_n"),
+        (F.col("_ns").cast("double") * ws).cast(dec).alias("_sw"),
+        (F.col("_ns").cast("double") * ws * ws).cast(dec).alias("_sww"),
+    )
+    agg = c.agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("_sw").alias("_tw"),
+        F.sum("_sww").alias("_tww"),
+    )
+    ess = F.try_divide(
+        F.col("_tw").cast("double") * F.col("_tw").cast("double"),
+        F.col("_tww").cast("double"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.round(ess, 9).alias("ess"),
+        F.round(
+            F.try_divide(ess, F.col("n").cast("double")), 9
+        ).alias("ess_ratio"),
+    )

@@ -8,7 +8,7 @@ common subset of Java regex (Spark) and RE2 (DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -707,3 +707,66 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             9,
         ).alias("hapax_ratio"),
     )
+
+
+def vocabulary_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    percents: tuple[int, ...] = (50, 75, 90, 99),
+) -> DataFrame:
+    """Vocabulary coverage curve: how many distinct token TYPES (taken
+    most-frequent-first) cover each target share of the corpus's token
+    mass — the table a tokenizer-vocab-size or stopword-list decision is
+    made on ("1.2k types cover 90% of tokens; the remaining 840k types
+    are the last 10%").
+
+    Exactness: integer token counts end-to-end; each threshold is the
+    exact rational test ``100·cum ≥ p·total`` (never a float share
+    compare).  Ties in frequency break by token text ascending, so the
+    rank axis is deterministic in both engines.
+
+    Plan: one corpus-sized explode→count groupBy onto the VOCAB axis,
+    then rank/cumulative windows over the distinct-type axis only (the
+    roc_auc caveat holds: the vocab axis, not the corpus, is the
+    windowed population — bounded by distinct types, and a 100 TB corpus
+    still has a dictionary-sized vocabulary) and ONE conditional
+    aggregate emitting all thresholds from the same pass.
+
+    Output: one row per requested percent — ``(coverage_pct int,
+    k_types bigint, vocab_size bigint, total_tokens bigint)``.
+    """
+    if not percents or any(not 0 < p <= 100 for p in percents):
+        raise ValueError("percents must be in (0, 100]")
+    toks = docs.select(F.explode(tokens(text_col)).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    w_rank = Window.orderBy(F.desc("_n"), F.asc("_t"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        counts.withColumn("_k", F.row_number().over(w_rank))
+        .withColumn("_cum", F.sum("_n").over(w_cum))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+    )
+    one = c.agg(
+        F.count(F.lit(1)).alias("_vocab"),
+        F.max("_tot").alias("_tot"),
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum")
+                    >= F.lit(int(p)) * F.col("_tot"),
+                    F.col("_k"),
+                )
+            ).alias(f"_k{i}")
+            for i, p in enumerate(percents)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(int(p)).alias("coverage_pct"),
+            F.col(f"_k{i}").cast("long").alias("k_types"),
+            F.col("_vocab").cast("long").alias("vocab_size"),
+            F.col("_tot").cast("long").alias("total_tokens"),
+        )
+        for i, p in enumerate(percents)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

@@ -11815,6 +11815,93 @@ def doclen_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_median_ci(docs, "len_chars", "doc_id", b=_BOOT_B)
 
 
+@_q(
+    "vocab_coverage_curve",
+    f"""
+    WITH t AS (
+      SELECT unnest({_DUCK_WORDS}) AS tok FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    r AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok ASC) AS k,
+             sum(n) OVER (ORDER BY n DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot,
+             count(*) OVER () AS vocab
+      FROM c
+    ),
+    agg AS (
+      SELECT max(vocab)::BIGINT AS vocab_size,
+             max(tot)::BIGINT AS total_tokens,
+             min(CASE WHEN 100 * cum >= 50 * tot THEN k END)::BIGINT AS k50,
+             min(CASE WHEN 100 * cum >= 75 * tot THEN k END)::BIGINT AS k75,
+             min(CASE WHEN 100 * cum >= 90 * tot THEN k END)::BIGINT AS k90,
+             min(CASE WHEN 100 * cum >= 99 * tot THEN k END)::BIGINT AS k99
+      FROM r
+    )
+    SELECT 50 AS coverage_pct, k50 AS k_types, vocab_size, total_tokens
+    FROM agg
+    UNION ALL
+    SELECT 75, k75, vocab_size, total_tokens FROM agg
+    UNION ALL
+    SELECT 90, k90, vocab_size, total_tokens FROM agg
+    UNION ALL
+    SELECT 99, k99, vocab_size, total_tokens FROM agg
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators.textstats.vocabulary_coverage):
+    distinct token types, most-frequent-first, needed to cover 50/75/90/
+    99% of the corpus's token mass — the tokenizer-vocab-size / stopword
+    budget table.  Exact rational threshold tests (100·cum ≥ p·total),
+    frequency ties broken by token text; windows run over the VOCAB
+    axis, never the corpus."""
+    from ..operators.textstats import vocabulary_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_coverage(docs, percents=(50, 75, 90, 99))
+
+
+@_q(
+    "mixture_ess_uniform",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS ns FROM documents
+      WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT ns, sum(ns) OVER () AS n,
+             (1.0 / count(*) OVER ())
+             / (ns::DOUBLE / (sum(ns) OVER ())::DOUBLE) AS ws
+      FROM c
+    ),
+    q AS (
+      SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS n_strata,
+             sum(CAST(ns::DOUBLE * ws AS DECIMAL(28,12))) AS tw,
+             sum(CAST(ns::DOUBLE * ws * ws AS DECIMAL(28,12))) AS tww
+      FROM w
+    )
+    SELECT n, n_strata,
+           round(tw::DOUBLE * tw::DOUBLE / tww::DOUBLE, 9) AS ess,
+           round(tw::DOUBLE * tw::DOUBLE / tww::DOUBLE / n::DOUBLE, 9)
+             AS ess_ratio
+    FROM q
+    """,
+)
+def mixture_ess_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the uniform-target lang remix
+    (operators.curation.mixture_effective_sample_size) — the cost
+    readout beside mixture_weights: ess_ratio is the fraction of the
+    corpus's statistical power the reweighting keeps; a low ratio says
+    upsample (or temper) instead of hard-reweighting.  One count
+    groupBy; everything else runs on the |strata|-row table."""
+    from ..operators.curation import mixture_effective_sample_size
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_effective_sample_size(docs, strata_col="lang")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -745,3 +745,67 @@ def test_bootstrap_median_ci_deterministic_and_sane(spark):
     assert r["median"] == 2.0  # 2*cum(2.0)=4 >= tot=4 -> lower median
     with pytest.raises(ValueError):
         bootstrap_median_ci(df, "v", "id", b=1)
+
+
+def test_vocabulary_coverage_hand_case(spark):
+    from riot_graphs_spark.operators.textstats import vocabulary_coverage
+
+    # a:4 b:3 c:2 d:1 (total 10): cum shares 40/70/90/100
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b c d",)], "text string"
+    )
+    got = {
+        r["coverage_pct"]: r
+        for r in vocabulary_coverage(df, percents=(40, 50, 90, 100))
+        .collect()
+    }
+    assert got[40]["k_types"] == 1   # a alone covers exactly 40%
+    assert got[50]["k_types"] == 2   # a+b = 70% is the first >= 50%
+    assert got[90]["k_types"] == 3   # a+b+c = 90% exactly
+    assert got[100]["k_types"] == 4
+    assert all(
+        (r["vocab_size"], r["total_tokens"]) == (4, 10)
+        for r in got.values()
+    )
+    # frequency tie breaks by token text: y and z both 2x -> y ranks first
+    tie = spark.createDataFrame([("z y z y x",)], "text string")
+    r = {
+        x["coverage_pct"]: x
+        for x in vocabulary_coverage(tie, percents=(40,)).collect()
+    }
+    assert r[40]["k_types"] == 1  # y (2/5 = 40%) suffices
+    with pytest.raises(ValueError):
+        vocabulary_coverage(df, percents=())
+    with pytest.raises(ValueError):
+        vocabulary_coverage(df, percents=(0,))
+
+
+def test_mixture_effective_sample_size_hand_case(spark):
+    from riot_graphs_spark.operators.curation import (
+        mixture_effective_sample_size,
+    )
+
+    # balanced strata under a uniform target: every weight 1 -> ESS = n
+    bal = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 10, "g string"
+    )
+    r = mixture_effective_sample_size(bal, "g").collect()[0]
+    assert (r["n"], r["n_strata"]) == (20, 2)
+    assert r["ess"] == pytest.approx(20.0) and r["ess_ratio"] == 1.0
+    # 90/10 split, uniform target: ESS = S^2 / sum(1/n_s)
+    skew = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "g string"
+    )
+    r = mixture_effective_sample_size(skew, "g").collect()[0]
+    expected = 4.0 / (1 / 90 + 1 / 10)  # = S^2 / sum(1/n_s) = 36
+    assert r["ess"] == pytest.approx(expected, rel=1e-9)
+    assert r["ess_ratio"] == pytest.approx(expected / 100, rel=1e-9)
+    # explicit target matching the actual mix: weights 1 -> ESS = n
+    r = mixture_effective_sample_size(
+        skew, "g", target_shares={"a": 0.9, "b": 0.1}
+    ).collect()[0]
+    assert r["ess"] == pytest.approx(100.0)
+    # NULL strata excluded
+    with_null = skew.union(spark.createDataFrame([(None,)], "g string"))
+    r = mixture_effective_sample_size(with_null, "g").collect()[0]
+    assert r["n"] == 100

@@ -912,3 +912,12 @@ def test_median_bootstrap_partitioned_windows(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_windows_after_partial_agg(spark):
+    # the corpus explode reduces through a partial count BEFORE any
+    # window — ranks/cumsums run on the vocab axis only
+    plan = formatted_plan(spark, "vocab_coverage_curve")
+    assert re.search(r"partial_count", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
