@@ -309,6 +309,7 @@ HEADLINE = [
     "doclen_median_bootstrap_ci",
     "vocab_coverage_curve",
     "mixture_ess_uniform",
+    "perm_test_user_value",
 ]
 
 

@@ -1305,3 +1305,143 @@ def bootstrap_median_ci(
         F.round(F.col("median") - F.lit(z) * se, 9).alias("ci_lo"),
         F.round(F.col("median") + F.lit(z) * se, 9).alias("ci_hi"),
     )
+
+
+def randomization_mean_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    b: int = 200,
+) -> DataFrame:
+    """Deterministic randomization (permutation) test on the difference
+    of MEANS between two arms — the continuous-metric companion to
+    :func:`ab_proportion_test`'s closed-form rate test: a per-user spend
+    / latency / token-count metric has no tidy pooled-variance formula,
+    but under H0 the arm label is arbitrary, so re-drawing labels and
+    reading where the observed difference falls in the re-drawn
+    distribution IS the test, assumption-free.
+
+    Re-labeling is the md5 parity bit of ``(id, replicate)`` — a fresh
+    50/50 Bernoulli assignment per replicate, which matches the
+    hash-split design of the experiments this grades (the null is
+    "assignment was an arbitrary hash", re-drawing hashes samples
+    exactly that null); deterministic, so the p-value is hash-checkable
+    and identical across engines and cluster runs.  The p-value carries
+    the standard +1 correction (the observed assignment is itself one
+    draw): ``p = (1 + #{|d_r| ≥ |d_obs|}) / (B + 1)``.
+
+    Exactness: per-(replicate, arm) sums ride ``decimal(28,12)``; each
+    replicate's mean difference (and the observed one) is quantized to
+    decimal BEFORE the ≥ comparison, so the tail count — the one place a
+    last-ulp float wobble could flip a row — compares exact decimals.
+    The ×B explode reduces straight into a (replicate, arm) partial
+    aggregate; nothing is corpus-sized after it.  Exactly two non-NULL
+    arms are required (raise otherwise is impossible lazily — a
+    different arm count yields NULL d_obs and p_value via the strict
+    two-arm pivot).
+
+    Output: one row — ``(n_a bigint, n_b bigint, mean_a double,
+    mean_b double, d_obs double, b int, n_ge bigint, p_value double)``
+    with arms ordered by group value ascending (a < b).
+    """
+    if b < 1:
+        raise ValueError("need b >= 1 replicates")
+    dec = "decimal(28,12)"
+    keep = (
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    base = df.filter(keep).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    arms = (
+        base.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast(dec)).alias("_s"),
+        )
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+    )
+    a = arms.filter(F.col("_rk") == 1).select(
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa")
+    )
+    bb = arms.filter(F.col("_rk") == 2).select(
+        F.col("_n").alias("n_b"), F.col("_s").alias("_sb")
+    )
+    mean_a = F.try_divide(
+        F.col("_sa").cast("double"), F.col("n_a").cast("double")
+    )
+    mean_b = F.try_divide(
+        F.col("_sb").cast("double"), F.col("n_b").cast("double")
+    )
+    obs = a.crossJoin(F.broadcast(bb)).select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 9).alias("mean_a"),
+        F.round(mean_b, 9).alias("mean_b"),
+        (mean_a - mean_b).cast(dec).alias("_dobs"),
+    )
+    rep = base.select(
+        "_id", "_v", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r")
+    )
+    # parity bit of the same 14-hex md5 integer the Poisson weights use
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("_id"), F.col("_r"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = (
+        rep.select("_r", "_v", (h % 2).alias("_arm"))
+        .groupBy("_r")
+        .agg(
+            F.sum(F.when(F.col("_arm") == 0, F.col("_v").cast(dec))).alias(
+                "_s0"
+            ),
+            F.sum(
+                F.when(F.col("_arm") == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("_n0"),
+            F.sum(F.when(F.col("_arm") == 1, F.col("_v").cast(dec))).alias(
+                "_s1"
+            ),
+            F.sum(
+                F.when(F.col("_arm") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("_n1"),
+        )
+    )
+    d_r = (
+        F.try_divide(F.col("_s0").cast("double"), F.col("_n0").cast("double"))
+        - F.try_divide(
+            F.col("_s1").cast("double"), F.col("_n1").cast("double")
+        )
+    ).cast(dec)
+    deltas = per.select(d_r.alias("_d")).filter(F.col("_d").isNotNull())
+    return obs.crossJoin(
+        F.broadcast(
+            deltas.crossJoin(F.broadcast(obs.select("_dobs"))).agg(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("_d")) >= F.abs(F.col("_dobs")), 1
+                    ).otherwise(0)
+                ).alias("n_ge")
+            )
+        )
+    ).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("_dobs").cast("double"), 9).alias("d_obs"),
+        F.lit(int(b)).alias("b"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round(
+            (F.lit(1) + F.col("n_ge")).cast("double")
+            / F.lit(float(b + 1)),
+            9,
+        ).alias("p_value"),
+    )

@@ -11902,6 +11902,104 @@ def mixture_ess_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_effective_sample_size(docs, strata_col="lang")
 
 
+_PERM_B = 200
+
+
+@_q(
+    "perm_test_user_value",
+    f"""
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS id,
+             CAST(user_id % 2 AS VARCHAR) AS g,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+               AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT g, count(*) AS n, sum(CAST(v AS DECIMAL(28,12))) AS s
+      FROM u GROUP BY 1
+    ),
+    aa AS (SELECT n AS n_a, s AS sa FROM arms WHERE g = '0'),
+    bb AS (SELECT n AS n_b, s AS sb FROM arms WHERE g = '1'),
+    obs AS (
+      SELECT n_a, n_b,
+             round(CAST(sa AS DOUBLE) / n_a, 9) AS mean_a,
+             round(CAST(sb AS DOUBLE) / n_b, 9) AS mean_b,
+             CAST(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b
+               AS DECIMAL(28,12)) AS dobs
+      FROM aa CROSS JOIN bb
+    ),
+    rep AS (
+      SELECT id, v, r
+      FROM u CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS r)
+    ),
+    relab AS (
+      SELECT r, v,
+             ('0x' || substr(md5(id || chr(31) || r::VARCHAR), 1, 14))
+               ::BIGINT % 2 AS arm
+      FROM rep
+    ),
+    per AS (
+      SELECT r,
+             sum(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(28,12)) END)
+               AS s0,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(28,12)) END)
+               AS s1,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+      FROM relab GROUP BY 1
+    ),
+    deltas AS (
+      SELECT CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                  ELSE CAST(CAST(s0 AS DOUBLE) / n0
+                            - CAST(s1 AS DOUBLE) / n1
+                         AS DECIMAL(28,12)) END AS d
+      FROM per
+    ),
+    tail AS (
+      SELECT sum(CASE WHEN abs(d) >= abs(obs.dobs) THEN 1 ELSE 0 END)
+               ::BIGINT AS n_ge
+      FROM deltas CROSS JOIN obs WHERE d IS NOT NULL
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           round(CAST(dobs AS DOUBLE), 9) AS d_obs,
+           {_PERM_B} AS b, n_ge,
+           round((1 + n_ge)::DOUBLE / {_PERM_B + 1}.0, 9) AS p_value
+    FROM obs CROSS JOIN tail
+    """,
+)
+def perm_test_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test on the per-user mean event value
+    between the parity arms (operators.evaluation.randomization_mean_test,
+    B=200) — the continuous-metric companion to ab_purchase_rate_test:
+    no pooled-variance formula, just re-drawn md5 label assignments and
+    the rank of the observed difference among them.  Unit of analysis is
+    the USER (pre-aggregated mean per user); replicate deltas and the
+    observed delta compare as exact decimals so the tail count is
+    hash-stable."""
+    from ..operators.evaluation import randomization_mean_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("string").alias("arm"),
+        "v",
+    )
+    return randomization_mean_test(
+        users, "v", "arm", "user_id", b=_PERM_B
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

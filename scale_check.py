@@ -695,6 +695,9 @@ QUERY_CASES = [
     # round-8: xB explode -> (replicate, value) weight sums -> per-
     # replicate distinct-value windows (the median twin of the AUC case)
     "doclen_median_bootstrap_ci",
+    # round-8: user-level pre-agg then xB relabel explode into a
+    # (replicate, arm) partial aggregate — nothing corpus-sized after
+    "perm_test_user_value",
 ]
 
 

@@ -809,3 +809,33 @@ def test_mixture_effective_sample_size_hand_case(spark):
     with_null = skew.union(spark.createDataFrame([(None,)], "g string"))
     r = mixture_effective_sample_size(with_null, "g").collect()[0]
     assert r["n"] == 100
+
+
+def test_randomization_mean_test_null_and_effect(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        randomization_mean_test,
+    )
+
+    # value independent of arm: p should be comfortably non-significant
+    null_df = spark.createDataFrame(
+        [(i, str(i % 2), float((i * 13) % 50)) for i in range(400)],
+        "id bigint, g string, v double",
+    )
+    r1 = randomization_mean_test(null_df, "v", "g", "id", b=50).collect()[0]
+    r2 = randomization_mean_test(null_df, "v", "g", "id", b=50).collect()[0]
+    assert r1 == r2  # md5 relabelings: bit-identical
+    assert (r1["n_a"], r1["n_b"], r1["b"]) == (200, 200, 50)
+    assert r1["p_value"] > 0.05
+    assert r1["p_value"] == pytest.approx((1 + r1["n_ge"]) / 51)
+    # a 10-point arm shift no relabeling reproduces: minimum p = 1/(B+1)
+    eff = spark.createDataFrame(
+        [(i, "0", 10.0 + (i % 3)) for i in range(200)]
+        + [(200 + i, "1", 20.0 + (i % 3)) for i in range(200)],
+        "id bigint, g string, v double",
+    )
+    r = randomization_mean_test(eff, "v", "g", "id", b=50).collect()[0]
+    assert r["n_ge"] == 0 and r["p_value"] == pytest.approx(1 / 51)
+    assert r["d_obs"] == pytest.approx(-10.0)
+    assert r["mean_a"] == pytest.approx(10.995)
+    with pytest.raises(ValueError):
+        randomization_mean_test(eff, "v", "g", "id", b=0)

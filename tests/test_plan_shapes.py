@@ -921,3 +921,12 @@ def test_vocab_coverage_windows_after_partial_agg(spark):
     assert re.search(r"partial_count", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perm_test_partial_agg_no_python(spark):
+    # the xB relabel explode reduces straight into a (replicate, arm)
+    # partial aggregate; no Python, no cartesian of facts
+    plan = formatted_plan(spark, "perm_test_user_value")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
