@@ -310,6 +310,8 @@ HEADLINE = [
     "vocab_coverage_curve",
     "mixture_ess_uniform",
     "perm_test_user_value",
+    "text_readability",
+    "contamination_rate_by_source",
 ]
 
 

@@ -770,3 +770,60 @@ def vocabulary_coverage(
         for i, p in enumerate(percents)
     ]
     return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document — the readability axis of corpus
+    quality the length/stopword composite (:func:`quality_score`)
+    doesn't see: two docs with identical token stats can sit at opposite
+    ends of the sentence-complexity scale, and readability is a standard
+    pretraining-filter feature (e.g. textbook-style selection).
+
+        FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with regex structure counts, not a linguistic parser (the corpus-
+    scale convention): sentences = runs of ``[.!?]+`` (min 1 so a
+    fragment still scores), syllables = vowel-group runs ``[aeiouy]+``
+    per word (min 1 per word — "rhythm" has no vowel letter but one
+    spoken syllable).  All counts are exact integers from row-local
+    regex/array ops — zero shuffles, whole-stage codegen; the formula is
+    one double expression at the end, rounded to 6.
+
+    Output: ``(doc_id, n_words bigint, n_sentences bigint, n_syllables
+    bigint, flesch double)`` — NULL flesch for a wordless doc (via
+    ``try_divide``).
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+    ).cast("long")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+        ),
+    )
+    wd, sd = n_words.cast("double"), n_sent.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / sd)
+        - F.lit(84.6) * F.try_divide(syl.cast("double"), wd)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.when(n_words > 0, syl).otherwise(F.lit(0)).cast("long").alias(
+            "n_syllables"
+        ),
+        F.round(
+            F.when(n_words > 0, flesch), 6
+        ).alias("flesch"),
+    )

@@ -12000,6 +12000,101 @@ def perm_test_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_readability",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks,
+                       w -> greatest(1,
+                            len(regexp_extract_all(w, '[aeiouy]+')))))
+                  ELSE 0 END::BIGINT AS n_syllables
+      FROM t
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                   - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+           END AS flesch
+    FROM s
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document
+    (operators.textstats.readability_scores) — the sentence-complexity
+    quality axis the length/stopword composite doesn't see; regex
+    structure counts (sentence runs, vowel-group syllables), row-local
+    and shuffle-free."""
+    from ..operators.textstats import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_scores(docs)
+
+
+@_q(
+    "contamination_rate_by_source",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+    grams AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM docs),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0),
+    shared AS (
+      SELECT tr.doc_id, count(*) AS ns
+      FROM tr JOIN ev USING (g) GROUP BY 1
+    )
+    SELECT d.source, count(*)::BIGINT AS n_train,
+           sum(CASE WHEN coalesce(s.ns, 0) >= 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(sum(CASE WHEN coalesce(s.ns, 0) >= 5 THEN 1 ELSE 0 END)
+                   ::DOUBLE / count(*)::DOUBLE, 9) AS rate
+    FROM documents d LEFT JOIN shared s USING (doc_id)
+    WHERE d.doc_id % 97 != 0
+    GROUP BY d.source
+    """,
+)
+def contamination_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source benchmark-contamination audit — which crawl leaks the
+    eval split (operators.curation.contamination_check aggregated per
+    source): the provenance question the boolean removal step
+    (decontaminated_corpus) answers doc-by-doc, reported at the level a
+    source-inclusion decision is made.  Broadcast eval n-grams, one
+    train-side scan, one count groupBy per source."""
+    from ..operators.curation import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = contamination_check(
+        train, docs.filter(F.col("doc_id") % 97 == 0), threshold=5
+    ).select("doc_id", "contaminated")
+    return (
+        train.select("doc_id", "source")
+        .join(flags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("contaminated"), 1).otherwise(0)
+            ).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("rate"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -698,6 +698,8 @@ QUERY_CASES = [
     # round-8: user-level pre-agg then xB relabel explode into a
     # (replicate, arm) partial aggregate — nothing corpus-sized after
     "perm_test_user_value",
+    # round-8: broadcast eval n-grams + one train scan + source groupBy
+    "contamination_rate_by_source",
 ]
 
 

@@ -1349,3 +1349,51 @@ def test_quantile_normalize_equal_ranks_get_equal_values(spark):
         quantile_normalize(
             df.withColumn("score_qn", F.lit(0.0)), "score", ["source"]
         )
+
+
+def test_readability_scores_hand_case(spark):
+    from riot_graphs_spark.operators.textstats import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The cat ran!"),   # 6 words, 2 sentences
+         (2, ""),                              # wordless
+         (3, "rhythm")],                       # no vowel letter -> 1 syl
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (6, 2)
+    # the, cat, sat, the, cat, ran: one vowel group each
+    assert r1["n_syllables"] == 6
+    assert r1["flesch"] == pytest.approx(
+        round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    )
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (0, 1, 0)
+    assert r2["flesch"] is None
+    # vowel-less word still counts one spoken syllable
+    assert rows[3]["n_syllables"] == 1
+
+
+def test_contamination_rate_query_consistency(spark):
+    # per-source rates must re-aggregate to the doc-level flags
+    from riot_graphs_spark.operators.curation import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2),
+          "alpha beta gamma delta" if i % 3 == 0 else "zeta eta theta iota")
+         for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    flags = contamination_check(train, ev, threshold=1)
+    joined = train.join(flags, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias("c"),
+    )
+    rows = {r["source"]: r for r in joined.collect()}
+    total_c = sum(r["c"] for r in rows.values())
+    # every train doc shares all its 3-grams with some eval doc here
+    # (both text variants appear in the eval split) -> all contaminated
+    assert total_c == sum(r["n"] for r in rows.values())

@@ -930,3 +930,18 @@ def test_perm_test_partial_agg_no_python(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_rate_broadcasts_eval_grams(spark):
+    # the eval n-gram side must broadcast into the train-side explode
+    plan = formatted_plan(spark, "contamination_rate_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+
+
+def test_readability_rowlocal_no_shuffle(spark):
+    # pure row-local regex/array math: zero exchanges, zero Python
+    plan = formatted_plan(spark, "text_readability")
+    assert shuffle_count(plan) == 0
+    assert "EvalPython" not in plan
