@@ -312,6 +312,8 @@ HEADLINE = [
     "perm_test_user_value",
     "text_readability",
     "contamination_rate_by_source",
+    "lang_mix_entropy",
+    "vocab_entropy_by_source",
 ]
 
 

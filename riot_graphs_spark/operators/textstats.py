@@ -827,3 +827,117 @@ def readability_scores(
             F.when(n_words > 0, flesch), 6
         ).alias("flesch"),
     )
+
+
+def lang_mix_entropy(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document language-mix entropy — the code-switching detector:
+    :func:`predict_lang` commits to ONE language, but a doc whose
+    stopword-profile hits split evenly across languages is mixed (or
+    template noise), and that is a data-quality signal of its own
+    (mixed docs poison per-lang mixtures and lang-conditioned training).
+
+    Entropy (bits) of the normalized per-language profile-hit counts:
+    0 = all hits in one language, log2(|langs|) = perfectly mixed;
+    ``top_share`` gives the same reading on a linear scale.  Docs with
+    ZERO profile hits (numeric noise, unprofiled languages) get NULL
+    entropy — explicitly distinguishable from confidently-single-lang 0.
+
+    Row-local end-to-end: the per-lang counts come from the same
+    higher-order-filter pass predict_lang runs, the entropy fold is a
+    Python-side sum over the |langs| count columns — zero shuffles,
+    whole-stage codegen, no Python UDF.
+
+    Output: ``(doc_id, n_profile_hits bigint, predicted_lang string,
+    top_share double, mix_entropy_bits double)``.
+    """
+    import math
+
+    with_scores = predict_lang(docs.select("doc_id", text_col))
+    langs = sorted(LANG_PROFILES)
+    cols = [F.col(f"score_{lang}") for lang in langs]
+    tot = cols[0].cast("long")
+    for c in cols[1:]:
+        tot = tot + c.cast("long")
+    top = F.greatest(*cols).cast("long")
+    ent = F.lit(0.0)
+    for c in cols:
+        p = c.cast("double") / tot.cast("double")
+        ent = ent + F.when(c > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+    return with_scores.select(
+        "doc_id",
+        tot.alias("n_profile_hits"),
+        "predicted_lang",
+        F.round(
+            F.when(tot > 0, top.cast("double") / tot.cast("double")), 9
+        ).alias("top_share"),
+        F.round(
+            F.when(tot > 0, ent / F.lit(math.log(2))), 9
+        ).alias("mix_entropy_bits"),
+    )
+
+
+def vocab_entropy_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram vocabulary entropy — the lexical-diversity
+    reading at CORPUS level (the per-doc type/token ratios of
+    :func:`lexical_diversity` don't aggregate: a thousand docs each
+    diverse can still share one vocabulary): low entropy = a source is
+    template-dominated even when individual docs look fine.
+
+    ``H = −Σ_types p·ln(p) / ln 2`` over the group's token-frequency
+    distribution, plus ``norm_entropy = H / log2(vocab_size)`` in [0,1]
+    so differently-sized vocabularies compare.  Natural log + the ln-2
+    literal division, per-type terms quantized to ``decimal(28,12)``
+    before the sum (the engine-parity rules).
+
+    Plan: one corpus-sized explode→(group, token) count groupBy, then
+    per-group sums over the vocab axis — bounded by distinct types per
+    group, never corpus-sized after the first aggregate.
+
+    Output: one row per group — ``(group_col, n_tokens bigint,
+    vocab_size bigint, entropy_bits double, norm_entropy double)``.
+    """
+    import math
+
+    keep = F.col(group_col).isNotNull()
+    counts = (
+        docs.filter(keep)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens(text_col)).alias("_t"),
+        )
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_g = Window.partitionBy("_g")
+    c = counts.withColumn("_tot", F.sum("_n").over(w_g))
+    p = F.col("_n").cast("double") / F.col("_tot").cast("double")
+    term = (-(p * F.log(p))).cast("decimal(28,12)")
+    agg = c.groupBy("_g").agg(
+        F.max("_tot").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(term).alias("_h"),
+    )
+    hbits = F.col("_h").cast("double") / F.lit(math.log(2))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(hbits, 9).alias("entropy_bits"),
+        F.round(
+            F.try_divide(
+                hbits,
+                # log2(vocab) as ln/ln2 explicitly: F.log(base, x) and
+                # DuckDB's log2() are different libm paths; the explicit
+                # ratio is the same ops in both engines
+                F.log(F.col("vocab_size").cast("double"))
+                / F.lit(math.log(2)),
+            ),
+            9,
+        ).alias("norm_entropy"),
+    )

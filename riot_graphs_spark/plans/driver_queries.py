@@ -12095,6 +12095,97 @@ def contamination_rate_by_source(
     )
 
 
+def _lang_mix_oracle() -> str:
+    from ..operators.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols, best_lang = _langid_fold()
+    tot = " + ".join(f"score_{lang}" for lang in langs)
+    top = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    ent = " + ".join(
+        f"(CASE WHEN score_{lang} > 0 THEN -((score_{lang}::DOUBLE / tot)"
+        f" * ln(score_{lang}::DOUBLE / tot)) ELSE 0.0 END)"
+        for lang in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_WORDS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM t
+    ), s2 AS (
+      SELECT doc_id, ({tot})::BIGINT AS tot, ({top})::BIGINT AS top,
+             {best_lang} AS predicted_lang,
+             score_de, score_en, score_es, score_fr, score_zh
+      FROM scored
+    )
+    SELECT doc_id, tot AS n_profile_hits, predicted_lang,
+           CASE WHEN tot > 0
+                THEN round(top::DOUBLE / tot::DOUBLE, 9) END AS top_share,
+           CASE WHEN tot > 0
+                THEN round(({ent}) / 0.6931471805599453, 9) END
+             AS mix_entropy_bits
+    FROM s2
+    """
+
+
+@_q("lang_mix_entropy", _lang_mix_oracle())
+def lang_mix_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mix entropy
+    (operators.textstats.lang_mix_entropy) — the code-switching /
+    template-noise detector: entropy of the normalized per-language
+    stopword-profile hits (0 = confidently one language, log2|langs| =
+    perfectly mixed; zero-hit docs NULL).  Row-local, zero shuffles."""
+    from ..operators.textstats import lang_mix_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_mix_entropy(docs)
+
+
+@_q(
+    "vocab_entropy_by_source",
+    f"""
+    WITH c AS (
+      SELECT source AS g, tok, count(*) AS n
+      FROM (
+        SELECT source, unnest({_DUCK_WORDS}) AS tok
+        FROM documents WHERE source IS NOT NULL
+      )
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT g, n, sum(n) OVER (PARTITION BY g) AS tot FROM c
+    ),
+    agg AS (
+      SELECT g, max(tot)::BIGINT AS n_tokens, count(*)::BIGINT
+               AS vocab_size,
+             sum(CAST(-((n::DOUBLE / tot::DOUBLE)
+                        * ln(n::DOUBLE / tot::DOUBLE))
+                   AS DECIMAL(28,12))) AS h
+      FROM w GROUP BY 1
+    )
+    SELECT g AS source, n_tokens, vocab_size,
+           round(h::DOUBLE / 0.6931471805599453, 9) AS entropy_bits,
+           round((h::DOUBLE / 0.6931471805599453)
+                 / (ln(vocab_size::DOUBLE) / 0.6931471805599453), 9)
+             AS norm_entropy
+    FROM agg
+    """,
+)
+def vocab_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram vocabulary entropy
+    (operators.textstats.vocab_entropy_by_group) — corpus-level lexical
+    diversity: a template-dominated crawl shows low entropy even when
+    its individual docs pass per-doc diversity checks.  One explode→
+    (source, token) count groupBy; per-source sums over the vocab
+    axis."""
+    from ..operators.textstats import vocab_entropy_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_entropy_by_group(docs, group_col="source")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -700,6 +700,8 @@ QUERY_CASES = [
     "perm_test_user_value",
     # round-8: broadcast eval n-grams + one train scan + source groupBy
     "contamination_rate_by_source",
+    # round-8: row-local profile-hit entropy — must be ~linear/flat
+    "lang_mix_entropy",
 ]
 
 

@@ -839,3 +839,55 @@ def test_randomization_mean_test_null_and_effect(spark):
     assert r["mean_a"] == pytest.approx(10.995)
     with pytest.raises(ValueError):
         randomization_mean_test(eff, "v", "g", "id", b=0)
+
+
+def test_lang_mix_entropy_hand_cases(spark):
+    from riot_graphs_spark.operators.textstats import lang_mix_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "the and of to in is it"),       # pure-en profile hits
+            (2, "the der el le 的"),              # spread across profiles
+            (3, "12345 67890"),                   # zero profile hits
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in lang_mix_entropy(df).collect()}
+    pure = rows[1]
+    assert pure["mix_entropy_bits"] == 0.0 and pure["top_share"] == 1.0
+    assert pure["predicted_lang"] == "en"
+    mixed = rows[2]
+    assert mixed["n_profile_hits"] >= 4
+    assert mixed["mix_entropy_bits"] > 1.0  # spread over >= 4 languages
+    assert mixed["top_share"] < 0.5
+    none = rows[3]
+    assert none["n_profile_hits"] == 0
+    assert none["mix_entropy_bits"] is None and none["top_share"] is None
+
+
+def test_vocab_entropy_by_group_hand_cases(spark):
+    from riot_graphs_spark.operators.textstats import vocab_entropy_by_group
+
+    df = spark.createDataFrame(
+        [
+            ("tmpl", "spam spam spam spam spam spam spam eggs"),
+            ("rich", "one two three four five six seven eight"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in vocab_entropy_by_group(df, group_col="source").collect()
+    }
+    # uniform over 8 types: H = 3 bits exactly, normalized 1
+    rich = rows["rich"]
+    assert (rich["n_tokens"], rich["vocab_size"]) == (8, 8)
+    assert rich["entropy_bits"] == pytest.approx(3.0, abs=1e-9)
+    assert rich["norm_entropy"] == pytest.approx(1.0, abs=1e-9)
+    # 7/8-1/8 over 2 types: far below the 1-bit max
+    tmpl = rows["tmpl"]
+    assert tmpl["vocab_size"] == 2
+    expected = -(7 / 8) * math.log2(7 / 8) - (1 / 8) * math.log2(1 / 8)
+    assert tmpl["entropy_bits"] == pytest.approx(expected, abs=1e-9)
+    assert tmpl["norm_entropy"] == pytest.approx(expected, abs=1e-9)
+    assert tmpl["entropy_bits"] < rich["entropy_bits"]

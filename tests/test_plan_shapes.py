@@ -945,3 +945,19 @@ def test_readability_rowlocal_no_shuffle(spark):
     plan = formatted_plan(spark, "text_readability")
     assert shuffle_count(plan) == 0
     assert "EvalPython" not in plan
+
+
+def test_lang_mix_entropy_rowlocal_no_shuffle(spark):
+    # per-doc profile-hit entropy: pure row-local, zero exchanges
+    plan = formatted_plan(spark, "lang_mix_entropy")
+    assert shuffle_count(plan) == 0
+    assert "EvalPython" not in plan
+
+
+def test_vocab_entropy_partial_agg_then_vocab_axis(spark):
+    # explode reduces through a partial count; entropy sums run on the
+    # (group, token) axis, never re-scanning the corpus
+    plan = formatted_plan(spark, "vocab_entropy_by_source")
+    assert re.search(r"partial_count", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
