@@ -314,6 +314,7 @@ HEADLINE = [
     "contamination_rate_by_source",
     "lang_mix_entropy",
     "vocab_entropy_by_source",
+    "split_dup_leakage",
 ]
 
 

@@ -12186,6 +12186,118 @@ def vocab_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_entropy_by_group(docs, group_col="source")
 
 
+@_q(
+    "split_dup_leakage",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             CASE WHEN ('0x' || substr(md5('split' || chr(31)
+                          || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                       / 72057594037927936.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || chr(31)
+                          || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                       / 72057594037927936.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d
+    ),
+    per AS (
+      SELECT fingerprint, split, count(*) AS ns
+      FROM fp GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT fingerprint, sum(ns) AS n, count(*) AS n_splits,
+             sum(ns * (ns - 1) // 2) AS within_pairs
+      FROM per GROUP BY 1 HAVING sum(ns) > 1
+    )
+    SELECT count(*)::BIGINT AS n_dup_groups,
+           sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_straddling_groups,
+           round(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS group_straddle_rate,
+           sum(n * (n - 1) // 2)::BIGINT AS n_dup_pairs,
+           sum(n * (n - 1) // 2 - within_pairs)::BIGINT
+             AS n_straddling_pairs,
+           round(sum(n * (n - 1) // 2 - within_pairs)::DOUBLE
+                 / sum(n * (n - 1) // 2)::DOUBLE, 9)
+             AS pair_straddle_rate
+    FROM grp
+    """,
+)
+def split_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: do exact-duplicate clusters straddle the
+    80/10/10 hash split?  A doc-keyed split puts near-identical docs in
+    train AND test — memorization leaks the eval (the reason production
+    splits key on CLUSTER, not doc).  Composes exact_dedup_groups with
+    train_val_test_split and counts, per duplicate group, how many
+    member pairs cross a split boundary (C(n,2) − Σ_s C(n_s,2) — exact
+    integers on the groups axis).  One fingerprint groupBy; everything
+    after runs on the (group, split) table.  The fixture corpus has no
+    exact duplicates, so a deterministic copy of every 5th doc is
+    injected under a shifted id in BOTH engines — the check audits real
+    straddling clusters, not a vacuous empty set."""
+    from ..operators.curation import train_val_test_split
+    from ..operators.dedup import exact_dedup_groups
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the fixture has no exact duplicates — inject a deterministic copy
+    # of every 5th doc under a shifted id (both engines identically) so
+    # the audit is non-vacuous
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    fp = exact_dedup_groups(docs).select("doc_id", "fingerprint")
+    split = train_val_test_split(
+        docs.select("doc_id"), key_cols=["doc_id"],
+        val_frac=0.1, test_frac=0.1,
+    )
+    per = (
+        fp.join(split, "doc_id")
+        .groupBy("fingerprint", "split")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+    )
+    ns = F.col("_ns")
+    grp = (
+        per.groupBy("fingerprint")
+        .agg(
+            F.sum("_ns").alias("_n"),
+            F.count(F.lit(1)).alias("_n_splits"),
+            F.sum((ns * (ns - F.lit(1))) / F.lit(2)).cast("long").alias(
+                "_within"
+            ),
+        )
+        .filter(F.col("_n") > 1)
+    )
+    n = F.col("_n")
+    pairs = ((n * (n - F.lit(1))) / F.lit(2)).cast("long")
+    straddle = (F.col("_n_splits") > 1).cast("int")
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.sum(straddle).cast("long").alias("n_straddling_groups"),
+        F.round(
+            F.sum(straddle).cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("group_straddle_rate"),
+        F.sum(pairs).cast("long").alias("n_dup_pairs"),
+        (F.sum(pairs) - F.sum("_within")).cast("long").alias(
+            "n_straddling_pairs"
+        ),
+        F.round(
+            (F.sum(pairs) - F.sum("_within")).cast("double")
+            / F.sum(pairs).cast("double"),
+            9,
+        ).alias("pair_straddle_rate"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

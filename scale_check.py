@@ -702,6 +702,8 @@ QUERY_CASES = [
     "contamination_rate_by_source",
     # round-8: row-local profile-hit entropy — must be ~linear/flat
     "lang_mix_entropy",
+    # round-8: fingerprint groupBy then groups-axis arithmetic
+    "split_dup_leakage",
 ]
 
 

@@ -1397,3 +1397,37 @@ def test_contamination_rate_query_consistency(spark):
     # every train doc shares all its 3-grams with some eval doc here
     # (both text variants appear in the eval split) -> all contaminated
     assert total_c == sum(r["n"] for r in rows.values())
+
+
+def test_split_dup_leakage_counting(spark):
+    # 3-member group split train/train/test: straddles, 2 of 3 pairs cross
+    # (within-pairs: C(2,2 members in train)=1); 2-member group all-train:
+    # doesn't straddle
+    from riot_graphs_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "bbb"),
+         (6, "unique")],
+        "doc_id bigint, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "train"),
+         (5, "train"), (6, "val")],
+        "doc_id bigint, split string",
+    )
+    fp = exact_dedup_groups(docs).select("doc_id", "fingerprint")
+    per = fp.join(split, "doc_id").groupBy("fingerprint", "split").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    grp = per.groupBy("fingerprint").agg(
+        F.sum("ns").alias("n"),
+        F.count(F.lit(1)).alias("n_splits"),
+        F.sum((F.col("ns") * (F.col("ns") - 1)) / 2).cast("long").alias(
+            "within"
+        ),
+    ).filter(F.col("n") > 1)
+    rows = {r["n"]: r for r in grp.collect()}
+    g3 = rows[3]
+    assert g3["n_splits"] == 2 and g3["within"] == 1  # straddling pairs 3-1=2
+    g2 = rows[2]
+    assert g2["n_splits"] == 1 and g2["within"] == 1  # 0 straddling

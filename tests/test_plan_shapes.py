@@ -961,3 +961,11 @@ def test_vocab_entropy_partial_agg_then_vocab_axis(spark):
     assert re.search(r"partial_count", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_dup_leakage_groups_axis(spark):
+    # one fingerprint groupBy; pair arithmetic runs on the groups axis
+    plan = formatted_plan(spark, "split_dup_leakage")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
