@@ -315,6 +315,7 @@ HEADLINE = [
     "lang_mix_entropy",
     "vocab_entropy_by_source",
     "split_dup_leakage",
+    "emb_similarity_hist",
 ]
 
 

@@ -988,3 +988,82 @@ def centroid_drift(
         )
         .withColumnRenamed("_c", cell_col)
     )
+
+
+def pairwise_similarity_hist(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_mod: int = 8,
+    nbins: int = 20,
+    salt: str = "simhist",
+) -> DataFrame:
+    """Histogram of pairwise cosine similarity on a deterministic sample
+    — the embedding-space health profile read before choosing dedup /
+    ANN thresholds: a healthy space shows most mass near 0 with a thin
+    high-cosine tail (the near-dups); a collapsed encoder piles mass
+    near 1, and the 0.8-vs-0.9 threshold debate is settled by looking at
+    THIS table, not guessing.
+
+    The sample is the md5 keep-1-in-``keep_mod`` of vector ids (the
+    ``lsh_recall_vs_exact`` convention: deterministic, engine-identical,
+    and the quadratic pair cost is bounded INSIDE the query — sample ∝
+    corpus means pairs ∝ corpus²/keep_mod², which is the declared cost
+    of an exact pairwise eval; the full-corpus path is the LSH/IVF
+    operators, never this).  Cosines round to 6 before binning (the
+    shared cosine convention) so bin assignment is engine-stable; fixed
+    bins over [−1, 1], boundary clamped.
+
+    Output: one row per non-empty bin — ``(bin int, lo double,
+    n bigint, share double)``.
+    """
+    if nbins < 1:
+        raise ValueError("need nbins >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(salt), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = emb.filter(h % keep_mod == 0).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    b = s.select(
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = s.join(F.broadcast(b), F.col("_id") < F.col("_idb"))
+    cos = F.round(
+        dot(F.col("_v"), F.col("_vb")) / (F.col("_n") * F.col("_nb")), 6
+    )
+    width = 2.0 / nbins
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((cos + F.lit(1.0)) / F.lit(width)),
+        ),
+    ).cast("int")
+    counts = pairs.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "bin",
+        F.round(F.lit(-1.0) + F.col("bin") * F.lit(width), 6).alias("lo"),
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_all).cast("double"),
+            9,
+        ).alias("share"),
+    )

@@ -12298,6 +12298,47 @@ def split_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_similarity_hist",
+    """
+    WITH s AS (
+      SELECT vec_id AS id, embedding AS v
+      FROM embeddings
+      WHERE ('0x' || substr(md5('simhist' || chr(31)
+               || CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 8 = 0
+    ),
+    pairs AS (
+      SELECT round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+                    sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))),
+                   6) AS cos
+      FROM s a JOIN s b ON a.id < b.id
+    ),
+    c AS (
+      SELECT CAST(greatest(0, least(19, floor((cos + 1.0) / 0.1))) AS INT)
+               AS bin,
+             count(*) AS n
+      FROM pairs GROUP BY 1
+    )
+    SELECT bin, round(-1.0 + bin * 0.1, 6) AS lo, n::BIGINT AS n,
+           round(n::DOUBLE / (sum(n) OVER ())::DOUBLE, 9) AS share
+    FROM c
+    """,
+)
+def emb_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram on a deterministic 1-in-8 md5 sample of
+    the embeddings (operators.similarity.pairwise_similarity_hist) — the
+    embedding-space health profile that settles dedup/ANN threshold
+    choices: collapsed encoders pile mass near 1, healthy spaces keep a
+    thin high-cosine tail.  Quadratic pair cost is bounded inside the
+    query by the sample (the lsh_recall_vs_exact convention); the
+    full-corpus path is the LSH/IVF operators."""
+    from ..operators.similarity import pairwise_similarity_hist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_similarity_hist(emb, keep_mod=8, nbins=20)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -704,6 +704,9 @@ QUERY_CASES = [
     "lang_mix_entropy",
     # round-8: fingerprint groupBy then groups-axis arithmetic
     "split_dup_leakage",
+    # round-8: sampled exact pairwise eval — pairs scale with (sample)^2
+    # BY DESIGN of the eval (the lsh_recall_vs_exact class)
+    "emb_similarity_hist",
 ]
 
 

@@ -85,3 +85,35 @@ def test_kmeans_cells_drive_ivf_topk(spark):
     for q, nbrs in got.items():
         assert len(nbrs) == 2
         assert all(blob_of[n] == blob_of[q] for n in nbrs)
+
+
+def test_pairwise_similarity_hist_hand_case(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.similarity import (
+        pairwise_similarity_hist,
+    )
+
+    # keep_mod=1 keeps everything: 4 vectors, 6 pairs with known cosines
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # cos(1,2) = 1
+            (3, [0.0, 1.0]),   # cos(1,3) = cos(2,3) = 0
+            (4, [-1.0, 0.0]),  # cos(1,4) = cos(2,4) = -1; cos(3,4) = 0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r["bin"]: r
+        for r in pairwise_similarity_hist(emb, keep_mod=1, nbins=20)
+        .collect()
+    }
+    # cos=-1 -> bin 0 (clamped); cos=0 -> floor(1/0.1)=10; cos=1 -> 19
+    assert rows[0]["n"] == 2 and rows[0]["lo"] == -1.0
+    assert rows[10]["n"] == 3
+    assert rows[19]["n"] == 1
+    assert sum(r["n"] for r in rows.values()) == 6
+    assert sum(r["share"] for r in rows.values()) == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        pairwise_similarity_hist(emb, nbins=0)

@@ -969,3 +969,12 @@ def test_split_dup_leakage_groups_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_emb_similarity_hist_broadcasts_sample(spark):
+    # the sampled pair join broadcasts one side (sample-sized, never the
+    # full corpus); the histogram reduces through a partial count
+    plan = formatted_plan(spark, "emb_similarity_hist")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert re.search(r"partial_count", plan)
+    assert "EvalPython" not in plan
