@@ -316,6 +316,7 @@ HEADLINE = [
     "vocab_entropy_by_source",
     "split_dup_leakage",
     "emb_similarity_hist",
+    "quality_hist_calibration",
 ]
 
 

@@ -1445,3 +1445,71 @@ def randomization_mean_test(
             9,
         ).alias("p_value"),
     )
+
+
+def histogram_calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    nbins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Histogram-binning calibration with a before/after Brier report —
+    the simplest trainable calibrator (map each score to its bin's
+    observed positive rate) evaluated in-sample: "how much of the Brier
+    score was mis-calibration, recoverable by a monotone-ish remap, vs
+    irreducible ranking error".  ``brier_after`` equals the refinement
+    term of the classic Brier decomposition (reliability removed), so
+    ``brier_before − brier_after`` IS the reliability — the number
+    :func:`calibration_summary`'s ECE approximates with absolute gaps.
+
+    Exactness: the same fixed clamp bins as :func:`calibration_bins`;
+    per-bin rates are exact-integer divisions; both Brier sums quantize
+    per-row squared errors to ``decimal(28,12)``.  Two passes over the
+    (score, label) projection with the bin table broadcast back — at
+    corpus scale the projection is checkpoint-cheap, and no per-row
+    state beyond the ≤nbins-row map exists.
+
+    Output: one row — ``(n bigint, nbins int, brier_before double,
+    brier_after double, reliability double)``.
+    """
+    if nbins < 1 or not hi > lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    width = (hi - lo) / nbins
+    dec = "decimal(28,12)"
+    s = F.col(score_col)
+    keep = s.isNotNull() & F.col(label_col).isNotNull()
+    base = df.filter(keep).select(
+        s.alias("_s"), _pos(label_col).cast("double").alias("_y")
+    )
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(nbins - 1), F.floor((F.col("_s") - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    binned = base.withColumn("_b", b)
+    rates = binned.groupBy("_b").agg(
+        (
+            F.sum("_y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_rate")
+    )
+    joined = binned.join(F.broadcast(rates), "_b")
+    d0 = F.col("_s").cast("double") - F.col("_y")
+    d1 = F.col("_rate") - F.col("_y")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((d0 * d0).cast(dec)).alias("_sb0"),
+        F.sum((d1 * d1).cast(dec)).alias("_sb1"),
+    )
+    nb = F.col("n").cast("double")
+    before = F.col("_sb0").cast("double") / nb
+    after = F.col("_sb1").cast("double") / nb
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(int(nbins)).alias("nbins"),
+        F.round(before, 9).alias("brier_before"),
+        F.round(after, 9).alias("brier_after"),
+        F.round(before - after, 9).alias("reliability"),
+    )

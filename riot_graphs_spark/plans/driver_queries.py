@@ -12339,6 +12339,51 @@ def emb_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_similarity_hist(emb, keep_mod=8, nbins=20)
 
 
+@_q(
+    "quality_hist_calibration",
+    f"""
+    WITH {_pairs_cte()},
+    binned AS (
+      SELECT CAST(greatest(0, least(9, floor((s - 0.0) / 0.1))) AS INT)
+               AS b,
+             s, y::DOUBLE AS y
+      FROM p
+    ),
+    rates AS (
+      SELECT b, sum(y)::DOUBLE / count(*)::DOUBLE AS rate
+      FROM binned GROUP BY 1
+    ),
+    j AS (SELECT s, y, rate FROM binned JOIN rates USING (b)),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST((s - y) * (s - y) AS DECIMAL(28,12))) AS sb0,
+             sum(CAST((rate - y) * (rate - y) AS DECIMAL(28,12))) AS sb1
+      FROM j
+    )
+    SELECT n::BIGINT AS n, 10 AS nbins,
+           round(sb0::DOUBLE / n::DOUBLE, 9) AS brier_before,
+           round(sb1::DOUBLE / n::DOUBLE, 9) AS brier_after,
+           round(sb0::DOUBLE / n::DOUBLE - sb1::DOUBLE / n::DOUBLE, 9)
+             AS reliability
+    FROM agg
+    """,
+)
+def quality_hist_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binning calibration of the quality score against the
+    Gopher pseudo-label (operators.evaluation.histogram_calibration_report)
+    — the simplest trainable calibrator, reported as before/after Brier:
+    the drop IS the reliability term of the Brier decomposition, i.e.
+    how much of the score's error a monotone-ish remap recovers vs
+    irreducible ranking error.  Fixed clamp bins, exact-integer bin
+    rates, decimal-quantized squared errors, bin map broadcast back."""
+    from ..operators.evaluation import histogram_calibration_report
+
+    pairs = _quality_label_pairs(spark, sf_dir, checkpoint=True)
+    return histogram_calibration_report(
+        pairs, "quality_score", "gopher_keep", nbins=10
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -707,6 +707,9 @@ QUERY_CASES = [
     # round-8: sampled exact pairwise eval — pairs scale with (sample)^2
     # BY DESIGN of the eval (the lsh_recall_vs_exact class)
     "emb_similarity_hist",
+    # round-8: two passes over the checkpointed (score, label)
+    # projection with the <=nbins bin map broadcast back
+    "quality_hist_calibration",
 ]
 
 

@@ -891,3 +891,38 @@ def test_vocab_entropy_by_group_hand_cases(spark):
     assert tmpl["entropy_bits"] == pytest.approx(expected, abs=1e-9)
     assert tmpl["norm_entropy"] == pytest.approx(expected, abs=1e-9)
     assert tmpl["entropy_bits"] < rich["entropy_bits"]
+
+
+def test_histogram_calibration_report_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        histogram_calibration_report,
+    )
+
+    # systematically over-confident score (s=0.95/0.05 for 50/50 labels
+    # within bins): binning recovers the whole reliability term
+    rows = (
+        [(0.95, 1)] * 5 + [(0.95, 0)] * 5    # bin 9: rate 0.5
+        + [(0.05, 1)] * 2 + [(0.05, 0)] * 8  # bin 0: rate 0.2
+    )
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = histogram_calibration_report(df, "s", "y").collect()[0]
+    assert r["n"] == 20 and r["nbins"] == 10
+    # hand Brier before: 10*(0.45^2+0.55^2)/2... compute exactly
+    before = (
+        5 * (0.95 - 1) ** 2 + 5 * 0.95 ** 2
+        + 2 * (0.05 - 1) ** 2 + 8 * 0.05 ** 2
+    ) / 20
+    after = (5 * 0.25 + 5 * 0.25 + 2 * 0.64 + 8 * 0.04) / 20
+    assert r["brier_before"] == pytest.approx(before, abs=1e-9)
+    assert r["brier_after"] == pytest.approx(after, abs=1e-9)
+    assert r["reliability"] == pytest.approx(before - after, abs=1e-9)
+    assert r["reliability"] > 0
+    # a perfectly calibrated integer score: binning changes nothing
+    perfect = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1)] * 10, "s double, y int"
+    )
+    r = histogram_calibration_report(perfect, "s", "y").collect()[0]
+    assert r["brier_before"] == 0.0 and r["brier_after"] == 0.0
+    assert r["reliability"] == 0.0
+    with pytest.raises(ValueError):
+        histogram_calibration_report(df, "s", "y", nbins=0)

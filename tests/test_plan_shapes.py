@@ -978,3 +978,11 @@ def test_emb_similarity_hist_broadcasts_sample(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert re.search(r"partial_count", plan)
     assert "EvalPython" not in plan
+
+
+def test_hist_calibration_broadcasts_bin_map(spark):
+    # the <=nbins rate map broadcasts back onto the projection
+    plan = formatted_plan(spark, "quality_hist_calibration")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
