@@ -1337,9 +1337,8 @@ def randomization_mean_test(
     last-ulp float wobble could flip a row — compares exact decimals.
     The ×B explode reduces straight into a (replicate, arm) partial
     aggregate; nothing is corpus-sized after it.  Exactly two non-NULL
-    arms are required (raise otherwise is impossible lazily — a
-    different arm count yields NULL d_obs and p_value via the strict
-    two-arm pivot).
+    arms are required — any other arm count NULLs the means/d_obs/
+    p_value (lazily checkable, never a silent drop of a third arm).
 
     Output: one row — ``(n_a bigint, n_b bigint, mean_a double,
     mean_b double, d_obs double, b int, n_ge bigint, p_value double)``
@@ -1365,18 +1364,24 @@ def randomization_mean_test(
             F.sum(F.col("_v").cast(dec)).alias("_s"),
         )
         .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        # a third arm would silently vanish behind the two-arm pivot:
+        # carry the arm count and NULL the statistic unless it is 2
+        .withColumn("_narms", F.count(F.lit(1)).over(Window.partitionBy()))
     )
     a = arms.filter(F.col("_rk") == 1).select(
-        F.col("_n").alias("n_a"), F.col("_s").alias("_sa")
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa"), "_narms"
     )
     bb = arms.filter(F.col("_rk") == 2).select(
         F.col("_n").alias("n_b"), F.col("_s").alias("_sb")
     )
-    mean_a = F.try_divide(
-        F.col("_sa").cast("double"), F.col("n_a").cast("double")
+    two = F.col("_narms") == 2
+    mean_a = F.when(
+        two,
+        F.try_divide(F.col("_sa").cast("double"), F.col("n_a").cast("double")),
     )
-    mean_b = F.try_divide(
-        F.col("_sb").cast("double"), F.col("n_b").cast("double")
+    mean_b = F.when(
+        two,
+        F.try_divide(F.col("_sb").cast("double"), F.col("n_b").cast("double")),
     )
     obs = a.crossJoin(F.broadcast(bb)).select(
         "n_a",
@@ -1438,11 +1443,16 @@ def randomization_mean_test(
         "mean_b",
         F.round(F.col("_dobs").cast("double"), 9).alias("d_obs"),
         F.lit(int(b)).alias("b"),
-        F.col("n_ge").cast("long").alias("n_ge"),
-        F.round(
-            (F.lit(1) + F.col("n_ge")).cast("double")
-            / F.lit(float(b + 1)),
-            9,
+        F.when(F.col("_dobs").isNotNull(), F.col("n_ge"))
+        .cast("long")
+        .alias("n_ge"),
+        F.when(
+            F.col("_dobs").isNotNull(),
+            F.round(
+                (F.lit(1) + F.col("n_ge")).cast("double")
+                / F.lit(float(b + 1)),
+                9,
+            ),
         ).alias("p_value"),
     )
 

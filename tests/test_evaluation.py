@@ -926,3 +926,20 @@ def test_histogram_calibration_report_hand_cases(spark):
     assert r["reliability"] == 0.0
     with pytest.raises(ValueError):
         histogram_calibration_report(df, "s", "y", nbins=0)
+
+
+def test_randomization_mean_test_three_arms_nulls(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        randomization_mean_test,
+    )
+
+    # any arm count other than 2 NULLs the statistic — a third arm must
+    # never silently vanish behind the two-arm pivot
+    df3 = spark.createDataFrame(
+        [(i, str(i % 3), float(i % 7)) for i in range(90)],
+        "id bigint, g string, v double",
+    )
+    r = randomization_mean_test(df3, "v", "g", "id", b=10).collect()[0]
+    assert r["mean_a"] is None and r["mean_b"] is None
+    assert r["d_obs"] is None and r["n_ge"] is None
+    assert r["p_value"] is None
