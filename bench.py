@@ -317,6 +317,7 @@ HEADLINE = [
     "split_dup_leakage",
     "emb_similarity_hist",
     "quality_hist_calibration",
+    "integrity_checksum_orders",
 ]
 
 

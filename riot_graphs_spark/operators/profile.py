@@ -1457,3 +1457,50 @@ def js_divergence_by_group(
         F.col("n").cast("long").alias("n"),
         F.round(jsd, 9).alias("jsd_bits"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-free content checksum per partition — the integrity handshake
+    for exports, replication, and engine migrations: two systems agree on
+    a table iff every partition agrees on ``(n_rows, checksum)``, without
+    either side sorting or shipping rows.
+
+    Each row canonicalizes to the ``\\x1f``-joined string of its columns
+    (the CALLER pre-formats non-string columns deterministically —
+    decimals via a fixed-scale cast, timestamps via an explicit
+    ``date_format`` — because default float/timestamp renderings differ
+    between engines); the row hash is the 14-hex md5 integer and the
+    partition checksum is the SUM of row hashes in ``decimal(38,0)`` —
+    addition commutes, so the checksum is independent of row order and
+    partitioning, and a decimal38 sum holds ~10²² rows of 56-bit hashes.
+    (A sum detects any single-row change; it trades the adversarial
+    resistance of a Merkle tree for order-freedom — the right trade for
+    a replication check, the wrong one for tamper-proofing.)
+
+    One partial-aggregable groupBy; output is |partitions| rows.
+
+    Output: ``(*partition_cols, n_rows bigint, checksum decimal(38,0))``.
+    """
+    # NULL-explicit: concat_ws silently DROPS nulls (and their
+    # separator), which both collides ("a", NULL) with ("a",) and
+    # diverges from SQL || semantics — every column coalesces to a
+    # sentinel no real value contains
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("long")
+    return (
+        df.groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).alias("checksum"),
+        )
+    )

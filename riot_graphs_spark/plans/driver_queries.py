@@ -12384,6 +12384,59 @@ def quality_hist_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "integrity_checksum_orders",
+    """
+    WITH canon AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             ('0x' || substr(md5(
+               coalesce(o_orderkey::VARCHAR, chr(0) || 'null') || chr(31)
+               || coalesce(o_custkey::VARCHAR, chr(0) || 'null') || chr(31)
+               || coalesce(o_orderstatus, chr(0) || 'null') || chr(31)
+               || coalesce((o_totalprice::DECIMAL(12,2))::VARCHAR,
+                           chr(0) || 'null') || chr(31)
+               || coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                           chr(0) || 'null')
+             ), 1, 14))::BIGINT AS h
+      FROM orders
+    )
+    SELECT month, count(*)::BIGINT AS n_rows,
+           sum(CAST(h AS DECIMAL(38,0)))::VARCHAR AS checksum
+    FROM canon GROUP BY month
+    """,
+)
+def integrity_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month order-free content checksum of the orders table
+    (operators.profile.table_checksum) — the integrity handshake for
+    exports/replication/engine migrations: two systems agree on the
+    table iff every month agrees on (n_rows, checksum), no sort, no row
+    shipping.  Row canonicalization is explicit (fixed-scale decimal for
+    the money column, explicit timestamp format) because default
+    renderings differ between engines; the checksum is a commutative
+    decimal(38,0) sum of 56-bit md5 row hashes."""
+    from ..operators.profile import table_checksum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.col("o_custkey").cast("string").alias("k2"),
+        F.col("o_orderstatus").alias("k3"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias(
+            "k4"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("k5"),
+    )
+    out = table_checksum(
+        o, cols=["k1", "k2", "k3", "k4", "k5"], partition_cols=["month"]
+    )
+    # the decimal(38,0) checksum exceeds double precision; DuckDB's
+    # pandas bridge renders wide decimals as float64, so the PAIR
+    # compares it as a string (exact in both engines)
+    return out.select(
+        "month", "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

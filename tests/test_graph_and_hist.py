@@ -1477,3 +1477,54 @@ def test_ks_goodness_of_fit_hand_computed(spark):
 
     with pytest.raises(ValueError):
         ks_goodness_of_fit(df, "value", lo=1.0, hi=1.0)
+
+
+def test_table_checksum_order_free_and_sensitive(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.profile import table_checksum
+
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", 2), ("p2", "c", 3)],
+        "part string, k string, v int",
+    )
+    canon = df.selectExpr(
+        "part", "k", "cast(v as string) as vs"
+    )
+    r1 = {
+        r["part"]: (r["n_rows"], str(r["checksum"]))
+        for r in table_checksum(
+            canon, ["k", "vs"], partition_cols=["part"]
+        ).collect()
+    }
+    # row order / partitioning invariance: reversed + repartitioned input
+    shuffled = canon.orderBy(F.desc("k")).repartition(7)
+    r2 = {
+        r["part"]: (r["n_rows"], str(r["checksum"]))
+        for r in table_checksum(
+            shuffled, ["k", "vs"], partition_cols=["part"]
+        ).collect()
+    }
+    assert r1 == r2
+    # any single-value change moves the checksum
+    changed = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", 99), ("p2", "c", 3)],
+        "part string, k string, v int",
+    ).selectExpr("part", "k", "cast(v as string) as vs")
+    r3 = {
+        r["part"]: (r["n_rows"], str(r["checksum"]))
+        for r in table_checksum(
+            changed, ["k", "vs"], partition_cols=["part"]
+        ).collect()
+    }
+    assert r3["p1"] != r1["p1"] and r3["p2"] == r1["p2"]
+    # NULL is distinct from the string 'null' and from absence
+    with_null = spark.createDataFrame(
+        [("p1", None, "1")], "part string, k string, vs string"
+    )
+    lit_null = spark.createDataFrame(
+        [("p1", "null", "1")], "part string, k string, vs string"
+    )
+    c_null = table_checksum(with_null, ["k", "vs"], ["part"]).collect()[0]
+    c_lit = table_checksum(lit_null, ["k", "vs"], ["part"]).collect()[0]
+    assert str(c_null["checksum"]) != str(c_lit["checksum"])

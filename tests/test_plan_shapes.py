@@ -986,3 +986,11 @@ def test_hist_calibration_broadcasts_bin_map(spark):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
+
+
+def test_integrity_checksum_single_partial_agg(spark):
+    # one partial-aggregable groupBy; hashing is row-local codegen
+    plan = formatted_plan(spark, "integrity_checksum_orders")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert shuffle_count(plan) == 1
