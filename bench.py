@@ -318,6 +318,7 @@ HEADLINE = [
     "emb_similarity_hist",
     "quality_hist_calibration",
     "integrity_checksum_orders",
+    "cdc_chunk_dedup_report",
 ]
 
 

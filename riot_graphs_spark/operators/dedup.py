@@ -1559,3 +1559,119 @@ def cross_source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_units"))
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 8,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule on the
+    token axis): cut after token *i* whenever the hash of the w-gram
+    ENDING at *i* ≡ 0 (mod ``divisor``) — so boundaries follow CONTENT,
+    not offsets, and an insertion early in a document moves only the
+    chunk it lands in, never the chunk identities downstream.  That is
+    the property fixed-size chunking lacks and the reason CDC is the
+    partial-overlap dedup primitive (incremental corpus storage,
+    shared-boilerplate detection ACROSS documents — whole-doc
+    fingerprints and MinHash see near-identical docs; chunk identity
+    sees a shared 30-token span inside otherwise-different docs).
+
+    Expected chunk length is ``divisor`` tokens (geometric); ``w`` is
+    the boundary context width.  The boundary hash is the polynomial
+    composition ``Σⱼ hash32(tok[i+j])·31^(w-1-j) mod P`` with the powers
+    UNROLLED as Python-side literals (the 3-gram shingle trick from
+    :func:`composed_shingle_hashes`, generalized to fixed w) — a nested
+    aggregate-inside-transform rolling hash measured ~40× slower and an
+    md5-per-gram variant ~10× slower, both by leaving efficient eval;
+    the unrolled form is one single-level ``transform`` of integer
+    arithmetic.  Identical to ``list_reduce(hs[i-w+1:i], (a,x) ->
+    (a·31+x) mod P)`` on the oracle side.
+
+    Row-local end-to-end: per-doc w-gram hashes, boundary positions,
+    and chunk slices are higher-order array ops inside one projection;
+    the only non-local step is the caller's downstream groupBy on
+    ``chunk_hash``.
+
+    Output: one row per chunk — ``(doc_id, chunk_idx int, start_tok
+    int, n_toks int, chunk_hash string)``; ``chunk_hash`` is the md5 of
+    the space-joined token slice (content identity, not position).
+    """
+    if w < 1 or divisor < 1:
+        raise ValueError("need w >= 1 and divisor >= 1")
+    mod = 1_000_000_007
+    pows = [pow(31, w - 1 - j, mod) for j in range(w)]
+    # MATERIALIZE toks/hs as real columns in staged projections: an
+    # inlined array expression referenced from inside a later lambda is
+    # re-evaluated per element (no CSE across lambda boundaries) — the
+    # inlined form re-tokenized the doc once per gram and measured
+    # minutes instead of seconds at sf0.01
+    staged = docs.select(
+        "doc_id", words(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    staged = staged.withColumn(
+        "_hs", F.transform(F.col("_toks"), lambda t: hash32(t))
+    )
+    n = F.size(F.col("_toks"))
+    # w-gram hash at START position i (1-based); the gram ends at
+    # i + w - 1, which is where the cut lands.  Guarded: Spark's
+    # sequence(1, stop) runs DESCENDING when stop < 1, so a doc shorter
+    # than w must yield an empty start list (one unsplit chunk), not a
+    # phantom [1, 0, ...] walk
+    starts = F.when(
+        n >= F.lit(w), F.sequence(F.lit(1), n - F.lit(w) + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _gram_hash(i):
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(pows):
+            acc = acc + (
+                F.element_at(F.col("_hs"), i + F.lit(j)) * F.lit(p)
+            ) % mod
+        return acc % mod
+
+    staged = staged.withColumn(
+        "_cuts",
+        F.transform(
+            F.filter(
+                F.arrays_zip(
+                    starts.alias("p"),
+                    F.transform(starts, _gram_hash).alias("h"),
+                ),
+                lambda z: z["h"] % divisor == 0,
+            ),
+            lambda z: z["p"] + F.lit(w - 1),
+        ),
+    )
+    bounds = F.concat(F.array(F.lit(0)), F.col("_cuts"), F.array(n))
+    staged = staged.withColumn("_bounds", bounds)
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_bounds")) - 1),
+            lambda j: F.struct(
+                j.alias("idx"),
+                (F.element_at(F.col("_bounds"), j) + 1).alias("start"),
+                (
+                    F.element_at(F.col("_bounds"), j + 1)
+                    - F.element_at(F.col("_bounds"), j)
+                ).alias("n_toks"),
+            ),
+        ),
+        lambda c: c["n_toks"] > 0,
+    )
+    base_df = staged.select(
+        "doc_id", "_toks", F.explode(chunks).alias("_c")
+    )
+    return base_df.select(
+        "doc_id",
+        F.col("_c.idx").cast("int").alias("chunk_idx"),
+        F.col("_c.start").cast("int").alias("start_tok"),
+        F.col("_c.n_toks").cast("int").alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("_c.start"), F.col("_c.n_toks")),
+            )
+        ).alias("chunk_hash"),
+    )

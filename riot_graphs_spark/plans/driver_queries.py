@@ -12437,6 +12437,107 @@ def integrity_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cdc_chunk_dedup_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_WORDS} AS toks FROM documents
+      WHERE len({_DUCK_WORDS}) > 0
+    ),
+    h AS (
+      SELECT doc_id, toks,
+             list_transform(toks,
+               tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs,
+             len(toks) AS n
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             [i for i in range(8, n + 1)
+              if list_reduce(hs[i-7:i],
+                   (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0] AS cuts
+      FROM h
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat([0], cuts), [n]) AS bounds
+      FROM c
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[ck.s:ck.s + ck.l - 1], ' '))
+               AS chunk_hash,
+             ck.l AS n_toks
+      FROM (
+        SELECT doc_id, toks,
+               unnest([{{s: bounds[j] + 1, l: bounds[j+1] - bounds[j]}}
+                       for j in range(1, len(bounds))]) AS ck
+        FROM b
+      ) WHERE ck.l > 0
+    ),
+    per AS (
+      SELECT chunk_hash, count(*) AS n,
+             count(DISTINCT doc_id) AS nd,
+             sum(n_toks)::BIGINT AS tk
+      FROM ch GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM d)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS n_chunks,
+           count(*)::BIGINT AS n_distinct_chunks,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_multi_doc_chunks,
+           (sum(n) - count(*))::BIGINT AS n_redundant_chunks,
+           round(count(*)::DOUBLE / sum(n)::DOUBLE, 9) AS dedup_ratio,
+           round(sum(tk)::DOUBLE / sum(n)::DOUBLE, 9) AS avg_chunk_tokens
+    FROM per
+    """,
+)
+def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report
+    (operators.dedup.content_defined_chunks, w=8, divisor=16): cut
+    chunks where the rolling token-hash ≡ 0 mod 16 (boundaries follow
+    content, so shared spans inside otherwise-different docs chunk
+    identically — the partial-overlap dedup MinHash/fingerprints can't
+    see), then grade the corpus: how many chunks, how many distinct,
+    how many shared across docs, the storage dedup ratio.  Row-local
+    chunking; ONE chunk-hash groupBy is the only corpus-sized
+    shuffle."""
+    from ..operators.dedup import content_defined_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = content_defined_chunks(docs, w=8, divisor=16)
+    per = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("doc_id").alias("_nd"),
+        F.sum("n_toks").alias("_tk"),
+    )
+    nd = ch.agg(F.count_distinct("doc_id").alias("n_docs"))
+    return per.agg(
+        F.sum("_n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_multi_doc_chunks"
+        ),
+        (F.sum("_n") - F.count(F.lit(1))).cast("long").alias(
+            "n_redundant_chunks"
+        ),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("_n").cast("double"), 9
+        ).alias("dedup_ratio"),
+        F.round(
+            F.sum("_tk").cast("double") / F.sum("_n").cast("double"), 9
+        ).alias("avg_chunk_tokens"),
+    ).crossJoin(F.broadcast(nd)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chunks",
+        "n_distinct_chunks",
+        "n_multi_doc_chunks",
+        "n_redundant_chunks",
+        "dedup_ratio",
+        "avg_chunk_tokens",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

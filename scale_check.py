@@ -710,6 +710,8 @@ QUERY_CASES = [
     # round-8: two passes over the checkpointed (score, label)
     # projection with the <=nbins bin map broadcast back
     "quality_hist_calibration",
+    # round-8: row-local w-gram chunking + one chunk-hash groupBy
+    "cdc_chunk_dedup_report",
 ]
 
 

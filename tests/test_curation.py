@@ -1431,3 +1431,42 @@ def test_split_dup_leakage_counting(spark):
     assert g3["n_splits"] == 2 and g3["within"] == 1  # straddling pairs 3-1=2
     g2 = rows[2]
     assert g2["n_splits"] == 1 and g2["within"] == 1  # 0 straddling
+
+
+def test_content_defined_chunks_properties(spark):
+    from riot_graphs_spark.operators.dedup import content_defined_chunks
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    ch1 = content_defined_chunks(df, w=4, divisor=4).collect()
+    # chunks tile the doc exactly: contiguous, total = token count
+    ch1 = sorted(ch1, key=lambda r: r["start_tok"])
+    n_tok = len(text.split())
+    assert sum(r["n_toks"] for r in ch1) == n_tok
+    pos = 1
+    for r in ch1:
+        assert r["start_tok"] == pos
+        pos += r["n_toks"]
+    # content-defined: inserting tokens at the FRONT shifts offsets but
+    # preserves the chunk identities downstream of the insertion point
+    shifted = spark.createDataFrame(
+        [(2, "zzz yyy xxx www vvv " + text)], "doc_id bigint, text string"
+    )
+    ch2 = content_defined_chunks(shifted, w=4, divisor=4).collect()
+    h1 = {r["chunk_hash"] for r in ch1}
+    h2 = {r["chunk_hash"] for r in ch2}
+    assert len(h1 & h2) >= max(0, len(ch1) - 2)  # all but the head chunk
+    # doc shorter than w: one unsplit chunk (no descending-sequence walk)
+    tiny = spark.createDataFrame(
+        [(3, "only three words")], "doc_id bigint, text string"
+    )
+    t = content_defined_chunks(tiny, w=8).collect()
+    assert len(t) == 1 and t[0]["n_toks"] == 3 and t[0]["start_tok"] == 1
+    # empty doc: no rows
+    empty = spark.createDataFrame([(4, "")], "doc_id bigint, text string")
+    assert content_defined_chunks(empty).count() == 0
+    with pytest.raises(ValueError):
+        content_defined_chunks(df, w=0)

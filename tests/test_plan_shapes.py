@@ -994,3 +994,12 @@ def test_integrity_checksum_single_partial_agg(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert shuffle_count(plan) == 1
+
+
+def test_cdc_chunking_rowlocal_single_shuffle(spark):
+    # chunking is row-local array math; the chunk-hash groupBy (+ the
+    # broadcast n_docs aggregate) is the only corpus-sized exchange
+    plan = formatted_plan(spark, "cdc_chunk_dedup_report")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"partial_(sum|count)", plan)
