@@ -319,6 +319,7 @@ HEADLINE = [
     "quality_hist_calibration",
     "integrity_checksum_orders",
     "cdc_chunk_dedup_report",
+    "emb_dim_stats",
 ]
 
 

@@ -1067,3 +1067,52 @@ def pairwise_similarity_hist(
             9,
         ).alias("share"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column — the
+    collapsed-dimension / anisotropy detector next to
+    :func:`pairwise_similarity_hist`'s pair view: a dimension whose
+    variance is ~0 carries no information (wasted index width), a
+    dimension whose |mean| dwarfs its std makes every cosine ride one
+    axis (the anisotropy that flattens nearest-neighbor contrast), and
+    both are invisible from pair samples alone.
+
+    Exactness: per-element values and squares quantize to
+    ``decimal(28,12)`` before their sums (order-free); the variance is
+    the exact-moment form ``(n·Σx² − (Σx)²)/n²`` evaluated in double at
+    the end.  One posexplode → (dim) groupBy — the shuffle carries
+    (dims × partial) rows only after partial aggregation; output is
+    |dims| rows.
+
+    Output: one row per dimension — ``(dim int, n bigint, mean double,
+    std double, min_x double, max_x double)``.
+    """
+    dec = "decimal(28,12)"
+    x = F.col("_x").cast("double")
+    exploded = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("_d", "_x")
+    )
+    agg = exploded.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.min(x).alias("min_x"),
+        F.max(x).alias("max_x"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        nd * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    ) / (nd * nd)
+    return agg.select(
+        F.col("_d").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_sx").cast("double") / nd, 9).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
+        F.round(F.col("min_x"), 9).alias("min_x"),
+        F.round(F.col("max_x"), 9).alias("max_x"),
+    )

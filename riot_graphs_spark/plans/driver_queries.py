@@ -12538,6 +12538,43 @@ def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_dim_stats",
+    """
+    WITH e AS (
+      SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    agg AS (
+      SELECT dim, count(*) AS n,
+             sum(CAST(x AS DECIMAL(28,12))) AS sx,
+             sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+             min(x) AS mn, max(x) AS mx
+      FROM e GROUP BY 1
+    )
+    SELECT dim::INT AS dim, n::BIGINT AS n,
+           round(sx::DOUBLE / n::DOUBLE, 9) AS mean,
+           round(sqrt(greatest(
+             (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             / (n::DOUBLE * n::DOUBLE), 0.0)), 9) AS std,
+           round(mn, 9) AS min_x, round(mx, 9) AS max_x
+    FROM agg
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics
+    (operators.similarity.embedding_dim_stats) — the collapsed-dim /
+    anisotropy detector beside emb_similarity_hist's pair view: ~zero
+    variance = wasted index width, |mean| >> std = one axis dominating
+    every cosine.  One posexplode → dim groupBy, partial-aggregable,
+    |dims|-row output."""
+    from ..operators.similarity import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -712,6 +712,8 @@ QUERY_CASES = [
     "quality_hist_calibration",
     # round-8: row-local w-gram chunking + one chunk-hash groupBy
     "cdc_chunk_dedup_report",
+    # round-8: posexplode -> dim groupBy, partial-aggregable
+    "emb_dim_stats",
 ]
 
 

@@ -117,3 +117,28 @@ def test_pairwise_similarity_hist_hand_case(spark):
     assert sum(r["share"] for r in rows.values()) == pytest.approx(1.0)
     with pytest.raises(ValueError):
         pairwise_similarity_hist(emb, nbins=0)
+
+
+def test_embedding_dim_stats_hand_case(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.similarity import embedding_dim_stats
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 5.0, 0.0]),
+            (2, [3.0, 5.0, 0.0]),
+            (3, [5.0, 5.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
+    # dim 0: mean 3, var ((1-3)^2+(0)+(2)^2)/3 = 8/3
+    assert rows[0]["mean"] == 3.0
+    assert rows[0]["std"] == pytest.approx((8 / 3) ** 0.5, abs=1e-9)
+    assert (rows[0]["min_x"], rows[0]["max_x"]) == (1.0, 5.0)
+    # dim 1: constant -> std exactly 0 (collapsed-dim signal)
+    assert rows[1]["mean"] == 5.0 and rows[1]["std"] == 0.0
+    # dim 2: all-zero
+    assert rows[2]["mean"] == 0.0 and rows[2]["std"] == 0.0
+    assert all(r["n"] == 3 for r in rows.values())

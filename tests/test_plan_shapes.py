@@ -1003,3 +1003,12 @@ def test_cdc_chunking_rowlocal_single_shuffle(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"partial_(sum|count)", plan)
+
+
+def test_emb_dim_stats_partial_agg(spark):
+    # the dims x values explode reduces through a partial aggregate
+    # before the dim shuffle; no Python anywhere
+    plan = formatted_plan(spark, "emb_dim_stats")
+    assert re.search(r"partial_(sum|count|min|max)", plan)
+    assert "EvalPython" not in plan
+    assert shuffle_count(plan) == 1
