@@ -365,3 +365,37 @@ def expire_partitions(
             fs.delete(status.getPath(), True)
             dropped.append(value)
     return sorted(dropped)
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with per-column bloom filters — the point-lookup
+    accelerator for high-cardinality key columns that min/max page stats
+    can't prune (a `WHERE doc_id = X` against a 100 TB corpus touches
+    every file whose [min,max] straddles X, which for a hash-ish id is
+    ALL of them; a bloom filter answers "definitely not here" per row
+    group and the scan skips it).
+
+    Pure writer-side metadata: readers that ignore bloom filters read
+    the file unchanged; Spark's parquet reader consults them
+    automatically on equality predicates.  Size ``ndv`` to the expected
+    distinct keys PER ROW GROUP (overshooting wastes ~1.2 bytes/key of
+    footer, undershooting inflates the false-positive rate — both safe,
+    neither wrong).
+
+    Complements, not replaces, the layout sinks: partition pruning cuts
+    directories, Z-order/clustering cuts row groups by SORTED columns,
+    bloom filters cut row groups by UNSORTED keys.
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+        )
+    writer.parquet(path)
