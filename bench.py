@@ -320,6 +320,8 @@ HEADLINE = [
     "integrity_checksum_orders",
     "cdc_chunk_dedup_report",
     "emb_dim_stats",
+    "privacy_k_anonymity",
+    "blocklist_screen_report",
 ]
 
 

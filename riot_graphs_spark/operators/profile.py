@@ -1504,3 +1504,57 @@ def table_checksum(
             F.sum(h.cast("decimal(38,0)")).alias("checksum"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification risk reading a privacy review asks for BEFORE a
+    corpus ships: a row whose (lang, source, length-band, …) combo is
+    shared by fewer than ``k`` rows is linkable even with direct
+    identifiers redacted (the classic quasi-identifier attack), and the
+    fix — generalize a column, suppress a stratum — is chosen off this
+    table.
+
+    One count groupBy on the quasi-identifier tuple (NULLs count as
+    their own level — a NULL combo is just as linkable); everything
+    after runs on the combos axis.  Exact integers; one summary row.
+
+    Output: one row — ``(k int, n_rows bigint, n_combos bigint,
+    n_combos_below_k bigint, n_rows_below_k bigint, share_rows_below_k
+    double, min_combo_size bigint)``.
+    """
+    if k < 2:
+        raise ValueError("need k >= 2")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    keys = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(
+            f"_q{i}"
+        )
+        for i, c in enumerate(quasi_cols)
+    ]
+    combos = df.select(*keys).groupBy(
+        *[f"_q{i}" for i in range(len(quasi_cols))]
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    below = F.col("_n") < k
+    return combos.agg(
+        F.lit(int(k)).alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_combos"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "n_combos_below_k"
+        ),
+        F.sum(F.when(below, F.col("_n")).otherwise(0)).cast("long").alias(
+            "n_rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(below, F.col("_n")).otherwise(0)).cast("double")
+            / F.sum("_n").cast("double"),
+            9,
+        ).alias("share_rows_below_k"),
+        F.min("_n").cast("long").alias("min_combo_size"),
+    )

@@ -941,3 +941,59 @@ def vocab_entropy_by_group(
             9,
         ).alias("norm_entropy"),
     )
+
+
+def blocklist_screen(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist screening report: per banned term, how many documents
+    match and how many total hits — the compliance sweep (slurs, PII
+    markers, licensed strings, eval-set canaries) every corpus release
+    runs.  Matching is case-insensitive WORD-BOUNDED regex (substring
+    matching flags "class" for "ass"; the boundary anchors are what make
+    a blocklist usable).
+
+    ONE corpus scan: every term's per-doc hit count rides the same
+    projection as an unrolled ``regexp_count`` column (|terms| regex
+    evaluations per row — terms are a reviewed list, tens not millions;
+    a million-entry blocklist is the Aho-Corasick/broadcast-join regime,
+    out of scope here and flagged by the length guard), then ONE
+    single-row aggregate explodes into |terms| rows.  No shuffle at all.
+
+    Output: one row per term — ``(term string, n_docs bigint,
+    n_hits bigint)``, including zero-hit terms (the audit must show the
+    term WAS screened).
+    """
+    if not terms:
+        raise ValueError("need at least one term")
+    if len(terms) > 200:
+        raise ValueError(
+            "blocklist_screen is the reviewed-shortlist form (<= 200 "
+            "terms); use a broadcast token join for large lists"
+        )
+    import re as _re
+
+    base = docs.filter(F.col(text_col).isNotNull())
+    aggs = []
+    for i, t in enumerate(sorted(terms)):
+        pat = f"(?i)\\b{_re.escape(t)}\\b"
+        hits = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        )
+        aggs.append(
+            F.sum(F.when(hits > 0, 1).otherwise(0)).alias(f"_d{i}")
+        )
+        aggs.append(F.sum(hits).alias(f"_h{i}"))
+    one = base.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(t).alias("term"),
+            F.col(f"_d{i}").cast("long").alias("n_docs"),
+            F.col(f"_h{i}").cast("long").alias("n_hits"),
+        )
+        for i, t in enumerate(sorted(terms))
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

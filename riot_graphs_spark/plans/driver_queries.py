@@ -12575,6 +12575,81 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_stats(emb)
 
 
+@_q(
+    "privacy_k_anonymity",
+    """
+    WITH combos AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS q0,
+             coalesce(source, chr(0) || 'null') AS q1,
+             coalesce((n_chars // 500)::VARCHAR, chr(0) || 'null') AS q2,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT 5 AS k,
+           sum(n)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_combos,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_combos_below_k,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+             AS n_rows_below_k,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+                 / sum(n)::DOUBLE, 9) AS share_rows_below_k,
+           min(n)::BIGINT AS min_combo_size
+    FROM combos
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the corpus over the (lang, source,
+    500-char length band) quasi-identifier combination
+    (operators.profile.k_anonymity_report, k=5) — the re-identification
+    risk table a privacy review reads before release: combos shared by
+    fewer than k docs are linkable even with direct identifiers
+    redacted.  One combo groupBy; summary on the combos axis."""
+    from ..operators.profile import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(500)).cast("long").alias("len_band"),
+    )
+    return k_anonymity_report(
+        docs, quasi_cols=["lang", "source", "len_band"], k=5
+    )
+
+
+_BLOCKLIST = ("customer", "deadlock", "xylophone")
+
+
+def _blocklist_oracle() -> str:
+    import re as _re
+
+    parts = []
+    for t in sorted(_BLOCKLIST):
+        pat = "(?i)\\b" + _re.escape(t) + "\\b"
+        parts.append(f"""
+        SELECT '{t}' AS term,
+               sum(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+               sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS n_hits
+        FROM documents WHERE text IS NOT NULL
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@_q("blocklist_screen_report", _blocklist_oracle())
+def blocklist_screen_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (operators.textstats.blocklist_screen): per
+    banned term, documents matched and total hits — the compliance sweep
+    a corpus release runs (the fixture list mixes frequent terms with a
+    guaranteed-absent one, because the audit must show zero-hit terms
+    WERE screened).  Word-bounded case-insensitive regex; one scan, all
+    terms as unrolled conditional aggregates, zero shuffles."""
+    from ..operators.textstats import blocklist_screen
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_screen(docs, terms=list(_BLOCKLIST))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -943,3 +943,48 @@ def test_randomization_mean_test_three_arms_nulls(spark):
     assert r["mean_a"] is None and r["mean_b"] is None
     assert r["d_obs"] is None and r["n_ge"] is None
     assert r["p_value"] is None
+
+
+def test_k_anonymity_report_hand_case(spark):
+    from riot_graphs_spark.operators.profile import k_anonymity_report
+
+    rows = (
+        [("en", "web")] * 10       # safe combo
+        + [("de", "web")] * 3      # below k=5
+        + [("fr", None)] * 1       # NULL level, below k
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = k_anonymity_report(df, ["lang", "source"], k=5).collect()[0]
+    assert (r["k"], r["n_rows"], r["n_combos"]) == (5, 14, 3)
+    assert r["n_combos_below_k"] == 2 and r["n_rows_below_k"] == 4
+    assert r["share_rows_below_k"] == pytest.approx(4 / 14)
+    assert r["min_combo_size"] == 1
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["lang"], k=1)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
+
+
+def test_blocklist_screen_hand_case(spark):
+    from riot_graphs_spark.operators.textstats import blocklist_screen
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Customer called the customer desk"),  # 2 hits, 1 doc
+            (2, "accustomed is not a hit"),                # boundary guard
+            (3, "customer again"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["term"]: r
+        for r in blocklist_screen(df, ["customer", "missing"]).collect()
+    }
+    assert rows["customer"]["n_docs"] == 2
+    assert rows["customer"]["n_hits"] == 3  # case-insensitive, bounded
+    # zero-hit term still reported: the audit shows it WAS screened
+    assert rows["missing"]["n_docs"] == 0 and rows["missing"]["n_hits"] == 0
+    with pytest.raises(ValueError):
+        blocklist_screen(df, [])
+    with pytest.raises(ValueError):
+        blocklist_screen(df, [f"t{i}" for i in range(201)])

@@ -1012,3 +1012,18 @@ def test_emb_dim_stats_partial_agg(spark):
     assert re.search(r"partial_(sum|count|min|max)", plan)
     assert "EvalPython" not in plan
     assert shuffle_count(plan) == 1
+
+
+def test_blocklist_screen_zero_shuffle(spark):
+    # unrolled conditional aggregates: one scan, no exchange beyond the
+    # single-row aggregate
+    plan = formatted_plan(spark, "blocklist_screen_report")
+    assert "EvalPython" not in plan
+    assert shuffle_count(plan) <= 1
+
+
+def test_k_anonymity_single_combo_groupby(spark):
+    plan = formatted_plan(spark, "privacy_k_anonymity")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert shuffle_count(plan) == 1
