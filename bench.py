@@ -322,6 +322,7 @@ HEADLINE = [
     "emb_dim_stats",
     "privacy_k_anonymity",
     "blocklist_screen_report",
+    "cdc_chunk_neardup_pairs",
 ]
 
 

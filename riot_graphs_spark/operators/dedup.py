@@ -1675,3 +1675,67 @@ def content_defined_chunks(
             )
         ).alias("chunk_hash"),
     )
+
+
+def chunk_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 8,
+    divisor: int = 16,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED CONTENT-DEFINED CHUNKS — the
+    pairing channel :func:`content_defined_chunks` enables: two docs
+    sharing ``min_shared`` chunk identities share real spans even when
+    their whole-doc similarity is low (the syndicated-paragraph /
+    stitched-template case MinHash under-scores because the rest of the
+    docs differ).  Complements MinHash (whole-doc resemblance) and
+    winnowing (within-corpus repeated spans) as the cross-doc
+    partial-overlap detector.
+
+    Scale shape is the LSH discipline: pairs form INSIDE chunk-identity
+    buckets only, and buckets larger than ``max_bucket_size`` are
+    dropped before pairing (a corpus-wide boilerplate chunk would
+    otherwise explode quadratically — it belongs to the heavy-hitter
+    report, not the pair channel; the cap is the same honesty knob as
+    ``minhash_lsh_pairs``).  One chunk groupBy + one bucket self-join +
+    one pair groupBy.
+
+    Output: one row per pair — ``(doc_a, doc_b, n_shared_chunks bigint,
+    shared_tokens bigint)``, ``doc_a < doc_b``.
+    """
+    if min_shared < 1:
+        raise ValueError("need min_shared >= 1")
+    ch = content_defined_chunks(
+        docs, text_col=text_col, w=w, divisor=divisor
+    ).select("doc_id", "chunk_hash", "n_toks")
+    sizes = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_bs"))
+    capped = ch.join(
+        sizes.filter(F.col("_bs") <= max_bucket_size).select("chunk_hash"),
+        "chunk_hash",
+    )
+    a = capped.select(
+        F.col("chunk_hash"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_toks").alias("_ta"),
+    )
+    b = capped.select(
+        F.col("chunk_hash"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    pairs = a.join(b, "chunk_hash").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+            F.sum("_ta").alias("shared_tokens"),
+        )
+        .filter(F.col("n_shared_chunks") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_chunks").cast("long").alias("n_shared_chunks"),
+            F.col("shared_tokens").cast("long").alias("shared_tokens"),
+        )
+    )

@@ -12650,6 +12650,78 @@ def blocklist_screen_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_screen(docs, terms=list(_BLOCKLIST))
 
 
+@_q(
+    "cdc_chunk_neardup_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_WORDS} AS toks FROM documents
+      WHERE len({_DUCK_WORDS}) > 0
+    ),
+    h AS (
+      SELECT doc_id, toks,
+             list_transform(toks,
+               tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs,
+             len(toks) AS n
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             [i for i in range(8, n + 1)
+              if list_reduce(hs[i-7:i],
+                   (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0] AS cuts
+      FROM h
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat([0], cuts), [n]) AS bounds
+      FROM c
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[ck.s:ck.s + ck.l - 1], ' '))
+               AS chunk_hash,
+             ck.l AS n_toks
+      FROM (
+        SELECT doc_id, toks,
+               unnest([{{s: bounds[j] + 1, l: bounds[j+1] - bounds[j]}}
+                       for j in range(1, len(bounds))]) AS ck
+        FROM b
+      ) WHERE ck.l > 0
+    ),
+    capped AS (
+      SELECT * FROM ch
+      WHERE chunk_hash IN (
+        SELECT chunk_hash FROM ch GROUP BY 1 HAVING count(*) <= 1000
+      )
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             count(*) AS n_shared_chunks,
+             sum(a.n_toks)::BIGINT AS shared_tokens
+      FROM capped a
+      JOIN capped b2
+        ON a.chunk_hash = b2.chunk_hash AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared_chunks::BIGINT AS n_shared_chunks,
+           shared_tokens
+    FROM pairs WHERE n_shared_chunks >= 2
+    """,
+)
+def cdc_chunk_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared content-defined chunks
+    (operators.dedup.chunk_overlap_pairs, min_shared=2) — the
+    partial-overlap pairing channel: syndicated paragraphs / stitched
+    templates share chunk identities even when whole-doc MinHash
+    under-scores the pair.  LSH discipline: pairs form inside
+    chunk-identity buckets only, corpus-wide boilerplate buckets capped
+    out before pairing."""
+    from ..operators.dedup import chunk_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_overlap_pairs(docs, min_shared=2, max_bucket_size=1000)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

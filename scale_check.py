@@ -714,6 +714,9 @@ QUERY_CASES = [
     "cdc_chunk_dedup_report",
     # round-8: posexplode -> dim groupBy, partial-aggregable
     "emb_dim_stats",
+    # round-8: chunk-bucket pairing — within-bucket expansion only,
+    # boilerplate buckets capped (the minhash_lsh_pairs discipline)
+    "cdc_chunk_neardup_pairs",
 ]
 
 

@@ -1470,3 +1470,36 @@ def test_content_defined_chunks_properties(spark):
     assert content_defined_chunks(empty).count() == 0
     with pytest.raises(ValueError):
         content_defined_chunks(df, w=0)
+
+
+def test_chunk_overlap_pairs_hand_case(spark):
+    from riot_graphs_spark.operators.dedup import chunk_overlap_pairs
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three"),
+            (2, "different head words here then " + shared),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = chunk_overlap_pairs(
+        docs, w=4, divisor=4, min_shared=1
+    ).collect()
+    # docs 1 and 2 share the syndicated span's interior chunks; doc 3
+    # pairs with nobody
+    assert all((r["doc_a"], r["doc_b"]) == (1, 2) for r in pairs)
+    assert len(pairs) == 1 and pairs[0]["n_shared_chunks"] >= 1
+    assert pairs[0]["shared_tokens"] >= 4
+    # a boilerplate chunk above the bucket cap never forms pairs
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], "doc_id bigint, text string"
+    )
+    capped = chunk_overlap_pairs(
+        many, w=4, divisor=4, min_shared=1, max_bucket_size=5
+    )
+    assert capped.count() == 0
+    with pytest.raises(ValueError):
+        chunk_overlap_pairs(docs, min_shared=0)

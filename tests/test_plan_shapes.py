@@ -1029,3 +1029,11 @@ def test_k_anonymity_single_combo_groupby(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert shuffle_count(plan) <= 2
+
+
+def test_cdc_neardup_pairs_no_cartesian(spark):
+    # pairing is a chunk-hash equi-join inside capped buckets
+    plan = formatted_plan(spark, "cdc_chunk_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_(sum|count)", plan)
