@@ -323,6 +323,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "blocklist_screen_report",
     "cdc_chunk_neardup_pairs",
+    "search_rbo_lexical_vs_dense",
 ]
 
 

@@ -565,3 +565,87 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def rank_biased_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (truncated RBO@k) between two top-k runs per
+    query — "how differently do two retrievers rank", the
+    complementarity reading behind a hybrid-fusion decision: plain
+    overlap@k treats rank 1 and rank k alike, while RBO's geometric
+    top-weighting (persistence ``p``) scores agreement where users
+    actually look.
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+
+    A doc in both runs enters every depth ``d ≥ max(rank_A, rank_B)``,
+    so its total contribution is the CLOSED-FORM constant
+    ``w(m) = Σ_{d=m..k} p^{d−1}/d`` — precomputed in Python per possible
+    ``m`` and applied as a literal map: the whole statistic is one
+    (query, doc) equi-join + one per-query sum of literals.  Weights are
+    quantized to ``decimal(28,12)`` before the sum (order-free); both
+    engines read the identical literal table.
+
+    Output: one row per query present in BOTH runs — ``(query_col,
+    n_common bigint, overlap_at_k double, rbo double)``; a query whose
+    lists share nothing scores an explicit 0 row (disagreement is the
+    finding, not a missing row).  Identical runs score
+    ``(1−p)·Σ p^{d−1} < 1`` only due to truncation, so the same-run RBO
+    is the per-k ceiling.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    if not 0 < p < 1:
+        raise ValueError("need 0 < p < 1")
+    weights = {
+        m: sum(p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    }
+    a = run_a.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_ra"),
+    )
+    b = run_b.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rb"),
+    )
+    m = F.greatest(F.col("_ra"), F.col("_rb"))
+    w = F.lit(None).cast("double")
+    for mm in range(k, 0, -1):
+        w = F.when(m == mm, F.lit(weights[mm])).otherwise(w)
+    matched = a.join(b, ["_q", "_d"]).select(
+        "_q", w.cast("decimal(28,12)").alias("_w")
+    )
+    scored = matched.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("_nc"),
+        F.sum("_w").alias("_sw"),
+    )
+    spine = a.select("_q").distinct().join(b.select("_q").distinct(), "_q")
+    return (
+        spine.join(scored, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.round(
+                F.coalesce(F.col("_nc"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                9,
+            ).alias("overlap_at_k"),
+            F.round(
+                F.coalesce(F.col("_sw").cast("double"), F.lit(0.0))
+                * F.lit(1.0 - p),
+                9,
+            ).alias("rbo"),
+        )
+    )

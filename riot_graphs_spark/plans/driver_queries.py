@@ -12722,6 +12722,141 @@ def cdc_chunk_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_overlap_pairs(docs, min_shared=2, max_bucket_size=1000)
 
 
+def _rbo_oracle(k: int = 10, p: float = 0.9) -> str:
+    weights = {
+        m: sum(p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    }
+    case = " ".join(
+        f"WHEN {m} THEN {weights[m]!r}" for m in range(1, k + 1)
+    )
+    return f"""
+    WITH tok AS ({_DUCK_TOK}),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:5], ' ') AS qt
+      FROM documents WHERE doc_id < 3
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, t.tok AS token
+      FROM q, unnest(regexp_extract_all(lower(qt), '[a-z0-9]+')) AS t(tok)
+    ),
+    vocab AS (SELECT DISTINCT token FROM qtok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok JOIN vocab USING (token) GROUP BY 1, 2
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT qtok.query_id, tf.doc_id,
+             CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                  AS DECIMAL(28,12)) AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats JOIN qtok USING (token)
+    ),
+    bm AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id) AS INT) AS rank
+      FROM per GROUP BY query_id, doc_id
+      QUALIFY rank <= {k}
+    ),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+    dp AS (
+      SELECT eq.query_id, c.vec_id AS doc_id,
+             {_DUCK_COSINE.replace("q.qv", "eq.qv")} AS score
+      FROM embeddings c, eq WHERE c.vec_id != eq.query_id
+    ),
+    dn AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM dp QUALIFY rank <= {k}
+    ),
+    fscore AS (
+      SELECT query_id, doc_id,
+             coalesce(1.0 / (60 + bm.rank), 0.0)
+             + coalesce(1.0 / (60 + dn.rank), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN dn USING (query_id, doc_id)
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+      FROM fscore
+      QUALIFY rank <= {k}
+    ),
+    matched AS (
+      SELECT bm.query_id,
+             CAST(CASE greatest(bm.rank, fused.rank) {case} END
+               AS DECIMAL(28,12)) AS w
+      FROM bm JOIN fused USING (query_id, doc_id)
+    ),
+    spine AS (
+      SELECT DISTINCT query_id FROM bm
+      INTERSECT
+      SELECT DISTINCT query_id FROM fused
+    ),
+    scored AS (
+      SELECT query_id, count(*) AS nc, sum(w) AS sw
+      FROM matched GROUP BY query_id
+    )
+    SELECT s.query_id, coalesce(nc, 0)::BIGINT AS n_common,
+           round(coalesce(nc, 0)::DOUBLE / {float(k)!r}, 9) AS overlap_at_k,
+           round(coalesce(sw::DOUBLE, 0.0) * {(1.0 - p)!r}, 9) AS rbo
+    FROM spine s LEFT JOIN scored USING (query_id)
+    """
+
+
+@_q("search_rbo_lexical_vs_dense", _rbo_oracle())
+def search_rbo_lexical_vs_dense(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-biased overlap between the BM25 top-10 and the RRF-FUSED
+    top-10 (operators.ranking.rank_biased_overlap, p=0.9) — "how much
+    did adding the dense list change what the user sees": RBO near the
+    truncation ceiling = fusion kept the lexical ordering, low RBO =
+    the dense signal rewrote the page (here the dense and lexical lists
+    are disjoint on the fixture, so fusion interleaves and RBO sits in
+    between; a query with NOTHING in common still emits its 0 row —
+    disagreement is the finding).  One (query, doc) equi-join +
+    per-query literal-weight sums."""
+    from ..operators.dedup import words
+    from ..operators.ranking import (
+        bm25_search_topk,
+        rank_biased_overlap,
+        rrf_fuse,
+    )
+    from ..operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    bm = bm25_search_topk(docs, queries_df, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([bm, dense], k_const=60, top_k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    return rank_biased_overlap(bm, fused, k=10, p=0.9)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -717,6 +717,9 @@ QUERY_CASES = [
     # round-8: chunk-bucket pairing — within-bucket expansion only,
     # boilerplate buckets capped (the minhash_lsh_pairs discipline)
     "cdc_chunk_neardup_pairs",
+    # round-8: BM25 + dense + fused runs (queries x k each), literal-
+    # weight RBO join — the corpus scans feed the runs, the RBO is tiny
+    "search_rbo_lexical_vs_dense",
 ]
 
 

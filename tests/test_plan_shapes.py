@@ -1037,3 +1037,10 @@ def test_cdc_neardup_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert re.search(r"partial_(sum|count)", plan)
+
+
+def test_rbo_literal_weights_no_python(spark):
+    # the weight map is literals; everything joins on (query, doc)
+    plan = formatted_plan(spark, "search_rbo_lexical_vs_dense")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

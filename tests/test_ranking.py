@@ -238,3 +238,45 @@ def test_rrf_fuse_validates(spark):
         rrf_fuse([df])
     with _pytest.raises(ValueError):
         rrf_fuse([df, df], k_const=0)
+
+
+def test_rank_biased_overlap_hand_cases(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.ranking import rank_biased_overlap
+
+    run = spark.createDataFrame(
+        [("q", f"d{r}", r) for r in range(1, 4)],
+        "query_id string, doc_id string, rank int",
+    )
+    # identical runs: rbo = (1-p) * sum_{d=1..k} p^(d-1) (truncation
+    # ceiling), overlap 1
+    p, k = 0.5, 3
+    r = rank_biased_overlap(run, run, k=k, p=p).collect()[0]
+    ceiling = (1 - p) * sum(p ** (d - 1) for d in range(1, k + 1))
+    assert r["overlap_at_k"] == pytest.approx(1.0)
+    assert r["rbo"] == pytest.approx(ceiling, abs=1e-9)
+    # disjoint runs: explicit zero row, not a missing query
+    other = spark.createDataFrame(
+        [("q", f"x{r}", r) for r in range(1, 4)],
+        "query_id string, doc_id string, rank int",
+    )
+    r = rank_biased_overlap(run, other, k=k, p=p).collect()[0]
+    assert (r["n_common"], r["overlap_at_k"], r["rbo"]) == (0, 0.0, 0.0)
+    # top-heavy weighting: agreeing at rank 1 beats agreeing at rank 3
+    top = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "z2", 2), ("q", "z3", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    bottom = spark.createDataFrame(
+        [("q", "y1", 1), ("q", "y2", 2), ("q", "d3", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    r_top = rank_biased_overlap(run, top, k=k, p=p).collect()[0]
+    r_bot = rank_biased_overlap(run, bottom, k=k, p=p).collect()[0]
+    assert r_top["n_common"] == r_bot["n_common"] == 1
+    assert r_top["rbo"] > r_bot["rbo"]
+    with pytest.raises(ValueError):
+        rank_biased_overlap(run, run, k=0)
+    with pytest.raises(ValueError):
+        rank_biased_overlap(run, run, p=1.0)
