@@ -324,6 +324,7 @@ HEADLINE = [
     "blocklist_screen_report",
     "cdc_chunk_neardup_pairs",
     "search_rbo_lexical_vs_dense",
+    "ab_simpsons_check",
 ]
 
 

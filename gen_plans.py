@@ -122,6 +122,28 @@ SHOWCASE = [
     "text_lexical_diversity",
     "ts_cross_correlation",
     "ts_seasonal_decompose",
+    # round-8 families: shared-weight paired bootstrap (2-ary scorer
+    # axis), grouped bootstrap with broadcast boot side, checkpoint-
+    # staged manifest composition, discordant-cell McNemar, broadcast-
+    # grid JSD, per-replicate weighted median, literal-threshold vocab
+    # coverage, md5-relabel randomization test, staged-projection CDC
+    # chunking + capped-bucket pairing, commutative-sum checksum,
+    # literal-map RBO
+    "quality_delta_auc_paired",
+    "quality_mean_ci_by_source",
+    "corpus_build_manifest",
+    "mcnemar_langid_vs_majority",
+    "js_source_lang_divergence",
+    "doclen_median_bootstrap_ci",
+    "vocab_coverage_curve",
+    "perm_test_user_value",
+    "cdc_chunk_dedup_report",
+    "cdc_chunk_neardup_pairs",
+    "integrity_checksum_orders",
+    "emb_dim_stats",
+    "quality_hist_calibration",
+    "search_rbo_lexical_vs_dense",
+    "split_dup_leakage",
 ]
 
 

@@ -1523,3 +1523,100 @@ def histogram_calibration_report(
         F.round(after, 9).alias("brier_after"),
         F.round(before - after, 9).alias("reliability"),
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    variant_col: str,
+    flag_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox check for a two-arm experiment: does the POOLED
+    conversion difference agree with the per-stratum differences?  The
+    pooled A/B read flips sign (or materializes from nothing) whenever
+    arm assignment correlates with a stratum that also drives the
+    metric — the classic aggregation trap; this emits the per-stratum
+    table plus the pooled row so the disagreement is visible in one
+    artifact instead of discovered in a postmortem.
+
+    Exactly two arms (ordered ascending: a < b); ``diff`` = rate_a −
+    rate_b.  ``agrees_with_pooled`` compares each stratum's sign to the
+    pooled sign (zero diffs agree with everything).  Exact integer
+    counts; one (stratum, arm) groupBy, everything after on the strata
+    axis.  NULL strata/arms/flags excluded.
+
+    Output: one row per stratum plus the ``\\x00pooled`` row —
+    ``(stratum string, n_a bigint, k_a bigint, n_b bigint, k_b bigint,
+    rate_a double, rate_b double, diff double, agrees_with_pooled
+    boolean)``.
+    """
+    keep = (
+        F.col(variant_col).isNotNull()
+        & F.col(flag_col).isNotNull()
+        & F.col(stratum_col).isNotNull()
+    )
+    base = df.filter(keep).select(
+        F.col(stratum_col).cast("string").alias("_s"),
+        F.col(variant_col).cast("string").alias("_v"),
+        _pos(flag_col).alias("_y"),
+    )
+    per = base.groupBy("_s", "_v").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_k")
+    )
+    arms = (
+        per.groupBy("_v")
+        .agg(F.lit(1).alias("_one"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_v")))
+    )
+    a_arm = arms.filter(F.col("_rk") == 1).select(
+        F.col("_v").alias("_va")
+    )
+    b_arm = arms.filter(F.col("_rk") == 2).select(
+        F.col("_v").alias("_vb")
+    )
+    lab = F.broadcast(a_arm.crossJoin(b_arm))
+    pooled = per.groupBy("_v").agg(
+        F.sum("_n").alias("_n"), F.sum("_k").alias("_k")
+    ).withColumn("_s", F.lit("\x00pooled"))
+    both = per.unionByName(pooled.select("_s", "_v", "_n", "_k"))
+    wide = (
+        both.crossJoin(lab)
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_v") == F.col("_va"), F.col("_n"))).alias(
+                "n_a"
+            ),
+            F.sum(F.when(F.col("_v") == F.col("_va"), F.col("_k"))).alias(
+                "k_a"
+            ),
+            F.sum(F.when(F.col("_v") == F.col("_vb"), F.col("_n"))).alias(
+                "n_b"
+            ),
+            F.sum(F.when(F.col("_v") == F.col("_vb"), F.col("_k"))).alias(
+                "k_b"
+            ),
+        )
+    )
+    rate_a = F.try_divide(F.col("k_a").cast("double"), F.col("n_a").cast("double"))
+    rate_b = F.try_divide(F.col("k_b").cast("double"), F.col("n_b").cast("double"))
+    diff = rate_a - rate_b
+    scored = wide.select(
+        F.col("_s").alias("stratum"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("k_a", F.lit(0)).cast("long").alias("k_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce("k_b", F.lit(0)).cast("long").alias("k_b"),
+        F.round(rate_a, 9).alias("rate_a"),
+        F.round(rate_b, 9).alias("rate_b"),
+        F.round(diff, 9).alias("diff"),
+    )
+    pooled_sign = F.first(
+        F.when(F.col("stratum") == "\x00pooled", F.signum(F.col("diff")))
+    , ignorenulls=True).over(Window.partitionBy())
+    return scored.select(
+        "*",
+        (
+            (F.signum(F.col("diff")) == pooled_sign)
+            | (F.signum(F.col("diff")) == 0)
+        ).alias("agrees_with_pooled"),
+    )

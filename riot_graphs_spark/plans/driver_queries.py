@@ -12857,6 +12857,93 @@ def search_rbo_lexical_vs_dense(
     return rank_biased_overlap(bm, fused, k=10, p=0.9)
 
 
+@_q(
+    "ab_simpsons_check",
+    """
+    WITH u0 AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+             count(*) AS ne
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    u AS (
+      SELECT v, y,
+             'q' || ntile(5) OVER (ORDER BY ne, user_id)::VARCHAR AS s
+      FROM u0
+    ),
+    per AS (SELECT s, v, count(*) AS n, sum(y) AS k FROM u GROUP BY 1, 2),
+    pooled AS (
+      SELECT chr(0) || 'pooled' AS s, v, sum(n) AS n, sum(k) AS k
+      FROM per GROUP BY 2
+    ),
+    unioned AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+    wide AS (
+      SELECT s AS stratum,
+             coalesce(sum(CASE WHEN v = '0' THEN n END), 0)::BIGINT AS n_a,
+             coalesce(sum(CASE WHEN v = '0' THEN k END), 0)::BIGINT AS k_a,
+             coalesce(sum(CASE WHEN v = '1' THEN n END), 0)::BIGINT AS n_b,
+             coalesce(sum(CASE WHEN v = '1' THEN k END), 0)::BIGINT AS k_b
+      FROM unioned GROUP BY 1
+    ),
+    scored AS (
+      SELECT stratum, n_a, k_a, n_b, k_b,
+             round(CASE WHEN n_a > 0 THEN k_a::DOUBLE / n_a END, 9)
+               AS rate_a,
+             round(CASE WHEN n_b > 0 THEN k_b::DOUBLE / n_b END, 9)
+               AS rate_b,
+             round((CASE WHEN n_a > 0 THEN k_a::DOUBLE / n_a END)
+                   - (CASE WHEN n_b > 0 THEN k_b::DOUBLE / n_b END), 9)
+               AS diff
+      FROM wide
+    )
+    SELECT *,
+           (sign(diff) = (SELECT sign(diff) FROM scored
+                          WHERE stratum = chr(0) || 'pooled')
+            OR sign(diff) = 0) AS agrees_with_pooled
+    FROM scored
+    """,
+)
+def ab_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox check for the purchase A/B read
+    (operators.evaluation.simpsons_check): the pooled conversion
+    difference beside per-stratum differences (stratum = the user's
+    activity QUINTILE — the engagement cohort that classically
+    confounds conversion reads; quintiles, not fixed count cutoffs,
+    stay meaningful across scale factors), with a sign-agreement flag
+    per stratum.  The pooled read flips whenever arm assignment
+    correlates with a metric-driving stratum — the aggregation trap a
+    stratified table catches before the postmortem does.  Unit of
+    analysis is the user; one (stratum, arm) groupBy, strata-axis
+    arithmetic after."""
+    from ..operators.evaluation import simpsons_check
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    # activity QUINTILE, not a fixed count cutoff: per-user volumes grow
+    # with SF, a scale-free stratum doesn't; the ntile window runs over
+    # the USERS axis (bounded) with a deterministic (ne, user_id) order
+    users = per_user.select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        "converted",
+        F.concat(
+            F.lit("q"),
+            F.ntile(5)
+            .over(Window.orderBy("ne", "user_id"))
+            .cast("string"),
+        ).alias("cohort"),
+    )
+    return simpsons_check(users, "variant", "converted", "cohort")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -720,6 +720,9 @@ QUERY_CASES = [
     # round-8: BM25 + dense + fused runs (queries x k each), literal-
     # weight RBO join — the corpus scans feed the runs, the RBO is tiny
     "search_rbo_lexical_vs_dense",
+    # round-8: event pre-agg (linear) -> users-axis quintile window ->
+    # (stratum, arm) counts
+    "ab_simpsons_check",
 ]
 
 

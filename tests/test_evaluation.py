@@ -988,3 +988,38 @@ def test_blocklist_screen_hand_case(spark):
         blocklist_screen(df, [])
     with pytest.raises(ValueError):
         blocklist_screen(df, [f"t{i}" for i in range(201)])
+
+
+def test_simpsons_check_classic_reversal(spark):
+    from riot_graphs_spark.operators.evaluation import simpsons_check
+
+    # the textbook reversal: A wins inside EVERY stratum, loses pooled
+    rows = (
+        [("A", "s1", 1)] * 81 + [("A", "s1", 0)] * 19
+        + [("B", "s1", 1)] * 234 + [("B", "s1", 0)] * 66
+        + [("A", "s2", 1)] * 192 + [("A", "s2", 0)] * 108
+        + [("B", "s2", 1)] * 55 + [("B", "s2", 0)] * 45
+    )
+    df = spark.createDataFrame(rows, "v string, s string, y int")
+    got = {
+        r["stratum"]: r
+        for r in simpsons_check(df, "v", "y", "s").collect()
+    }
+    pooled = got["\x00pooled"]
+    assert pooled["diff"] < 0 and bool(pooled["agrees_with_pooled"])
+    assert got["s1"]["diff"] > 0 and got["s2"]["diff"] > 0
+    assert not bool(got["s1"]["agrees_with_pooled"])
+    assert not bool(got["s2"]["agrees_with_pooled"])
+    assert (got["s1"]["n_a"], got["s1"]["n_b"]) == (100, 300)
+    # no paradox: agreement everywhere
+    ok = spark.createDataFrame(
+        [("A", "s1", 1)] * 8 + [("A", "s1", 0)] * 2
+        + [("B", "s1", 1)] * 5 + [("B", "s1", 0)] * 5
+        + [("A", "s2", 1)] * 7 + [("A", "s2", 0)] * 3
+        + [("B", "s2", 1)] * 4 + [("B", "s2", 0)] * 6,
+        "v string, s string, y int",
+    )
+    got = {
+        r["stratum"]: r for r in simpsons_check(ok, "v", "y", "s").collect()
+    }
+    assert all(bool(r["agrees_with_pooled"]) for r in got.values())

@@ -1044,3 +1044,12 @@ def test_rbo_literal_weights_no_python(spark):
     plan = formatted_plan(spark, "search_rbo_lexical_vs_dense")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simpsons_check_users_axis_windows(spark):
+    # the quintile/ntile windows run on the USERS axis after the event
+    # pre-aggregation — never over raw events; no Python
+    plan = formatted_plan(spark, "ab_simpsons_check")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
