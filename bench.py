@@ -325,6 +325,7 @@ HEADLINE = [
     "cdc_chunk_neardup_pairs",
     "search_rbo_lexical_vs_dense",
     "ab_simpsons_check",
+    "ts_mann_kendall",
 ]
 
 

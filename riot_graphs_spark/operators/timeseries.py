@@ -1698,3 +1698,106 @@ def seasonal_decompose(
             9,
         ).alias("resid"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series — the non-parametric
+    companion to :func:`trend_fit`'s least-squares slope: MK asks only
+    "do later buckets tend to exceed earlier ones", so one spike can't
+    buy a trend and no linearity is assumed (the robustness a metric
+    drift alarm needs).
+
+        S = Σ_{i<j} sign(x_j − x_i)      over the bucketed series
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        Z = (S ∓ 1) / sqrt(Var)           (continuity-corrected)
+
+    The raw values first reduce to per-bucket decimal MEANS (one
+    corpus-sized partial-aggregable groupBy); the O(n²) pair sum runs on
+    the BUCKET axis via a per-series self-join — n is days-per-series,
+    bounded and tiny, never fact-sized.  Integer arithmetic end-to-end
+    (S, the tie counts, and both variance polynomials are exact ints);
+    the single division and sqrt happen once per series.
+
+    Output: one row per series — ``(*dims, n_buckets bigint, s bigint,
+    var_s double, z double, trend string)`` with trend ∈ {'increasing',
+    'decreasing', 'no_trend'} at the two-sided ``z_crit`` level (NULL z
+    for n < 2 or all-tied series → 'no_trend').
+    """
+    gcols = list(dims)
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast(dec).alias("_m")
+        )
+    )
+    a = buckets.select(
+        *gcols, F.col("_b").alias("_ba"), F.col("_m").alias("_ma")
+    )
+    b = buckets.select(
+        *gcols, F.col("_b").alias("_bb"), F.col("_m").alias("_mb")
+    )
+    pairs = a.join(b, gcols) if gcols else a.crossJoin(b)
+    pairs = pairs.filter(F.col("_ba") < F.col("_bb"))
+    s_agg = pairs.groupBy(*gcols).agg(
+        F.sum(
+            F.signum(
+                F.col("_mb").cast("double") - F.col("_ma").cast("double")
+            ).cast("long")
+        ).alias("s")
+    )
+    ties = (
+        buckets.groupBy(*gcols, "_m")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum("_t").alias("n_buckets"),
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (F.lit(2) * F.col("_t") + 5)
+            ).alias("_tie_poly"),
+        )
+    )
+    joined = (
+        s_agg.join(ties, gcols)
+        if gcols
+        else s_agg.crossJoin(F.broadcast(ties))
+    )
+    n = F.col("n_buckets")
+    var_s = (
+        (n * (n - 1) * (F.lit(2) * n + 5) - F.col("_tie_poly")).cast(
+            "double"
+        )
+        / F.lit(18.0)
+    )
+    sgn = F.col("s").cast("double")
+    z = F.when(
+        (n >= 2) & (var_s > 0),
+        (sgn - F.signum(sgn)) / F.sqrt(var_s),
+    )
+    return joined.select(
+        *gcols,
+        n.cast("long").alias("n_buckets"),
+        F.col("s").cast("long").alias("s"),
+        F.round(var_s, 9).alias("var_s"),
+        F.round(z, 9).alias("z"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

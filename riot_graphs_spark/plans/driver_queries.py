@@ -12944,6 +12944,67 @@ def ab_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpsons_check(users, "variant", "converted", "cohort")
 
 
+@_q(
+    "ts_mann_kendall",
+    f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             sum(sign(b2.m::DOUBLE - a.m::DOUBLE))::BIGINT AS s
+      FROM b a JOIN b b2
+        ON a.event_type = b2.event_type AND a.bk < b2.bk
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, sum(t)::BIGINT AS n_buckets,
+             sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_poly
+      FROM (SELECT event_type, m, count(*) AS t FROM b GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT p.event_type, n_buckets, s,
+             (n_buckets * (n_buckets - 1) * (2 * n_buckets + 5)
+              - tie_poly)::DOUBLE / 18.0 AS var_s
+      FROM p JOIN t USING (event_type)
+    )
+    SELECT event_type, n_buckets, s, round(var_s, 9) AS var_s,
+           round(CASE WHEN n_buckets >= 2 AND var_s > 0
+                      THEN (s::DOUBLE - sign(s::DOUBLE)) / sqrt(var_s)
+                 END, 9) AS z,
+           CASE WHEN (CASE WHEN n_buckets >= 2 AND var_s > 0
+                           THEN (s::DOUBLE - sign(s::DOUBLE)) / sqrt(var_s)
+                      END) > {Z95!r} THEN 'increasing'
+                WHEN (CASE WHEN n_buckets >= 2 AND var_s > 0
+                           THEN (s::DOUBLE - sign(s::DOUBLE)) / sqrt(var_s)
+                      END) < -{Z95!r} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM j
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over daily
+    bucket means (operators.timeseries.mann_kendall_trend) — the
+    non-parametric companion to ts_trend_fit's least-squares slope: one
+    spike can't buy a trend, no linearity assumed.  The O(n²) pair sum
+    runs on the BUCKET axis (days per series — bounded), after one
+    partial-aggregable bucket reduction of the facts; tie-corrected
+    variance, continuity-corrected z."""
+    from ..operators.timeseries import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall_trend(
+        ev, ts="ts", value="value", dims=["event_type"], unit="day"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -723,6 +723,9 @@ QUERY_CASES = [
     # round-8: event pre-agg (linear) -> users-axis quintile window ->
     # (stratum, arm) counts
     "ab_simpsons_check",
+    # round-8: bucket reduction (linear) -> O(days^2) pair sum on the
+    # bucket axis only
+    "ts_mann_kendall",
 ]
 
 

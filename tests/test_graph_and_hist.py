@@ -1528,3 +1528,40 @@ def test_table_checksum_order_free_and_sensitive(spark):
     c_null = table_checksum(with_null, ["k", "vs"], ["part"]).collect()[0]
     c_lit = table_checksum(lit_null, ["k", "vs"], ["part"]).collect()[0]
     assert str(c_null["checksum"]) != str(c_lit["checksum"])
+
+
+def test_mann_kendall_trend_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import mann_kendall_trend
+
+    def mk(vals, g="a"):
+        # one event per day, value = vals[i]
+        return [
+            (g, f"2024-01-{i+1:02d} 00:00:00", float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    rows = mk(range(10)) + mk([5] * 10, g="flat") + mk(
+        list(range(10, 0, -1)), g="down"
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: r
+        for r in mann_kendall_trend(
+            df, dims=["event_type"], unit="day"
+        ).collect()
+    }
+    up = got["a"]
+    # strictly increasing 10 buckets: S = C(10,2) = 45, no ties
+    assert (up["n_buckets"], up["s"]) == (10, 45)
+    assert up["var_s"] == _pytest.approx(10 * 9 * 25 / 18)
+    assert up["trend"] == "increasing" and up["z"] > 1.96
+    down = got["down"]
+    assert down["s"] == -45 and down["trend"] == "decreasing"
+    flat = got["flat"]
+    # all-tied series: var 0 -> NULL z, no_trend (not a crash)
+    assert flat["s"] == 0 and flat["z"] is None
+    assert flat["trend"] == "no_trend"

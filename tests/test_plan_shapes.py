@@ -1053,3 +1053,12 @@ def test_simpsons_check_users_axis_windows(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_pairs_on_bucket_axis(spark):
+    # the facts reduce to per-bucket means BEFORE the O(n^2) pair join —
+    # the self-join input is days-per-series, never fact-sized
+    plan = formatted_plan(spark, "ts_mann_kendall")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
