@@ -326,6 +326,7 @@ HEADLINE = [
     "search_rbo_lexical_vs_dense",
     "ab_simpsons_check",
     "ts_mann_kendall",
+    "ts_seasonal_strength",
 ]
 
 

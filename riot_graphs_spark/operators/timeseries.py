@@ -1801,3 +1801,74 @@ def mann_kendall_trend(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    dims: Sequence[str],
+    ts: str,
+    value: str,
+    period: int,
+) -> DataFrame:
+    """Trend and seasonal STRENGTH per series (the Hyndman feature pair
+    over :func:`seasonal_decompose`'s components) — the one-row-per-
+    series answer to "is this metric actually seasonal, and how much of
+    it is trend", read before choosing between Holt (trend-only),
+    Holt-Winters (seasonal), or a flat threshold:
+
+        F_T = max(0, 1 − Var(resid) / Var(trend + resid))
+        F_S = max(0, 1 − Var(resid) / Var(seasonal + resid))
+
+    both in [0, 1]: ~0 = the component explains nothing beyond noise,
+    →1 = the series IS that component.  Variances are population
+    variances over the FULL-TREND-WINDOW buckets only (the decomposition
+    leaves trend NULL at the edges; comparing variances on different
+    supports would bias the ratio).
+
+    Exactness/plan: the decomposition's windows run per series over the
+    bucket axis; this adds ONE per-series aggregate of decimal-quantized
+    moments — exact-moment variances, single division each, NULL via
+    ``try_divide`` when a series has no full-window bucket.
+
+    Output: one row per series — ``(*dims, n_buckets bigint,
+    trend_strength double, seasonal_strength double)``.
+    """
+    dec = "decimal(28,12)"
+    d = seasonal_decompose(series, dims, ts, value, period).filter(
+        F.col("trend").isNotNull()
+    )
+    r = F.col("resid")
+    deseas = F.col("trend") + F.col("resid")
+    detr = F.col("seasonal") + F.col("resid")
+
+    def moms(x, tag):
+        return [
+            F.sum(x.cast(dec)).alias(f"_s{tag}"),
+            F.sum((x * x).cast(dec)).alias(f"_q{tag}"),
+        ]
+
+    agg = d.groupBy(*_cols(dims)).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        *moms(r, "r"),
+        *moms(deseas, "d"),
+        *moms(detr, "t"),
+    )
+    n = F.col("n_buckets").cast("double")
+
+    def var(tag):
+        s = F.col(f"_s{tag}").cast("double")
+        q = F.col(f"_q{tag}").cast("double")
+        return (n * q - s * s) / (n * n)
+
+    f_t = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.try_divide(var("r"), var("d"))
+    )
+    f_s = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.try_divide(var("r"), var("t"))
+    )
+    return agg.select(
+        *_cols(dims),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(f_t, 9).alias("trend_strength"),
+        F.round(f_s, 9).alias("seasonal_strength"),
+    )

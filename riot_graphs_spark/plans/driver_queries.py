@@ -13005,6 +13005,64 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_seasonal_strength",
+    f"""
+    WITH d AS ({{DECOMP}}),
+    f AS (
+      SELECT event_type, resid,
+             trend + resid AS deseas,
+             seasonal + resid AS detr
+      FROM d WHERE trend IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(resid AS DECIMAL(28,12))) AS sr,
+             sum(CAST(resid * resid AS DECIMAL(28,12))) AS qr,
+             sum(CAST(deseas AS DECIMAL(28,12))) AS sd,
+             sum(CAST(deseas * deseas AS DECIMAL(28,12))) AS qd,
+             sum(CAST(detr AS DECIMAL(28,12))) AS st,
+             sum(CAST(detr * detr AS DECIMAL(28,12))) AS qt
+      FROM f GROUP BY 1
+    )
+    SELECT event_type, n::BIGINT AS n_buckets,
+           round(greatest(0.0, 1.0 -
+             ((n::DOUBLE * qr::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE))
+             / ((n::DOUBLE * qd::DOUBLE - sd::DOUBLE * sd::DOUBLE)
+                / (n::DOUBLE * n::DOUBLE))), 9) AS trend_strength,
+           round(greatest(0.0, 1.0 -
+             ((n::DOUBLE * qr::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE))
+             / ((n::DOUBLE * qt::DOUBLE - st::DOUBLE * st::DOUBLE)
+                / (n::DOUBLE * n::DOUBLE))), 9) AS seasonal_strength
+    FROM agg
+    """.replace("{DECOMP}", ORACLES["ts_seasonal_decompose"]),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal strength per event type
+    (operators.timeseries.seasonal_strength over the hourly series,
+    period=24) — the Hyndman feature pair: "is this metric actually
+    seasonal, and how much is trend", the numbers that choose between
+    Holt, Holt-Winters, and a flat threshold.  Variances over the
+    full-trend-window buckets only; one per-series moment aggregate on
+    the bucket axis after the decomposition."""
+    from ..operators.timeseries import seasonal_strength
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("value")
+    )
+    return seasonal_strength(series, ["event_type"], "bucket", "value", 24)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

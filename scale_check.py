@@ -726,6 +726,9 @@ QUERY_CASES = [
     # round-8: bucket reduction (linear) -> O(days^2) pair sum on the
     # bucket axis only
     "ts_mann_kendall",
+    # round-8: decomposition windows per series on the bucket axis +
+    # one moment aggregate
+    "ts_seasonal_strength",
 ]
 
 

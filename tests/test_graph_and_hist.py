@@ -1565,3 +1565,42 @@ def test_mann_kendall_trend_hand_cases(spark):
     # all-tied series: var 0 -> NULL z, no_trend (not a crash)
     assert flat["s"] == 0 and flat["z"] is None
     assert flat["trend"] == "no_trend"
+
+
+def test_seasonal_strength_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import seasonal_strength
+
+    # period 5 (odd -> the 5-point MA spans exactly one cycle, so a pure
+    # season has constant trend); deterministic small noise keeps every
+    # variance positive so the ratios are defined
+    rows = []
+    for i in range(30):
+        ts = f"2024-01-01 {i // 6:02d}:{(i % 6) * 10:02d}:00"
+        noise = ((i * 5) % 7 - 3) * 0.1  # period-7: NOT aliased with
+        # the period-5 season, so the seasonal map can't absorb it
+        rows.append(
+            ("seasonal", ts, float([0, 10, 0, -10, 0][i % 5]) + noise)
+        )
+        rows.append(("trend", ts, float(i) + noise))
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket string, value double"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    got = {
+        r["event_type"]: r
+        for r in seasonal_strength(
+            df, ["event_type"], "bucket", "value", 5
+        ).collect()
+    }
+    s = got["seasonal"]
+    assert s["seasonal_strength"] > 0.9
+    assert s["trend_strength"] < 0.6
+    assert s["seasonal_strength"] > s["trend_strength"]
+    t = got["trend"]
+    assert t["trend_strength"] > 0.9
+    assert t["trend_strength"] > t["seasonal_strength"]
+    # full-window support only: 30 buckets - 2*(period//2) edges
+    assert s["n_buckets"] == 30 - 4
+    assert 0.0 <= s["trend_strength"] <= 1.0
+    assert 0.0 <= t["seasonal_strength"] <= 1.0

@@ -1062,3 +1062,12 @@ def test_mann_kendall_pairs_on_bucket_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_strength_bucket_axis_only(spark):
+    # facts reduce to hourly buckets BEFORE the decomposition windows
+    # and moment aggregate; no Python, no cartesian
+    plan = formatted_plan(spark, "ts_seasonal_strength")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
