@@ -327,6 +327,8 @@ HEADLINE = [
     "ab_simpsons_check",
     "ts_mann_kendall",
     "ts_seasonal_strength",
+    "ts_theil_sen",
+    "ts_cusum_changepoint",
 ]
 
 

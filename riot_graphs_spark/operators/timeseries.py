@@ -1872,3 +1872,265 @@ def seasonal_strength(
         F.round(f_t, 9).alias("trend_strength"),
         F.round(f_s, 9).alias("seasonal_strength"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """Theil–Sen slope per series — the MAGNITUDE companion to
+    :func:`mann_kendall_trend`'s direction verdict: the median of all
+    pairwise bucket-to-bucket slopes, robust to ~29% outliers where
+    :func:`trend_fit`'s least-squares line chases every spike (MK says
+    "it's rising", Theil–Sen says "by this much per day", least squares
+    says whatever the worst day made it say).
+
+    Slopes are ``(mean_j − mean_i) / Δdays`` over the bucketed series
+    (one partial-aggregable reduction of the facts); the O(n²) pair set
+    lives on the BUCKET axis (days per series), and the median is the
+    LOWER weighted median via cumulative counts over the distinct-slope
+    axis — pure integer comparisons, the same engine-stable rule as
+    :func:`~..operators.evaluation.bootstrap_median_ci` (no midpoint
+    averaging).
+
+    Output: one row per series — ``(*dims, n_buckets bigint, n_pairs
+    bigint, sen_slope double)``; a single-bucket series has no pairs and
+    is absent.
+    """
+    gcols = list(dims)
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast(dec).alias("_m")
+        )
+    )
+    nb = buckets.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    a = buckets.select(
+        *gcols, F.col("_b").alias("_ba"), F.col("_m").alias("_ma")
+    )
+    b = buckets.select(
+        *gcols, F.col("_b").alias("_bb"), F.col("_m").alias("_mb")
+    )
+    pairs = (a.join(b, gcols) if gcols else a.crossJoin(b)).filter(
+        F.col("_ba") < F.col("_bb")
+    )
+    slope = F.round(
+        (F.col("_mb").cast("double") - F.col("_ma").cast("double"))
+        / F.datediff(F.col("_bb"), F.col("_ba")).cast("double"),
+        9,
+    )
+    counts = pairs.select(*gcols, slope.alias("_s")).groupBy(
+        *gcols, "_s"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    c = counts.withColumn("_cum", F.sum("_n").over(w_cum)).withColumn(
+        "_tot", F.sum("_n").over(w_tot)
+    )
+    med = (
+        c.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*gcols)
+        .agg(
+            F.max("_tot").cast("long").alias("n_pairs"),
+            F.min("_s").alias("sen_slope"),
+        )
+    )
+    joined = med.join(nb, gcols) if gcols else med.crossJoin(nb)
+    return joined.select(
+        *gcols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "n_pairs",
+        "sen_slope",
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    b: int = 100,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """CUSUM mean-shift changepoint per series — WHERE a level change
+    happened and whether it is real, the single-break complement to
+    :func:`mann_kendall_trend`'s gradual-trend verdict (a step change
+    reads as "trend" to MK; CUSUM localizes it to a bucket and sizes the
+    before/after means).
+
+    Taylor's change-in-mean form over the bucketed series: with
+    per-bucket means x₁..xₙ and grand mean μ, the cumulative deviations
+    Sᵢ = Σ_{k≤i}(xₖ − μ) peak at the break; the estimator is argmax|Sᵢ|
+    (earliest bucket on ties) and the statistic is the range
+    max(S) − min(S).  Significance is a deterministic permutation test:
+    each replicate re-orders the SAME bucket values by the md5 of
+    (series, bucket, replicate) — under H0 the order is arbitrary — and
+    ``p = (1 + #{range_r ≥ range_obs}) / (b + 1)``.
+
+    Exactness: bucket means are decimal(28,6)-quantized; deviations are
+    scaled integer-side via Tᵢ = n·cumᵢ − i·total over the means ×10⁶
+    (one multiply kills the division — Sᵢ = Tᵢ/(n·10⁶)), so cumulative
+    sums, the argmax, the range, and every permutation tail comparison
+    are exact int64 — no float in any comparison.  The corpus reduces
+    once (partial-aggregable groupBy); the windows, the ×b explode, and
+    the permutation re-orderings all live on the BUCKET axis
+    (days-per-series × replicates, never fact-sized).
+
+    Output: one row per series with ≥2 buckets — ``(*dims, n_buckets
+    bigint, cp_bucket timestamp, cusum_range double, mean_before double,
+    mean_after double, shift double, n_ge bigint, p_value double,
+    significant boolean)``; the break splits buckets 1..m | m+1..n at
+    m = argmax|S|.
+    """
+    if b < 1:
+        raise ValueError("need b >= 1 replicates")
+    gcols = list(dims)
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast(dec)
+            .alias("_m")
+        )
+        # ×10⁶ onto the integer axis: decimal(28,6) → exact int64
+        .withColumn(
+            "_m6", (F.col("_m") * F.lit(1000000)).cast("long")
+        )
+        .drop("_m")
+    )
+    w_tot = Window.partitionBy(*gcols)
+    n = F.count(F.lit(1)).over(w_tot)
+    tot = F.sum("_m6").over(w_tot)
+    w_ord = (
+        Window.partitionBy(*gcols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_m6").over(w_ord)
+    i = F.count(F.lit(1)).over(w_ord)
+    dev = buckets.select(
+        *gcols,
+        "_b",
+        "_m6",
+        n.alias("_n"),
+        tot.alias("_tot"),
+        cum.alias("_cum"),
+        i.alias("_i"),
+        (n * cum - i * tot).alias("_t6"),
+    ).filter(F.col("_n") >= 2)
+    # observed: range of T and the argmax|T| bucket (earliest on ties)
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.abs(F.col("_t6")).desc(), F.col("_b").asc()
+    )
+    obs = (
+        dev.withColumn("_rk", F.row_number().over(w_pick))
+        .withColumn("_tmax", F.max("_t6").over(w_tot))
+        .withColumn("_tmin", F.min("_t6").over(w_tot))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *gcols,
+            F.col("_n").alias("n_buckets"),
+            F.col("_b").alias("cp_bucket"),
+            (F.col("_tmax") - F.col("_tmin")).alias("_range6"),
+            F.col("_cum").alias("_cum_cp"),
+            F.col("_i").alias("_i_cp"),
+            F.col("_tot").alias("_tot6"),
+        )
+    )
+    # permutations: same values, md5-shuffled bucket order per replicate
+    rep = dev.select(
+        *gcols,
+        "_b",
+        "_m6",
+        "_n",
+        "_tot",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_r"),
+    )
+    hkey = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.col(g).cast("string") for g in gcols],
+            F.date_format("_b", "yyyy-MM-dd HH:mm:ss"),
+            F.col("_r").cast("string"),
+        )
+    )
+    w_perm = (
+        Window.partitionBy(*gcols, "_r")
+        .orderBy(hkey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pdev = rep.select(
+        *gcols,
+        "_r",
+        (
+            F.col("_n") * F.sum("_m6").over(w_perm)
+            - F.count(F.lit(1)).over(w_perm) * F.col("_tot")
+        ).alias("_pt6"),
+    )
+    ranges = pdev.groupBy(*gcols, "_r").agg(
+        (F.max("_pt6") - F.min("_pt6")).alias("_pr6")
+    )
+    joined = ranges.join(
+        obs.select(*gcols, "_range6"),
+        gcols,
+    ) if gcols else ranges.crossJoin(
+        F.broadcast(obs.select("_range6"))
+    )
+    tail = joined.groupBy(*gcols).agg(
+        F.sum(
+            F.when(F.col("_pr6") >= F.col("_range6"), 1).otherwise(0)
+        ).alias("n_ge")
+    )
+    out = obs.join(tail, gcols) if gcols else obs.crossJoin(
+        F.broadcast(tail)
+    )
+    scale = F.col("n_buckets").cast("double") * F.lit(1000000.0)
+    mean_b = F.col("_cum_cp").cast("double") / (
+        F.col("_i_cp").cast("double") * F.lit(1000000.0)
+    )
+    mean_a = F.try_divide(
+        (F.col("_tot6") - F.col("_cum_cp")).cast("double"),
+        (F.col("n_buckets") - F.col("_i_cp")).cast("double")
+        * F.lit(1000000.0),
+    )
+    p = (F.lit(1) + F.col("n_ge")).cast("double") / F.lit(float(b + 1))
+    return out.select(
+        *gcols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "cp_bucket",
+        F.round(F.col("_range6").cast("double") / scale, 9).alias(
+            "cusum_range"
+        ),
+        F.round(mean_b, 9).alias("mean_before"),
+        F.round(mean_a, 9).alias("mean_after"),
+        F.round(mean_a - mean_b, 9).alias("shift"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round(p, 9).alias("p_value"),
+        (p <= F.lit(alpha)).alias("significant"),
+    )

@@ -13063,6 +13063,161 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_strength(series, ["event_type"], "bucket", "value", 24)
 
 
+@_q(
+    "ts_theil_sen",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT event_type, count(*)::BIGINT AS n_buckets FROM b
+           GROUP BY 1),
+    p AS (
+      SELECT a.event_type,
+             round((b2.m::DOUBLE - a.m::DOUBLE)
+                   / date_diff('day', a.bk, b2.bk)::DOUBLE, 9) AS s
+      FROM b a JOIN b b2
+        ON a.event_type = b2.event_type AND a.bk < b2.bk
+    ),
+    c AS (SELECT event_type, s, count(*) AS n FROM p GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, s,
+             sum(n) OVER (PARTITION BY event_type ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    med AS (
+      SELECT event_type, max(tot)::BIGINT AS n_pairs,
+             min(s) AS sen_slope
+      FROM cum WHERE 2 * cum >= tot GROUP BY 1
+    )
+    SELECT event_type, n_buckets, n_pairs, sen_slope
+    FROM med JOIN nb USING (event_type)
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope per event type over daily bucket means
+    (operators.timeseries.theil_sen_slope) — the robust trend MAGNITUDE
+    beside ts_mann_kendall's direction verdict: the median of all
+    pairwise slopes, immune to the spikes least-squares chases.  Pair
+    set and median windows live on the bucket/distinct-slope axes only;
+    lower weighted median, pure integer comparisons."""
+    from ..operators.timeseries import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_slope(
+        ev, ts="ts", value="value", dims=["event_type"], unit="day"
+    )
+
+
+_CUSUM_B = 60
+
+
+@_q(
+    "ts_cusum_changepoint",
+    f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(CAST(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                            AS DOUBLE) / count(*)
+                       AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS m6
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, bk, m6,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(m6) OVER (PARTITION BY event_type) AS tot,
+             sum(m6) OVER (PARTITION BY event_type ORDER BY bk
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bk) AS i
+      FROM b
+    ),
+    dev AS (
+      SELECT *, n * cum - i * tot AS t6 FROM s WHERE n >= 2
+    ),
+    obs AS (
+      SELECT event_type, n, bk AS cp_bucket, tmax - tmin AS range6,
+             cum AS cum_cp, i AS i_cp, tot
+      FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(t6) DESC, bk ASC) AS rk,
+               max(t6) OVER (PARTITION BY event_type) AS tmax,
+               min(t6) OVER (PARTITION BY event_type) AS tmin
+        FROM dev
+      ) WHERE rk = 1
+    ),
+    rep AS (
+      SELECT event_type, bk, m6, n, tot, r
+      FROM dev
+      CROSS JOIN (SELECT unnest(range(1, {_CUSUM_B + 1})) AS r)
+    ),
+    pdev AS (
+      SELECT event_type, r,
+             n * sum(m6) OVER w - (row_number() OVER w) * tot AS pt6
+      FROM rep
+      WINDOW w AS (
+        PARTITION BY event_type, r
+        ORDER BY md5(event_type || chr(31)
+                     || strftime(bk, '%Y-%m-%d %H:%M:%S')
+                     || chr(31) || r::VARCHAR)
+        ROWS UNBOUNDED PRECEDING
+      )
+    ),
+    ranges AS (
+      SELECT event_type, r, max(pt6) - min(pt6) AS pr6
+      FROM pdev GROUP BY 1, 2
+    ),
+    tail AS (
+      SELECT ranges.event_type,
+             sum(CASE WHEN pr6 >= range6 THEN 1 ELSE 0 END)::BIGINT
+               AS n_ge
+      FROM ranges JOIN obs USING (event_type)
+      GROUP BY 1
+    )
+    SELECT obs.event_type, n::BIGINT AS n_buckets, cp_bucket,
+           round((range6::DOUBLE) / (n * 1000000.0), 9) AS cusum_range,
+           round(cum_cp::DOUBLE / (i_cp * 1000000.0), 9) AS mean_before,
+           round(CASE WHEN i_cp = n THEN NULL
+                      ELSE (tot - cum_cp)::DOUBLE
+                           / ((n - i_cp) * 1000000.0) END, 9)
+             AS mean_after,
+           round(CASE WHEN i_cp = n THEN NULL
+                      ELSE (tot - cum_cp)::DOUBLE
+                           / ((n - i_cp) * 1000000.0) END
+                 - cum_cp::DOUBLE / (i_cp * 1000000.0), 9) AS shift,
+           n_ge,
+           round((1 + n_ge)::DOUBLE / {_CUSUM_B + 1}.0, 9) AS p_value,
+           (1 + n_ge)::DOUBLE / {_CUSUM_B + 1}.0 <= 0.05 AS significant
+    FROM obs JOIN tail ON obs.event_type = tail.event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type over daily bucket
+    means (operators.timeseries.cusum_changepoint, B=60) — localizes a
+    level break to its bucket, sizes the before/after means, and grades
+    it with a deterministic md5 permutation test on the CUSUM range.
+    Integer-exact end-to-end (means ×10⁶, Tᵢ = n·cumᵢ − i·tot); windows
+    and the ×B explode live on the bucket axis only."""
+    from ..operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, ts="ts", value="value", dims=["event_type"], unit="day",
+        b=_CUSUM_B,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -729,6 +729,12 @@ QUERY_CASES = [
     # round-8: decomposition windows per series on the bucket axis +
     # one moment aggregate
     "ts_seasonal_strength",
+    # round-8: bucket reduction (linear) -> O(days^2) pair self-join
+    # and distinct-slope median windows, both on the bucket axis
+    "ts_theil_sen",
+    # round-8: bucket reduction (linear) -> CUSUM windows + x60
+    # permutation explode, all on the bucket axis
+    "ts_cusum_changepoint",
 ]
 
 

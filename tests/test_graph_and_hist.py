@@ -1604,3 +1604,95 @@ def test_seasonal_strength_hand_cases(spark):
     assert s["n_buckets"] == 30 - 4
     assert 0.0 <= s["trend_strength"] <= 1.0
     assert 0.0 <= t["seasonal_strength"] <= 1.0
+
+
+def test_theil_sen_slope_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import theil_sen_slope
+
+    def mk(vals, g):
+        return [
+            (g, f"2024-01-{i+1:02d} 00:00:00", float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # "robust": one spike (100 at day 5) leaves 36 of 45 pairwise
+    # slopes at exactly 1 -> the weighted median is still 1.0, where a
+    # least-squares fit would be dragged far off
+    rows = (
+        mk([2 * i for i in range(10)], "lin")
+        + mk([0, 1, 2, 3, 100, 5, 6, 7, 8, 9], "robust")
+        + mk([7.0], "single")
+    )
+    # duplicate-day reduction: two events on day 1 average to 2 before
+    # pairing, so the two-bucket slope is (8-2)/3 days = 2
+    rows += [
+        ("dupday", "2024-01-01 06:00:00", 1.0),
+        ("dupday", "2024-01-01 18:00:00", 3.0),
+        ("dupday", "2024-01-04 12:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: r
+        for r in theil_sen_slope(
+            df, dims=["event_type"], unit="day"
+        ).collect()
+    }
+    lin = got["lin"]
+    # strictly linear: every pairwise slope is exactly 2
+    assert (lin["n_buckets"], lin["n_pairs"]) == (10, 45)
+    assert lin["sen_slope"] == _pytest.approx(2.0)
+    rob = got["robust"]
+    assert rob["n_pairs"] == 45
+    assert rob["sen_slope"] == _pytest.approx(1.0)
+    assert got["dupday"]["sen_slope"] == _pytest.approx(2.0)
+    # a single-bucket series has no pairs and is absent, not a crash
+    assert "single" not in got
+
+
+def test_cusum_changepoint_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import cusum_changepoint
+
+    def mk(vals, g):
+        return [
+            (g, f"2024-01-{i+1:02d} 00:00:00", float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # clean step 0->10 at day 10: S_i = -5i down to -50 at i=10 then
+    # recovers — argmax|S| IS the last pre-break bucket
+    rows = (
+        mk([0] * 10 + [10] * 10, "step")
+        + mk([5] * 12, "flat")
+        + mk([3.0], "single")
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: r
+        for r in cusum_changepoint(
+            df, dims=["event_type"], unit="day", b=60
+        ).collect()
+    }
+    st = got["step"]
+    assert st["n_buckets"] == 20
+    assert str(st["cp_bucket"]).startswith("2024-01-10")
+    assert st["mean_before"] == _pytest.approx(0.0)
+    assert st["mean_after"] == _pytest.approx(10.0)
+    assert st["shift"] == _pytest.approx(10.0)
+    # max(S)=0 (at i=20), min(S)=-50 -> range 50
+    assert st["cusum_range"] == _pytest.approx(50.0)
+    assert st["p_value"] < 0.05 and st["significant"]
+    fl = got["flat"]
+    # flat: every ordering gives range 0 >= 0, so p = 1 exactly
+    assert fl["cusum_range"] == 0.0
+    assert fl["n_ge"] == 60 and fl["p_value"] == _pytest.approx(1.0)
+    assert not fl["significant"]
+    # single-bucket series can't host a break and is absent
+    assert "single" not in got

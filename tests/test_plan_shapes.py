@@ -1071,3 +1071,24 @@ def test_seasonal_strength_bucket_axis_only(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairs_on_bucket_axis(spark):
+    # facts reduce to per-day means BEFORE the O(n^2) pair self-join,
+    # and the weighted-median windows run on the distinct-slope axis —
+    # the join input is days-per-series, never fact-sized; no Python
+    plan = formatted_plan(spark, "ts_theil_sen")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_changepoint_bucket_axis_only(spark):
+    # facts reduce to per-day integer-scaled means BEFORE the CUSUM
+    # windows and the x60 permutation explode — everything after the
+    # first groupBy is days-per-series sized; no Python, no cartesian
+    # product (the only broadcast-nested loops are tiny dim joins)
+    plan = formatted_plan(spark, "ts_cusum_changepoint")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
