@@ -329,6 +329,7 @@ HEADLINE = [
     "ts_seasonal_strength",
     "ts_theil_sen",
     "ts_cusum_changepoint",
+    "mw_doclen_sources",
 ]
 
 

@@ -1620,3 +1620,135 @@ def simpsons_check(
             | (F.signum(F.col("diff")) == 0)
         ).alias("agrees_with_pooled"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_crit: float = Z95,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between exactly two arms — the
+    non-parametric "is one arm's distribution shifted" verdict that
+    :func:`randomization_mean_test` answers by brute re-labeling and a
+    Welch t answers only under normality: MW asks how often arm-a values
+    exceed arm-b values, so one outlier moves ranks by one slot, not by
+    its magnitude.
+
+    Counts-based over the DISTINCT-VALUE axis (the :func:`roc_auc`
+    discipline — no global per-row rank): with per-value counts c_a, c_b
+    and B(<v) = Σ_{w<v} c_b(w),
+
+        2·U_a = Σ_v c_a(v) · (2·B(<v) + c_b(v))        (ties = ½ each)
+        μ_U   = n_a·n_b / 2
+        Var   = n_a·n_b/12 · [(n+1) − Σ_t(t³−t)/(n(n−1))]   (tie-corr.)
+        z     = (U_a − μ_U ∓ ½) / √Var                  (continuity)
+
+    2·U_a, 2·(U_a−μ_U), and both variance polynomials are exact int64 —
+    every comparison happens integer-side.  The cumulative window runs
+    over distinct values in one partition: fine for integer/quantized
+    metrics (doc lengths, token counts, graded scores); pre-quantize a
+    truly continuous metric upstream, as with :func:`roc_auc`.
+
+    Also emits the rank-biserial effect size r = 2·U_a/(n_a·n_b) − 1
+    (= 2·AUC − 1 ∈ [−1, 1]): the z says "real", r says "how big".
+
+    Output: one row — ``(group_a string, group_b string, n_a bigint,
+    n_b bigint, u_a double, u_b double, rank_biserial double, z double,
+    significant boolean)`` with arms ordered ascending by group value;
+    any arm count ≠ 2 NULLs the statistics (never a silent third-arm
+    drop).  NULL z (zero variance: all values tied) → not significant.
+    """
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    arms = (
+        base.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        .withColumn("_narms", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    ga = arms.filter(F.col("_rk") == 1).select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        "_narms",
+    )
+    gb = arms.filter(F.col("_rk") == 2).select(
+        F.col("_g").alias("group_b"), F.col("_n").alias("n_b")
+    )
+    # per-distinct-value counts for each arm: facts reduce in ONE
+    # partial-aggregable (value, group) groupBy, then the tiny arms
+    # table broadcasts in to tag which side is a
+    vc = (
+        base.groupBy("_v", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(arms.select("_g", "_rk")), "_g")
+        .groupBy("_v")
+        .agg(
+            F.sum(F.when(F.col("_rk") == 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(F.col("_rk") == 2, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+    )
+    w_lt = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    stats = vc.select(
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(w_lt), F.lit(0)).alias("_blt"),
+        (F.col("_ca") + F.col("_cb")).alias("_t"),
+    ).agg(
+        F.sum(
+            F.col("_ca") * (F.lit(2) * F.col("_blt") + F.col("_cb"))
+        ).alias("_u2a"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie_poly"),
+    )
+    out = ga.crossJoin(F.broadcast(gb)).crossJoin(F.broadcast(stats))
+    two = F.col("_narms") == 2
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("_u2a").cast("double") / F.lit(2.0)
+    u_b = na * nb - u_a
+    # 2(U_a - mu) = u2a - n_a*n_b: exact integer sign for the
+    # continuity correction
+    dev2 = F.col("_u2a") - F.col("n_a") * F.col("n_b")
+    var_u = (
+        na * nb / F.lit(12.0)
+        * (
+            (n + 1)
+            - F.col("_tie_poly").cast("double") / (n * (n - 1))
+        )
+    )
+    z = F.when(
+        two & (var_u > 0),
+        (
+            (F.col("_u2a").cast("double") - na * nb) / F.lit(2.0)
+            - F.lit(0.5) * F.signum(dev2.cast("double"))
+        )
+        / F.sqrt(var_u),
+    )
+    return out.select(
+        F.when(two, F.col("group_a")).alias("group_a"),
+        F.when(two, F.col("group_b")).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.when(two, u_a), 9).alias("u_a"),
+        F.round(F.when(two, u_b), 9).alias("u_b"),
+        F.round(
+            F.when(two, F.lit(2.0) * u_a / (na * nb) - F.lit(1.0)), 9
+        ).alias("rank_biserial"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(z_crit), F.lit(False)
+        ).alias("significant"),
+    )

@@ -13218,6 +13218,97 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mw_doclen_sources",
+    """
+    WITH base AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, n,
+             row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (SELECT g, count(*) AS n FROM base GROUP BY 1)
+    ),
+    vc AS (
+      SELECT v,
+             sum(CASE WHEN rk = 1 THEN c ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN rk = 2 THEN c ELSE 0 END)::BIGINT AS cb
+      FROM (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2)
+      JOIN arms USING (g)
+      GROUP BY 1
+    ),
+    st AS (
+      SELECT sum(ca * (2 * blt + cb)) AS u2a,
+             sum(t * t * t - t) AS tie
+      FROM (
+        SELECT ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS blt,
+               ca + cb AS t
+        FROM vc
+      )
+    ),
+    wide AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             a.n AS n_a, b.n AS n_b, a.narms AS narms,
+             st.u2a AS u2a, st.tie AS tie
+      FROM (SELECT * FROM arms WHERE rk = 1) a
+      CROSS JOIN (SELECT * FROM arms WHERE rk = 2) b
+      CROSS JOIN st
+    ),
+    calc AS (
+      SELECT *,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             n_a::DOUBLE + n_b::DOUBLE AS n,
+             u2a::DOUBLE / 2.0 AS ua,
+             n_a::DOUBLE * n_b::DOUBLE / 12.0
+               * ((n_a::DOUBLE + n_b::DOUBLE + 1)
+                  - tie::DOUBLE
+                    / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)::DOUBLE))
+               AS var_u
+      FROM wide
+    ),
+    z AS (
+      SELECT *,
+             CASE WHEN narms = 2 AND var_u > 0 THEN
+               ((u2a::DOUBLE - na * nb) / 2.0
+                - 0.5 * sign((u2a - n_a * n_b)::DOUBLE))
+               / sqrt(var_u) END AS zz
+      FROM calc
+    )
+    SELECT CASE WHEN narms = 2 THEN group_a END AS group_a,
+           CASE WHEN narms = 2 THEN group_b END AS group_b,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(CASE WHEN narms = 2 THEN ua END, 9) AS u_a,
+           round(CASE WHEN narms = 2 THEN na * nb - ua END, 9) AS u_b,
+           round(CASE WHEN narms = 2
+                 THEN 2.0 * ua / (na * nb) - 1.0 END, 9)
+             AS rank_biserial,
+           round(zz, 9) AS z,
+           coalesce(abs(zz) > 1.959963984540054, false) AS significant
+    FROM z
+    """,
+)
+def mw_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test on document length between two
+    sources (operators.evaluation.mann_whitney_u) — the non-parametric
+    "is src1 shipping longer docs than src0" verdict with tie-corrected
+    variance, continuity-corrected z, and the rank-biserial effect size;
+    counts-based over the distinct-length axis, integer-exact
+    comparisons throughout."""
+    from ..operators.evaluation import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+        & F.col("n_chars").isNotNull()
+    )
+    return mann_whitney_u(docs, "n_chars", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

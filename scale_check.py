@@ -735,6 +735,9 @@ QUERY_CASES = [
     # round-8: bucket reduction (linear) -> CUSUM windows + x60
     # permutation explode, all on the bucket axis
     "ts_cusum_changepoint",
+    # round-8: one (value, group) partial aggregate; rank arithmetic on
+    # the distinct-value axis only
+    "mw_doclen_sources",
 ]
 
 

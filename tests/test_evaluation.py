@@ -1023,3 +1023,46 @@ def test_simpsons_check_classic_reversal(spark):
         r["stratum"]: r for r in simpsons_check(ok, "v", "y", "s").collect()
     }
     assert all(bool(r["agrees_with_pooled"]) for r in got.values())
+
+
+def test_mann_whitney_u_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.evaluation import mann_whitney_u
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return mann_whitney_u(df, "v", "g").collect()[0]
+
+    # complete separation: every a below every b -> U_a = 0, r = -1,
+    # z = (0 - 12.5 + 0.5)/sqrt(25*11/12) = -2.5069...
+    sep = run(
+        [("a", float(v)) for v in range(1, 6)]
+        + [("b", float(v)) for v in range(6, 11)]
+    )
+    assert (sep["group_a"], sep["group_b"]) == ("a", "b")
+    assert (sep["n_a"], sep["n_b"]) == (5, 5)
+    assert sep["u_a"] == 0.0 and sep["u_b"] == 25.0
+    assert sep["rank_biserial"] == -1.0
+    assert sep["z"] == _pytest.approx(-12.0 / (25 * 11 / 12.0) ** 0.5)
+    assert sep["significant"]
+
+    # identical multisets: U_a = U_b = n^2/2, r = 0, z ~ 0 after the
+    # continuity nudge -> not significant
+    same = run(
+        [("a", float(v)) for v in [1, 2, 3, 4]]
+        + [("b", float(v)) for v in [1, 2, 3, 4]]
+    )
+    assert same["u_a"] == same["u_b"] == 8.0
+    assert same["rank_biserial"] == 0.0
+    assert not same["significant"]
+
+    # all-tied: variance 0 -> NULL z, not significant (not a crash)
+    tied = run([("a", 7.0)] * 3 + [("b", 7.0)] * 3)
+    assert tied["u_a"] == 4.5 and tied["z"] is None
+    assert not tied["significant"]
+
+    # a third arm NULLs the verdict instead of silently vanishing
+    three = run([("a", 1.0), ("b", 2.0), ("c", 3.0)])
+    assert three["group_a"] is None and three["z"] is None
+    assert not three["significant"]

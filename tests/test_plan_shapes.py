@@ -1092,3 +1092,13 @@ def test_cusum_changepoint_bucket_axis_only(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_counts_based(spark):
+    # facts reduce in one (value, group) partial aggregate; the rank
+    # arithmetic runs on the distinct-value axis; the only nested-loop
+    # joins are broadcast one-row combines; no Python
+    plan = formatted_plan(spark, "mw_doclen_sources")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
