@@ -330,6 +330,7 @@ HEADLINE = [
     "ts_theil_sen",
     "ts_cusum_changepoint",
     "mw_doclen_sources",
+    "welch_value_click_purchase",
 ]
 
 

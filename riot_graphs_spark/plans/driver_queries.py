@@ -13309,6 +13309,87 @@ def mw_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(docs, "n_chars", "source")
 
 
+@_q(
+    "welch_value_click_purchase",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, n, s, q,
+             row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (
+        SELECT g, count(*) AS n,
+               sum(CAST(v AS DECIMAL(28,12))) AS s,
+               sum(CAST(v * v AS DECIMAL(28,12))) AS q
+        FROM base GROUP BY 1
+      )
+    ),
+    wide AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             a.n AS n_a, b.n AS n_b, a.narms,
+             a.s AS sa, a.q AS qa, b.s AS sb, b.q AS qb
+      FROM (SELECT * FROM arms WHERE rk = 1) a
+      CROSS JOIN (SELECT * FROM arms WHERE rk = 2) b
+    ),
+    calc AS (
+      SELECT *,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             sa::DOUBLE / n_a AS m1, sb::DOUBLE / n_b AS m2,
+             (qa::DOUBLE - n_a * (sa::DOUBLE / n_a)
+                               * (sa::DOUBLE / n_a)) / (n_a - 1) AS v1,
+             (qb::DOUBLE - n_b * (sb::DOUBLE / n_b)
+                               * (sb::DOUBLE / n_b)) / (n_b - 1) AS v2
+      FROM wide
+    ),
+    calc2 AS (
+      SELECT *,
+             v1 / na + v2 / nb AS se2,
+             ((na - 1) * v1 + (nb - 1) * v2) / (na + nb - 2) AS pooled,
+             narms = 2 AND n_a >= 2 AND n_b >= 2 AS ok
+      FROM calc
+    )
+    SELECT CASE WHEN ok THEN group_a END AS group_a,
+           CASE WHEN ok THEN group_b END AS group_b,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(CASE WHEN ok THEN m1 END, 9) AS mean_a,
+           round(CASE WHEN ok THEN m2 END, 9) AS mean_b,
+           round(CASE WHEN ok THEN v1 END, 9) AS var_a,
+           round(CASE WHEN ok THEN v2 END, 9) AS var_b,
+           round(CASE WHEN ok AND se2 > 0
+                 THEN (m1 - m2) / sqrt(se2) END, 9) AS t,
+           round(CASE WHEN ok AND se2 > 0
+                 THEN se2 * se2
+                      / ((v1 / na) * (v1 / na) / (na - 1)
+                         + (v2 / nb) * (v2 / nb) / (nb - 1)) END, 9)
+             AS df,
+           round(CASE WHEN ok AND pooled > 0
+                 THEN (m1 - m2) / sqrt(pooled) END, 9) AS cohens_d,
+           coalesce(abs(CASE WHEN ok AND se2 > 0
+                        THEN (m1 - m2) / sqrt(se2) END)
+                    > 1.959963984540054, false) AS significant
+    FROM calc2
+    """,
+)
+def welch_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test with Cohen's d on event value between
+    click and purchase events (operators.evaluation.welch_t_test) — the
+    parametric mean comparison beside mw_doclen_sources' rank verdict:
+    unequal variances allowed, Welch–Satterthwaite df, effect size in
+    pooled-sd units.  One partial-aggregable groupBy carries exact
+    decimal n/Σx/Σx² per arm; normal-approx significance at this df."""
+    from ..operators.evaluation import welch_t_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    return welch_t_test(ev, "value", "event_type")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

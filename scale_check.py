@@ -738,6 +738,9 @@ QUERY_CASES = [
     # round-8: one (value, group) partial aggregate; rank arithmetic on
     # the distinct-value axis only
     "mw_doclen_sources",
+    # round-8: one (group) partial aggregate carrying n/sum/sumsq;
+    # downstream is a broadcast one-row combine
+    "welch_value_click_purchase",
 ]
 
 

@@ -1066,3 +1066,42 @@ def test_mann_whitney_u_hand_cases(spark):
     three = run([("a", 1.0), ("b", 2.0), ("c", 3.0)])
     assert three["group_a"] is None and three["z"] is None
     assert not three["significant"]
+
+
+def test_welch_t_test_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.evaluation import welch_t_test
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return welch_t_test(df, "v", "g").collect()[0]
+
+    # a = [1..5] (m=3, v=2.5), b = [6..10] (m=8, v=2.5):
+    # t = -5/sqrt(1) = -5, df = 8 (equal variances), pooled sd =
+    # sqrt(2.5) -> d = -5/1.5811 = -3.1623
+    got = run(
+        [("a", float(v)) for v in range(1, 6)]
+        + [("b", float(v)) for v in range(6, 11)]
+    )
+    assert (got["mean_a"], got["mean_b"]) == (3.0, 8.0)
+    assert got["var_a"] == _pytest.approx(2.5)
+    assert got["t"] == _pytest.approx(-5.0)
+    assert got["df"] == _pytest.approx(8.0)
+    assert got["cohens_d"] == _pytest.approx(-5.0 / 2.5 ** 0.5)
+    assert got["significant"]
+
+    # identical arms: t = 0, not significant
+    same = run(
+        [("a", float(v)) for v in [1, 2, 3]]
+        + [("b", float(v)) for v in [1, 2, 3]]
+    )
+    assert same["t"] == 0.0 and not same["significant"]
+
+    # zero variance both arms: NULL t (se 0), not a crash
+    flat = run([("a", 4.0), ("a", 4.0), ("b", 4.0), ("b", 4.0)])
+    assert flat["t"] is None and not flat["significant"]
+
+    # single-row arm: n<2 guard NULLs everything
+    tiny = run([("a", 1.0), ("b", 2.0), ("b", 3.0)])
+    assert tiny["t"] is None and tiny["mean_a"] is None

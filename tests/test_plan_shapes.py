@@ -1102,3 +1102,12 @@ def test_mann_whitney_counts_based(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_welch_t_single_reduction(spark):
+    # one partial-aggregable (group) reduction carries n / sum / sumsq;
+    # everything downstream is a broadcast one-row combine; no Python
+    plan = formatted_plan(spark, "welch_value_click_purchase")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
