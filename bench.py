@@ -331,6 +331,8 @@ HEADLINE = [
     "ts_cusum_changepoint",
     "mw_doclen_sources",
     "welch_value_click_purchase",
+    "anova_value_event_types",
+    "kw_doclen_by_lang",
 ]
 
 

@@ -1859,3 +1859,178 @@ def welch_t_test(
             "significant"
         ),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA across k groups — the "does ANY source differ"
+    omnibus before pairwise :func:`welch_t_test` comparisons (running
+    C(k,2) pairwise tests first is the multiple-comparison trap; the
+    omnibus F gates them).
+
+        SSB = Σ_g s_g²/n_g − S²/N       (between-group)
+        SSW = Σ_g q_g − Σ_g s_g²/n_g    (within-group)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+        η²  = SSB / (SSB + SSW)          (variance explained)
+
+    One partial-aggregable groupBy reduces the corpus to per-group
+    (n, Σx, Σx²) with decimal(28,12) sums (squares in double, then
+    quantized); every cross-GROUP combination quantizes its per-group
+    term to decimal before summing, so SSB/SSW are independent of group
+    summation order — the statistic is bit-identical across engines and
+    partitionings.  No F-CDF exists in either engine, so like
+    :func:`~..operators.profile.categorical_association` this emits the
+    statistic and the effect size, not a p-value; η² says "how much",
+    F with (df1, df2) feeds any table.
+
+    Output: one row — ``(n bigint, k bigint, df1 bigint, df2 bigint,
+    ss_between double, ss_within double, f double, eta_squared
+    double)``; F is NULL for k < 2, n ≤ k, or zero within-variance.
+    """
+    dec = "decimal(28,12)"
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    groups = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast(dec)).alias("_q"),
+    )
+    # per-group s^2/n quantized BEFORE the cross-group sum: group order
+    # can't move the statistic
+    term = (
+        F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    ).cast(dec)
+    agg = groups.agg(
+        F.sum("_n").alias("_nn"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_s")).alias("_ss"),
+        F.sum(F.col("_q")).alias("_qq"),
+        F.sum(term).alias("_sq_over_n"),
+    )
+    nn = F.col("_nn").cast("double")
+    k = F.col("_k").cast("double")
+    ssb = F.col("_sq_over_n").cast("double") - (
+        F.col("_ss").cast("double") * F.col("_ss").cast("double") / nn
+    )
+    ssw = F.col("_qq").cast("double") - F.col("_sq_over_n").cast(
+        "double"
+    )
+    ok = (F.col("_k") >= 2) & (nn > k)
+    fstat = F.when(
+        ok & (ssw > 0),
+        F.try_divide(ssb / (k - 1), ssw / (nn - k)),
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        (F.col("_k") - 1).cast("long").alias("df1"),
+        (F.col("_nn") - F.col("_k")).cast("long").alias("df2"),
+        F.round(F.when(ok, ssb), 9).alias("ss_between"),
+        F.round(F.when(ok, ssw), 9).alias("ss_within"),
+        F.round(fstat, 9).alias("f"),
+        F.round(
+            F.when(ok, F.try_divide(ssb, ssb + ssw)), 9
+        ).alias("eta_squared"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H across k groups — the rank-based omnibus beside
+    :func:`anova_oneway`'s parametric F (k-group generalization of
+    :func:`mann_whitney_u`): does ANY group's distribution sit higher,
+    with no normality assumption and outliers moving ranks, not sums.
+
+    Counts-based over the DISTINCT-VALUE axis: with per-value per-group
+    counts c_g(v), total t(v), and L(v) = Σ_{w<v} t(w), the midrank is
+    L(v) + (t(v)+1)/2, so 2·R_g = Σ_v c_g(v)·(2·L(v) + t(v) + 1) is
+    exact int64; then
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H_corr = H / (1 − Σ_v(t³−t)/(N³−N))        (tie correction)
+        ε² = (H − k + 1)/(N − k)                    (effect size)
+
+    Per-group Σ R_g²/n_g terms quantize to decimal(28,12) before the
+    cross-group sum (order-independence); the tie polynomial is exact
+    int64.  The cumulative window runs over distinct values — the
+    :func:`roc_auc` caveat applies: pre-quantize a truly continuous
+    metric upstream.  No χ²-CDF in either engine → statistic + effect
+    size, not p (H_corr ~ χ²_{k−1} feeds any table).
+
+    Output: one row — ``(n bigint, k bigint, dof bigint, h double,
+    h_tie_corrected double, epsilon_squared double)``; NULL H for
+    k < 2 or all-tied data (correction denominator 0).
+    """
+    dec = "decimal(28,12)"
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    vc = base.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    w_lt = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    # t(v) on the (value, group) cells, L(v) on the distinct-value axis
+    tv = vc.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    lv = tv.select(
+        "_v",
+        "_t",
+        F.coalesce(F.sum("_t").over(w_lt), F.lit(0)).alias("_l"),
+    )
+    ranks = vc.join(lv, "_v").groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(
+            F.col("_c")
+            * (F.lit(2) * F.col("_l") + F.col("_t") + F.lit(1))
+        ).alias("_r2"),
+    )
+    term = (
+        F.col("_r2").cast("double")
+        * F.col("_r2").cast("double")
+        / (F.lit(4.0) * F.col("_n").cast("double"))
+    ).cast(dec)
+    ties = tv.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie_poly")
+    )
+    agg = ranks.agg(
+        F.sum("_n").alias("_nn"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(term).alias("_r2n"),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("_nn").cast("double")
+    k = F.col("_k").cast("double")
+    h = F.lit(12.0) / (nn * (nn + 1)) * F.col("_r2n").cast(
+        "double"
+    ) - F.lit(3.0) * (nn + 1)
+    corr = F.lit(1.0) - F.col("_tie_poly").cast("double") / (
+        nn * nn * nn - nn
+    )
+    ok = (F.col("_k") >= 2) & (nn > k)
+    h_ok = F.when(ok, h)
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        (F.col("_k") - 1).cast("long").alias("dof"),
+        F.round(h_ok, 9).alias("h"),
+        F.round(
+            F.when(ok & (corr > 0), h / corr), 9
+        ).alias("h_tie_corrected"),
+        F.round(
+            F.when(ok, F.try_divide(h - k + 1, nn - k)), 9
+        ).alias("epsilon_squared"),
+    )

@@ -13390,6 +13390,116 @@ def welch_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_test(ev, "value", "event_type")
 
 
+@_q(
+    "anova_value_event_types",
+    """
+    WITH g AS (
+      SELECT event_type AS gg, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS q
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(n) AS nn, count(*) AS k, sum(s) AS ss, sum(q) AS qq,
+             sum(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                      AS DECIMAL(28,12))) AS sq_over_n
+      FROM g
+    ),
+    calc AS (
+      SELECT nn, k,
+             sq_over_n::DOUBLE
+               - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb,
+             qq::DOUBLE - sq_over_n::DOUBLE AS ssw,
+             k >= 2 AND nn > k AS ok
+      FROM agg
+    )
+    SELECT nn::BIGINT AS n, k::BIGINT AS k,
+           (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2,
+           round(CASE WHEN ok THEN ssb END, 9) AS ss_between,
+           round(CASE WHEN ok THEN ssw END, 9) AS ss_within,
+           round(CASE WHEN ok AND ssw > 0
+                 THEN (ssb / (k::DOUBLE - 1))
+                      / (ssw / (nn::DOUBLE - k::DOUBLE)) END, 9) AS f,
+           round(CASE WHEN ok AND ssb + ssw != 0
+                 THEN ssb / (ssb + ssw) END, 9) AS eta_squared
+    FROM calc
+    """,
+)
+def anova_value_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA on event value across all event types
+    (operators.evaluation.anova_oneway) — the omnibus "does ANY type
+    differ" gate before pairwise welch_value_click_purchase-style
+    comparisons; F + η² from one partial-aggregable groupBy with
+    per-group decimal-quantized s²/n terms."""
+    from ..operators.evaluation import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type")
+
+
+@_q(
+    "kw_doclen_by_lang",
+    """
+    WITH base AS (
+      SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    vc AS (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2),
+    tv AS (SELECT v, sum(c) AS t FROM vc GROUP BY 1),
+    lv AS (
+      SELECT v, t,
+             coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS l
+      FROM tv
+    ),
+    ranks AS (
+      SELECT g, sum(c) AS n, sum(c * (2 * l + t + 1)) AS r2
+      FROM vc JOIN lv USING (v) GROUP BY 1
+    ),
+    ties AS (SELECT sum(t * t * t - t) AS tie FROM tv),
+    agg AS (
+      SELECT sum(n) AS nn, count(*) AS k,
+             sum(CAST(r2::DOUBLE * r2::DOUBLE / (4.0 * n::DOUBLE)
+                      AS DECIMAL(28,12))) AS r2n
+      FROM ranks
+    ),
+    calc AS (
+      SELECT nn, k, tie,
+             12.0 / (nn::DOUBLE * (nn::DOUBLE + 1)) * r2n::DOUBLE
+               - 3.0 * (nn::DOUBLE + 1) AS h,
+             1.0 - tie::DOUBLE
+               / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)
+               AS corr,
+             k >= 2 AND nn > k AS ok
+      FROM agg CROSS JOIN ties
+    )
+    SELECT nn::BIGINT AS n, k::BIGINT AS k, (k - 1)::BIGINT AS dof,
+           round(CASE WHEN ok THEN h END, 9) AS h,
+           round(CASE WHEN ok AND corr > 0 THEN h / corr END, 9)
+             AS h_tie_corrected,
+           round(CASE WHEN ok AND nn::DOUBLE - k::DOUBLE != 0
+                 THEN (h - k::DOUBLE + 1) / (nn::DOUBLE - k::DOUBLE)
+                 END, 9) AS epsilon_squared
+    FROM calc
+    """,
+)
+def kw_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H on document length across languages
+    (operators.evaluation.kruskal_wallis) — the rank-based omnibus
+    beside anova_value_event_types' parametric F: does ANY language ship
+    longer docs, outlier-proof.  Counts-based midranks over the
+    distinct-length axis (2·R_g exact int64), tie-corrected, ε² effect
+    size."""
+    from ..operators.evaluation import kruskal_wallis
+
+    docs = _t(spark, sf_dir, "documents")
+    return kruskal_wallis(docs, "n_chars", "lang")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -1105,3 +1105,73 @@ def test_welch_t_test_hand_cases(spark):
     # single-row arm: n<2 guard NULLs everything
     tiny = run([("a", 1.0), ("b", 2.0), ("b", 3.0)])
     assert tiny["t"] is None and tiny["mean_a"] is None
+
+
+def test_anova_oneway_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.evaluation import anova_oneway
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return anova_oneway(df, "v", "g").collect()[0]
+
+    # three groups with means 2/5/8, within-var 1 each:
+    # SSB = 54, SSW = 6, F = (54/2)/(6/6) = 27, eta2 = 0.9
+    got = run(
+        [("a", v) for v in [1.0, 2.0, 3.0]]
+        + [("b", v) for v in [4.0, 5.0, 6.0]]
+        + [("c", v) for v in [7.0, 8.0, 9.0]]
+    )
+    assert (got["n"], got["k"], got["df1"], got["df2"]) == (9, 3, 2, 6)
+    assert got["ss_between"] == _pytest.approx(54.0)
+    assert got["ss_within"] == _pytest.approx(6.0)
+    assert got["f"] == _pytest.approx(27.0)
+    assert got["eta_squared"] == _pytest.approx(0.9)
+
+    # identical group means: SSB = 0 -> F = 0
+    flat = run([("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)])
+    assert flat["f"] == _pytest.approx(0.0)
+    assert flat["eta_squared"] == _pytest.approx(0.0)
+
+    # zero within-variance: F NULL (not a divide crash)
+    sep = run([("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)])
+    assert sep["f"] is None and sep["ss_between"] == _pytest.approx(1.0)
+
+    # one group: omnibus undefined
+    one = run([("a", 1.0), ("a", 2.0)])
+    assert one["f"] is None and one["k"] == 1
+
+
+def test_kruskal_wallis_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.evaluation import kruskal_wallis
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return kruskal_wallis(df, "v", "g").collect()[0]
+
+    # no ties, a=[1,2] b=[3,4]: R_a=3, R_b=7 ->
+    # H = 12/20 * (9/2 + 49/2) - 15 = 2.4; no correction applies
+    got = run([("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)])
+    assert (got["n"], got["k"], got["dof"]) == (4, 2, 1)
+    assert got["h"] == _pytest.approx(2.4)
+    assert got["h_tie_corrected"] == _pytest.approx(2.4)
+
+    # ties across groups: a=[1,2,2] b=[2,3,3] — midranks 1, 3, 3, 3,
+    # 5.5, 5.5: R_a=7, R_b=14, H = 12/42*(49/3+196/3) - 21 = 2.333...,
+    # tie poly = (3^3-3)+(2^3-2) = 30, corr = 1 - 30/210 = 6/7
+    tie = run(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0),
+         ("b", 2.0), ("b", 3.0), ("b", 3.0)]
+    )
+    assert tie["h"] == _pytest.approx(12.0 / 42 * (49 / 3 + 196 / 3) - 21)
+    assert tie["h_tie_corrected"] == _pytest.approx(
+        (12.0 / 42 * (49 / 3 + 196 / 3) - 21) / (6.0 / 7)
+    )
+
+    # all values tied: H = 0 and the correction divides by zero -> NULL
+    flat = run([("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)])
+    assert flat["h"] == _pytest.approx(0.0)
+    assert flat["h_tie_corrected"] is None

@@ -1111,3 +1111,21 @@ def test_welch_t_single_reduction(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anova_single_reduction(spark):
+    # one partial-aggregable (group) reduction carries n/sum/sumsq;
+    # SSB/SSW derive on the groups axis; no Python, no cartesian
+    plan = formatted_plan(spark, "anova_value_event_types")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kruskal_wallis_counts_based(spark):
+    # facts reduce in one (value, group) partial aggregate; midrank
+    # arithmetic runs on the distinct-value axis; no Python
+    plan = formatted_plan(spark, "kw_doclen_by_lang")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
