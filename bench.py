@@ -333,6 +333,7 @@ HEADLINE = [
     "welch_value_click_purchase",
     "anova_value_event_types",
     "kw_doclen_by_lang",
+    "vocab_zipf_fit",
 ]
 
 

@@ -997,3 +997,85 @@ def blocklist_screen(
         for i, t in enumerate(sorted(terms))
     ]
     return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf rank–frequency fit over the corpus vocabulary head — the
+    one-row "is this natural language" audit: log-log least squares of
+    frequency on rank over the ``top_n`` most frequent tokens.  Natural
+    text fits slope ≈ −1 with r² near 1; template/boilerplate floods
+    flatten the head (slope → 0) and synthetic/spam token soups break
+    the linearity (r² drops) — a cheap corpus-level tripwire beside the
+    per-doc quality scores.
+
+    Token counts reduce in one partial-aggregable groupBy; the head is a
+    TopK (``ORDER BY n DESC, tok LIMIT top_n`` — Spark plans
+    TakeOrdered, never a full vocabulary sort-shuffle), ranked 1..m on
+    the head axis with lexicographic tie-break so the boundary is
+    deterministic.  The regression sums quantize each ln-term to
+    decimal(28,12) before summing (order-independence); slope/intercept/
+    r² are closed forms over those exact sums.
+
+    Output: one row — ``(n_terms bigint, top_term string, top_freq
+    bigint, slope double, intercept double, r_squared double)``; NULL
+    fit for fewer than 2 head terms or a degenerate (all-equal-x)
+    head.
+    """
+    dec = "decimal(28,12)"
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    head = counts.orderBy(
+        F.col("_n").desc(), F.col("_tok").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("_n").desc(), F.col("_tok").asc())
+    xy = head.select(
+        "_tok",
+        "_n",
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_n").cast("double")).alias("_y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.min_by(
+            "_tok",
+            F.struct(
+                (-F.col("_n")).alias("negn"), F.col("_tok").alias("t")
+            ),
+        ).alias("top_term"),
+        F.max("_n").alias("top_freq"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_syy"),
+    )
+    m = F.col("_m").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = m * sxx - sx * sx
+    dy = m * syy - sy * sy
+    cov = m * sxy - sx * sy
+    ok = (F.col("_m") >= 2) & (dx > 0)
+    slope = F.when(ok, cov / dx)
+    return agg.select(
+        F.col("_m").cast("long").alias("n_terms"),
+        "top_term",
+        F.col("top_freq").cast("long").alias("top_freq"),
+        F.round(slope, 9).alias("slope"),
+        F.round(F.when(ok, (sy - (cov / dx) * sx) / m), 9).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(ok & (dy > 0), cov * cov / (dx * dy)), 9
+        ).alias("r_squared"),
+    )

@@ -13500,6 +13500,69 @@ def kw_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(docs, "n_chars", "lang")
 
 
+@_q(
+    "vocab_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+    head AS (
+      SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 1000
+    ),
+    xy AS (
+      SELECT tok, n,
+             ln((row_number() OVER (ORDER BY n DESC, tok ASC))::DOUBLE)
+               AS x,
+             ln(n::DOUBLE) AS y
+      FROM head
+    ),
+    agg AS (
+      SELECT count(*) AS m,
+             sum(CAST(x AS DECIMAL(28,12))) AS sx,
+             sum(CAST(y AS DECIMAL(28,12))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,12))) AS syy
+      FROM xy
+    ),
+    top AS (
+      SELECT tok AS top_term, n AS top_freq
+      FROM head ORDER BY n DESC, tok ASC LIMIT 1
+    ),
+    calc AS (
+      SELECT m, top_term, top_freq,
+             m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+             m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy,
+             m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+      FROM agg CROSS JOIN top
+    )
+    SELECT m::BIGINT AS n_terms, top_term, top_freq::BIGINT AS top_freq,
+           round(CASE WHEN m >= 2 AND dx > 0 THEN cov / dx END, 9)
+             AS slope,
+           round(CASE WHEN m >= 2 AND dx > 0
+                 THEN (syd - (cov / dx) * sxd) / m::DOUBLE END, 9)
+             AS intercept,
+           round(CASE WHEN m >= 2 AND dx > 0 AND dy > 0
+                 THEN cov * cov / (dx * dy) END, 9) AS r_squared
+    FROM calc
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency fit over the top-1000 vocabulary head
+    (operators.textstats.zipf_fit) — the one-row "is this natural
+    language" corpus audit: log-log least squares slope ≈ −1 and r²
+    near 1 for organic text; boilerplate floods flatten the head and
+    token soups break linearity.  One token-count reduction, TopK head
+    (never a full vocab sort), decimal-quantized regression sums."""
+    from ..operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", top_n=1000)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

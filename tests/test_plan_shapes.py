@@ -1129,3 +1129,13 @@ def test_kruskal_wallis_counts_based(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_topk_head(spark):
+    # token counts reduce in one partial aggregate; the head is a TopK
+    # (TakeOrdered), never a full vocabulary sort-shuffle; no Python
+    plan = formatted_plan(spark, "vocab_zipf_fit")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
