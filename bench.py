@@ -334,6 +334,7 @@ HEADLINE = [
     "anova_value_event_types",
     "kw_doclen_by_lang",
     "vocab_zipf_fit",
+    "ts_forecast_backtest",
 ]
 
 

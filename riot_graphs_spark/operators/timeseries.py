@@ -2134,3 +2134,144 @@ def cusum_changepoint(
         F.round(p, 9).alias("p_value"),
         (p <= F.lit(alpha)).alias("significant"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    period: int = 7,
+    holdout: int = 7,
+) -> DataFrame:
+    """Holdout backtest of the two zero-parameter forecasters — the
+    measurement that makes :func:`holt_forecast` / Holt–Winters
+    adoption a DECISION: a model that can't beat naive (carry the last
+    value forward) or seasonal-naive (carry last ``period``'s value)
+    on held-out buckets isn't earning its state.
+
+    The last ``holdout`` buckets per series are the test window; the
+    rest train.  Per (series, method):
+
+        MAE, RMSE, MAPE (zero-actual test buckets excluded, counted)
+        MASE = MAE / mean|xᵢ − xᵢ₋₁| over the TRAIN window
+
+    MASE < 1 beats in-sample naive — the scale-free cross-series
+    number.  Seasonal-naive forecasts are ``lag(period)`` actuals; keep
+    ``holdout ≤ period`` so every seasonal forecast reads a TRAIN
+    bucket (a longer holdout would peek at test actuals — documented,
+    not hidden).
+
+    Exactness: bucket means are decimal(28,6); errors are exact decimal
+    differences; |e| sums ride decimal, e² and |e|/|actual| quantize to
+    decimal(28,12) before their sums (squares/ratios in double first —
+    never decimal×decimal).  One corpus reduction; windows and both
+    metric aggregates run on the bucket axis per series.
+
+    Output: one row per (series, method ∈ {'naive','seasonal_naive'})
+    with ≥1 scorable test bucket — ``(*dims, method string, h bigint,
+    n_mape bigint, mae double, rmse double, mape double, mase
+    double)``; seasonal rows need a full lag, NULL-lag test buckets
+    are excluded from that method's h.
+    """
+    gcols = list(dims)
+    dec6 = "decimal(28,6)"
+    dec12 = "decimal(28,12)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec6)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast(dec6)
+            .alias("_m")
+        )
+    )
+    w_ord = Window.partitionBy(*gcols).orderBy("_b")
+    w_all = Window.partitionBy(*gcols)
+    rows = buckets.select(
+        *gcols,
+        "_m",
+        F.row_number().over(w_ord).alias("_i"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.lag("_m", 1).over(w_ord).alias("_lag1"),
+        F.lag("_m", period).over(w_ord).alias("_lagp"),
+    ).withColumn("_cut", F.col("_n") - F.lit(holdout))
+    train = F.col("_i") <= F.col("_cut")
+    test = F.col("_i") > F.col("_cut")
+    # train-window stats: in-sample one-step naive MAE (MASE
+    # denominator) and the last train value (the naive forecast)
+    tr = rows.filter(F.col("_cut") >= 1).groupBy(*gcols).agg(
+        F.sum(
+            F.when(train, F.abs(F.col("_m") - F.col("_lag1")))
+        ).alias("_sd"),
+        F.sum(
+            F.when(train & F.col("_lag1").isNotNull(), 1).otherwise(0)
+        ).alias("_nd"),
+        F.max_by("_m", F.when(train, F.col("_i"))).alias("_last"),
+    )
+    te = rows.filter(test).select(*gcols, "_m", "_lagp")
+    joined = te.join(tr, gcols) if gcols else te.crossJoin(
+        F.broadcast(tr)
+    )
+
+    def metrics(fc, method):
+        e = F.col("_m") - fc
+        scorable = fc.isNotNull()
+        ape = F.when(
+            scorable & (F.col("_m") != 0),
+            (
+                F.abs(e).cast("double")
+                / F.abs(F.col("_m").cast("double"))
+            ).cast(dec12),
+        )
+        agg = joined.groupBy(*gcols).agg(
+            F.sum(F.when(scorable, 1).otherwise(0)).alias("_h"),
+            F.sum(F.when(scorable, F.abs(e))).alias("_sae"),
+            F.sum(
+                F.when(
+                    scorable,
+                    (
+                        e.cast("double") * e.cast("double")
+                    ).cast(dec12),
+                )
+            ).alias("_sse"),
+            F.count(ape).alias("_nape"),
+            F.sum(ape).alias("_sape"),
+            F.first("_sd").alias("_sd"),
+            F.first("_nd").alias("_nd"),
+        )
+        h = F.col("_h").cast("double")
+        mae = F.try_divide(F.col("_sae").cast("double"), h)
+        insample = F.try_divide(
+            F.col("_sd").cast("double"), F.col("_nd").cast("double")
+        )
+        return agg.filter(F.col("_h") >= 1).select(
+            *gcols,
+            F.lit(method).alias("method"),
+            F.col("_h").cast("long").alias("h"),
+            F.col("_nape").cast("long").alias("n_mape"),
+            F.round(mae, 9).alias("mae"),
+            F.round(
+                F.sqrt(F.try_divide(F.col("_sse").cast("double"), h)),
+                9,
+            ).alias("rmse"),
+            F.round(
+                F.try_divide(
+                    F.col("_sape").cast("double"),
+                    F.col("_nape").cast("double"),
+                ),
+                9,
+            ).alias("mape"),
+            F.round(F.try_divide(mae, insample), 9).alias("mase"),
+        )
+
+    return metrics(F.col("_last"), "naive").unionByName(
+        metrics(F.col("_lagp"), "seasonal_naive")
+    )

@@ -13563,6 +13563,106 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"), "text", top_n=1000)
 
 
+@_q(
+    "ts_forecast_backtest",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, m,
+             row_number() OVER w AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             lag(m, 1) OVER w AS lag1,
+             lag(m, 7) OVER w AS lagp
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY bk)
+    ),
+    r2 AS (SELECT *, n - 7 AS cut FROM r),
+    tr AS (
+      SELECT event_type,
+             sum(CASE WHEN i <= cut THEN abs(m - lag1) END) AS sd,
+             sum(CASE WHEN i <= cut AND lag1 IS NOT NULL
+                 THEN 1 ELSE 0 END) AS nd
+      FROM r2 WHERE cut >= 1 GROUP BY 1
+    ),
+    lastv AS (
+      SELECT event_type, m AS lastm FROM r2
+      WHERE cut >= 1 AND i = cut
+    ),
+    te AS (
+      SELECT r2.event_type, r2.m, r2.lagp, tr.sd, tr.nd, lastv.lastm
+      FROM r2
+      JOIN tr ON r2.event_type = tr.event_type
+      JOIN lastv ON r2.event_type = lastv.event_type
+      WHERE r2.i > r2.cut
+    ),
+    naive AS (
+      SELECT event_type, 'naive' AS method,
+             sum(CASE WHEN lastm IS NOT NULL THEN 1 ELSE 0 END) AS h,
+             sum(CASE WHEN lastm IS NOT NULL
+                 THEN abs(m - lastm) END) AS sae,
+             sum(CASE WHEN lastm IS NOT NULL
+                 THEN CAST((m - lastm)::DOUBLE * (m - lastm)::DOUBLE
+                      AS DECIMAL(28,12)) END) AS sse,
+             count(CASE WHEN lastm IS NOT NULL AND m != 0
+                   THEN 1 END) AS nape,
+             sum(CASE WHEN lastm IS NOT NULL AND m != 0
+                 THEN CAST(abs(m - lastm)::DOUBLE / abs(m::DOUBLE)
+                      AS DECIMAL(28,12)) END) AS sape,
+             max(sd) AS sd, max(nd) AS nd
+      FROM te GROUP BY 1
+    ),
+    snaive AS (
+      SELECT event_type, 'seasonal_naive' AS method,
+             sum(CASE WHEN lagp IS NOT NULL THEN 1 ELSE 0 END) AS h,
+             sum(CASE WHEN lagp IS NOT NULL
+                 THEN abs(m - lagp) END) AS sae,
+             sum(CASE WHEN lagp IS NOT NULL
+                 THEN CAST((m - lagp)::DOUBLE * (m - lagp)::DOUBLE
+                      AS DECIMAL(28,12)) END) AS sse,
+             count(CASE WHEN lagp IS NOT NULL AND m != 0
+                   THEN 1 END) AS nape,
+             sum(CASE WHEN lagp IS NOT NULL AND m != 0
+                 THEN CAST(abs(m - lagp)::DOUBLE / abs(m::DOUBLE)
+                      AS DECIMAL(28,12)) END) AS sape,
+             max(sd) AS sd, max(nd) AS nd
+      FROM te GROUP BY 1
+    ),
+    u AS (SELECT * FROM naive UNION ALL SELECT * FROM snaive)
+    SELECT event_type, method, h::BIGINT AS h, nape::BIGINT AS n_mape,
+           round(sae::DOUBLE / h, 9) AS mae,
+           round(sqrt(sse::DOUBLE / h), 9) AS rmse,
+           round(CASE WHEN nape > 0
+                 THEN sape::DOUBLE / nape END, 9) AS mape,
+           round(CASE WHEN nd > 0 AND sd IS NOT NULL
+                 THEN (sae::DOUBLE / h)
+                      / (sd::DOUBLE / nd::DOUBLE) END, 9) AS mase
+    FROM u WHERE h >= 1
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of naive and seasonal-naive forecasters per
+    event type (operators.timeseries.forecast_backtest, daily buckets,
+    period=7, holdout=7) — MAE/RMSE/MAPE on the last week plus MASE
+    against in-sample naive: the baseline any Holt/Holt–Winters
+    adoption must beat.  One corpus reduction; windows and metric
+    aggregates on the bucket axis per series."""
+    from ..operators.timeseries import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    return forecast_backtest(
+        ev, ts="ts", value="value", dims=["event_type"], unit="day",
+        period=7, holdout=7,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

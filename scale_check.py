@@ -741,6 +741,9 @@ QUERY_CASES = [
     # round-8: one (group) partial aggregate carrying n/sum/sumsq;
     # downstream is a broadcast one-row combine
     "welch_value_click_purchase",
+    # round-8: bucket reduction (linear) -> lag windows + two
+    # per-method metric aggregates on the bucket axis
+    "ts_forecast_backtest",
 ]
 
 

@@ -1696,3 +1696,50 @@ def test_cusum_changepoint_hand_cases(spark):
     assert not fl["significant"]
     # single-bucket series can't host a break and is absent
     assert "single" not in got
+
+
+def test_forecast_backtest_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import forecast_backtest
+
+    rows = [
+        ("lin", f"2024-01-{i:02d} 00:00:00", float(i))
+        for i in range(1, 11)
+    ]
+    # short series: lag-3 undefined for the first test bucket
+    rows += [
+        ("short", f"2024-01-{i:02d} 00:00:00", float(v))
+        for i, v in [(1, 1.0), (2, 2.0), (3, 0.0), (4, 4.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = forecast_backtest(
+        df, dims=["event_type"], unit="day", period=3, holdout=3
+    ).collect()
+    got = {(r["event_type"], r["method"]): r for r in out}
+
+    # lin 1..10, cut=7: naive fc=7 on actuals 8,9,10 -> MAE 2,
+    # RMSE sqrt(14/3), MAPE mean(1/8,2/9,3/10); in-sample naive MAE=1
+    nv = got[("lin", "naive")]
+    assert nv["h"] == 3 and nv["n_mape"] == 3
+    assert nv["mae"] == _pytest.approx(2.0)
+    assert nv["rmse"] == _pytest.approx((14 / 3.0) ** 0.5)
+    assert nv["mape"] == _pytest.approx((1 / 8 + 2 / 9 + 3 / 10) / 3)
+    assert nv["mase"] == _pytest.approx(2.0)
+    # seasonal-naive lag3: forecasts 5,6,7 -> all errors 3
+    sn = got[("lin", "seasonal_naive")]
+    assert sn["mae"] == 3.0 and sn["rmse"] == 3.0
+    assert sn["mase"] == _pytest.approx(3.0)
+
+    # short series (1,2,0,4), holdout 3 -> cut=1, test=(2,0,4):
+    # naive fc=1 always; MAPE excludes the zero actual (n_mape=2);
+    # in-sample has no train diff (only bucket 1) -> MASE NULL
+    snv = got[("short", "naive")]
+    assert snv["h"] == 3 and snv["n_mape"] == 2
+    assert snv["mae"] == _pytest.approx((1 + 1 + 3) / 3)
+    assert snv["mase"] is None
+    # seasonal lag-3 defined only for the last test bucket (fc=1 on 4)
+    ssn = got[("short", "seasonal_naive")]
+    assert ssn["h"] == 1 and ssn["mae"] == _pytest.approx(3.0)

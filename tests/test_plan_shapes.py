@@ -1139,3 +1139,13 @@ def test_zipf_fit_topk_head(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_backtest_bucket_axis(spark):
+    # facts reduce to daily means BEFORE the lag windows and the two
+    # per-method metric aggregates; everything downstream is
+    # buckets-per-series sized; no Python, no cartesian
+    plan = formatted_plan(spark, "ts_forecast_backtest")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
