@@ -335,6 +335,7 @@ HEADLINE = [
     "kw_doclen_by_lang",
     "vocab_zipf_fit",
     "ts_forecast_backtest",
+    "pairwise_welch_event_types",
 ]
 
 

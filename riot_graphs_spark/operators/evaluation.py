@@ -2034,3 +2034,129 @@ def kruskal_wallis(
             F.when(ok, F.try_divide(h - k + 1, nn - k)), 9
         ).alias("epsilon_squared"),
     )
+
+
+def _norm_p_two_sided(t: Column) -> Column:
+    """Two-sided normal p ≈ erfc(|t|/√2) via the Abramowitz–Stegun
+    7.1.26 polynomial (|error| < 1.5e-7) — pure arithmetic, evaluated
+    with the SAME literals in the DuckDB oracles, so the p and any
+    threshold flag on it are hash-stable; NULL t propagates."""
+    x = F.abs(t) / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = tt * (
+        F.lit(0.254829592)
+        + tt
+        * (
+            F.lit(-0.284496736)
+            + tt
+            * (
+                F.lit(1.421413741)
+                + tt * (F.lit(-1.453152027) + tt * F.lit(1.061405429))
+            )
+        )
+    )
+    return poly * F.exp(-x * x)
+
+
+def pairwise_welch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """All C(k,2) pairwise Welch comparisons with Bonferroni control —
+    the post-hoc step after :func:`anova_oneway`'s omnibus says
+    "something differs": WHICH groups differ, with the per-pair p
+    compared against α/m (m = number of pairs) so running ten
+    comparisons doesn't manufacture one fake discovery (the
+    multiple-comparison trap the omnibus-first workflow exists to
+    avoid).
+
+    One partial-aggregable groupBy reduces the corpus to per-group
+    (n, Σx, Σx²) exact decimals; the pair grid is a self-join on the
+    GROUPS axis (k rows a side — dashboard-sized, broadcast).  Per pair
+    the Welch t / df / Cohen's d follow :func:`welch_t_test` exactly;
+    the p is the normal approximation via :func:`_norm_p_two_sided`
+    (same large-df caveat as welch_t_test, documented).
+
+    Output: one row per pair (group_a < group_b) — ``(group_a, group_b,
+    n_a, n_b, mean_a, mean_b, t, df, cohens_d, p_approx double,
+    m_pairs bigint, significant_raw boolean, significant_bonferroni
+    boolean)`` at α = 0.05; pairs with n < 2 on either side carry NULL
+    statistics.
+    """
+    dec = "decimal(28,12)"
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    groups = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast(dec)).alias("_q"),
+    )
+    a = groups.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_q").alias("_qa"),
+    )
+    b = groups.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_q").alias("_qb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).withColumn(
+        "_m",
+        F.count(F.lit(1)).over(Window.partitionBy()),
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    m1 = F.col("_sa").cast("double") / na
+    m2 = F.col("_sb").cast("double") / nb
+    v1 = F.try_divide(
+        F.col("_qa").cast("double") - na * m1 * m1, na - 1
+    )
+    v2 = F.try_divide(
+        F.col("_qb").cast("double") - nb * m2 * m2, nb - 1
+    )
+    se2 = v1 / na + v2 / nb
+    t = F.when(ok & (se2 > 0), (m1 - m2) / F.sqrt(se2))
+    dfree = F.when(
+        ok & (se2 > 0),
+        F.try_divide(
+            se2 * se2,
+            F.try_divide((v1 / na) * (v1 / na), na - 1)
+            + F.try_divide((v2 / nb) * (v2 / nb), nb - 1),
+        ),
+    )
+    pooled = F.try_divide(
+        (na - 1) * v1 + (nb - 1) * v2, na + nb - 2
+    )
+    d = F.when(ok & (pooled > 0), (m1 - m2) / F.sqrt(pooled))
+    p = _norm_p_two_sided(t)
+    alpha = 2.0 * (1.0 - 0.975)  # z_crit=Z95 <-> alpha=0.05
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.when(ok, m1), 9).alias("mean_a"),
+        F.round(F.when(ok, m2), 9).alias("mean_b"),
+        F.round(t, 9).alias("t"),
+        F.round(dfree, 9).alias("df"),
+        F.round(d, 9).alias("cohens_d"),
+        F.round(p, 9).alias("p_approx"),
+        F.col("_m").cast("long").alias("m_pairs"),
+        F.coalesce(p < F.lit(alpha), F.lit(False)).alias(
+            "significant_raw"
+        ),
+        F.coalesce(
+            p < F.lit(alpha) / F.col("_m").cast("double"),
+            F.lit(False),
+        ).alias("significant_bonferroni"),
+    )

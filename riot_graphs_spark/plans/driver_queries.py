@@ -13663,6 +13663,96 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pairwise_welch_event_types",
+    """
+    WITH g AS (
+      SELECT event_type AS gg, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS q
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.gg AS group_a, b.gg AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             a.s AS sa, a.q AS qa, b.s AS sb, b.q AS qb,
+             count(*) OVER () AS m_pairs
+      FROM g a JOIN g b ON a.gg < b.gg
+    ),
+    calc AS (
+      SELECT *,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             sa::DOUBLE / n_a AS m1, sb::DOUBLE / n_b AS m2,
+             CASE WHEN n_a >= 2 THEN
+               (qa::DOUBLE - n_a * (sa::DOUBLE / n_a)
+                                 * (sa::DOUBLE / n_a)) / (n_a - 1)
+             END AS v1,
+             CASE WHEN n_b >= 2 THEN
+               (qb::DOUBLE - n_b * (sb::DOUBLE / n_b)
+                                 * (sb::DOUBLE / n_b)) / (n_b - 1)
+             END AS v2,
+             n_a >= 2 AND n_b >= 2 AS ok
+      FROM pairs
+    ),
+    calc2 AS (
+      SELECT *,
+             v1 / na + v2 / nb AS se2,
+             ((na - 1) * v1 + (nb - 1) * v2) / (na + nb - 2) AS pooled
+      FROM calc
+    ),
+    tt AS (
+      SELECT *,
+             CASE WHEN ok AND se2 > 0
+                  THEN (m1 - m2) / sqrt(se2) END AS t
+      FROM calc2
+    ),
+    pv AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0)))) AS u
+      FROM tt
+    ),
+    pp AS (
+      SELECT *,
+             u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+               + u * (-1.453152027 + u * 1.061405429))))
+               * exp(-(abs(t) / sqrt(2.0)) * (abs(t) / sqrt(2.0)))
+               AS p
+      FROM pv
+    )
+    SELECT group_a, group_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(CASE WHEN ok THEN m1 END, 9) AS mean_a,
+           round(CASE WHEN ok THEN m2 END, 9) AS mean_b,
+           round(t, 9) AS t,
+           round(CASE WHEN ok AND se2 > 0
+                 THEN se2 * se2
+                      / ((v1 / na) * (v1 / na) / (na - 1)
+                         + (v2 / nb) * (v2 / nb) / (nb - 1)) END, 9)
+             AS df,
+           round(CASE WHEN ok AND pooled > 0
+                 THEN (m1 - m2) / sqrt(pooled) END, 9) AS cohens_d,
+           round(p, 9) AS p_approx,
+           m_pairs::BIGINT AS m_pairs,
+           coalesce(p < 0.05, false) AS significant_raw,
+           coalesce(p < 0.05 / m_pairs::DOUBLE, false)
+             AS significant_bonferroni
+    FROM pp
+    """,
+)
+def pairwise_welch_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All C(5,2) pairwise Welch comparisons of event value between
+    event types with Bonferroni control
+    (operators.evaluation.pairwise_welch) — the post-hoc step after
+    anova_value_event_types' omnibus: which type pairs differ, p_approx
+    via the Abramowitz–Stegun erfc polynomial (identical literals both
+    engines), raw vs α/m flags side by side."""
+    from ..operators.evaluation import pairwise_welch
+
+    ev = _t(spark, sf_dir, "events")
+    return pairwise_welch(ev, "value", "event_type")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -744,6 +744,9 @@ QUERY_CASES = [
     # round-8: bucket reduction (linear) -> lag windows + two
     # per-method metric aggregates on the bucket axis
     "ts_forecast_backtest",
+    # round-8: one (group) partial aggregate; C(k,2) grid on the
+    # groups axis only
+    "pairwise_welch_event_types",
 ]
 
 

@@ -1175,3 +1175,46 @@ def test_kruskal_wallis_hand_cases(spark):
     flat = run([("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)])
     assert flat["h"] == _pytest.approx(0.0)
     assert flat["h_tie_corrected"] is None
+
+
+def test_pairwise_welch_hand_cases(spark):
+    import math
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.evaluation import pairwise_welch
+
+    rows = (
+        [("a", float(v)) for v in range(1, 6)]
+        + [("b", float(v)) for v in range(6, 11)]
+        + [("c", float(v)) for v in [3.0, 4.0, 5.0, 6.0, 7.0]]
+        + [("d", 9.0)]  # single-row group -> NULL stats for its pairs
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = pairwise_welch(df, "v", "g").collect()
+    got = {(r["group_a"], r["group_b"]): r for r in out}
+    assert len(got) == 6 and all(r["m_pairs"] == 6 for r in out)
+
+    # a vs b matches the two-sample welch hand case exactly: t = -5
+    ab = got[("a", "b")]
+    assert ab["t"] == _pytest.approx(-5.0)
+    assert ab["df"] == _pytest.approx(8.0)
+    # p ~ erfc(5/sqrt(2)) = 5.73e-7: raw AND bonferroni significant
+    assert ab["p_approx"] == _pytest.approx(
+        math.erfc(5 / math.sqrt(2)), abs=2e-7
+    )
+    assert ab["significant_raw"] and ab["significant_bonferroni"]
+
+    # a vs c: means 3 vs 5, moderate t — raw-significant at 0.05 but
+    # NOT after the /6 bonferroni correction (the trap in action):
+    # t = -2/sqrt(2.5/5+2.5/5) = -2, p ~ 0.0455
+    ac = got[("a", "c")]
+    assert ac["t"] == _pytest.approx(-2.0)
+    assert ac["p_approx"] == _pytest.approx(
+        math.erfc(2 / math.sqrt(2)), abs=2e-7
+    )
+    assert ac["significant_raw"] and not ac["significant_bonferroni"]
+
+    # pairs with the singleton group: NULL statistics, never a crash
+    ad = got[("a", "d")]
+    assert ad["t"] is None and not ad["significant_raw"]

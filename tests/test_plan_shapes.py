@@ -1149,3 +1149,12 @@ def test_forecast_backtest_bucket_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pairwise_welch_groups_axis(spark):
+    # one (group) partial aggregate; the C(k,2) pair grid is a
+    # broadcast self-join on the groups axis; no Python, no cartesian
+    plan = formatted_plan(spark, "pairwise_welch_event_types")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
