@@ -336,6 +336,7 @@ HEADLINE = [
     "vocab_zipf_fit",
     "ts_forecast_backtest",
     "pairwise_welch_event_types",
+    "emb_silhouette_fixed_cells",
 ]
 
 

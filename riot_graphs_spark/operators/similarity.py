@@ -1116,3 +1116,79 @@ def embedding_dim_stats(
         F.round(F.col("min_x"), 9).alias("min_x"),
         F.round(F.col("max_x"), 9).alias("max_x"),
     )
+
+
+def silhouette_simplified(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cell — the clustering
+    QUALITY number for a :func:`kmeans_fit` result that classic
+    silhouette can't give at scale (all-pairs distances are O(n²);
+    the simplified form substitutes distance-to-centroid and is the
+    standard big-data variant):
+
+        a = ‖x − c_own‖,  b = min_{j≠own} ‖x − c_j‖
+        s = (b − a) / max(a, b)        (0 when both distances are 0)
+
+    mean s near 1 = tight, well-separated cells; near 0 = overlapping;
+    negative = vectors closer to a foreign centroid than their own (a
+    k or initialization problem).  ZERO-shuffle scoring: centroids ride
+    as broadcast literals, the per-centroid distance array is STAGED as
+    a real column before the argmin/filter lambdas touch it (no
+    re-evaluation per element — the HOF-CSE rule), and the only shuffle
+    is the final per-cell partial aggregate.  Per-row s quantizes to
+    decimal(28,12) before the mean so cell sums are order-independent.
+
+    Output: one row per non-empty cell — ``(cell bigint, n bigint,
+    mean_silhouette double)``.  Requires ≥ 2 centroids.
+    """
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs >= 2 centroids")
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), c).alias("dist2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    staged = (
+        embeddings.select(F.col(id_col), scored.alias("_sc"))
+        .withColumn("_best", F.array_min("_sc"))
+        .select(
+            F.col("_best")["cell"].alias("cell"),
+            F.sqrt(F.col("_best")["dist2"]).alias("_a"),
+            F.sqrt(
+                F.array_min(
+                    F.filter(
+                        "_sc",
+                        lambda s: s["cell"] != F.col("_best")["cell"],
+                    )
+                )["dist2"]
+            ).alias("_b"),
+        )
+    )
+    s = F.when(
+        F.greatest("_a", "_b") > 0,
+        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.select("cell", s.cast("decimal(28,12)").alias("_s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_s").alias("_ss"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(
+                F.col("_ss").cast("double") / F.col("_n").cast("double"),
+                9,
+            ).alias("mean_silhouette"),
+        )
+    )

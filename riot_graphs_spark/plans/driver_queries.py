@@ -13753,6 +13753,59 @@ def pairwise_welch_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_welch(ev, "value", "event_type")
 
 
+@_q(
+    "emb_silhouette_fixed_cells",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6)
+               AS dist2
+      FROM embeddings e CROSS JOIN cents
+    ), own AS (
+      SELECT vec_id, cell AS own_cell, dist2 AS a2
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), nb AS (
+      SELECT s.vec_id, min(s.dist2) AS b2
+      FROM scored s JOIN own o
+        ON s.vec_id = o.vec_id AND s.cell != o.own_cell
+      GROUP BY 1
+    ), sil AS (
+      SELECT o.own_cell AS cell,
+             CAST(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                  THEN (sqrt(b2) - sqrt(a2))
+                       / greatest(sqrt(a2), sqrt(b2))
+                  ELSE 0.0 END AS DECIMAL(28,12)) AS s
+      FROM own o JOIN nb USING (vec_id)
+    )
+    SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n,
+           round(sum(s)::DOUBLE / count(*), 9) AS mean_silhouette
+    FROM sil GROUP BY 1
+    """,
+)
+def emb_silhouette_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cell over the four fixed axis-pattern
+    centroids (operators.similarity.silhouette_simplified) — the
+    clustering-quality number beside emb_assign_fixed_cells' assignment
+    kernel: a = own-centroid distance, b = nearest-other, s = (b−a)/
+    max(a,b).  Zero-shuffle scoring (broadcast centroid literals, staged
+    distance array), one per-cell partial aggregate."""
+    from ..operators.similarity import silhouette_simplified
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return silhouette_simplified(_t(spark, sf_dir, "embeddings"), cents)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

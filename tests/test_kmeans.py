@@ -142,3 +142,47 @@ def test_embedding_dim_stats_hand_case(spark):
     # dim 2: all-zero
     assert rows[2]["mean"] == 0.0 and rows[2]["std"] == 0.0
     assert all(r["n"] == 3 for r in rows.values())
+
+
+def test_silhouette_simplified_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.similarity import (
+        silhouette_simplified,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        # tight around c0: a=1, b=9 or 11 -> s=(b-1)/b
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]),
+        # exactly on c1: a=0, b=10 -> s=1
+        (3, [10.0, 0.0]),
+        # midpoint-ish, nearer c1's side: a=4, b=6 -> s=1/3 (cell 1)
+        (4, [6.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["cell"]: r
+        for r in silhouette_simplified(df, cents).collect()
+    }
+    s1 = (9 - 1) / 9.0
+    s2 = (11 - 1) / 11.0
+    assert got[0]["n"] == 2
+    assert got[0]["mean_silhouette"] == _pytest.approx((s1 + s2) / 2)
+    assert got[1]["n"] == 2
+    assert got[1]["mean_silhouette"] == _pytest.approx(
+        (1.0 + (6 - 4) / 6.0) / 2
+    )
+
+    # a vector equidistant from identical centroids: a=b=0 -> s=0
+    same = silhouette_simplified(
+        spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id int, embedding array<double>"
+        ),
+        [[0.0, 0.0], [0.0, 0.0]],
+    ).collect()[0]
+    assert same["mean_silhouette"] == 0.0
+
+    with _pytest.raises(ValueError):
+        silhouette_simplified(df, [[0.0, 0.0]])

@@ -1158,3 +1158,13 @@ def test_pairwise_welch_groups_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_silhouette_zero_shuffle_scoring(spark):
+    # centroids are broadcast literals, scoring is row-local; the ONLY
+    # exchange is the final per-cell partial aggregate; no Python
+    plan = formatted_plan(spark, "emb_silhouette_fixed_cells")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE read)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
