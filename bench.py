@@ -337,6 +337,7 @@ HEADLINE = [
     "ts_forecast_backtest",
     "pairwise_welch_event_types",
     "emb_silhouette_fixed_cells",
+    "ab_power_mde",
 ]
 
 

@@ -2160,3 +2160,107 @@ def pairwise_welch(
             F.lit(False),
         ).alias("significant_bonferroni"),
     )
+
+
+#: z for 80% power (one-sided 0.80 quantile); oracle SQL must use this
+#: literal.
+Z_POWER80 = 0.8416212335729143
+
+
+def proportion_power_mde(
+    df: DataFrame,
+    variant_col: str,
+    flag_col: str,
+    z_alpha: float = Z95,
+    z_power: float = Z_POWER80,
+) -> DataFrame:
+    """Power / minimum-detectable-effect readout for a two-proportion
+    experiment — the question :func:`ab_proportion_test` CAN'T answer
+    when it comes back not-significant: "could this experiment even have
+    seen the effect we care about, and how long until it can?"  A
+    not-significant verdict with MDE ≫ the effect of interest is an
+    underpowered experiment, not a null result — the distinction every
+    ship/hold decision needs.
+
+    Closed forms at significance ``z_alpha`` (two-sided) and power
+    ``z_power`` (one-sided), with p̄ the pooled rate and d the observed
+    difference:
+
+        MDE_abs  = (z_α + z_β)·√(p̄(1−p̄)(1/n_a + 1/n_b))
+        power    = Φ(|d|/se − z_α)      (post-hoc, at the observed d)
+        n_req    = (z_α + z_β)²·2p̄(1−p̄)/d²   (per arm, equal split)
+
+    Φ evaluates via the same Abramowitz–Stegun erfc polynomial as
+    :func:`_norm_p_two_sided` (identical literals in the oracle —
+    hash-stable).  One unit-level reduction; everything after is a
+    broadcast pair combine, exactly :func:`ab_proportion_test`'s shape.
+
+    Output: one row per variant pair (a < b) — ``(variant_a, variant_b,
+    n_a bigint, k_a bigint, n_b bigint, k_b bigint, rate_a, rate_b,
+    diff, pooled, mde_abs, mde_rel, posthoc_power, n_per_arm_required
+    bigint)``; zero-variance pools NULL the derived columns, a zero
+    observed diff NULLs power/n_req.
+    """
+    flag = F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0)
+    per = (
+        df.filter(F.col(variant_col).isNotNull())
+        .select(
+            F.col(variant_col).cast("string").alias("_v"),
+            flag.alias("_y"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_k")
+        )
+    )
+    a = per.select(
+        F.col("_v").alias("variant_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_k").alias("k_a"),
+    )
+    b = per.select(
+        F.col("_v").alias("variant_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_k").alias("k_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("variant_a") < F.col("variant_b")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("k_a").cast("double") / na
+    pb = F.col("k_b").cast("double") / nb
+    pool = (F.col("k_a") + F.col("k_b")).cast("double") / (na + nb)
+    var = pool * (1 - pool)
+    se = F.sqrt(var * (1 / na + 1 / nb))
+    d = pa - pb
+    mde = F.when(se > 0, F.lit(z_alpha + z_power) * se)
+    # post-hoc power: Phi(|d|/se - z_alpha) via erfc symmetry
+    u = F.abs(d) / se - F.lit(z_alpha)
+    e = _norm_p_two_sided(u)  # = erfc(|u|/sqrt(2))
+    power = F.when(
+        se > 0,
+        F.when(u >= 0, 1 - e / 2).otherwise(e / 2),
+    )
+    n_req = F.when(
+        (var > 0) & (d != 0),
+        F.ceil(
+            F.lit((z_alpha + z_power) ** 2) * 2 * var / (d * d)
+        ).cast("long"),
+    )
+    return pairs.select(
+        "variant_a",
+        "variant_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.round(pa, 9).alias("rate_a"),
+        F.round(pb, 9).alias("rate_b"),
+        F.round(d, 9).alias("diff"),
+        F.round(pool, 9).alias("pooled"),
+        F.round(mde, 9).alias("mde_abs"),
+        F.round(F.try_divide(mde, pool), 9).alias("mde_rel"),
+        F.round(F.when(d != 0, power), 9).alias("posthoc_power"),
+        n_req.alias("n_per_arm_required"),
+    )

@@ -13806,6 +13806,96 @@ def emb_silhouette_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_simplified(_t(spark, sf_dir, "embeddings"), cents)
 
 
+_ZA = 1.959963984540054
+_ZB = 0.8416212335729143
+
+
+@_q(
+    "ab_power_mde",
+    f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    per AS (SELECT v, count(*) AS n, sum(y) AS k FROM u GROUP BY 1),
+    p AS (
+      SELECT a.v AS variant_a, a.n AS n_a, a.k AS k_a,
+             b.v AS variant_b, b.n AS n_b, b.k AS k_b
+      FROM per a JOIN per b ON a.v < b.v
+    ),
+    c AS (
+      SELECT *,
+             k_a::DOUBLE / n_a::DOUBLE AS pa,
+             k_b::DOUBLE / n_b::DOUBLE AS pb,
+             (k_a + k_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pool
+      FROM p
+    ),
+    c2 AS (
+      SELECT *,
+             pool * (1.0 - pool) AS var,
+             sqrt(pool * (1.0 - pool)
+                  * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se,
+             pa - pb AS d
+      FROM c
+    ),
+    c3 AS (
+      SELECT *, abs(d) / se - {_ZA!r} AS uu FROM c2
+    ),
+    c4 AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+      FROM c3
+    ),
+    c5 AS (
+      SELECT *,
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+      FROM c4
+    )
+    SELECT variant_a, variant_b,
+           n_a::BIGINT AS n_a, k_a::BIGINT AS k_a,
+           n_b::BIGINT AS n_b, k_b::BIGINT AS k_b,
+           round(pa, 9) AS rate_a, round(pb, 9) AS rate_b,
+           round(d, 9) AS diff, round(pool, 9) AS pooled,
+           round(CASE WHEN se > 0
+                 THEN {_ZA + _ZB!r} * se END, 9) AS mde_abs,
+           round(CASE WHEN se > 0 AND pool != 0
+                 THEN {_ZA + _ZB!r} * se / pool END, 9) AS mde_rel,
+           round(CASE WHEN se > 0 AND d != 0 THEN
+                 CASE WHEN uu >= 0 THEN 1.0 - e / 2.0
+                      ELSE e / 2.0 END END, 9) AS posthoc_power,
+           CASE WHEN var > 0 AND d != 0
+                THEN ceil({(_ZA + _ZB) ** 2!r} * 2.0 * var
+                          / (d * d))::BIGINT END
+             AS n_per_arm_required
+    FROM c5
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power / minimum-detectable-effect readout for the user-parity
+    purchase experiment (operators.evaluation.proportion_power_mde) —
+    the companion ab_purchase_rate_test can't give when not-significant:
+    the absolute/relative MDE this sample could see, the post-hoc power
+    at the observed difference (A–S Φ, identical literals both
+    engines), and the per-arm n a conclusive rerun needs."""
+    from ..operators.evaluation import proportion_power_mde
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        "converted",
+    )
+    return proportion_power_mde(users, "variant", "converted")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

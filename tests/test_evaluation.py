@@ -1218,3 +1218,61 @@ def test_pairwise_welch_hand_cases(spark):
     # pairs with the singleton group: NULL statistics, never a crash
     ad = got[("a", "d")]
     assert ad["t"] is None and not ad["significant_raw"]
+
+
+def test_proportion_power_mde_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        Z_POWER80,
+        proportion_power_mde,
+    )
+
+    Z95L = 1.959963984540054
+
+    # arms: a = 100 units / 20 conv, b = 100 / 30 -> pooled .25
+    rows = (
+        [("a", 1)] * 20 + [("a", 0)] * 80
+        + [("b", 1)] * 30 + [("b", 0)] * 70
+    )
+    df = spark.createDataFrame(rows, "v string, y int")
+    got = proportion_power_mde(df, "v", "y").collect()[0]
+    assert (got["n_a"], got["k_a"], got["n_b"], got["k_b"]) == (
+        100, 20, 100, 30,
+    )
+    se = (0.25 * 0.75 * (0.01 + 0.01)) ** 0.5
+    assert got["mde_abs"] == pytest.approx((Z95L + Z_POWER80) * se)
+    assert got["mde_rel"] == pytest.approx(
+        (Z95L + Z_POWER80) * se / 0.25
+    )
+    # |d|/se = .1/.06124 = 1.633 < 1.96 -> not significant, and the
+    # post-hoc power must be below 50%+ but positive
+    u = 0.1 / se - Z95L
+    phi = 0.5 * math.erfc(abs(u) / math.sqrt(2))
+    expected_power = 1 - phi if u >= 0 else phi
+    assert got["posthoc_power"] == pytest.approx(expected_power, abs=2e-7)
+    assert 0 < got["posthoc_power"] < 0.6
+    # n required per arm for d=.1 at 80%: (2.8016)^2*2*.1875/.01 = 294.3
+    assert got["n_per_arm_required"] == math.ceil(
+        (Z95L + Z_POWER80) ** 2 * 2 * 0.1875 / 0.01
+    )
+
+    # zero observed diff: MDE still defined, power/n_req NULL
+    flat = proportion_power_mde(
+        spark.createDataFrame(
+            [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "v string, y int"
+        ),
+        "v",
+        "y",
+    ).collect()[0]
+    assert flat["mde_abs"] is not None
+    assert flat["posthoc_power"] is None
+    assert flat["n_per_arm_required"] is None
+
+    # degenerate all-zero pool: everything derived NULLs
+    zero = proportion_power_mde(
+        spark.createDataFrame(
+            [("a", 0), ("b", 0)], "v string, y int"
+        ),
+        "v",
+        "y",
+    ).collect()[0]
+    assert zero["mde_abs"] is None and zero["posthoc_power"] is None

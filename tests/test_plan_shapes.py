@@ -1168,3 +1168,12 @@ def test_silhouette_zero_shuffle_scoring(spark):
     assert plan.count("Exchange") <= 2  # agg exchange (+AQE read)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ab_power_mde_user_axis(spark):
+    # events pre-aggregate per user (partial max), arms reduce on the
+    # users axis, the pair combine is broadcast; no Python
+    plan = formatted_plan(spark, "ab_power_mde")
+    assert re.search(r"partial_(sum|count|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
