@@ -338,6 +338,7 @@ HEADLINE = [
     "pairwise_welch_event_types",
     "emb_silhouette_fixed_cells",
     "ab_power_mde",
+    "pairwise_welch_bh_fdr",
 ]
 
 

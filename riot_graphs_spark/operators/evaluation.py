@@ -2264,3 +2264,62 @@ def proportion_power_mde(
         F.round(F.when(d != 0, power), 9).alias("posthoc_power"),
         n_req.alias("n_per_arm_required"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: Sequence[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over ANY table of p-values —
+    the modern replacement for :func:`pairwise_welch`'s Bonferroni flag
+    when the hypothesis list grows (per-language tests, hundreds of
+    segment comparisons): Bonferroni controls the chance of ONE false
+    positive and strangles power at large m; BH controls the false-
+    DISCOVERY rate, which is what a triage list actually wants.
+
+    Step-up rule on p₍₁₎ ≤ … ≤ p₍ₘ₎: q₍ᵢ₎ = min(1, min_{j≥i} m·p₍ⱼ₎/j)
+    (the monotone adjusted p), reject where q ≤ α.  Ties order by
+    ``tiebreak_cols`` so the ranking — and therefore every q — is
+    deterministic.  The sort/suffix-min windows run on the HYPOTHESES
+    axis (the rows of ``df`` — comparison-list-sized, never corpus-
+    sized).  NULL p rows pass through with NULL q and a false flag and
+    do not count toward m.
+
+    Output: the input columns plus ``(rank_p bigint, m bigint, q_value
+    double, significant_bh boolean)``.
+    """
+    order = [F.col(p_col).asc_nulls_last()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
+    w_rank = Window.orderBy(*order)
+    w_suffix = w_rank.rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.partitionBy()
+    i = F.row_number().over(w_rank)
+    m = F.count(p_col).over(w_all)
+    q_raw = F.when(
+        F.col(p_col).isNotNull(),
+        m.cast("double") * F.col(p_col) / i.cast("double"),
+    )
+    staged = df.select(
+        "*",
+        F.when(F.col(p_col).isNotNull(), i).cast("long").alias(
+            "rank_p"
+        ),
+        m.alias("m"),
+        q_raw.alias("_qr"),
+    )
+    q = F.least(F.min("_qr").over(w_suffix), F.lit(1.0))
+    return staged.select(
+        *[c for c in staged.columns if c != "_qr"],
+        F.round(
+            F.when(F.col(p_col).isNotNull(), q), 9
+        ).alias("q_value"),
+        F.coalesce(
+            F.when(F.col(p_col).isNotNull(), q) <= F.lit(alpha),
+            F.lit(False),
+        ).alias("significant_bh"),
+    ).withColumn("m", F.col("m").cast("long"))

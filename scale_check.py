@@ -747,6 +747,8 @@ QUERY_CASES = [
     # round-8: one (group) partial aggregate; C(k,2) grid on the
     # groups axis only
     "pairwise_welch_event_types",
+    # round-8: same reduction; BH windows on the 10-row hypotheses axis
+    "pairwise_welch_bh_fdr",
 ]
 
 

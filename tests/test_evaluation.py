@@ -1276,3 +1276,54 @@ def test_proportion_power_mde_hand_cases(spark):
         "y",
     ).collect()[0]
     assert zero["mde_abs"] is None and zero["posthoc_power"] is None
+
+
+def test_bh_adjust_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import bh_adjust
+
+    # classic: p = [.01, .02, .03, .04, .05], m=5, alpha=.05
+    # q_i = min suffix of (5p_i/i): [.05, .05, .05, .05, .05] -> all in
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(
+            [0.01, 0.02, 0.03, 0.04, 0.05]
+        )],
+        "h string, p double",
+    )
+    out = bh_adjust(df, "p", ["h"]).collect()
+    assert all(r["q_value"] == pytest.approx(0.05) for r in out)
+    assert all(r["significant_bh"] for r in out)
+
+    # the step-up catch: p=[.01,.04,.2], q = [.03, .06, .2]:
+    # only the first survives at alpha=.05
+    df2 = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.2)], "h string, p double"
+    )
+    got = {r["h"]: r for r in bh_adjust(df2, "p", ["h"]).collect()}
+    assert got["a"]["q_value"] == pytest.approx(0.03)
+    assert got["b"]["q_value"] == pytest.approx(0.06)
+    assert got["c"]["q_value"] == pytest.approx(0.2)
+    assert got["a"]["significant_bh"]
+    assert not got["b"]["significant_bh"]
+    assert (got["a"]["rank_p"], got["c"]["rank_p"]) == (1, 3)
+
+    # monotone repair: sorted p=[.01,.045,.05] -> raw m*p/i =
+    # [.03, .0675, .05] is NOT monotone; suffix-min pulls rank 2 down
+    # to min(.0675, .05) = .05
+    df3 = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.05), ("c", 0.045)], "h string, p double"
+    )
+    got = {r["h"]: r for r in bh_adjust(df3, "p", ["h"]).collect()}
+    assert got["c"]["q_value"] == pytest.approx(0.05)
+    assert got["b"]["q_value"] == pytest.approx(0.05)
+
+    # NULL p: passes through, excluded from m, never significant
+    df4 = spark.createDataFrame(
+        [("a", 0.01), ("b", None)], "h string, p double"
+    )
+    got = {r["h"]: r for r in bh_adjust(df4, "p", ["h"]).collect()}
+    assert got["a"]["m"] == 1 and got["a"]["q_value"] == pytest.approx(
+        0.01
+    )
+    assert got["b"]["q_value"] is None
+    assert not got["b"]["significant_bh"]
+    assert got["b"]["rank_p"] is None

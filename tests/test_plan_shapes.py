@@ -1177,3 +1177,12 @@ def test_ab_power_mde_user_axis(spark):
     assert re.search(r"partial_(sum|count|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bh_fdr_hypotheses_axis(spark):
+    # the BH sort/suffix-min windows run on the 10-pair hypotheses
+    # axis after the (group) partial aggregate; no Python
+    plan = formatted_plan(spark, "pairwise_welch_bh_fdr")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
