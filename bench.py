@@ -339,6 +339,7 @@ HEADLINE = [
     "emb_silhouette_fixed_cells",
     "ab_power_mde",
     "pairwise_welch_bh_fdr",
+    "emb_davies_bouldin_fixed",
 ]
 
 

@@ -1192,3 +1192,90 @@ def silhouette_simplified(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def davies_bouldin(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies–Bouldin per-cell similarity ratio — the second clustering
+    quality lens beside :func:`silhouette_simplified` (silhouette asks
+    per-VECTOR "am I in the right cell"; DB asks per-CELL "which cell
+    is least separated from its worst neighbour", the k-chooser's
+    number: lower is better, rising DB as k grows marks over-splitting):
+
+        sᵢ = mean ‖x − cᵢ‖ over cell members     (scatter)
+        Rᵢ = max_{j≠i} (sᵢ + sⱼ) / ‖cᵢ − cⱼ‖     (worst-neighbour ratio)
+        DB = mean Rᵢ                              (the index)
+
+    One zero-shuffle assignment scan (broadcast centroid literals, the
+    :func:`kmeans_assign` kernel) + one per-cell partial aggregate;
+    member distances quantize to decimal(28,12) before the scatter sum.
+    Centroid pairwise distances are DATA-FREE — computed driver-side
+    from the literals (squared distance rounded to 6 dp, the
+    :func:`_sq_dist` convention) and broadcast as a k²-row literal
+    table, so the Rᵢ max runs on the cells axis.
+
+    Output: one row per non-empty cell — ``(cell bigint, n bigint,
+    scatter double, r double)``; DB = avg(r).  An empty cell simply has
+    no row (its ratios are undefined); identical duplicate centroids
+    raise ValueError (zero separation makes R unbounded).
+    """
+    if len(centroids) < 2:
+        raise ValueError("davies_bouldin needs >= 2 centroids")
+    pair_rows = []
+    for i, ci in enumerate(centroids):
+        for j, cj in enumerate(centroids):
+            if i == j:
+                continue
+            d2 = round(
+                sum((a - b) * (a - b) for a, b in zip(ci, cj)), 6
+            )
+            if d2 == 0.0:
+                raise ValueError(
+                    f"duplicate centroids {i} and {j}: zero separation"
+                )
+            pair_rows.append((i, j, d2 ** 0.5))
+    spark = embeddings.sparkSession
+    dists = spark.createDataFrame(
+        pair_rows, "cell int, other int, d double"
+    )
+    assigned = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    scatter = (
+        assigned.select(
+            "cell",
+            F.sqrt("dist2").cast("decimal(28,12)").alias("_d"),
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_d").alias("_sd"))
+        .select(
+            "cell",
+            "_n",
+            (
+                F.col("_sd").cast("double") / F.col("_n").cast("double")
+            ).alias("_s"),
+        )
+    )
+    other = scatter.select(
+        F.col("cell").alias("other"), F.col("_s").alias("_so")
+    )
+    ratios = (
+        scatter.join(F.broadcast(dists), "cell")
+        .join(F.broadcast(other), "other")
+        .groupBy("cell")
+        .agg(
+            F.first("_n").alias("_n"),
+            F.first("_s").alias("_s"),
+            F.max((F.col("_s") + F.col("_so")) / F.col("d")).alias(
+                "_r"
+            ),
+        )
+    )
+    return ratios.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_s", 9).alias("scatter"),
+        F.round("_r", 9).alias("r"),
+    )

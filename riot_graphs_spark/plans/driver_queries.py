@@ -13992,6 +13992,60 @@ def pairwise_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh_adjust(pw, "p_approx", ["group_a", "group_b"])
 
 
+@_q(
+    "emb_davies_bouldin_fixed",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6)
+               AS dist2
+      FROM embeddings e CROSS JOIN cents
+    ), own AS (
+      SELECT vec_id, cell, dist2 FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), sc AS (
+      SELECT cell, count(*) AS n,
+             sum(CAST(sqrt(dist2) AS DECIMAL(28,12)))::DOUBLE
+               / count(*) AS s
+      FROM own GROUP BY 1
+    ), cd AS (
+      SELECT a.j AS cell, b.j AS other,
+             sqrt(round(list_sum(list_transform(range(0, 64),
+               i -> (a.c[i+1] - b.c[i+1]) * (a.c[i+1] - b.c[i+1]))),
+               6)) AS d
+      FROM cents a JOIN cents b ON a.j != b.j
+    )
+    SELECT sc.cell::BIGINT AS cell, max(sc.n)::BIGINT AS n,
+           round(max(sc.s), 9) AS scatter,
+           round(max((sc.s + so.s) / cd.d), 9) AS r
+    FROM sc
+    JOIN cd ON sc.cell = cd.cell
+    JOIN sc so ON so.cell = cd.other
+    GROUP BY 1
+    """,
+)
+def emb_davies_bouldin_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin per-cell ratios over the four fixed axis-pattern
+    centroids (operators.similarity.davies_bouldin) — the k-chooser
+    lens beside emb_silhouette_fixed_cells: worst-neighbour (sᵢ+sⱼ)/dᵢⱼ
+    per cell, DB index = avg(r).  Zero-shuffle assignment scan + one
+    per-cell aggregate; centroid distances are data-free literals."""
+    from ..operators.similarity import davies_bouldin
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"), cents)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -749,6 +749,9 @@ QUERY_CASES = [
     "pairwise_welch_event_types",
     # round-8: same reduction; BH windows on the 10-row hypotheses axis
     "pairwise_welch_bh_fdr",
+    # round-8: zero-shuffle assignment scan -> per-cell aggregate;
+    # ratio joins on the k-row cells axis
+    "emb_davies_bouldin_fixed",
 ]
 
 

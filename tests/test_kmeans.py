@@ -186,3 +186,45 @@ def test_silhouette_simplified_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         silhouette_simplified(df, [[0.0, 0.0]])
+
+
+def test_davies_bouldin_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.similarity import davies_bouldin
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]),
+        (3, [10.0, 0.0]),
+        (4, [12.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["cell"]: r for r in davies_bouldin(df, cents).collect()}
+    # scatters both 1, centroid distance 10 -> R = 0.2 each side
+    assert got[0]["n"] == 2 and got[0]["scatter"] == _pytest.approx(1.0)
+    assert got[1]["scatter"] == _pytest.approx(1.0)
+    assert got[0]["r"] == _pytest.approx(0.2)
+    assert got[1]["r"] == _pytest.approx(0.2)
+
+    # three centroids: the worst NEIGHBOUR drives R — cell 0 vs the
+    # near cell (d=2) dominates vs the far one (d=10)
+    cents3 = [[0.0, 0.0], [2.0, 0.0], [10.0, 0.0]]
+    rows3 = [
+        (1, [0.5, 0.0]),   # cell 0, scatter .5
+        (2, [2.0, 0.0]),   # cell 1, scatter 0
+        (3, [10.0, 0.0]),  # cell 2, scatter 0
+    ]
+    df3 = spark.createDataFrame(
+        rows3, "vec_id int, embedding array<double>"
+    )
+    got3 = {r["cell"]: r for r in davies_bouldin(df3, cents3).collect()}
+    assert got3[0]["r"] == _pytest.approx((0.5 + 0.0) / 2.0)
+    # cell 2's worst neighbour: (0+0)/8 vs (0+.5)/10 -> 0.05
+    assert got3[2]["r"] == _pytest.approx(0.05)
+
+    with _pytest.raises(ValueError):
+        davies_bouldin(df, [[0.0, 0.0]])
+    with _pytest.raises(ValueError):
+        davies_bouldin(df, [[1.0, 0.0], [1.0, 0.0]])

@@ -1186,3 +1186,14 @@ def test_bh_fdr_hypotheses_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_davies_bouldin_cells_axis(spark):
+    # one zero-shuffle assignment scan + one per-cell partial
+    # aggregate; ratio joins run on the k-row cells axis (broadcast);
+    # no Python, no cartesian
+    plan = formatted_plan(spark, "emb_davies_bouldin_fixed")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
