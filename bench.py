@@ -340,6 +340,7 @@ HEADLINE = [
     "ab_power_mde",
     "pairwise_welch_bh_fdr",
     "emb_davies_bouldin_fixed",
+    "levene_doclen_by_lang",
 ]
 
 

@@ -2323,3 +2323,63 @@ def bh_adjust(
             F.lit(False),
         ).alias("significant_bh"),
     ).withColumn("m", F.col("m").cast("long"))
+
+
+def levene_brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for variance
+    homogeneity — the assumption check the :func:`anova_oneway` /
+    pooled-variance family needs: are the groups' SPREADS equal, asked
+    robustly (deviations from the group MEDIAN, so heavy tails don't
+    masquerade as unequal variances the way the mean-centered original
+    suffers).
+
+    W = the one-way ANOVA F computed on zᵢ = |xᵢ − median(group)|;
+    medians are the LOWER weighted median via cumulative counts over
+    the per-group distinct-value axis (pure integer comparisons — the
+    :func:`~..operators.timeseries.theil_sen_slope` convention, and
+    engine-stable where midpoint averaging is not).  Two corpus scans:
+    one (value, group) count reduction for the medians (broadcast back,
+    k rows), one ANOVA reduction over z — then everything downstream
+    follows :func:`anova_oneway`'s exact-decimal discipline verbatim
+    (it IS anova_oneway on the transformed column).  The distinct-value
+    caveat applies: quantize a truly continuous metric upstream.
+
+    Output: one row — ``(n bigint, k bigint, df1 bigint, df2 bigint,
+    w double, eta_squared double)``; NULL W for k < 2 or zero within-
+    spread.
+    """
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    vc = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("_g")
+    med = (
+        vc.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_tot", F.sum("_c").over(w_tot))
+        .filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_z")
+    )
+    out = anova_oneway(z, "_z", "_g")
+    return out.select(
+        "n",
+        "k",
+        "df1",
+        "df2",
+        F.col("f").alias("w"),
+        "eta_squared",
+    )

@@ -14046,6 +14046,71 @@ def emb_davies_bouldin_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return davies_bouldin(_t(spark, sf_dir, "embeddings"), cents)
 
 
+@_q(
+    "levene_doclen_by_lang",
+    """
+    WITH base AS (
+      SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    vc AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+    med AS (
+      SELECT g, min(v) AS med
+      FROM (
+        SELECT g, v,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY g) AS tot
+        FROM vc
+      ) WHERE 2 * cum >= tot GROUP BY 1
+    ),
+    z AS (
+      SELECT base.g AS gg, abs(base.v - med.med) AS zv
+      FROM base JOIN med ON base.g = med.g
+    ),
+    grp AS (
+      SELECT gg, count(*) AS n,
+             sum(CAST(zv AS DECIMAL(28,12))) AS s,
+             sum(CAST(zv * zv AS DECIMAL(28,12))) AS q
+      FROM z GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(n) AS nn, count(*) AS k, sum(s) AS ss, sum(q) AS qq,
+             sum(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                      AS DECIMAL(28,12))) AS sq_over_n
+      FROM grp
+    ),
+    calc AS (
+      SELECT nn, k,
+             sq_over_n::DOUBLE
+               - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb,
+             qq::DOUBLE - sq_over_n::DOUBLE AS ssw,
+             k >= 2 AND nn > k AS ok
+      FROM agg
+    )
+    SELECT nn::BIGINT AS n, k::BIGINT AS k,
+           (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2,
+           round(CASE WHEN ok AND ssw > 0
+                 THEN (ssb / (k::DOUBLE - 1))
+                      / (ssw / (nn::DOUBLE - k::DOUBLE)) END, 9) AS w,
+           round(CASE WHEN ok AND ssb + ssw != 0
+                 THEN ssb / (ssb + ssw) END, 9) AS eta_squared
+    FROM calc
+    """,
+)
+def levene_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test on document length
+    across languages (operators.evaluation.levene_brown_forsythe) — the
+    assumption check beside kw_doclen_by_lang / the pooled-variance
+    family: are the SPREADS equal, asked via robust median-centered
+    deviations (lower weighted median, integer comparisons)."""
+    from ..operators.evaluation import levene_brown_forsythe
+
+    docs = _t(spark, sf_dir, "documents")
+    return levene_brown_forsythe(docs, "n_chars", "lang")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

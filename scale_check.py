@@ -752,6 +752,9 @@ QUERY_CASES = [
     # round-8: zero-shuffle assignment scan -> per-cell aggregate;
     # ratio joins on the k-row cells axis
     "emb_davies_bouldin_fixed",
+    # round-8: (value, group) count reduction -> broadcast medians ->
+    # one ANOVA reduction over z
+    "levene_doclen_by_lang",
 ]
 
 

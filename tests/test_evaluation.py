@@ -1327,3 +1327,41 @@ def test_bh_adjust_hand_cases(spark):
     assert got["b"]["q_value"] is None
     assert not got["b"]["significant_bh"]
     assert got["b"]["rank_p"] is None
+
+
+def test_levene_brown_forsythe_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        levene_brown_forsythe,
+    )
+
+    # a = [1,2,3,4,100] (median 3 -> z = 2,1,0,1,97: huge spread),
+    # b = [10..14] (median 12 -> z = 2,1,0,1,2): W = ANOVA F on z
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]] + [
+        ("b", v) for v in [10.0, 11.0, 12.0, 13.0, 14.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = levene_brown_forsythe(df, "v", "g").collect()[0]
+    assert (got["n"], got["k"], got["df1"], got["df2"]) == (10, 2, 1, 8)
+    ssb = 5 * (20.2 - 10.7) ** 2 + 5 * (1.2 - 10.7) ** 2
+    ssw = (9415 - 5 * 20.2 ** 2) + (10 - 5 * 1.2 ** 2)
+    assert got["w"] == pytest.approx(ssb / (ssw / 8))
+
+    # identical spread patterns around different centers: SSB(z) = 0
+    same = spark.createDataFrame(
+        [("a", v) for v in [1.0, 2.0, 3.0]]
+        + [("b", v) for v in [101.0, 102.0, 103.0]],
+        "g string, v double",
+    )
+    assert levene_brown_forsythe(same, "v", "g").collect()[0][
+        "w"
+    ] == pytest.approx(0.0)
+
+    # even n uses the LOWER median: [1,2,3,4] -> med 2 -> z = 1,0,1,2
+    even = spark.createDataFrame(
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0]]
+        + [("b", v) for v in [5.0, 6.0, 7.0, 8.0]],
+        "g string, v double",
+    )
+    got = levene_brown_forsythe(even, "v", "g").collect()[0]
+    # both groups z = [1,0,1,2] -> identical -> W = 0
+    assert got["w"] == pytest.approx(0.0)

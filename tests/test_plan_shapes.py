@@ -1197,3 +1197,14 @@ def test_davies_bouldin_cells_axis(spark):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_levene_two_scans_broadcast_medians(spark):
+    # one (value, group) count reduction for the medians (broadcast
+    # back, k rows) + one ANOVA reduction over z; median windows on
+    # the distinct-value axis; no Python, no cartesian
+    plan = formatted_plan(spark, "levene_doclen_by_lang")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
