@@ -341,6 +341,7 @@ HEADLINE = [
     "pairwise_welch_bh_fdr",
     "emb_davies_bouldin_fixed",
     "levene_doclen_by_lang",
+    "ts_dominant_period",
 ]
 
 

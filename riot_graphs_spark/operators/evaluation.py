@@ -1917,12 +1917,26 @@ def anova_oneway(
     )
     nn = F.col("_nn").cast("double")
     k = F.col("_k").cast("double")
-    ssb = F.col("_sq_over_n").cast("double") - (
-        F.col("_ss").cast("double") * F.col("_ss").cast("double") / nn
+    # SSB/SSW are SMALL differences of HUGE sums: ROUND each operand to
+    # 6 dp in decimal FIRST (half-up on the exact decimal — F.round
+    # here, round() in DuckDB; a decimal->decimal CAST downscale
+    # TRUNCATES in DuckDB and double-casts of the big operands differ
+    # between engines in the last ulp — both were sf0.001 anova red
+    # rows), subtract exactly in decimal, cast to double once.  The
+    # per-row double->decimal quantization itself differs at 1e-12
+    # between engines, so operands agree only after the 6 dp cut.
+    grand6 = F.round(
+        (
+            F.col("_ss").cast("double")
+            * F.col("_ss").cast("double")
+            / nn
+        ).cast("decimal(28,12)"),
+        6,
     )
-    ssw = F.col("_qq").cast("double") - F.col("_sq_over_n").cast(
-        "double"
-    )
+    q6 = F.round(F.col("_qq"), 6)
+    sq6 = F.round(F.col("_sq_over_n"), 6)
+    ssb = (sq6 - grand6).cast("double")
+    ssw = (q6 - sq6).cast("double")
     ok = (F.col("_k") >= 2) & (nn > k)
     fstat = F.when(
         ok & (ssw > 0),

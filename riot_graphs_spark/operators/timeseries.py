@@ -2275,3 +2275,111 @@ def forecast_backtest(
     return metrics(F.col("_last"), "naive").unionByName(
         metrics(F.col("_lagp"), "seasonal_naive")
     )
+
+
+def dominant_period(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "hour",
+    max_period: int = 48,
+    top_k: int = 3,
+) -> DataFrame:
+    """Dominant-period detection per series — the periodogram scan that
+    tells :func:`seasonal_decompose` / Holt–Winters WHICH period to use
+    instead of assuming one (feeding period=24 to a weekly-cycled metric
+    silently halves the seasonal strength; this measures it):
+
+        power(p) = (Σᵢ dᵢ·cos(2πi/p))² + (Σᵢ dᵢ·sin(2πi/p))²
+
+    over mean-centered bucket values d at every candidate period
+    p ∈ [2, max_period], reporting the ``top_k`` strongest periods
+    with power normalized by n² (so a full-amplitude sinusoid scores
+    amplitude²/4 regardless of length).
+
+    The corpus reduces once to per-bucket means; the projection grid is
+    buckets × candidate periods — BUCKET-AXIS work (days/hours per
+    series × P, never fact-sized).  Per-term products quantize to
+    decimal(28,12) before the per-period sums (order-independence; the
+    trig calls follow the same cross-engine libm discipline as the
+    ln/exp queries), and the top-k rank orders by (rounded power desc,
+    period asc) so the pick is deterministic.
+
+    Output: ``(*dims, period bigint, power double, rank bigint)``,
+    ``top_k`` rows per series with ≥ 4 buckets.
+    """
+    if max_period < 2:
+        raise ValueError("need max_period >= 2")
+    gcols = list(dims)
+    dec6 = "decimal(28,6)"
+    dec12 = "decimal(28,12)"
+    tau = 6.283185307179586
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec6)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast(dec6)
+            .alias("_m")
+        )
+    )
+    w_all = Window.partitionBy(*gcols)
+    w_ord = Window.partitionBy(*gcols).orderBy("_b")
+    idx = buckets.select(
+        *gcols,
+        F.row_number().over(w_ord).alias("_i"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        (
+            F.col("_m").cast("double")
+            - F.sum("_m").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).alias("_d"),
+    ).filter(F.col("_n") >= 4)
+    grid = idx.select(
+        *gcols,
+        "_i",
+        "_n",
+        "_d",
+        F.explode(
+            F.sequence(F.lit(2), F.lit(max_period))
+        ).alias("_p"),
+    )
+    ang = (
+        F.lit(tau)
+        * F.col("_i").cast("double")
+        / F.col("_p").cast("double")
+    )
+    per = grid.groupBy(*gcols, "_p").agg(
+        F.sum((F.col("_d") * F.cos(ang)).cast(dec12)).alias("_c"),
+        F.sum((F.col("_d") * F.sin(ang)).cast(dec12)).alias("_s"),
+        F.max("_n").alias("_n"),
+    )
+    power = F.round(
+        (
+            F.col("_c").cast("double") * F.col("_c").cast("double")
+            + F.col("_s").cast("double") * F.col("_s").cast("double")
+        )
+        / (F.col("_n").cast("double") * F.col("_n").cast("double")),
+        9,
+    )
+    w_rank = Window.partitionBy(*gcols).orderBy(
+        power.desc(), F.col("_p").asc()
+    )
+    return (
+        per.withColumn("_pw", power)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            *gcols,
+            F.col("_p").cast("long").alias("period"),
+            F.col("_pw").alias("power"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -13409,9 +13409,12 @@ def welch_value_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     calc AS (
       SELECT nn, k,
-             sq_over_n::DOUBLE
-               - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb,
-             qq::DOUBLE - sq_over_n::DOUBLE AS ssw,
+             CAST(round(sq_over_n, 6)
+                  - round(CAST(ss::DOUBLE * ss::DOUBLE / nn::DOUBLE
+                               AS DECIMAL(28,12)), 6)
+                  AS DOUBLE) AS ssb,
+             CAST(round(qq, 6) - round(sq_over_n, 6) AS DOUBLE)
+               AS ssw,
              k >= 2 AND nn > k AS ok
       FROM agg
     )
@@ -14083,9 +14086,12 @@ def emb_davies_bouldin_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     calc AS (
       SELECT nn, k,
-             sq_over_n::DOUBLE
-               - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb,
-             qq::DOUBLE - sq_over_n::DOUBLE AS ssw,
+             CAST(round(sq_over_n, 6)
+                  - round(CAST(ss::DOUBLE * ss::DOUBLE / nn::DOUBLE
+                               AS DECIMAL(28,12)), 6)
+                  AS DOUBLE) AS ssb,
+             CAST(round(qq, 6) - round(sq_over_n, 6) AS DOUBLE)
+               AS ssw,
              k >= 2 AND nn > k AS ok
       FROM agg
     )
@@ -14109,6 +14115,72 @@ def levene_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return levene_brown_forsythe(docs, "n_chars", "lang")
+
+
+@_q(
+    "ts_dominant_period",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bk) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             m::DOUBLE
+               - (sum(m) OVER (PARTITION BY event_type))::DOUBLE
+                 / (count(*) OVER (PARTITION BY event_type))::DOUBLE
+               AS d
+      FROM b
+    ),
+    g AS (
+      SELECT event_type, i, n, d, unnest(range(2, 49)) AS p
+      FROM idx WHERE n >= 4
+    ),
+    per AS (
+      SELECT event_type, p,
+             sum(CAST(d * cos(6.283185307179586 * i::DOUBLE
+                              / p::DOUBLE) AS DECIMAL(28,12))) AS c,
+             sum(CAST(d * sin(6.283185307179586 * i::DOUBLE
+                              / p::DOUBLE) AS DECIMAL(28,12))) AS s,
+             max(n) AS n
+      FROM g GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT event_type, p,
+             round((c::DOUBLE * c::DOUBLE + s::DOUBLE * s::DOUBLE)
+                   / (n::DOUBLE * n::DOUBLE), 9) AS power
+      FROM per
+    )
+    SELECT event_type, p::BIGINT AS period, power, rank::BIGINT AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY power DESC, p ASC) AS rank
+      FROM pw
+    ) WHERE rank <= 3
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per event type over hourly buckets
+    (operators.timeseries.dominant_period, candidates 2..48, top 3) —
+    the periodogram scan that tells ts_seasonal_decompose /
+    Holt–Winters WHICH period to use instead of assuming 24.  One
+    corpus reduction; the projection grid is buckets × 47 candidates on
+    the bucket axis, per-term products decimal-quantized."""
+    from ..operators.timeseries import dominant_period
+
+    ev = _t(spark, sf_dir, "events")
+    return dominant_period(
+        ev, ts="ts", value="value", dims=["event_type"], unit="hour",
+        max_period=48, top_k=3,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -755,6 +755,9 @@ QUERY_CASES = [
     # round-8: (value, group) count reduction -> broadcast medians ->
     # one ANOVA reduction over z
     "levene_doclen_by_lang",
+    # round-8: hourly bucket reduction (linear) -> buckets x 47
+    # projection grid + rank window, all on the bucket axis
+    "ts_dominant_period",
 ]
 
 

@@ -1743,3 +1743,40 @@ def test_forecast_backtest_hand_cases(spark):
     # seasonal lag-3 defined only for the last test bucket (fc=1 on 4)
     ssn = got[("short", "seasonal_naive")]
     assert ssn["h"] == 1 and ssn["mae"] == _pytest.approx(3.0)
+
+
+def test_dominant_period_hand_cases(spark):
+    import math
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import dominant_period
+
+    rows = []
+    for i in range(48):
+        ts = f"2024-01-{i // 24 + 1:02d} {i % 24:02d}:00:00"
+        # unit cosine with period 8 (48 is a multiple -> orthogonal)
+        rows.append(
+            ("wave", ts, math.cos(2 * math.pi * (i + 1) / 8.0))
+        )
+        rows.append(("flat", ts, 5.0))
+    rows += [("short", "2024-01-01 00:00:00", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dominant_period(
+        df, dims=["event_type"], unit="hour", max_period=16, top_k=3
+    ).collect()
+    got = {(r["event_type"], r["rank"]): r for r in out}
+    # the period-8 sinusoid dominates with power ~ amplitude^2/4
+    top = got[("wave", 1)]
+    assert top["period"] == 8
+    assert top["power"] == _pytest.approx(0.25, abs=1e-6)
+    # non-integer-cycle candidates leak a little; the true period
+    # still dominates by a wide margin
+    assert got[("wave", 2)]["power"] < top["power"] / 5
+    # flat series: zero power everywhere, deterministic period-asc tie
+    assert got[("flat", 1)]["power"] == 0.0
+    assert [got[("flat", r)]["period"] for r in (1, 2, 3)] == [2, 3, 4]
+    # a <4-bucket series is absent
+    assert not any(k[0] == "short" for k in got)

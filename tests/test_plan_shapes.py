@@ -1208,3 +1208,12 @@ def test_levene_two_scans_broadcast_medians(spark):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dominant_period_bucket_axis(spark):
+    # facts reduce to hourly means BEFORE the buckets x 47-candidate
+    # projection grid and the rank window; no Python, no cartesian
+    plan = formatted_plan(spark, "ts_dominant_period")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
