@@ -342,6 +342,7 @@ HEADLINE = [
     "emb_davies_bouldin_fixed",
     "levene_doclen_by_lang",
     "ts_dominant_period",
+    "join_audit_lineitem_orders",
 ]
 
 

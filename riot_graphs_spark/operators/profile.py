@@ -1558,3 +1558,86 @@ def k_anonymity_report(
         ).alias("share_rows_below_k"),
         F.min("_n").cast("long").alias("min_combo_size"),
     )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join cardinality audit between two tables — the number every
+    fact⋈fact reconciliation should read BEFORE shuffling 100 TB: the
+    EXACT output row count (Σ over shared keys of cnt_l·cnt_r), the key
+    overlap on each side, and the worst single-key fanout (the row that
+    becomes the straggler task / the salting candidate).  A join whose
+    estimated output is 50× its inputs is a grain mistake caught here
+    for the price of two key-count aggregates instead of discovered as
+    a dead executor an hour in.
+
+    Each side reduces to per-key counts (one partial-aggregable groupBy
+    each — the KEY axis, not the fact axis); the audit joins those
+    count tables full-outer and aggregates to ONE row.  All counts are
+    exact int64 (products per shared key quantize... no — they ARE
+    int64; the output-rows sum rides decimal(38,0) so a pathological
+    hot-key × hot-key pair cannot overflow).
+
+    Output: one row — ``(n_left, n_right, keys_left, keys_right,
+    keys_shared, keys_left_only, keys_right_only, join_rows,
+    max_fanout_left, max_fanout_right, max_key_product)``, all bigint
+    (join_rows/max_key_product accumulate in decimal(38,0) and cast
+    down at the end).
+    """
+    lc = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cl"))
+    )
+    rc = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    both = lc.join(rc, "_k", "full_outer")
+    shared = F.col("_cl").isNotNull() & F.col("_cr").isNotNull()
+    return both.agg(
+        F.coalesce(F.sum("_cl"), F.lit(0)).cast("long").alias("n_left"),
+        F.coalesce(F.sum("_cr"), F.lit(0)).cast("long").alias(
+            "n_right"
+        ),
+        F.count("_cl").cast("long").alias("keys_left"),
+        F.count("_cr").cast("long").alias("keys_right"),
+        F.sum(F.when(shared, 1).otherwise(0)).cast("long").alias(
+            "keys_shared"
+        ),
+        F.sum(
+            F.when(F.col("_cr").isNull(), 1).otherwise(0)
+        ).cast("long").alias("keys_left_only"),
+        F.sum(
+            F.when(F.col("_cl").isNull(), 1).otherwise(0)
+        ).cast("long").alias("keys_right_only"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    shared,
+                    F.col("_cl").cast("decimal(38,0)") * F.col("_cr"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("long").alias("join_rows"),
+        F.coalesce(F.max("_cl"), F.lit(0)).cast("long").alias(
+            "max_fanout_left"
+        ),
+        F.coalesce(F.max("_cr"), F.lit(0)).cast("long").alias(
+            "max_fanout_right"
+        ),
+        F.coalesce(
+            F.max(
+                F.when(
+                    shared,
+                    F.col("_cl").cast("decimal(38,0)") * F.col("_cr"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("long").alias("max_key_product"),
+    )

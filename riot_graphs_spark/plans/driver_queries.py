@@ -14183,6 +14183,53 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "join_audit_lineitem_orders",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ),
+    rc AS (
+      SELECT o_orderkey AS k, count(*) AS cr FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY 1
+    ),
+    merged AS (SELECT * FROM lc FULL OUTER JOIN rc USING (k))
+    SELECT coalesce(sum(cl), 0)::BIGINT AS n_left,
+           coalesce(sum(cr), 0)::BIGINT AS n_right,
+           count(cl)::BIGINT AS keys_left,
+           count(cr)::BIGINT AS keys_right,
+           sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+               THEN 1 ELSE 0 END)::BIGINT AS keys_shared,
+           sum(CASE WHEN cr IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS keys_left_only,
+           sum(CASE WHEN cl IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS keys_right_only,
+           coalesce(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+               THEN cl * cr END), 0)::BIGINT AS join_rows,
+           coalesce(max(cl), 0)::BIGINT AS max_fanout_left,
+           coalesce(max(cr), 0)::BIGINT AS max_fanout_right,
+           coalesce(max(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+               THEN cl * cr END), 0)::BIGINT AS max_key_product
+    FROM merged
+    """,
+)
+def join_audit_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit of the flagship fact⋈fact pair
+    (operators.profile.join_cardinality_audit on lineitem.l_orderkey ×
+    orders.o_orderkey) — exact output rows, key overlap per side, and
+    the worst single-key fanout (the straggler/salting candidate),
+    priced at two key-count aggregates instead of the shuffle itself."""
+    from ..operators.profile import join_cardinality_audit
+
+    return join_cardinality_audit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -758,6 +758,9 @@ QUERY_CASES = [
     # round-8: hourly bucket reduction (linear) -> buckets x 47
     # projection grid + rank window, all on the bucket axis
     "ts_dominant_period",
+    # round-8: two per-key count reductions -> full-outer combine on
+    # the key axis -> one row
+    "join_audit_lineitem_orders",
 ]
 
 

@@ -1780,3 +1780,36 @@ def test_dominant_period_hand_cases(spark):
     assert [got[("flat", r)]["period"] for r in (1, 2, 3)] == [2, 3, 4]
     # a <4-bucket series is absent
     assert not any(k[0] == "short" for k in got)
+
+
+def test_join_cardinality_audit_hand_case(spark):
+    from riot_graphs_spark.operators.profile import (
+        join_cardinality_audit,
+    )
+
+    # left keys: a x3, b x1, c x2 (+ null dropped); right: b x2, c x2,
+    # d x4 -> shared {b, c}: join rows = 1*2 + 2*2 = 6,
+    # max key product = 4 (c), worst fanouts 3 (a, left) / 4 (d, right)
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), ("c",), (None,)],
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("b",), ("b",), ("c",), ("c",), ("d",), ("d",), ("d",), ("d",)],
+        "k string",
+    )
+    got = join_cardinality_audit(left, right, "k", "k").collect()[0]
+    assert (got["n_left"], got["n_right"]) == (6, 8)
+    assert (got["keys_left"], got["keys_right"]) == (3, 3)
+    assert got["keys_shared"] == 2
+    assert (got["keys_left_only"], got["keys_right_only"]) == (1, 1)
+    assert got["join_rows"] == 6
+    assert got["max_fanout_left"] == 3
+    assert got["max_fanout_right"] == 4
+    assert got["max_key_product"] == 4
+
+    # disjoint keys: zero join rows, zero shared, nothing crashes
+    r2 = spark.createDataFrame([("z",)], "k string")
+    got = join_cardinality_audit(left, r2, "k", "k").collect()[0]
+    assert got["join_rows"] == 0 and got["keys_shared"] == 0
+    assert got["max_key_product"] == 0

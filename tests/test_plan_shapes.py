@@ -1217,3 +1217,13 @@ def test_dominant_period_bucket_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_audit_key_axis(spark):
+    # each side reduces to per-key counts (partial-aggregable) BEFORE
+    # the full-outer combine on the key axis; one row out; no Python
+    plan = formatted_plan(spark, "join_audit_lineitem_orders")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
