@@ -343,6 +343,7 @@ HEADLINE = [
     "levene_doclen_by_lang",
     "ts_dominant_period",
     "join_audit_lineitem_orders",
+    "ts_rolling_corr_click_view",
 ]
 
 

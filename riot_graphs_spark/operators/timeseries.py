@@ -2383,3 +2383,106 @@ def dominant_period(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    series_col: str = "event_type",
+    series_a: str = "",
+    series_b: str = "",
+    unit: str = "day",
+    window: int = 7,
+) -> DataFrame:
+    """Rolling Pearson correlation between two series — the
+    time-resolved companion to :func:`cross_correlation`'s one global
+    number: two metrics that track each other all quarter and decouple
+    last Tuesday have a global CCF near 1 and a STORY at the rolling
+    dip (the incident window a dashboard wants to show).
+
+    Both series reduce to per-bucket decimal means in ONE pivoted
+    groupBy; buckets where both exist enter trailing-``window`` rolling
+    sums (n, Σx, Σy, Σxy, Σx², Σy²), and
+
+        r_t = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+
+    over full windows only.  Determinism: per-term products quantize to
+    decimal(28,12) before the rolling sums (exact), each rolling sum is
+    ``round(·, 6)``-ed in decimal (half-up in BOTH engines — a
+    decimal→decimal cast downscale truncates in DuckDB) and converts to
+    double exactly (unscaled < 2⁵³); all further arithmetic is IEEE
+    double over identical inputs, hence engine-identical.  The rolling
+    windows run ordered on the single merged bucket axis —
+    days-per-span sized, never fact-sized.
+
+    Output: ``(bucket timestamp, n_window bigint, corr double)`` for
+    every full window; zero-variance windows carry NULL corr.
+    """
+    if not series_a or not series_b or series_a == series_b:
+        raise ValueError("need two distinct series names")
+    if window < 2:
+        raise ValueError("need window >= 2")
+    dec6 = "decimal(28,6)"
+    dec12 = "decimal(28,12)"
+    keep = (
+        F.col(ts).isNotNull()
+        & F.col(value).isNotNull()
+        & F.col(series_col).isin(series_a, series_b)
+    )
+    mean = (
+        F.sum(F.col(value).cast(dec6)).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    ).cast(dec6)
+    piv = (
+        df.filter(keep)
+        .groupBy(
+            F.date_trunc(unit, F.col(ts)).alias("_b"),
+            F.col(series_col).alias("_s"),
+        )
+        .agg(mean.alias("_m"))
+        .groupBy("_b")
+        .agg(
+            F.max(F.when(F.col("_s") == series_a, F.col("_m"))).alias(
+                "_x"
+            ),
+            F.max(F.when(F.col("_s") == series_b, F.col("_m"))).alias(
+                "_y"
+            ),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    )
+    w = (
+        Window.orderBy("_b")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    xd = F.col("_x").cast("double")
+    yd = F.col("_y").cast("double")
+    rolled = piv.select(
+        "_b",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.round(F.sum(F.col("_x")).over(w), 6).alias("_sx"),
+        F.round(F.sum(F.col("_y")).over(w), 6).alias("_sy"),
+        F.round(
+            F.sum((xd * yd).cast(dec12)).over(w), 6
+        ).alias("_sxy"),
+        F.round(
+            F.sum((xd * xd).cast(dec12)).over(w), 6
+        ).alias("_sxx"),
+        F.round(
+            F.sum((yd * yd).cast(dec12)).over(w), 6
+        ).alias("_syy"),
+    ).filter(F.col("_n") == window)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = n * F.col("_sxy").cast("double") - sx * sy
+    dx = n * F.col("_sxx").cast("double") - sx * sx
+    dy = n * F.col("_syy").cast("double") - sy * sy
+    return rolled.select(
+        F.col("_b").alias("bucket"),
+        F.col("_n").cast("long").alias("n_window"),
+        F.round(
+            F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 9
+        ).alias("corr"),
+    )

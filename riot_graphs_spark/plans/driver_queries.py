@@ -14230,6 +14230,69 @@ def join_audit_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_rolling_corr_click_view",
+    """
+    WITH piv AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             max(CASE WHEN event_type = 'click' THEN m END) AS x,
+             max(CASE WHEN event_type = 'view' THEN m END) AS y
+      FROM (
+        SELECT event_type, date_trunc('day', ts) AS ts,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*) AS DECIMAL(28,6)) AS m
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('click', 'view')
+        GROUP BY 1, 2
+      )
+      GROUP BY 1
+    ),
+    j AS (SELECT * FROM piv WHERE x IS NOT NULL AND y IS NOT NULL),
+    rolled AS (
+      SELECT bk,
+             count(*) OVER w AS n,
+             round(sum(x) OVER w, 6) AS sx,
+             round(sum(y) OVER w, 6) AS sy,
+             round(sum(CAST(x::DOUBLE * y::DOUBLE AS DECIMAL(28,12)))
+                   OVER w, 6) AS sxy,
+             round(sum(CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(28,12)))
+                   OVER w, 6) AS sxx,
+             round(sum(CAST(y::DOUBLE * y::DOUBLE AS DECIMAL(28,12)))
+                   OVER w, 6) AS syy
+      FROM j
+      WINDOW w AS (ORDER BY bk ROWS BETWEEN 6 PRECEDING
+                   AND CURRENT ROW)
+    ),
+    calc AS (
+      SELECT bk, n,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy
+      FROM rolled WHERE n = 7
+    )
+    SELECT bk AS bucket, n::BIGINT AS n_window,
+           round(CASE WHEN dx > 0 AND dy > 0
+                 THEN num / sqrt(dx * dy) END, 9) AS corr
+    FROM calc
+    """,
+)
+def ts_rolling_corr_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the click and view
+    daily mean-value series (operators.timeseries.rolling_correlation)
+    — the time-resolved companion to ts_cross_correlation's one global
+    number: shows WHEN two coupled metrics decoupled.  One pivoted
+    bucket reduction; rolling sums on the merged bucket axis,
+    round-6 decimal cuts before the double arithmetic."""
+    from ..operators.timeseries import rolling_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_correlation(
+        ev, ts="ts", value="value", series_col="event_type",
+        series_a="click", series_b="view", unit="day", window=7,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

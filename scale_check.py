@@ -761,6 +761,9 @@ QUERY_CASES = [
     # round-8: two per-key count reductions -> full-outer combine on
     # the key axis -> one row
     "join_audit_lineitem_orders",
+    # round-8: pivoted bucket reduction (linear) -> rolling sums on
+    # the merged day axis
+    "ts_rolling_corr_click_view",
 ]
 
 

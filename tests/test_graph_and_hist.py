@@ -1813,3 +1813,46 @@ def test_join_cardinality_audit_hand_case(spark):
     got = join_cardinality_audit(left, r2, "k", "k").collect()[0]
     assert got["join_rows"] == 0 and got["keys_shared"] == 0
     assert got["max_key_product"] == 0
+
+
+def test_rolling_correlation_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import (
+        rolling_correlation,
+    )
+
+    rows = []
+    for i in range(1, 11):
+        ts = f"2024-01-{i:02d} 00:00:00"
+        rows.append(("a", ts, float(i)))
+        rows.append(("b", ts, 2.0 * i + 3))          # corr +1
+        rows.append(("c", ts, float(-i)))            # corr -1 vs a
+        rows.append(("d", ts, 7.0))                  # flat -> NULL
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    up = rolling_correlation(
+        df, series_col="event_type", series_a="a", series_b="b",
+        unit="day", window=4,
+    ).collect()
+    # 10 buckets, window 4 -> 7 full windows, all perfectly correlated
+    assert len(up) == 7
+    assert all(r["n_window"] == 4 for r in up)
+    assert all(r["corr"] == _pytest.approx(1.0) for r in up)
+
+    down = rolling_correlation(
+        df, series_col="event_type", series_a="a", series_b="c",
+        unit="day", window=4,
+    ).collect()
+    assert all(r["corr"] == _pytest.approx(-1.0) for r in down)
+
+    flat = rolling_correlation(
+        df, series_col="event_type", series_a="a", series_b="d",
+        unit="day", window=4,
+    ).collect()
+    assert all(r["corr"] is None for r in flat)
+
+    with _pytest.raises(ValueError):
+        rolling_correlation(df, series_a="a", series_b="a")

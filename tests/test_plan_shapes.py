@@ -1227,3 +1227,12 @@ def test_join_audit_key_axis(spark):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_bucket_axis(spark):
+    # facts reduce in one pivoted bucket groupBy; the rolling-sum
+    # window runs on the merged day axis only; no Python, no cartesian
+    plan = formatted_plan(spark, "ts_rolling_corr_click_view")
+    assert re.search(r"partial_(sum|count|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
