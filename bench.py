@@ -344,6 +344,7 @@ HEADLINE = [
     "ts_dominant_period",
     "join_audit_lineitem_orders",
     "ts_rolling_corr_click_view",
+    "trend_conversion_by_activity",
 ]
 
 

@@ -2397,3 +2397,79 @@ def levene_brown_forsythe(
         F.col("f").alias("w"),
         "eta_squared",
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    flag_col: str,
+    score_col: str,
+    z_crit: float = Z95,
+) -> DataFrame:
+    """Cochran–Armitage test for TREND in proportions across ordered
+    dose levels — the question k-level rate tables actually pose that
+    a chi-square omnibus wastes power on: "does conversion RISE with
+    activity/quality/exposure", one directed degree of freedom instead
+    of k−1 undirected ones.
+
+    With integer scores wᵢ, per-level (nᵢ, rᵢ), N = Σn, R = Σr:
+
+        T   = Σ wᵢ rᵢ − (R/N)·Σ wᵢ nᵢ
+        Var = (R/N)(1−R/N)·[Σ wᵢ²nᵢ − (Σ wᵢnᵢ)²/N]
+        z   = T / √Var    (computed as N-scaled integer combinations)
+
+    One unit-level (score) groupBy reduces to k rows; the five moment
+    sums are exact int64 (they convert to double exactly at < 2⁵³ —
+    the only subsequent arithmetic is IEEE double over identical
+    inputs, engine-identical).  Direction is the sign of z: positive =
+    rates rise with the score.
+
+    Output: one row — ``(n bigint, n_pos bigint, k_levels bigint,
+    z double, direction string ∈ {'increasing','decreasing','none'},
+    significant boolean)``; NULL z for a single level, an all-equal
+    outcome, or zero variance.
+    """
+    flag = F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0)
+    keep = F.col(flag_col).isNotNull() & F.col(score_col).isNotNull()
+    levels = (
+        df.filter(keep)
+        .select(
+            F.col(score_col).cast("long").alias("_w"),
+            flag.alias("_y"),
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_r"))
+    )
+    agg = levels.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum("_r").alias("_rr"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_w") * F.col("_n")).alias("_swn"),
+        F.sum(F.col("_w") * F.col("_r")).alias("_swr"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_n")).alias("_sw2n"),
+    )
+    nd = F.col("_nn").cast("double")
+    rd = F.col("_rr").cast("double")
+    t = nd * F.col("_swr").cast("double") - rd * F.col("_swn").cast(
+        "double"
+    )
+    b = nd * F.col("_sw2n").cast("double") - F.col("_swn").cast(
+        "double"
+    ) * F.col("_swn").cast("double")
+    a = rd * (nd - rd)
+    z = F.when(
+        (F.col("_k") >= 2) & (a > 0) & (b > 0),
+        t * F.sqrt(nd) / F.sqrt(a * b),
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_rr").cast("long").alias("n_pos"),
+        F.col("_k").cast("long").alias("k_levels"),
+        F.round(z, 9).alias("z"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+        F.coalesce(
+            F.abs(z) > F.lit(z_crit), F.lit(False)
+        ).alias("significant"),
+    )

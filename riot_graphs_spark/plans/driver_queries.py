@@ -14293,6 +14293,79 @@ def ts_rolling_corr_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "trend_conversion_by_activity",
+    """
+    WITH u0 AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y,
+             count(*) AS ne
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    u AS (
+      SELECT y, ntile(5) OVER (ORDER BY ne, user_id) AS w FROM u0
+    ),
+    lv AS (
+      SELECT w, count(*) AS n, sum(y) AS r FROM u GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(n) AS nn, sum(r) AS rr, count(*) AS k,
+             sum(w * n) AS swn, sum(w * r) AS swr,
+             sum(w * w * n) AS sw2n
+      FROM lv
+    ),
+    calc AS (
+      SELECT nn, rr, k,
+             nn::DOUBLE * swr::DOUBLE - rr::DOUBLE * swn::DOUBLE AS t,
+             rr::DOUBLE * (nn::DOUBLE - rr::DOUBLE) AS a,
+             nn::DOUBLE * sw2n::DOUBLE
+               - swn::DOUBLE * swn::DOUBLE AS b
+      FROM agg
+    ),
+    zz AS (
+      SELECT *,
+             CASE WHEN k >= 2 AND a > 0 AND b > 0
+                  THEN t * sqrt(nn::DOUBLE) / sqrt(a * b) END AS z
+      FROM calc
+    )
+    SELECT nn::BIGINT AS n, rr::BIGINT AS n_pos, k::BIGINT AS k_levels,
+           round(z, 9) AS z,
+           CASE WHEN z > 1.959963984540054 THEN 'increasing'
+                WHEN z < -1.959963984540054 THEN 'decreasing'
+                ELSE 'none' END AS direction,
+           coalesce(abs(z) > 1.959963984540054, false) AS significant
+    FROM zz
+    """,
+)
+def trend_conversion_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does purchase conversion RISE with
+    user activity quintile (operators.evaluation.cochran_armitage_trend
+    over ntile(5) activity scores) — one directed degree of freedom
+    where a chi-square omnibus wastes k−1; the dose-response readout of
+    the engagement funnel."""
+    from ..operators.evaluation import cochran_armitage_trend
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    scored = users.select(
+        "converted",
+        F.ntile(5)
+        .over(Window.orderBy("ne", "user_id"))
+        .alias("quintile"),
+    )
+    return cochran_armitage_trend(scored, "converted", "quintile")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

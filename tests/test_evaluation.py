@@ -1365,3 +1365,46 @@ def test_levene_brown_forsythe_hand_cases(spark):
     got = levene_brown_forsythe(even, "v", "g").collect()[0]
     # both groups z = [1,0,1,2] -> identical -> W = 0
     assert got["w"] == pytest.approx(0.0)
+
+
+def test_cochran_armitage_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import (
+        cochran_armitage_trend,
+    )
+
+    def mk(rates):
+        rows = []
+        for w, r in rates:
+            rows += [(w, 1)] * r + [(w, 0)] * (10 - r)
+        return spark.createDataFrame(rows, "w int, y int")
+
+    # rising rates 1/10, 5/10, 9/10 over scores 1..3:
+    # T=8, Var=5 -> z = 8/sqrt(5)
+    got = cochran_armitage_trend(
+        mk([(1, 1), (2, 5), (3, 9)]), "y", "w"
+    ).collect()[0]
+    assert (got["n"], got["n_pos"], got["k_levels"]) == (30, 15, 3)
+    assert got["z"] == pytest.approx(8 / 5 ** 0.5)
+    assert got["direction"] == "increasing" and got["significant"]
+
+    down = cochran_armitage_trend(
+        mk([(1, 9), (2, 5), (3, 1)]), "y", "w"
+    ).collect()[0]
+    assert down["z"] == pytest.approx(-(8 / 5 ** 0.5))
+    assert down["direction"] == "decreasing"
+
+    flat = cochran_armitage_trend(
+        mk([(1, 5), (2, 5), (3, 5)]), "y", "w"
+    ).collect()[0]
+    assert flat["z"] == 0.0 and flat["direction"] == "none"
+    assert not flat["significant"]
+
+    # all-positive outcome: a = R(N-R) = 0 -> NULL z, not a crash
+    allpos = cochran_armitage_trend(
+        mk([(1, 10), (2, 10)]), "y", "w"
+    ).collect()[0]
+    assert allpos["z"] is None and allpos["direction"] == "none"
+
+    # single level: no trend axis
+    one = cochran_armitage_trend(mk([(1, 5)]), "y", "w").collect()[0]
+    assert one["z"] is None and one["k_levels"] == 1

@@ -1236,3 +1236,12 @@ def test_rolling_corr_bucket_axis(spark):
     assert re.search(r"partial_(sum|count|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cochran_armitage_user_axis(spark):
+    # events pre-aggregate per user; the quintile window and the
+    # 5-level moment sums run on the users/levels axes; no Python
+    plan = formatted_plan(spark, "trend_conversion_by_activity")
+    assert re.search(r"partial_(sum|count|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
