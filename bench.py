@@ -345,6 +345,7 @@ HEADLINE = [
     "join_audit_lineitem_orders",
     "ts_rolling_corr_click_view",
     "trend_conversion_by_activity",
+    "logrank_churn_by_parity",
 ]
 
 

@@ -242,3 +242,150 @@ def km_survival(
         "n_censored",
         survival.alias("survival"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Log-rank test between two survival curves — the significance
+    verdict :func:`km_survival` can't give: two retention curves that
+    LOOK apart need "is the churn hazard actually different between
+    the arms", censoring respected (a t-test on durations treats a
+    censored user as churned — the classic survival mistake).
+
+    At each distinct event time t with d_t ≥ 1 total events, arm a's
+    observed events d_at compare against the hypergeometric
+    expectation under equal hazards:
+
+        E_at = d_t·n_at/n_t
+        V_t  = d_t·(n_at/n_t)(1−n_at/n_t)(n_t−d_t)/(n_t−1)
+        Z    = (Σd_at − ΣE_at) / √(ΣV_t)
+
+    One unit-level (duration, group) reduction; at-risk counts are
+    suffix sums on the per-arm TIME axis (distinct durations, never
+    unit-sized); per-time E/V terms quantize to decimal(28,12) before
+    the sums, so the statistic is engine-identical.  Exactly two arms
+    (ascending; arm a is the tested one) — any other count NULLs the
+    verdict.  Z < 0 means arm a churns LESS than expected (better
+    retention).
+
+    Output: one row — ``(group_a string, group_b string, n_a bigint,
+    n_b bigint, events_a bigint, events_b bigint, expected_a double,
+    z double, significant boolean)``.
+    """
+    from pyspark.sql import Window
+
+    keep = (
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(duration_col).cast("long").alias("_t"),
+        F.when(F.col(event_col).cast("boolean"), 1)
+        .otherwise(0)
+        .alias("_e"),
+    )
+    arms = (
+        base.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_e").alias("_ev"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        .withColumn(
+            "_narms", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    )
+    per_tg = (
+        base.join(F.broadcast(arms.select("_g", "_rk")), "_g")
+        .groupBy("_t", "_rk")
+        .agg(F.sum("_e").alias("_d"), F.count(F.lit(1)).alias("_c"))
+    )
+    # full (distinct time x arm) grid: an arm with no unit at time t
+    # still has an at-risk count there — suffix sums over a sparse
+    # per-arm axis would silently drop it from n_t
+    grid = (
+        per_tg.select("_t")
+        .distinct()
+        .crossJoin(F.broadcast(arms.select("_rk")))
+    )
+    per_tg = grid.join(per_tg, ["_t", "_rk"], "left").select(
+        "_t",
+        "_rk",
+        F.coalesce("_d", F.lit(0)).alias("_d"),
+        F.coalesce("_c", F.lit(0)).alias("_c"),
+    )
+    w_before = (
+        Window.partitionBy("_rk")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    w_arm = Window.partitionBy("_rk")
+    risky = per_tg.select(
+        "_t",
+        "_rk",
+        "_d",
+        (
+            F.sum("_c").over(w_arm)
+            - F.coalesce(F.sum("_c").over(w_before), F.lit(0))
+        ).alias("_nat"),
+    )
+    per_t = risky.groupBy("_t").agg(
+        F.sum(F.when(F.col("_rk") == 1, F.col("_d")).otherwise(0))
+        .alias("_d1"),
+        F.sum("_d").alias("_dt"),
+        F.sum(F.when(F.col("_rk") == 1, F.col("_nat")).otherwise(0))
+        .alias("_n1"),
+        F.sum("_nat").alias("_nt"),
+    ).filter(F.col("_dt") >= 1)
+    p1 = F.col("_n1").cast("double") / F.col("_nt").cast("double")
+    dt = F.col("_dt").cast("double")
+    nt = F.col("_nt").cast("double")
+    e1 = (dt * p1).cast("decimal(28,12)")
+    v = F.when(
+        F.col("_nt") > 1,
+        (dt * p1 * (1 - p1) * (nt - dt) / (nt - 1)).cast(
+            "decimal(28,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    sums = per_t.agg(
+        F.sum("_d1").alias("_o1"),
+        F.sum(e1).alias("_e1"),
+        F.sum(v).alias("_v"),
+    )
+    ga = arms.filter(F.col("_rk") == 1).select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_ev").alias("events_a"),
+        "_narms",
+    )
+    gb = arms.filter(F.col("_rk") == 2).select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_ev").alias("events_b"),
+    )
+    out = ga.crossJoin(F.broadcast(gb)).crossJoin(F.broadcast(sums))
+    two = F.col("_narms") == 2
+    z = F.when(
+        two & (F.col("_v").cast("double") > 0),
+        (F.col("_o1").cast("double") - F.col("_e1").cast("double"))
+        / F.sqrt(F.col("_v").cast("double")),
+    )
+    return out.select(
+        F.when(two, F.col("group_a")).alias("group_a"),
+        F.when(two, F.col("group_b")).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("events_a").cast("long").alias("events_a"),
+        F.col("events_b").cast("long").alias("events_b"),
+        F.round(
+            F.when(two, F.col("_e1").cast("double")), 9
+        ).alias("expected_a"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(z_crit), F.lit(False)
+        ).alias("significant"),
+    )

@@ -14366,6 +14366,140 @@ def trend_conversion_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_armitage_trend(scored, "converted", "quintile")
 
 
+@_q(
+    "logrank_churn_by_parity",
+    """
+    WITH per_u AS (
+      SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN date_diff('day', min(ts)::DATE,
+                         min(ts) FILTER (WHERE event_type = 'error'
+                           AND event_id % 5 = 0)::DATE)
+                  ELSE date_diff('day', min(ts)::DATE,
+                         (SELECT max(ts)::DATE FROM events)) END AS t,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN 1 ELSE 0 END AS e
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    arms AS (
+      SELECT g, n, ev,
+             row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (SELECT g, count(*) AS n, sum(e) AS ev FROM per_u
+            GROUP BY 1)
+    ),
+    ptg AS (
+      SELECT t, g, sum(e) AS d, count(*) AS c FROM per_u GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT ts.t, a.g, a.rk
+      FROM (SELECT DISTINCT t FROM ptg) ts CROSS JOIN arms a
+    ),
+    filled AS (
+      SELECT grid.t, grid.rk,
+             coalesce(ptg.d, 0) AS d, coalesce(ptg.c, 0) AS c
+      FROM grid LEFT JOIN ptg
+        ON grid.t = ptg.t AND grid.g = ptg.g
+    ),
+    risky AS (
+      SELECT t, rk, d,
+             sum(c) OVER (PARTITION BY rk)
+               - coalesce(sum(c) OVER (PARTITION BY rk ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS nat
+      FROM filled
+    ),
+    per_t AS (
+      SELECT t,
+             sum(CASE WHEN rk = 1 THEN d ELSE 0 END) AS d1,
+             sum(d) AS dt,
+             sum(CASE WHEN rk = 1 THEN nat ELSE 0 END) AS n1,
+             sum(nat) AS nt
+      FROM risky GROUP BY 1 HAVING sum(d) >= 1
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(dt::DOUBLE * (n1::DOUBLE / nt::DOUBLE)
+                  AS DECIMAL(28,12)) AS e1,
+             CASE WHEN nt > 1 THEN
+               CAST(dt::DOUBLE * (n1::DOUBLE / nt::DOUBLE)
+                    * (1 - n1::DOUBLE / nt::DOUBLE)
+                    * (nt::DOUBLE - dt::DOUBLE) / (nt::DOUBLE - 1)
+                    AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END AS v
+      FROM per_t
+    ),
+    sums AS (
+      SELECT sum(d1) AS o1, sum(e1) AS e1, sum(v) AS v FROM terms
+    ),
+    wide AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             a.ev AS events_a, b.ev AS events_b, a.narms,
+             sums.o1, sums.e1, sums.v
+      FROM (SELECT * FROM arms WHERE rk = 1) a
+      CROSS JOIN (SELECT * FROM arms WHERE rk = 2) b
+      CROSS JOIN sums
+    )
+    SELECT CASE WHEN narms = 2 THEN group_a END AS group_a,
+           CASE WHEN narms = 2 THEN group_b END AS group_b,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           events_a::BIGINT AS events_a, events_b::BIGINT AS events_b,
+           round(CASE WHEN narms = 2 THEN e1::DOUBLE END, 9)
+             AS expected_a,
+           round(CASE WHEN narms = 2 AND v::DOUBLE > 0
+                 THEN (o1::DOUBLE - e1::DOUBLE) / sqrt(v::DOUBLE)
+                 END, 9) AS z,
+           coalesce(abs(CASE WHEN narms = 2 AND v::DOUBLE > 0
+                        THEN (o1::DOUBLE - e1::DOUBLE)
+                             / sqrt(v::DOUBLE) END)
+                    > 1.959963984540054, false) AS significant
+    FROM wide
+    """,
+)
+def logrank_churn_by_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two user-parity arms' churn curves
+    (operators.funnel.logrank_test over the same churn definition as
+    retention_km_curve: first error event with event_id%5=0, censored
+    at the corpus horizon) — the significance verdict two KM curves
+    can't give, censoring respected.  Unit-level reduction; at-risk
+    suffix sums on the full (time × arm) grid."""
+    from ..operators.funnel import logrank_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("arm"),
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("h", "_first"))
+            .alias("duration"),
+            F.when(F.col("_churn").isNotNull(), 1)
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    return logrank_test(per_u, "duration", "churned", "arm")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

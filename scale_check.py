@@ -764,6 +764,9 @@ QUERY_CASES = [
     # round-8: pivoted bucket reduction (linear) -> rolling sums on
     # the merged day axis
     "ts_rolling_corr_click_view",
+    # round-8: per-user reduction (linear) -> (time x arm) grid
+    # suffix sums on the distinct-duration axis
+    "logrank_churn_by_parity",
 ]
 
 

@@ -1856,3 +1856,35 @@ def test_rolling_correlation_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         rolling_correlation(df, series_a="a", series_b="a")
+
+
+def test_logrank_test_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.funnel import logrank_test
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, t int, e int")
+        return logrank_test(df, "t", "e", "g").collect()[0]
+
+    # a churns at 1,2; b churns at 3,4:
+    # E1 = .5 + 1/3, V = .25 + 2/9 -> z = 7/sqrt(17)
+    got = run([("a", 1, 1), ("a", 2, 1), ("b", 3, 1), ("b", 4, 1)])
+    assert (got["n_a"], got["n_b"]) == (2, 2)
+    assert (got["events_a"], got["events_b"]) == (2, 2)
+    assert got["expected_a"] == _pytest.approx(5 / 6)
+    assert got["z"] == _pytest.approx(7 / 17 ** 0.5)
+    assert not got["significant"]
+
+    # censoring respected: the censored-at-5 users stay at risk
+    cen = run([("a", 1, 1), ("a", 5, 0), ("b", 2, 1), ("b", 5, 0)])
+    assert (cen["events_a"], cen["events_b"]) == (1, 1)
+    assert cen["z"] == _pytest.approx(1 / 17 ** 0.5)
+
+    # identical curves: O = E exactly -> z = 0
+    same = run([("a", 1, 1), ("a", 2, 1), ("b", 1, 1), ("b", 2, 1)])
+    assert same["z"] == _pytest.approx(0.0)
+
+    # a third arm NULLs the verdict
+    three = run([("a", 1, 1), ("b", 2, 1), ("c", 3, 1)])
+    assert three["group_a"] is None and three["z"] is None

@@ -1245,3 +1245,14 @@ def test_cochran_armitage_user_axis(spark):
     assert re.search(r"partial_(sum|count|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_logrank_time_axis(spark):
+    # events reduce per user, then per (duration, arm); at-risk suffix
+    # sums run on the (time x arm) grid — distinct durations, never
+    # unit-sized; no Python, no cartesian over data (the grid cross
+    # join is a broadcast of the 2-row arms table)
+    plan = formatted_plan(spark, "logrank_churn_by_parity")
+    assert re.search(r"partial_(sum|count|min|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
