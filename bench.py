@@ -346,6 +346,7 @@ HEADLINE = [
     "ts_rolling_corr_click_view",
     "trend_conversion_by_activity",
     "logrank_churn_by_parity",
+    "vocab_heaps_fit",
 ]
 
 

@@ -1079,3 +1079,92 @@ def zipf_fit(
             F.when(ok & (dy > 0), cov * cov / (dx * dy)), 9
         ).alias("r_squared"),
     )
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps' law fit — vocabulary GROWTH against corpus size, the
+    companion axis to :func:`zipf_fit`'s frequency head: V(n) ≈ K·n^β
+    with β ≈ 0.4–0.6 for organic text.  β near 0 = the corpus stopped
+    teaching new words (template floods, heavy duplication); β near 1 =
+    unbounded novel tokens (OCR noise, ids in text) — both corpus-level
+    tripwires a per-doc score can't see.
+
+    Walking the corpus in doc_id order: n_d = cumulative tokens,
+    V_d = cumulative first-seen types (each type attributed to its
+    smallest doc_id); the fit is log-log least squares of V on n over
+    every doc position.  One (token → min doc) reduction and one
+    per-doc token count; the two cumulative windows run on the DOC
+    axis in doc_id order (doc-stat rows, two columns — the
+    corpus_global_index class of global walk, far below token scale
+    but still a single-axis sort: at extreme doc counts, fit on
+    sampled checkpoints upstream).  ln-terms quantize to
+    decimal(28,12) before the regression sums.
+
+    Output: one row — ``(n_docs bigint, total_tokens bigint,
+    vocab_size bigint, beta double, log_k double, r_squared double)``;
+    NULL fit for < 2 docs or a degenerate axis.
+    """
+    dec = "decimal(28,12)"
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("_tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nt")
+    )
+    firsts = (
+        toks.groupBy("_tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("_nt").over(w).alias("_n"),
+            F.sum(F.coalesce("_nv", F.lit(0))).over(w).alias("_v"),
+        )
+        .filter((F.col("_n") > 0) & (F.col("_v") > 0))
+    )
+    xy = walk.select(
+        F.log(F.col("_n").cast("double")).alias("_x"),
+        F.log(F.col("_v").cast("double")).alias("_y"),
+        "_n",
+        "_v",
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_n").alias("total_tokens"),
+        F.max("_v").alias("vocab_size"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_syy"),
+    )
+    m = F.col("_m").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = m * sxx - sx * sx
+    dy = m * syy - sy * sy
+    cov = m * sxy - sx * sy
+    ok = (F.col("_m") >= 2) & (dx > 0)
+    return agg.select(
+        F.col("_m").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(F.when(ok, cov / dx), 9).alias("beta"),
+        F.round(F.when(ok, (sy - (cov / dx) * sx) / m), 9).alias(
+            "log_k"
+        ),
+        F.round(
+            F.when(ok & (dy > 0), cov * cov / (dx * dy)), 9
+        ).alias("r_squared"),
+    )

@@ -14500,6 +14500,76 @@ def logrank_churn_by_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(per_u, "duration", "churned", "arm")
 
 
+@_q(
+    "vocab_heaps_fit",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1
+    ),
+    firsts AS (
+      SELECT doc_id, count(*) AS nv
+      FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+      GROUP BY 1
+    ),
+    walk AS (
+      SELECT p.doc_id,
+             sum(p.nt) OVER w AS n,
+             sum(coalesce(f.nv, 0)) OVER w AS v
+      FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+      WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    ),
+    xy AS (
+      SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y, n, v
+      FROM walk WHERE n > 0 AND v > 0
+    ),
+    agg AS (
+      SELECT count(*) AS m, max(n) AS total_tokens,
+             max(v) AS vocab_size,
+             sum(CAST(x AS DECIMAL(28,12))) AS sx,
+             sum(CAST(y AS DECIMAL(28,12))) AS sy,
+             sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(28,12))) AS syy
+      FROM xy
+    ),
+    calc AS (
+      SELECT m, total_tokens, vocab_size,
+             m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+             m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy,
+             m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+      FROM agg
+    )
+    SELECT m::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
+           vocab_size::BIGINT AS vocab_size,
+           round(CASE WHEN m >= 2 AND dx > 0 THEN cov / dx END, 9)
+             AS beta,
+           round(CASE WHEN m >= 2 AND dx > 0
+                 THEN (syd - (cov / dx) * sxd) / m::DOUBLE END, 9)
+             AS log_k,
+           round(CASE WHEN m >= 2 AND dx > 0 AND dy > 0
+                 THEN cov * cov / (dx * dy) END, 9) AS r_squared
+    FROM calc
+    """,
+)
+def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit over the documents corpus
+    (operators.textstats.heaps_fit) — β ≈ 0.4–0.6 organic, near 0 =
+    duplication/template flood, near 1 = OCR noise/ids-in-text; the
+    corpus-level novelty tripwire beside vocab_zipf_fit's frequency
+    head.  One token→first-doc reduction; cumulative walk on the doc
+    axis; decimal-quantized regression sums."""
+    from ..operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

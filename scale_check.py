@@ -767,6 +767,9 @@ QUERY_CASES = [
     # round-8: per-user reduction (linear) -> (time x arm) grid
     # suffix sums on the distinct-duration axis
     "logrank_churn_by_parity",
+    # round-8: token->first-doc + per-doc count reductions (linear) ->
+    # cumulative walk + regression on the doc axis
+    "vocab_heaps_fit",
 ]
 
 

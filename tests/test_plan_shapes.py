@@ -1256,3 +1256,13 @@ def test_logrank_time_axis(spark):
     assert re.search(r"partial_(sum|count|min|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heaps_fit_doc_axis_walk(spark):
+    # the token explode reduces in (token -> first doc) and per-doc
+    # count partial aggregates; the cumulative walk and regression run
+    # on the doc axis; no Python, no cartesian
+    plan = formatted_plan(spark, "vocab_heaps_fit")
+    assert re.search(r"partial_(sum|count|min)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -60,3 +60,47 @@ def test_zipf_fit_hand_cases(spark):
         top_n=2,
     ).collect()[0]
     assert cap["n_terms"] == 2 and cap["top_term"] == "aa"
+
+
+def test_heaps_fit_hand_cases(spark):
+    import math
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.textstats import heaps_fit
+
+    # three docs in doc_id order: doc1 "aa bb" (n=2, V=2),
+    # doc2 "aa cc" (n=4, V=3), doc3 "dd dd" (n=6, V=4)
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc"), (3, "dd dd")],
+        "doc_id bigint, text string",
+    )
+    got = heaps_fit(docs).collect()[0]
+    assert (got["n_docs"], got["total_tokens"], got["vocab_size"]) == (
+        3, 6, 4,
+    )
+    xs = [math.log(n) for n in (2, 4, 6)]
+    ys = [math.log(v) for v in (2, 3, 4)]
+    m = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert got["beta"] == _pytest.approx(beta, abs=1e-8)
+    # sub-linear growth: 0 < beta < 1
+    assert 0 < got["beta"] < 1
+
+    # fully duplicated corpus: V flat after doc 1 -> beta near 0
+    dup = spark.createDataFrame(
+        [(i, "same tokens here") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    flat = heaps_fit(dup).collect()[0]
+    assert flat["vocab_size"] == 3
+    assert abs(flat["beta"]) < 0.05
+
+    # single doc: one point, no slope
+    one = heaps_fit(
+        spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
+    ).collect()[0]
+    assert one["beta"] is None
