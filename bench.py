@@ -347,6 +347,7 @@ HEADLINE = [
     "trend_conversion_by_activity",
     "logrank_churn_by_parity",
     "vocab_heaps_fit",
+    "emb_calinski_harabasz_fixed",
 ]
 
 

@@ -1279,3 +1279,111 @@ def davies_bouldin(
         F.round("_s", 9).alias("scatter"),
         F.round("_r", 9).alias("r"),
     )
+
+
+def calinski_harabasz(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Calinski–Harabasz index over an assignment partition — the third
+    clustering-quality lens (variance-ratio: ANOVA's F in embedding
+    space), completing :func:`silhouette_simplified` (per-vector fit)
+    and :func:`davies_bouldin` (per-cell worst neighbour) with the ONE
+    number that peaks at the right k on elbow plots:
+
+        SSW = Σ‖x‖² − Σᵢ nᵢ‖mᵢ‖²       (within, mᵢ = cell MEAN)
+        SSB = Σᵢ nᵢ‖mᵢ‖² − N‖x̄‖²       (between)
+        CH  = (SSB/(k−1)) / (SSW/(N−k))
+
+    Cells come from the broadcast-literal argmin assignment; cluster
+    centers are the DATA means of each cell (classic CH), derived from
+    one (cell, dim) partial-aggregable sum — so the whole index costs
+    one scan plus dims-axis arithmetic.  The three moment totals follow
+    the small-difference-of-huge-sums discipline: exact decimal sums,
+    ``round(·, 6)`` in decimal (half-up in both engines), exact decimal
+    subtraction, one double cast.
+
+    Output: one row — ``(n bigint, k_cells bigint, ss_between double,
+    ss_within double, ch double)``; NULL CH for fewer than 2 non-empty
+    cells or zero within-variance.
+    """
+    if len(centroids) < 2:
+        raise ValueError("calinski_harabasz needs >= 2 centroids")
+    dec12 = "decimal(28,12)"
+    best = _nearest_cell(vec_col, centroids)
+    vec = F.col(vec_col)
+    norm2 = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    assigned = embeddings.select(
+        best["cell"].alias("_cell"),
+        vec.alias("_v"),
+        norm2.cast(dec12).alias("_n2"),
+    )
+    sumsq = assigned.agg(
+        F.count(F.lit(1)).alias("_nn"),
+        F.sum("_n2").alias("_ssq"),
+    )
+    per_dim = (
+        assigned.select(
+            "_cell", F.posexplode("_v").alias("_p", "_x")
+        )
+        .groupBy("_cell", "_p")
+        .agg(
+            F.sum(F.col("_x").cast(dec12)).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+    )
+    # sum_i n_i * ||m_i||^2 = sum over (cell, dim) of s^2/n
+    per_cell_term = per_dim.select(
+        "_cell",
+        (
+            F.col("_s").cast("double")
+            * F.col("_s").cast("double")
+            / F.col("_c").cast("double")
+        ).cast(dec12).alias("_t"),
+    )
+    nm2 = per_cell_term.agg(
+        F.sum("_t").alias("_nm2"),
+        F.count_distinct("_cell").alias("_k"),
+    )
+    # N * ||xbar||^2 = sum over dims of (total_d)^2 / N
+    glob = (
+        per_dim.groupBy("_p")
+        .agg(F.sum("_s").alias("_ts"), F.sum("_c").alias("_tc"))
+        .agg(
+            F.sum(
+                (
+                    F.col("_ts").cast("double")
+                    * F.col("_ts").cast("double")
+                    / F.col("_tc").cast("double")
+                ).cast(dec12)
+            ).alias("_gm2")
+        )
+    )
+    out = sumsq.crossJoin(F.broadcast(nm2)).crossJoin(
+        F.broadcast(glob)
+    )
+    ssq6 = F.round(F.col("_ssq"), 6)
+    nm26 = F.round(F.col("_nm2"), 6)
+    gm26 = F.round(F.col("_gm2"), 6)
+    ssw = (ssq6 - nm26).cast("double")
+    ssb = (nm26 - gm26).cast("double")
+    nd = F.col("_nn").cast("double")
+    kd = F.col("_k").cast("double")
+    ok = (F.col("_k") >= 2) & (F.col("_nn") > F.col("_k"))
+    ch = F.when(
+        ok & (ssw > 0),
+        (ssb / (kd - 1)) / (ssw / (nd - kd)),
+    )
+    return out.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_cells"),
+        F.round(F.when(ok, ssb), 9).alias("ss_between"),
+        F.round(F.when(ok, ssw), 9).alias("ss_within"),
+        F.round(ch, 9).alias("ch"),
+    )

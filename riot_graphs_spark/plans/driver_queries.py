@@ -14570,6 +14570,80 @@ def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "emb_calinski_harabasz_fixed",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6)
+               AS dist2
+      FROM embeddings e CROSS JOIN cents
+    ), own AS (
+      SELECT vec_id, embedding, cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), sumsq AS (
+      SELECT count(*) AS nn,
+             sum(CAST(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE)) AS DECIMAL(28,12))) AS ssq
+      FROM own
+    ), per_dim AS (
+      SELECT cell, p,
+             sum(CAST(x AS DECIMAL(28,12))) AS s, count(*) AS c
+      FROM (
+        SELECT cell, unnest(range(1, 65)) AS p,
+               embedding[unnest(range(1, 65))]::DOUBLE AS x
+        FROM own
+      )
+      GROUP BY 1, 2
+    ), nm2 AS (
+      SELECT sum(CAST(s::DOUBLE * s::DOUBLE / c::DOUBLE
+                      AS DECIMAL(28,12))) AS nm2,
+             count(DISTINCT cell) AS k
+      FROM per_dim
+    ), gm AS (
+      SELECT sum(CAST(ts::DOUBLE * ts::DOUBLE / tc::DOUBLE
+                      AS DECIMAL(28,12))) AS gm2
+      FROM (SELECT p, sum(s) AS ts, sum(c) AS tc FROM per_dim
+            GROUP BY 1)
+    ), calc AS (
+      SELECT nn, k,
+             CAST(round(ssq, 6) - round(nm2, 6) AS DOUBLE) AS ssw,
+             CAST(round(nm2, 6) - round(gm2, 6) AS DOUBLE) AS ssb,
+             k >= 2 AND nn > k AS ok
+      FROM sumsq CROSS JOIN nm2 CROSS JOIN gm
+    )
+    SELECT nn::BIGINT AS n, k::BIGINT AS k_cells,
+           round(CASE WHEN ok THEN ssb END, 9) AS ss_between,
+           round(CASE WHEN ok THEN ssw END, 9) AS ss_within,
+           round(CASE WHEN ok AND ssw > 0
+                 THEN (ssb / (k::DOUBLE - 1))
+                      / (ssw / (nn::DOUBLE - k::DOUBLE)) END, 9) AS ch
+    FROM calc
+    """,
+)
+def emb_calinski_harabasz_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski–Harabasz variance-ratio index over the four fixed
+    axis-pattern cells (operators.similarity.calinski_harabasz) — the
+    elbow-plot k-chooser completing the silhouette / Davies–Bouldin
+    triad; cluster centers are the DATA means of each assigned cell,
+    one scan + dims-axis arithmetic, round-6 decimal cuts on the three
+    moment totals."""
+    from ..operators.similarity import calinski_harabasz
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return calinski_harabasz(_t(spark, sf_dir, "embeddings"), cents)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

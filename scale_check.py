@@ -770,6 +770,9 @@ QUERY_CASES = [
     # round-8: token->first-doc + per-doc count reductions (linear) ->
     # cumulative walk + regression on the doc axis
     "vocab_heaps_fit",
+    # round-8: zero-shuffle assignment scan -> (cell, dim) partial
+    # aggregate -> one-row moment combines
+    "emb_calinski_harabasz_fixed",
 ]
 
 

@@ -228,3 +228,36 @@ def test_davies_bouldin_hand_cases(spark):
         davies_bouldin(df, [[0.0, 0.0]])
     with _pytest.raises(ValueError):
         davies_bouldin(df, [[1.0, 0.0], [1.0, 0.0]])
+
+
+def test_calinski_harabasz_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.similarity import calinski_harabasz
+
+    cents = [[1.0, 0.0], [11.0, 0.0]]
+    rows = [
+        (1, [0.0, 0.0]), (2, [2.0, 0.0]),
+        (3, [10.0, 0.0]), (4, [12.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = calinski_harabasz(df, cents).collect()[0]
+    # cell means (1,0)/(11,0), global mean (6,0):
+    # SSW = 4, SSB = 100, CH = (100/1)/(4/2) = 50
+    assert (got["n"], got["k_cells"]) == (4, 2)
+    assert got["ss_within"] == _pytest.approx(4.0)
+    assert got["ss_between"] == _pytest.approx(100.0)
+    assert got["ch"] == _pytest.approx(50.0)
+
+    # all vectors identical: SSW = 0 -> NULL CH (not a divide crash)
+    same = calinski_harabasz(
+        spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(4)],
+            "vec_id int, embedding array<double>",
+        ),
+        cents,
+    ).collect()[0]
+    assert same["ch"] is None
+
+    with _pytest.raises(ValueError):
+        calinski_harabasz(df, [[0.0, 0.0]])

@@ -1266,3 +1266,13 @@ def test_heaps_fit_doc_axis_walk(spark):
     assert re.search(r"partial_(sum|count|min)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_calinski_harabasz_dims_axis(spark):
+    # zero-shuffle assignment scan; (cell, dim) partial aggregate;
+    # the three moment totals combine as broadcast one-row joins;
+    # no Python, no cartesian
+    plan = formatted_plan(spark, "emb_calinski_harabasz_fixed")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
