@@ -144,6 +144,37 @@ SHOWCASE = [
     "quality_hist_calibration",
     "search_rbo_lexical_vs_dense",
     "split_dup_leakage",
+    # round-8 late families: bucket-axis robust trend pair (weighted-
+    # median slopes, integer-exact CUSUM + md5 permutation), distinct-
+    # value-axis rank tests (MW counts, KW midranks), single-reduction
+    # parametric tests (Welch, ANOVA with round-6-decimal moment cuts,
+    # groups-axis pairwise grid, hypotheses-axis BH), TopK Zipf head +
+    # doc-axis Heaps walk, bucket-axis backtest/periodogram/rolling-
+    # corr, zero-shuffle clustering triad, key-axis join audit,
+    # (time x arm)-grid log-rank, users-axis dose-response trend
+    "ts_theil_sen",
+    "ts_cusum_changepoint",
+    "mw_doclen_sources",
+    "welch_value_click_purchase",
+    "anova_value_event_types",
+    "kw_doclen_by_lang",
+    "vocab_zipf_fit",
+    "ts_forecast_backtest",
+    "pairwise_welch_event_types",
+    "emb_silhouette_fixed_cells",
+    "ab_power_mde",
+    "pairwise_welch_bh_fdr",
+    "emb_davies_bouldin_fixed",
+    "levene_doclen_by_lang",
+    "ts_dominant_period",
+    "join_audit_lineitem_orders",
+    "ts_rolling_corr_click_view",
+    "trend_conversion_by_activity",
+    "logrank_churn_by_parity",
+    "vocab_heaps_fit",
+    "emb_calinski_harabasz_fixed",
+    "ts_mann_kendall",
+    "ts_seasonal_strength",
 ]
 
 
