@@ -348,6 +348,7 @@ HEADLINE = [
     "logrank_churn_by_parity",
     "vocab_heaps_fit",
     "emb_calinski_harabasz_fixed",
+    "kappa_weighted_length_deciles",
 ]
 
 

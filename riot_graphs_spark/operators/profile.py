@@ -1641,3 +1641,85 @@ def join_cardinality_audit(
             F.lit(0).cast("decimal(38,0)"),
         ).cast("long").alias("max_key_product"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    power: int = 2,
+) -> DataFrame:
+    """Weighted Cohen's κ for ORDINAL labels — :func:`cohen_kappa`
+    treats "rated 4, truth 5" and "rated 1, truth 5" as equally wrong;
+    on an ordered scale (quality deciles, severity grades) the near-miss
+    should cost less.  Disagreement weights v_ij = |i−j|^power (power=1
+    linear, 2 quadratic — the Fleiss–Cohen form that equals an ICC):
+
+        κ_w = 1 − (n·Σ v_ij·o_ij) / (Σ v_ij·r_i·c_j)
+
+    (the common normalization of v cancels in the ratio).  The expected
+    term runs over the FULL level grid — an unobserved (i, j) cell with
+    positive marginals still contributes, exactly the
+    :func:`cohen_kappa` pe lesson.  Integer-exact end-to-end: labels
+    are ints, weights and both numerators are integers accumulated in
+    decimal(38,0); the one division happens at the end.  One corpus
+    scan into the (a, b) confusion groupBy; the grid is a broadcast
+    levels² cross join.
+
+    Output: one row — ``(col_a string, col_b string, n bigint,
+    kappa_w double)``; NULL for zero expected disagreement (either
+    column constant).
+    """
+    if power not in (1, 2):
+        raise ValueError("power must be 1 (linear) or 2 (quadratic)")
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(
+            F.col(col_a).cast("long").alias("_a"),
+            F.col(col_b).cast("long").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint()
+    )
+
+    def w(i, j):
+        d = F.abs(i - j)
+        return d if power == 1 else d * d
+
+    obs = joint.agg(
+        F.sum("_o").alias("n"),
+        F.coalesce(
+            F.sum(
+                (w(F.col("_a"), F.col("_b")) * F.col("_o")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_onum"),
+    )
+    ma = joint.groupBy("_a").agg(F.sum("_o").alias("_ma"))
+    mb = joint.groupBy("_b").agg(F.sum("_o").alias("_mb"))
+    grid = ma.crossJoin(F.broadcast(mb)).agg(
+        F.coalesce(
+            F.sum(
+                (
+                    w(F.col("_a"), F.col("_b"))
+                    * F.col("_ma").cast("decimal(38,0)")
+                    * F.col("_mb")
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_enum")
+    )
+    agg = obs.crossJoin(F.broadcast(grid))
+    kw = F.lit(1.0) - F.try_divide(
+        F.col("n").cast("double") * F.col("_onum").cast("double"),
+        F.col("_enum").cast("double"),
+    )
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("n").cast("long").alias("n"),
+        F.round(kw, 9).alias("kappa_w"),
+    )

@@ -14644,6 +14644,81 @@ def emb_calinski_harabasz_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calinski_harabasz(_t(spark, sf_dir, "embeddings"), cents)
 
 
+@_q(
+    "kappa_weighted_length_deciles",
+    """
+    WITH scored AS (
+      SELECT ntile(10) OVER (ORDER BY n_chars, doc_id) AS a,
+             ntile(10) OVER (
+               ORDER BY length(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'))
+                 - length(replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' ', '')),
+               doc_id) AS b
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    joint AS (SELECT a, b, count(*) AS o FROM scored GROUP BY 1, 2),
+    obs AS (
+      SELECT sum(o) AS n,
+             coalesce(sum(CAST((a - b) * (a - b) * o
+                              AS DECIMAL(38,0))), 0) AS onum
+      FROM joint
+    ),
+    ma AS (SELECT a, sum(o) AS cma FROM joint GROUP BY 1),
+    mb AS (SELECT b, sum(o) AS cmb FROM joint GROUP BY 1),
+    grid AS (
+      SELECT coalesce(sum(CAST((a - b) * (a - b)
+               * CAST(cma AS DECIMAL(38,0)) * cmb
+               AS DECIMAL(38,0))), 0) AS enum_
+      FROM ma CROSS JOIN mb
+    )
+    SELECT 'n_chars_decile' AS col_a, 'token_proxy_decile' AS col_b,
+           n::BIGINT AS n,
+           round(CASE WHEN enum_::DOUBLE != 0
+                 THEN 1.0 - n::DOUBLE * onum::DOUBLE / enum_::DOUBLE
+                 END, 9) AS kappa_w
+    FROM obs CROSS JOIN grid
+    """,
+)
+def kappa_weighted_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's κ between two ordinal "length raters"
+    — the char-count decile vs a whitespace-token-count-proxy decile of
+    each document (operators.profile.weighted_kappa, Fleiss–Cohen
+    quadratic weights) — near-miss decile disagreements cost (i−j)², so
+    two measures of the same construct score the high agreement plain κ
+    would throw away.  One confusion groupBy; the expected term covers
+    the full level grid."""
+    from ..operators.profile import weighted_kappa
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    # token-count proxy: spaces left after collapsing non-alnum runs —
+    # a second, independent "length rater" on a deliberately different
+    # measurement path than n_chars
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    tok_proxy = F.length(norm) - F.length(
+        F.replace(norm, F.lit(" "), F.lit(""))
+    )
+    scored = docs.select(
+        F.ntile(10)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("chars_decile"),
+        F.ntile(10)
+        .over(Window.orderBy(tok_proxy, F.col("doc_id")))
+        .alias("tokens_decile"),
+    )
+    return weighted_kappa(
+        scored, "chars_decile", "tokens_decile", power=2
+    ).select(
+        F.lit("n_chars_decile").alias("col_a"),
+        F.lit("token_proxy_decile").alias("col_b"),
+        "n",
+        "kappa_w",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

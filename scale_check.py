@@ -773,6 +773,9 @@ QUERY_CASES = [
     # round-8: zero-shuffle assignment scan -> (cell, dim) partial
     # aggregate -> one-row moment combines
     "emb_calinski_harabasz_fixed",
+    # round-8: ntile windows on the doc axis -> one confusion groupBy
+    # -> broadcast levels-squared grid
+    "kappa_weighted_length_deciles",
 ]
 
 

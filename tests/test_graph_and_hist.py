@@ -1888,3 +1888,39 @@ def test_logrank_test_hand_cases(spark):
     # a third arm NULLs the verdict
     three = run([("a", 1, 1), ("b", 2, 1), ("c", 3, 1)])
     assert three["group_a"] is None and three["z"] is None
+
+
+def test_weighted_kappa_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.profile import weighted_kappa
+
+    rows = (
+        [(1, 1)] * 2 + [(2, 2)] * 2 + [(3, 3)] * 2
+        + [(1, 3), (3, 1)]
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    # quadratic: obs = 8, exp = 96 -> 1 - 8*8/96 = 1/3
+    q = weighted_kappa(df, "a", "b", power=2).collect()[0]
+    assert q["n"] == 8
+    assert q["kappa_w"] == _pytest.approx(1 / 3)
+    # linear: obs = 4, exp = 60 -> 1 - 32/60
+    lin = weighted_kappa(df, "a", "b", power=1).collect()[0]
+    assert lin["kappa_w"] == _pytest.approx(28 / 60)
+
+    # perfect agreement -> 1 exactly
+    perfect = weighted_kappa(
+        spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "a int, b int"),
+        "a",
+        "b",
+    ).collect()[0]
+    assert perfect["kappa_w"] == 1.0
+
+    # constant columns: zero expected disagreement -> NULL
+    const = weighted_kappa(
+        spark.createDataFrame([(1, 1)] * 3, "a int, b int"), "a", "b"
+    ).collect()[0]
+    assert const["kappa_w"] is None
+
+    with _pytest.raises(ValueError):
+        weighted_kappa(df, "a", "b", power=3)

@@ -1276,3 +1276,12 @@ def test_calinski_harabasz_dims_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_kappa_grid(spark):
+    # one confusion groupBy is the only fact-sized shuffle; the
+    # expected term is a broadcast levels-squared grid; no Python
+    plan = formatted_plan(spark, "kappa_weighted_length_deciles")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
