@@ -349,6 +349,7 @@ HEADLINE = [
     "vocab_heaps_fit",
     "emb_calinski_harabasz_fixed",
     "kappa_weighted_length_deciles",
+    "keep_rate_eb_shrunk_by_source",
 ]
 
 

@@ -2473,3 +2473,86 @@ def cochran_armitage_trend(
             F.abs(z) > F.lit(z_crit), F.lit(False)
         ).alias("significant"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    the fix for the dashboard lie :func:`proportion_wilson_ci` can only
+    FLAG: a 3-doc source at 100% keep-rate tops the leaderboard over a
+    10k-doc source at 92%; shrinking every group toward the corpus
+    prior by its own evidence re-ranks them honestly.
+
+    Method-of-moments beta prior over the group rates: with group rates
+    p_g (m groups), μ = mean(p), s² = sample var(p),
+
+        α = μ·(μ(1−μ)/s² − 1),   β = (1−μ)·(μ(1−μ)/s² − 1)
+        shrunk_g = (k_g + α) / (n_g + α + β)
+
+    — big groups barely move, tiny groups collapse to the prior mean.
+    One unit-level (group) reduction; the prior fit is one aggregate
+    over the GROUPS axis with per-group p/p² quantized to
+    decimal(28,12) (order-independence), broadcast back as one row.
+    Degenerate priors (m < 2, zero variance, or s² ≥ μ(1−μ) — more
+    spread than a beta can hold) NULL α/β/shrunk and keep the raw rate.
+
+    Output: one row per group — ``(group string, n bigint, k bigint,
+    rate_raw double, rate_shrunk double, alpha double, beta double)``.
+    """
+    dec = "decimal(28,12)"
+    flag = F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0)
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(flag_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).cast("string").alias("group"),
+            flag.alias("_y"),
+        )
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("k"))
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    prior = per.select(
+        p.cast(dec).alias("_p"), (p * p).cast(dec).alias("_p2")
+    ).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_p2").alias("_sp2"),
+    )
+    m = F.col("_m").cast("double")
+    mu = F.col("_sp").cast("double") / m
+    # sample variance over group rates
+    var = F.try_divide(
+        F.col("_sp2").cast("double") - m * mu * mu, m - 1
+    )
+    scale = mu * (1 - mu) / var - 1
+    ok = (
+        (F.col("_m") >= 2)
+        & (var > 0)
+        & (var < mu * (1 - mu))
+        & (mu > 0)
+        & (mu < 1)
+    )
+    alpha = F.when(ok, mu * scale)
+    beta = F.when(ok, (1 - mu) * scale)
+    out = per.crossJoin(
+        F.broadcast(
+            prior.select(alpha.alias("_alpha"), beta.alias("_beta"))
+        )
+    )
+    shrunk = (F.col("k").cast("double") + F.col("_alpha")) / (
+        F.col("n").cast("double") + F.col("_alpha") + F.col("_beta")
+    )
+    return out.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 9).alias("rate_raw"),
+        F.round(shrunk, 9).alias("rate_shrunk"),
+        F.round(F.col("_alpha"), 9).alias("alpha"),
+        F.round(F.col("_beta"), 9).alias("beta"),
+    )

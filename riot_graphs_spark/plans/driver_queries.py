@@ -14719,6 +14719,69 @@ def kappa_weighted_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_q(
+    "keep_rate_eb_shrunk_by_source",
+    f"""
+    WITH g AS ({ORACLES["text_gopher_flags"]}),
+    p AS (
+      SELECT d.source AS grp,
+             CASE WHEN gk.gopher_keep THEN 1 ELSE 0 END AS y
+      FROM g gk JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL AND gk.gopher_keep IS NOT NULL
+    ),
+    per AS (SELECT grp, count(*) AS n, sum(y) AS k FROM p GROUP BY 1),
+    prior AS (
+      SELECT count(*) AS m,
+             sum(CAST(k::DOUBLE / n::DOUBLE AS DECIMAL(28,12))) AS sp,
+             sum(CAST((k::DOUBLE / n::DOUBLE)
+                      * (k::DOUBLE / n::DOUBLE)
+                      AS DECIMAL(28,12))) AS sp2
+      FROM per
+    ),
+    fit AS (
+      SELECT m, sp::DOUBLE / m::DOUBLE AS mu,
+             CASE WHEN m >= 2 THEN
+               (sp2::DOUBLE - m::DOUBLE
+                 * (sp::DOUBLE / m::DOUBLE)
+                 * (sp::DOUBLE / m::DOUBLE)) / (m::DOUBLE - 1)
+             END AS var
+      FROM prior
+    ),
+    ab AS (
+      SELECT CASE WHEN m >= 2 AND var > 0
+                  AND var < mu * (1 - mu) AND mu > 0 AND mu < 1
+                  THEN mu * (mu * (1 - mu) / var - 1) END AS alpha,
+             CASE WHEN m >= 2 AND var > 0
+                  AND var < mu * (1 - mu) AND mu > 0 AND mu < 1
+                  THEN (1 - mu) * (mu * (1 - mu) / var - 1) END
+               AS beta
+      FROM fit
+    )
+    SELECT grp AS "group", n::BIGINT AS n, k::BIGINT AS k,
+           round(k::DOUBLE / n::DOUBLE, 9) AS rate_raw,
+           round((k::DOUBLE + alpha)
+                 / (n::DOUBLE + alpha + beta), 9) AS rate_shrunk,
+           round(alpha, 9) AS alpha, round(beta, 9) AS beta
+    FROM per CROSS JOIN ab
+    """,
+)
+def keep_rate_eb_shrunk_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes shrunk per-source Gopher keep-rates
+    (operators.evaluation.eb_shrunk_rates) — the leaderboard fix beside
+    keep_rate_wilson_ci's error bars: a 3-doc source at 100% stops
+    outranking a 10k-doc source at 92% once every rate shrinks toward
+    the method-of-moments beta prior by its own evidence."""
+    from ..operators.evaluation import eb_shrunk_rates
+    from ..operators.textstats import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
+    joined = flags.join(docs.select("doc_id", "source"), "doc_id")
+    return eb_shrunk_rates(joined, "gopher_keep", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

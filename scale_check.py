@@ -776,6 +776,9 @@ QUERY_CASES = [
     # round-8: ntile windows on the doc axis -> one confusion groupBy
     # -> broadcast levels-squared grid
     "kappa_weighted_length_deciles",
+    # round-8: gopher-flag scan + (group) reduction; prior fit on the
+    # groups axis broadcast back
+    "keep_rate_eb_shrunk_by_source",
 ]
 
 

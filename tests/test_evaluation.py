@@ -1408,3 +1408,47 @@ def test_cochran_armitage_hand_cases(spark):
     # single level: no trend axis
     one = cochran_armitage_trend(mk([(1, 5)]), "y", "w").collect()[0]
     assert one["z"] is None and one["k_levels"] == 1
+
+
+def test_eb_shrunk_rates_hand_cases(spark):
+    from riot_graphs_spark.operators.evaluation import eb_shrunk_rates
+
+    # three groups: rates .2 (n=10), .5 (n=10), .8 (n=10):
+    # mu = .5, s2 = .09, scale = .25/.09 - 1 = 16/9
+    # alpha = beta = 8/9; shrunk_g = (k + 8/9)/(n + 16/9)
+    rows = []
+    for g, k in [("a", 2), ("b", 5), ("c", 8)]:
+        rows += [(g, 1)] * k + [(g, 0)] * (10 - k)
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {r["group"]: r for r in eb_shrunk_rates(df, "y", "g").collect()}
+    al = 0.5 * (0.25 / 0.09 - 1)
+    assert got["a"]["alpha"] == pytest.approx(al)
+    assert got["a"]["beta"] == pytest.approx(al)
+    for g, k in [("a", 2), ("b", 5), ("c", 8)]:
+        assert got[g]["rate_shrunk"] == pytest.approx(
+            (k + al) / (10 + 2 * al)
+        )
+    # shrinkage pulls toward the prior mean: a rises, c falls
+    assert got["a"]["rate_shrunk"] > got["a"]["rate_raw"]
+    assert got["c"]["rate_shrunk"] < got["c"]["rate_raw"]
+
+    # the leaderboard fix: with a tight prior well below 1 (eight
+    # 50-doc groups at 70%), a tiny perfect group collapses to the
+    # prior and ranks BELOW a big 90% group
+    rows2 = [("tiny", 1)] * 3 + [("big", 1)] * 90 + [("big", 0)] * 10
+    for i in range(8):
+        rows2 += [(f"g{i}", 1)] * 35 + [(f"g{i}", 0)] * 15
+    df2 = spark.createDataFrame(rows2, "g string, y int")
+    got2 = {
+        r["group"]: r for r in eb_shrunk_rates(df2, "y", "g").collect()
+    }
+    assert got2["tiny"]["rate_raw"] == 1.0
+    assert got2["tiny"]["rate_shrunk"] < got2["big"]["rate_shrunk"]
+
+    # identical rates: zero variance -> NULL prior, raw kept
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, y int"
+    )
+    got3 = eb_shrunk_rates(same, "y", "g").collect()[0]
+    assert got3["alpha"] is None and got3["rate_shrunk"] is None
+    assert got3["rate_raw"] == 0.5

@@ -1285,3 +1285,12 @@ def test_weighted_kappa_grid(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_eb_shrunk_rates_groups_axis(spark):
+    # one unit-level (group) reduction; the prior fit is one aggregate
+    # over the groups axis broadcast back as a single row; no Python
+    plan = formatted_plan(spark, "keep_rate_eb_shrunk_by_source")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
