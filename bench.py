@@ -350,6 +350,7 @@ HEADLINE = [
     "emb_calinski_harabasz_fixed",
     "kappa_weighted_length_deciles",
     "keep_rate_eb_shrunk_by_source",
+    "vocab_jaccard_sources",
 ]
 
 

@@ -1168,3 +1168,70 @@ def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(ok & (dy > 0), cov * cov / (dx * dy)), 9
         ).alias("r_squared"),
     )
+
+
+def vocab_jaccard_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups — the redundancy map
+    ACROSS sources that :func:`~..operators.dedup.exact_dedup_groups`
+    (documents) and [[dedup_cross_source_matrix]] (near-dup docs) don't
+    see: two crawls can share almost no duplicate documents yet speak
+    the same vocabulary (same domain re-crawled, translated mirrors) —
+    high vocab overlap marks the pair where near-dup thresholds should
+    tighten and mixture weights double-count.
+
+        J(a, b) = |V_a ∩ V_b| / (|V_a| + |V_b| − |V_a ∩ V_b|)
+
+    One distinct (group, token) reduction; the intersection is a
+    token-axis self-join whose per-token fanout is bounded by C(groups
+    sharing it, 2) ≤ C(G, 2) — G is source-count sized, never
+    corpus-sized.  All counts exact int64.
+
+    Output: one row per group pair (a < b) — ``(group_a, group_b,
+    vocab_a bigint, vocab_b bigint, intersection bigint, jaccard
+    double)``; pairs sharing no token still appear via the sizes grid
+    with jaccard 0.
+    """
+    vocab = (
+        docs.filter(
+            F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count(F.lit(1)).alias("_v"))
+    a = vocab.select(F.col("_g").alias("group_a"), "_tok")
+    b = vocab.select(F.col("_g").alias("group_b"), "_tok")
+    inter = (
+        a.join(b, "_tok")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sa = sizes.select(
+        F.col("_g").alias("group_a"), F.col("_v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("_g").alias("group_b"), F.col("_v").alias("vocab_b")
+    )
+    grid = sa.join(
+        F.broadcast(sb), F.col("group_a") < F.col("group_b")
+    ).join(F.broadcast(inter), ["group_a", "group_b"], "left")
+    i = F.coalesce(F.col("_i"), F.lit(0))
+    union = F.col("vocab_a") + F.col("vocab_b") - i
+    return grid.select(
+        "group_a",
+        "group_b",
+        F.col("vocab_a").cast("long").alias("vocab_a"),
+        F.col("vocab_b").cast("long").alias("vocab_b"),
+        i.cast("long").alias("intersection"),
+        F.round(
+            F.try_divide(i.cast("double"), union.cast("double")), 9
+        ).alias("jaccard"),
+    )

@@ -14782,6 +14782,54 @@ def keep_rate_eb_shrunk_by_source(
     return eb_shrunk_rates(joined, "gopher_keep", "source")
 
 
+@_q(
+    "vocab_jaccard_sources",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT source AS g,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    sizes AS (SELECT g, count(*) AS v FROM vocab GROUP BY 1),
+    inter AS (
+      SELECT a.g AS group_a, b.g AS group_b, count(*) AS i
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.g < b.g
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT sa.g AS group_a, sb.g AS group_b,
+             sa.v AS vocab_a, sb.v AS vocab_b,
+             coalesce(inter.i, 0) AS i
+      FROM sizes sa
+      JOIN sizes sb ON sa.g < sb.g
+      LEFT JOIN inter
+        ON inter.group_a = sa.g AND inter.group_b = sb.g
+    )
+    SELECT group_a, group_b,
+           vocab_a::BIGINT AS vocab_a, vocab_b::BIGINT AS vocab_b,
+           i::BIGINT AS intersection,
+           round(CASE WHEN vocab_a + vocab_b - i != 0
+                 THEN i::DOUBLE / (vocab_a + vocab_b - i)::DOUBLE
+                 END, 9) AS jaccard
+    FROM grid
+    """,
+)
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between the 20 sources
+    (operators.textstats.vocab_jaccard_matrix) — the cross-source
+    redundancy map document-level dedup can't see: two crawls sharing
+    no duplicate docs but the same vocabulary mark where near-dup
+    thresholds tighten and mixture weights double-count.  One distinct
+    (source, token) reduction; token-axis self-join with C(G,2)-bounded
+    per-token fanout."""
+    from ..operators.textstats import vocab_jaccard_matrix
+
+    return vocab_jaccard_matrix(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -779,6 +779,9 @@ QUERY_CASES = [
     # round-8: gopher-flag scan + (group) reduction; prior fit on the
     # groups axis broadcast back
     "keep_rate_eb_shrunk_by_source",
+    # round-8: distinct (group, token) reduction -> token-axis
+    # self-join with C(G,2)-bounded fanout
+    "vocab_jaccard_sources",
 ]
 
 

@@ -1294,3 +1294,13 @@ def test_eb_shrunk_rates_groups_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_jaccard_token_axis(spark):
+    # one distinct (group, token) reduction; the intersection self-join
+    # runs on the token axis with C(G,2)-bounded fanout; the pair grid
+    # is broadcast; no Python, no cartesian
+    plan = formatted_plan(spark, "vocab_jaccard_sources")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -104,3 +104,32 @@ def test_heaps_fit_hand_cases(spark):
         spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
     ).collect()[0]
     assert one["beta"] is None
+
+
+def test_vocab_jaccard_matrix_hand_case(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.textstats import (
+        vocab_jaccard_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "x y z"),
+            ("A", "x y"),       # repeats don't inflate the vocab set
+            ("B", "y z w"),
+            ("C", "q"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in vocab_jaccard_matrix(docs).collect()
+    }
+    assert len(got) == 3
+    ab = got[("A", "B")]
+    assert (ab["vocab_a"], ab["vocab_b"], ab["intersection"]) == (3, 3, 2)
+    assert ab["jaccard"] == _pytest.approx(0.5)
+    # disjoint pairs still appear, at 0
+    assert got[("A", "C")]["jaccard"] == 0.0
+    assert got[("B", "C")]["intersection"] == 0
