@@ -351,6 +351,7 @@ HEADLINE = [
     "kappa_weighted_length_deciles",
     "keep_rate_eb_shrunk_by_source",
     "vocab_jaccard_sources",
+    "retention_na_hazard",
 ]
 
 

@@ -389,3 +389,75 @@ def logrank_test(
             F.abs(z) > F.lit(z_crit), F.lit(False)
         ).alias("significant"),
     )
+
+
+def nelson_aalen_hazard(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over right-censored durations —
+    the rate view beside :func:`km_survival`'s probability view: H(t)
+    plots the ACCUMULATED churn pressure, its slope is the hazard rate
+    (where the curve steepens is when users leave), and log-H vs log-t
+    linearity is the standard Weibull-shape diagnostic none of the
+    survival probabilities expose directly.
+
+        H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ            (cumulative hazard)
+        Var  = Σ_{tᵢ≤t} dᵢ/nᵢ²           (Poisson-type variance)
+        S̃(t) = exp(−H(t))                (Fleming–Harrington survival)
+
+    Same single-scan plan as KM: one groupBy to the per-duration table,
+    windows over the time axis only.  Per-step increments quantize to
+    decimal(28,12) before the running sums (exact, order-independent);
+    the one ``exp`` goes through the same decimal cut as KM's — the
+    cross-engine libm guard.
+
+    Output per distinct duration: ``(t, n_at_risk bigint, n_events
+    bigint, hazard double, cum_hazard double, var_cum_hazard double,
+    fh_survival double)``.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(duration_col)
+    per_t = df.groupBy(t.alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    total = per_t.agg(F.sum("_rows").alias("_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nat = F.col("n_at_risk").cast("double")
+    d = F.col("n_events").cast("double")
+    staged = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("_total")
+            - F.coalesce(F.sum("_rows").over(w_prev), F.lit(0)),
+        )
+        .withColumn("_h", (d / nat).cast("decimal(28,12)"))
+        .withColumn("_v", (d / (nat * nat)).cast("decimal(28,12)"))
+        .withColumn("_cumh", F.sum("_h").over(w_cum))
+        .withColumn("_cumv", F.sum("_v").over(w_cum))
+    )
+    fh = (
+        F.exp(-F.col("_cumh").cast("double"))
+        .cast("decimal(28,12)")
+        .cast("double")
+    )
+    return staged.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("_h").cast("double"), 9).alias("hazard"),
+        F.round(F.col("_cumh").cast("double"), 9).alias("cum_hazard"),
+        F.round(F.col("_cumv").cast("double"), 9).alias(
+            "var_cum_hazard"
+        ),
+        F.round(fh, 9).alias("fh_survival"),
+    )

@@ -14830,6 +14830,97 @@ def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_jaccard_matrix(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "retention_na_hazard",
+    """
+    WITH per_u AS (
+      SELECT user_id,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN date_diff('day', min(ts)::DATE,
+                         min(ts) FILTER (WHERE event_type = 'error'
+                           AND event_id % 5 = 0)::DATE)
+                  ELSE date_diff('day', min(ts)::DATE,
+                         (SELECT max(ts)::DATE FROM events)) END AS t,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN 1 ELSE 0 END AS e
+      FROM events GROUP BY 1
+    ),
+    per_t AS (
+      SELECT t, sum(e) AS d, count(*) AS rows_ FROM per_u GROUP BY 1
+    ),
+    tot AS (SELECT sum(rows_) AS total FROM per_t),
+    staged AS (
+      SELECT t, d,
+             total - coalesce(sum(rows_) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nat
+      FROM per_t, tot
+    ),
+    inc AS (
+      SELECT t, d, nat,
+             CAST(d::DOUBLE / nat::DOUBLE AS DECIMAL(28,12)) AS h,
+             CAST(d::DOUBLE / (nat::DOUBLE * nat::DOUBLE)
+                  AS DECIMAL(28,12)) AS v
+      FROM staged
+    ),
+    cum AS (
+      SELECT t, nat, d, h,
+             sum(h) OVER w AS cumh, sum(v) OVER w AS cumv
+      FROM inc
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT t::BIGINT AS t, nat::BIGINT AS n_at_risk,
+           d::BIGINT AS n_events,
+           round(h::DOUBLE, 9) AS hazard,
+           round(cumh::DOUBLE, 9) AS cum_hazard,
+           round(cumv::DOUBLE, 9) AS var_cum_hazard,
+           round(CAST(CAST(exp(-(cumh::DOUBLE)) AS DECIMAL(28,12))
+                 AS DOUBLE), 9) AS fh_survival
+    FROM cum
+    """,
+)
+def retention_na_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative churn hazard over the same censored
+    durations as retention_km_curve
+    (operators.funnel.nelson_aalen_hazard) — the rate view beside KM's
+    probability view: where H(t) steepens is when users leave, and
+    log-H linearity is the Weibull-shape diagnostic.  One per-duration
+    reduction; time-axis windows only."""
+    from ..operators.funnel import nelson_aalen_hazard
+
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("h", "_first"))
+            .alias("duration"),
+            F.when(F.col("_churn").isNotNull(), 1)
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    return nelson_aalen_hazard(per_u, "duration", "event")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -782,6 +782,8 @@ QUERY_CASES = [
     # round-8: distinct (group, token) reduction -> token-axis
     # self-join with C(G,2)-bounded fanout
     "vocab_jaccard_sources",
+    # round-8: per-user reduction (linear) -> time-axis hazard windows
+    "retention_na_hazard",
 ]
 
 

@@ -1924,3 +1924,29 @@ def test_weighted_kappa_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         weighted_kappa(df, "a", "b", power=3)
+
+
+def test_nelson_aalen_hand_case(spark):
+    import math
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.funnel import nelson_aalen_hazard
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 0)], "duration int, event int"
+    )
+    got = {r["t"]: r for r in nelson_aalen_hazard(df).collect()}
+    assert got[1]["n_at_risk"] == 4 and got[1]["hazard"] == 0.25
+    assert got[2]["n_at_risk"] == 3
+    assert got[2]["hazard"] == _pytest.approx(1 / 3)
+    assert got[2]["cum_hazard"] == _pytest.approx(0.25 + 1 / 3)
+    assert got[2]["var_cum_hazard"] == _pytest.approx(1 / 16 + 1 / 9)
+    assert got[2]["fh_survival"] == _pytest.approx(
+        math.exp(-(0.25 + 1 / 3)), abs=1e-9
+    )
+    # a censor-only time contributes zero hazard, H flat
+    assert got[3]["hazard"] == 0.0
+    assert got[3]["cum_hazard"] == got[2]["cum_hazard"]
+    # FH survival sits near (slightly above) the KM product-limit
+    assert 0 < got[3]["fh_survival"] < 1

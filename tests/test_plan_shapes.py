@@ -1304,3 +1304,12 @@ def test_vocab_jaccard_token_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nelson_aalen_time_axis(spark):
+    # one per-duration reduction; hazard increments and cumulative
+    # sums run on the time axis only; no Python, no cartesian
+    plan = formatted_plan(spark, "retention_na_hazard")
+    assert re.search(r"partial_(sum|count|min|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
