@@ -352,6 +352,7 @@ HEADLINE = [
     "keep_rate_eb_shrunk_by_source",
     "vocab_jaccard_sources",
     "retention_na_hazard",
+    "ts_interarrival_expfit",
 ]
 
 

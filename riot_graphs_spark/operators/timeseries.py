@@ -2486,3 +2486,102 @@ def rolling_correlation(
             F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 9
         ).alias("corr"),
     )
+
+
+def interarrival_expfit(
+    df: DataFrame,
+    ts: str = "ts",
+    dims: Sequence[str] = (),
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival exponential fit with a KS goodness-of-fit — the
+    queueing question behind every "is this stream Poisson" capacity
+    model: fit the rate λ = n/Σdt to the per-series inter-arrival gaps
+    and measure the worst CDF gap against Exponential(λ).  A clean fit
+    licenses Poisson arithmetic (burst sizing, M/M/c); a big D marks
+    bursty/batched traffic where that arithmetic lies.
+
+        λ = n / Σ dt
+        D = sup_x |F_emp(x) − (1 − e^{−λx})|   (both step edges)
+
+    One per-series lag window orders the raw events (the
+    :func:`elapsed` plan class — per-series sort, no global sort);
+    the KS sup then runs counts-based over the DISTINCT-gap axis
+    (cumulative counts, the :func:`~.profile.ks_goodness_of_fit`
+    discipline), with every candidate deviation quantized to
+    decimal(28,12) before the max so the sup is engine-identical.
+
+    Output: one row per series — ``(*dims, n_gaps bigint, mean_gap_s
+    double, rate_per_s double, d_stat double, reject_exponential
+    boolean)`` at the asymptotic 5% level D > 1.358/√n.
+    """
+    gcols = list(dims)
+    keep = F.col(ts).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(ts), F.col(tiebreak)
+    )
+    # microsecond-exact gaps (unix_micros here, epoch_us in the
+    # oracle): whole-second truncation would zero out sub-second gaps
+    gaps = (
+        df.filter(keep)
+        .select(
+            *gcols,
+            (
+                F.unix_micros(F.col(ts))
+                - F.unix_micros(F.lag(F.col(ts), 1).over(w))
+            ).alias("_dt"),
+        )
+        .filter(F.col("_dt").isNotNull())
+    )
+    vc = gaps.groupBy(*gcols, "_dt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    staged = vc.select(
+        *gcols,
+        "_dt",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+        F.sum(F.col("_dt") * F.col("_c")).over(w_all).alias("_sum"),
+        F.col("_c").alias("_cc"),
+    )
+    n = F.col("_n").cast("double")
+    # dt is in MICROseconds; lambda is per second
+    lam = F.lit(1000000.0) * n / F.col("_sum").cast("double")
+    fexp = F.lit(1.0) - F.exp(
+        -lam * (F.col("_dt").cast("double") / F.lit(1000000.0))
+    )
+    hi = (F.col("_cum").cast("double") / n - fexp).cast(
+        "decimal(28,12)"
+    )
+    lo = (
+        fexp - (F.col("_cum") - F.col("_cc")).cast("double") / n
+    ).cast("decimal(28,12)")
+    per = staged.groupBy(*gcols).agg(
+        F.max("_n").alias("_ng"),
+        F.max("_sum").alias("_sumg"),
+        F.greatest(F.max(F.abs(hi)), F.max(F.abs(lo))).alias("_d"),
+    )
+    ng = F.col("_ng").cast("double")
+    return per.select(
+        *gcols,
+        F.col("_ng").cast("long").alias("n_gaps"),
+        F.round(
+            F.col("_sumg").cast("double") / F.lit(1000000.0) / ng, 9
+        ).alias("mean_gap_s"),
+        F.round(
+            F.lit(1000000.0) * ng / F.col("_sumg").cast("double"), 9
+        ).alias("rate_per_s"),
+        F.round(F.col("_d").cast("double"), 9).alias("d_stat"),
+        (
+            F.col("_d").cast("double")
+            > F.lit(1.3581) / F.sqrt(ng)
+        ).alias("reject_exponential"),
+    )

@@ -14921,6 +14921,68 @@ def retention_na_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nelson_aalen_hazard(per_u, "duration", "event")
 
 
+@_q(
+    "ts_interarrival_expfit",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (SELECT event_type, dt FROM gaps WHERE dt IS NOT NULL),
+    vc AS (
+      SELECT event_type, dt, count(*) AS c FROM g GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT event_type, dt, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY dt
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n,
+             sum(dt * c) OVER (PARTITION BY event_type) AS s
+      FROM vc
+    ),
+    dev AS (
+      SELECT event_type, n, s,
+             CAST(cum::DOUBLE / n::DOUBLE
+               - (1.0 - exp(-(1000000.0 * n::DOUBLE / s::DOUBLE)
+                            * (dt::DOUBLE / 1000000.0)))
+               AS DECIMAL(28,12)) AS hi,
+             CAST((1.0 - exp(-(1000000.0 * n::DOUBLE / s::DOUBLE)
+                             * (dt::DOUBLE / 1000000.0)))
+               - (cum - c)::DOUBLE / n::DOUBLE
+               AS DECIMAL(28,12)) AS lo
+      FROM staged
+    ),
+    per AS (
+      SELECT event_type, max(n) AS ng, max(s) AS sg,
+             greatest(max(abs(hi)), max(abs(lo))) AS d
+      FROM dev GROUP BY 1
+    )
+    SELECT event_type, ng::BIGINT AS n_gaps,
+           round(sg::DOUBLE / 1000000.0 / ng::DOUBLE, 9) AS mean_gap_s,
+           round(1000000.0 * ng::DOUBLE / sg::DOUBLE, 9) AS rate_per_s,
+           round(d::DOUBLE, 9) AS d_stat,
+           d::DOUBLE > 1.3581 / sqrt(ng::DOUBLE)
+             AS reject_exponential
+    FROM per
+    """,
+)
+def ts_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival exponential fit + KS goodness-of-fit per event
+    type (operators.timeseries.interarrival_expfit) — the "is this
+    stream Poisson" capacity check: λ from microsecond-exact gaps, the
+    worst CDF gap against Exponential(λ) on the distinct-gap axis;
+    reject marks bursty/batched traffic where Poisson sizing lies."""
+    from ..operators.timeseries import interarrival_expfit
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_expfit(
+        ev, ts="ts", dims=["event_type"], tiebreak="event_id"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

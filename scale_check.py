@@ -784,6 +784,8 @@ QUERY_CASES = [
     "vocab_jaccard_sources",
     # round-8: per-user reduction (linear) -> time-axis hazard windows
     "retention_na_hazard",
+    # round-8: per-series lag window -> distinct-gap KS
+    "ts_interarrival_expfit",
 ]
 
 

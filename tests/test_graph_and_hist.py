@@ -1950,3 +1950,38 @@ def test_nelson_aalen_hand_case(spark):
     assert got[3]["cum_hazard"] == got[2]["cum_hazard"]
     # FH survival sits near (slightly above) the KM product-limit
     assert 0 < got[3]["fh_survival"] < 1
+
+
+def test_interarrival_expfit_hand_cases(spark):
+    import math
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.timeseries import (
+        interarrival_expfit,
+    )
+
+    # perfectly regular 10s gaps: lambda = 0.1, the empirical CDF jumps
+    # 0 -> 1 at x = 10 while F_exp(10) = 1 - e^-1, so
+    # D = max(1 - (1-e^-1), 1 - e^-1) = 1 - e^-1 ~ .632 -> reject
+    rows = [
+        ("reg", f"2024-01-01 00:00:{10*i:02d}", i) for i in range(6)
+    ]
+    # single event: no gaps, absent
+    rows += [("one", "2024-01-01 00:00:00", 99)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: r
+        for r in interarrival_expfit(
+            df, dims=["event_type"]
+        ).collect()
+    }
+    reg = got["reg"]
+    assert reg["n_gaps"] == 5
+    assert reg["mean_gap_s"] == _pytest.approx(10.0)
+    assert reg["rate_per_s"] == _pytest.approx(0.1)
+    assert reg["d_stat"] == _pytest.approx(1 - math.exp(-1), abs=1e-9)
+    assert reg["reject_exponential"]
+    assert "one" not in got

@@ -1313,3 +1313,12 @@ def test_nelson_aalen_time_axis(spark):
     assert re.search(r"partial_(sum|count|min|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interarrival_expfit_axes(spark):
+    # per-series lag window (the elapsed plan class) -> distinct-gap
+    # counts-based KS; no Python, no cartesian
+    plan = formatted_plan(spark, "ts_interarrival_expfit")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
