@@ -353,6 +353,7 @@ HEADLINE = [
     "vocab_jaccard_sources",
     "retention_na_hazard",
     "ts_interarrival_expfit",
+    "retention_survival_summary",
 ]
 
 

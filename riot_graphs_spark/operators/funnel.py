@@ -461,3 +461,74 @@ def nelson_aalen_hazard(
         ),
         F.round(fh, 9).alias("fh_survival"),
     )
+
+
+def survival_summary(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    horizon: int | None = None,
+) -> DataFrame:
+    """Median survival time and RMST — the two SCALARS a
+    :func:`km_survival` curve gets asked for in every review: "when has
+    half the cohort churned" (median = first t where S(t) ≤ 0.5, NULL
+    if the curve never crosses — most users survive the horizon) and
+    "how many retained days does a signup buy within H" (RMST = ∫₀ᴴ
+    S(t)dt — the area under the curve, robust where the median is
+    undefined and the mean is uncomputable under censoring).
+
+    RMST integrates the step function exactly: S is constant between
+    event times, so the area is Σ S(tᵢ)·(min(tᵢ₊₁, H) − tᵢ) plus the
+    S=1 segment before the first time.  ``horizon`` defaults to the
+    largest observed duration.  Composes :func:`km_survival` — the
+    windows run on its time-axis output only; the final reduction is
+    one row.
+
+    Output: one row — ``(n bigint, n_events bigint, horizon bigint,
+    median_survival bigint, rmst double)``.
+    """
+    from pyspark.sql import Window
+
+    curve = km_survival(df, duration_col, event_col)
+    if horizon is None:
+        hz = curve.agg(F.max("t").alias("_h"))
+    else:
+        one = curve.limit(1).select(
+            F.lit(int(horizon)).alias("_h")
+        )
+        hz = one
+    w_next = Window.orderBy("t")
+    staged = (
+        curve.crossJoin(F.broadcast(hz))
+        .withColumn("_tnext", F.lead("t", 1).over(w_next))
+        .withColumn("_first", F.min("t").over(Window.partitionBy()))
+    )
+    # segment [t_i, min(t_{i+1}, H)) carries S(t_i); clip to horizon
+    seg_end = F.least(
+        F.coalesce(F.col("_tnext").cast("double"), F.col("_h").cast("double")),
+        F.col("_h").cast("double"),
+    )
+    seg_len = F.greatest(
+        seg_end - F.col("t").cast("double"), F.lit(0.0)
+    )
+    area = (F.col("survival") * seg_len).cast("decimal(28,12)")
+    # the S=1 stretch from 0 to the first event time (clipped)
+    head = F.least(
+        F.col("_first").cast("double"), F.col("_h").cast("double")
+    )
+    return staged.agg(
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .cast("long")
+        .alias("n"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("_h").cast("long").alias("horizon"),
+        F.min(
+            F.when(F.col("survival") <= 0.5, F.col("t"))
+        ).cast("long").alias("median_survival"),
+        F.round(
+            F.max(head)
+            + F.coalesce(F.sum(area), F.lit(0).cast("decimal(28,12)"))
+            .cast("double"),
+            9,
+        ).alias("rmst"),
+    )

@@ -14983,6 +14983,79 @@ def ts_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "retention_survival_summary",
+    f"""
+    WITH curve AS ({ORACLES["retention_km_curve"]}),
+    hz AS (SELECT max(t) AS h FROM curve),
+    staged AS (
+      SELECT c.*, hz.h,
+             lead(t) OVER (ORDER BY t) AS tnext,
+             min(t) OVER () AS first_t
+      FROM curve c CROSS JOIN hz
+    ),
+    seg AS (
+      SELECT *,
+             CAST(survival * greatest(
+               least(coalesce(tnext::DOUBLE, h::DOUBLE), h::DOUBLE)
+                 - t::DOUBLE, 0.0) AS DECIMAL(28,12)) AS area,
+             least(first_t::DOUBLE, h::DOUBLE) AS head
+      FROM staged
+    )
+    SELECT sum(n_events + n_censored)::BIGINT AS n,
+           sum(n_events)::BIGINT AS n_events,
+           max(h)::BIGINT AS horizon,
+           min(CASE WHEN survival <= 0.5 THEN t END)::BIGINT
+             AS median_survival,
+           round(max(head)
+                 + coalesce(sum(area),
+                            CAST(0 AS DECIMAL(28,12)))::DOUBLE, 9)
+             AS rmst
+    FROM seg
+    """,
+)
+def retention_survival_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median survival and restricted mean survival time over the KM
+    churn curve (operators.funnel.survival_summary, default horizon =
+    max observed duration) — the two scalars every retention review
+    asks the curve for: when half the cohort has churned (NULL while
+    most survive), and how many retained days a signup buys within the
+    horizon (exact step-function integral, censoring-safe)."""
+    from ..operators.funnel import survival_summary
+
+    ev = _t(spark, sf_dir, "events")
+    horizon_df = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(horizon_df))
+        .select(
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("h", "_first"))
+            .alias("duration"),
+            F.when(F.col("_churn").isNotNull(), 1)
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    return survival_summary(per_u, "duration", "event")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

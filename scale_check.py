@@ -786,6 +786,9 @@ QUERY_CASES = [
     "retention_na_hazard",
     # round-8: per-series lag window -> distinct-gap KS
     "ts_interarrival_expfit",
+    # round-8: per-user + per-duration reductions -> time-axis segment
+    # integral to one row
+    "retention_survival_summary",
 ]
 
 

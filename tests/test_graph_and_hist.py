@@ -1985,3 +1985,32 @@ def test_interarrival_expfit_hand_cases(spark):
     assert reg["d_stat"] == _pytest.approx(1 - math.exp(-1), abs=1e-9)
     assert reg["reject_exponential"]
     assert "one" not in got
+
+
+def test_survival_summary_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.funnel import survival_summary
+
+    # no censoring: RMST equals the plain mean duration
+    full = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "duration int, event int"
+    )
+    got = survival_summary(full).collect()[0]
+    assert (got["n"], got["n_events"], got["horizon"]) == (4, 4, 4)
+    assert got["median_survival"] == 2
+    assert got["rmst"] == _pytest.approx(2.5)
+
+    # censoring: curve never crosses 0.5 -> NULL median; RMST = area
+    # 1*1 + (2/3)*2 = 7/3 to the default (max-duration) horizon
+    cen = spark.createDataFrame(
+        [(1, 1), (3, 0), (3, 0)], "duration int, event int"
+    )
+    got = survival_summary(cen).collect()[0]
+    assert got["median_survival"] is None
+    assert got["rmst"] == _pytest.approx(1 + 4 / 3)
+
+    # explicit horizon clips the integral
+    got = survival_summary(cen, horizon=2).collect()[0]
+    assert got["horizon"] == 2
+    assert got["rmst"] == _pytest.approx(1 + 2 / 3)

@@ -1322,3 +1322,12 @@ def test_interarrival_expfit_axes(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_survival_summary_time_axis(spark):
+    # one per-user + per-duration reduction; segment areas and the
+    # final one-row summary run on the KM time axis; no Python
+    plan = formatted_plan(spark, "retention_survival_summary")
+    assert re.search(r"partial_(sum|count|min|max)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
