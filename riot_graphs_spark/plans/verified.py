@@ -196,7 +196,19 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: head the window per the unverified-first rule.  Kept empty for r06: every
 #: pre-r06 registration now has a driver row, so all window slots go to the
 #: round-6 registrations.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
+#:
+#: r08: the late round-8 batch grew the pending set to 53 — three past the
+#: 50-slot window.  The three LAST-registered names defer (each is
+#: driver-replica green at sf0.01 already; the deferral only sequences the
+#: external driver's own hash row into the r09 window).  Empty for r09
+#: alongside appending _ROUND_8.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        "retention_na_hazard",
+        "ts_interarrival_expfit",
+        "retention_survival_summary",
+    }
+)
 
 
 def rotation_order(
