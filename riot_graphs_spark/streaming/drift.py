@@ -279,3 +279,129 @@ def drift_monitor_writer(
         report.write.mode("append").parquet(monitor_path)
 
     return _score
+
+
+def record_baseline_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    recorded_at=None,
+) -> DataFrame:
+    """The Page–Hinkley calibration artifact: per-group baseline MEAN
+    (exact decimal sum / count) plus row count — the μ₀ the cumulative
+    detector drifts against.  Store it next to the count/CDF artifacts;
+    pass ``recorded_at`` for the staleness trail."""
+    gcols = list(group_cols)
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(*gcols).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if recorded_at is not None:
+        agg = agg.withColumn(
+            "recorded_at", F.lit(recorded_at).cast("timestamp")
+        )
+    return agg
+
+
+def ph_monitor_writer(
+    baseline_mean: DataFrame,
+    monitor_path: str,
+    value_col: str,
+    delta: float,
+    lam: float,
+    group_cols: Sequence[str] = (),
+):
+    """Return a ``foreachBatch`` function running a Page–Hinkley
+    CUMULATIVE mean-shift detector beside the per-batch PSI/KS of
+    :func:`drift_monitor_writer`: PSI/KS score each batch in isolation,
+    so a slow creep that never moves one batch far enough stays
+    invisible — PH accumulates it.
+
+    Over the sequence of BATCH MEANS x̄_b (one observation per
+    micro-batch, per group):
+
+        U_b = U_{b−1} + (x̄_b − μ₀ − δ)        (δ = tolerated drift)
+        alarm when U_b − min_{i≤b} U_i > λ
+
+    State is exactly (U, min U) per group — O(groups), carried IN the
+    monitor table itself: each batch reads the latest state row per
+    group with ``batch_id < epoch`` (so a REPLAYED epoch recomputes
+    from the same predecessor instead of double-applying — exactly-once
+    state under at-least-once foreachBatch), then appends
+    ``(batch_id, *group_cols, n_b, batch_mean, ph_u, ph_min,
+    ph_alarm)``.  The state read is a bounded monitor-table scan (rows =
+    batches × groups; compact/TTL the monitor like any sink).
+    """
+    gcols = list(group_cols)
+    base = baseline_mean.select(
+        *gcols, F.col("mu0").alias("_mu0")
+    )
+
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        means = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(*gcols)
+            .agg(
+                (
+                    F.sum(
+                        F.col(value_col).cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("batch_mean"),
+                F.count(F.lit(1)).alias("n_b"),
+            )
+        )
+        try:
+            prior = spark.read.parquet(monitor_path).filter(
+                F.col("batch_id") < F.lit(int(epoch_id))
+            )
+            w = Window.partitionBy(*gcols).orderBy(
+                F.col("batch_id").desc()
+            ) if gcols else Window.orderBy(F.col("batch_id").desc())
+            state = (
+                prior.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    *gcols,
+                    F.col("ph_u").alias("_u0"),
+                    F.col("ph_min").alias("_m0"),
+                )
+            )
+        except Exception:
+            state = None
+        joined = means.join(F.broadcast(base), gcols) if gcols else (
+            means.crossJoin(F.broadcast(base))
+        )
+        if state is not None:
+            joined = (
+                joined.join(F.broadcast(state), gcols, "left")
+                if gcols
+                else joined.crossJoin(F.broadcast(state))
+            )
+        else:
+            joined = joined.withColumn("_u0", F.lit(None)).withColumn(
+                "_m0", F.lit(None)
+            )
+        u = (
+            F.coalesce(F.col("_u0"), F.lit(0.0))
+            + (F.col("batch_mean") - F.col("_mu0") - F.lit(delta))
+        )
+        mn = F.least(F.coalesce(F.col("_m0"), F.lit(0.0)), u)
+        out = joined.select(
+            F.lit(int(epoch_id)).alias("batch_id"),
+            *gcols,
+            "n_b",
+            F.round("batch_mean", 9).alias("batch_mean"),
+            F.round(u, 9).alias("ph_u"),
+            F.round(mn, 9).alias("ph_min"),
+            ((u - mn) > F.lit(lam)).alias("ph_alarm"),
+        )
+        out.write.mode("append").parquet(monitor_path)
+
+    return _score

@@ -1208,3 +1208,59 @@ def test_drift_monitor_baseline_staleness_guard(spark, tmp_path):
         drift_monitor_writer(
             unstamped, str(tmp_path / "m4"), max_age_sec=60, **spec
         )
+
+
+def test_ph_monitor_accumulates_and_alarms_on_creep(spark, tmp_path):
+    """Page-Hinkley monitor (streaming/drift.ph_monitor_writer): a slow
+    per-batch creep that PSI would score as individually unremarkable
+    accumulates across batches until U - min(U) crosses lambda; a
+    replayed epoch recomputes from the same predecessor state (no
+    double-apply)."""
+    from riot_graphs_spark.streaming.drift import (
+        ph_monitor_writer,
+        record_baseline_mean,
+    )
+
+    baseline = spark.createDataFrame(
+        [("g", 10.0)] * 50, "grp string, value double"
+    )
+    mu = record_baseline_mean(baseline, "value", ["grp"])
+    monitor = str(tmp_path / "ph")
+    # delta tolerates 0.1 of drift; lambda alarms after ~3 units of
+    # accumulated excess
+    writer = ph_monitor_writer(
+        mu, monitor, "value", delta=0.1, lam=3.0, group_cols=["grp"]
+    )
+
+    def batch(mean):
+        return spark.createDataFrame(
+            [("g", float(mean))] * 10, "grp string, value double"
+        )
+
+    # stable batches: U drifts DOWN by delta each time, min tracks it,
+    # no alarm
+    writer(batch(10.0), 0)
+    writer(batch(10.0), 1)
+    # creep: +1.1 over baseline accumulates 1.0 of excess per batch
+    for i in range(2, 6):
+        writer(batch(11.1), i)
+    rows = {
+        r.batch_id: r
+        for r in spark.read.parquet(monitor).collect()
+    }
+    assert not rows[0].ph_alarm and not rows[1].ph_alarm
+    # after 4 creep batches the excess is 4.0 > lambda=3
+    assert not rows[2].ph_alarm and not rows[3].ph_alarm
+    assert rows[5].ph_alarm
+    # U at batch 5: -0.2 (two stable) + 4 * 1.0 = 3.8 exactly
+    import pytest as _pytest
+
+    assert rows[5].ph_u == _pytest.approx(3.8)
+    assert rows[5].ph_min == _pytest.approx(-0.2)
+
+    # replay of epoch 5: state reads only batch_id < 5, so the
+    # re-appended row is identical, not double-applied
+    writer(batch(11.1), 5)
+    raw = spark.read.parquet(monitor).filter("batch_id = 5").collect()
+    assert len(raw) == 2
+    assert len({(r.ph_u, r.ph_min, r.ph_alarm) for r in raw}) == 1
