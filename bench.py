@@ -354,6 +354,7 @@ HEADLINE = [
     "retention_na_hazard",
     "ts_interarrival_expfit",
     "retention_survival_summary",
+    "emb_cells_vs_labels_ari",
 ]
 
 

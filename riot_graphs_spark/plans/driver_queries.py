@@ -15056,6 +15056,78 @@ def retention_survival_summary(
     return survival_summary(per_u, "duration", "event")
 
 
+@_q(
+    "emb_cells_vs_labels_ari",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, e.label, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6)
+               AS dist2
+      FROM embeddings e CROSS JOIN cents
+      WHERE e.label IS NOT NULL
+    ), own AS (
+      SELECT vec_id, CAST(label AS VARCHAR) AS lab, cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), joint AS (
+      SELECT cell, lab, count(*) AS n FROM own GROUP BY 1, 2
+    ), cells AS (SELECT cell, sum(n) AS a FROM joint GROUP BY 1),
+    labs AS (SELECT lab, sum(n) AS b FROM joint GROUP BY 1),
+    maj AS (
+      SELECT sum(m) AS pur FROM (
+        SELECT cell, max(n) AS m FROM joint GROUP BY 1)
+    ),
+    s AS (
+      SELECT (SELECT sum(n) FROM joint) AS nn,
+             (SELECT sum(CAST(n * (n - 1) / 2 AS DECIMAL(38,0)))
+              FROM joint) AS sij,
+             (SELECT count(*) FROM cells) AS k_cells,
+             (SELECT sum(CAST(a * (a - 1) / 2 AS DECIMAL(38,0)))
+              FROM cells) AS sa,
+             (SELECT count(*) FROM labs) AS k_labels,
+             (SELECT sum(CAST(b * (b - 1) / 2 AS DECIMAL(38,0)))
+              FROM labs) AS sb,
+             (SELECT pur FROM maj) AS pur
+    ),
+    calc AS (
+      SELECT *,
+             sa::DOUBLE * sb::DOUBLE
+               / ((nn * (nn - 1) / 2)::DOUBLE) AS e,
+             (sa::DOUBLE + sb::DOUBLE) / 2.0 AS mx
+      FROM s
+    )
+    SELECT nn::BIGINT AS n, k_cells::BIGINT AS k_cells,
+           k_labels::BIGINT AS k_labels,
+           round(pur::DOUBLE / nn::DOUBLE, 9) AS purity,
+           round(CASE WHEN mx - e != 0
+                 THEN (sij::DOUBLE - e) / (mx - e) END, 9) AS ari
+    FROM calc
+    """,
+)
+def emb_cells_vs_labels_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validation: weighted purity and exact
+    pair-counting Adjusted Rand Index between the four fixed cells and
+    the embeddings' stored labels
+    (operators.similarity.clustering_label_agreement) — the judge the
+    internal silhouette/DB/CH triad can't be when ground truth exists;
+    integer combinatorics end-to-end."""
+    from ..operators.similarity import clustering_label_agreement
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return clustering_label_agreement(
+        _t(spark, sf_dir, "embeddings"), cents
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

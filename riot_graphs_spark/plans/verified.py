@@ -207,6 +207,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset(
         "retention_na_hazard",
         "ts_interarrival_expfit",
         "retention_survival_summary",
+        "emb_cells_vs_labels_ari",
     }
 )
 

@@ -789,6 +789,9 @@ QUERY_CASES = [
     # round-8: per-user + per-duration reductions -> time-axis segment
     # integral to one row
     "retention_survival_summary",
+    # round-8: zero-shuffle assignment -> (cell, label) contingency ->
+    # cells-axis combinatorics
+    "emb_cells_vs_labels_ari",
 ]
 
 

@@ -261,3 +261,50 @@ def test_calinski_harabasz_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         calinski_harabasz(df, [[0.0, 0.0]])
+
+
+def test_clustering_label_agreement_hand_cases(spark):
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.similarity import (
+        clustering_label_agreement,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>, label string"
+        )
+        return clustering_label_agreement(df, cents).collect()[0]
+
+    # cells exactly reproduce the labels: purity 1, ARI 1
+    perfect = run(
+        [
+            (1, [0.0, 0.0], "a"),
+            (2, [0.1, 0.0], "a"),
+            (3, [10.0, 0.0], "b"),
+            (4, [10.1, 0.0], "b"),
+        ]
+    )
+    assert (perfect["k_cells"], perfect["k_labels"]) == (2, 2)
+    assert perfect["purity"] == 1.0 and perfect["ari"] == 1.0
+
+    # labels split evenly across cells: purity .5, ARI = -0.5 exactly
+    # (worse than chance for this table)
+    anti = run(
+        [
+            (1, [0.0, 0.0], "a"),
+            (2, [0.1, 0.0], "b"),
+            (3, [10.0, 0.0], "a"),
+            (4, [10.1, 0.0], "b"),
+        ]
+    )
+    assert anti["purity"] == 0.5
+    assert anti["ari"] == _pytest.approx(-0.5)
+
+    # one cell + one label: agreement is all chance -> NULL ARI
+    degen = run(
+        [(1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a")]
+    )
+    assert degen["ari"] is None and degen["purity"] == 1.0

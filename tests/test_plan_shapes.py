@@ -1331,3 +1331,12 @@ def test_survival_summary_time_axis(spark):
     assert re.search(r"partial_(sum|count|min|max)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ari_contingency_axis(spark):
+    # zero-shuffle assignment scan -> one (cell, label) contingency
+    # groupBy; marginals and C(n,2) sums on the cells axis; no Python
+    plan = formatted_plan(spark, "emb_cells_vs_labels_ari")
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
