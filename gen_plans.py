@@ -175,6 +175,16 @@ SHOWCASE = [
     "emb_calinski_harabasz_fixed",
     "ts_mann_kendall",
     "ts_seasonal_strength",
+    # round-8 closing families: levels-grid weighted kappa, groups-axis
+    # EB prior broadcast, token-axis vocab Jaccard, time-axis hazard /
+    # RMST walks, distinct-gap KS, contingency-axis ARI
+    "kappa_weighted_length_deciles",
+    "keep_rate_eb_shrunk_by_source",
+    "vocab_jaccard_sources",
+    "retention_na_hazard",
+    "ts_interarrival_expfit",
+    "retention_survival_summary",
+    "emb_cells_vs_labels_ari",
 ]
 
 
