@@ -2216,8 +2216,13 @@ def proportion_power_mde(
     observed diff NULLs power/n_req.
     """
     flag = F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0)
+    # Same population as ab_proportion_test: NULL flags are excluded, not
+    # counted as non-conversions — the power/MDE readout must use the same
+    # n and rates as the significance verdict it contextualizes.
     per = (
-        df.filter(F.col(variant_col).isNotNull())
+        df.filter(
+            F.col(variant_col).isNotNull() & F.col(flag_col).isNotNull()
+        )
         .select(
             F.col(variant_col).cast("string").alias("_v"),
             flag.alias("_y"),

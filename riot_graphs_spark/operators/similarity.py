@@ -1407,8 +1407,11 @@ def clustering_label_agreement(
                  E = Σ C(a_c,2)·Σ C(b_l,2)/C(N,2), chance-corrected)
 
     ARI is EXACT integer combinatorics over the (cell, label)
-    contingency table — every C(n,2) term is int64, the three sums ride
-    decimal(38,0), and only the final ratio divides (ARI = 1 perfect,
+    contingency table — every C(n,2) term is computed as an exact
+    decimal(37,0) product (the even factor halved by an integer shift
+    BEFORE the multiply, so nothing rides a long multiply or a double
+    division), the three sums ride decimal(38,0), and only the final
+    ratio divides (ARI = 1 perfect,
     ≈ 0 random, < 0 worse than chance — the number purity flatters with
     many small cells).  One zero-shuffle assignment scan + one
     contingency groupBy; marginals derive from the cells-axis table.
@@ -1431,7 +1434,19 @@ def clustering_label_agreement(
     )
 
     def c2(col):
-        return (col * (col - 1) / F.lit(2)).cast("decimal(38,0)")
+        # Integer-exact C(n,2).  The naive `col*(col-1)/2` multiplies in
+        # long (overflows above ~3e9) and divides with `/` (double —
+        # loses ulps above 2^53) before the decimal cast.  Instead halve
+        # the even factor with an exact shift, then multiply in decimal:
+        # decimal(18,0) × decimal(18,0) → decimal(37,0), exact for any
+        # count below 1e18.
+        n = col.cast("long")
+        ev = n % 2 == F.lit(0)
+        a = F.when(ev, F.shiftright(n, 1)).otherwise(n)
+        b = F.when(ev, n - 1).otherwise(F.shiftright(n - 1, 1))
+        return (
+            a.cast("decimal(18,0)") * b.cast("decimal(18,0)")
+        ).cast("decimal(38,0)")
 
     cells = joint.groupBy("_cell").agg(F.sum("_n").alias("_a"))
     labs = joint.groupBy("_lab").agg(F.sum("_n").alias("_b"))
@@ -1468,7 +1483,9 @@ def clustering_label_agreement(
         )
     )
     nn = F.col("n").cast("double")
-    tot2 = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("double")
+    # tot2 feeds a double-valued formula; compute it in double from the
+    # start (long n*(n-1) would overflow above ~3e9 rows).
+    tot2 = nn * (nn - F.lit(1.0)) / F.lit(2.0)
     e = F.col("_sa").cast("double") * F.col("_sb").cast("double") / tot2
     mx = (
         F.col("_sa").cast("double") + F.col("_sb").cast("double")

@@ -1888,7 +1888,9 @@ def theil_sen_slope(
     "it's rising", Theil–Sen says "by this much per day", least squares
     says whatever the worst day made it say).
 
-    Slopes are ``(mean_j − mean_i) / Δdays`` over the bucketed series
+    Slopes are ``(mean_j − mean_i) / Δbuckets`` (the exact
+    unix-timestamp delta in *unit* lengths; fixed-length units only —
+    month/year raise) over the bucketed series
     (one partial-aggregable reduction of the facts); the O(n²) pair set
     lives on the BUCKET axis (days per series), and the median is the
     LOWER weighted median via cumulative counts over the distinct-slope
@@ -1902,6 +1904,25 @@ def theil_sen_slope(
     """
     gcols = list(dims)
     dec = "decimal(28,6)"
+    # Slope denominators are computed in BUCKET units via the exact
+    # unix-timestamp difference (session TZ is pinned UTC, so bucket
+    # deltas are exact multiples of the unit length).  datediff() would
+    # floor to whole days: with unit='hour' same-day pairs divide by
+    # zero (NULL, silently dropped) and the survivors mis-scale.
+    # Variable-length units (month/year) have no fixed second count and
+    # are rejected rather than mis-scaled.
+    _unit_seconds = {
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "week": 604800,
+    }
+    if unit not in _unit_seconds:
+        raise ValueError(
+            f"theil_sen_slope: unit={unit!r} has no fixed length; "
+            "use one of " + ", ".join(sorted(_unit_seconds))
+        )
+    unit_sec = _unit_seconds[unit]
     keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
     for g in gcols:
         keep = keep & F.col(g).isNotNull()
@@ -1929,7 +1950,12 @@ def theil_sen_slope(
     )
     slope = F.round(
         (F.col("_mb").cast("double") - F.col("_ma").cast("double"))
-        / F.datediff(F.col("_bb"), F.col("_ba")).cast("double"),
+        / (
+            (
+                F.unix_timestamp("_bb") - F.unix_timestamp("_ba")
+            ).cast("double")
+            / F.lit(float(unit_sec))
+        ),
         9,
     )
     counts = pairs.select(*gcols, slope.alias("_s")).groupBy(

@@ -177,9 +177,39 @@ _ROUND_7 = [
     "freq_boilerplate_trigrams", "quality_auc_bootstrap_ci",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r08.json.
+#: All 50 window slots went to round-8 registrations (the _ROUND_7 append
+#: landed on time, so zero slots were wasted on re-checks); every one of the
+#: 50 went green on first driver contact.  The four round-8 registrations
+#: past the window (see DEFER_TO_NEXT_WINDOW history below) head the r09
+#: window instead.
+_ROUND_8 = [
+    "quality_delta_auc_paired", "quality_mean_ci_by_source",
+    "corpus_build_manifest", "mcnemar_langid_vs_majority",
+    "js_source_lang_divergence", "doclen_median_bootstrap_ci",
+    "vocab_coverage_curve", "mixture_ess_uniform", "perm_test_user_value",
+    "text_readability", "contamination_rate_by_source", "lang_mix_entropy",
+    "vocab_entropy_by_source", "split_dup_leakage", "emb_similarity_hist",
+    "quality_hist_calibration", "integrity_checksum_orders",
+    "cdc_chunk_dedup_report", "emb_dim_stats", "privacy_k_anonymity",
+    "blocklist_screen_report", "cdc_chunk_neardup_pairs",
+    "search_rbo_lexical_vs_dense", "ab_simpsons_check", "ts_mann_kendall",
+    "ts_seasonal_strength", "ts_theil_sen", "ts_cusum_changepoint",
+    "mw_doclen_sources", "welch_value_click_purchase",
+    "anova_value_event_types", "kw_doclen_by_lang", "vocab_zipf_fit",
+    "ts_forecast_backtest", "pairwise_welch_event_types",
+    "emb_silhouette_fixed_cells", "ab_power_mde", "pairwise_welch_bh_fdr",
+    "emb_davies_bouldin_fixed", "levene_doclen_by_lang",
+    "ts_dominant_period", "join_audit_lineitem_orders",
+    "ts_rolling_corr_click_view", "trend_conversion_by_activity",
+    "logrank_churn_by_parity", "vocab_heaps_fit",
+    "emb_calinski_harabasz_fixed", "kappa_weighted_length_deciles",
+    "keep_rate_eb_shrunk_by_source", "vocab_jaccard_sources",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
-    + _ROUND_7
+    + _ROUND_7 + _ROUND_8
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
@@ -197,19 +227,17 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: pre-r06 registration now has a driver row, so all window slots go to the
 #: round-6 registrations.
 #:
-#: r08: the late round-8 batch grew the pending set to 53 — three past the
-#: 50-slot window.  The three LAST-registered names defer (each is
-#: driver-replica green at sf0.01 already; the deferral only sequences the
-#: external driver's own hash row into the r09 window).  Empty for r09
-#: alongside appending _ROUND_8.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        "retention_na_hazard",
-        "ts_interarrival_expfit",
-        "retention_survival_summary",
-        "emb_cells_vs_labels_ari",
-    }
-)
+#: r08: the late round-8 batch grew the pending set to 54 — four past the
+#: 50-slot window.  The four LAST-registered names deferred
+#: (retention_na_hazard, ts_interarrival_expfit, retention_survival_summary,
+#: emb_cells_vs_labels_ari — each driver-replica green at sf0.01 already; the
+#: deferral only sequenced the external driver's own hash row into the r09
+#: window).
+#:
+#: Emptied for r09 alongside appending _ROUND_8: those four names now have no
+#: driver row and no defer mark, so the unverified-first rule puts them at
+#: the head of the r09 window automatically.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def rotation_order(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -357,6 +358,10 @@ def ph_monitor_writer(
                 F.count(F.lit(1)).alias("n_b"),
             )
         )
+        # Only a missing/empty monitor path (the first batch) may reset
+        # Page-Hinkley state to zero; any OTHER read failure must propagate
+        # and fail the batch — silently resetting cumulative state would
+        # suppress exactly the slow-creep alarm the detector exists for.
         try:
             prior = spark.read.parquet(monitor_path).filter(
                 F.col("batch_id") < F.lit(int(epoch_id))
@@ -373,7 +378,7 @@ def ph_monitor_writer(
                     F.col("ph_min").alias("_m0"),
                 )
             )
-        except Exception:
+        except AnalysisException:
             state = None
         joined = means.join(F.broadcast(base), gcols) if gcols else (
             means.crossJoin(F.broadcast(base))
