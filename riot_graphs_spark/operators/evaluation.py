@@ -2561,3 +2561,557 @@ def eb_shrunk_rates(
         F.round(F.col("_alpha"), 9).alias("alpha"),
         F.round(F.col("_beta"), 9).alias("beta"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns —
+    the omnibus "are these labels related at all" screen before any
+    per-cell drill-down (:func:`~..operators.profile.categorical_association`
+    emits Cramér's V alone; this adds the χ² statistic, its degrees of
+    freedom, and a closed-form p so the V has a significance verdict).
+
+        χ²  = Σ_cells (O − R·C/N)² / (R·C/N)
+        V   = √(χ² / (N · min(r−1, c−1)))
+        p   ≈ P(χ²_k > x) via Wilson–Hilferty: the cube-root transform
+              z = ((x/k)^⅓ − (1 − 2/9k)) / √(2/9k) is ~N(0,1), and Φ
+              evaluates through the same A–S erfc polynomial as
+              :func:`_norm_p_two_sided` (identical literals in the
+              oracle — hash-stable).
+
+    Exactness: each cell term is formed from EXACT integers first —
+    (O·N − R·C)² / (R·C·N) with the numerator an exact decimal(38,0)
+    square — so the only doubles are one division per cell and the
+    A–S polynomial; per-cell terms quantize to decimal(28,12) before
+    the cross-cell sum (cell order can't move the statistic).  One
+    (a,b) count groupBy reduces the corpus; marginals derive from the
+    cells-axis aggregate (broadcast back — never a second corpus scan).
+
+    Output: one row — ``(n bigint, r bigint, c bigint, dof bigint,
+    chi2 double, cramers_v double, p_approx double)``; dof = 0 (single
+    row or column) NULLs the statistics.
+    """
+    keep = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    cells = (
+        df.filter(keep)
+        .groupBy(
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint()
+    )
+    rows = cells.groupBy("_a").agg(F.sum("_o").alias("_r"))
+    colsy = cells.groupBy("_b").agg(F.sum("_o").alias("_c"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct("_a").alias("_nr"),
+        F.count_distinct("_b").alias("_nc"),
+    )
+    dec0 = "decimal(38,0)"
+    joined = (
+        cells.join(F.broadcast(rows), "_a")
+        .join(F.broadcast(colsy), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # (O*N - R*C)^2 / (R*C*N): numerator exact decimal, one division
+    num = (
+        F.col("_o").cast(dec0) * F.col("_n").cast(dec0)
+        - F.col("_r").cast(dec0) * F.col("_c").cast(dec0)
+    )
+    den = (
+        F.col("_r").cast(dec0)
+        * F.col("_c").cast(dec0)
+        * F.col("_n").cast(dec0)
+    )
+    term = (
+        (num.cast("double") * num.cast("double")) / den.cast("double")
+    ).cast("decimal(28,12)")
+    agg = joined.agg(
+        F.max("_n").alias("n"),
+        F.max("_nr").alias("r"),
+        F.max("_nc").alias("c"),
+        F.sum(term).alias("_chi2"),
+    )
+    k = (
+        (F.col("r") - 1) * (F.col("c") - 1)
+    ).cast("double")
+    chi2 = F.col("_chi2").cast("double")
+    ok = k > 0
+    v = F.sqrt(
+        F.try_divide(
+            chi2,
+            F.col("n").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"),
+        )
+    )
+    # Wilson-Hilferty z, then upper-tail p through the shared erfc poly
+    z = (
+        F.cbrt(chi2 / k) - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    e = _norm_p_two_sided(z)
+    p = F.when(z >= 0, e / 2).otherwise(F.lit(1.0) - e / 2)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.when(ok, chi2), 9).alias("chi2"),
+        F.round(F.when(ok, v), 9).alias("cramers_v"),
+        F.round(F.when(ok, p), 9).alias("p_approx"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Jarque–Bera normality test per group — the "can I even use the
+    t/F machinery on this column" gate: JB combines sample skewness and
+    excess kurtosis into one χ²(2) statistic whose p-value is CLOSED
+    FORM (p = exp(−JB/2) — no CDF table needed, so unlike the F test
+    this emits a real p both engines agree on bit-for-bit).
+
+        S  = m₃/m₂^1.5,   K = m₄/m₂² − 3
+        JB = n/6 · (S² + K²/4),   p = exp(−JB/2)
+
+    Exactness: the column is scaled by *scale* and rounded to an exact
+    integer first (the :func:`~..operators.profile.benford_first_digit`
+    rule — 2-dp money/metric columns lose nothing), the group mean is
+    kept as an exact rational (Σ, n), and the central power sums ride
+    the SCALED INTEGER axis: Σ(s·x − Σs/n·1)^k expands to integer-exact
+    decimal sums via the binomial theorem... computed directly here as
+    Σ(d_i)^k with d_i = n·s_i − S (an exact decimal integer per row —
+    no per-row double→decimal cast anywhere), then de-scaled once in
+    double.  Moments are therefore engine-identical, not just close.
+
+    Output: one row per group — ``(group string, n bigint, skewness
+    double, ex_kurtosis double, jb double, p_value double)``; n < 8 or
+    zero variance NULLs the statistics.  `group_col=None` tests the
+    whole column as one group ('all').
+    """
+    dec = "decimal(38,0)"
+    g = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit("all")
+    )
+    keep = F.col(value_col).isNotNull()
+    if group_col is not None:
+        keep = keep & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        g.alias("_g"),
+        F.round(F.col(value_col).cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("_s"),
+    )
+    sums = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_s").cast(dec)).alias("_t"),
+    )
+    # d_i = n*s_i - T is an exact integer; its powers stay decimal-exact
+    # (|d| <= n*max|s| ~ 1e6*5e4: d^2 <= 1e21, sums of d^2 <= 1e27 fit
+    # decimal(38,0); d^3/d^4 ride as (d^2)*(d) and (d^2)*(d^2) in double
+    # AFTER a de-scale — see below — to stay inside decimal range).
+    joined = base.join(F.broadcast(sums), "_g")
+    d = (
+        F.col("_n").cast(dec) * F.col("_s").cast(dec) - F.col("_t")
+    ).cast("decimal(38,0)")
+    # De-scale d once in double per row: u = d / (n*scale). Both engines
+    # compute u from the SAME exact decimal integer d and the same long
+    # n, so u is IEEE-identical; its powers are too.  Quantize u^k to
+    # decimal(38,12) for order-independent sums ((38,12) holds Σu⁴ to
+    # ~1e26 — u^4 ~ 1e11 per row leaves headroom past 1e14 rows).
+    u = d.cast("double") / (
+        F.col("_n").cast("double") * F.lit(float(scale))
+    )
+    q = "decimal(38,12)"
+    moments = joined.groupBy("_g").agg(
+        F.max("_n").alias("n"),
+        F.sum((u * u).cast(q)).alias("_m2"),
+        F.sum((u * u * u).cast(q)).alias("_m3"),
+        F.sum((u * u * u * u).cast(q)).alias("_m4"),
+    )
+    nn = F.col("n").cast("double")
+    m2 = F.col("_m2").cast("double") / nn
+    m3 = F.col("_m3").cast("double") / nn
+    m4 = F.col("_m4").cast("double") / nn
+    ok = (F.col("n") >= 8) & (m2 > 0)
+    s = m3 / F.pow(m2, F.lit(1.5))
+    kx = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nn / F.lit(6.0) * (s * s + kx * kx / F.lit(4.0))
+    return moments.select(
+        F.col("_g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, s), 9).alias("skewness"),
+        F.round(F.when(ok, kx), 9).alias("ex_kurtosis"),
+        F.round(F.when(ok, jb), 9).alias("jb"),
+        F.round(F.when(ok, F.exp(-jb / 2)), 9).alias("p_value"),
+    )
+
+
+def kendall_tau_binned(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Kendall τ-b rank correlation on an equal-width BINNED grid — the
+    concordance companion to :func:`~..operators.profile.spearman_correlation`:
+    Spearman asks "do ranks move together", τ asks "how often does a
+    random pair agree in direction" (a probability — directly
+    interpretable as P(concordant) − P(discordant)).
+
+    Exact τ over n rows needs all C(n,2) pair orientations; this bins
+    both axes into *bins* equal-width buckets first (the documented
+    quantization knob — the same scale discipline as
+    :func:`mann_whitney_u`'s distinct-value axis), then counts pair
+    orientations over the ≤bins² CELL table with multiplicities:
+
+        C = Σ n₁n₂ over cell pairs with sign(Δbx)·sign(Δby) > 0
+        D = Σ n₁n₂ over cell pairs with sign < 0
+        τ_b = (C − D) / √((n₀ − n_x)(n₀ − n_y)),  n₀ = C(n,2),
+        n_x/n_y = Σ C(t,2) over x-/y-bin marginals (tie corrections)
+
+    All counts and products are exact decimal integers; the cell-pair
+    join runs on the bins²-sized AGGREGATE (broadcast), never the
+    corpus.  Bin edges come from exact min/max; a constant axis (one
+    bin) NULLs τ.
+
+    Output: one row — ``(n bigint, bins bigint, concordant bigint,
+    discordant bigint, tau_b double)``.
+    """
+    dec = "decimal(38,0)"
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    ext = base.agg(
+        F.min("_x").alias("_xlo"), F.max("_x").alias("_xhi"),
+        F.min("_y").alias("_ylo"), F.max("_y").alias("_yhi"),
+    )
+    b = F.lit(float(bins))
+
+    def _bin(c: str, lo: str, hi: str) -> Column:
+        w = (F.col(hi) - F.col(lo)) / b
+        raw = F.when(
+            F.col(hi) > F.col(lo),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(c) - F.col(lo)) / w).cast("int"),
+            ),
+        ).otherwise(F.lit(0))
+        return raw
+
+    cells = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            _bin("_x", "_xlo", "_xhi").alias("_bx"),
+            _bin("_y", "_ylo", "_yhi").alias("_by"),
+        )
+        .groupBy("_bx", "_by")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint()
+    )
+    a = cells.select(
+        F.col("_bx").alias("_bx1"), F.col("_by").alias("_by1"),
+        F.col("_n").alias("_n1"),
+    )
+    c2 = cells.select(
+        F.col("_bx").alias("_bx2"), F.col("_by").alias("_by2"),
+        F.col("_n").alias("_n2"),
+    )
+    # ordered pairs of distinct cells; each unordered pair counted twice
+    orient = a.crossJoin(c2).filter(
+        (F.col("_bx1") != F.col("_bx2")) | (F.col("_by1") != F.col("_by2"))
+    ).select(
+        (
+            F.signum((F.col("_bx2") - F.col("_bx1")).cast("double"))
+            * F.signum((F.col("_by2") - F.col("_by1")).cast("double"))
+        ).alias("_sg"),
+        (F.col("_n1").cast(dec) * F.col("_n2").cast(dec)).alias("_w"),
+    )
+    cd = orient.agg(
+        (
+            F.sum(F.when(F.col("_sg") > 0, F.col("_w")).otherwise(F.lit(0).cast(dec)))
+            / F.lit(2).cast(dec)
+        ).cast(dec).alias("_conc"),
+        (
+            F.sum(F.when(F.col("_sg") < 0, F.col("_w")).otherwise(F.lit(0).cast(dec)))
+            / F.lit(2).cast(dec)
+        ).cast(dec).alias("_disc"),
+    )
+
+    def _c2(col: Column) -> Column:
+        n = col.cast("long")
+        ev = n % 2 == F.lit(0)
+        h = F.when(ev, F.shiftright(n, 1)).otherwise(n)
+        o = F.when(ev, n - 1).otherwise(F.shiftright(n - 1, 1))
+        return (h.cast("decimal(18,0)") * o.cast("decimal(18,0)")).cast(dec)
+
+    xt = cells.groupBy("_bx").agg(F.sum("_n").alias("_t")).agg(
+        F.sum(_c2(F.col("_t"))).alias("_nx"), F.sum("_t").alias("_ntot")
+    )
+    yt = cells.groupBy("_by").agg(F.sum("_n").alias("_t")).agg(
+        F.sum(_c2(F.col("_t"))).alias("_ny")
+    )
+    out = cd.crossJoin(F.broadcast(xt)).crossJoin(F.broadcast(yt))
+    n0 = _c2(F.col("_ntot"))
+    denx = (n0 - F.col("_nx")).cast("double")
+    deny = (n0 - F.col("_ny")).cast("double")
+    tau = F.try_divide(
+        (F.col("_conc") - F.col("_disc")).cast("double"),
+        F.sqrt(denx) * F.sqrt(deny),
+    )
+    return out.select(
+        F.col("_ntot").cast("long").alias("n"),
+        F.lit(bins).cast("long").alias("bins"),
+        F.col("_conc").cast("long").alias("concordant"),
+        F.col("_disc").cast("long").alias("discordant"),
+        F.round(tau, 9).alias("tau_b"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between exactly two arms —
+    the magnitude companion :func:`mann_whitney_u`'s z can't be (z
+    grows with n; δ = P(x>y) − P(x<y) does not):
+
+        δ = Σ_v c_a(v)·(B(<v) − B(>v)) / (n_a·n_b)   ∈ [−1, 1]
+
+    Counts-based over the distinct-value axis (one partial-aggregable
+    (value, group) groupBy; the cumulative window runs over distinct
+    values only — the :func:`mann_whitney_u` scale discipline, with the
+    same "pre-quantize a truly continuous metric" caveat).  Every term
+    is an exact integer; the single division is the last step.  Also
+    emits |δ| and the conventional magnitude band (negligible < 0.147
+    ≤ small < 0.33 ≤ medium < 0.474 ≤ large).
+
+    Output: one row — ``(group_a, group_b, n_a bigint, n_b bigint,
+    delta double, abs_delta double, magnitude string)``; arm count ≠ 2
+    NULLs the statistics.
+    """
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    arms = (
+        base.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        .withColumn("_narms", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    vc = (
+        base.groupBy("_v", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(arms.select("_g", "_rk")), "_g")
+        .groupBy("_v")
+        .agg(
+            F.sum(F.when(F.col("_rk") == 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(F.col("_rk") == 2, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+    )
+    w_lt = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    dec = "decimal(38,0)"
+    stats = vc.select(
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(w_lt), F.lit(0)).alias("_blt"),
+    ).select(
+        "_ca",
+        "_blt",
+        (
+            F.sum("_cb").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.col("_blt")
+            - F.col("_cb")
+        ).alias("_bgt"),
+    ).agg(
+        F.sum(
+            F.col("_ca").cast(dec)
+            * (F.col("_blt") - F.col("_bgt")).cast(dec)
+        ).alias("_num")
+    )
+    ga = arms.filter(F.col("_rk") == 1).select(
+        F.col("_g").alias("group_a"), F.col("_n").alias("n_a"), "_narms"
+    )
+    gb = arms.filter(F.col("_rk") == 2).select(
+        F.col("_g").alias("group_b"), F.col("_n").alias("n_b")
+    )
+    out = ga.crossJoin(F.broadcast(gb)).crossJoin(F.broadcast(stats))
+    two = F.col("_narms") == 2
+    delta = F.col("_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    mag = F.when(F.abs(delta) < 0.147, "negligible").when(
+        F.abs(delta) < 0.33, "small"
+    ).when(F.abs(delta) < 0.474, "medium").otherwise("large")
+    return out.select(
+        F.when(two, F.col("group_a")).alias("group_a"),
+        F.when(two, F.col("group_b")).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.when(two, delta), 9).alias("delta"),
+        F.round(F.when(two, F.abs(delta)), 9).alias("abs_delta"),
+        F.when(two, mag).alias("magnitude"),
+    )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Hodges–Lehmann location-shift estimator between exactly two arms
+    — the robust "BY HOW MUCH is arm a shifted above arm b" point
+    estimate that pairs with :func:`mann_whitney_u`'s verdict and
+    :func:`cliffs_delta`'s probability: the median of all n_a·n_b
+    pairwise differences (median-unbiased, 29% breakdown — one wild
+    outlier moves a mean difference by its magnitude but this by one
+    pair slot).
+
+    Runs on the DISTINCT-VALUE axes with multiplicities: the pairwise
+    difference table is d_A × d_B DISTINCT-value pairs (not n_a·n_b
+    rows) with weight c_a·c_b, and the estimate is the LOWER weighted
+    median over the difference axis via cumulative counts — the
+    :func:`bootstrap_median_ci` engine-stable rule (no midpoint
+    averaging).  Pre-quantize truly continuous metrics upstream: the
+    d_A·d_B cross term is the documented scale knob.
+
+    Output: one row — ``(group_a, group_b, n_a bigint, n_b bigint,
+    n_pairs bigint, hl_shift double)``; arm count ≠ 2 NULLs the
+    statistics.
+    """
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    arms = (
+        base.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        .withColumn("_narms", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    tagged = base.join(F.broadcast(arms.select("_g", "_rk")), "_g")
+    va = tagged.filter(F.col("_rk") == 1).groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_ca")
+    ).select(F.col("_v").alias("_va"), "_ca")
+    vb = tagged.filter(F.col("_rk") == 2).groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_cb")
+    ).select(F.col("_v").alias("_vb"), "_cb")
+    dec = "decimal(38,0)"
+    diffs = (
+        va.crossJoin(vb)
+        .groupBy((F.col("_va") - F.col("_vb")).alias("_d"))
+        .agg(
+            F.sum(F.col("_ca").cast(dec) * F.col("_cb").cast(dec))
+            .alias("_w")
+        )
+    )
+    w_cum = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        diffs.withColumn("_cum", F.sum("_w").over(w_cum))
+        .withColumn("_tot", F.sum("_w").over(w_tot))
+        .filter(F.lit(2).cast(dec) * F.col("_cum") >= F.col("_tot"))
+        .agg(
+            F.max("_tot").alias("_np"),
+            F.min("_d").alias("_hl"),
+        )
+    )
+    ga = arms.filter(F.col("_rk") == 1).select(
+        F.col("_g").alias("group_a"), F.col("_n").alias("n_a"), "_narms"
+    )
+    gb = arms.filter(F.col("_rk") == 2).select(
+        F.col("_g").alias("group_b"), F.col("_n").alias("n_b")
+    )
+    out = ga.crossJoin(F.broadcast(gb)).crossJoin(F.broadcast(med))
+    two = F.col("_narms") == 2
+    return out.select(
+        F.when(two, F.col("group_a")).alias("group_a"),
+        F.when(two, F.col("group_b")).alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("_np").cast("long").alias("n_pairs"),
+        F.round(F.when(two, F.col("_hl")), 9).alias("hl_shift"),
+    )
+
+
+def snis_mean(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Self-normalized importance-sampling estimate of a metric's mean
+    under a reweighted corpus — the "what would mean doc length be if I
+    sampled by THESE weights" readout every mixture decision needs
+    before materializing anything (reweight first, measure, THEN build;
+    :func:`~..operators.curation.mixture_weights` proposes weights,
+    this prices them):
+
+        μ̂ = Σ wᵢvᵢ / Σ wᵢ,    ESS = (Σ wᵢ)² / Σ wᵢ²
+
+    ESS is the honesty meter: n_eff ≪ n means a few huge weights own
+    the estimate (the importance-sampling failure mode — report it, or
+    the μ̂ looks better-grounded than it is).
+
+    Exactness: per-row products quantize to decimal(38,12) before the
+    cross-row sums (order-independent); the two divisions happen once.
+    One scan, one partial-aggregable reduction — nothing here minds
+    100 TB.
+
+    Output: one row — ``(n bigint, sum_w double, snis_mean double, ess
+    double, ess_ratio double)``; zero total weight NULLs the mean.
+    """
+    q = "decimal(38,12)"
+    keep = F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_w").cast(q)).alias("_sw"),
+        F.sum((F.col("_w") * F.col("_w")).cast(q)).alias("_sw2"),
+        F.sum((F.col("_w") * F.col("_v")).cast(q)).alias("_swv"),
+    )
+    sw = F.col("_sw").cast("double")
+    sw2 = F.col("_sw2").cast("double")
+    ess = F.try_divide(sw * sw, sw2)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(sw, 9).alias("sum_w"),
+        F.round(
+            F.try_divide(F.col("_swv").cast("double"), sw), 9
+        ).alias("snis_mean"),
+        F.round(ess, 9).alias("ess"),
+        F.round(
+            F.try_divide(ess, F.col("n").cast("double")), 9
+        ).alias("ess_ratio"),
+    )

@@ -1723,3 +1723,173 @@ def weighted_kappa(
         F.col("n").cast("long").alias("n"),
         F.round(kw, 9).alias("kappa_w"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — "are x and y related
+    AFTER removing what z explains of both" (the confounder screen
+    :func:`correlation_matrix` can't run: a strong r_xy means nothing
+    when both merely track z):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    Exactness: all three columns scale by *scale* and round to exact
+    integers (the :func:`benford_first_digit` rule — lossless for 2-dp
+    metrics), all power/cross sums ride decimal(38,0), and each Pearson
+    numerator/variance forms as an EXACT integer difference
+    (n·Σxy − Σx·Σy) before its single double cast — engine-identical
+    through the last division.  ONE corpus scan, one aggregate row.
+
+    Output: one row — ``(n bigint, r_xy double, r_xz double, r_yz
+    double, r_xy_given_z double)``; any constant column NULLs the
+    affected correlations via ``try_divide``.
+    """
+    dec = "decimal(38,0)"
+    keep = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+
+    def s(c: str) -> F.Column:
+        return F.round(
+            F.col(c).cast("double") * F.lit(float(scale)), 0
+        ).cast("long").cast(dec)
+
+    base = df.filter(keep).select(
+        s(x_col).alias("_x"), s(y_col).alias("_y"), s(z_col).alias("_z")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_z").alias("_sz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_szz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_z")).alias("_sxz"),
+        F.sum(F.col("_y") * F.col("_z")).alias("_syz"),
+    )
+    nn = F.col("n").cast(dec)
+
+    def r(sab: str, sa: str, sb: str, saa: str, sbb: str) -> F.Column:
+        num = (nn * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        va = (nn * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        vb = (nn * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return F.try_divide(num, F.sqrt(va) * F.sqrt(vb))
+
+    rxy = r("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = r("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = r("_syz", "_sy", "_sz", "_syy", "_szz")
+    part = F.try_divide(
+        rxy - rxz * ryz,
+        F.sqrt((F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rxy, 9).alias("r_xy"),
+        F.round(rxz, 9).alias("r_xz"),
+        F.round(ryz, 9).alias("r_yz"),
+        F.round(part, 9).alias("r_xy_given_z"),
+    )
+
+
+def ols_inference(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Simple OLS y = a + b·x WITH inference — the slope plus the
+    numbers :func:`~..operators.timeseries.trend_fit` never reports:
+    the slope's standard error, its t statistic, a normal-approximation
+    p, and R².  A slope without a standard error is a guess with a sign.
+
+        b  = Sxy/Sxx,  a = ȳ − b·x̄           (centered sums)
+        σ̂² = SSE/(n−2),  SSE = Syy − Sxy²/Sxx
+        se(b) = √(σ̂²·n/Sxx·n) …computed as √(SSE/(n−2)/(Sxx/n·n))
+        t  = b/se(b),  p ≈ erfc(|t|/√2)       (normal approx, n ≫ 2)
+
+    Exactness: both columns scale to exact integers; Sxx/Syy/Sxy form
+    as exact integer differences (n·Σxy − Σx·Σy) in decimal(38,0) —
+    the SSE subtraction is the one cancellation-prone step and its
+    operands are exact before the final double arithmetic.  One scan,
+    one aggregate row.  The p-value is the large-n normal
+    approximation (no t CDF exists in either engine); for n < 30 read
+    se/t and look the quantile up outside.
+
+    Output: one row — ``(n bigint, slope double, intercept double,
+    r2 double, se_slope double, t double, p_approx double)``; constant
+    x NULLs everything downstream of Sxx via ``try_divide``.
+    """
+    dec = "decimal(38,0)"
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+
+    def s(c: str) -> F.Column:
+        return F.round(
+            F.col(c).cast("double") * F.lit(float(scale)), 0
+        ).cast("long").cast(dec)
+
+    base = df.filter(keep).select(s(x_col).alias("_x"), s(y_col).alias("_y"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nn = F.col("n").cast(dec)
+    sxx = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    syy = (nn * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    sxy = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    nd = F.col("n").cast("double")
+    sc = F.lit(float(scale))
+    # de-scale: x,y were multiplied by scale, so slope is scale-free and
+    # intercept de-scales by 1/scale
+    slope = F.try_divide(sxy, sxx)
+    intercept = (
+        F.col("_sy").cast("double") / nd
+        - slope * F.col("_sx").cast("double") / nd
+    ) / sc
+    sse = (syy - F.try_divide(sxy * sxy, sxx)) / (nd * sc * sc)
+    r2 = F.try_divide(sxy * sxy, sxx * syy)
+    ok = F.col("n") > 2
+    se = F.when(
+        ok,
+        F.sqrt(
+            F.try_divide(sse / (nd - 2), sxx / (nd * sc * sc))
+        ),
+    )
+    t = F.try_divide(slope, se)
+    x = F.abs(t) / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = tt * (
+        F.lit(0.254829592)
+        + tt
+        * (
+            F.lit(-0.284496736)
+            + tt
+            * (
+                F.lit(1.421413741)
+                + tt * (F.lit(-1.453152027) + tt * F.lit(1.061405429))
+            )
+        )
+    )
+    p = poly * F.exp(-x * x)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+        F.round(se, 9).alias("se_slope"),
+        F.round(t, 9).alias("t"),
+        F.round(p, 9).alias("p_approx"),
+    )

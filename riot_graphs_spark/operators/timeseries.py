@@ -2611,3 +2611,577 @@ def interarrival_expfit(
             > F.lit(1.3581) / F.sqrt(ng)
         ).alias("reject_exponential"),
     )
+
+
+def _bucket_means(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    dims: Sequence[str],
+    unit: str,
+) -> DataFrame:
+    """Shared per-series bucket-mean reduction for the statistical TS
+    tests below: one partial-aggregable groupBy to ``(dims…, _b, _m)``
+    with decimal(28,6)-quantized means (the :func:`theil_sen_slope`
+    convention) — every downstream window then runs on the BUCKET axis
+    (days per series), never the fact table."""
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in dims:
+        keep = keep & F.col(g).isNotNull()
+    dec = "decimal(28,6)"
+    return (
+        df.filter(keep)
+        .groupBy(*_cols(dims), F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast(dec).alias("_m")
+        )
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series — "is this sequence RANDOM
+    around its level, or does it cluster/alternate" (trend and
+    seasonality detectors assume exchangeable residuals; this is the
+    cheapest check that assumption isn't already dead on the raw
+    series: too few runs = sticky regimes, too many = overdifferenced
+    alternation).
+
+    The bucketed series reduces to signs above/below its MEDIAN bucket
+    mean (LOWER weighted median over the distinct-mean axis — the
+    engine-stable :func:`~..operators.evaluation.bootstrap_median_ci`
+    rule; buckets exactly AT the median drop, the standard convention).
+    With n₁ above, n₂ below, R runs:
+
+        μ_R = 2n₁n₂/(n₁+n₂) + 1
+        σ²_R = 2n₁n₂(2n₁n₂ − n)/(n²(n−1))
+        z = (R − μ_R)/σ_R,  p ≈ erfc(|z|/√2)
+
+    Runs count via one lag over the per-series bucket ordering; all
+    counts exact integers.  Output: one row per series — ``(*dims,
+    n_buckets bigint, n_above bigint, n_below bigint, runs bigint,
+    z double, p_approx double, significant boolean)``; n₁·n₂ = 0
+    (constant side) NULLs the statistics.
+    """
+    from .evaluation import _norm_p_two_sided as norm_p_two_sided
+
+    gcols = list(dims)
+    means = _bucket_means(df, ts, value, dims, unit)
+    # lower weighted median over the distinct-mean axis
+    mc = means.groupBy(*_cols(gcols), F.col("_m").alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(*_cols(gcols))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*_cols(gcols))
+    med = (
+        mc.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_tot", F.sum("_c").over(w_tot))
+        .filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*_cols(gcols))
+        .agg(F.min("_v").alias("_med"))
+    )
+    joined = (
+        means.join(F.broadcast(med), gcols)
+        if gcols
+        else means.crossJoin(F.broadcast(med))
+    )
+    signed = joined.filter(F.col("_m") != F.col("_med")).select(
+        *_cols(gcols),
+        "_b",
+        (F.col("_m") > F.col("_med")).cast("int").alias("_s"),
+    )
+    w_ord = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    runs = signed.select(
+        *_cols(gcols),
+        "_s",
+        F.when(
+            F.lag("_s").over(w_ord).isNull()
+            | (F.lag("_s").over(w_ord) != F.col("_s")),
+            1,
+        ).otherwise(0).alias("_new"),
+    ).groupBy(*_cols(gcols)).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_s").cast("long").alias("_n1"),
+        (F.count(F.lit(1)) - F.sum("_s")).cast("long").alias("_n2"),
+        F.sum("_new").cast("long").alias("_runs"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    n = n1 + n2
+    ok = (F.col("_n1") > 0) & (F.col("_n2") > 0) & (n > 1)
+    mu = F.lit(2.0) * n1 * n2 / n + 1
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - 1))
+    )
+    z = F.when(ok & (var > 0), (F.col("_runs").cast("double") - mu) / F.sqrt(var))
+    p = norm_p_two_sided(z)
+    return runs.select(
+        *_cols(gcols),
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.col("_n1").alias("n_above"),
+        F.col("_n2").alias("n_below"),
+        F.col("_runs").alias("runs"),
+        F.round(z, 9).alias("z"),
+        F.round(p, 9).alias("p_approx"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per series — the one-number "is there
+    ANY autocorrelation in the first m lags" verdict on top of
+    :func:`autocorrelation`'s per-lag readout (m near-zero r_k values
+    can still jointly reject whiteness; Q pools them):
+
+        Q = n(n+2) Σ_{k≤m} r_k²/(n−k)   ~ χ²_m under whiteness
+        p ≈ Wilson–Hilferty normal approx through the shared A–S erfc
+
+    r_k uses the standard biased estimator over the BUCKETED series
+    (full-series denominator), mean from exact decimal bucket sums,
+    centered products quantized to decimal(28,12) — the
+    :func:`autocorrelation` discipline, all m lags on ONE per-series
+    sort.  Output: one row per series — ``(*dims, n_buckets bigint,
+    m bigint, q_stat double, p_approx double)``; constant series NULL
+    via ``try_divide``.
+    """
+    from .evaluation import _norm_p_two_sided as norm_p_two_sided
+
+    if max_lag < 1:
+        raise ValueError("need max_lag >= 1")
+    dec = "decimal(28,12)"
+    gcols = list(dims)
+    means = _bucket_means(df, ts, value, dims, unit)
+    w = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    w_all = Window.partitionBy(*_cols(gcols))
+    mean = (
+        F.sum(F.col("_m").cast("decimal(28,6)")).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+    )
+    xc = F.col("_m").cast("double") - mean
+    lagged = means.select(
+        *_cols(gcols),
+        "_b",
+        xc.alias("_xc"),
+        *[
+            F.lag(xc, k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum((F.col("_xc") * F.col("_xc")).cast(dec)).alias("_den"),
+    ] + [
+        F.sum((F.col("_xc") * F.col(f"_l{k}")).cast(dec)).alias(f"_num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    agg = lagged.groupBy(*_cols(gcols)).agg(*aggs)
+    nn = F.col("_nb").cast("double")
+    qsum = None
+    for k in range(1, max_lag + 1):
+        rk = F.try_divide(
+            F.col(f"_num{k}").cast("double"), F.col("_den").cast("double")
+        )
+        term = rk * rk / (nn - F.lit(float(k)))
+        qsum = term if qsum is None else qsum + term
+    q = nn * (nn + 2) * qsum
+    m = F.lit(float(max_lag))
+    z = (
+        F.cbrt(q / m) - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * m))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * m))
+    e = norm_p_two_sided(z)
+    p = F.when(z >= 0, e / 2).otherwise(F.lit(1.0) - e / 2)
+    ok = F.col("_nb") > F.lit(max_lag)
+    return agg.select(
+        *_cols(gcols),
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.lit(max_lag).cast("long").alias("m"),
+        F.round(F.when(ok, q), 9).alias("q_stat"),
+        F.round(F.when(ok, p), 9).alias("p_approx"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    q: int = 5,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per series — "does this series
+    mean-revert, random-walk, or trend" in one number: under a random
+    walk the variance of q-step changes is exactly q× the 1-step
+    variance, so
+
+        VR(q) = Var(x_t − x_{t−q}) / (q · Var(x_t − x_{t−1}))
+        z = (VR − 1) / √(2(2q−1)(q−1)/(3qn))     (homoskedastic form)
+
+    VR < 1 mean-reversion, > 1 momentum/trend.  Both variances are
+    sample variances over the bucketed series (overlapping q-step
+    differences — the standard estimator), computed from decimal-exact
+    sums with the :func:`~..operators.evaluation.anova_oneway` 6-dp
+    operand cut before each cancellation-prone subtraction.  One
+    per-series sort carries both difference columns.
+
+    Output: one row per series — ``(*dims, n_buckets bigint, q bigint,
+    vr double, z double, p_approx double)``; fewer than q+2 buckets or
+    zero 1-step variance NULLs the statistics.
+    """
+    from .evaluation import _norm_p_two_sided as norm_p_two_sided
+
+    gcols = list(dims)
+    dec = "decimal(28,12)"
+    means = _bucket_means(df, ts, value, dims, unit)
+    w = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    x = F.col("_m").cast("double")
+    diffed = means.select(
+        *_cols(gcols),
+        "_b",
+        (x - F.lag(x, 1).over(w)).alias("_d1"),
+        (x - F.lag(x, q).over(w)).alias("_dq"),
+    )
+    agg = diffed.groupBy(*_cols(gcols)).agg(
+        (F.count(F.lit(1)) + 0).alias("_nb"),
+        F.count("_d1").alias("_n1"),
+        F.count("_dq").alias("_nq"),
+        F.sum(F.col("_d1").cast(dec)).alias("_s1"),
+        F.sum((F.col("_d1") * F.col("_d1")).cast(dec)).alias("_q1"),
+        F.sum(F.col("_dq").cast(dec)).alias("_sq"),
+        F.sum((F.col("_dq") * F.col("_dq")).cast(dec)).alias("_qq"),
+    )
+
+    def svar(qcol: str, scol: str, ncol: str) -> Column:
+        nn = F.col(ncol).cast("double")
+        m6 = F.round(
+            (
+                F.col(scol).cast("double")
+                * F.col(scol).cast("double")
+                / nn
+            ).cast("decimal(28,12)"),
+            6,
+        )
+        q6 = F.round(F.col(qcol), 6)
+        return F.try_divide((q6 - m6).cast("double"), nn - 1)
+
+    v1 = svar("_q1", "_s1", "_n1")
+    vq = svar("_qq", "_sq", "_nq")
+    vr = F.try_divide(vq, F.lit(float(q)) * v1)
+    n = F.col("_n1").cast("double")
+    se = F.sqrt(
+        F.lit(2.0 * (2 * q - 1) * (q - 1)) / (F.lit(3.0 * q) * n)
+    )
+    ok = (F.col("_nq") >= 2) & (F.col("_n1") >= 2)
+    z = F.when(ok, F.try_divide(vr - 1, se))
+    return agg.select(
+        *_cols(gcols),
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.lit(q).cast("long").alias("q"),
+        F.round(F.when(ok, vr), 9).alias("vr"),
+        F.round(z, 9).alias("z"),
+        F.round(norm_p_two_sided(z), 9).alias("p_approx"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    window_sizes: Sequence[int] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent per series via classical rescaled-range (R/S)
+    analysis — the long-memory meter behind every "does this metric
+    trend or revert at ALL horizons" question (:func:`variance_ratio`
+    tests one q; H summarizes the whole scaling law): split the
+    bucketed series into blocks of w buckets, compute each block's
+    rescaled range
+
+        R/S = (max_t Σ_{k≤t}(x_k − x̄_blk) − min_t Σ(x_k − x̄_blk)) / σ_blk
+
+    average R/S per w, and fit log₂(avg R/S) against log₂(w): the slope
+    is H (≈0.5 random walk increments, >0.5 persistent, <0.5
+    mean-reverting).
+
+    Partial trailing blocks are DROPPED (exact block statistics only);
+    zero-variance blocks are dropped from the w-average.  Block means
+    come from exact decimal sums; cumulative deviations are per-block
+    windows over ≤max(w) rows; the final 4-point regression is closed
+    form in double.  Everything partitions by (series, w, block) —
+    nothing global.
+
+    Output: one row per series — ``(*dims, n_buckets bigint, n_sizes
+    bigint, hurst double)``; fewer than 2 usable sizes NULLs H.
+    """
+    gcols = list(dims)
+    dec = "decimal(28,12)"
+    means = _bucket_means(df, ts, value, dims, unit)
+    w_ord = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    idx = means.select(
+        *_cols(gcols),
+        "_b",
+        F.col("_m").cast("double").alias("_x"),
+        (F.row_number().over(w_ord) - 1).alias("_i"),
+    )
+    sizes = F.array(*[F.lit(int(w)) for w in window_sizes])
+    blocks = idx.select(
+        *_cols(gcols),
+        "_b",
+        "_x",
+        "_i",
+        F.explode(sizes).alias("_w"),
+    ).withColumn("_blk", F.floor(F.col("_i") / F.col("_w")))
+    w_blk = Window.partitionBy(*_cols(gcols), "_w", "_blk")
+    w_cum = w_blk.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        blocks.withColumn("_n", F.count(F.lit(1)).over(w_blk))
+        .filter(F.col("_n") == F.col("_w"))
+        .withColumn(
+            "_mu",
+            F.sum(F.col("_x").cast("decimal(28,6)")).over(w_blk)
+            .cast("double")
+            / F.col("_w").cast("double"),
+        )
+        .withColumn("_cum", F.sum(F.col("_x") - F.col("_mu")).over(w_cum))
+        .withColumn(
+            "_q",
+            # per-row squares quantized to decimal BEFORE the unordered
+            # block sum — exact and order-independent (a raw double
+            # window sum would depend on partition iteration order)
+            F.sum(
+                (
+                    (F.col("_x") - F.col("_mu"))
+                    * (F.col("_x") - F.col("_mu"))
+                ).cast("decimal(28,12)")
+            ).over(w_blk),
+        )
+    )
+    per_block = dev.groupBy(*_cols(gcols), "_w", "_blk").agg(
+        (F.max("_cum") - F.min("_cum")).alias("_r"),
+        F.sqrt(
+            F.max("_q").cast("double") / F.max("_w").cast("double")
+        ).alias("_s"),
+    )
+    per_w = (
+        per_block.filter(F.col("_s") > 0)
+        .groupBy(*_cols(gcols), "_w")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("_r") / F.col("_s"), 9).cast(dec)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_rs")
+        )
+    )
+    lw = F.log2(F.col("_w").cast("double"))
+    lrs = F.log2(F.col("_rs"))
+    fit = per_w.filter(F.col("_rs") > 0).groupBy(*_cols(gcols)).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.round(lw, 9).cast(dec)).alias("_sx"),
+        F.sum(F.round(lrs, 9).cast(dec)).alias("_sy"),
+        F.sum(F.round(lw * lw, 9).cast(dec)).alias("_sxx"),
+        F.sum(F.round(lw * lrs, 9).cast(dec)).alias("_sxy"),
+    )
+    nb = (
+        idx.groupBy(*_cols(gcols)).agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+    joined = (
+        fit.join(nb, gcols) if gcols else fit.crossJoin(F.broadcast(nb))
+    )
+    k = F.col("_k").cast("double")
+    num = k * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    den = k * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    h = F.when(F.col("_k") >= 2, F.try_divide(num, den))
+    return joined.select(
+        *_cols(gcols),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("_k").cast("long").alias("n_sizes"),
+        F.round(h, 9).alias("hurst"),
+    )
+
+
+def pacf_durbin(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per series via the
+    Durbin–Levinson recursion unrolled in closed form — the AR-order
+    picker :func:`autocorrelation` can't be (ACF at lag 3 conflates
+    direct memory with propagated lag-1; PACF isolates the DIRECT
+    effect — the standard "where does the PACF cut off" AR(p) read):
+
+        φ₁₁ = r₁
+        φ₂₂ = (r₂ − r₁²)/(1 − r₁²)
+        φ₃₃ = (r₃ − a·r₂ − φ₂₂·r₁)/(1 − a·r₁ − φ₂₂·r₂),
+              a = r₁(1 − φ₂₂)
+
+    r_k from the :func:`autocorrelation` discipline over the bucketed
+    series (exact decimal means, decimal(28,12)-quantized centered
+    products, all lags on one per-series sort); the recursion itself is
+    per-series scalar arithmetic.  Output: one row per (series, lag) —
+    ``(*dims, lag int, pacf double)``; degenerate denominators NULL via
+    ``try_divide``.
+    """
+    gcols = list(dims)
+    dec = "decimal(28,12)"
+    means = _bucket_means(df, ts, value, dims, unit)
+    w = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    w_all = Window.partitionBy(*_cols(gcols))
+    mean = (
+        F.sum(F.col("_m").cast("decimal(28,6)")).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+    )
+    xc = F.col("_m").cast("double") - mean
+    lagged = means.select(
+        *_cols(gcols),
+        "_b",
+        xc.alias("_xc"),
+        *[F.lag(xc, k).over(w).alias(f"_l{k}") for k in (1, 2, 3)],
+    )
+    agg = lagged.groupBy(*_cols(gcols)).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum((F.col("_xc") * F.col("_xc")).cast(dec)).alias("_den"),
+        *[
+            F.sum((F.col("_xc") * F.col(f"_l{k}")).cast(dec)).alias(
+                f"_num{k}"
+            )
+            for k in (1, 2, 3)
+        ],
+    )
+    r1 = F.try_divide(
+        F.col("_num1").cast("double"), F.col("_den").cast("double")
+    )
+    r2 = F.try_divide(
+        F.col("_num2").cast("double"), F.col("_den").cast("double")
+    )
+    r3 = F.try_divide(
+        F.col("_num3").cast("double"), F.col("_den").cast("double")
+    )
+    p1 = r1
+    p2 = F.try_divide(r2 - r1 * r1, F.lit(1.0) - r1 * r1)
+    a = r1 * (F.lit(1.0) - p2)
+    p3 = F.try_divide(
+        r3 - a * r2 - p2 * r1, F.lit(1.0) - a * r1 - p2 * r2
+    )
+    rows = F.array(
+        F.struct(F.lit(1).alias("lag"), F.round(p1, 9).alias("pacf")),
+        F.struct(F.lit(2).alias("lag"), F.round(p2, 9).alias("pacf")),
+        F.struct(F.lit(3).alias("lag"), F.round(p3, 9).alias("pacf")),
+    )
+    return agg.select(
+        *_cols(gcols), F.explode(rows).alias("_r")
+    ).select(*_cols(gcols), "_r.lag", "_r.pacf")
+
+
+#: Gaussian quartile breakpoints for the 4-symbol SAX alphabet (literal,
+#: engine-identical; the approximation error is irrelevant — SAX only
+#: needs FIXED breakpoints, not exact quantiles).
+_SAX4 = (-0.6745, 0.0, 0.6745)
+
+
+def sax_motifs(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+    gram: int = 3,
+    top_k: int = 5,
+) -> DataFrame:
+    """SAX symbolization + top recurring motifs per series — the
+    "what SHAPES does this metric repeat" summary (anomaly queries ask
+    about points; motifs ask about patterns — a daily a→d→a spike
+    signature showing up 40 times IS the regression fingerprint):
+    z-normalize the bucketed series, map each bucket to a 4-letter
+    symbol at the fixed Gaussian-quartile breakpoints, slide a
+    *gram*-length window into motif strings, count per series, keep
+    the top *top_k* (count desc, motif asc — deterministic).
+
+    z-scores use exact decimal mean and the population σ from
+    decimal-quantized squares (6-dp operand cut before the variance
+    subtraction — the :func:`~..operators.evaluation.anova_oneway`
+    rule); symbols are pure threshold compares.  One per-series sort
+    builds all leads; counting is a (series, motif) groupBy.
+
+    Output: ``(*dims, motif string, n bigint, rank int)``.
+    """
+    gcols = list(dims)
+    means = _bucket_means(df, ts, value, dims, unit)
+    w_all = Window.partitionBy(*_cols(gcols))
+    w_ord = Window.partitionBy(*_cols(gcols)).orderBy("_b")
+    n = F.count(F.lit(1)).over(w_all).cast("double")
+    s = F.sum(F.col("_m").cast("decimal(28,6)")).over(w_all)
+    q = F.sum(
+        (F.col("_m").cast("double") * F.col("_m").cast("double")).cast(
+            "decimal(28,12)"
+        )
+    ).over(w_all)
+    mu = s.cast("double") / n
+    m6 = F.round(
+        (s.cast("double") * s.cast("double") / n).cast("decimal(28,12)"), 6
+    )
+    q6 = F.round(q, 6)
+    sigma = F.sqrt((q6 - m6).cast("double") / n)
+    z = F.try_divide(F.col("_m").cast("double") - mu, sigma)
+    sym = (
+        F.when(z < F.lit(_SAX4[0]), "a")
+        .when(z < F.lit(_SAX4[1]), "b")
+        .when(z < F.lit(_SAX4[2]), "c")
+        .otherwise("d")
+    )
+    symd = means.select(*_cols(gcols), "_b", sym.alias("_sym"))
+    motif = F.concat(
+        *[F.lead("_sym", k).over(w_ord) for k in range(gram)]
+    )
+    counted = (
+        symd.select(*_cols(gcols), motif.alias("motif"))
+        .filter(F.length("motif") == gram)
+        .groupBy(*_cols(gcols), "motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy(*_cols(gcols)).orderBy(
+        F.desc("n"), F.asc("motif")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            *_cols(gcols),
+            "motif",
+            F.col("n").cast("long").alias("n"),
+            "rank",
+        )
+    )

@@ -15128,6 +15128,989 @@ def emb_cells_vs_labels_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round 9 — classical-statistics widening: independence / normality /
+# concordance / robust effect sizes / regression inference
+# --------------------------------------------------------------------------
+#: Shared A–S erfc polynomial tail (uu must be defined in the enclosing
+#: CTE): w-substitution + Horner literals, identical to
+#: operators.evaluation._norm_p_two_sided.
+_AS_POLY = """
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+"""
+_AS_E = """
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+"""
+
+
+@_q(
+    "chi2_lang_source",
+    f"""
+    WITH cells AS (
+      SELECT lang AS a, source AS b, count(*) AS o
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS nr,
+                   count(DISTINCT b) AS nc FROM cells),
+    terms AS (
+      SELECT n, nr, nc,
+             CAST((o::HUGEINT * n::HUGEINT - r::HUGEINT * c::HUGEINT)::DOUBLE
+                  * (o::HUGEINT * n::HUGEINT - r::HUGEINT * c::HUGEINT)::DOUBLE
+                  / (r::HUGEINT * c::HUGEINT * n::HUGEINT)::DOUBLE
+                  AS DECIMAL(28,12)) AS t
+      FROM cells JOIN rows_ USING (a) JOIN cols_ USING (b) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT max(n) AS n, max(nr) AS r, max(nc) AS c,
+             sum(t)::DOUBLE AS chi2
+      FROM terms
+    ),
+    zc AS (
+      SELECT *, ((r - 1) * (c - 1))::DOUBLE AS k FROM agg
+    ),
+    z1 AS (
+      SELECT *,
+             (cbrt(chi2 / k) - (1.0 - 2.0 / (9.0 * k)))
+               / sqrt(2.0 / (9.0 * k)) AS uu
+      FROM zc
+    ),
+    z2 AS (SELECT *, {_AS_POLY.strip()} FROM z1),
+    z3 AS (SELECT *, {_AS_E.strip()} FROM z2)
+    SELECT n::BIGINT AS n, r::BIGINT AS r, c::BIGINT AS c,
+           ((r - 1) * (c - 1))::BIGINT AS dof,
+           round(CASE WHEN k > 0 THEN chi2 END, 9) AS chi2,
+           round(CASE WHEN k > 0 THEN
+             sqrt(chi2 / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) END, 9)
+             AS cramers_v,
+           round(CASE WHEN k > 0 THEN
+             CASE WHEN uu >= 0 THEN e / 2.0 ELSE 1.0 - e / 2.0 END END, 9)
+             AS p_approx
+    FROM z3
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the documents' lang × source
+    contingency table (operators.evaluation.chi2_independence) — the
+    omnibus "is language composition source-dependent" screen with
+    Cramér's V effect size and Wilson–Hilferty closed-form p.  Per-cell
+    terms form from exact integers ((O·N − R·C)²/(R·C·N)); marginals
+    derive from the cells-axis aggregate, never a second corpus scan."""
+    from ..operators.evaluation import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@_q(
+    "jarque_bera_value",
+    """
+    WITH s AS (
+      SELECT event_type AS g, round(value * 100.0, 0)::BIGINT AS sv
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    sums AS (
+      SELECT g, count(*) AS n, sum(sv)::HUGEINT AS t FROM s GROUP BY 1
+    ),
+    u AS (
+      SELECT s.g, sums.n,
+             (sums.n::HUGEINT * sv::HUGEINT - t)::DOUBLE
+               / (sums.n::DOUBLE * 100.0) AS u
+      FROM s JOIN sums USING (g)
+    ),
+    m AS (
+      SELECT g, max(n) AS n,
+             sum(CAST(u * u AS DECIMAL(38,12)))::DOUBLE / max(n) AS m2,
+             sum(CAST(u * u * u AS DECIMAL(38,12)))::DOUBLE / max(n) AS m3,
+             sum(CAST(u * u * u * u AS DECIMAL(38,12)))::DOUBLE / max(n)
+               AS m4
+      FROM u GROUP BY g
+    ),
+    jb AS (
+      SELECT g, n, m3 / pow(m2, 1.5) AS sk, m4 / (m2 * m2) - 3.0 AS kx,
+             (n >= 8 AND m2 > 0) AS ok
+      FROM m
+    )
+    SELECT g AS "group", n::BIGINT AS n,
+           round(CASE WHEN ok THEN sk END, 9) AS skewness,
+           round(CASE WHEN ok THEN kx END, 9) AS ex_kurtosis,
+           round(CASE WHEN ok THEN
+             n / 6.0 * (sk * sk + kx * kx / 4.0) END, 9) AS jb,
+           round(CASE WHEN ok THEN
+             exp(-(n / 6.0 * (sk * sk + kx * kx / 4.0)) / 2.0) END, 9)
+             AS p_value
+    FROM jb
+    """,
+)
+def jarque_bera_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of the event value column per type
+    (operators.evaluation.jarque_bera) — the closed-form-p χ²(2)
+    skewness+kurtosis gate run before trusting any t/F machinery on the
+    metric.  Central moments ride exact integers (d = n·s − Σs per row,
+    no per-row double→decimal cast); heavy-tailed synthetic values
+    reject hard, which is the point."""
+    from ..operators.evaluation import jarque_bera
+
+    return jarque_bera(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+@_q(
+    "kendall_tau_len_tokens",
+    """
+    WITH base AS (
+      SELECT n_chars::DOUBLE AS x,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS y
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    ext AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                   min(y) AS ylo, max(y) AS yhi FROM base),
+    binned AS (
+      SELECT CASE WHEN xhi > xlo THEN
+               least(19, floor((x - xlo) / ((xhi - xlo) / 20.0))::INT)
+             ELSE 0 END AS bx,
+             CASE WHEN yhi > ylo THEN
+               least(19, floor((y - ylo) / ((yhi - ylo) / 20.0))::INT)
+             ELSE 0 END AS by_
+      FROM base CROSS JOIN ext
+    ),
+    cells AS (SELECT bx, by_, count(*) AS n FROM binned GROUP BY 1, 2),
+    orient AS (
+      SELECT sign((c2.bx - c1.bx)::DOUBLE) * sign((c2.by_ - c1.by_)::DOUBLE)
+               AS sg,
+             c1.n::HUGEINT * c2.n::HUGEINT AS w
+      FROM cells c1 CROSS JOIN cells c2
+      WHERE c1.bx != c2.bx OR c1.by_ != c2.by_
+    ),
+    cd AS (
+      SELECT (sum(CASE WHEN sg > 0 THEN w ELSE 0 END) / 2)::HUGEINT AS conc,
+             (sum(CASE WHEN sg < 0 THEN w ELSE 0 END) / 2)::HUGEINT AS disc
+      FROM orient
+    ),
+    xt AS (
+      SELECT sum(t * (t - 1) // 2)::HUGEINT AS nx, sum(t)::HUGEINT AS ntot
+      FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY bx)
+    ),
+    yt AS (
+      SELECT sum(t * (t - 1) // 2)::HUGEINT AS ny
+      FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY by_)
+    ),
+    f AS (SELECT * FROM cd CROSS JOIN xt CROSS JOIN yt)
+    SELECT ntot::BIGINT AS n, CAST(20 AS BIGINT) AS bins,
+           conc::BIGINT AS concordant, disc::BIGINT AS discordant,
+           round(CASE WHEN (ntot * (ntot - 1) // 2 - nx) > 0
+                       AND (ntot * (ntot - 1) // 2 - ny) > 0 THEN
+             (conc - disc)::DOUBLE
+             / (sqrt((ntot * (ntot - 1) // 2 - nx)::DOUBLE)
+                * sqrt((ntot * (ntot - 1) // 2 - ny)::DOUBLE)) END, 9)
+             AS tau_b
+    FROM f
+    """,
+)
+def kendall_tau_len_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b concordance between document char length and token
+    count on a 20×20 equal-width binned grid
+    (operators.evaluation.kendall_tau_binned) — P(concordant) −
+    P(discordant) with tie corrections, all pair orientation counting on
+    the ≤400-cell aggregate (broadcast), never the corpus."""
+    from ..operators.evaluation import kendall_tau_binned
+    from ..operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.col("n_chars").alias("x"),
+            token_count("text").alias("y"),
+        )
+    )
+    return kendall_tau_binned(docs, "x", "y", bins=20)
+
+
+@_q(
+    "cliffs_delta_doclen",
+    """
+    WITH base AS (
+      SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+      WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, n, row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (SELECT g, count(*) AS n FROM base GROUP BY 1)
+    ),
+    vc AS (
+      SELECT v,
+             sum(CASE WHEN rk = 1 THEN c ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN rk = 2 THEN c ELSE 0 END)::BIGINT AS cb
+      FROM (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2)
+      JOIN arms USING (g) GROUP BY v
+    ),
+    cum AS (
+      SELECT ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS blt,
+             sum(cb) OVER () - cb
+               - coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bgt
+      FROM vc
+    ),
+    num AS (
+      SELECT sum(ca::HUGEINT * (blt - bgt)::HUGEINT) AS num FROM cum
+    ),
+    ga AS (SELECT g AS group_a, n AS n_a, narms FROM arms WHERE rk = 1),
+    gb AS (SELECT g AS group_b, n AS n_b FROM arms WHERE rk = 2),
+    d AS (
+      SELECT group_a, group_b, n_a, n_b, narms,
+             num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) AS delta
+      FROM ga CROSS JOIN gb CROSS JOIN num
+    )
+    SELECT CASE WHEN narms = 2 THEN group_a END AS group_a,
+           CASE WHEN narms = 2 THEN group_b END AS group_b,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(CASE WHEN narms = 2 THEN delta END, 9) AS delta,
+           round(CASE WHEN narms = 2 THEN abs(delta) END, 9) AS abs_delta,
+           CASE WHEN narms = 2 THEN
+             CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                  WHEN abs(delta) < 0.33 THEN 'small'
+                  WHEN abs(delta) < 0.474 THEN 'medium'
+                  ELSE 'large' END END AS magnitude
+    FROM d
+    """,
+)
+def cliffs_delta_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size of document length between
+    sources src0 and src1 (operators.evaluation.cliffs_delta) — the
+    n-free magnitude beside mw_doclen_sources' z verdict, counts-based
+    over the distinct-length axis with exact integer terms."""
+    from ..operators.evaluation import cliffs_delta
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    return cliffs_delta(docs, "n_chars", "source")
+
+
+@_q(
+    "hl_shift_doclen",
+    """
+    WITH base AS (
+      SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+      WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+    ),
+    arms AS (
+      SELECT g, n, row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (SELECT g, count(*) AS n FROM base GROUP BY 1)
+    ),
+    va AS (SELECT v AS va, count(*) AS ca FROM base
+           JOIN arms USING (g) WHERE rk = 1 GROUP BY 1),
+    vb AS (SELECT v AS vb, count(*) AS cb FROM base
+           JOIN arms USING (g) WHERE rk = 2 GROUP BY 1),
+    diffs AS (
+      SELECT va - vb AS d, sum(ca::HUGEINT * cb::HUGEINT) AS w
+      FROM va CROSS JOIN vb GROUP BY 1
+    ),
+    med AS (
+      SELECT max(tot)::BIGINT AS np, min(d) AS hl
+      FROM (
+        SELECT d, sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+               sum(w) OVER () AS tot
+        FROM diffs
+      ) WHERE 2 * cum >= tot
+    ),
+    ga AS (SELECT g AS group_a, n AS n_a, narms FROM arms WHERE rk = 1),
+    gb AS (SELECT g AS group_b, n AS n_b FROM arms WHERE rk = 2)
+    SELECT CASE WHEN narms = 2 THEN group_a END AS group_a,
+           CASE WHEN narms = 2 THEN group_b END AS group_b,
+           n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           np AS n_pairs,
+           round(CASE WHEN narms = 2 THEN hl END, 9) AS hl_shift
+    FROM ga CROSS JOIN gb CROSS JOIN med
+    """,
+)
+def hl_shift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location-shift estimate of document length between
+    sources src0 and src1 (operators.evaluation.hodges_lehmann_shift) —
+    the robust "by how much" beside Cliff's delta's "how often": lower
+    weighted median of all pairwise differences over the distinct-value
+    axes with multiplicities."""
+    from ..operators.evaluation import hodges_lehmann_shift
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    return hodges_lehmann_shift(docs, "n_chars", "source")
+
+
+@_q(
+    "importance_weighted_doclen",
+    """
+    WITH base AS (
+      SELECT n_chars::DOUBLE AS v,
+             1000.0 / (100.0 + n_chars::DOUBLE) AS w
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(w AS DECIMAL(38,12)))::DOUBLE AS sw,
+             sum(CAST(w * w AS DECIMAL(38,12)))::DOUBLE AS sw2,
+             sum(CAST(w * v AS DECIMAL(38,12)))::DOUBLE AS swv
+      FROM base
+    )
+    SELECT n::BIGINT AS n, round(sw, 9) AS sum_w,
+           round(CASE WHEN sw != 0 THEN swv / sw END, 9) AS snis_mean,
+           round(CASE WHEN sw2 != 0 THEN sw * sw / sw2 END, 9) AS ess,
+           round(CASE WHEN sw2 != 0 THEN sw * sw / sw2 / n END, 9)
+             AS ess_ratio
+    FROM agg
+    """,
+)
+def importance_weighted_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-normalized importance-sampling mean of document length under
+    a short-doc-tilted proposal w = 1000/(100+len)
+    (operators.evaluation.snis_mean) — "what would mean length be if I
+    sampled by THESE weights", with the ESS honesty meter that says how
+    many effective docs back the estimate.  One scan, rational weights
+    (engine-identical IEEE)."""
+    from ..operators.evaluation import snis_mean
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    w = F.lit(1000.0) / (F.lit(100.0) + F.col("n_chars").cast("double"))
+    return snis_mean(docs.withColumn("_w", w), "n_chars", "_w")
+
+
+@_q(
+    "partial_corr_price_qty_disc",
+    """
+    WITH s AS (
+      SELECT round(l_extendedprice * 100.0, 0)::BIGINT AS x,
+             round(l_quantity * 100.0, 0)::BIGINT AS y,
+             round(l_discount * 100.0, 0)::BIGINT AS z
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             sum(z::HUGEINT) AS sz,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy,
+             sum(z::HUGEINT * z::HUGEINT) AS szz,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * z::HUGEINT) AS sxz,
+             sum(y::HUGEINT * z::HUGEINT) AS syz
+      FROM s
+    ),
+    r AS (
+      SELECT n,
+             (n * sxy - sx * sy)::DOUBLE
+               / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n * syy - sy * sy)::DOUBLE)) AS rxy,
+             (n * sxz - sx * sz)::DOUBLE
+               / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n * szz - sz * sz)::DOUBLE)) AS rxz,
+             (n * syz - sy * sz)::DOUBLE
+               / (sqrt((n * syy - sy * sy)::DOUBLE)
+                  * sqrt((n * szz - sz * sz)::DOUBLE)) AS ryz
+      FROM agg
+    )
+    SELECT n::BIGINT AS n,
+           round(rxy, 9) AS r_xy, round(rxz, 9) AS r_xz,
+           round(ryz, 9) AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 9)
+             AS r_xy_given_z
+    FROM r
+    """,
+)
+def partial_corr_price_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of extended price and quantity
+    controlling for discount (operators.profile.partial_correlation) —
+    the confounder screen over exact scaled-integer moment sums; one
+    lineitem scan, one aggregate row, engine-identical through the last
+    division."""
+    from ..operators.profile import partial_correlation
+
+    return partial_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+@_q(
+    "ols_tokens_chars",
+    f"""
+    WITH s AS (
+      SELECT round(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   * 100.0, 0)::BIGINT AS x,
+             round(n_chars * 100.0, 0)::BIGINT AS y
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy
+      FROM s
+    ),
+    cf AS (
+      SELECT n::DOUBLE AS nd,
+             (n * sxx - sx * sx)::DOUBLE AS cxx,
+             (n * syy - sy * sy)::DOUBLE AS cyy,
+             (n * sxy - sx * sy)::DOUBLE AS cxy,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n
+      FROM agg
+    ),
+    fit AS (
+      SELECT nd, n, cxx, cyy, cxy,
+             CASE WHEN cxx != 0 THEN cxy / cxx END AS slope,
+             (syd / nd - (CASE WHEN cxx != 0 THEN cxy / cxx END)
+                * sxd / nd) / 100.0 AS intercept,
+             CASE WHEN cxx != 0 THEN
+               (cyy - cxy * cxy / cxx) / (nd * 100.0 * 100.0) END AS sse
+      FROM cf
+    ),
+    inf AS (
+      SELECT *,
+             CASE WHEN n > 2 AND cxx != 0 AND sse IS NOT NULL THEN
+               sqrt((sse / (nd - 2))
+                    / (cxx / (nd * 100.0 * 100.0))) END AS se
+      FROM fit
+    ),
+    tst AS (
+      SELECT *, CASE WHEN se != 0 THEN slope / se END AS t FROM inf
+    ),
+    e1 AS (SELECT *, abs(t) AS uu FROM tst),
+    e2 AS (SELECT *, {_AS_POLY.strip()} FROM e1),
+    e3 AS (SELECT *, {_AS_E.strip()} FROM e2)
+    SELECT n::BIGINT AS n,
+           round(slope, 9) AS slope,
+           round(intercept, 9) AS intercept,
+           round(CASE WHEN cxx != 0 AND cyy != 0
+                 THEN cxy * cxy / (cxx * cyy) END, 9) AS r2,
+           round(se, 9) AS se_slope,
+           round(t, 9) AS t,
+           round(e, 9) AS p_approx
+    FROM e3
+    """,
+)
+def ols_tokens_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS of document char length on token count WITH inference
+    (operators.profile.ols_inference): slope, intercept, R², the
+    slope's standard error, t, and the large-n normal p — the "slope
+    with an error bar" trend_fit never reports.  Exact scaled-integer
+    moment sums; documents tokenize once."""
+    from ..operators.profile import ols_inference
+    from ..operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            token_count("text").alias("x"), F.col("n_chars").alias("y")
+        )
+    )
+    return ols_inference(docs, "x", "y")
+
+
+# --------------------------------------------------------------------------
+# Round 9 — statistical time-series tests over daily/hourly bucket means
+# --------------------------------------------------------------------------
+#: Shared daily bucket-mean CTE (the operators.timeseries._bucket_means
+#: twin — decimal(28,6)-quantized means, the ts_theil_sen convention).
+_DUCK_DAYMEANS = """
+      SELECT event_type AS g, date_trunc('day', ts) AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+@_q(
+    "ts_runs_test",
+    f"""
+    WITH b AS ({_DUCK_DAYMEANS}),
+    mc AS (SELECT g, m AS v, count(*) AS c FROM b GROUP BY 1, 2),
+    med AS (
+      SELECT g, min(v) AS med FROM (
+        SELECT g, v,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY g) AS tot
+        FROM mc
+      ) WHERE 2 * cum >= tot GROUP BY 1
+    ),
+    signed AS (
+      SELECT b.g, bk, (m > med)::INT AS s
+      FROM b JOIN med ON b.g = med.g WHERE m != med
+    ),
+    marked AS (
+      SELECT g, s,
+             CASE WHEN lag(s) OVER (PARTITION BY g ORDER BY bk) IS NULL
+                    OR lag(s) OVER (PARTITION BY g ORDER BY bk) != s
+                  THEN 1 ELSE 0 END AS nw
+      FROM signed
+    ),
+    agg AS (
+      SELECT g, count(*) AS nb, sum(s)::BIGINT AS n1,
+             (count(*) - sum(s))::BIGINT AS n2, sum(nw)::BIGINT AS runs
+      FROM marked GROUP BY 1
+    ),
+    zc AS (
+      SELECT *,
+             n1::DOUBLE AS d1, n2::DOUBLE AS d2,
+             (n1 + n2)::DOUBLE AS dn,
+             (n1 > 0 AND n2 > 0 AND n1 + n2 > 1) AS ok
+      FROM agg
+    ),
+    z1 AS (
+      SELECT *,
+             CASE WHEN ok AND
+               (2.0*d1*d2*(2.0*d1*d2 - dn) / (dn*dn*(dn - 1))) > 0
+             THEN (runs::DOUBLE - (2.0*d1*d2/dn + 1))
+                  / sqrt(2.0*d1*d2*(2.0*d1*d2 - dn) / (dn*dn*(dn - 1)))
+             END AS uu
+      FROM zc
+    ),
+    z2 AS (SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+           FROM z1),
+    z3 AS (SELECT *,
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+           FROM z2)
+    SELECT g AS event_type, nb::BIGINT AS n_buckets,
+           n1 AS n_above, n2 AS n_below, runs,
+           round(uu, 9) AS z, round(e, 9) AS p_approx,
+           coalesce(abs(uu) > 1.959963984540054, false) AS significant
+    FROM z3
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of randomness per event type over daily
+    bucket means (operators.timeseries.runs_test) — too few runs =
+    sticky regimes, too many = alternation; the cheapest exchangeability
+    check before trusting any residual-based detector.  Signs against
+    the lower weighted median; exact integer run counts; normal z with
+    the shared A–S erfc p."""
+    from ..operators.timeseries import runs_test
+
+    return runs_test(
+        _t(spark, sf_dir, "events"), dims=["event_type"], unit="day"
+    )
+
+
+@_q(
+    "ts_ljung_box",
+    f"""
+    WITH b AS ({_DUCK_DAYMEANS}),
+    cent AS (
+      SELECT g, bk,
+             m::DOUBLE - msum::DOUBLE / cnt AS xc
+      FROM (SELECT g, bk, m,
+                   sum(CAST(m AS DECIMAL(28,6))) OVER (PARTITION BY g)
+                     AS msum,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM b)
+    ),
+    lagd AS (
+      SELECT g, xc,
+             lag(xc, 1) OVER (PARTITION BY g ORDER BY bk) AS l1,
+             lag(xc, 2) OVER (PARTITION BY g ORDER BY bk) AS l2,
+             lag(xc, 3) OVER (PARTITION BY g ORDER BY bk) AS l3,
+             lag(xc, 4) OVER (PARTITION BY g ORDER BY bk) AS l4,
+             lag(xc, 5) OVER (PARTITION BY g ORDER BY bk) AS l5,
+             lag(xc, 6) OVER (PARTITION BY g ORDER BY bk) AS l6,
+             lag(xc, 7) OVER (PARTITION BY g ORDER BY bk) AS l7
+      FROM cent
+    ),
+    agg AS (
+      SELECT g, count(*) AS nb,
+             sum(CAST(xc * xc AS DECIMAL(28,12)))::DOUBLE AS den,
+             sum(CAST(xc * l1 AS DECIMAL(28,12)))::DOUBLE AS n1,
+             sum(CAST(xc * l2 AS DECIMAL(28,12)))::DOUBLE AS n2,
+             sum(CAST(xc * l3 AS DECIMAL(28,12)))::DOUBLE AS n3,
+             sum(CAST(xc * l4 AS DECIMAL(28,12)))::DOUBLE AS n4,
+             sum(CAST(xc * l5 AS DECIMAL(28,12)))::DOUBLE AS n5,
+             sum(CAST(xc * l6 AS DECIMAL(28,12)))::DOUBLE AS n6,
+             sum(CAST(xc * l7 AS DECIMAL(28,12)))::DOUBLE AS n7
+      FROM lagd GROUP BY 1
+    ),
+    q AS (
+      SELECT g, nb, nb::DOUBLE AS n,
+             nb::DOUBLE * (nb::DOUBLE + 2) * (
+               (CASE WHEN den != 0 THEN n1/den END)
+                 * (CASE WHEN den != 0 THEN n1/den END) / (nb::DOUBLE - 1.0)
+               + (CASE WHEN den != 0 THEN n2/den END)
+                 * (CASE WHEN den != 0 THEN n2/den END) / (nb::DOUBLE - 2.0)
+               + (CASE WHEN den != 0 THEN n3/den END)
+                 * (CASE WHEN den != 0 THEN n3/den END) / (nb::DOUBLE - 3.0)
+               + (CASE WHEN den != 0 THEN n4/den END)
+                 * (CASE WHEN den != 0 THEN n4/den END) / (nb::DOUBLE - 4.0)
+               + (CASE WHEN den != 0 THEN n5/den END)
+                 * (CASE WHEN den != 0 THEN n5/den END) / (nb::DOUBLE - 5.0)
+               + (CASE WHEN den != 0 THEN n6/den END)
+                 * (CASE WHEN den != 0 THEN n6/den END) / (nb::DOUBLE - 6.0)
+               + (CASE WHEN den != 0 THEN n7/den END)
+                 * (CASE WHEN den != 0 THEN n7/den END) / (nb::DOUBLE - 7.0)
+             ) AS qs
+      FROM agg
+    ),
+    z1 AS (
+      SELECT *,
+             (cbrt(qs / 7.0) - (1.0 - 2.0 / (9.0 * 7.0)))
+               / sqrt(2.0 / (9.0 * 7.0)) AS uu
+      FROM q
+    ),
+    z2 AS (SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+           FROM z1),
+    z3 AS (SELECT *,
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+           FROM z2)
+    SELECT g AS event_type, nb::BIGINT AS n_buckets,
+           CAST(7 AS BIGINT) AS m,
+           round(CASE WHEN nb > 7 THEN qs END, 9) AS q_stat,
+           round(CASE WHEN nb > 7 THEN
+             CASE WHEN uu >= 0 THEN e / 2.0 ELSE 1.0 - e / 2.0 END END, 9)
+             AS p_approx
+    FROM z3
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box whiteness portmanteau (lags 1–7) per event type over
+    daily bucket means (operators.timeseries.ljung_box) — pools seven
+    near-zero autocorrelations into one χ²₇ verdict with the
+    Wilson–Hilferty closed-form p; the joint test ts_autocorrelation's
+    per-lag readout can't run."""
+    from ..operators.timeseries import ljung_box
+
+    return ljung_box(
+        _t(spark, sf_dir, "events"), dims=["event_type"], unit="day",
+        max_lag=7,
+    )
+
+
+@_q(
+    "ts_variance_ratio",
+    f"""
+    WITH b AS ({_DUCK_DAYMEANS}),
+    d AS (
+      SELECT g,
+             m::DOUBLE - lag(m::DOUBLE, 1)
+               OVER (PARTITION BY g ORDER BY bk) AS d1,
+             m::DOUBLE - lag(m::DOUBLE, 5)
+               OVER (PARTITION BY g ORDER BY bk) AS dq
+      FROM b
+    ),
+    agg AS (
+      SELECT g, count(*) AS nb, count(d1) AS n1, count(dq) AS nq,
+             sum(CAST(d1 AS DECIMAL(28,12))) AS s1,
+             sum(CAST(d1 * d1 AS DECIMAL(28,12))) AS q1,
+             sum(CAST(dq AS DECIMAL(28,12))) AS sq,
+             sum(CAST(dq * dq AS DECIMAL(28,12))) AS qq
+      FROM d GROUP BY 1
+    ),
+    v AS (
+      SELECT g, nb, n1, nq,
+             CASE WHEN n1 > 1 THEN
+               (round(q1, 6)
+                - round(CAST(s1::DOUBLE * s1::DOUBLE / n1::DOUBLE
+                             AS DECIMAL(28,12)), 6))::DOUBLE
+               / (n1::DOUBLE - 1) END AS v1,
+             CASE WHEN nq > 1 THEN
+               (round(qq, 6)
+                - round(CAST(sq::DOUBLE * sq::DOUBLE / nq::DOUBLE
+                             AS DECIMAL(28,12)), 6))::DOUBLE
+               / (nq::DOUBLE - 1) END AS vq
+      FROM agg
+    ),
+    vr AS (
+      SELECT *,
+             CASE WHEN 5.0 * v1 != 0 THEN vq / (5.0 * v1) END AS vrr,
+             (nq >= 2 AND n1 >= 2) AS ok
+      FROM v
+    ),
+    z1 AS (
+      SELECT *,
+             CASE WHEN ok AND sqrt(72.0 / (15.0 * n1::DOUBLE)) != 0
+               THEN (vrr - 1) / sqrt(72.0 / (15.0 * n1::DOUBLE)) END AS uu
+      FROM vr
+    ),
+    z2 AS (SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+           FROM z1),
+    z3 AS (SELECT *,
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+           FROM z2)
+    SELECT g AS event_type, nb::BIGINT AS n_buckets,
+           CAST(5 AS BIGINT) AS q,
+           round(CASE WHEN ok THEN vrr END, 9) AS vr,
+           round(uu, 9) AS z, round(e, 9) AS p_approx
+    FROM z3
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test (q=5) per event type over daily
+    bucket means (operators.timeseries.variance_ratio) — VR < 1
+    mean-reversion, > 1 momentum, with the homoskedastic z and A–S p;
+    the one-number random-walk check beside ts_hurst_hourly's scaling
+    law."""
+    from ..operators.timeseries import variance_ratio
+
+    return variance_ratio(
+        _t(spark, sf_dir, "events"), dims=["event_type"], unit="day", q=5
+    )
+
+
+@_q(
+    "ts_hurst_hourly",
+    """
+    WITH b AS (
+      SELECT event_type AS g, date_trunc('hour', ts) AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) AS DECIMAL(28,6)) AS m
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT g, bk, m::DOUBLE AS x,
+             row_number() OVER (PARTITION BY g ORDER BY bk) - 1 AS i
+      FROM b
+    ),
+    blocks AS (
+      SELECT g, bk, x, i, w, i // w AS blk
+      FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)
+    ),
+    full_ AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY g, w, blk) AS bn
+        FROM blocks
+      ) WHERE bn = w
+    ),
+    dev AS (
+      SELECT g, bk, w, blk, x,
+             sum(CAST(x AS DECIMAL(28,6)))
+               OVER (PARTITION BY g, w, blk)::DOUBLE / w::DOUBLE AS mu
+      FROM full_
+    ),
+    cums AS (
+      SELECT g, w, blk,
+             sum(x - mu) OVER (PARTITION BY g, w, blk ORDER BY bk
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(CAST((x - mu) * (x - mu) AS DECIMAL(28,12)))
+               OVER (PARTITION BY g, w, blk) AS q
+      FROM dev
+    ),
+    per_block AS (
+      SELECT g, w, blk, max(cum) - min(cum) AS r,
+             sqrt(max(q)::DOUBLE / max(w)::DOUBLE) AS s
+      FROM cums GROUP BY 1, 2, 3
+    ),
+    per_w AS (
+      SELECT g, w,
+             sum(CAST(round(r / s, 9) AS DECIMAL(28,12)))::DOUBLE
+               / count(*)::DOUBLE AS rs
+      FROM per_block WHERE s > 0 GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT g, count(*) AS k,
+             sum(CAST(round(log2(w::DOUBLE), 9) AS DECIMAL(28,12)))
+               AS sx,
+             sum(CAST(round(log2(rs), 9) AS DECIMAL(28,12))) AS sy,
+             sum(CAST(round(log2(w::DOUBLE) * log2(w::DOUBLE), 9)
+                      AS DECIMAL(28,12))) AS sxx,
+             sum(CAST(round(log2(w::DOUBLE) * log2(rs), 9)
+                      AS DECIMAL(28,12))) AS sxy
+      FROM per_w WHERE rs > 0 GROUP BY 1
+    ),
+    nb AS (SELECT g, count(*)::BIGINT AS n_buckets FROM idx GROUP BY 1)
+    SELECT g AS event_type, n_buckets, k::BIGINT AS n_sizes,
+           round(CASE WHEN k >= 2 AND
+                 (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) != 0
+             THEN (k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             END, 9) AS hurst
+    FROM fit JOIN nb USING (g)
+    """,
+)
+def ts_hurst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via rescaled-range analysis over
+    HOURLY bucket means at block sizes 8/16/32/64
+    (operators.timeseries.hurst_rs) — the all-horizons long-memory
+    summary (H ≈ 0.5 random, > persistent, < mean-reverting).  Exact
+    block statistics only (partial blocks dropped); every window
+    partitions by (series, size, block)."""
+    from ..operators.timeseries import hurst_rs
+
+    return hurst_rs(
+        _t(spark, sf_dir, "events"),
+        dims=["event_type"],
+        unit="hour",
+        window_sizes=(8, 16, 32, 64),
+    )
+
+
+@_q(
+    "ts_pacf",
+    f"""
+    WITH b AS ({_DUCK_DAYMEANS}),
+    cent AS (
+      SELECT g, bk,
+             m::DOUBLE - msum::DOUBLE / cnt AS xc
+      FROM (SELECT g, bk, m,
+                   sum(CAST(m AS DECIMAL(28,6))) OVER (PARTITION BY g)
+                     AS msum,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM b)
+    ),
+    lagd AS (
+      SELECT g, xc,
+             lag(xc, 1) OVER (PARTITION BY g ORDER BY bk) AS l1,
+             lag(xc, 2) OVER (PARTITION BY g ORDER BY bk) AS l2,
+             lag(xc, 3) OVER (PARTITION BY g ORDER BY bk) AS l3
+      FROM cent
+    ),
+    agg AS (
+      SELECT g,
+             sum(CAST(xc * xc AS DECIMAL(28,12)))::DOUBLE AS den,
+             sum(CAST(xc * l1 AS DECIMAL(28,12)))::DOUBLE AS c1,
+             sum(CAST(xc * l2 AS DECIMAL(28,12)))::DOUBLE AS c2,
+             sum(CAST(xc * l3 AS DECIMAL(28,12)))::DOUBLE AS c3
+      FROM lagd GROUP BY 1
+    ),
+    r AS (
+      SELECT g,
+             CASE WHEN den != 0 THEN c1 / den END AS r1,
+             CASE WHEN den != 0 THEN c2 / den END AS r2,
+             CASE WHEN den != 0 THEN c3 / den END AS r3
+      FROM agg
+    ),
+    ph AS (
+      SELECT g, r1, r2, r3,
+             CASE WHEN (1.0 - r1 * r1) != 0
+               THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+      FROM r
+    ),
+    ph3 AS (
+      SELECT g, r1, p2,
+             CASE WHEN (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2) != 0
+               THEN (r3 - (r1 * (1.0 - p2)) * r2 - p2 * r1)
+                    / (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2) END AS p3
+      FROM ph
+    )
+    SELECT g AS event_type, lag, pacf FROM (
+      SELECT g, 1 AS lag, round(r1, 9) AS pacf FROM ph3
+      UNION ALL SELECT g, 2, round(p2, 9) FROM ph3
+      UNION ALL SELECT g, 3, round(p3, 9) FROM ph3
+    )
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1–3, Durbin–Levinson closed form)
+    per event type over daily bucket means
+    (operators.timeseries.pacf_durbin) — the AR-order picker that
+    isolates DIRECT lag effects where the plain ACF conflates them with
+    propagation."""
+    from ..operators.timeseries import pacf_durbin
+
+    return pacf_durbin(
+        _t(spark, sf_dir, "events"), dims=["event_type"], unit="day"
+    )
+
+
+@_q(
+    "ts_sax_motifs",
+    f"""
+    WITH b AS ({_DUCK_DAYMEANS}),
+    stats AS (
+      SELECT g, bk, m,
+             sum(CAST(m AS DECIMAL(28,6))) OVER (PARTITION BY g) AS s,
+             sum(CAST(m::DOUBLE * m::DOUBLE AS DECIMAL(28,12)))
+               OVER (PARTITION BY g) AS q,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM b
+    ),
+    z AS (
+      SELECT g, bk,
+             CASE WHEN sqrt((round(q, 6)
+                    - round(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                                 AS DECIMAL(28,12)), 6))::DOUBLE
+                    / n::DOUBLE) != 0
+               THEN (m::DOUBLE - s::DOUBLE / n::DOUBLE)
+                    / sqrt((round(q, 6)
+                       - round(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                                    AS DECIMAL(28,12)), 6))::DOUBLE
+                       / n::DOUBLE) END AS zz
+      FROM stats
+    ),
+    sym AS (
+      SELECT g, bk,
+             CASE WHEN zz < -0.6745 THEN 'a'
+                  WHEN zz < 0.0 THEN 'b'
+                  WHEN zz < 0.6745 THEN 'c'
+                  ELSE 'd' END AS sy
+      FROM z
+    ),
+    motifs AS (
+      SELECT g,
+             sy || lead(sy, 1) OVER (PARTITION BY g ORDER BY bk)
+                || lead(sy, 2) OVER (PARTITION BY g ORDER BY bk) AS motif
+      FROM sym
+    ),
+    counted AS (
+      SELECT g, motif, count(*) AS n FROM motifs
+      WHERE length(motif) = 3 GROUP BY 1, 2
+    )
+    SELECT g AS event_type, motif, n::BIGINT AS n, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY g
+                 ORDER BY n DESC, motif) AS rank
+      FROM counted
+    ) WHERE rank <= 5
+    """,
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (4-letter Gaussian-quartile alphabet) + top-5
+    recurring 3-gram motifs per event type over daily bucket means
+    (operators.timeseries.sax_motifs) — "what SHAPES does this metric
+    repeat"; z-scores from decimal-exact mean/σ with the 6-dp operand
+    cut, deterministic count-desc/motif-asc ranking."""
+    from ..operators.timeseries import sax_motifs
+
+    return sax_motifs(
+        _t(spark, sf_dir, "events"), dims=["event_type"], unit="day",
+        gram=3, top_k=5,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
