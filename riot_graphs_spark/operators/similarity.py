@@ -1500,3 +1500,302 @@ def clustering_label_agreement(
         F.round(F.col("_pur").cast("double") / nn, 9).alias("purity"),
         F.round(ari, 9).alias("ari"),
     )
+
+
+def isotropy_score(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space isotropy via the closed-form mean pairwise cosine
+    — the one-number "is this space collapsing toward a cone" health
+    check (anisotropic spaces make every cosine look high, poisoning
+    near-dup thresholds and ANN recall alike).  The n² pairwise mean
+    needs NO pair join:
+
+        mean_cos = (‖Σᵢ ûᵢ‖² − Σᵢ‖ûᵢ‖²) / (n(n−1))
+
+    — one scan builds the per-dimension component sums, one 64-row
+    reduction squares them.  Components normalize row-locally and round
+    to 6 dp (the :func:`l2_normalize` cut), so the per-dim sums are
+    EXACT decimal(28,6) and both squared terms are engine-identical.
+    Zero-norm vectors are excluded.  ZERO shuffles beyond two tiny
+    aggregates; at 100 TB this is a map + 64-cell combine.
+
+    Output: one row — ``(n bigint, n_dims bigint, mean_cosine double)``;
+    n < 2 NULLs the mean.
+    """
+    from ..functions.vectors import l2_norm
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.round(l2_norm(vec_col), 6).alias("_nrm"),
+        F.col(vec_col).alias("_v"),
+    ).filter(F.col("_nrm") > 0)
+    comps = base.select(
+        "_id",
+        F.posexplode("_v").alias("_i", "_x"),
+        "_nrm",
+    ).select(
+        "_id",
+        "_i",
+        F.round(F.col("_x").cast("double") / F.col("_nrm"), 6).alias("_u"),
+    )
+    per_dim = comps.groupBy("_i").agg(
+        F.sum(F.col("_u").cast("decimal(28,6)")).alias("_s")
+    )
+    tot_s = per_dim.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(
+            (
+                F.col("_s").cast("double") * F.col("_s").cast("double")
+            ).cast("decimal(28,12)")
+        ).alias("_ss"),
+    )
+    tot_t = comps.agg(
+        F.count_distinct("_id").alias("n"),
+        F.sum(
+            (F.col("_u") * F.col("_u")).cast("decimal(28,12)")
+        ).alias("_t"),
+    )
+    out = tot_t.crossJoin(F.broadcast(tot_s))
+    nn = F.col("n").cast("double")
+    mean_cos = F.when(
+        F.col("n") >= 2,
+        (F.col("_ss").cast("double") - F.col("_t").cast("double"))
+        / (nn * (nn - 1)),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round(mean_cos, 9).alias("mean_cosine"),
+    )
+
+
+def covariance_top_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Top-|correlation| dimension pairs of the embedding covariance —
+    the redundancy audit behind every truncation decision
+    (:func:`matryoshka_recall` asks "can I drop dims"; this says WHICH
+    dims carry the same signal): Pearson correlation for all d(d−1)/2
+    dimension pairs, keep the strongest.
+
+    Components scale to exact integers (×10⁶, the float32 mantissa is
+    ~7 digits — deterministic, engine-identical), so every moment sum
+    rides decimal(38,0) and each correlation forms from EXACT integer
+    differences (the :func:`~..operators.profile.partial_correlation`
+    discipline).  The pair fan-out is per-ROW d²/2 (a posexplode
+    self-join keyed on the id — never a corpus×corpus product); the
+    ranking runs on the d²-row aggregate.
+
+    Output: *top_k* rows — ``(dim_i int, dim_j int, n bigint,
+    corr double)`` ordered |corr| desc (ties: dim_i, dim_j asc).
+    """
+    dec = "decimal(38,0)"
+    comps = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        "_id",
+        "_i",
+        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("_s"),
+    )
+    a = comps.select(
+        "_id", F.col("_i").alias("_ia"), F.col("_s").alias("_sa")
+    )
+    b = comps.select(
+        "_id", F.col("_i").alias("_ib"), F.col("_s").alias("_sb")
+    )
+    pairs = a.join(b, "_id").filter(F.col("_ia") < F.col("_ib"))
+    agg = pairs.groupBy("_ia", "_ib").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_sa").cast(dec)).alias("_sx"),
+        F.sum(F.col("_sb").cast(dec)).alias("_sy"),
+        F.sum((F.col("_sa") * F.col("_sa")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_sb") * F.col("_sb")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_sa") * F.col("_sb")).cast(dec)).alias("_sxy"),
+    )
+    nn = F.col("_n").cast(dec)
+    num = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (nn * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    corr = F.round(F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 9)
+    ranked = agg.select(
+        F.col("_ia").cast("int").alias("dim_i"),
+        F.col("_ib").cast("int").alias("dim_j"),
+        F.col("_n").cast("long").alias("n"),
+        corr.alias("corr"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.abs(F.col("corr"))), F.asc("dim_i"), F.asc("dim_j")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).select(
+        "dim_i", "dim_j", "n", "corr"
+    )
+
+
+def nearest_centroid_margin(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ambiguous_below: float = 0.05,
+) -> DataFrame:
+    """Assignment-confidence margins per cell — the "how decisive are
+    these cluster assignments" number the internal triad summarizes
+    away: margin = d₂ − d₁ between the nearest and second-nearest
+    centroid distances per point (√ of the 6-dp-rounded squared
+    distances — the :func:`_nearest_cell` determinism cut), with the
+    share of points inside *ambiguous_below* flagged as boundary mass.
+
+    Same ZERO-shuffle scoring shape as :func:`kmeans_assign` (broadcast
+    centroid literals, row-local argmin over k structs); one per-cell
+    partial aggregate with decimal-quantized margin sums.
+
+    Output: one row per cell — ``(cell int, n bigint, mean_margin
+    double, min_margin double, ambiguous_n bigint, ambiguous_share
+    double)``.
+    """
+    if len(centroids) < 2:
+        raise ValueError("needs >= 2 centroids")
+    vec = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec, c).alias("dist2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)
+    rest = F.filter(scored, lambda s: s["cell"] != best["cell"])
+    second = F.array_min(rest)
+    margin = F.round(
+        F.sqrt(second["dist2"]) - F.sqrt(best["dist2"]), 6
+    )
+    assigned = embeddings.filter(vec.isNotNull()).select(
+        best["cell"].alias("cell"),
+        margin.alias("_m"),
+    )
+    amb = F.when(F.col("_m") < F.lit(float(ambiguous_below)), 1).otherwise(0)
+    agg = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_m").cast("decimal(28,6)")).alias("_sm"),
+        F.min("_m").alias("min_margin"),
+        F.sum(amb).alias("_amb"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_sm").cast("double") / nn, 9).alias("mean_margin"),
+        F.round(F.col("min_margin"), 9).alias("min_margin"),
+        F.col("_amb").cast("long").alias("ambiguous_n"),
+        F.round(F.col("_amb").cast("double") / nn, 9).alias(
+            "ambiguous_share"
+        ),
+    )
+
+
+def label_cosine_contrast(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-label vs cross-label mean cosine per label — "do same-label
+    embeddings actually sit closer than cross-label ones", the direct
+    separability readout behind :func:`clustering_label_agreement`'s
+    agreement score, computed WITHOUT any pair join via sum-vector
+    algebra over unit vectors:
+
+        within_l = (‖S_l‖² − T_l) / (n_l(n_l−1))
+        cross_l  = S_l·(S − S_l) / (n_l(n−n_l))
+
+    (S_l = per-label per-dim sum of 6-dp-rounded unit components —
+    exact decimal; T_l = per-label sum of squared rounded norms).  Two
+    tiny aggregates after one scan; the label×dim sum table is
+    k·d-sized.  Output: one row per label — ``(label string, n bigint,
+    within_cos double, cross_cos double, contrast double)``; n_l < 2
+    NULLs within, n_l = n NULLs cross.
+    """
+    from ..functions.vectors import l2_norm
+
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("_l"),
+        F.col(id_col).alias("_id"),
+        F.round(l2_norm(vec_col), 6).alias("_nrm"),
+        F.col(vec_col).alias("_v"),
+    ).filter(F.col("_nrm") > 0)
+    comps = base.select(
+        "_l",
+        "_id",
+        F.posexplode("_v").alias("_i", "_x"),
+        "_nrm",
+    ).select(
+        "_l",
+        "_id",
+        "_i",
+        F.round(F.col("_x").cast("double") / F.col("_nrm"), 6).alias("_u"),
+    )
+    sums = comps.groupBy("_l", "_i").agg(
+        F.sum(F.col("_u").cast("decimal(28,6)")).alias("_s")
+    ).localCheckpoint()
+    tots = sums.groupBy("_i").agg(F.sum("_s").alias("_st"))
+    dots = (
+        sums.join(F.broadcast(tots), "_i")
+        .groupBy("_l")
+        .agg(
+            F.sum(
+                (
+                    F.col("_s").cast("double") * F.col("_s").cast("double")
+                ).cast("decimal(28,12)")
+            ).alias("_ss"),
+            F.sum(
+                (
+                    F.col("_s").cast("double")
+                    * (F.col("_st") - F.col("_s")).cast("double")
+                ).cast("decimal(28,12)")
+            ).alias("_sc"),
+        )
+    )
+    per_l = comps.groupBy("_l").agg(
+        F.count_distinct("_id").alias("n"),
+        F.sum((F.col("_u") * F.col("_u")).cast("decimal(28,12)")).alias(
+            "_t"
+        ),
+    )
+    ntot = per_l.agg(F.sum("n").alias("_ntot"))
+    out = per_l.join(dots, "_l").crossJoin(F.broadcast(ntot))
+    nl = F.col("n").cast("double")
+    nt = F.col("_ntot").cast("double")
+    within = F.when(
+        F.col("n") >= 2,
+        (F.col("_ss").cast("double") - F.col("_t").cast("double"))
+        / (nl * (nl - 1)),
+    )
+    cross = F.when(
+        F.col("_ntot") > F.col("n"),
+        F.col("_sc").cast("double") / (nl * (nt - nl)),
+    )
+    return out.select(
+        F.col("_l").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.round(within, 9).alias("within_cos"),
+        F.round(cross, 9).alias("cross_cos"),
+        F.round(within - cross, 9).alias("contrast"),
+    )

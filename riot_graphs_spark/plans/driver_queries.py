@@ -16111,6 +16111,229 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round 9 — embedding-geometry audits: isotropy, dim redundancy,
+# assignment margins, label separability
+# --------------------------------------------------------------------------
+@_q(
+    "emb_isotropy",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             round(sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    comps AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE / nrm, 6) AS u
+      FROM b WHERE nrm > 0
+    ),
+    per_dim AS (
+      SELECT i, sum(CAST(u AS DECIMAL(28,6))) AS s FROM comps GROUP BY 1
+    ),
+    ss AS (
+      SELECT count(*) AS n_dims,
+             sum(CAST(s::DOUBLE * s::DOUBLE AS DECIMAL(28,12))) AS ssq
+      FROM per_dim
+    ),
+    tt AS (
+      SELECT count(DISTINCT vec_id) AS n,
+             sum(CAST(u * u AS DECIMAL(28,12))) AS t
+      FROM comps
+    )
+    SELECT n::BIGINT AS n, n_dims::BIGINT AS n_dims,
+           round(CASE WHEN n >= 2 THEN
+             (ssq::DOUBLE - t::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1))
+             END, 9) AS mean_cosine
+    FROM tt CROSS JOIN ss
+    """,
+)
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy: the exact mean pairwise cosine over all
+    C(n,2) unit-vector pairs WITHOUT a pair join
+    (operators.similarity.isotropy_score) — ‖Σû‖² sum-vector algebra
+    turns n² work into one scan plus a 64-cell reduction; the
+    cone-collapse health check behind every cosine threshold."""
+    from ..operators.similarity import isotropy_score
+
+    return isotropy_score(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "emb_covariance_pairs",
+    """
+    WITH comps AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.i AS ia, b2.i AS ib, a.s AS sa, b2.s AS sb
+      FROM comps a JOIN comps b2
+        ON a.vec_id = b2.vec_id AND a.i < b2.i
+    ),
+    agg AS (
+      SELECT ia, ib, count(*)::HUGEINT AS n,
+             sum(sa::HUGEINT) AS sx, sum(sb::HUGEINT) AS sy,
+             sum(sa::HUGEINT * sa::HUGEINT) AS sxx,
+             sum(sb::HUGEINT * sb::HUGEINT) AS syy,
+             sum(sa::HUGEINT * sb::HUGEINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    corr AS (
+      SELECT ia, ib, n,
+             round(CASE WHEN
+               sqrt((n * sxx - sx * sx)::DOUBLE)
+               * sqrt((n * syy - sy * sy)::DOUBLE) != 0
+             THEN (n * sxy - sx * sy)::DOUBLE
+                  / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * syy - sy * sy)::DOUBLE)) END, 9) AS corr
+      FROM agg
+    )
+    SELECT ia::INT AS dim_i, ib::INT AS dim_j, n::BIGINT AS n, corr
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY abs(corr) DESC, ia, ib)
+               AS rk
+      FROM corr
+    ) WHERE rk <= 10
+    """,
+)
+def emb_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-correlated embedding dimension pairs
+    (operators.similarity.covariance_top_pairs) — the redundancy audit
+    behind truncation decisions: exact scaled-integer Pearson over all
+    C(64,2) dim pairs, fan-out per ROW (id-keyed posexplode self-join),
+    ranking on the d²-row aggregate."""
+    from ..operators.similarity import covariance_top_pairs
+
+    return covariance_top_pairs(
+        _t(spark, sf_dir, "embeddings"), top_k=10
+    )
+
+
+@_q(
+    "emb_centroid_margin",
+    """
+    WITH cents AS (
+      SELECT j::INT AS j,
+             list_transform(range(0, 64),
+               i -> CASE WHEN i % 4 = j THEN 1.0 ELSE 0.0 END) AS c
+      FROM (SELECT unnest(range(0, 4)) AS j)
+    ), scored AS (
+      SELECT e.vec_id, cents.j AS cell,
+             round(list_sum(list_transform(range(0, 64),
+               i -> (e.embedding[i+1]::DOUBLE - cents.c[i+1])
+                    * (e.embedding[i+1]::DOUBLE - cents.c[i+1]))), 6)
+               AS dist2
+      FROM embeddings e CROSS JOIN cents
+      WHERE e.embedding IS NOT NULL
+    ), own AS (
+      SELECT vec_id, cell AS own_cell, dist2 AS d1
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) = 1
+    ), snd AS (
+      SELECT s.vec_id, min(s.dist2) AS d2
+      FROM scored s JOIN own o
+        ON s.vec_id = o.vec_id AND s.cell != o.own_cell
+      GROUP BY 1
+    ), m AS (
+      SELECT own_cell AS cell,
+             round(sqrt(d2) - sqrt(d1), 6) AS mg
+      FROM own JOIN snd USING (vec_id)
+    )
+    SELECT cell::INT AS cell, count(*)::BIGINT AS n,
+           round(sum(CAST(mg AS DECIMAL(28,6)))::DOUBLE
+                 / count(*)::DOUBLE, 9) AS mean_margin,
+           round(min(mg), 9) AS min_margin,
+           sum(CASE WHEN mg < 0.05 THEN 1 ELSE 0 END)::BIGINT
+             AS ambiguous_n,
+           round(sum(CASE WHEN mg < 0.05 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS ambiguous_share
+    FROM m GROUP BY 1
+    """,
+)
+def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-confidence margins (second-nearest minus nearest
+    centroid distance) per fixed cell
+    (operators.similarity.nearest_centroid_margin) — how DECISIVE the
+    cell assignments are, with the boundary-mass share below 0.05; the
+    zero-shuffle kmeans_assign scoring shape."""
+    from ..operators.similarity import nearest_centroid_margin
+
+    cents = [
+        [1.0 if i % 4 == j else 0.0 for i in range(64)] for j in range(4)
+    ]
+    return nearest_centroid_margin(
+        _t(spark, sf_dir, "embeddings"), cents, ambiguous_below=0.05
+    )
+
+
+@_q(
+    "emb_label_cosine_contrast",
+    """
+    WITH b AS (
+      SELECT CAST(label AS VARCHAR) AS l, vec_id, embedding,
+             round(sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    comps AS (
+      SELECT l, vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE / nrm, 6) AS u
+      FROM b WHERE nrm > 0
+    ),
+    sums AS (
+      SELECT l, i, sum(CAST(u AS DECIMAL(28,6))) AS s
+      FROM comps GROUP BY 1, 2
+    ),
+    tots AS (SELECT i, sum(s) AS st FROM sums GROUP BY 1),
+    dots AS (
+      SELECT l,
+             sum(CAST(s::DOUBLE * s::DOUBLE AS DECIMAL(28,12))) AS ss,
+             sum(CAST(s::DOUBLE * (st - s)::DOUBLE AS DECIMAL(28,12)))
+               AS sc
+      FROM sums JOIN tots USING (i) GROUP BY 1
+    ),
+    per_l AS (
+      SELECT l, count(DISTINCT vec_id) AS n,
+             sum(CAST(u * u AS DECIMAL(28,12))) AS t
+      FROM comps GROUP BY 1
+    ),
+    ntot AS (SELECT sum(n) AS nt FROM per_l),
+    j AS (
+      SELECT per_l.l, per_l.n, per_l.t, dots.ss, dots.sc, ntot.nt
+      FROM per_l JOIN dots ON per_l.l = dots.l CROSS JOIN ntot
+    )
+    SELECT l AS label, n::BIGINT AS n,
+           round(CASE WHEN n >= 2 THEN
+             (ss::DOUBLE - t::DOUBLE)
+             / (n::DOUBLE * (n::DOUBLE - 1)) END, 9) AS within_cos,
+           round(CASE WHEN nt > n THEN
+             sc::DOUBLE / (n::DOUBLE * (nt::DOUBLE - n::DOUBLE)) END, 9)
+             AS cross_cos,
+           round(CASE WHEN n >= 2 THEN
+             (ss::DOUBLE - t::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1))
+             END
+             - CASE WHEN nt > n THEN
+                 sc::DOUBLE / (n::DOUBLE * (nt::DOUBLE - n::DOUBLE))
+               END, 9) AS contrast
+    FROM j
+    """,
+)
+def emb_label_cosine_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label vs cross-label mean cosine per stored label via
+    sum-vector algebra — NO pair join
+    (operators.similarity.label_cosine_contrast): the direct "are
+    same-label vectors actually closer" separability readout beside
+    emb_cells_vs_labels_ari's cell-agreement verdict."""
+    from ..operators.similarity import label_cosine_contrast
+
+    return label_cosine_contrast(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
