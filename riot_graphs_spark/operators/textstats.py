@@ -1235,3 +1235,522 @@ def vocab_jaccard_matrix(
             F.try_divide(i.cast("double"), union.cast("double")), 9
         ).alias("jaccard"),
     )
+
+
+#: Conservative PII regexes shared by engine and oracle — simple
+#: character-class patterns only (identical semantics in Java regex and
+#: RE2; no lookaround, no lazy quantifiers).
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source PII exposure audit — the release-gate REPORT beside
+    :func:`~..plans.driver_queries.pii_redact`'s rewriting pass: how many
+    emails/phones/IPs/SSN-shaped strings each source carries and what
+    fraction of its documents are affected, so the redaction pass (and
+    the legal review) can be scoped before anything ships.
+
+    Pure ``regexp_count`` per pattern (conservative character-class
+    regexes — identical under Java regex and RE2, see
+    :data:`PII_PATTERNS`), one corpus scan, one per-source aggregate.
+    Counts are exact integers.
+
+    Output: one row per group — ``(group, n_docs bigint, emails bigint,
+    phones bigint, ipv4s bigint, ssn_like bigint, docs_with_pii bigint,
+    pii_doc_share double)``.
+    """
+    t = F.col(text_col)
+    cnts = {
+        k: F.regexp_count(t, F.lit(p)) for k, p in PII_PATTERNS.items()
+    }
+    any_pii = None
+    for c in cnts.values():
+        any_pii = c if any_pii is None else any_pii + c
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        *[c.alias(f"_{k}") for k, c in cnts.items()],
+        (any_pii > 0).cast("int").alias("_flag"),
+    )
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_email").cast("long").alias("emails"),
+        F.sum("_phone").cast("long").alias("phones"),
+        F.sum("_ipv4").cast("long").alias("ipv4s"),
+        F.sum("_ssn_like").cast("long").alias("ssn_like"),
+        F.sum("_flag").cast("long").alias("docs_with_pii"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "emails",
+        "phones",
+        "ipv4s",
+        "ssn_like",
+        "docs_with_pii",
+        F.round(
+            F.col("docs_with_pii").cast("double")
+            / F.col("n_docs").cast("double"),
+            9,
+        ).alias("pii_doc_share"),
+    )
+
+
+def feature_hashing_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashing-trick collision audit — before committing a model to
+    hashed bag-of-words features, the question is "how much vocabulary
+    did B buckets destroy": hash every DISTINCT corpus token into
+    *n_buckets* md5 buckets and report occupancy, collision mass, and a
+    χ² uniformity statistic against the uniform-bucket null.
+
+    Token→bucket is the engine-identical md5-32 (:func:`~.dedup.hash32`)
+    mod B; the audit runs on the DISTINCT-token axis (vocab-sized, never
+    the corpus), and the χ² sum quantizes per-bucket terms to decimal.
+
+    Output: one row — ``(n_tokens bigint, n_buckets bigint, buckets_used
+    bigint, max_bucket bigint, colliding_tokens bigint, collision_share
+    double, chi2_uniform double)``.
+    """
+    from .dedup import hash32
+
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("_t"))
+        .distinct()
+    )
+    bucketed = vocab.select(
+        (hash32(F.col("_t")) % F.lit(n_buckets)).alias("_b")
+    ).groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    tot = bucketed.agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_used"),
+        F.max("_c").alias("_max"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(
+            "_coll"
+        ),
+        F.sum(
+            (
+                (F.col("_c").cast("double"))
+                * (F.col("_c").cast("double"))
+            ).cast("decimal(28,12)")
+        ).alias("_sq"),
+    )
+    n = F.col("_n").cast("double")
+    b = F.lit(float(n_buckets))
+    # chi2 against uniform with E = n/B over ALL B buckets (empty
+    # buckets contribute E): chi2 = B/n * sum(c^2) - n
+    chi2 = b / n * F.col("_sq").cast("double") - n
+    return tot.select(
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+        F.col("_used").cast("long").alias("buckets_used"),
+        F.col("_max").cast("long").alias("max_bucket"),
+        F.col("_coll").cast("long").alias("colliding_tokens"),
+        F.round(F.col("_coll").cast("double") / n, 9).alias(
+            "collision_share"
+        ),
+        F.round(chi2, 9).alias("chi2_uniform"),
+    )
+
+
+#: Minimal stopword list shared with the oracle (lowercase, sorted) —
+#: the RAKE phrase-delimiter set.  Deliberately tiny and fixed: RAKE
+#: only needs SOME delimiter set, and a literal one is engine-identical.
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction over the corpus — split token streams
+    into candidate phrases at stopwords, score words by degree/frequency
+    over the CANDIDATE-PHRASE graph, score phrases by their word-score
+    sum, keep the global top-k: the classic unsupervised "what is this
+    corpus about" readout.
+
+    Phrases form per document via gaps-and-islands (token position −
+    run rank) on one per-doc window; word scores aggregate on the
+    distinct-word axis; phrase scores re-join through their words (all
+    vocab-sized).  deg(w) = Σ phrase length over phrases containing w
+    (RAKE's degree), freq(w) = occurrences; score(w) = deg/freq, all
+    exact-integer ratios.  Ranking: round(score,9) desc, phrase asc.
+
+    Output: *top_k* rows — ``(phrase string, n_phrase bigint, score
+    double)`` where n_phrase counts the phrase's corpus occurrences.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(tokens(text_col)).alias("_pos", "_w"),
+        )
+        .withColumn(
+            "_stop", F.col("_w").isin(*RAKE_STOPWORDS).cast("int")
+        )
+    )
+    islands = (
+        toks.withColumn(
+            "_grp",
+            F.col("_pos")
+            - F.row_number().over(
+                Window.partitionBy("_id", "_stop").orderBy("_pos")
+            ),
+        )
+        .filter(F.col("_stop") == 0)
+    )
+    # collect_list order is not guaranteed — build the phrase with
+    # sort_array over (pos, word) structs for a deterministic join.
+    phrases = islands.groupBy("_id", "_grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_w"))
+                ),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    word_stats = (
+        islands.join(
+            phrases.select("_id", "_grp", "_len"), ["_id", "_grp"]
+        )
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (
+                F.col("_deg").cast("double") / F.col("_freq").cast("double")
+            ).alias("_wscore"),
+        )
+    )
+    phrase_scores = (
+        islands.join(F.broadcast(word_stats), "_w")
+        .groupBy("_id", "_grp")
+        .agg(
+            F.sum(F.round(F.col("_wscore"), 9).cast("decimal(28,9)"))
+            .alias("_ps")
+        )
+        .join(phrases, ["_id", "_grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_phrase"),
+            F.max("_ps").alias("_score"),
+        )
+    )
+    ranked = phrase_scores.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.col("_score")), F.asc("phrase")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).select(
+        "phrase",
+        F.col("n_phrase").cast("long").alias("n_phrase"),
+        F.round(F.col("_score").cast("double"), 9).alias("score"),
+    )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Character-class composition per source — the cheap
+    "is this source actually the language it claims" screen before any
+    model-based language ID: share of latin letters, digits, whitespace,
+    punctuation-ish ASCII, and everything else (CJK/Cyrillic/emoji land
+    in `other` — a high `other` share on an 'en' source is a mislabeling
+    or mojibake flag).
+
+    Five ``regexp_replace``-and-length counts per row (byte-free, code
+    -point exact, identical in Java regex and RE2), decimal-exact sums,
+    one aggregate.  Output: one row per group — ``(group, n_docs
+    bigint, chars bigint, latin_share double, digit_share double,
+    space_share double, punct_share double, other_share double)``.
+    """
+    t = F.col(text_col)
+
+    def cnt(pattern: str) -> Column:
+        return F.length(t) - F.length(
+            F.regexp_replace(t, F.lit(pattern), F.lit(""))
+        )
+
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.length(t).alias("_n"),
+        cnt(r"[a-zA-Z]").alias("_lat"),
+        cnt(r"[0-9]").alias("_dig"),
+        cnt(r"[ \t\n\r]").alias("_sp"),
+        cnt(r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]").alias("_pun"),
+    )
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("chars"),
+        F.sum("_lat").alias("_l"),
+        F.sum("_dig").alias("_d"),
+        F.sum("_sp").alias("_s"),
+        F.sum("_pun").alias("_p"),
+    )
+    tot = F.col("chars").cast("double")
+    other = (
+        F.col("chars")
+        - F.col("_l")
+        - F.col("_d")
+        - F.col("_s")
+        - F.col("_p")
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "chars",
+        F.round(F.try_divide(F.col("_l").cast("double"), tot), 9).alias(
+            "latin_share"
+        ),
+        F.round(F.try_divide(F.col("_d").cast("double"), tot), 9).alias(
+            "digit_share"
+        ),
+        F.round(F.try_divide(F.col("_s").cast("double"), tot), 9).alias(
+            "space_share"
+        ),
+        F.round(F.try_divide(F.col("_p").cast("double"), tot), 9).alias(
+            "punct_share"
+        ),
+        F.round(F.try_divide(other.cast("double"), tot), 9).alias(
+            "other_share"
+        ),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Simpson vocabulary diversity per source — the "probability two
+    random tokens are the SAME word" complement to
+    :func:`vocab_entropy_by_group`'s bits (entropy weights rare words;
+    Simpson is dominance-weighted, so template spam shows here first):
+
+        λ = Σ n_w(n_w−1) / (N(N−1)),  D = 1 − λ,
+        inv = 1/λ,  berger_parker = max n_w / N
+
+    Exact integer combinatorics over the (group, word) count table —
+    the one corpus-scale reduce; everything after runs per group.
+
+    Output: one row per group — ``(group, n_tokens bigint, n_types
+    bigint, simpson_d double, inv_simpson double, berger_parker
+    double)``; N < 2 NULLs λ-derived columns.
+    """
+    wc = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(text_col)).alias("_w"),
+        )
+        .groupBy("group", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dec = "decimal(38,0)"
+    agg = wc.groupBy("group").agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("_c").cast(dec) * (F.col("_c") - 1).cast(dec)).alias(
+            "_pairs"
+        ),
+        F.max("_c").alias("_maxc"),
+    )
+    n = F.col("_n").cast("double")
+    lam = F.when(
+        F.col("_n") >= 2,
+        F.col("_pairs").cast("double") / (n * (n - 1)),
+    )
+    return agg.select(
+        F.col("group"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.lit(1.0) - lam, 9).alias("simpson_d"),
+        F.round(F.try_divide(F.lit(1.0), lam), 9).alias("inv_simpson"),
+        F.round(F.col("_maxc").cast("double") / n, 9).alias(
+            "berger_parker"
+        ),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Burstiness (variance-to-mean Fano factor, zeros included) of the
+    top-k corpus terms — content words CLUMP (one doc mentions "spark"
+    twenty times, most never), function words spread evenly; Fano ≈ 1
+    is Poisson/background, ≫ 1 is topical.  The per-term dispersion
+    readout behind stopword-list and keyword decisions that raw
+    frequency can't make.
+
+    Per-(term, doc) counts reduce once; absent docs enter as exact
+    zeros through the corpus doc count (Σc² and Σc over present docs +
+    N_docs do the rest — no dense join):
+
+        mean = Σc/N,  var = Σc²/N − mean²,  fano = var/mean
+
+    Exact integer sums; final arithmetic in double.  Output: *top_k*
+    rows — ``(term string, total bigint, docs_with bigint, mean double,
+    variance double, fano double)`` ordered by total desc (term asc
+    ties).
+    """
+    dec = "decimal(38,0)"
+    docs = df.filter(F.col(text_col).isNotNull())
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    per = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(text_col)).alias("_w"),
+        )
+        .groupBy("_w", "_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = per.groupBy("_w").agg(
+        F.sum("_c").alias("_tot"),
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum((F.col("_c") * F.col("_c")).cast(dec)).alias("_sq"),
+    )
+    ranked = (
+        stats.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("_tot"), F.asc("_w"))
+            ),
+        )
+        .filter(F.col("_rk") <= top_k)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    nd = F.col("_nd").cast("double")
+    mean = F.col("_tot").cast("double") / nd
+    var = F.col("_sq").cast("double") / nd - mean * mean
+    return ranked.select(
+        F.col("_w").alias("term"),
+        F.col("_tot").cast("long").alias("total"),
+        F.col("_docs").cast("long").alias("docs_with"),
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        F.round(F.try_divide(var, mean), 9).alias("fano"),
+    )
+
+
+def compressibility_proxy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source compressibility proxy — machine-generated or template
+    text compresses far better than organic prose, and a gzip pass over
+    100 TB is exactly what nobody wants to schedule: approximate it
+    row-locally with (a) the distinct-token ratio and (b) character
+    unigram entropy, then aggregate.  Low entropy + low distinct ratio
+    = the repetitive/templated tail a quality filter should see.
+
+    Both signals are row-local (token arrays and a 26-letter count
+    fold); per-doc values round to 6 dp before decimal-exact averaging,
+    and the flag (entropy < 3.5 OR distinct_ratio < 0.4) is a pure
+    threshold compare.  One scan, one per-source aggregate.
+
+    Output: one row per group — ``(group, n_docs bigint, mean_distinct
+    _ratio double, mean_char_entropy double, flagged bigint,
+    flagged_share double)``.
+    """
+    t = F.lower(F.col(text_col))
+    toks = tokens(text_col)
+    distinct_ratio = F.round(
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"),
+            F.size(toks).cast("double"),
+        ),
+        6,
+    )
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    # translate (plain char removal), NOT regexp_replace: one cheap
+    # string pass per letter in both engines — the regex form was ~10×
+    # slower for identical output
+    counts = F.array(
+        *[
+            (
+                F.length(t) - F.length(F.translate(t, ch, ""))
+            ).cast("double")
+            for ch in letters
+        ]
+    )
+    total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + F.when(
+            c > 0, -(c / total) * F.log2(c / total)
+        ).otherwise(F.lit(0.0)),
+    )
+    entropy = F.round(ent, 6)
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        distinct_ratio.alias("_dr"),
+        F.when(total > 0, entropy).otherwise(F.lit(0.0)).alias("_en"),
+    )
+    flag = (
+        (F.col("_en") < 3.5) | (F.col("_dr") < 0.4)
+    ).cast("int")
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_dr").cast("decimal(28,6)")).alias("_sdr"),
+        F.sum(F.col("_en").cast("decimal(28,6)")).alias("_sen"),
+        F.sum(flag).alias("_fl"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "group",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("_sdr").cast("double") / nd, 9).alias(
+            "mean_distinct_ratio"
+        ),
+        F.round(F.col("_sen").cast("double") / nd, 9).alias(
+            "mean_char_entropy"
+        ),
+        F.col("_fl").cast("long").alias("flagged"),
+        F.round(F.col("_fl").cast("double") / nd, 9).alias(
+            "flagged_share"
+        ),
+    )

@@ -16334,6 +16334,339 @@ def emb_label_cosine_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_cosine_contrast(_t(spark, sf_dir, "embeddings"))
 
 
+# --------------------------------------------------------------------------
+# Round 9 — text-analysis widening: PII audit, hashing-trick audit, RAKE,
+# script mix, Simpson diversity, burstiness, compressibility proxy
+# --------------------------------------------------------------------------
+@_q(
+    "pii_scan_report",
+    """
+    WITH base AS (
+      SELECT source AS g,
+             len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+'))
+               AS em,
+             len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS ph,
+             len(regexp_extract_all(text,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS ip,
+             len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+               AS ssn
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT g AS "group", count(*)::BIGINT AS n_docs,
+           sum(em)::BIGINT AS emails, sum(ph)::BIGINT AS phones,
+           sum(ip)::BIGINT AS ipv4s, sum(ssn)::BIGINT AS ssn_like,
+           sum(CASE WHEN em + ph + ip + ssn > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_pii,
+           round(sum(CASE WHEN em + ph + ip + ssn > 0 THEN 1 ELSE 0
+                     END)::DOUBLE / count(*)::DOUBLE, 9) AS pii_doc_share
+    FROM base GROUP BY 1
+    """,
+)
+def pii_scan_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit
+    (operators.textstats.pii_scan_report) — the release-gate REPORT
+    beside pii_redact's rewriting pass: email/phone/IP/SSN-shaped hit
+    counts and affected-document share per source, conservative
+    character-class regexes identical under Java regex and RE2."""
+    from ..operators.textstats import pii_scan_report
+
+    return pii_scan_report(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "feature_hash_audit",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bucketed AS (
+      SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b,
+             count(*) AS c
+      FROM vocab GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(c) AS n, count(*) AS used, max(c) AS mx,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS coll,
+             sum(CAST(c::DOUBLE * c::DOUBLE AS DECIMAL(28,12))) AS sq
+      FROM bucketed
+    )
+    SELECT n::BIGINT AS n_tokens, CAST(1024 AS BIGINT) AS n_buckets,
+           used::BIGINT AS buckets_used, mx::BIGINT AS max_bucket,
+           coll::BIGINT AS colliding_tokens,
+           round(coll::DOUBLE / n::DOUBLE, 9) AS collision_share,
+           round(1024.0 / n::DOUBLE * sq::DOUBLE - n::DOUBLE, 9)
+             AS chi2_uniform
+    FROM tot
+    """,
+)
+def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit over the corpus vocabulary into
+    1024 md5 buckets (operators.textstats.feature_hashing_audit) —
+    occupancy, collision mass, and χ² uniformity vs the uniform-bucket
+    null; runs on the DISTINCT-token axis, never the corpus."""
+    from ..operators.textstats import feature_hashing_audit
+
+    return feature_hashing_audit(
+        _t(spark, sf_dir, "documents"), n_buckets=1024
+    )
+
+
+_RAKE_STOP_SQL = "('a','an','and','are','as','at','be','by','for','from','in','is','it','of','on','or','that','the','to','with')"
+
+
+@_q(
+    "rake_keywords_top",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(range(0, len(regexp_extract_all(lower(text),
+               '[a-z0-9]+')))) AS pos,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    marked AS (
+      SELECT id, pos, w,
+             CASE WHEN w IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    islands AS (
+      SELECT id, pos, w,
+             pos - row_number() OVER (PARTITION BY id, stop
+                                      ORDER BY pos) AS grp
+      FROM marked WHERE stop = 0
+    ),
+    phrases AS (
+      SELECT id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM islands GROUP BY 1, 2
+    ),
+    word_stats AS (
+      SELECT w, sum(plen)::DOUBLE / count(*)::DOUBLE AS wscore
+      FROM islands JOIN phrases USING (id, grp) GROUP BY w
+    ),
+    ps AS (
+      SELECT id, grp,
+             sum(CAST(round(wscore, 9) AS DECIMAL(28,9))) AS pscore
+      FROM islands JOIN word_stats USING (w) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT phrase, count(*) AS n_phrase, max(pscore) AS sc
+      FROM ps JOIN phrases USING (id, grp) GROUP BY 1
+    )
+    SELECT phrase, n_phrase::BIGINT AS n_phrase,
+           round(sc::DOUBLE, 9) AS score
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY sc DESC, phrase) AS rk
+      FROM scored
+    ) WHERE rk <= 15
+    """,
+)
+def rake_keywords_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: top-15 stopword-delimited candidate
+    phrases by degree/frequency word-score sum
+    (operators.textstats.rake_keywords) — gaps-and-islands phrase
+    segmentation on per-doc windows, all scoring on vocab-sized
+    aggregates."""
+    from ..operators.textstats import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"), top_k=15)
+
+
+@_q(
+    "text_script_profile",
+    """
+    WITH base AS (
+      SELECT source AS g, length(text) AS n,
+             length(text) - length(regexp_replace(text,
+               '[a-zA-Z]', '', 'g')) AS lat,
+             length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS dig,
+             length(text) - length(regexp_replace(text,
+               '[ \t\n\r]', '', 'g')) AS sp,
+             length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}<>/\\\\|@#$%^&*_+=~`-]', '', 'g'))
+               AS pun
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    agg AS (
+      SELECT g, count(*) AS n_docs, sum(n)::BIGINT AS chars,
+             sum(lat) AS l, sum(dig) AS d, sum(sp) AS s, sum(pun) AS p
+      FROM base GROUP BY 1
+    )
+    SELECT g AS "group", n_docs::BIGINT AS n_docs, chars,
+           round(CASE WHEN chars != 0 THEN l::DOUBLE / chars::DOUBLE END,
+                 9) AS latin_share,
+           round(CASE WHEN chars != 0 THEN d::DOUBLE / chars::DOUBLE END,
+                 9) AS digit_share,
+           round(CASE WHEN chars != 0 THEN s::DOUBLE / chars::DOUBLE END,
+                 9) AS space_share,
+           round(CASE WHEN chars != 0 THEN p::DOUBLE / chars::DOUBLE END,
+                 9) AS punct_share,
+           round(CASE WHEN chars != 0 THEN
+             (chars - l - d - s - p)::DOUBLE / chars::DOUBLE END, 9)
+             AS other_share
+    FROM agg
+    """,
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source
+    (operators.textstats.script_profile) — latin/digit/space/punct/other
+    shares; a high `other` share on a latin-labeled source is a
+    mislabeling or mojibake flag before any model-based language ID."""
+    from ..operators.textstats import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "vocab_simpson_diversity",
+    """
+    WITH wc AS (
+      SELECT source AS g, t.w AS w, count(*) AS c
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+      WHERE text IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, sum(c) AS n, count(*) AS n_types,
+             sum(c::HUGEINT * (c - 1)::HUGEINT) AS pairs,
+             max(c) AS maxc
+      FROM wc GROUP BY 1
+    )
+    SELECT g AS "group", n::BIGINT AS n_tokens,
+           n_types::BIGINT AS n_types,
+           round(CASE WHEN n >= 2 THEN
+             1.0 - pairs::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1)) END, 9)
+             AS simpson_d,
+           round(CASE WHEN n >= 2 AND pairs != 0 THEN
+             1.0 / (pairs::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1))) END, 9)
+             AS inv_simpson,
+           round(maxc::DOUBLE / n::DOUBLE, 9) AS berger_parker
+    FROM agg
+    """,
+)
+def vocab_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson vocabulary diversity per source
+    (operators.textstats.simpson_diversity) — dominance-weighted
+    "probability two random tokens match" with inverse-Simpson and
+    Berger–Parker; exact integer combinatorics over the (source, word)
+    count table.  Template spam shows here before it moves entropy."""
+    from ..operators.textstats import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "term_burstiness_top",
+    """
+    WITH nd AS (
+      SELECT count(*)::BIGINT AS ndocs FROM documents
+      WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT t.w AS w, doc_id, count(*) AS c
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+      WHERE text IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT w, sum(c)::BIGINT AS tot, count(*)::BIGINT AS docs,
+             sum((c * c)::HUGEINT) AS sq
+      FROM per GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY tot DESC, w) AS rk
+      FROM stats
+    )
+    SELECT w AS term, tot AS total, docs AS docs_with,
+           round(tot::DOUBLE / ndocs::DOUBLE, 9) AS mean,
+           round(sq::DOUBLE / ndocs::DOUBLE
+                 - (tot::DOUBLE / ndocs::DOUBLE)
+                   * (tot::DOUBLE / ndocs::DOUBLE), 9) AS variance,
+           round(CASE WHEN tot::DOUBLE / ndocs::DOUBLE != 0 THEN
+             (sq::DOUBLE / ndocs::DOUBLE
+              - (tot::DOUBLE / ndocs::DOUBLE)
+                * (tot::DOUBLE / ndocs::DOUBLE))
+             / (tot::DOUBLE / ndocs::DOUBLE) END, 9) AS fano
+    FROM ranked CROSS JOIN nd WHERE rk <= 20
+    """,
+)
+def term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness (zeros included via the corpus doc count —
+    no dense join) of the top-20 corpus terms
+    (operators.textstats.term_burstiness) — content words clump, function
+    words spread; the dispersion readout raw frequency can't give."""
+    from ..operators.textstats import term_burstiness
+
+    return term_burstiness(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+@_q(
+    "text_compressibility",
+    """
+    WITH letters AS (
+      SELECT unnest(string_split('a b c d e f g h i j k l m n o p q r s'
+               || ' t u v w x y z', ' ')) AS ch
+    ),
+    per_ch AS (
+      SELECT doc_id, source, ch,
+             length(lower(text))
+               - length(translate(lower(text), ch, '')) AS c
+      FROM documents CROSS JOIN letters
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    ent AS (
+      SELECT doc_id, source, max(tot)::DOUBLE AS total,
+             round(sum(CASE WHEN c > 0 THEN
+               -(c::DOUBLE / tot::DOUBLE) * log2(c::DOUBLE / tot::DOUBLE)
+               ELSE 0.0 END), 6) AS en
+      FROM (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS tot
+            FROM per_ch)
+      GROUP BY 1, 2
+    ),
+    dr AS (
+      SELECT doc_id, source AS g,
+             CASE WHEN len(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) != 0 THEN
+               round(len(list_distinct(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')))::DOUBLE
+                     / len(regexp_extract_all(lower(text),
+                         '[a-z0-9]+'))::DOUBLE, 6) END AS drv
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    j AS (
+      SELECT g, drv,
+             CASE WHEN total > 0 THEN en ELSE 0.0 END AS env
+      FROM dr JOIN ent USING (doc_id)
+    )
+    SELECT g AS "group", count(*)::BIGINT AS n_docs,
+           round(sum(CAST(drv AS DECIMAL(28,6)))::DOUBLE
+                 / count(*)::DOUBLE, 9) AS mean_distinct_ratio,
+           round(sum(CAST(env AS DECIMAL(28,6)))::DOUBLE
+                 / count(*)::DOUBLE, 9) AS mean_char_entropy,
+           sum(CAST((env < 3.5 OR drv < 0.4) AS INT))::BIGINT AS flagged,
+           round(sum(CAST((env < 3.5 OR drv < 0.4) AS INT))::DOUBLE
+                 / count(*)::DOUBLE, 9) AS flagged_share
+    FROM j GROUP BY 1
+    """,
+)
+def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility proxy: distinct-token ratio + char
+    unigram entropy with flagging
+    (operators.textstats.compressibility_proxy) — the row-local
+    gzip-pass stand-in that finds templated/machine text without
+    scheduling a compression job over 100 TB."""
+    from ..operators.textstats import compressibility_proxy
+
+    return compressibility_proxy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
