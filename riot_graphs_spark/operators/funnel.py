@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -531,4 +531,162 @@ def survival_summary(
             .cast("double"),
             9,
         ).alias("rmst"),
+    )
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    iterations: int = 25,
+) -> DataFrame:
+    """Stationary distribution of the first-order behavior Markov chain
+    — "where does a user's session END UP spending its time" — the
+    long-run summary :func:`event_transitions`' one-step shares can't
+    give (a state can be a rare destination of every step yet dominate
+    the stationary mass through self-loops).
+
+    The transition matrix estimates from consecutive event-type pairs
+    per user (the :func:`event_transitions` reduction, exact integer
+    counts → one rational p_ij per cell); the stationary vector runs
+    *iterations* synchronous power steps v ← vᵀP **inside the engine**
+    as chained k-row joins — no driver-side linear algebra, no collect.
+    Every step quantizes each product to 9 dp and sums in decimal, so
+    the whole trajectory is engine-identical (the DuckDB oracle unrolls
+    the same 25 steps as chained CTEs and matches bit-for-bit).  States
+    are the observed FROM-types (a sink-only type would absorb leaked
+    mass invisibly; none exists in practice and the docstring is the
+    contract).
+
+    k-row × k-row joins × 25: the plan is deep but microscopic; the one
+    corpus-scale operation is the pair reduction.  Output: one row per
+    state — ``(event_type string, stationary_prob double)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        df.filter(F.col(type_col).isNotNull())
+        .select(
+            F.col(type_col).alias("_f"),
+            F.lead(type_col).over(w).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_f", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
+    p = (
+        pairs.join(rowtot, "_f")
+        .select(
+            "_f",
+            "_t",
+            (
+                F.col("_n").cast("double") / F.col("_tot").cast("double")
+            ).alias("_p"),
+        )
+        .localCheckpoint()
+    )
+    states = p.select(F.col("_f").alias("_s")).distinct()
+    kcount = states.agg(F.count(F.lit(1)).alias("_k"))
+    v = states.crossJoin(F.broadcast(kcount)).select(
+        "_s",
+        F.round(F.lit(1.0) / F.col("_k").cast("double"), 9)
+        .cast("decimal(28,9)")
+        .alias("_val"),
+    )
+    for _ in range(iterations):
+        v = (
+            v.join(p, v["_s"] == p["_f"])
+            .groupBy(F.col("_t").alias("_s2"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("_val").cast("double") * F.col("_p"), 9
+                    ).cast("decimal(28,9)")
+                ).alias("_val")
+            )
+            .select(F.col("_s2").alias("_s"), "_val")
+        )
+        # keep only FROM-states so the next join is total (sink-only
+        # states would otherwise accumulate then dead-end)
+        v = v.join(states, "_s")
+    return v.select(
+        F.col("_s").alias("event_type"),
+        F.round(F.col("_val").cast("double"), 9).alias("stationary_prob"),
+    )
+
+
+def attribution_time_decay(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    half_life_days: float = 3.0,
+    window_days: int = 7,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the honest middle between
+    :func:`~..plans.driver_queries.attribution_last_touch` (100% to the
+    final touch) and linear (everything equal): each touch inside the
+    lookback window before a user's FIRST conversion earns
+    exp-decayed credit with the given half-life, normalized per
+    conversion so every conversion distributes exactly 1.0.
+
+        w = 0.5^(Δdays / half_life),   credit = w / Σ_touches w
+
+    Δ comes from exact epoch-second integers; weights round to 9 dp
+    before the per-conversion normalization and the per-type decimal
+    sums, so credits are engine-identical.  Two user-keyed reductions
+    + one broadcast-joined window filter — no fact×fact blowup (the
+    conversion table is users-sized).
+
+    Output: one row per touch type — ``(event_type string, conversions
+    bigint, touches bigint, credit double)``.
+    """
+    conv = (
+        df.filter(F.col(type_col) == convert_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_cts"))
+    )
+    touches = df.filter(F.col(type_col).isin(*touch_types)).select(
+        user_col, F.col(type_col).alias("_ty"), F.col(ts_col).alias("_ts")
+    )
+    joined = touches.join(conv, user_col).filter(
+        (F.col("_ts") < F.col("_cts"))
+        & (
+            F.unix_timestamp("_cts") - F.unix_timestamp("_ts")
+            <= window_days * 86400
+        )
+    )
+    ddays = (
+        F.unix_timestamp("_cts") - F.unix_timestamp("_ts")
+    ).cast("double") / F.lit(86400.0)
+    w = F.round(
+        F.pow(F.lit(0.5), ddays / F.lit(float(half_life_days))), 9
+    )
+    wsum = Window.partitionBy(user_col)
+    credited = joined.select(
+        user_col, "_ty", w.alias("_w")
+    ).withColumn(
+        "_share",
+        F.round(
+            F.col("_w")
+            / F.sum(F.col("_w").cast("decimal(28,9)"))
+            .over(wsum)
+            .cast("double"),
+            9,
+        ),
+    )
+    agg = credited.groupBy("_ty").agg(
+        F.count_distinct(F.col(user_col)).alias("conversions"),
+        F.count(F.lit(1)).alias("touches"),
+        F.sum(F.col("_share").cast("decimal(28,9)")).alias("_credit"),
+    )
+    return agg.select(
+        F.col("_ty").alias("event_type"),
+        F.col("conversions").cast("long").alias("conversions"),
+        F.col("touches").cast("long").alias("touches"),
+        F.round(F.col("_credit").cast("double"), 9).alias("credit"),
     )

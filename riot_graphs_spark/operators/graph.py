@@ -10,7 +10,7 @@ Spark is just DataFrame ops (no GraphX, no RDDs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Exact-decimal carrier for cross-row double sums (FP addition order
@@ -419,4 +419,204 @@ def k_core_peel(
         deg = _degrees(live)
     return deg.where(F.col("degree") >= k).select(
         F.col("s").alias("node"), "degree"
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetric closure of an undirected ``(src, dst)`` edge list."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph — do
+    hubs attach to hubs (r > 0, social-network-like) or to leaves
+    (r < 0, hub-and-spoke / star topologies)?  The one-number mixing
+    summary that says whether :func:`pagerank`'s mass concentrates by
+    CHOICE of the hubs or by structure of the periphery.
+
+    Standard Newman form: Pearson correlation of the endpoint degrees
+    over all 2|E| ordered edge stubs.  Degrees are exact integers from
+    one edge-list groupBy; all moment sums ride decimal(38,0) and the
+    correlation forms from exact integer differences (the
+    :func:`~..operators.profile.partial_correlation` discipline) — one
+    double division at the end.  Two node-keyed joins, nothing global.
+
+    Output: one row — ``(n_nodes bigint, n_edges bigint,
+    assortativity double)``; a degree-regular graph (zero variance)
+    NULLs r via ``try_divide``.
+    """
+    dec = "decimal(38,0)"
+    sym = _sym(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    stubs = (
+        sym.join(deg, "src")
+        .select(
+            "dst",
+            F.col("_d").alias("_du"),
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("_d").alias("_dv")
+            ),
+            "dst",
+        )
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).alias("_m2"),
+        F.sum(F.col("_du").cast(dec)).alias("_sx"),
+        F.sum(F.col("_dv").cast(dec)).alias("_sy"),
+        F.sum((F.col("_du") * F.col("_du")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_dv") * F.col("_dv")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_du") * F.col("_dv")).cast(dec)).alias("_sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = agg.crossJoin(F.broadcast(nodes))
+    nn = F.col("_m2").cast(dec)
+    num = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (nn * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return out.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("_m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 9
+        ).alias("assortativity"),
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top_k: int = 20,
+    max_hub_degree: int = 50,
+) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic–Adar link prediction over an
+    undirected graph — score the NON-edges most likely to be real
+    ("parts these customers would buy together next"), the classic
+    structural-hole readout on top of :func:`triangle_counts`' closure
+    number.
+
+    Candidate pairs form ONLY through shared neighbors (a v-keyed
+    self-join — the in-bucket pair discipline), with hub intermediates
+    above *max_hub_degree* excluded FIRST: a degree-D hub alone mints
+    C(D,2) candidates, and capping it bounds the blow-up at any scale
+    (the cap is the documented knob; raising it only adds
+    already-well-connected pairs).  Existing edges drop via one
+    left-anti join.  AA terms quantize to decimal before summing.
+
+        jaccard = cn / (deg_u + deg_w − cn)
+        aa      = Σ_v 1/ln(deg_v)           (over shared v, deg_v ≥ 2)
+
+    Output: *top_k* rows — ``(node_u, node_w, common_neighbors bigint,
+    jaccard double, adamic_adar double)`` ordered aa desc (u, w asc).
+    """
+    sym = _sym(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    mid = sym.join(
+        deg.filter(F.col("_d") <= max_hub_degree), "src"
+    ).select(
+        F.col("src").alias("_v"),
+        F.col("dst").alias("_u"),
+        F.col("_d").alias("_dv"),
+    )
+    a = mid.select("_v", F.col("_u").alias("node_u"), "_dv")
+    b = mid.select("_v", F.col("_u").alias("node_w"))
+    pairs = (
+        a.join(b, "_v")
+        .filter(F.col("node_u") < F.col("node_w"))
+        .groupBy("node_u", "node_w")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.when(
+                    F.col("_dv") >= 2,
+                    F.round(
+                        F.lit(1.0) / F.log(F.col("_dv").cast("double")),
+                        9,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("decimal(28,9)")
+            ).alias("_aa"),
+        )
+    )
+    existing = sym.select(
+        F.col("src").alias("node_u"), F.col("dst").alias("node_w")
+    )
+    non_edges = pairs.join(existing, ["node_u", "node_w"], "left_anti")
+    du = deg.select(F.col("src").alias("node_u"), F.col("_d").alias("_du"))
+    dw = deg.select(F.col("src").alias("node_w"), F.col("_d").alias("_dw"))
+    scored = non_edges.join(du, "node_u").join(dw, "node_w")
+    jac = F.col("common_neighbors").cast("double") / (
+        F.col("_du").cast("double")
+        + F.col("_dw").cast("double")
+        - F.col("common_neighbors").cast("double")
+    )
+    ranked = scored.select(
+        "node_u",
+        "node_w",
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        F.round(jac, 9).alias("jaccard"),
+        F.col("_aa").alias("_aad"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("_aad"), F.asc("node_u"), F.asc("node_w")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).select(
+        "node_u",
+        "node_w",
+        "common_neighbors",
+        "jaccard",
+        F.round(F.col("_aad").cast("double"), 9).alias("adamic_adar"),
+    )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Breadth-first layer sizes from a seed set over an undirected
+    graph — "how much of the network is within k hops of these nodes",
+    the reachability/blast-radius readout behind recall-style seeding
+    decisions (contaminated docs, recalled parts, compromised users).
+
+    Fixed-depth unrolled expansion: *max_depth* frontier⋈edges joins,
+    each followed by an anti-join against the visited set — the shape a
+    1000-executor BFS actually runs (per-level joins, no driver-side
+    frontier).  Every level is distinct-keyed; visited stays a node-id
+    set.  Output: one row per layer — ``(layer int, n_nodes bigint)``
+    (layer 0 = seeds; unreached nodes absent).
+    """
+    sym = _sym(edges)
+    frontier = seeds.select(F.col("node")).distinct()
+    visited = frontier
+    out = [frontier.select(F.lit(0).alias("layer"), "node")]
+    for d in range(1, max_depth + 1):
+        nxt = (
+            sym.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        out.append(nxt.select(F.lit(d).alias("layer"), "node"))
+        visited = visited.union(nxt).distinct()
+        frontier = nxt
+    allrows = out[0]
+    for o in out[1:]:
+        allrows = allrows.union(o)
+    return (
+        allrows.groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            F.col("layer").cast("int").alias("layer"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
     )

@@ -16667,6 +16667,286 @@ def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compressibility_proxy(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Round 9 — graph widening + behavior-chain analytics
+# --------------------------------------------------------------------------
+#: Shared denoised part co-occurrence edge CTE (the basket_part_pairs /
+#: graph_pagerank_parts support>=2 filter) with symmetric closure + degrees.
+_DUCK_PART_GRAPH = """
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1)
+"""
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of _DUCK_PART_GRAPH's `edges` CTE."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+
+
+@_q(
+    "graph_assortativity",
+    f"""
+    WITH {_DUCK_PART_GRAPH},
+    stubs AS (
+      SELECT s.dst, d1.d AS du FROM sym s JOIN deg d1 ON s.src = d1.src
+    ),
+    stubs2 AS (
+      SELECT st.du, d2.d AS dv FROM stubs st JOIN deg d2
+        ON st.dst = d2.src
+    ),
+    agg AS (
+      SELECT count(*)::HUGEINT AS m2,
+             sum(du::HUGEINT) AS sx, sum(dv::HUGEINT) AS sy,
+             sum(du::HUGEINT * du::HUGEINT) AS sxx,
+             sum(dv::HUGEINT * dv::HUGEINT) AS syy,
+             sum(du::HUGEINT * dv::HUGEINT) AS sxy
+      FROM stubs2
+    ),
+    nodes AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT n_nodes::BIGINT AS n_nodes, (m2 / 2)::BIGINT AS n_edges,
+           round(CASE WHEN
+             sqrt((m2 * sxx - sx * sx)::DOUBLE)
+             * sqrt((m2 * syy - sy * sy)::DOUBLE) != 0
+           THEN (m2 * sxy - sx * sy)::DOUBLE
+                / (sqrt((m2 * sxx - sx * sx)::DOUBLE)
+                   * sqrt((m2 * syy - sy * sy)::DOUBLE)) END, 9)
+             AS assortativity
+    FROM agg CROSS JOIN nodes
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the denoised part co-occurrence graph
+    (operators.graph.degree_assortativity) — do hub parts co-occur with
+    hub parts (r > 0) or with one-off accessories (r < 0)?  Newman's
+    stub-pair Pearson over exact integer degree sums."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_part_edges(spark, sf_dir))
+
+
+@_q(
+    "graph_link_prediction",
+    f"""
+    WITH {_DUCK_PART_GRAPH},
+    mid AS (
+      SELECT s.src AS v, s.dst AS u, d.d AS dv
+      FROM sym s JOIN deg d ON s.src = d.src WHERE d.d <= 50
+    ),
+    pairs AS (
+      SELECT a.u AS node_u, b.u AS node_w, count(*) AS cn,
+             sum(CAST(CASE WHEN a.dv >= 2
+                   THEN round(1.0 / ln(a.dv::DOUBLE), 9)
+                   ELSE 0.0 END AS DECIMAL(28,9))) AS aa
+      FROM mid a JOIN mid b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    non AS (
+      SELECT p.* FROM pairs p
+      ANTI JOIN sym e ON p.node_u = e.src AND p.node_w = e.dst
+    ),
+    scored AS (
+      SELECT n.node_u, n.node_w, n.cn, n.aa, d1.d AS du, d2.d AS dw
+      FROM non n JOIN deg d1 ON n.node_u = d1.src
+                 JOIN deg d2 ON n.node_w = d2.src
+    )
+    SELECT node_u, node_w, cn::BIGINT AS common_neighbors,
+           round(cn::DOUBLE / (du::DOUBLE + dw::DOUBLE - cn::DOUBLE), 9)
+             AS jaccard,
+           round(aa::DOUBLE, 9) AS adamic_adar
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY aa DESC, node_u, node_w)
+               AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic–Adar link prediction over the
+    part graph (operators.graph.link_prediction_scores) — the top-20
+    NON-edges most likely to be real co-purchases; hub intermediates
+    above degree 50 excluded first so candidate fan-out stays bounded
+    at any scale."""
+    from ..operators.graph import link_prediction_scores
+
+    return link_prediction_scores(
+        _part_edges(spark, sf_dir), top_k=20, max_hub_degree=50
+    )
+
+
+@_q(
+    "graph_bfs_layers",
+    f"""
+    WITH {_DUCK_PART_GRAPH},
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+    l1 AS (
+      SELECT DISTINCT s.dst AS node FROM sym s
+      JOIN seeds ON s.src = seeds.node
+      WHERE s.dst NOT IN (SELECT node FROM seeds)
+    ),
+    l2 AS (
+      SELECT DISTINCT s.dst AS node FROM sym s
+      JOIN l1 ON s.src = l1.node
+      WHERE s.dst NOT IN (SELECT node FROM seeds
+                          UNION ALL SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT s.dst AS node FROM sym s
+      JOIN l2 ON s.src = l2.node
+      WHERE s.dst NOT IN (SELECT node FROM seeds
+                          UNION ALL SELECT node FROM l1
+                          UNION ALL SELECT node FROM l2)
+    )
+    SELECT layer, count(*)::BIGINT AS n_nodes FROM (
+      SELECT 0 AS layer, node FROM seeds
+      UNION ALL SELECT 1, node FROM l1
+      UNION ALL SELECT 2, node FROM l2
+      UNION ALL SELECT 3, node FROM l3
+    ) GROUP BY 1
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layer sizes (depth ≤ 3) from the three smallest part ids over
+    the co-occurrence graph (operators.graph.bfs_layers) — the
+    blast-radius readout: per-level frontier⋈edges joins with anti-join
+    visited sets, the shape a 1000-executor BFS actually runs."""
+    from ..operators.graph import bfs_layers
+
+    edges = _part_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.orderBy("node").limit(3)
+    return bfs_layers(edges, seeds, max_depth=3)
+
+
+def _markov_oracle(iterations: int = 25) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines single-reference CTEs,
+    # and a 25-deep inlined chain (each level also inlining p/states)
+    # explodes planning time — materialization keeps it linear.
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT f, t2, count(*) AS n FROM (
+        SELECT event_type AS f,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        FROM events WHERE event_type IS NOT NULL
+      ) WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS MATERIALIZED (SELECT f, sum(n) AS tot FROM pairs
+                            GROUP BY 1),
+    p AS MATERIALIZED (
+      SELECT pairs.f, pairs.t2, pairs.n::DOUBLE / rowtot.tot::DOUBLE AS p
+      FROM pairs JOIN rowtot USING (f)
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT f FROM p),
+    v0 AS MATERIALIZED (
+      SELECT f AS s,
+             CAST(round(1.0 / (SELECT count(*) FROM states)::DOUBLE, 9)
+                  AS DECIMAL(28,9)) AS val
+      FROM states
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    v{i} AS MATERIALIZED (
+      SELECT p.t2 AS s,
+             sum(CAST(round(CAST(v.val AS DOUBLE) * p.p, 9)
+                      AS DECIMAL(28,9))) AS val
+      FROM v{i - 1} v JOIN p ON v.s = p.f
+      WHERE p.t2 IN (SELECT f FROM states)
+      GROUP BY 1
+    )""")
+    tail = f"""
+    SELECT s AS event_type,
+           round(CAST(val AS DOUBLE), 9) AS stationary_prob
+    FROM v{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+@_q("markov_stationary_events", _markov_oracle(25))
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain over
+    event types (operators.funnel.markov_stationary, 25 synchronous
+    power steps run INSIDE the engine as chained k-row joins — no
+    driver-side linear algebra).  The long-run "where do sessions spend
+    their time" summary event_transitions' one-step shares can't give;
+    the oracle unrolls the same 25 steps as chained CTEs and matches
+    bit-for-bit through per-step 9-dp decimal cuts."""
+    from ..operators.funnel import markov_stationary
+
+    return markov_stationary(_t(spark, sf_dir, "events"), iterations=25)
+
+
+@_q(
+    "attribution_time_decay",
+    """
+    WITH conv AS (
+      SELECT user_id, min(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type AS ty,
+             epoch_us(conv.cts::TIMESTAMP) // 1000000
+               - epoch_us(e.ts::TIMESTAMP) // 1000000 AS dsec
+      FROM events e JOIN conv USING (user_id)
+      WHERE e.event_type IN ('view', 'click') AND e.ts < conv.cts
+        AND epoch_us(conv.cts::TIMESTAMP) // 1000000
+            - epoch_us(e.ts::TIMESTAMP) // 1000000 <= 604800
+    ),
+    wtd AS (
+      SELECT user_id, ty,
+             round(pow(0.5, (dsec::DOUBLE / 86400.0) / 3.0), 9) AS w
+      FROM touch
+    ),
+    shared AS (
+      SELECT user_id, ty,
+             round(w / (sum(CAST(w AS DECIMAL(28,9)))
+                        OVER (PARTITION BY user_id))::DOUBLE, 9)
+               AS share
+      FROM wtd
+    )
+    SELECT ty AS event_type,
+           count(DISTINCT user_id)::BIGINT AS conversions,
+           count(*)::BIGINT AS touches,
+           round(sum(CAST(share AS DECIMAL(28,9)))::DOUBLE, 9) AS credit
+    FROM shared GROUP BY 1
+    """,
+)
+def attribution_time_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life 3 days, 7-day
+    lookback before each user's first purchase)
+    (operators.funnel.attribution_time_decay) — exp-decayed credit
+    normalized per conversion; the honest middle between last-touch and
+    linear.  Exact epoch-second deltas, 9-dp weight cuts."""
+    from ..operators.funnel import attribution_time_decay
+
+    return attribution_time_decay(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
