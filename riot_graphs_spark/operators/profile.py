@@ -2024,3 +2024,306 @@ def profile_drift(
         )
         cols.append(F.round(nr_a - nr_b, 9).alias(f"null_drift_{c}"))
     return out.select(*cols)
+
+
+def hellinger_by_group(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Hellinger distance (and the Bhattacharyya coefficient it
+    is built from) between the group's distribution of a categorical key
+    and the WHOLE corpus's — the metric companion to
+    :func:`js_divergence_by_group`: JSD is an information quantity
+    (bits), Hellinger is a true METRIC (triangle inequality holds), so
+    per-release drift deltas can be compared and chained; and because
+    ``H² = 1 − Σ√(p·q)`` touches each cell once with no midpoint
+    distribution, it is the cheaper of the two on the same cell grid.
+
+        BC(P,Q) = Σ_k √(p_k·q_k),    H(P,Q) = √(1 − BC)  ∈ [0, 1]
+
+    with P = the group's key distribution, Q = the global one.  A key
+    absent from the group contributes 0 to BC (√0) — no smoothing needed,
+    unlike KL.  The cell grid is groups × global key support via crossed
+    BROADCAST marginals, never a per-group fact scan.
+
+    Exactness/plan: ONE corpus-sized (group, key) count groupBy; p and q
+    are ratios of exact integer counts; each cell's ``√(p·q)`` is
+    quantized to ``decimal(28,12)`` before the cross-row sum (summation-
+    order rule); the final ``√(1−BC)`` is one IEEE op on the exact
+    decimal total (clamped at 0 for the P=Q case where BC rounds to 1).
+    NULL keys/groups excluded.
+
+    Output: one row per group — ``(group_col, n bigint, bc double,
+    hellinger double)``; 0 = identical mix, 1 = disjoint support.
+    """
+    keep = F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    joint = (
+        df.filter(keep)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .groupBy("_g", "_k")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    groups = joint.groupBy("_g").agg(F.sum("_o").alias("_ng"))
+    keys = joint.groupBy("_k").agg(F.sum("_o").alias("_nk"))
+    total = joint.agg(F.sum("_o").alias("_n"))
+    cells = (
+        F.broadcast(groups)
+        .crossJoin(F.broadcast(keys))
+        .join(joint, ["_g", "_k"], "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_o", F.coalesce("_o", F.lit(0)))
+    )
+    p = F.col("_o").cast("double") / F.col("_ng").cast("double")
+    q = F.col("_nk").cast("double") / F.col("_n").cast("double")
+    term = F.sqrt(p * q).cast("decimal(28,12)")
+    agg = cells.groupBy("_g").agg(
+        F.max("_ng").alias("n"), F.sum(term).alias("_bc")
+    )
+    bc = F.col("_bc").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(bc, 9).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 9).alias(
+            "hellinger"
+        ),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame, value_col: str, k: int = 100
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-``k``
+    order statistics of a positive measure:
+
+        α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))
+
+    — the heavy-tail readout :func:`~.textstats.zipf` gives for rank-
+    frequency text data, applied to ANY numeric column (price, doc
+    length, degree): α ≈ 1–2 means variance-infinite tails (plan for
+    skew), α > 3 means the tail is benign.
+
+    Plan: ``ORDER BY value DESC LIMIT k+1`` compiles to
+    TakeOrderedAndProject — a per-partition top-(k+1) heap + driver
+    merge, NO global sort, the only scale-safe way to touch order
+    statistics of a 100 TB column.  Tie-safety: ties at the boundary are
+    value-identical, so the kept MULTISET (all the estimator sees) is
+    deterministic even though row identity is not; and a tied
+    x_(k) = x_(k+1) contributes ln 1 = 0, so summing over all k+1 kept
+    rows equals the k-term sum by construction.
+
+    Exactness: per-row ``ln(x/x_min)`` is rounded to 9 dp and summed in
+    ``decimal(28,9)``; x_min arrives by broadcast 1-row cross join.
+
+    Output: one row — ``(k bigint, x_tail_min double, hill_alpha
+    double)``; NULL alpha if fewer than k+1 positive values exist.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    top = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.col(value_col).cast("double").alias("_v"))
+        .orderBy(F.col("_v").desc())
+        .limit(k + 1)
+    )
+    top = top.localCheckpoint(eager=False)  # top-(k+1) heap runs once
+    mn = top.agg(
+        F.min("_v").alias("_xm"), F.count(F.lit(1)).alias("_cnt")
+    )
+    s = (
+        top.crossJoin(F.broadcast(mn))
+        .select(
+            F.round(F.log(F.col("_v") / F.col("_xm")), 9)
+            .cast("decimal(28,9)")
+            .alias("_t"),
+            "_cnt",
+            "_xm",
+        )
+        .groupBy()
+        .agg(
+            F.sum("_t").alias("_s"),
+            F.max("_cnt").alias("_cnt"),
+            F.max("_xm").alias("_xm"),
+        )
+    )
+    return s.select(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.col("_xm"), 9).alias("x_tail_min"),
+        F.when(
+            (F.col("_cnt") >= k + 1) & (F.col("_s").cast("double") > 0),
+            F.round(F.lit(float(k)) / F.col("_s").cast("double"), 9),
+        ).alias("hill_alpha"),
+    )
+
+
+def mahalanobis_diag_outliers(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` multivariate outliers by DIAGONAL-covariance
+    Mahalanobis distance over integer feature columns:
+
+        d²(x) = Σ_i (x_i − μ_i)² / σ²_i
+
+    — the joint-outlier screen a per-column z-score can't do (a doc that
+    is 2σ long AND 2σ punctuation-heavy AND 2σ token-sparse is a 12-d²
+    outlier while never tripping any single-column fence).  The diagonal
+    form drops cross-correlations in exchange for needing no matrix
+    inverse — exactly the trade a 100 TB screen wants, since μ and σ²
+    reduce in one partial-aggregable scan.
+
+    Exactness: features must be INTEGER-valued; per-feature sums and
+    sums-of-squares are carried in ``decimal(38,0)`` (exact at any
+    corpus size), so μ_i and population σ²_i are identical doubles in
+    any engine; each row's d² is then one fixed IEEE expression.
+    Plan: scan 1 reduces moments to ONE broadcast row; scan 2 computes
+    d² per row and TakeOrderedAndProject keeps the global top-k
+    (id-tiebroken) — no global sort, no driver loop.
+
+    Output: ``(id_col, *feature_cols, d2 double)`` — top_k rows, ordered
+    consumers re-order by d2 themselves.
+    """
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("need at least one feature column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in feats:
+        v = F.col(c).cast("decimal(38,0)")
+        aggs += [
+            F.sum(v).alias(f"_s_{c}"),
+            F.sum(v * v).alias(f"_q_{c}"),
+        ]
+    keep = F.lit(True)
+    for c in feats:
+        keep = keep & F.col(c).isNotNull()
+    base = df.filter(keep)
+    mom = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(mom))
+    n = F.col("_n").cast("double")
+    d2 = F.lit(0.0)
+    for c in feats:
+        mu = F.col(f"_s_{c}").cast("double") / n
+        var = (
+            F.col(f"_q_{c}").cast("double") / n - mu * mu
+        )
+        z = F.col(c).cast("double") - mu
+        d2 = d2 + F.try_divide(z * z, var)
+    return (
+        scored.select(
+            id_col, *feats, F.round(d2, 9).alias("d2")
+        )
+        .orderBy(F.col("d2").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def huber_location(
+    df: DataFrame,
+    value_col: str,
+    c: float = 1.345,
+    iterations: int = 3,
+) -> DataFrame:
+    """Huber M-estimator of location via ``iterations`` fixed IRLS steps
+    — the robust mean between the median (throws away magnitude) and the
+    mean (owned by the tail): observations within ``c·s`` of the current
+    estimate get weight 1, beyond it weight ``c·s/|x−μ|``.
+
+    Scale ``s`` is the LOWER MAD: the lower median of ``|x − m|`` with
+    ``m`` the lower median of ``x`` — both exact order statistics read
+    off cumulative integer counts over the DISTINCT-VALUE axis (the
+    :func:`~.evaluation.bootstrap_median_ci` rule: first distinct value
+    whose doubled cumulative count reaches the total; no midpoint
+    averaging, so no float ties) — engine-identical by construction.
+
+    Each IRLS step is one corpus scan reducing ``Σwx / Σw`` with the
+    current μ broadcast as a 1-row cross join; per-row ``w`` and ``w·x``
+    are rounded to 9 dp and summed in ``decimal(28,9)`` (summation-order
+    rule), so every iterate — and hence the fixed-iteration output — is
+    bit-deterministic and loop-unrollable as chained SQL CTEs.
+    μ₀ = the lower median.  Degenerate s = 0 (over half the mass on one
+    value) falls back to μ = m by construction (all weights 1 cap).
+
+    Output: one row — ``(n bigint, median_low double, mad_low double,
+    mean double, huber_mu double)``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    vals = vals.localCheckpoint(eager=False)
+
+    def lower_median(d: DataFrame, col: str) -> DataFrame:
+        cnt = d.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.partitionBy()
+        ranked = cnt.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+            "_tot", F.sum("_c").over(tot)
+        )
+        return (
+            ranked.filter(F.col("_cum") * 2 >= F.col("_tot"))
+            .orderBy(col)
+            .limit(1)
+            .select(F.col(col).alias("_m"), F.col("_tot").alias("_n"))
+        )
+
+    med = lower_median(vals, "_v")
+    absdev = vals.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("_v") - F.col("_m")).alias("_a")
+    )
+    mad = lower_median(absdev, "_a").select(
+        F.col("_m").alias("_s")
+    )
+    state = (
+        med.select(F.col("_m"), F.col("_n"))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.col("_n"),
+            F.col("_m").alias("_med"),
+            F.col("_s"),
+            F.col("_m").alias("_mu"),
+        )
+    )
+    dec = "decimal(28,9)"
+    for _ in range(iterations):
+        joined = vals.crossJoin(F.broadcast(state))
+        dist = F.abs(F.col("_v") - F.col("_mu"))
+        wgt = F.when(
+            (F.col("_s") > 0) & (dist > F.lit(c) * F.col("_s")),
+            F.lit(c) * F.col("_s") / dist,
+        ).otherwise(F.lit(1.0))
+        red = joined.groupBy().agg(
+            F.max("_n").alias("_n"),
+            F.max("_med").alias("_med"),
+            F.max("_s").alias("_s"),
+            F.sum(F.round(wgt, 9).cast(dec)).alias("_sw"),
+            F.sum(F.round(wgt * F.col("_v"), 9).cast(dec)).alias("_swx"),
+        )
+        state = red.select(
+            "_n",
+            "_med",
+            "_s",
+            (
+                F.col("_swx").cast("double") / F.col("_sw").cast("double")
+            ).alias("_mu"),
+        )
+    # decimal-carried mean: order-free, engine-identical
+    mean_df = vals.agg(
+        (
+            F.sum(F.round(F.col("_v"), 9).cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean")
+    )
+    return state.crossJoin(F.broadcast(mean_df)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_med"), 9).alias("median_low"),
+        F.round(F.col("_s"), 9).alias("mad_low"),
+        F.round(F.col("_mean"), 9).alias("mean"),
+        F.round(F.col("_mu"), 9).alias("huber_mu"),
+    )

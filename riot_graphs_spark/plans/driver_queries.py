@@ -16947,6 +16947,249 @@ def attribution_time_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_time_decay(_t(spark, sf_dir, "events"))
 
 
+
+# --------------------------------------------------------------------------
+# Round 9 window fillers: robust / tail / metric-distance statistics
+# --------------------------------------------------------------------------
+@_q(
+    "hellinger_doclen_sources",
+    """
+    WITH joint AS (
+      SELECT source AS g, (n_chars // 200)::VARCHAR AS k, count(*) AS o
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, sum(o) AS ng FROM joint GROUP BY 1),
+    keyc AS (SELECT k, sum(o) AS nk FROM joint GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM joint),
+    cells AS (
+      SELECT grp.g, grp.ng, keyc.nk, tot.n, coalesce(joint.o, 0) AS o
+      FROM grp CROSS JOIN keyc
+      LEFT JOIN joint ON joint.g = grp.g AND joint.k = keyc.k
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT g, max(ng) AS n,
+             sum(CAST(sqrt((o::DOUBLE / ng::DOUBLE)
+                           * (nk::DOUBLE / n::DOUBLE))
+                      AS DECIMAL(28,12))) AS bc
+      FROM cells GROUP BY 1
+    )
+    SELECT g AS source, n::BIGINT AS n, round(bc::DOUBLE, 9) AS bc,
+           round(sqrt(greatest(0.0, 1.0 - bc::DOUBLE)), 9) AS hellinger
+    FROM agg
+    """,
+)
+def hellinger_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Hellinger distance between the source's doc-length
+    distribution (200-char equi-width bins) and the corpus's
+    (operators.profile.hellinger_by_group) — the metric drift readout
+    beside js_source_lang_divergence: JSD gives bits, Hellinger gives a
+    true metric whose deltas chain across releases.  One corpus-sized
+    (source, bin) count groupBy; cell grid by crossed broadcast
+    marginals; decimal-carried cell sums."""
+    from ..operators.profile import hellinger_by_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(200)).cast("int").alias("len_bin"),
+    )
+    return hellinger_by_group(docs, "len_bin", "source")
+
+
+@_q(
+    "hill_tail_price",
+    """
+    WITH top AS (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      ORDER BY v DESC LIMIT 101
+    ),
+    mn AS (SELECT min(v) AS xm, count(*) AS cnt FROM top),
+    s AS (
+      SELECT sum(CAST(round(ln(v / xm), 9) AS DECIMAL(28,9))) AS s,
+             max(cnt) AS cnt, max(xm) AS xm
+      FROM top CROSS JOIN mn
+    )
+    SELECT CAST(100 AS BIGINT) AS k, round(xm, 9) AS x_tail_min,
+           CASE WHEN cnt >= 101 AND s::DOUBLE > 0
+                THEN round(100.0 / s::DOUBLE, 9) END AS hill_alpha
+    FROM s
+    """,
+)
+def hill_tail_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-100 order totals
+    (operators.profile.hill_tail_index) — the "how heavy is the revenue
+    tail" scalar that decides whether mean-based dashboards are even
+    meaningful (alpha <= 2: variance-infinite, use medians).  The top-k
+    order statistics arrive via TakeOrderedAndProject (per-partition
+    heap + driver merge, no global sort) — the only order-statistic
+    access pattern that survives a 100 TB column."""
+    from ..operators.profile import hill_tail_index
+
+    return hill_tail_index(_t(spark, sf_dir, "orders"), "o_totalprice", k=100)
+
+
+@_q(
+    "mahalanobis_outlier_docs",
+    """
+    WITH feats AS (
+      SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+               AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct
+      FROM documents
+    ),
+    base AS (
+      SELECT * FROM feats
+      WHERE n_chars IS NOT NULL AND n_tokens IS NOT NULL
+        AND n_punct IS NOT NULL
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             sum(n_chars::HUGEINT) AS s1,
+             sum(n_chars::HUGEINT * n_chars::HUGEINT) AS q1,
+             sum(n_tokens::HUGEINT) AS s2,
+             sum(n_tokens::HUGEINT * n_tokens::HUGEINT) AS q2,
+             sum(n_punct::HUGEINT) AS s3,
+             sum(n_punct::HUGEINT * n_punct::HUGEINT) AS q3
+      FROM base
+    ),
+    mm AS (
+      SELECT n::DOUBLE AS nd,
+             s1::DOUBLE / n::DOUBLE AS mu1, s2::DOUBLE / n::DOUBLE AS mu2,
+             s3::DOUBLE / n::DOUBLE AS mu3,
+             q1::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE)
+               * (s1::DOUBLE / n::DOUBLE) AS v1,
+             q2::DOUBLE / n::DOUBLE - (s2::DOUBLE / n::DOUBLE)
+               * (s2::DOUBLE / n::DOUBLE) AS v2,
+             q3::DOUBLE / n::DOUBLE - (s3::DOUBLE / n::DOUBLE)
+               * (s3::DOUBLE / n::DOUBLE) AS v3
+      FROM mom
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct,
+           round(
+             (n_chars::DOUBLE - mu1) * (n_chars::DOUBLE - mu1)
+               / nullif(v1, 0)
+             + (n_tokens::DOUBLE - mu2) * (n_tokens::DOUBLE - mu2)
+               / nullif(v2, 0)
+             + (n_punct::DOUBLE - mu3) * (n_punct::DOUBLE - mu3)
+               / nullif(v3, 0), 9) AS d2
+    FROM base CROSS JOIN mm
+    ORDER BY d2 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def mahalanobis_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 joint outliers by diagonal-covariance Mahalanobis distance
+    over (n_chars, token count, punctuation count)
+    (operators.profile.mahalanobis_diag_outliers) — the multivariate
+    screen per-column z-fences can't do.  Scan 1 reduces exact integer
+    moments to one broadcast row; scan 2 scores + TakeOrderedAndProject
+    keeps the global top-10, id-tiebroken."""
+    from ..operators.profile import mahalanobis_diag_outliers
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[.,!?;:]"), 0)
+        ).cast("long").alias("n_punct"),
+    )
+    return mahalanobis_diag_outliers(
+        docs, "doc_id", ["n_chars", "n_tokens", "n_punct"], top_k=10
+    )
+
+
+@_q("huber_location_price", """
+    WITH vals AS MATERIALIZED (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    cnt AS (SELECT v, count(*) AS c FROM vals GROUP BY 1),
+    med AS MATERIALIZED (
+      SELECT v AS m, tot AS n FROM (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+               sum(c) OVER () AS tot FROM cnt
+      ) WHERE cum * 2 >= tot ORDER BY v LIMIT 1
+    ),
+    ad AS (SELECT abs(v - (SELECT m FROM med)) AS a FROM vals),
+    acnt AS (SELECT a, count(*) AS c FROM ad GROUP BY 1),
+    mad AS MATERIALIZED (
+      SELECT a AS s FROM (
+        SELECT a, sum(c) OVER (ORDER BY a) AS cum,
+               sum(c) OVER () AS tot FROM acnt
+      ) WHERE cum * 2 >= tot ORDER BY a LIMIT 1
+    ),
+    it0 AS (SELECT (SELECT m FROM med) AS mu),
+    it1 AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      FROM (
+        SELECT v,
+               CASE WHEN (SELECT s FROM mad) > 0
+                     AND abs(v - (SELECT mu FROM it0))
+                         > 1.345 * (SELECT s FROM mad)
+                    THEN 1.345 * (SELECT s FROM mad)
+                         / abs(v - (SELECT mu FROM it0))
+                    ELSE 1.0 END AS w
+        FROM vals
+      )
+    ),
+    it2 AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      FROM (
+        SELECT v,
+               CASE WHEN (SELECT s FROM mad) > 0
+                     AND abs(v - (SELECT mu FROM it1))
+                         > 1.345 * (SELECT s FROM mad)
+                    THEN 1.345 * (SELECT s FROM mad)
+                         / abs(v - (SELECT mu FROM it1))
+                    ELSE 1.0 END AS w
+        FROM vals
+      )
+    ),
+    it3 AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      FROM (
+        SELECT v,
+               CASE WHEN (SELECT s FROM mad) > 0
+                     AND abs(v - (SELECT mu FROM it2))
+                         > 1.345 * (SELECT s FROM mad)
+                    THEN 1.345 * (SELECT s FROM mad)
+                         / abs(v - (SELECT mu FROM it2))
+                    ELSE 1.0 END AS w
+        FROM vals
+      )
+    ),
+    mean_df AS (
+      SELECT CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / count(*)::DOUBLE AS mean FROM vals
+    )
+    SELECT (SELECT n FROM med)::BIGINT AS n,
+           round((SELECT m FROM med), 9) AS median_low,
+           round((SELECT s FROM mad), 9) AS mad_low,
+           round((SELECT mean FROM mean_df), 9) AS mean,
+           round((SELECT mu FROM it3), 9) AS huber_mu
+    """)
+def huber_location_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the order-total location (c = 1.345, 3 fixed
+    IRLS steps) beside the lower median, lower MAD and decimal-exact mean
+    (operators.profile.huber_location) — the robust center a heavy tail
+    can't own and a median doesn't waste.  Exact order statistics off the
+    distinct-value axis; each IRLS step one decimal-carried scan with the
+    current mu broadcast; loop unrolled as chained CTEs in the oracle."""
+    from ..operators.profile import huber_location
+
+    return huber_location(
+        _t(spark, sf_dir, "orders"), "o_totalprice", c=1.345, iterations=3
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
