@@ -3185,3 +3185,374 @@ def sax_motifs(
             "rank",
         )
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """Pettitt non-parametric change-point test per series — the
+    "WHERE did the level shift" companion to :func:`mann_kendall_trend`
+    (which only says "does it drift"): rank-based, so one spike can't
+    buy a change point and no distribution is assumed.
+
+        V_t = Σ_j sign(x_t − x_j),   U_t = Σ_{i≤t} V_i,
+        K = max_{t<n} |U_t|,   p ≈ 2·exp(−6K² / (n³ + n²))
+
+    The raw values reduce to per-bucket decimal means first (one
+    corpus-sized partial-aggregable groupBy); the O(n²) all-pairs sign
+    sum runs on the BUCKET axis (n = buckets-per-series, bounded), then
+    U_t is one cumulative window over n rows.  S, V_t, U_t and K are
+    exact integers; the approximate p-value is one IEEE expression per
+    series.  The change bucket is the EARLIEST bucket achieving |U| = K
+    (deterministic tiebreak).
+
+    Output: one row per series — ``(*dims, n_buckets bigint,
+    change_bucket timestamp, k_stat bigint, p_approx double)``;
+    NULL change row for n < 2.
+    """
+    gcols = list(dims)
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast(dec).alias("_m")
+        )
+    )
+    a = buckets.select(
+        *gcols, F.col("_b").alias("_ba"), F.col("_m").alias("_ma")
+    )
+    b = buckets.select(
+        *gcols, F.col("_b").alias("_bb"), F.col("_m").alias("_mb")
+    )
+    pairs = a.join(b, gcols) if gcols else a.crossJoin(b)
+    v = pairs.groupBy(*gcols, "_ba").agg(
+        F.sum(
+            F.signum(
+                F.col("_ma").cast("double") - F.col("_mb").cast("double")
+            ).cast("long")
+        ).alias("_v")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_ba")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    u = (
+        v.withColumn("_u", F.sum("_v").over(w_cum))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy(*gcols).orderBy("_ba")
+        ))
+        # U_n ≡ 0 by construction: the max runs over t < n
+        .filter(F.col("_rn") < F.col("_n"))
+    )
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.abs(F.col("_u")).desc(), F.col("_ba").asc()
+    )
+    picked = u.withColumn("_pk", F.row_number().over(w_pick)).filter(
+        F.col("_pk") == 1
+    )
+    # _n was counted over the FULL bucket axis before the t<n filter
+    n = F.col("_n").cast("double")
+    k = F.abs(F.col("_u")).cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * k * k / (n * n * n + n * n)
+    )
+    return picked.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.col("_ba").cast("timestamp").alias("change_bucket"),
+        F.abs(F.col("_u")).cast("long").alias("k_stat"),
+        F.round(F.least(F.lit(1.0), p), 9).alias("p_approx"),
+    )
+
+
+def grubbs_extreme(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    dims: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """Grubbs' extreme-outlier statistic per series over bucket means —
+    "is the single worst bucket an outlier, and which one":
+
+        G = max_t |x_t − x̄| / s        (two-sided form)
+
+    with x̄ and sample s over the bucketed series.  The raw values
+    reduce to per-bucket decimal means (one partial-aggregable groupBy);
+    moments of the n-bucket series are exact decimal sums (the bucket
+    means are decimals, so their squares are too), leaving one sqrt and
+    one division per series.  The flagged bucket is the earliest
+    achieving the max deviation (deterministic tiebreak).  G is the
+    statistic only — compare against the t-based critical value for
+    your n offline (no t quantile in either engine); G > ~3 is the
+    usual daily-ops alarm line.
+
+    Output: one row per series — ``(*dims, n_buckets bigint, mean
+    double, sd double, outlier_bucket timestamp, outlier_value double,
+    g_stat double, side string)``; NULL g for n < 2 or zero variance.
+    """
+    gcols = list(dims)
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            (
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast(dec).alias("_m")
+        )
+    )
+    w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    mom = buckets.select(
+        *gcols,
+        "_b",
+        "_m",
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.sum("_m").over(w_all).alias("_s"),
+        # square in DOUBLE then 9-dp quantize: a decimal(28,6) product
+        # would overflow precision 38 and rescale engine-differently
+        F.sum(
+            F.round(
+                F.col("_m").cast("double") * F.col("_m").cast("double"), 9
+            ).cast("decimal(38,9)")
+        )
+        .over(w_all)
+        .alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    var = (
+        (F.col("_q").cast("double") - nd * mean * mean)
+        / (nd - F.lit(1.0))
+    )
+    sd = F.sqrt(F.greatest(F.lit(0.0), var))
+    dev = F.abs(F.col("_m").cast("double") - mean)
+    scored = mom.select(
+        *gcols,
+        "_b",
+        "_m",
+        F.col("_n"),
+        mean.alias("_mean"),
+        sd.alias("_sd"),
+        dev.alias("_dev"),
+    )
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("_dev").desc(), F.col("_b").asc()
+    )
+    picked = scored.withColumn(
+        "_pk", F.row_number().over(w_pick)
+    ).filter(F.col("_pk") == 1)
+    g = F.when(
+        (F.col("_n") >= 2) & (F.col("_sd") > 0),
+        F.col("_dev") / F.col("_sd"),
+    )
+    return picked.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.round(F.col("_mean"), 9).alias("mean"),
+        F.round(F.col("_sd"), 9).alias("sd"),
+        F.col("_b").cast("timestamp").alias("outlier_bucket"),
+        F.round(F.col("_m").cast("double"), 9).alias("outlier_value"),
+        F.round(g, 9).alias("g_stat"),
+        F.when(
+            F.col("_m").cast("double") >= F.col("_mean"), F.lit("max")
+        ).otherwise(F.lit("min")).alias("side"),
+    )
+
+
+#: Euler–Mascheroni constant (Gumbel method-of-moments location shift).
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    ts: str = "ts",
+    dims: Sequence[str] = (),
+    block_unit: str = "day",
+    sub_unit: str = "hour",
+    levels: Sequence[float] = (0.95, 0.99),
+) -> DataFrame:
+    """Extreme-value (Gumbel) fit to BLOCK MAXIMA of sub-bucket event
+    counts — the capacity-planning readout ("what hourly burst should a
+    99%-of-days provisioning survive") that mean/percentile dashboards
+    structurally miss, because they pool all hours instead of modeling
+    per-block extremes.
+
+    Counts per ``sub_unit`` bucket, maxima per ``block_unit`` block,
+    then method-of-moments Gumbel:
+
+        β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂,   RL_p = μ̂ − β̂·ln(−ln p)
+
+    with x̄/s the sample moments of the (integer) block maxima — exact
+    integer sums end to end, then a handful of IEEE ops per series.
+    Plan: one corpus-sized (block, sub) count groupBy, one block-axis
+    max groupBy, one moments reduce — all partial-aggregable, no
+    windows over facts.
+
+    Output: one row per series — ``(*dims, n_blocks bigint, mean_max
+    double, sd_max double, gumbel_mu double, gumbel_beta double,
+    rl_<p> double per level)``; NULL fit for n < 2 blocks.
+    """
+    gcols = list(dims)
+    keep = F.col(ts).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    sub = (
+        df.filter(keep)
+        .groupBy(
+            *gcols,
+            F.date_trunc(block_unit, F.col(ts)).alias("_blk"),
+            F.date_trunc(sub_unit, F.col(ts)).alias("_sub"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    maxima = sub.groupBy(*gcols, "_blk").agg(F.max("_c").alias("_x"))
+    mom = maxima.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+        ).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    var = (
+        (F.col("_q").cast("double") - nd * mean * mean)
+        / (nd - F.lit(1.0))
+    )
+    sd = F.sqrt(F.greatest(F.lit(0.0), var))
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    ok = F.col("_n") >= 2
+    out = [
+        *gcols,
+        F.col("_n").cast("long").alias("n_blocks"),
+        F.round(mean, 9).alias("mean_max"),
+        F.round(F.when(ok, sd), 9).alias("sd_max"),
+        F.round(F.when(ok, mu), 9).alias("gumbel_mu"),
+        F.round(F.when(ok, beta), 9).alias("gumbel_beta"),
+    ]
+    for p in levels:
+        rl = mu - beta * F.log(-F.log(F.lit(float(p))))
+        out.append(
+            F.round(F.when(ok, rl), 9).alias(
+                f"rl_{str(p).replace('0.', '')}"
+            )
+        )
+    return mom.select(*out)
+
+
+def granger_1lag(
+    df: DataFrame,
+    ts: str = "ts",
+    type_col: str = "event_type",
+    cause: str = "click",
+    effect: str = "purchase",
+    unit: str = "day",
+) -> DataFrame:
+    """One-lag Granger causality F-test on two daily count series — does
+    yesterday's ``cause`` count improve today's ``effect`` forecast
+    beyond what yesterday's effect already explains?
+
+        restricted:    y_t = a + b·y_{t−1}                  (RSS_r)
+        unrestricted:  y_t = a + b·y_{t−1} + c·x_{t−1}      (RSS_u)
+        F = (RSS_r − RSS_u) / (RSS_u / (m − 3))             (1, m−3 df)
+
+    Both OLS fits are CLOSED FORM from centered second moments of
+    (y, y₁, x₁) — and the daily counts are integers, so every raw sum
+    and cross-product reduces exactly (decimal-carried); the centered
+    moments and the two RSS values are then fixed IEEE expressions.
+    Plan: one corpus-sized conditional-count groupBy to the day axis, a
+    1-row lag window over n days, one moments reduce.  Buckets are
+    treated as consecutive (gap days are absent, not zero-filled —
+    zero-fill upstream via gap_fill_zero if the series has holes).
+
+    Output: one row — ``(m bigint, b_restricted double, rss_r double,
+    b_y double, b_x double, rss_u double, f_stat double)``; NULL F for
+    m < 4 or degenerate regressors.
+    """
+    daily = (
+        df.filter(
+            F.col(ts).isNotNull()
+            & F.col(type_col).isin(cause, effect)
+        )
+        .groupBy(F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == cause, 1).otherwise(0)
+            ).alias("_x"),
+            F.sum(
+                F.when(F.col(type_col) == effect, 1).otherwise(0)
+            ).alias("_y"),
+        )
+    )
+    w = Window.orderBy("_b")
+    lagged = (
+        daily.select(
+            "_b",
+            "_y",
+            F.lag("_y").over(w).alias("_y1"),
+            F.lag("_x").over(w).alias("_x1"),
+        )
+        .filter(F.col("_y1").isNotNull() & F.col("_x1").isNotNull())
+    )
+    d0 = "decimal(38,0)"
+    mom = lagged.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col("_y").cast(d0)).alias("_sy"),
+        F.sum(F.col("_y1").cast(d0)).alias("_s1"),
+        F.sum(F.col("_x1").cast(d0)).alias("_s2"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d0)).alias("_qyy"),
+        F.sum((F.col("_y1") * F.col("_y1")).cast(d0)).alias("_q11"),
+        F.sum((F.col("_x1") * F.col("_x1")).cast(d0)).alias("_q22"),
+        F.sum((F.col("_y") * F.col("_y1")).cast(d0)).alias("_qy1"),
+        F.sum((F.col("_y") * F.col("_x1")).cast(d0)).alias("_qy2"),
+        F.sum((F.col("_y1") * F.col("_x1")).cast(d0)).alias("_q12"),
+    )
+    md = F.col("_m").cast("double")
+    sy = F.col("_sy").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    syy = F.col("_qyy").cast("double") - sy * sy / md
+    s11 = F.col("_q11").cast("double") - s1 * s1 / md
+    s22 = F.col("_q22").cast("double") - s2 * s2 / md
+    sy1 = F.col("_qy1").cast("double") - sy * s1 / md
+    sy2 = F.col("_qy2").cast("double") - sy * s2 / md
+    s12 = F.col("_q12").cast("double") - s1 * s2 / md
+    b_r = F.try_divide(sy1, s11)
+    rss_r = syy - F.try_divide(sy1 * sy1, s11)
+    den = s11 * s22 - s12 * s12
+    b1 = F.try_divide(sy1 * s22 - sy2 * s12, den)
+    b2 = F.try_divide(sy2 * s11 - sy1 * s12, den)
+    rss_u = syy - b1 * sy1 - b2 * sy2
+    f = F.when(
+        (F.col("_m") >= 4) & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (md - F.lit(3.0))),
+    )
+    return mom.select(
+        F.col("_m").cast("long").alias("m"),
+        F.round(b_r, 9).alias("b_restricted"),
+        F.round(rss_r, 9).alias("rss_r"),
+        F.round(b1, 9).alias("b_y"),
+        F.round(b2, 9).alias("b_x"),
+        F.round(rss_u, 9).alias("rss_u"),
+        F.round(f, 9).alias("f_stat"),
+    )

@@ -17190,6 +17190,238 @@ def huber_location_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "pettitt_daily_value",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*)::DOUBLE AS DECIMAL(28,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT a.bk AS ba,
+             sum(sign(a.m::DOUBLE - c.m::DOUBLE)::BIGINT)::BIGINT AS v
+      FROM b a CROSS JOIN b c
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT ba, sum(v) OVER (ORDER BY ba) AS u,
+             count(*) OVER () AS n,
+             row_number() OVER (ORDER BY ba) AS rn
+      FROM v
+    ),
+    picked AS (
+      SELECT * FROM u WHERE rn < n ORDER BY abs(u) DESC, ba ASC LIMIT 1
+    )
+    SELECT n::BIGINT AS n_buckets, ba AS change_bucket,
+           abs(u)::BIGINT AS k_stat,
+           round(least(1.0, 2.0 * exp(
+             -6.0 * abs(u)::DOUBLE * abs(u)::DOUBLE
+             / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                + n::DOUBLE * n::DOUBLE))), 9) AS p_approx
+    FROM picked
+    """,
+)
+def pettitt_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test over daily event-value means
+    (operators.timeseries.pettitt_changepoint) — WHERE the level
+    shifted, rank-based so no spike or distribution assumption buys it;
+    the localization companion to ts_cusum_changepoint's parametric
+    CUSUM.  O(days squared) sign pairs on the bucket axis only, exact
+    integer U path, earliest-bucket tiebreak."""
+    from ..operators.timeseries import pettitt_changepoint
+
+    return pettitt_changepoint(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "grubbs_daily_value",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*)::DOUBLE AS DECIMAL(28,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT bk, m, count(*) OVER () AS n,
+             sum(m) OVER () AS s,
+             sum(CAST(round(m::DOUBLE * m::DOUBLE, 9)
+                      AS DECIMAL(38,9))) OVER () AS q
+      FROM b
+    ),
+    scored AS (
+      SELECT bk, m, n,
+             s::DOUBLE / n::DOUBLE AS mean,
+             sqrt(greatest(0.0,
+               (q::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
+                  * (s::DOUBLE / n::DOUBLE))
+               / (n::DOUBLE - 1.0))) AS sd,
+             abs(m::DOUBLE - s::DOUBLE / n::DOUBLE) AS dev
+      FROM mom
+    ),
+    picked AS (
+      SELECT * FROM scored ORDER BY dev DESC, bk ASC LIMIT 1
+    )
+    SELECT n::BIGINT AS n_buckets, round(mean, 9) AS mean,
+           round(sd, 9) AS sd, bk AS outlier_bucket,
+           round(m::DOUBLE, 9) AS outlier_value,
+           round(CASE WHEN n >= 2 AND sd > 0 THEN dev / sd END, 9)
+             AS g_stat,
+           CASE WHEN m::DOUBLE >= mean THEN 'max' ELSE 'min' END AS side
+    FROM picked
+    """,
+)
+def grubbs_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-outlier statistic over daily event-value means
+    (operators.timeseries.grubbs_extreme) — is the single worst day an
+    outlier, and which one; the single-point alarm beside Pettitt's
+    level-shift localization.  One bucket reduce + exact decimal
+    moments; earliest-bucket tiebreak on the max deviation."""
+    from ..operators.timeseries import grubbs_extreme
+
+    return grubbs_extreme(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "gumbel_hourly_burst",
+    """
+    WITH sub AS (
+      SELECT date_trunc('day', ts) AS blk, date_trunc('hour', ts) AS sb,
+             count(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    mx AS (SELECT blk, max(c) AS x FROM sub GROUP BY 1),
+    mom AS (
+      SELECT count(*) AS n, sum(x::HUGEINT) AS s,
+             sum(x::HUGEINT * x::HUGEINT) AS q
+      FROM mx
+    ),
+    fit AS (
+      SELECT n, s::DOUBLE / n::DOUBLE AS mean,
+             sqrt(greatest(0.0,
+               (q::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
+                  * (s::DOUBLE / n::DOUBLE))
+               / (n::DOUBLE - 1.0))) AS sd
+      FROM mom
+    ),
+    g AS (
+      SELECT n, mean, sd,
+             sd * sqrt(6.0) / 3.141592653589793 AS beta
+      FROM fit
+    )
+    SELECT n::BIGINT AS n_blocks, round(mean, 9) AS mean_max,
+           round(CASE WHEN n >= 2 THEN sd END, 9) AS sd_max,
+           round(CASE WHEN n >= 2
+                 THEN mean - 0.5772156649015329 * beta END, 9)
+             AS gumbel_mu,
+           round(CASE WHEN n >= 2 THEN beta END, 9) AS gumbel_beta,
+           round(CASE WHEN n >= 2
+                 THEN (mean - 0.5772156649015329 * beta)
+                      - beta * ln(-ln(0.95)) END, 9) AS rl_95,
+           round(CASE WHEN n >= 2
+                 THEN (mean - 0.5772156649015329 * beta)
+                      - beta * ln(-ln(0.99)) END, 9) AS rl_99
+    FROM g
+    """,
+)
+def gumbel_hourly_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit to daily maxima of hourly event counts
+    (operators.timeseries.gumbel_block_maxima) — the capacity question
+    ("what hourly burst should 99% of days stay under") that pooled
+    percentiles structurally miss.  Block maxima are exact integers;
+    method-of-moments fit + 95/99% return levels, all
+    partial-aggregable."""
+    from ..operators.timeseries import gumbel_block_maxima
+
+    return gumbel_block_maxima(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "granger_clicks_purchases",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS b,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT y, lag(y) OVER (ORDER BY b) AS y1,
+             lag(x) OVER (ORDER BY b) AS x1
+      FROM daily
+    ),
+    kept AS (SELECT * FROM lagged WHERE y1 IS NOT NULL
+             AND x1 IS NOT NULL),
+    mom AS (
+      SELECT count(*) AS m,
+             sum(y::HUGEINT) AS sy, sum(y1::HUGEINT) AS s1,
+             sum(x1::HUGEINT) AS s2,
+             sum(y::HUGEINT * y::HUGEINT) AS qyy,
+             sum(y1::HUGEINT * y1::HUGEINT) AS q11,
+             sum(x1::HUGEINT * x1::HUGEINT) AS q22,
+             sum(y::HUGEINT * y1::HUGEINT) AS qy1,
+             sum(y::HUGEINT * x1::HUGEINT) AS qy2,
+             sum(y1::HUGEINT * x1::HUGEINT) AS q12
+      FROM kept
+    ),
+    cen AS (
+      SELECT m,
+             qyy::DOUBLE - sy::DOUBLE * sy::DOUBLE / m::DOUBLE AS syy,
+             q11::DOUBLE - s1::DOUBLE * s1::DOUBLE / m::DOUBLE AS s11,
+             q22::DOUBLE - s2::DOUBLE * s2::DOUBLE / m::DOUBLE AS s22,
+             qy1::DOUBLE - sy::DOUBLE * s1::DOUBLE / m::DOUBLE AS sy1,
+             qy2::DOUBLE - sy::DOUBLE * s2::DOUBLE / m::DOUBLE AS sy2,
+             q12::DOUBLE - s1::DOUBLE * s2::DOUBLE / m::DOUBLE AS s12
+      FROM mom
+    ),
+    fit AS (
+      SELECT m, sy1 / nullif(s11, 0) AS b_r,
+             syy - sy1 * sy1 / nullif(s11, 0) AS rss_r,
+             (sy1 * s22 - sy2 * s12)
+               / nullif(s11 * s22 - s12 * s12, 0) AS b1,
+             (sy2 * s11 - sy1 * s12)
+               / nullif(s11 * s22 - s12 * s12, 0) AS b2,
+             syy, sy1, sy2
+      FROM cen
+    ),
+    rss AS (
+      SELECT m, b_r, rss_r, b1, b2,
+             syy - b1 * sy1 - b2 * sy2 AS rss_u
+      FROM fit
+    )
+    SELECT m::BIGINT AS m, round(b_r, 9) AS b_restricted,
+           round(rss_r, 9) AS rss_r, round(b1, 9) AS b_y,
+           round(b2, 9) AS b_x, round(rss_u, 9) AS rss_u,
+           round(CASE WHEN m >= 4 AND rss_u > 0
+                 THEN (rss_r - rss_u) / (rss_u / (m::DOUBLE - 3.0))
+                 END, 9) AS f_stat
+    FROM rss
+    """,
+)
+def granger_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality F-test: do yesterday's clicks improve
+    today's purchase-count forecast beyond yesterday's purchases
+    (operators.timeseries.granger_1lag)?  Closed-form restricted vs
+    unrestricted OLS from exact integer cross-moments of the daily count
+    series — one conditional-count groupBy, a 1-row lag window over the
+    day axis, one moments reduce."""
+    from ..operators.timeseries import granger_1lag
+
+    return granger_1lag(
+        _t(spark, sf_dir, "events"),
+        cause="click",
+        effect="purchase",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
