@@ -3274,3 +3274,455 @@ def err_at_k(
         query_col,
         F.round(F.col("_err").cast("double"), 9).alias("err"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over COMPLETE blocks — the repeated-measures
+    companion to :func:`kruskal_wallis`: KW assumes independent groups,
+    while event-type daily counts share each day's traffic level;
+    ranking WITHIN each block removes that shared component before
+    asking "do the k treatments differ".
+
+    Midranks within each block (ties share the average rank), then the
+    tie-corrected statistic
+
+        Q = (k−1)·Σ_j (R_j − n(k+1)/2)² / (Σ_ij r²_ij − n·k·(k+1)²/4)
+
+    ~ χ²_{k−1} under H0.  Exactness: midranks are half-integers, so the
+    whole computation runs on DOUBLED ranks (2r = 2·rank + ties − 1 —
+    exact integers): Q = (k−1)·Σ_j(2R_j − n(k+1))² / (Σ(2r)² −
+    n·k·(k+1)²) is integer arithmetic to the final division.
+
+    Blocks missing any treatment are dropped first (complete-block
+    design); k is the GLOBAL distinct treatment count.  Input must be
+    pre-aggregated to one value per (block, treatment).  Plan: ranks are
+    windows over k rows per block (k tiny), then two integer reduces.
+
+    Output: one row — ``(n_blocks bigint, k bigint, q_stat double,
+    df bigint)``; NULL q for n = 0, k < 2 or all-tied blocks.
+    """
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("_blk"),
+        F.col(treatment_col).alias("_trt"),
+        F.col(value_col).alias("_v"),
+    )
+    base = base.localCheckpoint(eager=False)
+    k_df = base.agg(F.count_distinct("_trt").alias("_k"))
+    complete = (
+        base.groupBy("_blk")
+        .agg(F.count_distinct("_trt").alias("_kt"))
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("_kt") == F.col("_k"))
+        .select("_blk")
+    )
+    kept = base.join(F.broadcast(complete), "_blk")
+    w_rank = Window.partitionBy("_blk").orderBy("_v")
+    w_tie = Window.partitionBy("_blk", "_v")
+    ranked = kept.select(
+        "_blk",
+        "_trt",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).alias("_r2"),
+    )
+    per_trt = ranked.groupBy("_trt").agg(
+        F.sum("_r2").alias("_R2"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_r2") * F.col("_r2")).alias("_q2"),
+    )
+    agg = per_trt.crossJoin(F.broadcast(k_df)).agg(
+        F.max("_n").alias("_n"),
+        F.max("_k").alias("_k"),
+        F.sum(
+            (
+                F.col("_R2") - F.col("_n") * (F.col("_k") + F.lit(1))
+            ).cast("decimal(38,0)")
+            * (
+                F.col("_R2") - F.col("_n") * (F.col("_k") + F.lit(1))
+            ).cast("decimal(38,0)")
+        ).alias("_num"),
+        F.sum(F.col("_q2").cast("decimal(38,0)")).alias("_sq2"),
+    )
+    n = F.col("_n")
+    k = F.col("_k")
+    den = F.col("_sq2") - (
+        n * k * (k + F.lit(1)) * (k + F.lit(1))
+    ).cast("decimal(38,0)")
+    q = F.when(
+        (n >= 1) & (k >= 2) & (den.cast("double") > 0),
+        (k - F.lit(1)).cast("double")
+        * F.col("_num").cast("double")
+        / den.cast("double"),
+    )
+    return agg.select(
+        n.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k"),
+        F.round(q, 9).alias("q_stat"),
+        (k - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def cochran_q_test(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
+    """Cochran's Q over k binary raters/heuristics applied to the same
+    subjects — "do these k screens pass at different rates", the k-way
+    generalization of :func:`mcnemar_test` (k = 2 reduces to it).
+
+        Q = (k−1)·(k·ΣC²_j − T²) / (k·T − ΣR²_i)
+
+    with C_j the per-flag pass totals, R_i the per-subject pass counts,
+    T = ΣC = ΣR — integer arithmetic to the final division.  Rows with
+    any NULL flag are excluded (complete-case).  Plan: ONE scan reduces
+    every term (R_i and R²_i fold into per-row expressions summed
+    alongside the C_j) — fully partial-aggregable, no joins.
+
+    Output: one row — ``(n bigint, k bigint, q_stat double, df
+    bigint)``; NULL q when the denominator is 0 (all-equal rows).
+    """
+    flags = list(flag_cols)
+    k = len(flags)
+    if k < 2:
+        raise ValueError("need at least two flag columns")
+    keep = F.lit(True)
+    for c in flags:
+        keep = keep & F.col(c).isNotNull()
+    base = df.filter(keep)
+    r = None
+    for c in flags:
+        term = F.col(c).cast("int")
+        r = term if r is None else r + term
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(r.cast("decimal(38,0)")).alias("_t"),
+        F.sum((r * r).cast("decimal(38,0)")).alias("_r2"),
+    ]
+    for i, c in enumerate(flags):
+        aggs.append(
+            F.sum(F.col(c).cast("int").cast("decimal(38,0)")).alias(
+                f"_c{i}"
+            )
+        )
+    agg = base.agg(*aggs)
+    c2 = None
+    for i in range(k):
+        t = F.col(f"_c{i}") * F.col(f"_c{i}")
+        c2 = t if c2 is None else c2 + t
+    num = (F.lit(k).cast("decimal(38,0)") * c2
+           - F.col("_t") * F.col("_t"))
+    den = F.lit(k).cast("decimal(38,0)") * F.col("_t") - F.col("_r2")
+    q = F.when(
+        den.cast("double") > 0,
+        F.lit(float(k - 1)) * num.cast("double") / den.cast("double"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(q, 9).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("df"),
+    )
+
+
+def mcc_binary(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
+    """Matthews correlation coefficient for a binary predictor — the
+    single-number grade that, unlike accuracy or F1, stays honest under
+    class imbalance (it is the Pearson correlation of the two binary
+    columns, so a majority-class predictor scores 0, not 95%).
+
+        MCC = (tp·tn − fp·fn) / (√(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn))
+
+    The denominator multiplies the four SQUARE ROOTS (not the rooted
+    product): each marginal fits a double exactly long past 2⁵³ rows,
+    while the 4-way integer product overflows even decimal(38) at
+    corpus scale.  Confusion counts reduce exactly in ONE scan.  NULL
+    pred or label rows are excluded.
+
+    Output: one row — ``(tp bigint, fp bigint, fn bigint, tn bigint,
+    mcc double)``; NULL mcc when any marginal is 0.
+    """
+    p = F.col(pred_col).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.sum(F.when(p & y, 1).otherwise(0)).alias("_tp"),
+        F.sum(F.when(p & ~y, 1).otherwise(0)).alias("_fp"),
+        F.sum(F.when(~p & y, 1).otherwise(0)).alias("_fn"),
+        F.sum(F.when(~p & ~y, 1).otherwise(0)).alias("_tn"),
+    )
+    tp = F.col("_tp").cast("double")
+    fp = F.col("_fp").cast("double")
+    fn = F.col("_fn").cast("double")
+    tn = F.col("_tn").cast("double")
+    den = (
+        F.sqrt(tp + fp) * F.sqrt(tp + fn) * F.sqrt(tn + fp)
+        * F.sqrt(tn + fn)
+    )
+    mcc = F.when(den > 0, (tp * tn - fp * fn) / den)
+    return agg.select(
+        F.col("_tp").cast("long").alias("tp"),
+        F.col("_fp").cast("long").alias("fp"),
+        F.col("_fn").cast("long").alias("fn"),
+        F.col("_tn").cast("long").alias("tn"),
+        F.round(mcc, 9).alias("mcc"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAVA) calibration of a binary outcome against a score,
+    over ``n_bins`` equi-count score bins — the monotone-regression fit
+    :func:`calibration_bins` doesn't do: raw bin rates can zig-zag from
+    sampling noise; the isotonic fit is the closest NON-DECREASING rate
+    curve (L2), which is what "higher score ⇒ higher propensity" claims
+    actually assert.
+
+    PAVA is computed by the MINIMAX identity — no sequential
+    pool-merging loop:
+
+        iso_i = max_{a≤i} min_{b≥i} ( Σ_{a..b} pos / Σ_{a..b} n )
+
+    over the bin axis: with B bins that is a B×B×B triple join on a
+    B-row broadcast table — O(B³) on ≤ tens of rows, never fact-sized.
+    Bins are ``ntile(n_bins)`` ordered by (score, id) — id-tiebroken,
+    so ties at bin boundaries split deterministically.  Segment means
+    are int/int doubles; min/max are order-free; one 9-dp round at
+    output.
+
+    Output: one row per bin — ``(bin bigint, n bigint, pos bigint,
+    rate_raw double, rate_iso double)``, rate_iso non-decreasing.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    binned = base.select(
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.col(score_col), F.col(id_col)))
+        .alias("_bin"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    bins = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos")
+    )
+    w_cum = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "_bin",
+        "_n",
+        "_pos",
+        F.sum("_n").over(w_cum).alias("_cn"),
+        F.sum("_pos").over(w_cum).alias("_cp"),
+    )
+    cum = cum.localCheckpoint(eager=False)
+    lo = cum.select(
+        F.col("_bin").alias("_a"),
+        (F.col("_cn") - F.col("_n")).alias("_cn0"),
+        (F.col("_cp") - F.col("_pos")).alias("_cp0"),
+    )
+    hi = cum.select(
+        F.col("_bin").alias("_b"),
+        F.col("_cn").alias("_cnb"),
+        F.col("_cp").alias("_cpb"),
+    )
+    seg = (
+        F.broadcast(lo)
+        .join(F.broadcast(hi), F.col("_b") >= F.col("_a"))
+        .select(
+            "_a",
+            "_b",
+            (
+                (F.col("_cpb") - F.col("_cp0")).cast("double")
+                / (F.col("_cnb") - F.col("_cn0")).cast("double")
+            ).alias("_avg"),
+        )
+    )
+    idx = cum.select(F.col("_bin").alias("_i"))
+    inner = (
+        F.broadcast(idx)
+        .join(
+            F.broadcast(seg),
+            (F.col("_a") <= F.col("_i")) & (F.col("_b") >= F.col("_i")),
+        )
+        .groupBy("_i", "_a")
+        .agg(F.min("_avg").alias("_mn"))
+        .groupBy("_i")
+        .agg(F.max("_mn").alias("_iso"))
+    )
+    return (
+        bins.join(F.broadcast(inner), bins["_bin"] == inner["_i"])
+        .select(
+            F.col("_bin").cast("long").alias("bin"),
+            F.col("_n").cast("long").alias("n"),
+            F.col("_pos").cast("long").alias("pos"),
+            F.round(
+                F.col("_pos").cast("double") / F.col("_n").cast("double"),
+                9,
+            ).alias("rate_raw"),
+            F.round(F.col("_iso"), 9).alias("rate_iso"),
+        )
+    )
+
+
+def cvm_two_sample(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the WHOLE-CDF companion
+    to :func:`~.profile.ks_two_sample`: KS sees only the single worst
+    CDF gap (sensitive mid-distribution, weak in the tails and to
+    multiple small gaps); CvM integrates the SQUARED gap across the
+    distribution, so many modest shifts accumulate.
+
+        T = (n·m)/(n+m) · Σ_v (F_a(v) − F_b(v))² · h(v)
+
+    — the step-integral ∫(F_a−F_b)² dH over the pooled empirical
+    measure H (h(v) = pooled count at v / (n+m)), evaluated on the
+    DISTINCT-VALUE axis: CDFs are exact integer-count ratios, each
+    distinct value contributes one IEEE term quantized to 9 dp before
+    the decimal-carried sum.  Same axis/plan as ``ks_two_sample`` — one
+    tagged-union count groupBy, cumulative windows over distinct
+    values.  (Equivalent to the classical rank-sum form; the integral
+    form is the one that reduces over counts without a global per-row
+    rank.)
+
+    Output: one row — ``(n_a bigint, n_b bigint, cvm_t double)``;
+    NULL when either side is empty.
+    """
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("_v"),
+            F.lit(1 - tag).alias("_a"),
+            F.lit(tag).alias("_b"),
+        )
+
+    u = side(df_a, 0).unionByName(side(df_b, 1))
+    counts = u.groupBy("_v").agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    c = (
+        counts.withColumn("_ca", F.sum("_na").over(w_cum))
+        .withColumn("_cb", F.sum("_nb").over(w_cum))
+        .withColumn("_ta", F.sum("_na").over(w_tot))
+        .withColumn("_tb", F.sum("_nb").over(w_tot))
+    )
+    gap = F.try_divide(
+        F.col("_ca").cast("double"), F.col("_ta").cast("double")
+    ) - F.try_divide(F.col("_cb").cast("double"), F.col("_tb").cast("double"))
+    h = (F.col("_na") + F.col("_nb")).cast("double") / (
+        F.col("_ta") + F.col("_tb")
+    ).cast("double")
+    term = F.round(gap * gap * h, 9).cast("decimal(28,9)")
+    agg = c.groupBy().agg(
+        F.max("_ta").alias("_n"),
+        F.max("_tb").alias("_m"),
+        F.sum(term).alias("_s"),
+    )
+    nd = F.col("_n").cast("double")
+    md = F.col("_m").cast("double")
+    t = F.when(
+        (F.col("_n") > 0) & (F.col("_m") > 0),
+        nd * md / (nd + md) * F.col("_s").cast("double"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_a"),
+        F.col("_m").cast("long").alias("n_b"),
+        F.round(t, 9).alias("cvm_t"),
+    )
+
+
+def vif_three(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Variance-inflation factors for EXACTLY three integer-valued
+    features — the multicollinearity pre-flight before any regression on
+    them (:func:`~.profile.partial_correlation`'s companion: partials
+    ask "is the pairwise link real", VIF asks "can a fit even separate
+    the three").  For 3 features the auxiliary R² is closed-form from
+    pairwise Pearson correlations:
+
+        R²_{i|jk} = (r²_ij + r²_ik − 2·r_ij·r_ik·r_jk) / (1 − r²_jk),
+        VIF_i = 1 / (1 − R²_i)
+
+    Correlations come from exact integer moments (one decimal-carried
+    scan — the same moment row serves all three), so every VIF is a
+    fixed IEEE expression.  More than 3 features needs a matrix inverse
+    — out of scope by design (raise), not silently approximated.
+
+    Output: 3 rows — ``(feature string, r2_aux double, vif double)``;
+    NULL vif when the auxiliary fit is degenerate (R² = 1 or constant
+    columns).
+    """
+    feats = list(cols)
+    if len(feats) != 3:
+        raise ValueError("vif_three takes exactly three feature columns")
+    keep = F.lit(True)
+    for c in feats:
+        keep = keep & F.col(c).isNotNull()
+    base = df.filter(keep)
+    d0 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(feats):
+        aggs.append(F.sum(F.col(c).cast(d0)).alias(f"_s{i}"))
+    for i, ci in enumerate(feats):
+        for j, cj in enumerate(feats):
+            if i <= j:
+                aggs.append(
+                    F.sum(
+                        (F.col(ci) * F.col(cj)).cast(d0)
+                    ).alias(f"_q{i}{j}")
+                )
+    mom = base.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def cen(i: int, j: int):
+        a, b = min(i, j), max(i, j)
+        return (
+            F.col(f"_q{a}{b}").cast("double")
+            - F.col(f"_s{i}").cast("double")
+            * F.col(f"_s{j}").cast("double")
+            / n
+        )
+
+    def r(i: int, j: int):
+        return F.try_divide(
+            cen(i, j), F.sqrt(cen(i, i)) * F.sqrt(cen(j, j))
+        )
+
+    rows = []
+    for i in range(3):
+        j, k = [x for x in range(3) if x != i]
+        rij, rik, rjk = r(i, j), r(i, k), r(j, k)
+        r2 = F.try_divide(
+            rij * rij + rik * rik - F.lit(2.0) * rij * rik * rjk,
+            F.lit(1.0) - rjk * rjk,
+        )
+        vif = F.try_divide(F.lit(1.0), F.lit(1.0) - r2)
+        rows.append(
+            mom.select(
+                F.lit(feats[i]).alias("feature"),
+                F.round(r2, 9).alias("r2_aux"),
+                F.round(vif, 9).alias("vif"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out

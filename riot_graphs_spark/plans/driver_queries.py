@@ -17422,6 +17422,376 @@ def granger_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "friedman_event_types",
+    """
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS blk, event_type AS trt,
+             count(*) AS v
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    kd AS (SELECT count(DISTINCT trt) AS k FROM base),
+    complete AS (
+      SELECT blk FROM base GROUP BY 1
+      HAVING count(DISTINCT trt) = (SELECT k FROM kd)
+    ),
+    kept AS (SELECT base.* FROM base JOIN complete USING (blk)),
+    ranked AS (
+      SELECT blk, trt,
+             2 * rank() OVER (PARTITION BY blk ORDER BY v)
+               + count(*) OVER (PARTITION BY blk, v) - 1 AS r2
+      FROM kept
+    ),
+    pt AS (
+      SELECT trt, sum(r2)::HUGEINT AS rr, count(*) AS n,
+             sum(r2 * r2)::HUGEINT AS q2
+      FROM ranked GROUP BY 1
+    ),
+    agg AS (
+      SELECT max(n) AS n, max((SELECT k FROM kd)) AS k,
+             sum((rr - n * ((SELECT k FROM kd) + 1))
+                 * (rr - n * ((SELECT k FROM kd) + 1))) AS num,
+             sum(q2) AS sq2
+      FROM pt
+    )
+    SELECT n::BIGINT AS n_blocks, k::BIGINT AS k,
+           round(CASE WHEN n >= 1 AND k >= 2
+                       AND (sq2 - n * k * (k + 1) * (k + 1))::DOUBLE > 0
+                 THEN (k - 1)::DOUBLE * num::DOUBLE
+                      / (sq2 - n * k * (k + 1) * (k + 1))::DOUBLE
+                 END, 9) AS q_stat,
+           (k - 1)::BIGINT AS df
+    FROM agg
+    """,
+)
+def friedman_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across event types blocked by day
+    (operators.evaluation.friedman_test) — the repeated-measures
+    companion to kw_doclen_by_lang: daily counts share each day's
+    traffic level, so rank WITHIN the day before asking whether the k
+    types differ.  Doubled midranks keep the tie-corrected statistic in
+    exact integers to the final division; windows run over k rows per
+    block only."""
+    from ..operators.evaluation import friedman_test
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("blk"),
+            F.col("event_type").alias("trt"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return friedman_test(daily, "blk", "trt", "v")
+
+
+@_q(
+    "cochran_q_quality_flags",
+    """
+    WITH flags AS (
+      SELECT (n_chars >= 300) AS f1,
+             (len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 56)
+               AS f2,
+             list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           'the') AS f3
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(f1::INT + f2::INT + f3::INT)::HUGEINT AS t,
+             sum((f1::INT + f2::INT + f3::INT)
+                 * (f1::INT + f2::INT + f3::INT))::HUGEINT AS r2,
+             sum(f1::INT)::HUGEINT AS c0, sum(f2::INT)::HUGEINT AS c1,
+             sum(f3::INT)::HUGEINT AS c2
+      FROM flags
+    )
+    SELECT n::BIGINT AS n, CAST(3 AS BIGINT) AS k,
+           round(CASE WHEN (3 * t - r2)::DOUBLE > 0
+                 THEN 2.0 * (3 * (c0 * c0 + c1 * c1 + c2 * c2)
+                             - t * t)::DOUBLE
+                      / (3 * t - r2)::DOUBLE END, 9) AS q_stat,
+           CAST(2 AS BIGINT) AS df
+    FROM agg
+    """,
+)
+def cochran_q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three binary quality screens on the same docs
+    (length >= 300 chars, >= 56 tokens, contains 'the')
+    (operators.evaluation.cochran_q_test) — do the screens pass at
+    different rates, the k-way McNemar a screen-consolidation decision
+    needs.  One scan, integer arithmetic to the final division."""
+    from ..operators.evaluation import cochran_q_test
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = tokens("text")
+    flagged = docs.select(
+        (F.col("n_chars") >= 300).alias("f1"),
+        (F.size(toks) >= 56).alias("f2"),
+        F.array_contains(toks, "the").alias("f3"),
+    )
+    return cochran_q_test(flagged, ["f1", "f2", "f3"])
+
+
+@_q(
+    "mcc_langid_en",
+    f"""
+    WITH pl AS ({ORACLES["text_lang_id"]}),
+    b AS (
+      SELECT (predicted_lang = 'en') AS p, (lang = 'en') AS y
+      FROM pl WHERE predicted_lang IS NOT NULL AND lang IS NOT NULL
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn
+      FROM b
+    )
+    SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+           tn::BIGINT AS tn,
+           round(CASE WHEN sqrt(tp::DOUBLE + fp::DOUBLE)
+                        * sqrt(tp::DOUBLE + fn::DOUBLE)
+                        * sqrt(tn::DOUBLE + fp::DOUBLE)
+                        * sqrt(tn::DOUBLE + fn::DOUBLE) > 0
+                 THEN (tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+                      / (sqrt(tp::DOUBLE + fp::DOUBLE)
+                         * sqrt(tp::DOUBLE + fn::DOUBLE)
+                         * sqrt(tn::DOUBLE + fp::DOUBLE)
+                         * sqrt(tn::DOUBLE + fn::DOUBLE)) END, 9) AS mcc
+    FROM agg
+    """,
+)
+def mcc_langid_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the n-gram language ID treated as a
+    binary en/non-en detector against the stored lang
+    (operators.evaluation.mcc_binary) — the imbalance-honest single
+    number beside lang_id_class_report's per-class table (accuracy
+    rewards the non-en majority; MCC scores a majority predictor 0).
+    One exact confusion-count scan; sqrt-factored denominator so no
+    integer product can overflow at corpus scale."""
+    from ..operators.evaluation import mcc_binary
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pl = predict_lang(docs).select(
+        (F.col("predicted_lang") == "en").alias("p"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return mcc_binary(pl, "p", "y")
+
+
+@_q(
+    "isotonic_purchase_by_activity",
+    """
+    WITH users AS (
+      SELECT user_id, count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    binned AS (
+      SELECT ntile(10) OVER (ORDER BY n_events, user_id) AS bin, y
+      FROM users
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, sum(y) AS pos FROM binned GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos, sum(n) OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ),
+    seg AS (
+      SELECT a.bin AS a, b.bin AS b,
+             (b.cp - (a.cp - a.pos))::DOUBLE
+               / (b.cn - (a.cn - a.n))::DOUBLE AS avgr
+      FROM cum a JOIN cum b ON b.bin >= a.bin
+    ),
+    inner_min AS (
+      SELECT i.bin AS i, seg.a, min(avgr) AS mn
+      FROM cum i JOIN seg ON seg.a <= i.bin AND seg.b >= i.bin
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY 1)
+    SELECT bins.bin::BIGINT AS bin, n::BIGINT AS n, pos::BIGINT AS pos,
+           round(pos::DOUBLE / n::DOUBLE, 9) AS rate_raw,
+           round(iso, 9) AS rate_iso
+    FROM bins JOIN iso ON iso.i = bins.bin
+    """,
+)
+def isotonic_purchase_by_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAVA) fit of purchase propensity against user-activity
+    deciles (operators.evaluation.isotonic_calibration) — the monotone
+    rate curve behind trend_conversion_by_activity's test: raw decile
+    rates zig-zag with sampling noise; the isotonic fit is the closest
+    non-decreasing curve, computed by the minimax identity as a
+    B-cubed join on a 10-row broadcast table — no sequential PAVA
+    loop, no driver state."""
+    from ..operators.evaluation import isotonic_calibration
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    return isotonic_calibration(users, "n_events", "y", "user_id", n_bins=10)
+
+
+@_q(
+    "cvm_doclen_en_rest",
+    """
+    WITH u AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    counts AS (
+      SELECT v, sum(a) AS na, sum(b) AS nb FROM u GROUP BY 1
+    ),
+    c AS (
+      SELECT v, na, nb,
+             sum(na) OVER (ORDER BY v) AS ca,
+             sum(nb) OVER (ORDER BY v) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM counts
+    ),
+    agg AS (
+      SELECT max(ta) AS n, max(tb) AS m,
+             sum(CAST(round(
+               (ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE)
+               * (ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE)
+               * ((na + nb)::DOUBLE / (ta + tb)::DOUBLE), 9)
+               AS DECIMAL(28,9))) AS s
+      FROM c
+    )
+    SELECT n::BIGINT AS n_a, m::BIGINT AS n_b,
+           round(CASE WHEN n > 0 AND m > 0
+                 THEN n::DOUBLE * m::DOUBLE / (n::DOUBLE + m::DOUBLE)
+                      * s::DOUBLE END, 9) AS cvm_t
+    FROM agg
+    """,
+)
+def cvm_doclen_en_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between en and non-en doc
+    lengths (operators.evaluation.cvm_two_sample) — the whole-CDF
+    companion to the KS screen: KS sees one worst gap, CvM integrates
+    the squared gap over the pooled distribution, so several modest
+    shifts accumulate.  Counts-based over the distinct-length axis;
+    9-dp decimal-carried term sums."""
+    from ..operators.evaluation import cvm_two_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return cvm_two_sample(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
+@_q(
+    "vif_doc_features",
+    """
+    WITH feats AS (
+      SELECT n_chars::BIGINT AS x0,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+               AS x1,
+             len(regexp_extract_all(lower(text), '[a-z0-9]{5,}'))::BIGINT
+               AS x2
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             sum(x0::HUGEINT) AS s0, sum(x1::HUGEINT) AS s1,
+             sum(x2::HUGEINT) AS s2,
+             sum(x0::HUGEINT * x0::HUGEINT) AS q00,
+             sum(x0::HUGEINT * x1::HUGEINT) AS q01,
+             sum(x0::HUGEINT * x2::HUGEINT) AS q02,
+             sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+             sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+             sum(x2::HUGEINT * x2::HUGEINT) AS q22
+      FROM feats
+    ),
+    cen AS (
+      SELECT
+        q00::DOUBLE - s0::DOUBLE * s0::DOUBLE / n::DOUBLE AS c00,
+        q01::DOUBLE - s0::DOUBLE * s1::DOUBLE / n::DOUBLE AS c01,
+        q02::DOUBLE - s0::DOUBLE * s2::DOUBLE / n::DOUBLE AS c02,
+        q11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+        q12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS c12,
+        q22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS c22
+      FROM mom
+    ),
+    r AS (
+      SELECT c01 / nullif(sqrt(c00) * sqrt(c11), 0) AS r01,
+             c02 / nullif(sqrt(c00) * sqrt(c22), 0) AS r02,
+             c12 / nullif(sqrt(c11) * sqrt(c22), 0) AS r12
+      FROM cen
+    ),
+    rows_out AS (
+      SELECT 'n_chars' AS feature,
+             (r01 * r01 + r02 * r02 - 2.0 * r01 * r02 * r12)
+               / nullif(1.0 - r12 * r12, 0) AS r2
+      FROM r
+      UNION ALL
+      SELECT 'n_tokens',
+             (r01 * r01 + r12 * r12 - 2.0 * r01 * r12 * r02)
+               / nullif(1.0 - r02 * r02, 0)
+      FROM r
+      UNION ALL
+      SELECT 'n_long_tokens',
+             (r02 * r02 + r12 * r12 - 2.0 * r02 * r12 * r01)
+               / nullif(1.0 - r01 * r01, 0)
+      FROM r
+    )
+    SELECT feature, round(r2, 9) AS r2_aux,
+           round(1.0 / nullif(1.0 - r2, 0), 9) AS vif
+    FROM rows_out
+    """,
+)
+def vif_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors over (n_chars, token count, long-token
+    count) (operators.evaluation.vif_three) — the multicollinearity
+    pre-flight for any regression on the documents feature trio; the
+    3-feature auxiliary R-squared is closed-form from pairwise Pearson
+    correlations off ONE exact integer-moment scan."""
+    from ..operators.evaluation import vif_three
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    feats = docs.select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z0-9]{5,}"), 0)
+        ).cast("long").alias("n_long_tokens"),
+    )
+    return vif_three(feats, ["n_chars", "n_tokens", "n_long_tokens"])
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
