@@ -1230,3 +1230,88 @@ def dp_noisy_counts(
         ),
         F.lit(float(epsilon)).alias("epsilon"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Stratified-sample allocation audit: for a target sample of
+    ``total_n`` rows estimating the mean of ``value_col``, compare
+    PROPORTIONAL allocation (n_h ∝ N_h) against NEYMAN-optimal
+    allocation (n_h ∝ N_h·S_h — oversample the noisy strata), with the
+    per-stratum standard deviations that drive the difference.  The
+    design readout behind every "annotate a sample per source" task:
+    if Neyman and proportional agree, stratification is free; where
+    they diverge, proportional sampling wastes label budget on quiet
+    strata.
+
+    Exactness: per-stratum moments are 9-dp-quantized decimal sums
+    (order-free); S_h = sample sd via one sqrt on those exact sums; the
+    cross-strata normalizer Σ_g N_g·S_g re-quantizes each stratum's
+    N_h·S_h to 9 dp into a decimal window sum over the STRATUM axis
+    (bounded — sources, languages), so every allocation is engine-
+    identical.  One fact-sized groupBy + one stratum-axis window.
+
+    Output: one row per stratum — ``(stratum_col, n_rows bigint, share
+    double, sd double, n_prop double, n_neyman double)``; single-row
+    strata carry NULL sd and NULL n_neyman (their Neyman share is
+    undefined — fall back to proportional for those).
+    """
+    if total_n <= 0:
+        raise ValueError("total_n must be positive")
+    dec = "decimal(28,9)"
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per = base.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).alias("_s"),
+        F.sum(
+            F.round(F.col("_v") * F.col("_v"), 9).cast(dec)
+        ).alias("_q"),
+    )
+    nh = F.col("_nh").cast("double")
+    mean = F.col("_s").cast("double") / nh
+    var = F.when(
+        F.col("_nh") >= 2,
+        (F.col("_q").cast("double") - nh * mean * mean)
+        / (nh - F.lit(1.0)),
+    )
+    sd = F.sqrt(F.greatest(F.lit(0.0), var))
+    scored = per.select(
+        "_h", "_nh", sd.alias("_sd")
+    )
+    w_all = Window.partitionBy()
+    scored = scored.select(
+        "_h",
+        "_nh",
+        "_sd",
+        F.sum("_nh").over(w_all).alias("_n"),
+        F.sum(
+            F.round(nh * F.col("_sd"), 9).cast(dec)
+        ).over(w_all).alias("_ns"),
+    )
+    share = F.col("_nh").cast("double") / F.col("_n").cast("double")
+    n_prop = F.lit(float(total_n)) * share
+    n_ney = F.when(
+        F.col("_ns").cast("double") > 0,
+        F.lit(float(total_n))
+        * F.try_divide(
+            F.col("_nh").cast("double") * F.col("_sd"),
+            F.col("_ns").cast("double"),
+        ),
+    )
+    return scored.select(
+        F.col("_h").alias(stratum_col),
+        F.col("_nh").cast("long").alias("n_rows"),
+        F.round(share, 9).alias("share"),
+        F.round(F.col("_sd"), 9).alias("sd"),
+        F.round(n_prop, 9).alias("n_prop"),
+        F.round(n_ney, 9).alias("n_neyman"),
+    )

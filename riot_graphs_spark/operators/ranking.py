@@ -649,3 +649,79 @@ def rank_biased_overlap(
             ).alias("rbo"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    iterations: int = 3,
+    min_pair_count: int = 2,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """TextRank keywords: PageRank over the word co-occurrence graph
+    (adjacent-token pairs across the corpus) — the graph-centrality
+    keyword extractor beside :func:`rake_keywords`' degree/frequency
+    heuristic: RAKE scores words by local phrase structure, TextRank by
+    GLOBAL network position, so corpus-glue words that never sit in
+    long phrases still surface.
+
+    Pairing is ROW-LOCAL (``zip_with`` of the token array against its
+    own 1-shift — no posexplode self-join, no fact-sized shuffle
+    before the pair groupBy); pairs keep ``src < dst`` order, drop
+    self-pairs, stopwords (:data:`~.textstats.STOPWORDS`) and tokens
+    shorter than ``min_token_len``; edges below ``min_pair_count``
+    corpus occurrences are denoised away exactly like the parts graph.
+    Then :func:`~.graph.pagerank` (fixed ``iterations``, damping 0.85,
+    decimal-carried — bit-deterministic and loop-unrollable in SQL),
+    top-``top_k`` by 10-dp-rounded score with alphabetical tiebreak.
+
+    Output: ``(token string, pr double)`` — ``top_k`` rows.
+    """
+    from .graph import pagerank
+    from .textstats import STOPWORDS, tokens
+
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+        .filter(
+            (F.col("_a") != F.col("_b"))
+            & (F.length("_a") >= min_token_len)
+            & (F.length("_b") >= min_token_len)
+            & ~F.col("_a").isin(*STOPWORDS)
+            & ~F.col("_b").isin(*STOPWORDS)
+        )
+    )
+    edges = (
+        exploded.select(
+            F.least("_a", "_b").alias("src"),
+            F.greatest("_a", "_b").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_pair_count)
+        .select("src", "dst")
+    )
+    pr = pagerank(
+        edges,
+        iterations=iterations,
+        damping=0.85,
+        undirected=True,
+        broadcast_scores=True,  # vocabulary-sized score table
+        dedup_edges=False,  # distinct (src < dst) by construction
+        checkpoint=False,
+    )
+    return (
+        pr.select(
+            F.col("node").alias("token"), F.round("pr", 10).alias("pr")
+        )
+        .orderBy(F.col("pr").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

@@ -3223,9 +3223,13 @@ def pettitt_changepoint(
         df.filter(keep)
         .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
         .agg(
-            (
+            # round BEFORE the decimal cast: a bare double->decimal cast
+            # resolves .5 ULP boundaries engine-differently (HALF_UP vs
+            # half-even); round(x, 6) agrees across engines
+            F.round(
                 F.sum(F.col(value).cast(dec)).cast("double")
-                / F.count(F.lit(1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
             ).cast(dec).alias("_m")
         )
     )
@@ -3292,13 +3296,17 @@ def grubbs_extreme(
         G = max_t |x_t − x̄| / s        (two-sided form)
 
     with x̄ and sample s over the bucketed series.  The raw values
-    reduce to per-bucket decimal means (one partial-aggregable groupBy);
-    moments of the n-bucket series are exact decimal sums (the bucket
-    means are decimals, so their squares are too), leaving one sqrt and
-    one division per series.  The flagged bucket is the earliest
-    achieving the max deviation (deterministic tiebreak).  G is the
-    statistic only — compare against the t-based critical value for
-    your n offline (no t quantile in either engine); G > ~3 is the
+    reduce to per-bucket decimal means (one partial-aggregable
+    groupBy); everything downstream is built from EXACT decimal
+    quantities — the deviation numerator ``n·x_t − S`` and the moment
+    sums S = Σx, Q = Σx² (bucket means re-cast to ``decimal(18,6)`` so
+    their squares stay inside decimal(38) exactly) — cast to double
+    ONCE at the end for the division and sqrt, so G is one fixed IEEE
+    expression per series with no intermediate double rounding to
+    diverge across engines.  The flagged bucket is the earliest
+    achieving the max EXACT deviation (deterministic tiebreak).  G is
+    the statistic only — compare against the t-based critical value
+    for your n offline (no t quantile in either engine); G > ~3 is the
     usual daily-ops alarm line.
 
     Output: one row per series — ``(*dims, n_buckets bigint, mean
@@ -3314,10 +3322,11 @@ def grubbs_extreme(
         df.filter(keep)
         .groupBy(*gcols, F.date_trunc(unit, F.col(ts)).alias("_b"))
         .agg(
-            (
+            F.round(
                 F.sum(F.col(value).cast(dec)).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).cast(dec).alias("_m")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).cast("decimal(18,6)").alias("_m")
         )
     )
     w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
@@ -3327,53 +3336,50 @@ def grubbs_extreme(
         "_m",
         F.count(F.lit(1)).over(w_all).alias("_n"),
         F.sum("_m").over(w_all).alias("_s"),
-        # square in DOUBLE then 9-dp quantize: a decimal(28,6) product
-        # would overflow precision 38 and rescale engine-differently
-        F.sum(
-            F.round(
-                F.col("_m").cast("double") * F.col("_m").cast("double"), 9
-            ).cast("decimal(38,9)")
-        )
-        .over(w_all)
-        .alias("_q"),
+        # decimal(18,6)² = decimal(37,12): exact, no precision rescale
+        F.sum(F.col("_m") * F.col("_m")).over(w_all).alias("_q"),
     )
-    nd = F.col("_n").cast("double")
-    mean = F.col("_s").cast("double") / nd
-    var = (
-        (F.col("_q").cast("double") - nd * mean * mean)
-        / (nd - F.lit(1.0))
-    )
-    sd = F.sqrt(F.greatest(F.lit(0.0), var))
-    dev = F.abs(F.col("_m").cast("double") - mean)
+    # exact deviation numerator: n·x_t − S (decimal arithmetic)
+    num = F.col("_n").cast("decimal(18,0)") * F.col("_m") - F.col("_s")
     scored = mom.select(
         *gcols,
         "_b",
         "_m",
-        F.col("_n"),
-        mean.alias("_mean"),
-        sd.alias("_sd"),
-        dev.alias("_dev"),
+        "_n",
+        "_s",
+        "_q",
+        F.abs(num).alias("_anum"),
+        num.alias("_num"),
     )
     w_pick = Window.partitionBy(*gcols).orderBy(
-        F.col("_dev").desc(), F.col("_b").asc()
+        F.col("_anum").desc(), F.col("_b").asc()
     )
     picked = scored.withColumn(
         "_pk", F.row_number().over(w_pick)
     ).filter(F.col("_pk") == 1)
-    g = F.when(
-        (F.col("_n") >= 2) & (F.col("_sd") > 0),
-        F.col("_dev") / F.col("_sd"),
+    nd = F.col("_n").cast("double")
+    sd_expr = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                nd * F.col("_q").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double")
+            )
+            / (nd * (nd - F.lit(1.0))),
+        )
     )
+    dev = F.col("_anum").cast("double") / nd
+    g = F.when((F.col("_n") >= 2) & (sd_expr > 0), dev / sd_expr)
     return picked.select(
         *gcols,
         F.col("_n").cast("long").alias("n_buckets"),
-        F.round(F.col("_mean"), 9).alias("mean"),
-        F.round(F.col("_sd"), 9).alias("sd"),
+        F.round(F.col("_s").cast("double") / nd, 9).alias("mean"),
+        F.round(F.when(F.col("_n") >= 2, sd_expr), 9).alias("sd"),
         F.col("_b").cast("timestamp").alias("outlier_bucket"),
         F.round(F.col("_m").cast("double"), 9).alias("outlier_value"),
         F.round(g, 9).alias("g_stat"),
         F.when(
-            F.col("_m").cast("double") >= F.col("_mean"), F.lit("max")
+            F.col("_num").cast("double") >= 0, F.lit("max")
         ).otherwise(F.lit("min")).alias("side"),
     )
 

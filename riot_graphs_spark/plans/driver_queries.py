@@ -17196,8 +17196,8 @@ def huber_location_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
-             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                  / count(*)::DOUBLE AS DECIMAL(28,6)) AS m
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(28,6)) AS m
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       GROUP BY 1
     ),
@@ -17242,46 +17242,50 @@ def pettitt_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
-             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                  / count(*)::DOUBLE AS DECIMAL(28,6)) AS m
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(18,6)) AS m
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       GROUP BY 1
     ),
     mom AS (
       SELECT bk, m, count(*) OVER () AS n,
              sum(m) OVER () AS s,
-             sum(CAST(round(m::DOUBLE * m::DOUBLE, 9)
-                      AS DECIMAL(38,9))) OVER () AS q
+             sum(m * m) OVER () AS q
       FROM b
     ),
     scored AS (
-      SELECT bk, m, n,
-             s::DOUBLE / n::DOUBLE AS mean,
-             sqrt(greatest(0.0,
-               (q::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
-                  * (s::DOUBLE / n::DOUBLE))
-               / (n::DOUBLE - 1.0))) AS sd,
-             abs(m::DOUBLE - s::DOUBLE / n::DOUBLE) AS dev
+      SELECT bk, m, n, s, q,
+             abs(n::DECIMAL(18,0) * m - s) AS anum,
+             (n::DECIMAL(18,0) * m - s) AS num
       FROM mom
     ),
-    picked AS (
-      SELECT * FROM scored ORDER BY dev DESC, bk ASC LIMIT 1
+    picked AS (SELECT * FROM scored ORDER BY anum DESC, bk ASC LIMIT 1),
+    fin AS (
+      SELECT n, s, q, bk, m, anum, num,
+             CASE WHEN n >= 2 THEN sqrt(greatest(0.0,
+               (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+               / (n::DOUBLE * (n::DOUBLE - 1.0)))) END AS sd
+      FROM picked
     )
-    SELECT n::BIGINT AS n_buckets, round(mean, 9) AS mean,
-           round(sd, 9) AS sd, bk AS outlier_bucket,
+    SELECT n::BIGINT AS n_buckets,
+           round(s::DOUBLE / n::DOUBLE, 9) AS mean,
+           round(sd, 9) AS sd,
+           bk AS outlier_bucket,
            round(m::DOUBLE, 9) AS outlier_value,
-           round(CASE WHEN n >= 2 AND sd > 0 THEN dev / sd END, 9)
-             AS g_stat,
-           CASE WHEN m::DOUBLE >= mean THEN 'max' ELSE 'min' END AS side
-    FROM picked
+           round(CASE WHEN n >= 2 AND sd > 0
+                 THEN (anum::DOUBLE / n::DOUBLE) / sd END, 9) AS g_stat,
+           CASE WHEN num::DOUBLE >= 0 THEN 'max' ELSE 'min' END AS side
+    FROM fin
     """,
 )
 def grubbs_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grubbs extreme-outlier statistic over daily event-value means
     (operators.timeseries.grubbs_extreme) — is the single worst day an
     outlier, and which one; the single-point alarm beside Pettitt's
-    level-shift localization.  One bucket reduce + exact decimal
-    moments; earliest-bucket tiebreak on the max deviation."""
+    level-shift localization.  Exact decimal deviation numerators and
+    moment sums (no intermediate double rounding), one IEEE expression
+    per series at the end; earliest-bucket tiebreak on the exact max
+    deviation."""
     from ..operators.timeseries import grubbs_extreme
 
     return grubbs_extreme(_t(spark, sf_dir, "events"))
@@ -17790,6 +17794,150 @@ def vif_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_long_tokens"),
     )
     return vif_three(feats, ["n_chars", "n_tokens", "n_long_tokens"])
+
+
+
+@_q(
+    "neyman_allocation_quality",
+    f"""
+    WITH q AS ({ORACLES["text_quality_scores"]}),
+    j AS (
+      SELECT d.source AS h, q.quality_score AS v
+      FROM documents d JOIN q USING (doc_id)
+      WHERE d.source IS NOT NULL AND q.quality_score IS NOT NULL
+    ),
+    per AS (
+      SELECT h, count(*) AS nh,
+             sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS s,
+             sum(CAST(round(v * v, 9) AS DECIMAL(28,9))) AS q
+      FROM j GROUP BY 1
+    ),
+    sdd AS (
+      SELECT h, nh,
+             CASE WHEN nh >= 2 THEN sqrt(greatest(0.0,
+               (q::DOUBLE - nh::DOUBLE * (s::DOUBLE / nh::DOUBLE)
+                  * (s::DOUBLE / nh::DOUBLE))
+               / (nh::DOUBLE - 1.0))) END AS sd
+      FROM per
+    ),
+    win AS (
+      SELECT h, nh, sd,
+             sum(nh) OVER () AS n,
+             sum(CAST(round(nh::DOUBLE * sd, 9) AS DECIMAL(28,9)))
+               OVER () AS ns
+      FROM sdd
+    )
+    SELECT h AS source, nh::BIGINT AS n_rows,
+           round(nh::DOUBLE / n::DOUBLE, 9) AS share,
+           round(sd, 9) AS sd,
+           round(1000.0 * (nh::DOUBLE / n::DOUBLE), 9) AS n_prop,
+           round(CASE WHEN ns::DOUBLE > 0
+                 THEN 1000.0 * (nh::DOUBLE * sd / ns::DOUBLE) END, 9)
+             AS n_neyman
+    FROM win
+    """,
+)
+def neyman_allocation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional vs Neyman-optimal allocation of a 1000-row labeling
+    budget across sources for estimating mean quality
+    (operators.curation.neyman_allocation) — where per-source quality
+    variance diverges, proportional sampling wastes label budget on
+    quiet strata.  Exact decimal per-stratum moments; the cross-strata
+    normalizer is a decimal window sum over the bounded stratum axis."""
+    from ..operators.curation import neyman_allocation
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scored = quality_score(docs).filter(
+        F.col("source").isNotNull() & F.col("quality_score").isNotNull()
+    )
+    return neyman_allocation(scored, "source", "quality_score", 1000)
+
+
+@_q("textrank_keywords_top", """
+    WITH tok AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    adj AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b
+      FROM tok, unnest(range(1, len(ts))) AS t(i)
+    ),
+    fil AS (
+      SELECT CASE WHEN a < b THEN a ELSE b END AS s,
+             CASE WHEN a < b THEN b ELSE a END AS d
+      FROM adj
+      WHERE a <> b AND len(a) >= 2 AND len(b) >= 2
+        AND a NOT IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') AND b NOT IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')
+    ),
+    pe AS (SELECT s, d FROM fil GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    und AS (SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe),
+    deg AS (SELECT s, count(*) AS od FROM und GROUP BY 1),
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    p0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS pr FROM nodes, nn),
+    a1 AS (
+      SELECT und.d AS node,
+             CAST(sum(CAST(p0.pr / deg.od AS DECIMAL(28,12)))
+                  AS DOUBLE) AS acc
+      FROM und JOIN p0 ON p0.node = und.s JOIN deg ON deg.s = und.s
+      GROUP BY 1
+    ),
+    p1 AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - 0.85) / n
+               + 0.85 * coalesce(a1.acc, 0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN a1 USING (node)
+    ),
+    a2 AS (
+      SELECT und.d AS node,
+             CAST(sum(CAST(p1.pr / deg.od AS DECIMAL(28,12)))
+                  AS DOUBLE) AS acc
+      FROM und JOIN p1 ON p1.node = und.s JOIN deg ON deg.s = und.s
+      GROUP BY 1
+    ),
+    p2 AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - 0.85) / n
+               + 0.85 * coalesce(a2.acc, 0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN a2 USING (node)
+    ),
+    a3 AS (
+      SELECT und.d AS node,
+             CAST(sum(CAST(p2.pr / deg.od AS DECIMAL(28,12)))
+                  AS DOUBLE) AS acc
+      FROM und JOIN p2 ON p2.node = und.s JOIN deg ON deg.s = und.s
+      GROUP BY 1
+    ),
+    p3 AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - 0.85) / n
+               + 0.85 * coalesce(a3.acc, 0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN a3 USING (node)
+    )
+    SELECT token, pr FROM (
+      SELECT node AS token, round(pr, 10) AS pr,
+             row_number() OVER (ORDER BY round(pr, 10) DESC, node ASC)
+               AS rk
+      FROM p3
+    ) WHERE rk <= 20""")
+def textrank_keywords_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank top-20 keywords: 3-iteration PageRank over the word
+    co-occurrence graph of adjacent token pairs
+    (operators.ranking.textrank_keywords) — global network centrality
+    beside rake_keywords_top's local phrase heuristic.  Pairing is
+    row-local (zip_with of the token array against its 1-shift, no
+    fact-sized self-join); edges below 2 corpus occurrences denoised;
+    decimal-carried PageRank unrolled as chained CTEs in the oracle;
+    10-dp-rounded scores, alphabetical tiebreak."""
+    from ..operators.ranking import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), top_k=20, iterations=3
+    )
 
 
 def queries() -> dict[str, QueryFn]:
