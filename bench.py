@@ -355,6 +355,54 @@ HEADLINE = [
     "ts_interarrival_expfit",
     "retention_survival_summary",
     "emb_cells_vs_labels_ari",
+    # round-9 registrations (classical tests, robust/EVT stats, embedding
+    # geometry, text analysis, graph widening, behavior chains)
+    "chi2_lang_source",
+    "jarque_bera_value",
+    "kendall_tau_len_tokens",
+    "cliffs_delta_doclen",
+    "hl_shift_doclen",
+    "importance_weighted_doclen",
+    "partial_corr_price_qty_disc",
+    "ols_tokens_chars",
+    "ts_runs_test",
+    "ts_ljung_box",
+    "ts_variance_ratio",
+    "ts_hurst_hourly",
+    "ts_pacf",
+    "ts_sax_motifs",
+    "emb_isotropy",
+    "emb_covariance_pairs",
+    "emb_centroid_margin",
+    "emb_label_cosine_contrast",
+    "pii_scan_report",
+    "feature_hash_audit",
+    "rake_keywords_top",
+    "text_script_profile",
+    "vocab_simpson_diversity",
+    "term_burstiness_top",
+    "text_compressibility",
+    "graph_assortativity",
+    "graph_link_prediction",
+    "graph_bfs_layers",
+    "markov_stationary_events",
+    "attribution_time_decay",
+    "hellinger_doclen_sources",
+    "hill_tail_price",
+    "mahalanobis_outlier_docs",
+    "huber_location_price",
+    "pettitt_daily_value",
+    "grubbs_daily_value",
+    "gumbel_hourly_burst",
+    "granger_clicks_purchases",
+    "friedman_event_types",
+    "cochran_q_quality_flags",
+    "mcc_langid_en",
+    "isotonic_purchase_by_activity",
+    "cvm_doclen_en_rest",
+    "vif_doc_features",
+    "neyman_allocation_quality",
+    "textrank_keywords_top",
 ]
 
 

@@ -2128,12 +2128,16 @@ def hill_tail_index(
         .orderBy(F.col("_v").desc())
         .limit(k + 1)
     )
-    top = top.localCheckpoint(eager=False)  # top-(k+1) heap runs once
-    mn = top.agg(
-        F.min("_v").alias("_xm"), F.count(F.lit(1)).alias("_cnt")
-    )
+    # x_min/count via a window over the (k+1)-row result: the heap runs
+    # ONCE and stays visible in the plan (a localCheckpoint would hide
+    # TakeOrderedAndProject behind an ExistingRDD scan)
+    w = Window.partitionBy()
     s = (
-        top.crossJoin(F.broadcast(mn))
+        top.select(
+            "_v",
+            F.min("_v").over(w).alias("_xm"),
+            F.count(F.lit(1)).over(w).alias("_cnt"),
+        )
         .select(
             F.round(F.log(F.col("_v") / F.col("_xm")), 9)
             .cast("decimal(28,9)")

@@ -1452,3 +1452,124 @@ def test_eb_shrunk_rates_hand_cases(spark):
     got3 = eb_shrunk_rates(same, "y", "g").collect()[0]
     assert got3["alpha"] is None and got3["rate_shrunk"] is None
     assert got3["rate_raw"] == 0.5
+
+
+# --------------------------------------------------------------------------
+# Round-9: Friedman / Cochran Q / MCC / isotonic / CvM / VIF
+# --------------------------------------------------------------------------
+def test_friedman_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import friedman_test
+
+    # 3 blocks x 3 treatments, no ties; classic Q =
+    # 12/(n k (k+1)) * sum R_j^2 - 3 n (k+1)
+    rows = [
+        ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+        ("b2", "t1", 1.0), ("b2", "t2", 3.0), ("b2", "t3", 2.0),
+        ("b3", "t1", 1.0), ("b3", "t2", 2.0), ("b3", "t3", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    out = friedman_test(df, "blk", "trt", "v").collect()[0]
+    # R = (3, 7, 8): Q = 12/(3*3*4)*(9+49+64) - 3*3*4 = 40.666.. - 36
+    assert out["n_blocks"] == 3 and out["k"] == 3 and out["df"] == 2
+    assert out["q_stat"] == pytest.approx(14 / 3, abs=1e-9)
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    from riot_graphs_spark.operators.evaluation import friedman_test
+
+    rows = [
+        ("b1", "t1", 1.0), ("b1", "t2", 2.0),
+        ("b2", "t1", 2.0), ("b2", "t2", 1.0),
+        ("b3", "t1", 5.0),  # incomplete: no t2
+    ]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    out = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert out["n_blocks"] == 2
+
+
+def test_cochran_q_hand_case_and_validation(spark):
+    from riot_graphs_spark.operators.evaluation import cochran_q_test
+
+    rows = [
+        (True, True, False),
+        (True, False, False),
+        (True, True, True),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean, f3 boolean")
+    out = cochran_q_test(df, ["f1", "f2", "f3"]).collect()[0]
+    # C = (3, 2, 1), T = 6, sumR2 = 4+1+9+0 = 14
+    # Q = (k-1)(k*sumC2 - T^2)/(k*T - sumR2) = 2*(3*14-36)/(18-14) = 3.0
+    assert out["n"] == 4 and out["k"] == 3 and out["df"] == 2
+    assert out["q_stat"] == pytest.approx(3.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        cochran_q_test(df, ["f1"])
+
+
+def test_mcc_hand_case_and_degenerate(spark):
+    from riot_graphs_spark.operators.evaluation import mcc_binary
+
+    rows = [(True, True)] * 4 + [(False, False)] * 4 + [(True, False)]
+    df = spark.createDataFrame(rows, "p boolean, y boolean")
+    out = mcc_binary(df, "p", "y").collect()[0]
+    # tp=4 fp=1 fn=0 tn=4: mcc = 16/sqrt(5*4*5*4) = 0.8
+    assert out["tp"] == 4 and out["fp"] == 1 and out["tn"] == 4
+    assert out["mcc"] == pytest.approx(0.8, abs=1e-8)
+    # constant predictor -> NULL mcc (zero marginal)
+    const = spark.createDataFrame(
+        [(True, True), (True, False)], "p boolean, y boolean"
+    )
+    assert mcc_binary(const, "p", "y").collect()[0]["mcc"] is None
+
+
+def test_isotonic_pools_violations_and_preserves_monotone(spark):
+    from riot_graphs_spark.operators.evaluation import isotonic_calibration
+
+    # scores 1..8, labels produce bin rates (0, 1, 0, 1) over 4 bins of 2
+    rows = [
+        (1, 0, 1), (2, 0, 2), (3, 1, 3), (4, 1, 4),
+        (5, 0, 5), (6, 0, 6), (7, 1, 7), (8, 1, 8),
+    ]
+    df = spark.createDataFrame(rows, "s int, y int, id int")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "s", "y", "id", n_bins=4).collect()
+    }
+    # PAVA pools bins 2-3 (rates 1, 0) to 0.5; bins 1 and 4 untouched
+    assert out[1]["rate_iso"] == pytest.approx(0.0)
+    assert out[2]["rate_iso"] == pytest.approx(0.5)
+    assert out[3]["rate_iso"] == pytest.approx(0.5)
+    assert out[4]["rate_iso"] == pytest.approx(1.0)
+    # already-monotone input is unchanged
+    iso = isotonic_calibration(
+        spark.createDataFrame(
+            [(1, 0, 1), (2, 0, 2), (3, 1, 3), (4, 1, 4)],
+            "s int, y int, id int",
+        ),
+        "s", "y", "id", n_bins=2,
+    ).collect()
+    for r in iso:
+        assert r["rate_iso"] == pytest.approx(r["rate_raw"])
+
+
+def test_cvm_zero_for_identical_and_positive_for_shift(spark):
+    from riot_graphs_spark.operators.evaluation import cvm_two_sample
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    out = cvm_two_sample(a, a, "v").collect()[0]
+    assert out["n_a"] == 10 and out["n_b"] == 10
+    assert out["cvm_t"] == pytest.approx(0.0)
+    b = spark.createDataFrame([(i + 100,) for i in range(10)], "v int")
+    assert cvm_two_sample(a, b, "v").collect()[0]["cvm_t"] > 1.0
+
+
+def test_vif_three_collinear_and_validation(spark):
+    from riot_graphs_spark.operators.evaluation import vif_three
+
+    # x2 = x0 + x1 exactly: every auxiliary fit is perfect -> NULL VIFs
+    rows = [(i, (i * 7) % 5, i + (i * 7) % 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "x0 int, x1 int, x2 int")
+    for r in vif_three(df, ["x0", "x1", "x2"]).collect():
+        assert r["vif"] is None or r["vif"] > 1e6
+    with pytest.raises(ValueError):
+        vif_three(df, ["x0", "x1"])

@@ -2014,3 +2014,211 @@ def test_survival_summary_hand_cases(spark):
     got = survival_summary(cen, horizon=2).collect()[0]
     assert got["horizon"] == 2
     assert got["rmst"] == _pytest.approx(1 + 2 / 3)
+
+
+# --------------------------------------------------------------------------
+# Round-9: Pettitt / Grubbs / Gumbel / Granger / Hill / Huber / Hellinger /
+# Mahalanobis / Neyman / TextRank hand cases
+# --------------------------------------------------------------------------
+import pytest  # noqa: E402  (round-9 additions below)
+
+
+def _daily(vals, g=None):
+    rows = []
+    for i, v in enumerate(vals):
+        base = (f"2024-01-{i+1:02d} 00:00:00", float(v))
+        rows.append(((g,) + base) if g is not None else base)
+    return rows
+
+
+def test_pettitt_finds_step_day(spark):
+    from riot_graphs_spark.operators.timeseries import pettitt_changepoint
+
+    # clear level shift after day 10 of 20
+    df = spark.createDataFrame(
+        _daily([1.0] * 10 + [100.0] * 10), "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = pettitt_changepoint(df).collect()[0]
+    assert out["n_buckets"] == 20
+    # max |U_t| at the last pre-shift day: K = 10*10 = 100
+    assert out["k_stat"] == 100
+    assert str(out["change_bucket"]).startswith("2024-01-10")
+    assert out["p_approx"] < 0.01
+
+
+def test_grubbs_flags_spike_day(spark):
+    import math as _math
+
+    from riot_graphs_spark.operators.timeseries import grubbs_extreme
+
+    vals = [10.0] * 9 + [50.0]
+    df = spark.createDataFrame(
+        _daily(vals), "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = grubbs_extreme(df).collect()[0]
+    assert out["n_buckets"] == 10
+    assert str(out["outlier_bucket"]).startswith("2024-01-10")
+    assert out["side"] == "max"
+    mean = sum(vals) / 10
+    sd = _math.sqrt(sum((v - mean) ** 2 for v in vals) / 9)
+    assert out["g_stat"] == pytest.approx((50 - mean) / sd, abs=1e-6)
+
+
+def test_gumbel_moments_hand_case(spark):
+    import math as _math
+
+    from riot_graphs_spark.operators.timeseries import gumbel_block_maxima
+
+    # 3 days x 2 hours: hourly counts per day -> maxima (2, 3, 4)
+    rows = []
+    for d, counts in enumerate([(1, 2), (3, 2), (4, 1)]):
+        for h, c in enumerate(counts):
+            rows += [(f"2024-01-{d+1:02d} {h:02d}:30:00",)] * c
+    df = spark.createDataFrame(rows, "ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = gumbel_block_maxima(df).collect()[0]
+    assert out["n_blocks"] == 3
+    assert out["mean_max"] == pytest.approx(3.0)
+    assert out["sd_max"] == pytest.approx(1.0)
+    beta = _math.sqrt(6.0) / _math.pi
+    assert out["gumbel_beta"] == pytest.approx(beta, abs=1e-9)
+    assert out["gumbel_mu"] == pytest.approx(
+        3.0 - 0.5772156649015329 * beta, abs=1e-9
+    )
+    assert out["rl_99"] > out["rl_95"] > out["gumbel_mu"]
+
+
+def test_granger_lagged_dependence_detected(spark):
+    from riot_graphs_spark.operators.timeseries import granger_1lag
+
+    # clicks on day i = i%7 + 1; purchases on day i = clicks on day i-1
+    # (pure lag-1 dependence): unrestricted fit is near-exact -> huge F
+    rows = []
+    clicks = [(i % 7) + 1 for i in range(20)]
+    for i in range(20):
+        rows += [(f"2024-01-{i+1:02d} 01:00:00", "click")] * clicks[i]
+        if i >= 1:
+            rows += [(f"2024-01-{i+1:02d} 02:00:00", "purchase")] * clicks[
+                i - 1
+            ]
+    df = spark.createDataFrame(rows, "ts string, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = granger_1lag(df).collect()[0]
+    # day 1 exists with y = 0 (clicks only), so 19 lagged rows survive
+    assert out["m"] == 19
+    assert out["b_x"] == pytest.approx(1.0, abs=1e-6)
+    assert out["rss_u"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_hill_tail_index_pareto_exact(spark):
+    import math as _math
+
+    from riot_graphs_spark.operators.profile import hill_tail_index
+
+    # exact Pareto(alpha=2) quantile grid: x_i = (i/n)^(-1/2)
+    n = 500
+    rows = [(float((i / n) ** -0.5),) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "v double")
+    out = hill_tail_index(df, "v", k=50).collect()[0]
+    assert out["k"] == 50
+    assert out["hill_alpha"] == pytest.approx(2.0, rel=0.15)
+    with pytest.raises(ValueError):
+        hill_tail_index(df, "v", k=0)
+    # fewer than k+1 positive values -> NULL alpha
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert hill_tail_index(tiny, "v", k=5).collect()[0]["hill_alpha"] is None
+
+
+def test_huber_location_between_median_and_mean(spark):
+    from riot_graphs_spark.operators.profile import huber_location
+
+    # symmetric bulk at 10 +- small, one far outlier at 1000
+    vals = [9.0, 9.5, 10.0, 10.5, 11.0, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = huber_location(df, "v", iterations=3).collect()[0]
+    assert out["n"] == 6
+    assert out["median_low"] == 10.0  # lower median
+    assert out["mean"] == pytest.approx(sum(vals) / 6)
+    # robust center stays near the bulk, far below the mean
+    assert 9.0 <= out["huber_mu"] <= 12.0
+    # iterations=0 returns the starting location (the median)
+    out0 = huber_location(df, "v", iterations=0).collect()[0]
+    assert out0["huber_mu"] == out0["median_low"]
+    with pytest.raises(ValueError):
+        huber_location(df, "v", iterations=-1)
+
+
+def test_hellinger_zero_for_identical_mix(spark):
+    from riot_graphs_spark.operators.profile import hellinger_by_group
+
+    rows = [("g1", k) for k in ("a", "b") for _ in range(5)] + [
+        ("g2", k) for k in ("a", "b") for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {r["g"]: r for r in hellinger_by_group(df, "k", "g").collect()}
+    for g in ("g1", "g2"):
+        assert got[g]["hellinger"] == pytest.approx(0.0, abs=1e-9)
+    # disjoint support -> near 1 for the minority group
+    rows2 = [("g1", "a")] * 99 + [("g2", "z")]
+    got2 = {
+        r["g"]: r
+        for r in hellinger_by_group(
+            spark.createDataFrame(rows2, "g string, k string"), "k", "g"
+        ).collect()
+    }
+    assert got2["g2"]["hellinger"] > 0.9
+
+
+def test_mahalanobis_diag_hand_case(spark):
+    from riot_graphs_spark.operators.profile import mahalanobis_diag_outliers
+
+    # 9 points at the center, 1 at (+10, +10): d2 = 100/v1 + 100/v2
+    rows = [(i, 10, 20) for i in range(9)] + [(9, 20, 30)]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    out = mahalanobis_diag_outliers(df, "id", ["x", "y"], top_k=2).collect()
+    assert out[0]["id"] == 9
+    # population var of x: mean 11, var = (9*1 + 81)/10 = 9
+    assert out[0]["d2"] == pytest.approx(81 / 9 + 81 / 9, abs=1e-6)
+    with pytest.raises(ValueError):
+        mahalanobis_diag_outliers(df, "id", [])
+
+
+def test_neyman_oversamples_noisy_stratum(spark):
+    from riot_graphs_spark.operators.curation import neyman_allocation
+
+    # equal sizes; stratum b has 10x the sd -> gets ~10x the Neyman n
+    rows = [("a", float(10 + (i % 2))) for i in range(100)] + [
+        ("b", float(10 + 10 * (i % 2))) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "h string, v double")
+    got = {
+        r["h"]: r for r in neyman_allocation(df, "h", "v", 100).collect()
+    }
+    assert got["a"]["n_prop"] == pytest.approx(50.0)
+    assert got["b"]["n_prop"] == pytest.approx(50.0)
+    assert got["b"]["n_neyman"] == pytest.approx(
+        10 * got["a"]["n_neyman"], rel=1e-6
+    )
+    with pytest.raises(ValueError):
+        neyman_allocation(df, "h", "v", 0)
+
+
+def test_textrank_excludes_stopwords_and_ranks_hub(spark):
+    from riot_graphs_spark.operators.ranking import textrank_keywords
+
+    # 'spark' co-occurs with everything; 'the' is a stopword
+    docs = spark.createDataFrame(
+        [
+            ("spark engine the spark query the spark engine",),
+            ("spark query engine spark plan query spark plan",),
+            ("plan engine spark plan query engine spark query",),
+        ],
+        "text string",
+    )
+    out = textrank_keywords(docs, top_k=5, min_pair_count=2).collect()
+    toks = [r["token"] for r in out]
+    assert "the" not in toks  # stopword never enters the graph
+    assert {"spark", "query", "engine", "plan"} <= set(toks)
+    # scores sum to ~1 over the 4-node graph
+    assert sum(r["pr"] for r in out) == pytest.approx(1.0, abs=1e-6)

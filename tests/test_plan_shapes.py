@@ -1340,3 +1340,147 @@ def test_ari_contingency_axis(spark):
     assert re.search(r"partial_(sum|count)", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round-9 window fillers
+# --------------------------------------------------------------------------
+def test_hellinger_broadcast_cell_grid(spark):
+    # cell grid = crossed BROADCAST marginals; one corpus-sized count
+    # groupBy; no fact-sized cartesian, no Python
+    plan = formatted_plan(spark, "hellinger_doclen_sources")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hill_top_k_heap_no_global_sort(spark):
+    # the top-(k+1) order statistics must arrive via per-partition heap
+    # + driver merge, never a global sort of the column
+    plan = formatted_plan(spark, "hill_tail_price")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mahalanobis_two_scan_broadcast_moments(spark):
+    # scan 1 reduces exact integer moments to ONE broadcast row; scan 2
+    # scores + top-k heap — no global sort, no Python
+    plan = formatted_plan(spark, "mahalanobis_outlier_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_huber_broadcast_scalar_state(spark):
+    # each IRLS step joins the 1-row state by broadcast; order
+    # statistics run on the distinct-value axis; no Python
+    plan = formatted_plan(spark, "huber_location_price")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pettitt_bucket_axis_pairs(spark):
+    # the O(n^2) sign pairs run on the BUCKET axis (days x days via
+    # broadcast NLJ) after one partial-aggregable fact reduce
+    plan = formatted_plan(spark, "pettitt_daily_value")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_grubbs_single_bucket_reduce(spark):
+    plan = formatted_plan(spark, "grubbs_daily_value")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gumbel_partial_aggregable_chain(spark):
+    # sub-bucket counts -> block maxima -> moments: three groupBys, all
+    # partial-aggregable; no windows over facts, no Python
+    plan = formatted_plan(spark, "gumbel_hourly_burst")
+    assert re.search(r"partial_(count|max|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_granger_day_axis_lag(spark):
+    # one conditional-count groupBy to the day axis, lag window over n
+    # days, one moments reduce
+    plan = formatted_plan(spark, "granger_clicks_purchases")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_friedman_block_axis_ranks(spark):
+    # ranks are windows over k rows per block; the k scalar arrives by
+    # broadcast; integer reduces after
+    plan = formatted_plan(spark, "friedman_event_types")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cochran_q_single_scan(spark):
+    # every term reduces in ONE scan: no joins in the plan at all
+    plan = formatted_plan(spark, "cochran_q_quality_flags")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mcc_single_scan(spark):
+    plan = formatted_plan(spark, "mcc_langid_en")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_isotonic_bin_axis_minimax(spark):
+    # the B^3 minimax runs on broadcast bin tables, never facts
+    plan = formatted_plan(spark, "isotonic_purchase_by_activity")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cvm_distinct_value_axis(spark):
+    # tagged union + count groupBy; cumulative windows over distinct
+    # values only
+    plan = formatted_plan(spark, "cvm_doclen_en_rest")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+
+
+def test_vif_one_moment_scan_three_rows(spark):
+    # one integer-moment scan serves all three VIFs (union of three
+    # 1-row projections over the same broadcast moment row)
+    plan = formatted_plan(spark, "vif_doc_features")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+
+
+def test_neyman_stratum_axis_window(spark):
+    # per-stratum moments partial-aggregate; the normalizer window runs
+    # on the stratum axis only
+    plan = formatted_plan(spark, "neyman_allocation_quality")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_textrank_row_local_pairs_broadcast_scores(spark):
+    # pairing is row-local (zip_with explode, no fact self-join);
+    # per-iteration score joins broadcast the vocabulary-sized table
+    plan = formatted_plan(spark, "textrank_keywords_top")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
