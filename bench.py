@@ -403,6 +403,13 @@ HEADLINE = [
     "vif_doc_features",
     "neyman_allocation_quality",
     "textrank_keywords_top",
+    # round-9 post-window registrations (defer to the r10 driver window)
+    "wasserstein_doclen_en_rest",
+    "krippendorff_lang_alpha",
+    "markov_entropy_rate",
+    "event_pmi_userday",
+    "mixture_temperature_sources",
+    "pairwise_welch_holm",
 ]
 
 

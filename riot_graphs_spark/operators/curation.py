@@ -1315,3 +1315,56 @@ def neyman_allocation(
         F.round(n_prop, 9).alias("n_prop"),
         F.round(n_ney, 9).alias("n_neyman"),
     )
+
+
+def mixture_temperature_scaling(
+    df: DataFrame,
+    group_col: str,
+    alphas: Sequence[float] = (1.0, 0.7, 0.5, 0.3),
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group — the standard
+    multilingual/multi-source rebalancing rule (sample source s with
+    probability ∝ p_s^α): α = 1 keeps natural proportions, α → 0
+    flattens toward uniform; the table shows, per source and per α,
+    the sampled share and the implied up/down-sampling boost, so the
+    "how hard does α = 0.3 hammer the head source" question is read
+    off a table instead of rederived.
+
+        w_s(α) = p_s^α / Σ_g p_g^α,    boost_s(α) = w_s(α) / p_s
+
+    Exactness: p_s are exact count ratios; each p^α is one IEEE pow;
+    normalizers are 9-dp-quantized decimal window sums over the GROUP
+    axis (bounded).  One fact-sized count groupBy total.
+
+    Output: one row per group — ``(group_col, n bigint, share double,
+    w_<α>, boost_<α> double per α)``.
+    """
+    if not alphas:
+        raise ValueError("need at least one alpha")
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_all = Window.partitionBy()
+    dec = "decimal(28,9)"
+    c = counts.withColumn("_tot", F.sum("_n").over(w_all))
+    share = F.col("_n").cast("double") / F.col("_tot").cast("double")
+    c = c.withColumn("_p", share)
+    out_cols = [
+        F.col(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_p"), 9).alias("share"),
+    ]
+    for a in alphas:
+        tag = str(a).replace("0.", "").replace(".", "")
+        pa = F.pow(F.col("_p"), F.lit(float(a)))
+        norm = F.sum(F.round(pa, 9).cast(dec)).over(w_all)
+        c = c.withColumn(f"_w_{tag}", pa / norm.cast("double"))
+        out_cols.append(F.round(F.col(f"_w_{tag}"), 9).alias(f"w_{tag}"))
+        out_cols.append(
+            F.round(F.col(f"_w_{tag}") / F.col("_p"), 9).alias(
+                f"boost_{tag}"
+            )
+        )
+    return c.select(*out_cols)

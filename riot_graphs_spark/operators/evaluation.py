@@ -3726,3 +3726,56 @@ def vif_three(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for extra in rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: Sequence[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm step-down adjustment — the UNIFORMLY-more-powerful drop-in
+    for Bonferroni (same familywise-error guarantee, no independence
+    assumption, strictly more rejections), sitting between
+    :func:`pairwise_welch`'s Bonferroni flag and :func:`bh_adjust`'s
+    FDR: use Holm when ANY false positive is unacceptable but
+    Bonferroni's constant m penalty is leaving power on the table.
+
+    Step-down rule on p₍₁₎ ≤ … ≤ p₍ₘ₎:
+    q₍ᵢ₎ = min(1, max_{j≤i} (m−j+1)·p₍ⱼ₎) — the running max makes the
+    adjusted sequence monotone, so rejection is simply q ≤ α.  Ties
+    order by ``tiebreak_cols`` (deterministic ranks).  Sort/prefix-max
+    windows run on the HYPOTHESES axis only.  NULL p rows pass through
+    with NULL q, false flag, and don't count toward m.
+
+    Output: the input columns plus ``(rank_p bigint, m bigint, q_holm
+    double, significant_holm boolean)``.
+    """
+    order = [F.col(p_col).asc_nulls_last()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
+    w_rank = Window.orderBy(*order)
+    w_prefix = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    i = F.row_number().over(w_rank)
+    m = F.count(p_col).over(w_all)
+    q_raw = F.when(
+        F.col(p_col).isNotNull(),
+        (m - i + F.lit(1)).cast("double") * F.col(p_col),
+    )
+    staged = df.select(
+        "*",
+        F.when(F.col(p_col).isNotNull(), i).cast("long").alias("rank_p"),
+        m.cast("long").alias("m"),
+        F.max(q_raw).over(w_prefix).alias("_qm"),
+    )
+    q = F.when(
+        F.col(p_col).isNotNull(), F.least(F.lit(1.0), F.col("_qm"))
+    )
+    out = staged.withColumn("q_holm", F.round(q, 9)).withColumn(
+        "significant_holm",
+        F.when(F.col(p_col).isNotNull(), F.col("q_holm") <= F.lit(alpha)),
+    )
+    return out.select(*[c for c in out.columns if c != "_qm"])

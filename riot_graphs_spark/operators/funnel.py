@@ -690,3 +690,156 @@ def attribution_time_decay(
         F.col("touches").cast("long").alias("touches"),
         F.round(F.col("_credit").cast("double"), 9).alias("credit"),
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    iterations: int = 25,
+) -> DataFrame:
+    """Entropy rate of the behavior Markov chain — "how predictable is
+    the NEXT event given the current one", the single-number sequel to
+    :func:`markov_stationary`: H = −Σ_s π_s Σ_t p_st·ln p_st weights
+    each state's next-step uncertainty by its long-run occupancy, so a
+    rarely-visited chaotic state can't dominate the readout.
+
+    π comes from :func:`markov_stationary` (25 decimal-carried power
+    steps — engine-identical); the per-edge terms π_s·p_st·ln(p_st)
+    are 9-dp-quantized into a decimal sum over the k² transition cells
+    (k = event types — tiny).  Perplexity = e^H is the "effective
+    branching factor" reading.
+
+    Output: one row — ``(n_states bigint, entropy_nats double,
+    entropy_bits double, perplexity double)``.
+    """
+    pi = markov_stationary(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        tiebreak=tiebreak,
+        iterations=iterations,
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        df.filter(F.col(type_col).isNotNull())
+        .select(
+            F.col(type_col).alias("_f"),
+            F.lead(type_col).over(w).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_f", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
+    p = pairs.join(rowtot, "_f").select(
+        "_f",
+        "_t",
+        (F.col("_n").cast("double") / F.col("_tot").cast("double")).alias(
+            "_p"
+        ),
+    )
+    terms = p.join(
+        F.broadcast(pi), p["_f"] == pi["event_type"]
+    ).select(
+        F.round(
+            F.col("stationary_prob") * F.col("_p") * F.log("_p"), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("_h")
+    )
+    agg = terms.crossJoin(
+        F.broadcast(pi.agg(F.count(F.lit(1)).alias("_k")))
+    ).groupBy().agg(
+        F.max("_k").alias("_k"),
+        F.sum("_h").alias("_s"),
+    )
+    h = -F.col("_s").cast("double")
+    return agg.select(
+        F.col("_k").cast("long").alias("n_states"),
+        F.round(h, 9).alias("entropy_nats"),
+        F.round(h / F.lit(0.6931471805599453), 9).alias("entropy_bits"),
+        F.round(F.exp(h), 9).alias("perplexity"),
+    )
+
+
+def event_pmi_pairs(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pointwise mutual information between event-type pairs
+    co-occurring within the same (user, day) unit — "which behaviors
+    actually travel together" beyond raw co-occurrence counts (PMI
+    discounts the popular types that co-occur with everything):
+
+        PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ),
+        NPMI = PMI / −ln P(x,y)   ∈ [−1, 1]
+
+    with probabilities = unit-presence counts / N units.  Presence
+    sets reduce fact-sized; the pair fan-out is per-unit k²/2 (k =
+    event types, tiny).  Exact integer counts; one IEEE ln per pair.
+
+    Output: one row per unordered pair — ``(type_a, type_b, n_both
+    bigint, n_a bigint, n_b bigint, pmi double, npmi double)``.
+    """
+    units = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.to_date(ts_col).alias("_d"),
+            F.col(type_col).alias("_ty"),
+        )
+        .distinct()
+    )
+    units = units.localCheckpoint(eager=False)
+    n_units = units.select("_u", "_d").distinct().agg(
+        F.count(F.lit(1)).alias("_nu")
+    )
+    singles = units.groupBy("_ty").agg(F.count(F.lit(1)).alias("_nx"))
+    a = units.select("_u", "_d", F.col("_ty").alias("_ta"))
+    b = units.select("_u", "_d", F.col("_ty").alias("_tb"))
+    both = (
+        a.join(b, ["_u", "_d"])
+        .filter(F.col("_ta") < F.col("_tb"))
+        .groupBy("_ta", "_tb")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    j = (
+        both.join(
+            F.broadcast(singles.select(F.col("_ty"), F.col("_nx"))),
+            both["_ta"] == F.col("_ty"),
+        )
+        .drop("_ty")
+        .withColumnRenamed("_nx", "_na")
+        .join(
+            F.broadcast(
+                singles.select(F.col("_ty"), F.col("_nx").alias("_nyy"))
+            ),
+            both["_tb"] == F.col("_ty"),
+        )
+        .drop("_ty")
+        .crossJoin(F.broadcast(n_units))
+    )
+    pxy = F.col("_nb").cast("double") / F.col("_nu").cast("double")
+    px = F.col("_na").cast("double") / F.col("_nu").cast("double")
+    py = F.col("_nyy").cast("double") / F.col("_nu").cast("double")
+    pmi = F.log(pxy / (px * py))
+    npmi = F.try_divide(pmi, -F.log(pxy))
+    return j.select(
+        F.col("_ta").alias("type_a"),
+        F.col("_tb").alias("type_b"),
+        F.col("_nb").cast("long").alias("n_both"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nyy").cast("long").alias("n_b"),
+        F.round(pmi, 9).alias("pmi"),
+        F.round(npmi, 9).alias("npmi"),
+    )

@@ -2331,3 +2331,141 @@ def huber_location(
         F.round(F.col("_mean"), 9).alias("mean"),
         F.round(F.col("_mu"), 9).alias("huber_mu"),
     )
+
+
+def wasserstein_1d(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """One-dimensional Wasserstein-1 (earth-mover) distance between two
+    numeric samples — the distribution-shift number in the UNITS OF THE
+    COLUMN, which KS/CvM/PSI are not: W₁ is literally "how far does
+    probability mass travel", so "the doc-length distribution moved by
+    W₁ = 114 characters" is a sentence a data review can act on.
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_j |F_a(v_j) − F_b(v_j)| · (v_{j+1} − v_j)
+
+    over the sorted distinct pooled values — the exact closed form in
+    1-D (no transport LP needed).  CDFs are exact integer-count ratios;
+    each distinct value contributes one IEEE term (gap × value step)
+    quantized to 9 dp before the decimal-carried sum.  Same
+    distinct-value-axis plan as :func:`ks_two_sample`: one tagged-union
+    count groupBy + cumulative windows.
+
+    Output: one row — ``(n_a bigint, n_b bigint, w1 double)``; NULL
+    when either side is empty.
+    """
+
+    def side(d: DataFrame, tag: int) -> DataFrame:
+        return d.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).cast("double").alias("_v"),
+            F.lit(1 - tag).alias("_a"),
+            F.lit(tag).alias("_b"),
+        )
+
+    u = side(df_a, 0).unionByName(side(df_b, 1))
+    counts = u.groupBy("_v").agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lead = Window.orderBy("_v")
+    w_tot = Window.partitionBy()
+    c = (
+        counts.withColumn("_ca", F.sum("_na").over(w_cum))
+        .withColumn("_cb", F.sum("_nb").over(w_cum))
+        .withColumn("_ta", F.sum("_na").over(w_tot))
+        .withColumn("_tb", F.sum("_nb").over(w_tot))
+        .withColumn("_nx", F.lead("_v").over(w_lead))
+    )
+    gap = F.abs(
+        F.try_divide(F.col("_ca").cast("double"), F.col("_ta").cast("double"))
+        - F.try_divide(
+            F.col("_cb").cast("double"), F.col("_tb").cast("double")
+        )
+    )
+    term = F.when(
+        F.col("_nx").isNotNull(),
+        F.round(gap * (F.col("_nx") - F.col("_v")), 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    agg = c.groupBy().agg(
+        F.max("_ta").alias("_n"),
+        F.max("_tb").alias("_m"),
+        F.sum(term).alias("_s"),
+    )
+    w1 = F.when(
+        (F.col("_n") > 0) & (F.col("_m") > 0), F.col("_s").cast("double")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_a"),
+        F.col("_m").cast("long").alias("n_b"),
+        F.round(w1, 9).alias("w1"),
+    )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, two coders) between two
+    categorical columns — the agreement coefficient that, unlike
+    :func:`cohen_kappa`, derives chance from the POOLED value
+    distribution (both coders drawn from one population of codes) and
+    generalizes to missing data and many coders; α ≥ 0.8 is the usual
+    "codebook is reliable" line.
+
+    Coincidence-matrix form for two complete coders: each unit
+    contributes its (a,b) AND (b,a) pair, n = 2·units;
+
+        D_o = Σ_{c≠k} o_ck / n,
+        D_e = Σ_{c≠k} n_c·n_k / (n·(n−1)),   α = 1 − D_o/D_e
+
+    — exact integer arithmetic to the two final divisions (both o and
+    the marginals n_c are plain counts).  Plan: one fact-sized pair
+    count groupBy; marginals on the code axis.  NULL codes drop the
+    unit (complete-case; the missing-data generalization needs
+    per-unit weights this two-column API doesn't carry).
+
+    Output: one row — ``(n_units bigint, d_o double, d_e double,
+    alpha double)``; NULL alpha for degenerate D_e = 0 (one code).
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("string").alias("_x"),
+        F.col(col_b).cast("string").alias("_y"),
+    )
+    # both orientations: the coincidence matrix is symmetric
+    pairs = base.unionByName(
+        base.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"))
+    )
+    o = pairs.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_o"))
+    o = o.localCheckpoint(eager=False)
+    d0 = "decimal(38,0)"
+    marg = o.groupBy("_x").agg(F.sum("_o").alias("_nc"))
+    tot = o.agg(
+        F.sum(F.col("_o").cast(d0)).alias("_n"),
+        F.sum(
+            F.when(F.col("_x") != F.col("_y"), F.col("_o"))
+            .otherwise(F.lit(0))
+            .cast(d0)
+        ).alias("_dis"),
+    )
+    e = marg.alias("a").join(marg.alias("b"), F.lit(True)).filter(
+        F.col("a._x") != F.col("b._x")
+    ).agg(
+        F.sum(
+            (F.col("a._nc").cast(d0) * F.col("b._nc").cast(d0))
+        ).alias("_epairs")
+    )
+    j = tot.crossJoin(F.broadcast(e))
+    n = F.col("_n").cast("double")
+    d_o = F.col("_dis").cast("double") / n
+    d_e = F.col("_epairs").cast("double") / (n * (n - F.lit(1.0)))
+    alpha = F.when(d_e > 0, F.lit(1.0) - d_o / d_e)
+    return j.select(
+        (F.col("_n") / F.lit(2)).cast("long").alias("n_units"),
+        F.round(d_o, 9).alias("d_o"),
+        F.round(d_e, 9).alias("d_e"),
+        F.round(alpha, 9).alias("alpha"),
+    )

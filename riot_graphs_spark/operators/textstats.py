@@ -1713,22 +1713,43 @@ def compressibility_proxy(
             for ch in letters
         ]
     )
-    total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    # STAGED projections (the dedup.py:1564 CDC-chunker lesson): the
+    # counts array and its total MUST be materialized as columns before
+    # the entropy fold references them — inlined, Catalyst re-evaluates
+    # the 26-translate array inside every fold step (~26x26 text passes
+    # per row; measured 74 s vs ~1 s at sf0.1)
+    staged = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("group"),
+            distinct_ratio.alias("_dr"),
+            counts.alias("_cnt"),
+        )
+        .select(
+            "group",
+            "_dr",
+            "_cnt",
+            F.aggregate("_cnt", F.lit(0.0), lambda a, x: a + x).alias(
+                "_tot"
+            ),
+        )
+    )
+    tot = F.col("_tot")
     ent = F.aggregate(
-        counts,
+        F.col("_cnt"),
         F.lit(0.0),
         lambda acc, c: acc
         + F.when(
-            c > 0, -(c / total) * F.log2(c / total)
+            c > 0, -(c / tot) * F.log2(c / tot)
         ).otherwise(F.lit(0.0)),
     )
     entropy = F.round(ent, 6)
-    base = df.filter(
-        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("group"),
-        distinct_ratio.alias("_dr"),
-        F.when(total > 0, entropy).otherwise(F.lit(0.0)).alias("_en"),
+    base = staged.select(
+        "group",
+        "_dr",
+        F.when(tot > 0, entropy).otherwise(F.lit(0.0)).alias("_en"),
     )
     flag = (
         (F.col("_en") < 3.5) | (F.col("_dr") < 0.4)

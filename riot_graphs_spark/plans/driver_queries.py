@@ -17940,6 +17940,340 @@ def textrank_keywords_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Round-9 post-window registrations (head the r10 driver window; see
+# plans/verified.py DEFER_TO_NEXT_WINDOW)
+# --------------------------------------------------------------------------
+@_q(
+    "wasserstein_doclen_en_rest",
+    """
+    WITH u AS (
+      SELECT n_chars::DOUBLE AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    counts AS (SELECT v, sum(a) AS na, sum(b) AS nb FROM u GROUP BY 1),
+    c AS (
+      SELECT v, na, nb,
+             sum(na) OVER (ORDER BY v) AS ca,
+             sum(nb) OVER (ORDER BY v) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+             lead(v) OVER (ORDER BY v) AS nx
+      FROM counts
+    ),
+    agg AS (
+      SELECT max(ta) AS n, max(tb) AS m,
+             sum(CAST(CASE WHEN nx IS NOT NULL
+               THEN round(abs(ca::DOUBLE / ta::DOUBLE
+                              - cb::DOUBLE / tb::DOUBLE)
+                          * (nx - v), 9)
+               ELSE 0.0 END AS DECIMAL(28,9))) AS s
+      FROM c
+    )
+    SELECT n::BIGINT AS n_a, m::BIGINT AS n_b,
+           round(CASE WHEN n > 0 AND m > 0 THEN s::DOUBLE END, 9) AS w1
+    FROM agg
+    """,
+)
+def wasserstein_doclen_en_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between en and non-en doc
+    lengths (operators.profile.wasserstein_1d) — the shift readout in
+    CHARACTER units ("mass moved W1 chars"), which KS/CvM/PSI can't
+    give.  Exact 1-D closed form over the distinct-value axis: CDF gap
+    x value step per distinct length, 9-dp decimal-carried sum."""
+    from ..operators.profile import wasserstein_1d
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return wasserstein_1d(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
+@_q(
+    "krippendorff_lang_alpha",
+    f"""
+    WITH pl AS ({ORACLES["text_lang_id"]}),
+    base AS (
+      SELECT lang AS x, predicted_lang AS y FROM pl
+      WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+    ),
+    prs AS (SELECT x, y FROM base UNION ALL SELECT y AS x, x AS y
+            FROM base),
+    o AS (SELECT x, y, count(*) AS o FROM prs GROUP BY 1, 2),
+    marg AS (SELECT x, sum(o) AS nc FROM o GROUP BY 1),
+    tot AS (
+      SELECT sum(o)::HUGEINT AS n,
+             sum(CASE WHEN x <> y THEN o ELSE 0 END)::HUGEINT AS dis
+      FROM o
+    ),
+    e AS (
+      SELECT sum(a.nc::HUGEINT * b.nc::HUGEINT) AS ep
+      FROM marg a JOIN marg b ON a.x <> b.x
+    )
+    SELECT (n / 2)::BIGINT AS n_units,
+           round(dis::DOUBLE / n::DOUBLE, 9) AS d_o,
+           round(ep::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)), 9) AS d_e,
+           round(CASE WHEN ep::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)) > 0
+                 THEN 1.0 - (dis::DOUBLE / n::DOUBLE)
+                      / (ep::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                 END, 9) AS alpha
+    FROM tot CROSS JOIN e
+    """,
+)
+def krippendorff_lang_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, two coders) between the stored
+    lang and the n-gram prediction
+    (operators.profile.krippendorff_alpha_nominal) — the agreement
+    coefficient that derives chance from the POOLED code distribution,
+    beside kappa_lang_agreement's per-coder marginals; >= 0.8 is the
+    codebook-reliability line.  Coincidence-matrix integers to the two
+    final divisions."""
+    from ..operators.profile import krippendorff_alpha_nominal
+    from ..operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return krippendorff_alpha_nominal(
+        predict_lang(docs), "lang", "predicted_lang"
+    )
+
+
+_ENTROPY_ORACLE = f"""
+    WITH pi AS ({_markov_oracle(25)}),
+    pairs2 AS (
+      SELECT f, t2, count(*) AS n FROM (
+        SELECT event_type AS f,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        FROM events WHERE event_type IS NOT NULL
+      ) WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot2 AS (SELECT f, sum(n) AS tot FROM pairs2 GROUP BY 1),
+    p2 AS (
+      SELECT pairs2.f, pairs2.t2,
+             pairs2.n::DOUBLE / rowtot2.tot::DOUBLE AS p
+      FROM pairs2 JOIN rowtot2 USING (f)
+    ),
+    terms AS (
+      SELECT CAST(round(pi.stationary_prob * p2.p * ln(p2.p), 9)
+                  AS DECIMAL(28,9)) AS h
+      FROM p2 JOIN pi ON p2.f = pi.event_type
+    ),
+    k AS (SELECT count(*) AS kk FROM pi),
+    agg AS (SELECT max(kk) AS k, sum(h) AS s FROM terms CROSS JOIN k)
+    SELECT k::BIGINT AS n_states,
+           round(-(s::DOUBLE), 9) AS entropy_nats,
+           round(-(s::DOUBLE) / 0.6931471805599453, 9) AS entropy_bits,
+           round(exp(-(s::DOUBLE)), 9) AS perplexity
+    FROM agg
+"""
+
+
+@_q("markov_entropy_rate", _ENTROPY_ORACLE)
+def markov_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain
+    (operators.funnel.markov_entropy_rate) — how predictable the next
+    event is given the current one, weighting each state's branching
+    entropy by its stationary occupancy (markov_stationary_events' 25
+    decimal-carried power steps); perplexity = the effective branching
+    factor.  k-squared transition cells only; one fact-sized pair
+    reduce."""
+    from ..operators.funnel import markov_entropy_rate
+
+    return markov_entropy_rate(_t(spark, sf_dir, "events"), iterations=25)
+
+
+@_q(
+    "event_pmi_userday",
+    """
+    WITH units AS (
+      SELECT DISTINCT user_id AS u, ts::DATE AS d, event_type AS ty
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    nu AS (SELECT count(*) AS c FROM (SELECT DISTINCT u, d FROM units)),
+    singles AS (SELECT ty, count(*) AS nx FROM units GROUP BY 1),
+    bo AS (
+      SELECT a.ty AS ta, b.ty AS tb, count(*) AS nb
+      FROM units a JOIN units b ON a.u = b.u AND a.d = b.d
+        AND a.ty < b.ty
+      GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b, nb::BIGINT AS n_both,
+           sa.nx::BIGINT AS n_a, sb.nx::BIGINT AS n_b,
+           round(ln((nb::DOUBLE / c::DOUBLE)
+                    / ((sa.nx::DOUBLE / c::DOUBLE)
+                       * (sb.nx::DOUBLE / c::DOUBLE))), 9) AS pmi,
+           round(CASE WHEN -ln(nb::DOUBLE / c::DOUBLE) <> 0
+                 THEN ln((nb::DOUBLE / c::DOUBLE)
+                         / ((sa.nx::DOUBLE / c::DOUBLE)
+                            * (sb.nx::DOUBLE / c::DOUBLE)))
+                      / (-ln(nb::DOUBLE / c::DOUBLE)) END, 9) AS npmi
+    FROM bo
+    JOIN singles sa ON bo.ta = sa.ty
+    JOIN singles sb ON bo.tb = sb.ty
+    CROSS JOIN nu
+    """,
+)
+def event_pmi_userday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / normalized PMI between event-type pairs co-present in the
+    same (user, day) unit (operators.funnel.event_pmi_pairs) — which
+    behaviors actually travel together once popularity is discounted;
+    the unit-presence companion to the sequential event_transitions.
+    Presence sets reduce fact-sized; pair fan-out is per-unit k
+    squared over tiny k."""
+    from ..operators.funnel import event_pmi_pairs
+
+    return event_pmi_pairs(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "mixture_temperature_sources",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents
+      WHERE source IS NOT NULL GROUP BY 1
+    ),
+    w AS (SELECT source, n, sum(n) OVER () AS tot FROM c),
+    p AS (SELECT source, n, n::DOUBLE / tot::DOUBLE AS p FROM w),
+    normed AS (
+      SELECT source, n, p,
+        pow(p, 1.0) / (sum(CAST(round(pow(p, 1.0), 9) AS DECIMAL(28,9)))
+                       OVER ())::DOUBLE AS w10,
+        pow(p, 0.7) / (sum(CAST(round(pow(p, 0.7), 9) AS DECIMAL(28,9)))
+                       OVER ())::DOUBLE AS w7,
+        pow(p, 0.5) / (sum(CAST(round(pow(p, 0.5), 9) AS DECIMAL(28,9)))
+                       OVER ())::DOUBLE AS w5,
+        pow(p, 0.3) / (sum(CAST(round(pow(p, 0.3), 9) AS DECIMAL(28,9)))
+                       OVER ())::DOUBLE AS w3
+      FROM p
+    )
+    SELECT source, n::BIGINT AS n, round(p, 9) AS share,
+           round(w10, 9) AS w_10, round(w10 / p, 9) AS boost_10,
+           round(w7, 9) AS w_7, round(w7 / p, 9) AS boost_7,
+           round(w5, 9) AS w_5, round(w5 / p, 9) AS boost_5,
+           round(w3, 9) AS w_3, round(w3 / p, 9) AS boost_3
+    FROM normed
+    """,
+)
+def mixture_temperature_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source (alpha = 1.0, 0.7,
+    0.5, 0.3) (operators.curation.mixture_temperature_scaling) — the
+    standard multilingual/multi-source rebalancing rule (sample with
+    probability proportional to share^alpha) with the implied up/down-
+    sampling boost per source per alpha, read off one table.  One count
+    groupBy; decimal-quantized normalizers on the source axis."""
+    from ..operators.curation import mixture_temperature_scaling
+
+    return mixture_temperature_scaling(
+        _t(spark, sf_dir, "documents"), "source"
+    )
+
+
+@_q(
+    "pairwise_welch_holm",
+    """
+    WITH g AS (
+      SELECT event_type AS gg, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS q
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.gg AS group_a, b.gg AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             a.s AS sa, a.q AS qa, b.s AS sb, b.q AS qb
+      FROM g a JOIN g b ON a.gg < b.gg
+    ),
+    calc AS (
+      SELECT *,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             sa::DOUBLE / n_a AS m1, sb::DOUBLE / n_b AS m2,
+             CASE WHEN n_a >= 2 THEN
+               (qa::DOUBLE - n_a * (sa::DOUBLE / n_a)
+                                 * (sa::DOUBLE / n_a)) / (n_a - 1)
+             END AS v1,
+             CASE WHEN n_b >= 2 THEN
+               (qb::DOUBLE - n_b * (sb::DOUBLE / n_b)
+                                 * (sb::DOUBLE / n_b)) / (n_b - 1)
+             END AS v2,
+             n_a >= 2 AND n_b >= 2 AS ok
+      FROM pairs
+    ),
+    tt AS (
+      SELECT *,
+             CASE WHEN ok AND v1 / na + v2 / nb > 0
+                  THEN (m1 - m2) / sqrt(v1 / na + v2 / nb) END AS t
+      FROM calc
+    ),
+    pv AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0)))) AS u
+      FROM tt
+    ),
+    sel AS (
+      SELECT group_a, group_b,
+             round(u * (0.254829592 + u * (-0.284496736
+               + u * (1.421413741
+               + u * (-1.453152027 + u * 1.061405429))))
+               * exp(-(abs(t) / sqrt(2.0)) * (abs(t) / sqrt(2.0))), 9)
+               AS p9
+      FROM pv
+    ),
+    hr AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p9 ASC NULLS LAST,
+                                group_a, group_b) AS i,
+             count(p9) OVER () AS m
+      FROM sel
+    ),
+    qr AS (
+      SELECT *, CASE WHEN p9 IS NOT NULL
+                     THEN (m - i + 1)::DOUBLE * p9 END AS qraw
+      FROM hr
+    ),
+    qq AS (
+      SELECT *,
+             least(max(qraw) OVER (ORDER BY p9 ASC NULLS LAST,
+                     group_a, group_b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   1.0) AS q
+      FROM qr
+    )
+    SELECT group_a, group_b, p9 AS p_approx,
+           CASE WHEN p9 IS NOT NULL THEN i END::BIGINT AS rank_p,
+           m::BIGINT AS m,
+           round(CASE WHEN p9 IS NOT NULL THEN q END, 9) AS q_holm,
+           CASE WHEN p9 IS NOT NULL THEN q <= 0.05 END
+             AS significant_holm
+    FROM qq
+    """,
+)
+def pairwise_welch_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down familywise correction over the pairwise Welch p's
+    (operators.evaluation.holm_adjust composing pairwise_welch) — the
+    uniformly-more-powerful drop-in for the Bonferroni flag, completing
+    the correction ladder beside pairwise_welch_bh_fdr's FDR.
+    Sort/prefix-max windows on the 10-pair hypotheses axis only."""
+    from ..operators.evaluation import holm_adjust, pairwise_welch
+
+    ev = _t(spark, sf_dir, "events")
+    pw = pairwise_welch(ev, "value", "event_type").select(
+        "group_a", "group_b", "p_approx"
+    )
+    return holm_adjust(pw, "p_approx", ["group_a", "group_b"])
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

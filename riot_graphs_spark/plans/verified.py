@@ -237,7 +237,19 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: Emptied for r09 alongside appending _ROUND_8: those four names now have no
 #: driver row and no defer mark, so the unverified-first rule puts them at
 #: the head of the r09 window automatically.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
+#:
+#: r09: the 50-slot window was exactly filled (4 r08 deferrals + 30 early
+#: round-9 registrations + 16 window fillers); the 6 registrations below
+#: landed after that and defer to the r10 window head (each driver-replica
+#: green at sf0.01 + sf0.001 locally this session).
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "wasserstein_doclen_en_rest",
+    "krippendorff_lang_alpha",
+    "markov_entropy_rate",
+    "event_pmi_userday",
+    "mixture_temperature_sources",
+    "pairwise_welch_holm",
+])
 
 
 def rotation_order(
