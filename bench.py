@@ -410,6 +410,7 @@ HEADLINE = [
     "event_pmi_userday",
     "mixture_temperature_sources",
     "pairwise_welch_holm",
+    "emb_power_iteration_top",
 ]
 
 

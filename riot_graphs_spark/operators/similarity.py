@@ -1799,3 +1799,133 @@ def label_cosine_contrast(
         F.round(cross, 9).alias("cross_cos"),
         F.round(within - cross, 9).alias("contrast"),
     )
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Top principal component of the embedding covariance by FIXED-
+    iteration power iteration — the "is there one dominant direction"
+    audit behind :func:`covariance_top_pairs` (which sees pairwise
+    redundancy but not a global axis) and :func:`isotropy_score` (which
+    summarizes the spectrum but names no direction): λ₁, its explained-
+    variance ratio λ₁/trace, and the 64 loadings.
+
+    The covariance matrix builds EXACTLY like ``covariance_top_pairs``
+    (×10⁶ scaled-integer moments, per-row d²/2 id-keyed pair fan-out —
+    the one corpus-scale stage), materializing d² rows.  Each of the
+    ``iterations`` steps is then a d²-row broadcast join + per-dim
+    decimal-carried sum (u = C·v, 12-dp product cuts), one L2
+    normalization off the d-row axis — the :func:`~.graph.pagerank`
+    loop-unrolling discipline, so the whole trajectory is engine-
+    identical and the SQL twin is chained CTEs.  λ₁ = ‖C·v_last‖ (v_last
+    unit), the Rayleigh estimate for a converged vector; the all-ones
+    start fixes the eigenvector SIGN deterministically.
+
+    Output: one row per dimension — ``(dim int, loading double,
+    lambda1 double, evr double)``; loadings are the final normalized
+    iterate.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    d0 = "decimal(38,0)"
+    dec12 = "decimal(38,12)"
+    comps = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        "_id",
+        "_i",
+        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("_s"),
+    )
+    a = comps.select(
+        "_id", F.col("_i").alias("_ia"), F.col("_s").alias("_sa")
+    )
+    b = comps.select(
+        "_id", F.col("_i").alias("_ib"), F.col("_s").alias("_sb")
+    )
+    pairs = a.join(b, "_id").filter(F.col("_ia") <= F.col("_ib"))
+    agg = pairs.groupBy("_ia", "_ib").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_sa").cast(d0)).alias("_sx"),
+        F.sum(F.col("_sb").cast(d0)).alias("_sy"),
+        F.sum((F.col("_sa") * F.col("_sb")).cast(d0)).alias("_sxy"),
+    )
+    nn = F.col("_n").cast(d0)
+    nd = F.col("_n").cast("double")
+    cov = (
+        (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+        / (nd * nd * F.lit(float(scale) * float(scale)))
+    )
+    upper = agg.select(
+        F.col("_ia").alias("_i"), F.col("_ib").alias("_j"),
+        cov.alias("_c"),
+    )
+    mat = upper.unionByName(
+        upper.filter(F.col("_i") != F.col("_j")).select(
+            F.col("_j").alias("_i"), F.col("_i").alias("_j"),
+            F.col("_c"),
+        )
+    ).localCheckpoint(eager=False)
+    w_all = Window.partitionBy()
+    trace_df = mat.filter(F.col("_i") == F.col("_j")).agg(
+        F.sum(F.round(F.col("_c"), 12).cast(dec12)).alias("_tr")
+    )
+    dims = mat.select(F.col("_i").alias("_d")).distinct()
+    # all-ones start, unit-normalized: 1/sqrt(d) with exact d
+    dcount = dims.agg(F.count(F.lit(1)).alias("_k"))
+    v = dims.crossJoin(F.broadcast(dcount)).select(
+        "_d",
+        (F.lit(1.0) / F.sqrt(F.col("_k").cast("double"))).alias("_v"),
+    )
+    final = None
+    for _ in range(iterations):
+        u = (
+            mat.join(F.broadcast(v), mat["_j"] == v["_d"])
+            .select(
+                F.col("_i"),
+                F.round(F.col("_c") * F.col("_v"), 12)
+                .cast(dec12)
+                .alias("_t"),
+            )
+            .groupBy("_i")
+            .agg(F.sum("_t").cast("double").alias("_u"))
+        )
+        # one d-row checkpoint per step caps lineage depth (the pagerank
+        # contraction-loop discipline)
+        final = u.select(
+            "_i",
+            "_u",
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("_u") * F.col("_u"), 12).cast(dec12)
+                ).over(w_all).cast("double")
+            ).alias("_nm"),
+        ).localCheckpoint(eager=False)
+        v = final.select(
+            F.col("_i").alias("_d"),
+            (F.col("_u") / F.col("_nm")).alias("_v"),
+        )
+    lam = final.select(F.col("_nm").alias("_lam")).limit(1)
+    return (
+        v
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace_df))
+        .select(
+            F.col("_d").cast("int").alias("dim"),
+            F.round(F.col("_v"), 9).alias("loading"),
+            F.round(F.col("_lam"), 9).alias("lambda1"),
+            F.round(
+                F.try_divide(
+                    F.col("_lam"), F.col("_tr").cast("double")
+                ),
+                9,
+            ).alias("evr"),
+        )
+    )

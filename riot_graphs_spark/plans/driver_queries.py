@@ -18274,6 +18274,135 @@ def pairwise_welch_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holm_adjust(pw, "p_approx", ["group_a", "group_b"])
 
 
+
+@_q("emb_power_iteration_top", """
+    WITH comps AS MATERIALIZED (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    agg AS MATERIALIZED (
+      SELECT a.i AS ia, b2.i AS ib, count(*)::HUGEINT AS n,
+             sum(a.s::HUGEINT) AS sx, sum(b2.s::HUGEINT) AS sy,
+             sum(a.s::HUGEINT * b2.s::HUGEINT) AS sxy
+      FROM comps a JOIN comps b2
+        ON a.vec_id = b2.vec_id AND a.i <= b2.i
+      GROUP BY 1, 2
+    ),
+    upper_m AS MATERIALIZED (
+      SELECT ia AS i, ib AS j,
+             (n * sxy - sx * sy)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * 1000000000000.0) AS c
+      FROM agg
+    ),
+    mat AS MATERIALIZED (
+      SELECT i, j, c FROM upper_m
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM upper_m WHERE i <> j
+    ),
+    tr AS MATERIALIZED (
+      SELECT sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS tr
+      FROM mat WHERE i = j
+    ),
+    dims AS (SELECT DISTINCT i AS d FROM mat),
+    kk AS (SELECT count(*) AS k FROM dims),
+    v0 AS MATERIALIZED (
+      SELECT d, 1.0 / sqrt((SELECT k FROM kk)::DOUBLE) AS v FROM dims
+    ),
+    u1 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v0.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v0 ON mat.j = v0.d GROUP BY 1
+    ),
+    n1 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u1
+    ),
+    v1 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n1) AS v FROM u1
+    ),
+    u2 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v1.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v1 ON mat.j = v1.d GROUP BY 1
+    ),
+    n2 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u2
+    ),
+    v2 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n2) AS v FROM u2
+    ),
+    u3 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v2.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v2 ON mat.j = v2.d GROUP BY 1
+    ),
+    n3 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u3
+    ),
+    v3 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n3) AS v FROM u3
+    ),
+    u4 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v3.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v3 ON mat.j = v3.d GROUP BY 1
+    ),
+    n4 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u4
+    ),
+    v4 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n4) AS v FROM u4
+    ),
+    u5 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v4.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v4 ON mat.j = v4.d GROUP BY 1
+    ),
+    n5 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u5
+    ),
+    v5 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n5) AS v FROM u5
+    )
+    SELECT d::INT AS dim, round(v, 9) AS loading,
+           round((SELECT nm FROM n5), 9) AS lambda1,
+           round(CASE WHEN (SELECT tr FROM tr)::DOUBLE <> 0
+                 THEN (SELECT nm FROM n5)
+                      / (SELECT tr FROM tr)::DOUBLE END, 9) AS evr
+    FROM v5
+    """)
+def emb_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by 5 fixed
+    power-iteration steps (operators.similarity.power_iteration_top) —
+    lambda-1, explained-variance ratio, and the 64 loadings: the "one
+    dominant axis" audit beside emb_isotropy's spectrum summary and
+    emb_covariance_pairs' pairwise view.  Covariance from exact scaled-
+    integer moments (the one corpus-scale stage); each step a d-squared-
+    row broadcast join with 12-dp decimal product cuts, unrolled as
+    chained CTEs in the oracle; the all-ones start pins the eigenvector
+    sign."""
+    from ..operators.similarity import power_iteration_top
+
+    return power_iteration_top(
+        _t(spark, sf_dir, "embeddings"), iterations=5
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

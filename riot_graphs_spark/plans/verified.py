@@ -249,6 +249,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "event_pmi_userday",
     "mixture_temperature_sources",
     "pairwise_welch_holm",
+    "emb_power_iteration_top",
 ])
 
 

@@ -792,6 +792,22 @@ QUERY_CASES = [
     # round-8: zero-shuffle assignment -> (cell, label) contingency ->
     # cells-axis combinatorics
     "emb_cells_vs_labels_ari",
+    # round-9 >=1 s additions
+    "graph_bfs_layers",
+    "emb_covariance_pairs",
+    "markov_stationary_events",
+    "graph_link_prediction",
+    "graph_assortativity",
+    "mcc_langid_en",
+    "huber_location_price",
+    "rake_keywords_top",
+    "chi2_lang_source",
+    "kendall_tau_len_tokens",
+    "emb_centroid_margin",
+    "textrank_keywords_top",
+    "jarque_bera_value",
+    "text_compressibility",
+    "markov_entropy_rate",
 ]
 
 
