@@ -808,6 +808,7 @@ QUERY_CASES = [
     "jarque_bera_value",
     "text_compressibility",
     "markov_entropy_rate",
+    "emb_power_iteration_top",
 ]
 
 
