@@ -411,6 +411,8 @@ HEADLINE = [
     "mixture_temperature_sources",
     "pairwise_welch_holm",
     "emb_power_iteration_top",
+    "ad_doclen_en_rest",
+    "dtw_clicks_purchases",
 ]
 
 

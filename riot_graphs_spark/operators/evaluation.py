@@ -3779,3 +3779,100 @@ def holm_adjust(
         F.when(F.col(p_col).isNotNull(), F.col("q_holm") <= F.lit(alpha)),
     )
     return out.select(*[c for c in out.columns if c != "_qm"])
+
+
+def ad_two_sample(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz–Stephens k-sample
+    form, k = 2, tie-adjusted midrank version) — the TAIL-weighted
+    member of the two-sample family: KS sees the single worst gap
+    (mid-distribution), CvM integrates the squared gap uniformly, AD
+    divides by B(N−B) so the same gap counts more in the tails — the
+    right alarm when tail drift (doc-length extremes, latency P99s) is
+    what breaks downstream.
+
+        A² = (N−1)/N · Σ_{i∈{a,b}} (1/n_i) Σ_j (h_j/N) ·
+             (N·M̃_ij − n_i·B̃_j)² / (B̃_j(N−B̃_j) − N·h_j/4)
+
+    over distinct pooled values j, with h_j the pooled count, B̃_j the
+    pooled MID-cumulative (H_j − h_j/2), M̃_ij sample i's mid-cumulative
+    — the Scholz–Stephens (1987) A²akN.  Under H0, A² ≈ 1; the usual
+    5% line for k = 2 is ≈ 1.96.
+
+    All cumulatives are exact integers-over-2 (doubled units carried as
+    ints); each distinct value contributes one IEEE term per sample,
+    9-dp-quantized into a decimal sum.  Same distinct-value-axis plan
+    as :func:`cvm_two_sample`.
+
+    Output: one row — ``(n_a bigint, n_b bigint, ad_stat double)``;
+    NULL when either side is empty or N < 2.
+    """
+
+    def side(d: DataFrame, tag: int) -> DataFrame:
+        return d.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("_v"),
+            F.lit(1 - tag).alias("_a"),
+            F.lit(tag).alias("_b"),
+        )
+
+    u = side(df_a, 0).unionByName(side(df_b, 1))
+    counts = u.groupBy("_v").agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    c = (
+        counts.withColumn("_h", F.col("_na") + F.col("_nb"))
+        .withColumn("_ca", F.sum("_na").over(w_cum))
+        .withColumn("_cb", F.sum("_nb").over(w_cum))
+        .withColumn("_ta", F.sum("_na").over(w_tot))
+        .withColumn("_tb", F.sum("_nb").over(w_tot))
+    )
+    # doubled units keep every mid-cumulative an exact integer
+    n2 = (F.col("_ta") + F.col("_tb")).cast("double") * F.lit(2.0)
+    bt2 = (
+        (F.col("_ca") + F.col("_cb")) * 2 - F.col("_h")
+    ).cast("double")  # 2·B̃_j
+    h2 = F.col("_h").cast("double") * F.lit(2.0)
+    nn = (F.col("_ta") + F.col("_tb")).cast("double")
+
+    def term(cum, cnt, tot):
+        m2 = (cum * 2 - cnt).cast("double")  # 2·M̃_ij
+        ni = tot.cast("double")
+        num = (nn * m2 - ni * bt2) * (nn * m2 - ni * bt2)
+        den = bt2 * (n2 - bt2) - nn * h2 / F.lit(2.0)
+        # doubled units scale num and den by the same factor 4; the
+        # (h_j/N)·(1/n_i) weights stay outside
+        return F.try_divide(
+            F.col("_h").cast("double") / nn * num / ni, den
+        )
+
+    t_a = term(F.col("_ca"), F.col("_na"), F.col("_ta"))
+    t_b = term(F.col("_cb"), F.col("_nb"), F.col("_tb"))
+    summed = c.select(
+        "_ta",
+        "_tb",
+        F.round(
+            F.coalesce(t_a, F.lit(0.0)) + F.coalesce(t_b, F.lit(0.0)), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("_t"),
+    )
+    agg = summed.groupBy().agg(
+        F.max("_ta").alias("_n"),
+        F.max("_tb").alias("_m"),
+        F.sum("_t").alias("_s"),
+    )
+    nd = (F.col("_n") + F.col("_m")).cast("double")
+    ad = F.when(
+        (F.col("_n") > 0) & (F.col("_m") > 0) & (nd >= 2),
+        (nd - F.lit(1.0)) / nd * F.col("_s").cast("double"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_a"),
+        F.col("_m").cast("long").alias("n_b"),
+        F.round(ad, 9).alias("ad_stat"),
+    )

@@ -3562,3 +3562,121 @@ def granger_1lag(
         F.round(rss_u, 9).alias("rss_u"),
         F.round(f, 9).alias("f_stat"),
     )
+
+
+def dtw_daily(
+    df: DataFrame,
+    ts: str = "ts",
+    type_col: str = "event_type",
+    type_a: str = "click",
+    type_b: str = "purchase",
+    band: int = 7,
+    unit: str = "day",
+) -> DataFrame:
+    """Dynamic-time-warping distance between two daily count series
+    with a Sakoe–Chiba band — "do these two behaviors follow the same
+    SHAPE, allowing for lag/stretch", which lag-k cross-correlation
+    (one global shift) and rolling correlation (no warping at all)
+    structurally can't ask.
+
+        D(i,j) = |x_i − y_j| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)),
+        |i − j| ≤ band
+
+    The DP is inherently sequential, so it runs as ONE Arrow-batched
+    ``applyInPandas`` over the BUCKET-AXIS table (days × 2 ints — the
+    same bounded per-series shape as the DCT/FFT multimodal kernels;
+    the corpus-scale stage is the conditional-count groupBy that feeds
+    it).  Integer counts make every cell value an exact integer, so the
+    result is engine-identical and the SQL twin unrolls the DP by
+    ANTI-DIAGONALS (each diagonal depends only on the previous two) —
+    2n−1 chained CTEs over ≤ band-width cells each.
+
+    Output: one row — ``(n_days bigint, band bigint, dtw double,
+    dtw_per_step double)`` with dtw_per_step = D/(2n−1) (the max-length
+    warp path normalizer); NULL dtw for an empty day axis.
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    daily = (
+        df.filter(
+            F.col(ts).isNotNull() & F.col(type_col).isin(type_a, type_b)
+        )
+        .groupBy(F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == type_a, 1).otherwise(0)
+            ).alias("_x"),
+            F.sum(
+                F.when(F.col(type_col) == type_b, 1).otherwise(0)
+            ).alias("_y"),
+        )
+    )
+    w = band
+
+    def dp(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_b", ignore_index=True)
+        x = pdf["_x"].to_numpy(dtype=np.int64)
+        y = pdf["_y"].to_numpy(dtype=np.int64)
+        n = len(x)
+        if n == 0:
+            return pd.DataFrame(
+                {"n_days": [0], "band": [w], "dtw": [None],
+                 "dtw_per_step": [None]}
+            )
+        big = np.int64(10**15)
+        prev2 = None  # diagonal s-2: dict (i,j)->d
+        prev1 = None
+        for s in range(2, 2 * n + 1):
+            cur = {}
+            lo = max(1, s - n)
+            hi = min(n, s - 1)
+            for i in range(lo, hi + 1):
+                j = s - i
+                if abs(i - j) > w:
+                    continue
+                cost = abs(int(x[i - 1]) - int(y[j - 1]))
+                if i == 1 and j == 1:
+                    cur[(i, j)] = cost
+                    continue
+                best = big
+                if prev1 is not None:
+                    best = min(
+                        best,
+                        prev1.get((i - 1, j), big),
+                        prev1.get((i, j - 1), big),
+                    )
+                if prev2 is not None:
+                    best = min(best, prev2.get((i - 1, j - 1), big))
+                if best < big:
+                    cur[(i, j)] = cost + best
+            prev2, prev1 = prev1, cur
+        d = prev1.get((n, n))
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "band": [w],
+                "dtw": [float(d) if d is not None else None],
+                "dtw_per_step": [
+                    float(d) / (2 * n - 1) if d is not None else None
+                ],
+            }
+        )
+
+    out = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            dp,
+            schema="n_days long, band long, dtw double, "
+            "dtw_per_step double",
+        )
+    )
+    return out.select(
+        "n_days",
+        "band",
+        F.round("dtw", 9).alias("dtw"),
+        F.round("dtw_per_step", 9).alias("dtw_per_step"),
+    )

@@ -18403,6 +18403,1288 @@ def emb_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "ad_doclen_en_rest",
+    """
+    WITH u AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    counts AS (SELECT v, sum(a) AS na, sum(b) AS nb FROM u GROUP BY 1),
+    c AS (
+      SELECT v, na, nb, na + nb AS h,
+             sum(na) OVER (ORDER BY v) AS ca,
+             sum(nb) OVER (ORDER BY v) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM counts
+    ),
+    terms AS (
+      SELECT ta, tb,
+        CAST(round(
+          coalesce(
+            CASE WHEN (((ca + cb) * 2 - h)::DOUBLE
+                       * ((ta + tb)::DOUBLE * 2.0
+                          - ((ca + cb) * 2 - h)::DOUBLE)
+                       - (ta + tb)::DOUBLE * (h::DOUBLE * 2.0) / 2.0) <> 0
+            THEN h::DOUBLE / (ta + tb)::DOUBLE
+                 * (((ta + tb)::DOUBLE * (ca * 2 - na)::DOUBLE
+                     - ta::DOUBLE * ((ca + cb) * 2 - h)::DOUBLE)
+                    * ((ta + tb)::DOUBLE * (ca * 2 - na)::DOUBLE
+                       - ta::DOUBLE * ((ca + cb) * 2 - h)::DOUBLE))
+                 / ta::DOUBLE
+                 / (((ca + cb) * 2 - h)::DOUBLE
+                    * ((ta + tb)::DOUBLE * 2.0
+                       - ((ca + cb) * 2 - h)::DOUBLE)
+                    - (ta + tb)::DOUBLE * (h::DOUBLE * 2.0) / 2.0)
+            END, 0.0)
+          + coalesce(
+            CASE WHEN (((ca + cb) * 2 - h)::DOUBLE
+                       * ((ta + tb)::DOUBLE * 2.0
+                          - ((ca + cb) * 2 - h)::DOUBLE)
+                       - (ta + tb)::DOUBLE * (h::DOUBLE * 2.0) / 2.0) <> 0
+            THEN h::DOUBLE / (ta + tb)::DOUBLE
+                 * (((ta + tb)::DOUBLE * (cb * 2 - nb)::DOUBLE
+                     - tb::DOUBLE * ((ca + cb) * 2 - h)::DOUBLE)
+                    * ((ta + tb)::DOUBLE * (cb * 2 - nb)::DOUBLE
+                       - tb::DOUBLE * ((ca + cb) * 2 - h)::DOUBLE))
+                 / tb::DOUBLE
+                 / (((ca + cb) * 2 - h)::DOUBLE
+                    * ((ta + tb)::DOUBLE * 2.0
+                       - ((ca + cb) * 2 - h)::DOUBLE)
+                    - (ta + tb)::DOUBLE * (h::DOUBLE * 2.0) / 2.0)
+            END, 0.0), 9) AS DECIMAL(28,9)) AS t
+      FROM c
+    ),
+    agg AS (
+      SELECT max(ta) AS n, max(tb) AS m, sum(t) AS s FROM terms
+    )
+    SELECT n::BIGINT AS n_a, m::BIGINT AS n_b,
+           round(CASE WHEN n > 0 AND m > 0 AND (n + m)::DOUBLE >= 2
+                 THEN ((n + m)::DOUBLE - 1.0) / (n + m)::DOUBLE
+                      * s::DOUBLE END, 9) AS ad_stat
+    FROM agg
+    """,
+)
+def ad_doclen_en_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling (Scholz-Stephens tie-adjusted
+    midrank A2akN) between en and non-en doc lengths
+    (operators.evaluation.ad_two_sample) — the TAIL-weighted member of
+    the two-sample family beside KS (worst gap) and CvM (uniform
+    integral): B(N-B) in the denominator makes the same CDF gap count
+    more in the tails.  Doubled-unit exact integer mid-cumulatives over
+    the distinct-length axis; verified against the Scholz-Stephens
+    reference value on a hand case."""
+    from ..operators.evaluation import ad_two_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return ad_two_sample(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
+@_q("dtw_clicks_purchases", """
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', ts) AS b,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    xs AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY b) AS i, x FROM daily
+    ),
+    ys AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY b) AS j, y FROM daily
+    ),
+    d2 AS MATERIALIZED (
+      SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS d
+      FROM xs JOIN ys ON xs.i = 1 AND ys.j = 1
+    ),
+    d3 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 3
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d2 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d2 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000)) < 1000000000000000
+    ),
+    d4 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 4
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d3 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d3 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d2 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d5 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 5
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d4 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d4 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d3 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d6 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 6
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d5 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d5 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d4 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d7 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 7
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d6 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d6 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d5 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d8 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 8
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d7 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d7 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d6 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d9 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 9
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d8 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d8 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d7 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d10 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 10
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d9 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d9 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d8 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d11 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 11
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d10 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d10 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d9 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d12 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 12
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d11 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d11 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d10 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d13 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 13
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d12 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d12 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d11 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d14 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 14
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d13 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d13 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d12 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d15 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 15
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d14 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d14 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d13 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d16 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 16
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d15 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d15 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d14 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d17 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 17
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d16 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d16 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d15 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d18 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 18
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d17 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d17 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d16 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d19 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 19
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d18 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d18 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d17 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d20 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 20
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d19 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d19 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d18 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d21 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 21
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d20 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d20 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d19 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d22 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 22
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d21 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d21 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d20 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d23 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 23
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d22 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d22 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d21 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d24 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 24
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d23 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d23 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d22 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d25 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 25
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d24 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d24 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d23 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d26 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 26
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d25 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d25 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d24 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d27 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 27
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d26 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d26 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d25 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d28 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 28
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d27 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d27 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d26 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d29 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 29
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d28 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d28 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d27 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d30 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 30
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d29 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d29 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d28 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d31 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 31
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d30 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d30 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d29 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d32 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 32
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d31 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d31 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d30 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d33 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 33
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d32 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d32 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d31 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d34 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 34
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d33 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d33 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d32 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d35 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 35
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d34 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d34 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d33 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d36 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 36
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d35 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d35 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d34 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d37 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 37
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d36 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d36 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d35 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d38 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 38
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d37 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d37 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d36 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d39 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 39
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d38 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d38 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d37 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d40 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 40
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d39 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d39 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d38 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d41 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 41
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d40 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d40 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d39 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d42 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 42
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d41 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d41 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d40 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d43 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 43
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d42 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d42 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d41 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d44 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 44
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d43 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d43 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d42 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d45 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 45
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d44 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d44 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d43 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d46 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 46
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d45 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d45 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d44 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d47 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 47
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d46 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d46 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d45 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d48 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 48
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d47 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d47 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d46 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d49 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 49
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d48 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d48 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d47 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d50 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 50
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d49 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d49 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d48 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d51 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 51
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d50 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d50 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d49 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d52 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 52
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d51 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d51 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d50 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d53 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 53
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d52 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d52 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d51 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d54 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 54
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d53 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d53 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d52 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d55 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 55
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d54 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d54 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d53 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d56 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 56
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d55 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d55 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d54 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d57 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 57
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d56 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d56 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d55 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d58 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 58
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d57 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d57 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d56 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d59 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 59
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d58 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d58 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d57 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d60 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 60
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d59 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d59 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d58 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d61 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 61
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d60 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d60 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d59 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d62 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 62
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d61 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d61 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d60 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d63 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 63
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d62 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d62 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d61 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d64 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 64
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d63 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d63 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d62 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d65 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 65
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d64 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d64 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d63 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d66 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 66
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d65 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d65 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d64 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d67 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 67
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d66 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d66 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d65 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d68 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 68
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d67 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d67 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d66 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d69 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 69
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d68 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d68 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d67 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    d70 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cost + least(
+                coalesce(p1.d, 1000000000000000),
+                coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) AS d
+      FROM (SELECT xs.i, ys.j, abs(xs.x - ys.y)::BIGINT AS cost
+            FROM xs JOIN ys ON xs.i + ys.j = 70
+              AND abs(xs.i - ys.j) <= 7) c
+      LEFT JOIN d69 p1 ON p1.i = c.i - 1 AND p1.j = c.j
+      LEFT JOIN d69 p2 ON p2.i = c.i AND p2.j = c.j - 1
+      LEFT JOIN d68 p3 ON p3.i = c.i - 1 AND p3.j = c.j - 1
+      WHERE least(coalesce(p1.d, 1000000000000000),
+                  coalesce(p2.d, 1000000000000000),
+                coalesce(p3.d, 1000000000000000)) < 1000000000000000
+    ),
+    all_d AS (SELECT * FROM d2
+      UNION ALL SELECT * FROM d3
+      UNION ALL SELECT * FROM d4
+      UNION ALL SELECT * FROM d5
+      UNION ALL SELECT * FROM d6
+      UNION ALL SELECT * FROM d7
+      UNION ALL SELECT * FROM d8
+      UNION ALL SELECT * FROM d9
+      UNION ALL SELECT * FROM d10
+      UNION ALL SELECT * FROM d11
+      UNION ALL SELECT * FROM d12
+      UNION ALL SELECT * FROM d13
+      UNION ALL SELECT * FROM d14
+      UNION ALL SELECT * FROM d15
+      UNION ALL SELECT * FROM d16
+      UNION ALL SELECT * FROM d17
+      UNION ALL SELECT * FROM d18
+      UNION ALL SELECT * FROM d19
+      UNION ALL SELECT * FROM d20
+      UNION ALL SELECT * FROM d21
+      UNION ALL SELECT * FROM d22
+      UNION ALL SELECT * FROM d23
+      UNION ALL SELECT * FROM d24
+      UNION ALL SELECT * FROM d25
+      UNION ALL SELECT * FROM d26
+      UNION ALL SELECT * FROM d27
+      UNION ALL SELECT * FROM d28
+      UNION ALL SELECT * FROM d29
+      UNION ALL SELECT * FROM d30
+      UNION ALL SELECT * FROM d31
+      UNION ALL SELECT * FROM d32
+      UNION ALL SELECT * FROM d33
+      UNION ALL SELECT * FROM d34
+      UNION ALL SELECT * FROM d35
+      UNION ALL SELECT * FROM d36
+      UNION ALL SELECT * FROM d37
+      UNION ALL SELECT * FROM d38
+      UNION ALL SELECT * FROM d39
+      UNION ALL SELECT * FROM d40
+      UNION ALL SELECT * FROM d41
+      UNION ALL SELECT * FROM d42
+      UNION ALL SELECT * FROM d43
+      UNION ALL SELECT * FROM d44
+      UNION ALL SELECT * FROM d45
+      UNION ALL SELECT * FROM d46
+      UNION ALL SELECT * FROM d47
+      UNION ALL SELECT * FROM d48
+      UNION ALL SELECT * FROM d49
+      UNION ALL SELECT * FROM d50
+      UNION ALL SELECT * FROM d51
+      UNION ALL SELECT * FROM d52
+      UNION ALL SELECT * FROM d53
+      UNION ALL SELECT * FROM d54
+      UNION ALL SELECT * FROM d55
+      UNION ALL SELECT * FROM d56
+      UNION ALL SELECT * FROM d57
+      UNION ALL SELECT * FROM d58
+      UNION ALL SELECT * FROM d59
+      UNION ALL SELECT * FROM d60
+      UNION ALL SELECT * FROM d61
+      UNION ALL SELECT * FROM d62
+      UNION ALL SELECT * FROM d63
+      UNION ALL SELECT * FROM d64
+      UNION ALL SELECT * FROM d65
+      UNION ALL SELECT * FROM d66
+      UNION ALL SELECT * FROM d67
+      UNION ALL SELECT * FROM d68
+      UNION ALL SELECT * FROM d69
+      UNION ALL SELECT * FROM d70),
+    nn AS (SELECT max(i) AS n FROM xs)
+    SELECT nn.n::BIGINT AS n_days, CAST(7 AS BIGINT) AS band,
+           round(all_d.d::DOUBLE, 9) AS dtw,
+           round(all_d.d::DOUBLE / (2 * nn.n - 1)::DOUBLE, 9)
+             AS dtw_per_step
+    FROM all_d JOIN nn ON all_d.i = nn.n AND all_d.j = nn.n
+    """)
+def dtw_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sakoe-Chiba-banded dynamic-time-warping distance between the
+    daily click and purchase count series
+    (operators.timeseries.dtw_daily) — do the two behaviors follow the
+    same SHAPE allowing lag/stretch, the question one global shift
+    (cross-correlation) can't ask.  The inherently-sequential DP runs
+    as ONE Arrow-batched applyInPandas over the bounded day axis (the
+    DCT/FFT kernel class); integer costs make every cell exact, and
+    the oracle unrolls the DP by anti-diagonals — 2n-1 chained CTEs,
+    each depending on the previous two."""
+    from ..operators.timeseries import dtw_daily
+
+    return dtw_daily(_t(spark, sf_dir, "events"), band=7)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -250,6 +250,8 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "mixture_temperature_sources",
     "pairwise_welch_holm",
     "emb_power_iteration_top",
+    "ad_doclen_en_rest",
+    "dtw_clicks_purchases",
 ])
 
 

@@ -1573,3 +1573,21 @@ def test_vif_three_collinear_and_validation(spark):
         assert r["vif"] is None or r["vif"] > 1e6
     with pytest.raises(ValueError):
         vif_three(df, ["x0", "x1"])
+
+
+def test_ad_two_sample_scholz_stephens_reference(spark):
+    from riot_graphs_spark.operators.evaluation import ad_two_sample
+
+    # Scholz–Stephens midrank A2akN on a hand case; reference value
+    # computed from the published formula (pure-python, exact loop)
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8]],
+                              "v int")
+    b = spark.createDataFrame(
+        [(v,) for v in [5, 6, 7, 8, 9, 10, 11, 12]], "v int"
+    )
+    out = ad_two_sample(a, b, "v").collect()[0]
+    assert out["n_a"] == 8 and out["n_b"] == 8
+    assert out["ad_stat"] == pytest.approx(3.7019186436, abs=1e-8)
+    # identical samples -> near the H0 expectation, far below shifted
+    same = ad_two_sample(a, a, "v").collect()[0]["ad_stat"]
+    assert same < out["ad_stat"]

@@ -2222,3 +2222,33 @@ def test_textrank_excludes_stopwords_and_ranks_hub(spark):
     assert {"spark", "query", "engine", "plan"} <= set(toks)
     # scores sum to ~1 over the 4-node graph
     assert sum(r["pr"] for r in out) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dtw_zero_on_identical_and_warps_lag(spark):
+    from riot_graphs_spark.operators.timeseries import dtw_daily
+
+    # x series == y series day by day -> dtw 0
+    rows = []
+    for i in range(10):
+        rows += [(f"2024-01-{i+1:02d} 01:00:00", "click")] * (i % 3 + 1)
+        rows += [(f"2024-01-{i+1:02d} 02:00:00", "purchase")] * (i % 3 + 1)
+    df = spark.createDataFrame(rows, "ts string, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dtw_daily(df, band=7).collect()[0]
+    assert out["n_days"] == 10
+    assert out["dtw"] == pytest.approx(0.0)
+    # y = x shifted by one day: DTW warps it back to near-zero cost,
+    # while the same-day absolute difference would be large
+    rows2 = []
+    xs = [1, 5, 1, 5, 1, 5, 1, 5, 1, 5]
+    for i in range(10):
+        rows2 += [(f"2024-01-{i+1:02d} 01:00:00", "click")] * xs[i]
+        shifted = xs[i - 1] if i >= 1 else xs[0]
+        rows2 += [(f"2024-01-{i+1:02d} 02:00:00", "purchase")] * shifted
+    df2 = spark.createDataFrame(rows2, "ts string, event_type string")
+    df2 = df2.withColumn("ts", F.col("ts").cast("timestamp"))
+    warped = dtw_daily(df2, band=7).collect()[0]["dtw"]
+    same_day_l1 = sum(
+        abs(xs[i] - (xs[i - 1] if i >= 1 else xs[0])) for i in range(10)
+    )
+    assert warped < same_day_l1
