@@ -413,6 +413,9 @@ HEADLINE = [
     "emb_power_iteration_top",
     "ad_doclen_en_rest",
     "dtw_clicks_purchases",
+    "ab_srm_check",
+    "ab_cuped_value",
+    "revenue_lorenz_deciles",
 ]
 
 

@@ -2469,3 +2469,67 @@ def krippendorff_alpha_nominal(
         F.round(d_e, 9).alias("d_e"),
         F.round(alpha, 9).alias("alpha"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lorenz-curve decile table for a value concentrated over keys —
+    the curve behind :func:`concentration_gini`'s single number: per
+    key-decile (keys ranked by their value total), the share and
+    CUMULATIVE share of the total, so "the top decile of customers
+    carries 61% of revenue" reads off row 10.
+
+    Per-key totals reduce as exact decimal sums (one fact scan);
+    deciles are ``ntile`` over (total, key) — key-tiebroken, so equal
+    totals split deterministically; shares are decimal-over-decimal
+    divisions at the end.  The rank window runs on the KEY axis
+    (customers, sources) — entity-sized, not fact-sized.
+
+    Output: one row per decile — ``(decile bigint, n_keys bigint,
+    value double, share double, cum_share double)``.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    dec = "decimal(28,6)"
+    per_key = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.sum(F.col(value_col).cast(dec)).alias("_v"))
+    )
+    binned = per_key.select(
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.col("_v"), F.col("_k")))
+        .alias("_bin"),
+        "_v",
+    )
+    bins = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
+    )
+    w_cum = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = bins.select(
+        "_bin",
+        "_n",
+        "_s",
+        F.sum("_s").over(w_cum).alias("_cs"),
+        F.sum("_s").over(w_all).alias("_tot"),
+    )
+    return c.select(
+        F.col("_bin").cast("long").alias("decile"),
+        F.col("_n").cast("long").alias("n_keys"),
+        F.round(F.col("_s").cast("double"), 9).alias("value"),
+        F.round(
+            F.col("_s").cast("double") / F.col("_tot").cast("double"), 9
+        ).alias("share"),
+        F.round(
+            F.col("_cs").cast("double") / F.col("_tot").cast("double"), 9
+        ).alias("cum_share"),
+    )

@@ -19685,6 +19685,192 @@ def dtw_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_daily(_t(spark, sf_dir, "events"), band=7)
 
 
+
+@_q(
+    "ab_srm_check",
+    """
+    WITH arms AS (
+      SELECT sum(CASE WHEN (user_id % 2)::VARCHAR = '0' THEN 1 ELSE 0
+                 END) AS na,
+             sum(CASE WHEN (user_id % 2)::VARCHAR = '0' THEN 0 ELSE 1
+                 END) AS nb
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL)
+    ),
+    chi AS (
+      SELECT na, nb,
+             CASE WHEN (na + nb)::DOUBLE > 0 THEN
+               (na::DOUBLE - (na + nb)::DOUBLE * 0.5)
+               * (na::DOUBLE - (na + nb)::DOUBLE * 0.5)
+               / ((na + nb)::DOUBLE * 0.5)
+               + (nb::DOUBLE - (na + nb)::DOUBLE * 0.5)
+               * (nb::DOUBLE - (na + nb)::DOUBLE * 0.5)
+               / ((na + nb)::DOUBLE * 0.5) END AS chi2
+      FROM arms
+    ),
+    pv AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(sqrt(chi2)) / sqrt(2.0))))
+               AS u
+      FROM chi
+    ),
+    pp AS (
+      SELECT na, nb, chi2,
+             u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+               + u * (-1.453152027 + u * 1.061405429))))
+               * exp(-(abs(sqrt(chi2)) / sqrt(2.0))
+                     * (abs(sqrt(chi2)) / sqrt(2.0))) AS p
+      FROM pv
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           (na + nb)::BIGINT AS n, round(chi2, 9) AS chi2,
+           round(p, 9) AS p_approx,
+           CASE WHEN chi2 IS NOT NULL THEN p < 0.001 END AS srm
+    FROM pp
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail on the user-parity experiment
+    arms (operators.evaluation.srm_check) — the check every A/B readout
+    must pass first: a split that deviates from the designed 50/50 more
+    than chance allows voids every downstream comparison.  1-df
+    chi-square GOF with the module's shared Phi polynomial; the 0.001
+    alarm line is the always-on-guardrail standard."""
+    from ..operators.evaluation import srm_check
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select((F.col("user_id") % 2).alias("arm"))
+    )
+    return srm_check(users, "arm")
+
+
+@_q(
+    "ab_cuped_value",
+    """
+    WITH per_user AS (
+      SELECT user_id AS u, (user_id % 2)::VARCHAR AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(value AS DECIMAL(28,6))
+                      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+               AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(value AS DECIMAL(28,6))
+                      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+               AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx,
+             sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS sy,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+             sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy
+      FROM per_user
+    ),
+    st AS (
+      SELECT (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+             / nullif(sxx::DOUBLE
+                      - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                        * (sx::DOUBLE / n::DOUBLE), 0) AS theta,
+             sx::DOUBLE / n::DOUBLE AS xbar
+      FROM mom
+    ),
+    adj AS (
+      SELECT arm, y, y - theta * (x - xbar) AS yadj, theta
+      FROM per_user CROSS JOIN st
+    ),
+    per_arm AS (
+      SELECT arm, count(*) AS nu, max(theta) AS theta,
+             sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS sy,
+             sum(CAST(round(yadj, 9) AS DECIMAL(28,9))) AS sa,
+             sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS syy,
+             sum(CAST(round(yadj * yadj, 9) AS DECIMAL(28,9))) AS saa
+      FROM adj GROUP BY 1
+    )
+    SELECT arm, nu::BIGINT AS n_users, round(theta, 9) AS theta,
+           round(sy::DOUBLE / nu::DOUBLE, 9) AS mean_y,
+           round(sa::DOUBLE / nu::DOUBLE, 9) AS mean_y_adj,
+           round(CASE WHEN nu >= 2 THEN
+             (syy::DOUBLE - nu::DOUBLE * (sy::DOUBLE / nu::DOUBLE)
+                * (sy::DOUBLE / nu::DOUBLE)) / (nu::DOUBLE - 1.0)
+             END, 6) AS var_y,
+           round(CASE WHEN nu >= 2 THEN
+             (saa::DOUBLE - nu::DOUBLE * (sa::DOUBLE / nu::DOUBLE)
+                * (sa::DOUBLE / nu::DOUBLE)) / (nu::DOUBLE - 1.0)
+             END, 6) AS var_y_adj,
+           round(1.0 - (CASE WHEN nu >= 2 THEN
+             (saa::DOUBLE - nu::DOUBLE * (sa::DOUBLE / nu::DOUBLE)
+                * (sa::DOUBLE / nu::DOUBLE)) / (nu::DOUBLE - 1.0) END)
+             / nullif(CASE WHEN nu >= 2 THEN
+             (syy::DOUBLE - nu::DOUBLE * (sy::DOUBLE / nu::DOUBLE)
+                * (sy::DOUBLE / nu::DOUBLE)) / (nu::DOUBLE - 1.0)
+             END, 0), 9) AS var_reduction
+    FROM per_arm
+    """,
+)
+def ab_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction on the user-parity experiment: per-user
+    pre-period value (days 1-15) regressed out of the experiment-period
+    value (days 16-30) (operators.evaluation.cuped_adjustment) — the
+    industry-standard 1/(1-rho-squared) sensitivity multiplier, with
+    the per-arm variance-reduction readout.  Exact decimal per-user
+    sums; pooled theta broadcast back; user-axis moments only."""
+    from ..operators.evaluation import cuped_adjustment
+
+    return cuped_adjustment(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+
+
+@_q(
+    "revenue_lorenz_deciles",
+    """
+    WITH per_key AS (
+      SELECT o_custkey AS k,
+             sum(CAST(o_totalprice AS DECIMAL(28,6))) AS v
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    binned AS (
+      SELECT ntile(10) OVER (ORDER BY v, k) AS bin, v FROM per_key
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, sum(v) AS s FROM binned GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n, s,
+             sum(s) OVER (ORDER BY bin) AS cs,
+             sum(s) OVER () AS tot
+      FROM bins
+    )
+    SELECT bin::BIGINT AS decile, n::BIGINT AS n_keys,
+           round(s::DOUBLE, 9) AS value,
+           round(s::DOUBLE / tot::DOUBLE, 9) AS share,
+           round(cs::DOUBLE / tot::DOUBLE, 9) AS cum_share
+    FROM c
+    """,
+)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table of revenue over customers
+    (operators.profile.lorenz_deciles) — the concentration CURVE behind
+    source_gini's single number: "the top customer decile carries X% of
+    revenue" reads off row 10.  Exact decimal per-key totals; the rank
+    window runs on the customer axis, key-tiebroken ntile."""
+    from ..operators.profile import lorenz_deciles
+
+    return lorenz_deciles(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

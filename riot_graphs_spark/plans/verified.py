@@ -252,6 +252,9 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "emb_power_iteration_top",
     "ad_doclen_en_rest",
     "dtw_clicks_purchases",
+    "ab_srm_check",
+    "ab_cuped_value",
+    "revenue_lorenz_deciles",
 ])
 
 
