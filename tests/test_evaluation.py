@@ -1591,3 +1591,60 @@ def test_ad_two_sample_scholz_stephens_reference(spark):
     # identical samples -> near the H0 expectation, far below shifted
     same = ad_two_sample(a, a, "v").collect()[0]["ad_stat"]
     assert same < out["ad_stat"]
+
+
+def test_holm_uniformly_beats_bonferroni_and_matches_hand(spark):
+    from riot_graphs_spark.operators.evaluation import holm_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", None)],
+        "hyp string, p double",
+    )
+    got = {r["hyp"]: r for r in holm_adjust(df, "p", ["hyp"]).collect()}
+    # m=3; sorted p: .01, .03, .04 -> q: .03, max(.03,.06)=.06, .06
+    assert got["a"]["q_holm"] == pytest.approx(0.03)
+    assert got["c"]["q_holm"] == pytest.approx(0.06)
+    assert got["b"]["q_holm"] == pytest.approx(0.06)
+    assert got["a"]["significant_holm"] is True
+    assert got["d"]["q_holm"] is None and got["d"]["rank_p"] is None
+    # holm q <= bonferroni m*p everywhere
+    for h, p in (("a", 0.01), ("b", 0.04), ("c", 0.03)):
+        assert got[h]["q_holm"] <= min(1.0, 3 * p) + 1e-12
+
+
+def test_srm_check_detects_broken_split(spark):
+    from riot_graphs_spark.operators.evaluation import srm_check
+
+    ok = spark.createDataFrame(
+        [(i % 2,) for i in range(1000)], "arm int"
+    )
+    out = srm_check(ok, "arm").collect()[0]
+    assert out["n_a"] == 500 and out["chi2"] == pytest.approx(0.0)
+    assert out["srm"] is False
+    broken = spark.createDataFrame(
+        [(0,)] * 700 + [(1,)] * 300, "arm int"
+    )
+    bad = srm_check(broken, "arm").collect()[0]
+    # chi2 = (200^2/500)*2 = 160
+    assert bad["chi2"] == pytest.approx(160.0)
+    assert bad["srm"] is True
+    with pytest.raises(ValueError):
+        srm_check(ok, "arm", ratio_a=1.5)
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    from riot_graphs_spark.operators.evaluation import cuped_adjustment
+
+    # Y strongly tracks X per user -> large var_reduction in each arm
+    rows = []
+    for u in range(40):
+        base = float(10 + (u * 13) % 17)
+        rows.append((u, "2024-01-05 00:00:00", base))          # pre
+        rows.append((u, "2024-01-20 00:00:00", base + u % 2))  # post
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cuped_adjustment(df, "user_id", "ts", "value").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["theta"] == pytest.approx(1.0, abs=1e-6)
+        assert r["var_reduction"] == pytest.approx(1.0, abs=1e-6)

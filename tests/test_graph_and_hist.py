@@ -2252,3 +2252,131 @@ def test_dtw_zero_on_identical_and_warps_lag(spark):
         abs(xs[i] - (xs[i - 1] if i >= 1 else xs[0])) for i in range(10)
     )
     assert warped < same_day_l1
+
+
+def test_wasserstein_exact_shift(spark):
+    from riot_graphs_spark.operators.profile import wasserstein_1d
+
+    # b = a + 5 exactly: W1 = 5
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v int")
+    b = spark.createDataFrame([(v + 5,) for v in [1, 2, 3, 4]], "v int")
+    out = wasserstein_1d(a, b, "v").collect()[0]
+    assert out["w1"] == pytest.approx(5.0)
+    assert wasserstein_1d(a, a, "v").collect()[0]["w1"] == pytest.approx(0.0)
+
+
+def test_krippendorff_alpha_agreement_bounds(spark):
+    from riot_graphs_spark.operators.profile import (
+        krippendorff_alpha_nominal,
+    )
+
+    # perfect agreement -> alpha 1
+    rows = [("x", "x")] * 5 + [("y", "y")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert krippendorff_alpha_nominal(df, "a", "b").collect()[0][
+        "alpha"
+    ] == pytest.approx(1.0)
+    # systematic disagreement -> alpha < 0
+    rows2 = [("x", "y")] * 5 + [("y", "x")] * 5
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    assert (
+        krippendorff_alpha_nominal(df2, "a", "b").collect()[0]["alpha"] < 0
+    )
+
+
+def test_markov_entropy_rate_deterministic_chain(spark):
+    from riot_graphs_spark.operators.funnel import markov_entropy_rate
+
+    # strict a->b->a->b alternation per user: zero branching entropy
+    rows = []
+    for u in range(5):
+        for i in range(10):
+            rows.append(
+                (u, i, f"2024-01-01 {i:02d}:00:00",
+                 "a" if i % 2 == 0 else "b")
+            )
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = markov_entropy_rate(df).collect()[0]
+    assert out["entropy_nats"] == pytest.approx(0.0)
+    assert out["perplexity"] == pytest.approx(1.0)
+
+
+def test_event_pmi_positive_for_co_travelling_types(spark):
+    from riot_graphs_spark.operators.funnel import event_pmi_pairs
+
+    rows = []
+    # users 0-4: always click+purchase same day; users 5-9: view only
+    for u in range(5):
+        rows.append((u, f"2024-01-0{u+1} 01:00:00", "click"))
+        rows.append((u, f"2024-01-0{u+1} 02:00:00", "purchase"))
+    for u in range(5, 10):
+        rows.append((u, f"2024-01-0{u-4} 01:00:00", "view"))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in event_pmi_pairs(df).collect()
+    }
+    cp = out[("click", "purchase")]
+    # 10 (user, day) units; P(click,purchase)=5/10, P(click)=
+    # P(purchase)=5/10 -> PMI = ln 2
+    assert cp["pmi"] == pytest.approx(0.6931471805599453, abs=1e-8)
+    assert cp["npmi"] == pytest.approx(1.0, abs=1e-8)
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    from riot_graphs_spark.operators.curation import (
+        mixture_temperature_scaling,
+    )
+
+    rows = [("big",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    got = {
+        r["src"]: r
+        for r in mixture_temperature_scaling(df, "src").collect()
+    }
+    assert got["big"]["w_10"] == pytest.approx(0.9)
+    # lower alpha moves the small source toward uniform: w_3 > w_10
+    assert got["small"]["w_3"] > got["small"]["w_5"] > got["small"]["w_10"]
+    assert got["small"]["boost_3"] > 1.0
+    with pytest.raises(ValueError):
+        mixture_temperature_scaling(df, "src", alphas=())
+
+
+def test_power_iteration_recovers_dominant_axis(spark):
+    from riot_graphs_spark.operators.similarity import power_iteration_top
+
+    # dim 0 carries 10x the variance of dims 1-2: loading_0 -> +-1
+    rows = []
+    for i in range(60):
+        rows.append(
+            (i, [float((i % 7) - 3) * 1.0,
+                 float((i % 3) - 1) * 0.1,
+                 float((i % 2)) * 0.1])
+        )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["dim"]: r for r in power_iteration_top(df, iterations=5).collect()}
+    assert len(out) == 3
+    assert abs(out[0]["loading"]) > 0.99
+    assert out[0]["evr"] > 0.9
+    with pytest.raises(ValueError):
+        power_iteration_top(df, iterations=0)
+
+
+def test_lorenz_deciles_monotone_and_sums_to_one(spark):
+    from riot_graphs_spark.operators.profile import lorenz_deciles
+
+    rows = [(k, float((k % 10 + 1) * 10)) for k in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = sorted(
+        lorenz_deciles(df, "k", "v").collect(), key=lambda r: r["decile"]
+    )
+    assert len(out) == 10
+    assert out[-1]["cum_share"] == pytest.approx(1.0)
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares)
+    # top decile = the 10 keys worth 100 each of total 5500
+    assert out[-1]["share"] == pytest.approx(1000 / 5500, abs=1e-9)
