@@ -184,7 +184,18 @@ SHOWCASE = [
     "retention_na_hazard",
     "ts_interarrival_expfit",
     "retention_survival_summary",
-    "emb_cells_vs_labels_ari",
+    "emb_cells_vs_labels_ari",    "hill_tail_price",
+    "mahalanobis_outlier_docs",
+    "huber_location_price",
+    "pettitt_daily_value",
+    "granger_clicks_purchases",
+    "isotonic_purchase_by_activity",
+    "textrank_keywords_top",
+    "emb_power_iteration_top",
+    "dtw_clicks_purchases",
+    "ab_cuped_value",
+    "wasserstein_doclen_en_rest",
+    "markov_entropy_rate",
 ]
 
 
