@@ -1639,8 +1639,8 @@ def test_cuped_reduces_variance_when_correlated(spark):
     rows = []
     for u in range(40):
         base = float(10 + (u * 13) % 17)
-        rows.append((u, "2024-01-05 00:00:00", base))          # pre
-        rows.append((u, "2024-01-20 00:00:00", base + u % 2))  # post
+        rows.append((u, "2024-01-05 00:00:00", base))        # pre
+        rows.append((u, "2024-01-20 00:00:00", base + 5.0))  # post
     df = spark.createDataFrame(rows, "user_id int, ts string, value double")
     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     out = cuped_adjustment(df, "user_id", "ts", "value").collect()
