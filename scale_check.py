@@ -809,6 +809,7 @@ QUERY_CASES = [
     "text_compressibility",
     "markov_entropy_rate",
     "emb_power_iteration_top",
+    "krippendorff_lang_alpha",
 ]
 
 
