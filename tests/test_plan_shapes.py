@@ -1484,3 +1484,96 @@ def test_textrank_row_local_pairs_broadcast_scores(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_wasserstein_distinct_value_axis(spark):
+    plan = formatted_plan(spark, "wasserstein_doclen_en_rest")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+
+
+def test_krippendorff_code_pair_axis(spark):
+    # one fact-sized pair-count groupBy; marginals/expected on the code
+    # axis; no Python, no data cartesian (the 1-row combine is broadcast)
+    plan = formatted_plan(spark, "krippendorff_lang_alpha")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_entropy_rate_cell_axis(spark):
+    plan = formatted_plan(spark, "markov_entropy_rate")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_event_pmi_unit_axis(spark):
+    # presence sets reduce fact-sized; singles join by broadcast
+    plan = formatted_plan(spark, "event_pmi_userday")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mixture_temperature_group_axis(spark):
+    plan = formatted_plan(spark, "mixture_temperature_sources")
+    assert re.search(r"partial_count", plan)
+    assert "EvalPython" not in plan
+
+
+def test_holm_hypotheses_axis(spark):
+    plan = formatted_plan(spark, "pairwise_welch_holm")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_power_iteration_broadcast_steps(spark):
+    # the final plan is post-checkpoint (each power step localCheckpoints
+    # its d-row state, so the per-step broadcast joins live in earlier
+    # jobs); what must hold HERE: the lambda/trace scalars combine by
+    # broadcast, and nothing is Python or cartesian-over-data
+    plan = formatted_plan(spark, "emb_power_iteration_top")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ad_distinct_value_axis(spark):
+    plan = formatted_plan(spark, "ad_doclen_en_rest")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dtw_single_pandas_kernel_on_day_axis(spark):
+    # exactly ONE Arrow-batched pandas group kernel, fed by a bucket
+    # reduce — the DP never sees fact rows
+    plan = formatted_plan(spark, "dtw_clicks_purchases")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_srm_single_scan(spark):
+    plan = formatted_plan(spark, "ab_srm_check")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cuped_user_axis_broadcast_theta(spark):
+    # per-user reduce, pooled theta broadcast back, per-arm reduce
+    plan = formatted_plan(spark, "ab_cuped_value")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lorenz_key_axis_ntile(spark):
+    plan = formatted_plan(spark, "revenue_lorenz_deciles")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "EvalPython" not in plan
