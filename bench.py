@@ -416,6 +416,7 @@ HEADLINE = [
     "ab_srm_check",
     "ab_cuped_value",
     "revenue_lorenz_deciles",
+    "feature_info_gain",
 ]
 
 

@@ -19871,6 +19871,104 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "feature_info_gain",
+    """
+    WITH flags AS (
+      SELECT (lang = 'en') AS y,
+             (n_chars >= 300) AS f0,
+             (len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 56)
+               AS f1,
+             list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           'the') AS f2
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        AND text IS NOT NULL
+    ),
+    mom AS (
+      SELECT count(*) AS n, sum(y::INT) AS p,
+             sum(f0::INT) AS n0, sum((f0 AND y)::INT) AS p0,
+             sum(f1::INT) AS n1, sum((f1 AND y)::INT) AS p1,
+             sum(f2::INT) AS n2, sum((f2 AND y)::INT) AS p2
+      FROM flags
+    ),
+    rows_out AS (
+      SELECT 'len_ge_300' AS feature, n, n0 AS nf, p0 AS pf, p FROM mom
+      UNION ALL
+      SELECT 'tokens_ge_56', n, n1, p1, p FROM mom
+      UNION ALL
+      SELECT 'contains_the', n, n2, p2, p FROM mom
+    ),
+    ent AS (
+      SELECT feature, n, nf, pf, p,
+        nf::DOUBLE / n::DOUBLE AS pflag,
+        CASE WHEN n > 0 THEN
+          (CASE WHEN p::DOUBLE / n::DOUBLE > 0
+                THEN -(p::DOUBLE / n::DOUBLE)
+                     * log2(p::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+          + (CASE WHEN 1.0 - p::DOUBLE / n::DOUBLE > 0
+                  THEN -(1.0 - p::DOUBLE / n::DOUBLE)
+                       * log2(1.0 - p::DOUBLE / n::DOUBLE)
+                  ELSE 0.0 END) END AS h_prior,
+        CASE WHEN nf > 0 THEN
+          (CASE WHEN pf::DOUBLE / nf::DOUBLE > 0
+                THEN -(pf::DOUBLE / nf::DOUBLE)
+                     * log2(pf::DOUBLE / nf::DOUBLE) ELSE 0.0 END)
+          + (CASE WHEN 1.0 - pf::DOUBLE / nf::DOUBLE > 0
+                  THEN -(1.0 - pf::DOUBLE / nf::DOUBLE)
+                       * log2(1.0 - pf::DOUBLE / nf::DOUBLE)
+                  ELSE 0.0 END) ELSE 0.0 END AS h_true,
+        CASE WHEN n - nf > 0 THEN
+          (CASE WHEN (p - pf)::DOUBLE / (n - nf)::DOUBLE > 0
+                THEN -((p - pf)::DOUBLE / (n - nf)::DOUBLE)
+                     * log2((p - pf)::DOUBLE / (n - nf)::DOUBLE)
+                ELSE 0.0 END)
+          + (CASE WHEN 1.0 - (p - pf)::DOUBLE / (n - nf)::DOUBLE > 0
+                  THEN -(1.0 - (p - pf)::DOUBLE / (n - nf)::DOUBLE)
+                       * log2(1.0 - (p - pf)::DOUBLE
+                              / (n - nf)::DOUBLE)
+                  ELSE 0.0 END) ELSE 0.0 END AS h_false
+      FROM rows_out
+    )
+    SELECT feature, n::BIGINT AS n, round(pflag, 9) AS p_flag,
+           round(h_prior, 9) AS h_prior,
+           round(pflag * h_true + (1.0 - pflag) * h_false, 9) AS h_cond,
+           round(CASE WHEN n > 0 AND nf > 0 AND nf < n
+                 THEN h_prior - (pflag * h_true
+                                 + (1.0 - pflag) * h_false) END, 9)
+             AS info_gain
+    FROM ent
+    """,
+)
+def feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump information gain of the three document quality
+    screens against the en/non-en label
+    (operators.evaluation.binary_info_gain) — which screen actually
+    separates the classes, ranked in bits, before anyone trains a
+    model; the split-balance column flags rules masquerading as
+    features.  All cell counts reduce in ONE scan; entropies are IEEE
+    terms on exact integer ratios."""
+    from ..operators.evaluation import binary_info_gain
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    toks = tokens("text")
+    flagged = docs.select(
+        (F.col("lang") == "en").alias("y"),
+        (F.col("n_chars") >= 300).alias("len_ge_300"),
+        (F.size(toks) >= 56).alias("tokens_ge_56"),
+        F.array_contains(toks, "the").alias("contains_the"),
+    )
+    return binary_info_gain(
+        flagged, ["len_ge_300", "tokens_ge_56", "contains_the"], "y"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

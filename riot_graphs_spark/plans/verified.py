@@ -255,6 +255,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "ab_srm_check",
     "ab_cuped_value",
     "revenue_lorenz_deciles",
+    "feature_info_gain",
 ])
 
 

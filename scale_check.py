@@ -810,6 +810,7 @@ QUERY_CASES = [
     "markov_entropy_rate",
     "emb_power_iteration_top",
     "krippendorff_lang_alpha",
+    "feature_info_gain",
 ]
 
 

@@ -1648,3 +1648,21 @@ def test_cuped_reduces_variance_when_correlated(spark):
     for r in out:
         assert r["theta"] == pytest.approx(1.0, abs=1e-6)
         assert r["var_reduction"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_info_gain_perfect_and_useless_features(spark):
+    from riot_graphs_spark.operators.evaluation import binary_info_gain
+
+    rows = [(True, True, True), (True, True, False),
+            (False, False, True), (False, False, False)] * 5
+    df = spark.createDataFrame(rows, "y boolean, good boolean, coin boolean")
+    got = {
+        r["feature"]: r
+        for r in binary_info_gain(df, ["good", "coin"], "y").collect()
+    }
+    # 'good' == y exactly: IG = H(y) = 1 bit; 'coin' is independent: 0
+    assert got["good"]["info_gain"] == pytest.approx(1.0)
+    assert got["good"]["h_cond"] == pytest.approx(0.0)
+    assert got["coin"]["info_gain"] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        binary_info_gain(df, [], "y")

@@ -1577,3 +1577,11 @@ def test_lorenz_key_axis_ntile(spark):
     plan = formatted_plan(spark, "revenue_lorenz_deciles")
     assert re.search(r"partial_(count|sum)", plan)
     assert "EvalPython" not in plan
+
+
+def test_info_gain_single_scan_union(spark):
+    plan = formatted_plan(spark, "feature_info_gain")
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
