@@ -534,6 +534,40 @@ def survival_summary(
     )
 
 
+def transition_probs(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order transition probabilities of the behavior chain —
+    the (``_f``, ``_t``, ``_p``) table :func:`markov_stationary` and
+    :func:`markov_entropy_rate` iterate over: consecutive event-type
+    pairs per user reduce to exact integer counts (the one corpus-scale
+    stage), one rational p per cell.  Exposed so compositions pay the
+    pair reduction ONCE (localCheckpoint at the call site)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        df.filter(F.col(type_col).isNotNull())
+        .select(
+            F.col(type_col).alias("_f"),
+            F.lead(type_col).over(w).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_f", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
+    return pairs.join(rowtot, "_f").select(
+        "_f",
+        "_t",
+        (
+            F.col("_n").cast("double") / F.col("_tot").cast("double")
+        ).alias("_p"),
+    )
+
+
 def markov_stationary(
     df: DataFrame,
     user_col: str = "user_id",
@@ -541,6 +575,7 @@ def markov_stationary(
     type_col: str = "event_type",
     tiebreak: str = "event_id",
     iterations: int = 25,
+    transitions: DataFrame | None = None,
 ) -> DataFrame:
     """Stationary distribution of the first-order behavior Markov chain
     — "where does a user's session END UP spending its time" — the
@@ -564,29 +599,15 @@ def markov_stationary(
     corpus-scale operation is the pair reduction.  Output: one row per
     state — ``(event_type string, stationary_prob double)``.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
-    pairs = (
-        df.filter(F.col(type_col).isNotNull())
-        .select(
-            F.col(type_col).alias("_f"),
-            F.lead(type_col).over(w).alias("_t"),
-        )
-        .filter(F.col("_t").isNotNull())
-        .groupBy("_f", "_t")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
-    p = (
-        pairs.join(rowtot, "_f")
-        .select(
-            "_f",
-            "_t",
-            (
-                F.col("_n").cast("double") / F.col("_tot").cast("double")
-            ).alias("_p"),
-        )
-        .localCheckpoint()
-    )
+    if transitions is not None:
+        # caller-shared (_f, _t, _p) table (one corpus pair-reduction
+        # serves both the stationary vector and e.g. the entropy terms)
+        p = transitions
+    else:
+        p = transition_probs(
+            df, user_col=user_col, ts_col=ts_col,
+            type_col=type_col, tiebreak=tiebreak,
+        ).localCheckpoint()
     states = p.select(F.col("_f").alias("_s")).distinct()
     kcount = states.agg(F.count(F.lit(1)).alias("_k"))
     v = states.crossJoin(F.broadcast(kcount)).select(
@@ -715,6 +736,10 @@ def markov_entropy_rate(
     Output: one row — ``(n_states bigint, entropy_nats double,
     entropy_bits double, perplexity double)``.
     """
+    p = transition_probs(
+        df, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, tiebreak=tiebreak,
+    ).localCheckpoint()
     pi = markov_stationary(
         df,
         user_col=user_col,
@@ -722,25 +747,7 @@ def markov_entropy_rate(
         type_col=type_col,
         tiebreak=tiebreak,
         iterations=iterations,
-    )
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
-    pairs = (
-        df.filter(F.col(type_col).isNotNull())
-        .select(
-            F.col(type_col).alias("_f"),
-            F.lead(type_col).over(w).alias("_t"),
-        )
-        .filter(F.col("_t").isNotNull())
-        .groupBy("_f", "_t")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
-    p = pairs.join(rowtot, "_f").select(
-        "_f",
-        "_t",
-        (F.col("_n").cast("double") / F.col("_tot").cast("double")).alias(
-            "_p"
-        ),
+        transitions=p,
     )
     terms = p.join(
         F.broadcast(pi), p["_f"] == pi["event_type"]
