@@ -417,6 +417,7 @@ HEADLINE = [
     "ab_cuped_value",
     "revenue_lorenz_deciles",
     "feature_info_gain",
+    "pairwise_welch_by_fdr",
 ]
 
 

@@ -4132,3 +4132,63 @@ def binary_info_gain(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def by_adjust(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: Sequence[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR adjustment — :func:`bh_adjust` made valid
+    under ARBITRARY dependence between the hypotheses (BH's guarantee
+    needs independence or positive dependence; correlated metric
+    families — the same users under many segment cuts — violate it):
+    the same step-up rule with the harmonic penalty c(m) = Σ_{j≤m} 1/j,
+
+        q₍ᵢ₎ = min(1, min_{j≥i} c(m)·m·p₍ⱼ₎/j)
+
+    — costs a ln(m) power factor, buys correctness with no dependence
+    model.  c(m) is an exact prefix sum over the hypotheses axis
+    (9-dp-quantized decimal — order-free); everything else is the BH
+    plan: rank + suffix-min windows over the comparison-list-sized
+    table.  NULL p rows pass through with NULL q and don't count.
+
+    Output: the input columns plus ``(rank_p bigint, m bigint, q_by
+    double, significant_by boolean)``.
+    """
+    order = [F.col(p_col).asc_nulls_last()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
+    w_rank = Window.orderBy(*order)
+    w_suffix = w_rank.rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.partitionBy()
+    i = F.row_number().over(w_rank)
+    m = F.count(p_col).over(w_all)
+    # c(m) = sum over the m non-null rows of 1/rank — an order-free
+    # decimal sum over the hypotheses axis
+    harm_term = F.when(
+        F.col(p_col).isNotNull(),
+        F.round(F.lit(1.0) / i.cast("double"), 9).cast("decimal(28,9)"),
+    )
+    cm = F.sum(harm_term).over(w_all).cast("double")
+    q_raw = F.when(
+        F.col(p_col).isNotNull(),
+        cm * m.cast("double") * F.col(p_col) / i.cast("double"),
+    )
+    staged = df.select(
+        "*",
+        F.when(F.col(p_col).isNotNull(), i).cast("long").alias("rank_p"),
+        m.cast("long").alias("m"),
+        F.min(q_raw).over(w_suffix).alias("_qm"),
+    )
+    q = F.when(
+        F.col(p_col).isNotNull(), F.least(F.lit(1.0), F.col("_qm"))
+    )
+    out = staged.withColumn("q_by", F.round(q, 9)).withColumn(
+        "significant_by",
+        F.when(F.col(p_col).isNotNull(), F.col("q_by") <= F.lit(alpha)),
+    )
+    return out.select(*[c for c in out.columns if c != "_qm"])

@@ -19969,6 +19969,109 @@ def feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "pairwise_welch_by_fdr",
+    """
+    WITH g AS (
+      SELECT event_type AS gg, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS q
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.gg AS group_a, b.gg AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             a.s AS sa, a.q AS qa, b.s AS sb, b.q AS qb
+      FROM g a JOIN g b ON a.gg < b.gg
+    ),
+    calc AS (
+      SELECT *,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             sa::DOUBLE / n_a AS m1, sb::DOUBLE / n_b AS m2,
+             CASE WHEN n_a >= 2 THEN
+               (qa::DOUBLE - n_a * (sa::DOUBLE / n_a)
+                                 * (sa::DOUBLE / n_a)) / (n_a - 1)
+             END AS v1,
+             CASE WHEN n_b >= 2 THEN
+               (qb::DOUBLE - n_b * (sb::DOUBLE / n_b)
+                                 * (sb::DOUBLE / n_b)) / (n_b - 1)
+             END AS v2,
+             n_a >= 2 AND n_b >= 2 AS ok
+      FROM pairs
+    ),
+    tt AS (
+      SELECT *,
+             CASE WHEN ok AND v1 / na + v2 / nb > 0
+                  THEN (m1 - m2) / sqrt(v1 / na + v2 / nb) END AS t
+      FROM calc
+    ),
+    pv AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0)))) AS u
+      FROM tt
+    ),
+    sel AS (
+      SELECT group_a, group_b,
+             round(u * (0.254829592 + u * (-0.284496736
+               + u * (1.421413741
+               + u * (-1.453152027 + u * 1.061405429))))
+               * exp(-(abs(t) / sqrt(2.0)) * (abs(t) / sqrt(2.0))), 9)
+               AS p9
+      FROM pv
+    ),
+    hr AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p9 ASC NULLS LAST,
+                                group_a, group_b) AS i,
+             count(p9) OVER () AS m
+      FROM sel
+    ),
+    harm AS (
+      SELECT CAST(sum(CAST(round(1.0 / i::DOUBLE, 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS cm
+      FROM hr WHERE p9 IS NOT NULL
+    ),
+    qr AS (
+      SELECT hr.*, CASE WHEN p9 IS NOT NULL
+                   THEN harm.cm * m::DOUBLE * p9 / i::DOUBLE END AS qraw
+      FROM hr CROSS JOIN harm
+    ),
+    qq AS (
+      SELECT *,
+             least(min(qraw) OVER (ORDER BY p9 ASC NULLS LAST,
+                     group_a, group_b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                   1.0) AS q
+      FROM qr
+    )
+    SELECT group_a, group_b, p9 AS p_approx,
+           CASE WHEN p9 IS NOT NULL THEN i END::BIGINT AS rank_p,
+           m::BIGINT AS m,
+           round(CASE WHEN p9 IS NOT NULL THEN q END, 9) AS q_by,
+           CASE WHEN p9 IS NOT NULL THEN q <= 0.05 END
+             AS significant_by
+    FROM qq
+    """,
+)
+def pairwise_welch_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR over the pairwise Welch p's
+    (operators.evaluation.by_adjust composing pairwise_welch) — BH made
+    valid under arbitrary dependence via the harmonic c(m) penalty; the
+    correction ladder is now complete (Bonferroni / Holm / BH / BY).
+    Rank + suffix-min windows on the 10-pair hypotheses axis; exact
+    decimal harmonic sum."""
+    from ..operators.evaluation import by_adjust, pairwise_welch
+
+    ev = _t(spark, sf_dir, "events")
+    pw = pairwise_welch(ev, "value", "event_type").select(
+        "group_a", "group_b", "p_approx"
+    )
+    return by_adjust(pw, "p_approx", ["group_a", "group_b"])
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -256,6 +256,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "ab_cuped_value",
     "revenue_lorenz_deciles",
     "feature_info_gain",
+    "pairwise_welch_by_fdr",
 ])
 
 

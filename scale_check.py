@@ -811,6 +811,7 @@ QUERY_CASES = [
     "emb_power_iteration_top",
     "krippendorff_lang_alpha",
     "feature_info_gain",
+    "pairwise_welch_by_fdr",
 ]
 
 

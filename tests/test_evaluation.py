@@ -1666,3 +1666,21 @@ def test_info_gain_perfect_and_useless_features(spark):
     assert got["coin"]["info_gain"] == pytest.approx(0.0)
     with pytest.raises(ValueError):
         binary_info_gain(df, [], "y")
+
+
+def test_by_adjust_harmonic_penalty_vs_bh(spark):
+    from riot_graphs_spark.operators.evaluation import bh_adjust, by_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", None)],
+        "hyp string, p double",
+    )
+    bh = {r["hyp"]: r for r in bh_adjust(df, "p", ["hyp"]).collect()}
+    by = {r["hyp"]: r for r in by_adjust(df, "p", ["hyp"]).collect()}
+    cm = 1 + 0.5 + 1 / 3  # harmonic number for m = 3
+    for h in ("a", "b", "c"):
+        # BY = BH scaled by c(m) (capped at 1)
+        assert by[h]["q_by"] == pytest.approx(
+            min(1.0, bh[h]["q_value"] * cm), abs=1e-6
+        )
+    assert by["d"]["q_by"] is None
