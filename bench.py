@@ -418,6 +418,7 @@ HEADLINE = [
     "revenue_lorenz_deciles",
     "feature_info_gain",
     "pairwise_welch_by_fdr",
+    "emb_spectral_gap",
 ]
 
 

@@ -1801,39 +1801,14 @@ def label_cosine_contrast(
     )
 
 
-def power_iteration_top(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    iterations: int = 5,
-    scale: int = 1000000,
+def _scaled_cov_matrix(
+    df: DataFrame, id_col: str, vec_col: str, scale: int
 ) -> DataFrame:
-    """Top principal component of the embedding covariance by FIXED-
-    iteration power iteration — the "is there one dominant direction"
-    audit behind :func:`covariance_top_pairs` (which sees pairwise
-    redundancy but not a global axis) and :func:`isotropy_score` (which
-    summarizes the spectrum but names no direction): λ₁, its explained-
-    variance ratio λ₁/trace, and the 64 loadings.
-
-    The covariance matrix builds EXACTLY like ``covariance_top_pairs``
-    (×10⁶ scaled-integer moments, per-row d²/2 id-keyed pair fan-out —
-    the one corpus-scale stage), materializing d² rows.  Each of the
-    ``iterations`` steps is then a d²-row broadcast join + per-dim
-    decimal-carried sum (u = C·v, 12-dp product cuts), one L2
-    normalization off the d-row axis — the :func:`~.graph.pagerank`
-    loop-unrolling discipline, so the whole trajectory is engine-
-    identical and the SQL twin is chained CTEs.  λ₁ = ‖C·v_last‖ (v_last
-    unit), the Rayleigh estimate for a converged vector; the all-ones
-    start fixes the eigenvector SIGN deterministically.
-
-    Output: one row per dimension — ``(dim int, loading double,
-    lambda1 double, evr double)``; loadings are the final normalized
-    iterate.
-    """
-    if iterations < 1:
-        raise ValueError("iterations must be >= 1")
+    """Full (i, j, c) covariance matrix of the embedding dims from
+    ×``scale`` exact-integer moments (the :func:`covariance_top_pairs`
+    discipline): upper-triangle pair fan-out per ROW, mirrored after the
+    aggregate; lazily checkpointed — d² rows serve every consumer."""
     d0 = "decimal(38,0)"
-    dec12 = "decimal(38,12)"
     comps = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(vec_col).alias("_i", "_x"),
@@ -1867,18 +1842,25 @@ def power_iteration_top(
         F.col("_ia").alias("_i"), F.col("_ib").alias("_j"),
         cov.alias("_c"),
     )
-    mat = upper.unionByName(
+    return upper.unionByName(
         upper.filter(F.col("_i") != F.col("_j")).select(
             F.col("_j").alias("_i"), F.col("_i").alias("_j"),
             F.col("_c"),
         )
     ).localCheckpoint(eager=False)
+
+
+def _power_steps(mat: DataFrame, iterations: int):
+    """``iterations`` decimal-carried power steps over a (_i,_j,_c)
+    matrix from the unit all-ones start.  Returns ``(v, lam)``: the
+    final unit iterate as (_d, _v) and the 1-row Rayleigh estimate
+    (_lam = the last un-normalized norm).  Each step is a d²-row
+    broadcast join + per-dim 12-dp decimal sum, checkpointed d-row
+    state — the :func:`~.graph.pagerank` loop discipline, so the
+    trajectory is bit-deterministic and SQL-unrollable."""
+    dec12 = "decimal(38,12)"
     w_all = Window.partitionBy()
-    trace_df = mat.filter(F.col("_i") == F.col("_j")).agg(
-        F.sum(F.round(F.col("_c"), 12).cast(dec12)).alias("_tr")
-    )
     dims = mat.select(F.col("_i").alias("_d")).distinct()
-    # all-ones start, unit-normalized: 1/sqrt(d) with exact d
     dcount = dims.agg(F.count(F.lit(1)).alias("_k"))
     v = dims.crossJoin(F.broadcast(dcount)).select(
         "_d",
@@ -1897,8 +1879,6 @@ def power_iteration_top(
             .groupBy("_i")
             .agg(F.sum("_t").cast("double").alias("_u"))
         )
-        # one d-row checkpoint per step caps lineage depth (the pagerank
-        # contraction-loop discipline)
         final = u.select(
             "_i",
             "_u",
@@ -1913,6 +1893,46 @@ def power_iteration_top(
             (F.col("_u") / F.col("_nm")).alias("_v"),
         )
     lam = final.select(F.col("_nm").alias("_lam")).limit(1)
+    return v, lam
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Top principal component of the embedding covariance by FIXED-
+    iteration power iteration — the "is there one dominant direction"
+    audit behind :func:`covariance_top_pairs` (which sees pairwise
+    redundancy but not a global axis) and :func:`isotropy_score` (which
+    summarizes the spectrum but names no direction): λ₁, its explained-
+    variance ratio λ₁/trace, and the 64 loadings.
+
+    The covariance matrix builds EXACTLY like ``covariance_top_pairs``
+    (×10⁶ scaled-integer moments, per-row d²/2 id-keyed pair fan-out —
+    the one corpus-scale stage), materializing d² rows.  Each of the
+    ``iterations`` steps is then a d²-row broadcast join + per-dim
+    decimal-carried sum (u = C·v, 12-dp product cuts), one L2
+    normalization off the d-row axis — the :func:`~.graph.pagerank`
+    loop-unrolling discipline, so the whole trajectory is engine-
+    identical and the SQL twin is chained CTEs.  λ₁ = ‖C·v_last‖ (v_last
+    unit), the Rayleigh estimate for a converged vector; the all-ones
+    start fixes the eigenvector SIGN deterministically.
+
+    Output: one row per dimension — ``(dim int, loading double,
+    lambda1 double, evr double)``; loadings are the final normalized
+    iterate.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    mat = _scaled_cov_matrix(df, id_col, vec_col, scale)
+    dec12 = "decimal(38,12)"
+    trace_df = mat.filter(F.col("_i") == F.col("_j")).agg(
+        F.sum(F.round(F.col("_c"), 12).cast(dec12)).alias("_tr")
+    )
+    v, lam = _power_steps(mat, iterations)
     return (
         v
         .crossJoin(F.broadcast(lam))
@@ -1928,4 +1948,72 @@ def power_iteration_top(
                 9,
             ).alias("evr"),
         )
+    )
+
+
+def spectral_gap_top2(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Top-two covariance eigenvalues by power iteration WITH DEFLATION
+    — the spectral-gap readout behind :func:`power_iteration_top`'s
+    single axis: λ₁/λ₂ near 1 means no single dominant direction
+    (healthy isotropic-ish embeddings), a large gap means one axis owns
+    the geometry (rogue feature, un-centered artifact, collapsed
+    training run).
+
+    Phase 1 runs :func:`_power_steps` on the exact scaled-integer
+    covariance; phase 2 runs the SAME steps on the deflated matrix
+    C' = C − λ₁·v₁v₁ᵀ (a d²-row broadcast expression on exact phase-1
+    outputs — v₁'s eigenvalue becomes 0, so the uniform start converges
+    to the second axis).  Both trajectories are decimal-carried and
+    loop-unrollable; the oracle chains phase 1, one deflation CTE, and
+    phase 2.
+
+    Output: one row — ``(lambda1 double, lambda2 double, spectral_gap
+    double, evr1 double, evr2 double, trace double)``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    dec12 = "decimal(38,12)"
+    mat = _scaled_cov_matrix(df, id_col, vec_col, scale)
+    trace_df = mat.filter(F.col("_i") == F.col("_j")).agg(
+        F.sum(F.round(F.col("_c"), 12).cast(dec12)).alias("_tr")
+    )
+    v1, lam1 = _power_steps(mat, iterations)
+    vi = v1.select(F.col("_d").alias("_di"), F.col("_v").alias("_vi"))
+    vj = v1.select(F.col("_d").alias("_dj"), F.col("_v").alias("_vj"))
+    deflated = (
+        mat.join(F.broadcast(vi), mat["_i"] == F.col("_di"))
+        .join(F.broadcast(vj), mat["_j"] == F.col("_dj"))
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "_i",
+            "_j",
+            (
+                F.col("_c")
+                - F.col("_lam") * F.col("_vi") * F.col("_vj")
+            ).alias("_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    _, lam2 = _power_steps(deflated, iterations)
+    out = (
+        lam1.select(F.col("_lam").alias("_l1"))
+        .crossJoin(F.broadcast(lam2.select(F.col("_lam").alias("_l2"))))
+        .crossJoin(F.broadcast(trace_df))
+    )
+    tr = F.col("_tr").cast("double")
+    return out.select(
+        F.round(F.col("_l1"), 9).alias("lambda1"),
+        F.round(F.col("_l2"), 9).alias("lambda2"),
+        F.round(F.try_divide(F.col("_l1"), F.col("_l2")), 9).alias(
+            "spectral_gap"
+        ),
+        F.round(F.try_divide(F.col("_l1"), tr), 9).alias("evr1"),
+        F.round(F.try_divide(F.col("_l2"), tr), 9).alias("evr2"),
+        F.round(tr, 9).alias("trace"),
     )

@@ -20072,6 +20072,230 @@ def pairwise_welch_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_adjust(pw, "p_approx", ["group_a", "group_b"])
 
 
+
+@_q("emb_spectral_gap", """
+    WITH comps AS MATERIALIZED (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    agg AS MATERIALIZED (
+      SELECT a.i AS ia, b2.i AS ib, count(*)::HUGEINT AS n,
+             sum(a.s::HUGEINT) AS sx, sum(b2.s::HUGEINT) AS sy,
+             sum(a.s::HUGEINT * b2.s::HUGEINT) AS sxy
+      FROM comps a JOIN comps b2
+        ON a.vec_id = b2.vec_id AND a.i <= b2.i
+      GROUP BY 1, 2
+    ),
+    upper_m AS MATERIALIZED (
+      SELECT ia AS i, ib AS j,
+             (n * sxy - sx * sy)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * 1000000000000.0) AS c
+      FROM agg
+    ),
+    mat AS MATERIALIZED (
+      SELECT i, j, c FROM upper_m
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM upper_m WHERE i <> j
+    ),
+    tr AS MATERIALIZED (
+      SELECT sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS tr
+      FROM mat WHERE i = j
+    ),
+    dims AS (SELECT DISTINCT i AS d FROM mat),
+    kk AS (SELECT count(*) AS k FROM dims),
+    v0 AS MATERIALIZED (
+      SELECT d, 1.0 / sqrt((SELECT k FROM kk)::DOUBLE) AS v FROM dims
+    ),
+    u1 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v0.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v0 ON mat.j = v0.d GROUP BY 1
+    ),
+    n1 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u1
+    ),
+    v1 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n1) AS v
+      FROM u1
+    ),
+    u2 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v1.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v1 ON mat.j = v1.d GROUP BY 1
+    ),
+    n2 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u2
+    ),
+    v2 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n2) AS v
+      FROM u2
+    ),
+    u3 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v2.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v2 ON mat.j = v2.d GROUP BY 1
+    ),
+    n3 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u3
+    ),
+    v3 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n3) AS v
+      FROM u3
+    ),
+    u4 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v3.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v3 ON mat.j = v3.d GROUP BY 1
+    ),
+    n4 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u4
+    ),
+    v4 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n4) AS v
+      FROM u4
+    ),
+    u5 AS MATERIALIZED (
+      SELECT mat.i AS d,
+             CAST(sum(CAST(round(mat.c * v4.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM mat JOIN v4 ON mat.j = v4.d GROUP BY 1
+    ),
+    n5 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM u5
+    ),
+    v5 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM n5) AS v
+      FROM u5
+    ),
+    matd AS MATERIALIZED (
+      SELECT mat.i, mat.j,
+             mat.c - (SELECT nm FROM n5) * a.v * b.v AS c
+      FROM mat JOIN v5 a ON mat.i = a.d
+               JOIN v5 b ON mat.j = b.d
+    ),
+    w0 AS MATERIALIZED (
+      SELECT d, 1.0 / sqrt((SELECT k FROM kk)::DOUBLE) AS v FROM dims
+    ),
+    x1 AS MATERIALIZED (
+      SELECT matd.i AS d,
+             CAST(sum(CAST(round(matd.c * w0.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM matd JOIN w0 ON matd.j = w0.d GROUP BY 1
+    ),
+    m1 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM x1
+    ),
+    w1 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM m1) AS v
+      FROM x1
+    ),
+    x2 AS MATERIALIZED (
+      SELECT matd.i AS d,
+             CAST(sum(CAST(round(matd.c * w1.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM matd JOIN w1 ON matd.j = w1.d GROUP BY 1
+    ),
+    m2 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM x2
+    ),
+    w2 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM m2) AS v
+      FROM x2
+    ),
+    x3 AS MATERIALIZED (
+      SELECT matd.i AS d,
+             CAST(sum(CAST(round(matd.c * w2.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM matd JOIN w2 ON matd.j = w2.d GROUP BY 1
+    ),
+    m3 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM x3
+    ),
+    w3 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM m3) AS v
+      FROM x3
+    ),
+    x4 AS MATERIALIZED (
+      SELECT matd.i AS d,
+             CAST(sum(CAST(round(matd.c * w3.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM matd JOIN w3 ON matd.j = w3.d GROUP BY 1
+    ),
+    m4 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM x4
+    ),
+    w4 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM m4) AS v
+      FROM x4
+    ),
+    x5 AS MATERIALIZED (
+      SELECT matd.i AS d,
+             CAST(sum(CAST(round(matd.c * w4.v, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM matd JOIN w4 ON matd.j = w4.d GROUP BY 1
+    ),
+    m5 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nm
+      FROM x5
+    ),
+    w5 AS MATERIALIZED (
+      SELECT d, u / (SELECT nm FROM m5) AS v
+      FROM x5
+    )
+    SELECT round((SELECT nm FROM n5), 9) AS lambda1,
+           round((SELECT nm FROM m5), 9) AS lambda2,
+           round(CASE WHEN (SELECT nm FROM m5) <> 0
+                 THEN (SELECT nm FROM n5)
+                      / (SELECT nm FROM m5) END, 9)
+             AS spectral_gap,
+           round(CASE WHEN (SELECT tr FROM tr)::DOUBLE <> 0
+                 THEN (SELECT nm FROM n5)
+                      / (SELECT tr FROM tr)::DOUBLE END, 9) AS evr1,
+           round(CASE WHEN (SELECT tr FROM tr)::DOUBLE <> 0
+                 THEN (SELECT nm FROM m5)
+                      / (SELECT tr FROM tr)::DOUBLE END, 9) AS evr2,
+           round((SELECT tr FROM tr)::DOUBLE, 9) AS trace
+    """)
+def emb_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-two covariance eigenvalues by deflated power iteration
+    (operators.similarity.spectral_gap_top2) — lambda1/lambda2: near 1
+    means no single dominant axis, large means one direction owns the
+    geometry (rogue feature / collapsed run); completes the spectral
+    audit beside emb_power_iteration_top and emb_isotropy.  Phase 2
+    runs the same decimal-carried steps on C - lambda1 v1 v1^T (a
+    d-squared broadcast expression on exact phase-1 outputs); the
+    oracle chains both unrolled phases around one deflation CTE."""
+    from ..operators.similarity import spectral_gap_top2
+
+    return spectral_gap_top2(
+        _t(spark, sf_dir, "embeddings"), iterations=5
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

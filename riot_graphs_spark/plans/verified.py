@@ -257,6 +257,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "revenue_lorenz_deciles",
     "feature_info_gain",
     "pairwise_welch_by_fdr",
+    "emb_spectral_gap",
 ])
 
 

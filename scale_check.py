@@ -812,6 +812,7 @@ QUERY_CASES = [
     "krippendorff_lang_alpha",
     "feature_info_gain",
     "pairwise_welch_by_fdr",
+    "emb_spectral_gap",
 ]
 
 

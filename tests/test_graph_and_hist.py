@@ -2380,3 +2380,24 @@ def test_lorenz_deciles_monotone_and_sums_to_one(spark):
     assert shares == sorted(shares)
     # top decile = the 10 keys worth 100 each of total 5500
     assert out[-1]["share"] == pytest.approx(1000 / 5500, abs=1e-9)
+
+
+def test_spectral_gap_two_axes(spark):
+    from riot_graphs_spark.operators.similarity import spectral_gap_top2
+
+    # dim 0 variance >> dim 1 variance >> dim 2: gap = lam1/lam2 approx
+    # var0/var1, both recovered
+    rows = []
+    for i in range(80):
+        rows.append(
+            (i, [float((i % 9) - 4) * 2.0,
+                 float((i % 5) - 2) * 1.0,
+                 float(i % 2) * 0.01])
+        )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = spectral_gap_top2(df, iterations=8).collect()[0]
+    assert out["lambda1"] > out["lambda2"] > 0
+    assert out["spectral_gap"] > 2.0
+    assert out["evr1"] + out["evr2"] == pytest.approx(1.0, abs=0.01)
+    with pytest.raises(ValueError):
+        spectral_gap_top2(df, iterations=0)
