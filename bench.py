@@ -419,6 +419,7 @@ HEADLINE = [
     "feature_info_gain",
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
+    "esd_outlier_days",
 ]
 
 

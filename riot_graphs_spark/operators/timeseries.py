@@ -3680,3 +3680,114 @@ def dtw_daily(
         F.round("dtw", 9).alias("dtw"),
         F.round("dtw_per_step", 9).alias("dtw_per_step"),
     )
+
+
+def esd_extremes(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    rounds: int = 3,
+    unit: str = "day",
+) -> DataFrame:
+    """Generalized-ESD-style iterated extreme detection over bucket
+    means — :func:`grubbs_extreme` repeated with REMOVAL: after each
+    round the flagged bucket leaves the sample and the moments
+    re-estimate, so a second outlier masked by the first (the classic
+    Grubbs masking failure) still surfaces.  This is the detection core
+    of the S-H-ESD pipeline (run it on deseasonalized residuals for the
+    full method); the table reports the studentized statistic per
+    round — compare against the round-r ESD critical values offline
+    (no t quantile in either engine).
+
+    Exactness: identical to :func:`grubbs_extreme` — bucket means are
+    round-before-cast ``decimal(18,6)``, deviation numerators
+    ``n·x_t − S`` and moment sums stay exact decimals, one IEEE
+    expression per round; each round's removal is an exact bucket-key
+    anti-join against the 1-row pick (broadcast).  ``rounds`` chained
+    stages over the BUCKET axis — loop-unrollable as chained CTEs.
+
+    Output: one row per round — ``(round bigint, n_buckets bigint,
+    outlier_bucket timestamp, outlier_value double, g_stat double,
+    side string)``; rounds beyond the available buckets (n < 3) emit
+    nothing.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            F.round(
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).cast("decimal(18,6)").alias("_m")
+        )
+    )
+    current = buckets.localCheckpoint(eager=False)
+    w_all = Window.partitionBy()
+    outs = []
+    for r in range(1, rounds + 1):
+        mom = current.select(
+            "_b",
+            "_m",
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+            F.sum("_m").over(w_all).alias("_s"),
+            F.sum(F.col("_m") * F.col("_m")).over(w_all).alias("_q"),
+        )
+        num = F.col("_n").cast("decimal(18,0)") * F.col("_m") - F.col("_s")
+        scored = mom.select(
+            "_b", "_m", "_n", "_s", "_q",
+            F.abs(num).alias("_anum"),
+            num.alias("_num"),
+        )
+        picked = (
+            scored.withColumn(
+                "_pk",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("_anum").desc(), F.col("_b").asc()
+                    )
+                ),
+            )
+            .filter((F.col("_pk") == 1) & (F.col("_n") >= 3))
+            .localCheckpoint(eager=False)
+        )
+        nd = F.col("_n").cast("double")
+        sd_expr = F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (
+                    nd * F.col("_q").cast("double")
+                    - F.col("_s").cast("double")
+                    * F.col("_s").cast("double")
+                )
+                / (nd * (nd - F.lit(1.0))),
+            )
+        )
+        g = F.when(
+            sd_expr > 0, F.col("_anum").cast("double") / nd / sd_expr
+        )
+        outs.append(
+            picked.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("_n").cast("long").alias("n_buckets"),
+                F.col("_b").cast("timestamp").alias("outlier_bucket"),
+                F.round(F.col("_m").cast("double"), 9).alias(
+                    "outlier_value"
+                ),
+                F.round(g, 9).alias("g_stat"),
+                F.when(
+                    F.col("_num").cast("double") >= 0, F.lit("max")
+                ).otherwise(F.lit("min")).alias("side"),
+            )
+        )
+        current = current.join(
+            F.broadcast(picked.select("_b")), "_b", "left_anti"
+        ).localCheckpoint(eager=False)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -20296,6 +20296,125 @@ def emb_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q("esd_outlier_days", """
+    WITH b1 AS MATERIALIZED (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(18,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    s1 AS (
+      SELECT bk, m, count(*) OVER () AS n,
+             sum(m) OVER () AS s, sum(m * m) OVER () AS q,
+             abs(count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS anum,
+             (count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS num
+      FROM b1
+    ),
+    p1 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT * FROM s1 ORDER BY anum DESC, bk ASC LIMIT 1
+      ) WHERE n >= 3
+    ),
+    b2 AS MATERIALIZED (
+      SELECT bk, m FROM b1
+      WHERE (SELECT count(*) FROM p1) = 0
+         OR bk <> (SELECT bk FROM p1)
+    ),
+    s2 AS (
+      SELECT bk, m, count(*) OVER () AS n,
+             sum(m) OVER () AS s, sum(m * m) OVER () AS q,
+             abs(count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS anum,
+             (count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS num
+      FROM b2
+    ),
+    p2 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT * FROM s2 ORDER BY anum DESC, bk ASC LIMIT 1
+      ) WHERE n >= 3
+    ),
+    b3 AS MATERIALIZED (
+      SELECT bk, m FROM b2
+      WHERE (SELECT count(*) FROM p2) = 0
+         OR bk <> (SELECT bk FROM p2)
+    ),
+    s3 AS (
+      SELECT bk, m, count(*) OVER () AS n,
+             sum(m) OVER () AS s, sum(m * m) OVER () AS q,
+             abs(count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS anum,
+             (count(*) OVER ()::DECIMAL(18,0) * m - sum(m) OVER ())
+               AS num
+      FROM b3
+    ),
+    p3 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT * FROM s3 ORDER BY anum DESC, bk ASC LIMIT 1
+      ) WHERE n >= 3
+    ),
+    b4 AS MATERIALIZED (
+      SELECT bk, m FROM b3
+      WHERE (SELECT count(*) FROM p3) = 0
+         OR bk <> (SELECT bk FROM p3)
+    )
+
+      SELECT CAST(1 AS BIGINT) AS round, n::BIGINT AS n_buckets,
+             bk AS outlier_bucket, round(m::DOUBLE, 9) AS outlier_value,
+             round(CASE WHEN sqrt(greatest(0.0,
+                 (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)))) > 0
+               THEN (anum::DOUBLE / n::DOUBLE)
+                    / sqrt(greatest(0.0,
+                      (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0)))) END, 9)
+               AS g_stat,
+             CASE WHEN num::DOUBLE >= 0 THEN 'max' ELSE 'min' END
+               AS side
+      FROM p1    UNION ALL
+      SELECT CAST(2 AS BIGINT) AS round, n::BIGINT AS n_buckets,
+             bk AS outlier_bucket, round(m::DOUBLE, 9) AS outlier_value,
+             round(CASE WHEN sqrt(greatest(0.0,
+                 (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)))) > 0
+               THEN (anum::DOUBLE / n::DOUBLE)
+                    / sqrt(greatest(0.0,
+                      (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0)))) END, 9)
+               AS g_stat,
+             CASE WHEN num::DOUBLE >= 0 THEN 'max' ELSE 'min' END
+               AS side
+      FROM p2    UNION ALL
+      SELECT CAST(3 AS BIGINT) AS round, n::BIGINT AS n_buckets,
+             bk AS outlier_bucket, round(m::DOUBLE, 9) AS outlier_value,
+             round(CASE WHEN sqrt(greatest(0.0,
+                 (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)))) > 0
+               THEN (anum::DOUBLE / n::DOUBLE)
+                    / sqrt(greatest(0.0,
+                      (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0)))) END, 9)
+               AS g_stat,
+             CASE WHEN num::DOUBLE >= 0 THEN 'max' ELSE 'min' END
+               AS side
+      FROM p3""")
+def esd_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD iterated extremes over daily event-value means
+    (operators.timeseries.esd_extremes, 3 rounds) — Grubbs with
+    REMOVAL, so a second outlier masked by the first still surfaces;
+    the detection core of the S-H-ESD pipeline.  Exact decimal
+    deviation numerators and moments per round; each removal is a
+    broadcast anti-join on the bucket key; rounds unrolled as chained
+    CTEs in the oracle."""
+    from ..operators.timeseries import esd_extremes
+
+    return esd_extremes(_t(spark, sf_dir, "events"), rounds=3)
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

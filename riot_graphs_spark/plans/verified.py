@@ -259,6 +259,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "feature_info_gain",
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
+    "esd_outlier_days",
 ])
 
 

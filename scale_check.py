@@ -813,6 +813,7 @@ QUERY_CASES = [
     "feature_info_gain",
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
+    "esd_outlier_days",
 ]
 
 

@@ -2401,3 +2401,22 @@ def test_spectral_gap_two_axes(spark):
     assert out["evr1"] + out["evr2"] == pytest.approx(1.0, abs=0.01)
     with pytest.raises(ValueError):
         spectral_gap_top2(df, iterations=0)
+
+
+def test_esd_unmasks_second_outlier(spark):
+    from riot_graphs_spark.operators.timeseries import esd_extremes
+
+    # two big spikes close together mask each other for single-round
+    # Grubbs; ESD removal surfaces both in rounds 1-2
+    vals = [10.0] * 12 + [60.0, 55.0]
+    df = spark.createDataFrame(
+        _daily(vals), "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["round"]: r for r in esd_extremes(df, rounds=3).collect()}
+    assert str(out[1]["outlier_bucket"]).startswith("2024-01-13")
+    assert str(out[2]["outlier_bucket"]).startswith("2024-01-14")
+    # after removing both spikes, the remaining series is constant
+    assert out[3]["g_stat"] is None or out[3]["g_stat"] < out[2]["g_stat"]
+    assert out[2]["n_buckets"] == 13  # moments re-estimated sans round-1
+    with pytest.raises(ValueError):
+        esd_extremes(df, rounds=0)
