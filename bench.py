@@ -420,6 +420,7 @@ HEADLINE = [
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
     "esd_outlier_days",
+    "yuen_trimmed_doclen",
 ]
 
 

@@ -20415,6 +20415,143 @@ def esd_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esd_extremes(_t(spark, sf_dir, "events"), rounds=3)
 
 
+
+@_q("yuen_trimmed_doclen", """
+    WITH sa AS (
+      WITH counts AS (
+        SELECT n_chars::BIGINT AS v, count(*) AS c
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND lang = 'en'
+        GROUP BY 1
+      ),
+      cw AS (
+        SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+               sum(c) OVER () AS n
+        FROM counts
+      ),
+      gk AS (
+        SELECT v, c, cum, n, floor(0.1 * n)::BIGINT AS g FROM cw
+      )
+      SELECT max(n) AS n, max(g) AS g,
+             sum(greatest(0, least(cum, n - g)
+                 - greatest(cum - c, g))::HUGEINT * v::HUGEINT) AS ts,
+             sum(greatest(0, least(cum, n - g)
+                 - greatest(cum - c, g))::HUGEINT
+                 * v::HUGEINT * v::HUGEINT) AS tq,
+             max(CASE WHEN cum >= g + 1 AND cum - c < g + 1
+                 THEN v END) AS L,
+             max(CASE WHEN cum >= n - g AND cum - c < n - g
+                 THEN v END) AS U
+      FROM gk
+    ),
+    sb AS (
+      WITH counts AS (
+        SELECT n_chars::BIGINT AS v, count(*) AS c
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND lang <> 'en'
+        GROUP BY 1
+      ),
+      cw AS (
+        SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+               sum(c) OVER () AS n
+        FROM counts
+      ),
+      gk AS (
+        SELECT v, c, cum, n, floor(0.1 * n)::BIGINT AS g FROM cw
+      )
+      SELECT max(n) AS n, max(g) AS g,
+             sum(greatest(0, least(cum, n - g)
+                 - greatest(cum - c, g))::HUGEINT * v::HUGEINT) AS ts,
+             sum(greatest(0, least(cum, n - g)
+                 - greatest(cum - c, g))::HUGEINT
+                 * v::HUGEINT * v::HUGEINT) AS tq,
+             max(CASE WHEN cum >= g + 1 AND cum - c < g + 1
+                 THEN v END) AS L,
+             max(CASE WHEN cum >= n - g AND cum - c < n - g
+                 THEN v END) AS U
+      FROM gk
+    ),
+    j AS (SELECT sa.n AS na, sa.g AS ga, sa.ts AS tsa, sa.tq AS tqa,
+                 sa.L AS La, sa.U AS Ua,
+                 sb.n AS nb, sb.g AS gb, sb.ts AS tsb, sb.tq AS tqb,
+                 sb.L AS Lb, sb.U AS Ub
+          FROM sa CROSS JOIN sb),
+    calc AS (
+      SELECT na, nb,
+             (na - 2 * ga) AS hha, (nb - 2 * gb) AS hhb,
+             tsa::DOUBLE / nullif((na - 2 * ga)::DOUBLE, 0) AS ma,
+             tsb::DOUBLE / nullif((nb - 2 * gb)::DOUBLE, 0) AS mb,
+             CASE WHEN na >= 2 THEN
+               ((tqa::DOUBLE + ga::DOUBLE * La::DOUBLE * La::DOUBLE
+                 + ga::DOUBLE * Ua::DOUBLE * Ua::DOUBLE)
+                - (tsa::DOUBLE + ga::DOUBLE * La::DOUBLE
+                   + ga::DOUBLE * Ua::DOUBLE)
+                  * (tsa::DOUBLE + ga::DOUBLE * La::DOUBLE
+                     + ga::DOUBLE * Ua::DOUBLE) / na::DOUBLE)
+               / (na::DOUBLE - 1.0) END AS s2wa,
+             CASE WHEN nb >= 2 THEN
+               ((tqb::DOUBLE + gb::DOUBLE * Lb::DOUBLE * Lb::DOUBLE
+                 + gb::DOUBLE * Ub::DOUBLE * Ub::DOUBLE)
+                - (tsb::DOUBLE + gb::DOUBLE * Lb::DOUBLE
+                   + gb::DOUBLE * Ub::DOUBLE)
+                  * (tsb::DOUBLE + gb::DOUBLE * Lb::DOUBLE
+                     + gb::DOUBLE * Ub::DOUBLE) / nb::DOUBLE)
+               / (nb::DOUBLE - 1.0) END AS s2wb
+      FROM j
+    ),
+    dd AS (
+      SELECT *,
+             (na::DOUBLE - 1.0) * s2wa
+               / nullif(hha::DOUBLE * (hha::DOUBLE - 1.0), 0) AS da,
+             (nb::DOUBLE - 1.0) * s2wb
+               / nullif(hhb::DOUBLE * (hhb::DOUBLE - 1.0), 0) AS db
+      FROM calc
+    ),
+    tt AS (
+      SELECT *,
+             CASE WHEN hha >= 2 AND hhb >= 2 AND da + db > 0
+                  THEN (ma - mb) / sqrt(da + db) END AS t,
+             (da + db) * (da + db)
+               / nullif(da * da / (hha::DOUBLE - 1.0)
+                        + db * db / (hhb::DOUBLE - 1.0), 0) AS dfree
+      FROM dd
+    ),
+    pv AS (
+      SELECT *, (1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0)))) AS u
+      FROM tt
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           hha::BIGINT AS h_a, hhb::BIGINT AS h_b,
+           round(ma, 9) AS tmean_a, round(mb, 9) AS tmean_b,
+           round(t, 9) AS t, round(dfree, 9) AS df,
+           round(u * (0.254829592 + u * (-0.284496736
+             + u * (1.421413741
+             + u * (-1.453152027 + u * 1.061405429))))
+             * exp(-(abs(t) / sqrt(2.0)) * (abs(t) / sqrt(2.0))), 9)
+             AS p_approx
+    FROM pv
+    """)
+def yuen_trimmed_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 10%-trimmed-means t-test between en and non-en doc
+    lengths (operators.evaluation.yuen_trimmed_t) — the robust location
+    verdict between Welch (tail-owned means) and Mann-Whitney (no
+    magnitude): trimmed-class means with winsorized variance.  Exact
+    order-statistic trimming via integer cumulative counts on the
+    distinct-length axis; the normal-approx p carries the documented
+    large-h caveat."""
+    from ..operators.evaluation import yuen_trimmed_t
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return yuen_trimmed_t(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        trim=0.1,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -260,6 +260,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
     "esd_outlier_days",
+    "yuen_trimmed_doclen",
 ])
 
 

@@ -814,6 +814,7 @@ QUERY_CASES = [
     "pairwise_welch_by_fdr",
     "emb_spectral_gap",
     "esd_outlier_days",
+    "yuen_trimmed_doclen",
 ]
 
 

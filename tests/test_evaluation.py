@@ -1684,3 +1684,23 @@ def test_by_adjust_harmonic_penalty_vs_bh(spark):
             min(1.0, bh[h]["q_value"] * cm), abs=1e-6
         )
     assert by["d"]["q_by"] is None
+
+
+def test_yuen_trimmed_hand_case(spark):
+    from riot_graphs_spark.operators.evaluation import yuen_trimmed_t
+
+    # a = 1..10 with trim 0.1 -> g=1, h=8, trimmed mean 5.5; the 100 in
+    # b's tail is trimmed away, so b's trimmed mean tracks its bulk
+    a = spark.createDataFrame([(v,) for v in range(1, 11)], "v int")
+    b = spark.createDataFrame(
+        [(v,) for v in list(range(11, 20)) + [1000]], "v int"
+    )
+    out = yuen_trimmed_t(a, b, "v", trim=0.1).collect()[0]
+    assert out["n_a"] == 10 and out["h_a"] == 8
+    assert out["tmean_a"] == pytest.approx(sum(range(2, 10)) / 8)
+    assert out["tmean_b"] == pytest.approx(sum(range(12, 20)) / 8)
+    assert out["t"] < 0  # a sits below b
+    # outlier-leverage check: winsorized variance ignores the 1000
+    assert abs(out["tmean_b"]) < 20
+    with pytest.raises(ValueError):
+        yuen_trimmed_t(a, b, "v", trim=0.6)
