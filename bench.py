@@ -421,6 +421,7 @@ HEADLINE = [
     "emb_spectral_gap",
     "esd_outlier_days",
     "yuen_trimmed_doclen",
+    "cmh_purchase_by_activity",
 ]
 
 

@@ -20552,6 +20552,112 @@ def yuen_trimmed_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "cmh_purchase_by_activity",
+    """
+    WITH users AS (
+      SELECT user_id, count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y,
+             (user_id % 2)::VARCHAR AS g
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    strat AS (
+      SELECT ntile(3) OVER (ORDER BY n_events, user_id) AS s, g, y
+      FROM users
+    ),
+    cells AS (
+      SELECT s, count(*) AS n,
+             sum(CASE WHEN g = '0' THEN y ELSE 0 END) AS a,
+             sum(CASE WHEN g = '0' THEN 1 - y ELSE 0 END) AS b,
+             sum(CASE WHEN g <> '0' THEN y ELSE 0 END) AS c,
+             sum(CASE WHEN g <> '0' THEN 1 - y ELSE 0 END) AS d
+      FROM strat GROUP BY 1
+    ),
+    terms AS (
+      SELECT n, a,
+             (a + b)::DOUBLE * (a + c)::DOUBLE / n::DOUBLE AS e,
+             CASE WHEN n >= 2 THEN
+               (a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE
+               * (b + d)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))
+             ELSE 0.0 END AS v,
+             a::DOUBLE * d::DOUBLE / n::DOUBLE AS adn,
+             b::DOUBLE * c::DOUBLE / n::DOUBLE AS bcn
+      FROM cells
+    ),
+    agg AS (
+      SELECT sum(n) AS tot, count(*) AS k,
+             sum(a::HUGEINT) AS sa,
+             sum(CAST(round(e, 9) AS DECIMAL(28,9))) AS se,
+             sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS sv,
+             sum(CAST(round(adn, 9) AS DECIMAL(28,9))) AS sad,
+             sum(CAST(round(bcn, 9) AS DECIMAL(28,9))) AS sbc
+      FROM terms
+    ),
+    stat AS (
+      SELECT tot, k, sv, sad, sbc,
+             CASE WHEN sv::DOUBLE > 0 THEN
+               (abs(sa::DOUBLE - se::DOUBLE) - 0.5)
+               * (abs(sa::DOUBLE - se::DOUBLE) - 0.5) / sv::DOUBLE
+             END AS cmh
+      FROM agg
+    ),
+    pv AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(sqrt(cmh)) / sqrt(2.0))))
+               AS u
+      FROM stat
+    )
+    SELECT tot::BIGINT AS n, k::BIGINT AS k_strata,
+           round(cmh, 9) AS cmh,
+           round(u * (0.254829592 + u * (-0.284496736
+             + u * (1.421413741
+             + u * (-1.453152027 + u * 1.061405429))))
+             * exp(-(abs(sqrt(cmh)) / sqrt(2.0))
+                   * (abs(sqrt(cmh)) / sqrt(2.0))), 9) AS p_approx,
+           round(sad::DOUBLE / nullif(sbc::DOUBLE, 0), 9) AS or_mh
+    FROM pv
+    """,
+)
+def cmh_purchase_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + MH common odds ratio of
+    purchase-vs-arm association stratified by activity tertile
+    (operators.evaluation.cmh_test) — the confounder-adjusted A/B
+    verdict beside ab_simpsons_check's reversal detector: test within
+    strata, pool the evidence; OR_MH is the common effect estimate.
+    Exact integer cells; E/V/OR terms decimal-quantized on the stratum
+    axis."""
+    from ..operators.evaluation import cmh_test
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "y",
+            (F.col("user_id") % 2).cast("string").alias("g"),
+        )
+    )
+    strat = users.select(
+        F.ntile(3)
+        .over(Window.orderBy(F.col("n_events"), F.col("user_id")))
+        .alias("s"),
+        "g",
+        "y",
+    )
+    return cmh_test(strat, "s", "g", "y")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -261,6 +261,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "emb_spectral_gap",
     "esd_outlier_days",
     "yuen_trimmed_doclen",
+    "cmh_purchase_by_activity",
 ])
 
 

@@ -815,6 +815,7 @@ QUERY_CASES = [
     "emb_spectral_gap",
     "esd_outlier_days",
     "yuen_trimmed_doclen",
+    "cmh_purchase_by_activity",
 ]
 
 

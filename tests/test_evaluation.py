@@ -1704,3 +1704,28 @@ def test_yuen_trimmed_hand_case(spark):
     assert abs(out["tmean_b"]) < 20
     with pytest.raises(ValueError):
         yuen_trimmed_t(a, b, "v", trim=0.6)
+
+
+def test_cmh_pools_within_stratum_evidence(spark):
+    from riot_graphs_spark.operators.evaluation import cmh_test
+
+    # within each stratum arm '0' converts 3x more; pooled table would
+    # see it too, but build a Simpson-prone imbalance anyway
+    rows = []
+    for s, (n0, n1) in (("lo", (60, 20)), ("hi", (20, 60))):
+        for i in range(n0):
+            rows.append((s, "0", 1 if i < n0 * 0.6 else 0))
+        for i in range(n1):
+            rows.append((s, "1", 1 if i < n1 * 0.2 else 0))
+    df = spark.createDataFrame(rows, "s string, g string, y int")
+    out = cmh_test(df, "s", "g", "y").collect()[0]
+    assert out["k_strata"] == 2 and out["n"] == 160
+    assert out["or_mh"] > 3.0  # strong common association
+    assert out["p_approx"] < 0.01
+    # no-association case: flag independent of arm
+    flat = spark.createDataFrame(
+        [("s1", str(i % 2), i % 3 == 0) for i in range(120)],
+        "s string, g string, y boolean",
+    )
+    res = cmh_test(flat, "s", "g", "y").collect()[0]
+    assert res["p_approx"] > 0.2
