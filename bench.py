@@ -422,6 +422,7 @@ HEADLINE = [
     "esd_outlier_days",
     "yuen_trimmed_doclen",
     "cmh_purchase_by_activity",
+    "binseg_daily_value",
 ]
 
 

@@ -3791,3 +3791,132 @@ def esd_extremes(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+) -> DataFrame:
+    """Two-level binary-segmentation changepoint search over bucket
+    means — the MULTI-changepoint extension of
+    :func:`cusum_changepoint` / :func:`pettitt_changepoint` (both find
+    ONE shift; two shifts mask each other): level 1 picks the split
+    maximizing the between-segment sum-of-squares gain
+
+        gain(t) = S_L²/n_L + S_R²/n_R − S²/n
+
+    over the whole series; level 2 repeats inside each half.  Segment
+    sums are exact decimal PREFIX sums over the bucket axis (round-
+    before-cast ``decimal(18,6)`` bucket means), so every gain is one
+    IEEE expression on identical doubles in any engine — argmax ties
+    break to the earliest bucket deterministically.  Plan: one fact
+    reduce, one cumulative window over n buckets, three n-row candidate
+    scans with the level-1 pick broadcast.
+
+    Output: up to 3 rows — ``(level bigint, segment string ∈
+    {'all','left','right'}, change_bucket timestamp, n_segment bigint,
+    gain double)``; a segment too short to split (< 2 buckets) emits
+    nothing.
+    """
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    buckets = (
+        df.filter(keep)
+        .groupBy(F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            F.round(
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).cast("decimal(18,6)").alias("_m")
+        )
+    )
+    w_ord = Window.orderBy("_b")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    idx = buckets.select(
+        "_b",
+        F.row_number().over(w_ord).alias("_t"),
+        F.sum("_m").over(w_cum).alias("_cum"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.sum("_m").over(w_all).alias("_tot"),
+    ).localCheckpoint(eager=False)
+
+    def gain(cum_l, n_l, cum_all, n_all):
+        cl = cum_l.cast("double")
+        ca = cum_all.cast("double")
+        nl = n_l.cast("double")
+        na = n_all.cast("double")
+        cr = ca - cl
+        nr = na - nl
+        return cl * cl / nl + cr * cr / nr - ca * ca / na
+
+    def pick(cand: DataFrame, level: int, segment: str) -> DataFrame:
+        w_pick = Window.orderBy(F.col("_gain").desc(), F.col("_t").asc())
+        return (
+            cand.withColumn("_pk", F.row_number().over(w_pick))
+            .filter(F.col("_pk") == 1)
+            .select(
+                F.lit(level).cast("long").alias("level"),
+                F.lit(segment).alias("segment"),
+                F.col("_b").cast("timestamp").alias("change_bucket"),
+                F.col("_nseg").cast("long").alias("n_segment"),
+                F.round(F.col("_gain"), 9).alias("gain"),
+                F.col("_t").alias("_split_t"),
+            )
+        )
+
+    cand1 = idx.filter(F.col("_t") < F.col("_n")).select(
+        "_b",
+        "_t",
+        F.col("_n").alias("_nseg"),
+        gain(F.col("_cum"), F.col("_t"), F.col("_tot"), F.col("_n")).alias(
+            "_gain"
+        ),
+    )
+    # NB: boundary column is "_bt", NOT "_T" — Spark resolves column
+    # names case-insensitively, so "_T" would collide with "_t"
+    p1 = pick(cand1, 1, "all").localCheckpoint(eager=False)
+    split = p1.select(
+        F.col("_split_t").alias("_bt"),
+    )
+    boundary = (
+        idx.join(F.broadcast(split), idx["_t"] == split["_bt"])
+        .select(
+            split["_bt"].alias("_bt"),
+            idx["_cum"].alias("_cumT"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    withb = idx.crossJoin(F.broadcast(boundary))
+    # left half: rows 1..T, candidates t < T
+    cand_l = withb.filter(F.col("_t") < F.col("_bt")).select(
+        "_b",
+        "_t",
+        F.col("_bt").alias("_nseg"),
+        gain(
+            F.col("_cum"), F.col("_t"), F.col("_cumT"), F.col("_bt")
+        ).alias("_gain"),
+    )
+    # right half: rows T+1..n, candidates T < t < n
+    cand_r = withb.filter(
+        (F.col("_t") > F.col("_bt")) & (F.col("_t") < F.col("_n"))
+    ).select(
+        "_b",
+        "_t",
+        (F.col("_n") - F.col("_bt")).alias("_nseg"),
+        gain(
+            F.col("_cum") - F.col("_cumT"),
+            F.col("_t") - F.col("_bt"),
+            F.col("_tot") - F.col("_cumT"),
+            F.col("_n") - F.col("_bt"),
+        ).alias("_gain"),
+    )
+    out = (
+        p1.unionByName(pick(cand_l, 2, "left"))
+        .unionByName(pick(cand_r, 2, "right"))
+        .drop("_split_t")
+    )
+    return out

@@ -20658,6 +20658,89 @@ def cmh_purchase_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmh_test(strat, "s", "g", "y")
 
 
+
+@_q(
+    "binseg_daily_value",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(18,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT bk, row_number() OVER (ORDER BY bk) AS t,
+             sum(m) OVER (ORDER BY bk) AS cum,
+             count(*) OVER () AS n, sum(m) OVER () AS tot
+      FROM b
+    ),
+    c1 AS (
+      SELECT bk, t, n AS nseg,
+             cum::DOUBLE * cum::DOUBLE / t::DOUBLE
+             + (tot::DOUBLE - cum::DOUBLE)
+               * (tot::DOUBLE - cum::DOUBLE) / (n::DOUBLE - t::DOUBLE)
+             - tot::DOUBLE * tot::DOUBLE / n::DOUBLE AS gain
+      FROM idx WHERE t < n
+    ),
+    p1 AS (
+      SELECT * FROM c1 ORDER BY gain DESC, t ASC LIMIT 1
+    ),
+    bd AS (
+      SELECT idx.t AS T, idx.cum AS cumT
+      FROM idx JOIN p1 ON idx.t = p1.t
+    ),
+    cl AS (
+      SELECT idx.bk, idx.t, bd.T AS nseg,
+             idx.cum::DOUBLE * idx.cum::DOUBLE / idx.t::DOUBLE
+             + (bd.cumT::DOUBLE - idx.cum::DOUBLE)
+               * (bd.cumT::DOUBLE - idx.cum::DOUBLE)
+               / (bd.T::DOUBLE - idx.t::DOUBLE)
+             - bd.cumT::DOUBLE * bd.cumT::DOUBLE / bd.T::DOUBLE AS gain
+      FROM idx CROSS JOIN bd WHERE idx.t < bd.T
+    ),
+    pl AS (SELECT * FROM cl ORDER BY gain DESC, t ASC LIMIT 1),
+    cr AS (
+      SELECT idx.bk, idx.t, (idx.n - bd.T) AS nseg,
+             (idx.cum::DOUBLE - bd.cumT::DOUBLE)
+               * (idx.cum::DOUBLE - bd.cumT::DOUBLE)
+               / (idx.t::DOUBLE - bd.T::DOUBLE)
+             + ((idx.tot::DOUBLE - bd.cumT::DOUBLE)
+                - (idx.cum::DOUBLE - bd.cumT::DOUBLE))
+               * ((idx.tot::DOUBLE - bd.cumT::DOUBLE)
+                  - (idx.cum::DOUBLE - bd.cumT::DOUBLE))
+               / ((idx.n::DOUBLE - bd.T::DOUBLE)
+                  - (idx.t::DOUBLE - bd.T::DOUBLE))
+             - (idx.tot::DOUBLE - bd.cumT::DOUBLE)
+               * (idx.tot::DOUBLE - bd.cumT::DOUBLE)
+               / (idx.n::DOUBLE - bd.T::DOUBLE) AS gain
+      FROM idx CROSS JOIN bd WHERE idx.t > bd.T AND idx.t < idx.n
+    ),
+    pr AS (SELECT * FROM cr ORDER BY gain DESC, t ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+           bk AS change_bucket, nseg::BIGINT AS n_segment,
+           round(gain, 9) AS gain
+    FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'left', bk, nseg::BIGINT, round(gain, 9)
+    FROM pl
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'right', bk, nseg::BIGINT, round(gain, 9)
+    FROM pr
+    """,
+)
+def binseg_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary-segmentation changepoints over daily event-value
+    means (operators.timeseries.binseg_changepoints) — the multi-shift
+    extension of the single-changepoint CUSUM/Pettitt pair: best
+    between-segment sum-of-squares split of the whole series, then of
+    each half.  Exact decimal prefix sums on the bucket axis; every
+    gain is one IEEE expression, earliest-bucket argmax tiebreak."""
+    from ..operators.timeseries import binseg_changepoints
+
+    return binseg_changepoints(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

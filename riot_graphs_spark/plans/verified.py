@@ -262,6 +262,7 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "esd_outlier_days",
     "yuen_trimmed_doclen",
     "cmh_purchase_by_activity",
+    "binseg_daily_value",
 ])
 
 

@@ -816,6 +816,7 @@ QUERY_CASES = [
     "esd_outlier_days",
     "yuen_trimmed_doclen",
     "cmh_purchase_by_activity",
+    "binseg_daily_value",
 ]
 
 

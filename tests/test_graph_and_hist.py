@@ -2420,3 +2420,23 @@ def test_esd_unmasks_second_outlier(spark):
     assert out[2]["n_buckets"] == 13  # moments re-estimated sans round-1
     with pytest.raises(ValueError):
         esd_extremes(df, rounds=0)
+
+
+def test_binseg_finds_both_level_shifts(spark):
+    from riot_graphs_spark.operators.timeseries import binseg_changepoints
+
+    # three level segments: 1..8 at 10, 9..16 at 50, 17..24 at 90
+    vals = [10.0] * 8 + [50.0] * 8 + [90.0] * 8
+    df = spark.createDataFrame(
+        _daily(vals), "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["segment"]: r for r in binseg_changepoints(df).collect()}
+    # both boundaries tie on gain (symmetric segments) -> earliest wins
+    # at level 1 (day 8); level 2 finds the remaining shift inside the
+    # right half (day 16); the constant left half has gain 0
+    assert str(out["all"]["change_bucket"]).startswith("2024-01-08")
+    assert str(out["right"]["change_bucket"]).startswith("2024-01-16")
+    assert out["all"]["gain"] == pytest.approx(19200.0)
+    assert out["right"]["gain"] > 0
+    assert out["left"]["gain"] == pytest.approx(0.0)
+    assert out["all"]["n_segment"] == 24 and out["right"]["n_segment"] == 16
