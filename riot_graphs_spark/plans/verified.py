@@ -239,7 +239,7 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: the head of the r09 window automatically.
 #:
 #: r09: the 50-slot window was exactly filled (4 r08 deferrals + 30 early
-#: round-9 registrations + 16 window fillers); the 15 registrations below
+#: round-9 registrations + 16 window fillers); the 19 registrations below
 #: landed after that and defer to the r10 window head (each driver-replica
 #: green at sf0.01 AND sf0.001 locally this session — the full-sweep run
 #: plus per-query dual-SF checks at registration time).
