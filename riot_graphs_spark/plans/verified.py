@@ -207,9 +207,35 @@ _ROUND_8 = [
     "keep_rate_eb_shrunk_by_source", "vocab_jaccard_sources",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r09.json.
+#: All 50 window slots went green on first driver contact: the 4 r08-deferred
+#: names head the file, followed by 46 round-9 registrations.  The 19
+#: registrations deferred during r09 (see DEFER_TO_NEXT_WINDOW history below)
+#: head the r10 window instead.
+_ROUND_9 = [
+    "retention_na_hazard", "ts_interarrival_expfit",
+    "retention_survival_summary", "emb_cells_vs_labels_ari",
+    "chi2_lang_source", "jarque_bera_value", "kendall_tau_len_tokens",
+    "cliffs_delta_doclen", "hl_shift_doclen", "importance_weighted_doclen",
+    "partial_corr_price_qty_disc", "ols_tokens_chars", "ts_runs_test",
+    "ts_ljung_box", "ts_variance_ratio", "ts_hurst_hourly", "ts_pacf",
+    "ts_sax_motifs", "emb_isotropy", "emb_covariance_pairs",
+    "emb_centroid_margin", "emb_label_cosine_contrast", "pii_scan_report",
+    "feature_hash_audit", "rake_keywords_top", "text_script_profile",
+    "vocab_simpson_diversity", "term_burstiness_top", "text_compressibility",
+    "graph_assortativity", "graph_link_prediction", "graph_bfs_layers",
+    "markov_stationary_events", "attribution_time_decay",
+    "hellinger_doclen_sources", "hill_tail_price", "mahalanobis_outlier_docs",
+    "huber_location_price", "pettitt_daily_value", "grubbs_daily_value",
+    "gumbel_hourly_burst", "granger_clicks_purchases", "friedman_event_types",
+    "cochran_q_quality_flags", "mcc_langid_en", "isotonic_purchase_by_activity",
+    "cvm_doclen_en_rest", "vif_doc_features", "neyman_allocation_quality",
+    "textrank_keywords_top",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
-    + _ROUND_7 + _ROUND_8
+    + _ROUND_7 + _ROUND_8 + _ROUND_9
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
@@ -239,31 +265,15 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: the head of the r09 window automatically.
 #:
 #: r09: the 50-slot window was exactly filled (4 r08 deferrals + 30 early
-#: round-9 registrations + 16 window fillers); the 19 registrations below
-#: landed after that and defer to the r10 window head (each driver-replica
-#: green at sf0.01 AND sf0.001 locally this session — the full-sweep run
-#: plus per-query dual-SF checks at registration time).
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
-    "wasserstein_doclen_en_rest",
-    "krippendorff_lang_alpha",
-    "markov_entropy_rate",
-    "event_pmi_userday",
-    "mixture_temperature_sources",
-    "pairwise_welch_holm",
-    "emb_power_iteration_top",
-    "ad_doclen_en_rest",
-    "dtw_clicks_purchases",
-    "ab_srm_check",
-    "ab_cuped_value",
-    "revenue_lorenz_deciles",
-    "feature_info_gain",
-    "pairwise_welch_by_fdr",
-    "emb_spectral_gap",
-    "esd_outlier_days",
-    "yuen_trimmed_doclen",
-    "cmh_purchase_by_activity",
-    "binseg_daily_value",
-])
+#: round-9 registrations + 16 window fillers); 19 registrations landed after
+#: that and deferred to the r10 window head (each driver-replica green at
+#: sf0.01 AND sf0.001 locally during round 9).
+#:
+#: Emptied for r10 alongside appending _ROUND_9: those 19 names now have no
+#: driver row and no defer mark, so the unverified-first rule puts them at
+#: the head of the r10 window automatically; new round-10 registrations fill
+#: the remaining ~31 slots.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([])
 
 
 def rotation_order(
