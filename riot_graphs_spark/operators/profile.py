@@ -2183,7 +2183,9 @@ def mahalanobis_diag_outliers(
     Exactness: features must be INTEGER-valued; per-feature sums and
     sums-of-squares are carried in ``decimal(38,0)`` (exact at any
     corpus size), so μ_i and population σ²_i are identical doubles in
-    any engine; each row's d² is then one fixed IEEE expression.
+    any engine; each row's d² is then one fixed IEEE expression.  A
+    zero-variance (constant) feature contributes 0 to d² — outliers on
+    the remaining features still surface.
     Plan: scan 1 reduces moments to ONE broadcast row; scan 2 computes
     d² per row and TakeOrderedAndProject keeps the global top-k
     (id-tiebroken) — no global sort, no driver loop.
@@ -2215,7 +2217,10 @@ def mahalanobis_diag_outliers(
             F.col(f"_q_{c}").cast("double") / n - mu * mu
         )
         z = F.col(c).cast("double") - mu
-        d2 = d2 + F.try_divide(z * z, var)
+        # A zero-variance (constant) feature contributes 0, not NULL:
+        # try_divide alone would NULL-poison d2 for EVERY row and turn the
+        # top-k into an arbitrary id-ordered prefix with NULL distances.
+        d2 = d2 + F.coalesce(F.try_divide(z * z, var), F.lit(0.0))
     return (
         scored.select(
             id_col, *feats, F.round(d2, 9).alias("d2")
@@ -2249,7 +2254,8 @@ def huber_location(
     rule), so every iterate — and hence the fixed-iteration output — is
     bit-deterministic and loop-unrollable as chained SQL CTEs.
     μ₀ = the lower median.  Degenerate s = 0 (over half the mass on one
-    value) falls back to μ = m by construction (all weights 1 cap).
+    value) keeps μ = m via an explicit gate on the update (with s = 0
+    every weight is 1, so an ungated step would drift to the plain mean).
 
     Output: one row — ``(n bigint, median_low double, mad_low double,
     mean double, huber_mu double)``.
@@ -2313,9 +2319,16 @@ def huber_location(
             "_n",
             "_med",
             "_s",
-            (
-                F.col("_swx").cast("double") / F.col("_sw").cast("double")
-            ).alias("_mu"),
+            # Degenerate s = 0 (over half the mass on one value): the Huber
+            # weights are all 1 and the step would drift to the plain mean —
+            # keep mu pinned at the median instead (gate mirrored in the
+            # DuckDB oracle's CASE).
+            F.when(
+                F.col("_s") > 0,
+                F.col("_swx").cast("double") / F.col("_sw").cast("double"),
+            )
+            .otherwise(F.col("_med"))
+            .alias("_mu"),
         )
     # decimal-carried mean: order-free, engine-identical
     mean_df = vals.agg(

@@ -682,9 +682,13 @@ def textrank_keywords(
     from .textstats import STOPWORDS, tokens
 
     toks = tokens(text_col)
+    # Slice lengths clamp at 0: a document whose text yields no tokens
+    # (empty, punctuation-only, non-Latin script) must contribute an empty
+    # pair array, not a negative-length slice (INVALID_PARAMETER_VALUE).
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
     exploded = (

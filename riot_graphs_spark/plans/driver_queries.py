@@ -17070,12 +17070,12 @@ def hill_tail_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_chars, n_tokens, n_punct,
            round(
-             (n_chars::DOUBLE - mu1) * (n_chars::DOUBLE - mu1)
-               / nullif(v1, 0)
-             + (n_tokens::DOUBLE - mu2) * (n_tokens::DOUBLE - mu2)
-               / nullif(v2, 0)
-             + (n_punct::DOUBLE - mu3) * (n_punct::DOUBLE - mu3)
-               / nullif(v3, 0), 9) AS d2
+             coalesce((n_chars::DOUBLE - mu1) * (n_chars::DOUBLE - mu1)
+               / nullif(v1, 0), 0)
+             + coalesce((n_tokens::DOUBLE - mu2) * (n_tokens::DOUBLE - mu2)
+               / nullif(v2, 0), 0)
+             + coalesce((n_punct::DOUBLE - mu3) * (n_punct::DOUBLE - mu3)
+               / nullif(v3, 0), 0), 9) AS d2
     FROM base CROSS JOIN mm
     ORDER BY d2 DESC, doc_id ASC LIMIT 10
     """,
@@ -17125,8 +17125,10 @@ def mahalanobis_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     it0 AS (SELECT (SELECT m FROM med) AS mu),
     it1 AS MATERIALIZED (
-      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
-           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      SELECT CASE WHEN (SELECT s FROM mad) > 0 THEN
+               CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             ELSE (SELECT m FROM med) END AS mu
       FROM (
         SELECT v,
                CASE WHEN (SELECT s FROM mad) > 0
@@ -17139,8 +17141,10 @@ def mahalanobis_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     it2 AS MATERIALIZED (
-      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
-           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      SELECT CASE WHEN (SELECT s FROM mad) > 0 THEN
+               CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             ELSE (SELECT m FROM med) END AS mu
       FROM (
         SELECT v,
                CASE WHEN (SELECT s FROM mad) > 0
@@ -17153,8 +17157,10 @@ def mahalanobis_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     it3 AS MATERIALIZED (
-      SELECT CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
-           / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS mu
+      SELECT CASE WHEN (SELECT s FROM mad) > 0 THEN
+               CAST(sum(CAST(round(w * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             ELSE (SELECT m FROM med) END AS mu
       FROM (
         SELECT v,
                CASE WHEN (SELECT s FROM mad) > 0
