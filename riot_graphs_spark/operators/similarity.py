@@ -1572,6 +1572,56 @@ def isotropy_score(
     )
 
 
+def _row_local_dim_pairs(
+    df: DataFrame, vec_col: str, scale: int, include_diagonal: bool
+) -> DataFrame:
+    """Row-local (i, j) dimension-pair fan-out for covariance moments:
+    scale the vector to exact ×``scale`` integers ONCE (staged as a
+    materialized select column — the HOF re-evaluation rule), then
+    chain two posexplodes — the element, and the slice of the array
+    from that element's successor (or the element itself when
+    ``include_diagonal``).  Both pair members come from the SAME row's
+    array, so the fan-out is generate→generate with zero shuffle; the
+    caller's groupBy is the first (and only) Exchange, fed map-side
+    combined d² states.  Replaces the former id-keyed posexplode
+    self-join, which shuffled the 2·n·d exploded corpus by id before
+    the same filter.
+
+    Output: ``(_ia int, _ib int, _sa long, _sb long)``.
+    """
+    scaled = df.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(
+            vec_col,
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(scale)), 0
+            ).cast("long"),
+        ).alias("_sv")
+    )
+    left = scaled.select(
+        F.col("_sv"), F.posexplode("_sv").alias("_ia", "_sa")
+    )
+    if include_diagonal:
+        start, j_off = F.col("_ia") + F.lit(1), F.col("_off")
+        length = F.size("_sv") - F.col("_ia")
+    else:
+        start, j_off = F.col("_ia") + F.lit(2), F.col("_off") + F.lit(1)
+        length = F.greatest(
+            F.size("_sv") - F.col("_ia") - F.lit(1), F.lit(0)
+        )
+    return left.select(
+        "_ia",
+        "_sa",
+        F.posexplode(F.slice(F.col("_sv"), start, length)).alias(
+            "_off", "_sb"
+        ),
+    ).select(
+        "_ia",
+        (F.col("_ia") + j_off).cast("int").alias("_ib"),
+        "_sa",
+        "_sb",
+    )
+
+
 def covariance_top_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1589,31 +1639,20 @@ def covariance_top_pairs(
     ~7 digits — deterministic, engine-identical), so every moment sum
     rides decimal(38,0) and each correlation forms from EXACT integer
     differences (the :func:`~..operators.profile.partial_correlation`
-    discipline).  The pair fan-out is per-ROW d²/2 (a posexplode
-    self-join keyed on the id — never a corpus×corpus product); the
-    ranking runs on the d²-row aggregate.
+    discipline).  The pair fan-out is per-ROW d²/2 and ROW-LOCAL: both
+    pair members come from the same row's array, so a chained
+    posexplode over the array and its tail slice generates every
+    (i, j>i) pair with ZERO shuffle before the partial aggregate —
+    never an id-keyed self-join (which would ship the 2·n·d exploded
+    corpus through an exchange twice), never a corpus×corpus product.
+    The only Exchange in the plan is the d²/2-row aggregate itself
+    (map-side combine reduces to d²/2 states per task first).
 
     Output: *top_k* rows — ``(dim_i int, dim_j int, n bigint,
     corr double)`` ordered |corr| desc (ties: dim_i, dim_j asc).
     """
     dec = "decimal(38,0)"
-    comps = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(vec_col).alias("_i", "_x"),
-    ).select(
-        "_id",
-        "_i",
-        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
-        .cast("long")
-        .alias("_s"),
-    )
-    a = comps.select(
-        "_id", F.col("_i").alias("_ia"), F.col("_s").alias("_sa")
-    )
-    b = comps.select(
-        "_id", F.col("_i").alias("_ib"), F.col("_s").alias("_sb")
-    )
-    pairs = a.join(b, "_id").filter(F.col("_ia") < F.col("_ib"))
+    pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=False)
     agg = pairs.groupBy("_ia", "_ib").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_sa").cast(dec)).alias("_sx"),
@@ -1806,26 +1845,12 @@ def _scaled_cov_matrix(
 ) -> DataFrame:
     """Full (i, j, c) covariance matrix of the embedding dims from
     ×``scale`` exact-integer moments (the :func:`covariance_top_pairs`
-    discipline): upper-triangle pair fan-out per ROW, mirrored after the
-    aggregate; lazily checkpointed — d² rows serve every consumer."""
+    discipline): ROW-LOCAL upper-triangle pair fan-out
+    (:func:`_row_local_dim_pairs` — zero shuffle before the d²-state
+    partial aggregate, no id-keyed self-join exchange), mirrored after
+    the aggregate; lazily checkpointed — d² rows serve every consumer."""
     d0 = "decimal(38,0)"
-    comps = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(vec_col).alias("_i", "_x"),
-    ).select(
-        "_id",
-        "_i",
-        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
-        .cast("long")
-        .alias("_s"),
-    )
-    a = comps.select(
-        "_id", F.col("_i").alias("_ia"), F.col("_s").alias("_sa")
-    )
-    b = comps.select(
-        "_id", F.col("_i").alias("_ib"), F.col("_s").alias("_sb")
-    )
-    pairs = a.join(b, "_id").filter(F.col("_ia") <= F.col("_ib"))
+    pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=True)
     agg = pairs.groupBy("_ia", "_ib").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_sa").cast(d0)).alias("_sx"),

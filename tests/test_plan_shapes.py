@@ -1585,3 +1585,42 @@ def test_info_gain_single_scan_union(spark):
     assert "Union" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_covariance_pairs_row_local_fanout(spark):
+    # The dimension-pair fan-out is generated row-locally (chained
+    # posexplode over the array and its tail slice) — NO id-keyed
+    # self-join exchange shipping the 2*n*d exploded corpus before the
+    # d^2-state partial aggregate.  The only shuffles allowed are the
+    # pair aggregate and the global top-k window.
+    plan = formatted_plan(spark, "emb_covariance_pairs")
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 2
+    assert re.search(r"partial_(count|sum)", plan)
+    assert shuffle_count(plan) <= 2  # pair agg + top-k window
+    assert "EvalPython" not in plan
+
+
+def test_cov_matrix_shared_stage_row_local(spark):
+    # The pair fan-out feeding _scaled_cov_matrix (shared by power
+    # iteration / spectral gap consumers) must keep the zero-join
+    # row-local shape: generate -> generate -> single agg exchange.
+    # (_scaled_cov_matrix itself localCheckpoints, which truncates the
+    # visible lineage, so the pin sits on the pre-checkpoint helper.)
+    import pyspark.sql.functions as F
+
+    from riot_graphs_spark.operators.similarity import _row_local_dim_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = _row_local_dim_pairs(emb, "embedding", 1000000,
+                                 include_diagonal=True)
+    agg = pairs.groupBy("_ia", "_ib").agg(F.count(F.lit(1)).alias("_n"))
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 2
+    assert shuffle_count(plan) <= 1  # the d^2-state aggregate only
+    assert re.search(r"partial_count", plan)
