@@ -590,7 +590,12 @@ def bfs_layers(
     each followed by an anti-join against the visited set — the shape a
     1000-executor BFS actually runs (per-level joins, no driver-side
     frontier).  Every level is distinct-keyed; visited stays a node-id
-    set.  Output: one row per layer — ``(layer int, n_nodes bigint)``
+    set.  Each level's frontier and visited set are lazily
+    ``localCheckpoint``-ed (the :func:`spectral_gap_top2` /
+    ``markov_entropy_rate`` iteration discipline) so level d's anti-join
+    reads a materialized node set instead of re-expanding the full
+    lineage of levels 1..d−1 inside one action.
+    Output: one row per layer — ``(layer int, n_nodes bigint)``
     (layer 0 = seeds; unreached nodes absent).
     """
     sym = _sym(edges)
@@ -605,9 +610,9 @@ def bfs_layers(
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-        )
+        ).localCheckpoint(eager=False)
         out.append(nxt.select(F.lit(d).alias("layer"), "node"))
-        visited = visited.union(nxt).distinct()
+        visited = visited.union(nxt).distinct().localCheckpoint(eager=False)
         frontier = nxt
     allrows = out[0]
     for o in out[1:]:
