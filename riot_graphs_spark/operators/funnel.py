@@ -244,6 +244,113 @@ def km_survival(
     )
 
 
+def km_bands(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Kaplan-Meier curve WITH uncertainty: Greenwood standard error and
+    log-log 95% confidence bands — the "is this retention drop real or
+    five users of noise" companion :func:`km_survival`'s point estimate
+    can't answer.
+
+        G(t)  = Σ_{tᵢ≤t} dᵢ / (nᵢ·(nᵢ−dᵢ))      (Greenwood cumulative)
+        se(t) = S(t)·√G(t)                         (Greenwood SE)
+        band  = S(t)^exp(± z·√G(t) / ln S(t))      (log-log transform)
+
+    The log-log form keeps both bands inside (0, 1) by construction —
+    the plain ``S ± z·se`` Wald band leaks past 1 near the start and
+    below 0 in the tail, exactly where retention curves are read.
+    Bands are NULL while S = 1 (no events yet — the transform is
+    undefined at ln S = 0) and at/after the S = 0 pin.
+
+    Same single-scan plan as :func:`km_survival`: one groupBy to the
+    per-duration table, windows over the bounded time axis only.  Every
+    transcendental (ln, exp, √) is quantized through decimal(28,12)
+    before reuse and the running sums ride exact decimal — the
+    cross-engine libm-ulp guard — so curve, SE and bands are
+    engine-identical.
+
+    Output per distinct duration: ``(t, n_at_risk, n_events,
+    n_censored, survival, se double, ci_lo double, ci_hi double)``.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(28,12)"
+    t = F.col(duration_col)
+    per_t = df.groupBy(t.alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(
+            (F.lit(1) - F.col(event_col).cast("long"))
+        ).alias("n_censored"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    total = per_t.agg(F.sum("_rows").alias("_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nat = F.col("n_at_risk").cast("double")
+    d = F.col("n_events").cast("double")
+    staged = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("_total")
+            - F.coalesce(F.sum("_rows").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "_ln",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.log(F.lit(1.0) - d / nat).cast(dec),
+            ),
+        )
+        .withColumn(
+            "_g",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                (d / (nat * (nat - d))).cast(dec),
+            ).otherwise(F.lit(0).cast(dec)),
+        )
+        .withColumn(
+            "_zero",
+            F.max(
+                (F.col("n_events") == F.col("n_at_risk")).cast("int")
+            ).over(w_cum),
+        )
+        .withColumn("_cum", F.sum("_ln").over(w_cum))
+        .withColumn("_cumg", F.sum("_g").over(w_cum))
+    )
+    lns = F.col("_cum").cast("double")
+    surv = (
+        F.when(F.col("_zero") == 1, F.lit(0.0))
+        .otherwise(F.exp(lns).cast(dec).cast("double"))
+    )
+    sqrtg = F.sqrt(F.col("_cumg").cast("double")).cast(dec).cast("double")
+    live = (F.col("_zero") == 0) & (lns < 0)
+    delta = F.when(
+        live, (F.lit(z) * sqrtg / -lns).cast(dec).cast("double")
+    )
+    e_lo = F.exp(delta).cast(dec).cast("double")
+    e_hi = F.exp(-delta).cast(dec).cast("double")
+    ci_lo = F.exp(e_lo * lns).cast(dec).cast("double")
+    ci_hi = F.exp(e_hi * lns).cast(dec).cast("double")
+    return staged.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+        F.round(surv * sqrtg, 9).alias("se"),
+        F.round(ci_lo, 9).alias("ci_lo"),
+        F.round(ci_hi, 9).alias("ci_hi"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     duration_col: str,

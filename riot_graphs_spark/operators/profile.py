@@ -1303,8 +1303,8 @@ def benford_first_digit(
     GENERAL positive magnitude this rounding step misbuckets values near
     an all-nines boundary (0.995 with decimals=2 rounds to 100 → digit 1,
     not 9) and silently drops values below ``0.5·10^-decimals``; audit
-    such columns by deriving the digit from the unrounded significand
-    instead (not what a 2-decimal amount column needs, so not done here).
+    such columns with :func:`benford_significand`, which derives the
+    digit from the normalized scientific form at any magnitude.
 
     Output: one row per observed digit — ``(digit int, n bigint,
     share double, expected double, abs_dev double)``.
@@ -1317,6 +1317,57 @@ def benford_first_digit(
     digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
     counts = (
         df.filter(F.col(value_col).isNotNull() & (scaled > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    expected = F.lit(0.0)
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == d, F.lit(math.log10(1 + 1 / d))
+        ).otherwise(expected)
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 9).alias("share"),
+        F.round(expected, 9).alias("expected"),
+        F.round(F.abs(share - expected), 9).alias("abs_dev"),
+    )
+
+
+def benford_significand(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """Benford first-digit audit for a GENERAL positive magnitude — the
+    variant :func:`benford_first_digit`'s PRECONDITION rules out: that
+    form scales by ``10^decimals`` and rounds to an integer, which
+    misbuckets all-nines values and drops sub-resolution ones on a
+    column that is not already exact at fixed decimals.  Here the digit
+    comes from the NORMALIZED SCIENTIFIC FORM of the double itself:
+    ``format_string('%.6e', x)`` renders ``d.dddddde±XX`` and the first
+    character is the first significant digit at any magnitude —
+    engine-stable because both engines format the SAME IEEE double with
+    C-printf rounding semantics (never ``log10``-bucketing, whose
+    power-of-ten boundary ulp flips digits between libms).  The 6-digit
+    mantissa rounding can carry an all-nines-at-7-digits value to the
+    next decade, but it carries identically in both engines.
+
+    Zero/negative/NULL rows are excluded.  Same plan as the fixed-
+    decimals form: one count groupBy on a 9-ary key, shares over the
+    digit axis, expected shares Python literals.
+
+    Output: one row per observed digit — ``(digit int, n bigint,
+    share double, expected double, abs_dev double)``.
+    """
+    import math
+
+    v = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.format_string("%.6e", v), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(v.isNotNull() & (v > 0))
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -20747,6 +20747,163 @@ def binseg_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binseg_changepoints(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "retention_km_bands",
+    """
+    WITH per_u AS (
+      SELECT user_id,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN date_diff('day', min(ts)::DATE,
+                         min(ts) FILTER (WHERE event_type = 'error'
+                           AND event_id % 5 = 0)::DATE)
+                  ELSE date_diff('day', min(ts)::DATE,
+                         (SELECT max(ts)::DATE FROM events)) END AS duration,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN 1 ELSE 0 END AS event
+      FROM events GROUP BY 1
+    ),
+    per_t AS (
+      SELECT duration AS t, sum(event) AS n_events,
+             sum(1 - event) AS n_censored, count(*) AS rows_
+      FROM per_u GROUP BY 1
+    ),
+    tot AS (SELECT sum(rows_) AS total FROM per_t),
+    staged AS (
+      SELECT t, n_events, n_censored,
+             total - coalesce(sum(rows_) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM per_t, tot
+    ),
+    s2 AS (
+      SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             CAST(n_events AS BIGINT) AS n_events,
+             CAST(n_censored AS BIGINT) AS n_censored,
+             CASE WHEN n_events < n_at_risk
+                  THEN CAST(ln(CAST(1 AS DOUBLE)
+                         - CAST(n_events AS DOUBLE) / n_at_risk)
+                       AS DECIMAL(28,12)) END AS lnv,
+             CASE WHEN n_events < n_at_risk
+                  THEN CAST(CAST(n_events AS DOUBLE)
+                         / (CAST(n_at_risk AS DOUBLE)
+                            * (CAST(n_at_risk AS DOUBLE)
+                               - CAST(n_events AS DOUBLE)))
+                       AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END AS gv,
+             CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS zf
+      FROM staged
+    ),
+    s3 AS (
+      SELECT t, n_at_risk, n_events, n_censored,
+             max(zf) OVER wc AS zero, sum(lnv) OVER wc AS cum,
+             sum(gv) OVER wc AS cumg
+      FROM s2
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s4 AS (
+      SELECT t, n_at_risk, n_events, n_censored, zero,
+             CASE WHEN zero = 1 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(CAST(exp(CAST(cum AS DOUBLE))
+                         AS DECIMAL(28,12)) AS DOUBLE) END AS survival,
+             CAST(cum AS DOUBLE) AS lns,
+             CAST(CAST(sqrt(CAST(cumg AS DOUBLE))
+                  AS DECIMAL(28,12)) AS DOUBLE) AS sqrtg
+      FROM s3
+    ),
+    s5 AS (
+      SELECT *,
+             CASE WHEN zero = 0 AND lns < 0
+                  THEN CAST(CAST(1.959963984540054 * sqrtg / (-lns)
+                       AS DECIMAL(28,12)) AS DOUBLE) END AS delta
+      FROM s4
+    )
+    SELECT t, n_at_risk, n_events, n_censored, survival,
+           round(survival * sqrtg, 9) AS se,
+           round(CAST(CAST(exp(
+             CAST(CAST(exp(delta) AS DECIMAL(28,12)) AS DOUBLE) * lns)
+             AS DECIMAL(28,12)) AS DOUBLE), 9) AS ci_lo,
+           round(CAST(CAST(exp(
+             CAST(CAST(exp(-delta) AS DECIMAL(28,12)) AS DOUBLE) * lns)
+             AS DECIMAL(28,12)) AS DOUBLE), 9) AS ci_hi
+    FROM s5
+    """,
+)
+def retention_km_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve WITH Greenwood SE and log-log 95% bands
+    (operators.funnel.km_bands) — same churn fixture as
+    retention_km_curve (first error event with event_id%5=0, censored
+    at observation end), now answering "is this retention drop real":
+    the log-log transform keeps bands inside (0,1); Greenwood terms and
+    every ln/exp/sqrt quantize through decimal(28,12) (libm guard) on
+    the bounded distinct-duration axis only."""
+    from ..operators.funnel import km_bands
+
+    ev = _t(spark, sf_dir, "events")
+    obs_end = ev.agg(F.max(F.to_date("ts")).alias("_end"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("_end", "_first"))
+            .alias("duration"),
+            F.col("_churn").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return km_bands(per_u)
+
+
+@_q(
+    "benford_significand",
+    """
+    WITH pos AS (
+      SELECT value::DOUBLE AS v FROM events
+      WHERE value IS NOT NULL AND value > 0
+    ),
+    counts AS (
+      SELECT CAST(substr(printf('%.6e', v), 1, 1) AS INT) AS digit,
+             count(*) AS n
+      FROM pos GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n::DOUBLE / total::DOUBLE, 9) AS share,
+           round(log10(1.0 + 1.0 / digit), 9) AS expected,
+           round(abs(n::DOUBLE / total::DOUBLE
+                     - log10(1.0 + 1.0 / digit)), 9) AS abs_dev
+    FROM counts, tot
+    """,
+)
+def benford_significand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the event value column via the
+    normalized-scientific-form significand
+    (operators.profile.benford_significand) — the general-magnitude
+    variant benford_totalprice's fixed-decimals PRECONDITION rules out:
+    the digit is the first character of printf('%.6e', x), identical in
+    both engines because they format the same IEEE double with C-printf
+    rounding. One 9-ary count groupBy; shares over the digit axis."""
+    from ..operators.profile import benford_significand
+
+    return benford_significand(_t(spark, sf_dir, "events"), "value")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
