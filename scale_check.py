@@ -820,6 +820,53 @@ QUERY_CASES = [
 ]
 
 
+def _stream_guardrail_scale(spark, n_events: int, slices: int = 8) -> dict:
+    """A/B guardrail under load: replay ``n_events`` assignment rows in
+    ``slices`` micro-batches through ``ab_guardrail_writer`` and read
+    back wall time AND the ledger row count.  The event volume scales;
+    the persisted state is the LEDGER — one row per micro-batch, O(8)
+    here no matter how many events flow — pinning the "running
+    contingency state is batch-counted, never event-sized" claim.  Per-
+    batch cost is one partial-aggregable scan of the batch."""
+    import shutil
+    import tempfile
+
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    base = tempfile.mkdtemp(prefix="riot_guard_scale_")
+    indir, ckpt, mon = base + "/in", base + "/ckpt", base + "/mon"
+    per = n_events // slices
+    for s in range(slices):
+        (
+            spark.range(per)
+            .select(
+                (F.col("id") % 2).cast("string").alias("arm"),
+                (F.col("id") % 7 == 0).alias("converted"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(indir)
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("arm string, converted boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(ab_guardrail_writer(mon))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    ledger_rows = spark.read.parquet(mon + "/ledger").count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {"wall": wall, "ledger_rows": ledger_rows}
+
+
 def _stream_sessions_scale(spark, n_events: int, n_users: int = 200,
                            slices: int = 8) -> dict:
     """Streaming sessionization under load: replay a time-ordered event
@@ -1075,6 +1122,19 @@ def main() -> None:
         }
         print(json.dumps({"scase": "stream_session_stats",
                           **sreport["stream_session_stats"]}), flush=True)
+    if mode in ("stream", "all") and (
+        not only or "stream_ab_guardrail" in only
+    ):
+        small = _stream_guardrail_scale(spark, 200_000)
+        big = _stream_guardrail_scale(spark, 200_000 * COPIES)
+        sreport["stream_ab_guardrail"] = {
+            "t1x": small["wall"], f"t{COPIES}x": big["wall"],
+            "ratio": round(big["wall"] / small["wall"], 1),
+            "ledger_rows_1x": small["ledger_rows"],
+            f"ledger_rows_{COPIES}x": big["ledger_rows"],
+        }
+        print(json.dumps({"scase": "stream_ab_guardrail",
+                          **sreport["stream_ab_guardrail"]}), flush=True)
 
     out = {"copies": COPIES, "sf_dir": SF_DIR, "cases": report}
     if qreport:

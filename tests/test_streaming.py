@@ -1264,3 +1264,101 @@ def test_ph_monitor_accumulates_and_alarms_on_creep(spark, tmp_path):
     raw = spark.read.parquet(monitor).filter("batch_id = 5").collect()
     assert len(raw) == 2
     assert len({(r.ph_u, r.ph_min, r.ph_alarm) for r in raw}) == 1
+
+
+def test_streaming_ab_guardrail_cumulative_verdicts(spark, tmp_path):
+    """Continuous A/B guardrail (streaming/guardrail.py): per-batch
+    counts land in the ledger, every batch's verdict row scores the
+    CUMULATIVE contingency table — a treatment lift that only clears
+    significance once enough batches accumulate must flip the flag on
+    the later batch, and a balanced split must never trip SRM."""
+    import json as _json
+
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:  # balanced, equal rates
+        for i in range(50):
+            f.write(_json.dumps({"arm": "0", "converted": i < 10}) + "\n")
+        for i in range(50):
+            f.write(_json.dumps({"arm": "1", "converted": i < 10}) + "\n")
+    with open(landing / "b2.json", "w") as f:  # treatment lift in arm a
+        for i in range(40):
+            f.write(_json.dumps({"arm": "0", "converted": i < 30}) + "\n")
+        for i in range(40):
+            f.write(_json.dumps({"arm": "1", "converted": i < 10}) + "\n")
+
+    stream = (
+        spark.readStream.schema("arm string, converted boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    monitor = str(tmp_path / "monitor")
+    q = (
+        stream.writeStream.foreachBatch(ab_guardrail_writer(monitor))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        r.n_batches: r
+        for r in spark.read.parquet(f"{monitor}/report").collect()
+    }
+    assert set(rows) == {1, 2}
+    final = rows[2]
+    # cumulative table is order-independent: 90/90 split, 40 vs 20 hits
+    assert (final.n_a, final.k_a, final.n_b, final.k_b) == (90, 40, 90, 20)
+    assert final.srm_chi2 == 0.0 and not final.srm
+    assert final.significant and final.z > 1.96
+    # the balanced first batch alone must not be significant
+    assert not rows[1].significant
+
+
+def test_streaming_ab_guardrail_replay_idempotent_and_paired(spark, tmp_path):
+    """Replay idempotency + the paired McNemar cells + staleness guard:
+    re-delivering a micro-batch re-appends an identical ledger row that
+    the cumulative dedup collapses, so totals and verdicts are unchanged;
+    discordant cells accumulate across batches; a stamped design with an
+    exceeded age budget flags design_stale."""
+    import pytest as _pytest
+
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    writer = ab_guardrail_writer(
+        monitor,
+        baseline_flag_col="baseline",
+        recorded_at="2024-01-01 00:00:00",
+        max_age_sec=60.0,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "arm string, converted boolean, baseline boolean"
+        )
+
+    b0 = batch([("0", True, False)] * 6 + [("1", False, True)] * 4)
+    b1 = batch([("0", False, True)] * 3 + [("1", True, False)] * 7)
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # at-least-once re-delivery
+
+    ledger = spark.read.parquet(f"{monitor}/ledger").collect()
+    assert len(ledger) == 3  # replay re-appended...
+    reports = spark.read.parquet(f"{monitor}/report").collect()
+    last = {r.batch_id: r for r in sorted(reports, key=lambda r: r.n_batches)}
+    final = last[1]
+    assert final.n_batches == 2  # ...but dedup collapsed it
+    assert (final.n_a, final.k_a, final.n_b, final.k_b) == (9, 6, 11, 7)
+    # discordant cells: b0 contributes d01=4, d10=6; b1 d01=3, d10=7
+    assert (final.d01, final.d10) == (7, 13)
+    # continuity-corrected McNemar: (|7-13|-1)^2 / 20
+    assert final.mcnemar_chi2 == _pytest.approx(25.0 / 20.0)
+    # 2024 design stamp is long past the 60 s budget
+    assert final.design_stale
+
+    with _pytest.raises(ValueError):
+        ab_guardrail_writer(monitor, max_age_sec=5.0)
