@@ -4423,3 +4423,329 @@ def cmh_test(
         F.round(p, 9).alias("p_approx"),
         F.round(or_mh, 9).alias("or_mh"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    flag_col,
+) -> DataFrame:
+    """Cohen's d and Hedges' g between the flag=true and flag=false
+    groups — the STANDARDIZED effect size the raw mean difference
+    (:func:`welch_t_test`'s job) can't give: "the English docs are 0.4
+    pooled-SDs longer" transfers across corpora and releases where "212
+    chars longer" doesn't, and it is the number power planning consumes.
+
+        s_p = √(((n₁−1)s₁² + (n₀−1)s₀²) / (n₁+n₀−2))
+        d   = (m₁ − m₀) / s_p
+        g   = d · (1 − 3/(4(n₁+n₀) − 9))      (small-sample correction)
+
+    One partial-aggregable scan reduces exact integer/decimal moments
+    per group (``decimal(38,0)`` sums for integer columns via the
+    9-dp-rounded decimal rule); means, sample variances, and the
+    closed-form d/g are then one IEEE expression each — engine-
+    identical.  A degenerate pooled SD (both groups constant) yields
+    NULL d via ``try_divide``.
+
+    Output: one row — ``(n_true bigint, n_false bigint, mean_true
+    double, mean_false double, pooled_sd double, cohens_d double,
+    hedges_g double)``.
+    """
+    dec = "decimal(28,9)"
+    flag = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    flag = flag.cast("boolean")
+    v = F.round(F.col(value_col).cast("double"), 9)
+    base = df.filter(
+        F.col(value_col).isNotNull() & flag.isNotNull()
+    ).select(flag.alias("_f"), v.alias("_v"))
+    agg = base.groupBy("_f").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s"),
+        F.sum(
+            F.round(F.col("_v") * F.col("_v"), 9).cast(dec)
+        ).alias("_q"),
+    )
+    t = agg.filter(F.col("_f")).select(
+        F.col("_n").alias("_n1"),
+        F.col("_s").alias("_s1"),
+        F.col("_q").alias("_q1"),
+    )
+    fl = agg.filter(~F.col("_f")).select(
+        F.col("_n").alias("_n0"),
+        F.col("_s").alias("_s0"),
+        F.col("_q").alias("_q0"),
+    )
+    out = t.crossJoin(F.broadcast(fl))
+    n1, n0 = F.col("_n1").cast("double"), F.col("_n0").cast("double")
+    m1 = F.col("_s1").cast("double") / n1
+    m0 = F.col("_s0").cast("double") / n0
+    ss1 = F.col("_q1").cast("double") - n1 * m1 * m1
+    ss0 = F.col("_q0").cast("double") - n0 * m0 * m0
+    sp = F.sqrt(
+        F.try_divide(ss1 + ss0, n1 + n0 - F.lit(2.0))
+    )
+    d = F.try_divide(m1 - m0, sp)
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (n1 + n0) - F.lit(9.0))
+    )
+    return out.select(
+        F.col("_n1").cast("long").alias("n_true"),
+        F.col("_n0").cast("long").alias("n_false"),
+        F.round(m1, 9).alias("mean_true"),
+        F.round(m0, 9).alias("mean_false"),
+        F.round(sp, 9).alias("pooled_sd"),
+        F.round(d, 9).alias("cohens_d"),
+        F.round(g, 9).alias("hedges_g"),
+    )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+    arm_col_expr: str = "user_id % 2",
+    z: float = Z95,
+) -> DataFrame:
+    """Two-arm comparison of a RATIO metric (revenue per event, clicks
+    per session) with the delta-method SE — the correction naive
+    per-row t-tests get wrong: the unit of randomization is the USER,
+    so the ratio-of-sums R = Σx/Σy is the estimand and its variance
+    must account for the within-user correlation of numerator and
+    denominator:
+
+        R       = x̄/ȳ                    (per-arm ratio of sums)
+        Var(R)  ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²)
+        z       = (R_a − R_b) / √(Var_a + Var_b)
+
+    One scan reduces per-user (x, y), a second bounded reduce forms
+    per-arm exact decimal moments (Σx, Σy, Σx², Σy², Σxy — each
+    9-dp-rounded before the decimal(28,9) sums); the delta-method
+    algebra is one IEEE expression per arm.  Arms follow the
+    :func:`cuped_adjustment` convention (``arm_col_expr`` over the
+    unit row, "0" vs "1").
+
+    Output: one row — ``(n_a bigint, n_b bigint, ratio_a double,
+    ratio_b double, diff double, se double, z double,
+    significant boolean)``.
+    """
+    dec = "decimal(28,9)"
+    per_unit = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"))
+        .agg(
+            F.sum(
+                F.round(num_col.cast("double"), 9).cast(dec)
+            ).alias("_x"),
+            F.sum(
+                F.round(den_col.cast("double"), 9).cast(dec)
+            ).alias("_y"),
+        )
+        .select(
+            F.expr(arm_col_expr.replace("user_id", "_u"))
+            .cast("string")
+            .alias("_arm"),
+            F.col("_x").cast("double").alias("_x"),
+            F.col("_y").cast("double").alias("_y"),
+        )
+    )
+    agg = per_unit.groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("_x"), 9).cast(dec)).alias("_sx"),
+        F.sum(F.round(F.col("_y"), 9).cast(dec)).alias("_sy"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_x"), 9).cast(dec)
+        ).alias("_sxx"),
+        F.sum(
+            F.round(F.col("_y") * F.col("_y"), 9).cast(dec)
+        ).alias("_syy"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_y"), 9).cast(dec)
+        ).alias("_sxy"),
+    )
+
+    def _stats(side: str):
+        n = F.col("_n").cast("double")
+        sx = F.col("_sx").cast("double")
+        sy = F.col("_sy").cast("double")
+        mx, my = sx / n, sy / n
+        vx = (F.col("_sxx").cast("double") - n * mx * mx) / (
+            n - F.lit(1.0)
+        )
+        vy = (F.col("_syy").cast("double") - n * my * my) / (
+            n - F.lit(1.0)
+        )
+        cxy = (F.col("_sxy").cast("double") - n * mx * my) / (
+            n - F.lit(1.0)
+        )
+        r = F.try_divide(sx, sy)
+        var = F.try_divide(
+            vx - F.lit(2.0) * r * cxy + r * r * vy, n * my * my
+        )
+        return F.struct(
+            F.col("_n").alias("n"), r.alias("r"), var.alias("v")
+        ).alias(side)
+
+    a = agg.filter(F.col("_arm") == "0").select(_stats("_a"))
+    b = agg.filter(F.col("_arm") != "0").select(_stats("_b"))
+    out = a.crossJoin(F.broadcast(b))
+    ra, rb = F.col("_a.r"), F.col("_b.r")
+    se = F.sqrt(F.col("_a.v") + F.col("_b.v"))
+    zstat = F.try_divide(ra - rb, se)
+    return out.select(
+        F.col("_a.n").cast("long").alias("n_a"),
+        F.col("_b.n").cast("long").alias("n_b"),
+        F.round(ra, 9).alias("ratio_a"),
+        F.round(rb, 9).alias("ratio_b"),
+        F.round(ra - rb, 9).alias("diff"),
+        F.round(se, 9).alias("se"),
+        F.round(zstat, 9).alias("z"),
+        F.coalesce(
+            F.abs(zstat) > F.lit(float(z)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def sprt_daily(
+    df: DataFrame,
+    ts_col: str,
+    success_col,
+    p0: float = 0.2,
+    p1: float = 0.25,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test replayed over the daily
+    event history — the "could we have stopped this experiment early"
+    readout, and the sequential-decision shape a fixed-horizon z-test
+    cannot give without alpha inflation:
+
+        LLR_t = k_t·ln(p₁/p₀) + (n_t−k_t)·ln((1−p₁)/(1−p₀))
+        accept H₁ when LLR ≥ ln((1−β)/α);  accept H₀ when ≤ ln(β/(1−α))
+
+    Both log-likelihood coefficients and both boundaries are PYTHON
+    literals (exact doubles shipped into both engines), so every LLR is
+    an integer-weighted sum of two literals — bit-deterministic with no
+    libm call at all.  One scan reduces to the day axis; cumulative
+    counts are window sums over days; ``decision`` marks the state per
+    day and ``crossed`` the first boundary hit.
+
+    Output per day: ``(day timestamp, n bigint, k bigint, n_cum bigint,
+    k_cum bigint, llr double, decision string, crossed boolean)``.
+    """
+    import math
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need distinct p0, p1 in (0,1)")
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1 - p1) / (1 - p0))
+    hi = math.log((1 - beta) / alpha)
+    lo = math.log(beta / (1 - alpha))
+    from pyspark.sql import Window
+
+    succ = success_col.cast("boolean")
+    per_day = (
+        df.filter(F.col(ts_col).isNotNull() & succ.isNotNull())
+        .groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(succ.cast("long")).alias("k"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = per_day.select(
+        "day",
+        "n",
+        "k",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("k").over(w).alias("k_cum"),
+    )
+    llr = (
+        F.col("k_cum").cast("double") * F.lit(c1)
+        + (F.col("n_cum") - F.col("k_cum")).cast("double") * F.lit(c0)
+    )
+    decision = (
+        F.when(llr >= F.lit(hi), F.lit("accept_h1"))
+        .when(llr <= F.lit(lo), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior_hits = F.coalesce(
+        F.sum(
+            (
+                (llr >= F.lit(hi)) | (llr <= F.lit(lo))
+            ).cast("int")
+        ).over(w_prev),
+        F.lit(0),
+    )
+    crossed = (decision != "continue") & (prior_hits == 0)
+    return staged.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.col("k_cum").cast("long").alias("k_cum"),
+        F.round(llr, 9).alias("llr"),
+        decision.alias("decision"),
+        crossed.alias("crossed"),
+    )
+
+
+def count_overdispersion(
+    df: DataFrame,
+    unit_col: str,
+) -> DataFrame:
+    """Poisson overdispersion check on per-unit event counts — the
+    model-sanity gate before any rate test on this corpus: the
+    dispersion index D = s²/m̄ is 1 under Poisson; D ≫ 1 (bursty users,
+    bot traffic) means Poisson-based CIs understate variance and a
+    negative-binomial (or per-unit) analysis is required.
+
+        χ² = (n−1)·D      (~χ²_{n−1} under Poisson)
+        z  = √(2χ²) − √(2(n−1)−1)    (Fisher's approximation)
+
+    One groupBy reduces rows to per-unit integer counts, one bounded
+    reduce forms exact ``decimal(38,0)`` count moments; D, χ² and the
+    Fisher z are each one IEEE expression.  ``overdispersed`` flags
+    z > 1.959963984540054.
+
+    Output: one row — ``(n_units bigint, n_events bigint, mean double,
+    variance double, dispersion double, chi2 double, z double,
+    overdispersed boolean)``.
+    """
+    d0 = "decimal(38,0)"
+    per = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_k").cast(d0)).alias("_s"),
+        F.sum((F.col("_k") * F.col("_k")).cast(d0)).alias("_q"),
+    )
+    n = F.col("_n").cast("double")
+    m = F.col("_s").cast("double") / n
+    var = (F.col("_q").cast("double") - n * m * m) / (n - F.lit(1.0))
+    disp = F.try_divide(var, m)
+    chi2 = (n - F.lit(1.0)) * disp
+    zf = F.sqrt(F.lit(2.0) * chi2) - F.sqrt(
+        F.lit(2.0) * (n - F.lit(1.0)) - F.lit(1.0)
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_units"),
+        F.col("_s").cast("long").alias("n_events"),
+        F.round(m, 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        F.round(disp, 9).alias("dispersion"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(zf, 9).alias("z"),
+        F.coalesce(zf > F.lit(Z95), F.lit(False)).alias(
+            "overdispersed"
+        ),
+    )

@@ -957,3 +957,97 @@ def event_pmi_pairs(
         F.round(pmi, 9).alias("pmi"),
         F.round(npmi, 9).alias("npmi"),
     )
+
+
+def exponential_hazard_ratio(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Hazard ratio between two arms under the exponential (constant-
+    hazard) model — the one-number effect size :func:`logrank_test`'s
+    significance verdict doesn't give: each arm's hazard is the MLE
+    events/person-time, and
+
+        HR = (d₁/T₁) / (d₀/T₀),   se(ln HR) = √(1/d₁ + 1/d₀)
+        CI = exp(ln HR ± z·se)
+
+    — the standard epidemiology readout, valid whenever the KM curves
+    look roughly exponential (pair with :func:`nelson_aalen_hazard`'s
+    log-H-vs-log-t diagnostic).  Censoring is handled exactly as the
+    likelihood says: censored units contribute person-time but no
+    event.
+
+    One scan reduces per-arm exact integer (events, person-time) sums
+    (``decimal(38,0)``); ln/exp quantize through decimal(28,12) (the
+    libm guard).  Exactly two arms (ascending by name; arm b is the
+    numerator/tested arm); any other count NULLs the verdict.  Zero
+    events in either arm NULLs HR via ``try_divide``.
+
+    Output: one row — ``(group_a string, group_b string, events_a
+    bigint, time_a bigint, events_b bigint, time_b bigint, rate_a
+    double, rate_b double, hr double, hr_lo double, hr_hi double)``.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(28,12)"
+    keep = (
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
+    arms = (
+        df.filter(keep)
+        .groupBy(F.col(group_col).cast("string").alias("_g"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("_d"),
+            F.sum(F.col(duration_col).cast("long")).alias("_t"),
+        )
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_g")))
+        .withColumn("_narms", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    a = arms.filter(F.col("_rk") == 1).select(
+        F.col("_g").alias("group_a"),
+        F.col("_d").alias("_da"),
+        F.col("_t").alias("_ta"),
+        "_narms",
+    )
+    b = arms.filter(F.col("_rk") == 2).select(
+        F.col("_g").alias("group_b"),
+        F.col("_d").alias("_db"),
+        F.col("_t").alias("_tb"),
+    )
+    out = a.crossJoin(F.broadcast(b))
+    two = F.col("_narms") == 2
+    ra = F.try_divide(
+        F.col("_da").cast("double"), F.col("_ta").cast("double")
+    )
+    rb = F.try_divide(
+        F.col("_db").cast("double"), F.col("_tb").cast("double")
+    )
+    hr = F.when(two, F.try_divide(rb, ra))
+    lnhr = F.log(hr).cast(dec).cast("double")
+    se = F.when(
+        (F.col("_da") > 0) & (F.col("_db") > 0),
+        F.sqrt(
+            F.lit(1.0) / F.col("_da").cast("double")
+            + F.lit(1.0) / F.col("_db").cast("double")
+        ),
+    ).cast(dec).cast("double")
+    lo = F.exp(lnhr - F.lit(float(z)) * se).cast(dec).cast("double")
+    hi = F.exp(lnhr + F.lit(float(z)) * se).cast(dec).cast("double")
+    return out.select(
+        F.when(two, F.col("group_a")).alias("group_a"),
+        F.when(two, F.col("group_b")).alias("group_b"),
+        F.col("_da").cast("long").alias("events_a"),
+        F.col("_ta").cast("long").alias("time_a"),
+        F.col("_db").cast("long").alias("events_b"),
+        F.col("_tb").cast("long").alias("time_b"),
+        F.round(ra, 9).alias("rate_a"),
+        F.round(rb, 9).alias("rate_b"),
+        F.round(hr, 9).alias("hr"),
+        F.round(lo, 9).alias("hr_lo"),
+        F.round(hi, 9).alias("hr_hi"),
+    )

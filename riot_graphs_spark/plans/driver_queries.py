@@ -20904,6 +20904,334 @@ def benford_significand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_significand(_t(spark, sf_dir, "events"), "value")
 
 
+@_q(
+    "cohens_d_doclen",
+    """
+    WITH base AS (
+      SELECT (lang = 'en') AS f, round(n_chars::DOUBLE, 9) AS v
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    agg AS (
+      SELECT f, count(*) AS n,
+             sum(CAST(v AS DECIMAL(28,9))) AS s,
+             sum(CAST(round(v * v, 9) AS DECIMAL(28,9))) AS q
+      FROM base GROUP BY 1
+    ),
+    t AS (SELECT n AS n1, s AS s1, q AS q1 FROM agg WHERE f),
+    fl AS (SELECT n AS n0, s AS s0, q AS q0 FROM agg WHERE NOT f),
+    m AS (
+      SELECT n1, n0,
+             s1::DOUBLE / n1::DOUBLE AS m1,
+             s0::DOUBLE / n0::DOUBLE AS m0,
+             q1::DOUBLE - n1::DOUBLE * (s1::DOUBLE / n1::DOUBLE)
+               * (s1::DOUBLE / n1::DOUBLE) AS ss1,
+             q0::DOUBLE - n0::DOUBLE * (s0::DOUBLE / n0::DOUBLE)
+               * (s0::DOUBLE / n0::DOUBLE) AS ss0
+      FROM t CROSS JOIN fl
+    ),
+    d AS (
+      SELECT n1, n0, m1, m0,
+             sqrt((ss1 + ss0) / (n1::DOUBLE + n0::DOUBLE - 2.0)) AS sp
+      FROM m
+    )
+    SELECT n1::BIGINT AS n_true, n0::BIGINT AS n_false,
+           round(m1, 9) AS mean_true, round(m0, 9) AS mean_false,
+           round(sp, 9) AS pooled_sd,
+           round((m1 - m0) / nullif(sp, 0), 9) AS cohens_d,
+           round((m1 - m0) / nullif(sp, 0)
+                 * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n0::DOUBLE) - 9.0)),
+                 9) AS hedges_g
+    FROM d
+    """,
+)
+def cohens_d_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized length effect of English vs
+    non-English docs (operators.evaluation.cohens_d) — the transferable
+    effect size beside mw/welch's significance verdicts.  One
+    partial-aggregable decimal-moment scan; closed form per group
+    pair."""
+    from ..operators.evaluation import cohens_d
+
+    docs = _t(spark, sf_dir, "documents")
+    return cohens_d(
+        docs.filter(F.col("lang").isNotNull()),
+        "n_chars",
+        F.col("lang") == "en",
+    )
+
+
+@_q(
+    "ab_ratio_value_per_event",
+    """
+    WITH per_u AS (
+      SELECT user_id AS u,
+             CAST(sum(CAST(round(coalesce(value, 0), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS x,
+             CAST(sum(CAST(round(1.0, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    pu2 AS (SELECT CAST(u % 2 AS VARCHAR) AS arm, x, y FROM per_u),
+    agg AS (
+      SELECT arm, count(*) AS n,
+             sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx,
+             sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS sy,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+             sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS syy,
+             sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy
+      FROM pu2 GROUP BY 1
+    ),
+    st AS (
+      SELECT arm, n,
+             sx::DOUBLE / nullif(sy::DOUBLE, 0) AS r,
+             ((sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                 * (sx::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0)
+              - 2.0 * (sx::DOUBLE / nullif(sy::DOUBLE, 0))
+                 * ((sxy::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                     * (sy::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0))
+              + (sx::DOUBLE / nullif(sy::DOUBLE, 0))
+                 * (sx::DOUBLE / nullif(sy::DOUBLE, 0))
+                 * ((syy::DOUBLE - n::DOUBLE * (sy::DOUBLE / n::DOUBLE)
+                     * (sy::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0)))
+             / nullif(n::DOUBLE * (sy::DOUBLE / n::DOUBLE)
+                      * (sy::DOUBLE / n::DOUBLE), 0) AS v
+      FROM agg
+    ),
+    a AS (SELECT n AS na, r AS ra, v AS va FROM st WHERE arm = '0'),
+    b AS (SELECT n AS nb, r AS rb, v AS vb FROM st WHERE arm <> '0')
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(ra, 9) AS ratio_a, round(rb, 9) AS ratio_b,
+           round(ra - rb, 9) AS diff,
+           round(sqrt(va + vb), 9) AS se,
+           round((ra - rb) / nullif(sqrt(va + vb), 0), 9) AS z,
+           coalesce(abs((ra - rb) / nullif(sqrt(va + vb), 0))
+                    > 1.959963984540054, false) AS significant
+    FROM a CROSS JOIN b
+    """,
+)
+def ab_ratio_value_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method A/B comparison of the value-per-event ratio metric
+    with user-level randomization (user_id % 2 arms)
+    (operators.evaluation.ratio_metric_delta) — the within-user
+    numerator/denominator correlation a per-row t-test ignores.  One
+    user-keyed reduce + one bounded per-arm decimal-moment reduce."""
+    from ..operators.evaluation import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_delta(
+        ev,
+        "user_id",
+        F.coalesce(F.col("value"), F.lit(0.0)),
+        F.lit(1.0),
+    )
+
+
+@_q(
+    "ab_sprt_purchase_daily",
+    """
+    WITH per_day AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT day, n, k,
+             sum(n) OVER w AS n_cum, sum(k) OVER w AS k_cum
+      FROM per_day
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT day, n, k, n_cum, k_cum,
+             k_cum::DOUBLE * 0.22314355131420976
+               + (n_cum - k_cum)::DOUBLE * (-0.06453852113757118)
+               AS llr
+      FROM staged
+    ),
+    dec AS (
+      SELECT *,
+             CASE WHEN llr >= 2.772588722239781 THEN 'accept_h1'
+                  WHEN llr <= -1.5581446180465497 THEN 'accept_h0'
+                  ELSE 'continue' END AS decision,
+             coalesce(sum(CASE WHEN llr >= 2.772588722239781
+                                 OR llr <= -1.5581446180465497
+                               THEN 1 ELSE 0 END)
+                      OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prior_hits
+      FROM scored
+    )
+    SELECT day, n::BIGINT AS n, k::BIGINT AS k,
+           n_cum::BIGINT AS n_cum, k_cum::BIGINT AS k_cum,
+           round(llr, 9) AS llr, decision,
+           (decision <> 'continue' AND prior_hits = 0) AS crossed
+    FROM dec
+    """,
+)
+def ab_sprt_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay of the daily purchase-rate history (H0 p=0.2 vs
+    H1 p=0.25, alpha=0.05, beta=0.2)
+    (operators.evaluation.sprt_daily) — the sequential early-stopping
+    readout; LLR coefficients and boundaries are Python literals so
+    every statistic is an integer-weighted literal sum (no libm).  One
+    day-axis reduce + cumulative windows."""
+    from ..operators.evaluation import sprt_daily
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    return sprt_daily(
+        ev, "ts", F.col("event_type") == "purchase"
+    )
+
+
+@_q(
+    "hazard_ratio_churn_parity",
+    """
+    WITH per_u AS (
+      SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN date_diff('day', min(ts)::DATE,
+                         min(ts) FILTER (WHERE event_type = 'error'
+                           AND event_id % 5 = 0)::DATE)
+                  ELSE date_diff('day', min(ts)::DATE,
+                         (SELECT max(ts)::DATE FROM events)) END AS t,
+             CASE WHEN min(ts) FILTER (WHERE event_type = 'error'
+                         AND event_id % 5 = 0) IS NOT NULL
+                  THEN 1 ELSE 0 END AS e
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    arms AS (
+      SELECT g, d, tt, row_number() OVER (ORDER BY g) AS rk,
+             count(*) OVER () AS narms
+      FROM (SELECT g, sum(e) AS d, sum(t) AS tt FROM per_u GROUP BY 1)
+    ),
+    a AS (SELECT g AS ga, d AS da, tt AS ta, narms FROM arms
+          WHERE rk = 1),
+    b AS (SELECT g AS gb, d AS db, tt AS tb FROM arms WHERE rk = 2),
+    j AS (
+      SELECT *,
+             da::DOUBLE / nullif(ta::DOUBLE, 0) AS ra,
+             db::DOUBLE / nullif(tb::DOUBLE, 0) AS rb
+      FROM a CROSS JOIN b
+    ),
+    hrt AS (
+      SELECT *,
+             CASE WHEN narms = 2
+                  THEN rb / nullif(ra, 0) END AS hr,
+             CASE WHEN da > 0 AND db > 0
+                  THEN CAST(CAST(sqrt(1.0 / da::DOUBLE
+                         + 1.0 / db::DOUBLE) AS DECIMAL(28,12))
+                       AS DOUBLE) END AS se
+      FROM j
+    ),
+    lnh AS (
+      SELECT *,
+             CAST(CAST(ln(hr) AS DECIMAL(28,12)) AS DOUBLE) AS lnhr
+      FROM hrt
+    )
+    SELECT CASE WHEN narms = 2 THEN ga END AS group_a,
+           CASE WHEN narms = 2 THEN gb END AS group_b,
+           da::BIGINT AS events_a, ta::BIGINT AS time_a,
+           db::BIGINT AS events_b, tb::BIGINT AS time_b,
+           round(ra, 9) AS rate_a, round(rb, 9) AS rate_b,
+           round(hr, 9) AS hr,
+           round(CAST(CAST(exp(lnhr - 1.959963984540054 * se)
+                 AS DECIMAL(28,12)) AS DOUBLE), 9) AS hr_lo,
+           round(CAST(CAST(exp(lnhr + 1.959963984540054 * se)
+                 AS DECIMAL(28,12)) AS DOUBLE), 9) AS hr_hi
+    FROM lnh
+    """,
+)
+def hazard_ratio_churn_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-model churn hazard ratio between the user-parity arms
+    (operators.funnel.exponential_hazard_ratio) — the one-number effect
+    size beside logrank_churn_by_parity's significance verdict, same
+    churn fixture (first error event with event_id%5=0, censored at
+    observation end).  Exact integer events/person-time per arm; ln/exp
+    through the decimal(28,12) libm guard."""
+    from ..operators.funnel import exponential_hazard_ratio
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    obs_end = ev.agg(F.max(F.to_date("ts")).alias("_end"))
+    churn_ts = F.min(
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 5 == 0),
+            F.col("ts"),
+        )
+    )
+    per_u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.to_date(churn_ts).alias("_churn"),
+        )
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("group"),
+            F.when(
+                F.col("_churn").isNotNull(),
+                F.datediff("_churn", "_first"),
+            )
+            .otherwise(F.datediff("_end", "_first"))
+            .alias("duration"),
+            F.col("_churn").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return exponential_hazard_ratio(per_u)
+
+
+@_q(
+    "event_count_overdispersion",
+    """
+    WITH per AS (
+      SELECT user_id, count(*) AS k FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(k::HUGEINT) AS s,
+             sum(k::HUGEINT * k::HUGEINT) AS q
+      FROM per
+    ),
+    st AS (
+      SELECT n, s,
+             s::DOUBLE / n::DOUBLE AS m,
+             (q::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
+               * (s::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0) AS v
+      FROM agg
+    ),
+    fin AS (
+      SELECT n, s, m, v,
+             v / nullif(m, 0) AS disp,
+             (n::DOUBLE - 1.0) * (v / nullif(m, 0)) AS chi2
+      FROM st
+    )
+    SELECT n::BIGINT AS n_units, s::BIGINT AS n_events,
+           round(m, 9) AS mean, round(v, 9) AS variance,
+           round(disp, 9) AS dispersion, round(chi2, 9) AS chi2,
+           round(sqrt(2.0 * chi2)
+                 - sqrt(2.0 * (n::DOUBLE - 1.0) - 1.0), 9) AS z,
+           coalesce(sqrt(2.0 * chi2)
+                    - sqrt(2.0 * (n::DOUBLE - 1.0) - 1.0)
+                    > 1.959963984540054, false) AS overdispersed
+    FROM fin
+    """,
+)
+def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion diagnostic on per-user event counts
+    (operators.evaluation.count_overdispersion) — dispersion index,
+    (n-1)-scaled chi-square and Fisher's sqrt approximation; the
+    model-sanity gate before Poisson rate CIs on this event stream.
+    One user-keyed count reduce + one exact-integer moment reduce."""
+    from ..operators.evaluation import count_overdispersion
+
+    return count_overdispersion(_t(spark, sf_dir, "events"), "user_id")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
