@@ -3920,3 +3920,492 @@ def binseg_changepoints(
         .drop("_split_t")
     )
     return out
+
+
+def _bucket_means(
+    df: DataFrame, ts: str, value: str, unit: str
+) -> DataFrame:
+    """Shared daily/hourly mean stage for the randomness/structure tests
+    below: one corpus-sized partial-aggregable groupBy to ``(_b, _m)``
+    with the 6-dp round-before-decimal-cast convention (see
+    :func:`pettitt_changepoint` — a bare double→decimal cast resolves
+    .5-ULP boundaries engine-differently)."""
+    dec = "decimal(28,6)"
+    keep = F.col(ts).isNotNull() & F.col(value).isNotNull()
+    return (
+        df.filter(keep)
+        .groupBy(F.date_trunc(unit, F.col(ts)).alias("_b"))
+        .agg(
+            F.round(
+                F.sum(F.col(value).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).cast(dec).alias("_m")
+        )
+    )
+
+
+def turning_points_test(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Turning-points randomness test on the bucket-mean series — the
+    cheapest "is this metric i.i.d. noise or structured" screen beside
+    :func:`runs_test`'s median-crossing view: count interior buckets
+    that are strict local extrema (both neighbor deltas nonzero, with
+    opposite signs); under i.i.d. exchangeability
+
+        E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90,
+        z = (T − E)/√Var
+
+    — too FEW turning points means trend/drift, too MANY means
+    oscillation/negative autocorrelation.  Bucket means via the shared
+    6-dp decimal stage; the neighbor comparison is two lags on the
+    bounded bucket axis; T is an exact integer.
+
+    Output: one row — ``(n_buckets bigint, turning_points bigint,
+    expected double, z double, nonrandom boolean)``.
+    """
+    b = _bucket_means(df, ts, value, unit)
+    w = Window.orderBy("_b")
+    m = F.col("_m").cast("double")
+    lagm = F.lag(m).over(w)
+    leadm = F.lead(m).over(w)
+    d1 = F.signum(m - lagm)
+    d2 = F.signum(leadm - m)
+    tp = (
+        lagm.isNotNull()
+        & leadm.isNotNull()
+        & (d1 * d2 < 0)
+    ).cast("long")
+    agg = b.select(tp.alias("_tp")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_tp").alias("_t"),
+    )
+    n = F.col("_n").cast("double")
+    e = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    z = F.when(
+        (F.col("_n") >= 3) & (var > 0),
+        (F.col("_t").cast("double") - e) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.col("_t").cast("long").alias("turning_points"),
+        F.round(e, 9).alias("expected"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias(
+            "nonrandom"
+        ),
+    )
+
+
+def bartels_rank_test(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio on the bucket-mean
+    series — the rank-based serial-correlation test (no normality
+    bought) between :func:`runs_test`'s sign crudeness and the
+    parametric ACF:
+
+        RVN = Σ(r_i − r_{i+1})² / Σ(r_i − r̄)²,
+        E = 2,  Var = 4(n−2)(5n² − 2n − 9) / (5n(n+1)(n−1)²),
+        z = (RVN − 2)/√Var
+
+    Ranks are the TOTAL order (value, bucket) — a deterministic
+    tiebreak (documented deviation from mid-ranks; 6-dp bucket means
+    tie rarely), which makes the ranks a permutation of 1..n, so the
+    denominator is the closed form n(n²−1)/12 and both sums are exact
+    integers.  RVN < 2 flags positive serial correlation (trend),
+    RVN > 2 rapid oscillation.
+
+    Output: one row — ``(n_buckets bigint, rvn double, z double,
+    nonrandom boolean)``.
+    """
+    b = _bucket_means(df, ts, value, unit)
+    ranked = b.select(
+        "_b",
+        F.row_number().over(Window.orderBy("_m", "_b")).alias("_r"),
+    )
+    w = Window.orderBy("_b")
+    nxt = F.lead("_r").over(w)
+    d = F.col("_r") - nxt
+    agg = ranked.select(
+        F.col("_r"), (d * d).alias("_dd")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dd").alias("_nm"),
+    )
+    n = F.col("_n").cast("double")
+    denom = n * (n * n - F.lit(1.0)) / F.lit(12.0)
+    rvn = F.try_divide(F.col("_nm").cast("double"), denom)
+    var = (
+        F.lit(4.0)
+        * (n - F.lit(2.0))
+        * (F.lit(5.0) * n * n - F.lit(2.0) * n - F.lit(9.0))
+        / (
+            F.lit(5.0)
+            * n
+            * (n + F.lit(1.0))
+            * (n - F.lit(1.0))
+            * (n - F.lit(1.0))
+        )
+    )
+    z = F.when(
+        (F.col("_n") >= 4) & (var > 0),
+        (rvn - F.lit(2.0)) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.round(rvn, 9).alias("rvn"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias(
+            "nonrandom"
+        ),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "hour",
+    max_period: int = 48,
+) -> DataFrame:
+    """Normalized spectral entropy of the bucket-mean series over the
+    same candidate-period grid as :func:`dominant_period` — the ONE
+    number for "how forecastable is this metric": H → 0 when one period
+    owns the spectrum (pure cycle), H → 1 when power is flat across
+    periods (white noise); the Hyndman-features companion to
+    ``seasonal_strength``.
+
+        s_p = power(p)/Σ power,   H = −Σ s_p·ln s_p / ln(P)
+
+    The projection grid is bucket-axis work exactly as in
+    :func:`dominant_period` (same decimal(28,12) per-term quantization
+    of the trig products); per-period powers round to 9 dp, shares form
+    from exact decimal sums, each ``ln`` quantizes through
+    decimal(28,12) before the weighted sum — engine-identical.
+
+    Output: one row — ``(n_buckets bigint, n_periods bigint,
+    spectral_entropy double)``; NULL entropy when the spectrum is
+    all-zero or fewer than 4 buckets exist.
+    """
+    if max_period < 3:
+        raise ValueError("need max_period >= 3")
+    dec9 = "decimal(28,9)"
+    dec12 = "decimal(28,12)"
+    tau = 6.283185307179586
+    b = _bucket_means(df, ts, value, unit)
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("_b")
+    idx = b.select(
+        F.row_number().over(w_ord).alias("_i"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        (
+            F.col("_m").cast("double")
+            - F.sum("_m").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).alias("_d"),
+    ).filter(F.col("_n") >= 4)
+    grid = idx.select(
+        "_i",
+        "_n",
+        "_d",
+        F.explode(F.sequence(F.lit(2), F.lit(max_period))).alias("_p"),
+    )
+    ang = (
+        F.lit(tau) * F.col("_i").cast("double") / F.col("_p").cast("double")
+    )
+    per = grid.groupBy("_p").agg(
+        F.sum((F.col("_d") * F.cos(ang)).cast(dec12)).alias("_c"),
+        F.sum((F.col("_d") * F.sin(ang)).cast(dec12)).alias("_s"),
+        F.max("_n").alias("_n"),
+    )
+    power = F.round(
+        (
+            F.col("_c").cast("double") * F.col("_c").cast("double")
+            + F.col("_s").cast("double") * F.col("_s").cast("double")
+        )
+        / (F.col("_n").cast("double") * F.col("_n").cast("double")),
+        9,
+    )
+    pw = per.select(
+        F.col("_n"), power.alias("_pw")
+    )
+    tot = pw.agg(
+        F.max("_n").alias("_nb"),
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.col("_pw").cast(dec9)).alias("_tot"),
+    )
+    shared = pw.crossJoin(F.broadcast(tot))
+    s = F.try_divide(
+        F.col("_pw"), F.col("_tot").cast("double")
+    )
+    # NULL (skipped by the sum) for zero-power periods — and when EVERY
+    # period is zero-power the whole sum is NULL, which is exactly the
+    # documented all-zero-spectrum NULL output.
+    term = F.when(
+        s > 0, F.round(s * F.log(s).cast(dec12).cast("double"), 12)
+    )
+    ent = shared.groupBy().agg(
+        F.max("_nb").alias("_nb"),
+        F.max("_np").alias("_np"),
+        F.sum(term.cast(dec12)).alias("_h"),
+    )
+    lnp = F.log(F.col("_np").cast("double")).cast(dec12).cast("double")
+    h = F.when(
+        F.col("_h").isNotNull(),
+        -F.col("_h").cast("double") / lnp,
+    )
+    return ent.select(
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.col("_np").cast("long").alias("n_periods"),
+        F.round(h, 9).alias("spectral_entropy"),
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    window: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands over the bucket-mean series — the classic
+    volatility envelope (trailing ``window``-bucket mean ± k·population
+    std) with breach flags; the dashboard-native "is today's level
+    outside its own recent volatility" readout beside
+    :func:`zscore_anomalies`' global fences.
+
+    The trailing moments ride exact decimals: bucket means are 6-dp
+    decimal(18,6); their squares are exact decimal(37,12) products; the
+    window sums stay decimal, so mid/std form from identical doubles in
+    any engine (√ through the decimal(28,12) libm cut).  Buckets
+    without a full trailing window emit NULL bands (no partial-window
+    fences).  All windows run on the bounded bucket axis.
+
+    Output per bucket: ``(bucket timestamp, value double, mid double,
+    band_hi double, band_lo double, breach_hi boolean,
+    breach_lo boolean)``.
+    """
+    if window < 2:
+        raise ValueError("need window >= 2")
+    dec12 = "decimal(28,12)"
+    b = _bucket_means(df, ts, value, unit).select(
+        F.col("_b"), F.col("_m").cast("decimal(18,6)").alias("_m")
+    )
+    w = Window.orderBy("_b").rowsBetween(-(window - 1), 0)
+    cnt = F.count(F.lit(1)).over(w)
+    sm = F.sum("_m").over(w)
+    sq = F.sum(F.col("_m") * F.col("_m")).over(w)
+    full = cnt == window
+    wd = F.lit(float(window))
+    mid = F.when(full, sm.cast("double") / wd)
+    var = F.when(
+        full,
+        F.greatest(
+            sq.cast("double") / wd - mid * mid, F.lit(0.0)
+        ),
+    )
+    std = F.sqrt(var).cast(dec12).cast("double")
+    hi = mid + F.lit(float(k)) * std
+    lo = mid - F.lit(float(k)) * std
+    m = F.col("_m").cast("double")
+    return b.select(
+        F.col("_b").alias("bucket"),
+        F.round(m, 9).alias("value"),
+        F.round(mid, 9).alias("mid"),
+        F.round(hi, 9).alias("band_hi"),
+        F.round(lo, 9).alias("band_lo"),
+        F.when(full, m > hi).alias("breach_hi"),
+        F.when(full, m < lo).alias("breach_lo"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on the bucket-mean series — the
+    weekly-cycle-proof version of :func:`mann_kendall_trend`: sign
+    pairs are counted ONLY within each weekday's subseries, so a strong
+    day-of-week profile (the thing event streams always have) cannot
+    masquerade as monotone drift:
+
+        S = Σ_w S_w,   Var = Σ_w [n_w(n_w−1)(2n_w+5) − tie_w]/18,
+        z = (S − sign(S))/√Var      (continuity-corrected)
+
+    Same exactness as the plain test: 6-dp decimal bucket means, exact
+    integer S and tie polynomials, one IEEE z.  The O(Σ n_w²) pair
+    fan-out runs on the per-weekday bucket axes (≤ (n/7)²·7 pairs).
+
+    Output: one row — ``(n_buckets bigint, s bigint, var_s double,
+    z double, trend string)``.
+    """
+    b = _bucket_means(df, ts, value, unit).select(
+        F.col("_b"), F.col("_m"), F.dayofweek("_b").alias("_w")
+    )
+    a = b.select(
+        F.col("_w"), F.col("_b").alias("_ba"), F.col("_m").alias("_ma")
+    )
+    c = b.select(
+        F.col("_w"), F.col("_b").alias("_bb"), F.col("_m").alias("_mb")
+    )
+    pairs = a.join(c, "_w").filter(F.col("_ba") < F.col("_bb"))
+    s_agg = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.signum(
+                    F.col("_mb").cast("double")
+                    - F.col("_ma").cast("double")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("s")
+    )
+    ties = (
+        b.groupBy("_w", "_m")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_w")
+        .agg(
+            F.sum("_t").alias("_nw"),
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (F.lit(2) * F.col("_t") + 5)
+            ).alias("_tie"),
+        )
+        .agg(
+            F.sum("_nw").alias("n_buckets"),
+            F.sum(
+                F.col("_nw")
+                * (F.col("_nw") - 1)
+                * (F.lit(2) * F.col("_nw") + 5)
+                - F.col("_tie")
+            ).alias("_vnum"),
+        )
+    )
+    joined = s_agg.crossJoin(F.broadcast(ties))
+    var_s = F.col("_vnum").cast("double") / F.lit(18.0)
+    sgn = F.col("s").cast("double")
+    z = F.when(var_s > 0, (sgn - F.signum(sgn)) / F.sqrt(var_s))
+    return joined.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("s").cast("long").alias("s"),
+        F.round(var_s, 9).alias("var_s"),
+        F.round(z, 9).alias("z"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Chow structural-break test of the bucket-mean linear trend at a
+    KNOWN split point (bucket ⌊n·frac⌋) — "did the trend line itself
+    change at the cutover", the regression-level question
+    :func:`pettitt_changepoint`'s level-shift test doesn't ask:
+
+        F = ((SSR_pooled − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4))
+
+    with each SSR the closed-form OLS residual sum Syy − S²xy/Sxx of
+    y ~ bucket-index over the pooled series and the two segments.  All
+    moment sums ride exact decimals (integer x-index; 6-dp decimal y),
+    so every SSR — and F — is engine-identical.  Bucket-axis work only.
+
+    Output: one row — ``(n_buckets bigint, break_bucket timestamp,
+    ssr_pooled double, ssr_split double, f_stat double)``; NULL F when
+    a segment has < 3 buckets.
+    """
+    if not 0.0 < frac < 1.0:
+        raise ValueError("need 0 < frac < 1")
+    dec = "decimal(28,6)"
+    b = _bucket_means(df, ts, value, unit)
+    w_ord = Window.orderBy("_b")
+    w_all = Window.partitionBy()
+    idx = b.select(
+        "_b",
+        "_m",
+        F.row_number().over(w_ord).alias("_i"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    ).withColumn(
+        "_k", F.floor(F.col("_n") * F.lit(float(frac))).cast("int")
+    )
+
+    def moments(seg: F.Column, tag: str) -> list:
+        x = F.when(seg, F.col("_i"))
+        y = F.when(seg, F.col("_m"))
+        return [
+            F.count(x).alias(f"_n{tag}"),
+            F.sum(x.cast("long")).alias(f"_sx{tag}"),
+            F.sum((x * x).cast("long")).alias(f"_sxx{tag}"),
+            F.sum(y.cast(dec)).alias(f"_sy{tag}"),
+            F.sum((y * y).cast("decimal(37,12)")).alias(f"_syy{tag}"),
+            F.sum(
+                (x.cast("decimal(18,0)") * y.cast("decimal(18,6)")).cast(
+                    "decimal(37,6)"
+                )
+            ).alias(f"_sxy{tag}"),
+        ]
+
+    staged = idx.select(
+        "_b", "_i", "_n", "_k",
+        F.col("_m").cast("decimal(18,6)").alias("_m"),
+    )
+    agg = staged.agg(
+        F.max("_n").alias("_nn"),
+        F.max(F.when(F.col("_i") == F.col("_k"), F.col("_b"))).alias(
+            "_bk"
+        ),
+        *moments(F.lit(True), "p"),
+        *moments(F.col("_i") <= F.col("_k"), "1"),
+        *moments(F.col("_i") > F.col("_k"), "2"),
+    )
+
+    def ssr(tag: str):
+        n = F.col(f"_n{tag}").cast("double")
+        sx = F.col(f"_sx{tag}").cast("double")
+        sxx = F.col(f"_sxx{tag}").cast("double")
+        sy = F.col(f"_sy{tag}").cast("double")
+        syy = F.col(f"_syy{tag}").cast("double")
+        sxy = F.col(f"_sxy{tag}").cast("double")
+        vx = sxx - sx * sx / n
+        cxy = sxy - sx * sy / n
+        vy = syy - sy * sy / n
+        return F.when(n >= 3, vy - F.try_divide(cxy * cxy, vx))
+
+    sp, s1, s2 = ssr("p"), ssr("1"), ssr("2")
+    nn = F.col("_nn").cast("double")
+    fstat = F.when(
+        nn > 4,
+        F.try_divide(
+            (sp - s1 - s2) / F.lit(2.0),
+            (s1 + s2) / (nn - F.lit(4.0)),
+        ),
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n_buckets"),
+        F.col("_bk").alias("break_bucket"),
+        F.round(sp, 9).alias("ssr_pooled"),
+        F.round(s1 + s2, 9).alias("ssr_split"),
+        F.round(fstat, 9).alias("f_stat"),
+    )

@@ -21232,6 +21232,357 @@ def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_overdispersion(_t(spark, sf_dir, "events"), "user_id")
 
 
+#: Shared daily bucket-mean CTE (mirrors operators.timeseries._bucket_means:
+#: 6-dp round BEFORE the decimal cast — the .5-ULP boundary rule).
+_BUCKET_DAY = """
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bk,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(18,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+"""
+
+
+@_q(
+    "ts_turning_points",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    lagged AS (
+      SELECT m::DOUBLE AS m,
+             lag(m::DOUBLE) OVER (ORDER BY bk) AS pm,
+             lead(m::DOUBLE) OVER (ORDER BY bk) AS nm
+      FROM b
+    ),
+    tp AS (
+      SELECT CASE WHEN pm IS NOT NULL AND nm IS NOT NULL
+                   AND sign(m - pm) * sign(nm - m) < 0
+                  THEN 1 ELSE 0 END AS t
+      FROM lagged
+    ),
+    agg AS (SELECT count(*) AS n, sum(t) AS t FROM tp)
+    SELECT n::BIGINT AS n_buckets, t::BIGINT AS turning_points,
+           round(2.0 * (n::DOUBLE - 2.0) / 3.0, 9) AS expected,
+           round(CASE WHEN n >= 3
+                       AND (16.0 * n::DOUBLE - 29.0) / 90.0 > 0
+                      THEN (t::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
+                           / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0)
+                 END, 9) AS z,
+           coalesce(abs(CASE WHEN n >= 3
+                              AND (16.0 * n::DOUBLE - 29.0) / 90.0 > 0
+                             THEN (t::DOUBLE
+                                   - 2.0 * (n::DOUBLE - 2.0) / 3.0)
+                                  / sqrt((16.0 * n::DOUBLE - 29.0)
+                                         / 90.0)
+                        END) > 1.959963984540054, false) AS nonrandom
+    FROM agg
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on daily event-value means
+    (operators.timeseries.turning_points_test) — strict local extrema
+    counted against the i.i.d. expectation 2(n-2)/3; too few = drift,
+    too many = oscillation.  Bounded day-axis lags; exact integer T."""
+    from ..operators.timeseries import turning_points_test
+
+    return turning_points_test(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "ts_bartels_rank",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    rk AS (
+      SELECT bk, row_number() OVER (ORDER BY m, bk) AS r FROM b
+    ),
+    dd AS (
+      SELECT r, r - lead(r) OVER (ORDER BY bk) AS d FROM rk
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(d * d) AS nm FROM dd
+    ),
+    st AS (
+      SELECT n, nm,
+             nm::DOUBLE / nullif(n::DOUBLE * (n::DOUBLE * n::DOUBLE
+               - 1.0) / 12.0, 0) AS rvn,
+             4.0 * (n::DOUBLE - 2.0)
+               * (5.0 * n::DOUBLE * n::DOUBLE - 2.0 * n::DOUBLE - 9.0)
+               / (5.0 * n::DOUBLE * (n::DOUBLE + 1.0)
+                  * (n::DOUBLE - 1.0) * (n::DOUBLE - 1.0)) AS var
+      FROM agg
+    )
+    SELECT n::BIGINT AS n_buckets, round(rvn, 9) AS rvn,
+           round(CASE WHEN n >= 4 AND var > 0
+                      THEN (rvn - 2.0) / sqrt(var) END, 9) AS z,
+           coalesce(abs(CASE WHEN n >= 4 AND var > 0
+                             THEN (rvn - 2.0) / sqrt(var) END)
+                    > 1.959963984540054, false) AS nonrandom
+    FROM st
+    """,
+)
+def ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio on daily event-value means
+    (operators.timeseries.bartels_rank_test) — rank-based serial-
+    correlation test; total-order (value, bucket) ranks make both sums
+    exact integers with the closed-form n(n^2-1)/12 denominator."""
+    from ..operators.timeseries import bartels_rank_test
+
+    return bartels_rank_test(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "ts_spectral_entropy",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bk,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        / count(*)::DOUBLE, 6) AS DECIMAL(18,6)) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY bk) AS i,
+             count(*) OVER () AS n,
+             m::DOUBLE - (sum(m) OVER ())::DOUBLE
+               / (count(*) OVER ())::DOUBLE AS d
+      FROM b
+    ),
+    g AS (
+      SELECT i, n, d, unnest(range(2, 49)) AS p
+      FROM idx WHERE n >= 4
+    ),
+    per AS (
+      SELECT p,
+             sum(CAST(d * cos(6.283185307179586 * i::DOUBLE
+                              / p::DOUBLE) AS DECIMAL(28,12))) AS c,
+             sum(CAST(d * sin(6.283185307179586 * i::DOUBLE
+                              / p::DOUBLE) AS DECIMAL(28,12))) AS s,
+             max(n) AS n
+      FROM g GROUP BY 1
+    ),
+    pw AS (
+      SELECT n,
+             round((c::DOUBLE * c::DOUBLE + s::DOUBLE * s::DOUBLE)
+                   / (n::DOUBLE * n::DOUBLE), 9) AS pwr
+      FROM per
+    ),
+    tot AS (
+      SELECT max(n) AS nb, count(*) AS np,
+             sum(CAST(pwr AS DECIMAL(28,9))) AS tt
+      FROM pw
+    ),
+    terms AS (
+      SELECT nb, np,
+             CASE WHEN pwr / nullif(tt::DOUBLE, 0) > 0
+                  THEN round(pwr / nullif(tt::DOUBLE, 0)
+                       * CAST(CAST(ln(pwr / nullif(tt::DOUBLE, 0))
+                              AS DECIMAL(28,12)) AS DOUBLE), 12)
+             END AS term
+      FROM pw CROSS JOIN tot
+    ),
+    ent AS (
+      SELECT max(nb) AS nb, max(np) AS np,
+             sum(CAST(term AS DECIMAL(28,12))) AS h
+      FROM terms
+    )
+    SELECT nb::BIGINT AS n_buckets, np::BIGINT AS n_periods,
+           round(CASE WHEN h IS NOT NULL
+                      THEN -(h::DOUBLE)
+                           / CAST(CAST(ln(np::DOUBLE)
+                                  AS DECIMAL(28,12)) AS DOUBLE)
+                 END, 9) AS spectral_entropy
+    FROM ent
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of hourly event-value means over the
+    period-2..48 grid (operators.timeseries.spectral_entropy) — the
+    one-number forecastability readout beside ts_dominant_period's
+    argmax; same bucket-axis trig grid and decimal(28,12) quantization,
+    shares from exact decimal sums, each ln decimal-cut."""
+    from ..operators.timeseries import spectral_entropy
+
+    return spectral_entropy(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "ts_bollinger_daily",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    wnd AS (
+      SELECT bk, m,
+             count(*) OVER w AS c,
+             sum(m) OVER w AS sm,
+             sum(m * m) OVER w AS sq
+      FROM b
+      WINDOW w AS (ORDER BY bk
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    calc AS (
+      SELECT bk, m::DOUBLE AS md,
+             CASE WHEN c = 7 THEN sm::DOUBLE / 7.0 END AS mid,
+             CASE WHEN c = 7 THEN greatest(
+               sq::DOUBLE / 7.0 - (sm::DOUBLE / 7.0)
+                 * (sm::DOUBLE / 7.0), 0.0) END AS var
+      FROM wnd
+    ),
+    st AS (
+      SELECT bk, md, mid,
+             CAST(CAST(sqrt(var) AS DECIMAL(28,12)) AS DOUBLE) AS std
+      FROM calc
+    )
+    SELECT bk AS bucket, round(md, 9) AS value, round(mid, 9) AS mid,
+           round(mid + 2.0 * std, 9) AS band_hi,
+           round(mid - 2.0 * std, 9) AS band_lo,
+           CASE WHEN mid IS NOT NULL
+                THEN md > mid + 2.0 * std END AS breach_hi,
+           CASE WHEN mid IS NOT NULL
+                THEN md < mid - 2.0 * std END AS breach_lo
+    FROM st
+    """,
+)
+def ts_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger volatility envelope (trailing 7-day mean +/- 2 sigma)
+    over daily event-value means with breach flags
+    (operators.timeseries.bollinger_bands) — exact decimal window
+    moments on the day axis, sqrt through the decimal(28,12) cut, NULL
+    bands until a full window exists."""
+    from ..operators.timeseries import bollinger_bands
+
+    return bollinger_bands(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "ts_seasonal_mann_kendall",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    wb AS (SELECT bk, m, dayofweek(bk) AS w FROM b),
+    pairs AS (
+      SELECT sign(c.m::DOUBLE - a.m::DOUBLE) AS sg
+      FROM wb a JOIN wb c ON a.w = c.w AND a.bk < c.bk
+    ),
+    s_agg AS (
+      SELECT coalesce(sum(CAST(sg AS BIGINT)), 0) AS s FROM pairs
+    ),
+    pertie AS (
+      SELECT w, m, count(*) AS t FROM wb GROUP BY 1, 2
+    ),
+    perw AS (
+      SELECT w, sum(t) AS nw,
+             sum(t * (t - 1) * (2 * t + 5)) AS tie
+      FROM pertie GROUP BY 1
+    ),
+    ties AS (
+      SELECT sum(nw) AS n_buckets,
+             sum(nw * (nw - 1) * (2 * nw + 5) - tie) AS vnum
+      FROM perw
+    ),
+    j AS (SELECT * FROM s_agg CROSS JOIN ties)
+    SELECT n_buckets::BIGINT AS n_buckets, s::BIGINT AS s,
+           round(vnum::DOUBLE / 18.0, 9) AS var_s,
+           round(CASE WHEN vnum::DOUBLE / 18.0 > 0
+                      THEN (s::DOUBLE - sign(s::DOUBLE))
+                           / sqrt(vnum::DOUBLE / 18.0) END, 9) AS z,
+           CASE WHEN (CASE WHEN vnum::DOUBLE / 18.0 > 0
+                           THEN (s::DOUBLE - sign(s::DOUBLE))
+                                / sqrt(vnum::DOUBLE / 18.0) END)
+                     > 1.959963984540054 THEN 'increasing'
+                WHEN (CASE WHEN vnum::DOUBLE / 18.0 > 0
+                           THEN (s::DOUBLE - sign(s::DOUBLE))
+                                / sqrt(vnum::DOUBLE / 18.0) END)
+                     < -1.959963984540054 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM j
+    """,
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (weekday-stratified) Mann-Kendall trend test on daily
+    event-value means (operators.timeseries.seasonal_mann_kendall) —
+    sign pairs only within each weekday subseries so the day-of-week
+    profile can't masquerade as drift; exact integer S and tie
+    polynomials, continuity-corrected z."""
+    from ..operators.timeseries import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "chow_break_daily",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    idx AS (
+      SELECT bk, m, row_number() OVER (ORDER BY bk) AS i,
+             count(*) OVER () AS n
+      FROM b
+    ),
+    st AS (
+      SELECT *, CAST(floor(n * 0.5) AS INT) AS k FROM idx
+    ),
+    agg AS (
+      SELECT max(n) AS nn,
+             max(CASE WHEN i = k THEN bk END) AS bkk,
+             count(i) AS np, sum(i) AS sxp, sum(i * i) AS sxxp,
+             sum(m) AS syp, sum(m * m) AS syyp,
+             sum(CAST(i AS DECIMAL(18,0)) * m) AS sxyp,
+             count(i) FILTER (WHERE i <= k) AS n1,
+             sum(i) FILTER (WHERE i <= k) AS sx1,
+             sum(i * i) FILTER (WHERE i <= k) AS sxx1,
+             sum(m) FILTER (WHERE i <= k) AS sy1,
+             sum(m * m) FILTER (WHERE i <= k) AS syy1,
+             sum(CAST(i AS DECIMAL(18,0)) * m)
+               FILTER (WHERE i <= k) AS sxy1,
+             count(i) FILTER (WHERE i > k) AS n2,
+             sum(i) FILTER (WHERE i > k) AS sx2,
+             sum(i * i) FILTER (WHERE i > k) AS sxx2,
+             sum(m) FILTER (WHERE i > k) AS sy2,
+             sum(m * m) FILTER (WHERE i > k) AS syy2,
+             sum(CAST(i AS DECIMAL(18,0)) * m)
+               FILTER (WHERE i > k) AS sxy2
+      FROM st
+    ),
+    ssr AS (
+      SELECT nn, bkk,
+             CASE WHEN np >= 3 THEN
+               (syyp::DOUBLE - syp::DOUBLE * syp::DOUBLE / np::DOUBLE)
+               - (sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE / np::DOUBLE)
+                 * (sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE
+                    / np::DOUBLE)
+                 / nullif(sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE
+                          / np::DOUBLE, 0) END AS sp,
+             CASE WHEN n1 >= 3 THEN
+               (syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+               - (sxy1::DOUBLE - sx1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+                 * (sxy1::DOUBLE - sx1::DOUBLE * sy1::DOUBLE
+                    / n1::DOUBLE)
+                 / nullif(sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE
+                          / n1::DOUBLE, 0) END AS s1,
+             CASE WHEN n2 >= 3 THEN
+               (syy2::DOUBLE - sy2::DOUBLE * sy2::DOUBLE / n2::DOUBLE)
+               - (sxy2::DOUBLE - sx2::DOUBLE * sy2::DOUBLE / n2::DOUBLE)
+                 * (sxy2::DOUBLE - sx2::DOUBLE * sy2::DOUBLE
+                    / n2::DOUBLE)
+                 / nullif(sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE
+                          / n2::DOUBLE, 0) END AS s2
+      FROM agg
+    )
+    SELECT nn::BIGINT AS n_buckets, bkk AS break_bucket,
+           round(sp, 9) AS ssr_pooled, round(s1 + s2, 9) AS ssr_split,
+           round(CASE WHEN nn > 4
+                      THEN ((sp - s1 - s2) / 2.0)
+                           / nullif((s1 + s2) / (nn::DOUBLE - 4.0), 0)
+                 END, 9) AS f_stat
+    FROM ssr
+    """,
+)
+def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F-test of the daily event-value trend line
+    at the series midpoint (operators.timeseries.chow_test) — did the
+    trend ITSELF change, beside pettitt's level-shift view; closed-form
+    OLS SSRs from exact decimal moments on the day axis."""
+    from ..operators.timeseries import chow_test
+
+    return chow_test(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
