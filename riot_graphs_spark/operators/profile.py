@@ -2597,3 +2597,194 @@ def lorenz_deciles(
             F.col("_cs").cast("double") / F.col("_tot").cast("double"), 9
         ).alias("cum_share"),
     )
+
+
+def ols_two_features(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """Two-regressor OLS ``y = a + b₁x₁ + b₂x₂`` via the closed-form
+    2×2 normal equations — one step past :func:`ols_inference`'s simple
+    regression, answering "does x₂ explain anything x₁ doesn't" with a
+    model F-test (the regression complement to
+    :func:`partial_correlation`'s single number):
+
+        b = S⁻¹·s,  where S = centered regressor moments,
+        R² = (b₁S₁y + b₂S₂y)/Syy,
+        F  = (R²/2) / ((1−R²)/(n−3))
+
+    All centered moments form as exact integer differences
+    (n·Σab − Σa·Σb in decimal(38,0) over ×``scale`` integers — the
+    :func:`ols_inference` discipline), so the 2×2 solve is pure IEEE on
+    identical operands in any engine.  One partial-aggregable scan.
+    A singular system (collinear regressors) NULLs the coefficients via
+    ``try_divide``.
+
+    Output: one row — ``(n bigint, b1 double, b2 double, intercept
+    double, r2 double, f_stat double)``.
+    """
+    dec = "decimal(38,0)"
+    keep = (
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+
+    def s(c: str) -> F.Column:
+        return F.round(
+            F.col(c).cast("double") * F.lit(float(scale)), 0
+        ).cast("long").cast(dec)
+
+    base = df.filter(keep).select(
+        s(x1_col).alias("_a"), s(x2_col).alias("_b"), s(y_col).alias("_y")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_a").alias("_s1"),
+        F.sum("_b").alias("_s2"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_a") * F.col("_a")).alias("_s11"),
+        F.sum(F.col("_b") * F.col("_b")).alias("_s22"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_s12"),
+        F.sum(F.col("_a") * F.col("_y")).alias("_s1y"),
+        F.sum(F.col("_b") * F.col("_y")).alias("_s2y"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nn = F.col("n").cast(dec)
+
+    def c(q, a, b) -> F.Column:
+        return (nn * F.col(q) - F.col(a) * F.col(b)).cast("double")
+
+    s11 = c("_s11", "_s1", "_s1")
+    s22 = c("_s22", "_s2", "_s2")
+    s12 = c("_s12", "_s1", "_s2")
+    s1y = c("_s1y", "_s1", "_sy")
+    s2y = c("_s2y", "_s2", "_sy")
+    syy = c("_syy", "_sy", "_sy")
+    det = s11 * s22 - s12 * s12
+    b1 = F.try_divide(s22 * s1y - s12 * s2y, det)
+    b2 = F.try_divide(s11 * s2y - s12 * s1y, det)
+    nd = F.col("n").cast("double")
+    sc = F.lit(float(scale))
+    intercept = (
+        F.col("_sy").cast("double") / nd
+        - b1 * F.col("_s1").cast("double") / nd
+        - b2 * F.col("_s2").cast("double") / nd
+    ) / sc
+    r2 = F.try_divide(b1 * s1y + b2 * s2y, syy)
+    fstat = F.when(
+        F.col("n") > 3,
+        F.try_divide(
+            r2 / F.lit(2.0), (F.lit(1.0) - r2) / (nd - F.lit(3.0))
+        ),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1, 9).alias("b1"),
+        F.round(b2, 9).alias("b2"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+        F.round(fstat, 9).alias("f_stat"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1,
+    alarm_p: float = 0.05,
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the :func:`ols_inference`
+    residuals — "is the regression's error variance itself a function of
+    x", the assumption every OLS standard error silently makes (fails on
+    corpora where long docs are also NOISIER, which is the common case):
+
+        LM = n·R²_aux,   R²_aux from e² ~ x,   p ≈ χ²₁ tail
+
+    Pass 1 reduces the exact-integer moments that fix (a, b) — the SAME
+    doubles in any engine; pass 2 broadcasts them, forms per-row
+    residuals e = y − a − b·x (pure IEEE on exact inputs), and reduces
+    9-dp-quantized decimal sums of (e², e²·x, e⁴) for the auxiliary R².
+    The p uses the shared A-S erfc polynomial on √LM (1-df χ² ⇔ |Z|).
+
+    Output: one row — ``(n bigint, slope double, lm double, p_approx
+    double, heteroscedastic boolean)``.
+    """
+    from ..operators.evaluation import _norm_p_two_sided
+
+    d0 = "decimal(38,0)"
+    d9 = "decimal(38,9)"
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+
+    def s(c: str) -> F.Column:
+        return F.round(
+            F.col(c).cast("double") * F.lit(float(scale)), 0
+        ).cast("long")
+
+    base = df.filter(keep).select(s(x_col).alias("_x"), s(y_col).alias("_y"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(d0)).alias("_sx"),
+        F.sum(F.col("_y").cast(d0)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d0)).alias("_sxy"),
+    )
+    nn = F.col("_n").cast(d0)
+    sxx = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    sxy = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    nd = F.col("_n").cast("double")
+    fit = mom.select(
+        "_n",
+        F.try_divide(sxy, sxx).alias("_b"),
+        (
+            F.col("_sy").cast("double") / nd
+            - F.try_divide(sxy, sxx) * F.col("_sx").cast("double") / nd
+        ).alias("_a"),
+    )
+    scored = base.crossJoin(F.broadcast(fit))
+    e = (
+        F.col("_y").cast("double")
+        - F.col("_a")
+        - F.col("_b") * F.col("_x").cast("double")
+    )
+    z = F.round(e * e, 9)
+    aux = scored.agg(
+        F.max("_n").alias("n"),
+        F.max("_b").alias("slope"),
+        F.sum(z.cast(d9)).alias("_sz"),
+        F.sum(F.round(z * z, 9).cast(d9)).alias("_szz"),
+        F.sum(
+            F.round(z * F.col("_x").cast("double"), 9).cast(d9)
+        ).alias("_szx"),
+        F.sum(F.col("_x").cast(d0)).alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
+    )
+    n2 = F.col("n").cast("double")
+    num = (
+        n2 * F.col("_szx").cast("double")
+        - F.col("_sz").cast("double") * F.col("_sx").cast("double")
+    )
+    vz = (
+        n2 * F.col("_szz").cast("double")
+        - F.col("_sz").cast("double") * F.col("_sz").cast("double")
+    )
+    vx = (
+        n2 * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    r2aux = F.try_divide(num * num, vz * vx)
+    lm = n2 * r2aux
+    p = _norm_p_two_sided(F.sqrt(lm))
+    return aux.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("slope"), 9).alias("slope"),
+        F.round(lm, 9).alias("lm"),
+        F.round(p, 9).alias("p_approx"),
+        F.coalesce(p < F.lit(float(alarm_p)), F.lit(False)).alias(
+            "heteroscedastic"
+        ),
+    )

@@ -2042,3 +2042,326 @@ def spectral_gap_top2(
         F.round(F.try_divide(F.col("_l2"), tr), 9).alias("evr2"),
         F.round(tr, 9).alias("trace"),
     )
+
+
+def participation_ratio(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000000,
+) -> DataFrame:
+    """Participation ratio (effective rank) of the embedding covariance —
+    "how many dimensions actually carry variance", WITHOUT an
+    eigendecomposition: PR = (Σλᵢ)²/Σλᵢ² = trace(C)²/‖C‖²_F, since the
+    trace and Frobenius norm are eigenvalue-basis-free.  PR → 1 when one
+    direction owns the space (collapsed embeddings), → d when variance
+    is isotropic — the one-number summary beside :func:`isotropy_stats`'
+    diagonal view and the spectral pair's top-eigenvalue view.
+
+    Reads the shared :func:`_scaled_cov_matrix` (row-local fan-out,
+    d²-row output); trace and Frobenius sums quantize each entry to
+    12 dp before exact decimal accumulation.  Everything after the
+    covariance build is d²-row axis work.
+
+    Output: one row — ``(n_dims bigint, trace double, frob2 double,
+    participation_ratio double, effective_dim_share double)``.
+    """
+    dec12 = "decimal(28,12)"
+    mat = _scaled_cov_matrix(df, id_col, vec_col, scale)
+    agg = mat.agg(
+        F.count_distinct(F.col("_i")).alias("_d"),
+        F.sum(
+            F.when(
+                F.col("_i") == F.col("_j"),
+                F.round(F.col("_c"), 12),
+            ).cast(dec12)
+        ).alias("_tr"),
+        F.sum(
+            F.round(F.col("_c") * F.col("_c"), 12).cast(dec12)
+        ).alias("_fr"),
+    )
+    tr = F.col("_tr").cast("double")
+    fr = F.col("_fr").cast("double")
+    pr = F.try_divide(tr * tr, fr)
+    return agg.select(
+        F.col("_d").cast("long").alias("n_dims"),
+        F.round(tr, 9).alias("trace"),
+        F.round(fr, 9).alias("frob2"),
+        F.round(pr, 9).alias("participation_ratio"),
+        F.round(
+            F.try_divide(pr, F.col("_d").cast("double")), 9
+        ).alias("effective_dim_share"),
+    )
+
+
+def dim_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000000,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-dimension skewness and excess kurtosis of the embedding
+    components, top-``top_k`` dims by |kurtosis| — the distribution-
+    shape audit beside :func:`embedding_dim_stats`' mean/variance view:
+    a heavy-tailed dimension (kurtosis ≫ 0) dominates cosine distances
+    for a few outlier docs; a skewed one breaks the zero-centering
+    assumption quantizers make.
+
+        skew = µ₃/µ₂^1.5,  kurt = µ₄/µ₂² − 3   (population moments)
+
+    Components scale to ×``scale`` exact integers; Σx..Σx⁴ ride
+    decimal(38,0) (casts BEFORE the power products so no long overflow),
+    so every central moment is formed from exact integer sums — engine-
+    identical.  One posexplode + one d-ary groupBy; ranking on the
+    d-row axis (|kurt| desc, dim asc).
+
+    Output: *top_k* rows — ``(dim int, n bigint, mean double,
+    skewness double, kurtosis double)``.
+    """
+    d0 = "decimal(38,0)"
+    comps = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("_i", "_x")
+    ).select(
+        "_i",
+        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+        .cast(d0)
+        .alias("_s"),
+    )
+    agg = comps.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_s").alias("_m1"),
+        F.sum(F.col("_s") * F.col("_s")).alias("_m2"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_s")).alias("_m3"),
+        F.sum(
+            (F.col("_s") * F.col("_s")) * (F.col("_s") * F.col("_s"))
+        ).alias("_m4"),
+    )
+    n = F.col("_n").cast("double")
+    m = F.col("_m1").cast("double") / n
+    r2 = F.col("_m2").cast("double") / n
+    r3 = F.col("_m3").cast("double") / n
+    r4 = F.col("_m4").cast("double") / n
+    mu2 = r2 - m * m
+    mu3 = r3 - F.lit(3.0) * m * r2 + F.lit(2.0) * m * m * m
+    mu4 = (
+        r4
+        - F.lit(4.0) * m * r3
+        + F.lit(6.0) * m * m * r2
+        - F.lit(3.0) * m * m * m * m
+    )
+    skew = F.try_divide(mu3, F.sqrt(mu2) * mu2)
+    kurt = F.try_divide(mu4, mu2 * mu2) - F.lit(3.0)
+    ranked = agg.select(
+        F.col("_i").cast("int").alias("dim"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(m / F.lit(float(scale)), 9).alias("mean"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("kurtosis"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.abs(F.col("kurtosis"))), F.asc("dim")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).drop("_rk")
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000000,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    "which classes does this embedding space actually separate" matrix
+    beside :func:`label_cosine_contrast`'s within/cross view: two labels
+    whose centroids sit at cosine 0.95 will confuse every downstream
+    nearest-centroid router no matter how tight each cluster is.
+
+    Per-(label, dim) component sums are exact scaled integers; each
+    centroid component quantizes to a 9-dp double, the pair dot/norm
+    sums quantize each 12-dp term into exact decimal — all on the k·d
+    axis (labels × dims, dashboard-sized; the pair join broadcasts).
+
+    Output: one row per unordered label pair (a < b) —
+    ``(label_a int, label_b int, cosine double)``.
+    """
+    dec12 = "decimal(28,12)"
+    comps = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("_l"),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        "_l",
+        "_i",
+        F.round(F.col("_x").cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("_s"),
+    )
+    cent = comps.groupBy("_l", "_i").agg(
+        F.round(
+            F.sum(F.col("_s").cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(scale))),
+            9,
+        ).alias("_c")
+    )
+    a = cent.select(
+        F.col("_l").alias("label_a"), F.col("_i"), F.col("_c").alias("_ca")
+    )
+    b = cent.select(
+        F.col("_l").alias("label_b"), F.col("_i"), F.col("_c").alias("_cb")
+    )
+    pairs = a.join(F.broadcast(b), "_i").filter(
+        F.col("label_a") < F.col("label_b")
+    )
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(
+            F.round(F.col("_ca") * F.col("_cb"), 12).cast(dec12)
+        ).alias("_dot"),
+        F.sum(
+            F.round(F.col("_ca") * F.col("_ca"), 12).cast(dec12)
+        ).alias("_na"),
+        F.sum(
+            F.round(F.col("_cb") * F.col("_cb"), 12).cast(dec12)
+        ).alias("_nb"),
+    )
+    cos = F.try_divide(
+        F.col("_dot").cast("double"),
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double")),
+    )
+    return agg.select(
+        "label_a", "label_b", F.round(cos, 9).alias("cosine")
+    )
+
+
+def norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` vectors by |z-score| of the SQUARED L2 norm — the
+    embedding-health screen that catches both failure modes a cosine
+    pipeline hides: near-zero vectors (failed encodes — cosine silently
+    normalizes them into noise) and blow-ups (fp issues upstream).
+    z-scores are taken on the squared norm, which stays an EXACT integer
+    per row (Σ of scaled-component squares — a row-local fold, no
+    shuffle), so the corpus moments are exact decimal sums and every z
+    is one IEEE expression.
+
+    Plan: scan 1 computes per-row integer norm² row-locally and reduces
+    the two moments to ONE broadcast row; scan 2 re-scores and
+    TakeOrderedAndProject keeps the top-k (|z| desc, id asc).
+
+    Output: *top_k* rows — ``(id, norm double, z double)``.
+    """
+    d0 = "decimal(38,0)"
+    sv = F.transform(
+        vec_col,
+        lambda x: F.round(
+            x.cast("double") * F.lit(float(scale)), 0
+        ).cast("long"),
+    )
+    staged = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.aggregate(
+            sv, F.lit(0).cast("long"), lambda acc, s: acc + s * s
+        ).alias("_n2"),
+    )
+    mom = staged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_n2").cast(d0)).alias("_s"),
+        F.sum(
+            (F.col("_n2").cast(d0) * F.col("_n2").cast(d0))
+        ).alias("_q"),
+    )
+    scored = staged.crossJoin(F.broadcast(mom))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = F.col("_q").cast("double") / n - mean * mean
+    z = F.try_divide(
+        F.col("_n2").cast("double") - mean, F.sqrt(var)
+    )
+    norm = F.sqrt(F.col("_n2").cast("double")) / F.lit(float(scale))
+    ranked = scored.select(
+        F.col(id_col),
+        F.round(norm, 9).alias("norm"),
+        F.round(z, 9).alias("z"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.abs(F.col("z"))), F.asc(id_col))
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).drop("_rk")
+
+
+def int8_quantization_snr(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signal-to-noise ratio of the int8 scalar quantization
+    (:func:`quantize_embeddings`' grid, emulated row-locally via
+    :func:`dequantized_vec`) — the ONE number that says whether the 4×
+    memory saving is free: SNR = Var(x)/MSE(x − x̂) over all components
+    (≳ 10³ ⇒ recall-neutral; the companion recall check is
+    :func:`quantized_rescore_topk` vs exact).
+
+    Everything is row-local until two decimal-quantized sums: x and the
+    quantize→dequantize x̂ are pure IEEE per component (identical in any
+    engine), per-component terms round to 12 dp before decimal
+    accumulation; Var is population over all components.  snr_db goes
+    through the decimal(28,12) log10 cut.
+
+    Output: one row — ``(n_components bigint, variance double,
+    mse double, snr double, snr_db double)``.
+    """
+    dec12 = "decimal(28,12)"
+    staged = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("_v"),
+        dequantized_vec(vec_col).alias("_dq"),
+    )
+    comps = staged.select(
+        F.explode(
+            F.zip_with(
+                "_v",
+                "_dq",
+                lambda x, q: F.struct(
+                    x.cast("double").alias("x"),
+                    (x.cast("double") - q).alias("e"),
+                ),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.x").alias("_x"), F.col("_p.e").alias("_e"))
+    agg = comps.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("_x"), 12).cast(dec12)).alias("_sx"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_x"), 12).cast(dec12)
+        ).alias("_sxx"),
+        F.sum(
+            F.round(F.col("_e") * F.col("_e"), 12).cast(dec12)
+        ).alias("_see"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx").cast("double") / n
+    var = F.col("_sxx").cast("double") / n - mean * mean
+    mse = F.col("_see").cast("double") / n
+    snr = F.try_divide(var, mse)
+    snr_db = (
+        F.lit(10.0)
+        * F.log10(snr).cast(dec12).cast("double")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_components"),
+        F.round(var, 9).alias("variance"),
+        F.round(mse, 9).alias("mse"),
+        F.round(snr, 9).alias("snr"),
+        F.round(snr_db, 9).alias("snr_db"),
+    )

@@ -21583,6 +21583,431 @@ def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chow_test(_t(spark, sf_dir, "events"))
 
 
+#: Shared doc-feature projection (mirrors the mahalanobis/vif trio).
+_DOC_FEATS = """
+      SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+               AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+"""
+
+
+@_q(
+    "ols_tokens_2f",
+    f"""
+    WITH feats AS ({_DOC_FEATS}),
+    base AS (
+      SELECT n_chars AS a, n_punct AS b, n_tokens AS y FROM feats
+    ),
+    agg AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(a::HUGEINT) AS s1, sum(b::HUGEINT) AS s2,
+             sum(y::HUGEINT) AS sy,
+             sum(a::HUGEINT * a::HUGEINT) AS s11,
+             sum(b::HUGEINT * b::HUGEINT) AS s22,
+             sum(a::HUGEINT * b::HUGEINT) AS s12,
+             sum(a::HUGEINT * y::HUGEINT) AS s1y,
+             sum(b::HUGEINT * y::HUGEINT) AS s2y,
+             sum(y::HUGEINT * y::HUGEINT) AS syy
+      FROM base
+    ),
+    cen AS (
+      SELECT n,
+             (n * s11 - s1 * s1)::DOUBLE AS c11,
+             (n * s22 - s2 * s2)::DOUBLE AS c22,
+             (n * s12 - s1 * s2)::DOUBLE AS c12,
+             (n * s1y - s1 * sy)::DOUBLE AS c1y,
+             (n * s2y - s2 * sy)::DOUBLE AS c2y,
+             (n * syy - sy * sy)::DOUBLE AS cyy,
+             s1::DOUBLE AS s1d, s2::DOUBLE AS s2d, sy::DOUBLE AS syd
+      FROM agg
+    ),
+    sol AS (
+      SELECT n, s1d, s2d, syd, cyy, c1y, c2y,
+             (c22 * c1y - c12 * c2y)
+               / nullif(c11 * c22 - c12 * c12, 0) AS b1,
+             (c11 * c2y - c12 * c1y)
+               / nullif(c11 * c22 - c12 * c12, 0) AS b2
+      FROM cen
+    ),
+    fin AS (
+      SELECT n, b1, b2,
+             syd / n::DOUBLE - b1 * s1d / n::DOUBLE
+               - b2 * s2d / n::DOUBLE AS intercept,
+             (b1 * c1y + b2 * c2y) / nullif(cyy, 0) AS r2
+      FROM sol
+    )
+    SELECT n::BIGINT AS n, round(b1, 9) AS b1, round(b2, 9) AS b2,
+           round(intercept, 9) AS intercept, round(r2, 9) AS r2,
+           round(CASE WHEN n > 3 THEN (r2 / 2.0)
+                 / nullif((1.0 - r2) / (n::DOUBLE - 3.0), 0) END, 9)
+             AS f_stat
+    FROM fin
+    """,
+)
+def ols_tokens_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS n_tokens ~ n_chars + n_punct with model F-test
+    (operators.profile.ols_two_features) — does punctuation explain
+    token count beyond raw length; closed-form 2x2 normal equations on
+    exact decimal(38,0) centered moments, one scan."""
+    from ..operators.profile import ols_two_features
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[.,!?;:]"), 0)
+        ).cast("long").alias("n_punct"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return ols_two_features(docs, "n_chars", "n_punct", "n_tokens")
+
+
+@_q(
+    "breusch_pagan_tokens",
+    f"""
+    WITH feats AS ({_DOC_FEATS}),
+    base AS (SELECT n_chars AS x, n_tokens AS y FROM feats),
+    mom AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy
+      FROM base
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy)::DOUBLE
+               / nullif((n * sxx - sx * sx)::DOUBLE, 0) AS b,
+             sy::DOUBLE / n::DOUBLE
+               - (n * sxy - sx * sy)::DOUBLE
+                 / nullif((n * sxx - sx * sx)::DOUBLE, 0)
+                 * sx::DOUBLE / n::DOUBLE AS a
+      FROM mom
+    ),
+    scored AS (
+      SELECT base.x, fit.n, fit.b,
+             round((base.y::DOUBLE - fit.a - fit.b * base.x::DOUBLE)
+                   * (base.y::DOUBLE - fit.a - fit.b * base.x::DOUBLE),
+                   9) AS z
+      FROM base CROSS JOIN fit
+    ),
+    aux AS (
+      SELECT max(n) AS n, max(b) AS slope,
+             sum(CAST(z AS DECIMAL(38,9))) AS sz,
+             sum(CAST(round(z * z, 9) AS DECIMAL(38,9))) AS szz,
+             sum(CAST(round(z * x::DOUBLE, 9) AS DECIMAL(38,9))) AS szx,
+             sum(x::HUGEINT) AS sx,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx
+      FROM scored
+    ),
+    lmt AS (
+      SELECT n, slope,
+             n::DOUBLE
+             * ((n::DOUBLE * szx::DOUBLE - sz::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * szx::DOUBLE - sz::DOUBLE * sx::DOUBLE))
+             / nullif((n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)
+                      * (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE
+                         * sx::DOUBLE), 0) AS lm
+      FROM aux
+    ),
+    pv AS (
+      SELECT n, slope, lm, sqrt(lm) AS uu FROM lmt
+    ),
+    w1 AS (SELECT n, slope, lm, uu, {_AS_POLY} FROM pv),
+    e1 AS (SELECT n, slope, lm, {_AS_E} FROM w1)
+    SELECT n::BIGINT AS n, round(slope, 9) AS slope,
+           round(lm, 9) AS lm, round(e, 9) AS p_approx,
+           coalesce(e < 0.05, false) AS heteroscedastic
+    FROM e1
+    """,
+)
+def breusch_pagan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the n_tokens ~ n_chars
+    regression (operators.profile.breusch_pagan) — is token-count noise
+    itself length-dependent (it is, for mixed-script corpora), the
+    assumption behind ols_tokens_chars' standard errors.  Two scans:
+    exact-moment fit broadcast back, 9-dp decimal residual moments,
+    LM = n*R2_aux with the shared A-S erfc p."""
+    from ..operators.profile import breusch_pagan
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return breusch_pagan(docs, "n_chars", "n_tokens")
+
+
+#: Shared full (i, j, c) covariance-matrix oracle CTE chain over the
+#: embeddings table (mirrors operators.similarity._scaled_cov_matrix).
+_COV_MATRIX = """
+    comps AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cpairs AS (
+      SELECT a.i AS ia, b2.i AS ib, a.s AS sa, b2.s AS sb
+      FROM comps a JOIN comps b2
+        ON a.vec_id = b2.vec_id AND a.i <= b2.i
+    ),
+    cagg AS (
+      SELECT ia, ib, count(*)::HUGEINT AS n,
+             sum(sa::HUGEINT) AS sx, sum(sb::HUGEINT) AS sy,
+             sum(sa::HUGEINT * sb::HUGEINT) AS sxy
+      FROM cpairs GROUP BY 1, 2
+    ),
+    upper_m AS (
+      SELECT ia AS i, ib AS j,
+             (n * sxy - sx * sy)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * 1000000.0 * 1000000.0) AS c
+      FROM cagg
+    ),
+    mat AS (
+      SELECT i, j, c FROM upper_m
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM upper_m WHERE i <> j
+    )
+"""
+
+
+@_q(
+    "emb_participation_ratio",
+    f"""
+    WITH {_COV_MATRIX},
+    agg AS (
+      SELECT count(DISTINCT i) AS d,
+             sum(CASE WHEN i = j
+                      THEN CAST(round(c, 12) AS DECIMAL(28,12)) END)
+               AS tr,
+             sum(CAST(round(c * c, 12) AS DECIMAL(28,12))) AS fr
+      FROM mat
+    )
+    SELECT d::BIGINT AS n_dims, round(tr::DOUBLE, 9) AS trace,
+           round(fr::DOUBLE, 9) AS frob2,
+           round(tr::DOUBLE * tr::DOUBLE / nullif(fr::DOUBLE, 0), 9)
+             AS participation_ratio,
+           round(tr::DOUBLE * tr::DOUBLE / nullif(fr::DOUBLE, 0)
+                 / d::DOUBLE, 9) AS effective_dim_share
+    FROM agg
+    """,
+)
+def emb_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio (effective rank) of the embedding covariance
+    (operators.similarity.participation_ratio): trace(C)^2/||C||_F^2 —
+    eigen-free effective dimensionality from the shared row-local
+    covariance build; d^2-axis sums with 12-dp decimal quantization."""
+    from ..operators.similarity import participation_ratio
+
+    return participation_ratio(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "emb_dim_moments",
+    """
+    WITH comps AS (
+      SELECT unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::HUGEINT
+               AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    agg AS (
+      SELECT i, count(*)::HUGEINT AS n, sum(s) AS m1,
+             sum(s * s) AS m2, sum(s * s * s) AS m3,
+             sum((s * s) * (s * s)) AS m4
+      FROM comps GROUP BY 1
+    ),
+    mom AS (
+      SELECT i, n,
+             m1::DOUBLE / n::DOUBLE AS m,
+             m2::DOUBLE / n::DOUBLE AS r2,
+             m3::DOUBLE / n::DOUBLE AS r3,
+             m4::DOUBLE / n::DOUBLE AS r4
+      FROM agg
+    ),
+    cm AS (
+      SELECT i, n, m,
+             r2 - m * m AS mu2,
+             r3 - 3.0 * m * r2 + 2.0 * m * m * m AS mu3,
+             r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+               - 3.0 * m * m * m * m AS mu4
+      FROM mom
+    ),
+    fin AS (
+      SELECT i::INT AS dim, n::BIGINT AS n,
+             round(m / 1000000.0, 9) AS mean,
+             round(mu3 / nullif(sqrt(mu2) * mu2, 0), 9) AS skewness,
+             round(mu4 / nullif(mu2 * mu2, 0) - 3.0, 9) AS kurtosis
+      FROM cm
+    )
+    SELECT dim, n, mean, skewness, kurtosis
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY abs(kurtosis) DESC, dim)
+               AS rk
+      FROM fin
+    ) WHERE rk <= 5
+    """,
+)
+def emb_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 embedding dimensions by |excess kurtosis| with skewness
+    (operators.similarity.dim_moments) — the distribution-shape audit
+    beside emb_dim_stats' mean/variance view; exact decimal(38,0) power
+    sums (cast before multiply), d-axis ranking."""
+    from ..operators.similarity import dim_moments
+
+    return dim_moments(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "emb_centroid_similarity",
+    """
+    WITH comps AS (
+      SELECT label::INT AS l, unnest(range(0, len(embedding))) AS i,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT
+               AS s
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cent AS (
+      SELECT l, i,
+             round(sum(s::HUGEINT)::DOUBLE
+                   / (count(*)::DOUBLE * 1000000.0), 9) AS c
+      FROM comps GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.l AS label_a, b2.l AS label_b,
+             a.c AS ca, b2.c AS cb
+      FROM cent a JOIN cent b2 ON a.i = b2.i AND a.l < b2.l
+    ),
+    agg AS (
+      SELECT label_a, label_b,
+             sum(CAST(round(ca * cb, 12) AS DECIMAL(28,12))) AS dt,
+             sum(CAST(round(ca * ca, 12) AS DECIMAL(28,12))) AS na,
+             sum(CAST(round(cb * cb, 12) AS DECIMAL(28,12))) AS nb
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(dt::DOUBLE / nullif(sqrt(na::DOUBLE)
+                 * sqrt(nb::DOUBLE), 0), 9) AS cosine
+    FROM agg
+    """,
+)
+def emb_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators.similarity.label_centroid_similarity) — which classes
+    the space actually separates, beside emb_label_cosine_contrast's
+    within/cross view; exact integer component sums, all pair work on
+    the labels x dims axis."""
+    from ..operators.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "emb_norm_outliers",
+    """
+    WITH comps AS (
+      SELECT vec_id,
+             round(unnest(embedding)::DOUBLE * 1000000.0, 0)::BIGINT
+               AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n2 AS (
+      SELECT vec_id, sum(s * s)::BIGINT AS n2
+      FROM comps GROUP BY 1
+    ),
+    mom AS (
+      SELECT count(*)::HUGEINT AS n, sum(n2::HUGEINT) AS s,
+             sum(n2::HUGEINT * n2::HUGEINT) AS q
+      FROM n2
+    ),
+    scored AS (
+      SELECT vec_id,
+             round(sqrt(n2::DOUBLE) / 1000000.0, 9) AS norm,
+             round((n2::DOUBLE - s::DOUBLE / n::DOUBLE)
+                   / nullif(sqrt(q::DOUBLE / n::DOUBLE
+                     - (s::DOUBLE / n::DOUBLE)
+                       * (s::DOUBLE / n::DOUBLE)), 0), 9) AS z
+      FROM n2 CROSS JOIN mom
+    )
+    SELECT vec_id, norm, z
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY abs(z) DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 embedding vectors by |z| of the squared L2 norm
+    (operators.similarity.norm_outliers) — catches failed encodes
+    (near-zero vectors cosine silently renormalizes) and fp blow-ups;
+    row-local integer norm fold, one broadcast moment row, top-k scan."""
+    from ..operators.similarity import norm_outliers
+
+    return norm_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "emb_int8_snr",
+    """
+    WITH vecs AS (
+      SELECT embedding,
+             list_min(embedding)::DOUBLE AS mn,
+             list_max(embedding)::DOUBLE AS mx
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    comps AS (
+      SELECT unnest(embedding)::DOUBLE AS x, mn, mx FROM vecs
+    ),
+    dq AS (
+      SELECT x,
+             x - (mn + (CASE WHEN mx = mn THEN 0.0
+                         ELSE floor((x - mn) * 254.0 / (mx - mn) + 0.5)
+                              - 127.0 END + 127.0)
+                  * ((mx - mn) / 254.0)) AS e
+      FROM comps
+    ),
+    agg AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+             sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+             sum(CAST(round(e * e, 12) AS DECIMAL(28,12))) AS see
+      FROM dq
+    ),
+    fin AS (
+      SELECT n,
+             sxx::DOUBLE / n::DOUBLE
+               - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE)
+               AS var,
+             see::DOUBLE / n::DOUBLE AS mse
+      FROM agg
+    )
+    SELECT n::BIGINT AS n_components, round(var, 9) AS variance,
+           round(mse, 9) AS mse,
+           round(var / nullif(mse, 0), 9) AS snr,
+           round(10.0 * CAST(CAST(log10(var / nullif(mse, 0))
+                 AS DECIMAL(28,12)) AS DOUBLE), 9) AS snr_db
+    FROM fin
+    """,
+)
+def emb_int8_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-to-noise ratio of int8 scalar quantization over the
+    embedding store (operators.similarity.int8_quantization_snr) —
+    Var(x)/MSE(x - dequant(quant(x))) with the quantize_embeddings grid
+    emulated row-locally; 12-dp decimal component sums, log10 through
+    the decimal cut."""
+    from ..operators.similarity import int8_quantization_snr
+
+    return int8_quantization_snr(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
