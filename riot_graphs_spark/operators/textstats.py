@@ -1775,3 +1775,405 @@ def compressibility_proxy(
             "flagged_share"
         ),
     )
+
+
+def hapax_share(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Hapax legomena share per source — the fraction of each source's
+    vocabulary that appears exactly once: the fastest vocabulary-health
+    contrast behind :func:`zipf_fit`'s full curve (organic text runs
+    ~40-60% hapax; template/boilerplate sources collapse toward 0,
+    OCR/mojibake sources explode toward 1 as garbage tokens never
+    repeat).
+
+    One (source, token) count groupBy (the only corpus-sized shuffle,
+    partial-aggregable after the row-local explode) + one bounded
+    per-source reduce; exact integer counts end-to-end.
+
+    Output: one row per source — ``(source, vocab bigint, hapax bigint,
+    hapax_share double)``.
+    """
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(text_col)).alias("_t"),
+        )
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("hapax"),
+    )
+    return agg.select(
+        "source",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.round(
+            F.try_divide(
+                F.col("hapax").cast("double"),
+                F.col("vocab").cast("double"),
+            ),
+            9,
+        ).alias("hapax_share"),
+    )
+
+
+def case_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Casing composition of word tokens per language — the cheap
+    provenance fingerprint :func:`script_profile` (character classes)
+    can't see: lowercase-normalized scrapes score ~0 capitalized share,
+    title-cased boilerplate scores high, ALL-CAPS shouting flags low-
+    quality sources; and a 'de' corpus with English-level capitalization
+    is mislabeled (German capitalizes every noun).
+
+    Tokens are maximal ``[A-Za-z]+`` runs (case preserved — the
+    :func:`tokens` lowercasing would destroy the signal); classes:
+    capitalized ``[A-Z][a-z]+``, allcaps ``[A-Z]{2,}``, lower
+    ``[a-z]+``, everything else mixed.  Row-local class counts, one
+    partial-aggregable groupBy, exact integers.
+
+    Output: one row per group — ``(lang, word_tokens bigint,
+    cap_share double, allcaps_share double, lower_share double,
+    mixed_share double)``.
+    """
+    words = F.regexp_extract_all(
+        F.col(text_col), F.lit("[A-Za-z]+"), 0
+    )
+
+    def share_cnt(pattern: str) -> Column:
+        return F.size(
+            F.filter(words, lambda t: t.rlike(pattern))
+        )
+
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("lang"),
+        F.size(words).alias("_n"),
+        share_cnt("^[A-Z][a-z]+$").alias("_cap"),
+        share_cnt("^[A-Z]{2,}$").alias("_all"),
+        share_cnt("^[a-z]+$").alias("_low"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.sum("_n").alias("word_tokens"),
+        F.sum("_cap").alias("_c"),
+        F.sum("_all").alias("_a"),
+        F.sum("_low").alias("_l"),
+    )
+    tot = F.col("word_tokens").cast("double")
+    mixed = (
+        F.col("word_tokens") - F.col("_c") - F.col("_a") - F.col("_l")
+    )
+    return agg.select(
+        "lang",
+        F.col("word_tokens").cast("long").alias("word_tokens"),
+        F.round(F.try_divide(F.col("_c").cast("double"), tot), 9).alias(
+            "cap_share"
+        ),
+        F.round(F.try_divide(F.col("_a").cast("double"), tot), 9).alias(
+            "allcaps_share"
+        ),
+        F.round(F.try_divide(F.col("_l").cast("double"), tot), 9).alias(
+            "lower_share"
+        ),
+        F.round(F.try_divide(mixed.cast("double"), tot), 9).alias(
+            "mixed_share"
+        ),
+    )
+
+
+def digit_density_deciles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Digit-character density profile in corpus deciles — the "how much
+    of this corpus is tables/IDs/logs masquerading as prose" readout a
+    mean alone hides (digit mass concentrates: decile 10's density is
+    the number that predicts tokenizer blow-ups and boilerplate).
+
+    Per-doc density = digit chars / total chars (exact integer counts →
+    one IEEE division); docs rank into ntile(10) by (density, id) —
+    deterministic total order; per-decile means aggregate 9-dp-quantized
+    decimal sums.  One row-local projection + one ntile window on the
+    doc axis + one 10-ary reduce.
+
+    Output: 10 rows — ``(decile int, n_docs bigint, mean_density
+    double, max_density double)``.
+    """
+    t = F.col(text_col)
+    dig = F.length(t) - F.length(
+        F.regexp_replace(t, F.lit("[0-9]"), F.lit(""))
+    )
+    base = df.filter(
+        t.isNotNull() & (F.length(t) > 0) & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.try_divide(
+            dig.cast("double"), F.length(t).cast("double")
+        ).alias("_d"),
+    )
+    ranked = base.select(
+        "_d",
+        F.ntile(10).over(Window.orderBy("_d", "_id")).alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.round(F.col("_d"), 9).cast("decimal(28,9)")).alias(
+                "_s"
+            ),
+            F.max(F.round(F.col("_d"), 9)).alias("_mx"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("_s").cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("mean_density"),
+            F.round(F.col("_mx"), 9).alias("max_density"),
+        )
+    )
+
+
+def lang_script_mismatch(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    latin_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """Language-label vs script agreement — the one-join mislabel screen
+    :func:`script_profile` (per-SOURCE composition) can't do per LABEL:
+    a doc labeled 'zh' whose characters are latin-dominant is mislabeled
+    or transliterated; an 'en' doc that is NOT latin-dominant is
+    mojibake.  Dominance is the exact INTEGER comparison
+    ``2·latin_chars ≥ non-space_chars`` — no double thresholds, no
+    engine drift.
+
+    Row-local regexp counts, one per-lang reduce.
+
+    Output: one row per lang — ``(lang, n_docs bigint, latin_expected
+    boolean, mismatch_docs bigint, mismatch_rate double)``.
+    """
+    t = F.col(text_col)
+
+    def cnt(pattern: str) -> Column:
+        return F.length(t) - F.length(
+            F.regexp_replace(t, F.lit(pattern), F.lit(""))
+        )
+
+    latin_dom = (F.lit(2) * cnt(r"[a-zA-Z]")) >= (
+        F.length(t) - cnt(r"[ \t\n\r]")
+    )
+    expected_latin = F.col(lang_col).isin(*latin_langs)
+    mism = (latin_dom != expected_latin).cast("long")
+    agg = (
+        df.filter(t.isNotNull() & F.col(lang_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(expected_latin).alias("latin_expected"),
+            F.sum(mism).alias("mismatch_docs"),
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "latin_expected",
+        F.col("mismatch_docs").cast("long").alias("mismatch_docs"),
+        F.round(
+            F.col("mismatch_docs").cast("double")
+            / F.col("n_docs").cast("double"),
+            9,
+        ).alias("mismatch_rate"),
+    )
+
+
+def doclen_lognormal_ks(
+    df: DataFrame,
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Moment-fit lognormal on document lengths + one-sample KS distance
+    — "is this corpus' length distribution organic": natural text
+    lengths are famously lognormal-ish; a KS blowup means truncation,
+    chunking artifacts, or mixed populations (and invalidates any
+    length-based quality fence calibrated on the lognormal assumption).
+
+        μ, σ = mean/population-SD of ln(len),
+        D = sup_v max(|F_n(v) − Φ(z_v)|, |F_n(v⁻) − Φ(z_v)|),
+        Φ via the shared A-S erfc polynomial,
+        fit_ok: D ≤ 1.36/√n  (asymptotic 5% band)
+
+    Every ``ln`` quantizes through decimal(28,12); μ/σ form from exact
+    decimal sums over the DISTINCT-LENGTH axis (ln computed once per
+    distinct value, weighted by exact counts); each Φ is one IEEE
+    polynomial on identical doubles.  One corpus-sized count groupBy,
+    then distinct-value-axis windows — the :func:`ks_goodness_of_fit`
+    shape.
+
+    Output: one row — ``(n bigint, mu double, sigma double, ks_d
+    double, lognormal_fit boolean)``.
+    """
+    dec12 = "decimal(28,12)"
+    # NARROW decimal types for the weighted sums: decimal(28,12)*bigint
+    # exceeds precision 38 and Spark silently REDUCES the scale of the
+    # product (allowPrecisionLoss) — (18,12)*(10,0) = (29,12) stays
+    # exact in both engines.
+    dlv = "decimal(18,12)"
+    dn = "decimal(10,0)"
+    counts = (
+        df.filter(F.col(len_col).isNotNull() & (F.col(len_col) > 0))
+        .groupBy(F.col(len_col).cast("long").alias("_v"))
+        .agg(F.count(F.lit(1)).cast(dn).alias("_n"))
+    )
+    lnv = (
+        # round BEFORE the decimal cast (the .5-ULP boundary rule —
+        # with ~hundreds of distinct lengths a bare cast WILL hit one)
+        F.round(F.log(F.col("_v").cast("double")), 12)
+        .cast(dlv)
+        .alias("_lv")
+    )
+    staged = counts.select("_v", "_n", lnv)
+    mom = staged.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.col("_lv") * F.col("_n")).alias("_s"),
+        F.sum(
+            F.round(
+                F.col("_lv").cast("double")
+                * F.col("_lv").cast("double"),
+                12,
+            ).cast(dlv)
+            * F.col("_n")
+        ).alias("_q"),
+    )
+    n = F.col("_tot").cast("double")
+    mu = F.col("_s").cast("double") / n
+    sigma = (
+        F.sqrt(
+            F.greatest(
+                F.col("_q").cast("double") / n - mu * mu, F.lit(0.0)
+            )
+        )
+        .cast(dec12)
+        .cast("double")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = staged.crossJoin(
+        F.broadcast(mom.select(mu.alias("_mu"), sigma.alias("_sg")))
+    ).withColumn("_cum", F.sum("_n").over(w_cum)).withColumn(
+        "_t2", F.sum("_n").over(Window.partitionBy())
+    )
+    z = F.try_divide(
+        F.col("_lv").cast("double") - F.col("_mu"), F.col("_sg")
+    )
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = tt * (
+        F.lit(0.254829592)
+        + tt
+        * (
+            F.lit(-0.284496736)
+            + tt
+            * (
+                F.lit(1.421413741)
+                + tt * (F.lit(-1.453152027) + tt * F.lit(1.061405429))
+            )
+        )
+    )
+    e = poly * F.exp(-x * x)
+    phi = F.when(z >= 0, F.lit(1.0) - e / 2).otherwise(e / 2)
+    ecdf = F.col("_cum").cast("double") / F.col("_t2").cast("double")
+    ecdf_b = (F.col("_cum") - F.col("_n")).cast("double") / F.col(
+        "_t2"
+    ).cast("double")
+    gap = F.greatest(F.abs(ecdf - phi), F.abs(phi - ecdf_b))
+    out = scored.agg(
+        F.max("_t2").alias("n"),
+        F.max("_mu").alias("mu"),
+        F.max("_sg").alias("sigma"),
+        F.max(F.round(gap, 9)).alias("ks_d"),
+    )
+    crit = F.lit(1.36) / F.sqrt(F.col("n").cast("double"))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu"), 9).alias("mu"),
+        F.round(F.col("sigma"), 9).alias("sigma"),
+        F.col("ks_d"),
+        F.coalesce(F.col("ks_d") <= crit, F.lit(False)).alias(
+            "lognormal_fit"
+        ),
+    )
+
+
+def token_yield_by_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative token yield by quality decile — THE curation planning
+    curve: "if we keep only the best k/10 of the corpus, how many
+    training tokens survive?"  Quality cuts are argued about in share-
+    of-corpus; training budgets are paid in tokens — this is the
+    exchange rate, and its shape (tokens concentrating in low deciles
+    means the quality score anti-correlates with length) decides
+    whether a hard cut or a length-aware mixture is right.
+
+    Docs rank into ntile(10) by (quality_score DESC, id) — decile 1 is
+    the BEST, deterministic total order; per-decile token sums are
+    exact integers; the cumulative share reads best-first.  One scoring
+    projection (row-local), one ntile window on the doc axis, one
+    10-ary reduce + cumulative window.
+
+    Output: 10 rows — ``(decile int, n_docs bigint, tokens bigint,
+    cum_tokens bigint, cum_token_share double)``.
+    """
+    scored = quality_score(
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("n_tokens").alias("_tk"),
+        F.col("quality_score").alias("_q"),
+    )
+    ranked = scored.select(
+        "_tk",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("_q").desc(), F.col("_id")))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tk").alias("tokens"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.sum("tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.round(
+            F.sum("tokens").over(w_cum).cast("double")
+            / F.sum("tokens").over(w_all).cast("double"),
+            9,
+        ).alias("cum_token_share"),
+    )

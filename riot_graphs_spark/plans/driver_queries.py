@@ -22008,6 +22008,265 @@ def emb_int8_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantization_snr(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "vocab_hapax_share",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    cnt AS (SELECT source, t, count(*) AS n FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT source, count(*) AS vocab,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, vocab::BIGINT AS vocab, hapax::BIGINT AS hapax,
+           round(hapax::DOUBLE / nullif(vocab::DOUBLE, 0), 9)
+             AS hapax_share
+    FROM agg
+    """,
+)
+def vocab_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source
+    (operators.textstats.hapax_share) — the one-number vocabulary-health
+    contrast: template sources collapse toward 0, OCR/mojibake explode
+    toward 1.  One (source, token) count groupBy + bounded reduce."""
+    from ..operators.textstats import hapax_share
+
+    return hapax_share(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_case_profile",
+    """
+    WITH words AS (
+      SELECT lang, regexp_extract_all(text, '[A-Za-z]+') AS ws
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    base AS (
+      SELECT lang, len(ws) AS n,
+             len(list_filter(ws,
+                 w -> regexp_matches(w, '^[A-Z][a-z]+$'))) AS cap,
+             len(list_filter(ws,
+                 w -> regexp_matches(w, '^[A-Z]{2,}$'))) AS al,
+             len(list_filter(ws,
+                 w -> regexp_matches(w, '^[a-z]+$'))) AS lo
+      FROM words
+    ),
+    agg AS (
+      SELECT lang, sum(n) AS wt, sum(cap) AS c, sum(al) AS a,
+             sum(lo) AS l
+      FROM base GROUP BY 1
+    )
+    SELECT lang, wt::BIGINT AS word_tokens,
+           round(c::DOUBLE / nullif(wt::DOUBLE, 0), 9) AS cap_share,
+           round(a::DOUBLE / nullif(wt::DOUBLE, 0), 9)
+             AS allcaps_share,
+           round(l::DOUBLE / nullif(wt::DOUBLE, 0), 9) AS lower_share,
+           round((wt - c - a - l)::DOUBLE / nullif(wt::DOUBLE, 0), 9)
+             AS mixed_share
+    FROM agg
+    """,
+)
+def text_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casing composition of case-preserved word tokens per language
+    (operators.textstats.case_profile) — lowercase-normalized scrapes,
+    title-case boilerplate and ALL-CAPS noise each leave a distinct
+    signature; row-local class counts, one partial-aggregable
+    groupBy."""
+    from ..operators.textstats import case_profile
+
+    return case_profile(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_digit_deciles",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+               ::DOUBLE / len(text)::DOUBLE AS d
+      FROM documents
+      WHERE text IS NOT NULL AND len(text) > 0
+        AND doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT d, ntile(10) OVER (ORDER BY d, doc_id) AS decile
+      FROM base
+    )
+    SELECT decile::INT AS decile, count(*)::BIGINT AS n_docs,
+           round(CAST(sum(CAST(round(d, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) / count(*)::DOUBLE, 9) AS mean_density,
+           round(max(round(d, 9)), 9) AS max_density
+    FROM r GROUP BY 1
+    """,
+)
+def text_digit_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-character density in corpus deciles
+    (operators.textstats.digit_density_deciles) — how much of the
+    corpus is tables/IDs/logs; exact integer char counts, deterministic
+    (density, id) ntile, 9-dp decimal mean sums."""
+    from ..operators.textstats import digit_density_deciles
+
+    return digit_density_deciles(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_script_mismatch",
+    """
+    WITH base AS (
+      SELECT lang,
+             lang IN ('en', 'de', 'fr', 'es') AS exp_lat,
+             (2 * (len(text)
+                   - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))))
+               >= len(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+               AS latin_dom
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           max(exp_lat) AS latin_expected,
+           sum(CASE WHEN latin_dom <> exp_lat THEN 1 ELSE 0 END)::BIGINT
+             AS mismatch_docs,
+           round(sum(CASE WHEN latin_dom <> exp_lat THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*)::DOUBLE, 9) AS mismatch_rate
+    FROM base GROUP BY 1
+    """,
+)
+def lang_script_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label vs script-dominance agreement per lang
+    (operators.textstats.lang_script_mismatch) — a 'zh' doc with
+    latin-dominant characters is mislabeled or transliterated; exact
+    integer dominance test (2*latin >= non-space), one reduce."""
+    from ..operators.textstats import lang_script_mismatch
+
+    return lang_script_mismatch(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doclen_lognormal_ks",
+    """
+    WITH counts AS (
+      SELECT n_chars::BIGINT AS v, count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT v, CAST(n AS DECIMAL(10,0)) AS n,
+             CAST(round(ln(v::DOUBLE), 12) AS DECIMAL(18,12)) AS lv
+      FROM counts
+    ),
+    mom AS (
+      SELECT sum(n) AS tot,
+             sum(lv * n) AS s,
+             sum(CAST(round(lv::DOUBLE * lv::DOUBLE, 12)
+                 AS DECIMAL(18,12)) * n) AS q
+      FROM staged
+    ),
+    ms AS (
+      SELECT tot,
+             s::DOUBLE / tot::DOUBLE AS mu,
+             CAST(CAST(sqrt(greatest(q::DOUBLE / tot::DOUBLE
+                   - (s::DOUBLE / tot::DOUBLE)
+                     * (s::DOUBLE / tot::DOUBLE), 0.0))
+                  AS DECIMAL(28,12)) AS DOUBLE) AS sg
+      FROM mom
+    ),
+    scored AS (
+      SELECT st.v, st.n, st.lv, ms.mu, ms.sg, ms.tot,
+             sum(st.n) OVER (ORDER BY st.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             (st.lv::DOUBLE - ms.mu) / nullif(ms.sg, 0) AS z
+      FROM staged st CROSS JOIN ms
+    ),
+    gaps AS (
+      SELECT tot, mu, sg,
+             CASE WHEN z >= 0 THEN 1.0 - e / 2 ELSE e / 2 END AS phi,
+             cum::DOUBLE / tot::DOUBLE AS ec,
+             (cum - n)::DOUBLE / tot::DOUBLE AS eb
+      FROM (
+        SELECT *,
+               (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                 * (0.254829592
+                    + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                    * (-0.284496736
+                       + (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       * (1.421413741
+                          + (1.0 / (1.0 + 0.3275911
+                                    * (abs(z) / sqrt(2.0))))
+                          * (-1.453152027
+                             + (1.0 / (1.0 + 0.3275911
+                                       * (abs(z) / sqrt(2.0))))
+                             * 1.061405429))))
+                 * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))
+                 AS e
+        FROM scored
+      )
+    ),
+    fin AS (
+      SELECT max(tot) AS n, max(mu) AS mu, max(sg) AS sg,
+             max(round(greatest(abs(ec - phi), abs(phi - eb)), 9))
+               AS ks_d
+      FROM gaps
+    )
+    SELECT n::BIGINT AS n, round(mu, 9) AS mu, round(sg, 9) AS sigma,
+           ks_d,
+           coalesce(ks_d <= 1.36 / sqrt(n::DOUBLE), false)
+             AS lognormal_fit
+    FROM fin
+    """,
+)
+def doclen_lognormal_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-fit lognormal + one-sample KS on document lengths
+    (operators.textstats.doclen_lognormal_ks) — is the length
+    distribution organic or truncated/chunked; decimal-cut lns over the
+    distinct-length axis, A-S polynomial Phi, exact ECDF gaps."""
+    from ..operators.textstats import doclen_lognormal_ks
+
+    return doclen_lognormal_ks(_t(spark, sf_dir, "documents"))
+
+
+def _token_yield_oracle() -> str:
+    quality = ORACLES["text_quality_scores"]
+    return f"""
+    WITH q AS ({quality}),
+    r AS (
+      SELECT n_tokens,
+             ntile(10) OVER (ORDER BY quality_score DESC, doc_id)
+               AS decile
+      FROM q
+    ),
+    per AS (
+      SELECT decile, count(*) AS n_docs, sum(n_tokens) AS tokens
+      FROM r GROUP BY 1
+    )
+    SELECT decile::INT AS decile, n_docs::BIGINT AS n_docs,
+           tokens::BIGINT AS tokens,
+           (sum(tokens) OVER w)::BIGINT AS cum_tokens,
+           round((sum(tokens) OVER w)::DOUBLE
+                 / (sum(tokens) OVER ())::DOUBLE, 9)
+             AS cum_token_share
+    FROM per
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@_q("token_yield_by_quality", _token_yield_oracle())
+def token_yield_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token yield by quality decile (decile 1 = best)
+    (operators.textstats.token_yield_by_quality) — the share-of-corpus
+    to training-tokens exchange rate every quality-cut decision needs;
+    deterministic (quality DESC, id) ntile, exact integer token sums."""
+    from ..operators.textstats import token_yield_by_quality
+
+    return token_yield_by_quality(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
