@@ -1368,3 +1368,66 @@ def mixture_temperature_scaling(
             )
         )
     return c.select(*out_cols)
+
+
+def split_feature_parity(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("doc_id",),
+    feature_col: str = "n_chars",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Feature-distribution parity across the train/val/test split — the
+    hygiene check AFTER :func:`train_val_test_split` that dup-leakage
+    alone can't give: a split whose validation documents are
+    systematically longer (or higher-quality) than training measures the
+    wrong loss.  Each split's feature mean compares against the POOLED
+    REST via a Welch-style z:
+
+        z = (m_s − m_rest) / √(v_s/n_s + v_rest/n_rest)
+
+    Split membership is the deterministic hash of
+    :func:`train_val_test_split`; per-split moments ride exact
+    decimal(38,0) sums of the integer feature; the rest-moments derive
+    from the (3-row) split aggregate by subtraction — exact.  One scan.
+
+    Output: one row per split — ``(split string, n_docs bigint, mean
+    double, sd double, z_vs_rest double, balanced boolean)``.
+    """
+    d0 = "decimal(38,0)"
+    split_df = train_val_test_split(
+        df.filter(F.col(feature_col).isNotNull()),
+        list(key_cols),
+        val_frac=val_frac,
+        test_frac=test_frac,
+    )
+    v = F.col(feature_col).cast("long").cast(d0)
+    per = split_df.groupBy("split").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    tot = per.agg(
+        F.sum("_n").alias("_tn"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_q").alias("_tq"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    m = F.col("_s").cast("double") / n
+    var = (F.col("_q").cast("double") - n * m * m) / (n - F.lit(1.0))
+    nr = (F.col("_tn") - F.col("_n")).cast("double")
+    mr = (F.col("_ts") - F.col("_s")).cast("double") / nr
+    qr = (F.col("_tq") - F.col("_q")).cast("double")
+    varr = (qr - nr * mr * mr) / (nr - F.lit(1.0))
+    z = F.try_divide(m - mr, F.sqrt(var / n + varr / nr))
+    return j.select(
+        "split",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.round(m, 9).alias("mean"),
+        F.round(F.sqrt(var), 9).alias("sd"),
+        F.round(z, 9).alias("z_vs_rest"),
+        F.coalesce(
+            F.abs(z) <= F.lit(1.959963984540054), F.lit(False)
+        ).alias("balanced"),
+    )

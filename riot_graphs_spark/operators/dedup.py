@@ -1739,3 +1739,69 @@ def chunk_overlap_pairs(
             F.col("shared_tokens").cast("long").alias("shared_tokens"),
         )
     )
+
+
+def cluster_label_purity(
+    clusters: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "component_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Label purity of near-duplicate clusters — the dedup-QA question
+    the cluster SIZE histogram can't answer: near-dup families that
+    straddle LANGUAGE (or source) boundaries usually mean the shingle
+    length is too short or boilerplate is driving similarity, and
+    collapsing them would delete genuinely distinct documents.
+
+        purity = Σ_c max_label_count(c) / Σ_c |c|
+
+    over the clusters (size ≥ 2 by construction — singletons never
+    enter the edge list).  One join of the (tiny) cluster assignment
+    against the label column, one (cluster, label) count groupBy, one
+    per-cluster max — all on the clustered-docs axis, never corpus².
+
+    Output: one row — ``(n_clusters bigint, n_docs bigint, purity
+    double, mixed_clusters bigint, mixed_share double)``.
+    """
+    joined = clusters.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).alias("_lab")
+        ),
+        id_col,
+    )
+    per = joined.groupBy(
+        F.col(cluster_col).alias("_c"), F.col("_lab")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_c = per.groupBy("_c").agg(
+        F.sum("_n").alias("_size"),
+        F.max("_n").alias("_maj"),
+        F.count(F.lit(1)).alias("_nlab"),
+    )
+    agg = per_c.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("_size").alias("n_docs"),
+        F.sum("_maj").alias("_majsum"),
+        F.sum((F.col("_nlab") > 1).cast("long")).alias(
+            "mixed_clusters"
+        ),
+    )
+    return agg.select(
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.try_divide(
+                F.col("_majsum").cast("double"),
+                F.col("n_docs").cast("double"),
+            ),
+            9,
+        ).alias("purity"),
+        F.col("mixed_clusters").cast("long").alias("mixed_clusters"),
+        F.round(
+            F.try_divide(
+                F.col("mixed_clusters").cast("double"),
+                F.col("n_clusters").cast("double"),
+            ),
+            9,
+        ).alias("mixed_share"),
+    )

@@ -22267,6 +22267,333 @@ def token_yield_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_yield_by_quality(_t(spark, sf_dir, "documents"))
 
 
+def _cluster_purity_oracle() -> str:
+    cc = ORACLES["dedup_cc_clusters"]
+    return f"""
+    WITH cl AS ({cc}),
+    j AS (
+      SELECT cl.component_id AS c, d.lang
+      FROM cl JOIN documents d ON d.doc_id = cl.id
+    ),
+    per AS (SELECT c, lang, count(*) AS n FROM j GROUP BY 1, 2),
+    pc AS (
+      SELECT c, sum(n) AS sz, max(n) AS maj, count(*) AS nlab
+      FROM per GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_docs,
+           round(sum(maj)::DOUBLE / nullif(sum(sz)::DOUBLE, 0), 9)
+             AS purity,
+           sum(CASE WHEN nlab > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS mixed_clusters,
+           round(sum(CASE WHEN nlab > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / nullif(count(*)::DOUBLE, 0), 9) AS mixed_share
+    FROM pc
+    """
+
+
+@_q("dedup_cluster_purity", _cluster_purity_oracle())
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of the MinHash-LSH near-duplicate clusters
+    (operators.dedup.cluster_label_purity over the dedup_cc_clusters
+    pipeline) — clusters straddling language boundaries flag shingles
+    too short or boilerplate-driven similarity; all post-cluster work on
+    the clustered-docs axis."""
+    from ..operators.dedup import (
+        cluster_label_purity,
+        connected_components,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    clusters = connected_components(
+        jaccard_verify_pairs(docs, cand, threshold=0.8)
+    )
+    labels = docs.select(F.col("doc_id").alias("id"), "lang")
+    return cluster_label_purity(clusters, labels)
+
+
+@_q(
+    "split_feature_parity",
+    """
+    WITH fp AS (
+      SELECT CASE WHEN ('0x' || substr(md5('split' || chr(31)
+                     || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                     / 72057594037927936.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || chr(31)
+                     || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                     / 72057594037927936.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars::HUGEINT AS v
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    per AS (
+      SELECT split, count(*)::HUGEINT AS n, sum(v) AS s,
+             sum(v * v) AS q
+      FROM fp GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(q) AS tq FROM per),
+    st AS (
+      SELECT split, n, s, q, tn, ts, tq,
+             s::DOUBLE / n::DOUBLE AS m,
+             (q::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
+               * (s::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0) AS var,
+             (ts - s)::DOUBLE / (tn - n)::DOUBLE AS mr,
+             ((tq - q)::DOUBLE - (tn - n)::DOUBLE
+               * ((ts - s)::DOUBLE / (tn - n)::DOUBLE)
+               * ((ts - s)::DOUBLE / (tn - n)::DOUBLE))
+               / ((tn - n)::DOUBLE - 1.0) AS varr
+      FROM per CROSS JOIN tot
+    ),
+    zc AS (
+      SELECT split, n, m, var,
+             (m - mr) / nullif(sqrt(var / n::DOUBLE
+               + varr / (tn - n)::DOUBLE), 0) AS z
+      FROM st
+    )
+    SELECT split, n::BIGINT AS n_docs, round(m, 9) AS mean,
+           round(sqrt(var), 9) AS sd, round(z, 9) AS z_vs_rest,
+           coalesce(abs(z) <= 1.959963984540054, false) AS balanced
+    FROM zc
+    """,
+)
+def split_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split n_chars distribution parity (Welch z vs the pooled
+    rest) over the deterministic hash split
+    (operators.curation.split_feature_parity) — the hygiene check that
+    catches a validation set systematically longer than training; exact
+    decimal moments, rest-moments by subtraction, one scan."""
+    from ..operators.curation import split_feature_parity
+
+    return split_feature_parity(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "orders_cohort_ltv",
+    """
+    WITH first_o AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate))::TIMESTAMP AS cm
+      FROM orders GROUP BY 1
+    ),
+    csize AS (
+      SELECT cm, count(*) AS n_customers FROM first_o GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cm,
+             date_diff('month', f.cm,
+                       date_trunc('month', o.o_orderdate)) AS off,
+             sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(28,2)))
+               AS rv
+      FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT r.cm AS cohort_month, r.off::INT AS month_offset,
+           s.n_customers::BIGINT AS n_customers,
+           r.rv::DOUBLE AS revenue,
+           round((sum(r.rv) OVER (PARTITION BY r.cm ORDER BY r.off
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 ::DOUBLE / s.n_customers::DOUBLE, 6) AS cum_ltv
+    FROM rev r JOIN csize s ON r.cm = s.cm
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by first-order
+    month, cumulative revenue per cohort member by month offset — the
+    business-side retention triangle beside retention_weekly's activity
+    view.  Two customer-keyed aggregates + one bounded cohort-axis
+    window; revenue sums exact decimal(28,2)."""
+    ords = _t(spark, sf_dir, "orders")
+    first_o = ords.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cm")
+    )
+    csize = first_o.groupBy("cm").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    off = (
+        (F.year(F.date_trunc("month", F.col("o_orderdate")))
+         - F.year("cm")) * 12
+        + (F.month(F.date_trunc("month", F.col("o_orderdate")))
+           - F.month("cm"))
+    )
+    rev = (
+        ords.join(first_o, "o_custkey")
+        .groupBy("cm", off.alias("off"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("rv")
+        )
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(csize, "cm").select(
+        F.col("cm").alias("cohort_month"),
+        F.col("off").cast("int").alias("month_offset"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        # no round: the exact decimal(28,2) -> double conversion is
+        # already engine-identical, and round-9 at ~5e6 magnitude is not
+        F.col("rv").cast("double").alias("revenue"),
+        # 6 dp, not 9: cum LTV is ~1e6 and round-9 would demand 16
+        # significant digits — past double precision (memory trap #2)
+        F.round(
+            F.sum("rv").over(w).cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("cum_ltv"),
+    )
+
+
+@_q(
+    "order_to_ship_delay",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)
+               AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority, count(*)::BIGINT AS n,
+           round(quantile_cont(delay, 0.5), 6) AS p50,
+           round(quantile_cont(delay, 0.9), 6) AS p90,
+           round(quantile_cont(delay, 0.99), 6) AS p99,
+           max(delay)::BIGINT AS max_delay
+    FROM d GROUP BY 1
+    """,
+)
+def order_to_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    fulfillment-SLA readout (does URGENT actually ship faster); exact
+    interpolated percentiles over integer day delays, one fact join +
+    one priority-keyed aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("delay"),
+    )
+    return d.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("delay", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("delay", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("delay", F.lit(0.99)), 6).alias("p99"),
+        F.max("delay").cast("long").alias("max_delay"),
+    )
+
+
+@_q(
+    "part_affinity_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    pc AS (SELECT l_partkey, count(*) AS np FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS nab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sc AS (
+      SELECT part_a, part_b, nab,
+             round(nab::DOUBLE / tot.n::DOUBLE, 9) AS support,
+             round(nab::DOUBLE / pa.np::DOUBLE, 9) AS confidence,
+             round(nab::DOUBLE * tot.n::DOUBLE
+                   / (pa.np::DOUBLE * pb.np::DOUBLE), 9) AS lift
+      FROM pairs
+      JOIN pc pa ON pa.l_partkey = pairs.part_a
+      JOIN pc pb ON pb.l_partkey = pairs.part_b
+      CROSS JOIN tot
+    )
+    SELECT part_a, part_b, nab::BIGINT AS n_orders, support,
+           confidence, lift
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, part_a, part_b)
+               AS rk
+      FROM sc
+    ) WHERE rk <= 15
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics (support/confidence/lift) over the
+    basket_part_pairs co-occurrence graph, top-15 by lift — WHICH part
+    pairs co-sell beyond chance, not just often.  Pair expansion stays
+    bounded by the largest order; part counts broadcast back; ranking on
+    the qualifying-pairs axis."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = li.agg(
+        F.count_distinct("l_orderkey").alias("_n")
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_np"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("_nab"))
+        .filter(F.col("_nab") >= 2)
+    )
+    sc = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("_np").alias("_na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("_np").alias("_nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("_nab").cast("long").alias("n_orders"),
+            F.round(
+                F.col("_nab").cast("double")
+                / F.col("_n").cast("double"),
+                9,
+            ).alias("support"),
+            F.round(
+                F.col("_nab").cast("double")
+                / F.col("_na").cast("double"),
+                9,
+            ).alias("confidence"),
+            F.round(
+                F.col("_nab").cast("double") * F.col("_n").cast("double")
+                / (F.col("_na").cast("double")
+                   * F.col("_nb").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    ranked = sc.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= 15).drop("_rk")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
