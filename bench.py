@@ -423,6 +423,38 @@ HEADLINE = [
     "yuen_trimmed_doclen",
     "cmh_purchase_by_activity",
     "binseg_daily_value",
+    # round-10 registrations
+    "retention_km_bands",
+    "benford_significand",
+    "cohens_d_doclen",
+    "ab_ratio_value_per_event",
+    "ab_sprt_purchase_daily",
+    "hazard_ratio_churn_parity",
+    "event_count_overdispersion",
+    "ts_turning_points",
+    "ts_bartels_rank",
+    "ts_spectral_entropy",
+    "ts_bollinger_daily",
+    "ts_seasonal_mann_kendall",
+    "chow_break_daily",
+    "ols_tokens_2f",
+    "breusch_pagan_tokens",
+    "emb_participation_ratio",
+    "emb_dim_moments",
+    "emb_centroid_similarity",
+    "emb_norm_outliers",
+    "emb_int8_snr",
+    "vocab_hapax_share",
+    "text_case_profile",
+    "text_digit_deciles",
+    "lang_script_mismatch",
+    "doclen_lognormal_ks",
+    "token_yield_by_quality",
+    "dedup_cluster_purity",
+    "split_feature_parity",
+    "orders_cohort_ltv",
+    "order_to_ship_delay",
+    "part_affinity_lift",
 ]
 
 

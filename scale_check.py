@@ -817,6 +817,9 @@ QUERY_CASES = [
     "yuen_trimmed_doclen",
     "cmh_purchase_by_activity",
     "binseg_daily_value",
+    # round-10 >=1s registrations
+    "retention_km_bands", "emb_participation_ratio", "emb_int8_snr",
+    "dedup_cluster_purity", "part_affinity_lift",
 ]
 
 
