@@ -3922,7 +3922,7 @@ def binseg_changepoints(
     return out
 
 
-def _bucket_means(
+def _global_bucket_means(
     df: DataFrame, ts: str, value: str, unit: str
 ) -> DataFrame:
     """Shared daily/hourly mean stage for the randomness/structure tests
@@ -3969,7 +3969,7 @@ def turning_points_test(
     Output: one row — ``(n_buckets bigint, turning_points bigint,
     expected double, z double, nonrandom boolean)``.
     """
-    b = _bucket_means(df, ts, value, unit)
+    b = _global_bucket_means(df, ts, value, unit)
     w = Window.orderBy("_b")
     m = F.col("_m").cast("double")
     lagm = F.lag(m).over(w)
@@ -4029,7 +4029,7 @@ def bartels_rank_test(
     Output: one row — ``(n_buckets bigint, rvn double, z double,
     nonrandom boolean)``.
     """
-    b = _bucket_means(df, ts, value, unit)
+    b = _global_bucket_means(df, ts, value, unit)
     ranked = b.select(
         "_b",
         F.row_number().over(Window.orderBy("_m", "_b")).alias("_r"),
@@ -4103,7 +4103,7 @@ def spectral_entropy(
     dec9 = "decimal(28,9)"
     dec12 = "decimal(28,12)"
     tau = 6.283185307179586
-    b = _bucket_means(df, ts, value, unit)
+    b = _global_bucket_means(df, ts, value, unit)
     w_all = Window.partitionBy()
     w_ord = Window.orderBy("_b")
     idx = b.select(
@@ -4200,7 +4200,7 @@ def bollinger_bands(
     if window < 2:
         raise ValueError("need window >= 2")
     dec12 = "decimal(28,12)"
-    b = _bucket_means(df, ts, value, unit).select(
+    b = _global_bucket_means(df, ts, value, unit).select(
         F.col("_b"), F.col("_m").cast("decimal(18,6)").alias("_m")
     )
     w = Window.orderBy("_b").rowsBetween(-(window - 1), 0)
@@ -4254,7 +4254,7 @@ def seasonal_mann_kendall(
     Output: one row — ``(n_buckets bigint, s bigint, var_s double,
     z double, trend string)``.
     """
-    b = _bucket_means(df, ts, value, unit).select(
+    b = _global_bucket_means(df, ts, value, unit).select(
         F.col("_b"), F.col("_m"), F.dayofweek("_b").alias("_w")
     )
     a = b.select(
@@ -4339,7 +4339,7 @@ def chow_test(
     if not 0.0 < frac < 1.0:
         raise ValueError("need 0 < frac < 1")
     dec = "decimal(28,6)"
-    b = _bucket_means(df, ts, value, unit)
+    b = _global_bucket_means(df, ts, value, unit)
     w_ord = Window.orderBy("_b")
     w_all = Window.partitionBy()
     idx = b.select(
