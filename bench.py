@@ -455,6 +455,18 @@ HEADLINE = [
     "orders_cohort_ltv",
     "order_to_ship_delay",
     "part_affinity_lift",
+    # round-10 post-window registrations (defer to the r11 driver window)
+    "user_activity_gini",
+    "anova_value_weekday",
+    "retention_weekly_wilson",
+    "dq_completeness_profile",
+    "dedup_lsh_band_stats",
+    "event_interarrival_cv",
+    "stopword_coverage_by_lang",
+    "customer_order_frequency",
+    "discount_band_profile",
+    "jonckheere_value_by_activity",
+    "mood_median_doclen_lang",
 ]
 
 

@@ -1805,3 +1805,53 @@ def cluster_label_purity(
             9,
         ).alias("mixed_share"),
     )
+
+
+def lsh_band_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-band bucket-health statistics of the MinHash-LSH index — the
+    operational audit behind every `max_bucket_size` skew cap this
+    module applies: candidate-pair cost is Σ C(|bucket|,2), so ONE
+    mega-bucket (boilerplate shingles, empty docs) owns the join; this
+    is the readout that catches it before the pair stage does.
+
+    Reads the same banding projection as :func:`minhash_lsh_pairs`
+    (:func:`minhash_band_buckets` — row-local, no shuffle), then one
+    (band, band_key) count groupBy and one per-band reduce.  Pair
+    counts are exact integers (Σ s(s−1)/2 over buckets).
+
+    Output: one row per band — ``(band int, n_docs bigint, n_buckets
+    bigint, max_bucket bigint, singleton_buckets bigint,
+    candidate_pairs bigint)``.
+    """
+    buckets = minhash_band_buckets(
+        docs, id_col, text_col, num_hashes, band_rows, shingle_n
+    )
+    sizes = buckets.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("_s")
+    )
+    agg = sizes.groupBy("band").agg(
+        F.sum("_s").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_s").alias("max_bucket"),
+        F.sum((F.col("_s") == 1).cast("long")).alias(
+            "singleton_buckets"
+        ),
+        F.sum(F.col("_s") * (F.col("_s") - 1)).alias("_p2"),
+    )
+    return agg.select(
+        F.col("band").cast("int").alias("band"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.col("singleton_buckets").cast("long").alias(
+            "singleton_buckets"
+        ),
+        (F.col("_p2") / 2).cast("long").alias("candidate_pairs"),
+    )

@@ -4749,3 +4749,218 @@ def count_overdispersion(
             "overdispersed"
         ),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    order: Sequence[str],
+    z_crit: float = Z95,
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test across ORDERED groups — the
+    omnibus for "does the metric increase with dose" that
+    :func:`anova_oneway` (unordered) and pairwise MW (no ordering
+    credit) both waste power on; the rank-based sibling of
+    :func:`~..operators.timeseries.isotonic_regression`'s fitted view:
+
+        J = Σ_{g<h} U_gh,   U_gh = #{x_g < x_h} + ½·ties
+        μ = (N² − Σn_g²)/4,
+        σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72    (no tie correction —
+             documented; the STATISTIC carries exact ½-tie credit)
+
+    Counts-based over the distinct-value × group axis (the
+    :func:`mann_whitney_u` discipline, generalized): per-value per-group
+    counts pivot once, cumulative windows run over distinct values in
+    one partition, and every pair's 2·U_gh is an exact integer — so
+    4(J−μ) is exact integer-side arithmetic before the one z division.
+
+    Output: one row — ``(n bigint, k bigint, j2 bigint, z double,
+    trend string)`` where ``j2 = 2·J`` (exact).
+    """
+    from pyspark.sql import Window
+
+    order = list(order)
+    k = len(order)
+    if k < 2:
+        raise ValueError("need >= 2 ordered groups")
+    g = F.col(group_col).cast("string")
+    keep = F.col(value_col).isNotNull() & g.isin(*order)
+    per_v = (
+        df.filter(keep)
+        .groupBy(F.col(value_col).alias("_v"))
+        .pivot(group_col, order)
+        .count()
+        .na.fill(0)
+    )
+    cols = [F.col(f"`{o}`").alias(f"_c{i}") for i, o in enumerate(order)]
+    per_v = per_v.select("_v", *cols)
+    w_prev = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_v.select(
+        "_v",
+        *[F.col(f"_c{i}") for i in range(k)],
+        *[
+            F.coalesce(F.sum(f"_c{i}").over(w_prev), F.lit(0)).alias(
+                f"_p{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    terms = []
+    for gi in range(k):
+        for hi in range(gi + 1, k):
+            terms.append(
+                F.col(f"_c{hi}")
+                * (F.lit(2) * F.col(f"_p{gi}") + F.col(f"_c{gi}"))
+            )
+    u2 = terms[0]
+    for t in terms[1:]:
+        u2 = u2 + t
+    agg = cum.select(
+        u2.alias("_t"),
+        *[F.col(f"_c{i}") for i in range(k)],
+    ).agg(
+        F.sum("_t").alias("_j2"),
+        *[F.sum(f"_c{i}").alias(f"_n{i}") for i in range(k)],
+    )
+    n = F.lit(0)
+    for i in range(k):
+        n = n + F.col(f"_n{i}")
+    sum_sq = F.lit(0)
+    sum_poly = F.lit(0)
+    for i in range(k):
+        ng = F.col(f"_n{i}")
+        sum_sq = sum_sq + ng * ng
+        sum_poly = sum_poly + ng * ng * (F.lit(2) * ng + F.lit(3))
+    nd = n.cast("double")
+    mu4 = (n * n - sum_sq).cast("double")  # 4*mu
+    var = (
+        (n * n).cast("double") * (F.lit(2.0) * nd + F.lit(3.0))
+        - sum_poly.cast("double")
+    ) / F.lit(72.0)
+    z = F.try_divide(
+        (F.lit(2.0) * F.col("_j2").cast("double") - mu4),
+        F.lit(4.0) * F.sqrt(var),
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("_j2").cast("long").alias("j2"),
+        F.round(z, 9).alias("z"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test across k groups — the maximally-robust "do the
+    groups share a median" omnibus (each observation contributes ONE bit:
+    above the pooled median or not), the right tool when tails are so
+    heavy even rank tests (:func:`kruskal_wallis`) get dragged:
+
+        m = pooled LOWER median (exact order statistic),
+        χ² = Σ_{2×k cells} (O−E)²/E,   df = k−1,
+        p via Wilson-Hilferty + the shared A-S erfc polynomial
+
+    The pooled median reads off cumulative integer counts on the
+    distinct-value axis (the :func:`~..operators.profile.huber_location`
+    rule — no midpoint float); cell counts and margins are exact
+    integers; χ² is one IEEE expression over 2k bounded cells.
+
+    Output: one row — ``(n bigint, k bigint, median double, chi2
+    double, dof bigint, p_approx double)``.
+    """
+    from pyspark.sql import Window
+
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    base = df.filter(keep).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    cnt = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    med = (
+        cnt.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_tot", F.sum("_c").over(tot))
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .orderBy("_v")
+        .limit(1)
+        .select(F.col("_v").alias("_m"))
+    )
+    cells = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((F.col("_v") > F.col("_m")).cast("long")).alias("_a"),
+            F.max("_m").alias("_mm"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum("_a").alias("_aa"),
+        F.count(F.lit(1)).alias("_k"),
+        F.max("_mm").alias("_med"),
+    )
+    jx = cells.crossJoin(F.broadcast(marg))
+    nn = F.col("_nn").cast("double")
+    ea = F.col("_n").cast("double") * F.col("_aa").cast("double") / nn
+    eb = (
+        F.col("_n").cast("double")
+        * (F.col("_nn") - F.col("_aa")).cast("double")
+        / nn
+    )
+    oa = F.col("_a").cast("double")
+    ob = (F.col("_n") - F.col("_a")).cast("double")
+    term = F.round(
+        F.try_divide((oa - ea) * (oa - ea), ea)
+        + F.try_divide((ob - eb) * (ob - eb), eb),
+        12,
+    )
+    agg = jx.groupBy().agg(
+        F.max("_nn").alias("n"),
+        F.max("_k").alias("k"),
+        F.max("_med").alias("median"),
+        F.sum(term.cast("decimal(28,12)")).alias("_chi2"),
+    )
+    kk = (F.col("k") - F.lit(1)).cast("double")
+    chi2 = F.col("_chi2").cast("double")
+    uu = (
+        F.cbrt(F.try_divide(chi2, kk))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * kk))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * kk))
+    x = F.abs(uu) / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = tt * (
+        F.lit(0.254829592)
+        + tt
+        * (
+            F.lit(-0.284496736)
+            + tt
+            * (
+                F.lit(1.421413741)
+                + tt * (F.lit(-1.453152027) + tt * F.lit(1.061405429))
+            )
+        )
+    )
+    e = poly * F.exp(-x * x)
+    p = F.when(uu >= 0, e / 2).otherwise(F.lit(1.0) - e / 2)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("median"), 9).alias("median"),
+        F.round(F.when(F.col("k") >= 2, chi2), 9).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(F.when(F.col("k") >= 2, p), 9).alias("p_approx"),
+    )

@@ -2788,3 +2788,64 @@ def breusch_pagan(
             "heteroscedastic"
         ),
     )
+
+
+def completeness_profile(
+    df: DataFrame,
+    columns: Sequence[str],
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-column completeness profile — the first data-quality pass on
+    any landed table (the generic sibling of the rule-based
+    ``dq_expectations``): NULL rate per column, plus the blank-string
+    count for text columns (a non-NULL empty string fails every
+    downstream consumer the same way NULL does, and parquet writers
+    love producing them).
+
+    ONE scan: every per-column counter is a conditional sum in a single
+    aggregate row, then ``stack`` pivots the row to one output row per
+    column — never k scans.  Exact integers throughout.
+
+    Output: one row per column — ``(column string, n bigint, nulls
+    bigint, null_share double, empties bigint)`` (``empties`` NULL for
+    non-string columns).
+    """
+    cols = list(columns)
+    strs = set(string_cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+        )
+        if c in strs:
+            aggs.append(
+                F.sum(
+                    (F.trim(F.col(c)) == "").cast("long")
+                ).alias(f"_emp_{c}")
+            )
+    agg = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        emp = f"_emp_{c}" if c in strs else "NULL"
+        parts.append(f"'{c}', _null_{c}, {emp}")
+    stacked = agg.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "AS (column, nulls, empties)"
+        ),
+    )
+    return stacked.select(
+        "column",
+        F.col("_n").cast("long").alias("n"),
+        F.col("nulls").cast("long").alias("nulls"),
+        F.round(
+            F.try_divide(
+                F.col("nulls").cast("double"), F.col("_n").cast("double")
+            ),
+            9,
+        ).alias("null_share"),
+        F.col("empties").cast("long").alias("empties"),
+    )

@@ -2177,3 +2177,60 @@ def token_yield_by_quality(
             9,
         ).alias("cum_token_share"),
     )
+
+
+def stopword_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Stopword coverage per language — the corpus-level view of the
+    per-doc ``stopword_ratio`` quality feature: what share of each
+    language's TOKENS are (English-profile) stopwords, and how many
+    docs carry none at all.  For 'en' sources, near-zero coverage means
+    lists/code/tables masquerading as prose; for non-English labels the
+    coverage IS the contamination estimate (English stopwords in a 'de'
+    corpus are either mislabeled docs or code-switching).
+
+    Uses the same 10-word profile as :func:`quality_score` (identical
+    thresholds keep the two readouts reconcilable).  Row-local token
+    and hit counts, one partial-aggregable groupBy, exact integers.
+
+    Output: one row per group — ``(lang, n_docs bigint, tokens bigint,
+    stopword_tokens bigint, coverage double, zero_stopword_docs
+    bigint)``.
+    """
+    stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("lang"),
+        F.size(toks).alias("_n"),
+        hits.alias("_h"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("tokens"),
+        F.sum("_h").alias("stopword_tokens"),
+        F.sum((F.col("_h") == 0).cast("long")).alias(
+            "zero_stopword_docs"
+        ),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("stopword_tokens").cast("long").alias("stopword_tokens"),
+        F.round(
+            F.try_divide(
+                F.col("stopword_tokens").cast("double"),
+                F.col("tokens").cast("double"),
+            ),
+            9,
+        ).alias("coverage"),
+        F.col("zero_stopword_docs").cast("long").alias(
+            "zero_stopword_docs"
+        ),
+    )

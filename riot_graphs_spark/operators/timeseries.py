@@ -4409,3 +4409,75 @@ def chow_test(
         F.round(s1 + s2, 9).alias("ssr_split"),
         F.round(fstat, 9).alias("f_stat"),
     )
+
+
+def interarrival_cv_profile(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-user inter-arrival burstiness profile — the USER-level view
+    :func:`interarrival_expfit`'s global rate fit averages away: each
+    user's coefficient of variation CV = sd/mean of their gap sequence
+    is ~1 under Poisson arrivals, ≫ 1 for bursty bot-like sessions,
+    ≪ 1 for metronomic schedulers; the corpus summary says how much of
+    the traffic is which.
+
+    Gaps are exact integer seconds (lead over the per-user time-ordered
+    window); per-user moments are exact integer sums, so each CV is one
+    IEEE expression; the summary reduces CVs with 9-dp decimal sums and
+    exact interpolated percentiles on the CV axis.
+
+    Output: one row — ``(n_users bigint, mean_cv double, p50_cv
+    double, p90_cv double, bursty_share double)`` (bursty: CV > 1),
+    over users with ≥ ``min_events`` events.
+    """
+    w = Window.partitionBy("_u").orderBy("_t")
+    gaps = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).cast("timestamp").alias("_t"),
+        )
+        .withColumn(
+            "_g",
+            (
+                F.unix_timestamp(F.lead("_t").over(w))
+                - F.unix_timestamp("_t")
+            ).cast("long"),
+        )
+        .filter(F.col("_g").isNotNull())
+    )
+    per_u = gaps.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_g").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("_g").cast("decimal(19,0)")
+             * F.col("_g").cast("decimal(19,0)"))
+        ).alias("_q"),
+    ).filter(F.col("_n") >= min_events - 1)
+    n = F.col("_n").cast("double")
+    m = F.col("_s").cast("double") / n
+    var = F.greatest(
+        F.col("_q").cast("double") / n - m * m, F.lit(0.0)
+    )
+    cv = F.round(F.try_divide(F.sqrt(var), m), 9)
+    cvs = per_u.select(cv.alias("_cv")).filter(F.col("_cv").isNotNull())
+    return cvs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.col("_cv").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_cv"),
+        F.round(F.percentile("_cv", F.lit(0.5)), 9).alias("p50_cv"),
+        F.round(F.percentile("_cv", F.lit(0.9)), 9).alias("p90_cv"),
+        F.round(
+            F.sum((F.col("_cv") > 1.0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("bursty_share"),
+    )

@@ -22594,6 +22594,605 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("_rk") <= 15).drop("_rk")
 
 
+@_q(
+    "user_activity_gini",
+    """
+    WITH c AS (
+      SELECT user_id AS g, count(*) AS x FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, g) AS i FROM c),
+    a AS (
+      SELECT count(*) AS n_groups, sum(x) AS total,
+             sum(CAST(i AS DECIMAL(38,0)) * x) AS iw
+      FROM r
+    )
+    SELECT CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(total AS BIGINT) AS total,
+           round(2.0 * CAST(iw AS DOUBLE)
+                 / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE))
+                 - (CAST(n_groups AS DOUBLE) + 1.0)
+                   / CAST(n_groups AS DOUBLE), 9) AS gini
+    FROM a
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event mass across users
+    (operators.profile.concentration_gini on the user axis) — how much
+    of the traffic a few power users own; the abuse/bot-mix screen
+    beside source_gini's corpus-balance view."""
+    from ..operators.profile import concentration_gini
+
+    return concentration_gini(
+        _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()),
+        "user_id",
+    )
+
+
+@_q(
+    "anova_value_weekday",
+    """
+    WITH g AS (
+      SELECT dayofweek(ts) + 1 AS gg, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) AS q
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT sum(n) AS nn, count(*) AS k, sum(s) AS ss, sum(q) AS qq,
+             sum(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                      AS DECIMAL(28,12))) AS sq_over_n
+      FROM g
+    ),
+    calc AS (
+      SELECT nn, k,
+             CAST(round(sq_over_n, 6)
+                  - round(CAST(ss::DOUBLE * ss::DOUBLE / nn::DOUBLE
+                               AS DECIMAL(28,12)), 6)
+                  AS DOUBLE) AS ssb,
+             CAST(round(qq, 6) - round(sq_over_n, 6) AS DOUBLE)
+               AS ssw,
+             k >= 2 AND nn > k AS ok
+      FROM agg
+    )
+    SELECT nn::BIGINT AS n, k::BIGINT AS k,
+           (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2,
+           round(CASE WHEN ok THEN ssb END, 9) AS ss_between,
+           round(CASE WHEN ok THEN ssw END, 9) AS ss_within,
+           round(CASE WHEN ok AND ssw > 0
+                 THEN (ssb / (k::DOUBLE - 1))
+                      / (ssw / (nn::DOUBLE - k::DOUBLE)) END, 9) AS f,
+           round(CASE WHEN ok AND ssb + ssw != 0
+                 THEN ssb / (ssb + ssw) END, 9) AS eta_squared
+    FROM calc
+    """,
+)
+def anova_value_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the seven weekdays
+    (operators.evaluation.anova_oneway on the day-of-week axis) — does
+    the value metric carry a weekday effect worth deseasonalizing;
+    same decimal-quantized group moments as the event-type omnibus."""
+    from ..operators.evaluation import anova_oneway
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        F.col("value"), F.dayofweek("ts").alias("wd")
+    )
+    return anova_oneway(ev, "value", "wd")
+
+
+def _retention_wilson_oracle() -> str:
+    return """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    csize AS (
+      SELECT cohort_week, count(*) AS cohort_n FROM cohort GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    ),
+    ret AS (
+      SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.activity_week) / 7
+                  AS BIGINT) AS week_offset,
+             count(*) AS active_users
+      FROM activity a JOIN cohort c USING (user_id)
+      WHERE a.activity_week >= c.cohort_week
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT r.cohort_week, r.week_offset, s.cohort_n,
+             r.active_users,
+             r.active_users::DOUBLE / s.cohort_n::DOUBLE AS p,
+             1.959963984540054 AS z, s.cohort_n::DOUBLE AS nd
+      FROM ret r
+      JOIN csize s ON CAST(s.cohort_week AS TIMESTAMP) = r.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           cohort_n::BIGINT AS cohort_n,
+           active_users::BIGINT AS active_users,
+           round(p, 9) AS rate,
+           round((p + z * z / (2 * nd)
+                  - z * sqrt(p * (1 - p) / nd
+                             + z * z / (4 * nd * nd)))
+                 / (1 + z * z / nd), 9) AS ci_lo,
+           round((p + z * z / (2 * nd)
+                  + z * sqrt(p * (1 - p) / nd
+                             + z * z / (4 * nd * nd)))
+                 / (1 + z * z / nd), 9) AS ci_hi
+    FROM w
+    """
+
+
+@_q("retention_weekly_wilson", _retention_wilson_oracle())
+def retention_weekly_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention WITH Wilson 95% error bars — the bars the
+    retention triangle needs before anyone reads a 3-user cohort cell as
+    signal (operators.funnel.retention_cohorts + the proportion_wilson_ci
+    closed form).  Two user-keyed aggregates + one bounded cohort join;
+    exact integer counts, closed-form interval per cell."""
+    from ..operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    ret = retention_cohorts(ev, cohort_step="signup")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    csize = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    j = ret.join(F.broadcast(csize), "cohort_week")
+    z = F.lit(1.959963984540054)
+    nd = F.col("cohort_n").cast("double")
+    p = F.col("active_users").cast("double") / nd
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z * z / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z * z / nd
+    center = p + z * z / (F.lit(2.0) * nd)
+    return j.select(
+        "cohort_week",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("cohort_n").cast("long").alias("cohort_n"),
+        F.col("active_users").cast("long").alias("active_users"),
+        F.round(p, 9).alias("rate"),
+        F.round((center - half) / denom, 9).alias("ci_lo"),
+        F.round((center + half) / denom, 9).alias("ci_hi"),
+    )
+
+
+@_q(
+    "dq_completeness_profile",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_doc,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_text,
+             sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                      THEN 1 ELSE 0 END) AS e_text,
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_lang,
+             sum(CASE WHEN lang IS NOT NULL AND trim(lang) = ''
+                      THEN 1 ELSE 0 END) AS e_lang,
+             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_src,
+             sum(CASE WHEN source IS NOT NULL AND trim(source) = ''
+                      THEN 1 ELSE 0 END) AS e_src,
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nc
+      FROM documents
+    )
+    SELECT t."column", agg.n::BIGINT AS n, t.nulls::BIGINT AS nulls,
+           round(t.nulls::DOUBLE / nullif(agg.n::DOUBLE, 0), 9)
+             AS null_share,
+           t.empties::BIGINT AS empties
+    FROM agg, LATERAL (
+      VALUES ('doc_id', n_doc, NULL),
+             ('text', n_text, e_text),
+             ('lang', n_lang, e_lang),
+             ('source', n_src, e_src),
+             ('n_chars', n_nc, NULL)
+    ) AS t("column", nulls, empties)
+    """,
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column NULL/blank completeness profile of the documents table
+    (operators.profile.completeness_profile) — the generic first DQ pass
+    beside dq_orders_expectations' rule checks; ONE scan, stacked to one
+    row per column, exact integers."""
+    from ..operators.profile import completeness_profile
+
+    return completeness_profile(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        string_cols=["text", "lang", "source"],
+    )
+
+
+@_q(
+    "dedup_lsh_band_stats",
+    f"""
+    WITH {_DUCK_MINHASH},
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, '-' ORDER BY j) AS band_key
+      FROM sig GROUP BY doc_id, j // 4
+    ),
+    sizes AS (
+      SELECT band, band_key, count(*) AS s FROM bands GROUP BY 1, 2
+    )
+    SELECT band::INT AS band, sum(s)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_buckets, max(s)::BIGINT AS max_bucket,
+           sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS singleton_buckets,
+           (sum(s * (s - 1)) // 2)::BIGINT AS candidate_pairs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket-health stats of the MinHash-LSH index
+    (operators.dedup.lsh_band_stats) — max bucket and exact candidate-
+    pair counts, the audit behind every max_bucket_size skew cap; same
+    row-local banding projection as the pair stage."""
+    from ..operators.dedup import lsh_band_stats
+
+    return lsh_band_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "event_interarrival_cv",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS g
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    per_u AS (
+      SELECT user_id, count(*) AS n,
+             sum(g::HUGEINT) AS s, sum(g::HUGEINT * g::HUGEINT) AS q
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1
+      HAVING count(*) >= 2
+    ),
+    cvs AS (
+      SELECT round(
+               sqrt(greatest(q::DOUBLE / n::DOUBLE
+                    - (s::DOUBLE / n::DOUBLE)
+                      * (s::DOUBLE / n::DOUBLE), 0.0))
+               / nullif(s::DOUBLE / n::DOUBLE, 0), 9) AS cv
+      FROM per_u
+    ),
+    f AS (SELECT cv FROM cvs WHERE cv IS NOT NULL)
+    SELECT count(*)::BIGINT AS n_users,
+           round(CAST(sum(CAST(cv AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*)::DOUBLE, 9) AS mean_cv,
+           round(quantile_cont(cv, 0.5), 9) AS p50_cv,
+           round(quantile_cont(cv, 0.9), 9) AS p90_cv,
+           round(sum(CASE WHEN cv > 1.0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS bursty_share
+    FROM f
+    """,
+)
+def event_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival coefficient-of-variation profile
+    (operators.timeseries.interarrival_cv_profile) — CV ~ 1 is Poisson,
+    >> 1 bursty/bot-like, << 1 metronomic; exact integer-second gap
+    moments per user, one summary reduce with exact percentiles."""
+    from ..operators.timeseries import interarrival_cv_profile
+
+    return interarrival_cv_profile(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stopword_coverage_by_lang",
+    """
+    WITH base AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n,
+             len(list_filter(regexp_extract_all(lower(text),
+                 '[a-z0-9]+'),
+                 t -> list_contains(['the', 'a', 'an', 'and', 'or',
+                                     'of', 'to', 'in', 'is', 'it'], t)))
+               AS h
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS tokens,
+           sum(h)::BIGINT AS stopword_tokens,
+           round(sum(h)::DOUBLE / nullif(sum(n)::DOUBLE, 0), 9)
+             AS coverage,
+           sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS zero_stopword_docs
+    FROM base GROUP BY 1
+    """,
+)
+def stopword_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword token coverage per language label
+    (operators.textstats.stopword_coverage) — near-zero coverage on
+    'en' flags lists/code; nonzero coverage on non-English labels IS
+    the contamination estimate.  Row-local hit counts, one groupBy."""
+    from ..operators.textstats import stopword_coverage
+
+    return stopword_coverage(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "customer_order_frequency",
+    """
+    WITH per AS (
+      SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_customers,
+           sum(k)::BIGINT AS n_orders,
+           round(sum(k)::DOUBLE / count(*)::DOUBLE, 9) AS mean_orders,
+           round(quantile_cont(k, 0.5), 6) AS p50,
+           round(quantile_cont(k, 0.9), 6) AS p90,
+           max(k)::BIGINT AS max_orders,
+           round(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS repeat_share
+    FROM per
+    """,
+)
+def customer_order_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-frequency distribution per customer — repeat-purchase rate
+    and exact interpolated p50/p90 order counts; the RFM 'F' axis as a
+    one-row corpus summary.  One customer-keyed count + one reduce."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("k").cast("long").alias("n_orders"),
+        F.round(
+            F.sum("k").cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_orders"),
+        F.round(F.percentile("k", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("k", F.lit(0.9)), 6).alias("p90"),
+        F.max("k").cast("long").alias("max_orders"),
+        F.round(
+            F.sum((F.col("k") >= 2).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("repeat_share"),
+    )
+
+
+@_q(
+    "discount_band_profile",
+    """
+    SELECT round(l_discount, 2) AS discount_band,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice
+                 * (1 - l_discount), 4) AS DECIMAL(28,4)))
+                 AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(round(l_quantity, 2)
+                 AS DECIMAL(28,2))) AS DOUBLE)
+                 / count(*)::DOUBLE, 9) AS avg_qty
+    FROM lineitem
+    WHERE l_discount IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume by discount band — the promo-depth profile
+    behind q14/q19's fixed predicates; exact decimal revenue sums per
+    2-dp band, one partial-aggregable groupBy."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull()
+    )
+    return li.groupBy(
+        F.round("l_discount", 2).alias("discount_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        # 4-dp quantize (the true 2dp*2dp product IS exactly 4 dp, so
+        # no .5 boundary exists); emit the exact decimal-sum -> double
+        # conversion unrounded (round-2 at ~1e8 magnitude is the known
+        # half-digit boundary trap)
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount")),
+                4,
+            ).cast("decimal(28,4)")
+        ).cast("double").alias("revenue"),
+        F.round(
+            F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("avg_qty"),
+    )
+
+
+@_q(
+    "jonckheere_value_by_activity",
+    """
+    WITH users AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(coalesce(value, 0), 2)
+                  AS DECIMAL(28,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    st AS (
+      SELECT v, ntile(3) OVER (ORDER BY n_events, user_id) AS s
+      FROM users
+    ),
+    pv AS (
+      SELECT v,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS c2
+      FROM st GROUP BY 1
+    ),
+    cum AS (
+      SELECT *,
+             coalesce(sum(c0) OVER wp, 0) AS p0,
+             coalesce(sum(c1) OVER wp, 0) AS p1
+      FROM pv
+      WINDOW wp AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    agg AS (
+      SELECT sum(c1 * (2 * p0 + c0) + c2 * (2 * p0 + c0)
+                 + c2 * (2 * p1 + c1)) AS j2,
+             sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2
+      FROM cum
+    ),
+    fin AS (
+      SELECT j2, n0 + n1 + n2 AS n,
+             n0 * n0 + n1 * n1 + n2 * n2 AS ssq,
+             n0 * n0 * (2 * n0 + 3) + n1 * n1 * (2 * n1 + 3)
+               + n2 * n2 * (2 * n2 + 3) AS spoly
+      FROM agg
+    ),
+    zc AS (
+      SELECT j2, n,
+             (2.0 * j2::DOUBLE - (n * n - ssq)::DOUBLE)
+             / nullif(4.0 * sqrt(((n * n)::DOUBLE
+                 * (2.0 * n::DOUBLE + 3.0) - spoly::DOUBLE) / 72.0), 0)
+               AS z
+      FROM fin
+    )
+    SELECT n::BIGINT AS n, CAST(3 AS BIGINT) AS k,
+           j2::BIGINT AS j2, round(z, 9) AS z,
+           CASE WHEN z > 1.959963984540054 THEN 'increasing'
+                WHEN z < -1.959963984540054 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM zc
+    """,
+)
+def jonckheere_value_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test of per-user total value
+    across activity tertiles (operators.evaluation.jonckheere_terpstra)
+    — does spend rise with activity, with ordering credit the unordered
+    omnibus wastes; exact half-tie-credited 2J on the distinct-value
+    axis, one z."""
+    from ..operators.evaluation import jonckheere_terpstra
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2)
+                .cast("decimal(28,2)")
+            ).cast("double").alias("v"),
+        )
+    )
+    st = users.select(
+        "v",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("n_events"), F.col("user_id")))
+        .cast("string")
+        .alias("s"),
+    )
+    return jonckheere_terpstra(st, "v", "s", order=["1", "2", "3"])
+
+
+@_q(
+    "mood_median_doclen_lang",
+    """
+    WITH base AS (
+      SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    cnt AS (SELECT v, count(*) AS c FROM base GROUP BY 1),
+    med AS (
+      SELECT v AS m FROM (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+               sum(c) OVER () AS tot FROM cnt
+      ) WHERE cum * 2 >= tot ORDER BY v LIMIT 1
+    ),
+    cells AS (
+      SELECT g, count(*) AS n,
+             sum(CASE WHEN v > (SELECT m FROM med)
+                      THEN 1 ELSE 0 END) AS a
+      FROM base GROUP BY 1
+    ),
+    marg AS (
+      SELECT sum(n) AS nn, sum(a) AS aa, count(*) AS k FROM cells
+    ),
+    terms AS (
+      SELECT round(
+               CASE WHEN n::DOUBLE * aa::DOUBLE / nn::DOUBLE != 0
+                    THEN (a::DOUBLE - n::DOUBLE * aa::DOUBLE
+                          / nn::DOUBLE)
+                         * (a::DOUBLE - n::DOUBLE * aa::DOUBLE
+                            / nn::DOUBLE)
+                         / (n::DOUBLE * aa::DOUBLE / nn::DOUBLE)
+               END
+               + CASE WHEN n::DOUBLE * (nn - aa)::DOUBLE
+                           / nn::DOUBLE != 0
+                      THEN ((n - a)::DOUBLE - n::DOUBLE
+                            * (nn - aa)::DOUBLE / nn::DOUBLE)
+                           * ((n - a)::DOUBLE - n::DOUBLE
+                              * (nn - aa)::DOUBLE / nn::DOUBLE)
+                           / (n::DOUBLE * (nn - aa)::DOUBLE
+                              / nn::DOUBLE)
+                 END, 12) AS t,
+             nn, k
+      FROM cells CROSS JOIN marg
+    ),
+    agg AS (
+      SELECT max(nn) AS n, max(k) AS k,
+             sum(CAST(t AS DECIMAL(28,12))) AS chi2
+      FROM terms
+    ),
+    zc AS (
+      SELECT n, k, chi2::DOUBLE AS chi2,
+             (cbrt(chi2::DOUBLE / (k::DOUBLE - 1.0))
+              - (1.0 - 2.0 / (9.0 * (k::DOUBLE - 1.0))))
+             / sqrt(2.0 / (9.0 * (k::DOUBLE - 1.0))) AS uu
+      FROM agg
+    ),
+    z2 AS (
+      SELECT *,
+             (1.0 / (1.0 + 0.3275911 * (abs(uu) / sqrt(2.0)))) AS w
+      FROM zc
+    ),
+    z3 AS (
+      SELECT *,
+             w * (0.254829592 + w * (-0.284496736 + w * (1.421413741
+               + w * (-1.453152027 + w * 1.061405429))))
+               * exp(-(abs(uu) / sqrt(2.0)) * (abs(uu) / sqrt(2.0)))
+               AS e
+      FROM z2
+    )
+    SELECT n::BIGINT AS n, k::BIGINT AS k,
+           round((SELECT m FROM med), 9) AS median,
+           round(CASE WHEN k >= 2 THEN chi2 END, 9) AS chi2,
+           (k - 1)::BIGINT AS dof,
+           round(CASE WHEN k >= 2 THEN
+             CASE WHEN uu >= 0 THEN e / 2.0 ELSE 1.0 - e / 2.0 END
+             END, 9) AS p_approx
+    FROM z3
+    """,
+)
+def mood_median_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of document length across languages
+    (operators.evaluation.mood_median_test) — the maximally-robust
+    shared-median omnibus (one bit per doc); exact pooled lower median
+    off cumulative counts, 2xk integer cells, Wilson-Hilferty + A-S
+    p."""
+    from ..operators.evaluation import mood_median_test
+
+    return mood_median_test(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

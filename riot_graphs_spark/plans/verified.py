@@ -271,9 +271,25 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #:
 #: Emptied for r10 alongside appending _ROUND_9: those 19 names now have no
 #: driver row and no defer mark, so the unverified-first rule puts them at
-#: the head of the r10 window automatically; new round-10 registrations fill
-#: the remaining ~31 slots.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([])
+#: the head of the r10 window automatically; 31 round-10 registrations fill
+#: the remaining slots exactly (19 + 31 = 50).
+#:
+#: r10: the 11 registrations below landed after the 50-slot window was
+#: exactly filled and defer to the r11 window head (each driver-replica
+#: green at sf0.01 AND sf0.001 this round).
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "user_activity_gini",
+    "anova_value_weekday",
+    "retention_weekly_wilson",
+    "dq_completeness_profile",
+    "dedup_lsh_band_stats",
+    "event_interarrival_cv",
+    "stopword_coverage_by_lang",
+    "customer_order_frequency",
+    "discount_band_profile",
+    "jonckheere_value_by_activity",
+    "mood_median_doclen_lang",
+])
 
 
 def rotation_order(

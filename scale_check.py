@@ -820,6 +820,7 @@ QUERY_CASES = [
     # round-10 >=1s registrations
     "retention_km_bands", "emb_participation_ratio", "emb_int8_snr",
     "dedup_cluster_purity", "part_affinity_lift",
+    "anova_value_weekday", "dedup_lsh_band_stats", "discount_band_profile",
 ]
 
 
