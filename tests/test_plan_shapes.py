@@ -1624,3 +1624,48 @@ def test_cov_matrix_shared_stage_row_local(spark):
     assert plan.count("Generate") >= 2
     assert shuffle_count(plan) <= 1  # the d^2-state aggregate only
     assert re.search(r"partial_count", plan)
+
+
+def test_km_bands_single_corpus_reduce(spark):
+    # one corpus-sized aggregate to the per-duration table; curve/SE/
+    # band windows run on the bounded duration axis (single partition of
+    # a tiny frame is fine — corpus never moves through it)
+    plan = formatted_plan(spark, "retention_km_bands")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"partial_(count|sum|min|max)", plan)
+
+
+def test_affinity_lift_broadcast_part_counts(spark):
+    # pair fan-out is keyed on l_orderkey (bounded by the largest
+    # order); the part-count and total frames broadcast back — no
+    # sort-merge join against the pairs
+    plan = formatted_plan(spark, "part_affinity_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_jonckheere_distinct_value_axis(spark):
+    # one corpus reduce to the per-user frame, one pivot count to the
+    # distinct-value axis; the cumulative/pair arithmetic runs there
+    plan = formatted_plan(spark, "jonckheere_value_by_activity")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"partial_(count|sum)", plan)
+
+
+def test_interarrival_cv_user_keyed_windows(spark):
+    # the lead() gap window partitions by user (never a global
+    # single-partition sort of the event stream)
+    plan = formatted_plan(spark, "event_interarrival_cv")
+    assert "EvalPython" not in plan
+    assert re.search(r"Window.*_u", plan, re.S)
+
+
+def test_int8_snr_row_local_until_reduce(spark):
+    # quantize/dequantize/error are row-local; the only shuffle is the
+    # final moment aggregate
+    plan = formatted_plan(spark, "emb_int8_snr")
+    assert "Join" not in plan
+    assert shuffle_count(plan) <= 1
+    assert "EvalPython" not in plan
