@@ -467,6 +467,10 @@ HEADLINE = [
     "discount_band_profile",
     "jonckheere_value_by_activity",
     "mood_median_doclen_lang",
+    "supplier_revenue_hhi",
+    "ts_dickey_fuller",
+    "return_rate_by_band",
+    "quality_ks_by_source",
 ]
 
 

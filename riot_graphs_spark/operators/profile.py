@@ -2849,3 +2849,94 @@ def completeness_profile(
         ).alias("null_share"),
         F.col("empties").cast("long").alias("empties"),
     )
+
+
+def ks_group_vs_rest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 6,
+) -> DataFrame:
+    """Per-group two-sample KS distance of a metric against the POOLED
+    REST — the "which source drifted" decomposition of a corpus-level
+    KS alarm (one D per source, all in one pass, instead of k reruns of
+    :func:`ks_two_sample`):
+
+        D_g = sup_v |F_g(v) − F_rest(v)|
+
+    Values quantize to ``quantize`` dp first (bounds the distinct-value
+    axis at scale and keeps the axis engine-identical); the
+    (value × group) grid is completed with zero counts so every group's
+    ECDF is defined at every observed value; cumulative windows run per
+    group over the shared value axis; rest-counts derive from the
+    global cumulative by subtraction — exact integers end-to-end.
+
+    Output: one row per group — ``(group, n bigint, n_rest bigint,
+    ks_d double)``.
+    """
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(
+            F.round(F.col(value_col).cast("double"), quantize).alias(
+                "_v"
+            ),
+            F.col(group_col).alias("_g"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    grid = counts.select("_v").distinct().crossJoin(
+        counts.select("_g").distinct()
+    )
+    full = grid.join(counts, ["_v", "_g"], "left").select(
+        "_v", "_g", F.coalesce("_n", F.lit(0)).alias("_n")
+    )
+    w_g = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_gt = Window.partitionBy("_g")
+    staged = full.select(
+        "_g",
+        "_v",
+        F.sum("_n").over(w_g).alias("_cum"),
+        F.sum("_n").over(w_gt).alias("_tot"),
+    )
+    glob = (
+        counts.groupBy("_v")
+        .agg(F.sum("_n").alias("_gn"))
+        .select(
+            "_v",
+            F.sum("_gn")
+            .over(
+                Window.orderBy("_v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("_gcum"),
+            F.sum("_gn").over(Window.partitionBy()).alias("_gtot"),
+        )
+    )
+    j = staged.join(glob, "_v")
+    ecdf_g = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    rest_cum = F.col("_gcum") - F.col("_cum")
+    rest_tot = F.col("_gtot") - F.col("_tot")
+    ecdf_r = F.try_divide(
+        rest_cum.cast("double"), rest_tot.cast("double")
+    )
+    gap = F.abs(ecdf_g - ecdf_r)
+    return (
+        j.groupBy("_g")
+        .agg(
+            F.max("_tot").alias("n"),
+            F.max(rest_tot).alias("n_rest"),
+            F.round(F.max(gap), 9).alias("ks_d"),
+        )
+        .select(
+            F.col("_g").alias("group"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            "ks_d",
+        )
+    )

@@ -4481,3 +4481,77 @@ def interarrival_cv_profile(
             9,
         ).alias("bursty_share"),
     )
+
+
+def dickey_fuller_test(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    unit: str = "day",
+    crit: float = -2.86,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test (no augmentation lags) on the
+    bucket-mean series — the "is this metric mean-reverting or a random
+    walk" verdict that decides whether a level alert (stationary) or a
+    drift alert (unit root) is the right monitor, complementing
+    :func:`hurst_exponent`'s scaling view and the variance-ratio test:
+
+        Δm_t = α + β·m_{t−1} + ε,   DF = β̂ / se(β̂),
+        reject unit root when DF < crit (−2.86 ≈ 5% with constant)
+
+    OLS on the bounded bucket axis from 9-dp-quantized decimal moment
+    sums of the EXACT 6-dp bucket means (one corpus reduce, then
+    n_buckets−1 rows); the t-statistic is one IEEE expression.
+
+    Output: one row — ``(n bigint, beta double, se double, df_stat
+    double, stationary boolean)``; NULL stats for n < 4.
+    """
+    dec = "decimal(28,9)"
+    b = _global_bucket_means(df, ts, value, unit)
+    w = Window.orderBy("_b")
+    staged = (
+        b.select(
+            F.col("_m").cast("double").alias("_y"),
+            F.lag(F.col("_m").cast("double")).over(w).alias("_x"),
+        )
+        .filter(F.col("_x").isNotNull())
+        .select(
+            F.col("_x"), (F.col("_y") - F.col("_x")).alias("_d")
+        )
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("_x"), 9).cast(dec)).alias("_sx"),
+        F.sum(F.round(F.col("_d"), 9).cast(dec)).alias("_sy"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_x"), 9).cast(dec)
+        ).alias("_sxx"),
+        F.sum(
+            F.round(F.col("_x") * F.col("_d"), 9).cast(dec)
+        ).alias("_sxy"),
+        F.sum(
+            F.round(F.col("_d") * F.col("_d"), 9).cast(dec)
+        ).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    vx = F.col("_sxx").cast("double") - sx * sx / n
+    cxy = F.col("_sxy").cast("double") - sx * sy / n
+    vy = F.col("_syy").cast("double") - sy * sy / n
+    beta = F.try_divide(cxy, vx)
+    sse = vy - F.try_divide(cxy * cxy, vx)
+    se = F.when(
+        F.col("n") > 3,
+        F.sqrt(F.try_divide(sse / (n - F.lit(2.0)), vx)),
+    )
+    dfstat = F.try_divide(beta, se)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(beta, 9).alias("beta"),
+        F.round(se, 9).alias("se"),
+        F.round(dfstat, 9).alias("df_stat"),
+        F.coalesce(dfstat < F.lit(float(crit)), F.lit(False)).alias(
+            "stationary"
+        ),
+    )

@@ -23193,6 +23193,260 @@ def mood_median_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "supplier_revenue_hhi",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                 AS DECIMAL(28,4))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(r) AS t, count(*) AS k FROM rev),
+    sh AS (
+      SELECT r::DOUBLE / t::DOUBLE AS s, k, t
+      FROM rev CROSS JOIN tot
+    )
+    SELECT max(k)::BIGINT AS n_suppliers,
+           CAST(max(t) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(28,12)))
+                 AS DOUBLE), 9) AS hhi,
+           round(max(s), 9) AS top_share
+    FROM sh
+    """,
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue across suppliers —
+    the antitrust-style one-number beside pareto_parts' cumulative
+    curve (HHI 1/k = perfectly even, -> 1 = monopoly).  Exact 4-dp
+    decimal revenue sums per supplier, 12-dp-quantized share squares on
+    the supplier axis."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount")),
+                4,
+            ).cast("decimal(28,4)")
+        ).alias("r")
+    )
+    tot = rev.agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    sh = rev.crossJoin(F.broadcast(tot)).select(
+        (F.col("r").cast("double") / F.col("t").cast("double")).alias(
+            "s"
+        ),
+        "k",
+        "t",
+    )
+    return sh.agg(
+        F.max("k").cast("long").alias("n_suppliers"),
+        F.max("t").cast("double").alias("total_revenue"),
+        F.round(
+            F.sum(
+                F.round(F.col("s") * F.col("s"), 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
+            9,
+        ).alias("hhi"),
+        F.round(F.max("s"), 9).alias("top_share"),
+    )
+
+
+@_q(
+    "ts_dickey_fuller",
+    f"""
+    WITH b AS ({_BUCKET_DAY}),
+    lagged AS (
+      SELECT m::DOUBLE AS y,
+             lag(m::DOUBLE) OVER (ORDER BY bk) AS x
+      FROM b
+    ),
+    st AS (
+      SELECT x, y - x AS d FROM lagged WHERE x IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx,
+             sum(CAST(round(d, 9) AS DECIMAL(28,9))) AS sy,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+             sum(CAST(round(x * d, 9) AS DECIMAL(28,9))) AS sxy,
+             sum(CAST(round(d * d, 9) AS DECIMAL(28,9))) AS syy
+      FROM st
+    ),
+    calc AS (
+      SELECT n,
+             (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+               / nullif(sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                        / n::DOUBLE, 0) AS beta,
+             sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS vx,
+             (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+               - (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                 * (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                 / nullif(sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                          / n::DOUBLE, 0) AS sse
+      FROM agg
+    ),
+    fin AS (
+      SELECT n, beta,
+             CASE WHEN n > 3 THEN
+               sqrt((sse / (n::DOUBLE - 2.0)) / nullif(vx, 0))
+             END AS se
+      FROM calc
+    )
+    SELECT n::BIGINT AS n, round(beta, 9) AS beta, round(se, 9) AS se,
+           round(beta / nullif(se, 0), 9) AS df_stat,
+           coalesce(beta / nullif(se, 0) < -2.86, false) AS stationary
+    FROM fin
+    """,
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on daily event-value means
+    (operators.timeseries.dickey_fuller_test) — mean-reverting or random
+    walk, the monitor-design question beside hurst/variance-ratio; OLS
+    of the first difference on the lagged level from 9-dp decimal
+    moments on the day axis."""
+    from ..operators.timeseries import dickey_fuller_test
+
+    return dickey_fuller_test(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "return_rate_by_band",
+    """
+    WITH base AS (
+      SELECT round(l_discount, 2) AS discount_band,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    agg AS (
+      SELECT discount_band, count(*) AS n, sum(r) AS k
+      FROM base GROUP BY 1
+    ),
+    w AS (
+      SELECT discount_band, n, k,
+             k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+             1.959963984540054 AS z
+      FROM agg
+    )
+    SELECT discount_band, n::BIGINT AS n, k::BIGINT AS returns,
+           round(p, 9) AS rate,
+           round((p + z * z / (2 * nd)
+                  - z * sqrt(p * (1 - p) / nd
+                             + z * z / (4 * nd * nd)))
+                 / (1 + z * z / nd), 9) AS ci_lo,
+           round((p + z * z / (2 * nd)
+                  + z * sqrt(p * (1 - p) / nd
+                             + z * z / (4 * nd * nd)))
+                 / (1 + z * z / nd), 9) AS ci_hi
+    FROM w
+    """,
+)
+def return_rate_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per discount band with Wilson 95% bars — do deeper
+    discounts ship worse goods; exact integer cells, closed-form
+    interval per band (the proportion_wilson_ci shape on the
+    discount-band axis)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    agg = li.groupBy(
+        F.round("l_discount", 2).alias("discount_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("l_returnflag") == "R").cast("long")
+        ).alias("k"),
+    )
+    z = F.lit(1.959963984540054)
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z * z / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z * z / nd
+    center = p + z * z / (F.lit(2.0) * nd)
+    return agg.select(
+        "discount_band",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("returns"),
+        F.round(p, 9).alias("rate"),
+        F.round((center - half) / denom, 9).alias("ci_lo"),
+        F.round((center + half) / denom, 9).alias("ci_hi"),
+    )
+
+
+def _quality_ks_oracle() -> str:
+    quality = ORACLES["text_quality_scores"]
+    return f"""
+    WITH q AS ({quality}),
+    counts AS (
+      SELECT round(q.quality_score, 6) AS v, d.source AS g,
+             count(*) AS n
+      FROM q JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT v, g
+      FROM (SELECT DISTINCT v FROM counts)
+      CROSS JOIN (SELECT DISTINCT g FROM counts)
+    ),
+    full_g AS (
+      SELECT grid.v, grid.g, coalesce(counts.n, 0) AS n
+      FROM grid LEFT JOIN counts USING (v, g)
+    ),
+    staged AS (
+      SELECT g, v,
+             sum(n) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(n) OVER (PARTITION BY g) AS tot
+      FROM full_g
+    ),
+    gtab AS (
+      SELECT v,
+             sum(gn) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gcum,
+             sum(gn) OVER () AS gtot
+      FROM (SELECT v, sum(n) AS gn FROM counts GROUP BY 1)
+    ),
+    j AS (
+      SELECT s.g, s.cum, s.tot, gl.gcum, gl.gtot,
+             abs(s.cum::DOUBLE / s.tot::DOUBLE
+                 - (gl.gcum - s.cum)::DOUBLE
+                   / nullif((gl.gtot - s.tot)::DOUBLE, 0)) AS gap
+      FROM staged s JOIN gtab gl USING (v)
+    )
+    SELECT g AS "group", max(tot)::BIGINT AS n,
+           max(gtot - tot)::BIGINT AS n_rest,
+           round(max(gap), 9) AS ks_d
+    FROM j GROUP BY 1
+    """
+
+
+@_q("quality_ks_by_source", _quality_ks_oracle())
+def quality_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS of the quality-score distribution vs the
+    pooled rest (operators.profile.ks_group_vs_rest) — WHICH source
+    drifted, in one pass over the shared 6-dp-quantized score axis with
+    rest-counts by exact subtraction."""
+    from ..operators.profile import ks_group_vs_rest
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    scored = quality_score(docs.select("doc_id", "source", "text"))
+    return ks_group_vs_rest(scored, "quality_score", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see

@@ -289,6 +289,10 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "discount_band_profile",
     "jonckheere_value_by_activity",
     "mood_median_doclen_lang",
+    "supplier_revenue_hhi",
+    "ts_dickey_fuller",
+    "return_rate_by_band",
+    "quality_ks_by_source",
 ])
 
 

@@ -821,6 +821,7 @@ QUERY_CASES = [
     "retention_km_bands", "emb_participation_ratio", "emb_int8_snr",
     "dedup_cluster_purity", "part_affinity_lift",
     "anova_value_weekday", "dedup_lsh_band_stats", "discount_band_profile",
+    "supplier_revenue_hhi", "quality_ks_by_source",
 ]
 
 
