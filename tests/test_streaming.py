@@ -1362,3 +1362,23 @@ def test_streaming_ab_guardrail_replay_idempotent_and_paired(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ab_guardrail_writer(monitor, max_age_sec=5.0)
+
+
+def test_streaming_ab_guardrail_srm_fires_on_broken_split(spark, tmp_path):
+    """A 90/10 observed split against a designed 50/50 must trip the SRM
+    alarm at the 0.001 threshold — the broken-assignment incident the
+    guardrail exists for — while the two-proportion readout stays
+    computable on the skewed cells."""
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    writer = ab_guardrail_writer(monitor)
+    rows = [("0", True)] * 450 + [("1", True)] * 50
+    df = spark.createDataFrame(rows, "arm string, converted boolean")
+    writer(df, 0)
+    r = spark.read.parquet(f"{monitor}/report").collect()[0]
+    assert (r.n_a, r.n_b) == (450, 50)
+    # chi2 = (450-250)^2/250 + (50-250)^2/250 = 320
+    assert r.srm_chi2 == 320.0
+    assert r.srm and r.srm_p < 0.001
+    assert r.rate_a == 1.0 and r.rate_b == 1.0
