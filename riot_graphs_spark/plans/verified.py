@@ -233,9 +233,35 @@ _ROUND_9 = [
     "textrank_keywords_top",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r10.json.
+#: All 50 window slots went green on first driver contact: the 19
+#: r09-deferred names head the file, followed by 31 round-10 registrations.
+#: The 15 registrations deferred during r10 (see DEFER_TO_NEXT_WINDOW
+#: history below) head the r11 window instead.
+_ROUND_10 = [
+    "wasserstein_doclen_en_rest", "krippendorff_lang_alpha",
+    "markov_entropy_rate", "event_pmi_userday", "mixture_temperature_sources",
+    "pairwise_welch_holm", "emb_power_iteration_top", "ad_doclen_en_rest",
+    "dtw_clicks_purchases", "ab_srm_check", "ab_cuped_value",
+    "revenue_lorenz_deciles", "feature_info_gain", "pairwise_welch_by_fdr",
+    "emb_spectral_gap", "esd_outlier_days", "yuen_trimmed_doclen",
+    "cmh_purchase_by_activity", "binseg_daily_value", "retention_km_bands",
+    "benford_significand", "cohens_d_doclen", "ab_ratio_value_per_event",
+    "ab_sprt_purchase_daily", "hazard_ratio_churn_parity",
+    "event_count_overdispersion", "ts_turning_points", "ts_bartels_rank",
+    "ts_spectral_entropy", "ts_bollinger_daily", "ts_seasonal_mann_kendall",
+    "chow_break_daily", "ols_tokens_2f", "breusch_pagan_tokens",
+    "emb_participation_ratio", "emb_dim_moments", "emb_centroid_similarity",
+    "emb_norm_outliers", "emb_int8_snr", "vocab_hapax_share",
+    "text_case_profile", "text_digit_deciles", "lang_script_mismatch",
+    "doclen_lognormal_ks", "token_yield_by_quality", "dedup_cluster_purity",
+    "split_feature_parity", "orders_cohort_ltv", "order_to_ship_delay",
+    "part_affinity_lift",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
-    + _ROUND_7 + _ROUND_8 + _ROUND_9
+    + _ROUND_7 + _ROUND_8 + _ROUND_9 + _ROUND_10
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
@@ -274,26 +300,21 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: the head of the r10 window automatically; 31 round-10 registrations fill
 #: the remaining slots exactly (19 + 31 = 50).
 #:
-#: r10: the 11 registrations below landed after the 50-slot window was
-#: exactly filled and defer to the r11 window head (each driver-replica
-#: green at sf0.01 AND sf0.001 this round).
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
-    "user_activity_gini",
-    "anova_value_weekday",
-    "retention_weekly_wilson",
-    "dq_completeness_profile",
-    "dedup_lsh_band_stats",
-    "event_interarrival_cv",
-    "stopword_coverage_by_lang",
-    "customer_order_frequency",
-    "discount_band_profile",
-    "jonckheere_value_by_activity",
-    "mood_median_doclen_lang",
-    "supplier_revenue_hhi",
-    "ts_dickey_fuller",
-    "return_rate_by_band",
-    "quality_ks_by_source",
-])
+#: r10: the 15 registrations that landed after the 50-slot window was
+#: exactly filled deferred to the r11 window head (each driver-replica
+#: green at sf0.01 AND sf0.001 during round 10:
+#: user_activity_gini, anova_value_weekday, retention_weekly_wilson,
+#: dq_completeness_profile, dedup_lsh_band_stats, event_interarrival_cv,
+#: stopword_coverage_by_lang, customer_order_frequency,
+#: discount_band_profile, jonckheere_value_by_activity,
+#: mood_median_doclen_lang, supplier_revenue_hhi, ts_dickey_fuller,
+#: return_rate_by_band, quality_ks_by_source).
+#:
+#: Emptied for r11 alongside appending _ROUND_10: those 15 names now have
+#: no driver row and no defer mark, so the unverified-first rule puts them
+#: at the head of the r11 window automatically; round-11 registrations fill
+#: the remaining slots.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def rotation_order(
