@@ -59,6 +59,7 @@ HEADLINE = [
     "corpus_select",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "q3_shipping_priority",
     "pii_redact",
     "contamination_check",

@@ -218,17 +218,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    probes: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: route each query to its nearest cell centroid, then
-    search only that cell's members — the classic inverted-file index as a
-    DataFrame plan.
+    """IVF-style ANN: route each query to its ``probes`` nearest cell
+    centroids, then search only those cells' members — the classic
+    inverted-file index as a DataFrame plan.
 
     Scale shape: centroids are (cells × dims) — always broadcastable; the
     probe is a broadcast join of queries onto a *cell-pruned* slice of the
     corpus (on a cell-partitioned/bucketed table the non-probed cells are
-    never read). Recall < 1 with 1 probe; probe the top-p cells for more.
-    Routing scores round to 6 decimals before the argmax (tiebreak: cell
-    asc) so the route — and therefore the result set — is deterministic.
+    never read). Recall < 1 with 1 probe and rises with ``probes`` at a
+    proportional scan-cost increase — probes is the recall/cost knob a
+    100 TB ANN deployment actually turns (``ann_recall_ivf`` reports the
+    curve at p ∈ {1, 2, 4}); ``probes >= n_cells`` degenerates to exact
+    brute force. Routing scores round to 6 decimals before the arg-top-p
+    (tiebreak: cell asc) so the route — and therefore the result set — is
+    deterministic. Cells are disjoint, so the probed union needs no dedup
+    and the final top-k stays one window over (queries × probes × cell)
+    candidates.
     """
     cents = label_centroids(corpus, cell_col, vec_col)
     cent_vecs = cents.groupBy(cell_col).agg(
@@ -242,23 +249,35 @@ def ivf_topk(
         F.col(vec_col).alias("_qvec"),
         l2_norm(vec_col).alias("_qnorm"),
     )
-    routed = (
-        q.crossJoin(F.broadcast(cent_vecs))
-        .withColumn(
-            "_route_score",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cent"))
-                / (F.col("_qnorm") * l2_norm(F.col("_cent"))),
-                6,
-            ),
-        )
-        .groupBy("query_id", "_qvec", "_qnorm")
-        .agg(
+    scored_cells = q.crossJoin(F.broadcast(cent_vecs)).withColumn(
+        "_route_score",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cent"))
+            / (F.col("_qnorm") * l2_norm(F.col("_cent"))),
+            6,
+        ),
+    )
+    if probes <= 1:
+        routed = scored_cells.groupBy("query_id", "_qvec", "_qnorm").agg(
             F.min_by(
-                F.col(cell_col), F.struct((-F.col("_route_score")).alias("s"), F.col(cell_col))
+                F.col(cell_col),
+                F.struct((-F.col("_route_score")).alias("s"), F.col(cell_col)),
             ).alias(cell_col)
         )
-    )
+    else:
+        # Multi-probe: rank cells per query and keep the top p. The window
+        # runs over the (queries × cells) routing frame — driver-side tiny,
+        # and still upstream of the broadcast into the corpus join, so the
+        # corpus-side plan is identical to 1-probe (just p cells survive the
+        # pruning filter instead of one).
+        rw = Window.partitionBy("query_id").orderBy(
+            F.col("_route_score").desc(), F.col(cell_col).asc()
+        )
+        routed = (
+            scored_cells.withColumn("_probe_rank", F.row_number().over(rw))
+            .filter(F.col("_probe_rank") <= probes)
+            .select("query_id", "_qvec", "_qnorm", cell_col)
+        )
     cb = corpus.select(
         F.col(cell_col),
         F.col(id_col),

@@ -1485,6 +1485,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@_q(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH {_DUCK_CENTROIDS},
+    cent_arr AS (
+      SELECT label, list(centroid ORDER BY pos) AS cvec FROM cents GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv::DOUBLE[], c.cvec) /
+                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                 c.label ASC) AS rn
+        FROM q CROSS JOIN cent_arr c
+      ) WHERE rn <= 2
+    ),
+    pairs AS (
+      SELECT r.query_id, e.vec_id, {_DUCK_COSINE.replace("q.qv", "r.qv").replace("c.embedding", "e.embedding")} AS score
+      FROM embeddings e JOIN routed r ON e.label = r.label AND e.vec_id != r.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, score, rank::INTEGER AS rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-probe IVF ANN — same route-then-search plan as ann_ivf_topk but
+    each query scans its TWO nearest cells (operators.similarity.ivf_topk
+    probes=2). The probed union is exact SQL (cells are disjoint), so unlike
+    the recall report this variant is fully oracle-paired. The corpus-side
+    plan is identical to 1-probe — only the broadcast routing frame grows by
+    p — which is exactly why probes is the cheap recall knob at 100 TB."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, probes=2)
+
+
 # --------------------------------------------------------------------------
 # Skew-resistant join (salting) — result must equal the plain join
 # --------------------------------------------------------------------------
@@ -2694,33 +2737,47 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only (no SQL oracle): recall compares our own two ANN variants —
 # the brute-force side already carries the hash-checked semantics
 # (ann_cosine_topk); this entry reports how much the IVF approximation
-# gives up, which is the tuning loop a 100 TB deployment actually runs.
+# gives up AT EACH PROBE COUNT p ∈ {1, 2, 4} — the recall-vs-scan-cost
+# curve is the tuning loop a 100 TB deployment actually runs.  (The
+# probed result set itself IS exact SQL — ann_ivf_multiprobe carries the
+# hash-checked semantics of the p=2 route.)
 @_q("ann_recall_ivf")
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of IVF ANN vs exact brute force, per query vector: join the
-    two top-k sets on (query_id, neighbor_id) and count survivors. One
-    broadcastable join — both sides are (queries × k) rows."""
+    """Recall@5 of IVF ANN vs exact brute force, per (probes, query vector):
+    join each probe level's top-k set against the brute-force top-k on
+    (query_id, neighbor_id) and count survivors. Each level is one
+    broadcastable join — both sides are (queries × k) rows; the brute side
+    is computed once and reused across levels."""
     from ..operators.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
     brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = ivf_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    hits = (
-        brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        brute.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    out = None
+    for p in (1, 2, 4):
+        approx = ivf_topk(emb, q, k=5, probes=p).select(
+            "query_id", "neighbor_id"
         )
-    )
+        hits = (
+            brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        level = (
+            brute.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(p).alias("probes"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+        out = level if out is None else out.unionByName(level)
+    return out
 
 
 @_q(

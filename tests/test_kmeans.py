@@ -308,3 +308,57 @@ def test_clustering_label_agreement_hand_cases(spark):
         [(1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a")]
     )
     assert degen["ari"] is None and degen["purity"] == 1.0
+
+
+def test_ivf_multiprobe_recall_monotone_and_exhaustive_at_all_cells(spark):
+    """probes=2 on 3 blobs must widen (never shrink) the candidate set, and
+    probes >= n_cells must reproduce exact brute force (cosine_topk)."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.similarity import cosine_topk
+
+    df, _ = _blobs(spark)
+    corpus = df.withColumnRenamed("blob", "cell")
+    queries = corpus.filter(F.col("vec_id").isin(0, 6, 12))
+
+    def topk(probes):
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk(
+                corpus, queries, k=4, cell_col="cell", probes=probes
+            ).collect()
+        }
+
+    brute = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk(corpus, queries, k=4).collect()
+    }
+    p1, p2, p3 = topk(1), topk(2), topk(3)
+    # probes == n_cells degenerates to exact brute force, rank-for-rank
+    assert p3 == brute
+    # recall is monotone in probes (vs the brute truth, per query)
+    def hits(s):
+        return len({(q, n) for q, n, _ in s} & {(q, n) for q, n, _ in brute})
+    assert hits(p1) <= hits(p2) <= hits(p3)
+    # k=4 from a 6-member single cell: p1 already returns 4 rows per query
+    assert len(p1) == 12 and len(p2) == 12
+
+
+def test_ivf_multiprobe_route_stays_broadcast(spark):
+    """Plan pin (r11): the multi-probe routing frame must still ride into
+    the corpus join as a BROADCAST — probes must not turn the cell join
+    into a shuffle join, or the 100 TB scan-pruning story dies."""
+    from pyspark.sql import functions as F
+
+    df, _ = _blobs(spark)
+    corpus = df.withColumnRenamed("blob", "cell")
+    queries = corpus.filter(F.col("vec_id").isin(0, 6))
+    plan = ivf_topk(
+        corpus, queries, k=2, cell_col="cell", probes=2
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
