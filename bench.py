@@ -271,6 +271,7 @@ HEADLINE = [
     "assoc_lang_source",
     # round-6 registrations
     "rollup_incremental_percentiles",
+    "rollup_quantile_sketch",
     "psi_value_drift",
     "ks_value_drift",
     "mi_lang_source",

@@ -220,3 +220,227 @@ def upsert_partials(
     keys = ["bucket", *dims]
     kept = existing.join(fresh.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Data-adaptive quantile sketch: the percentile analogue of the HLL
+# distinct_sketch_rollup (timeseries.py) for values with UNKNOWN range.
+# ---------------------------------------------------------------------------
+
+def quantile_sketch_partials(
+    df: DataFrame,
+    dims: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    grain: str = "day",
+    k: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Mergeable quantile-sketch state at the finest grain: ``k`` weighted
+    anchor values per (``grain`` bucket, dims) — a t-digest-style bounded
+    summary built entirely from DataFrame ops.
+
+    Anchor ``i`` sits at the mid-rank of arcsine-scale interval
+    ``(b_i, b_{i+1})``, ``b_i = sin²(πi/2k)`` — the t-digest k1 scale:
+    intervals are DENSE at both tails (width ~``(π/2k)²`` at the extremes)
+    and coarse in the middle (~``π/2k``), because tail percentiles are
+    where interpolation error is magnified by the quantile function's slope
+    (a uniform grid measured ~10% value error at p99 on the fixture; this
+    grid + the interpolated read lands ≲1–2%).  Anchor values come from
+    ``percentile_approx`` (GK sketch: bounded executor memory per group no
+    matter how many raw rows a (day, tag) holds at 100 TB — an EXACT
+    per-group percentile would buffer the group), anchor ``i`` carrying
+    weight ``n·(b_{i+1} - b_i)``; a partial is therefore a weighted point
+    set and merging is weighted-set UNION — associative, no raw-row rescan,
+    any coarser window (week/month/all-time) derivable later.  Versus
+    :func:`histogram_partials` this needs NO a-priori ``[lo, hi)`` spec and
+    adapts resolution to the data's density (the fixed histogram wastes its
+    bins on empty range); the trade is approximate rank instead of
+    exact-to-one-bin.
+
+    Rows-only in the driver gate (same class as ``distinct_sketch_rollup``):
+    sketch estimates are engine-specific; the exact twin
+    (``rollup_incremental_percentiles`` / ``g4_percentiles``) carries the
+    hash-checked semantics, and the unit test bounds this sketch's error
+    against the exact answer (rank bracket weekly; ≤5% value overall).
+
+    Output: ``(bucket timestamp, *dims, anchors array<double>, n bigint)``
+    — constant-size state per group; the anchor grid is a pure function of
+    ``k = size(anchors)``, so readers need no side spec.
+    """
+    if k < 2:
+        raise ValueError("need k >= 2 anchors")
+    bounds = _arcsine_bounds(k)
+    qs = F.array(
+        *[F.lit((bounds[i] + bounds[i + 1]) / 2.0) for i in range(k)]
+    )
+    x = F.col(value)
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(F.date_trunc(grain, F.col(ts)).alias("bucket"), *dims)
+        .agg(
+            F.percentile_approx(x.cast("double"), qs, F.lit(accuracy)).alias(
+                "anchors"
+            ),
+            F.count(x).alias("n"),
+        )
+        .select("bucket", *dims, "anchors", "n")
+    )
+
+
+import math as _math
+
+
+def _arcsine_bounds(k: int) -> list[float]:
+    """The k+1 interval boundaries of the t-digest k1 (arcsine) rank scale:
+    ``b_i = sin²(πi/2k)`` — 0 and 1 at the ends, tail-dense."""
+    return [_math.sin(_math.pi * i / (2.0 * k)) ** 2 for i in range(k + 1)]
+
+
+def _weighted_points(
+    partials: DataFrame, dims: Sequence[str], grain: str
+) -> DataFrame:
+    """Explode sketch states into ``grain``-bucketed weighted points
+    ``(bucket, *dims, v, w)`` — the merge IS the union; the shuffle moves
+    only (fine buckets × k) rows, never the fact.  Anchor ``i`` of a
+    k-anchor state carries its arcsine-interval mass
+    ``n · (sin²(π(i+1)/2k) − sin²(πi/2k))``, computed from ``pos`` and
+    ``size(anchors)`` in-plan (whole-stage codegen; no side spec)."""
+    kk = F.col("_k").cast("double")
+    pos = F.col("_pos").cast("double")
+    half_pi = _math.pi / 2.0
+    frac = (
+        F.pow(F.sin(F.lit(half_pi) * (pos + 1) / kk), 2)
+        - F.pow(F.sin(F.lit(half_pi) * pos / kk), 2)
+    )
+    return partials.select(
+        F.date_trunc(grain, F.col("bucket")).alias("bucket"),
+        *dims,
+        F.col("n"),
+        F.size("anchors").alias("_k"),
+        F.posexplode("anchors").alias("_pos", "v"),
+    ).select(
+        "bucket",
+        *dims,
+        "v",
+        (F.col("n").cast("double") * frac).alias("w"),
+    )
+
+
+def quantile_sketch_percentiles(
+    partials: DataFrame,
+    dims: Sequence[str],
+    grain: str = "week",
+    percentiles: Sequence[int] = (50, 95, 99),
+) -> DataFrame:
+    """Merge fine sketch states up to ``grain`` and read percentiles, in one
+    plan: weighted-point union → per-(bucket, dims) cumulative-weight window
+    ordered by value → ``pQQ`` = LINEAR INTERPOLATION between the two
+    anchors whose cumulative mid-ranks straddle QQ% (the t-digest read; a
+    step-function lower-quantile read would pin tail percentiles to anchor
+    grid points and blow their value error up by the local quantile-function
+    slope — measured 17% → ~1% at p99 on the fixture).  Below the first /
+    above the last mid-rank the read clamps to the end anchor.
+
+    The window runs over state rows (≤ fine_buckets × k per group, e.g.
+    7 × 64 for a week of days), never fact rows.  Output:
+    ``(bucket, *dims, n_rows bigint, p50, p95, … double)``.
+    """
+    from pyspark.sql import Window
+
+    for q in percentiles:
+        if not 0 < q <= 100:
+            raise ValueError("percentiles are integer percents in (0, 100]")
+    keys = ["bucket", *dims]
+    pts = _weighted_points(partials, dims, grain)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    w_lead = Window.partitionBy(*keys).orderBy("v")
+    c = (
+        pts.withColumn("cum", F.sum("w").over(w_cum))
+        .withColumn("tot", F.sum("w").over(w_tot))
+        # anchor i's cumulative MID-rank in [0, 1]
+        .withColumn("c", (F.col("cum") - F.col("w") / 2) / F.col("tot"))
+        .withColumn("c_next", F.lead("c").over(w_lead))
+        .withColumn("v_next", F.lead("v").over(w_lead))
+    )
+    aggs = [F.round(F.max("tot")).cast("bigint").alias("n_rows")]
+    for q in percentiles:
+        qf = F.lit(int(q) / 100.0)
+        # exactly one row satisfies c <= q < c_next (c is strictly
+        # increasing); none when q < c_first (clamp to the first anchor)
+        seg = F.max(
+            F.when(
+                (F.col("c") <= qf)
+                & (F.col("c_next").isNull() | (F.col("c_next") > qf)),
+                F.struct("v", "c", "v_next", "c_next"),
+            )
+        )
+        first_v = F.min_by("v", "c")
+        interp = F.when(seg.isNull(), first_v).otherwise(
+            F.when(
+                seg["c_next"].isNull() | (seg["c_next"] == seg["c"]),
+                seg["v"],
+            ).otherwise(
+                seg["v"]
+                + (seg["v_next"] - seg["v"])
+                * (qf - seg["c"])
+                / (seg["c_next"] - seg["c"])
+            )
+        )
+        aggs.append(interp.alias(f"p{int(q)}"))
+    return c.groupBy(*keys).agg(*aggs)
+
+
+def quantile_sketch_compact(
+    partials: DataFrame,
+    dims: Sequence[str],
+    grain: str = "week",
+    k: int = 64,
+) -> DataFrame:
+    """Re-compact merged states back to ``k`` anchors at ``grain`` — the
+    KLL compaction step that keeps state CONSTANT-size across a rollup
+    hierarchy (day → week → month → year: without this, month-from-days
+    state is 31 × k points; with it, every level is k).  Anchor ``i`` of
+    the compacted sketch is the lower weighted quantile at mid-rank
+    ``(2i+1)/(2k)`` of the merged point set; each level adds ≤ ``1/(2k)``
+    rank error (k = 64 → 0.8% per level).  Output schema matches
+    :func:`quantile_sketch_partials`, so the same merge/read functions
+    apply at every level.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("need k >= 2 anchors")
+    keys = ["bucket", *dims]
+    pts = _weighted_points(partials, dims, grain)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    c = pts.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "tot", F.sum("w").over(w_tot)
+    )
+    bounds = _arcsine_bounds(k)
+    aggs = [F.round(F.max("tot")).cast("bigint").alias("n")]
+    for i in range(k):
+        # re-sample at the same arcsine mid-ranks the partials use, so the
+        # compacted state honors the grid _weighted_points re-derives
+        mid = (bounds[i] + bounds[i + 1]) / 2.0
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.lit(mid) * F.col("tot"), F.col("v"))
+            ).alias(f"_a{i}")
+        )
+    g = c.groupBy(*keys).agg(*aggs)
+    return g.select(
+        "bucket", *dims,
+        F.array(*[F.col(f"_a{i}") for i in range(k)]).alias("anchors"),
+        "n",
+    )

@@ -9393,6 +9393,36 @@ def rollup_incremental_percentiles(
     )
 
 
+# Rows-only (no SQL oracle — pre-declared sketch class, same as
+# distinct_sketch_rollup/dau_wau_sketch_rollup): anchor estimates come from
+# percentile_approx's GK sketch, which is engine-specific; the exact twins
+# (g4_percentiles, rollup_incremental_percentiles) carry the hash-checked
+# percentile semantics, and test_shard_and_incremental bounds this sketch's
+# error against the exact weekly answer (≤ 5%).
+@_q("rollup_quantile_sketch")
+def rollup_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive mergeable PERCENTILE state — the quantile analogue of
+    the DAU→WAU HLL path (operators.rollup.quantile_sketch_partials/
+    quantile_sketch_percentiles): per-(day, event_type) 64-anchor
+    equi-weight sketches merged to week grain and read as p50/p95/p99,
+    without re-scanning values and without the a-priori [lo, hi) spec the
+    fixed-histogram rollup needs.  State is k doubles per (day, tag)
+    regardless of raw volume (percentile_approx = bounded-memory GK);
+    the weekly read windows over ≤ 7 × 64 state rows per group."""
+    from ..operators.rollup import (
+        quantile_sketch_partials,
+        quantile_sketch_percentiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = quantile_sketch_partials(
+        ev, dims=["event_type"], ts="ts", value="value", grain="day", k=64
+    )
+    return quantile_sketch_percentiles(
+        daily, dims=["event_type"], grain="week", percentiles=(50, 95, 99)
+    )
+
+
 #: Snapshot split instant for the drift monitors: first vs second half of
 #: the fixture's January-2024 event window (same range at every SF).
 _DRIFT_SPLIT = "2024-01-16 00:00:00"

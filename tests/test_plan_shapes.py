@@ -1669,3 +1669,26 @@ def test_int8_snr_row_local_until_reduce(spark):
     assert "Join" not in plan
     assert shuffle_count(plan) <= 1
     assert "EvalPython" not in plan
+
+
+def test_quantile_sketch_rollup_state_sized_plan(spark):
+    # r11: one corpus-sized groupBy builds the day states (GK
+    # percentile_approx — partial-aggregable, bounded memory); everything
+    # downstream (explode, cum-weight windows, read groupBy) runs over
+    # state rows only. No joins, no Python, and the window/read exchanges
+    # all repartition the tiny state frame, never the fact.
+    plan = formatted_plan(spark, "rollup_quantile_sketch")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert shuffle_count(plan) <= 4
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+
+
+def test_ann_ivf_multiprobe_centroid_route_stays_broadcast(spark):
+    # r11 verdict task: probes>1 must not turn the cell join into a
+    # shuffle join — the routing frame (queries × p cells) still
+    # broadcasts onto the cell-pruned corpus slice.
+    plan = formatted_plan(spark, "ann_ivf_multiprobe")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
