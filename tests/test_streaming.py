@@ -1382,3 +1382,96 @@ def test_streaming_ab_guardrail_srm_fires_on_broken_split(spark, tmp_path):
     assert r.srm_chi2 == 320.0
     assert r.srm and r.srm_p < 0.001
     assert r.rate_a == 1.0 and r.rate_b == 1.0
+
+
+def test_streaming_ab_guardrail_cuped_readout_and_replay(spark, tmp_path):
+    """CUPED in the ledger (r11): with a pre-period covariate the verdict
+    row carries theta / cuped_diff / cuped_z / var_reduction derived from
+    the cumulative per-arm moment sums; a replayed batch leaves the CUPED
+    readout bit-identical (decimal moments dedup like the counts); the
+    adjusted effect must equal the hand-computed pooled-theta estimate;
+    and without a covariate the readout is NULL, not zero."""
+    import pytest as _pytest
+
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    writer = ab_guardrail_writer(monitor, covariate_col="pre")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "arm string, converted boolean, pre double"
+        )
+
+    # covariate correlates with conversion inside each arm; arm a's
+    # covariate mean is higher → raw diff overstates the lift and CUPED
+    # must pull it back toward zero.
+    b0 = batch(
+        [("0", True, 3.0), ("0", True, 2.0), ("0", False, 1.0),
+         ("1", True, 2.0), ("1", False, 1.0), ("1", False, 0.0)]
+    )
+    b1 = batch(
+        [("0", True, 4.0), ("0", False, 2.0),
+         ("1", True, 3.0), ("1", False, 1.0)]
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    reports = {r.batch_id: r for r in spark.read.parquet(f"{monitor}/report").collect()}
+    final = reports[1]
+
+    # hand-compute the pooled CUPED estimate over all 10 rows
+    data = [
+        (0, 1, 3.0), (0, 1, 2.0), (0, 0, 1.0),
+        (1, 1, 2.0), (1, 0, 1.0), (1, 0, 0.0),
+        (0, 1, 4.0), (0, 0, 2.0),
+        (1, 1, 3.0), (1, 0, 1.0),
+    ]
+    n = len(data)
+    sx = sum(x for _, _, x in data)
+    sy = sum(y for _, y, _ in data)
+    sxx = sum(x * x for _, _, x in data)
+    sxy = sum(x * y for _, y, x in data)
+    s_xx = sxx - sx * sx / n
+    s_xy = sxy - sx * sy / n
+    s_yy = sy - sy * sy / n
+    theta = s_xy / s_xx
+    rho2 = s_xy**2 / (s_xx * s_yy)
+    a = [(y, x) for arm, y, x in data if arm == 0]
+    b = [(y, x) for arm, y, x in data if arm == 1]
+    pa = sum(y for y, _ in a) / len(a)
+    pb = sum(y for y, _ in b) / len(b)
+    xa = sum(x for _, x in a) / len(a)
+    xb = sum(x for _, x in b) / len(b)
+    cuped_diff = (pa - pb) - theta * (xa - xb)
+    assert final.cuped_theta == _pytest.approx(theta, abs=1e-8)
+    assert final.cuped_diff == _pytest.approx(cuped_diff, abs=1e-8)
+    assert final.var_reduction == _pytest.approx(rho2, abs=1e-8)
+    # CUPED pulled the covariate-imbalance inflation out of the raw diff
+    assert abs(final.cuped_diff) < abs(final.diff)
+
+    # replay: identical readout after re-delivering batch 1
+    writer(b1, 1)
+    rows = [
+        r
+        for r in spark.read.parquet(f"{monitor}/report").collect()
+        if r.batch_id == 1
+    ]
+    by_batches = {r.n_batches: r for r in rows}
+    assert by_batches[2].cuped_theta == final.cuped_theta
+    assert by_batches[2].cuped_diff == final.cuped_diff
+    assert by_batches[2].cuped_z == final.cuped_z
+    assert by_batches[2].var_reduction == final.var_reduction
+
+    # no covariate → NULL readout (schema present, values absent)
+    mon2 = str(tmp_path / "mon2")
+    w2 = ab_guardrail_writer(mon2)
+    w2(
+        spark.createDataFrame(
+            [("0", True), ("1", False)], "arm string, converted boolean"
+        ),
+        0,
+    )
+    r2 = spark.read.parquet(f"{mon2}/report").collect()[0]
+    assert r2.cuped_theta is None and r2.cuped_diff is None
+    assert r2.cuped_z is None and r2.var_reduction is None
+    assert r2.cuped_significant is None
