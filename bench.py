@@ -224,6 +224,7 @@ HEADLINE = [
     "a2_newest_event",
     "ann_lsh_topk",
     "bpe_train_merges",
+    "unigram_train_pieces",
     "dedup_keep_best",
     "dedup_minhash_signatures",
     "dedup_paragraph_hashes",

@@ -657,6 +657,243 @@ def bpe_apply(
     return docs.mapInPandas(run, schema=out_schema)
 
 
+_UNIGRAM_LOGP_FLOOR = -100.0  # unseen-symbol fallback, far below any real piece
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Deterministic Viterbi segmentation of ``word`` under a unigram piece
+    model: maximize Σ log p(piece).  Ties break to the LONGER last piece
+    (fewer pieces), then to the lexicographically smaller piece — a total
+    order, so training and application are engine- and hash-independent.
+    Characters absent from the model segment as themselves at a fixed floor
+    log-prob (coverage fallback — segmentation never fails)."""
+    n = len(word)
+    neg_inf = float("-inf")
+    # dp[i] = (score, j) — best segmentation of word[:i], last piece word[j:i]
+    dp: list[tuple[float, int]] = [(0.0, 0)] + [(neg_inf, -1)] * n
+    for i in range(1, n + 1):
+        best_score, best_j, best_piece = neg_inf, -1, ""
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j][0] == neg_inf:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if len(piece) > 1:
+                    continue
+                lp = _UNIGRAM_LOGP_FLOOR
+            score = dp[j][0] + lp
+            # tie-break: higher score; then longer piece (smaller j); then
+            # lexicographically smaller piece
+            if (
+                best_j < 0
+                or score > best_score + 1e-12
+                or (
+                    abs(score - best_score) <= 1e-12
+                    and (j < best_j or (j == best_j and piece < best_piece))
+                )
+            ):
+                best_score, best_j, best_piece = score, j, piece
+        dp[i] = (best_score, best_j)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = dp[i][1]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 24,
+    text_col: str = "text",
+    n_iter: int = 3,
+    max_piece_len: int = 4,
+    seed_candidates: int = 120,
+) -> list[tuple[str, float]]:
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training —
+    the second trainer of the tokenizer family beside :func:`bpe_train`,
+    same scale shape: the corpus reduces ONCE to its word-frequency table
+    (the only corpus-sized shuffle); everything after runs on vocab-sized
+    data.
+
+    Algorithm (fixed-iteration hard EM, fully deterministic):
+
+    1. SEED: count every substring of length 1..``max_piece_len`` over the
+       word-frequency table (weighted by word freq) and keep the top
+       ``seed_candidates`` by (count desc, piece asc), plus every single
+       character (coverage).
+    2. EM ×``n_iter``: E-step Viterbi-segments each vocabulary word under
+       the current piece log-probs (an Arrow-batched ``mapInPandas`` over
+       the word table — the model rides in the closure like
+       :func:`bpe_apply`'s rank table; per-word DP is row-local) and
+       accumulates freq-weighted piece counts; M-step renormalizes counts
+       into probabilities on the driver (vocab-sized collect, the same
+       bounded-state class as ``bpe_train``'s top-pairs collect).
+       Multi-char pieces whose expected count hits 0 drop; single chars
+       persist at a count floor (coverage).
+    3. PRUNE (deterministic order): keep all single characters plus the
+       highest-expected-count multi-char pieces by (count desc, piece asc)
+       until ``vocab_size``; then one final EM pass refreshes the
+       probabilities of the surviving pieces.
+
+    Viterbi ties break longer-piece-then-lexicographic (see
+    :func:`_viterbi_segment`), so given the same corpus the learned vocab
+    is bit-identical run to run — the property the reference-Python parity
+    test pins.  Returns ``[(piece, prob)]`` sorted (prob desc, piece asc).
+    """
+    if vocab_size < 1 or n_iter < 1 or max_piece_len < 1:
+        raise ValueError("need vocab_size, n_iter, max_piece_len >= 1")
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    word = F.explode(tokens(text_col)).alias("w")
+    wf = (
+        docs.select(word)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    # 1. seed candidates: substring counts over the vocab table
+    sub_idx = F.expr(
+        f"""
+        flatten(transform(sequence(1, least(length(w), {max_piece_len})),
+          l -> transform(sequence(1, length(w) - l + 1),
+                         i -> substring(w, i, l))))
+        """
+    )
+    cand = (
+        wf.select(F.explode(sub_idx).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(seed_candidates)
+        .collect()
+    )
+    counts: dict[str, float] = {r.piece: float(r.n) for r in cand}
+    chars = (
+        wf.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.length("c") == 1)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in chars:
+        counts.setdefault(r.c, float(r.n))
+
+    import math as _m
+
+    def _probs(cnt: dict[str, float]) -> dict[str, float]:
+        tot = sum(cnt.values())
+        return {p: _m.log(c / tot) for p, c in cnt.items() if c > 0}
+
+    def _estep(logp: dict[str, float]) -> dict[str, float]:
+        out_schema = "piece string, cnt double"
+
+        def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+            for pdf in batches:
+                acc: dict[str, float] = {}
+                for w, f in zip(pdf["w"], pdf["f"]):
+                    for piece in _viterbi_segment(w, logp, max_piece_len):
+                        acc[piece] = acc.get(piece, 0.0) + float(f)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "cnt": list(acc.values())}
+                )
+
+        rows = (
+            wf.mapInPandas(run, schema=out_schema)
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        fresh = {r.piece: float(r.cnt) for r in rows}
+        # single chars persist at a floor for coverage; dead multi-char
+        # pieces drop
+        for p in list(counts):
+            if len(p) == 1:
+                fresh.setdefault(p, 1e-6)
+        return fresh
+
+    for _ in range(n_iter):
+        counts = _estep(_probs(counts))
+
+    # 3. deterministic prune + one refresh pass
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    keep = dict(singles)
+    for p, c in multis:
+        if len(keep) >= max(vocab_size, len(singles)):
+            break
+        keep[p] = c
+    counts = _estep(_probs(keep))
+    counts = {p: c for p, c in counts.items() if p in keep}
+    tot = sum(counts.values())
+    return sorted(
+        ((p, c / tot) for p, c in counts.items()),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+
+
+def unigram_apply(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Apply a trained unigram model: words → Viterbi best segmentation
+    under the piece log-probs → flat token array.  Row-local (zero
+    shuffles): the model ships in the ``mapInPandas`` closure exactly like
+    :func:`bpe_apply`'s big-vocab path, with a per-word memo cache per
+    Arrow batch.  Unseen characters fall back to themselves at the floor
+    log-prob, so every word round-trips (``concat(pieces) == word`` — the
+    property test)."""
+    import re as _re
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import math as _m
+
+    logp = {p: _m.log(pr) for p, pr in pieces if pr > 0}
+    max_len = max((len(p) for p in logp), default=1)
+    token_re = _re.compile(r"[a-z0-9]+")
+    out_schema = StructType(
+        [*docs.schema.fields, StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def encode_doc(text) -> list[str]:
+            out: list[str] = []
+            for w in token_re.findall((text or "").lower()):
+                if w not in cache:
+                    cache[w] = _viterbi_segment(w, logp, max_len)
+                out.extend(cache[w])
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(encode_doc)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
 def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document vocabulary-richness signals: type-token ratio and
     hapax ratio — the repetition-adjacent quality axis

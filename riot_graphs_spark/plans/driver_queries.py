@@ -6315,6 +6315,30 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rows-only (no SQL oracle): unigram-LM training is the same iterative
+# class as bpe_train (fixed-iteration hard EM with deterministic Viterbi
+# tie-breaks and a deterministic prune order); parity-tested against an
+# independent reference Python trainer (tests/test_textstats.py).
+@_q("unigram_train_pieces")
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram tokenizer training over the documents
+    corpus (operators.textstats.unigram_train): corpus → word-frequency
+    table once, substring-seeded candidates, hard-EM Viterbi iterations
+    over the vocab table, deterministic count-ordered prune — the second
+    trainer of the tokenizer family (train/apply for both BPE and
+    unigram).  Probabilities round to 9 dp for a stable readout."""
+    from ..operators.textstats import unigram_train
+
+    pieces = unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=48, n_iter=2, max_piece_len=4, seed_candidates=150,
+    )
+    return spark.createDataFrame(
+        [(i, p, round(pr, 9)) for i, (p, pr) in enumerate(pieces)],
+        "piece_rank long, piece string, prob double",
+    )
+
+
 @_q(
     "dedup_graph_degrees",
     f"""

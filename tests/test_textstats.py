@@ -133,3 +133,168 @@ def test_vocab_jaccard_matrix_hand_case(spark):
     # disjoint pairs still appear, at 0
     assert got[("A", "C")]["jaccard"] == 0.0
     assert got[("B", "C")]["intersection"] == 0
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer (r11): reference-Python parity + round-trip
+# --------------------------------------------------------------------------
+def _ref_unigram_train(corpus, vocab_size, n_iter, max_piece_len, seed_cands):
+    """Independent sequential reference of the unigram trainer spec:
+    substring-seeded candidates, hard-EM Viterbi with the
+    longer-piece-then-lexicographic tie-break, deterministic count prune,
+    one refresh pass."""
+    import math
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    wf = {}
+    for text in corpus:
+        for w in token_re.findall(text.lower()):
+            wf[w] = wf.get(w, 0) + 1
+
+    def viterbi(word, logp):
+        n = len(word)
+        NEG = float("-inf")
+        dp = [(0.0, 0)] + [(NEG, -1)] * n
+        for i in range(1, n + 1):
+            bs, bj, bp = NEG, -1, ""
+            for j in range(max(0, i - max_piece_len), i):
+                if dp[j][0] == NEG:
+                    continue
+                piece = word[j:i]
+                lp = logp.get(piece)
+                if lp is None:
+                    if len(piece) > 1:
+                        continue
+                    lp = -100.0
+                s = dp[j][0] + lp
+                if bj < 0 or s > bs + 1e-12 or (
+                    abs(s - bs) <= 1e-12 and (j < bj or (j == bj and piece < bp))
+                ):
+                    bs, bj, bp = s, j, piece
+            dp[i] = (bs, bj)
+        out, i = [], n
+        while i > 0:
+            j = dp[i][1]
+            out.append(word[j:i])
+            i = j
+        return out[::-1]
+
+    cand = {}
+    for w, f in wf.items():
+        for ln in range(1, min(len(w), max_piece_len) + 1):
+            for i in range(len(w) - ln + 1):
+                p = w[i : i + ln]
+                cand[p] = cand.get(p, 0) + f
+    top = sorted(cand.items(), key=lambda pc: (-pc[1], pc[0]))[:seed_cands]
+    counts = {p: float(c) for p, c in top}
+    chars = {}
+    for w in wf:  # char seed counts the DISTINCT-word occurrences,
+        for c in w:  # matching the operator's split-over-vocab seed
+            chars[c] = chars.get(c, 0) + 1
+    for c, n in chars.items():
+        counts.setdefault(c, float(n))
+
+    def probs(cnt):
+        tot = sum(cnt.values())
+        return {p: math.log(c / tot) for p, c in cnt.items() if c > 0}
+
+    def estep(logp):
+        fresh = {}
+        for w, f in wf.items():
+            for piece in viterbi(w, logp):
+                fresh[piece] = fresh.get(piece, 0.0) + float(f)
+        for p in counts:
+            if len(p) == 1:
+                fresh.setdefault(p, 1e-6)
+        return fresh
+
+    for _ in range(n_iter):
+        new = estep(probs(counts))
+        counts.clear()
+        counts.update(new)
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    keep = dict(singles)
+    for p, c in multis:
+        if len(keep) >= max(vocab_size, len(singles)):
+            break
+        keep[p] = c
+    final = estep(probs(keep))
+    final = {p: c for p, c in final.items() if p in keep}
+    tot = sum(final.values())
+    return sorted(
+        ((p, c / tot) for p, c in final.items()), key=lambda pc: (-pc[1], pc[0])
+    )
+
+
+def test_unigram_train_matches_reference_python(spark):
+    from riot_graphs_spark.operators.textstats import unigram_train
+
+    corpus = [
+        "the cat sat on the mat and the rat sat too",
+        "a cat and a rat ate the mat",
+        "that hat is the best hat that the cat has",
+        "rats and cats and bats and mats",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = unigram_train(
+        docs, vocab_size=20, n_iter=2, max_piece_len=3, seed_candidates=60
+    )
+    want = _ref_unigram_train(
+        corpus, vocab_size=20, n_iter=2, max_piece_len=3, seed_cands=60
+    )
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gpr), (wp, wpr) in zip(got, want):
+        assert abs(gpr - wpr) < 1e-9, (gp, gpr, wpr)
+    # the model learned at least one real multi-char piece
+    assert any(len(p) > 1 for p, _ in got)
+
+
+def test_unigram_apply_round_trips_and_prefers_learned_pieces(spark):
+    from riot_graphs_spark.operators.textstats import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    corpus = [
+        "banana bandana banana bandana",
+        "banana banana bandana cabana",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    pieces = unigram_train(
+        docs, vocab_size=14, n_iter=3, max_piece_len=4, seed_candidates=60
+    )
+    out = unigram_apply(docs, pieces).collect()
+    by_id = {r.doc_id: r.unigram_tokens for r in out}
+    # round-trip: concatenating a doc's pieces reproduces its words
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    for i, text in enumerate(corpus):
+        assert "".join(by_id[i]) == "".join(token_re.findall(text))
+    # a word with an UNSEEN character still segments (coverage fallback)
+    weird = spark.createDataFrame([(9, "banana zzz")], "doc_id long, text string")
+    w = unigram_apply(weird, pieces).collect()[0].unigram_tokens
+    assert "".join(w) == "bananazzz"
+    # segmentation is not all-singletons: some learned piece is used
+    assert any(len(t) > 1 for t in by_id[0])
+
+
+def test_unigram_train_rejects_bad_params(spark):
+    import pytest
+
+    from riot_graphs_spark.operators.textstats import unigram_train
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        unigram_train(docs, vocab_size=0)
+    with pytest.raises(ValueError):
+        unigram_train(docs, n_iter=0)
