@@ -23558,6 +23558,801 @@ def quality_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_group_vs_rest(scored, "quality_score", "source")
 
 
+# --------------------------------------------------------------------------
+# Round 11: association/ANOVA/trend/HAC statistics layer extensions
+# --------------------------------------------------------------------------
+@_q(
+    "gk_lambda_lang_source",
+    """
+    WITH j AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS a,
+             coalesce(source, chr(0) || 'null') AS b,
+             count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ma FROM j GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS mb FROM j GROUP BY 1),
+    bestb AS (SELECT b, max(o) AS mo FROM j GROUP BY 1),
+    besta AS (SELECT a, max(o) AS mo FROM j GROUP BY 1),
+    s AS (
+      SELECT (SELECT sum(o) FROM j) AS n,
+             (SELECT max(ma) FROM ra) AS moda,
+             (SELECT max(mb) FROM cb) AS modb,
+             (SELECT sum(mo) FROM bestb) AS sb,
+             (SELECT sum(mo) FROM besta) AS sa
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(sb - moda AS DOUBLE)
+                 / nullif(CAST(n - moda AS DOUBLE), 0), 9)
+             AS lambda_lang_given_source,
+           round(CAST(sa - modb AS DOUBLE)
+                 / nullif(CAST(n - modb AS DOUBLE), 0), 9)
+             AS lambda_source_given_lang
+    FROM s
+    """,
+)
+def gk_lambda_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda both ways for lang × source — the
+    proportional-reduction-in-error association measure beside chi²/V
+    (assoc_lang_source) and MI (mi_lang_source): "knowing the source, how
+    much better do we guess the language than always guessing the modal
+    one?".  PURE INTEGER arithmetic until the final two divisions (modal
+    cell counts add and max — no quantization needed anywhere), over the
+    broadcast-sized contingency table; the joint count groupBy is the one
+    corpus-sized shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.coalesce(F.col("lang"), F.lit("\x00null"))
+    b = F.coalesce(F.col("source"), F.lit("\x00null"))
+    joint = (
+        docs.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    s = (
+        joint.agg(F.sum("_o").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                joint.groupBy("_a").agg(F.sum("_o").alias("m"))
+                .agg(F.max("m").alias("moda"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                joint.groupBy("_b").agg(F.sum("_o").alias("m"))
+                .agg(F.max("m").alias("modb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                joint.groupBy("_b").agg(F.max("_o").alias("m"))
+                .agg(F.sum("m").alias("sb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                joint.groupBy("_a").agg(F.max("_o").alias("m"))
+                .agg(F.sum("m").alias("sa"))
+            )
+        )
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                (F.col("sb") - F.col("moda")).cast("double"),
+                (F.col("n") - F.col("moda")).cast("double"),
+            ),
+            9,
+        ).alias("lambda_lang_given_source"),
+        F.round(
+            F.try_divide(
+                (F.col("sa") - F.col("modb")).cast("double"),
+                (F.col("n") - F.col("modb")).cast("double"),
+            ),
+            9,
+        ).alias("lambda_source_given_lang"),
+    )
+
+
+@_q(
+    "theils_u_lang_source",
+    """
+    WITH j AS (
+      SELECT coalesce(lang, chr(0) || 'null') AS a,
+             coalesce(source, chr(0) || 'null') AS b,
+             count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ma FROM j GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS mb FROM j GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM j),
+    ha AS (
+      SELECT CAST(sum(CAST(-(CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM ra CROSS JOIN tot
+    ),
+    hb AS (
+      SELECT CAST(sum(CAST(-(CAST(mb AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(mb AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM cb CROSS JOIN tot
+    ),
+    mi AS (
+      SELECT CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+                       / (CAST(ma AS DOUBLE) * CAST(mb AS DOUBLE)))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS mi,
+             first(n) AS n
+      FROM j JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(mi / nullif(ha.h, 0), 9) AS u_lang_given_source,
+           round(mi / nullif(hb.h, 0), 9) AS u_source_given_lang
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def theils_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient both ways for lang × source — the
+    DIRECTIONAL normalization of mutual information (mi_lang_source's nmi
+    is symmetric): U(lang|source) = MI/H(lang) answers "what fraction of
+    language uncertainty does knowing the source remove", the asymmetric
+    question a crawl-mix audit actually asks.  Same plan class as
+    mi_lang_source: one joint-count groupBy, marginals on the broadcast
+    contingency table, every entropy term ln'd per cell in double and
+    12-dp-quantized before its cross-cell sum."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.coalesce(F.col("lang"), F.lit("\x00null"))
+    b = F.coalesce(F.col("source"), F.lit("\x00null"))
+    joint = (
+        docs.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ra = joint.groupBy("_a").agg(F.sum("_o").alias("_ma"))
+    cb = joint.groupBy("_b").agg(F.sum("_o").alias("_mb"))
+    tot = joint.agg(F.sum("_o").alias("_n"))
+    d12 = "decimal(28,12)"
+
+    def _h(marg, m):
+        p = F.col(m).cast("double") / F.col("_n").cast("double")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select((-p * F.log(p)).cast(d12).alias("_t"))
+            .agg(F.sum("_t").cast("double").alias("h"))
+        )
+
+    mi_term = (
+        F.col("_o").cast("double") / F.col("_n").cast("double")
+    ) * F.log(
+        F.col("_n").cast("double")
+        * F.col("_o").cast("double")
+        / (F.col("_ma").cast("double") * F.col("_mb").cast("double"))
+    )
+    mi = (
+        joint.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_term.cast(d12).alias("_t"), "_n")
+        .groupBy()
+        .agg(
+            F.sum("_t").cast("double").alias("mi"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    ha = _h(ra, "_ma").withColumnRenamed("h", "ha")
+    hb = _h(cb, "_mb").withColumnRenamed("h", "hb")
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            F.round(
+                F.col("mi") / F.nullif(F.col("ha"), F.lit(0.0)), 9
+            ).alias("u_lang_given_source"),
+            F.round(
+                F.col("mi") / F.nullif(F.col("hb"), F.lit(0.0)), 9
+            ).alias("u_source_given_lang"),
+        )
+    )
+
+
+@_q(
+    "welch_anova_value_event",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * value, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS q
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 2
+    ),
+    m AS (
+      SELECT event_type, n, s / n AS mean,
+             (q - n * (s / n) * (s / n)) / (n - 1.0) AS var
+      FROM g
+    ),
+    w AS (
+      SELECT event_type, n, mean, var, n / var AS w FROM m WHERE var > 0
+    ),
+    t AS (
+      SELECT CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(w * mean AS DECIMAL(28,12))) AS DOUBLE) AS swm,
+             count(*) AS k, CAST(sum(n) AS BIGINT) AS n_rows
+      FROM w
+    ),
+    parts AS (
+      SELECT t.k, t.n_rows, t.sw,
+             CAST(sum(CAST(w.w * (w.mean - t.swm / t.sw)
+                           * (w.mean - t.swm / t.sw)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS numsum,
+             CAST(sum(CAST((1.0 - w.w / t.sw) * (1.0 - w.w / t.sw)
+                           / (w.n - 1.0)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS lam
+      FROM w CROSS JOIN t GROUP BY 1, 2, 3
+    )
+    SELECT k::BIGINT AS k, n_rows,
+           round(numsum / (k - 1.0)
+                 / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam), 9)
+             AS welch_f,
+           round((k * k - 1.0) / (3.0 * lam), 9) AS df2
+    FROM parts
+    """,
+)
+def welch_anova_value_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA of event value across event
+    types — the unequal-variance k-group omnibus beside the classic
+    equal-variance F (anova_value_weekday) and its rank twin
+    (kruskal-class tests): weights n_j/s_j² instead of a pooled MSE, so
+    one high-variance event type cannot fake or mask a mean difference.
+    One partial-aggregable decimal-moment scan to the 5-row group axis;
+    every cross-group reduction 12-dp-quantized."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d9, d12 = "decimal(28,9)", "decimal(28,12)"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 9).cast(d9))
+        .cast("double")
+        .alias("q"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    mean = F.col("s") / nd
+    var = (F.col("q") - nd * mean * mean) / (nd - F.lit(1.0))
+    w = g.select(
+        "event_type", "n", mean.alias("mean"), var.alias("var")
+    ).filter(F.col("var") > 0).withColumn(
+        "w", F.col("n").cast("double") / F.col("var")
+    )
+    t = w.agg(
+        F.sum(F.col("w").cast(d12)).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("mean")).cast(d12))
+        .cast("double")
+        .alias("swm"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    joined = w.crossJoin(F.broadcast(t))
+    grand = F.col("swm") / F.col("sw")
+    parts = joined.groupBy("k", "n_rows", "sw").agg(
+        F.sum(
+            (F.col("w") * (F.col("mean") - grand) * (F.col("mean") - grand))
+            .cast(d12)
+        )
+        .cast("double")
+        .alias("numsum"),
+        F.sum(
+            (
+                (F.lit(1.0) - F.col("w") / F.col("sw"))
+                * (F.lit(1.0) - F.col("w") / F.col("sw"))
+                / (F.col("n").cast("double") - F.lit(1.0))
+            ).cast(d12)
+        )
+        .cast("double")
+        .alias("lam"),
+    )
+    kd = F.col("k").cast("double")
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        "n_rows",
+        F.round(
+            F.col("numsum")
+            / (kd - F.lit(1.0))
+            / (
+                F.lit(1.0)
+                + F.lit(2.0) * (kd - F.lit(2.0)) / (kd * kd - F.lit(1.0))
+                * F.col("lam")
+            ),
+            9,
+        ).alias("welch_f"),
+        F.round((kd * kd - F.lit(1.0)) / (F.lit(3.0) * F.col("lam")), 9).alias(
+            "df2"
+        ),
+    )
+
+
+@_q(
+    "odds_ratio_weekend_purchase",
+    """
+    WITH c AS (
+      SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wknd,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit,
+             count(*) AS o
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN wknd = 1 AND hit = 1 THEN o END) AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN wknd = 1 AND hit = 0 THEN o END) AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN wknd = 0 AND hit = 1 THEN o END) AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN wknd = 0 AND hit = 0 THEN o END) AS DOUBLE) AS d
+      FROM c
+    )
+    SELECT a::BIGINT AS n11, b::BIGINT AS n10, c::BIGINT AS n01,
+           d::BIGINT AS n00,
+           round(a * d / nullif(b * c, 0), 9) AS odds_ratio,
+           round(ln(a * d / nullif(b * c, 0)), 9) AS log_or,
+           round(sqrt(1/a + 1/b + 1/c + 1/d), 9) AS se_log_or,
+           round(exp(ln(a * d / nullif(b * c, 0))
+                     - 1.959963985 * sqrt(1/a + 1/b + 1/c + 1/d)), 9)
+             AS ci_lo,
+           round(exp(ln(a * d / nullif(b * c, 0))
+                     + 1.959963985 * sqrt(1/a + 1/b + 1/c + 1/d)), 9)
+             AS ci_hi
+    FROM s
+    """,
+)
+def odds_ratio_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio of purchasing on weekends vs weekdays with the Woolf
+    log-OR standard error and 95% CI — the case-control-style effect
+    readout beside the cohort-style hazard/risk ratios already on file
+    (hazard_ratio_churn_parity, ab_ratio_value_per_event).  One 4-cell
+    integer-count reduce; all arithmetic after it is scalar double on one
+    row."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wknd = (F.weekday("ts") >= 5).cast("int")
+    hit = (F.col("event_type") == "purchase").cast("int")
+    s = ev.agg(
+        F.sum(wknd * hit).cast("double").alias("a"),
+        F.sum(wknd * (1 - hit)).cast("double").alias("b"),
+        F.sum((1 - wknd) * hit).cast("double").alias("c"),
+        F.sum((1 - wknd) * (1 - hit)).cast("double").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orr = a * d / F.nullif(b * c, F.lit(0.0))
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    z = F.lit(1.959963985)
+    return s.select(
+        a.cast("long").alias("n11"),
+        b.cast("long").alias("n10"),
+        c.cast("long").alias("n01"),
+        d.cast("long").alias("n00"),
+        F.round(orr, 9).alias("odds_ratio"),
+        F.round(F.log(orr), 9).alias("log_or"),
+        F.round(se, 9).alias("se_log_or"),
+        F.round(F.exp(F.log(orr) - z * se), 9).alias("ci_lo"),
+        F.round(F.exp(F.log(orr) + z * se), 9).alias("ci_hi"),
+    )
+
+
+@_q(
+    "kuiper_value_uniform",
+    """
+    WITH c AS (
+      SELECT event_type, value AS v, count(*) AS n
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, v, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    g AS (
+      SELECT event_type, tot,
+             CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+               - greatest(0.0, least(1.0, v / 500.0)) AS dplus,
+             greatest(0.0, least(1.0, v / 500.0))
+               - CAST(cum - n AS DOUBLE) / CAST(tot AS DOUBLE) AS dminus
+      FROM w
+    )
+    SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+           round(max(dplus), 9) AS d_plus,
+           round(max(dminus), 9) AS d_minus,
+           round(max(dplus) + max(dminus), 9) AS kuiper_v
+    FROM g GROUP BY 1
+    """,
+)
+def kuiper_value_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper goodness-of-fit of event value vs uniform on [0, 500) per
+    event_type — KS's rotation-invariant sibling (V = D⁺ + D⁻): equally
+    sensitive in the tails and the middle where ks_uniform_fit's single
+    max-gap underweights the tails — the right variant for cyclic or
+    tail-heavy drift.  Same plan as ks_uniform_fit: one distinct-value
+    count groupBy, cum windows on the value axis, exact integer counts,
+    order-free maxes."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    fv = F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col("v") / 500.0))
+    g = (
+        c.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("tot", F.sum("n").over(w_tot))
+        .select(
+            "event_type",
+            "tot",
+            (F.col("cum").cast("double") / F.col("tot").cast("double") - fv)
+            .alias("dplus"),
+            (
+                fv
+                - (F.col("cum") - F.col("n")).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("dminus"),
+        )
+    )
+    return g.groupBy("event_type").agg(
+        F.max("tot").cast("long").alias("n"),
+        F.round(F.max("dplus"), 9).alias("d_plus"),
+        F.round(F.max("dminus"), 9).alias("d_minus"),
+        F.round(F.max("dplus") + F.max("dminus"), 9).alias("kuiper_v"),
+    )
+
+
+@_q(
+    "process_capability_value",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * value, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS q
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 2
+    ),
+    m AS (
+      SELECT event_type, n, s / n AS mu,
+             sqrt((q - n * (s / n) * (s / n)) / (n - 1.0)) AS sd
+      FROM g
+    )
+    SELECT event_type, n::BIGINT AS n, round(mu, 9) AS mean,
+           round(sd, 9) AS sd,
+           round(500.0 / (6.0 * sd), 9) AS cp,
+           round(least(500.0 - mu, mu - 0.0) / (3.0 * sd), 9) AS cpk
+    FROM m
+    """,
+)
+def process_capability_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cp / Cpk of event value against the
+    [0, 500) spec band per event_type — the SPC one-number ("how many
+    sigmas fit inside spec, and is the process centered?") beside the
+    control-chart-style monitors (ts_level_shift, ts_bollinger_daily).
+    One partial-aggregable decimal-moment scan; scalar arithmetic on the
+    5-row group axis."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d9 = "decimal(28,9)"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 9).cast(d9))
+        .cast("double")
+        .alias("q"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    mu = F.col("s") / nd
+    sd = F.sqrt((F.col("q") - nd * mu * mu) / (nd - F.lit(1.0)))
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 9).alias("mean"),
+        F.round(sd, 9).alias("sd"),
+        F.round(F.lit(500.0) / (F.lit(6.0) * sd), 9).alias("cp"),
+        F.round(
+            F.least(F.lit(500.0) - mu, mu - F.lit(0.0)) / (F.lit(3.0) * sd), 9
+        ).alias("cpk"),
+    )
+
+
+@_q(
+    "page_trend_weekday",
+    """
+    WITH cell AS (
+      SELECT event_type, isodow(ts) AS wd,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS m
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    full_blocks AS (
+      SELECT event_type FROM cell GROUP BY 1 HAVING count(*) = 7
+    ),
+    r AS (
+      SELECT c.event_type, c.wd,
+             rank() OVER (PARTITION BY c.event_type ORDER BY c.m)
+               + (count(*) OVER (PARTITION BY c.event_type, c.m) - 1) / 2.0
+               AS rk
+      FROM cell c JOIN full_blocks USING (event_type)
+    ),
+    l AS (
+      SELECT CAST(sum(CAST(wd * rk AS DECIMAL(28,6))) AS DOUBLE) AS l,
+             count(DISTINCT event_type) AS b
+      FROM r
+    )
+    SELECT b::BIGINT AS n_blocks, 7 AS k,
+           round(l, 9) AS page_l,
+           round((l - b * 7 * 64 / 4.0)
+                 / sqrt(b * 49.0 * 8.0 * 48.0 / 144.0), 9) AS z
+    FROM l
+    """,
+)
+def page_trend_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for a MONOTONE ordering of mean event value
+    across the week (treatments = ISO weekday 1..7, blocks = event
+    types) — the ordered-alternative version of Friedman
+    (friedman_event_types), crediting Monday<Tuesday<…<Sunday structure
+    the unordered omnibus wastes; the blocked companion of Jonckheere.
+    One corpus reduce to the 5×7 cell grid; midranks within each
+    complete block; L = Σ j·R_j with the closed-form normal
+    approximation."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cell = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("wd")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    full_blocks = (
+        cell.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") == 7)
+        .select("event_type")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("m")
+    w_tie = Window.partitionBy("event_type", "m")
+    r = cell.join(F.broadcast(full_blocks), "event_type").select(
+        "event_type",
+        "wd",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("rk"),
+    )
+    l = r.agg(
+        F.sum((F.col("wd") * F.col("rk")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("l"),
+        F.count_distinct("event_type").alias("b"),
+    )
+    bd = F.col("b").cast("double")
+    # k = 7: E[L] = b·k(k+1)²/4 = b·112; Var[L] = b·k²(k+1)(k²−1)/144
+    return l.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.lit(7).alias("k"),
+        F.round(F.col("l"), 9).alias("page_l"),
+        F.round(
+            (F.col("l") - bd * F.lit(7.0 * 64.0 / 4.0))
+            / F.sqrt(bd * F.lit(49.0 * 8.0 * 48.0 / 144.0)),
+            9,
+        ).alias("z"),
+    )
+
+
+@_q(
+    "newey_west_daily_mean",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS t,
+             CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS mu
+      FROM daily
+    ),
+    d AS (
+      SELECT day, x - s.mu AS dev FROM daily CROSS JOIN s
+    ),
+    led AS (
+      SELECT dev,
+             lead(dev, 1) OVER (ORDER BY day) AS d1,
+             lead(dev, 2) OVER (ORDER BY day) AS d2,
+             lead(dev, 3) OVER (ORDER BY day) AS d3,
+             lead(dev, 4) OVER (ORDER BY day) AS d4,
+             lead(dev, 5) OVER (ORDER BY day) AS d5
+      FROM d
+    ),
+    g AS (
+      SELECT
+        CAST(sum(CAST(round(dev * dev, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g0,
+        CAST(sum(CAST(round(dev * d1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g1,
+        CAST(sum(CAST(round(dev * d2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g2,
+        CAST(sum(CAST(round(dev * d3, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g3,
+        CAST(sum(CAST(round(dev * d4, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g4,
+        CAST(sum(CAST(round(dev * d5, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g5
+      FROM led
+    )
+    SELECT s.t::BIGINT AS n_days, round(s.mu, 9) AS daily_mean,
+           round(sqrt((g0 / s.t) / s.t), 9) AS se_iid,
+           round(sqrt(greatest(
+             (g0 + 2 * ((1 - 1/6.0) * coalesce(g1, 0)
+                        + (1 - 2/6.0) * coalesce(g2, 0)
+                        + (1 - 3/6.0) * coalesce(g3, 0)
+                        + (1 - 4/6.0) * coalesce(g4, 0)
+                        + (1 - 5/6.0) * coalesce(g5, 0))) / s.t, 0)
+             / s.t), 9) AS se_hac
+    FROM g CROSS JOIN s
+    """,
+)
+def newey_west_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, lag 5) standard error of the
+    mean daily event value beside the naive iid SE — autocorrelated
+    daily series make the iid SE overconfident by exactly the ratio this
+    query reads out; the honest error bar every "is this week's mean
+    up?" dashboard needs (companion to ts_ljung_box, which only detects
+    the autocorrelation).  One corpus reduce to the day axis; lag
+    products via lead windows on the bounded (~31-row) axis; 9-dp
+    quantization before each cross-day sum."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d9 = "decimal(28,9)"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("x")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("t"),
+        (
+            F.sum(F.round(F.col("x"), 9).cast(d9)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    d = daily.crossJoin(F.broadcast(s)).select(
+        "day", "t", "mu", (F.col("x") - F.col("mu")).alias("dev")
+    )
+    w = Window.orderBy("day")
+    led = d.select(
+        "t",
+        "mu",
+        "dev",
+        *[F.lead("dev", i).over(w).alias(f"d{i}") for i in range(1, 6)],
+    )
+    g = led.groupBy("t", "mu").agg(
+        F.sum(F.round(F.col("dev") * F.col("dev"), 9).cast(d9))
+        .cast("double")
+        .alias("g0"),
+        *[
+            F.sum(F.round(F.col("dev") * F.col(f"d{i}"), 9).cast(d9))
+            .cast("double")
+            .alias(f"g{i}")
+            for i in range(1, 6)
+        ],
+    )
+    td = F.col("t").cast("double")
+    hac = F.col("g0")
+    for i in range(1, 6):
+        hac = hac + F.lit(2.0 * (1.0 - i / 6.0)) * F.coalesce(
+            F.col(f"g{i}"), F.lit(0.0)
+        )
+    return g.select(
+        F.col("t").cast("long").alias("n_days"),
+        F.round(F.col("mu"), 9).alias("daily_mean"),
+        F.round(F.sqrt((F.col("g0") / td) / td), 9).alias("se_iid"),
+        F.round(
+            F.sqrt(F.greatest(hac / td, F.lit(0.0)) / td), 9
+        ).alias("se_hac"),
+    )
+
+
+def _qte_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min(CASE WHEN cum * 100 >= {p} * tot THEN v END) AS q{p}"
+        for p in range(10, 100, 10)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {p} AS pct, en.q{p} AS q_en, re.q{p} AS q_rest,"
+        f" en.q{p} - re.q{p} AS qte FROM en CROSS JOIN re"
+        for p in range(10, 100, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT (lang = 'en') AS f, n_chars AS v, count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT f, v, n,
+             sum(n) OVER (PARTITION BY f ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY f) AS tot
+      FROM c
+    ),
+    q AS (
+      SELECT f, {mins}
+      FROM w GROUP BY f
+    ),
+    en AS (SELECT * FROM q WHERE f),
+    re AS (SELECT * FROM q WHERE NOT f)
+    {rows}
+    """
+
+
+@_q("qte_doclen_deciles", _qte_oracle())
+def qte_doclen_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-wise quantile treatment effect of English vs non-English
+    document length — WHERE in the distribution the groups differ
+    (uniform shift? tail-only?), the distributional readout a single
+    mean effect (cohens_d_doclen) or one KS number flattens away.
+    Empirical lower quantiles via the integer threshold 100·cum ≥ p·tot
+    on the per-group distinct-length axis (no interpolation — engine-
+    identical by construction); one count groupBy, two 9-column group
+    rows, a 9-row output."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    c = docs.groupBy(
+        (F.col("lang") == "en").alias("f"), F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("f")
+    w = c.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    pcts = list(range(10, 100, 10))
+    q = w.groupBy("f").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("tot"), F.col("v")
+                )
+            ).alias(f"q{p}")
+            for p in pcts
+        ]
+    )
+    stack_expr = "stack({}, {}) as (pct, q)".format(
+        len(pcts), ", ".join(f"{p}, q{p}" for p in pcts)
+    )
+    long = q.select("f", F.expr(stack_expr))
+    return (
+        long.groupBy("pct")
+        .agg(
+            F.max(F.when(F.col("f"), F.col("q"))).alias("q_en"),
+            F.max(F.when(~F.col("f"), F.col("q"))).alias("q_rest"),
+        )
+        .select(
+            "pct",
+            "q_en",
+            "q_rest",
+            (F.col("q_en") - F.col("q_rest")).alias("qte"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
