@@ -24353,6 +24353,512 @@ def qte_doclen_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_kpss_level",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS t,
+             CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS mu
+      FROM daily
+    ),
+    d AS (
+      SELECT day, x - s.mu AS e,
+             sum(x - s.mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs
+      FROM daily CROSS JOIN s
+    ),
+    led AS (
+      SELECT e, cs,
+             lead(e, 1) OVER (ORDER BY day) AS e1,
+             lead(e, 2) OVER (ORDER BY day) AS e2,
+             lead(e, 3) OVER (ORDER BY day) AS e3,
+             lead(e, 4) OVER (ORDER BY day) AS e4,
+             lead(e, 5) OVER (ORDER BY day) AS e5
+      FROM d
+    ),
+    g AS (
+      SELECT
+        CAST(sum(CAST(round(cs * cs, 9) AS DECIMAL(28,9))) AS DOUBLE) AS ss,
+        CAST(sum(CAST(round(e * e, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g0,
+        CAST(sum(CAST(round(e * e1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g1,
+        CAST(sum(CAST(round(e * e2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g2,
+        CAST(sum(CAST(round(e * e3, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g3,
+        CAST(sum(CAST(round(e * e4, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g4,
+        CAST(sum(CAST(round(e * e5, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g5
+      FROM led
+    )
+    SELECT s.t::BIGINT AS n_days,
+           round((ss / (s.t * s.t))
+                 / nullif((g0 + 2 * ((1 - 1/6.0) * coalesce(g1, 0)
+                          + (1 - 2/6.0) * coalesce(g2, 0)
+                          + (1 - 3/6.0) * coalesce(g3, 0)
+                          + (1 - 4/6.0) * coalesce(g4, 0)
+                          + (1 - 5/6.0) * coalesce(g5, 0))) / s.t, 0), 9)
+             AS kpss_eta,
+           (ss / (s.t * s.t))
+             / nullif((g0 + 2 * ((1 - 1/6.0) * coalesce(g1, 0)
+                      + (1 - 2/6.0) * coalesce(g2, 0)
+                      + (1 - 3/6.0) * coalesce(g3, 0)
+                      + (1 - 4/6.0) * coalesce(g4, 0)
+                      + (1 - 5/6.0) * coalesce(g5, 0))) / s.t, 0) > 0.463
+             AS reject_level_stationary_5pct
+    FROM g CROSS JOIN s
+    """,
+)
+def ts_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the daily value series — the
+    COMPLEMENT of ts_dickey_fuller (null = stationary here vs null = unit
+    root there; agreeing verdicts from the opposed nulls is the standard
+    stationarity protocol).  η = T⁻²·ΣS_t² over the Bartlett long-run
+    variance (lag 5 — the same HAC kernel as newey_west_daily_mean);
+    0.463 is the 5% level-stationary critical value.  One corpus reduce
+    to the day axis; cumulative/lead windows on the bounded axis."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d9 = "decimal(28,9)"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("x")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("t"),
+        (
+            F.sum(F.round(F.col("x"), 9).cast(d9)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    w = Window.orderBy("day")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = daily.crossJoin(F.broadcast(s)).select(
+        "day", "t", (F.col("x") - F.col("mu")).alias("e")
+    )
+    led = d.select(
+        "t",
+        "e",
+        F.sum("e").over(w_cum).alias("cs"),
+        *[F.lead("e", i).over(w).alias(f"e{i}") for i in range(1, 6)],
+    )
+    g = led.groupBy("t").agg(
+        F.sum(F.round(F.col("cs") * F.col("cs"), 9).cast(d9))
+        .cast("double")
+        .alias("ss"),
+        F.sum(F.round(F.col("e") * F.col("e"), 9).cast(d9))
+        .cast("double")
+        .alias("g0"),
+        *[
+            F.sum(F.round(F.col("e") * F.col(f"e{i}"), 9).cast(d9))
+            .cast("double")
+            .alias(f"g{i}")
+            for i in range(1, 6)
+        ],
+    )
+    td = F.col("t").cast("double")
+    lrv = F.col("g0")
+    for i in range(1, 6):
+        lrv = lrv + F.lit(2.0 * (1.0 - i / 6.0)) * F.coalesce(
+            F.col(f"g{i}"), F.lit(0.0)
+        )
+    eta = (F.col("ss") / (td * td)) / F.nullif(lrv / td, F.lit(0.0))
+    return g.select(
+        F.col("t").cast("long").alias("n_days"),
+        F.round(eta, 9).alias("kpss_eta"),
+        (eta > F.lit(0.463)).alias("reject_level_stationary_5pct"),
+    )
+
+
+@_q(
+    "ts_streak_runs",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    med AS (SELECT round(quantile_cont(x, 0.5), 6) AS m FROM daily),
+    f AS (
+      SELECT day, (x > med.m) AS up,
+             row_number() OVER (ORDER BY day)
+               - row_number() OVER (PARTITION BY (x > med.m) ORDER BY day)
+               AS grp
+      FROM daily CROSS JOIN med WHERE x <> med.m
+    ),
+    runs AS (
+      SELECT up, grp, count(*) AS len FROM f GROUP BY 1, 2
+    )
+    SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+           (SELECT m FROM med) AS median,
+           count(*)::BIGINT AS n_runs,
+           CAST(max(CASE WHEN up THEN len END) AS BIGINT)
+             AS longest_above,
+           CAST(max(CASE WHEN NOT up THEN len END) AS BIGINT)
+             AS longest_below
+    FROM runs
+    """,
+)
+def ts_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest daily streaks above/below the series median plus the run
+    count — the streak-length readout behind ts_runs_test's z (the z says
+    "too few runs"; this says "because of THAT 9-day stretch").  Median
+    via the engine percentile rounded to 6 dp (the established
+    cross-engine cut); the gaps-and-islands grouping is the standard
+    double-row_number difference on the bounded day axis."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d9 = "decimal(28,9)"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("x")
+    )
+    med = daily.agg(
+        F.round(F.percentile("x", F.lit(0.5)), 6).alias("m"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    f = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("day", "n_days", "m", (F.col("x") > F.col("m")).alias("up"))
+    )
+    w_all = Window.orderBy("day")
+    w_up = Window.partitionBy("up").orderBy("day")
+    runs = (
+        f.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_up)
+        )
+        .groupBy("n_days", "m", "up", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("n_days", "m").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max(F.when(F.col("up"), F.col("len"))).cast("long").alias(
+            "longest_above"
+        ),
+        F.max(F.when(~F.col("up"), F.col("len"))).cast("long").alias(
+            "longest_below"
+        ),
+    ).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("m").alias("median"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        "longest_above",
+        "longest_below",
+    )
+
+
+@_q(
+    "ts_approx_entropy",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS t,
+             round(0.2 * sqrt((CAST(sum(CAST(round(x * x, 9)
+                      AS DECIMAL(28,9))) AS DOUBLE)
+                   - count(*) * pow(CAST(sum(CAST(round(x, 9)
+                      AS DECIMAL(28,9))) AS DOUBLE) / count(*), 2))
+                   / (count(*) - 1.0)), 9) AS r
+      FROM daily
+    ),
+    v AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, x,
+             lead(x, 1) OVER (ORDER BY day) AS x1,
+             lead(x, 2) OVER (ORDER BY day) AS x2
+      FROM daily
+    ),
+    c2 AS (
+      SELECT a.i,
+             count(*) AS c
+      FROM v a CROSS JOIN v b CROSS JOIN s
+      WHERE a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+        AND greatest(abs(a.x - b.x), abs(a.x1 - b.x1)) <= s.r
+      GROUP BY a.i
+    ),
+    c3 AS (
+      SELECT a.i, count(*) AS c
+      FROM v a CROSS JOIN v b CROSS JOIN s
+      WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+        AND greatest(abs(a.x - b.x), abs(a.x1 - b.x1),
+                     abs(a.x2 - b.x2)) <= s.r
+      GROUP BY a.i
+    ),
+    phi2 AS (
+      SELECT CAST(sum(CAST(ln(CAST(c AS DOUBLE) / (s.t - 1))
+                      AS DECIMAL(28,12))) AS DOUBLE) / (s.t - 1) AS p
+      FROM c2 CROSS JOIN s GROUP BY s.t
+    ),
+    phi3 AS (
+      SELECT CAST(sum(CAST(ln(CAST(c AS DOUBLE) / (s.t - 2))
+                      AS DECIMAL(28,12))) AS DOUBLE) / (s.t - 2) AS p
+      FROM c3 CROSS JOIN s GROUP BY s.t
+    )
+    SELECT s.t::BIGINT AS n_days, s.r AS tolerance_r,
+           round(phi2.p - phi3.p, 9) AS apen
+    FROM s CROSS JOIN phi2 CROSS JOIN phi3
+    """,
+)
+def ts_approx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate entropy (m=2, r=0.2σ) of the daily value series — the
+    regularity/complexity one-number beside spectral entropy
+    (ts_spectral_entropy reads the FREQUENCY mix; ApEn reads PATTERN
+    repeatability, and is what flags a metronomic-but-nonsinusoidal
+    series).  The template self-comparison is a day-axis × day-axis
+    product — bounded (~31² pairs), never corpus-sized; counts are exact
+    integers and each ln term is 12-dp-quantized before its sum."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d9, d12 = "decimal(28,9)", "decimal(28,12)"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("x")
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    sx = F.sum(F.round(F.col("x"), 9).cast(d9)).cast("double")
+    sq = F.sum(F.round(F.col("x") * F.col("x"), 9).cast(d9)).cast("double")
+    s = daily.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.round(
+            F.lit(0.2)
+            * F.sqrt((sq - nd * F.pow(sx / nd, 2)) / (nd - F.lit(1.0))),
+            9,
+        ).alias("r"),
+    )
+    w = Window.orderBy("day")
+    v = daily.select(
+        F.row_number().over(w).alias("i"),
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).crossJoin(F.broadcast(s))
+    a = v.select("i", "x", "x1", "x2", "t", "r")
+    b = v.select(
+        F.col("x").alias("bx"),
+        F.col("x1").alias("bx1"),
+        F.col("x2").alias("bx2"),
+    )
+
+    def _phi(m: int):
+        if m == 2:
+            cond = (
+                F.col("x1").isNotNull()
+                & F.col("bx1").isNotNull()
+                & (
+                    F.greatest(
+                        F.abs(F.col("x") - F.col("bx")),
+                        F.abs(F.col("x1") - F.col("bx1")),
+                    )
+                    <= F.col("r")
+                )
+            )
+            denom = F.col("t").cast("double") - 1
+        else:
+            cond = (
+                F.col("x2").isNotNull()
+                & F.col("bx2").isNotNull()
+                & (
+                    F.greatest(
+                        F.abs(F.col("x") - F.col("bx")),
+                        F.abs(F.col("x1") - F.col("bx1")),
+                        F.abs(F.col("x2") - F.col("bx2")),
+                    )
+                    <= F.col("r")
+                )
+            )
+            denom = F.col("t").cast("double") - 2
+        c = (
+            a.crossJoin(b)
+            .filter(cond)
+            .groupBy("i", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return c.groupBy("t").agg(
+            (
+                F.sum(
+                    F.log(F.col("c").cast("double") / denom).cast(d12)
+                ).cast("double")
+                / denom
+            ).alias(f"p{m}")
+        )
+
+    p2, p3 = _phi(2), _phi(3)
+    return (
+        s.join(F.broadcast(p2), "t")
+        .join(F.broadcast(p3), "t")
+        .select(
+            F.col("t").cast("long").alias("n_days"),
+            F.col("r").alias("tolerance_r"),
+            F.round(F.col("p2") - F.col("p3"), 9).alias("apen"),
+        )
+    )
+
+
+@_q(
+    "ts_permutation_entropy",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    v AS (
+      SELECT x AS x0,
+             lead(x, 1) OVER (ORDER BY day) AS x1,
+             lead(x, 2) OVER (ORDER BY day) AS x2
+      FROM daily
+    ),
+    pat AS (
+      SELECT array_to_string(
+               list_transform(
+                 list_sort([{'v': x0, 'i': 0}, {'v': x1, 'i': 1},
+                            {'v': x2, 'i': 2}]),
+                 s -> s.i::VARCHAR), '') AS p
+      FROM v WHERE x2 IS NOT NULL
+    ),
+    cnt AS (SELECT p, count(*) AS n FROM pat GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    h AS (
+      SELECT CAST(sum(CAST(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                           * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS h,
+             first(t) AS t,
+             count(*) AS n_patterns
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(t AS BIGINT) AS n_windows,
+           n_patterns::BIGINT AS n_patterns,
+           round(h, 9) AS h_perm,
+           round(h / ln(6.0), 9) AS h_norm
+    FROM h
+    """,
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt-Pompe permutation entropy (order m=3) of the daily value
+    series — ordinal-pattern complexity: immune to monotone rescaling and
+    cheap enough to run per-series at fleet scale, the third complexity
+    axis beside spectral (frequency) and approximate (template) entropy.
+    Each window's pattern is the index order after a (value, index)
+    struct sort — ties break to temporal order identically in both
+    engines; pattern counts are integers; one ln per pattern (≤ 6
+    rows)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d9, d12 = "decimal(28,9)", "decimal(28,12)"
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 9).cast(d9)).cast("double").alias("x")
+    )
+    w = Window.orderBy("day")
+    v = daily.select(
+        F.col("x").alias("x0"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    pat = v.select(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.col(f"x{i}").alias("v"),
+                                F.lit(i).alias("i"),
+                            )
+                            for i in range(3)
+                        ]
+                    )
+                ),
+                lambda st: st["i"].cast("string"),
+            ),
+        ).alias("p")
+    )
+    cnt = pat.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    pr = F.col("n").cast("double") / F.col("t").cast("double")
+    h = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select((-pr * F.log(pr)).cast(d12).alias("_h"), "t")
+        .groupBy("t")
+        .agg(
+            F.sum("_h").cast("double").alias("h"),
+            F.count(F.lit(1)).alias("n_patterns"),
+        )
+    )
+    import math as _m
+
+    return h.select(
+        F.col("t").cast("long").alias("n_windows"),
+        F.col("n_patterns").cast("long").alias("n_patterns"),
+        F.round(F.col("h"), 9).alias("h_perm"),
+        F.round(F.col("h") / F.lit(_m.log(6.0)), 9).alias("h_norm"),
+    )
+
+
+@_q(
+    "ts_date_gaps_audit",
+    """
+    WITH present AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, count(*) AS n_present,
+             (date_diff('day', min(day), max(day)) + 1) AS n_expected
+      FROM present GROUP BY 1
+    ),
+    gaps AS (
+      SELECT event_type,
+             date_diff('day', day,
+                       lead(day) OVER (PARTITION BY event_type
+                                       ORDER BY day)) - 1 AS gap
+      FROM present
+    )
+    SELECT s.event_type, s.n_present::BIGINT AS n_present,
+           s.n_expected::BIGINT AS n_expected,
+           (s.n_expected - s.n_present)::BIGINT AS n_missing,
+           CAST(coalesce(max(g.gap), 0) AS BIGINT) AS max_gap_days
+    FROM span s LEFT JOIN gaps g USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def ts_date_gaps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit per event_type: present vs expected
+    days over the series' own span, and the largest consecutive hole —
+    the data-quality precondition every gap-filling/rollup consumer
+    (g3_gap_fill, rollup_incremental_weekly) should check first.  One
+    distinct-day reduce; the gap scan is a lead window on the bounded
+    per-type day axis."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    present = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    span = present.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("n_expected"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    gaps = present.select(
+        "event_type",
+        (F.datediff(F.lead("day").over(w), F.col("day")) - 1).alias("gap"),
+    )
+    return (
+        span.join(gaps, "event_type", "left")
+        .groupBy("event_type", "n_present", "n_expected")
+        .agg(
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+                "max_gap_days"
+            )
+        )
+        .select(
+            "event_type",
+            F.col("n_present").cast("long").alias("n_present"),
+            F.col("n_expected").cast("long").alias("n_expected"),
+            (F.col("n_expected") - F.col("n_present"))
+            .cast("long")
+            .alias("n_missing"),
+            "max_gap_days",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
