@@ -24859,6 +24859,418 @@ def ts_date_gaps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_char_entropy_by_lang",
+    """
+    WITH ch AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS c
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    cnt AS (SELECT lang, c, count(*) AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(n) AS t FROM cnt GROUP BY 1)
+    SELECT lang, CAST(t AS BIGINT) AS n_chars,
+           count(*)::BIGINT AS n_distinct_chars,
+           round(CAST(sum(CAST(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                     AS DECIMAL(28,12))) AS DOUBLE), 9) AS char_entropy
+    FROM cnt JOIN tot USING (lang)
+    GROUP BY lang, t
+    """,
+)
+def text_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per language over the
+    [a-z0-9] alphabet — the language-level fingerprint beside the
+    per-document compressibility proxy (text_compressibility): a
+    language whose corpus char entropy drifts between crawls has a
+    changed source mix or an encoding bug.  One char-explode count
+    groupBy (bounded 36-symbol axis per lang); ln terms 12-dp-quantized
+    before the per-lang sum."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    d12 = "decimal(28,12)"
+    ch = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]"), 0)
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("t"))
+    pr = F.col("n").cast("double") / F.col("t").cast("double")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .select("lang", "t", (-pr * F.log(pr)).cast(d12).alias("_h"))
+        .groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum("_h").cast("double").alias("h"),
+        )
+        .select(
+            "lang",
+            F.col("t").cast("long").alias("n_chars"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            F.round(F.col("h"), 9).alias("char_entropy"),
+        )
+    )
+
+
+@_q(
+    "ngram_novelty_bigram",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents WHERE source IS NOT NULL
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i + 1] AS b
+      FROM tok, (SELECT unnest(range(1, 10000)) AS i) ii
+      WHERE i <= len(ts) - 1
+    ),
+    df AS (SELECT b, count(DISTINCT doc_id) AS nd FROM bg GROUP BY 1),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_bigrams,
+             sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM bg JOIN df USING (b) GROUP BY 1, 2
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(n_unique) AS BIGINT) AS n_unique,
+           round(CAST(sum(n_unique) AS DOUBLE)
+                 / nullif(CAST(sum(n_bigrams) AS DOUBLE), 0), 9)
+             AS novelty_rate
+    FROM per_doc GROUP BY 1
+    """,
+)
+def ngram_novelty_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram novelty: the share of (doc, distinct-bigram)
+    occurrences whose bigram appears in NO other document — the
+    cross-document originality readout between exact dedup (identical
+    docs) and the boilerplate trigram profile (shared phrases): a source
+    whose novelty collapses is templating.  Plan: distinct per-doc
+    bigrams (row-local explode + distinct), one bigram-keyed
+    document-frequency groupBy, a semi-join back — all shuffles on the
+    bigram axis, integer counts throughout."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    bg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(F.size(toks) >= 2,
+                    F.transform(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        lambda t, i: F.concat_ws(
+                            " ", t, F.element_at(toks, i + 2)
+                        ),
+                    )
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    df = bg.groupBy("b").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        bg.join(df, "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("nd") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("n_unique").cast("long").alias("n_unique"),
+        F.round(
+            F.try_divide(
+                F.sum("n_unique").cast("double"),
+                F.sum("n_bigrams").cast("double"),
+            ),
+            9,
+        ).alias("novelty_rate"),
+    )
+
+
+@_q(
+    "word_len_profile_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, length(unnest(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+'))) AS l
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    c AS (SELECT lang, l, count(*) AS n FROM w GROUP BY 1, 2),
+    cw AS (
+      SELECT lang, l, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY l
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot
+      FROM c
+    )
+    SELECT lang, CAST(max(tot) AS BIGINT) AS n_words,
+           round(CAST(sum(CAST(l * n AS DECIMAL(28,0))) AS DOUBLE)
+                 / max(tot), 9) AS mean_len,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN l END) AS BIGINT) AS p50_len,
+           CAST(min(CASE WHEN cum * 10 >= 9 * tot THEN l END) AS BIGINT)
+             AS p90_len,
+           CAST(max(l) AS BIGINT) AS max_len
+    FROM cw GROUP BY lang
+    """,
+)
+def word_len_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution per language (mean, median, p90, max) —
+    the morphology fingerprint that separates agglutinative from analytic
+    languages and catches tokenizer-breaking garbage (a lang whose p90
+    word length doubles grew URLs or concatenation noise).  One
+    length-count groupBy to the bounded (lang × distinct-length) axis;
+    integer-threshold percentiles, exact integer length sums."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    w = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    ).select("lang", F.length("tok").alias("l"))
+    c = w.groupBy("lang", "l").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cw = c.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    return cw.groupBy("lang").agg(
+        F.max("tot").cast("long").alias("n_words"),
+        F.round(
+            F.sum((F.col("l") * F.col("n")).cast("decimal(28,0)"))
+            .cast("double")
+            / F.max("tot"),
+            9,
+        ).alias("mean_len"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("l")))
+        .cast("long")
+        .alias("p50_len"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("tot"), F.col("l")))
+        .cast("long")
+        .alias("p90_len"),
+        F.max("l").cast("long").alias("max_len"),
+    )
+
+
+@_q(
+    "text_oov_rate_by_source",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents WHERE source IS NOT NULL
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+        FROM tok GROUP BY w
+      ) WHERE rn <= 1000
+    )
+    SELECT source, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY source
+    """,
+)
+def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus' own top-1000
+    vocabulary (count desc, token asc — a deterministic cut): the
+    domain-shift readout a tokenizer/embedding budget planner needs
+    (sources full of tokens the shared vocab misses cost long
+    tokenizations and unknown embeddings).  One token-count groupBy
+    builds the vocab (broadcast back); one left join marks OOV; integer
+    counts to one ratio."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    w_rn = Window.orderBy(F.desc("n"), F.asc("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= 1000)
+        .select("w", F.lit(True).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("_in").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 9
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@_q(
+    "text_sentence_stats",
+    """
+    WITH d AS (
+      SELECT lang,
+             list_filter(list_transform(regexp_split_to_array(text,
+                                                              '[.!?]+'),
+                                        s -> trim(s)),
+                         s -> s <> '') AS sents
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    per AS (
+      SELECT lang, len(sents) AS ns,
+             CAST(list_sum(list_transform(sents, s -> length(s)))
+                  AS BIGINT) AS chars
+      FROM d
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(ns) AS BIGINT) AS n_sentences,
+           round(CAST(sum(ns) AS DOUBLE) / count(*), 9)
+             AS sentences_per_doc,
+           round(CAST(sum(chars) AS DOUBLE) / nullif(sum(ns), 0), 9)
+             AS chars_per_sentence
+    FROM per GROUP BY lang
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per language ([.!?]+ boundaries):
+    sentences per document and characters per sentence — the
+    document-structure axis the word/char profiles miss (run-on spam has
+    few giant sentences; listicles have many tiny ones).  Entirely
+    row-local splits; one integer-sum groupBy on the lang axis."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    per = docs.select(
+        "lang",
+        F.size(sents).alias("ns"),
+        F.coalesce(
+            F.aggregate(
+                sents,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ns").cast("long").alias("n_sentences"),
+        F.round(
+            F.sum("ns").cast("double") / F.count(F.lit(1)), 9
+        ).alias("sentences_per_doc"),
+        F.round(
+            F.try_divide(
+                F.sum("chars").cast("double"), F.sum("ns").cast("double")
+            ),
+            9,
+        ).alias("chars_per_sentence"),
+    )
+
+
+@_q(
+    "text_readability_fk",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             greatest(1, len(list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              s -> trim(s)),
+               s -> s <> ''))) AS ns,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    syl AS (
+      SELECT doc_id, lang, ns,
+             greatest(1, len(regexp_extract_all(unnest(toks),
+                                                '[aeiouy]+'))) AS sy
+      FROM d
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(lang) AS lang, any_value(ns) AS ns,
+             count(*) AS nw, CAST(sum(sy) AS BIGINT) AS nsy
+      FROM syl GROUP BY doc_id
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(ns) AS BIGINT) AS n_sentences,
+           CAST(sum(nsy) AS BIGINT) AS n_syllables,
+           round(0.39 * (CAST(sum(nw) AS DOUBLE) / sum(ns))
+                 + 11.8 * (CAST(sum(nsy) AS DOUBLE) / sum(nw)) - 15.59, 9)
+             AS fk_grade
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per language — the readability axis of
+    the quality stack (text_quality_scores reads surface ratios; FK reads
+    words-per-sentence × syllables-per-word, the curriculum-filter signal
+    education-grade corpora select on).  Syllables via vowel-group counts
+    (min 1/word, both engines same regex); sentence counts floored at 1;
+    ALL-INTEGER sums to the lang axis, one double formula at the end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    per_doc = docs.select(
+        "lang",
+        F.greatest(F.lit(1), F.size(sents)).cast("long").alias("ns"),
+        F.size(toks).cast("long").alias("nw"),
+        F.coalesce(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.greatest(
+                    F.lit(1),
+                    F.size(
+                        F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)
+                    ),
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("nsy"),
+    ).filter(F.col("nw") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_sentences"),
+        F.sum("nsy").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(0.39)
+            * (F.sum("nw").cast("double") / F.sum("ns"))
+            + F.lit(11.8) * (F.sum("nsy").cast("double") / F.sum("nw"))
+            - F.lit(15.59),
+            9,
+        ).alias("fk_grade"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
