@@ -25271,6 +25271,204 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_hubness_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+      SELECT q.query_id, c.vec_id, {_DUCK_COSINE} AS score
+      FROM embeddings c, q WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    ), occ AS (
+      SELECT vec_id, count(*) AS n5
+      FROM ranked WHERE rank <= 5 GROUP BY vec_id
+    )
+    SELECT vec_id AS hub_id, n5::BIGINT AS n5, rk::INTEGER AS hub_rank
+    FROM (
+      SELECT vec_id, n5,
+             row_number() OVER (ORDER BY n5 DESC, vec_id ASC) AS rk
+      FROM occ
+    ) WHERE rk <= 20
+    """,
+)
+def emb_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the 20 most frequent members of the 100 probe
+    queries' top-5 neighbor lists (k-occurrence N₅) — high-dimensional
+    hubs are the vectors that pollute EVERY ANN answer; a heavy hub tail
+    is the standard symptom of unnormalized or anisotropic embeddings
+    (the actionable companion to emb_isotropy).  One brute scoring pass
+    over (probes × corpus) — probe count fixed, so the scan is linear in
+    the corpus like ann_cosine_topk — then a neighbor-keyed integer
+    count."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
+    occ = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("n5"))
+    w = Window.orderBy(F.desc("n5"), F.asc("neighbor_id"))
+    return (
+        occ.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("neighbor_id").alias("hub_id"),
+            F.col("n5").cast("long").alias("n5"),
+            F.col("rk").cast("int").alias("hub_rank"),
+        )
+    )
+
+
+@_q(
+    "emb_cell_balance",
+    """
+    WITH c AS (
+      SELECT label, count(*) AS n FROM embeddings
+      WHERE label IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS tot, count(*) AS k, max(n) AS mx FROM c)
+    SELECT k::BIGINT AS n_cells, CAST(tot AS BIGINT) AS n_vectors,
+           CAST(mx AS BIGINT) AS max_cell,
+           round(CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / k), 9)
+             AS imbalance,
+           round(CAST(sum(CAST(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                     AS DECIMAL(28,12))) AS DOUBLE) / ln(CAST(k AS DOUBLE)), 9)
+             AS balance_entropy
+    FROM c CROSS JOIN t
+    GROUP BY k, tot, mx
+    """,
+)
+def emb_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing-cell balance: size imbalance (max cell / mean cell)
+    and normalized size entropy over the label cells — at 100 TB a hot
+    cell IS a hot partition: every probe routed there scans it, so this
+    one-row audit is the capacity-planning readout behind ann_ivf_topk /
+    ann_ivf_multiprobe (balanced cells ⇒ probes cost ~corpus/k each).
+    One cell-count groupBy; entropy terms 12-dp-quantized on the k-row
+    axis."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    d12 = "decimal(28,12)"
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("mx"),
+    )
+    pr = F.col("n").cast("double") / F.col("tot").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("k", "tot", "mx", (-pr * F.log(pr)).cast(d12).alias("_h"))
+        .groupBy("k", "tot", "mx")
+        .agg(F.sum("_h").cast("double").alias("h"))
+        .select(
+            F.col("k").cast("long").alias("n_cells"),
+            F.col("tot").cast("long").alias("n_vectors"),
+            F.col("mx").cast("long").alias("max_cell"),
+            F.round(
+                F.col("mx").cast("double")
+                / (F.col("tot").cast("double") / F.col("k")),
+                9,
+            ).alias("imbalance"),
+            F.round(
+                F.col("h") / F.log(F.col("k").cast("double")), 9
+            ).alias("balance_entropy"),
+        )
+    )
+
+
+@_q(
+    "emb_nn_margin",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+    pairs AS (
+      SELECT q.query_id, c.vec_id, {_DUCK_COSINE} AS score
+      FROM embeddings c, q WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id,
+           max(CASE WHEN rank = 1 THEN vec_id END) AS nn1_id,
+           max(CASE WHEN rank = 1 THEN score END) AS sim1,
+           max(CASE WHEN rank = 2 THEN score END) AS sim2,
+           round(max(CASE WHEN rank = 1 THEN score END)
+                 - max(CASE WHEN rank = 2 THEN score END), 9) AS margin
+    FROM ranked WHERE rank <= 2 GROUP BY query_id
+    """,
+)
+def emb_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor confidence margin per probe query: top-1 minus
+    top-2 cosine — the per-query ambiguity readout (margin ≈ 0 means the
+    ANN answer is a coin flip and quantization/probe errors will flip it;
+    exactly the queries ann_quantized_rescore and multi-probe exist for).
+    Brute top-2 over (probes × corpus) with the deterministic
+    (score desc, id asc) rank; a 2-row pivot per query."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top2 = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=2)
+    return top2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+            "nn1_id"
+        ),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("sim1"),
+        F.max(F.when(F.col("rank") == 2, F.col("score"))).alias("sim2"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("score")))
+            - F.max(F.when(F.col("rank") == 2, F.col("score"))),
+            9,
+        ).alias("margin"),
+    )
+
+
+@_q(
+    "emb_exact_dup_vectors",
+    """
+    WITH g AS (
+      SELECT embedding, count(*) AS sz, min(vec_id) AS rep
+      FROM embeddings GROUP BY embedding
+    )
+    SELECT count(*)::BIGINT AS n_distinct,
+           CAST(sum(sz) AS BIGINT) AS n_vectors,
+           sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+           CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_dup_vectors,
+           CAST(max(sz) AS BIGINT) AS largest_group
+    FROM g
+    """,
+)
+def emb_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-identical embedding collapse audit: group the corpus BY THE
+    VECTOR ITSELF and count duplicate groups — identical embeddings for
+    different items mean an encoder bug, a default-vector fallback, or
+    upstream content dup that exact text dedup missed; any of them
+    silently corrupts ANN ground truth and centroid stats.  One groupBy
+    on the array column (exact binary float equality — no tolerance, no
+    formatting); integer summary row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("vec_id").alias("rep")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.sum((F.col("sz") > 1).cast("long")).cast("long").alias(
+            "n_dup_groups"
+        ),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_vectors"),
+        F.max("sz").cast("long").alias("largest_group"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
