@@ -25469,6 +25469,610 @@ def emb_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "attribution_position_based",
+    """
+    WITH conv AS (
+      SELECT user_id, min(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type AS ty, e.ts, e.event_id
+      FROM events e JOIN conv USING (user_id)
+      WHERE e.event_type IN ('view', 'click') AND e.ts < conv.cts
+        AND epoch_us(conv.cts::TIMESTAMP) // 1000000
+            - epoch_us(e.ts::TIMESTAMP) // 1000000 <= 604800
+    ),
+    pos AS (
+      SELECT user_id, ty,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS nt
+      FROM touch
+    ),
+    wtd AS (
+      SELECT user_id, ty,
+             CASE WHEN nt = 1 THEN 1.0
+                  WHEN nt = 2 THEN 0.5
+                  WHEN rn = 1 OR rn = nt THEN 0.4
+                  ELSE round(0.2 / (nt - 2), 9) END AS w
+      FROM pos
+    )
+    SELECT ty AS event_type,
+           count(DISTINCT user_id)::BIGINT AS conversions,
+           count(*)::BIGINT AS touches,
+           round(sum(CAST(w AS DECIMAL(28,9)))::DOUBLE, 9) AS credit
+    FROM wtd GROUP BY 1
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution over
+    the same conversion window as attribution_time_decay: first and last
+    touch get 40% each, the middle splits 20% — the model that credits
+    discovery AND closing, completing the attribution family
+    (last-touch / time-decay / position).  One purchase-anchor reduce,
+    one user-keyed position window, integer-derived 9-dp weights summed
+    in decimal."""
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cts"))
+            & (
+                F.unix_timestamp("cts") - F.unix_timestamp("ts")
+                <= F.lit(604800)
+            )
+        )
+        .select("user_id", F.col("event_type").alias("ty"), "ts", "event_id")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    pos = touch.select(
+        "user_id",
+        "ty",
+        F.row_number().over(w_pos).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("nt"),
+    )
+    w = (
+        F.when(F.col("nt") == 1, F.lit(1.0))
+        .when(F.col("nt") == 2, F.lit(0.5))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("nt")), F.lit(0.4)
+        )
+        .otherwise(F.round(F.lit(0.2) / (F.col("nt") - 2), 9))
+    )
+    return pos.select("user_id", "ty", w.alias("w")).groupBy("ty").agg(
+        F.count_distinct("user_id").cast("long").alias("conversions"),
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(28,9)")).cast("double"), 9
+        ).alias("credit"),
+    ).withColumnRenamed("ty", "event_type")
+
+
+@_q(
+    "cohort_stickiness_dau_mau",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('month', min(ts))::TIMESTAMP AS cohort
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    act AS (
+      SELECT f.cohort, date_trunc('month', e.ts)::TIMESTAMP AS month,
+             date_trunc('day', e.ts)::TIMESTAMP AS day, e.user_id
+      FROM events e JOIN first_seen f USING (user_id)
+    ),
+    dau AS (
+      SELECT cohort, month, day, count(DISTINCT user_id) AS dau
+      FROM act GROUP BY 1, 2, 3
+    ),
+    mau AS (
+      SELECT cohort, month, count(DISTINCT user_id) AS mau
+      FROM act GROUP BY 1, 2
+    )
+    SELECT d.cohort, d.month, max(m.mau)::BIGINT AS mau,
+           count(*)::BIGINT AS n_active_days,
+           round(CAST(sum(d.dau) AS DOUBLE) / count(*), 9) AS avg_dau,
+           round(CAST(sum(d.dau) AS DOUBLE) / count(*) / max(m.mau), 9)
+             AS stickiness
+    FROM dau d JOIN mau m ON d.cohort = m.cohort AND d.month = m.month
+    GROUP BY 1, 2
+    """,
+)
+def cohort_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per signup cohort per calendar month — the
+    engagement-quality readout beside retention_weekly's binary
+    comeback: of the users a cohort retains, how many of its active days
+    does each show up (avg daily actives / monthly actives)?  Exact
+    distinct counts (the sketch path is dau_wau_sketch_rollup); two
+    bounded groupBys over (cohort, month[, day])."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort")
+    )
+    act = ev.join(first_seen, "user_id").select(
+        "cohort",
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    dau = act.groupBy("cohort", "month", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = act.groupBy("cohort", "month").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, ["cohort", "month"])
+        .groupBy("cohort", "month")
+        .agg(
+            F.max("mau").cast("long").alias("mau"),
+            F.count(F.lit(1)).cast("long").alias("n_active_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)), 9
+            ).alias("avg_dau"),
+            F.round(
+                F.sum("dau").cast("double")
+                / F.count(F.lit(1))
+                / F.max("mau"),
+                9,
+            ).alias("stickiness"),
+        )
+    )
+
+
+@_q(
+    "session_depth_deciles",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts::TIMESTAMP) // 1000000
+                    - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                               ::TIMESTAMP) // 1000000 > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    depth AS (
+      SELECT user_id, sid, count(*) AS d FROM s GROUP BY 1, 2
+    ),
+    c AS (SELECT d, count(*) AS n FROM depth GROUP BY 1),
+    w AS (
+      SELECT d, n,
+             sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot
+      FROM c
+    ),
+    q AS (
+      SELECT p.pct,
+             min(CASE WHEN cum * 100 >= p.pct * tot THEN d END) AS depth
+      FROM w CROSS JOIN (SELECT unnest([10,20,30,40,50,60,70,80,90,100])
+                         AS pct) p
+      GROUP BY p.pct
+    )
+    SELECT pct::INTEGER AS pct, CAST(depth AS BIGINT) AS depth,
+           (SELECT CAST(sum(n) AS BIGINT) FROM c) AS n_sessions
+    FROM q
+    """,
+)
+def session_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution deciles (events per 30-min-gap session)
+    — the engagement-shape readout on top of o6_session_windows'
+    sessionization: a product whose p90 depth is 2 has a bounce problem
+    no mean hides.  User-keyed gap windows (never a global sort), one
+    depth-count reduce, integer-threshold deciles on the bounded
+    distinct-depth axis."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_u))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = g.select("user_id", F.sum("brk").over(w_cum).alias("sid"))
+    depth = s.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("d"))
+    c = depth.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    w_c = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_t = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wdf = c.withColumn("cum", F.sum("n").over(w_c)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy())
+    )
+    pcts = spark.range(1, 11).select(
+        (F.col("id") * 10).cast("int").alias("pct")
+    )
+    q = (
+        wdf.crossJoin(F.broadcast(pcts))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("pct") * F.col("tot"),
+                    F.col("d"),
+                )
+            )
+            .cast("long")
+            .alias("depth"),
+            F.max("tot").cast("long").alias("n_sessions"),
+        )
+    )
+    return q.select("pct", "depth", "n_sessions")
+
+
+@_q(
+    "purchase_interval_stats",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts::TIMESTAMP) // 1000000
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                          ::TIMESTAMP) // 1000000 AS gap
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    gaps AS (SELECT user_id, gap FROM p WHERE gap IS NOT NULL),
+    c AS (SELECT gap, count(*) AS n FROM gaps GROUP BY 1),
+    w AS (
+      SELECT gap, n,
+             sum(n) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot
+      FROM c
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM gaps)::BIGINT
+             AS n_repeat_buyers,
+           CAST(max(tot) AS BIGINT) AS n_intervals,
+           round(CAST((SELECT sum(CAST(gap AS DECIMAL(28,0))) FROM gaps)
+                      AS DOUBLE) / max(tot) / 3600.0, 9) AS mean_gap_hours,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN gap END) AS BIGINT)
+             AS p50_gap_sec,
+           CAST(min(CASE WHEN cum * 10 >= 9 * tot THEN gap END) AS BIGINT)
+             AS p90_gap_sec
+    FROM w
+    """,
+)
+def purchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of seconds between a
+    user's consecutive purchases (mean hours, median and p90 seconds) —
+    the replenishment-cycle readout behind customer_order_frequency's
+    counts, and the empirical prior a "winback after X days" campaign
+    needs.  User-keyed lag windows; exact integer second gaps; decimal
+    mean; integer-threshold percentiles on the distinct-gap axis."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w_u))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.agg(
+        F.count_distinct("user_id").alias("nu"),
+        F.sum(F.col("gap").cast("decimal(28,0)")).alias("sg"),
+    )
+    c = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("n"))
+    w_c = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = c.withColumn("cum", F.sum("n").over(w_c)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy())
+    )
+    agg = w.agg(
+        F.max("tot").cast("long").alias("n_intervals"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("gap")))
+        .cast("long")
+        .alias("p50_gap_sec"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("tot"), F.col("gap"))
+        )
+        .cast("long")
+        .alias("p90_gap_sec"),
+    )
+    return agg.crossJoin(F.broadcast(stats)).select(
+        F.col("nu").cast("long").alias("n_repeat_buyers"),
+        "n_intervals",
+        F.round(
+            F.col("sg").cast("double") / F.col("n_intervals") / 3600.0, 9
+        ).alias("mean_gap_hours"),
+        "p50_gap_sec",
+        "p90_gap_sec",
+    )
+
+
+@_q(
+    "orders_backlog_aging",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN age <= 30 THEN '00-030'
+                WHEN age <= 90 THEN '031-090'
+                WHEN age <= 180 THEN '091-180'
+                ELSE '180+' END AS age_band,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM (
+      SELECT o_orderstatus, o_totalprice,
+             date_diff('day', o_orderdate,
+                       TIMESTAMP '2024-06-01 00:00:00') AS age
+      FROM orders WHERE o_orderdate <= TIMESTAMP '2024-06-01 00:00:00'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog aging report at a fixed snapshot (2024-06-01):
+    order count and exact decimal value per (status, age band) — the
+    operational WIP readout behind q4's priority counts: how much value
+    sits HOW OLD in each state.  One scan, row-local banding, a
+    (3 status × 4 band) groupBy with exact decimal value sums."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= F.lit("2024-06-01 00:00:00")
+    )
+    age = F.datediff(F.lit("2024-06-01").cast("date"), F.col("o_orderdate"))
+    band = (
+        F.when(age <= 30, "00-030")
+        .when(age <= 90, "031-090")
+        .when(age <= 180, "091-180")
+        .otherwise("180+")
+    )
+    return o.groupBy("o_orderstatus", band.alias("age_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+@_q(
+    "nation_trade_balance",
+    """
+    WITH sup AS (
+      SELECT s.s_nationkey AS nk,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1
+    ),
+    cust AS (
+      SELECT c.c_nationkey AS nk,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(coalesce(sup.rev, 0) AS DOUBLE) AS supply_revenue,
+           CAST(coalesce(cust.spend, 0) AS DOUBLE) AS demand_spend,
+           CAST(coalesce(sup.rev, 0) - coalesce(cust.spend, 0) AS DOUBLE)
+             AS trade_balance
+    FROM nation n
+    LEFT JOIN sup ON n.n_nationkey = sup.nk
+    LEFT JOIN cust ON n.n_nationkey = cust.nk
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: supply-side revenue (lineitem through
+    its supplier's nation) vs demand-side spend (orders through the
+    customer's nation) — the two-sided rollup q7's bilateral volume
+    never totals.  Both fact scans aggregate BEFORE the tiny nation
+    dim joins (broadcast); money stays decimal until the output cast;
+    difference computed in decimal so the balance is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+            ).alias("rev")
+        )
+    )
+    spend = (
+        o.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            o.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        nation.join(rev, nation.n_nationkey == rev.nk, "left")
+        .drop("nk")
+        .join(spend, nation.n_nationkey == spend.nk, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("rev").cast("decimal(38,4)"), zero)
+            .cast("double")
+            .alias("supply_revenue"),
+            F.coalesce(F.col("spend").cast("decimal(38,4)"), zero)
+            .cast("double")
+            .alias("demand_spend"),
+            (
+                F.coalesce(F.col("rev").cast("decimal(38,4)"), zero)
+                - F.coalesce(F.col("spend").cast("decimal(38,4)"), zero)
+            )
+            .cast("double")
+            .alias("trade_balance"),
+        )
+    )
+
+
+@_q(
+    "order_value_band_mix_monthly",
+    """
+    WITH b AS (
+      SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+             CASE WHEN o_totalprice < 1000 THEN '0-1k'
+                  WHEN o_totalprice < 5000 THEN '1k-5k'
+                  WHEN o_totalprice < 20000 THEN '5k-20k'
+                  WHEN o_totalprice < 100000 THEN '20k-100k'
+                  ELSE '100k+' END AS band,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (SELECT month, sum(n) AS nm FROM b GROUP BY 1),
+    t AS (SELECT band, sum(n) AS nb FROM b GROUP BY 1),
+    tot AS (SELECT sum(n) AS n FROM b)
+    SELECT b.month, b.band, b.n::BIGINT AS n_orders,
+           round(CAST(b.n AS DOUBLE) / m.nm, 9) AS share_in_month,
+           round(CAST(t.nb AS DOUBLE) / tot.n, 9) AS share_overall,
+           round((CAST(b.n AS DOUBLE) / m.nm)
+                 / (CAST(t.nb AS DOUBLE) / tot.n), 9) AS mix_lift
+    FROM b JOIN m USING (month) JOIN t USING (band) CROSS JOIN tot
+    """,
+)
+def order_value_band_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-value-band mix shift: each (month, price band)'s
+    share against the band's all-time share, as a lift ratio — the
+    mix-shift monitor that separates "AOV fell" into "band shares moved"
+    vs "prices moved within bands".  One banded count groupBy; marginals
+    on the bounded (month × 5-band) table; integer counts to three
+    rounded ratios."""
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "0-1k")
+        .when(F.col("o_totalprice") < 5000, "1k-5k")
+        .when(F.col("o_totalprice") < 20000, "5k-20k")
+        .when(F.col("o_totalprice") < 100000, "20k-100k")
+        .otherwise("100k+")
+    )
+    b = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        band.alias("band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = b.groupBy("month").agg(F.sum("n").alias("nm"))
+    t = b.groupBy("band").agg(F.sum("n").alias("nb"))
+    tot = b.agg(F.sum("n").alias("ntot"))
+    sm = F.col("n").cast("double") / F.col("nm")
+    so = F.col("nb").cast("double") / F.col("ntot")
+    return (
+        b.join(F.broadcast(m), "month")
+        .join(F.broadcast(t), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "band",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(sm, 9).alias("share_in_month"),
+            F.round(so, 9).alias("share_overall"),
+            F.round(sm / so, 9).alias("mix_lift"),
+        )
+    )
+
+
+@_q(
+    "event_partition_skew",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT count(*) AS k, sum(n) AS tot, max(n) AS mx,
+             CAST(sum(CAST(n * n AS DECIMAL(28,0))) AS DOUBLE) AS sq
+      FROM c
+    ),
+    top1 AS (
+      SELECT day, event_type, n FROM c
+      ORDER BY n DESC, day ASC, event_type ASC LIMIT 1
+    )
+    SELECT s.k::BIGINT AS n_keys, CAST(s.tot AS BIGINT) AS n_rows,
+           CAST(s.mx AS BIGINT) AS max_key_rows,
+           round(CAST(s.mx AS DOUBLE) / (CAST(s.tot AS DOUBLE) / s.k), 9)
+             AS skew_ratio,
+           round(sqrt(greatest(s.sq / s.k
+                 - pow(CAST(s.tot AS DOUBLE) / s.k, 2), 0))
+                 / (CAST(s.tot AS DOUBLE) / s.k), 9) AS cv,
+           top1.day AS hottest_day, top1.event_type AS hottest_type
+    FROM s CROSS JOIN top1
+    """,
+)
+def event_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for the (day, event_type) partitioning every
+    time-bucketed aggregate in this engine shuffles on: max-key/mean-key
+    ratio, coefficient of variation, and the hottest key — the number
+    that says whether a salted variant (j_salted_skew) or AQE skew-join
+    is needed BEFORE a 100 TB run discovers it as a straggler.  One
+    key-count groupBy; population moments in exact integer squares."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("tot"),
+        F.max("n").alias("mx"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    top1 = c.orderBy(
+        F.desc("n"), F.asc("day"), F.asc("event_type")
+    ).limit(1).select(
+        F.col("day").alias("hottest_day"),
+        F.col("event_type").alias("hottest_type"),
+    )
+    kd = F.col("k").cast("double")
+    mean = F.col("tot").cast("double") / kd
+    return s.crossJoin(F.broadcast(top1)).select(
+        F.col("k").cast("long").alias("n_keys"),
+        F.col("tot").cast("long").alias("n_rows"),
+        F.col("mx").cast("long").alias("max_key_rows"),
+        F.round(F.col("mx").cast("double") / mean, 9).alias("skew_ratio"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("sq") / kd - F.pow(mean, F.lit(2.0)), F.lit(0.0)
+                )
+            )
+            / mean,
+            9,
+        ).alias("cv"),
+        "hottest_day",
+        "hottest_type",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered unverified-first so the driver's
     ~50-query CORRECTNESS window covers a fresh slice each round (see
