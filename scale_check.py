@@ -822,6 +822,12 @@ QUERY_CASES = [
     "dedup_cluster_purity", "part_affinity_lift",
     "anova_value_weekday", "dedup_lsh_band_stats", "discount_band_profile",
     "supplier_revenue_hhi", "quality_ks_by_source",
+    # round-11 >=1s registrations: bigram DF + semi-join; probe-scaled IVF
+    # passes over the shared brute side; fixed-probe brute scans; word-table
+    # EM passes; state-sized sketch merge; pre-aggregated dim joins
+    "ngram_novelty_bigram", "ann_recall_ivf", "emb_hubness_topk",
+    "ann_ivf_multiprobe", "unigram_train_pieces", "emb_nn_margin",
+    "nation_trade_balance", "rollup_quantile_sketch",
 ]
 
 

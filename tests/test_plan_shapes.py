@@ -1692,3 +1692,58 @@ def test_ann_ivf_multiprobe_centroid_route_stays_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_bigram_axis_shuffles_only(spark):
+    # r11: per-doc distinct bigrams are row-local explodes; the DF count
+    # and the doc re-aggregation shuffle on the bigram/doc axes — never a
+    # pair fan-out (no all-pairs join, no Python)
+    plan = formatted_plan(spark, "ngram_novelty_bigram")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_count", plan)
+
+
+def test_nation_trade_balance_aggregates_before_dim_joins(spark):
+    # r11: both fact scans reduce to the 25-row nation axis BEFORE any
+    # join; the supplier/customer dims broadcast into the facts
+    plan = formatted_plan(spark, "nation_trade_balance")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_attribution_position_windows_are_user_keyed(spark):
+    # r11: position/count windows partition by user_id — never a global
+    # single-partition sort of the touch stream
+    plan = formatted_plan(spark, "attribution_position_based")
+    assert re.search(r"Window.*user_id", plan, re.S)
+    assert "EvalPython" not in plan
+
+
+def test_emb_hubness_brute_side_stays_broadcast(spark):
+    # r11: the 100 probe queries broadcast onto the corpus scan (the
+    # linear-in-corpus brute pass); the k-occurrence count is one
+    # neighbor-keyed partial agg
+    plan = formatted_plan(spark, "emb_hubness_topk")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_count", plan)
+
+
+def test_welch_anova_single_moment_scan(spark):
+    # r11: one partial-aggregable decimal-moment scan to the 5-row group
+    # axis; everything after runs on broadcast scalars
+    plan = formatted_plan(spark, "welch_anova_value_event")
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_(sum|count)", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_event_partition_skew_one_reduce(spark):
+    # r11: one key-count groupBy; the summary and top-1 pick run on the
+    # bounded key axis
+    plan = formatted_plan(spark, "event_partition_skew")
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_count", plan)
