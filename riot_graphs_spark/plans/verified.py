@@ -312,9 +312,22 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #:
 #: Emptied for r11 alongside appending _ROUND_10: those 15 names now have
 #: no driver row and no defer mark, so the unverified-first rule puts them
-#: at the head of the r11 window automatically; round-11 registrations fill
-#: the remaining slots.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
+#: at the head of the r11 window automatically; 35 round-11 registrations
+#: fill the remaining slots exactly (15 + 35 = 50).
+#:
+#: r11: the 8 registrations below landed after the 50-slot window was
+#: exactly filled and defer to the r12 window head (each driver-replica
+#: green at sf0.01 AND sf0.001 this round).
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "sign_test_weekend_value",
+    "wilcoxon_signed_rank_weekend",
+    "purchase_rate_ratio_halves",
+    "durbin_watson_daily",
+    "dixon_q_daily_value",
+    "retention_triangle",
+    "quality_brier_decomposition",
+    "ols_influence_tokens_chars",
+])
 
 
 def rotation_order(
