@@ -828,6 +828,11 @@ QUERY_CASES = [
     "ngram_novelty_bigram", "ann_recall_ivf", "emb_hubness_topk",
     "ann_ivf_multiprobe", "unigram_train_pieces", "emb_nn_margin",
     "nation_trade_balance", "rollup_quantile_sketch",
+    # round-11 post-window >=1s: per-(user,side) decimal-mean reduce +
+    # pair join; distinct-|diff| axis ranks; binned Brier moments;
+    # day-axis OLS residual windows
+    "sign_test_weekend_value", "wilcoxon_signed_rank_weekend",
+    "quality_brier_decomposition", "durbin_watson_daily",
 ]
 
 
