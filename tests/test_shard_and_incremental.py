@@ -427,3 +427,59 @@ def test_quantile_sketch_compaction_keeps_state_bounded_and_accurate(spark):
         for p, tol in (("p50", 0.05), ("p95", 0.10), ("p99", 0.10)):
             dv, wv = getattr(d, p), getattr(w, p)
             assert abs(wv - dv) <= tol * max(abs(dv), 1.0), (key, p, wv, dv)
+
+
+def test_quantile_sketch_merge_is_source_partition_independent(spark):
+    """Building day states from two disjoint halves of the fact and
+    unioning the state tables must read EXACTLY like states built in one
+    pass (same days → same groups → identical GK inputs), and the read
+    must not depend on the state table's partition layout — the
+    properties that make the sketch table safely maintainable by
+    incremental (per-day) jobs."""
+    from riot_graphs_spark.operators.rollup import (
+        quantile_sketch_partials,
+        quantile_sketch_percentiles,
+    )
+
+    n = 50_000
+    ev = (
+        spark.range(n)
+        .withColumn("u", (F.col("id") + 0.5) / n)
+        .withColumn("value", -F.log(1.0 - F.col("u")))
+        .withColumn(
+            "ts",
+            F.to_timestamp(
+                F.date_add(F.lit("2024-01-01"), (F.col("id") % 28).cast("int"))
+            ),
+        )
+        .withColumn("grp", F.lit("g"))
+    )
+    whole = quantile_sketch_partials(
+        ev, dims=["grp"], ts="ts", value="value", grain="day", k=64
+    )
+    # split by id parity — both halves still contain every day, large n
+    part_a = quantile_sketch_partials(
+        ev.filter(F.col("id") % 2 == 0), dims=["grp"], grain="day", k=64
+    )
+    part_b = quantile_sketch_partials(
+        ev.filter(F.col("id") % 2 == 1), dims=["grp"], grain="day", k=64
+    )
+    merged = part_a.unionByName(part_b)
+
+    def read(partials, nparts):
+        return {
+            (r.bucket, r.grp): (r.n_rows, r.p50, r.p95, r.p99)
+            for r in quantile_sketch_percentiles(
+                partials.repartition(nparts), dims=["grp"], grain="week"
+            ).collect()
+        }
+
+    one = read(whole, 3)
+    assert read(whole, 7) == one  # layout-independent read
+    two = read(merged, 5)
+    assert set(two) == set(one) and len(one) > 0
+    for k in one:
+        # same total mass; values within the two-sketch rank tolerance
+        assert two[k][0] == one[k][0]
+        for a, b in zip(one[k][1:], two[k][1:]):
+            assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)

@@ -298,3 +298,26 @@ def test_unigram_train_rejects_bad_params(spark):
         unigram_train(docs, vocab_size=0)
     with pytest.raises(ValueError):
         unigram_train(docs, n_iter=0)
+
+
+def test_unigram_train_independent_of_partition_layout(spark):
+    """The hard-EM E-step runs as mapInPandas over the word table — the
+    learned vocabulary must not depend on how that table is partitioned
+    (counts are summed exactly; Viterbi is per-word)."""
+    from riot_graphs_spark.operators.textstats import unigram_train
+
+    corpus = [
+        "spark shuffles partitions and spark plans scans",
+        "plans and partitions shape shuffles",
+        "scans scan the shuffled partitions",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    a = unigram_train(
+        docs.repartition(1), vocab_size=18, n_iter=2, max_piece_len=3
+    )
+    b = unigram_train(
+        docs.repartition(7), vocab_size=18, n_iter=2, max_piece_len=3
+    )
+    assert a == b
