@@ -196,6 +196,27 @@ SHOWCASE = [
     "ab_cuped_value",
     "wasserstein_doclen_en_rest",
     "markov_entropy_rate",
+    # round-11 plan families: broadcast multi-probe routing, state-sized
+    # sketch merge/read, word-table EM, bigram-axis novelty, contingency
+    # lambda/U, moment-scan Welch/capability, day-axis HAC/KPSS/DW,
+    # probe-broadcast hubness, pre-aggregated trade balance, user-keyed
+    # attribution windows, key-skew audit
+    "ann_ivf_multiprobe",
+    "rollup_quantile_sketch",
+    "unigram_train_pieces",
+    "ngram_novelty_bigram",
+    "gk_lambda_lang_source",
+    "theils_u_lang_source",
+    "welch_anova_value_event",
+    "newey_west_daily_mean",
+    "ts_kpss_level",
+    "emb_hubness_topk",
+    "nation_trade_balance",
+    "attribution_position_based",
+    "event_partition_skew",
+    "qte_doclen_deciles",
+    "wilcoxon_signed_rank_weekend",
+    "quality_brier_decomposition",
 ]
 
 
