@@ -315,7 +315,7 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: at the head of the r11 window automatically; 35 round-11 registrations
 #: fill the remaining slots exactly (15 + 35 = 50).
 #:
-#: r11: the 8 registrations below landed after the 50-slot window was
+#: r11: the 11 registrations below landed after the 50-slot window was
 #: exactly filled and defer to the r12 window head (each driver-replica
 #: green at sf0.01 AND sf0.001 this round).
 DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
@@ -327,6 +327,9 @@ DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
     "retention_triangle",
     "quality_brier_decomposition",
     "ols_influence_tokens_chars",
+    "session_bounce_rate",
+    "mixture_kl_to_target",
+    "weekday_hour_profile",
 ])
 
 
