@@ -833,6 +833,8 @@ QUERY_CASES = [
     # day-axis OLS residual windows
     "sign_test_weekend_value", "wilcoxon_signed_rank_weekend",
     "quality_brier_decomposition", "durbin_watson_daily",
+    # second post-window >=1s: user-keyed gap sessionization + entry pick
+    "session_bounce_rate",
 ]
 
 
