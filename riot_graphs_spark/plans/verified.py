@@ -159,6 +159,8 @@ DRIVER_ROWED: frozenset[str] = frozenset([
     "sketch_stats", "ts_ewma", "ann_recall_ivf", "ts_holt_forecast",
     "ts_holt_winters_seasonal", "dau_wau_sketch_rollup", "emb_kmeans_cells",
     "bpe_train_merges", "mm_phash_pairs", "mm_audio_neardup",
+    # r11 driver rows (non-vacuous, pre-declared rows-only in COVERAGE.md):
+    "unigram_train_pieces", "rollup_quantile_sketch",
 ])
 
 #: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r07.json.
@@ -259,9 +261,39 @@ _ROUND_10 = [
     "part_affinity_lift",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r11.json.
+#: All 50 window slots went green on first driver contact: the 15
+#: r10-deferred names head the file, followed by 33 round-11 registrations;
+#: the round's 2 ``no_oracle`` rows (``unigram_train_pieces``,
+#: ``rollup_quantile_sketch`` — rows-only by design, pre-declared in
+#: COVERAGE.md) went to ``DRIVER_ROWED`` below.  The 11 registrations
+#: deferred during r11 head the r12 window instead.
+_ROUND_11 = [
+    "ann_ivf_multiprobe", "user_activity_gini", "anova_value_weekday",
+    "retention_weekly_wilson", "dq_completeness_profile",
+    "dedup_lsh_band_stats", "event_interarrival_cv",
+    "stopword_coverage_by_lang", "customer_order_frequency",
+    "discount_band_profile", "jonckheere_value_by_activity",
+    "mood_median_doclen_lang", "supplier_revenue_hhi", "ts_dickey_fuller",
+    "return_rate_by_band", "quality_ks_by_source", "gk_lambda_lang_source",
+    "theils_u_lang_source", "welch_anova_value_event",
+    "odds_ratio_weekend_purchase", "kuiper_value_uniform",
+    "process_capability_value", "page_trend_weekday", "newey_west_daily_mean",
+    "qte_doclen_deciles", "ts_kpss_level", "ts_streak_runs",
+    "ts_approx_entropy", "ts_permutation_entropy", "ts_date_gaps_audit",
+    "text_char_entropy_by_lang", "ngram_novelty_bigram",
+    "word_len_profile_by_lang", "text_oov_rate_by_source",
+    "text_sentence_stats", "text_readability_fk", "emb_hubness_topk",
+    "emb_cell_balance", "emb_nn_margin", "emb_exact_dup_vectors",
+    "attribution_position_based", "cohort_stickiness_dau_mau",
+    "session_depth_deciles", "purchase_interval_stats",
+    "orders_backlog_aging", "nation_trade_balance",
+    "order_value_band_mix_monthly", "event_partition_skew",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
-    + _ROUND_7 + _ROUND_8 + _ROUND_9 + _ROUND_10
+    + _ROUND_7 + _ROUND_8 + _ROUND_9 + _ROUND_10 + _ROUND_11
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
@@ -315,22 +347,14 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: at the head of the r11 window automatically; 35 round-11 registrations
 #: fill the remaining slots exactly (15 + 35 = 50).
 #:
-#: r11: the 11 registrations below landed after the 50-slot window was
-#: exactly filled and defer to the r12 window head (each driver-replica
-#: green at sf0.01 AND sf0.001 this round).
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
-    "sign_test_weekend_value",
-    "wilcoxon_signed_rank_weekend",
-    "purchase_rate_ratio_halves",
-    "durbin_watson_daily",
-    "dixon_q_daily_value",
-    "retention_triangle",
-    "quality_brier_decomposition",
-    "ols_influence_tokens_chars",
-    "session_bounce_rate",
-    "mixture_kl_to_target",
-    "weekday_hour_profile",
-])
+#: r11: the 11 registrations deferred during r11 (sign_test_weekend_value …
+#: weekday_hour_profile) head the r12 window now that _ROUND_11 is appended
+#: and this set is emptied — they have no driver row and no defer mark, so
+#: the unverified-first rule sequences them first automatically.
+#:
+#: r12: registrations that land after the r12 50-slot window is exactly
+#: filled (11 r11 deferrals + 39 round-12 registrations) go here.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([])
 
 
 def rotation_order(
