@@ -161,7 +161,21 @@ def ab_guardrail_writer(
 
         # Cumulative contingency table: dedup replayed batch_ids (their
         # rows are identical by construction), then one bounded reduce.
-        ledger = spark.read.parquet(ledger_path)
+        # mergeSchema: a monitor_path started before the CUPED upgrade has
+        # 7-column ledger files (no sx_*/sxx_*/sxy_* moments); merge the
+        # footers and fill the missing moments with zero decimals so old
+        # directories keep resuming (pre-upgrade batches contribute no
+        # covariate evidence, which is exactly what they recorded).
+        ledger = (
+            spark.read.option("mergeSchema", "true").parquet(ledger_path)
+        )
+        for c in ("sx_a", "sxx_a", "sxy_a", "sx_b", "sxx_b", "sxy_b"):
+            if c not in ledger.columns:
+                ledger = ledger.withColumn(c, zero_dec)
+            else:
+                ledger = ledger.withColumn(
+                    c, F.coalesce(F.col(c).cast(dec), zero_dec)
+                )
         cols = (
             "n_a", "k_a", "n_b", "k_b", "d01", "d10",
             "sx_a", "sxx_a", "sxy_a", "sx_b", "sxx_b", "sxy_b",
