@@ -300,7 +300,9 @@ def ivf_topk(
 
 def _sq_dist(vec: F.Column, centroid: list[float]) -> F.Column:
     """Row-local squared L2 to a literal centroid, rounded to 6 dp (the
-    determinism cut every argmin below relies on)."""
+    determinism cut every argmin below relies on).  Column-API variant for
+    callers holding an arbitrary array Column; the hot paths go through
+    :func:`_sq_dist_sql` instead (identical Catalyst tree, one py4j call)."""
     return F.round(
         F.aggregate(
             F.zip_with(
@@ -315,13 +317,71 @@ def _sq_dist(vec: F.Column, centroid: list[float]) -> F.Column:
     )
 
 
-def _nearest_cell(vec_col, centroids: list[list[float]]) -> F.Column:
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal (``repr`` round-trips binary64 exactly; the ``D``
+    suffix forces Double.parseDouble instead of a decimal-literal parse)."""
+    return repr(float(x)) + "D"
+
+
+def _sq_dist_sql(
+    vec_sql: str, centroid: list[float], offset: int | None = None
+) -> str:
+    """SQL text of :func:`_sq_dist` over ``vec_sql[offset:offset+len]``.
+
+    Same ``aggregate(zip_with(...))`` Catalyst tree — and therefore the
+    same left-fold FP addition order and bit-identical distances — as the
+    Column version, but assembled as ONE string instead of ~70 py4j
+    round-trips per centroid.  Plan-BUILD time, not execution, dominated
+    the PQ kernels' bench readings (r11: 4.13× of record with exec at
+    0.2 s), so the fix is fewer driver round-trips, not a different plan.
+    ``offset`` (``None`` = the whole vector; an int, INCLUDING 0, = a
+    ``len(centroid)``-wide subspace window starting there) applies
+    ``slice`` exactly as the original encode path did — zip_with would
+    NULL-extend a full vector against a shorter centroid otherwise."""
+    arr = "array(" + ",".join(_dlit(x) for x in centroid) + ")"
+    v = (
+        vec_sql
+        if offset is None
+        else f"slice({vec_sql}, {offset + 1}, {len(centroid)})"
+    )
+    return (
+        f"round(aggregate(zip_with({v}, {arr}, (a, b) -> "
+        f"(cast(a as double) - b) * (cast(a as double) - b)), "
+        f"0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _scored_cells_sql(
+    vec_sql: str, centroids: list[list[float]], offset: int | None = None
+) -> str:
+    """SQL text of the per-centroid ``(dist2, cell)`` struct array every
+    argmin below scans (6-dp distances, ties → lower cell id)."""
+    structs = ",".join(
+        f"named_struct('dist2', {_sq_dist_sql(vec_sql, c, offset)}, "
+        f"'cell', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return f"array({structs})"
+
+
+def _nearest_cell(
+    vec_col, centroids: list[list[float]], offset: int | None = None
+) -> F.Column:
     """Row-local nearest-centroid struct ``(dist2, cell)`` — squared-L2
     argmin via ``array_min`` over per-centroid distance structs built from
     broadcast literals. Distances round to 6 dp before the argmin (ties →
     lower cell id) so the assignment is deterministic. ``vec_col`` may be a
-    column name or an arbitrary array Column (a PQ subspace slice)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    column name (fast SQL-text build path) or an arbitrary array Column;
+    ``offset`` windows a subspace of the array (PQ)."""
+    if isinstance(vec_col, str):
+        return F.expr(
+            f"array_min({_scored_cells_sql(f'`{vec_col}`', centroids, offset)})"
+        )
+    vec = (
+        vec_col
+        if offset is None
+        else F.slice(vec_col, offset + 1, len(centroids[0]))
+    )
     scored = F.array(
         *[
             F.struct(
@@ -636,9 +696,7 @@ def pq_codes(
         *[
             F.struct(
                 F.lit(j).alias("sub"),
-                _nearest_cell(
-                    F.slice(F.col(vec_col), j * dsub + 1, dsub), cb
-                ).alias("best"),
+                _nearest_cell(vec_col, cb, offset=j * dsub).alias("best"),
             )
             for j, cb in enumerate(codebooks)
         ]
@@ -654,12 +712,11 @@ def pq_codes(
 def _pq_code_array(vec_col: str, codebooks: list[list[list[float]]]) -> F.Column:
     """The ``m`` codes of a vector as one array<int> (row-local)."""
     dsub = len(codebooks[0][0])
-    return F.array(
-        *[
-            _nearest_cell(F.slice(F.col(vec_col), j * dsub + 1, dsub), cb)["cell"]
-            for j, cb in enumerate(codebooks)
-        ]
+    cells = ",".join(
+        f"array_min({_scored_cells_sql(f'`{vec_col}`', cb, j * dsub)}).cell"
+        for j, cb in enumerate(codebooks)
     )
+    return F.expr(f"array({cells})")
 
 
 def _pq_lut(vec_col: str, codebooks: list[list[list[float]]]) -> F.Column:
@@ -668,17 +725,13 @@ def _pq_lut(vec_col: str, codebooks: list[list[list[float]]]) -> F.Column:
     side — the table asymmetric distance computation reads instead of any
     float corpus vector."""
     dsub = len(codebooks[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(F.slice(F.col(vec_col), j * dsub + 1, dsub), c)
-                    for c in cb
-                ]
-            )
-            for j, cb in enumerate(codebooks)
-        ]
+    rows = ",".join(
+        "array("
+        + ",".join(_sq_dist_sql(f"`{vec_col}`", c, j * dsub) for c in cb)
+        + ")"
+        for j, cb in enumerate(codebooks)
     )
+    return F.expr(f"array({rows})")
 
 
 def pq_topk(
@@ -1166,15 +1219,7 @@ def silhouette_simplified(
     """
     if len(centroids) < 2:
         raise ValueError("silhouette needs >= 2 centroids")
-    scored = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col(vec_col), c).alias("dist2"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    scored = F.expr(_scored_cells_sql(f"`{vec_col}`", centroids))
     staged = (
         embeddings.select(F.col(id_col), scored.alias("_sc"))
         .withColumn("_best", F.array_min("_sc"))
@@ -1727,23 +1772,14 @@ def nearest_centroid_margin(
     """
     if len(centroids) < 2:
         raise ValueError("needs >= 2 centroids")
-    vec = F.col(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                _sq_dist(vec, c).alias("dist2"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    scored = F.expr(_scored_cells_sql(f"`{vec_col}`", centroids))
     best = F.array_min(scored)
     rest = F.filter(scored, lambda s: s["cell"] != best["cell"])
     second = F.array_min(rest)
     margin = F.round(
         F.sqrt(second["dist2"]) - F.sqrt(best["dist2"]), 6
     )
-    assigned = embeddings.filter(vec.isNotNull()).select(
+    assigned = embeddings.filter(F.col(vec_col).isNotNull()).select(
         best["cell"].alias("cell"),
         margin.alias("_m"),
     )
