@@ -1475,3 +1475,125 @@ def test_streaming_ab_guardrail_cuped_readout_and_replay(spark, tmp_path):
     assert r2.cuped_theta is None and r2.cuped_diff is None
     assert r2.cuped_z is None and r2.var_reduction is None
     assert r2.cuped_significant is None
+
+
+def test_streaming_quantile_guardrail_cumulative_and_breach(spark, tmp_path):
+    """Percentile guardrail from mergeable sketch state
+    (streaming/guardrail.quantile_guardrail_writer): each batch appends
+    bounded sketch rows; the verdict reads CUMULATIVE percentiles (merged
+    across batches, never re-scanning past values) and flags ceilings.
+    Two disjoint uniform batches must read a combined median near their
+    joint midpoint, and a p99 ceiling placed under the data must breach."""
+    from riot_graphs_spark.streaming.guardrail import quantile_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    writer = quantile_guardrail_writer(
+        monitor, alarm_above={99: 100.0, 50: 10_000.0}
+    )
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [("2024-01-01 00:00:00", float(v)) for v in range(lo, hi)],
+            "ts string, value double",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    writer(batch(1, 1001), 0)
+    writer(batch(1001, 2001), 1)
+
+    reports = {
+        r.batch_id: r for r in spark.read.parquet(f"{monitor}/report").collect()
+    }
+    assert set(reports) == {0, 1}
+    first, final = reports[0], reports[1]
+    assert first.n_rows == 1000 and final.n_rows == 2000
+    assert final.n_batches == 2
+    # merged median sits near the joint midpoint (sketch read ≲ 5% error)
+    assert abs(final.p50 - 1000.0) <= 50.0
+    assert final.p99 >= 1900.0 * 0.95
+    # ceilings: p99 over 100 breaches, p50 under 10k does not
+    assert final.breach_p99 and not final.breach_p50 and final.breach
+    # ledger state is bounded: (batches × days × k) rows, k=64 anchors
+    ledger = spark.read.parquet(f"{monitor}/ledger").collect()
+    assert len(ledger) == 2 and all(len(r.anchors) == 64 for r in ledger)
+
+
+def test_streaming_quantile_guardrail_replay_idempotent(spark, tmp_path):
+    """At-least-once redelivery: a replayed micro-batch re-appends ledger
+    rows for its batch_id, but the cumulative read takes one state per
+    (batch, bucket, dims) — the replayed verdict row must carry
+    IDENTICAL totals and percentiles, and a grouped guardrail keeps one
+    verdict row per dims group."""
+    from riot_graphs_spark.streaming.guardrail import quantile_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    writer = quantile_guardrail_writer(
+        monitor,
+        dims=["svc"],
+        percentiles=(50, 95),
+        recorded_at="2024-01-01 00:00:00",
+        max_age_sec=60.0,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts string, svc string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "svc", "value")
+
+    b0 = batch([("2024-01-01 00:00:00", "api", float(v)) for v in range(100)]
+               + [("2024-01-01 00:00:00", "db", 5.0)] * 10)
+    writer(b0, 0)
+    writer(b0, 0)  # redelivery
+
+    reports = spark.read.parquet(f"{monitor}/report").collect()
+    by_run = {}
+    for r in reports:
+        by_run.setdefault((r.batch_id, r.svc), []).append(r)
+    # two identical verdict rows per (batch 0, svc) — replay changed nothing
+    for (bid, svc), rows in by_run.items():
+        assert bid == 0
+        vals = {(r.n_batches, r.n_rows, r.p50, r.p95) for r in rows}
+        assert len(vals) == 1, (svc, vals)
+    svcs = {r.svc for r in reports}
+    assert svcs == {"api", "db"}
+    db = next(r for r in reports if r.svc == "db")
+    assert db.n_rows == 10 and db.p50 == 5.0 and db.p95 == 5.0
+    # 2024 config stamp is long past the 60 s budget
+    assert all(r.config_stale for r in reports)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_guardrail_writer(monitor, max_age_sec=5.0)
+
+
+def test_streaming_ab_guardrail_resumes_pre_cuped_ledger(spark, tmp_path):
+    """Schema back-compat (r11 advice): a monitor directory whose ledger
+    was written by the pre-CUPED 7-column writer must keep resuming —
+    the cumulative read merges footers and treats the missing moment
+    columns as zero, so old batches contribute counts but no covariate
+    evidence."""
+    from riot_graphs_spark.streaming.guardrail import ab_guardrail_writer
+
+    monitor = str(tmp_path / "mon")
+    # simulate a pre-upgrade ledger: 7 columns, no sx_*/sxx_*/sxy_*
+    spark.createDataFrame(
+        [(0, 5, 2, 5, 1, 0, 0)],
+        "batch_id int, n_a bigint, k_a bigint, n_b bigint, k_b bigint,"
+        " d01 bigint, d10 bigint",
+    ).write.mode("append").parquet(f"{monitor}/ledger")
+
+    writer = ab_guardrail_writer(monitor, covariate_col="pre")
+    df = spark.createDataFrame(
+        [("0", True, 1.0)] * 4 + [("1", False, 2.0)] * 4,
+        "arm string, converted boolean, pre double",
+    )
+    writer(df, 1)
+
+    reports = sorted(
+        spark.read.parquet(f"{monitor}/report").collect(),
+        key=lambda r: r.n_batches,
+    )
+    final = reports[-1]
+    # counts pooled across the old and new batches
+    assert final.n_batches == 2
+    assert (final.n_a, final.k_a, final.n_b, final.k_b) == (9, 6, 9, 1)
