@@ -2420,3 +2420,85 @@ def int8_quantization_snr(
         F.round(snr, 9).alias("snr"),
         F.round(snr_db, 9).alias("snr_db"),
     )
+
+
+def linear_cka_halves(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000000,
+) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the FIRST and SECOND
+    halves of the embedding dimensions — "does the tail half of the
+    vector encode anything the head half doesn't?", the representation-
+    redundancy readout behind truncation/matryoshka decisions (CKA near
+    1: the halves are linear transforms of each other; near 0:
+    independent subspaces):
+
+        CKA = ‖C_xy‖_F² / (‖C_xx‖_F · ‖C_yy‖_F)
+
+    over the centered cross-/auto-covariance blocks of the dim×dim
+    covariance matrix.  Components scale to exact ×``scale`` integers
+    (:func:`covariance_top_pairs` discipline), every (i ≤ j) pair is a
+    ROW-LOCAL chained posexplode (zero shuffle before the d²-row
+    aggregate), covariances form from EXACT decimal moments and drop to
+    real units before squaring (cov² ≤ 1e-4 — quantized at 12 dp where
+    the ×10¹² product is still sub-2⁵³-exact on both engines); the
+    upper-triangle fan-out double-counts symmetric off-diagonal entries
+    via a weight column instead of generating the mirror pairs.
+
+    Output: one row — ``(n bigint, d int, cka double, hsic_xy double,
+    hsic_xx double, hsic_yy double)``.
+    """
+    dims = len(df.select(vec_col).first()[0])
+    half = dims // 2
+    dec = "decimal(38,0)"
+    pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=True)
+    agg = pairs.groupBy("_ia", "_ib").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_sa").cast(dec)).alias("_sx"),
+        F.sum(F.col("_sb").cast(dec)).alias("_sy"),
+        F.sum((F.col("_sa") * F.col("_sb")).cast(dec)).alias("_sxy"),
+    )
+    nn = F.col("_n").cast(dec)
+    cov = (
+        (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+        / (
+            F.col("_n").cast("double")
+            * F.col("_n").cast("double")
+            * F.lit(float(scale) * float(scale))
+        )
+    )
+    in_x = (F.col("_ia") < half) & (F.col("_ib") < half)
+    in_y = (F.col("_ia") >= half) & (F.col("_ib") >= half)
+    w = F.when(F.col("_ia") == F.col("_ib"), F.lit(1.0)).otherwise(
+        F.lit(2.0)
+    )
+    term = F.round(w * cov * cov, 12).cast("decimal(28,12)")
+    cls = F.when(in_x, F.lit("xx")).when(in_y, F.lit("yy")).otherwise(
+        F.lit("xy")
+    )
+    s = (
+        agg.select(cls.alias("_c"), term.alias("_t"))
+        .groupBy()
+        .pivot("_c", ["xx", "yy", "xy"])
+        .agg(F.sum("_t").cast("double"))
+    )
+    # cross-block pairs appear once each (head dims all precede tail
+    # dims), so the xy sum needs its symmetric double-count REMOVED:
+    # the w=2 weight above is right for xx/yy mirrors, but ‖C_xy‖²
+    # counts each (x, y) entry once — halve it back.
+    n1 = df.filter(F.col(vec_col).isNotNull()).count()
+    fxy = F.col("xy") / F.lit(2.0)
+    return s.select(
+        F.lit(int(n1)).cast("long").alias("n"),
+        F.lit(int(dims)).cast("int").alias("d"),
+        F.round(
+            F.try_divide(
+                fxy, F.sqrt(F.col("xx")) * F.sqrt(F.col("yy"))
+            ),
+            9,
+        ).alias("cka"),
+        F.round(fxy, 9).alias("hsic_xy"),
+        F.round(F.col("xx"), 9).alias("hsic_xx"),
+        F.round(F.col("yy"), 9).alias("hsic_yy"),
+    )
