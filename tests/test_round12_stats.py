@@ -262,6 +262,7 @@ def test_cusum_squares_matches_numpy(spark, events_pd):
 
 def test_parkinson_matches_numpy(spark, events_pd):
     ev = events_pd.dropna(subset=["value"]).sort_values("ts")
+    ev = ev[ev["value"] > 0]
     g = ev.assign(day=ev["ts"].dt.floor("D")).groupby("day")["value"]
     h, low = g.max(), g.min()
     o, c = g.first(), g.last()
