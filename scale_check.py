@@ -835,6 +835,15 @@ QUERY_CASES = [
     "quality_brier_decomposition", "durbin_watson_daily",
     # second post-window >=1s: user-keyed gap sessionization + entry pick
     "session_bounce_rate",
+    # round-12 >=1s registrations: fact⋈dim log-log moments; bounded
+    # basket pair fan-out; row-local dim-pair covariance fan-out; shared
+    # BM25 run scans; blocked day×day rank tables; bit-packed scans vs
+    # brute; corpus token explodes; gap sessionization + per-session
+    # entropy; 4-cell IVF probe scan; bipartite degree reduces
+    "discount_qty_elasticity", "part_affinity_conviction",
+    "emb_cka_halves", "retrieval_precision_curve", "quade_event_types",
+    "emb_bitvector_hamming_recall", "text_burrows_delta",
+    "session_type_entropy", "ann_ivf_probe4", "supplier_part_coverage",
 ]
 
 
