@@ -352,9 +352,22 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: and this set is emptied — they have no driver row and no defer mark, so
 #: the unverified-first rule sequences them first automatically.
 #:
-#: r12: registrations that land after the r12 50-slot window is exactly
-#: filled (11 r11 deferrals + 39 round-12 registrations) go here.
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([])
+#: r12: the 10 registrations below landed after the 50-slot window was
+#: exactly filled (11 r11 deferrals + 39 round-12 registrations) and
+#: defer to the r13 window head (each driver-replica green at sf0.01
+#: AND sf0.001 this round).
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "influxql_percentile_daily",
+    "influxql_first_last",
+    "simhash_bit_balance",
+    "minhash_band_tuning",
+    "interpurchase_gamma_fit",
+    "atkinson_index_doclen",
+    "lorenz_asymmetry_doclen",
+    "user_decay_engagement",
+    "char_bigram_js_langs",
+    "retention_halflife_fit",
+])
 
 
 def rotation_order(
