@@ -844,6 +844,9 @@ QUERY_CASES = [
     "emb_cka_halves", "retrieval_precision_curve", "quade_event_types",
     "emb_bitvector_hamming_recall", "text_burrows_delta",
     "session_type_entropy", "ann_ivf_probe4", "supplier_part_coverage",
+    # round-12 post-window >=1s: triple re-banding + pair dedup; bit
+    # extraction over signatures; bigram-axis full-outer JS pairs
+    "minhash_band_tuning", "simhash_bit_balance", "char_bigram_js_langs",
 ]
 
 
