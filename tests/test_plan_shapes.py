@@ -1747,3 +1747,64 @@ def test_event_partition_skew_one_reduce(spark):
     assert "Join" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan
     assert re.search(r"partial_count", plan)
+
+
+def test_pq_encode_argmin_stays_single_projection(spark):
+    # r12: the SQL-string argmin build (_sq_dist_sql) must still plan as
+    # the original zero-shuffle row-local projection — the change was
+    # plan-BUILD cost only, never plan shape
+    plan = formatted_plan(spark, "pq_assign_fixed")
+    assert shuffle_count(plan) == 0
+    assert "EvalPython" not in plan
+
+
+def test_bm25_judgments_are_row_local(spark):
+    # r12: qrels come from array_intersect against the broadcast query
+    # token arrays — no corpus token explode ⋈ qtok shuffle remains in
+    # the judgment leg (the mrr/ndcg planning-cost fix); the only joins
+    # are broadcast
+    plan = formatted_plan(spark, "retrieval_recall_mrr")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bitvector_hamming_scan_is_broadcast_with_partial_topk(spark):
+    # r12: the 1-bit scan streams the corpus once against broadcast
+    # query words; the per-query top-k cut is a partial WindowGroupLimit
+    # (map-side top-k) like the other ANN scans
+    plan = formatted_plan(spark, "emb_bitvector_hamming_recall")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"row_number\(\), \d+, Partial", plan)
+
+
+def test_cka_dim_pair_fanout_is_shuffle_free_before_aggregate(spark):
+    # r12: the (i ≤ j) dim-pair fan-out is generate→generate on the
+    # same row's array — the d²-row moment aggregate is the first
+    # Exchange; no id-keyed self-join anywhere
+    plan = formatted_plan(spark, "emb_cka_halves")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"partial_(sum|count)", plan)
+
+
+def test_rank_tests_run_on_distinct_value_axis(spark):
+    # r12: Ansari-Bradley / Brunner-Munzel / BWS never sort rows
+    # globally — ranks come from windows over the DISTINCT-value axis
+    # (counts per value), so no corpus-row Sort feeds a single partition
+    for name in ("ansari_bradley_value_weekend", "brunner_munzel_doclen",
+                 "bws_doclen_en_rest"):
+        plan = formatted_plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert re.search(r"partial_(sum|count)", plan), name
+
+
+def test_weighted_quantiles_pick_is_integer_inequality(spark):
+    # r12: the char-weighted quantile is an integer-inequality argmin on
+    # per-source cumulative weights — no percentile/ntile machinery, no
+    # Python
+    plan = formatted_plan(spark, "weighted_quantiles_doclen")
+    assert "EvalPython" not in plan
+    assert "ntile" not in plan and "percentile" not in plan
