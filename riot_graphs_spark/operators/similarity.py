@@ -813,6 +813,121 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 2,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (FAISS ``IVFx,PQy``) —
+    :func:`ivf_topk`'s cell routing COMPOSED WITH :func:`pq_topk`'s
+    asymmetric-distance code scan, so the query touches (a) only the
+    ``probes`` nearest cells and (b) only the m-byte PQ codes inside
+    them, until the bounded exact-rescore stage reads floats for
+    ~``rescore_factor·k`` candidates per query.
+
+    Scale shape — why this is THE 100 TB layout: cell routing prunes the
+    scan to ``probes/n_cells`` of the corpus (on a cell-partitioned table
+    the other cells are never read); within the probed cells the scan is
+    codes-not-floats (the PQ memory-bandwidth win); both the routing
+    frame (queries × probes, with each query's m×ks LUT riding along)
+    and the rescore set broadcast.  One corpus-side cell hash join, one
+    partial-top-k window, one candidate-sized exact join — no corpus
+    shuffle anywhere.
+
+    Determinism: 6-dp routing scores (ties → cell asc), integer
+    micro-unit ADC sums, 6-dp cosine rescore (ties → neighbor asc) —
+    the same cuts as the parent operators, so the result set is exact
+    SQL.  Output matches :func:`cosine_topk`: ``(query_id, neighbor_id,
+    score, rank)``.
+    """
+    cents = label_centroids(corpus, cell_col, vec_col)
+    cent_vecs = cents.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("_cent")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+        _pq_lut(vec_col, codebooks).alias("_lut"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("_route_score").desc(), F.col(cell_col).asc()
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cent_vecs))
+        .withColumn(
+            "_route_score",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cent"))
+                / (F.col("_qnorm") * l2_norm(F.col("_cent"))),
+                6,
+            ),
+        )
+        .withColumn("_probe_rank", F.row_number().over(rw))
+        .filter(F.col("_probe_rank") <= probes)
+        .select("query_id", "_lut", cell_col)
+    )
+    coded = corpus.select(
+        F.col(cell_col),
+        F.col(id_col),
+        _pq_code_array(vec_col, codebooks).alias("_codes"),
+    )
+    # ADC sum in exact integer micro-units (the pq_topk discipline),
+    # unrolled over the m subspaces so the cell-pruned scan stays inside
+    # whole-stage codegen
+    usum: F.Column = F.lit(0).cast("long")
+    for j in range(len(codebooks)):
+        usum = usum + F.round(
+            F.element_at(
+                F.element_at(F.col("_lut"), j + 1),
+                F.element_at(F.col("_codes"), j + 1) + 1,
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+    adist = usum / F.lit(1000000.0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        coded.join(F.broadcast(routed), on=cell_col)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rescore_factor * k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score", _pair_score())
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def random_projection(
     df: DataFrame,
     proj: list[list[float]],

@@ -352,11 +352,12 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: and this set is emptied — they have no driver row and no defer mark, so
 #: the unverified-first rule sequences them first automatically.
 #:
-#: r12: the 10 registrations below landed after the 50-slot window was
+#: r12: the 11 registrations below landed after the 50-slot window was
 #: exactly filled (11 r11 deferrals + 39 round-12 registrations) and
 #: defer to the r13 window head (each driver-replica green at sf0.01
 #: AND sf0.001 this round).
 DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
+    "ann_ivfpq_topk",
     "influxql_percentile_daily",
     "influxql_first_last",
     "simhash_bit_balance",

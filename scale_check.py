@@ -847,6 +847,7 @@ QUERY_CASES = [
     # round-12 post-window >=1s: triple re-banding + pair dedup; bit
     # extraction over signatures; bigram-axis full-outer JS pairs
     "minhash_band_tuning", "simhash_bit_balance", "char_bigram_js_langs",
+    "ann_ivfpq_topk",
 ]
 
 
