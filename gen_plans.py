@@ -49,6 +49,7 @@ SHOWCASE = [
     "influxql_hourly_mean",
     "dedup_simhash_pairs",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "j6_interval_overlap",
     "chunk_sentences",
     "influxql_subquery",
