@@ -287,14 +287,18 @@ def test_parkinson_matches_numpy(spark, events_pd):
 
 def test_drawdown_matches_numpy(spark, events_pd):
     x = _daily_x(events_pd)
-    cum = np.cumsum(np.round(x.values, 9))
-    peak = np.maximum.accumulate(cum)
-    draw = peak - cum
+    peak = np.maximum.accumulate(x.values)
+    draw = peak - x.values
     i = int(np.argmax(draw))
     row = _run(spark, "ts_drawdown_stats")[0]
     assert row.n_days == len(x)
+    # non-vacuity: the daily series must actually decline somewhere
+    assert row.max_drawdown > 0
     assert row.max_drawdown == pytest.approx(draw[i], abs=1e-6)
     assert pd.Timestamp(row.trough_day) == x.index[i]
+    assert row.max_drawdown_frac == pytest.approx(
+        draw[i] / peak[i], rel=1e-6
+    )
 
 
 def test_cka_matches_numpy(spark, emb_pd):
