@@ -291,9 +291,39 @@ _ROUND_11 = [
     "order_value_band_mix_monthly", "event_partition_skew",
 ]
 
+#: Names with a green (rows+schema+hash) driver row in CORRECTNESS_r12.json.
+#: All 50 window slots went green on first driver contact: the 11
+#: r11-deferred names head the file, followed by 39 round-12 registrations.
+#: The 11 registrations deferred during r12 (``ann_ivfpq_topk`` …
+#: ``retention_halflife_fit``) head the r13 window instead.
+_ROUND_12 = [
+    "sign_test_weekend_value", "wilcoxon_signed_rank_weekend",
+    "purchase_rate_ratio_halves", "durbin_watson_daily",
+    "dixon_q_daily_value", "retention_triangle",
+    "quality_brier_decomposition", "ols_influence_tokens_chars",
+    "session_bounce_rate", "mixture_kl_to_target", "weekday_hour_profile",
+    "ann_ivf_probe4", "influxql_median", "influxql_spread",
+    "influxql_integral", "influxql_moving_average",
+    "influxql_non_negative_derivative", "influxql_bottom_points",
+    "gtest_lang_source", "kendall_w_event_ranks",
+    "ansari_bradley_value_weekend", "brunner_munzel_doclen",
+    "bws_doclen_en_rest", "quade_event_types",
+    "engle_granger_clicks_purchases", "ks_doclen_en_rest",
+    "ts_sample_entropy", "ts_rolling_beta", "ts_cusum_squares",
+    "ts_local_peaks", "ts_parkinson_volatility", "ts_drawdown_stats",
+    "emb_cka_halves", "emb_label_anova_r2", "emb_bitvector_hamming_recall",
+    "retrieval_precision_curve", "text_ttr_prefix_curve",
+    "weighted_quantiles_doclen", "theil_decomposition_tokens",
+    "boxcox_grid_doclen", "text_burrows_delta", "sample_hash_fraction",
+    "cv_fold_balance", "part_affinity_conviction",
+    "discount_qty_elasticity", "supplier_part_coverage",
+    "session_type_entropy", "hill_tail_user_activity",
+    "events_user_overlap_jaccard", "mixture_keep_fractions",
+]
+
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     _ROUND_1 + _ROUND_2 + _ROUND_3 + _ROUND_4 + _ROUND_5 + _ROUND_6
-    + _ROUND_7 + _ROUND_8 + _ROUND_9 + _ROUND_10 + _ROUND_11
+    + _ROUND_7 + _ROUND_8 + _ROUND_9 + _ROUND_10 + _ROUND_11 + _ROUND_12
 )
 
 #: Union used for ordering only: "this name does not need a window slot".
@@ -352,23 +382,14 @@ _DRIVER_SEEN: frozenset[str] = DRIVER_VERIFIED | DRIVER_ROWED
 #: and this set is emptied — they have no driver row and no defer mark, so
 #: the unverified-first rule sequences them first automatically.
 #:
-#: r12: the 11 registrations below landed after the 50-slot window was
-#: exactly filled (11 r11 deferrals + 39 round-12 registrations) and
-#: defer to the r13 window head (each driver-replica green at sf0.01
-#: AND sf0.001 this round).
-DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset([
-    "ann_ivfpq_topk",
-    "influxql_percentile_daily",
-    "influxql_first_last",
-    "simhash_bit_balance",
-    "minhash_band_tuning",
-    "interpurchase_gamma_fit",
-    "atkinson_index_doclen",
-    "lorenz_asymmetry_doclen",
-    "user_decay_engagement",
-    "char_bigram_js_langs",
-    "retention_halflife_fit",
-])
+#: r12: the 11 registrations deferred during r12 (ann_ivfpq_topk …
+#: retention_halflife_fit — each driver-replica green at sf0.01 AND
+#: sf0.001 during round 12, and independently re-verified green by the
+#: r12 judge) head the r13 window now that _ROUND_12 is appended and
+#: this set is emptied: they have no driver row and no defer mark, so
+#: the unverified-first rule sequences them first automatically;
+#: round-13 registrations fill the remaining slots.
+DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def rotation_order(
