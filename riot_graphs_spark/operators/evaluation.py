@@ -3497,27 +3497,46 @@ def isotonic_calibration(
 
     over the bin axis: with B bins that is a B×B×B triple join on a
     B-row broadcast table — O(B³) on ≤ tens of rows, never fact-sized.
-    Bins are ``ntile(n_bins)`` ordered by (score, id) — id-tiebroken,
-    so ties at bin boundaries split deterministically.  Segment means
-    are int/int doubles; min/max are order-free; one 9-dp round at
-    output.
+    Bins are cut on the DISTINCT-SCORE axis by the :func:`lift_table`
+    equal-mass rule — a distinct value's whole tie group lands in
+    ``ceil(n_bins · cum/n)`` of its cumulative count (ascending score).
+    No per-ROW global numbering: the previous ``ntile`` over a full
+    ``ORDER BY (score, id)`` funneled the entire scored population
+    through one window partition; the cumulative window here runs over
+    the DISTINCT scores only, so a continuous score must be quantized
+    upstream for this to stay cheap at corpus scale (the distinct-score
+    axis, not the row count, is the scalability bound).  ``id_col`` is
+    retained for signature compatibility but unused: tie groups never
+    split, so no tiebreak is needed.  Heavy ties make bins unequal (and
+    can leave bin indices empty) — reported honestly by ``n`` rather
+    than split arbitrarily.  Segment means are int/int doubles; min/max
+    are order-free; one 9-dp round at output.
 
-    Output: one row per bin — ``(bin bigint, n bigint, pos bigint,
-    rate_raw double, rate_iso double)``, rate_iso non-decreasing.
+    Output: one row per non-empty bin — ``(bin bigint, n bigint, pos
+    bigint, rate_raw double, rate_iso double)``, rate_iso
+    non-decreasing.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
+    del id_col  # bin cut is tie-group-whole: no per-row tiebreak
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
-    binned = base.select(
-        F.ntile(n_bins)
-        .over(Window.orderBy(F.col(score_col), F.col(id_col)))
-        .alias("_bin"),
-        F.col(label_col).cast("int").alias("_y"),
+    g = base.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.col(label_col).cast("int")).alias("_yp"),
     )
-    bins = binned.groupBy("_bin").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos")
+    w_cum = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("_c", F.sum("_nt").over(w_cum)).withColumn(
+        "_nn", F.sum("_nt").over(Window.partitionBy())
+    )
+    bin_expr = F.ceil(
+        (F.lit(n_bins) * F.col("_c")) / F.col("_nn").cast("double")
+    ).cast("int")
+    bins = c.groupBy(bin_expr.alias("_bin")).agg(
+        F.sum("_nt").alias("_n"), F.sum("_yp").alias("_pos")
     )
     w_cum = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

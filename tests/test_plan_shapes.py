@@ -1450,6 +1450,28 @@ def test_isotonic_bin_axis_minimax(spark):
     assert "EvalPython" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "user_decay_engagement",
+        "customer_rfm",
+        "isotonic_purchase_by_activity",
+    ],
+)
+def test_no_global_row_ntile(spark, name):
+    # r12 verdict item: equal-mass buckets cut on the DISTINCT-value
+    # axis (ceil(k*cum/n) tie-group rule) — never a global per-row
+    # ntile, which funnels the whole fact/user axis through ONE window
+    # partition.  The only unpartitioned windows left run over the
+    # bounded distinct-value table (post-aggregation), which is the
+    # documented lift_table scalability bound.
+    plan = formatted_plan(spark, name)
+    assert "ntile" not in plan
+    # the window input must be an aggregated axis, so a partial agg
+    # precedes any WindowExec
+    assert re.search(r"partial_(count|sum)", plan)
+
+
 def test_cvm_distinct_value_axis(spark):
     # tagged union + count groupBy; cumulative windows over distinct
     # values only
