@@ -1052,7 +1052,12 @@ def influxql(
             )
             df = df.withColumn(f"_area_{n}", area)
             integral_aggs[id(i)] = (
-                F.sum(F.col(f"_area_{n}").cast("decimal(28,6)")).cast("double")
+                # round-then-cast (cross-engine hazard #1): a bare
+                # double->decimal cast diverges from DuckDB's half-even
+                # at .5 boundaries of the 6-dp grid
+                F.sum(
+                    F.round(F.col(f"_area_{n}"), 6).cast("decimal(28,6)")
+                ).cast("double")
                 / F.lit(float(i.unit_s))
             ).alias(i.out)
 

@@ -2548,13 +2548,17 @@ def lorenz_deciles(
     carries 61% of revenue" reads off row 10.
 
     Per-key totals reduce as exact decimal sums (one fact scan);
-    deciles are ``ntile`` over (total, key) — key-tiebroken, so equal
-    totals split deterministically; shares are decimal-over-decimal
-    divisions at the end.  The rank window runs on the KEY axis
-    (customers, sources) — entity-sized, not fact-sized.
+    deciles cut on the DISTINCT whole-unit total axis by the equal-mass
+    ceil(k·cum/n) tie-group rule (the :func:`~..operators.evaluation.
+    lift_table` discipline — no global per-row ntile funneling the key
+    axis through one window partition; quantizing the near-continuous
+    total to whole currency units for BUCKETING bounds the distinct
+    axis by the value domain, not the key count, while the summed
+    values stay decimal-exact); shares are decimal-over-decimal
+    divisions at the end.
 
-    Output: one row per decile — ``(decile bigint, n_keys bigint,
-    value double, share double, cum_share double)``.
+    Output: one row per non-empty decile — ``(decile bigint, n_keys
+    bigint, value double, share double, cum_share double)``.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
@@ -2566,14 +2570,20 @@ def lorenz_deciles(
         .groupBy(F.col(key_col).alias("_k"))
         .agg(F.sum(F.col(value_col).cast(dec)).alias("_v"))
     )
-    binned = per_key.select(
-        F.ntile(n_bins)
-        .over(Window.orderBy(F.col("_v"), F.col("_k")))
-        .alias("_bin"),
-        "_v",
+    g = per_key.groupBy(F.round("_v", 0).alias("_q")).agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("_v").alias("_sv")
     )
-    bins = binned.groupBy("_bin").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
+    w_axis = Window.orderBy("_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cg = g.withColumn("_c", F.sum("_nt").over(w_axis)).withColumn(
+        "_tn", F.sum("_nt").over(Window.partitionBy())
+    )
+    bin_expr = F.ceil(
+        (F.lit(n_bins) * F.col("_c")) / F.col("_tn").cast("double")
+    ).cast("long")
+    bins = cg.groupBy(bin_expr.alias("_bin")).agg(
+        F.sum("_nt").alias("_n"), F.sum("_sv").alias("_s")
     )
     w_cum = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -316,14 +316,14 @@ def perplexity_buckets(
     LANGUAGE, as in CCNet: absolute perplexity is not comparable across
     languages, ranks within one are.
 
-    Determinism: ntile ordered by (cross_entropy ASC NULLS LAST, id) — the
-    id tiebreak makes equal scores engine-stable, and the explicit NULLS
-    LAST pins empty-doc placement (Spark defaults nulls FIRST ascending,
-    DuckDB LAST; unpinned, the two engines would bucket them differently).
-
-    Cost on top of the LM score: one #docs-row window shuffle keyed on the
-    stratum — the scored table is (id, score)-narrow, so at 100 TB this
-    windows over ~16 bytes/doc, not the corpus text.
+    Determinism & scale: buckets cut equal-mass on the per-stratum
+    DISTINCT 6-dp cross-entropy axis (the lift_table ceil(k·cum/n)
+    tie-group rule, NULLS LAST so empty docs land in the tail on both
+    engines — Spark defaults nulls FIRST ascending, DuckDB LAST).  A
+    per-row ntile partitioned by lang would still sort a whole LANGUAGE
+    (which can be most of the corpus) through one window partition; the
+    distinct-axis cumulative window is bounded by the 6-dp score grid
+    per stratum, and docs join back value→bucket on the broadcast map.
     """
     from pyspark.sql import Window
 
@@ -335,16 +335,38 @@ def perplexity_buckets(
     joined = docs.select(F.col(id_col), F.col(strata_col)).join(
         scored, id_col
     )
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col("cross_entropy").asc_nulls_last(), F.col(id_col).asc()
+    b = joined.withColumn("_qq", F.round("cross_entropy", 6))
+    g = b.groupBy(strata_col, "_qq").agg(F.count(F.lit(1)).alias("_nt"))
+    w_cum = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("_qq").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bucket = F.ntile(n_buckets).over(w)
+    em = (
+        g.withColumn("_c", F.sum("_nt").over(w_cum))
+        .withColumn(
+            "_n", F.sum("_nt").over(Window.partitionBy(strata_col))
+        )
+        .select(
+            F.col(strata_col).alias("_ems"),
+            F.col("_qq").alias("_emq"),
+            F.ceil(
+                (F.lit(n_buckets) * F.col("_c"))
+                / F.col("_n").cast("double")
+            ).cast("int").alias("_emb"),
+        )
+    )
+    bucket = F.col("_emb")
     name = (
         F.when(bucket == 1, F.lit("head"))
         .when(bucket == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
-    return joined.select(
+    return b.join(
+        F.broadcast(em),
+        b[strata_col].eqNullSafe(em["_ems"])
+        & b["_qq"].eqNullSafe(em["_emq"]),
+    ).select(
         id_col,
         strata_col,
         "n_tokens",

@@ -2564,7 +2564,12 @@ def linear_cka_halves(
     Output: one row — ``(n bigint, d int, cka double, hsic_xy double,
     hsic_xx double, hsic_yy double)``.
     """
-    dims = len(df.select(vec_col).first()[0])
+    first = (
+        df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
+    if first is None:
+        raise ValueError("linear_cka_halves: no non-null vectors")
+    dims = len(first[0])
     half = dims // 2
     dec = "decimal(38,0)"
     pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=True)
@@ -2593,19 +2598,26 @@ def linear_cka_halves(
         F.lit("xy")
     )
     s = (
-        agg.select(cls.alias("_c"), term.alias("_t"))
+        agg.select(cls.alias("_c"), term.alias("_t"), F.col("_n"))
         .groupBy()
         .pivot("_c", ["xx", "yy", "xy"])
-        .agg(F.sum("_t").cast("double"))
+        .agg(
+            F.sum("_t").cast("double").alias("s"),
+            F.max("_n").alias("nr"),
+        )
+        .withColumnRenamed("xx_s", "xx")
+        .withColumnRenamed("yy_s", "yy")
+        .withColumnRenamed("xy_s", "xy")
     )
     # cross-block pairs appear once each (head dims all precede tail
     # dims), so the xy sum needs its symmetric double-count REMOVED:
     # the w=2 weight above is right for xx/yy mirrors, but ‖C_xy‖²
-    # counts each (x, y) entry once — halve it back.
-    n1 = df.filter(F.col(vec_col).isNotNull()).count()
+    # counts each (x, y) entry once — halve it back.  The row count
+    # rides the same aggregate pass (every dim pair sees all non-null
+    # vectors, so any class's max _n is n) — no second driver action.
     fxy = F.col("xy") / F.lit(2.0)
     return s.select(
-        F.lit(int(n1)).cast("long").alias("n"),
+        F.col("xx_nr").cast("long").alias("n"),
         F.lit(int(dims)).cast("int").alias("d"),
         F.round(
             F.try_divide(

@@ -2141,12 +2141,17 @@ def digit_density_deciles(
     the number that predicts tokenizer blow-ups and boilerplate).
 
     Per-doc density = digit chars / total chars (exact integer counts →
-    one IEEE division); docs rank into ntile(10) by (density, id) —
-    deterministic total order; per-decile means aggregate 9-dp-quantized
-    decimal sums.  One row-local projection + one ntile window on the
-    doc axis + one 10-ary reduce.
+    one IEEE division); deciles cut on the DISTINCT 6-dp-quantized
+    density axis by the equal-mass ceil(10·cum/n) tie-group rule
+    (:func:`~..operators.evaluation.lift_table` discipline — no global
+    per-row ntile funneling the doc axis through one window partition;
+    the 6-dp grid bounds the distinct axis at ≤ 1e6+1 values regardless
+    of corpus size).  Per-decile means aggregate 9-dp-quantized decimal
+    sums carried per distinct axis value.  One row-local projection +
+    one distinct-axis reduce + the bounded cumulative window + one
+    10-ary reduce.
 
-    Output: 10 rows — ``(decile int, n_docs bigint, mean_density
+    Output: ≤ 10 rows — ``(decile int, n_docs bigint, mean_density
     double, max_density double)``.
     """
     t = F.col(text_col)
@@ -2161,18 +2166,28 @@ def digit_density_deciles(
             dig.cast("double"), F.length(t).cast("double")
         ).alias("_d"),
     )
-    ranked = base.select(
-        "_d",
-        F.ntile(10).over(Window.orderBy("_d", "_id")).alias("decile"),
+    g = base.groupBy(F.round("_d", 6).alias("_q")).agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.round(F.col("_d"), 9).cast("decimal(28,9)")).alias(
+            "_mass"
+        ),
+        F.max(F.round(F.col("_d"), 9)).alias("_qmx"),
     )
+    w_cum = Window.orderBy("_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("_c", F.sum("_nt").over(w_cum)).withColumn(
+        "_n", F.sum("_nt").over(Window.partitionBy())
+    )
+    decile = F.ceil(
+        (F.lit(10) * F.col("_c")) / F.col("_n").cast("double")
+    ).cast("int")
     return (
-        ranked.groupBy("decile")
+        c.groupBy(decile.alias("decile"))
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.round(F.col("_d"), 9).cast("decimal(28,9)")).alias(
-                "_s"
-            ),
-            F.max(F.round(F.col("_d"), 9)).alias("_mx"),
+            F.sum("_nt").alias("n_docs"),
+            F.sum("_mass").alias("_s"),
+            F.max("_qmx").alias("_mx"),
         )
         .select(
             F.col("decile").cast("int").alias("decile"),
@@ -2371,13 +2386,16 @@ def token_yield_by_quality(
     means the quality score anti-correlates with length) decides
     whether a hard cut or a length-aware mixture is right.
 
-    Docs rank into ntile(10) by (quality_score DESC, id) — decile 1 is
-    the BEST, deterministic total order; per-decile token sums are
-    exact integers; the cumulative share reads best-first.  One scoring
-    projection (row-local), one ntile window on the doc axis, one
-    10-ary reduce + cumulative window.
+    Deciles cut on the DISTINCT 6-dp-quantized score axis, descending
+    (equal-mass ceil(10·cum/n) tie-group rule — decile 1 is the BEST;
+    no global per-row ntile funneling the doc axis through one window
+    partition, and the 6-dp grid bounds the distinct axis regardless of
+    corpus size); per-decile token sums are exact integers; the
+    cumulative share reads best-first.  One scoring projection
+    (row-local), one distinct-axis reduce + bounded cumulative window,
+    one 10-ary reduce + cumulative window.
 
-    Output: 10 rows — ``(decile int, n_docs bigint, tokens bigint,
+    Output: ≤ 10 rows — ``(decile int, n_docs bigint, tokens bigint,
     cum_tokens bigint, cum_token_share double)``.
     """
     scored = quality_score(
@@ -2385,19 +2403,24 @@ def token_yield_by_quality(
             F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
         ).select(id_col, text_col)
     ).select(
-        F.col(id_col).alias("_id"),
         F.col("n_tokens").alias("_tk"),
         F.col("quality_score").alias("_q"),
     )
-    ranked = scored.select(
-        "_tk",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("_q").desc(), F.col("_id")))
-        .alias("decile"),
+    g = scored.groupBy(F.round("_q", 6).alias("_qq")).agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("_tk").alias("_tks")
     )
-    per = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_tk").alias("tokens"),
+    w_cum = Window.orderBy(F.desc("_qq")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("_c", F.sum("_nt").over(w_cum)).withColumn(
+        "_n", F.sum("_nt").over(Window.partitionBy())
+    )
+    dec = F.ceil(
+        (F.lit(10) * F.col("_c")) / F.col("_n").cast("double")
+    ).cast("int")
+    per = c.groupBy(dec.alias("decile")).agg(
+        F.sum("_nt").alias("n_docs"),
+        F.sum("_tks").alias("tokens"),
     )
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

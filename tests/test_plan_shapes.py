@@ -1450,12 +1450,42 @@ def test_isotonic_bin_axis_minimax(spark):
     assert "EvalPython" not in plan
 
 
+def test_no_ntile_anywhere_in_source():
+    # r13: the ntile anti-pattern family is RETIRED — every bucket cut
+    # in the package uses the equal-mass distinct-axis rule.  A per-row
+    # ntile needs a global (or whole-stratum) sort through one window
+    # partition; this source-level guard keeps it from coming back.
+    import pathlib
+
+    import riot_graphs_spark
+
+    pkg = pathlib.Path(riot_graphs_spark.__file__).parent
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        # bare ntile( call — not percentile(/quantile( which merely
+        # contain the substring
+        if re.search(r"(?<![a-zA-Z])ntile\s*\(", p.read_text())
+    ]
+    assert offenders == []
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "user_decay_engagement",
         "customer_rfm",
         "isotonic_purchase_by_activity",
+        "ab_simpsons_check",
+        "trend_conversion_by_activity",
+        "kappa_weighted_length_deciles",
+        "cmh_purchase_by_activity",
+        "jonckheere_value_by_activity",
+        "text_digit_deciles",
+        "token_yield_by_quality",
+        "revenue_lorenz_deciles",
+        "quality_deciles",
+        "ccnet_perplexity_buckets",
     ],
 )
 def test_no_global_row_ntile(spark, name):

@@ -296,8 +296,12 @@ def test_drawdown_matches_numpy(spark, events_pd):
     assert row.max_drawdown > 0
     assert row.max_drawdown == pytest.approx(draw[i], abs=1e-6)
     assert pd.Timestamp(row.trough_day) == x.index[i]
+    # r13 rework: the TRUE maximum relative drawdown (max over days of
+    # draw/peak), not draw/peak at the absolute-drawdown argmax
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(peak > 0, draw / peak, np.nan)
     assert row.max_drawdown_frac == pytest.approx(
-        draw[i] / peak[i], rel=1e-6
+        np.nanmax(frac), rel=1e-6
     )
 
 
