@@ -45,9 +45,12 @@ Supported grammar (case-insensitive keywords; ``"ident"`` double quotes,
 
 Faithfulness notes:
 
-- ``GROUP BY time(d)`` buckets are EPOCH-ALIGNED floors for every unit
-  (InfluxDB aligns sub-day units to epoch; its calendar-week anchor is not
-  reproduced).
+- ``GROUP BY time(d)`` buckets are EPOCH-ALIGNED floors for sub-week
+  units (as InfluxDB aligns them); week-multiple intervals anchor to
+  calendar Monday 00:00 (ISO weeks, = DuckDB ``date_trunc('week')``) —
+  a bare epoch-mod would put weekly boundaries on Thursdays, 3 days off
+  every weekly dashboard (r13; ``influxql_weekly_mean`` is the
+  oracle-paired pin).
 - ``fill(...)`` emits the full bucket grid between the WHERE time bounds
   (both bounds required — same requirement Grafana's ``$timeFilter``
   satisfies); ``fill(none)``/no fill emits only buckets with data, and the
@@ -844,6 +847,15 @@ def influxql(
     # zone's wall clock per instant (DST-correct bucket boundaries)
     def _floor_ts(c: Column) -> Column:
         sec, off = q.group_interval_s, q.group_offset_s
+        # calendar week anchor (r12 verdict item 6): a bare epoch-mod
+        # floor for 1w lands bucket boundaries on THURSDAYS (epoch day
+        # zero, 1970-01-01, was one) — 3 days off every weekly
+        # dashboard.  Week-multiple intervals anchor to Monday
+        # 1970-01-05 00:00 (= +345600 s) instead, matching DuckDB/ISO
+        # date_trunc('week'); an explicit time(1w, <off>) offset still
+        # applies on top of the calendar anchor.
+        if sec % 604800 == 0:
+            off += 345600
         local = F.from_utc_timestamp(c, q.tz) if q.tz else c
         sh = F.unix_timestamp(local) - off
         fl = F.timestamp_seconds(sh - (sh % sec) + off)

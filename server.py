@@ -79,21 +79,53 @@ def _influx_payload_multi(
     results = []
     for sid, stmt in enumerate(_split_statements(q)):
         try:
-            df, measurement = query_runner(stmt)
+            out = query_runner(stmt)
+            df, measurement = out[0], out[1]
+            # GROUP BY tags (3-tuple runners): InfluxDB splits the
+            # response into one series PER TAG COMBINATION with the tag
+            # values in a "tags" object, not flattened into columns —
+            # Grafana's alias-by-series ($tag_x) panels depend on it
+            group_tags = list(out[2]) if len(out) > 2 and out[2] else []
             # collect cap+1 so truncation is detectable; InfluxDB marks a
             # clipped response with "partial": true and Grafana surfaces it
             rows = df.limit(QUERY_ROW_CAP + 1).collect()
             partial = len(rows) > QUERY_ROW_CAP
             rows = rows[:QUERY_ROW_CAP]
             cols = df.columns
-            series = {
-                "name": measurement,
-                "columns": cols,
-                "values": [[cell(r[c]) for c in cols] for r in rows],
-            }
+            if group_tags:
+                val_cols = [c for c in cols if c not in group_tags]
+                by_tags: dict[tuple, list] = {}
+                for r in rows:
+                    k = tuple(
+                        "" if r[t] is None else str(r[t])
+                        for t in group_tags
+                    )
+                    by_tags.setdefault(k, []).append(
+                        [cell(r[c]) for c in val_cols]
+                    )
+                series_list = [
+                    {
+                        "name": measurement,
+                        "tags": dict(zip(group_tags, k)),
+                        "columns": val_cols,
+                        "values": by_tags[k],
+                    }
+                    for k in sorted(by_tags)
+                ]
+            else:
+                series_list = [
+                    {
+                        "name": measurement,
+                        "columns": cols,
+                        "values": [
+                            [cell(r[c]) for c in cols] for r in rows
+                        ],
+                    }
+                ]
             if partial:
-                series["partial"] = True
-            entry = {"statement_id": sid, "series": [series]}
+                for s in series_list:
+                    s["partial"] = True
+            entry = {"statement_id": sid, "series": series_list}
             if partial:
                 entry["partial"] = True
             results.append(entry)
@@ -188,8 +220,11 @@ def serve(
 
 def make_query_runner(spark):
     """``query_runner`` over the session's temp views: parses the InfluxQL
-    string once for the measurement name, then translates via
-    :func:`riot_graphs_spark.functions.influxql.influxql`."""
+    string once for the measurement name + GROUP BY tags, then translates
+    via :func:`riot_graphs_spark.functions.influxql.influxql`.  Returns
+    ``(df, measurement, group_tags)`` — the tags drive the per-tag series
+    split in the wire response (InfluxDB emits one series per tag
+    combination; Grafana's ``$tag_x`` aliasing reads it)."""
     from riot_graphs_spark.functions.influxql import (
         influxql,
         parse_influxql,
@@ -200,9 +235,12 @@ def make_query_runner(spark):
         shown = parse_show(q)
         if shown is not None:
             name = shown[1] or shown[0].lower().replace(" ", "_")
+            tags: list[str] = []
         else:
-            name = parse_influxql(q).measurement
-        return influxql(spark, q), name
+            parsed = parse_influxql(q)
+            name = parsed.measurement
+            tags = list(parsed.group_tags)
+        return influxql(spark, q), name, tags
 
     return run
 

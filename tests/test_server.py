@@ -241,3 +241,43 @@ def test_query_payload_marks_truncation_partial(spark, sf_dir):
         assert "partial" not in body2["results"][0]["series"][0]
     finally:
         srv.QUERY_ROW_CAP = old
+
+
+def test_query_endpoint_splits_series_per_tag_combination(spark, sf_dir):
+    """InfluxDB emits one series object PER GROUP BY tag combination with
+    the tag values in a "tags" dict (not flattened into columns) —
+    Grafana's $tag_x alias-by-series panels consume exactly this shape
+    (r12 verdict item 5; closes the docs/INFLUXQL.md flatten deviation)."""
+    from server import _influx_payload_multi, make_query_runner
+    from riot_graphs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    runner = make_query_runner(spark)
+    body = json.loads(
+        _influx_payload_multi(
+            runner,
+            "SELECT count(value) AS n FROM events "
+            "GROUP BY time(1d), event_type ORDER BY time ASC",
+        )
+    )
+    series = body["results"][0]["series"]
+    assert len(series) > 1  # one per event_type, not one flattened table
+    names = [s["tags"]["event_type"] for s in series]
+    assert names == sorted(names)  # deterministic series order
+    for s in series:
+        assert s["name"] == "events"
+        assert set(s["tags"].keys()) == {"event_type"}
+        # tag column is NOT flattened into the value columns
+        assert s["columns"] == ["time", "n"]
+        assert len(s["values"]) >= 1
+        assert s["values"][0][0].endswith("Z")
+    # tagless GROUP BY time stays a single series with no tags object
+    body2 = json.loads(
+        _influx_payload_multi(
+            runner,
+            "SELECT count(value) AS n FROM events "
+            "GROUP BY time(1d) ORDER BY time ASC LIMIT 2",
+        )
+    )
+    s2 = body2["results"][0]["series"]
+    assert len(s2) == 1 and "tags" not in s2[0]

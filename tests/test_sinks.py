@@ -485,3 +485,136 @@ def test_write_with_bloom_filters_size_and_readback(spark, tmp_path):
     probe = df.filter("id = 12345").collect()[0]["k"]
     got = back.filter(back["k"] == probe).collect()
     assert any(r["id"] == 12345 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# r13: concurrent-writer upsert (merge_upsert_partitions + partition leases)
+# ---------------------------------------------------------------------------
+def _read_map(spark, path):
+    out = {}
+    for r in spark.read.parquet(path).collect():
+        # partition-column inference reads date= back as datetime.date
+        out[(str(r["date"]), r["board"])] = r["text"]
+    return out
+
+
+def test_merge_upsert_two_writer_interleaving_loses_nothing(spark, tmp_path):
+    """Two writers land PARTIAL batches into the same partition — the
+    keyed merge must keep both writers' keys (plain dynamic overwrite
+    would clobber writer A's rows with writer B's partial batch)."""
+    from riot_graphs_spark.sources.sinks import merge_upsert_partitions
+
+    sink = str(tmp_path / "merge")
+    a = with_date_partition(
+        spark.createDataFrame(
+            [
+                Row(ts=dt.datetime(2024, 1, 1, 4, tzinfo=UTC), board="b1", text=10),
+                Row(ts=dt.datetime(2024, 1, 1, 5, tzinfo=UTC), board="b2", text=11),
+            ]
+        )
+    )
+    b = with_date_partition(
+        spark.createDataFrame(
+            [
+                # overlaps A on (date, b2): later writer wins that key
+                Row(ts=dt.datetime(2024, 1, 1, 6, tzinfo=UTC), board="b2", text=22),
+                Row(ts=dt.datetime(2024, 1, 1, 7, tzinfo=UTC), board="b3", text=23),
+            ]
+        )
+    )
+    merge_upsert_partitions(a, sink, key=["date", "board"])
+    merge_upsert_partitions(b, sink, key=["date", "board"])
+    got = _read_map(spark, sink)
+    # no lost rows (b1 survives B's partial batch), no duplicates, B wins b2
+    assert got == {
+        ("2024-01-01", "b1"): 10,
+        ("2024-01-01", "b2"): 22,
+        ("2024-01-01", "b3"): 23,
+    }
+    # replay idempotence: running B again converges to the same state
+    merge_upsert_partitions(b, sink, key=["date", "board"])
+    assert _read_map(spark, sink) == got
+
+
+def test_merge_upsert_touches_only_batch_partitions(spark, tmp_path):
+    from riot_graphs_spark.sources.sinks import merge_upsert_partitions
+
+    sink = str(tmp_path / "merge2")
+    day1 = with_date_partition(
+        spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 1, 4, tzinfo=UTC), board="b1", text=1)]
+        )
+    )
+    day2 = with_date_partition(
+        spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 2, 4, tzinfo=UTC), board="b1", text=2)]
+        )
+    )
+    merge_upsert_partitions(day1, sink, key=["date", "board"])
+    f1 = os.path.getmtime(os.path.join(sink, "date=2024-01-01"))
+    merge_upsert_partitions(day2, sink, key=["date", "board"])
+    # day-1 directory untouched by the day-2 merge
+    assert os.path.getmtime(os.path.join(sink, "date=2024-01-01")) == f1
+    assert _read_map(spark, sink) == {
+        ("2024-01-01", "b1"): 1,
+        ("2024-01-02", "b1"): 2,
+    }
+
+
+def test_merge_upsert_lease_contention_raises_then_recovers(spark, tmp_path):
+    """A held lease blocks an interleaved writer (ConcurrentWriteError
+    after the timeout); releasing it lets the writer through."""
+    import json
+
+    from riot_graphs_spark.sources.sinks import (
+        ConcurrentWriteError,
+        merge_upsert_partitions,
+    )
+
+    sink = str(tmp_path / "merge3")
+    batch = with_date_partition(
+        spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 1, 4, tzinfo=UTC), board="b1", text=1)]
+        )
+    )
+    lease_dir = os.path.join(sink, "_leases")
+    os.makedirs(lease_dir)
+    lease = os.path.join(lease_dir, "date=2024-01-01.lease")
+    with open(lease, "w") as f:
+        json.dump({"writer": "other", "epoch": 0}, f)
+    os.utime(lease)  # fresh mtime: NOT stale
+    with pytest.raises(ConcurrentWriteError):
+        merge_upsert_partitions(
+            batch, sink, key=["date", "board"], acquire_timeout_s=0.6,
+            poll_s=0.1,
+        )
+    os.unlink(lease)
+    merge_upsert_partitions(batch, sink, key=["date", "board"])
+    assert _read_map(spark, sink) == {("2024-01-01", "b1"): 1}
+    # leases are released after a successful merge
+    assert os.listdir(lease_dir) == []
+
+
+def test_merge_upsert_breaks_stale_lease(spark, tmp_path):
+    """A lease older than the TTL is presumed dead and broken."""
+    import json
+
+    from riot_graphs_spark.sources.sinks import merge_upsert_partitions
+
+    sink = str(tmp_path / "merge4")
+    batch = with_date_partition(
+        spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 1, 4, tzinfo=UTC), board="b1", text=1)]
+        )
+    )
+    lease_dir = os.path.join(sink, "_leases")
+    os.makedirs(lease_dir)
+    lease = os.path.join(lease_dir, "date=2024-01-01.lease")
+    with open(lease, "w") as f:
+        json.dump({"writer": "dead", "epoch": 0}, f)
+    os.utime(lease, (0, 0))  # ancient mtime: stale
+    merge_upsert_partitions(
+        batch, sink, key=["date", "board"], lease_ttl_s=60.0,
+        acquire_timeout_s=5.0, poll_s=0.1,
+    )
+    assert _read_map(spark, sink) == {("2024-01-01", "b1"): 1}
