@@ -92,7 +92,7 @@ _AGG_FUNCS = {
 _WINDOW_FUNCS = {
     "derivative", "non_negative_derivative", "moving_average",
     "cumulative_sum", "difference", "non_negative_difference",
-    "holt_winters",
+    "holt_winters", "kaufmans_efficiency_ratio",
 }
 
 #: Row-selector functions: emit the N extreme POINTS (with their own
@@ -246,12 +246,12 @@ def _parse_item(raw: str) -> _Item:
                 )
             alias = _unquote(m.group("alias")) if m.group("alias") else None
             item = _Item(func, inner.field, None, alias, inner=inner)
-            if func == "moving_average":
+            if func in ("moving_average", "kaufmans_efficiency_ratio"):
                 if len(args) != 2:
-                    raise InfluxQLError("moving_average(agg(f), N) takes two args")
-                item.arg = _num(args[1], "moving_average window")
+                    raise InfluxQLError(f"{func}(agg(f), N) takes two args")
+                item.arg = _num(args[1], f"{func} window")
                 if item.arg < 1 or item.arg != int(item.arg):
-                    raise InfluxQLError("moving_average window must be a positive int")
+                    raise InfluxQLError(f"{func} window must be a positive int")
             elif func in (
                 "cumulative_sum", "difference", "non_negative_difference"
             ):
@@ -1188,6 +1188,30 @@ def influxql(
                     i.out,
                     F.sum(c.cast("decimal(28,6)")).over(frame).cast("double"),
                 )
+            elif i.func == "kaufmans_efficiency_ratio":
+                # ER = |x_t − x_{t−N}| / Σ_{last N} |x_i − x_{i−1}| —
+                # trend efficiency in [0,1]; per-bucket |Δ| is staged as
+                # a real column (HOF/CSE discipline), the N-window
+                # volatility sums in DECIMAL, defined from bucket N+1
+                # (needs the lag-N point); an all-flat window (vol 0)
+                # yields NULL via try_divide, not a division error
+                n = int(i.arg)
+                out = out.withColumn(
+                    f"_ker_d_{i.out}",
+                    F.round(F.abs(c - F.lag(c, 1).over(w)), 6).cast(
+                        "decimal(28,6)"
+                    ),
+                )
+                frame = w.rowsBetween(-(n - 1), 0)
+                vol = F.sum(F.col(f"_ker_d_{i.out}")).over(frame)
+                change = F.abs(c - F.lag(c, n).over(w))
+                out = out.withColumn(
+                    i.out,
+                    F.when(
+                        F.lag(c, n).over(w).isNotNull(),
+                        F.try_divide(change, vol.cast("double")),
+                    ),
+                ).drop(f"_ker_d_{i.out}")
             elif i.func == "difference":
                 out = out.withColumn(i.out, c - F.lag(c).over(w))
             elif i.func == "non_negative_difference":
