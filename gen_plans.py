@@ -21,6 +21,14 @@ SF_DIR = "/root/testdata/sf0.001"
 #: One representative per plan family — the queries whose physical shape
 #: carries a scale guarantee worth eyeballing.
 SHOWCASE = [
+    # round-13 families: equal-mass distinct-axis buckets (no ntile),
+    # integer-unit DFA profile, label-blocked anchor-sampled TwoNN,
+    # vocab-bounded LLR margins, one-pass session sensitivity
+    "user_decay_engagement",
+    "ts_dfa",
+    "emb_twonn_intrinsic_dim",
+    "collocations_llr_top",
+    "session_gap_sensitivity",
     "flagship_daily_delta",
     "a1_last_of_day",
     "q1_pricing_summary",

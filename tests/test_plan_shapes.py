@@ -471,10 +471,12 @@ def test_containment_is_hash_join_not_nested_loop(spark):
 
 
 def test_ccnet_buckets_window_is_narrow(spark):
-    # the ntile window must run over the narrow (id, lang, score) table —
-    # the document text column must not survive into the window's exchange
+    # r13: buckets cut equal-mass on the per-lang DISTINCT 6-dp score
+    # axis (no per-row ntile); the cumulative window runs over the
+    # grouped (lang, score) table — the document text column must not
+    # survive into any window's exchange
     plan = formatted_plan(spark, "ccnet_perplexity_buckets")
-    assert "ntile" in plan
+    assert "ntile" not in plan
     m = re.search(r"Window.*?Input \[\d+\]: \[([^\]]*)\]", plan, re.S)
     window_into = m.group(1) if m else ""
     assert "text#" not in window_into
