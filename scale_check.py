@@ -658,6 +658,15 @@ QUERY_CASES = [
     # round-7: the one >=1s benched query that had no case (two grouped
     # exact medians + broadcast joins back -> expected ~linear)
     "ts_mad_anomalies",
+    # round-13: every >=1 s registration from the r13 bench slice
+    "graph_modularity_fixed", "supplier_ship_delay_by_nation",
+    "emb_centrality_doclen_corr", "lepage_value_weekend",
+    "eval_ece_quality", "ts_dfa", "segment_priority_independence",
+    "event_burstiness_memory", "ad_value_normal",
+    "mmd_rbf_doclen_en_rest", "ts_transfer_entropy",
+    "influxql_fill_previous", "collocations_llr_top",
+    "emb_twonn_intrinsic_dim", "vocab_heaps_by_source",
+    "orders_priority_mix_psi_monthly",
     # round-7 evaluation layer (every >=1s entry from the registration
     # bench): counts-based AUC/lift over the distinct-score axis,
     # one-scan PR thresholds, broadcast-qrels NDCG/recall, confusion

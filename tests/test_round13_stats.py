@@ -453,7 +453,8 @@ def test_twonn_matches_numpy(spark, emb_pd):
     vecs = np.stack(e["embedding"].values).astype(float)
     labels = e["label"].values
     ids = e["vec_id"].values
-    anchors = ids % 37 == 0
+    modu = max(1, len(e) // 1024)
+    anchors = ids % modu == 0
     lnmu = []
     used = 0
     for ai in np.where(anchors)[0]:
