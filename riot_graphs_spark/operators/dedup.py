@@ -222,6 +222,16 @@ def _minhash_wide(
     return with_h.select(id_col, *mins)
 
 
+def _sig_from_wide(
+    wide: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Posexplode an already-built wide signature to (id, j, minhash)."""
+    sig = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
+    return wide.select(
+        id_col, F.posexplode(sig).alias("j", "minhash")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -232,10 +242,7 @@ def minhash_signatures(
     """MinHash signature rows (doc, j, minhash) for j in [0, num_hashes) —
     the narrow wide-form signature posexploded to relational shape."""
     wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
-    sig = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
-    return wide.select(
-        id_col, F.posexplode(sig).alias("j", "minhash")
-    )
+    return _sig_from_wide(wide, id_col, num_hashes)
 
 
 def minhash_band_buckets(
@@ -251,6 +258,13 @@ def minhash_band_buckets(
     concat_ws per band + a k/band_rows-row posexplode) — no groupBy, no
     collect_list, no shuffle."""
     wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    return _bands_from_wide(wide, id_col, num_hashes, band_rows)
+
+
+def _bands_from_wide(
+    wide: DataFrame, id_col: str, num_hashes: int, band_rows: int
+) -> DataFrame:
+    """Banding projection over an already-built wide signature."""
     keys = F.array(
         *[
             F.concat_ws(
@@ -292,6 +306,13 @@ def minhash_lsh_pairs(
     buckets = minhash_band_buckets(
         docs, id_col, text_col, num_hashes, band_rows, shingle_n
     )
+    return _pairs_from_bands(buckets, id_col, max_bucket_size)
+
+
+def _pairs_from_bands(
+    buckets: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate-pair expansion over an already-built banding table."""
     grouped = buckets.groupBy("band", "band_key").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
     )
@@ -343,7 +364,10 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.size("_arr").alias("n"),
         F.explode("_arr").alias("s"),
-    )
+    # Both sides of the inverted-index self-join read the exploded
+    # shingles; the barrier keeps the tokenize+explode at one run
+    # (r13-opt).
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "s")
     jac = (
@@ -391,7 +415,10 @@ def ngram_containment_pairs(
         F.col(id_col),
         F.size("_arr").alias("n"),
         F.explode("_arr").alias("s"),
-    )
+    # Both sides of the inverted-index self-join read the exploded
+    # shingles; the barrier keeps the tokenize+explode at one run
+    # (r13-opt).
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "s")
     con = (
@@ -592,12 +619,20 @@ def connected_components(
     At billion-edge scale swap the propagation body for the large-star /
     small-star contraction (same loop skeleton, fewer rounds).
     """
-    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the narrow pair projection FIRST: the symmetrizing
+    # union below references ``pairs`` twice, and Spark performs no
+    # common-subtree elimination across union branches — without this
+    # barrier the (possibly expensive) pair-generation plan upstream
+    # runs twice inside the edges checkpoint job (r13-opt: halved the
+    # LSH+verify cost of every CC consumer).
+    fwd = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
     # Materialize the edge list once: every round joins against it, and
-    # without the checkpoint each round would re-run the (possibly
-    # expensive) pair-generation plan upstream of ``pairs``.
+    # without the checkpoint each round would re-run the plan upstream
+    # of ``pairs``.
     edges = (
-        fwd.union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -686,10 +721,18 @@ def connected_components_star(
     # Orientation invariant: edges are always stored big→small (a > b) —
     # both star phases preserve it, so the per-round symmetrization is a
     # duplicate-free union with the reversal (no distinct needed there).
+    # Narrow pair projection materialized FIRST: the oriented edge list
+    # and the all-nodes union below reference ``pairs`` three times in
+    # total, and Spark performs no common-subtree elimination — without
+    # this barrier the (possibly expensive) pair-generation pipeline
+    # upstream would run three times (r13-opt).
+    raw = pairs.select(
+        F.col(src).alias("_ps"), F.col(dst).alias("_pd")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(
-            F.greatest(F.col(src), F.col(dst)).alias("a"),
-            F.least(F.col(src), F.col(dst)).alias("b"),
+        raw.select(
+            F.greatest(F.col("_ps"), F.col("_pd")).alias("a"),
+            F.least(F.col("_ps"), F.col("_pd")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -697,8 +740,8 @@ def connected_components_star(
     )
     # Nodes with only self-loop pairs still owe an output row.
     all_nodes = (
-        pairs.select(F.col(src).alias("id"))
-        .union(pairs.select(F.col(dst).alias("id")))
+        raw.select(F.col("_ps").alias("id"))
+        .union(raw.select(F.col("_pd").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -723,11 +766,16 @@ def connected_components_star(
             .join(m, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()  # v>u≥m(u): output keeps a>b; no mid-round checkpoint
+            # large feeds BOTH small-star inputs (the min table and the
+            # redirect join), and the min table itself is referenced
+            # twice below — barriers keep each phase computed once per
+            # round instead of three times (r13-opt).
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         # small-star on the (already big→small) large-star output:
         # (v, m(u)) for v ∈ Γ⁻(u) ∪ {u}.
-        m = _mins(large)
+        m = _mins(large).localCheckpoint(eager=False)
         # The (count, Σa, Σb) fixpoint signature rides the checkpoint job
         # via ``observe`` — one action per round, no separate edge re-scan.
         obs = Observation()
@@ -986,6 +1034,9 @@ def keep_best_per_cluster(
             "_score",
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
+        # Read by both the per-cluster max_by and the label join-back —
+        # the barrier keeps the docs⋈clusters join at one run (r13-opt).
+        .localCheckpoint(eager=False)
     )
     best = labeled.groupBy("cluster_id").agg(
         F.max_by(
@@ -1370,10 +1421,18 @@ def minhash_estimate_calibration(
     Output: ``(doc_a, doc_b, est_jaccard, exact_jaccard, abs_err)`` —
     exact integer ratios, engine-identical doubles.
     """
-    pairs = minhash_lsh_pairs(
-        docs, id_col, text_col, num_hashes, band_rows, shingle_n
-    )
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    # One wide-signature build serves BOTH the banding/pair channel and
+    # the per-component estimate channel (it is the text-hashing heavy
+    # stage); pairs and the shingle explode below each feed two joins.
+    # Without the three barriers the signature computation ran 3× and the
+    # pair expansion 3× inside one action (r13-opt: 6.0 → ~2.5 s sf0.1).
+    wide = _minhash_wide(
+        docs, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
+    pairs = _pairs_from_bands(
+        _bands_from_wide(wide, id_col, num_hashes, band_rows), id_col
+    ).localCheckpoint(eager=False)
+    sig = _sig_from_wide(wide, id_col, num_hashes)
     sa = sig.select(
         F.col(id_col).alias("doc_a"), "j", F.col("minhash").alias("_ma")
     )
@@ -1399,7 +1458,7 @@ def minhash_estimate_calibration(
         F.explode(
             composed_shingle_hashes(word_hashes, shingle_n)
         ).alias("_h2"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         pairs.join(

@@ -664,6 +664,10 @@ def transition_probs(
         .filter(F.col("_t").isNotNull())
         .groupBy("_f", "_t")
         .agg(F.count(F.lit(1)).alias("_n"))
+        # Read by both the row-total agg and the probability join — the
+        # barrier keeps the fact-sized lead-window pair reduce at one
+        # run (r13-opt).
+        .localCheckpoint(eager=False)
     )
     rowtot = pairs.groupBy("_f").agg(F.sum("_n").alias("_tot"))
     return pairs.join(rowtot, "_f").select(
@@ -715,32 +719,107 @@ def markov_stationary(
             df, user_col=user_col, ts_col=ts_col,
             type_col=type_col, tiebreak=tiebreak,
         ).localCheckpoint()
-    states = p.select(F.col("_f").alias("_s")).distinct()
-    kcount = states.agg(F.count(F.lit(1)).alias("_k"))
-    v = states.crossJoin(F.broadcast(kcount)).select(
-        "_s",
-        F.round(F.lit(1.0) / F.col("_k").cast("double"), 9)
-        .cast("decimal(28,9)")
-        .alias("_val"),
+    # The iteration state is k values (k = observed event types — bounded
+    # and corpus-scale-free), so the 25 synchronous power steps run as
+    # ARRAY expressions over ONE row instead of 25 chained k-row
+    # join+agg+join stages (r13-opt: the join form paid ~50 tiny Spark
+    # stages of pure scheduling/planning overhead per query; the one
+    # corpus-scale stage — the pair reduction — is unchanged).  The
+    # arithmetic is bit-identical: per step and target state, each term
+    # quantizes to round(v_f · p_ft, 9)::decimal(28,9) and the terms sum
+    # in exact decimal(38,9) (order-free), exactly what the k-row
+    # join+``F.sum`` produced; a state drops out of the map exactly when
+    # the old groupBy produced no row for it (no incoming mass).
+    dec9 = "decimal(28,9)"
+    # Accumulator stays at (28,9), NOT (38,9): adding two decimals whose
+    # combined integral digits would need precision 39 trips Spark's
+    # allowPrecisionLoss scale reduction (result decimal(38,8) — the 9th
+    # decimal digit silently truncates).  (28,9)+(28,9) → (29,9) exact,
+    # cast back to (28,9) exact for |v| ≤ 1 — bit-identical to the old
+    # F.sum over decimal(28,9) for these magnitudes.
+    acc9 = "decimal(28,9)"
+    one = p.agg(
+        F.array_sort(F.collect_set("_f")).alias("_states"),
+        F.collect_list(F.struct("_f", "_t", "_p")).alias("_cells"),
+    ).select(
+        "_states",
+        # per-state incoming cell lists (targets outside the FROM-state
+        # set are dropped, as the old states join did)
+        F.transform(
+            "_states",
+            lambda s: F.filter("_cells", lambda c: c["_t"] == s),
+        ).alias("_inc"),
     )
-    for _ in range(iterations):
-        v = (
-            v.join(p, v["_s"] == p["_f"])
-            .groupBy(F.col("_t").alias("_s2"))
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("_val").cast("double") * F.col("_p"), 9
-                    ).cast("decimal(28,9)")
-                ).alias("_val")
-            )
-            .select(F.col("_s2").alias("_s"), "_val")
+    # The whole 25-step trajectory runs as ONE ArrayAggregate fold over
+    # sequence(1, iterations): the accumulator is a materialized VALUE
+    # between steps (never an inlined expression), so there is no
+    # CollapseProject tree blowup and no per-step re-evaluation — one
+    # projection, one task.  Absent-state bookkeeping: the old k-row
+    # groupBy emitted NO row for a state with no incoming mass, and the
+    # absence propagates; here values carry absent-as-exact-zero (an
+    # absent source state provably holds exact decimal 0, so its terms
+    # are round(0·p, 9) = 0 and the decimal sums are unchanged) while a
+    # parallel boolean mask map tracks row existence for the final
+    # filter.
+    v0 = F.map_from_arrays(
+        "_states",
+        F.transform(
+            "_states",
+            lambda _s: F.round(
+                F.lit(1.0) / F.size("_states").cast("double"), 9
+            ).cast(dec9).cast(acc9),
+        ),
+    )
+    m0 = F.map_from_arrays(
+        "_states", F.transform("_states", lambda _s: F.lit(True))
+    )
+    zero = F.struct(v0.alias("v"), m0.alias("m"))
+
+    def _step(acc, _i):
+        vals = F.transform(
+            "_inc",
+            lambda cs: F.aggregate(
+                cs,
+                F.lit(0).cast(acc9),
+                lambda a, c: (
+                    a
+                    + F.round(
+                        F.element_at(acc["v"], c["_f"]).cast("double")
+                        * c["_p"],
+                        9,
+                    ).cast(dec9)
+                ).cast(acc9),
+            ),
         )
-        # keep only FROM-states so the next join is total (sink-only
-        # states would otherwise accumulate then dead-end)
-        v = v.join(states, "_s")
-    return v.select(
-        F.col("_s").alias("event_type"),
+        masks = F.transform(
+            "_inc",
+            lambda cs: F.aggregate(
+                cs,
+                F.lit(False),
+                lambda a, c: a | F.element_at(acc["m"], c["_f"]),
+            ),
+        )
+        return F.struct(
+            F.map_from_arrays("_states", vals).alias("v"),
+            F.map_from_arrays("_states", masks).alias("m"),
+        )
+
+    final = (
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(iterations)),
+            zero,
+            _step,
+            lambda acc: F.map_filter(
+                acc["v"], lambda s, _vv: F.element_at(acc["m"], s)
+            ),
+        )
+        if iterations >= 1
+        else F.map_filter(v0, lambda _s, _vv: F.lit(True))
+    )
+    return one.select(
+        F.explode(final).alias("event_type", "_val")
+    ).select(
+        "event_type",
         F.round(F.col("_val").cast("double"), 9).alias("stationary_prob"),
     )
 

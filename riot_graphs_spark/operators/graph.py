@@ -70,8 +70,15 @@ def pagerank(
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
+        # Materialize the narrow projection FIRST: the mirroring union
+        # references the upstream plan (often an expensive
+        # pair-generation aggregate) twice, and Spark performs no
+        # common-subtree elimination across union branches — without
+        # this barrier that plan runs twice inside the edge-checkpoint
+        # job (r13-opt, the connected_components fix).
+        e = e.localCheckpoint(eager=False)
         e = e.unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
     if dedup_edges:
         e = e.distinct()
@@ -165,7 +172,12 @@ def triangle_counts(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read three times (both orientation joins + the final
+    # profile join) — one barrier keeps the degree aggregate at one run
+    # (r13-opt).
+    deg = und.groupBy("u").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
     # π(u) < π(v) iff (deg(u), u) < (deg(v), v): orient edges π-ascending.
     w_e = (
         e.join(deg.withColumnRenamed("u", "_ku").withColumnRenamed("deg", "_du"), e["u"] == F.col("_ku"))
@@ -322,9 +334,14 @@ def label_propagation(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Narrow projection materialized FIRST: the mirroring union reads
+    # the upstream edge plan twice (no common-subtree elimination across
+    # union branches — r13-opt, the connected_components fix).
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=False)
     und = e.unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=False)
     nodes = und.select(F.col("s").alias("node")).distinct()
     state = (
@@ -396,9 +413,14 @@ def k_core_peel(
     """
     if k < 1 or rounds < 0:
         raise ValueError("need k >= 1 and rounds >= 0")
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Narrow projection materialized FIRST: the mirroring union reads
+    # the upstream edge plan twice (no common-subtree elimination across
+    # union branches — r13-opt, the connected_components fix).
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=False)
     und = e.unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=False)
 
     def _degrees(live_edges: DataFrame) -> DataFrame:
@@ -423,9 +445,16 @@ def k_core_peel(
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetric closure of an undirected ``(src, dst)`` edge list."""
-    return edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    """Symmetric closure of an undirected ``(src, dst)`` edge list.
+
+    The narrow projection is materialized before the mirroring union:
+    both branches read the upstream edge plan and Spark performs no
+    common-subtree elimination across union branches — without the
+    barrier an expensive pair-generation aggregate upstream runs twice
+    (r13-opt, the connected_components fix)."""
+    fwd = edges.select("src", "dst").localCheckpoint(eager=False)
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -448,8 +477,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     NULLs r via ``try_divide``.
     """
     dec = "decimal(38,0)"
-    sym = _sym(edges)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    # Two consumers of sym (deg, stubs join) — checkpoint so the edge
+    # build runs once (r13-opt — see bfs_layers note).
+    sym = _sym(edges).localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_d")
+    ).localCheckpoint(eager=False)
     stubs = (
         sym.join(deg, "src")
         .select(
@@ -511,8 +544,14 @@ def link_prediction_scores(
     Output: *top_k* rows — ``(node_u, node_w, common_neighbors bigint,
     jaccard double, adamic_adar double)`` ordered aa desc (u, w asc).
     """
-    sym = _sym(edges)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    # sym feeds three consumers (deg, the v-keyed self-join fan-out, the
+    # existing-edge anti-join) and deg three more (hub filter, du, dw):
+    # without barriers the upstream edge build re-runs per consumer
+    # (r13-opt — see bfs_layers note).
+    sym = _sym(edges).localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_d")
+    ).localCheckpoint(eager=False)
     mid = sym.join(
         deg.filter(F.col("_d") <= max_hub_degree), "src"
     ).select(
@@ -598,7 +637,14 @@ def bfs_layers(
     Output: one row per layer — ``(layer int, n_nodes bigint)``
     (layer 0 = seeds; unreached nodes absent).
     """
-    sym = _sym(edges)
+    # The symmetric edge list is joined at EVERY level (and the caller's
+    # seed derivation typically reads the same edges): without a
+    # materialization barrier each level re-runs the full edge-building
+    # plan (for the co-purchase graph: distinct + self-join + groupBy) —
+    # measured ~4 recomputations at depth 3.  One lazy localCheckpoint
+    # serves every level from executor-local blocks (r13-opt; the same
+    # discipline pagerank/hits/label_propagation already apply).
+    sym = _sym(edges).localCheckpoint(eager=False)
     frontier = seeds.select(F.col("node")).distinct()
     visited = frontier
     out = [frontier.select(F.lit(0).alias("layer"), "node")]

@@ -2049,45 +2049,96 @@ def _power_steps(mat: DataFrame, iterations: int):
     """``iterations`` decimal-carried power steps over a (_i,_j,_c)
     matrix from the unit all-ones start.  Returns ``(v, lam)``: the
     final unit iterate as (_d, _v) and the 1-row Rayleigh estimate
-    (_lam = the last un-normalized norm).  Each step is a d²-row
-    broadcast join + per-dim 12-dp decimal sum, checkpointed d-row
-    state — the :func:`~.graph.pagerank` loop discipline, so the
-    trajectory is bit-deterministic and SQL-unrollable."""
-    dec12 = "decimal(38,12)"
-    w_all = Window.partitionBy()
-    dims = mat.select(F.col("_i").alias("_d")).distinct()
-    dcount = dims.agg(F.count(F.lit(1)).alias("_k"))
-    v = dims.crossJoin(F.broadcast(dcount)).select(
-        "_d",
-        (F.lit(1.0) / F.sqrt(F.col("_k").cast("double"))).alias("_v"),
+    (_lam = the last un-normalized norm).
+
+    The iteration state is d values (d = embedding dims — fixed and
+    corpus-scale-free), so the steps run as ARRAY expressions over ONE
+    collapsed row instead of per-step d²-row broadcast joins with
+    checkpointed d-row state (r13-opt: the join form paid 2-3 tiny
+    Spark jobs of scheduling/broadcast overhead per step — 10+ jobs per
+    query for the 5-step consumers; the one corpus-scale stage, the
+    covariance build, is unchanged).  Arithmetic is bit-identical: per
+    step u_i = Σ_j round(c_ij·v_j, 12) summed in exact decimal
+    (order-free, exactly what the old groupBy ``F.sum`` produced), ‖u‖
+    from the same 12-dp-quantized decimal sum, one double division per
+    component — so the trajectory stays engine-identical and
+    SQL-unrollable."""
+    # Accumulator/terms at (26,12), NOT (38,12): adding two decimals
+    # whose combined precision would need 39 digits trips Spark's
+    # allowPrecisionLoss scale reduction ((38,12)+(38,12) → result
+    # decimal(38,11) — the 12th decimal digit silently truncates, a
+    # ~1e-9 drift vs the oracle after a few steps).  (26,12)+(26,12) →
+    # (27,12) exact, cast back to (26,12) exact for the ≤1e14
+    # magnitudes here — bit-identical to the old exact F.sum over
+    # decimal(38,12) terms.
+    dec12 = "decimal(26,12)"
+    one = (
+        mat.agg(
+            F.array_sort(F.collect_set("_i")).alias("_dims"),
+            F.collect_list(F.struct("_i", "_j", "_c")).alias("_cells"),
+        )
+        .select(
+            "_dims",
+            # per-dimension row-cell lists (the terms of u_i)
+            F.transform(
+                "_dims",
+                lambda d: F.filter("_cells", lambda c: c["_i"] == d),
+            ).alias("_rows"),
+        )
+        .localCheckpoint(eager=False)
     )
-    final = None
-    for _ in range(iterations):
-        u = (
-            mat.join(F.broadcast(v), mat["_j"] == v["_d"])
-            .select(
-                F.col("_i"),
-                F.round(F.col("_c") * F.col("_v"), 12)
-                .cast(dec12)
-                .alias("_t"),
-            )
-            .groupBy("_i")
-            .agg(F.sum("_t").cast("double").alias("_u"))
+    # The whole trajectory runs as ONE ArrayAggregate fold over
+    # sequence(1, iterations): the accumulator is a materialized VALUE
+    # between steps (never an inlined expression), so chained-projection
+    # inlining cannot blow the tree up and nothing re-evaluates across
+    # steps.  Within a step the u/nm sub-expressions are re-evaluated a
+    # constant number of times — O(d²) array math, microseconds.
+    v0 = F.map_from_arrays(
+        "_dims",
+        F.transform(
+            "_dims",
+            lambda _d: F.lit(1.0)
+            / F.sqrt(F.size("_dims").cast("double")),
+        ),
+    )
+    zero = F.struct(v0.alias("vm"), F.lit(0.0).alias("nm"))
+
+    def _step(acc, _i):
+        u = F.transform(
+            "_rows",
+            lambda cs: F.aggregate(
+                cs,
+                F.lit(0).cast(dec12),
+                lambda a, c: (
+                    a
+                    + F.round(
+                        c["_c"] * F.element_at(acc["vm"], c["_j"]), 12
+                    ).cast(dec12)
+                ).cast(dec12),
+            ).cast("double"),
         )
-        final = u.select(
-            "_i",
-            "_u",
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("_u") * F.col("_u"), 12).cast(dec12)
-                ).over(w_all).cast("double")
-            ).alias("_nm"),
-        ).localCheckpoint(eager=False)
-        v = final.select(
-            F.col("_i").alias("_d"),
-            (F.col("_u") / F.col("_nm")).alias("_v"),
+        nm = F.sqrt(
+            F.aggregate(
+                u,
+                F.lit(0).cast(dec12),
+                lambda a, x: (
+                    a + F.round(x * x, 12).cast(dec12)
+                ).cast(dec12),
+            ).cast("double")
         )
-    lam = final.select(F.col("_nm").alias("_lam")).limit(1)
+        vm = F.map_from_arrays(
+            "_dims", F.transform(u, lambda x: x / nm)
+        )
+        return F.struct(vm.alias("vm"), nm.alias("nm"))
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iterations)), zero, _step
+    )
+    # stage the fold result once; the exploded iterate and the 1-row
+    # lambda reader below share it
+    one = one.select(fold.alias("_st")).localCheckpoint(eager=False)
+    v = one.select(F.explode(F.col("_st")["vm"]).alias("_d", "_v"))
+    lam = one.select(F.col("_st")["nm"].alias("_lam"))
     return v, lam
 
 

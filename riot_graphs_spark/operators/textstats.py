@@ -90,29 +90,38 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: count profile-word hits per language,
-    pick the argmax (ties broken by language code order — deterministic)."""
-    toks = tokens(text_col)
+    pick the argmax (ties broken by language code order — deterministic).
 
-    def profile_hits(ws: tuple[str, ...]) -> Column:
-        # single-arg lambda: higher-order filter dispatches on lambda arity
-        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
-
-    scores = {
-        lang: profile_hits(words) for lang, words in sorted(LANG_PROFILES.items())
-    }
+    The token array and the per-language scores are STAGED as
+    materialized select columns (r13-opt): inlined, the regex tokenizer
+    re-evaluated once per language profile and the argmax when-chain
+    re-embedded each score expression — staging makes the downstream
+    argmax read cheap attributes instead (the text_compressibility
+    staging lesson, round 9)."""
+    langs = sorted(LANG_PROFILES)
+    staged = docs.withColumn("_pl_toks", tokens(text_col))
+    scored = staged.select(
+        "*",
+        *[
+            F.size(
+                # single-arg lambda: higher-order filter dispatches on
+                # lambda arity
+                F.filter("_pl_toks", lambda t: t.isin(*LANG_PROFILES[lang]))
+            ).alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
     best = None
-    best_lang = F.lit(sorted(LANG_PROFILES)[0])
-    for lang, score in scores.items():
+    best_lang = F.lit(langs[0])
+    for lang in langs:
+        score = F.col(f"score_{lang}")
         if best is None:
             best = score
         else:
             gt = score > best
             best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
             best = F.when(gt, score).otherwise(best)
-    out = docs.select(
-        "*", *[scores[lang].alias(f"score_{lang}") for lang in scores]
-    )
-    return out.withColumn("predicted_lang", best_lang)
+    return scored.withColumn("predicted_lang", best_lang).drop("_pl_toks")
 
 
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
