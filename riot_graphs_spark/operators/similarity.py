@@ -2071,7 +2071,19 @@ def _power_steps(mat: DataFrame, iterations: int):
     # (27,12) exact, cast back to (26,12) exact for the ≤1e14
     # magnitudes here — bit-identical to the old exact F.sum over
     # decimal(38,12) terms.
+    from ..operators.dedup import bind_array as _bind
+
     dec12 = "decimal(26,12)"
+    # Cells carry the 1-based POSITION of their column index in the
+    # sorted dim array (array_position, computed once in this staged
+    # projection — mat is symmetric, so every _j appears in _dims), and
+    # the state vector is a plain dim-aligned ARRAY: every state lookup
+    # in the fold is then an O(1) element_at instead of an O(d) map
+    # scan — at d=64 the map form paid d³·iterations interpreted
+    # comparisons and measured SLOWER than the join loop it replaced.
+    # _icells is bound once (bind_array) or the per-dim filter below
+    # would inline and re-evaluate the 4096 array_position calls d
+    # times.
     one = (
         mat.agg(
             F.array_sort(F.collect_set("_i")).alias("_dims"),
@@ -2079,10 +2091,26 @@ def _power_steps(mat: DataFrame, iterations: int):
         )
         .select(
             "_dims",
-            # per-dimension row-cell lists (the terms of u_i)
-            F.transform(
-                "_dims",
-                lambda d: F.filter("_cells", lambda c: c["_i"] == d),
+            _bind(
+                F.transform(
+                    "_cells",
+                    lambda c: F.struct(
+                        c["_i"].alias("i"),
+                        c["_c"].alias("c"),
+                        F.array_position(F.col("_dims"), c["_j"])
+                        .cast("int")
+                        .alias("ji"),
+                    ),
+                ),
+                lambda ic: F.transform(
+                    "_dims",
+                    lambda d: F.transform(
+                        F.filter(ic, lambda cc: cc["i"] == d),
+                        lambda cc: F.struct(
+                            cc["c"].alias("c"), cc["ji"].alias("ji")
+                        ),
+                    ),
+                ),
             ).alias("_rows"),
         )
         .localCheckpoint(eager=False)
@@ -2091,20 +2119,18 @@ def _power_steps(mat: DataFrame, iterations: int):
     # sequence(1, iterations): the accumulator is a materialized VALUE
     # between steps (never an inlined expression), so chained-projection
     # inlining cannot blow the tree up and nothing re-evaluates across
-    # steps.  Within a step the u/nm sub-expressions are re-evaluated a
-    # constant number of times — O(d²) array math, microseconds.
-    v0 = F.map_from_arrays(
+    # steps.  Within a step, u and nm are BOUND once via the bind_array
+    # trick (transform over a singleton array) — referenced per output
+    # component they would otherwise re-evaluate the whole O(d²) fold
+    # per reference.
+    v0 = F.transform(
         "_dims",
-        F.transform(
-            "_dims",
-            lambda _d: F.lit(1.0)
-            / F.sqrt(F.size("_dims").cast("double")),
-        ),
+        lambda _d: F.lit(1.0) / F.sqrt(F.size("_dims").cast("double")),
     )
-    zero = F.struct(v0.alias("vm"), F.lit(0.0).alias("nm"))
+    zero = F.struct(v0.alias("va"), F.lit(0.0).alias("nm"))
 
     def _step(acc, _i):
-        u = F.transform(
+        u_expr = F.transform(
             "_rows",
             lambda cs: F.aggregate(
                 cs,
@@ -2112,32 +2138,45 @@ def _power_steps(mat: DataFrame, iterations: int):
                 lambda a, c: (
                     a
                     + F.round(
-                        c["_c"] * F.element_at(acc["vm"], c["_j"]), 12
+                        c["c"] * F.element_at(acc["va"], c["ji"]), 12
                     ).cast(dec12)
                 ).cast(dec12),
             ).cast("double"),
         )
-        nm = F.sqrt(
-            F.aggregate(
-                u,
-                F.lit(0).cast(dec12),
-                lambda a, x: (
-                    a + F.round(x * x, 12).cast(dec12)
-                ).cast(dec12),
-            ).cast("double")
-        )
-        vm = F.map_from_arrays(
-            "_dims", F.transform(u, lambda x: x / nm)
-        )
-        return F.struct(vm.alias("vm"), nm.alias("nm"))
+
+        def _after_u(u):
+            nm_expr = F.sqrt(
+                F.aggregate(
+                    u,
+                    F.lit(0).cast(dec12),
+                    lambda a, x: (
+                        a + F.round(x * x, 12).cast(dec12)
+                    ).cast(dec12),
+                ).cast("double")
+            )
+            return _bind(
+                nm_expr,
+                lambda nm: F.struct(
+                    F.transform(u, lambda x: x / nm).alias("va"),
+                    nm.alias("nm"),
+                ),
+            )
+
+        return _bind(u_expr, _after_u)
 
     fold = F.aggregate(
         F.sequence(F.lit(1), F.lit(iterations)), zero, _step
     )
     # stage the fold result once; the exploded iterate and the 1-row
     # lambda reader below share it
-    one = one.select(fold.alias("_st")).localCheckpoint(eager=False)
-    v = one.select(F.explode(F.col("_st")["vm"]).alias("_d", "_v"))
+    one = one.select("_dims", fold.alias("_st")).localCheckpoint(
+        eager=False
+    )
+    v = one.select(
+        "_dims", F.posexplode(F.col("_st")["va"]).alias("_k", "_v")
+    ).select(
+        F.element_at("_dims", F.col("_k") + 1).alias("_d"), "_v"
+    )
     lam = one.select(F.col("_st")["nm"].alias("_lam"))
     return v, lam
 

@@ -583,7 +583,10 @@ def bpe_train(
         for a, b in batch:  # rank order; merges provably independent
             merges.append((a, b))
             col = _merge_adjacent(col, a, b)
-        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=True)
+        # Lazy: the rewrite materializes inside the NEXT round's pair
+        # aggregation instead of as its own driver round-trip — same
+        # lineage cut, half the per-round jobs (r13-opt).
+        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=False)
     return merges
 
 
