@@ -1832,13 +1832,26 @@ def covariance_top_pairs(
     """
     dec = "decimal(38,0)"
     pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=False)
+    # Long-buffer exact integer sums (functions.fastsum) — value- and
+    # type-identical to the decimal(38,0) form, ~7× cheaper per sum
+    # (r13-opt; see _scaled_cov_matrix).
+    from ..functions import fastsum as fs
+
+    moments = [
+        ("sx", F.col("_sa")),
+        ("sy", F.col("_sb")),
+        ("sxx", F.col("_sa") * F.col("_sa")),
+        ("syy", F.col("_sb") * F.col("_sb")),
+        ("sxy", F.col("_sa") * F.col("_sb")),
+    ]
     agg = pairs.groupBy("_ia", "_ib").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_sa").cast(dec)).alias("_sx"),
-        F.sum(F.col("_sb").cast(dec)).alias("_sy"),
-        F.sum((F.col("_sa") * F.col("_sa")).cast(dec)).alias("_sxx"),
-        F.sum((F.col("_sb") * F.col("_sb")).cast(dec)).alias("_syy"),
-        F.sum((F.col("_sa") * F.col("_sb")).cast(dec)).alias("_sxy"),
+        *[c for tag, e in moments for c in fs.parts_int(e, tag)],
+    ).select(
+        "_ia",
+        "_ib",
+        "_n",
+        *[fs.value_int(tag).alias(f"_{tag}") for tag, _ in moments],
     )
     nn = F.col("_n").cast(dec)
     num = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
@@ -2021,11 +2034,24 @@ def _scaled_cov_matrix(
     the aggregate; lazily checkpointed — d² rows serve every consumer."""
     d0 = "decimal(38,0)"
     pairs = _row_local_dim_pairs(df, vec_col, scale, include_diagonal=True)
+    # Exact integer moment sums over LONG buffers (functions.fastsum):
+    # value- and type-identical to sum(cast(decimal(38,0))) — >18-precision
+    # decimal agg buffers were ~7× the cost of the whole pair fan-out
+    # (r13-opt).  |_sa·_sb| ≤ (scale·|x|max)² ≈ 10^11 ≪ the 10^12 bound.
+    from ..functions import fastsum as fs
+
     agg = pairs.groupBy("_ia", "_ib").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_sa").cast(d0)).alias("_sx"),
-        F.sum(F.col("_sb").cast(d0)).alias("_sy"),
-        F.sum((F.col("_sa") * F.col("_sb")).cast(d0)).alias("_sxy"),
+        *fs.parts_int(F.col("_sa"), "sx"),
+        *fs.parts_int(F.col("_sb"), "sy"),
+        *fs.parts_int(F.col("_sa") * F.col("_sb"), "sxy"),
+    ).select(
+        "_ia",
+        "_ib",
+        "_n",
+        fs.value_int("sx").alias("_sx"),
+        fs.value_int("sy").alias("_sy"),
+        fs.value_int("sxy").alias("_sxy"),
     )
     nn = F.col("_n").cast(d0)
     nd = F.col("_n").cast("double")
