@@ -76,22 +76,29 @@ def parts(expr: Column, tag: str, scale: int = 9) -> list[Column]:
     ]
 
 
-def value(tag: str, scale: int = 9) -> Column:
-    """Reconstruct the exact sum (as double) from :func:`parts` columns.
+def value_dec(tag: str, scale: int = 9) -> Column:
+    """Reconstruct the exact sum from :func:`parts` as a decimal of scale
+    ``scale`` — for call sites that consume the decimal itself (sort
+    keys, further decimal arithmetic).  Result type decimal(38,scale),
+    the type ``sum(cast(decimal(28,scale)))`` would have produced.
 
     decimal(22,0)·10^6 + decimal(22,0) fits decimal(28,0); the final
     ×10^-scale multiply must stay ≤ precision 38 or allowPrecisionLoss
     silently drops output scale (the (38,0)×(9,9) → (38,6) trap) —
     hence the explicit narrow cast before the multiply.
     """
+    p = 38 - scale - 1  # total×(scale,scale) must stay ≤ precision 38
     total = (
         F.col(f"_fs_{tag}_hi").cast("decimal(22,0)")
         * F.lit(_M).cast("decimal(7,0)")
         + F.col(f"_fs_{tag}_lo").cast("decimal(22,0)")
-    ).cast("decimal(28,0)")
-    return (
-        total * F.expr(f"CAST(1e-{scale} AS DECIMAL({scale},{scale}))")
-    ).cast("double")
+    ).cast(f"decimal({p},0)")
+    return total * F.expr(f"CAST(1e-{scale} AS DECIMAL({scale},{scale}))")
+
+
+def value(tag: str, scale: int = 9) -> Column:
+    """Reconstruct the exact sum (as double) from :func:`parts` columns."""
+    return value_dec(tag, scale).cast("double")
 
 
 def parts_int(expr: Column, tag: str) -> list[Column]:
@@ -117,6 +124,36 @@ def value_int(tag: str, out: str = "decimal(38,0)") -> Column:
         F.col(f"_fs_{tag}_hi").cast("decimal(22,0)")
         * F.lit(_M).cast("decimal(7,0)")
         + F.col(f"_fs_{tag}_lo").cast("decimal(22,0)")
+    ).cast(out)
+
+
+def parts3_int(expr: Column, tag: str) -> list[Column]:
+    """Three-way integer split (3 long sums): per-term ``|expr|`` up to
+    ~9·10^18 with ~10^12-row-per-group headroom — for degree-product
+    moments where a hub can push single terms past :func:`parts_int`'s
+    10^12 comfort zone."""
+    u = expr.cast("long")
+    r1 = u % _M
+    q1 = ((u - r1) / F.lit(_M)).cast("long")
+    r2 = q1 % _M
+    q2 = ((q1 - r2) / F.lit(_M)).cast("long")
+    return [
+        F.sum(q2).alias(f"_fs_{tag}_h2"),
+        F.sum(r2).alias(f"_fs_{tag}_h1"),
+        F.sum(r1).alias(f"_fs_{tag}_lo"),
+    ]
+
+
+def value3_int(tag: str, out: str = "decimal(38,0)") -> Column:
+    """Reconstruct the exact integer total from :func:`parts3_int`."""
+    return (
+        (
+            F.col(f"_fs_{tag}_h2").cast("decimal(22,0)")
+            * F.lit(_M).cast("decimal(7,0)")
+            + F.col(f"_fs_{tag}_h1").cast("decimal(22,0)")
+        ).cast("decimal(30,0)")
+        * F.lit(_M).cast("decimal(7,0)")
+        + F.col(f"_fs_{tag}_lo").cast("decimal(30,0)")
     ).cast(out)
 
 

@@ -13,8 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import fastsum as _fs
+
 #: Exact-decimal carrier for cross-row double sums (FP addition order
 #: would otherwise make every iteration nondeterministic run-to-run).
+#: Hot edge-mass aggregations use the value-identical long-buffer form
+#: (functions.fastsum) instead; _DEC remains for small-row-count totals.
 _DEC = "decimal(28,12)"
 
 
@@ -110,6 +114,10 @@ def pagerank(
     teleport = F.lit(1.0) - F.lit(damping)
     for _ in range(iterations):
         pr_side = F.broadcast(pr) if broadcast_scores else pr
+        # Long-buffer exact sum (functions.fastsum): value-identical to
+        # sum(cast(decimal(28,12))) — terms are |pr/od| ≤ 1, far inside
+        # the scale-12 recovery bound (r13-opt: the >18-precision decimal
+        # buffer paid a BigDecimal round trip per edge per iteration).
         acc = (
             ew.join(pr_side, ew["s"] == pr_side["node"])
             .select(
@@ -117,7 +125,8 @@ def pagerank(
                 (F.col("pr") / F.col("_od")).alias("_m"),
             )
             .groupBy("node")
-            .agg(F.sum(F.col("_m").cast(_DEC)).cast("double").alias("_acc"))
+            .agg(*_fs.parts(F.col("_m"), "m", scale=12))
+            .select("node", _fs.value("m", scale=12).alias("_acc"))
         )
         if undirected:
             # Mirrored edges ⇒ every node receives mass ⇒ ``acc`` already
@@ -284,16 +293,22 @@ def hits(
     _maybe_bc = F.broadcast if broadcast_scores else (lambda df: df)
     auth = None
     for _ in range(iterations):
+        # Long-buffer exact edge-mass sums (functions.fastsum): terms are
+        # the opposite side's scores — 1.0 at init, ≤ 1 after every L1
+        # normalize — inside the scale-12 bound.  The small per-side L1
+        # total in _l1 (one row per node) stays on the decimal path.
         auth = _l1(
             e.join(_maybe_bc(hub), e["s"] == hub["node"])
             .groupBy(F.col("d").alias("node"))
-            .agg(F.sum(F.col("h").cast(_DEC)).cast("double").alias("a")),
+            .agg(*_fs.parts(F.col("h"), "h", scale=12))
+            .select("node", _fs.value("h", scale=12).alias("a")),
             "a",
         )
         hub = _l1(
             e.join(_maybe_bc(auth), e["d"] == auth["node"])
             .groupBy(F.col("s").alias("node"))
-            .agg(F.sum(F.col("a").cast(_DEC)).cast("double").alias("h")),
+            .agg(*_fs.parts(F.col("a"), "a", scale=12))
+            .select("node", _fs.value("a", scale=12).alias("h")),
             "h",
         )
     return hub.select(
@@ -496,13 +511,24 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             "dst",
         )
     )
+    # Long-buffer exact integer moments (functions.fastsum): value- and
+    # type-identical to the decimal(38,0) sums (r13-opt).  Plain degrees
+    # ride the 2-way split; degree PRODUCTS use the 3-way split so a
+    # ~10^9-degree hub still can't overflow a part sum.
     agg = stubs.agg(
         F.count(F.lit(1)).alias("_m2"),
-        F.sum(F.col("_du").cast(dec)).alias("_sx"),
-        F.sum(F.col("_dv").cast(dec)).alias("_sy"),
-        F.sum((F.col("_du") * F.col("_du")).cast(dec)).alias("_sxx"),
-        F.sum((F.col("_dv") * F.col("_dv")).cast(dec)).alias("_syy"),
-        F.sum((F.col("_du") * F.col("_dv")).cast(dec)).alias("_sxy"),
+        *_fs.parts_int(F.col("_du"), "sx"),
+        *_fs.parts_int(F.col("_dv"), "sy"),
+        *_fs.parts3_int(F.col("_du") * F.col("_du"), "sxx"),
+        *_fs.parts3_int(F.col("_dv") * F.col("_dv"), "syy"),
+        *_fs.parts3_int(F.col("_du") * F.col("_dv"), "sxy"),
+    ).select(
+        "_m2",
+        _fs.value_int("sx").alias("_sx"),
+        _fs.value_int("sy").alias("_sy"),
+        _fs.value3_int("sxx").alias("_sxx"),
+        _fs.value3_int("syy").alias("_syy"),
+        _fs.value3_int("sxy").alias("_sxy"),
     )
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     out = agg.crossJoin(F.broadcast(nodes))
@@ -567,17 +593,24 @@ def link_prediction_scores(
         .groupBy("node_u", "node_w")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(
+            # Long-buffer exact AA sum (functions.fastsum): terms ≤ 1/ln 2,
+            # reconstructed as the same decimal(38,9) the sort key needs.
+            *_fs.parts(
                 F.when(
                     F.col("_dv") >= 2,
                     F.round(
                         F.lit(1.0) / F.log(F.col("_dv").cast("double")),
                         9,
                     ),
-                )
-                .otherwise(F.lit(0.0))
-                .cast("decimal(28,9)")
-            ).alias("_aa"),
+                ).otherwise(F.lit(0.0)),
+                "aa",
+            ),
+        )
+        .select(
+            "node_u",
+            "node_w",
+            "common_neighbors",
+            _fs.value_dec("aa").alias("_aa"),
         )
     )
     existing = sym.select(

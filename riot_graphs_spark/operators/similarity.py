@@ -298,6 +298,103 @@ def ivf_topk(
     )
 
 
+def ivf_topk_levels(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probe_levels: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """:func:`ivf_topk` at several ``probes`` settings in ONE pass — the
+    recall-curve shape (``ann_recall_ivf``) without per-level rebuilds.
+
+    Per level p, the candidate set is exactly the members of the query's
+    p best-routed cells; cells are disjoint and the routing rank is fixed
+    across levels, so the max-level scored join CONTAINS every lower
+    level: tag each candidate with its cell's routing rank, score once,
+    and derive level p by filtering ``_probe_rank <= p`` before the
+    per-query top-k window.  One centroid build + one cell-pruned corpus
+    join instead of one of each per level (r13-opt: the per-level form
+    re-aggregated centroids and re-joined the corpus 3× per action).
+    Scores, tie rules, and therefore results are identical to calling
+    :func:`ivf_topk` per level.
+
+    Output: ``(probes int, query_id, neighbor_id, score, rank)``.
+    """
+    levels = sorted(set(int(p) for p in probe_levels))
+    if not levels or levels[0] < 1:
+        raise ValueError("probe_levels must be positive")
+    cents = label_centroids(corpus, cell_col, vec_col)
+    cent_vecs = cents.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("_cent")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    scored_cells = q.crossJoin(F.broadcast(cent_vecs)).withColumn(
+        "_route_score",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cent"))
+            / (F.col("_qnorm") * l2_norm(F.col("_cent"))),
+            6,
+        ),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("_route_score").desc(), F.col(cell_col).asc()
+    )
+    routed = (
+        scored_cells.withColumn("_probe_rank", F.row_number().over(rw))
+        .filter(F.col("_probe_rank") <= levels[-1])
+        .select("query_id", "_qvec", "_qnorm", cell_col, "_probe_rank")
+    )
+    cb = corpus.select(
+        F.col(cell_col),
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    pairs = cb.join(F.broadcast(routed), on=cell_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    # Candidate-sized (queries × probed-cell members), consumed once per
+    # level — the barrier keeps the corpus join at one run.
+    scored = (
+        pairs.select(
+            "query_id",
+            "_probe_rank",
+            F.col(id_col).alias("neighbor_id"),
+            _pair_score().alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for p in levels:
+        lvl = (
+            scored.filter(F.col("_probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(p).alias("probes"),
+                "query_id",
+                "neighbor_id",
+                "score",
+                "rank",
+            )
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 def _sq_dist(vec: F.Column, centroid: list[float]) -> F.Column:
     """Row-local squared L2 to a literal centroid, rounded to 6 dp (the
     determinism cut every argmin below relies on).  Column-API variant for

@@ -171,3 +171,33 @@ def test_ivfpq_recall_vs_exact(spark):
     # probes = n_cells removes the routing loss entirely: recall must
     # climb to the pure-PQ level
     assert len(full & exact) > len(got & exact)
+
+
+def test_ivf_topk_levels_matches_per_level_ivf_topk(spark, sf_dir):
+    """r13-opt: the one-pass multi-level IVF recall shape must reproduce
+    ivf_topk exactly at every probe level (fixed routing rank, disjoint
+    cells => filtering the max-level scored join is the same candidate
+    set)."""
+    from pyspark.sql import functions as F
+
+    from riot_graphs_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_levels,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    levels = ivf_topk_levels(emb, q, k=5, probe_levels=(1, 2, 4))
+    for p in (1, 2, 4):
+        got = (
+            levels.filter(F.col("probes") == p)
+            .select("query_id", "neighbor_id", "score", "rank")
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        want = (
+            ivf_topk(emb, q, k=5, probes=p)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        assert got == want, f"probes={p}"
