@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import fastsum as _fs
+
 #: z for a 95% two-sided normal interval; oracle SQL must use this literal.
 Z95 = 1.959963984540054
 
@@ -87,13 +89,18 @@ def roc_auc(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
-    term = (
-        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
-    ).cast("decimal(38,0)")
+    # Long-buffer exact rank-sum (functions.fastsum.parts3_int): the
+    # product is computed in LONG exactly as before (its n ≲ 3·10⁹ cap is
+    # unchanged), only the >18-precision decimal BUFFER goes (r13-opt).
+    term = F.col("_np") * (
+        F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1)
+    )
     agg = c.groupBy(*gcols).agg(
         F.sum("_np").alias("n_pos"),
         (F.sum("_nt") - F.sum("_np")).alias("n_neg"),
-        F.sum(term).alias("_s2"),
+        *_fs.parts3_int(term, "s2"),
+    ).select(
+        *gcols, "n_pos", "n_neg", _fs.value3_int("s2").alias("_s2")
     )
     npos = F.col("n_pos").cast("decimal(38,0)")
     auc = F.try_divide(
@@ -942,14 +949,15 @@ def roc_auc_bootstrap_ci(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
-    term = (
-        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
-    ).cast("decimal(38,0)")
+    # Long product (unchanged cap) + long-buffer split sum — see roc_auc.
+    term = F.col("_np") * (
+        F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1)
+    )
     per = c.groupBy("_r").agg(
         F.sum("_np").alias("_pos"),
         (F.sum("_nt") - F.sum("_np")).alias("_neg"),
-        F.sum(term).alias("_s2"),
-    )
+        *_fs.parts3_int(term, "s2"),
+    ).select("_r", "_pos", "_neg", _fs.value3_int("s2").alias("_s2"))
     npos = F.col("_pos").cast("decimal(38,0)")
     auc_r = F.try_divide(
         (F.col("_s2") - npos * (npos + F.lit(1))).cast("double"),
@@ -1067,17 +1075,24 @@ def delta_auc_paired_bootstrap(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = counts.withColumn("_cb", F.sum("_nt").over(w_cum) - F.col("_nt"))
-    term = (
-        F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1))
-    ).cast("decimal(38,0)")
+    # Long product (unchanged cap) + long-buffer split sum — see roc_auc.
+    term = F.col("_np") * (
+        F.lit(2) * F.col("_cb") + F.col("_nt") + F.lit(1)
+    )
     is_a = F.col("_k") == 0
     # pos/neg identical across the scorer axis (same weighted labels);
     # read them off the _k = 0 branch
     per = c.groupBy("_r").agg(
         F.sum(F.when(is_a, F.col("_np"))).alias("_pos"),
         F.sum(F.when(is_a, F.col("_nt"))).alias("_tot"),
-        F.sum(F.when(is_a, term)).alias("_s2a"),
-        F.sum(F.when(~is_a, term)).alias("_s2b"),
+        *_fs.parts3_int(F.when(is_a, term), "s2a"),
+        *_fs.parts3_int(F.when(~is_a, term), "s2b"),
+    ).select(
+        "_r",
+        "_pos",
+        "_tot",
+        _fs.value3_int("s2a").alias("_s2a"),
+        _fs.value3_int("s2b").alias("_s2b"),
     )
     npos = F.col("_pos").cast("decimal(38,0)")
     nneg = F.col("_tot") - F.col("_pos")

@@ -2351,7 +2351,12 @@ def huber_location(
             F.col("_m").alias("_mu"),
         )
     )
-    dec = "decimal(28,9)"
+    # Long-buffer exact 9-dp sums (functions.fastsum): value-identical to
+    # the decimal(28,9) form; weights ≤ 1 and |w·x| ≤ |x| (money scale,
+    # ≪ the 10⁶ bound) — the three IRLS scans and the mean scan were
+    # decimal-buffer-bound (r13-opt).
+    from ..functions import fastsum as fs
+
     for _ in range(iterations):
         joined = vals.crossJoin(F.broadcast(state))
         dist = F.abs(F.col("_v") - F.col("_mu"))
@@ -2363,8 +2368,8 @@ def huber_location(
             F.max("_n").alias("_n"),
             F.max("_med").alias("_med"),
             F.max("_s").alias("_s"),
-            F.sum(F.round(wgt, 9).cast(dec)).alias("_sw"),
-            F.sum(F.round(wgt * F.col("_v"), 9).cast(dec)).alias("_swx"),
+            *fs.parts(wgt, "w"),
+            *fs.parts(wgt * F.col("_v"), "wx"),
         )
         state = red.select(
             "_n",
@@ -2376,17 +2381,14 @@ def huber_location(
             # DuckDB oracle's CASE).
             F.when(
                 F.col("_s") > 0,
-                F.col("_swx").cast("double") / F.col("_sw").cast("double"),
+                fs.value("wx") / fs.value("w"),
             )
             .otherwise(F.col("_med"))
             .alias("_mu"),
         )
-    # decimal-carried mean: order-free, engine-identical
-    mean_df = vals.agg(
-        (
-            F.sum(F.round(F.col("_v"), 9).cast(dec)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("_mean")
+    # exact 9-dp-quantized mean: order-free, engine-identical
+    mean_df = vals.agg(*fs.parts(F.col("_v"), "v"), F.count(F.lit(1)).alias("_c")).select(
+        (fs.value("v") / F.col("_c").cast("double")).alias("_mean")
     )
     return state.crossJoin(F.broadcast(mean_df)).select(
         F.col("_n").cast("long").alias("n"),
