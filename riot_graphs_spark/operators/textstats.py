@@ -92,36 +92,60 @@ def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: count profile-word hits per language,
     pick the argmax (ties broken by language code order — deterministic).
 
-    The token array and the per-language scores are STAGED as
-    materialized select columns (r13-opt): inlined, the regex tokenizer
-    re-evaluated once per language profile and the argmax when-chain
-    re-embedded each score expression — staging makes the downstream
-    argmax read cheap attributes instead (the text_compressibility
-    staging lesson, round 9)."""
+    The WHOLE computation (tokenize → per-language scores → argmax
+    when-chain) is one SELF-CONTAINED bound expression producing a
+    struct, unpacked into columns afterwards.  Staging the scores as
+    plain select columns (the first r13 form) is not enough: a
+    downstream null-filter on ``predicted_lang`` gets pushed below the
+    projection and Catalyst's alias substitution re-inlines the argmax
+    chain over the score *expressions* — the regex tokenizer reappeared
+    ~40× per row in mcnemar_langid_vs_majority's Filter (and lambda-
+    bearing subtrees are excluded from runtime subexpression
+    elimination, so each copy really ran).  With the bound form the
+    pushed predicate carries exactly one tokenizer occurrence, and the
+    token array / score array are lambda variables evaluated once."""
+    from .dedup import bind_array
+
     langs = sorted(LANG_PROFILES)
-    staged = docs.withColumn("_pl_toks", tokens(text_col))
-    scored = staged.select(
-        "*",
-        *[
-            F.size(
-                # single-arg lambda: higher-order filter dispatches on
-                # lambda arity
-                F.filter("_pl_toks", lambda t: t.isin(*LANG_PROFILES[lang]))
-            ).alias(f"score_{lang}")
-            for lang in langs
-        ],
-    )
-    best = None
-    best_lang = F.lit(langs[0])
-    for lang in langs:
-        score = F.col(f"score_{lang}")
-        if best is None:
-            best = score
-        else:
+
+    def packed(s: Column) -> Column:
+        best = F.element_at(s, 1)
+        best_lang = F.lit(langs[0])
+        for i, lang in enumerate(langs[1:], start=2):
+            score = F.element_at(s, i)
             gt = score > best
             best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
             best = F.when(gt, score).otherwise(best)
-    return scored.withColumn("predicted_lang", best_lang).drop("_pl_toks")
+        return F.struct(
+            *[
+                F.element_at(s, i + 1).alias(f"score_{lang}")
+                for i, lang in enumerate(langs)
+            ],
+            best_lang.alias("predicted_lang"),
+        )
+
+    bound = bind_array(
+        tokens(text_col),
+        lambda toks: bind_array(
+            F.array(
+                *[
+                    F.size(
+                        # single-arg lambda: higher-order filter
+                        # dispatches on lambda arity
+                        F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))
+                    )
+                    for lang in langs
+                ]
+            ),
+            packed,
+        ),
+    )
+    staged = docs.withColumn("_pl", bound)
+    return staged.select(
+        "*",
+        *[F.col(f"_pl.score_{lang}").alias(f"score_{lang}") for lang in langs],
+        F.col("_pl.predicted_lang").alias("predicted_lang"),
+    ).drop("_pl")
 
 
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:

@@ -1862,3 +1862,18 @@ def test_weighted_quantiles_pick_is_integer_inequality(spark):
     plan = formatted_plan(spark, "weighted_quantiles_doclen")
     assert "EvalPython" not in plan
     assert "ntile" not in plan and "percentile" not in plan
+
+
+def test_predict_lang_tokenizes_once_even_under_filter_pushdown(spark):
+    # r13: predict_lang packs tokenize → scores → argmax into ONE bound
+    # self-contained expression.  The staged-columns form regressed when
+    # a consumer's null-filter on predicted_lang was pushed below the
+    # projection: alias substitution re-inlined the argmax chain and the
+    # regex tokenizer reappeared ~40× per row in the Filter (lambda
+    # subtrees are excluded from runtime subexpr elimination, so each
+    # copy really ran).  mcnemar is the pushdown shape (two branches →
+    # at most 2 occurrences); plain consumers carry exactly 1.
+    assert formatted_plan(spark, "mcnemar_langid_vs_majority").count(
+        "regexp_extract_all") <= 2
+    for name in ("text_lang_id", "lang_id_confusion"):
+        assert formatted_plan(spark, name).count("regexp_extract_all") == 1, name
