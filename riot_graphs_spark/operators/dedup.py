@@ -836,9 +836,26 @@ def jaccard_verify_pairs(
     shingle-keyed shuffle, cost linear in |pairs|. Contrast
     ``ngram_jaccard_pairs``, whose shingle self-join is quadratic in bucket
     size and exists for direct/oracle use at small scale.
+
+    Shingles are built ONLY for docs that appear in a candidate pair (a
+    semi-join against the pair endpoints), and exactly once: the naive
+    form tokenized+shingled the FULL corpus twice — once per join side —
+    when only the (typically tiny) candidate set ever needs shingles.
+    The pair list is checkpointed first so deriving the endpoint set
+    does not re-run the upstream LSH pipeline (r13-opt).
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    pairs = pairs.localCheckpoint(eager=False)
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+        )
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
@@ -1120,6 +1137,11 @@ def dup_graph_degree_stats(
     One union (column projection, no shuffle) + one partial-aggregable
     count shuffle on node id — edge-list-sized, not corpus-sized.
     """
+    # Both union branches read the pair list; without a barrier each
+    # branch re-executes the whole upstream pair pipeline (for LSH input
+    # that is the full tokenize+minhash corpus scan, twice).  The
+    # checkpoint is edge-list-sized (r13-opt).
+    pairs = pairs.localCheckpoint(eager=False)
     nodes = pairs.select(F.col(src).alias("id")).union(
         pairs.select(F.col(dst).alias("id"))
     )
@@ -1766,9 +1788,18 @@ def chunk_overlap_pairs(
     """
     if min_shared < 1:
         raise ValueError("need min_shared >= 1")
-    ch = content_defined_chunks(
-        docs, text_col=text_col, w=w, divisor=divisor
-    ).select("doc_id", "chunk_hash", "n_toks")
+    # The chunk table feeds the bucket-size aggregate AND both sides of
+    # the bucket self-join; un-barriered, the (expensive, per-token
+    # w-gram-hash) chunk pipeline re-executes per consumer — ~3x per
+    # action.  The checkpoint is chunk-rows-sized: three narrow columns
+    # (r13-opt).
+    ch = (
+        content_defined_chunks(
+            docs, text_col=text_col, w=w, divisor=divisor
+        )
+        .select("doc_id", "chunk_hash", "n_toks")
+        .localCheckpoint(eager=False)
+    )
     sizes = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_bs"))
     capped = ch.join(
         sizes.filter(F.col("_bs") <= max_bucket_size).select("chunk_hash"),

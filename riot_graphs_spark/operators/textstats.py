@@ -1668,6 +1668,16 @@ def rake_keywords(
     (RAKE's degree), freq(w) = occurrences; score(w) = deg/freq, all
     exact-integer ratios.  Ranking: round(score,9) desc, phrase asc.
 
+    Scale shape (r13-opt): the token pipeline (tokenize → posexplode →
+    per-doc window) materializes EXACTLY ONCE, into the distinct-phrase
+    occurrence table.  Every equal phrase string carries the same word
+    multiset, so freq/deg reconstruct from ``split(phrase)`` weighted by
+    the occurrence count (freq = Σ n_phrase·mult, deg = Σ n_phrase·mult
+    ·plen — the same integer sums the token-axis join produced), and
+    each phrase's decimal word-score sum is the same multiset of terms
+    the per-occurrence sum added.  The previous form consumed the token
+    stream three times and the phrase table twice per action.
+
     Output: *top_k* rows — ``(phrase string, n_phrase bigint, score
     double)`` where n_phrase counts the phrase's corpus occurrences.
     """
@@ -1703,16 +1713,27 @@ def rake_keywords(
             ),
             " ",
         ).alias("phrase"),
-        F.count(F.lit(1)).alias("_len"),
+    )
+    # ONE materialization of the token pipeline: the distinct-phrase
+    # occurrence counts.  All scoring below re-derives words from the
+    # phrase string itself (tokens are [a-z0-9]+, so the space join is
+    # loss-free) on this vocabulary-sized table.
+    pocc = (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_phrase"))
+        .localCheckpoint(eager=False)
+    )
+    pw = pocc.select(
+        "phrase",
+        "n_phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("_len"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("_w"),
     )
     word_stats = (
-        islands.join(
-            phrases.select("_id", "_grp", "_len"), ["_id", "_grp"]
-        )
-        .groupBy("_w")
+        pw.groupBy("_w")
         .agg(
-            F.count(F.lit(1)).alias("_freq"),
-            F.sum("_len").alias("_deg"),
+            F.sum("n_phrase").alias("_freq"),
+            F.sum(F.col("n_phrase") * F.col("_len")).alias("_deg"),
         )
         .select(
             "_w",
@@ -1722,17 +1743,11 @@ def rake_keywords(
         )
     )
     phrase_scores = (
-        islands.join(F.broadcast(word_stats), "_w")
-        .groupBy("_id", "_grp")
+        pw.join(F.broadcast(word_stats), "_w")
+        .groupBy("phrase", "n_phrase")
         .agg(
             F.sum(F.round(F.col("_wscore"), 9).cast("decimal(28,9)"))
-            .alias("_ps")
-        )
-        .join(phrases, ["_id", "_grp"])
-        .groupBy("phrase")
-        .agg(
-            F.count(F.lit(1)).alias("n_phrase"),
-            F.max("_ps").alias("_score"),
+            .alias("_score")
         )
     )
     ranked = phrase_scores.withColumn(

@@ -1503,3 +1503,49 @@ def test_chunk_overlap_pairs_hand_case(spark):
     assert capped.count() == 0
     with pytest.raises(ValueError):
         chunk_overlap_pairs(docs, min_shared=0)
+
+
+def test_jaccard_verify_pairs_hand_case(spark):
+    """The candidate-semi-join rewrite (r13-opt): shingles build only
+    for pair endpoints, and the exact Jaccard over the given pairs is
+    unchanged."""
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        word_shingles,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy cat today",
+        3: "completely different content with no overlap at all here",
+        4: "the quick brown fox jumps over the lazy dog today",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a bigint, doc_b bigint"
+    )
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select(
+            "doc_id", word_shingles("text", 3).alias("s")
+        ).collect()
+    }
+
+    def jac(a, b):
+        inter = len(sh[a] & sh[b])
+        return inter / (len(sh[a]) + len(sh[b]) - inter)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify_pairs(docs, pairs, threshold=0.5).collect()
+    }
+    # (1,3) is below threshold; (1,2) and the exact dup (1,4) survive
+    assert set(got) == {(1, 2), (1, 4)}
+    for k, v in got.items():
+        assert v == _pytest.approx(jac(*k), abs=1e-12)
+    # threshold=0 keeps every candidate pair, including the no-overlap one
+    assert jaccard_verify_pairs(docs, pairs, threshold=0.0).count() == 3

@@ -321,3 +321,62 @@ def test_unigram_train_independent_of_partition_layout(spark):
         docs.repartition(7), vocab_size=18, n_iter=2, max_piece_len=3
     )
     assert a == b
+
+
+def test_rake_keywords_matches_reference(spark):
+    """The distinct-phrase-axis rewrite (r13-opt) must reproduce the
+    token-axis RAKE math exactly: freq/deg from split(phrase) weighted
+    by occurrence counts equals the per-token-occurrence sums."""
+    import re
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from riot_graphs_spark.operators.textstats import (
+        RAKE_STOPWORDS,
+        rake_keywords,
+    )
+
+    corpus = [
+        "deep learning of deep models and deep learning pipelines",
+        "learning pipelines for the deep models",
+        "deep learning is a craft and deep models are heavy",
+        "shallow trees with deep learning on the side",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    stop = set(RAKE_STOPWORDS)
+    occurrences = []  # every phrase occurrence, as a word tuple
+    for text in corpus:
+        cur = []
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            if t in stop:
+                if cur:
+                    occurrences.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            occurrences.append(tuple(cur))
+    freq, deg = Counter(), Counter()
+    for p in occurrences:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    wscore = {w: deg[w] / freq[w] for w in freq}
+    n_phrase = Counter(" ".join(p) for p in occurrences)
+    expected = sorted(
+        (
+            (-sum(round(wscore[w], 9) for w in p.split(" ")), p)
+            for p in n_phrase
+        ),
+    )[:5]
+    got = rake_keywords(docs, top_k=5).collect()
+    assert [r["phrase"] for r in got] == [p for _, p in expected]
+    for r in got:
+        assert r["n_phrase"] == n_phrase[r["phrase"]]
+        assert r["score"] == _pytest.approx(
+            sum(round(wscore[w], 9) for w in r["phrase"].split(" ")),
+            abs=1e-9,
+        )
