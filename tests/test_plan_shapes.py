@@ -65,9 +65,13 @@ def test_simhash_is_shuffle_free(spark):
 def test_cosine_topk_broadcasts_queries(spark):
     plan = formatted_plan(spark, "ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # corpus side must not shuffle before scoring: the only Exchange is the
-    # final per-query window cut over (queries × k)-sized data
-    assert shuffle_count(plan) <= 1
+    # corpus side must never shuffle BY KEY before scoring: the only
+    # hash exchange is the final per-query window cut over (queries × k)
+    # -sized data.  A round-robin spread of an under-partitioned scan
+    # (fires only when input splits < cores — never at real scale) is
+    # allowed: it is the straggler fix, not a join shuffle (r13-opt).
+    assert len(re.findall(r"hashpartitioning", plan)) <= 1
+    assert shuffle_count(plan) <= 2
 
 
 def test_scan_prunes_columns(spark):
