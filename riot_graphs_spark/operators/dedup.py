@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_small_scan
+
 #: Modulus for the MinHash permutation family (prime > 2^30 × small a).
 MINHASH_P = 1_000_000_007
 #: Signature length and LSH banding (4 bands × 4 rows).
@@ -205,6 +207,10 @@ def _minhash_wide(
     Docs with no shingles (< n words) are dropped, matching the exploded
     relational form.
     """
+    # tokenize + k array_min passes per row: the per-row-heavy stage the
+    # under-partitioned-scan spread exists for (r13-opt: 2.3 -> 1.3 s
+    # warm for minhash_lsh_pairs at sf0.1 on the one-split fixture).
+    docs = spread_small_scan(docs)
     word_hashes = F.transform(words(text_col), lambda t: hash32(t))
     with_h = docs.select(
         F.col(id_col),
@@ -358,7 +364,7 @@ def ngram_jaccard_pairs(
     # join-back keyed on doc_id has corpus cardinality; broadcasting it
     # would OOM the driver at scale, and even shuffled it is a needless
     # second join).
-    sh = docs.select(
+    sh = spread_small_scan(docs).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_arr")
     ).select(
         F.col(id_col),
@@ -409,7 +415,7 @@ def ngram_containment_pairs(
     rows — no side table, no broadcast). ``contained`` names the doc whose
     shingle set is the (weakly) smaller side — the removal candidate.
     """
-    sh = docs.select(
+    sh = spread_small_scan(docs).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_arr")
     ).select(
         F.col(id_col),
@@ -467,6 +473,7 @@ def simhash_signatures(
     # The 32 bit terms all reference _hs in one projection — runtime
     # subexpression elimination evaluates the tokenize+hash once (wrapping
     # in bind_array would defeat CSE: HOFs are CodegenFallback).
+    docs = spread_small_scan(docs)
     hs = docs.select(
         F.col(id_col),
         F.transform(words(text_col), lambda t: hash32(t)).alias("_hs"),
@@ -964,6 +971,7 @@ def winnow_fingerprints(
     Returns ``(id_col, fingerprint: long)``, one row per distinct
     fingerprint per doc.
     """
+    docs = spread_small_scan(docs)
     text = F.col(text_col)
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length(text) - k + 1)
@@ -1165,6 +1173,7 @@ def winnow_fingerprint_positions(
     through the same O(n·log w) :func:`sliding_min` sparse table as
     :func:`winnow_fingerprints` — struct ordering IS the argmin with the
     first-position tie rule."""
+    docs = spread_small_scan(docs)
     text = F.col(text_col)
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.length(text) - k + 1)
@@ -1688,7 +1697,7 @@ def content_defined_chunks(
     # re-evaluated per element (no CSE across lambda boundaries) — the
     # inlined form re-tokenized the doc once per gram and measured
     # minutes instead of seconds at sf0.01
-    staged = docs.select(
+    staged = spread_small_scan(docs).select(
         "doc_id", words(text_col).alias("_toks")
     ).filter(F.size("_toks") > 0)
     staged = staged.withColumn(

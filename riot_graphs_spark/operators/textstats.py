@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_small_scan
+
 #: Tiny per-language stopword profiles for the n-gram/stopword language-ID
 #: heuristic. Deterministic and oracle-portable; a real deployment would load
 #: a proper profile table and broadcast-join it.
@@ -51,6 +53,7 @@ def add_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     *defeat* CSE: HOFs are CodegenFallback — measured 3× slower).
     bind_array is for repeated references *inside* a lambda, where CSE
     cannot reach."""
+    docs = spread_small_scan(docs)
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
@@ -140,7 +143,7 @@ def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
             packed,
         ),
     )
-    staged = docs.withColumn("_pl", bound)
+    staged = spread_small_scan(docs).withColumn("_pl", bound)
     return staged.select(
         "*",
         *[F.col(f"_pl.score_{lang}").alias(f"score_{lang}") for lang in langs],
@@ -1682,7 +1685,8 @@ def rake_keywords(
     double)`` where n_phrase counts the phrase's corpus occurrences.
     """
     toks = (
-        df.filter(F.col(text_col).isNotNull())
+        spread_small_scan(df)
+        .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(tokens(text_col)).alias("_pos", "_w"),
@@ -2007,7 +2011,8 @@ def compressibility_proxy(
     # the 26-translate array inside every fold step (~26x26 text passes
     # per row; measured 74 s vs ~1 s at sf0.1)
     staged = (
-        df.filter(
+        spread_small_scan(df)
+        .filter(
             F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
         )
         .select(

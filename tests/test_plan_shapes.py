@@ -25,7 +25,13 @@ def formatted_plan(spark, name: str) -> str:
 
 def shuffle_count(plan: str) -> int:
     # "(N) Exchange" = shuffle; BroadcastExchange is not a shuffle.
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # RoundRobinPartitioning exchanges are the gated under-partitioned-
+    # scan spread (functions.spread): they move no data BY KEY and never
+    # fire at real scale (input splits >= cores), so the scale pins below
+    # do not count them (r13-opt).
+    n = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    return n - rr
 
 
 def test_j2_broadcasts_every_dimension(spark):
