@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_small_scan
 from ..functions.vectors import dot, l2_norm
 
 #: Cosine from a precomputed-norm pair: one zip_with+fold per pair instead of
@@ -1876,6 +1877,11 @@ def _row_local_dim_pairs(
 
     Output: ``(_ia int, _ib int, _sa long, _sb long)``.
     """
+    # d²/2 fan-out rows per input row all materialize inside the scan
+    # stage: on a one-split scan that is the whole corpus×d² explode +
+    # partial aggregate on ONE task (r13-opt straggler fix, see
+    # functions.spread).
+    df = spread_small_scan(df)
     scaled = df.filter(F.col(vec_col).isNotNull()).select(
         F.transform(
             vec_col,

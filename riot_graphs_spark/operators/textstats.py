@@ -464,7 +464,12 @@ def bpe_pair_counts(
     already does, and iterating merge rules re-uses the small table.
     """
     word = F.explode(tokens(text_col)).alias("w")
-    wf = docs.select(word).groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wf = (
+        spread_small_scan(docs)
+        .select(word)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
     pairs = (
         wf.filter(F.length("w") >= 2)
         .select(
@@ -570,7 +575,8 @@ def bpe_train(
         raise ValueError("batch_size must be >= 1")
     word = F.explode(tokens(text_col)).alias("w")
     vocab = (
-        docs.select(word)
+        spread_small_scan(docs)
+        .select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
         .select("f", F.split("w", "").alias("sym"))
@@ -793,7 +799,7 @@ def unigram_train(
 
     word = F.explode(tokens(text_col)).alias("w")
     wf = (
-        docs.select(word)
+        spread_small_scan(docs).select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
         .localCheckpoint(eager=True)
