@@ -134,9 +134,18 @@ def parts3_int(expr: Column, tag: str) -> list[Column]:
     10^12 comfort zone."""
     u = expr.cast("long")
     r1 = u % _M
-    q1 = ((u - r1) / F.lit(_M)).cast("long")
+    # Integer division (IntegralDivide), NOT `/`: Spark promotes long/int
+    # division to double, and past 2^53 the dividend `u - r1` is not
+    # exactly representable — the truncating cast could come back off by
+    # one anywhere in the advertised ~9·10^18 per-term range.  (parts /
+    # parts3 / parts_int keep the double form: their dividends are
+    # bounded ≤ 4·10^15 by _unscaled / the 10^12 contract, inside 2^53
+    # where correctly-rounded division of an exact dividend is exact.)
+    q1 = F.call_function("div", u - r1, F.lit(_M))
     r2 = q1 % _M
-    q2 = ((q1 - r2) / F.lit(_M)).cast("long")
+    # |q1| ≤ ~9·10^12 < 2^53, so this second stage is back inside the
+    # exact-double range — but keep it integral for uniformity.
+    q2 = F.call_function("div", q1 - r2, F.lit(_M))
     return [
         F.sum(q2).alias(f"_fs_{tag}_h2"),
         F.sum(r2).alias(f"_fs_{tag}_h1"),

@@ -27,7 +27,25 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     under-partitioned-scan straggler fix for compute-heavy per-row
     pipelines.  Results are row-local and therefore identical under any
     partitioning; round-robin repartition is deterministic under task
-    retry (Spark sorts before repartitioning, SPARK-23207)."""
+    retry (Spark sorts before repartitioning, SPARK-23207).
+
+    Preconditions and limits (r14, from the r13 ADVICE audit):
+
+    - **Scan-shaped inputs only.** ``df.rdd.getNumPartitions()`` reports
+      the pre-AQE static partition count; for a frame downstream of a
+      shuffle it reads ``spark.sql.shuffle.partitions`` (~200) and the
+      gate silently never fires even when AQE coalesces to one partition
+      at runtime.  Call sites therefore apply this directly on (a narrow
+      projection of) a table scan, before any exchange.
+    - **Project first.** The sort-before-repartition (SPARK-23207) and
+      the exchange itself carry EVERY column of *df* — spread a narrow
+      ``df.select(...)`` of just the columns the heavy stage needs, never
+      a full wide row (guide §2.3 "project before the exchange").
+    - **No MapType columns.** The SPARK-23207 sort orders all columns and
+      maps are unorderable — a map column here fails at runtime.  Project
+      maps away (or serialize them) before spreading.
+    - Each call compiles the physical plan once (driver-side cost of
+      ``df.rdd``); keep it out of per-iteration loops."""
     if df.isStreaming:
         # partition counting needs a batch plan; micro-batches get their
         # parallelism from the source anyway

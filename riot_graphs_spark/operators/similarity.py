@@ -39,14 +39,11 @@ def _scored(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str) ->
     # Brute-force scoring inherits the corpus scan's partitioning through
     # the broadcast join: a small/compacted corpus (one parquet file)
     # would run the whole |corpus|x|queries| interpreted-fold scoring on
-    # ONE task while every other core idles (guide §2.6).  Spread it when
-    # and only when the input has fewer splits than the cluster has slots
-    # — at real scale the scan already has >= cores partitions and this
-    # branch is a no-op, so no extra exchange appears (r13-opt: 1.9 ->
-    # 1.0 s cold / 0.9 -> 0.5 s warm at sf0.1 on the 2000-vector fixture).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
+    # ONE task while every other core idles (guide §2.6).  The shared
+    # helper gates the spread on splits < slots, so at real scale it is a
+    # no-op and no extra exchange appears (r13-opt: 1.9 -> 1.0 s cold /
+    # 0.9 -> 0.5 s warm at sf0.1 on the 2000-vector fixture).
+    corpus = spread_small_scan(corpus)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),

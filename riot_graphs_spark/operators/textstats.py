@@ -464,8 +464,11 @@ def bpe_pair_counts(
     already does, and iterating merge rules re-uses the small table.
     """
     word = F.explode(tokens(text_col)).alias("w")
+    # Spread the NARROW projection: the round-robin exchange (and its
+    # SPARK-23207 pre-sort) must carry only the text column, not the
+    # full document row (guide §2.3 "project before the exchange").
     wf = (
-        spread_small_scan(docs)
+        spread_small_scan(docs.select(F.col(text_col)))
         .select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
@@ -574,8 +577,11 @@ def bpe_train(
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     word = F.explode(tokens(text_col)).alias("w")
+    # Narrow projection first: the spread exchange carries only the text
+    # column (guide §2.3; the full-row form also paid the SPARK-23207
+    # all-columns pre-sort on the whole document row).
     vocab = (
-        spread_small_scan(docs)
+        spread_small_scan(docs.select(F.col(text_col)))
         .select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
@@ -798,8 +804,9 @@ def unigram_train(
     import pandas as pd
 
     word = F.explode(tokens(text_col)).alias("w")
+    # Narrow projection first (guide §2.3): spread only the text column.
     wf = (
-        spread_small_scan(docs).select(word)
+        spread_small_scan(docs.select(F.col(text_col))).select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
         .localCheckpoint(eager=True)
@@ -1691,8 +1698,14 @@ def rake_keywords(
     double)`` where n_phrase counts the phrase's corpus occurrences.
     """
     toks = (
-        spread_small_scan(df)
-        .filter(F.col(text_col).isNotNull())
+        # Filter + narrow projection BEFORE the spread: the round-robin
+        # exchange carries (id, text) only, and null texts never cross
+        # it (guide §2.3 "project before the exchange").
+        spread_small_scan(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(tokens(text_col)).alias("_pos", "_w"),
@@ -2017,9 +2030,12 @@ def compressibility_proxy(
     # the 26-translate array inside every fold step (~26x26 text passes
     # per row; measured 74 s vs ~1 s at sf0.1)
     staged = (
-        spread_small_scan(df)
-        .filter(
-            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        # Filter + narrow projection BEFORE the spread (guide §2.3): the
+        # round-robin exchange carries (group, text) only.
+        spread_small_scan(
+            df.filter(
+                F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+            ).select(F.col(group_col), F.col(text_col))
         )
         .select(
             F.col(group_col).alias("group"),

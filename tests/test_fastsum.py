@@ -102,6 +102,48 @@ def test_parts_int_matches_decimal38_sum(spark):
     assert t_fast == "decimal(38,0)"
 
 
+def test_parts3_int_exact_at_int64_boundary(spark):
+    # r14 (VERDICT item 6): the old double-division hi-extraction could be
+    # off by one past 2^53; parts3_int must be exact over its full
+    # advertised ~9·10^18 per-term range, including Long.MAX/MIN edges and
+    # odd values straddling the 2^53 representability cliff.
+    lmax = 9223372036854775807
+    vals = [
+        lmax,
+        lmax - 1,
+        -lmax,
+        -(lmax - 1),
+        (1 << 53) + 1,
+        (1 << 53) - 1,
+        -((1 << 53) + 1),
+        10**18 + 1,
+        -(10**18 + 7),
+        9007199254742993,  # 2^53 + 2001: odd, above the cliff
+        123456789012345678,
+        -1,
+        0,
+        999999,
+        -1000001,
+    ]
+    for v in vals:
+        df = spark.createDataFrame([(v,)], "x long")
+        got = (
+            df.agg(*fs.parts3_int(F.col("x"), "t"))
+            .select(fs.value3_int("t").alias("v"))
+            .collect()[0]["v"]
+        )
+        assert int(got) == v, f"parts3_int broke at {v}: got {got}"
+    # multi-row: exact total vs Python bignum sum (fits decimal(38,0))
+    multi = [lmax, lmax - 1, -(1 << 53) - 1, 10**18 + 1, -3]
+    df = spark.createDataFrame([(v,) for v in multi], "x long")
+    got = (
+        df.agg(*fs.parts3_int(F.col("x"), "t"))
+        .select(fs.value3_int("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert int(got) == sum(multi)
+
+
 def test_parts3_matches_parts(spark):
     vals = [599999.99, -123456.789012345, 0.5e-9, 42.0]
     df = spark.createDataFrame([(v,) for v in vals], "x double")

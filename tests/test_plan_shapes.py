@@ -25,12 +25,26 @@ def formatted_plan(spark, name: str) -> str:
 
 def shuffle_count(plan: str) -> int:
     # "(N) Exchange" = shuffle; BroadcastExchange is not a shuffle.
-    # RoundRobinPartitioning exchanges are the gated under-partitioned-
-    # scan spread (functions.spread): they move no data BY KEY and never
-    # fire at real scale (input splits >= cores), so the scale pins below
-    # do not count them (r13-opt).
+    # RoundRobinPartitioning exchanges ARE subtracted, but only those
+    # whose partition count equals the session's defaultParallelism —
+    # the signature of the gated under-partitioned-scan spread
+    # (functions.spread), which moves no data by key and never fires at
+    # real scale (input splits >= cores).  Any other round-robin
+    # repartition (a hard-coded repartition(n)) still counts as a
+    # shuffle, so the scale pins keep catching unconditional exchanges
+    # (r14, ADVICE item 5).
+    from pyspark.sql import SparkSession
+
     n = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    active = SparkSession.getActiveSession()
+    rr = 0
+    if active is not None:
+        par = active.sparkContext.defaultParallelism
+        rr = len(
+            re.findall(
+                rf"Arguments: RoundRobinPartitioning\({par}\)", plan
+            )
+        )
     return n - rr
 
 
