@@ -637,38 +637,41 @@ def connected_components(
     ).localCheckpoint(eager=False)
     # Materialize the edge list once: every round joins against it, and
     # without the checkpoint each round would re-run the plan upstream
-    # of ``pairs``.
+    # of ``pairs``.  Lazy (r14): the round-1 action materializes it —
+    # an eager checkpoint here was a whole extra driver round-trip.
     edges = (
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        nbr_min = (
+        # Self-message formulation (r14): new_comp(u) = min(comp(u),
+        # min over neighbors comp(v)) is ONE aggregation over the union
+        # of neighbor messages and each node's own label — value-
+        # identical per round to the old join-back form
+        # least(comp, coalesce(nbr_min, comp)), but the plan drops the
+        # labels⋈nbr_min join entirely: 3 exchanges per round instead
+        # of 5, and with AQE each exchange is a scheduler round-trip.
+        msgs = (
             edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("_nbr_comp"))
+            .select(F.col("a").alias("id"), "comp")
+            .unionByName(labels.select("id", "comp"))
         )
         # The Σ(comp) convergence probe rides the checkpoint job itself
         # (``observe`` metrics are collected by the eager materialization),
         # so each round is ONE action — no separate label-table re-scan.
         obs = Observation()
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("_nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
+            msgs.groupBy("id")
+            .agg(F.min("comp").alias("comp"))
             .observe(obs, F.sum("comp").alias("s"))
             .localCheckpoint(eager=True)
         )

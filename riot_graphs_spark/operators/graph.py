@@ -351,13 +351,19 @@ def label_propagation(
         raise ValueError("iterations must be >= 0")
     # Narrow projection materialized FIRST: the mirroring union reads
     # the upstream edge plan twice (no common-subtree elimination across
-    # union branches — r13-opt, the connected_components fix).
+    # union branches — r13-opt, the connected_components fix).  The union
+    # itself is NOT checkpointed (r14, VERDICT item 1): it is a zero-cost
+    # narrow map over the cached ``e`` partitions, so re-deriving it per
+    # consumer (the node set + one message join per iteration) is cheaper
+    # than materializing a second full copy of the edge list — the
+    # stacked e→und barrier pair was the one suspect in the driver's
+    # 32-core regression report.
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint(eager=False)
     und = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=False)
+    )
     nodes = und.select(F.col("s").alias("node")).distinct()
     state = (
         nodes.join(

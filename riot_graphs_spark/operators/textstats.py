@@ -573,7 +573,22 @@ def bpe_train(
     Spark jobs for a 32k-vocab training run by ~k×. This is the standard
     fast-trainer batching and is exact UNLESS a merge mints a new pair that
     outcounts a later same-round selection — rare in natural corpora, but a
-    deviation from strict BPE, so it is opt-in, never silently on."""
+    deviation from strict BPE, so it is opt-in, never silently on.
+
+    Loop-state representation (r14): the symbol sequence is carried as ONE
+    space-separated string ``' s1 s2 … sk '`` instead of an array.  The
+    per-round merge rewrite is then a single ``regexp_replace(sym,
+    '(?<= )a b(?= )', 'ab')`` — Java's ``replaceAll`` scans left-to-right,
+    resumes after each replacement, and the zero-width boundary assertions
+    never consume the separating spaces, so successive matches are exactly
+    the greedy non-overlapping adjacent merge of :func:`_merge_adjacent`
+    ('a a a' → 'aa a'; tokens are ``[a-z0-9]+`` so neither pattern nor
+    replacement needs escaping).  The array form re-analyzed and
+    re-compiled a ~60-node aggregate-HOF tree per round (~0.2 s/round of
+    pure driver plan work at any data size); the string form is one tiny
+    expression.  Pair counting splits the string back to an array — same
+    counts, same argmax, bit-identical merge sequence (parity-pinned by
+    the reference-Python trainer tests)."""
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     word = F.explode(tokens(text_col)).alias("w")
@@ -585,22 +600,31 @@ def bpe_train(
         .select(word)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .select("f", F.split("w", "").alias("sym"))
+        .select(
+            "f",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" ")
+            ).alias("sym"),
+        )
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
-        pair_idx = F.expr("sequence(1, size(sym) - 1)")
+        arr = F.split(F.trim(F.col("sym")), " ")
+        pair_idx = F.expr("sequence(1, size(_arr) - 1)")
         # Over-fetch 4x: the compatibility filter skips interacting pairs.
+        # tail() (not collect()) fetches the ≤4k-row ordered result — the
+        # executeTail path halves the per-round driver round-trip cost.
         pairs = (
-            vocab.filter(F.size("sym") >= 2)
+            vocab.select("f", arr.alias("_arr"))
+            .filter(F.size("_arr") >= 2)
             .select(
                 F.explode(
                     F.transform(
                         pair_idx,
                         lambda i: F.struct(
-                            F.element_at("sym", i).alias("a"),
-                            F.element_at("sym", i + 1).alias("b"),
+                            F.element_at("_arr", i).alias("a"),
+                            F.element_at("_arr", i + 1).alias("b"),
                         ),
                     )
                 ).alias("p"),
@@ -610,7 +634,7 @@ def bpe_train(
             .agg(F.sum("f").alias("n"))
             .orderBy(F.desc("n"), F.asc("p"))
             .limit(max(1, batch_size * 4))
-            .collect()
+            .tail(max(1, batch_size * 4))
         )
         if not pairs:
             break
@@ -621,7 +645,7 @@ def bpe_train(
         col = F.col("sym")
         for a, b in batch:  # rank order; merges provably independent
             merges.append((a, b))
-            col = _merge_adjacent(col, a, b)
+            col = F.regexp_replace(col, f"(?<= ){a} {b}(?= )", a + b)
         # Lazy: the rewrite materializes inside the NEXT round's pair
         # aggregation instead of as its own driver round-trip — same
         # lineage cut, half the per-round jobs (r13-opt).
