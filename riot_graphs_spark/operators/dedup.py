@@ -658,6 +658,17 @@ def connected_components(
     — label sets only ever move down, so an unchanged sum means a fixpoint.
     At billion-edge scale swap the propagation body for the large-star /
     small-star contraction (same loop skeleton, fewer rounds).
+
+    ``localCheckpoint`` caveat (applies to every barrier in this module):
+    the materialized partitions live in executor storage with TRUNCATED
+    lineage — they are not recoverable on executor loss (the job fails
+    and retries from the source instead of recomputing the piece), and a
+    long-lived driver that calls these operators repeatedly accumulates
+    executor storage until the RDDs are garbage-collected.  On clusters
+    with dynamic allocation or flaky executors, swap the barriers for
+    reliable ``checkpoint()`` into the checkpoint dir (docs/SCALING.md);
+    in a long-lived session, unpersist the returned frame's lineage when
+    done with it.
     """
     # Materialize the narrow pair projection FIRST: the symmetrizing
     # union below references ``pairs`` twice, and Spark performs no
@@ -1497,70 +1508,62 @@ def minhash_estimate_calibration(
     """
     # One wide-signature build serves BOTH the banding/pair channel and
     # the per-component estimate channel (it is the text-hashing heavy
-    # stage); pairs and the shingle explode below each feed two joins.
-    # Without the three barriers the signature computation ran 3× and the
-    # pair expansion 3× inside one action (r13-opt: 6.0 → ~2.5 s sf0.1).
+    # stage).  Both scoring channels ride per-doc ARRAYS along the pair
+    # joins (r14): the estimate compares the 16 signature components
+    # row-locally, and the exact Jaccard is an ``array_intersect`` over
+    # the pair's distinct-shingle-hash arrays (the jaccard_verify_pairs
+    # shape) — the previous 16×-exploded signature joins and the
+    # shingle-exploded inverted-index join with their groupBys are gone;
+    # every value (integer match counts / exact integer set sizes, one
+    # double division) is unchanged.  Shingle arrays are built only for
+    # candidate-pair endpoints (semi-join), exactly once.
     wide = _minhash_wide(
         docs, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=False)
     pairs = _pairs_from_bands(
         _bands_from_wide(wide, id_col, num_hashes, band_rows), id_col
     ).localCheckpoint(eager=False)
-    sig = _sig_from_wide(wide, id_col, num_hashes)
-    sa = sig.select(
-        F.col(id_col).alias("doc_a"), "j", F.col("minhash").alias("_ma")
-    )
-    sb = sig.select(
-        F.col(id_col).alias("doc_b"), "j", F.col("minhash").alias("_mb")
-    )
-    est = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "j"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum((F.col("_ma") == F.col("_mb")).cast("int")).cast(
-                    "double"
-                )
-                / F.lit(num_hashes)
-            ).alias("est_jaccard")
-        )
+    sig_arr = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
     word_hashes = F.transform(words(text_col), lambda t: hash32(t))
-    hs = docs.select(
-        F.col(id_col),
-        F.explode(
-            composed_shingle_hashes(word_hashes, shingle_n)
-        ).alias("_h2"),
-    ).localCheckpoint(eager=False)
-    sizes = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    inter = (
-        pairs.join(
-            hs.select(F.col(id_col).alias("doc_a"), "_h2"), "doc_a"
+    sh = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            composed_shingle_hashes(word_hashes, shingle_n).alias("_sh"),
         )
-        .join(
-            hs.select(F.col(id_col).alias("doc_b"), "_h2"),
-            ["doc_b", "_h2"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .localCheckpoint(eager=False)
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
-    exact = (
-        F.coalesce("_inter", F.lit(0)).cast("double")
-        / (F.col("_na") + F.col("_nb") - F.coalesce("_inter", F.lit(0)))
+    a = wide.select(F.col(id_col).alias("doc_a"), sig_arr.alias("_siga"))
+    b = wide.select(F.col(id_col).alias("doc_b"), sig_arr.alias("_sigb"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    matches = sum(
+        (
+            F.element_at("_siga", j + 1) == F.element_at("_sigb", j + 1)
+        ).cast("int")
+        for j in range(num_hashes)
     )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    exact = inter.cast("double") / (
+        F.size("_sha") + F.size("_shb") - inter
+    )
+    est = matches.cast("double") / F.lit(num_hashes)
     return (
-        est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "est_jaccard",
+            est.alias("est_jaccard"),
             exact.alias("exact_jaccard"),
-            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+            F.abs(est - exact).alias("abs_err"),
         )
     )
 
